@@ -1,0 +1,114 @@
+"""Unit tests for dedup / similarity / text operators on micro-fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+from ytsaurus_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different words appear here nothing shared with that text"
+    return spark.createDataFrame(
+        [(1, base, "en"), (2, base, "en"), (3, near, "en"), (4, other, "en")],
+        "doc_id bigint, text string, lang string",
+    )
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    rows = {r.canonical_id: r.n_dups for r in out.collect()}
+    assert rows[1] == 2  # docs 1,2 identical
+    assert rows[3] == 1 and rows[4] == 1
+
+
+def test_minhash_pairs_find_near_dups(docs):
+    pairs = rows_set(dedup.minhash_lsh_pairs(docs, num_hashes=8, band_rows=2))
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # disjoint text
+    # near-dup (1,3) collides with high probability given 4 bands; identical
+    # prefix shingles make at least one band match here deterministically
+    assert (1, 3) in pairs
+
+
+def test_simhash_identical_and_disjoint(docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    assert len(fp[1]) == 16 and set(fp[1]) <= {"0", "1"}
+    # near-dup fingerprints are close in Hamming distance
+    ham13 = sum(a != b for a, b in zip(fp[1], fp[3]))
+    ham14 = sum(a != b for a, b in zip(fp[1], fp[4]))
+    assert ham13 < ham14
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk(vectors):
+    out = similarity.cosine_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    got = [(r.c_id, r.rank) for r in out]
+    assert got == [(1, 1), (4, 2)]
+    sims = {r.c_id: r.cosine for r in out}
+    assert sims[1] > 0.99
+
+
+def test_lsh_bucket_deterministic(vectors):
+    b1 = {r.vec_id: r.bucket for r in similarity.lsh_bucket(vectors, dim=4).collect()}
+    b2 = {r.vec_id: r.bucket for r in similarity.lsh_bucket(vectors, dim=4).collect()}
+    assert b1 == b2
+    assert all(len(v) == 8 for v in b1.values())
+    # opposite vectors get complementary bits wherever the plane dot is
+    # nonzero (zero dots sign to '1' for both) — here 6 of 8 planes
+    ham = sum(a != b for a, b in zip(b1[0], b1[3]))
+    assert ham >= 5
+
+
+def test_ann_topk_subset_of_bucket(vectors):
+    out = similarity.ann_topk_lsh(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=3, dim=4
+    ).collect()
+    buckets = {r.vec_id: r.bucket for r in similarity.lsh_bucket(vectors, dim=4).collect()}
+    for r in out:
+        assert buckets[r.c_id] == buckets[0]
+
+
+def test_token_stats_and_fingerprint(docs):
+    stats = {r.doc_id: r for r in text.token_stats(docs).collect()}
+    assert stats[1].n_tokens == 13
+    assert stats[1].n_distinct_tokens == 11  # 'the' and 'again' repeat
+    fps = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[4]
+
+
+def test_quality_and_lang(docs):
+    q = {r.doc_id: r for r in text.quality_score(docs).collect()}
+    assert 0.0 <= q[1].quality <= 1.0
+    assert q[1].stop_ratio > q[4].stop_ratio
+    langs = {r.doc_id: r.predicted_lang for r in text.language_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[4] == "other"

@@ -1,0 +1,117 @@
+"""Operation-layer unit tests: Map/Reduce/Sort/Merge/Erase semantics on
+micro-fixtures, mirroring the reference's controller integration tests
+(yt/yt/tests/integration/controller/) at unit scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+from ytsaurus_spark.operators import map_reduce as mr
+
+
+@pytest.fixture()
+def grp(spark):
+    return spark.createDataFrame(
+        [(1, 30, "x"), (1, 10, "y"), (2, 5, "x"), (2, 7, "z"), (3, 1, "q")],
+        "a bigint, b bigint, s string",
+    )
+
+
+def test_run_map(spark, grp):
+    def mapper(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"a": pdf["a"], "b2": pdf["b"] * 2})
+
+    out = mr.run_map(grp, mapper, "a bigint, b2 bigint")
+    assert rows_set(out) == {(1, 60), (1, 20), (2, 10), (2, 14), (3, 2)}
+
+
+def test_run_reduce_key_guarantee(spark, grp):
+    seen_keys = []
+
+    def reducer(pdf):
+        # key guarantee: exactly one distinct key per call
+        keys = pdf["a"].unique()
+        assert len(keys) == 1
+        return pd.DataFrame({"a": [keys[0]], "n": [len(pdf)], "sb": [pdf["b"].sum()]})
+
+    out = mr.run_reduce(grp, ["a"], reducer, "a bigint, n bigint, sb bigint")
+    assert rows_set(out) == {(1, 2, 40), (2, 2, 12), (3, 1, 1)}
+    del seen_keys
+
+
+def test_run_reduce_secondary_sort(spark, grp):
+    def reducer(pdf):
+        # secondary sort: rows arrive ordered by b within the key
+        assert list(pdf["b"]) == sorted(pdf["b"])
+        return pd.DataFrame({"a": [pdf["a"].iloc[0]], "first_s": [pdf["s"].iloc[0]]})
+
+    out = mr.run_reduce(
+        grp, ["a"], reducer, "a bigint, first_s string", sort_by=["a", "b"]
+    )
+    assert rows_set(out) == {(1, "y"), (2, "x"), (3, "q")}
+
+
+def test_run_reduce_sort_by_must_extend_reduce_by(spark, grp):
+    with pytest.raises(ValueError):
+        mr.run_reduce(grp, ["a"], lambda p: p, "a bigint", sort_by=["b"])
+
+
+def test_run_sort_global_order(spark, grp):
+    out = mr.run_sort(grp, ["b"], num_partitions=2)
+    # partitions are range-ordered; reading in partition order = total order
+    vals = [r.b for r in out.collect()]
+    assert vals == sorted(vals)
+
+
+def test_run_merge_modes(spark):
+    a = spark.createDataFrame([(1,), (3,)], "k bigint")
+    b = spark.createDataFrame([(2,), (4,)], "k bigint")
+    assert rows_set(mr.run_merge([a, b])) == {(1,), (2,), (3,), (4,)}
+    merged = mr.run_merge([a, b], mode="sorted", merge_by=["k"])
+    assert [r.k for r in merged.collect()] == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        mr.run_merge([a, b], mode="sorted")
+    with pytest.raises(ValueError):
+        mr.run_merge([])
+
+
+def test_run_erase(spark, grp):
+    out = mr.run_erase(grp, F.col("a") == 2)
+    assert rows_set(out.select("a")) == {(1,), (3,)}
+
+
+def test_input_query_pushdown(spark, grp):
+    out = mr.apply_input_query(grp, "SELECT a, b FROM __input WHERE b > 6")
+    assert rows_set(out) == {(1, 30), (1, 10), (2, 7)}
+
+
+def test_join_reduce(spark, grp):
+    foreign = spark.createDataFrame([(1, "one"), (2, "two")], "a bigint, name string")
+
+    def reducer(pdf):
+        return pd.DataFrame(
+            {
+                "a": [pdf["a"].iloc[0]],
+                "n": [len(pdf)],
+                "name": [pdf["name"].iloc[0]],
+            }
+        )
+
+    out = mr.run_join_reduce(
+        grp, foreign, ["a"], reducer, "a bigint, n bigint, name string"
+    )
+    got = rows_set(out)
+    assert (1, 2, "one") in got and (2, 2, "two") in got
+    # key 3 has no foreign row -> left-join null name
+    assert (3, 1, None) in got
+
+
+def test_sample_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
+    out = mr.sample_rows_deterministic(df, "k", 10)
+    assert rows_set(out) == {(i,) for i in range(0, 100, 10)}

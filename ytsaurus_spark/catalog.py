@@ -1,0 +1,156 @@
+"""Catalog: a Cypress-style path→table registry over parquet directories.
+
+The reference stores tables as nodes in the Cypress tree addressed by paths
+like ``//home/x/t`` with "rich YPath" read modifiers — column selection and
+row/key ranges (parsed in yt/python/yt/wrapper/ypath.py:268-283 of the
+reference). Here a table is a parquet file/dir; rich-path modifiers become
+declarative ``select``/``filter`` calls so Catalyst turns them into parquet
+projection + predicate pushdown (the same chunk-skipping effect the reference
+gets from key-range inference, yt/yt/library/query/engine/new_range_inferrer.cpp).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Key (sort) columns per table — the analog of YT's sorted-table key prefix.
+# Used by sorted-merge reads and key-guarantee reduce (operators/map_reduce).
+DEFAULT_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+@dataclass
+class RichPath:
+    """Parsed rich path: ``path{col1,col2}[#10:#20]`` — column selection and
+    row-index ranges, mirroring the reference's ypath read modifiers."""
+
+    path: str
+    columns: list[str] | None = None
+    lower_row: int | None = None
+    upper_row: int | None = None
+
+    _RE = re.compile(
+        r"^(?P<path>[^{\[]+)"
+        r"(?:\{(?P<cols>[^}]*)\})?"
+        r"(?:\[#?(?P<lo>\d*):#?(?P<hi>\d*)\])?$"
+    )
+
+    @classmethod
+    def parse(cls, rich: str) -> "RichPath":
+        m = cls._RE.match(rich.strip())
+        if not m:
+            raise ValueError(f"bad rich path: {rich!r}")
+        cols = m.group("cols")
+        return cls(
+            path=m.group("path").strip(),
+            columns=[c.strip() for c in cols.split(",") if c.strip()] if cols else None,
+            lower_row=int(m.group("lo")) if m.group("lo") else None,
+            upper_row=int(m.group("hi")) if m.group("hi") else None,
+        )
+
+
+@dataclass
+class Catalog:
+    """Registers every ``<name>.parquet`` under ``root`` as a temp view.
+
+    ``read`` honors rich-path modifiers; plain reads go straight to the
+    vectorized parquet scan so all pruning stays inside Catalyst.
+    """
+
+    spark: SparkSession
+    root: str
+    keys: dict[str, list[str]] = field(default_factory=lambda: dict(DEFAULT_KEYS))
+    _nanos_cache: dict[str, list[str]] = field(default_factory=dict, repr=False)
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def read(self, name_or_rich: str) -> DataFrame:
+        rp = RichPath.parse(name_or_rich)
+        df = self.spark.read.parquet(self.table_path(rp.path))
+        df = self._fix_nanos(rp.path, df)
+        if rp.lower_row is not None or rp.upper_row is not None:
+            # Row-index addressing on a static table. Monotonic ids are
+            # per-partition-contiguous, matching YT's chunk row indexing;
+            # exact global order only matters for ordered tables, where the
+            # writer must persist an explicit row index column instead.
+            idx = F.monotonically_increasing_id()
+            df = df.withColumn("__row_index", idx)
+            if rp.lower_row is not None:
+                df = df.filter(F.col("__row_index") >= rp.lower_row)
+            if rp.upper_row is not None:
+                df = df.filter(F.col("__row_index") < rp.upper_row)
+            df = df.drop("__row_index")
+        if rp.columns:
+            df = df.select(*rp.columns)
+        return df
+
+    def register_all(self, names: tuple[str, ...] = TABLE_NAMES) -> None:
+        for name in names:
+            p = self.table_path(name)
+            if os.path.exists(p):
+                self.read(name).createOrReplaceTempView(name)
+
+    def _fix_nanos(self, name: str, df: DataFrame) -> DataFrame:
+        """Convert TIMESTAMP(NANOS) columns (read as long nanoseconds under
+        spark.sql.legacy.parquet.nanosAsLong) back to TimestampType with
+        ns→µs truncation — the same cast DuckDB applies on read."""
+        cols = self._nanos_columns(name)
+        for c in cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+
+    def _nanos_columns(self, name: str) -> list[str]:
+        if name not in self._nanos_cache:
+            import pyarrow.parquet as pq
+
+            try:
+                schema = pq.read_schema(self.table_path(name))
+                import pyarrow as pa
+
+                self._nanos_cache[name] = [
+                    f.name
+                    for f in schema
+                    if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                ]
+            except Exception:
+                self._nanos_cache[name] = []
+        return self._nanos_cache[name]
+
+    def key_columns(self, name: str) -> list[str]:
+        return self.keys.get(name, [])
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Convenience: catalog over one scale-factor dir with views registered."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    return cat

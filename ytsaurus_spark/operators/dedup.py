@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard. All pure Spark SQL expressions — no Python in
+the hot path, so each stage stays in whole-stage codegen and scales by
+shuffle capacity alone.
+
+Determinism: every hash is md5 over an explicit string, so results are
+reproducible across engines (the DuckDB oracle mirrors the same formulas).
+Scale shape: the only shuffles are groupBy(doc,seed) and the band-bucket
+self-join; band buckets are tiny by construction (hash-distributed), so the
+self-join explodes only true near-dup clusters — the standard LSH cost
+model. At 100 TB, add a bucket-size cap (count>threshold → skip bucket) to
+bound adversarial skew; noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (hash, canonical id, count).
+    One shuffle; canonical = min id, matching keep-first convention."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Word k-shingles. Docs shorter than k words contribute the whole text
+    as a single shingle (guards sequence() against negative bounds)."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("t")
+    )
+    parts = "concat(" + ", ' ', ".join(f"t[i+{j}]" for j in range(k)) + ")"
+    shingle_expr = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(0, size(t)-{k}), i -> {parts}) "
+        f"ELSE array(array_join(t, ' ')) END"
+    )
+    return toks.select(id_col, F.explode(F.expr(shingle_expr)).alias("shingle"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-(doc, seed) minhash: min over shingles of md5(seed || '|' || s).
+
+    Fixed-width hex compares lexicographically == numerically, so string
+    min IS the minhash — no hex→int conversion needed, and the same formula
+    runs verbatim in any engine with md5()."""
+    sh = _shingles(docs, text_col, id_col, shingle_k)
+    seeds = F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
+    return (
+        sh.select(id_col, "shingle", seeds)
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    bands = num_hashes / band_rows; two docs collide if any band's minhash
+    slice matches exactly. Returns distinct (doc_a < doc_b) pairs.
+    ``max_bucket`` caps bucket size (skew guard for 100 TB runs)."""
+    mh = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    sigs = (
+        mh.withColumn("band", F.floor(F.col("seed") / band_rows))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+                    "",
+                )
+            ).alias("band_sig")
+        )
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        counts = sigs.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
+        sigs = sigs.join(
+            counts.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band", "band_sig"],
+        )
+        _ = W  # (windowless variant keeps one extra tiny aggregate instead)
+    a = sigs.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_sig")
+    )
+    b = sigs.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("band_sig")
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    Bit b of a token = parity of the (b+1)-th md5 hex char — engine-portable
+    and uniform. Output: (doc_id, simhash) bit string; near-dups share
+    fingerprints at small Hamming distance (exact match used downstream)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn("h", F.md5("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fingerprint = F.concat(
+        *[F.when(F.col(f"b{b}") >= 0, "1").otherwise("0") for b in range(bits)]
+    )
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairwise Jaccard over distinct word k-shingle sets.
+
+    Shape: explode distinct shingles, self-join on shingle (the inverted-
+    index join), count common, compute |A∩B| / (|A|+|B|-|A∩B|). k=5 keeps
+    shingles selective so the inverted-index join stays near-linear; at
+    larger scale, pre-filter shingles with document frequency > df_max."""
+    sh = _shingles(docs, text_col, id_col, shingle_k).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )

@@ -1,0 +1,201 @@
+"""MapReduce operation types (SURVEY §2.2) as DataFrame transforms.
+
+Reference: EOperationType (yt/yt/client/scheduler/public.h:28-38) — Map,
+Merge, Erase, Sort, Reduce, MapReduce, JoinReduce, Vanilla — with controllers
+under yt/yt/server/controller_agent/controllers/ and the user-code contract
+in yt/cpp/mapreduce/interface/operation.h (IMapper/IReducer, reducer called
+once per distinct key, secondary sort via sort_by ⊇ reduce_by); Python SDK
+mirror yt/python/yt/wrapper/run_operation_commands.py:63-387.
+
+Spark re-expression (the whole §3.2 pipeline is one DataFrame chain):
+- Map            → mapInPandas (Arrow-batched; ordered=false semantics)
+- Reduce         → repartition(reduce_by) [+ sortWithinPartitions(sort_by)]
+                   → applyInPandas per key group (key guarantee) or
+                   mapPartitions-style grouped iteration without it
+- JoinReduce     → broadcast/sort-merge join of foreign tables, then Reduce
+- Sort           → repartitionByRange + sortWithinPartitions (Spark's
+                   range-sampling shuffle is the reference's partition-tree
+                   algorithm, sort_controller.cpp:241-308)
+- Merge          → unionByName (unordered/ordered) or sorted k-way merge
+- MapReduce      → map → reduce fused in one plan (combiner = Catalyst
+                   partial aggregation, automatic)
+- Erase          → complement filter rewrite
+- input_query    → spark.sql view applied before user code (pushdown)
+- sampling       → df.sample or deterministic hash-mod sampling
+
+Scale notes: every transform here stays declarative until the user function
+itself, so Catalyst handles pushdown/pruning; the only shuffles are the ones
+the semantics require (one per reduce/sort). User functions cross the JVM
+boundary in Arrow batches, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MapFn = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
+ReduceFn = Callable[[pd.DataFrame], pd.DataFrame]
+KeyedReduceFn = Callable[[tuple, pd.DataFrame], pd.DataFrame]
+
+
+def run_map(
+    df: DataFrame,
+    mapper: MapFn,
+    output_schema: Any,
+    *,
+    ordered: bool = False,
+) -> DataFrame:
+    """Map operation: user function over row batches.
+
+    Mirrors unordered/ordered_controller.cpp map semantics; ``ordered=True``
+    preserves input order within each input split (Spark partitions are
+    already read in file order, so no extra work — the unordered variant is
+    free to re-split for better parallelism).
+    """
+    if ordered:
+        # Keep existing partitioning: no repartition, rely on scan order.
+        return df.mapInPandas(mapper, schema=output_schema)
+    return df.mapInPandas(mapper, schema=output_schema)
+
+
+def run_reduce(
+    df: DataFrame,
+    reduce_by: list[str],
+    reducer: ReduceFn,
+    output_schema: Any,
+    *,
+    sort_by: list[str] | None = None,
+) -> DataFrame:
+    """Reduce with the key guarantee: the reducer sees ALL rows for a given
+    ``reduce_by`` key in one call (operation.h:2132 — Do() per key range).
+
+    Secondary sort: ``sort_by`` must extend ``reduce_by`` (spec rule,
+    operation.h:978-983); rows arrive at the reducer sorted by it.
+    groupBy().applyInPandas gives the key guarantee; the sort happens on the
+    pandas batch (cheap: per-group data) rather than a cluster-wide
+    sortWithinPartitions, keeping one shuffle total.
+    """
+    if sort_by:
+        if sort_by[: len(reduce_by)] != reduce_by:
+            raise ValueError("sort_by must have reduce_by as prefix")
+        tail = sort_by[len(reduce_by):]
+
+        def sorted_reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+            return reducer(pdf.sort_values(sort_by if tail else reduce_by))
+
+        return df.groupBy(*reduce_by).applyInPandas(sorted_reducer, output_schema)
+    return df.groupBy(*reduce_by).applyInPandas(
+        lambda pdf: reducer(pdf), output_schema
+    )
+
+
+def run_join_reduce(
+    primary: DataFrame,
+    foreign: DataFrame,
+    join_by: list[str],
+    reducer: ReduceFn,
+    output_schema: Any,
+    *,
+    reduce_by: list[str] | None = None,
+    broadcast_foreign: bool = True,
+) -> DataFrame:
+    """JoinReduce: merge-join primary with foreign tables on ``join_by``
+    (a prefix of the primary key), then reduce (operation.h:1051-1054 —
+    key guarantee off by default). Foreign tables are the small side in the
+    reference's design, so broadcast is the scale-correct default."""
+    f = F.broadcast(foreign) if broadcast_foreign else foreign
+    joined = primary.join(f, on=join_by, how="left")
+    return run_reduce(joined, reduce_by or join_by, reducer, output_schema)
+
+
+def run_sort(df: DataFrame, sort_by: list[str], num_partitions: int | None = None) -> DataFrame:
+    """Sort operation: distributed range-partitioned sort.
+
+    The reference samples input to build a partition tree of key ranges
+    (sort_controller.cpp:241-308), sorts each partition, then concatenates —
+    exactly Spark's repartitionByRange (reservoir-sampled bounds) +
+    sortWithinPartitions. Output partitions are globally ordered; a consumer
+    reading partitions in order sees total order, without ever materializing
+    a single-node sort."""
+    cols = [F.col(c) for c in sort_by]
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
+    return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
+def run_merge(
+    inputs: list[DataFrame],
+    mode: str = "unordered",
+    merge_by: list[str] | None = None,
+) -> DataFrame:
+    """Merge operation: ``unordered`` / ``ordered`` concat or ``sorted``
+    k-way merge (mode auto-detect mirrors spec_builders.py:1966-1970).
+
+    ``sorted`` re-establishes global order over already-sorted inputs. On a
+    cluster the range shuffle only moves boundary-crossing chunks under AQE;
+    the reference's SortedMerge job does the same k-way merge per range."""
+    if not inputs:
+        raise ValueError("run_merge needs at least one input")
+    out = inputs[0]
+    for other in inputs[1:]:
+        out = out.unionByName(other)
+    if mode == "sorted":
+        if not merge_by:
+            raise ValueError("sorted merge requires merge_by")
+        return run_sort(out, merge_by)
+    return out
+
+
+def run_map_reduce(
+    df: DataFrame,
+    mapper: MapFn | None,
+    map_schema: Any,
+    reduce_by: list[str],
+    reducer: ReduceFn,
+    output_schema: Any,
+    *,
+    sort_by: list[str] | None = None,
+) -> DataFrame:
+    """Fused MapReduce (sort_controller.cpp shared pipeline): mapper feeds the
+    reduce shuffle directly; Catalyst fuses the map into the shuffle write
+    stage — the reference's PartitionMap job. A combiner (ReduceCombiner job)
+    is not modeled explicitly: when the reducer is an aggregation, express it
+    with groupBy().agg() instead and Spark's partial aggregation IS the
+    combiner."""
+    mapped = run_map(df, mapper, map_schema) if mapper else df
+    return run_reduce(mapped, reduce_by, reducer, output_schema, sort_by=sort_by)
+
+
+def run_erase(
+    df: DataFrame,
+    predicate,
+) -> DataFrame:
+    """Erase: delete rows matching the predicate by rewriting the complement
+    (ordered_controller.cpp erase path does exactly this at chunk level)."""
+    return df.filter(~predicate)
+
+
+def apply_input_query(df: DataFrame, query: str, view_name: str = "__input") -> DataFrame:
+    """input_query: QL SELECT applied to the operation's input before user
+    code (operation_controller_detail.cpp:7607-7690). In Spark the filter/
+    project pushes down into the parquet scan — the exact optimization the
+    reference implements by hand."""
+    df.createOrReplaceTempView(view_name)
+    return df.sparkSession.sql(query.replace("__input", view_name))
+
+
+def sample_rows(df: DataFrame, rate: float, *, seed: int | None = None) -> DataFrame:
+    """Operation input sampling (config.h:349-361). Bernoulli row sampling."""
+    return df.sample(fraction=rate, seed=seed)
+
+
+def sample_rows_deterministic(df: DataFrame, key: str, modulus: int) -> DataFrame:
+    """Systematic deterministic sample: keep rows where key % modulus == 0.
+    Reproducible across engines (used by the correctness oracle)."""
+    return df.filter((F.col(key) % modulus) == 0)

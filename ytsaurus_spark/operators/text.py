@@ -1,0 +1,85 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All built-in string/array functions — no UDFs — so the operators run at scan
+speed and push column pruning into parquet (only ``text`` + ids are read).
+Formulas are engine-portable; the DuckDB oracles mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word list for the ratio features (synthetic corpus is
+# English-like; real pipelines plug in per-language lists).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count, char count, distinct tokens, avg token length,
+    and a BPE-ish subword estimate (ceil(chars/4) — the common LLM rule of
+    thumb for English text)."""
+    t = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            (F.length(text_col) - (F.size(t) - 1)) / F.size(t), 4
+        ).alias("avg_token_len"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    stopword ratio, type-token ratio, mean word length band. Mirrors the
+    usual Gopher/C4-style filters in spirit, deterministic in form."""
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), w -> array_contains({stop_arr}, w)))")
+    ttr = F.size(F.array_distinct(t)) / n
+    stop_ratio = n_stop / n
+    mean_len = (F.length(text_col) - (n - 1)) / n
+    len_ok = F.when((mean_len >= 2) & (mean_len <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.round(
+        (F.least(stop_ratio * 5, F.lit(1.0)) + F.least(ttr * 2, F.lit(1.0)) + len_ok) / 3,
+        4,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-free heuristic language ID: function-word hit rate.
+
+    Predicts 'en' when stopword density clears a threshold, else 'other'.
+    (A real n-gram model is a per-language weight table joined the same
+    way; the plumbing — explode, lookup, aggregate, argmax — is identical.)"""
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), w -> array_contains({stop_arr}, w)))")
+    n = F.size(F.split(F.col(text_col), " "))
+    pred = F.when(n_stop / n >= 0.05, "en").otherwise("other")
+    return docs.select(
+        F.col(id_col),
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — a canonical bag-of-words hash that survives shuffling and
+    duplication of words (the cheap cousin of minhash for exact-set dedup)."""
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " "
+    )
+    return docs.select(F.col(id_col), F.md5(canon).alias("fingerprint"))

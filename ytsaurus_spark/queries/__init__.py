@@ -1,0 +1,67 @@
+"""Query registry: every implemented operator from SURVEY.md §2 shows up here
+as a named (spark_fn, oracle_sql) pair.
+
+- ``spark_fn(spark, sf_dir) -> DataFrame`` — the engine-side implementation.
+- ``oracle_sql`` — equivalent ANSI SQL for DuckDB over the same parquet
+  tables (views pre-registered by the driver), or ``None`` for ops that
+  aren't SQL-expressible (the driver then records a rows-only check).
+
+Conventions that keep Spark and DuckDB hash-identical:
+- alias every computed column identically on both sides;
+- wrap double aggregates in ``round(x, N)`` on both sides (summation order
+  differs between engines; rounding removes last-ulp noise);
+- cast DuckDB integer ``sum()`` to BIGINT (DuckDB widens to HUGEINT);
+- project timestamps through a shared string format.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    _load()
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # import for side effect: modules call register() at import time
+    from ytsaurus_spark.queries import (  # noqa: F401
+        aggregates,
+        llm,
+        mapreduce,
+        ql,
+        streaming_q,
+        windows,
+    )
+
+    _LOADED = True

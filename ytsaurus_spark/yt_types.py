@@ -1,0 +1,191 @@
+"""YT logical type system ↔ Spark SQL types (SURVEY §1.3).
+
+Reference enums: ``EValueType`` (yt/yt/client/table_client/row_base.h:11-28),
+``ESimpleLogicalValueType`` (row_base.h:41-79), ``ELogicalMetatype``
+(yt/yt/client/table_client/logical_type.h:24-44). A ``TTableSchema`` is an
+ordered column list + ``strict`` + ``unique_keys``
+(yt/yt/client/table_client/schema.h:116-129) with per-column sort order,
+computed-column expression, and aggregate function.
+
+The mapping is data-model work only — no execution semantics live here.
+Uint64 is the one lossy case: Spark has no unsigned 64-bit integer, so the
+caller picks LongType (fast, overflow at 2^63) or DecimalType(20,0) (exact).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+# simple logical type name -> Spark type
+SIMPLE_TYPE_MAP: dict[str, T.DataType] = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint8": T.ShortType(),     # widened: unsigned fits next size up
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.LongType(),     # see uint64 note in module docstring
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+    "utf8": T.StringType(),
+    "json": T.StringType(),
+    "uuid": T.StringType(),
+    "date": T.DateType(),
+    "datetime": T.TimestampType(),
+    "timestamp": T.TimestampType(),
+    "interval": T.DayTimeIntervalType(),
+    "date32": T.DateType(),
+    "datetime64": T.TimestampType(),
+    "timestamp64": T.TimestampType(),
+    "interval64": T.DayTimeIntervalType(),
+    "void": T.NullType(),
+    "null": T.NullType(),
+    # 'any' = arbitrary YSON; carried as a JSON-encoded string column and
+    # accessed via functions.yson getters (get_json_object et al.)
+    "any": T.StringType(),
+}
+
+UINT64_EXACT = T.DecimalType(20, 0)
+
+
+@dataclass
+class ColumnSchema:
+    """Mirror of TColumnSchema (schema.h:116-129): name/type plus the engine
+    features — sort order makes it a key column, ``expression`` a computed
+    column, ``aggregate`` an aggregate column folded on write."""
+
+    name: str
+    type_name: str
+    required: bool = False
+    sort_order: str | None = None  # "ascending" | "descending" | None
+    expression: str | None = None  # Spark SQL expr for computed columns
+    aggregate: str | None = None   # sum | min | max | first
+
+    def spark_field(self) -> T.StructField:
+        return T.StructField(
+            self.name, yt_type_to_spark(self.type_name), nullable=not self.required
+        )
+
+
+@dataclass
+class TableSchema:
+    """Mirror of TTableSchema: ordered columns + strict + unique_keys.
+
+    ``strict=False`` (weak schema) adds a ``_rest`` JSON overflow column —
+    rows may carry fields outside the declared set, as in YT's schemaless
+    tables (schema mode Weak, yt/yt/client/table_client/public.h:151-154).
+    """
+
+    columns: list[ColumnSchema]
+    strict: bool = True
+    unique_keys: bool = False
+    REST_COLUMN: str = field(default="_rest", repr=False)
+
+    def key_columns(self) -> list[str]:
+        return [c.name for c in self.columns if c.sort_order]
+
+    def to_spark(self) -> T.StructType:
+        fields = [c.spark_field() for c in self.columns]
+        if not self.strict:
+            fields.append(T.StructField(self.REST_COLUMN, T.StringType(), True))
+        return T.StructType(fields)
+
+
+def yt_type_to_spark(name: str) -> T.DataType:
+    """Resolve a YT logical type string, including composites:
+    ``optional<T>``, ``list<T>``, ``dict<K,V>``, ``struct<a:T,b:U>``,
+    ``tuple<T,U>`` (positional fields ``_1,_2..``), ``decimal(p,s)``,
+    ``variant<...>`` (tagged struct of nullables), ``tagged<tag,T>``."""
+    s = name.strip().lower()
+    if s in SIMPLE_TYPE_MAP:
+        return SIMPLE_TYPE_MAP[s]
+    if s.startswith("optional<") and s.endswith(">"):
+        return yt_type_to_spark(s[len("optional<"):-1])  # nullability is per-field
+    if s.startswith("list<") and s.endswith(">"):
+        return T.ArrayType(yt_type_to_spark(s[len("list<"):-1]))
+    if s.startswith("dict<") and s.endswith(">"):
+        k, v = _split_top(s[len("dict<"):-1])
+        return T.MapType(yt_type_to_spark(k), yt_type_to_spark(v))
+    if s.startswith("decimal(") and s.endswith(")"):
+        p, sc = s[len("decimal("):-1].split(",")
+        return T.DecimalType(int(p), int(sc))
+    if s.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_all(s[len("struct<"):-1]):
+            fname, ftype = part.split(":", 1)
+            fields.append(T.StructField(fname.strip(), yt_type_to_spark(ftype), True))
+        return T.StructType(fields)
+    if s.startswith("tuple<") and s.endswith(">"):
+        parts = _split_all(s[len("tuple<"):-1])
+        return T.StructType(
+            [T.StructField(f"_{i+1}", yt_type_to_spark(p), True) for i, p in enumerate(parts)]
+        )
+    if s.startswith("variant<") and s.endswith(">"):
+        # No native variant: tagged struct of nullable alternatives + tag.
+        parts = _split_all(s[len("variant<"):-1])
+        fields = [T.StructField("_tag", T.IntegerType(), False)]
+        for i, p in enumerate(parts):
+            if ":" in p and not p.split(":", 1)[0].strip().startswith(("list", "dict", "struct", "tuple")):
+                fname, ftype = p.split(":", 1)
+                fields.append(T.StructField(fname.strip(), yt_type_to_spark(ftype), True))
+            else:
+                fields.append(T.StructField(f"_{i+1}", yt_type_to_spark(p), True))
+        return T.StructType(fields)
+    if s.startswith("tagged<") and s.endswith(">"):
+        _tag, inner = _split_top(s[len("tagged<"):-1])
+        return yt_type_to_spark(inner)
+    raise ValueError(f"unknown YT type: {name!r}")
+
+
+def spark_type_to_yt(dt: T.DataType) -> str:
+    """Inverse mapping for schema export."""
+    simple = {
+        T.ByteType: "int8", T.ShortType: "int16", T.IntegerType: "int32",
+        T.LongType: "int64", T.FloatType: "float", T.DoubleType: "double",
+        T.BooleanType: "boolean", T.StringType: "utf8", T.DateType: "date",
+        T.TimestampType: "timestamp", T.NullType: "null",
+        T.BinaryType: "string", T.DayTimeIntervalType: "interval",
+    }
+    for cls, name in simple.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_type_to_yt(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"dict<{spark_type_to_yt(dt.keyType)},{spark_type_to_yt(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{spark_type_to_yt(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
+    raise ValueError(f"unmapped Spark type: {dt}")
+
+
+def _split_top(s: str) -> tuple[str, str]:
+    parts = _split_all(s)
+    if len(parts) != 2:
+        raise ValueError(f"expected two type args in {s!r}")
+    return parts[0], parts[1]
+
+
+def _split_all(s: str) -> list[str]:
+    """Split on commas at bracket depth 0."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
