@@ -1,0 +1,113 @@
+"""Tests for select_rows QL translation, keyed tables, secondary index,
+as-of join, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+from ytsaurus_spark.operators.asof import asof_join
+from ytsaurus_spark.operators.keyed_tables import KeyedTable
+from ytsaurus_spark.operators.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_features,
+)
+from ytsaurus_spark.operators.select_rows import QLSyntaxError, select_rows, translate_ql
+
+
+def test_translate_ql_basics():
+    sql = translate_ql("a, sum(b) AS s FROM [//home/x/t] GROUP BY a")
+    assert sql == "SELECT a, sum(b) AS s FROM t GROUP BY a"
+
+
+def test_translate_ql_order_by_requires_limit():
+    with pytest.raises(QLSyntaxError):
+        translate_ql("a FROM [//t] ORDER BY a")
+    assert "LIMIT 5" in translate_ql("a FROM [//t] ORDER BY a LIMIT 5")
+
+
+def test_translate_ql_function_renames():
+    sql = translate_ql(
+        "if_null(a, 0), is_prefix('x', s), cardinality(b) FROM [//t]"
+    )
+    assert "ifnull(a, 0)" in sql
+    assert "startswith(s, 'x')" in sql
+    assert "approx_count_distinct(b)" in sql
+
+
+def test_translate_ql_literals_untouched():
+    sql = translate_ql("s FROM [//t] WHERE s = 'is_null(x) [//fake]'")
+    assert "'is_null(x) [//fake]'" in sql
+
+
+def test_select_rows_end_to_end(spark):
+    spark.createDataFrame([(1, 5), (2, 50)], "k bigint, v bigint").createOrReplaceTempView(
+        "kvt"
+    )
+    out = select_rows(spark, "k, v FROM [//home/kvt] WHERE v > 10")
+    assert rows_set(out) == {(2, 50)}
+
+
+def test_keyed_table_upsert_lookup_delete(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k bigint, s string, cnt bigint"
+    )
+    t = KeyedTable(df=base, key_cols=["k"], aggregates={"cnt": "sum"})
+    # upsert: existing key folds cnt, overwrites s; new key appends
+    t2 = t.insert_rows(
+        spark.createDataFrame([(1, "a2", 5), (3, "c", 7)], "k bigint, s string, cnt bigint")
+    )
+    assert rows_set(t2.df) == {(1, "a2", 15), (2, "b", 20), (3, "c", 7)}
+    # time travel: version 0 is the pre-upsert snapshot
+    assert rows_set(t2.read(0)) == rows_set(base)
+    # lookup
+    keys = spark.createDataFrame([(1,), (3,)], "k bigint")
+    assert rows_set(t2.lookup_rows(keys).select("k")) == {(1,), (3,)}
+    # delete
+    t3 = t2.delete_rows(spark.createDataFrame([(2,)], "k bigint"))
+    assert rows_set(t3.df.select("k")) == {(1,), (3,)}
+
+
+def test_keyed_table_min_max_first_folds(spark):
+    base = spark.createDataFrame([(1, 10, 10, 10)], "k bigint, lo bigint, hi bigint, fst bigint")
+    t = KeyedTable(
+        df=base, key_cols=["k"], aggregates={"lo": "min", "hi": "max", "fst": "first"}
+    )
+    t2 = t.insert_rows(
+        spark.createDataFrame([(1, 5, 99, 42)], "k bigint, lo bigint, hi bigint, fst bigint")
+    )
+    row = t2.df.collect()[0]
+    assert (row.lo, row.hi) == (5, 99)
+    assert row.fst in (10, 42)  # first(ignorenulls) over unordered union
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 7)], "uid bigint, t bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, 20, "r20"), (2, 9, "r9")], "uid bigint, t bigint, tag string"
+    )
+    out = asof_join(left, right, on="t", by=["uid"], right_cols=["tag"])
+    got = {(r.uid, r.t): r.tag for r in out.collect()}
+    assert got == {(1, 10): "r5", (1, 25): "r20", (2, 7): None}
+    # tie + strict semantics
+    tie_left = spark.createDataFrame([(1, 20)], "uid bigint, t bigint")
+    tied = asof_join(tie_left, right, on="t", by=["uid"], right_cols=["tag"])
+    assert tied.collect()[0].tag == "r20"       # inclusive by default
+    strict = asof_join(tie_left, right, on="t", by=["uid"], right_cols=["tag"], strict=True)
+    assert strict.collect()[0].tag == "r5"      # strictly-before
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "a" * 100)], "doc_id bigint, text string")
+    media = attach_binary(docs, "text", "doc_id")
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = {r.id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[1].byte_sum_mod == (ord("a") + ord("b") + ord("c")) % 997
+    assert feats[2].n_bytes == 100
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", "image/png")

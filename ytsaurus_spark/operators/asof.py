@@ -1,0 +1,62 @@
+"""As-of / range join — a training-pipeline staple Spark lacks natively.
+
+Implemented as a composition of built-in ops (no UDF): tag both sides, union
+on the shared sort axis, carry the most recent right-side row forward with a
+``last(ignorenulls)`` window, keep left rows. One shuffle (the window's
+partitionBy), fully codegen'd — scales like any window aggregate and avoids
+the per-group ``pd.merge_asof`` Python path entirely.
+
+DuckDB's native ASOF JOIN serves as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest ``on`` value
+    ≤ left's (< when ``strict``). ``by`` adds equality keys (per-group asof).
+
+    Ties on the axis: right rows sort before left rows at the same ``on``
+    value unless ``strict``, matching ASOF JOIN semantics.
+    """
+    by = by or []
+    right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
+
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        *by, on, *right_cols
+    ).withColumn("__side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    # strict: right rows at the same axis value must NOT be visible to left
+    # rows at that value → order right after left at equal `on`.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).asc(), side_order)
+        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).drop("__side", *right_cols)
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__asof_{c}", c)
+    return out

@@ -1,0 +1,119 @@
+"""Keyed (sorted dynamic) tables: upsert / lookup / delete / aggregate
+columns, re-expressed as pure DataFrame set operations.
+
+Reference semantics: sorted dynamic tables are key-unique MVCC stores
+(yt/yt/server/node/tablet_node/sorted_dynamic_store.h:203) with
+- InsertRows = upsert by key (or ``update=True`` partial-column update),
+- LookupRows = point/batch read by key set,
+- DeleteRows = tombstone by key,
+- aggregate columns folding new into old on write via sum/min/max/first
+  (sorted_dynamic_store.cpp:411; tests
+  yt/yt/tests/integration/dynamic_tables/test_aggregate_columns.py).
+
+Spark shape: the table is a DataFrame snapshot; each mutation produces a new
+snapshot via anti-join + union (the MERGE pattern — with Delta available the
+same calls lower to MERGE INTO). Aggregate folding happens with groupBy over
+(old ∪ new), which Catalyst executes as one shuffle on the key — at scale
+this is the standard copy-on-write upsert, amortized by partition pruning
+when snapshots are key-partitioned.
+
+Versioning: ``KeyedTable`` keeps a bounded list of prior snapshots —
+table-level time travel (read @ version), the documented approximation of
+row-level MVCC timestamps (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_AGG_FOLDS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "first": lambda c: F.first(c, ignorenulls=True),
+}
+
+
+@dataclass
+class KeyedTable:
+    """A key-unique table snapshot with optional aggregate columns.
+
+    ``aggregates`` maps column name → fold function name; non-key,
+    non-aggregate columns take the newest value on upsert (last-writer-wins,
+    like the reference's plain value columns).
+    """
+
+    df: DataFrame
+    key_cols: list[str]
+    aggregates: dict[str, str] = field(default_factory=dict)
+    max_versions: int = 4
+    _history: list[DataFrame] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        for col, fn in self.aggregates.items():
+            if fn not in _AGG_FOLDS:
+                raise ValueError(f"unsupported aggregate {fn} for {col}")
+
+    # -- reads --------------------------------------------------------------
+
+    def lookup_rows(self, keys: DataFrame) -> DataFrame:
+        """LookupRows: rows matching the key set. left_semi keeps the scan
+        one-sided; with few keys Catalyst broadcasts them (the reference's
+        batched key lookup, cg_routines.cpp:491)."""
+        return self.df.join(F.broadcast(keys), self.key_cols, "left_semi")
+
+    def read(self, version: int = -1) -> DataFrame:
+        """Snapshot read; negative = current, else history index (oldest=0).
+        Table-level time travel (Delta `VERSION AS OF` analog)."""
+        if version == -1 or not self._history:
+            return self.df
+        return self._history[max(0, min(version, len(self._history) - 1))]
+
+    # -- writes -------------------------------------------------------------
+
+    def insert_rows(self, new_rows: DataFrame, update: bool = False) -> "KeyedTable":
+        """Upsert. For aggregate columns the incoming value folds into the
+        stored one (old ⊕ new); plain columns are overwritten by the new row
+        (or kept when ``update`` upserts a subset of columns)."""
+        cols = self.df.columns
+        new_rows = new_rows.select(
+            *[c for c in cols if c in new_rows.columns]
+        )
+        if self.aggregates:
+            # fold = groupBy over (current ∪ incoming): one shuffle on the
+            # key, partial aggregation map-side — same cost as the MERGE.
+            tagged_old = self.df.withColumn("__gen", F.lit(0))
+            tagged_new = new_rows.withColumn("__gen", F.lit(1))
+            union = tagged_old.unionByName(tagged_new, allowMissingColumns=True)
+            aggs = []
+            for c in cols:
+                if c in self.key_cols:
+                    continue
+                if c in self.aggregates:
+                    aggs.append(_AGG_FOLDS[self.aggregates[c]](F.col(c)).alias(c))
+                else:
+                    # newest generation wins for plain columns
+                    aggs.append(
+                        F.max_by(F.col(c), F.struct("__gen")).alias(c)
+                    )
+            merged = union.groupBy(*self.key_cols).agg(*aggs).select(*cols)
+        else:
+            keep = self.df.join(new_rows, self.key_cols, "left_anti")
+            merged = keep.unionByName(new_rows).select(*cols)
+        return self._advance(merged)
+
+    def delete_rows(self, keys: DataFrame) -> "KeyedTable":
+        return self._advance(self.df.join(keys, self.key_cols, "left_anti"))
+
+    def _advance(self, new_df: DataFrame) -> "KeyedTable":
+        hist = (self._history + [self.df])[-self.max_versions:]
+        return KeyedTable(
+            df=new_df,
+            key_cols=self.key_cols,
+            aggregates=self.aggregates,
+            max_versions=self.max_versions,
+            _history=hist,
+        )

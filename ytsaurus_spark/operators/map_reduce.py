@@ -95,6 +95,57 @@ def run_reduce(
     )
 
 
+def run_reduce_batched(
+    df: DataFrame,
+    reduce_by: list[str],
+    batch_reducer: ReduceFn,
+    output_schema: Any,
+    *,
+    sort_by: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SortedReduce shape: the scale path for many small key groups.
+
+    ``groupBy().applyInPandas`` pays a Python call + Arrow exchange per key
+    group — ruinous when groups are small and numerous (the common case at
+    100 TB: billions of keys). The reference's SortedReduce job instead
+    merge-reads a sorted partition and walks key ranges sequentially
+    (yt/yt/server/job_proxy via sorted readers, sorted_controller.cpp).
+
+    This reproduces that: hash-repartition on ``reduce_by``, sort within
+    partitions, then ``mapInPandas`` streams multi-group Arrow batches to
+    ``batch_reducer``, which must aggregate per key itself (vectorized
+    ``pdf.groupby`` — thousands of groups per Python call). A carry buffer
+    keeps the trailing (possibly batch-split) key group for the next batch,
+    so every key is still seen exactly once, whole — the key guarantee at
+    batch granularity.
+    """
+    if sort_by:
+        if sort_by[: len(reduce_by)] != reduce_by:
+            raise ValueError("sort_by must have reduce_by as prefix")
+    sort_cols = sort_by or reduce_by
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    arranged = df.repartition(int(parts), *reduce_by).sortWithinPartitions(*sort_cols)
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_key = tuple(pdf[reduce_by].iloc[-1])
+            mask = (pdf[reduce_by] == last_key).all(axis=1)
+            complete, carry = pdf[~mask], pdf[mask]
+            if len(complete):
+                yield batch_reducer(complete)
+        if carry is not None and len(carry):
+            yield batch_reducer(carry)
+
+    return arranged.mapInPandas(runner, output_schema)
+
+
 def run_join_reduce(
     primary: DataFrame,
     foreign: DataFrame,

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched Pandas functions.
+
+The image/audio codec libraries are not in this container, so the *decode*
+step is stubbed (NotImplementedError or a deterministic fake) — but the
+Spark-side plumbing is real and tested: schema (binary + metadata struct),
+partition-aware batch processing via mapInPandas, and the UDF batch shapes
+a real decoder would drop into.
+
+At 100 TB: binary payloads dominate IO, so the scan must prune to the
+binary column only when needed (parquet column pruning handles this), and
+feature extraction parallelizes per Arrow batch with zero shuffle — the
+plan shape below is exactly that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "id bigint, media binary, media_type string, width int, height int, "
+    "sample_rate int"
+)
+
+
+def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Make a media-like table from a text column (fixture substitute for
+    real image/audio bytes): payload = utf-8 bytes, metadata derived."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.lit("text/plain").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+
+
+def decode_image(media: bytes, media_type: str):
+    """Real decoder hook — requires PIL/libjpeg, absent in this container."""
+    raise NotImplementedError(
+        "image decode needs an imaging library (PIL/opencv); "
+        "plug one in here — the batch plumbing around this call is complete"
+    )
+
+
+def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Per-item feature extraction over Arrow batches (mapInPandas — no
+    shuffle, one Python worker per partition, whole batches per call).
+
+    With ``deterministic_fake`` the 'feature' is a stand-in computed from
+    the raw bytes (length, byte-sum mod 997, 8-bin byte histogram head) so
+    the pipeline is testable; a real extractor replaces `_fake_feature`
+    with a decode + model call on the same batch shape."""
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf["media"]
+            if deterministic_fake:
+                n_bytes = media.map(len)
+                byte_sum = media.map(lambda b: sum(b) % 997)
+                first_bin = media.map(
+                    lambda b: sum(1 for x in b[:256] if x < 64)
+                )
+            else:  # pragma: no cover - requires codec libs
+                raise NotImplementedError("real decode path not available")
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "byte_sum_mod": byte_sum.astype("int64"),
+                    "head_low_bytes": first_bin.astype("int64"),
+                }
+            )
+
+    return df.select("id", "media").mapInPandas(
+        runner, "id bigint, n_bytes bigint, byte_sum_mod bigint, head_low_bytes bigint"
+    )
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stand-in: slice the payload every N bytes (the video
+    analog samples frames; the batch/slice plumbing is identical). Pure
+    built-ins — substring on binary stays JVM-side."""
+    n_frames = F.floor(F.length("media") / every_n_bytes).cast("int")
+    return df.select(
+        "id",
+        n_frames.alias("n_frames"),
+        F.substring("media", 1, every_n_bytes).alias("frame0"),
+    )

@@ -1,0 +1,54 @@
+"""Physical-plan introspection: the tooling used to keep every operator's
+plan honest at scale (filters reach the parquet scan, small dims broadcast,
+no gratuitous exchanges).
+
+The reference gets these properties from hand-built range inference and
+join strategy selection (new_range_inferrer.cpp, yql_yt_join_impl.cpp);
+Catalyst gives them declaratively — these helpers make tests fail when a
+code change silently loses one.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame, column: str | None = None) -> bool:
+    """True if the scan carries PushedFilters (optionally naming a column)."""
+    plan = formatted_plan(df)
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    if not m:
+        return False
+    if column is None:
+        return any(x.strip() for x in m)
+    return any(column in x for x in m)
+
+
+def scan_read_schema(df: DataFrame, table_hint: str = "") -> list[str]:
+    """Columns the parquet scan actually reads (projection pushdown proof)."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(
+            f.split(":", 1)[0].strip() for f in m.group(1).split(",") if f.strip()
+        )
+    return cols
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("BroadcastHashJoin")
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange operators (each = one shuffle stage). Counts only
+    numbered plan nodes, not mentions in argument/reuse lines."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))

@@ -57,10 +57,12 @@ def _load() -> None:
     # import for side effect: modules call register() at import time
     from ytsaurus_spark.queries import (  # noqa: F401
         aggregates,
+        dynamic_q,
         llm,
         mapreduce,
         ql,
         streaming_q,
+        surface_q,
         windows,
     )
 

@@ -82,22 +82,24 @@ def op_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
 
-    # Reducer sees every row of one l_orderkey, sorted by the secondary key
-    # (sort_by ⊇ reduce_by) — the IReducer::Do contract, operation.h:2132.
-    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_orderkey": [pdf["l_orderkey"].iloc[0]],
-                "n_lines": [len(pdf)],
-                "total": [round(pdf["l_extendedprice"].sum(), 2)],
-                "first_line": [pdf["l_linenumber"].iloc[0]],
-            }
-        )
+    # SortedReduce scale path: the reducer receives multi-group sorted
+    # batches and aggregates per key vectorized — thousands of keys per
+    # Python call instead of one applyInPandas call per key (operation.h:2132
+    # semantics preserved: each key arrives whole, rows sorted by sort_by).
+    def batch_reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("l_orderkey", sort=False)
+        out = g.agg(
+            n_lines=("l_extendedprice", "size"),
+            total=("l_extendedprice", "sum"),
+            first_line=("l_linenumber", "first"),
+        ).reset_index()
+        out["total"] = out["total"].round(2)
+        return out[["l_orderkey", "n_lines", "total", "first_line"]]
 
-    return mr.run_reduce(
+    return mr.run_reduce_batched(
         li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
         ["l_orderkey"],
-        reducer,
+        batch_reducer,
         "l_orderkey bigint, n_lines bigint, total double, first_line int",
         sort_by=["l_orderkey", "l_shipdate", "l_linenumber"],
     )

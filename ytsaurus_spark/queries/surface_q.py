@@ -1,0 +1,303 @@
+"""Wider SQL/function surface queries: scalar function families (math,
+datetime, string/regex, conditional, uint64 discipline), pivot/unpivot,
+as-of join, and multimodal plumbing — each with a DuckDB oracle where
+SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.operators.asof import asof_join
+from ytsaurus_spark.operators.multimodal import attach_binary, extract_features, frame_sample
+from ytsaurus_spark.queries import register
+
+
+# --- math functions --------------------------------------------------------
+
+@register(
+    "fn_math",
+    """
+    SELECT p_partkey,
+           abs(p_size - 25)                   AS dist,
+           CAST(ceil(p_retailprice / 100) AS BIGINT)  AS price_ceil,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_floor,
+           round(sqrt(p_size), 6)             AS root,
+           round(ln(p_retailprice), 6)        AS log_price,
+           round(pow(p_size, 2), 1)           AS size_sq,
+           p_size % 7                         AS size_mod
+    FROM part
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return cat.read("part").select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("dist"),
+        F.ceil(F.col("p_retailprice") / 100).alias("price_ceil"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_floor"),
+        F.round(F.sqrt("p_size"), 6).alias("root"),
+        F.round(F.log("p_retailprice"), 6).alias("log_price"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+# --- datetime functions (QL format_timestamp / floors + YQL Datetime2) -----
+
+@register(
+    "fn_datetime",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INT)       AS y,
+           CAST(month(ts) AS INT)      AS mo,
+           CAST(day(ts) AS INT)        AS d,
+           CAST(hour(ts) AS INT)       AS h,
+           CAST(minute(ts) AS INT)     AS mi,
+           CAST(dayofweek(ts) AS INT)  AS dow,
+           strftime(ts, '%Y-%m-%d')    AS datestr,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS days_in
+    FROM events WHERE event_id < 200
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    # Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0 → align via %7.
+    return (
+        cat.read("events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("mo"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.minute("ts").alias("mi"),
+            ((F.dayofweek("ts") - 1) % 7).alias("dow"),
+            F.date_format("ts", "yyyy-MM-dd").alias("datestr"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("days_in"),
+        )
+    )
+
+
+# --- string/regex functions ------------------------------------------------
+
+@register(
+    "fn_string_regex",
+    """
+    SELECT doc_id,
+           upper(source)                                   AS src_upper,
+           substr(text, 1, 12)                             AS head,
+           replace(source, 'src', 'origin-')               AS renamed,
+           CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS src_num,
+           regexp_matches(text, 'spark\\s+\\w+')           AS mentions_spark,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS consonant_len,
+           trim(concat('  ', source, '  '))                AS trimmed,
+           lpad(source, 8, '_')                            AS padded,
+           reverse(source)                                 AS rev
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.upper("source").alias("src_upper"),
+            F.substring("text", 1, 12).alias("head"),
+            F.replace("source", F.lit("src"), F.lit("origin-")).alias("renamed"),
+            F.regexp_extract("source", r"([0-9]+)", 1).cast("int").alias("src_num"),
+            F.col("text").rlike(r"spark\s+\w+").alias("mentions_spark"),
+            F.length(F.regexp_replace("text", "[aeiou]", "")).alias("consonant_len"),
+            F.trim(F.concat(F.lit("  "), F.col("source"), F.lit("  "))).alias(
+                "trimmed"
+            ),
+            F.lpad("source", 8, "_").alias("padded"),
+            F.reverse("source").alias("rev"),
+        )
+    )
+
+
+# --- conditionals / null discipline ----------------------------------------
+
+@register(
+    "fn_conditional",
+    """
+    SELECT s_suppkey,
+           coalesce(nullif(s_name, 'Supplier#3'), 'REDACTED') AS masked,
+           greatest(s_acctbal, 1000.0)  AS floor_bal,
+           least(s_acctbal, 5000.0)     AS cap_bal,
+           (s_acctbal IS NULL)          AS bal_missing,
+           CASE WHEN s_acctbal >= 0 THEN 'ok' ELSE 'neg' END AS health
+    FROM supplier
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return cat.read("supplier").select(
+        "s_suppkey",
+        F.coalesce(F.nullif("s_name", F.lit("Supplier#3")), F.lit("REDACTED")).alias(
+            "masked"
+        ),
+        F.greatest("s_acctbal", F.lit(1000.0)).alias("floor_bal"),
+        F.least("s_acctbal", F.lit(5000.0)).alias("cap_bal"),
+        F.isnull("s_acctbal").alias("bal_missing"),
+        F.when(F.col("s_acctbal") >= 0, "ok").otherwise("neg").alias("health"),
+    )
+
+
+# --- uint64 discipline: DECIMAL(20,0) arithmetic beyond int64 --------------
+
+@register(
+    "fn_uint64",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderkey AS DECIMAL(20,0)) * 4294967296 +
+                9223372036854775807 AS DECIMAL(38,0)) AS shifted
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def fn_uint64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uint64 semantics (SURVEY §1.3): values above 2^63-1 carried exactly
+    in DECIMAL — the documented widening for YT's uint64 columns."""
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_orderkey").cast("decimal(20,0)") * F.lit(4294967296)
+                + F.lit(9223372036854775807)
+            )
+            .cast("decimal(38,0)")
+            .alias("shifted"),
+        )
+    )
+
+
+# --- pivot / unpivot -------------------------------------------------------
+
+@register(
+    "fn_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def fn_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    out = (
+        cat.read("lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("O", 2).alias("O"),
+        F.round("F", 2).alias("F"),
+    )
+
+
+@register(
+    "fn_unpivot",
+    """
+    SELECT s_suppkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS val
+      FROM supplier
+    ) t
+    """,
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    sup = cat.read("supplier")
+    unp = sup.select(
+        "s_suppkey",
+        F.expr(
+            "stack(2, 'acctbal', s_acctbal, 'nationkey', CAST(s_nationkey AS DOUBLE)) "
+            "AS (metric, val)"
+        ),
+    )
+    return unp.select("s_suppkey", "metric", F.round("val", 2).alias("val"))
+
+
+# --- as-of join (DuckDB ASOF JOIN is the oracle) ---------------------------
+
+@register(
+    "asof_last_click_before_purchase",
+    """
+    SELECT p.event_id, p.user_id,
+           c.event_id AS click_id,
+           round(c.value, 4) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], right_cols=["click_id", "click_value"]
+    )
+    return joined.select(
+        "event_id", "user_id", "click_id", F.round("click_value", 4).alias("click_value")
+    )
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id AS id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) // 64 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column + metadata + frame sampling (JVM-side substring on
+    bytes). Fixture text is ASCII so octet length == strlen."""
+    cat = load_tables(spark, sf_dir)
+    media = attach_binary(cat.read("documents"), "text", "doc_id")
+    frames = frame_sample(media, every_n_bytes=64)
+    return (
+        media.join(frames, "id")
+        .select(
+            "id",
+            F.length("media").cast("long").alias("n_bytes"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+        )
+    )
+
+
+# mapInPandas byte-level feature extraction isn't SQL-expressible → no
+# oracle: driver records the weaker rows-only check (documented trade).
+@register("mm_feature_extract", None)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    media = attach_binary(cat.read("documents"), "text", "doc_id")
+    return extract_features(media)
