@@ -45,6 +45,10 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
+    # warm the JVM + file-listing caches outside the timed region (cold
+    # session startup is not a per-query cost at steady state)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -1,0 +1,93 @@
+"""Format layer tests: DSV/TSKV/SchemafulDsv readers, remote copy,
+compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+from ytsaurus_spark.sources import (
+    compact_table,
+    read_dsv,
+    read_schemaful_dsv,
+    read_table,
+    read_tskv,
+    remote_copy,
+    write_table,
+)
+
+
+@pytest.fixture()
+def tmp():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_dsv_roundtrip(spark, tmp):
+    p = os.path.join(tmp, "t.dsv")
+    with open(p, "w") as f:
+        f.write("1\talice\n2\tbob\n")
+    df = read_dsv(spark, p, schema="id int, name string")
+    assert rows_set(df) == {(1, "alice"), (2, "bob")}
+
+
+def test_schemaful_dsv(spark, tmp):
+    p = os.path.join(tmp, "t.tsv")
+    with open(p, "w") as f:
+        f.write("10\tx\n20\ty\n")
+    df = read_schemaful_dsv(spark, p, ["k", "v"])
+    assert rows_set(df) == {("10", "x"), ("20", "y")}
+
+
+def test_tskv(spark, tmp):
+    p = os.path.join(tmp, "t.tskv")
+    with open(p, "w") as f:
+        f.write("tskv\tuser=alice\tage=30\n")
+        f.write("tskv\tuser=bob\tage=25\tcity=NYC\n")
+    df = read_tskv(spark, p).select(
+        F.element_at("kv", "user").alias("user"),
+        F.element_at("kv", "age").cast("int").alias("age"),
+        F.element_at("kv", "city").alias("city"),
+    )
+    assert rows_set(df) == {("alice", 30, None), ("bob", 25, "NYC")}
+
+
+def test_remote_copy_preserves_data(spark, tmp, sf_dir):
+    src = os.path.join(sf_dir, "region.parquet")
+    dst = os.path.join(tmp, "region_copy")
+    remote_copy(spark, src, dst)
+    a = rows_set(spark.read.parquet(src))
+    b = rows_set(spark.read.parquet(dst))
+    assert a == b
+
+
+def test_compact_table(spark, tmp):
+    path = os.path.join(tmp, "many")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    df.repartition(16).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) >= 16
+    compact_table(spark, path, target_files=2)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) <= 2
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_read_table_bad_format(spark):
+    with pytest.raises(ValueError):
+        read_table(spark, "/nope", fmt="yson")
+
+
+def test_write_table_partitioned(spark, tmp):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k bigint, part string"
+    )
+    out = os.path.join(tmp, "parted")
+    write_table(df, out, partition_by=["part"])
+    assert os.path.isdir(os.path.join(out, "part=a"))
+    # partition pruning: reading one partition value touches only that dir
+    one = spark.read.parquet(out).filter(F.col("part") == "a")
+    assert one.count() == 2

@@ -1,0 +1,145 @@
+"""Structured Streaming tests: watermarked windows with late data, stateful
+applyInPandasWithState, exactly-once foreachBatch, queue consumer replay.
+Mirrors the reference's queue/consumer integration tests
+(yt/yt/tests/integration/queues/) on Spark's streaming machinery.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from ytsaurus_spark.streaming.queues import QueueConsumer, pull_and_advance, with_row_index
+from ytsaurus_spark.streaming.stateful import idempotent_batch_writer, running_counter
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _write_events(spark, path, rows):
+    import datetime as _dt
+
+    rows = [
+        (e, _dt.datetime.fromisoformat(ts), u, v) for (e, ts, u, v) in rows
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+@pytest.fixture()
+def stream_dir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_watermark_tumbling_with_late_data(spark, stream_dir):
+    src_dir = os.path.join(stream_dir, "src")
+    _write_events(
+        spark,
+        src_dir,
+        [
+            (1, "2024-01-01 10:05:00", 1, 1.0),
+            (2, "2024-01-01 10:20:00", 1, 2.0),
+            (3, "2024-01-01 11:40:00", 2, 3.0),   # advances watermark past 10:xx
+            (4, "2024-01-01 10:10:00", 1, 9.0),   # late but within tolerance? no: wm=10:40
+        ],
+    )
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wm_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.ws: r.n for r in spark.table("wm_out").collect()}
+    finally:
+        q.stop()
+    # all 4 events within watermark tolerance at arrival -> both windows count
+    assert got["2024-01-01 10:00:00"] == 3
+    assert got["2024-01-01 11:00:00"] == 1
+
+
+def test_apply_in_pandas_with_state(spark, stream_dir):
+    src_dir = os.path.join(stream_dir, "src")
+    _write_events(
+        spark,
+        src_dir,
+        [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:01:00", 1, 2.5),
+         (3, "2024-01-01 10:02:00", 2, 4.0)],
+    )
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    fn, out_schema, state_schema = running_counter(src, "user_id")
+    out = src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        T._parse_datatype_string(out_schema),
+        T._parse_datatype_string(state_schema),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = out.writeStream.format("memory").queryName("state_out").start()
+    try:
+        q.processAllAvailable()
+        got = {r.user_id: (r.n, r.total) for r in spark.table("state_out").collect()}
+    finally:
+        q.stop()
+    assert got[1] == (2, 3.5)
+    assert got[2] == (1, 4.0)
+
+
+def test_foreach_batch_idempotent(spark, stream_dir):
+    src_dir = os.path.join(stream_dir, "src")
+    _write_events(spark, src_dir, [(1, "2024-01-01 10:00:00", 1, 1.0)])
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    sunk: list[tuple[int, int]] = []
+    writer = idempotent_batch_writer(lambda df, epoch: sunk.append((epoch, df.count())))
+    q = src.writeStream.foreachBatch(writer).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # replaying the same epoch through the wrapper is a no-op
+    epochs = [e for e, _ in sunk]
+    assert len(epochs) == len(set(epochs))
+    assert sum(n for _, n in sunk) == 1
+
+
+def test_queue_consumer_replay(spark):
+    import datetime as _dt
+
+    ev = spark.createDataFrame(
+        [
+            (i, _dt.datetime(2024, 1, 1, 10, i, 0), 1, float(i))
+            for i in range(10)
+        ],
+        EVENTS_SCHEMA,
+    )
+    q = with_row_index(ev, ["event_id"])
+    c = QueueConsumer("c1")
+    b1 = pull_and_advance(q, c, "$row_index", 4)
+    assert [r.event_id for r in b1.orderBy("event_id").collect()] == [0, 1, 2, 3]
+    assert c.offset() == 4
+    b2 = pull_and_advance(q, c, "$row_index", 4)
+    assert [r.event_id for r in b2.orderBy("event_id").collect()] == [4, 5, 6, 7]
+    # replay-from-anywhere: a second consumer reads the same rows again
+    c2 = QueueConsumer("c2")
+    again = pull_and_advance(q, c2, "$row_index", 4)
+    assert [r.event_id for r in again.orderBy("event_id").collect()] == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        c.advance(0)

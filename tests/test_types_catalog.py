@@ -1,0 +1,123 @@
+"""Type mapping, schema features (computed columns, weak schemas), catalog
+statistics/partitioning, UDF registry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.conftest import rows_set
+from ytsaurus_spark.catalog import Catalog, RichPath
+from ytsaurus_spark.functions.udf import (
+    get_registered,
+    register_pandas_udf,
+    register_udtf,
+)
+from ytsaurus_spark.yt_types import (
+    ColumnSchema,
+    TableSchema,
+    materialize_computed_columns,
+    spark_type_to_yt,
+    yt_type_to_spark,
+)
+
+
+def test_simple_and_composite_types():
+    assert yt_type_to_spark("int64") == T.LongType()
+    assert yt_type_to_spark("optional<utf8>") == T.StringType()
+    assert yt_type_to_spark("list<int32>") == T.ArrayType(T.IntegerType())
+    assert yt_type_to_spark("dict<string,double>") == T.MapType(
+        T.StringType(), T.DoubleType()
+    )
+    st = yt_type_to_spark("struct<a:int64,b:list<string>>")
+    assert isinstance(st, T.StructType) and st.fieldNames() == ["a", "b"]
+    tup = yt_type_to_spark("tuple<int64,string>")
+    assert tup.fieldNames() == ["_1", "_2"]
+    assert yt_type_to_spark("decimal(20,0)") == T.DecimalType(20, 0)
+    var = yt_type_to_spark("variant<int64,string>")
+    assert var.fieldNames()[0] == "_tag"
+    with pytest.raises(ValueError):
+        yt_type_to_spark("frob<int64>")
+
+
+def test_roundtrip_spark_to_yt():
+    assert spark_type_to_yt(T.LongType()) == "int64"
+    assert spark_type_to_yt(T.ArrayType(T.StringType())) == "list<utf8>"
+    assert (
+        spark_type_to_yt(T.MapType(T.StringType(), T.LongType()))
+        == "dict<utf8,int64>"
+    )
+
+
+def test_table_schema_weak_mode_and_keys():
+    ts = TableSchema(
+        columns=[
+            ColumnSchema("k", "int64", required=True, sort_order="ascending"),
+            ColumnSchema("v", "utf8"),
+        ],
+        strict=False,
+    )
+    spark_schema = ts.to_spark()
+    assert spark_schema.fieldNames() == ["k", "v", "_rest"]
+    assert not spark_schema["k"].nullable
+    assert ts.key_columns() == ["k"]
+
+
+def test_computed_columns(spark):
+    ts = TableSchema(
+        columns=[
+            ColumnSchema("user_id", "int64"),
+            ColumnSchema(
+                "shard", "int64", expression="pmod(xxhash64(user_id), 8)"
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1,), (2,)], "user_id bigint")
+    out = materialize_computed_columns(df, ts)
+    rows = out.collect()
+    assert all(0 <= r.shard < 8 for r in rows)
+    # deterministic: same input -> same shard
+    again = materialize_computed_columns(df, ts).collect()
+    assert {(r.user_id, r.shard) for r in rows} == {
+        (r.user_id, r.shard) for r in again
+    }
+
+
+def test_rich_path_parsing():
+    rp = RichPath.parse("lineitem{l_orderkey,l_quantity}[#10:#20]")
+    assert rp.path == "lineitem"
+    assert rp.columns == ["l_orderkey", "l_quantity"]
+    assert (rp.lower_row, rp.upper_row) == (10, 20)
+    assert RichPath.parse("orders").columns is None
+
+
+def test_catalog_rich_read_and_stats(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    df = cat.read("lineitem{l_orderkey,l_quantity}")
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    stats = cat.columnar_statistics("lineitem", ["l_orderkey", "l_comment"])
+    assert stats.get("l_orderkey", 0) > 0
+    parts = cat.partition_table("orders", 4)
+    assert len(parts) == 4
+    total = sum(p.count() for p in parts)
+    assert total == cat.read("orders").count()
+
+
+def test_udf_registry_pandas_and_udtf(spark):
+    def double_it(s):  # plain signature -> SCALAR pandas UDF by default
+        return s * 2
+
+    register_pandas_udf(spark, "double_it", double_it, "bigint")
+    spark.createDataFrame([(21,)], "x bigint").createOrReplaceTempView("u1")
+    assert spark.sql("SELECT double_it(x) AS y FROM u1").collect()[0].y == 42
+    assert get_registered("double_it") is not None
+
+    class Expand:
+        def eval(self, n: int):
+            for i in range(n):
+                yield (i,)
+
+    register_udtf(spark, "expand_n", Expand, "i int")
+    got = rows_set(spark.sql("SELECT * FROM expand_n(3)"))
+    assert got == {(0,), (1,), (2,)}

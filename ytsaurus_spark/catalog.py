@@ -148,6 +148,36 @@ class Catalog:
     def key_columns(self, name: str) -> list[str]:
         return self.keys.get(name, [])
 
+    def columnar_statistics(self, name: str, columns: list[str] | None = None) -> dict[str, int]:
+        """GetColumnarStatistics (yt/yt/client/api/table_client.h:470):
+        per-column data weight in bytes, from parquet footers — no data
+        read. The reference uses these to size jobs; Spark's planner reads
+        the same footers for its split planning."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(self.table_path(name)).metadata
+        weights: dict[str, int] = {}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                cname = col.path_in_schema.split(".")[0]
+                if columns is None or cname in columns:
+                    weights[cname] = weights.get(cname, 0) + col.total_compressed_size
+        return weights
+
+    def partition_table(self, name: str, partition_count: int) -> list[DataFrame]:
+        """PartitionTables API (table_client.h:474): split a table into
+        ~equal-weight partitions for caller-managed parallel reads. Spark
+        plans its own splits; this exposes the same capability for external
+        consumers via modular row slicing on the key column."""
+        df = self.read(name)
+        key = (self.key_columns(name) or [df.columns[0]])[0]
+        return [
+            df.filter(F.pmod(F.xxhash64(F.col(key)), partition_count) == i)
+            for i in range(partition_count)
+        ]
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Catalog:
     """Convenience: catalog over one scale-factor dir with views registered."""

@@ -314,3 +314,160 @@ def agg_dict_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k", "v")
     )
     return kv.groupBy("k").agg(F.sum("v").alias("total"))
+
+
+# --- bit aggregates (YQL bit_and/bit_or/bit_xor, aggregate.yqls) -----------
+
+@register(
+    "agg_bit_ops",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS INT) AS band,
+           CAST(bit_or(l_linenumber)  AS INT) AS bor,
+           CAST(bit_xor(l_linenumber) AS INT) AS bxor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("band"),
+            F.bit_or("l_linenumber").alias("bor"),
+            F.bit_xor("l_linenumber").alias("bxor"),
+        )
+    )
+
+
+# --- mode / topfreq (YQL Top/TopFreq/Mode): most frequent values per group.
+# Expressed as count + ranked window — the exact-count form; the sketch form
+# at 100 TB swaps the count for a count-min/space-saving summary, same shape.
+
+@register(
+    "agg_topfreq",
+    """
+    WITH counts AS (
+      SELECT l_linestatus, l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_linestatus, l_returnflag
+    ), ranked AS (
+      SELECT l_linestatus, l_returnflag, cnt,
+             CAST(row_number() OVER (PARTITION BY l_linestatus
+                  ORDER BY cnt DESC, l_returnflag) AS INT) AS rnk
+      FROM counts
+    )
+    SELECT l_linestatus, l_returnflag, cnt, rnk
+    FROM ranked WHERE rnk <= 2
+    """,
+)
+def agg_topfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    counts = (
+        cat.read("lineitem")
+        .groupBy("l_linestatus", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("l_linestatus").orderBy(
+        F.col("cnt").desc(), F.col("l_returnflag")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("l_linestatus", "l_returnflag", "cnt", "rnk")
+    )
+
+
+# --- multiple DISTINCT aggregates in one GROUP BY --------------------------
+
+@register(
+    "agg_multi_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)  AS n_supp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)  AS n_part,
+           round(sum(DISTINCT l_quantity), 2)         AS sum_dq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_dq"),
+        )
+    )
+
+
+# --- WITH TOTALS AFTER HAVING (ETotalsMode::AfterHaving,
+#     query_common.h:78-82): totals row aggregates only the groups that
+#     survive HAVING — re-aggregated from the surviving group rows ---------
+
+@register(
+    "ql_with_totals_after_having",
+    """
+    WITH groups AS (
+      SELECT l_suppkey, round(sum(l_quantity), 2) AS qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 10000
+    )
+    SELECT l_suppkey, qty, n FROM groups
+    UNION ALL
+    SELECT NULL AS l_suppkey, round(sum(qty), 2) AS qty,
+           CAST(sum(n) AS BIGINT) AS n
+    FROM groups
+    """,
+)
+def ql_with_totals_after_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    groups = (
+        cat.read("lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("_raw"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("_raw") > 10000)
+        .select("l_suppkey", F.round("_raw", 2).alias("qty"), "n")
+    )
+    totals = groups.agg(
+        F.round(F.sum("qty"), 2).alias("qty"), F.sum("n").alias("n")
+    ).select(F.lit(None).cast("bigint").alias("l_suppkey"), "qty", "n")
+    return groups.unionByName(totals)
+
+
+# --- top / bottom k values as lists (YQL Top/Bottom, aggregate.yqls) -------
+
+@register(
+    "agg_top_bottom",
+    """
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(o_totalprice))[1:3], ',')  AS bottom3,
+           array_to_string(list_reverse_sort(list(o_totalprice))[1:3], ',') AS top3
+    FROM (SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+          FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_top_bottom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    # DECIMAL keeps the string rendering identical across engines
+    base = cat.read("orders").select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    asc = F.slice(F.array_sort(F.collect_list("o_totalprice")), 1, 3)
+    desc = F.slice(F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 3)
+    return base.groupBy("o_orderstatus").agg(
+        F.array_join(asc, ",").alias("bottom3"),
+        F.array_join(desc, ",").alias("top3"),
+    )

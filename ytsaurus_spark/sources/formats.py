@@ -1,0 +1,114 @@
+"""I/O format layer — the reference's EFormatType surface mapped to Spark.
+
+Reference formats (yt/yt/client/formats/public.h:49-62): YSON, JSON, DSV,
+TSKV (YamredDsv), SchemafulDsv, Protobuf, WebJson, Skiff, Arrow, Yaml.
+
+Mapping:
+- JSON/CSV/Parquet/ORC → native Spark readers (columnar pushdown on
+  parquet/orc; JSON/CSV schema-on-read).
+- DSV (tab-separated key=value-free) → csv with ``sep='\\t'``.
+- TSKV (tab-separated key=value, YT's YamredDsv cousin) → one-column text
+  read + ``str_to_map`` — stays JVM-side, no Python parsing.
+- SchemafulDsv → csv with an explicit schema, no header.
+- Skiff/Protobuf → binary job-I/O formats whose role (zero-parse typed
+  exchange) Arrow already plays inside Spark; not needed as external files.
+- YSON → the reference's own serialization; 'Any' columns carry JSON text
+  here instead (functions.ql ypath getters). A full YSON text parser is
+  deliberately out of scope: every fixture and interchange path is parquet.
+
+Plus: RemoteCopy (cross-catalog copy preserving layout) and chunk
+compaction (the auto-merge analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FORMAT_READERS = {
+    "parquet": lambda r: r.parquet,
+    "orc": lambda r: r.orc,
+    "json": lambda r: r.json,
+    "csv": lambda r: r.csv,
+}
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **opts) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        fn = _FORMAT_READERS[fmt](reader)
+    except KeyError:
+        raise ValueError(f"unsupported format {fmt!r}; use {list(_FORMAT_READERS)}")
+    return fn(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", partition_by: list[str] | None = None, **opts) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    getattr(writer, fmt)(path)
+
+
+def read_dsv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """DSV: tab-separated values, no header (YT's simplest text format)."""
+    reader = spark.read.option("sep", "\t").option("header", "false")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_schemaful_dsv(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """SchemafulDsv: DSV whose column order is fixed by the schema
+    (formats/public.h — columns attr). All-string read; cast downstream."""
+    df = spark.read.option("sep", "\t").option("header", "false").csv(path)
+    return df.toDF(*columns)
+
+
+def read_tskv(spark: SparkSession, path: str, prefix: str = "tskv") -> DataFrame:
+    """TSKV: ``tskv\\tkey=value\\tkey=value...`` lines → MapType column.
+
+    Parsed entirely with built-ins (regexp strip + str_to_map), so the
+    format layer adds no Python cost; project map keys with element_at."""
+    lines = spark.read.text(path)
+    body = F.regexp_replace(F.col("value"), rf"^{prefix}\t", "")
+    return lines.select(F.str_to_map(body, F.lit("\t"), F.lit("=")).alias("kv"))
+
+
+def remote_copy(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
+    """RemoteCopy (remote_copy_job.cpp): copy a table across storage roots,
+    preserving schema and (optionally) partition layout. In Spark terms the
+    'clusters' are just catalogs/filesystems — the same read→write plan
+    streams chunk-parallel with no driver involvement."""
+    df = read_table(spark, src_path, fmt)
+    write_table(df, dst_path, fmt, partition_by=partition_by)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Auto-merge analog (auto_merge_task.cpp): rewrite a table's many small
+    files into ``target_files`` — coalesce avoids a shuffle; the continuous
+    version of this is AQE's coalescePartitions on every write."""
+    df = read_table(spark, path, fmt)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    write_table(df.coalesce(target_files), tmp, fmt)
+    # atomic-ish swap via filesystem rename (local/dbfs semantics)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -96,6 +96,21 @@ class TableSchema:
         return T.StructType(fields)
 
 
+def materialize_computed_columns(df, schema: "TableSchema"):
+    """Computed (virtual) key columns (TColumnSchema::Expression,
+    yt/yt/client/table_client/schema.h; evaluated by TColumnEvaluator,
+    engine_api/column_evaluator.h:12): evaluate each column's Spark SQL
+    expression at write time. The reference uses these to shard
+    (farm_hash(k) % n); here the materialized column serves the same role
+    as a partition/bucket key."""
+    from pyspark.sql import functions as F
+
+    for col in schema.columns:
+        if col.expression:
+            df = df.withColumn(col.name, F.expr(col.expression))
+    return df
+
+
 def yt_type_to_spark(name: str) -> T.DataType:
     """Resolve a YT logical type string, including composites:
     ``optional<T>``, ``list<T>``, ``dict<K,V>``, ``struct<a:T,b:U>``,
