@@ -54,21 +54,23 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-(doc, seed) minhash: min over shingles of md5(seed || '|' || s).
+    """Per-doc minhash signature, wide form: column ``mh{i}`` =
+    min over shingles of md5(i || '|' || shingle).
 
     Fixed-width hex compares lexicographically == numerically, so string
     min IS the minhash — no hex→int conversion needed, and the same formula
-    runs verbatim in any engine with md5()."""
+    runs verbatim in any engine with md5().
+
+    Wide (one agg column per seed) instead of exploding (shingle × seed)
+    rows: the shingle stream is scanned once and never multiplied by
+    num_hashes — at 100 TB that factor is the difference between one
+    shuffle of N shingles and one of 8N."""
     sh = _shingles(docs, text_col, id_col, shingle_k)
-    seeds = F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
-    return (
-        sh.select(id_col, "shingle", seeds)
-        .groupBy(id_col, "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("mh")
-        )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -86,28 +88,29 @@ def minhash_lsh_pairs(
     bands = num_hashes / band_rows; two docs collide if any band's minhash
     slice matches exactly. Returns distinct (doc_a < doc_b) pairs.
     ``max_bucket`` caps bucket size (skew guard for 100 TB runs)."""
+    if num_hashes % band_rows:
+        raise ValueError("band_rows must divide num_hashes")
     mh = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
-    sigs = (
-        mh.withColumn("band", F.floor(F.col("seed") / band_rows))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
-                    "",
-                )
-            ).alias("band_sig")
-        )
+    n_bands = num_hashes // band_rows
+    band_sigs = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)])
+        ).alias(f"sig{b}")
+        for b in range(n_bands)
+    ]
+    wide = mh.select(F.col(id_col), *band_sigs)
+    # unpivot to (doc, band, band_sig) for the bucket join
+    stack = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
+    sigs = wide.select(
+        id_col,
+        F.expr(f"stack({n_bands}, {stack}) AS (band, band_sig)"),
     )
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
         counts = sigs.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
         sigs = sigs.join(
             counts.filter(F.col("_bn") <= max_bucket).drop("_bn"),
             ["band", "band_sig"],
         )
-        _ = W  # (windowless variant keeps one extra tiny aggregate instead)
     a = sigs.select(
         F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_sig")
     )

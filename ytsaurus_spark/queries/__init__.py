@@ -57,6 +57,7 @@ def _load() -> None:
     # import for side effect: modules call register() at import time
     from ytsaurus_spark.queries import (  # noqa: F401
         aggregates,
+        analytics_q,
         dynamic_q,
         llm,
         mapreduce,

@@ -1,0 +1,225 @@
+"""Complex analytics queries — TPC-H/DS-shaped composite plans (the
+reference's benchmark workload is TPC-DS via YQL, yt/benchmarks/run/).
+These exercise multi-join + aggregate + window + CTE compositions whose
+plan shape is what actually matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.queries import register
+
+
+# --- TPC-H Q3 shape: shipping-priority top-k -------------------------------
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-06-01'
+      AND l_shipdate > TIMESTAMP '1995-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    cust = cat.read("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = cat.read("orders").filter(
+        F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+    li = cat.read("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q7 shape: bilateral volume by year ------------------------------
+
+@register(
+    "tpch_q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    # SQL form — Catalyst plans the same join DAG either way; broadcast of
+    # the tiny nation/supplier dims happens via autoBroadcastJoinThreshold.
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 4) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation,
+                 n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name <> n2.n_name
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+# --- revenue share within region (agg + window over agg) -------------------
+
+@register(
+    "analytics_revenue_share",
+    """
+    WITH nat AS (
+      SELECT r_name, n_name,
+             sum(o_totalprice) AS nat_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           round(nat_rev, 2) AS nat_rev,
+           round(nat_rev / sum(nat_rev) OVER (PARTITION BY r_name), 6) AS share,
+           CAST(rank() OVER (PARTITION BY r_name ORDER BY nat_rev DESC, n_name)
+                AS INT) AS rnk
+    FROM nat
+    """,
+)
+def analytics_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    orders, cust = cat.read("orders"), cat.read("customer")
+    nation, region = cat.read("nation"), cat.read("region")
+    nat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("nat_rev"))
+    )
+    w = W.partitionBy("r_name")
+    wr = w.orderBy(F.col("nat_rev").desc(), "n_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        F.round("nat_rev", 2).alias("nat_rev"),
+        F.round(F.col("nat_rev") / F.sum("nat_rev").over(w), 6).alias("share"),
+        F.rank().over(wr).alias("rnk"),
+    )
+
+
+# --- customer value deciles (ntile over aggregate) -------------------------
+
+@register(
+    "analytics_customer_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS total
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT o_custkey, total,
+             CAST(ntile(10) OVER (ORDER BY total DESC, o_custkey) AS INT)
+               AS decile
+      FROM spend
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(total), 2) AS decile_rev,
+           round(min(total), 2) AS min_spend,
+           round(max(total), 2) AS max_spend
+    FROM tiled GROUP BY decile
+    """,
+)
+def analytics_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    spend = (
+        cat.read("orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    tiled = spend.withColumn(
+        "decile", F.ntile(10).over(W.orderBy(F.col("total").desc(), "o_custkey"))
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("total"), 2).alias("decile_rev"),
+        F.round(F.min("total"), 2).alias("min_spend"),
+        F.round(F.max("total"), 2).alias("max_spend"),
+    )
+
+
+# --- correlated-subquery shape (TPC-H Q17-like): per-part average filter ---
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    part = cat.read("part").filter(F.col("p_brand") == "Brand#1")
+    # decorrelated form: the per-part average joins back broadcast — the
+    # plan Catalyst produces for the correlated subquery, written explicitly
+    avgs = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avgs, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )

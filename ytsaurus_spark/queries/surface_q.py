@@ -301,3 +301,43 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     media = attach_binary(cat.read("documents"), "text", "doc_id")
     return extract_features(media)
+
+
+# --- MATCH_RECOGNIZE (sql_match_recognize.cpp) as composition --------------
+
+@register(
+    "match_recognize_funnel",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(CASE WHEN event_type = 'click' THEN 'c'
+                             WHEN event_type = 'view' THEN 'v'
+                             WHEN event_type = 'purchase' THEN 'p'
+                             ELSE '.' END, '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches,
+           coalesce(array_to_string(regexp_extract_all(seq, '(cv*p)', 1), ','), '')
+             AS matches
+    FROM seqs
+    """,
+)
+def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel pattern per user: click → any views → purchase (PATTERN
+    ``c v* p``), non-overlapping — the MATCH_RECOGNIZE core re-expressed."""
+    from ytsaurus_spark.operators.match_recognize import match_recognize
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    return match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[
+            ("c", F.col("event_type") == "click"),
+            ("v", F.col("event_type") == "view"),
+            ("p", F.col("event_type") == "purchase"),
+        ],
+        pattern="cv*p",
+    )

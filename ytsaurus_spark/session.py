@@ -27,6 +27,10 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bigger Arrow batches amortize the Python-call overhead of
+    # mapInPandas/applyInPandas user code (default 10k rows is tuned for
+    # latency, not batch throughput).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.cbo.enabled": "true",
