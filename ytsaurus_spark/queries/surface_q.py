@@ -341,3 +341,66 @@ def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         pattern="cv*p",
     )
+
+
+# --- salted join (skew path) — results must equal the plain join -----------
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT s_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting is a pure partitioning rewrite: the oracle is the UNSALTED
+    join, proving identity. (operators/skew.py; AQE covers SMJ skew
+    automatically — this is the explicit form for replicable sides.)"""
+    from ytsaurus_spark.operators.skew import salted_join
+
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    sup = cat.read("supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, ["l_suppkey"], salt_factor=4)
+    return joined.groupBy("s_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- weak schema: overflow JSON -> typed columns (schema inference) --------
+
+@register(
+    "weak_schema_promote",
+    """
+    SELECT CAST(sum(CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT))
+                AS BIGINT) AS k_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT) > 50
+    """,
+)
+def weak_schema_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props plays the _rest overflow column of a weak-schema table:
+    infer its keys, promote to typed columns, aggregate the promoted column
+    (yt weak->strong migration, schema_inference_mode analog)."""
+    from ytsaurus_spark.operators.weak_schema import (
+        infer_rest_schema,
+        promote_rest_columns,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    weak = cat.read("events").select("event_id", F.col("props").alias("_rest"))
+    schema = infer_rest_schema(weak)
+    assert schema.get("k") == "bigint"
+    strong = promote_rest_columns(weak, schema, drop_rest=True)
+    return strong.filter(F.col("k") > 50).agg(
+        F.sum("k").alias("k_total"), F.count(F.lit(1)).alias("n")
+    )

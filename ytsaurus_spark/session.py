@@ -41,6 +41,8 @@ _BASE_CONFS: dict[str, str] = {
     # ns → µs explicitly (truncation matches DuckDB's ns→µs cast).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # keep managed-table storage (bucketed tables) out of the repo tree
+    "spark.sql.warehouse.dir": "/tmp/ytsaurus_spark_warehouse",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
