@@ -91,3 +91,28 @@ def test_write_table_partitioned(spark, tmp):
     # partition pruning: reading one partition value touches only that dir
     one = spark.read.parquet(out).filter(F.col("part") == "a")
     assert one.count() == 2
+
+
+def test_tx_table_commit_timetravel(spark, tmp):
+    import os
+
+    from ytsaurus_spark.sources.tx_table import TxTable
+
+    t = TxTable(spark, os.path.join(tmp, "txt"), key_cols=["k"], aggregates={"cnt": "sum"})
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, cnt bigint")
+    v0 = t.init(base)
+    v1 = t.insert_rows(spark.createDataFrame([(1, 5), (3, 7)], "k bigint, cnt bigint"))
+    assert (v0, v1) == (0, 1)
+    # current state folds cnt; time travel reads the original
+    assert rows_set(t.read()) == {(1, 15), (2, 20), (3, 7)}
+    assert rows_set(t.read(0)) == {(1, 10), (2, 20)}
+    v2 = t.delete_rows(spark.createDataFrame([(2,)], "k bigint"))
+    assert v2 == 2 and rows_set(t.read()) == {(1, 15), (3, 7)}
+    # reopening from disk sees the same committed state
+    t2 = TxTable(spark, os.path.join(tmp, "txt"), key_cols=["k"], aggregates={"cnt": "sum"})
+    assert t2.current_version() == 2
+    assert rows_set(t2.read(1)) == {(1, 15), (2, 20), (3, 7)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t2.read(99)

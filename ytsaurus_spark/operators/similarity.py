@@ -140,3 +140,97 @@ def ann_topk_lsh(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) cell assignment — the other standard ANN scale
+    path next to LSH: pick exemplar centroids, assign every vector to its
+    nearest, search only within probed cells.
+
+    Centroids here are deterministic exemplars (every ``stride``-th vector
+    by id) rather than k-means — reproducible everywhere and refinable
+    offline (a k-means refresh slots in without changing the query path,
+    exactly like re-training an IVF index). Returns (assignments, centroids)
+    where assignments = (vec_id, cell) and centroids = (cell, cv).
+    """
+    from pyspark.sql import Window as W
+
+    if centroid_stride is None:
+        total = emb.count()
+        centroid_stride = max(1, total // num_cells)
+    # deterministic centroid set: ids {0, stride, 2*stride, ...} — no
+    # order-dependent limit(), so any engine picks the identical exemplars
+    centroids = emb.filter(
+        (F.col(id_col) % centroid_stride == 0)
+        & (F.col(id_col) < centroid_stride * num_cells)
+    ).select(
+        (F.col(id_col) / centroid_stride).cast("int").alias("cell"),
+        F.col(vec_col).alias("centv"),
+    )
+    scored = emb.select(F.col(id_col), F.col(vec_col).alias("v")).join(
+        F.broadcast(centroids)
+    )
+    dist = (
+        "aggregate(zip_with(v, centv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0D, (acc, d) -> acc + d)"
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell"))
+    assignments = (
+        scored.withColumn("d2", F.expr(dist))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell")
+    )
+    return assignments, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k within the query's IVF cell (nprobe=1).
+
+    The equi-join on cell replaces the cross join; raising nprobe = joining
+    against the n nearest cells (same plan, bigger candidate set)."""
+    from pyspark.sql import Window as W
+
+    assignments, _ = ivf_assign(emb, num_cells, id_col, vec_col)
+    with_cell = emb.join(assignments, id_col)
+    q = with_cell.join(queries.select(id_col), id_col, "left_semi").select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    c = with_cell.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                f"{_dot('qv', 'cv')} / sqrt({_dot('qv', 'qv')} * {_dot('cv', 'cv')})"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

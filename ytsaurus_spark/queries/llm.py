@@ -320,3 +320,157 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     return text.fingerprint(cat.read("documents"))
+
+
+# --- IVF ANN (exemplar centroids, nprobe=1) --------------------------------
+
+@register(
+    "sim_ivf_topk",
+    """
+    WITH cents AS (
+      SELECT CAST(vec_id / 30 AS INT) AS cell, embedding::DOUBLE[] AS centv
+      FROM embeddings WHERE vec_id % 30 = 0 AND vec_id < 30 * 16
+    ), scored AS (
+      SELECT e.vec_id, c.cell,
+             list_sum([ (e.embedding[i]::DOUBLE - c.centv[i]) *
+                        (e.embedding[i]::DOUBLE - c.centv[i])
+                        for i in range(1, 65) ]) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), withc AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, a.cell
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ), s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_dot_product(q.v, c.v) /
+               sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos
+      FROM withc q JOIN withc c USING (cell)
+      WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    ), r AS (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s
+    )
+    SELECT q_id, c_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 3
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-file ANN: deterministic exemplar centroids (stride 30,
+    16 cells), nearest-cell assignment, top-3 within the query's cell."""
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    from ytsaurus_spark.operators.similarity import ivf_topk
+
+    # stride fixed (30) so the oracle mirrors the centroid set exactly
+    from ytsaurus_spark.operators import similarity as _sim
+
+    assignments, _ = _sim.ivf_assign(emb, num_cells=16, centroid_stride=30)
+    with_cell = emb.join(assignments, "vec_id")
+    q = with_cell.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "cell"
+    )
+    c = with_cell.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                f"{_sim._dot('qv', 'cv')} / "
+                f"sqrt({_sim._dot('qv', 'qv')} * {_sim._dot('cv', 'cv')})"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    _ = ivf_topk  # public API form of the same pipeline (stride auto-sized)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# --- end-to-end corpus cleaning pipeline -----------------------------------
+
+@register(
+    "pipeline_clean_corpus",
+    """
+    WITH exact_canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM exact_canon)
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+      FROM shx CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), sigs AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 2
+    ), near_dups AS (
+      SELECT DISTINCT b.doc_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ), survivors AS (
+      SELECT doc_id FROM exact_canon
+      WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+    ), quality AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS t, d.text
+      FROM documents d JOIN survivors USING (doc_id)
+    )
+    SELECT doc_id FROM quality
+    WHERE len(list_distinct(t)) * 1.0 / len(t) >= 0.3
+      AND length(text) >= 50
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning pipeline in one plan: exact dedup
+    (keep min doc_id) → minhash-LSH near-dup removal (keep the lower id of
+    each colliding pair) → quality filter (type-token ratio + length).
+    Everything stays declarative: one pipeline, no intermediate
+    materialization, Catalyst fuses the stages."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    canon = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    canon_docs = docs.join(canon, "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(canon_docs, num_hashes=8, band_rows=2, shingle_k=3)
+    near_dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = canon_docs.join(near_dup_ids, "doc_id", "left_anti")
+    t = F.split(F.col("text"), " ")
+    return (
+        survivors.filter(
+            (F.size(F.array_distinct(t)) / F.size(t) >= 0.3)
+            & (F.length("text") >= 50)
+        )
+        .select("doc_id")
+    )

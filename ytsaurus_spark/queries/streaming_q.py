@@ -209,3 +209,50 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize before the memory sink table goes away.
     rows = spark.table(name).collect()
     return spark.createDataFrame(rows, schema=spark.table(name).schema)
+
+
+# --- incremental processing: queue pulls folded into a keyed table ---------
+
+@register(
+    "stream_incremental_agg",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total
+    FROM events WHERE event_id < 900
+    GROUP BY user_id
+    """,
+)
+def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-offset incremental pipeline: pull the queue in batches,
+    fold each batch into a keyed aggregate table (aggregate columns =
+    sum/sum). After 3 pulls the table state must equal the batch aggregate
+    over everything consumed — incremental ≡ batch, the core guarantee of
+    the reference's queue+dynamic-table pattern."""
+    from ytsaurus_spark.operators.keyed_tables import KeyedTable
+    from ytsaurus_spark.streaming.queues import QueueConsumer, pull_and_advance
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    deltas_schema = ev.select(
+        "user_id",
+        F.lit(1).cast("long").alias("n_events"),
+        F.col("value").alias("total"),
+    )
+    table = KeyedTable(
+        df=deltas_schema.filter(F.lit(False)),
+        key_cols=["user_id"],
+        aggregates={"n_events": "sum", "total": "sum"},
+    )
+    consumer = QueueConsumer("incremental_agg")
+    for _ in range(3):
+        batch = pull_and_advance(ev, consumer, "event_id", 300)
+        deltas = batch.select(
+            "user_id",
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("value").alias("total"),
+        )
+        table = table.insert_rows(deltas)
+    return table.df.select(
+        "user_id", "n_events", F.round("total", 4).alias("total")
+    )

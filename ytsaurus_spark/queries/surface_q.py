@@ -404,3 +404,68 @@ def weak_schema_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strong.filter(F.col("k") > 50).agg(
         F.sum("k").alias("k_total"), F.count(F.lit(1)).alias("n")
     )
+
+
+# --- LIKE/ILIKE with ESCAPE (EStringMatchOp query_common.h:72-76) ----------
+
+@register(
+    "fn_like_escape",
+    """
+    SELECT p_partkey,
+           (p_name LIKE '%blue%')   AS has_blue,
+           (p_name ILIKE '%BLUE%')  AS has_blue_ci,
+           (p_type LIKE '50\\%%' ESCAPE '\\') AS starts_fifty_pct,
+           (p_brand SIMILAR TO 'Brand#[0-9]') AS brand_single_digit
+    FROM part WHERE p_partkey < 150
+    """,
+)
+def fn_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("part")
+        .filter(F.col("p_partkey") < 150)
+        .select(
+            "p_partkey",
+            F.col("p_name").like("%blue%").alias("has_blue"),
+            F.col("p_name").ilike("%BLUE%").alias("has_blue_ci"),
+            F.expr(r"p_type LIKE '50\%%' ESCAPE '\\'").alias("starts_fifty_pct"),
+            F.col("p_brand").rlike("^Brand#[0-9]$").alias("brand_single_digit"),
+        )
+    )
+
+
+# --- interval arithmetic / date shifting -----------------------------------
+
+@register(
+    "fn_interval",
+    """
+    SELECT event_id,
+           strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_90m,
+           strftime(ts - INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S')     AS minus_2d,
+           strftime(date_trunc('day', ts) + INTERVAL 1 DAY - INTERVAL 1 SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS day_end
+    FROM events WHERE event_id < 100
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        cat.read("events")
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.date_format(
+                F.col("ts") + F.expr("INTERVAL 90 MINUTES"), fmt
+            ).alias("plus_90m"),
+            F.date_format(F.col("ts") - F.expr("INTERVAL 2 DAYS"), fmt).alias(
+                "minus_2d"
+            ),
+            F.date_format(
+                F.date_trunc("day", "ts")
+                + F.expr("INTERVAL 1 DAY")
+                - F.expr("INTERVAL 1 SECOND"),
+                fmt,
+            ).alias("day_end"),
+        )
+    )
