@@ -96,3 +96,57 @@ def test_weak_schema_type_widening(spark):
         [(1, '{"x": 1}'), (2, '{"x": 2.5}')], "k bigint, _rest string"
     )
     assert infer_rest_schema(df2)["x"] == "double"
+
+
+def test_sharded_point_lookup_prunes_partitions(spark, tmp_path):
+    import os
+
+    from ytsaurus_spark.plans import formatted_plan
+    from ytsaurus_spark.sources.sharding import sharded_lookup, sharded_write
+
+    path = os.path.join(str(tmp_path), "sharded")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("user_id"), (F.col("id") * 7 % 100).alias("v")
+    )
+    sharded_write(df, path, "user_id", num_shards=16)
+    hit = sharded_lookup(spark, path, "user_id", [42, 4242], num_shards=16)
+    rows = {r.user_id: r.v for r in hit.collect()}
+    assert rows == {42: 42 * 7 % 100, 4242: 4242 * 7 % 100}
+    # the scan must carry partition filters on the shard column
+    plan = formatted_plan(
+        spark.read.parquet(path).filter(F.col("__shard").isin([3]))
+    )
+    assert "PartitionFilters" in plan and "__shard" in plan
+
+
+def test_run_map_multi_output(spark):
+    import pandas as pd
+
+    from ytsaurus_spark.operators import map_reduce as mr
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k bigint")
+
+    def mapper(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"k": pdf["k"], "tag": (pdf["k"] % 2).astype("int32")}
+            )
+
+    evens, odds = mr.run_map_multi_output(
+        df, mapper, "k bigint, tag int", tag_col="tag", num_outputs=2
+    )
+    assert {r.k for r in evens.collect()} == {0, 2, 4, 6, 8}
+    assert {r.k for r in odds.collect()} == {1, 3, 5, 7, 9}
+
+
+def test_select_rows_with_totals(spark):
+    from tests.conftest import rows_set
+    from ytsaurus_spark.operators.select_rows import select_rows, translate_ql
+
+    sql = translate_ql("a, sum(b) AS sb FROM [//t] GROUP BY a WITH TOTALS")
+    assert "GROUP BY ROLLUP(a)" in sql
+    spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7)], "a bigint, b bigint"
+    ).createOrReplaceTempView("wt")
+    out = select_rows(spark, "a, sum(b) AS sb FROM [//x/wt] GROUP BY a WITH TOTALS")
+    assert rows_set(out) == {(1, 15), (2, 7), (None, 22)}

@@ -64,6 +64,24 @@ def run_map(
     return df.mapInPandas(mapper, schema=output_schema)
 
 
+def run_map_multi_output(
+    df: DataFrame,
+    mapper: MapFn,
+    output_schema: Any,
+    tag_col: str,
+    num_outputs: int,
+) -> list[DataFrame]:
+    """Map with multiple output tables (the reference mapper's N-output
+    contract — AddRow(row, table_index); MapperOutputTableCount,
+    yt/yt/ytlib/scheduler/config.h:1975). The mapper emits a ``tag_col``
+    table index per row; each output is a filtered view of ONE mapped
+    pass — Spark caches the mapped frame so the map runs once, not N times."""
+    mapped = run_map(df, mapper, output_schema).cache()
+    return [
+        mapped.filter(F.col(tag_col) == i).drop(tag_col) for i in range(num_outputs)
+    ]
+
+
 def run_reduce(
     df: DataFrame,
     reduce_by: list[str],

@@ -70,6 +70,11 @@ _HELPER_EXPANSIONS: dict[str, str] = {
 _TABLE_REF = re.compile(r"\[(//[^\]]+)\]")
 _ORDER_BY = re.compile(r"\border\s+by\b", re.IGNORECASE)
 _LIMIT = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
+# GROUP BY a, b WITH TOTALS → GROUP BY ROLLUP(a, b)'s grand-total row is the
+# WITH TOTALS row; QL's BeforeHaving mode matches rollup-then-having.
+_GROUP_TOTALS = re.compile(
+    r"\bgroup\s+by\s+(.*?)\s+with\s+totals\b", re.IGNORECASE | re.DOTALL
+)
 
 
 def _split_literals(s: str) -> list[tuple[bool, str]]:
@@ -147,6 +152,7 @@ def translate_ql(query: str, table_resolver=None) -> str:
             chunk = re.sub(rf"\b{ql_name}\s*\(", spark_name + "(", chunk)
         chunks.append(chunk)
     sql = "".join(chunks)
+    sql = _GROUP_TOTALS.sub(lambda m: f"GROUP BY ROLLUP({m.group(1)})", sql)
     sql = _rewrite_helpers(sql)
     if not re.match(r"^\s*select\b", sql, re.IGNORECASE):
         sql = "SELECT " + sql
