@@ -164,6 +164,31 @@ def run_reduce_batched(
     return arranged.mapInPandas(runner, output_schema)
 
 
+def run_reduce_multi_input(
+    dfs: list[DataFrame],
+    reduce_by: list[str],
+    reducer: ReduceFn,
+    output_schema: Any,
+    *,
+    table_index_col: str = "__table_index",
+) -> DataFrame:
+    """Reduce over MULTIPLE input tables: the reducer sees all rows for a
+    key from every input, tagged with their table index — the reference's
+    multi-input contract (readers expose GetTableIndex,
+    yt/cpp/mapreduce/interface/operation.h:2056-2166).
+
+    Inputs may have different columns; missing ones arrive as null (the
+    reference's heterogeneous-input behavior with loose schemas)."""
+    tagged = None
+    for i, df in enumerate(dfs):
+        t = df.withColumn(table_index_col, F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
+    assert tagged is not None, "need at least one input"
+    return tagged.groupBy(*reduce_by).applyInPandas(
+        lambda pdf: reducer(pdf), output_schema
+    )
+
+
 def run_join_reduce(
     primary: DataFrame,
     foreign: DataFrame,

@@ -22,8 +22,16 @@ compaction (the auto-merge analog).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Per-block compression in the reference (~60 codecs, Snappy/Lz4/Brotli/
+# Zlib/Zstd levels — yt/yt/core/compression/public.h:17-60) maps to
+# parquet codec selection; levels collapse to the codec's default.
+COMPRESSION_CODECS = ("snappy", "zstd", "gzip", "lz4", "none", "uncompressed")
 
 _FORMAT_READERS = {
     "parquet": lambda r: r.parquet,
@@ -53,6 +61,33 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "ove
     for k, v in opts.items():
         writer = writer.option(k, v)
     getattr(writer, fmt)(path)
+
+
+def write_sorted_table(
+    df: DataFrame, path: str, sorted_by: list[str], fmt: str = "parquet"
+) -> None:
+    """Sort and write, recording the 'sorted' attribute in a sidecar —
+    the reference sets a ``sorted_by`` attribute on output tables so later
+    sorted merges / merge joins can trust the order (SURVEY §2.2 Merge
+    auto-detect, spec_builders.py:1966-1970)."""
+    from ytsaurus_spark.operators.map_reduce import run_sort
+
+    out = run_sort(df, sorted_by)
+    write_table(out, path, fmt)
+    _write_attrs(path, {"sorted_by": sorted_by})
+
+
+def table_attributes(path: str) -> dict:
+    p = os.path.join(path, "_yt_attrs.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def _write_attrs(path: str, attrs: dict) -> None:
+    with open(os.path.join(path, "_yt_attrs.json"), "w") as f:
+        json.dump(attrs, f)
 
 
 def read_dsv(spark: SparkSession, path: str, schema=None) -> DataFrame:
