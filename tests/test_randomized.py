@@ -45,7 +45,7 @@ def _pred(rng: random.Random) -> str:
 
 def _gen_query(rng: random.Random) -> str:
     t = f"rt{rng.randrange(N_TABLES)}"
-    kind = rng.randrange(5)
+    kind = rng.randrange(6)
     if kind == 0:  # filter + project with expressions
         return (
             f"SELECT k, v, CASE WHEN k > 10 THEN 'hi' ELSE 'lo' END AS band, "
@@ -69,6 +69,16 @@ def _gen_query(rng: random.Random) -> str:
             f"FROM {t} a JOIN {t2} b ON a.k = b.k "
             f"WHERE {_pred(rng).replace('k ', 'a.k ').replace('v ', 'a.v ').replace('s ', 'a.s ')} "
             f"GROUP BY a.k"
+        )
+    if kind == 5:  # window functions over deterministic ordering
+        return (
+            f"SELECT k, v, "
+            f"CAST(row_number() OVER w AS BIGINT) AS rn, "
+            f"CAST(sum(coalesce(v, 0)) OVER (PARTITION BY k ORDER BY v NULLS FIRST, s NULLS FIRST "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum, "
+            f"lag(s) OVER w AS prev_s "
+            f"FROM {t} WHERE {_pred(rng)} "
+            f"WINDOW w AS (PARTITION BY k ORDER BY v NULLS FIRST, s NULLS FIRST)"
         )
     if kind == 3:  # distinct + set op
         t2 = f"rt{rng.randrange(N_TABLES)}"

@@ -166,3 +166,22 @@ def test_reduce_multi_input(spark):
         [sales, refunds], ["k"], reducer, "k bigint, net bigint"
     )
     assert {(r.k, r.net) for r in out.collect()} == {(1, 6), (2, 20)}
+
+
+def test_merge_tables_auto_detect(spark, tmp):
+    import os
+
+    from ytsaurus_spark.sources.formats import merge_tables, write_sorted_table, write_table
+
+    a = spark.createDataFrame([(1,), (3,)], "k bigint")
+    b = spark.createDataFrame([(2,), (4,)], "k bigint")
+    pa, pb = os.path.join(tmp, "sa"), os.path.join(tmp, "sb")
+    write_sorted_table(a, pa, ["k"])
+    write_sorted_table(b, pb, ["k"])
+    merged = merge_tables(spark, [pa, pb])  # auto -> sorted (both sorted by k)
+    assert [r.k for r in merged.collect()] == [1, 2, 3, 4]
+    # one unsorted input -> unordered concat
+    pc = os.path.join(tmp, "uc")
+    write_table(b, pc)
+    mixed = merge_tables(spark, [pa, pc])
+    assert {r.k for r in mixed.collect()} == {1, 2, 3, 4}

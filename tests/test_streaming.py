@@ -143,3 +143,35 @@ def test_queue_consumer_replay(spark):
     assert [r.event_id for r in again.orderBy("event_id").collect()] == [0, 1, 2, 3]
     with pytest.raises(ValueError):
         c.advance(0)
+
+
+def test_queue_multi_partition_pull(spark):
+    """$tablet_index-style partitioned queue: per-partition offsets."""
+    import datetime as _dt
+
+    from ytsaurus_spark.streaming.queues import QueueConsumer, pull_queue
+
+    rows = [
+        (i, _dt.datetime(2024, 1, 1, 10, 0, i % 60), i % 2, float(i))
+        for i in range(20)
+    ]
+    q = spark.createDataFrame(rows, EVENTS_SCHEMA).withColumn(
+        "$tablet_index", F.col("user_id").cast("int")
+    )
+    # row index within each tablet = event order per partition
+    from pyspark.sql import Window as W
+
+    q = q.withColumn(
+        "$row_index",
+        F.row_number().over(
+            W.partitionBy("$tablet_index").orderBy("event_id")
+        ).cast("long") - 1,
+    )
+    c = QueueConsumer("mp")
+    b0 = pull_queue(q, "$row_index", c.offset(0), 3, "$tablet_index", 0)
+    b1 = pull_queue(q, "$row_index", c.offset(1), 3, "$tablet_index", 1)
+    c.advance(3, 0)
+    c.advance(3, 1)
+    assert [r.event_id for r in b0.orderBy("event_id").collect()] == [0, 2, 4]
+    assert [r.event_id for r in b1.orderBy("event_id").collect()] == [1, 3, 5]
+    assert c.offset(0) == 3 and c.offset(1) == 3

@@ -194,6 +194,11 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("w.start", _TS_FMT_SPARK).alias("win_start"), "n")
     )
     name = "stream_tumbling_live_out"
+    # re-runnable in one session: clear any previous sink view of this name
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             agg.writeStream.outputMode("complete")

@@ -90,6 +90,27 @@ def _write_attrs(path: str, attrs: dict) -> None:
         json.dump(attrs, f)
 
 
+def merge_tables(
+    spark: SparkSession, paths: list[str], mode: str = "auto", fmt: str = "parquet"
+) -> DataFrame:
+    """Merge operation over stored tables with mode auto-detect
+    (spec_builders.py:1966-1970): if every input carries the same
+    ``sorted_by`` attribute, produce a sorted merge on those keys; else an
+    unordered concat."""
+    from ytsaurus_spark.operators.map_reduce import run_merge
+
+    dfs = [read_table(spark, p, fmt) for p in paths]
+    if mode == "auto":
+        sorts = [tuple(table_attributes(p).get("sorted_by") or ()) for p in paths]
+        if sorts and all(s == sorts[0] and s for s in sorts):
+            return run_merge(dfs, mode="sorted", merge_by=list(sorts[0]))
+        return run_merge(dfs, mode="unordered")
+    merge_by = None
+    if mode == "sorted":
+        merge_by = list(table_attributes(paths[0]).get("sorted_by") or [])
+    return run_merge(dfs, mode=mode, merge_by=merge_by)
+
+
 def read_dsv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """DSV: tab-separated values, no header (YT's simplest text format)."""
     reader = spark.read.option("sep", "\t").option("header", "false")
