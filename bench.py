@@ -26,16 +26,22 @@ HEADLINE = [
     "ql_join_inner",         # 5-table star join with broadcast dims
     "ql_order_limit",        # distributed top-k
     "win_topk_per_group",    # window shuffle
-    "op_reduce",             # applyInPandas keyed reduce (Arrow boundary)
+    "op_reduce",             # sorted-reduce (Arrow-batched user code)
     "op_map_reduce",         # mapInPandas + partial-agg combiner
-    "dedup_minhash_lsh",     # shingle explode + LSH band join
+    "dedup_minhash_lsh",     # wide minhash signatures + LSH band join
     "dedup_exact",           # hash groupBy over documents
     "sim_cosine_topk",       # brute-force vector math (HOF exprs)
-    "sim_ann_lsh_topk",      # bucketed ANN path
+    "sim_ann_lsh_topk",      # LSH-bucketed ANN path
+    "sim_ivf_topk",          # IVF-cell ANN path
     "text_quality",          # string/array scan ops
     "stream_tumbling",       # windowed time agg
     "win_sessionize",        # lag/cumsum sessionization
     "agg_cube",              # multi-grouping aggregation
+    "tpch_q3_shipping_priority",  # 3-table join + group + top-k
+    "tpch_q7_nation_volume",      # fact-fact join, 6 tables
+    "pipeline_clean_corpus",      # full dedup+quality pipeline
+    "match_recognize_funnel",     # sequence pattern matching
+    "stream_incremental_agg",     # queue pulls + keyed-table folds
 ]
 
 

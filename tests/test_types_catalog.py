@@ -121,3 +121,24 @@ def test_udf_registry_pandas_and_udtf(spark):
     register_udtf(spark, "expand_n", Expand, "i int")
     got = rows_set(spark.sql("SELECT * FROM expand_n(3)"))
     assert got == {(0,), (1,), (2,)}
+
+
+def test_catalog_namespace_ops(spark, tmp_path):
+    import pytest as _pytest
+
+    from ytsaurus_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    cat.create_table("t1", df)
+    assert cat.exists("t1") and cat.list_tables() == ["t1"]
+    assert rows_set(cat.read("t1")) == {(1, "a")}
+    # create with mode=error refuses to clobber
+    with _pytest.raises(Exception):
+        cat.create_table("t1", df)
+    cat.create_table("t1", df.withColumn("s", F.lit("b")), mode="overwrite")
+    assert rows_set(cat.read("t1")) == {(1, "b")}
+    cat.remove_table("t1")
+    assert not cat.exists("t1")
+    with _pytest.raises(FileNotFoundError):
+        cat.remove_table("t1")

@@ -166,6 +166,37 @@ class Catalog:
                     weights[cname] = weights.get(cname, 0) + col.total_compressed_size
         return weights
 
+    # -- Cypress-style namespace ops (create/remove/list; tables as nodes) --
+
+    def create_table(self, name: str, df: DataFrame, mode: str = "error") -> None:
+        """Create (write) a table node under the catalog root — Cypress
+        `create table` + commit. ``mode='error'`` refuses to clobber,
+        matching the reference's default create semantics."""
+        df.write.mode(mode).parquet(self.table_path(name))
+        df.sparkSession.read.parquet(self.table_path(name)).createOrReplaceTempView(name)
+
+    def remove_table(self, name: str) -> None:
+        import shutil
+
+        p = self.table_path(name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no such table node: {name}")
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(self.root)):
+            if entry.endswith(".parquet"):
+                out.append(entry[: -len(".parquet")])
+        return out
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.table_path(name))
+
     def partition_table(self, name: str, partition_count: int) -> list[DataFrame]:
         """PartitionTables API (table_client.h:474): split a table into
         ~equal-weight partitions for caller-managed parallel reads. Spark
