@@ -112,3 +112,15 @@ def test_quality_and_lang(docs):
     langs = {r.doc_id: r.predicted_lang for r in text.language_id(docs).collect()}
     assert langs[1] == "en"
     assert langs[4] == "other"
+
+
+def test_cluster_pairs_label_propagation(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.cluster_pairs(pairs, iterations=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    # chain of length 4: 3 iterations reach the min label end-to-end
+    assert out[20] == out[21] == out[22] == out[23] == 20

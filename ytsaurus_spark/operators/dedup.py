@@ -125,6 +125,47 @@ def minhash_lsh_pairs(
     )
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    iterations: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Near-dup clusters from candidate pairs: bounded min-label propagation.
+
+    Each node's label starts as its own id; every iteration each node takes
+    the minimum label among itself and its neighbors. ``iterations`` bounds
+    the propagation diameter — near-dup clusters are dense (close to
+    cliques from LSH banding), so a small constant converges; this is the
+    standard large-graph CC recipe as iterated joins (no driver loop, no
+    graph library). Returns (doc_id, cluster_id=min reachable id within
+    ``iterations`` hops).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    )
+    # undirected: both directions + self-loop keeps isolated improvement
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iterations):
+        neighbor_labels = (
+            sym.join(labels, sym.v == labels.node)
+            .select(F.col("u").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

@@ -474,3 +474,124 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
+
+
+# --- near-dup clusters: bounded min-label propagation over LSH pairs -------
+
+_CLUSTER_PAIRS_CTE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+      FROM shx CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), sigs AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 2
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM sym
+    )"""
+
+_PROPAGATE = """
+    , l{n} AS (
+      SELECT node, min(label) AS label FROM (
+        SELECT node, label FROM l{p}
+        UNION ALL
+        SELECT s.u AS node, l.label FROM sym s JOIN l{p} l ON s.v = l.node
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTER_PAIRS_CTE
+    + "".join(_PROPAGATE.format(n=i + 1, p=i) for i in range(3))
+    + """
+    SELECT node AS doc_id, label AS cluster_id FROM l3
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected near-dup clusters: minhash-LSH candidate pairs → 3 rounds
+    of min-label propagation (identical algorithm on both engines, so the
+    oracle is exact even before full convergence)."""
+    cat = load_tables(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        cat.read("documents"), num_hashes=8, band_rows=2, shingle_k=3
+    )
+    return dedup.cluster_pairs(pairs, iterations=3)
+
+
+# --- per-label embedding centroids + pairwise centroid cosine --------------
+
+@register(
+    "sim_label_centroids",
+    """
+    WITH flat AS (
+      SELECT label, i, avg(e) AS m
+      FROM (
+        SELECT label, unnest(embedding::DOUBLE[]) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+      GROUP BY label, i
+    ), cents AS (
+      SELECT label, list(m ORDER BY i) AS c FROM flat GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.c, b.c) /
+                 sqrt(list_dot_product(a.c, a.c) * list_dot_product(b.c, b.c)),
+                 4) AS cosine
+    FROM cents a JOIN cents b ON a.label < b.label
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label (element-wise avg via posexplode — one
+    shuffle keyed on (label, dim)) and pairwise centroid cosine."""
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "e")
+    )
+    cents = (
+        flat.groupBy("label", "i")
+        .agg(F.avg("e").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").alias(
+                "c"
+            )
+        )
+    )
+    from ytsaurus_spark.operators.similarity import _dot
+
+    a = cents.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.expr(
+                    f"{_dot('ca', 'cb')} / sqrt({_dot('ca', 'ca')} * {_dot('cb', 'cb')})"
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
