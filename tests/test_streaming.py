@@ -175,3 +175,35 @@ def test_queue_multi_partition_pull(spark):
     assert [r.event_id for r in b0.orderBy("event_id").collect()] == [0, 2, 4]
     assert [r.event_id for r in b1.orderBy("event_id").collect()] == [1, 3, 5]
     assert c.offset(0) == 3 and c.offset(1) == 3
+
+
+def test_flow_pipeline_batch_and_stream_resume(spark, stream_dir):
+    from ytsaurus_spark.streaming.flow import FlowPipeline
+
+    src = os.path.join(stream_dir, "src")
+    sink = os.path.join(stream_dir, "sink")
+    ckpt = os.path.join(stream_dir, "ckpt")
+    _write_events(spark, src, [(1, "2024-01-01 10:00:00", 1, 2.0),
+                               (2, "2024-01-01 10:01:00", 2, 3.0)])
+
+    def enrich(df):
+        return df.withColumn("v2", F.col("value") * 2)
+
+    def keep_big(df):
+        return df.filter(F.col("v2") >= 5.0)
+
+    pipe = FlowPipeline(
+        spark, src, EVENTS_SCHEMA, sink, ckpt
+    ).map(enrich).map(keep_big)
+
+    # streaming pass 1: only event 2 (v2=6) survives
+    pipe.run_stream()
+    assert [r.event_id for r in spark.read.parquet(sink).collect()] == [2]
+    # append new files; restart resumes from the checkpoint (no reprocess)
+    _write_events(spark, src, [(3, "2024-01-01 10:02:00", 1, 9.0)])
+    pipe.run_stream()
+    got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert got == [2, 3]  # event 2 not duplicated, event 3 picked up
+    # batch mode over the same pipeline definition
+    n = pipe.run_batch()
+    assert n == 2
