@@ -13,7 +13,7 @@ import duckdb
 import pytest
 
 N_TABLES = 3
-N_QUERIES = 40
+N_QUERIES = 60
 ROWS_PER_TABLE = 120
 
 

@@ -471,3 +471,38 @@ def agg_top_bottom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(asc, ",").alias("bottom3"),
         F.array_join(desc, ",").alias("top3"),
     )
+
+
+# --- equi-depth histogram (YQL adaptive histogram analog) ------------------
+
+@register(
+    "agg_histogram_equidepth",
+    """
+    WITH tiled AS (
+      SELECT o_totalprice,
+             CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+               AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM tiled GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    tiled = cat.read("orders").select(
+        "o_totalprice",
+        F.ntile(8)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -519,3 +519,32 @@ def ql_join_pushdown_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# --- ORDER BY expression keys + NULLS FIRST/LAST ---------------------------
+
+@register(
+    "ql_order_nulls",
+    """
+    SELECT c_custkey, spend
+    FROM (
+      SELECT c_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) t
+    ORDER BY spend DESC NULLS LAST, c_custkey
+    LIMIT 40
+    """,
+)
+def ql_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    cust, orders = cat.read("customer"), cat.read("orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    return (
+        spend.orderBy(F.col("spend").desc_nulls_last(), "c_custkey")
+        .limit(40)
+    )
