@@ -111,3 +111,21 @@ def test_multimodal_plumbing(spark):
     assert feats[2].n_bytes == 100
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", "image/png")
+
+
+def test_keyed_table_partial_update(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k bigint, s string, cnt bigint"
+    )
+    t = KeyedTable(df=base, key_cols=["k"], aggregates={"cnt": "sum"})
+    # partial update: only key + aggregate delta; plain column s omitted
+    delta = spark.createDataFrame([(1, 5), (3, 7)], "k bigint, cnt bigint")
+    t2 = t.insert_rows(delta, update=True)
+    assert rows_set(t2.df) == {(1, "a", 15), (2, "b", 20), (3, None, 7)}
+    # partial update: only key + plain column; aggregate omitted -> no fold
+    rename = spark.createDataFrame([(2, "B")], "k bigint, s string")
+    t3 = t2.insert_rows(rename, update=True)
+    assert rows_set(t3.df) == {(1, "a", 15), (2, "B", 20), (3, None, 7)}
+    # missing columns without update=True is an error
+    with pytest.raises(ValueError):
+        t.insert_rows(delta)

@@ -124,3 +124,16 @@ def test_cluster_pairs_label_propagation(spark):
     assert out[10] == out[11] == 10
     # chain of length 4: 3 iterations reach the min label end-to-end
     assert out[20] == out[21] == out[22] == out[23] == 20
+
+
+def test_ngram_jaccard_df_pruning(docs):
+    full = {(r.doc_a, r.doc_b): r.jaccard for r in
+            dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3).collect()}
+    pruned = {(r.doc_a, r.doc_b): r.jaccard for r in
+              dedup.ngram_jaccard_pairs(
+                  docs, shingle_k=3, threshold=0.3, df_max=3
+              ).collect()}
+    # identical docs survive pruning at full similarity
+    assert pruned[(1, 2)] == 1.0
+    # pruning only removes ubiquitous shingles -> pair set shrinks or holds
+    assert set(pruned) <= set(full)

@@ -150,3 +150,14 @@ def test_select_rows_with_totals(spark):
     ).createOrReplaceTempView("wt")
     out = select_rows(spark, "a, sum(b) AS sb FROM [//x/wt] GROUP BY a WITH TOTALS")
     assert rows_set(out) == {(1, 15), (2, 7), (None, 22)}
+
+
+def test_weak_schema_bool_mix_widens_to_string(spark):
+    df = spark.createDataFrame(
+        [(1, '{"x": true}'), (2, '{"x": 3}')], "k bigint, _rest string"
+    )
+    assert infer_rest_schema(df)["x"] == "string"
+    df2 = spark.createDataFrame(
+        [(1, '{"x": 3}'), (2, '{"x": true}')], "k bigint, _rest string"
+    )
+    assert infer_rest_schema(df2)["x"] == "string"

@@ -201,14 +201,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
+    df_max: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over distinct word k-shingle sets.
 
     Shape: explode distinct shingles, self-join on shingle (the inverted-
-    index join), count common, compute |A∩B| / (|A|+|B|-|A∩B|). k=5 keeps
-    shingles selective so the inverted-index join stays near-linear; at
-    larger scale, pre-filter shingles with document frequency > df_max."""
+    index join), count common, compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``df_max`` prunes shingles whose document frequency exceeds the cap
+    before the join — the standard stop-shingle optimization. The inverted-
+    index join's cost is Σ df(s)², so one shingle shared by a million docs
+    is 10¹² candidate pairs; capping df bounds the join at the price of
+    underestimating Jaccard for pairs that only share ubiquitous shingles
+    (which are, by construction, not near-duplicates). At 100 TB this knob
+    is mandatory; the exact (uncapped) form remains the oracle default."""
     sh = _shingles(docs, text_col, id_col, shingle_k).distinct()
+    if df_max is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(
+            freq.filter(F.col("_df") <= df_max).select("shingle"), "shingle"
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

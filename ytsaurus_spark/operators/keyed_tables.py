@@ -76,12 +76,32 @@ class KeyedTable:
 
     def insert_rows(self, new_rows: DataFrame, update: bool = False) -> "KeyedTable":
         """Upsert. For aggregate columns the incoming value folds into the
-        stored one (old ⊕ new); plain columns are overwritten by the new row
-        (or kept when ``update`` upserts a subset of columns)."""
+        stored one (old ⊕ new); plain columns are overwritten by the new row.
+
+        ``update=True`` is InsertRows' partial-column mode (update==true in
+        the reference's insert options): ``new_rows`` may omit value
+        columns; omitted columns keep their stored value for existing keys
+        and are null for new keys."""
         cols = self.df.columns
-        new_rows = new_rows.select(
-            *[c for c in cols if c in new_rows.columns]
-        )
+        missing = [c for c in cols if c not in new_rows.columns]
+        if missing and not update:
+            raise ValueError(
+                f"insert_rows missing columns {missing}; pass update=True "
+                "for partial-column upsert"
+            )
+        if missing:
+            # Omitted PLAIN columns keep their stored value (new keys ->
+            # null); omitted AGGREGATE columns contribute a null delta (the
+            # fold identity) — pulling the stored value would double-count.
+            plain_missing = [c for c in missing if c not in self.aggregates]
+            if plain_missing:
+                current = self.df.select(*self.key_cols, *plain_missing)
+                new_rows = new_rows.join(current, self.key_cols, "left")
+            for c in missing:
+                if c in self.aggregates:
+                    dtype = dict(self.df.dtypes)[c]
+                    new_rows = new_rows.withColumn(c, F.lit(None).cast(dtype))
+        new_rows = new_rows.select(*cols)
         if self.aggregates:
             # fold = groupBy over (current ∪ incoming): one shuffle on the
             # key, partial aggregation map-side — same cost as the MERGE.

@@ -53,10 +53,16 @@ def infer_rest_schema(
             else:
                 t = "string"
             prev = inferred.get(k)
-            if prev is None or lattice[t] > lattice[prev]:
-                # bool widens straight to string if mixed with numbers
-                if prev in ("bigint", "double") and t == "boolean":
-                    t = "string"
+            if prev is None:
+                inferred[k] = t
+                continue
+            if prev == t:
+                continue
+            # bool mixed with anything else degrades to string (there is no
+            # numeric widening that preserves both)
+            if "boolean" in (prev, t):
+                inferred[k] = "string"
+            elif lattice[t] > lattice[prev]:
                 inferred[k] = t
     return inferred
 
