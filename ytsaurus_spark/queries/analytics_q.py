@@ -393,3 +393,104 @@ def tpch_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
     )
+
+
+# --- TPC-H Q4 shape: order priority with EXISTS ----------------------------
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    big_lines = cat.read("lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(
+            big_lines, orders.o_orderkey == big_lines.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- TPC-H Q18 shape: large-volume customers (IN over grouped subquery) ----
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, round(total_qty, 2) AS total_qty
+    FROM (
+      SELECT o_custkey AS c_custkey, l_orderkey AS o_orderkey,
+             sum(l_quantity) AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_orderkey
+    ) t
+    WHERE total_qty > 200
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_orderkey").alias("o_orderkey"),
+        )
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 200)
+        .select("c_custkey", "o_orderkey", F.round("_tq", 2).alias("total_qty"))
+    )
+
+
+# --- TPC-H Q22 shape: global-avg scalar subquery + anti join ---------------
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT c_nationkey AS cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    cust, orders = cat.read("customer"), cat.read("orders")
+    # scalar subquery: global average broadcast as a 1-row cross join —
+    # Catalyst's own plan for uncorrelated scalar subqueries
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_cut")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_cut"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 250000),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
