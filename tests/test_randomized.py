@@ -45,7 +45,7 @@ def _pred(rng: random.Random) -> str:
 
 def _gen_query(rng: random.Random) -> str:
     t = f"rt{rng.randrange(N_TABLES)}"
-    kind = rng.randrange(6)
+    kind = rng.randrange(7)
     if kind == 0:  # filter + project with expressions
         return (
             f"SELECT k, v, CASE WHEN k > 10 THEN 'hi' ELSE 'lo' END AS band, "
@@ -79,6 +79,15 @@ def _gen_query(rng: random.Random) -> str:
             f"lag(s) OVER w AS prev_s "
             f"FROM {t} WHERE {_pred(rng)} "
             f"WINDOW w AS (PARTITION BY k ORDER BY v NULLS FIRST, s NULLS FIRST)"
+        )
+    if kind == 6:  # rollup aggregation (multi-grouping)
+        # no WHERE: Spark and DuckDB disagree on ROLLUP over EMPTY input
+        # (DuckDB emits the ANSI grand-total row, Spark emits nothing) —
+        # a documented engine divergence, see COVERAGE.md Known gaps
+        return (
+            f"SELECT k, s, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(coalesce(v, 0)) AS BIGINT) AS sv "
+            f"FROM {t} GROUP BY ROLLUP(k, s)"
         )
     if kind == 3:  # distinct + set op
         t2 = f"rt{rng.randrange(N_TABLES)}"
