@@ -207,3 +207,69 @@ def test_flow_pipeline_batch_and_stream_resume(spark, stream_dir):
     # batch mode over the same pipeline definition
     n = pipe.run_batch()
     assert n == 2
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Stream-stream join with watermarks: purchases join clicks by user
+    within a 10-minute lookback — the streaming join the reference's Flow
+    pipelines compose from YtflowMap state."""
+    src = os.path.join(stream_dir, "ss")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 10:00:00", 1, 1.0),   # click
+            (2, "2024-01-01 10:05:00", 1, 50.0),  # purchase, 5m later -> joins
+            (3, "2024-01-01 11:00:00", 1, 2.0),   # click
+            (4, "2024-01-01 11:30:00", 1, 70.0),  # purchase, 30m later -> no join
+        ],
+    )
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    clicks = events.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", "1 hour")
+    purchases = events.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    ).withWatermark("ts", "1 hour")
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    q = joined.writeStream.format("memory").queryName("ss_out").start()
+    try:
+        q.processAllAvailable()
+        got = {(r.purchase_id, r.click_id) for r in spark.table("ss_out").collect()}
+    finally:
+        q.stop()
+    assert got == {(2, 1)}
+
+
+def test_run_reduce_batched_single_giant_group(spark):
+    """Carry-buffer correctness: one key spanning many Arrow batches must
+    reach the batch reducer whole, exactly once."""
+    import pandas as pd
+
+    from ytsaurus_spark.operators import map_reduce as mr
+
+    n = 200_000  # >> 65536 Arrow batch size -> the group spans 4+ batches
+    df = spark.range(n).select(
+        F.lit(1).alias("k"), F.col("id").alias("v")
+    ).union(
+        spark.range(10).select(F.lit(2).alias("k"), F.col("id").alias("v"))
+    )
+
+    def batch_reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("k", sort=False)
+        return g.agg(n=("v", "size"), sv=("v", "sum")).reset_index()
+
+    out = mr.run_reduce_batched(
+        df, ["k"], batch_reducer, "k bigint, n bigint, sv bigint"
+    )
+    got = {r.k: (r.n, r.sv) for r in out.collect()}
+    assert got[1] == (n, n * (n - 1) // 2)
+    assert got[2] == (10, 45)

@@ -469,3 +469,40 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_end"),
         )
     )
+
+
+# --- QL builtin misc: conditionals, finiteness, list constructors ----------
+
+@register(
+    "fn_ql_misc",
+    """
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal > 5000 THEN 'rich' ELSE 'modest' END AS wealth,
+           coalesce(NULL, s_name, 'unknown') AS name_or,
+           isfinite(s_acctbal / 100.0) AS fin,
+           greatest(s_nationkey, 10) AS g,
+           len([s_suppkey, s_nationkey, 42]) AS list_len,
+           list_contains([s_nationkey, 7], 7) AS has7
+    FROM supplier
+    """,
+)
+def fn_ql_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ytsaurus_spark.functions import ql as qf
+
+    cat = load_tables(spark, sf_dir)
+    sup = cat.read("supplier")
+    return sup.select(
+        "s_suppkey",
+        qf.if_(F.col("s_acctbal") > 5000, "rich", "modest").alias("wealth"),
+        qf.if_null(qf.if_null(F.lit(None), F.col("s_name")), "unknown").alias(
+            "name_or"
+        ),
+        qf.is_finite(F.col("s_acctbal") / 100.0).alias("fin"),
+        qf.greatest_(F.col("s_nationkey"), F.lit(10)).alias("g"),
+        qf.yson_length(
+            qf.make_list(F.col("s_suppkey"), F.col("s_nationkey"), F.lit(42))
+        ).cast("long").alias("list_len"),
+        qf.list_contains(
+            qf.make_list(F.col("s_nationkey"), F.lit(7)), 7
+        ).alias("has7"),
+    )

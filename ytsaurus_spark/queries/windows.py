@@ -194,3 +194,45 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# --- NTH_VALUE / FIRST_VALUE with IGNORE NULLS (yql_opt_window.cpp:519) ----
+
+@register(
+    "win_nth_ignore_nulls",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CASE WHEN value < 0.2 THEN NULL ELSE round(value, 4) END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           first_value(v IGNORE NULLS) OVER w AS first_nn,
+           nth_value(v, 2 IGNORE NULLS) OVER w AS second_nn,
+           last_value(v IGNORE NULLS) OVER w AS last_nn
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    base = cat.read("events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("value") < 0.2, None)
+        .otherwise(F.round("value", 4))
+        .alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.first_value("v", ignoreNulls=True).over(w).alias("first_nn"),
+        F.nth_value("v", 2, ignoreNulls=True).over(w).alias("second_nn"),
+        F.last_value("v", ignoreNulls=True).over(w).alias("last_nn"),
+    )
