@@ -129,3 +129,18 @@ def test_keyed_table_partial_update(spark):
     # missing columns without update=True is an error
     with pytest.raises(ValueError):
         t.insert_rows(delta)
+
+
+def test_keyed_table_pivots_and_reshard(spark):
+    base = spark.createDataFrame([(i, i * 10) for i in range(100)], "k bigint, v bigint")
+    t = KeyedTable(df=base, key_cols=["k"])
+    pivots = t.pivot_keys(4)
+    assert len(pivots) == 3 and pivots == sorted(pivots)
+    resharded = t.reshard(4)
+    assert resharded.rdd.getNumPartitions() == 4
+    # each tablet holds a contiguous key range (ranges don't interleave)
+    parts = resharded.rdd.glom().collect()
+    ranges = [(p[0].k, p[-1].k) for p in parts if p]
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2

@@ -137,3 +137,12 @@ def test_ngram_jaccard_df_pruning(docs):
     assert pruned[(1, 2)] == 1.0
     # pruning only removes ubiquitous shingles -> pair set shrinks or holds
     assert set(pruned) <= set(full)
+
+
+def test_minhash_bucket_cap(docs):
+    # with a cap of 1 every bucket is "too big" once shared -> no pairs
+    none = dedup.minhash_lsh_pairs(docs, num_hashes=8, band_rows=2, max_bucket=1)
+    assert none.count() == 0
+    # generous cap keeps the identical-doc pair
+    some = rows_set(dedup.minhash_lsh_pairs(docs, num_hashes=8, band_rows=2, max_bucket=10))
+    assert (1, 2) in some

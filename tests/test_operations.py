@@ -115,3 +115,15 @@ def test_sample_deterministic(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
     out = mr.sample_rows_deterministic(df, "k", 10)
     assert rows_set(out) == {(i,) for i in range(0, 100, 10)}
+
+
+def test_run_sort_descending_key(spark, grp):
+    out = mr.run_sort(grp, ["b desc"], num_partitions=2)
+    vals = [r.b for r in out.collect()]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_run_sort_mixed_order(spark, grp):
+    out = mr.run_sort(grp, ["a", "b desc"], num_partitions=2)
+    rows = [(r.a, r.b) for r in out.collect()]
+    assert rows == sorted(rows, key=lambda x: (x[0], -x[1]))

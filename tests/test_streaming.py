@@ -273,3 +273,17 @@ def test_run_reduce_batched_single_giant_group(spark):
     got = {r.k: (r.n, r.sv) for r in out.collect()}
     assert got[1] == (n, n * (n - 1) // 2)
     assert got[2] == (10, 45)
+
+
+def test_trim_queue(spark):
+    import datetime as _dt
+
+    from ytsaurus_spark.streaming.queues import trim_queue, with_row_index
+
+    ev = spark.createDataFrame(
+        [(i, _dt.datetime(2024, 1, 1, 10, i, 0), 1, float(i)) for i in range(10)],
+        EVENTS_SCHEMA,
+    )
+    q = with_row_index(ev, ["event_id"])
+    trimmed = trim_queue(q, "$row_index", 6)
+    assert sorted(r.event_id for r in trimmed.collect()) == [6, 7, 8, 9]

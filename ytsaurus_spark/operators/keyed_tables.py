@@ -128,6 +128,26 @@ class KeyedTable:
     def delete_rows(self, keys: DataFrame) -> "KeyedTable":
         return self._advance(self.df.join(keys, self.key_cols, "left_anti"))
 
+    # -- sharding (tablet management) ---------------------------------------
+
+    def pivot_keys(self, num_tablets: int) -> list:
+        """GetTablePivotKeys analog (table_client.h:417): the key-range
+        boundaries an even ``num_tablets``-way split would use, from
+        approximate quantiles of the first key column."""
+        key = self.key_cols[0]
+        qs = [i / num_tablets for i in range(1, num_tablets)]
+        return self.df.approxQuantile(key, qs, 0.01)
+
+    def reshard(self, num_tablets: int) -> DataFrame:
+        """ReshardTable analog (table_client.h:389-394): rewrite the table
+        range-partitioned on the key into ``num_tablets`` tablets; each
+        output partition holds one contiguous key range (pivot boundaries =
+        the range partitioner's sampled bounds)."""
+        cols = [F.col(c) for c in self.key_cols]
+        return self.df.repartitionByRange(num_tablets, *cols).sortWithinPartitions(
+            *cols
+        )
+
     def _advance(self, new_df: DataFrame) -> "KeyedTable":
         hist = (self._history + [self.df])[-self.max_versions:]
         return KeyedTable(

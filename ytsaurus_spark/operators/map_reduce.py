@@ -216,8 +216,17 @@ def run_sort(df: DataFrame, sort_by: list[str], num_partitions: int | None = Non
     exactly Spark's repartitionByRange (reservoir-sampled bounds) +
     sortWithinPartitions. Output partitions are globally ordered; a consumer
     reading partitions in order sees total order, without ever materializing
-    a single-node sort."""
-    cols = [F.col(c) for c in sort_by]
+    a single-node sort.
+
+    Per-column sort order (TColumnSchema::SortOrder ascending/descending):
+    a ``"col desc"`` entry sorts that key descending."""
+    cols = []
+    for spec in sort_by:
+        parts = spec.split()
+        c = F.col(parts[0])
+        if len(parts) > 1 and parts[1].lower() == "desc":
+            c = c.desc()
+        cols.append(c)
     if num_partitions:
         return df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
     return df.repartitionByRange(*cols).sortWithinPartitions(*cols)

@@ -82,6 +82,22 @@ def pull_and_advance(
     return batch
 
 
+def trim_queue(
+    queue: DataFrame,
+    row_index_col: str,
+    trim_up_to: int,
+    partition_col: str | None = None,
+    partition: int = 0,
+) -> DataFrame:
+    """TrimTable analog: drop rows with index < ``trim_up_to`` (rows every
+    registered consumer has passed). With a partition column, only that
+    partition trims — other tablets keep their rows."""
+    below = F.col(row_index_col) < trim_up_to
+    if partition_col is not None:
+        below = below & (F.col(partition_col) == partition)
+    return queue.filter(~below)
+
+
 def with_row_index(df: DataFrame, order_by: list[str]) -> DataFrame:
     """Materialize a ``$row_index``-style column for a table that lacks one.
 
