@@ -142,3 +142,22 @@ def test_catalog_namespace_ops(spark, tmp_path):
     assert not cat.exists("t1")
     with _pytest.raises(FileNotFoundError):
         cat.remove_table("t1")
+
+
+def test_rich_path_key_ranges(spark, sf_dir):
+    from ytsaurus_spark.catalog import Catalog, RichPath
+
+    rp = RichPath.parse("orders[100:200]")
+    assert (rp.lower_key, rp.upper_key) == (100, 200)
+    assert rp.lower_row is None
+    rp2 = RichPath.parse("t['a':'m']")
+    assert (rp2.lower_key, rp2.upper_key) == ("a", "m")
+    rp3 = RichPath.parse("t[#5:]")
+    assert rp3.lower_row == 5 and rp3.upper_row is None
+
+    cat = Catalog(spark, sf_dir)
+    df = cat.read("orders[100:200]")
+    keys = [r.o_orderkey for r in df.select("o_orderkey").collect()]
+    assert keys and all(100 <= k < 200 for k in keys)
+    # half-open upper bound honored, lower inclusive
+    assert min(keys) == 100

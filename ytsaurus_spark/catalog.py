@@ -49,19 +49,39 @@ DEFAULT_KEYS: dict[str, list[str]] = {
 
 @dataclass
 class RichPath:
-    """Parsed rich path: ``path{col1,col2}[#10:#20]`` — column selection and
-    row-index ranges, mirroring the reference's ypath read modifiers."""
+    """Parsed rich path, mirroring the reference's ypath read modifiers:
+
+    - ``path{col1,col2}``     — column selection
+    - ``path[#10:#20]``       — row-index range (``#`` prefix)
+    - ``path[10:500]``        — KEY range on the primary key column:
+                                 inclusive lower, exclusive upper (YT key
+                                 range semantics); quoted for strings.
+    """
 
     path: str
     columns: list[str] | None = None
     lower_row: int | None = None
     upper_row: int | None = None
+    lower_key: object | None = None
+    upper_key: object | None = None
 
     _RE = re.compile(
         r"^(?P<path>[^{\[]+)"
         r"(?:\{(?P<cols>[^}]*)\})?"
-        r"(?:\[#?(?P<lo>\d*):#?(?P<hi>\d*)\])?$"
+        r"(?:\[(?P<lo>[^:\]]*):(?P<hi>[^:\]]*)\])?$"
     )
+
+    @staticmethod
+    def _key_bound(s: str):
+        s = s.strip()
+        if not s:
+            return None
+        if s.startswith(("'", '"')) and s.endswith(s[0]) and len(s) >= 2:
+            return s[1:-1]
+        try:
+            return int(s)
+        except ValueError:
+            return float(s)
 
     @classmethod
     def parse(cls, rich: str) -> "RichPath":
@@ -69,12 +89,21 @@ class RichPath:
         if not m:
             raise ValueError(f"bad rich path: {rich!r}")
         cols = m.group("cols")
-        return cls(
+        out = cls(
             path=m.group("path").strip(),
             columns=[c.strip() for c in cols.split(",") if c.strip()] if cols else None,
-            lower_row=int(m.group("lo")) if m.group("lo") else None,
-            upper_row=int(m.group("hi")) if m.group("hi") else None,
         )
+        lo, hi = m.group("lo"), m.group("hi")
+        if lo is None and hi is None:
+            return out
+        lo, hi = (lo or "").strip(), (hi or "").strip()
+        if lo.startswith("#") or hi.startswith("#"):
+            out.lower_row = int(lo[1:]) if lo.lstrip("#") else None
+            out.upper_row = int(hi[1:]) if hi.lstrip("#") else None
+        elif lo or hi:
+            out.lower_key = cls._key_bound(lo)
+            out.upper_key = cls._key_bound(hi)
+        return out
 
 
 @dataclass
@@ -109,6 +138,15 @@ class Catalog:
             if rp.upper_row is not None:
                 df = df.filter(F.col("__row_index") < rp.upper_row)
             df = df.drop("__row_index")
+        if rp.lower_key is not None or rp.upper_key is not None:
+            # key range on the primary key: pushes to the parquet scan as a
+            # min/max-prunable predicate — the reference's key-range read
+            # (InferRanges, executor.cpp:260-300) via Catalyst pushdown.
+            key = (self.key_columns(rp.path) or [df.columns[0]])[0]
+            if rp.lower_key is not None:
+                df = df.filter(F.col(key) >= rp.lower_key)
+            if rp.upper_key is not None:
+                df = df.filter(F.col(key) < rp.upper_key)
         if rp.columns:
             df = df.select(*rp.columns)
         return df
