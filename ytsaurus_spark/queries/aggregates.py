@@ -506,3 +506,35 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+# --- ordered string aggregation (AGGREGATE_LIST + join; listagg) ----------
+
+@register(
+    "agg_string_agg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey)
+             AS segs
+    FROM customer WHERE c_custkey <= 50
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    # deterministic ordered concat via sorted collect_list (portable form of
+    # listagg ... WITHIN GROUP)
+    return (
+        cat.read("customer")
+        .filter(F.col("c_custkey") <= 50)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(c_mktsegment, "
+                    "c_custkey))), x -> x.c_mktsegment)"
+                ),
+                ",",
+            ).alias("segs")
+        )
+    )

@@ -548,3 +548,35 @@ def ql_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.orderBy(F.col("spend").desc_nulls_last(), "c_custkey")
         .limit(40)
     )
+
+
+# --- tuple-capable IN / BETWEEN (TInExpression ast.h:301,
+#     TBetweenExpression ast.h:319: literal tuple lists + lexicographic
+#     tuple ranges) --------------------------------------------------------
+
+@register(
+    "ql_tuple_in_between",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE (l_orderkey, l_linenumber) IN ((1, 1), (1, 2), (5, 1), (9999999, 1))
+       OR ((l_returnflag, l_linestatus) >= ('R', 'F')
+           AND (l_returnflag, l_linestatus) <= ('R', 'F')
+           AND l_orderkey < 20)
+    """,
+)
+def ql_tuple_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    # struct comparison is Spark's tuple ordering; same lexicographic
+    # semantics as QL's tuple BETWEEN
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE struct(l_orderkey, l_linenumber) IN
+              (struct(1L, 1), struct(1L, 2), struct(5L, 1), struct(9999999L, 1))
+           OR (struct(l_returnflag, l_linestatus) >= struct('R', 'F')
+               AND struct(l_returnflag, l_linestatus) <= struct('R', 'F')
+               AND l_orderkey < 20)
+        """
+    )

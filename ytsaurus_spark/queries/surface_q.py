@@ -506,3 +506,44 @@ def fn_ql_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
             qf.make_list(F.col("s_nationkey"), F.lit(7)), 7
         ).alias("has7"),
     )
+
+
+# --- array higher-order functions (YQL List/Vector UDF modules) ------------
+
+@register(
+    "fn_array_hof",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           list_sort(toks)[1:3]                             AS first3_sorted,
+           CAST(len(list_filter(toks, w -> length(w) > 4)) AS BIGINT)
+             AS n_long,
+           CAST(list_sum([length(w) for w in toks]) AS BIGINT) AS total_chars,
+           array_to_string(list_transform(toks[1:2], w -> upper(w)), ' ')
+             AS head_upper,
+           list_contains(toks, 'spark')                     AS has_spark
+    FROM t
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    t = (
+        cat.read("documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    return t.select(
+        "doc_id",
+        F.slice(F.array_sort("toks"), 1, 3).alias("first3_sorted"),
+        F.expr("size(filter(toks, w -> length(w) > 4))").cast("long").alias("n_long"),
+        F.expr("aggregate(transform(toks, w -> length(w)), 0, (a, x) -> a + x)")
+        .cast("long")
+        .alias("total_chars"),
+        F.expr("array_join(transform(slice(toks, 1, 2), w -> upper(w)), ' ')").alias(
+            "head_upper"
+        ),
+        F.array_contains("toks", "spark").alias("has_spark"),
+    )

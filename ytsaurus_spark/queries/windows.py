@@ -55,6 +55,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank()       OVER (ORDER BY s_acctbal DESC) AS INT) AS rnk,
            CAST(dense_rank() OVER (ORDER BY s_acctbal DESC) AS INT) AS drnk,
            round(percent_rank() OVER (ORDER BY s_acctbal DESC), 6)  AS prnk,
+           round(cume_dist() OVER (ORDER BY s_acctbal DESC), 6)     AS cdist,
            CAST(ntile(4) OVER (ORDER BY s_acctbal DESC) AS INT)     AS quartile
     FROM supplier
     """,
@@ -67,6 +68,7 @@ def win_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
 
