@@ -287,3 +287,48 @@ def test_trim_queue(spark):
     q = with_row_index(ev, ["event_id"])
     trimmed = trim_queue(q, "$row_index", 6)
     assert sorted(r.event_id for r in trimmed.collect()) == [6, 7, 8, 9]
+
+
+def test_queue_to_txtable_durable_pipeline(spark, stream_dir):
+    """End-to-end: pull a queue in batches, fold each batch into a DURABLE
+    transactional keyed table; final state == batch aggregate, and every
+    intermediate version is time-travel readable."""
+    import datetime as _dt
+
+    from ytsaurus_spark.sources.tx_table import TxTable
+    from ytsaurus_spark.streaming.queues import QueueConsumer, pull_and_advance
+
+    ev = spark.createDataFrame(
+        [(i, _dt.datetime(2024, 1, 1, 10, 0, i), i % 3, float(i)) for i in range(30)],
+        EVENTS_SCHEMA,
+    )
+    t = TxTable(
+        spark,
+        os.path.join(stream_dir, "agg"),
+        key_cols=["user_id"],
+        aggregates={"n": "sum", "total": "sum"},
+    )
+    t.init(
+        spark.createDataFrame([], "user_id bigint, n bigint, total double")
+    )
+    consumer = QueueConsumer("durable")
+    for _ in range(3):
+        batch = pull_and_advance(ev, consumer, "event_id", 10)
+        t.insert_rows(
+            batch.select(
+                "user_id",
+                F.lit(1).cast("long").alias("n"),
+                F.col("value").alias("total"),
+            )
+        )
+    final = {r.user_id: (r.n, r.total) for r in t.read().collect()}
+    expect = {
+        r.user_id: (r.n, r.total)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == expect
+    # versions: v0 empty, v1 after first batch of 10
+    assert t.read(0).count() == 0
+    assert sum(r.n for r in t.read(1).collect()) == 10

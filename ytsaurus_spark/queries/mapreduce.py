@@ -294,3 +294,47 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     orders = cat.read("orders").select("o_orderkey", "o_totalprice")
     return mr.sample_rows_deterministic(orders, "o_orderkey", 10)
+
+
+# --- table profiling (ANALYZE TABLE / GetColumnarStatistics at value level)
+
+@register(
+    "op_profile_table",
+    """
+    SELECT 'o_orderkey' AS col,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) AS BIGINT),
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 2),
+           round(max(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def op_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (the value-level half of the reference's statistics
+    surface): one pass per column family, stack-unioned — the shape ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR COLUMNS produces for the CBO."""
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders")
+
+    def profile(col: str, round_digits: int | None) -> DataFrame:
+        mn, mx = F.min(col).cast("double"), F.max(col).cast("double")
+        if round_digits is not None:
+            mn, mx = F.round(mn, round_digits), F.round(mx, round_digits)
+        return orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_v"),
+            mx.alias("max_v"),
+        ).select(F.lit(col).alias("col"), "n", "n_nonnull", "n_distinct", "min_v", "max_v")
+
+    return profile("o_orderkey", None).unionByName(profile("o_totalprice", 2))
