@@ -538,3 +538,26 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("segs")
         )
     )
+
+
+# --- higher moments: skewness / kurtosis (YQL Stat UDF module) -------------
+# Spark computes POPULATION g1 / excess g2; DuckDB's skewness() is the
+# sample-adjusted G1, so the oracle spells out the population formula.
+
+@register(
+    "agg_moments",
+    """
+    WITH m AS (SELECT avg(l_quantity) AS mu FROM lineitem)
+    SELECT round(avg(pow(l_quantity - mu, 3)) / pow(stddev_pop(l_quantity), 3), 6)
+             AS skew,
+           round(kurtosis_pop(l_quantity), 6) AS kurt
+    FROM lineitem, m
+    GROUP BY mu
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return cat.read("lineitem").agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
+    )

@@ -580,3 +580,22 @@ def ql_tuple_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND l_orderkey < 20)
         """
     )
+
+
+# --- global HAVING (aggregate filter without GROUP BY) ---------------------
+
+@register(
+    "ql_having_global",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    HAVING count(*) > 0
+    """,
+)
+def ql_having_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    agg = cat.read("orders").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    return agg.filter(F.col("n") > 0)

@@ -547,3 +547,109 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_contains("toks", "spark").alias("has_spark"),
     )
+
+
+# --- bitwise scalar ops (EBinaryOp <<,>>,|,&, query_common.h:46-70) --------
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT p_partkey,
+           p_size & 12        AS band_,
+           p_size | 3         AS bor_,
+           xor(p_size, 255)   AS bxor_,
+           p_size << 2        AS shl,
+           p_size >> 1        AS shr
+    FROM part WHERE p_partkey < 120
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("part")
+        .filter(F.col("p_partkey") < 120)
+        .select(
+            "p_partkey",
+            F.expr("p_size & 12").alias("band_"),
+            F.expr("p_size | 3").alias("bor_"),
+            F.expr("p_size ^ 255").alias("bxor_"),
+            F.shiftleft("p_size", 2).alias("shl"),
+            F.shiftright("p_size", 1).alias("shr"),
+        )
+    )
+
+
+# --- map type functions (dict<K,V> surface) --------------------------------
+
+@register(
+    "fn_map_funcs",
+    """
+    WITH m AS (
+      SELECT s_suppkey,
+             map(['bal', 'nat'], [s_acctbal, CAST(s_nationkey AS DOUBLE)]) AS kv
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(cardinality(kv) AS INT)                    AS n_keys,
+           round(kv['bal'][1], 2)                          AS bal,
+           round(kv['nat'][1], 1)                          AS nat,
+           array_to_string(map_keys(kv), ',')              AS keys_join
+    FROM m
+    """,
+)
+def fn_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    m = cat.read("supplier").select(
+        "s_suppkey",
+        F.map_from_arrays(
+            F.array(F.lit("bal"), F.lit("nat")),
+            F.array(F.col("s_acctbal"), F.col("s_nationkey").cast("double")),
+        ).alias("kv"),
+    )
+    return m.select(
+        "s_suppkey",
+        F.size("kv").alias("n_keys"),
+        F.round(F.element_at("kv", "bal"), 2).alias("bal"),
+        F.round(F.element_at("kv", "nat"), 1).alias("nat"),
+        F.array_join(F.map_keys("kv"), ",").alias("keys_join"),
+    )
+
+
+# --- GROUP BY HOPPING with several window sizes at once --------------------
+
+@register(
+    "stream_hopping_multi",
+    """
+    SELECT win_size, win_start, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT '1h' AS win_size,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start
+      FROM events
+      UNION ALL
+      SELECT '1d',
+             strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+      FROM events
+    ) t
+    GROUP BY win_size, win_start
+    """,
+)
+def stream_hopping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution windowing (mkql_multihopping.cpp): the same stream
+    aggregated at several window sizes in one plan — one scan, unioned
+    window keys (at scale, a single pass instead of one job per size)."""
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    hourly = ev.select(
+        F.lit("1h").alias("win_size"),
+        F.date_format(F.window("ts", "1 hour").start, fmt).alias("win_start"),
+    )
+    daily = ev.select(
+        F.lit("1d").alias("win_size"),
+        F.date_format(F.window("ts", "1 day").start, fmt).alias("win_start"),
+    )
+    return (
+        hourly.unionByName(daily)
+        .groupBy("win_size", "win_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
