@@ -595,3 +595,55 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# --- character-bigram profile per language (n-gram language modeling) ------
+
+@register(
+    "text_char_bigrams",
+    """
+    WITH grams AS (
+      SELECT lang,
+             unnest([substr(text, i, 2) for i in range(1, length(text))]) AS bg
+      FROM documents
+    ), counts AS (
+      SELECT lang, bg, CAST(count(*) AS BIGINT) AS cnt
+      FROM grams WHERE bg NOT LIKE '% %' AND length(bg) = 2
+      GROUP BY lang, bg
+    ), ranked AS (
+      SELECT lang, bg, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) AS rnk
+      FROM counts
+    )
+    SELECT lang, bg, cnt, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top character bigrams per language label — the feature table a real
+    n-gram language-ID model trains on (the plumbing behind
+    operators/text.language_id's heuristic)."""
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), "
+                "i -> substr(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    counts = (
+        grams.filter(~F.col("bg").like("% %") & (F.length("bg") == 2))
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "bg")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "bg", "cnt", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -599,3 +599,30 @@ def ql_having_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
     return agg.filter(F.col("n") > 0)
+
+
+# --- positional ARRAY JOIN (explode with index; ArrayJoinOpHelper keeps
+#     row alignment across joined lists) ------------------------------------
+
+@register(
+    "ql_array_join_pos",
+    """
+    SELECT doc_id, CAST(idx - 1 AS INT) AS pos, word
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS idx
+      FROM documents WHERE doc_id < 20
+    )
+    WHERE idx <= 5
+    """,
+)
+def ql_array_join_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .filter(F.col("pos") < 5)
+    )
