@@ -146,3 +146,27 @@ def test_minhash_bucket_cap(docs):
     # generous cap keeps the identical-doc pair
     some = rows_set(dedup.minhash_lsh_pairs(docs, num_hashes=8, band_rows=2, max_bucket=10))
     assert (1, 2) in some
+
+
+def test_kmeans_deterministic_and_improves(spark):
+    import math
+
+    from ytsaurus_spark.operators.similarity import kmeans_iterations
+
+    rows = []
+    # two well-separated blobs around (0,..,0) and (10,..,10), 4 dims
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + ((i * 7) % 5) * 0.1] * 4))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    a1 = {r.vec_id: r.cell for r in kmeans_iterations(
+        emb, k=2, iterations=2, centroid_stride=1).collect()}
+    a2 = {r.vec_id: r.cell for r in kmeans_iterations(
+        emb, k=2, iterations=2, centroid_stride=1).collect()}
+    assert a1 == a2  # deterministic
+    # blobs separate: all even ids share a cell, all odd ids the other
+    even_cells = {a1[i] for i in range(0, 40, 2)}
+    odd_cells = {a1[i] for i in range(1, 40, 2)}
+    assert len(even_cells) == 1 and len(odd_cells) == 1
+    assert even_cells != odd_cells
+    del math

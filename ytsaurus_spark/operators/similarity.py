@@ -234,3 +234,66 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def kmeans_iterations(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 30,
+    dist_round: int = 6,
+) -> DataFrame:
+    """K-means with a fixed iteration budget as chained declarative plans —
+    the iterative-algorithm pattern (YQL expresses these as chained
+    MapReduce ops; Spark as a loop of joins/aggregations, one plan per
+    Lloyd step, no driver-side data).
+
+    Deterministic end to end: exemplar init (ids 0, stride, 2·stride…),
+    squared distances rounded to ``dist_round`` before argmin so engine-
+    level last-ulp noise cannot flip assignments. Returns the final
+    (vec_id, cell) assignment.
+    """
+    from pyspark.sql import Window as W
+
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    centroids = vecs.filter(
+        (F.col(id_col) % centroid_stride == 0)
+        & (F.col(id_col) < centroid_stride * k)
+    ).select(
+        (F.col(id_col) / centroid_stride).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    d2 = (
+        "round(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (acc, d) -> acc + d), {dist_round})"
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell"))
+    assign = None
+    for _ in range(iterations):
+        assign = (
+            vecs.join(F.broadcast(centroids))
+            .withColumn("d2", F.expr(d2))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "cell")
+        )
+        # recompute centroids: element-wise mean per cell (posexplode keyed
+        # on (cell, dim) — the scalable wide-vector shape)
+        flat = vecs.join(assign, id_col).select(
+            "cell", F.posexplode("v").alias("i", "e")
+        )
+        centroids = (
+            flat.groupBy("cell", "i")
+            .agg(F.avg("e").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+                ).alias("cv")
+            )
+        )
+    return assign

@@ -647,3 +647,64 @@ def text_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("lang", "bg", "cnt", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --- k-means (3 Lloyd iterations) as chained declarative plans -------------
+
+def _kmeans_oracle(iters: int = 3, k: int = 8, stride: int = 30) -> str:
+    head = f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents0 AS (
+      SELECT CAST(vec_id / {stride} AS INT) AS cell, v AS cv
+      FROM vecs WHERE vec_id % {stride} = 0 AND vec_id < {stride * k}
+    )"""
+    step = """
+    , scored{n} AS (
+      SELECT vec_id, cell,
+             round(list_sum([ (v[i] - cv[i]) * (v[i] - cv[i])
+                              for i in range(1, 65) ]), 6) AS d2
+      FROM vecs CROSS JOIN cents{p}
+    ), assign{n} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM scored{n}
+      ) WHERE rn = 1
+    ), flat{n} AS (
+      SELECT a.cell, generate_subscripts(v, 1) AS i, unnest(v) AS e
+      FROM vecs JOIN assign{n} a USING (vec_id)
+    ), cents{n} AS (
+      SELECT cell, list(m ORDER BY i) AS cv FROM (
+        SELECT cell, i, avg(e) AS m FROM flat{n} GROUP BY cell, i
+      ) GROUP BY cell
+    )"""
+    body = "".join(step.format(n=i + 1, p=i) for i in range(iters))
+    return (
+        head
+        + body
+        + f"""
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           min(vec_id) AS min_vec, max(vec_id) AS max_vec
+    FROM assign{iters} GROUP BY cell
+    """
+    )
+
+
+@register("sim_kmeans", _kmeans_oracle())
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd iterations of k-means (k=8, exemplar init) — the iterative-
+    algorithm pattern as chained joins/aggregations; assignments are made
+    deterministic by rounding distances before argmin, so the DuckDB oracle
+    replays the identical algorithm exactly."""
+    from ytsaurus_spark.operators.similarity import kmeans_iterations
+
+    cat = load_tables(spark, sf_dir)
+    assign = kmeans_iterations(
+        cat.read("embeddings"), k=8, iterations=3, centroid_stride=30
+    )
+    return assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
