@@ -144,3 +144,11 @@ def test_keyed_table_pivots_and_reshard(spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_select_rows_ql_offset_limit_order(spark):
+    sql = translate_ql("k FROM [//t] ORDER BY k OFFSET 5 LIMIT 10")
+    assert "LIMIT 10 OFFSET 5" in sql
+    spark.createDataFrame([(i,) for i in range(20)], "k bigint").createOrReplaceTempView("ol")
+    out = select_rows(spark, "k FROM [//x/ol] ORDER BY k OFFSET 5 LIMIT 3")
+    assert [r.k for r in out.collect()] == [5, 6, 7]

@@ -75,6 +75,11 @@ _LIMIT = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 _GROUP_TOTALS = re.compile(
     r"\bgroup\s+by\s+(.*?)\s+with\s+totals\b", re.IGNORECASE | re.DOTALL
 )
+# QL clause order is OFFSET n LIMIT m (parser.ypp:488-503); SQL wants
+# LIMIT m OFFSET n.
+_OFFSET_LIMIT = re.compile(
+    r"\boffset\s+(\d+)\s+limit\s+(\d+)\b", re.IGNORECASE
+)
 
 
 def _split_literals(s: str) -> list[tuple[bool, str]]:
@@ -153,6 +158,7 @@ def translate_ql(query: str, table_resolver=None) -> str:
         chunks.append(chunk)
     sql = "".join(chunks)
     sql = _GROUP_TOTALS.sub(lambda m: f"GROUP BY ROLLUP({m.group(1)})", sql)
+    sql = _OFFSET_LIMIT.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
     sql = _rewrite_helpers(sql)
     if not re.match(r"^\s*select\b", sql, re.IGNORECASE):
         sql = "SELECT " + sql

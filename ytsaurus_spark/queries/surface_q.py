@@ -653,3 +653,39 @@ def stream_hopping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_size", "win_start")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- cast matrix (QL casts int64/uint64/double/boolean/string + temporal) --
+
+# NOTE: double→int CAST truncates in Spark (C/QL semantics) but ROUNDS in
+# DuckDB — the oracle uses trunc() explicitly to pin the QL behavior.
+@register(
+    "fn_casts",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR)                    AS id_str,
+           CAST(CAST(event_id AS VARCHAR) AS BIGINT)    AS id_roundtrip,
+           CAST(trunc(value) AS INT)                    AS val_int,
+           CAST(value > 0.5 AS VARCHAR)                 AS bool_str,
+           CAST(CAST(ts AS DATE) AS VARCHAR)            AS date_str,
+           CAST('42.5' AS DOUBLE)                       AS parsed,
+           CAST(CAST(event_id AS DECIMAL(20,0)) AS VARCHAR) AS u64_str
+    FROM events WHERE event_id < 100
+    """,
+)
+def fn_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("events")
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.col("event_id").cast("string").alias("id_str"),
+            F.col("event_id").cast("string").cast("bigint").alias("id_roundtrip"),
+            F.col("value").cast("int").alias("val_int"),
+            (F.col("value") > 0.5).cast("string").alias("bool_str"),
+            F.col("ts").cast("date").cast("string").alias("date_str"),
+            F.lit("42.5").cast("double").alias("parsed"),
+            F.col("event_id").cast("decimal(20,0)").cast("string").alias("u64_str"),
+        )
+    )
