@@ -708,3 +708,101 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
     )
+
+
+# --- dedup-rate profile per source (pipeline observability) ----------------
+
+@register(
+    "text_dedup_rate_by_source",
+    """
+    WITH hashes AS (
+      SELECT source, md5(text) AS h FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+           round(1.0 - count(DISTINCT h) * 1.0 / count(*), 4) AS dup_rate
+    FROM hashes GROUP BY source
+    """,
+)
+def text_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    h = cat.read("documents").select("source", F.md5("text").alias("h"))
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("h") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )
+
+
+# --- ANN recall evaluation: LSH top-3 vs brute-force top-3 -----------------
+
+@register(
+    "sim_ann_recall",
+    """
+    WITH withb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {bits} AS bucket
+      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS cv FROM embeddings)
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, bucket FROM withb WHERE vec_id < 50
+    ), exact AS (
+      SELECT q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(qv, c.v) /
+               sqrt(list_dot_product(qv, qv) * list_dot_product(c.v, c.v))
+               DESC, c.vec_id) AS rnk
+      FROM q CROSS JOIN withb c WHERE q_id <> c.vec_id
+    ), approx AS (
+      SELECT q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(qv, c.v) /
+               sqrt(list_dot_product(qv, qv) * list_dot_product(c.v, c.v))
+               DESC, c.vec_id) AS rnk
+      FROM q JOIN withb c USING (bucket) WHERE q_id <> c.vec_id
+    ), hits AS (
+      SELECT e.q_id, CAST(count(a.c_id) AS DOUBLE) / 3 AS recall
+      FROM (SELECT * FROM exact WHERE rnk <= 3) e
+      LEFT JOIN (SELECT * FROM approx WHERE rnk <= 3) a
+        ON e.q_id = a.q_id AND e.c_id = a.c_id
+      GROUP BY e.q_id
+    )
+    SELECT round(avg(recall), 4) AS avg_recall_at_3,
+           CAST(count(*) AS BIGINT) AS n_queries
+    FROM hits
+    """.format(
+        bits=" || ".join(
+            "CASE WHEN list_sum([cv[d+1] * (((({h}+1)*(d+3)) % 7) - 3) "
+            "for d in range(0, 64)]) >= 0 THEN '1' ELSE '0' END".format(h=h)
+            for h in range(8)
+        )
+    ),
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH ANN path against brute force over 50 queries —
+    the 'measure, don't guess' artifact for the approximate index (the
+    number that justifies raising planes/probes at scale)."""
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = similarity.cosine_topk(emb, queries, k=3).select(
+        "q_id", F.col("c_id").alias("e_cid")
+    )
+    approx = similarity.ann_topk_lsh(emb, queries, k=3).select(
+        "q_id", F.col("c_id").alias("a_cid")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.q_id == approx.q_id) & (F.col("e_cid") == F.col("a_cid")),
+            "left",
+        )
+        .groupBy(exact.q_id)
+        .agg((F.count("a_cid") / 3.0).alias("recall"))
+    )
+    return hits.agg(
+        F.round(F.avg("recall"), 4).alias("avg_recall_at_3"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
