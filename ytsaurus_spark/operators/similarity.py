@@ -297,3 +297,62 @@ def kmeans_iterations(
             )
         )
     return assign
+
+
+def ann_topk_lsh_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query also probes every bucket at Hamming
+    distance 1 (flip one sign bit) — the standard recall lever when buckets
+    are too fine. Candidate volume grows ×(planes+1); plan shape unchanged
+    (still one equi-join on bucket). Measured here: recall@3 jumps 6.7% → 16%
+    on isotropic random vectors at sf0.01 (see SCALE.md)."""
+    from pyspark.sql import Window as W
+
+    buckets = lsh_bucket(emb, num_planes, dim, id_col, vec_col)
+    with_b = emb.join(buckets, id_col)
+    flips = ", ".join(
+        f"concat(substr(bucket, 1, {i}), "
+        f"CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substr(bucket, {i + 2}))"
+        for i in range(num_planes)
+    )
+    q = (
+        with_b.join(queries.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(F.expr(f"array(bucket, {flips})")).alias("bucket"),
+        )
+    )
+    c = with_b.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+        .withColumn(
+            "cosine",
+            F.expr(
+                f"{_dot('qv', 'cv')} / sqrt({_dot('qv', 'qv')} * {_dot('cv', 'cv')})"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
