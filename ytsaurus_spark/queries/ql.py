@@ -626,3 +626,52 @@ def ql_array_join_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pos") < 5)
     )
+
+
+# --- CROSS JOIN (YQL join kind list, SURVEY §2.3) --------------------------
+
+@register(
+    "ql_cross_join",
+    """
+    SELECT r_name, n.label, CAST(count(*) AS BIGINT) AS n
+    FROM region
+    CROSS JOIN (SELECT unnest(['lo', 'hi']) AS label) n
+    GROUP BY r_name, n.label
+    """,
+)
+def ql_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    labels = spark.createDataFrame([("lo",), ("hi",)], "label string")
+    return (
+        cat.read("region")
+        .crossJoin(labels)
+        .groupBy("r_name", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- INTERSECT ALL / EXCEPT ALL (bag semantics set ops) --------------------
+
+@register(
+    "ql_set_ops_all",
+    """
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT ALL
+      SELECT n_nationkey AS k FROM nation
+    ) t
+    UNION ALL
+    SELECT k FROM (
+      SELECT s_nationkey AS k FROM supplier
+      EXCEPT ALL
+      SELECT n_regionkey AS k FROM nation
+    ) t2
+    """,
+)
+def ql_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    a = cat.read("customer").select(F.col("c_nationkey").alias("k"))
+    b = cat.read("nation").select(F.col("n_nationkey").alias("k"))
+    c = cat.read("supplier").select(F.col("s_nationkey").alias("k"))
+    d = cat.read("nation").select(F.col("n_regionkey").alias("k"))
+    return a.intersectAll(b).unionByName(c.exceptAll(d))
