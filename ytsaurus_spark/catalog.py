@@ -119,6 +119,15 @@ class Catalog:
     keys: dict[str, list[str]] = field(default_factory=lambda: dict(DEFAULT_KEYS))
     _nanos_cache: dict[str, list[str]] = field(default_factory=dict, repr=False)
 
+    def __post_init__(self) -> None:
+        # Self-configure the caller's session: the catalog must be readable
+        # from ANY SparkSession, not just ones built by session.get_spark
+        # (the driver harness passes its own). Without nanosAsLong the
+        # events table's TIMESTAMP(NANOS) column aborts every read.
+        from ytsaurus_spark.session import ensure_runtime_confs
+
+        ensure_runtime_confs(self.spark)
+
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.parquet")
 

@@ -37,9 +37,26 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def _with_session_bootstrap(fn: SparkQuery) -> SparkQuery:
+    """Wrap a query so a caller-provided session is self-configured first
+    (nanosAsLong / UTC / Arrow confs) — see session.ensure_runtime_confs.
+    Catalog.__post_init__ does the same; this covers queries that build
+    inputs without going through the catalog."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ytsaurus_spark.session import ensure_runtime_confs
+
+        ensure_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def all_queries() -> dict[str, SparkQuery]:
     _load()
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: _with_session_bootstrap(v[0]) for k, v in _REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -47,6 +47,44 @@ _BASE_CONFS: dict[str, str] = {
 }
 
 
+# Confs that can be applied at runtime to a session we did NOT build —
+# everything the engine's correctness depends on (nanos parquet reads,
+# UTC timestamp rendering for oracle parity, Arrow-batched pandas ops).
+# Static-only confs (warehouse dir, driver memory, UI) are excluded: they
+# can only be set at build time and don't affect correctness.
+_RUNTIME_CONFS: dict[str, str] = {
+    k: v
+    for k, v in _BASE_CONFS.items()
+    if k.startswith("spark.sql.") and k != "spark.sql.warehouse.dir"
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Self-configure a *caller-provided* SparkSession.
+
+    The reference's readers are self-contained — a client never has to
+    pre-configure connection state to read a table
+    (yt/yt/client/api/table_client.h:350-354). Spark sessions, by contrast,
+    carry reader-critical confs (``spark.sql.legacy.parquet.nanosAsLong``
+    for the fixtures' TIMESTAMP(NANOS) columns, session time zone, Arrow
+    execution). Any entry point that receives a foreign session — the
+    driver harness passes its own — must call this before reading parquet.
+    All of these are runtime-settable SQL confs; failures on a restricted
+    session are tolerated per-conf rather than aborting.
+    """
+    confs = dict(_RUNTIME_CONFS)
+    # A foreign session defaults to 200 shuffle partitions — far too many
+    # for local[N]; size to the core budget (cluster deployments should
+    # instead set 2-3× total cores, see get_spark docstring).
+    confs["spark.sql.shuffle.partitions"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for k, v in confs.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def get_spark(
     app_name: str = "ytsaurus_spark",
     master: str | None = None,
