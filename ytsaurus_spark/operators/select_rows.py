@@ -3,21 +3,36 @@
 The reference's primary interactive API is
 ``SelectRows("a, sum(b) FROM [//path/t] WHERE c > 1 GROUP BY a ...")``
 (ISelectRowsClient, yt/yt/client/api/dynamic_table_client.h:110; grammar
-yt/yt/library/query/base/parser.ypp:244-268). QL differs from SQL in shape:
+yt/yt/library/query/base/parser.ypp:244-268, lexer lexer.rl6). QL differs
+from SQL in shape:
 
 - no leading SELECT keyword — the query begins with the projection;
 - table refs are bracketed Cypress paths ``[//home/t]``;
 - ``ORDER BY`` REQUIRES ``LIMIT`` (query_preparer.cpp:1136 — top-k only);
-- a small builtin function set with QL names (is_prefix, if_null, ...).
+- clause order is ``OFFSET n LIMIT m``;
+- ``GROUP BY ... WITH TOTALS`` emits a grand-total row;
+- ``[LEFT] ARRAY JOIN expr AS alias, ...`` flattens list columns in
+  parallel (zip semantics — ast.h:485-502, parser.ypp:389-393);
+- ``FROM [//t] WITH INDEX [//idx]`` routes the scan through a secondary
+  index table (parser.ypp:360-369,
+  yt/yt/library/query/secondary_index/transform.h:12);
+- ``{name}`` placeholders are substituted from a value map
+  (lexer.rl6:88, query_preparer.cpp:494 ConvertYsonPlaceholdersToQueryLiterals);
+- ``JOIN ... USING a, b`` takes a bare identifier list (no parens);
+- ``#`` is the null literal (YSON entity), ``123u`` an unsigned literal;
+- a builtin function set with QL names
+  (yt/yt/library/query/base/builtin_function_registry.cpp).
 
-This is a *translator*, not an interpreter: the output string goes to
-``spark.sql`` so Catalyst plans it — nothing here executes rows. Function
-renames happen only at word boundaries outside string literals.
+This is a *translator*, not an interpreter: the input is tokenized (so
+string literals are never rewritten), the token stream is restructured
+into ANSI SQL, and the output string goes to ``spark.sql`` so Catalyst
+plans it — nothing here executes rows.
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -26,147 +41,573 @@ class QLSyntaxError(ValueError):
     pass
 
 
-# QL builtin name -> Spark SQL function (registry
-# yt/yt/library/query/base/builtin_function_registry.cpp). Only renames are
-# listed; same-name functions (lower, length, concat, coalesce, if, ...)
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<STR>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
+    | (?P<TABLE>\[\s*//[^\]]+\])
+    | (?P<PLACEHOLDER>\{[A-Za-z_][A-Za-z_0-9]*\})
+    | (?P<NUM>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[uU]\b)?)
+    | (?P<IDENT>[A-Za-z_][A-Za-z_0-9]*|`[^`]+`)
+    | (?P<PUNCT><=|>=|!=|<>|\|\||<<|>>|[-+*/%(),.<>=\#&|~\[\]])
+    | (?P<WS>\s+)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str  # STR NUM IDENT PUNCT TABLE PLACEHOLDER RAW
+    text: str
+
+    def is_kw(self, *words: str) -> bool:
+        return self.kind == "IDENT" and self.text.lower() in words
+
+
+def _tokenize(q: str) -> list[Tok]:
+    out: list[Tok] = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            raise QLSyntaxError(f"cannot tokenize QL at: {q[pos:pos + 30]!r}")
+        kind = m.lastgroup
+        text = m.group()
+        pos = m.end()
+        if kind == "WS":
+            continue
+        if kind == "NUM" and text[-1] in "uU":
+            text = text[:-1]  # unsigned suffix: value is the same digits
+        if kind == "PUNCT" and text == "#":
+            # YSON entity literal = null
+            kind, text = Tok("IDENT", "NULL").kind, "NULL"
+        out.append(Tok(kind, text))
+    return out
+
+
+def _render(tokens: list[Tok]) -> str:
+    s = ""
+    for t in tokens:
+        txt = t.text
+        if s and txt not in ("(", ")", ",", ".") and not s.endswith(("(", ".")):
+            s += " "
+        s += txt
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Builtin function surface
+# (yt/yt/library/query/base/builtin_function_registry.cpp)
+# ---------------------------------------------------------------------------
+
+# Plain renames: QL name -> Spark SQL function of identical arity/arg-order.
+# Same-name functions (lower, length, concat, coalesce, if, greatest, ...)
 # pass through untouched.
 _FN_RENAMES: dict[str, str] = {
     "is_null": "isnull",
     "if_null": "ifnull",
     "is_nan": "isnan",
-    "is_substr": "__ql_is_substr",      # arg swap handled below
-    "is_prefix": "__ql_is_prefix",
     "farm_hash": "xxhash64",
+    "bigb_hash": "xxhash64",
     "cardinality": "approx_count_distinct",
     "argmin": "min_by",
     "argmax": "max_by",
     "numeric_to_string": "string",
     "parse_int64": "bigint",
     "parse_double": "double",
-    "regex_partial_match": "__ql_regex_partial",
-    "regex_replace_all": "__ql_regex_replace_all",
     "format_timestamp": "date_format",
-    "timestamp_floor_hour": "__ql_floor_hour",
-    "timestamp_floor_day": "__ql_floor_day",
-    "timestamp_floor_week": "__ql_floor_week",
-    "timestamp_floor_month": "__ql_floor_month",
-    "timestamp_floor_year": "__ql_floor_year",
+    "format_timestamp_localtime": "date_format",  # engine runs UTC
+    "list_contains": "array_contains",
+    "list_has_intersection": "arrays_overlap",
+    "make_list": "array",
+    "make_map": "map",
 }
 
-# Two-arg helpers where QL argument order differs from the Spark builtin.
-# Rewritten as SQL lambdas at translation time (still fully Catalyst-planned).
-_HELPER_EXPANSIONS: dict[str, str] = {
-    "__ql_is_substr": "contains({1}, {0})",
-    "__ql_is_prefix": "startswith({1}, {0})",
-    "__ql_regex_partial": "({1} rlike {0})",
-    "__ql_regex_replace_all": "regexp_replace({1}, {0}, {2})",
-    "__ql_floor_hour": "date_trunc('hour', {0})",
-    "__ql_floor_day": "date_trunc('day', {0})",
-    "__ql_floor_week": "date_trunc('week', {0})",
-    "__ql_floor_month": "date_trunc('month', {0})",
-    "__ql_floor_year": "date_trunc('year', {0})",
+# Templated expansions where QL arg order/semantics differ from any single
+# Spark builtin. Rewritten at translation time into pure-SQL expressions —
+# still fully Catalyst-planned, no Python at execution.
+# {0},{1},... are the QL call's arguments (already translated).
+_HELPERS: dict[str, str] = {
+    # string helpers: QL puts the needle first (registry "is_substr").
+    "is_substr": "contains({1}, {0})",
+    "is_prefix": "startswith({1}, {0})",
+    # re2 family: pattern first (registry regex_*).
+    "regex_partial_match": "({1} rlike {0})",
+    "regex_full_match": "({1} rlike concat('^(?:', {0}, ')$'))",
+    "regex_replace_all": "regexp_replace({1}, {0}, {2})",
+    # replace-first: locate the first match, splice the rewritten match.
+    "regex_replace_first": (
+        "(case when regexp_instr({1}, {0}) = 0 then {1} else concat("
+        "substr({1}, 1, regexp_instr({1}, {0}) - 1), "
+        "regexp_replace(regexp_extract({1}, {0}, 0), {0}, {2}), "
+        "substr({1}, regexp_instr({1}, {0}) + length(regexp_extract({1}, {0}, 0)))"
+        ") end)"
+    ),
+    # RE2::Extract: first match rewritten through the template.
+    "regex_extract": "regexp_replace(regexp_extract({1}, {0}, 0), {0}, {2})",
+    # RE2::QuoteMeta equivalent.
+    "regex_escape": r"regexp_replace({0}, '([.^$|()\\[\\]{{}}*+?\\\\])', r'\\$1')",
+    "timestamp_floor_hour": "date_trunc('hour', {0})",
+    "timestamp_floor_day": "date_trunc('day', {0})",
+    "timestamp_floor_week": "date_trunc('week', {0})",
+    "timestamp_floor_month": "date_trunc('month', {0})",
+    "timestamp_floor_year": "date_trunc('year', {0})",
+    "timestamp_floor_hour_localtime": "date_trunc('hour', {0})",
+    "timestamp_floor_day_localtime": "date_trunc('day', {0})",
+    "timestamp_floor_week_localtime": "date_trunc('week', {0})",
+    "timestamp_floor_month_localtime": "date_trunc('month', {0})",
+    "timestamp_floor_year_localtime": "date_trunc('year', {0})",
+    # uint64 discipline: DECIMAL(20,0) carries the full unsigned range.
+    "parse_uint64": "cast({0} as decimal(20,0))",
+    # format_guid(id_hi, id_lo): lo-hi halves as 4 dash-separated lowercase
+    # hex components without leading zeros (engine/udf/format_guid.c).
+    "format_guid": (
+        "concat_ws('-', "
+        "lower(hex(shiftrightunsigned(cast({1} as bigint), 32))), "
+        "lower(hex(cast({1} as bigint) & 4294967295)), "
+        "lower(hex(shiftrightunsigned(cast({0} as bigint), 32))), "
+        "lower(hex(cast({0} as bigint) & 4294967295)))"
+    ),
+    "is_finite": "(not isnan({0}) and abs({0}) <> double('Infinity'))",
+    # YSON Any getters: Any columns are JSON strings here; a /a/b ypath
+    # becomes a $.a.b JSON path (literal paths converted below, including
+    # /list/0 indexes). get_* and try_get_* share semantics in this
+    # engine: both yield NULL on a missing path (Spark expressions don't
+    # raise per-row); the reference's get_* would error instead.
+    "get_int64": "cast(get_json_object({0}, {path1}) as bigint)",
+    "try_get_int64": "cast(get_json_object({0}, {path1}) as bigint)",
+    "get_uint64": "cast(get_json_object({0}, {path1}) as decimal(20,0))",
+    "try_get_uint64": "cast(get_json_object({0}, {path1}) as decimal(20,0))",
+    "get_double": "cast(get_json_object({0}, {path1}) as double)",
+    "try_get_double": "cast(get_json_object({0}, {path1}) as double)",
+    "get_boolean": "cast(get_json_object({0}, {path1}) as boolean)",
+    "try_get_boolean": "cast(get_json_object({0}, {path1}) as boolean)",
+    "get_string": "get_json_object({0}, {path1})",
+    "try_get_string": "get_json_object({0}, {path1})",
+    "get_any": "get_json_object({0}, {path1})",
+    "try_get_any": "get_json_object({0}, {path1})",
+    "ypath_get": "get_json_object({0}, {path1})",
+    # Any <-> string casts are identity on the JSON representation.
+    "to_any": "({0})",
+    "yson_string_to_any": "({0})",
+    "any_to_yson_string": "({0})",
+    "make_entity": "NULL",
+    "yson_length": (
+        "coalesce(json_array_length({0}), size(json_object_keys({0})))"
+    ),
 }
 
-_TABLE_REF = re.compile(r"\[(//[^\]]+)\]")
-_ORDER_BY = re.compile(r"\border\s+by\b", re.IGNORECASE)
-_LIMIT = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
-# GROUP BY a, b WITH TOTALS → GROUP BY ROLLUP(a, b)'s grand-total row is the
-# WITH TOTALS row; QL's BeforeHaving mode matches rollup-then-having.
-_GROUP_TOTALS = re.compile(
-    r"\bgroup\s+by\s+(.*?)\s+with\s+totals\b", re.IGNORECASE | re.DOTALL
-)
-# QL clause order is OFFSET n LIMIT m (parser.ypp:488-503); SQL wants
-# LIMIT m OFFSET n.
-_OFFSET_LIMIT = re.compile(
-    r"\boffset\s+(\d+)\s+limit\s+(\d+)\b", re.IGNORECASE
-)
+_REWRITE_GROUP_REF = re.compile(r"\\\\(\d)|\\(\d)")
 
 
-def _split_literals(s: str) -> list[tuple[bool, str]]:
-    """Split into (is_literal, chunk) so rewrites never touch quoted text."""
-    out: list[tuple[bool, str]] = []
-    buf, i, n = [], 0, len(s)
-    while i < n:
-        ch = s[i]
-        if ch in ("'", '"'):
-            if buf:
-                out.append((False, "".join(buf)))
-                buf = []
-            j = i + 1
-            while j < n and s[j] != ch:
-                j += 2 if s[j] == "\\" else 1
-            out.append((True, s[i : min(j + 1, n)]))
-            i = j + 1
-        else:
-            buf.append(ch)
+def _re2_rewrite_to_java(literal: str) -> str:
+    """Convert an RE2 rewrite template literal (``\\1``) to Java's ``$1``."""
+    body = literal[1:-1]
+    body = _REWRITE_GROUP_REF.sub(lambda m: "$" + (m.group(1) or m.group(2)), body)
+    return literal[0] + body + literal[0]
+
+
+def _ypath_to_json_path(arg: str) -> str:
+    """``'/a/b/0'`` ypath literal → ``'$.a.b[0]'`` JSON path. Non-literal
+    args fall back to a runtime string rewrite (no list-index support)."""
+    s = arg.strip()
+    if len(s) >= 2 and s[0] in "'\"" and s[-1] == s[0]:
+        parts = [p for p in s[1:-1].split("/") if p]
+        out = "$"
+        for p in parts:
+            out += f"[{p}]" if p.isdigit() else f".{p}"
+        return f"'{out}'"
+    return f"concat('$', replace({s}, '/', '.'))"
+
+
+def _apply_helper(name: str, args: list[str]) -> str:
+    template = _HELPERS[name]
+    kwargs = {}
+    if "{path1}" in template:
+        if len(args) < 2:
+            raise QLSyntaxError(f"{name} expects (any, path) arguments")
+        kwargs["path1"] = _ypath_to_json_path(args[1])
+    if name in ("regex_replace_all", "regex_replace_first", "regex_extract"):
+        if len(args) != 3:
+            raise QLSyntaxError(f"{name} expects 3 arguments")
+        r = args[2].strip()
+        if len(r) >= 2 and r[0] in "'\"" and r[-1] == r[0]:
+            args = [args[0], args[1], _re2_rewrite_to_java(r)]
+    try:
+        return template.format(*args, **kwargs)
+    except IndexError:
+        raise QLSyntaxError(f"wrong argument count for {name}({', '.join(args)})")
+
+
+# ---------------------------------------------------------------------------
+# Structural passes (token level)
+# ---------------------------------------------------------------------------
+
+
+def _find_kw(tokens: list[Tok], *words: str, start: int = 0) -> int:
+    """Index of the first depth-0 occurrence of a keyword, or -1."""
+    depth = 0
+    for i in range(start, len(tokens)):
+        t = tokens[i]
+        if t.kind == "PUNCT":
+            depth += t.text == "("
+            depth -= t.text == ")"
+        elif depth == 0 and t.is_kw(*words):
+            return i
+    return -1
+
+
+def _parse_call_args(tokens: list[Tok], open_idx: int) -> tuple[list[list[Tok]], int]:
+    """Args of a call whose ``(`` is at open_idx → (arg token lists, index
+    one past the ``)``). Comma splits only at depth 0 — string literals are
+    single tokens, so quoted commas can never split an argument."""
+    assert tokens[open_idx].text == "("
+    depth, i, args, cur = 1, open_idx + 1, [], []
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == "PUNCT" and t.text == "(":
+            depth += 1
+        elif t.kind == "PUNCT" and t.text == ")":
+            depth -= 1
+            if depth == 0:
+                if cur or args:
+                    args.append(cur)
+                return args, i + 1
+        elif t.kind == "PUNCT" and t.text == "," and depth == 1:
+            args.append(cur)
+            cur = []
             i += 1
-    if buf:
-        out.append((False, "".join(buf)))
+            continue
+        cur.append(t)
+        i += 1
+    raise QLSyntaxError("unbalanced parentheses in QL query")
+
+
+def _expand_functions(tokens: list[Tok]) -> list[Tok]:
+    """Rename registry functions and expand templated helpers, innermost
+    args first."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+        if (
+            t.kind == "IDENT"
+            and nxt is not None
+            and nxt.kind == "PUNCT"
+            and nxt.text == "("
+        ):
+            low = t.text.lower()
+            if low in _HELPERS:
+                raw_args, j = _parse_call_args(tokens, i + 1)
+                args = [_render(_expand_functions(a)) for a in raw_args]
+                out.append(Tok("RAW", _apply_helper(low, args)))
+                i = j
+                continue
+            if low in _FN_RENAMES:
+                out.append(Tok("IDENT", _FN_RENAMES[low]))
+                i += 1
+                continue
+        out.append(t)
+        i += 1
     return out
 
 
-def _rewrite_helpers(sql: str) -> str:
-    """Expand __ql_* helper calls with positional args into Spark exprs."""
-    for name, template in _HELPER_EXPANSIONS.items():
-        while True:
-            idx = sql.find(name + "(")
-            if idx < 0:
+_CLAUSE_KWS = ("where", "group", "having", "order", "limit", "offset")
+_JOIN_BOUNDARY = _CLAUSE_KWS + ("left", "join", "array")
+
+
+def _rewrite_array_joins(tokens: list[Tok]) -> list[Tok]:
+    """``[LEFT] ARRAY JOIN e1 AS a1, e2 AS a2`` → LATERAL VIEW.
+
+    Single array: ``LATERAL VIEW [OUTER] explode(e1) __aj AS a1``.
+    Multiple arrays flatten in parallel (zip, null-padded — the
+    reference's TArrayJoin, ast.h:485-502): positional-explode the first
+    array and substitute every later alias with
+    ``element_at(eK, __aj_pos + 1)`` (NULL past the end, matching the
+    reference's padding).
+    """
+    while True:
+        aj = _find_kw(tokens, "array")
+        if aj < 0 or not (aj + 1 < len(tokens) and tokens[aj + 1].is_kw("join")):
+            return tokens
+        is_left = aj > 0 and tokens[aj - 1].is_kw("left")
+        start = aj - 1 if is_left else aj
+        # collect "expr AS alias" pairs up to the next clause boundary
+        i = aj + 2
+        pairs: list[tuple[list[Tok], str]] = []
+        cur: list[Tok] = []
+        depth = 0
+        alias: str | None = None
+        end = len(tokens)
+        while i < len(tokens):
+            t = tokens[i]
+            if t.kind == "PUNCT":
+                depth += t.text == "("
+                depth -= t.text == ")"
+            if depth == 0 and t.is_kw(*_JOIN_BOUNDARY):
+                end = i
                 break
-            depth, j, args, cur = 0, idx + len(name) + 1, [], []
-            while j < len(sql):
-                c = sql[j]
-                if c == "(":
-                    depth += 1
-                elif c == ")":
-                    if depth == 0:
-                        args.append("".join(cur).strip())
-                        break
-                    depth -= 1
-                elif c == "," and depth == 0:
-                    args.append("".join(cur).strip())
-                    cur = []
-                    j += 1
-                    continue
-                cur.append(c)
-                j += 1
-            sql = sql[:idx] + template.format(*args) + sql[j + 1 :]
-    return sql
+            if depth == 0 and t.is_kw("as"):
+                if i + 1 >= len(tokens) or tokens[i + 1].kind != "IDENT":
+                    raise QLSyntaxError("ARRAY JOIN: expected alias after AS")
+                alias = tokens[i + 1].text
+                i += 2
+                continue
+            if depth == 0 and t.kind == "PUNCT" and t.text == ",":
+                if alias is None:
+                    raise QLSyntaxError(
+                        "ARRAY JOIN requires 'expr AS alias' form in the "
+                        "string surface (bare column flattening would shadow "
+                        "the source column)"
+                    )
+                pairs.append((cur, alias))
+                cur, alias = [], None
+                i += 1
+                continue
+            cur.append(t)
+            i += 1
+        if alias is None:
+            raise QLSyntaxError("ARRAY JOIN requires 'expr AS alias' form")
+        pairs.append((cur, alias))
+
+        outer = "OUTER " if is_left else ""
+        first_expr = _render(pairs[0][0])
+        if len(pairs) == 1:
+            clause = f"LATERAL VIEW {outer}explode({first_expr}) __aj AS {pairs[0][1]}"
+            subst: dict[str, str] = {}
+        else:
+            clause = (
+                f"LATERAL VIEW {outer}posexplode({first_expr}) __aj "
+                f"AS __aj_pos, {pairs[0][1]}"
+            )
+            # try_element_at: NULL past the end (ANSI-safe null padding)
+            subst = {
+                al: f"try_element_at({_render(expr)}, __aj_pos + 1)"
+                for expr, al in pairs[1:]
+            }
+        new = tokens[:start] + [Tok("RAW", clause)] + tokens[end:]
+        if subst:
+            replaced: list[Tok] = []
+            for k, t in enumerate(new):
+                if (
+                    t.kind == "IDENT"
+                    and t.text in subst
+                    and not (k > 0 and new[k - 1].is_kw("as"))
+                ):
+                    t = Tok("RAW", subst[t.text])
+                replaced.append(t)
+            new = replaced
+        tokens = new
 
 
-def translate_ql(query: str, table_resolver=None) -> str:
-    """QL query string → Spark SQL string."""
-    q = query.strip()
-    # ORDER BY requires LIMIT — same error the reference raises
-    # (query_preparer.cpp:1136: "ORDER BY used without LIMIT").
-    if _ORDER_BY.search(q) and not _LIMIT.search(q):
-        raise QLSyntaxError("ORDER BY used without LIMIT in QL query")
+def _rewrite_with_index(tokens: list[Tok], schema_fn) -> list[Tok]:
+    """``FROM t WITH INDEX idx`` → ``FROM t JOIN idx USING (<shared cols>)``.
 
-    def resolve(m: re.Match) -> str:
-        path = m.group(1)
+    The shared columns of a FullSync index projection are exactly the
+    index's columns (indexed cols + primary key), so an inner equi-join on
+    all of them reproduces the reference's index rewrite
+    (TransformWithIndexStatement, secondary_index/transform.cpp) while
+    letting Catalyst push indexed-column predicates into BOTH scans —
+    the index table prunes IO the same way index tablets do.
+    """
+    wi = _find_kw(tokens, "with")
+    while wi >= 0:
+        if wi + 1 < len(tokens) and tokens[wi + 1].is_kw("index"):
+            break
+        wi = _find_kw(tokens, "with", start=wi + 1)
+    else:
+        return tokens
+    if wi < 0:
+        return tokens
+    if wi + 2 >= len(tokens):
+        raise QLSyntaxError("WITH INDEX: missing index table")
+    base = tokens[wi - 1]
+    idx = tokens[wi + 2]
+    if schema_fn is None:
+        raise QLSyntaxError(
+            "WITH INDEX requires schema information; pass a catalog/session "
+            "to select_rows"
+        )
+    base_cols = set(schema_fn(base.text))
+    shared = [c for c in schema_fn(idx.text) if c in base_cols]
+    if not shared:
+        raise QLSyntaxError(
+            f"WITH INDEX: index {idx.text} shares no columns with {base.text}"
+        )
+    joined = f"{base.text} JOIN {idx.text} USING ({', '.join(shared)})"
+    return tokens[: wi - 1] + [Tok("RAW", joined)] + tokens[wi + 3 :]
+
+
+def _rewrite_using(tokens: list[Tok]) -> list[Tok]:
+    """QL ``JOIN t USING a, b`` (bare identifier list, parser.ypp:380) →
+    SQL ``USING (a, b)``."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("using") and i + 1 < len(tokens) and tokens[i + 1].kind == "IDENT":
+            cols = [tokens[i + 1].text]
+            j = i + 2
+            while (
+                j + 1 < len(tokens)
+                and tokens[j].kind == "PUNCT"
+                and tokens[j].text == ","
+                and tokens[j + 1].kind == "IDENT"
+                and not tokens[j + 1].is_kw(*_CLAUSE_KWS, "left", "join", "array", "on")
+            ):
+                cols.append(tokens[j + 1].text)
+                j += 2
+            out.append(Tok("RAW", f"USING ({', '.join(cols)})"))
+            i = j
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_totals(tokens: list[Tok]) -> list[Tok]:
+    """``GROUP BY keys WITH TOTALS`` → ``GROUP BY ROLLUP(keys)`` — the
+    rollup grand-total row is QL's TOTALS row (BeforeHaving mode)."""
+    g = _find_kw(tokens, "group")
+    if g < 0:
+        return tokens
+    # find WITH TOTALS at depth 0 after the group list
+    wt = -1
+    i = g + 1
+    depth = 0
+    while i < len(tokens) - 1:
+        t = tokens[i]
+        if t.kind == "PUNCT":
+            depth += t.text == "("
+            depth -= t.text == ")"
+        if depth == 0 and t.is_kw("with") and tokens[i + 1].is_kw("totals"):
+            wt = i
+            break
+        if depth == 0 and t.is_kw("having", "order", "limit", "offset"):
+            break
+        i += 1
+    if wt < 0:
+        return tokens
+    if not tokens[g + 1].is_kw("by"):
+        raise QLSyntaxError("GROUP must be followed by BY")
+    keys = _render(tokens[g + 2 : wt])
+    return tokens[:g] + [Tok("RAW", f"GROUP BY ROLLUP({keys})")] + tokens[wt + 2 :]
+
+
+def _rewrite_offset_limit(tokens: list[Tok]) -> list[Tok]:
+    """QL clause order ``OFFSET n LIMIT m`` (parser.ypp:488-503) → SQL
+    ``LIMIT m OFFSET n``."""
+    o = _find_kw(tokens, "offset")
+    if o < 0:
+        return tokens
+    lim = _find_kw(tokens, "limit", start=o)
+    if lim != o + 2:
+        return tokens
+    n, m = tokens[o + 1], tokens[lim + 1]
+    return (
+        tokens[:o]
+        + [Tok("RAW", f"LIMIT {m.text} OFFSET {n.text}")]
+        + tokens[lim + 2 :]
+    )
+
+
+def _substitute_placeholders(tokens: list[Tok], values: dict | None) -> list[Tok]:
+    out = []
+    for t in tokens:
+        if t.kind != "PLACEHOLDER":
+            out.append(t)
+            continue
+        name = t.text[1:-1]
+        if values is None or name not in values:
+            raise QLSyntaxError(f"no value supplied for placeholder {{{name}}}")
+        out.append(Tok("RAW", _to_sql_literal(values[name])))
+    return out
+
+
+def _to_sql_literal(v) -> str:
+    """Placeholder value → SQL literal. Scalars and flat lists only, the
+    same restriction as the reference (query_preparer.cpp:529: "values
+    should be plain types or lists")."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(_to_sql_literal(x) for x in v) + ")"
+    raise QLSyntaxError(f"unsupported placeholder value type: {type(v).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+
+def translate_ql(
+    query: str,
+    table_resolver=None,
+    placeholder_values: dict | None = None,
+    schema_fn=None,
+) -> str:
+    """QL query string → Spark SQL string.
+
+    ``table_resolver(path)`` maps a Cypress path to a view name (default:
+    basename). ``schema_fn(view_name)`` returns column names — required
+    only for ``WITH INDEX``. ``placeholder_values`` supplies ``{name}``
+    literals.
+    """
+    tokens = _tokenize(query.strip())
+
+    def resolve(path: str) -> str:
         if table_resolver:
             return table_resolver(path)
-        return path.rsplit("/", 1)[-1]  # basename = registered view name
+        return path.rsplit("/", 1)[-1]
 
-    chunks = []
-    for is_lit, chunk in _split_literals(q):
-        if is_lit:
-            chunks.append(chunk)
-            continue
-        chunk = _TABLE_REF.sub(resolve, chunk)
-        for ql_name, spark_name in _FN_RENAMES.items():
-            chunk = re.sub(rf"\b{ql_name}\s*\(", spark_name + "(", chunk)
-        chunks.append(chunk)
-    sql = "".join(chunks)
-    sql = _GROUP_TOTALS.sub(lambda m: f"GROUP BY ROLLUP({m.group(1)})", sql)
-    sql = _OFFSET_LIMIT.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
-    sql = _rewrite_helpers(sql)
+    tokens = [
+        Tok("IDENT", resolve(t.text.strip()[1:-1].strip())) if t.kind == "TABLE" else t
+        for t in tokens
+    ]
+    tokens = _substitute_placeholders(tokens, placeholder_values)
+
+    # ORDER BY requires LIMIT — the same error the reference raises
+    # (query_preparer.cpp:1136: "ORDER BY used without LIMIT").
+    if _find_kw(tokens, "order") >= 0 and _find_kw(tokens, "limit") < 0:
+        raise QLSyntaxError("ORDER BY used without LIMIT in QL query")
+
+    tokens = _rewrite_with_index(tokens, schema_fn)
+    tokens = _rewrite_array_joins(tokens)
+    tokens = _rewrite_using(tokens)
+    tokens = _rewrite_totals(tokens)
+    tokens = _rewrite_offset_limit(tokens)
+    tokens = _expand_functions(tokens)
+
+    sql = _render(tokens)
     if not re.match(r"^\s*select\b", sql, re.IGNORECASE):
         sql = "SELECT " + sql
     return sql
 
 
-def select_rows(spark: SparkSession, query: str, table_resolver=None) -> DataFrame:
+def select_rows(
+    spark: SparkSession,
+    query: str,
+    table_resolver=None,
+    placeholder_values: dict | None = None,
+) -> DataFrame:
     """Run a QL query string. Tables must be registered as temp views (the
     catalog's register_all does this); ``[//any/path/name]`` resolves to the
     view ``name`` unless a custom resolver is given."""
-    return spark.sql(translate_ql(query, table_resolver))
+    sql = translate_ql(
+        query,
+        table_resolver,
+        placeholder_values,
+        schema_fn=lambda name: spark.table(name).columns,
+    )
+    return spark.sql(sql)

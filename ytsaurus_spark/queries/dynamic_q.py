@@ -137,3 +137,175 @@ def dyn_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.filter(F.col("o_totalprice") > 200000).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+# --- QL string surface round 2: full grammar -------------------------------
+# (parser.ypp join-clause/with-index-clause/placeholders; see
+#  operators/select_rows.py module docstring for the grammar mapping)
+
+
+@register(
+    "ql_sr_array_join",
+    """
+    SELECT vec_id, round(CAST(UNNEST(embedding) AS DOUBLE), 4) AS e
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def ql_sr_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY JOIN clause in string form (parser.ypp:389-393) → LATERAL
+    VIEW explode, planned by Catalyst (Generate node, no Python)."""
+    load_tables(spark, sf_dir)
+    return select_rows(
+        spark,
+        "vec_id, round(double(emb), 4) AS e "
+        "FROM [//home/vectors/embeddings] "
+        "ARRAY JOIN embedding AS emb "
+        "WHERE vec_id < 100",
+    )
+
+
+@register(
+    "ql_sr_array_join_zip",
+    """
+    SELECT vec_id,
+           round(CAST(UNNEST(embedding) AS DOUBLE), 4) AS e1,
+           round(CAST(UNNEST(embedding[2:]) AS DOUBLE), 4) AS e2
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def ql_sr_array_join_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-array ARRAY JOIN zips arrays in parallel with null padding
+    (TArrayJoin flattens columns positionally, ast.h:485-502) — translated
+    to posexplode + try_element_at, all JVM-side."""
+    load_tables(spark, sf_dir)
+    return select_rows(
+        spark,
+        "vec_id, round(double(e1), 4) AS e1, round(double(e2), 4) AS e2 "
+        "FROM [//home/vectors/embeddings] "
+        "ARRAY JOIN embedding AS e1, slice(embedding, 2, 100000) AS e2 "
+        "WHERE vec_id < 50",
+    )
+
+
+@register(
+    "ql_sr_with_index",
+    """
+    SELECT event_id, user_id FROM events
+    WHERE event_type = 'purchase' AND value > 50
+    """,
+)
+def ql_sr_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH INDEX in string form (with-index-clause, parser.ypp:360-369):
+    the scan routes through a FullSync index view; Catalyst pushes the
+    indexed-column predicate into both scans (the reference's index-tablet
+    IO pruning, secondary_index/transform.cpp)."""
+    cat = load_tables(spark, sf_dir)
+    idx = build_index(cat.read("events"), ["event_type"], ["event_id"])
+    idx.createOrReplaceTempView("events_by_type")
+    return select_rows(
+        spark,
+        "event_id, user_id FROM [//home/ev/events] "
+        "WITH INDEX [//home/ev/events_by_type] "
+        "WHERE event_type = 'purchase' AND value > 50",
+    )
+
+
+@register(
+    "ql_sr_placeholders",
+    """
+    SELECT event_id, round(value, 3) AS v FROM events
+    WHERE event_type IN ('click', 'purchase')
+          AND user_id >= 500 AND value > 90.0
+    """,
+)
+def ql_sr_placeholders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{name} placeholder literals (lexer.rl6:88; values map per
+    query_preparer.cpp:494 — plain types or lists only)."""
+    load_tables(spark, sf_dir)
+    return select_rows(
+        spark,
+        "event_id, round(value, 3) AS v FROM [//home/ev/events] "
+        "WHERE event_type IN {types} AND user_id >= {min_user} "
+        "AND value > {threshold}",
+        placeholder_values={
+            "types": ["click", "purchase"],
+            "min_user": 500,
+            "threshold": 90.0,
+        },
+    )
+
+
+@register(
+    "ql_sr_regex",
+    """
+    SELECT doc_id,
+           regexp_extract(source, '^src([0-9]+)$', 1) AS srcnum,
+           regexp_full_match(source, 'src1[0-9]') AS is_teen,
+           regexp_replace(lang, '[aeiou]', '_') AS l1
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def ql_sr_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """re2 registry functions in string form: regex_extract (RE2::Extract
+    rewrite templates, \\1 group refs), regex_full_match (anchored), and
+    regex_replace_first (DuckDB's regexp_replace is first-match-only, the
+    exact oracle)."""
+    load_tables(spark, sf_dir)
+    return select_rows(
+        spark,
+        "doc_id, "
+        "regex_extract('^src([0-9]+)$', source, '\\\\1') AS srcnum, "
+        "regex_full_match('src1[0-9]', source) AS is_teen, "
+        "regex_replace_first('[aeiou]', lang, '_') AS l1 "
+        "FROM [//home/docs/documents] WHERE doc_id < 200",
+    )
+
+
+@register(
+    "ql_sr_parse_format",
+    """
+    SELECT event_id,
+           CAST(CAST(event_id AS VARCHAR) AS DECIMAL(20,0)) AS u,
+           printf('%x-%x-%x-%x',
+                  user_id >> 32, user_id & 4294967295,
+                  event_id >> 32, event_id & 4294967295) AS guid
+    FROM events WHERE event_id < 100
+    """,
+)
+def ql_sr_parse_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_uint64 (uint64 discipline → DECIMAL(20,0)) and
+    format_guid(id_hi, id_lo) (dash-separated lowercase hex halves,
+    engine/udf/format_guid.c) in string form."""
+    load_tables(spark, sf_dir)
+    return select_rows(
+        spark,
+        "event_id, "
+        "parse_uint64(numeric_to_string(event_id)) AS u, "
+        "format_guid(event_id, user_id) AS guid "
+        "FROM [//home/ev/events] WHERE event_id < 100",
+    )
+
+
+@register(
+    "ql_sr_any_getters",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing.path') AS m
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def ql_sr_any_getters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YSON Any ypath getters in string form (get_int64/try_get_string,
+    builtin_function_registry.cpp:319-330): /a/b ypaths → JSON paths over
+    the Any(JSON) column."""
+    load_tables(spark, sf_dir)
+    return select_rows(
+        spark,
+        "event_id, "
+        "get_int64(props, '/k') AS k, "
+        "try_get_string(props, '/missing/path') AS m "
+        "FROM [//home/ev/events] "
+        "WHERE get_int64(props, '/k') > 90",
+    )

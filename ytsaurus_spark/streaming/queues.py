@@ -72,13 +72,30 @@ def pull_and_advance(
     consumer: QueueConsumer,
     row_index_col: str,
     max_rows: int,
+    partition_col: str | None = None,
     partition: int = 0,
 ) -> DataFrame:
     """PullQueueConsumer + AdvanceConsumer in one step (at-least-once:
-    advance only after the batch is durably processed in real use)."""
+    advance only after the batch is durably processed in real use).
+
+    The consumer advances to ``max(row_index) + 1`` of the rows actually
+    returned — NOT ``start + max_rows`` — so a short pull (fewer rows than
+    requested) never skips indexes that a later producer may still fill;
+    the reference's AdvanceConsumer derives the new offset from rows read
+    (queue_client.h:136-143). On a multi-partition queue, ``partition_col``
+    scopes both the pull and the offset to one partition ($tablet_index)."""
     start = consumer.offset(partition)
-    batch = pull_queue(queue, row_index_col, start, max_rows, partition=partition)
-    consumer.advance(start + max_rows, partition)
+    batch = pull_queue(
+        queue,
+        row_index_col,
+        start,
+        max_rows,
+        partition_col=partition_col,
+        partition=partition,
+    )
+    hi = batch.agg(F.max(row_index_col).alias("hi")).first()["hi"]
+    if hi is not None:
+        consumer.advance(int(hi) + 1, partition)
     return batch
 
 
