@@ -80,7 +80,19 @@ def test_keyed_table_min_max_first_folds(spark):
     )
     row = t2.df.collect()[0]
     assert (row.lo, row.hi) == (5, 99)
-    assert row.fst in (10, 42)  # first(ignorenulls) over unordered union
+    # "first" keeps the FIRST-WRITTEN (stored) value deterministically —
+    # an upsert must never overwrite it (sorted_dynamic_store.cpp:411).
+    assert row.fst == 10
+    # but a stored NULL is filled by the incoming value
+    t_null = KeyedTable(
+        df=spark.createDataFrame([(1, None)], "k bigint, fst bigint"),
+        key_cols=["k"],
+        aggregates={"fst": "first"},
+    )
+    filled = t_null.insert_rows(
+        spark.createDataFrame([(1, 7)], "k bigint, fst bigint")
+    )
+    assert filled.df.collect()[0].fst == 7
 
 
 def test_asof_join_semantics(spark):

@@ -30,6 +30,24 @@ def test_run_map(spark, grp):
     assert rows_set(out) == {(1, 60), (1, 20), (2, 10), (2, 14), (3, 2)}
 
 
+def test_run_map_ordered(spark, tmp_path):
+    # ordered=True must return output in the input DataFrame's own order
+    # (partition id + position), surviving multi-file scans whose partition
+    # packing does not follow file order.
+    path = str(tmp_path / "m.parquet")
+    spark.range(200).select(F.col("id").alias("v")).repartition(7).write.parquet(path)
+    df = spark.read.parquet(path)
+    expected = [r.v * 3 for r in df.collect()]
+
+    def mapper(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"t": pdf["v"] * 3})
+
+    out = mr.run_map(df, mapper, "t bigint", ordered=True)
+    assert [r.t for r in out.collect()] == expected
+    assert out.columns == ["t"]
+
+
 def test_run_reduce_key_guarantee(spark, grp):
     seen_keys = []
 

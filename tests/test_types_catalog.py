@@ -92,6 +92,27 @@ def test_rich_path_parsing():
     assert RichPath.parse("orders").columns is None
 
 
+def test_row_index_range_multi_partition(spark, tmp_path):
+    # [#lo:#hi] must address GLOBAL row indexes even when the parquet scan
+    # has many partitions (regression: monotonically_increasing_id jumps by
+    # 2^33 per partition, so [#50:#100] used to hit only partition 0).
+    root = str(tmp_path)
+    spark.range(100).select(F.col("id").alias("v")).repartition(5).write.parquet(
+        root + "/t.parquet"
+    )
+    cat = Catalog(spark, root, keys={})
+    assert cat.read("t[#10:#20]").count() == 10
+    assert cat.read("t[#50:#100]").count() == 50
+    assert cat.read("t[#95:#200]").count() == 5
+    assert cat.read("t[#0:#100]").count() == 100
+    # [:#n] / [#n:] halves partition the table exactly
+    lo = {r.v for r in cat.read("t[#0:#37]").collect()}
+    hi = {r.v for r in cat.read("t[#37:#100]").collect()}
+    assert len(lo) == 37 and len(hi) == 63 and not (lo & hi)
+    # deterministic: same range twice -> same rows
+    assert lo == {r.v for r in cat.read("t[#0:#37]").collect()}
+
+
 def test_catalog_rich_read_and_stats(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     df = cat.read("lineitem{l_orderkey,l_quantity}")

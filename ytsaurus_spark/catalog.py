@@ -106,6 +106,32 @@ class RichPath:
         return out
 
 
+def _with_global_row_index(df: DataFrame, col: str = "__row_index") -> DataFrame:
+    """Attach a 0-based global row index in scan order.
+
+    monotonically_increasing_id() encodes (partition_id << 33) + local row
+    number, so the local number is the low 33 bits; the global index adds
+    the total row count of all preceding partitions — computed by one
+    count-only pass and broadcast back (the offsets table has one row per
+    partition, never large). Deterministic because both passes plan the
+    same scan splits."""
+    from pyspark.sql import Window
+
+    pid = F.spark_partition_id()
+    mid = F.monotonically_increasing_id()
+    base = df.withColumn("__pid", pid).withColumn(col, mid.bitwiseAND((1 << 33) - 1))
+    counts = base.groupBy("__pid").count()
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("count").over(w), F.lit(0)).alias("__offset")
+    )
+    return (
+        base.join(F.broadcast(offsets), "__pid")
+        .withColumn(col, F.col(col) + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )
+
+
 @dataclass
 class Catalog:
     """Registers every ``<name>.parquet`` under ``root`` as a temp view.
@@ -136,12 +162,14 @@ class Catalog:
         df = self.spark.read.parquet(self.table_path(rp.path))
         df = self._fix_nanos(rp.path, df)
         if rp.lower_row is not None or rp.upper_row is not None:
-            # Row-index addressing on a static table. Monotonic ids are
-            # per-partition-contiguous, matching YT's chunk row indexing;
-            # exact global order only matters for ordered tables, where the
-            # writer must persist an explicit row index column instead.
-            idx = F.monotonically_increasing_id()
-            df = df.withColumn("__row_index", idx)
+            # Row-index addressing on a static table: a TRUE global index.
+            # YT's table row index = sum of preceding chunks' row counts +
+            # in-chunk index (chunk_meta row counts); here the per-partition
+            # row counts play the chunk role: one count-only pre-pass (column
+            # pruned, no shuffle of the data itself), broadcast the offsets,
+            # add the in-partition id. monotonically_increasing_id alone is
+            # NOT usable — its values jump by 2^33 per partition.
+            df = _with_global_row_index(df)
             if rp.lower_row is not None:
                 df = df.filter(F.col("__row_index") >= rp.lower_row)
             if rp.upper_row is not None:

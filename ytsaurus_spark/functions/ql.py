@@ -250,7 +250,15 @@ def dict_sum(map_col) -> Column:
     return F.map_from_entries(F.collect_list(_c(map_col)))
 
 
-def xdelta_first(col) -> Column:
-    """xdelta merges binary patches server-side; first() is the semantic
-    fallback documented in SURVEY §2.1 (no public patch format to honor)."""
-    return F.first(_c(col), ignorenulls=True)
+def xdelta_first(col, order_col=None) -> Column:
+    """xdelta merges binary patches server-side; keeping the first-written
+    value is the semantic fallback documented in SURVEY §2.1 (no public
+    patch format to honor). Pass ``order_col`` (write generation / row
+    index) to make "first" deterministic: the non-null value with the
+    lowest order wins. Without it, falls back to F.first, which Spark does
+    not guarantee to be stable over an unordered groupBy."""
+    c = _c(col)
+    if order_col is None:
+        return F.first(c, ignorenulls=True)
+    pair = F.when(c.isNotNull(), F.struct(_c(order_col).alias("g"), c.alias("v")))
+    return F.min(pair).getField("v")

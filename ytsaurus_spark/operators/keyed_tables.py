@@ -33,8 +33,23 @@ _AGG_FOLDS = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
-    "first": lambda c: F.first(c, ignorenulls=True),
+    # "first" keeps the FIRST-WRITTEN value (sorted_dynamic_store.cpp:411:
+    # the stored value wins; incoming only fills a hole). Resolved
+    # generation-aware in insert_rows — F.first over an unordered groupBy
+    # would be nondeterministic.
+    "first": None,
 }
+
+
+def _first_written(c: str):
+    """Deterministic 'first' fold: the non-null value of the LOWEST
+    generation (stored=0 beats incoming=1); ties inside one incoming batch
+    break by value min, keeping the fold order-independent."""
+    pair = F.when(
+        F.col(c).isNotNull(),
+        F.struct(F.col("__gen").alias("g"), F.col(c).alias("v")),
+    )
+    return F.min(pair).getField("v")
 
 
 @dataclass
@@ -113,7 +128,11 @@ class KeyedTable:
                 if c in self.key_cols:
                     continue
                 if c in self.aggregates:
-                    aggs.append(_AGG_FOLDS[self.aggregates[c]](F.col(c)).alias(c))
+                    fold = self.aggregates[c]
+                    if fold == "first":
+                        aggs.append(_first_written(c).alias(c))
+                    else:
+                        aggs.append(_AGG_FOLDS[fold](F.col(c)).alias(c))
                 else:
                     # newest generation wins for plain columns
                     aggs.append(

@@ -53,14 +53,43 @@ def run_map(
 ) -> DataFrame:
     """Map operation: user function over row batches.
 
-    Mirrors unordered/ordered_controller.cpp map semantics; ``ordered=True``
-    preserves input order within each input split (Spark partitions are
-    already read in file order, so no extra work — the unordered variant is
-    free to re-split for better parallelism).
+    Mirrors unordered/ordered_controller.cpp map semantics. ``ordered=True``
+    ENFORCES global input order in the output: each output batch is tagged
+    with (input partition id, batch sequence, row-in-batch) and the result
+    is range-sorted on that triple — necessary because Spark's file scan
+    packs splits largest-first, so partition order is NOT file order. Costs
+    one range shuffle of the mapper output (the reference's ordered
+    controller pays the same serialization by chaining chunks in order);
+    the unordered variant is shuffle-free and lets Spark re-split freely.
     """
     if ordered:
-        # Keep existing partitioning: no repartition, rely on scan order.
-        return df.mapInPandas(mapper, schema=output_schema)
+        from pyspark import TaskContext
+
+        def _tagged(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            for seq, out in enumerate(mapper(batches)):
+                out = out.copy()
+                out["__pid"] = pid
+                out["__seq"] = seq
+                out["__row"] = range(len(out))
+                yield out
+
+        if isinstance(output_schema, str):
+            tagged_schema: Any = (
+                output_schema + ", __pid int, __seq long, __row long"
+            )
+        else:
+            from pyspark.sql.types import LongType, IntegerType, StructField
+
+            tagged_schema = output_schema.add(
+                StructField("__pid", IntegerType())
+            ).add(StructField("__seq", LongType())).add(
+                StructField("__row", LongType())
+            )
+        mapped = df.mapInPandas(_tagged, schema=tagged_schema)
+        keep = [c for c in mapped.columns if c not in ("__pid", "__seq", "__row")]
+        return mapped.sort("__pid", "__seq", "__row").select(*keep)
     return df.mapInPandas(mapper, schema=output_schema)
 
 
