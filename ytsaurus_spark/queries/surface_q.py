@@ -294,10 +294,23 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# mapInPandas byte-level feature extraction isn't SQL-expressible → no
-# oracle: driver records the weaker rows-only check (documented trade).
-@register("mm_feature_extract", None)
+@register(
+    "mm_feature_extract",
+    """
+    SELECT doc_id AS id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(list_aggregate(list_transform(range(1, strlen(text)+1),
+                i -> ascii(text[i])), 'sum') % 997 AS BIGINT) AS byte_sum_mod,
+           CAST(len(list_filter(list_transform(range(1, least(strlen(text), 256)+1),
+                i -> ascii(text[i])), x -> x < 64)) AS BIGINT) AS head_low_bytes
+    FROM documents
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas byte-level feature extraction, hash-checked: the
+    deterministic features (length / byte-sum mod 997 / low-byte count of
+    the 256-byte head) are reproduced char-wise in the DuckDB oracle —
+    fixture media is utf-8 of ASCII text, so bytes == code points."""
     cat = load_tables(spark, sf_dir)
     media = attach_binary(cat.read("documents"), "text", "doc_id")
     return extract_features(media)
