@@ -15,17 +15,27 @@ implements the core subset as a composition of built-ins:
                extracted with regexp_count / regexp_extract_all.
 
 Supported: concatenation, alternation, quantifiers (* + ? {n,m}) — anything
-Java regex supports over the symbol alphabet. Not supported (documented):
-MEASURES over per-match aggregates, AFTER MATCH SKIP policies other than
-PAST LAST ROW (non-overlapping regex scan), and per-row navigation
-(PREV/NEXT inside DEFINE).
+the regex engine supports over the symbol alphabet. ``match_recognize``
+returns per-key match counts/strings; ``match_recognize_measures`` adds
+MEASURES over each match's row range and AFTER MATCH SKIP policies
+(PAST LAST ROW / TO NEXT ROW — sql_match_recognize.cpp skip modes,
+exec mkql_match_recognize.cpp). Still not supported: per-row navigation
+(PREV/NEXT inside DEFINE) and SKIP TO <symbol>.
 
 Scale: state per partition key is the encoded symbol string (1 byte/row) —
 bounded by per-key sequence length, the same bound the reference's
-streaming matcher carries. The whole pipeline is one groupBy shuffle.
+streaming matcher carries. ``match_recognize`` is one groupBy shuffle;
+``match_recognize_measures`` runs on the SortedReduce shape (repartition +
+sortWithinPartitions + batched mapInPandas) so millions of small keys cost
+one shuffle and a streaming pandas pass, not a Python call per key.
 """
 
 from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -79,3 +89,119 @@ def match_recognize(
             "matches"
         ),
     )
+
+
+#: MEASURES aggregate kinds over a match's row range. ``first``/``last`` are
+#: the row-pattern navigation functions (value at the first/last matched
+#: row); the rest are plain aggregates over the matched rows.
+_MEASURE_KINDS = ("first", "last", "min", "max", "sum", "count", "avg")
+
+
+def _scan_matches(
+    rx: "re.Pattern[str]", s: str, skip: str
+) -> list[tuple[int, int]]:
+    """Left-to-right match scan under an AFTER MATCH SKIP policy.
+
+    - ``past_last_row``: resume after the match (non-overlapping) —
+      the reference's default.
+    - ``to_next_row``: resume at match start + 1 (overlapping matches).
+    """
+    out: list[tuple[int, int]] = []
+    pos = 0
+    while pos <= len(s):
+        m = rx.search(s, pos)
+        if not m:
+            break
+        out.append((m.start(), m.end()))
+        pos = m.start() + 1 if skip == "to_next_row" else max(m.end(), m.start() + 1)
+    return out
+
+
+def match_recognize_measures(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    symbols: list[tuple[str, Column]],
+    pattern: str,
+    measures: dict[str, tuple[str, str | None]],
+    output_schema: str,
+    *,
+    after_match_skip: str = "past_last_row",
+) -> DataFrame:
+    """MATCH_RECOGNIZE with MEASURES and AFTER MATCH SKIP.
+
+    ``measures`` maps output column → (kind, source column); kinds are
+    first/last/min/max/sum/count/avg (count ignores the source column).
+    Every match emits one row: (partition_by..., match_no, classifier,
+    measures...) — ONE ROW PER MATCH semantics. ``output_schema`` is the
+    DDL string for exactly those columns.
+
+    Execution: symbols encode JVM-side; rows shuffle once on the partition
+    key and sort within partitions by (key, order); a streaming pandas pass
+    walks each key's ordered rows, regex-scans the symbol string under the
+    skip policy, and aggregates each match's row slice vectorized.
+    """
+    if after_match_skip not in ("past_last_row", "to_next_row"):
+        raise ValueError(f"unsupported AFTER MATCH SKIP {after_match_skip!r}")
+    for name, (kind, _src) in measures.items():
+        if kind not in _MEASURE_KINDS:
+            raise ValueError(f"unsupported measure {kind!r} for {name}")
+    rx = re.compile(pattern)
+    if rx.search("") is not None:
+        raise ValueError("PATTERN must not match the empty row sequence")
+
+    need_cols = sorted(
+        {src for (_k, src) in measures.values() if src is not None}
+        - set(partition_by)
+        - set(order_by)
+    )
+    sym = encode_symbols(df, symbols).alias("__sym")
+    arranged = (
+        df.select(*partition_by, *order_by, *need_cols, sym)
+        .repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *order_by)
+    )
+    skip = after_match_skip
+    mlist = list(measures.items())
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for key, g in pdf.groupby(partition_by, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                s = "".join(g["__sym"])
+                for match_no, (lo, hi) in enumerate(_scan_matches(rx, s, skip), 1):
+                    sl = g.iloc[lo:hi]
+                    rec = dict(zip(partition_by, key))
+                    rec["match_no"] = match_no
+                    rec["classifier"] = s[lo:hi]
+                    for name, (kind, src) in mlist:
+                        if kind == "count":
+                            rec[name] = hi - lo
+                        elif kind == "first":
+                            rec[name] = sl[src].iloc[0]
+                        elif kind == "last":
+                            rec[name] = sl[src].iloc[-1]
+                        else:
+                            rec[name] = getattr(sl[src], kind)()
+                    rows.append(rec)
+            cols = [*partition_by, "match_no", "classifier", *measures]
+            return pd.DataFrame(rows, columns=cols)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_key = tuple(pdf[partition_by].iloc[-1])
+            mask = (pdf[partition_by] == last_key).all(axis=1)
+            complete, carry = pdf[~mask], pdf[mask]
+            if len(complete):
+                yield emit(complete)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return arranged.mapInPandas(runner, output_schema)

@@ -356,6 +356,141 @@ def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "match_recognize_measures",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                  WHEN 'purchase' THEN 'p' ELSE '.' END AS ch,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             sum(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pre
+      FROM events
+    ),
+    marks AS (
+      SELECT *, max(CASE WHEN ch <> 'v' THEN rn END)
+                  OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prev_nonv
+      FROM e
+    ),
+    m AS (
+      SELECT mk.user_id, s.rn AS start_rn,
+             s.event_id AS start_event, mk.event_id AS end_event,
+             mk.rn - s.rn + 1 AS n_rows,
+             mk.pre - s.pre + s.value AS sum_v
+      FROM marks mk
+      JOIN e s ON s.user_id = mk.user_id AND s.rn = mk.prev_nonv
+      WHERE mk.ch = 'p' AND s.ch = 'c'
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_rn)
+                AS BIGINT) AS match_no,
+           'c' || repeat('v', CAST(n_rows - 2 AS INT)) || 'p' AS classifier,
+           CAST(start_event AS BIGINT) AS start_event,
+           CAST(end_event AS BIGINT) AS end_event,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(sum_v, 4) AS sum_value
+    FROM m
+    """,
+)
+def match_recognize_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES over each funnel match (one row per match): first/last
+    event id, match length, SUM(value) over the matched rows — the
+    reference's MEASURES clause (sql_match_recognize.cpp) with the default
+    AFTER MATCH SKIP PAST LAST ROW. The oracle reconstructs the same
+    matches with window functions (prev-non-view marks + prefix-sum
+    differencing) — an independent formulation of the same semantics."""
+    from ytsaurus_spark.operators.match_recognize import match_recognize_measures
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    out = match_recognize_measures(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[
+            ("c", F.col("event_type") == "click"),
+            ("v", F.col("event_type") == "view"),
+            ("p", F.col("event_type") == "purchase"),
+        ],
+        pattern="cv*p",
+        measures={
+            "start_event": ("first", "event_id"),
+            "end_event": ("last", "event_id"),
+            "n_rows": ("count", None),
+            "sum_value": ("sum", "value"),
+        },
+        output_schema=(
+            "user_id bigint, match_no bigint, classifier string, "
+            "start_event bigint, end_event bigint, n_rows bigint, "
+            "sum_value double"
+        ),
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 4))
+
+
+@register(
+    "match_recognize_skip_modes",
+    """
+    WITH v AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+      QUALIFY event_type = 'view'
+    ),
+    runs AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS len
+      FROM (SELECT user_id, rn,
+                   rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+            FROM v)
+      GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len - 1) AS BIGINT) AS n_next_row,
+           CAST(sum(len // 2) AS BIGINT) AS n_past_last
+    FROM runs WHERE len >= 2
+    GROUP BY user_id
+    HAVING sum(len - 1) > 0
+    """,
+)
+def match_recognize_skip_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW vs PAST LAST ROW on PATTERN ``v v``
+    (consecutive views): overlapping scan finds len-1 matches per view-run,
+    non-overlapping len/2 — the policies disagree exactly on runs, which
+    the oracle counts gaps-and-islands style."""
+    from ytsaurus_spark.operators.match_recognize import match_recognize_measures
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    kw = dict(
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[
+            ("c", F.col("event_type") == "click"),
+            ("v", F.col("event_type") == "view"),
+            ("p", F.col("event_type") == "purchase"),
+        ],
+        pattern="vv",
+        measures={"n_rows": ("count", None)},
+        output_schema=(
+            "user_id bigint, match_no bigint, classifier string, n_rows bigint"
+        ),
+    )
+    nxt = (
+        match_recognize_measures(ev, after_match_skip="to_next_row", **kw)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_next_row"))
+    )
+    past = (
+        match_recognize_measures(ev, after_match_skip="past_last_row", **kw)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_past_last"))
+    )
+    return nxt.join(past, "user_id")
+
+
 # --- salted join (skew path) — results must equal the plain join -----------
 
 @register(
