@@ -96,6 +96,34 @@ def test_ann_topk_subset_of_bucket(vectors):
         assert buckets[r.c_id] == buckets[0]
 
 
+def test_ivf_requires_stride_and_multiprobe_superset(vectors):
+    # no stride and no total_rows -> explicit error, never a driver count()
+    with pytest.raises(ValueError, match="centroid_stride"):
+        similarity.ivf_assign(vectors)
+    # nprobe=2 candidates are a superset of nprobe=1 for the same queries
+    q = vectors.filter(F.col("vec_id") == 0)
+    one = {
+        (r.q_id, r.c_id)
+        for r in similarity.ivf_topk(
+            vectors, q, k=5, num_cells=2, centroid_stride=2, nprobe=1
+        ).collect()
+    }
+    two = {
+        (r.q_id, r.c_id)
+        for r in similarity.ivf_topk(
+            vectors, q, k=5, num_cells=2, centroid_stride=2, nprobe=2
+        ).collect()
+    }
+    assert one <= two
+
+
+def test_catalog_row_count_from_footers(spark, sf_dir):
+    from ytsaurus_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    assert cat.row_count("documents") == cat.read("documents").count()
+
+
 def test_token_stats_and_fingerprint(docs):
     stats = {r.doc_id: r for r in text.token_stats(docs).collect()}
     assert stats[1].n_tokens == 13

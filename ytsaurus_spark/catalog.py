@@ -223,6 +223,21 @@ class Catalog:
     def key_columns(self, name: str) -> list[str]:
         return self.keys.get(name, [])
 
+    def row_count(self, name: str) -> int:
+        """Exact row count from parquet footers — no data read. The cheap
+        answer to 'how big is this table' that index builds (IVF stride,
+        LSH band sizing) need without paying a full count() scan."""
+        import pyarrow.parquet as pq
+
+        path = self.table_path(name)
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+
     def columnar_statistics(self, name: str, columns: list[str] | None = None) -> dict[str, int]:
         """GetColumnarStatistics (yt/yt/client/api/table_client.h:470):
         per-column data weight in bytes, from parquet footers — no data

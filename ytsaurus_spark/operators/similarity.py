@@ -148,6 +148,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_stride: int | None = None,
+    total_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) cell assignment — the other standard ANN scale
     path next to LSH: pick exemplar centroids, assign every vector to its
@@ -158,12 +159,21 @@ def ivf_assign(
     offline (a k-means refresh slots in without changing the query path,
     exactly like re-training an IVF index). Returns (assignments, centroids)
     where assignments = (vec_id, cell) and centroids = (cell, cv).
+
+    ``centroid_stride`` must be known up front — pass it, or pass
+    ``total_rows`` (cheap from parquet footers: ``Catalog.row_count``) to
+    derive it. No driver-side ``count()`` scan happens here: index builds
+    at 100 TB must not pay an extra full pass just to size the centroid set.
     """
     from pyspark.sql import Window as W
 
     if centroid_stride is None:
-        total = emb.count()
-        centroid_stride = max(1, total // num_cells)
+        if total_rows is None:
+            raise ValueError(
+                "pass centroid_stride, or total_rows "
+                "(Catalog.row_count(name) reads it from parquet footers)"
+            )
+        centroid_stride = max(1, total_rows // num_cells)
     # deterministic centroid set: ids {0, stride, 2*stride, ...} — no
     # order-dependent limit(), so any engine picks the identical exemplars
     centroids = emb.filter(
@@ -198,18 +208,44 @@ def ivf_topk(
     num_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_stride: int | None = None,
+    total_rows: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k within the query's IVF cell (nprobe=1).
+    """Approximate top-k within the query's ``nprobe`` nearest IVF cells.
 
-    The equi-join on cell replaces the cross join; raising nprobe = joining
-    against the n nearest cells (same plan, bigger candidate set)."""
+    The equi-join on cell replaces the cross join; ``nprobe > 1`` probes
+    the n nearest cells per query — same plan shape, ×nprobe candidate
+    rows, the standard IVF recall/cost dial. Candidates live in exactly
+    one cell, so probing distinct cells never duplicates a pair."""
     from pyspark.sql import Window as W
 
-    assignments, _ = ivf_assign(emb, num_cells, id_col, vec_col)
-    with_cell = emb.join(assignments, id_col)
-    q = with_cell.join(queries.select(id_col), id_col, "left_semi").select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "cell"
+    assignments, centroids = ivf_assign(
+        emb, num_cells, id_col, vec_col, centroid_stride, total_rows
     )
+    with_cell = emb.join(assignments, id_col)
+    if nprobe <= 1:
+        q = with_cell.join(queries.select(id_col), id_col, "left_semi").select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "cell"
+        )
+    else:
+        # probe the nprobe nearest centroids per query vector
+        qv = emb.join(queries.select(id_col), id_col, "left_semi").select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+        )
+        d2 = (
+            "aggregate(zip_with(qv, centv, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "0D, (acc, d) -> acc + d)"
+        )
+        wq = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cell"))
+        q = (
+            qv.join(F.broadcast(centroids))
+            .withColumn("d2", F.expr(d2))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("q_id", "qv", "cell")
+        )
     c = with_cell.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "cell"
     )

@@ -369,40 +369,66 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.operators.similarity import ivf_topk
 
     # stride fixed (30) so the oracle mirrors the centroid set exactly
-    from ytsaurus_spark.operators import similarity as _sim
+    return ivf_topk(emb, queries, k=3, num_cells=16, centroid_stride=30)
 
-    assignments, _ = _sim.ivf_assign(emb, num_cells=16, centroid_stride=30)
-    with_cell = emb.join(assignments, "vec_id")
-    q = with_cell.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "cell"
-    )
-    c = with_cell.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"), "cell"
-    )
-    from pyspark.sql import Window as W
 
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn(
-            "cosine",
-            F.expr(
-                f"{_sim._dot('qv', 'cv')} / "
-                f"sqrt({_sim._dot('qv', 'qv')} * {_sim._dot('cv', 'cv')})"
-            ),
-        )
+@register(
+    "sim_ivf_multiprobe",
+    """
+    WITH cents AS (
+      SELECT CAST(vec_id / 30 AS INT) AS cell, embedding::DOUBLE[] AS centv
+      FROM embeddings WHERE vec_id % 30 = 0 AND vec_id < 30 * 16
+    ), scored AS (
+      SELECT e.vec_id, c.cell,
+             list_sum([ (e.embedding[i]::DOUBLE - c.centv[i]) *
+                        (e.embedding[i]::DOUBLE - c.centv[i])
+                        for i in range(1, 65) ]) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), qcells AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM scored WHERE vec_id < 20
+      ) WHERE rn <= 2
+    ), withc AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, a.cell
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ), s AS (
+      SELECT qc.q_id, c.vec_id AS c_id,
+             list_dot_product(q.embedding::DOUBLE[], c.v) /
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                    * list_dot_product(c.v, c.v)) AS cos
+      FROM qcells qc
+      JOIN embeddings q ON q.vec_id = qc.q_id
+      JOIN withc c ON c.cell = qc.cell
+      WHERE qc.q_id <> c.vec_id
+    ), r AS (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    _ = ivf_topk  # public API form of the same pipeline (stride auto-sized)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "q_id",
-            "c_id",
-            F.round("cosine", 4).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    SELECT q_id, c_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 3
+    """,
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query searches its TWO nearest cells — the
+    standard recall/cost dial (2x candidates, same bucketed-join plan).
+    Recall vs brute force is reported by sim_ann_recall's methodology in
+    SCALE.md."""
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    from ytsaurus_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        emb, queries, k=3, num_cells=16, centroid_stride=30, nprobe=2
     )
 
 
