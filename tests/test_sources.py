@@ -93,6 +93,113 @@ def test_write_table_partitioned(spark, tmp):
     assert one.count() == 2
 
 
+def test_log_tx_table_lifecycle(spark, tmp):
+    import os
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    path = os.path.join(tmp, "logt")
+    t = LogTxTable(
+        spark, path, key_cols=["k"], aggregates={"cnt": "sum", "fst": "first"}
+    )
+    base = spark.createDataFrame(
+        [(1, "a", 10, 100), (2, "b", 20, 200)], "k bigint, s string, cnt bigint, fst bigint"
+    )
+    v0 = t.init(base)
+    # upsert: plain overwritten by newest, cnt folds, fst keeps stored
+    v1 = t.insert_rows(
+        spark.createDataFrame([(1, "a2", 5, 999), (3, "c", 7, 300)],
+                              "k bigint, s string, cnt bigint, fst bigint")
+    )
+    assert (v0, v1) == (0, 1)
+    assert rows_set(t.read()) == {(1, "a2", 15, 100), (2, "b", 20, 200), (3, "c", 7, 300)}
+    # time travel by version
+    assert rows_set(t.read(0)) == rows_set(base)
+    # delete tombstone discards all earlier writes
+    v2 = t.delete_rows(spark.createDataFrame([(1,)], "k bigint"))
+    assert rows_set(t.read().select("k")) == {(2,), (3,)}
+    # re-insert after delete starts fresh (tombstone reset, not a fold)
+    t.insert_rows(
+        spark.createDataFrame([(1, "z", 1, 1)], "k bigint, s string, cnt bigint, fst bigint")
+    )
+    assert rows_set(t.read()) == {(1, "z", 1, 1), (2, "b", 20, 200), (3, "c", 7, 300)}
+    # partial-column upsert: omitted plain col keeps stored value
+    t.insert_rows(
+        spark.createDataFrame([(2, 3)], "k bigint, cnt bigint"), update=True
+    )
+    assert rows_set(t.read()) == {(1, "z", 1, 1), (2, "b", 23, 200), (3, "c", 7, 300)}
+    # compaction preserves state AND history
+    before = rows_set(t.read())
+    vc = t.compact()
+    assert rows_set(t.read()) == before
+    assert rows_set(t.read(v2 - 1)) == {(1, "a2", 15, 100), (2, "b", 20, 200), (3, "c", 7, 300)}
+    # post-compaction commits still fold
+    t.insert_rows(
+        spark.createDataFrame([(2, "b2", 2, 0)], "k bigint, s string, cnt bigint, fst bigint")
+    )
+    assert rows_set(t.read()) == {(1, "z", 1, 1), (2, "b2", 25, 200), (3, "c", 7, 300)}
+    # lookup prunes to the key set
+    assert rows_set(t.lookup_rows(spark.createDataFrame([(2,)], "k bigint"))) == {
+        (2, "b2", 25, 200)
+    }
+    # reopen from disk
+    t2 = LogTxTable(spark, path, key_cols=["k"], aggregates={"cnt": "sum", "fst": "first"})
+    assert t2.current_version() == vc + 1
+    assert rows_set(t2.read()) == rows_set(t.read())
+
+
+def test_log_tx_table_commit_cost_sublinear(spark, tmp):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    def seg_rows(path, v):
+        d = os.path.join(path, f"s{v}")
+        return sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    path = os.path.join(tmp, "biglog")
+    t = LogTxTable(spark, path, key_cols=["k"])
+    t.init(spark.range(20000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    v1 = t.insert_rows(
+        spark.createDataFrame([(i, -1) for i in range(10)], "k bigint, v bigint")
+    )
+    v2 = t.delete_rows(spark.createDataFrame([(3,), (4,)], "k bigint"))
+    # a commit writes the CHANGED rows, not the table
+    assert seg_rows(path, v1) == 10
+    assert seg_rows(path, v2) == 2
+    assert seg_rows(path, 0) == 20000
+    # and the merged read is still right
+    assert t.read().count() == 20000 - 2
+    assert t.read().filter("k = 5").collect()[0].v == -1
+
+
+def test_log_tx_table_timestamp_read(spark, tmp):
+    import os
+    import time
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    t = LogTxTable(spark, os.path.join(tmp, "tslog"), key_cols=["k"])
+    t.init(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+    mid = time.time()
+    time.sleep(0.01)
+    t.insert_rows(spark.createDataFrame([(1, 99)], "k bigint, v bigint"))
+    assert t.read(timestamp=mid).collect()[0].v == 10
+    assert t.read(timestamp=time.time()).collect()[0].v == 99
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read(timestamp=mid - 1e6)
+    with _pytest.raises(ValueError):
+        t.read(version=0, timestamp=mid)
+
+
 def test_tx_table_commit_timetravel(spark, tmp):
     import os
 
