@@ -261,3 +261,62 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.df.select(
         "user_id", "n_events", F.round("total", 4).alias("total")
     )
+
+
+@register(
+    "stream_queue_to_logtable",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total
+    FROM events WHERE event_id < 900
+    GROUP BY user_id
+    """,
+)
+def stream_queue_to_logtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable incremental pipeline: each queue pull is committed to a
+    log-structured keyed table as ONE delta segment — commit cost is
+    O(batch), never O(table) — and the merged read after 3 pulls equals
+    the batch aggregate over everything consumed.
+
+    This is the reference's queue → aggregate-column dynamic table
+    pattern with its real write path: deltas accumulate in the log
+    (dynamic stores), reads merge on the fly, and compaction folds them
+    in the background (store_compactor.cpp). The in-memory variant above
+    proves the algebra; this one proves the durability layer at
+    O(changes) commit cost (client_dynamic_tables_impl.cpp:1599-1603
+    read-at-timestamp contract at commit granularity)."""
+    import shutil
+    import tempfile
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    deltas_of = lambda batch: batch.select(  # noqa: E731
+        "user_id",
+        F.lit(1).cast("long").alias("n_events"),
+        F.col("value").alias("total"),
+    )
+    path = tempfile.mkdtemp(prefix="ytspark_logtx_")
+    try:
+        table = LogTxTable(
+            spark,
+            path,
+            key_cols=["user_id"],
+            aggregates={"n_events": "sum", "total": "sum"},
+        )
+        table.init(deltas_of(ev).filter(F.lit(False)))
+        consumer = QueueConsumer("incremental_agg_durable")
+        for _ in range(3):
+            batch = pull_and_advance(ev, consumer, "event_id", 300)
+            table.insert_rows(deltas_of(batch))
+        result = table.read().select(
+            "user_id", "n_events", F.round("total", 4).alias("total")
+        )
+        # Materialize before the log dir is removed; the merged state is
+        # one row per user — tiny relative to the log it folds.
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
