@@ -76,6 +76,7 @@ def _load() -> None:
         aggregates,
         analytics_q,
         dynamic_q,
+        formats_q,
         llm,
         mapreduce,
         ql,

@@ -1,0 +1,77 @@
+"""Format-layer queries: wire-format roundtrips proven against oracles.
+
+The reference treats formats as part of the I/O contract (EFormatType,
+``yt/yt/client/formats/public.h:49-62``); a format is only "supported" if a
+table can leave and re-enter the engine losslessly. These queries encode a
+deterministic slice of a fixture table through a wire format, read it back,
+and aggregate — the DuckDB oracle computes the same aggregate from the
+original parquet, so a hash match proves the roundtrip lossless end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.queries import register
+from ytsaurus_spark.sources.skiff import read_skiff, write_skiff
+
+
+@register(
+    "fmt_skiff_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*)                                   AS n,
+           CAST(SUM(o_orderkey) AS BIGINT)            AS key_sum,
+           ROUND(SUM(o_totalprice), 2)                AS price_sum,
+           COUNT(*) - COUNT(maybe_priority)           AS null_count,
+           MIN(maybe_priority)                        AS min_priority
+    FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice > 100000 THEN o_orderpriority END
+                   AS maybe_priority
+        FROM orders WHERE o_orderkey % 20 = 0
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def fmt_skiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders slice → Skiff wire format → back → aggregate.
+
+    Exercises int64, double, string32 and a variant8-optional column on the
+    wire (nulls from the CASE), then proves losslessness by hash-matching
+    the aggregate DuckDB computes from the untouched parquet. The write
+    lands in a fresh temp dir (the returned plan reads it lazily, so the
+    files must outlive this call).
+    """
+    cat = load_tables(spark, sf_dir)
+    slice_df = (
+        cat.read("orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_totalprice") > 100000, F.col("o_orderpriority")).alias(
+                "maybe_priority"
+            ),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ytspark_skiff_"), "orders")
+    write_skiff(slice_df, path)
+    back = read_skiff(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            (F.count(F.lit(1)) - F.count("maybe_priority")).alias("null_count"),
+            F.min("maybe_priority").alias("min_priority"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -9,3 +9,8 @@ from ytsaurus_spark.sources.formats import (  # noqa: F401
     remote_copy,
     compact_table,
 )
+from ytsaurus_spark.sources.skiff import (  # noqa: F401
+    read_skiff,
+    register_skiff,
+    write_skiff,
+)

@@ -10,11 +10,13 @@ Mapping:
 - TSKV (tab-separated key=value, YT's YamredDsv cousin) → one-column text
   read + ``str_to_map`` — stays JVM-side, no Python parsing.
 - SchemafulDsv → csv with an explicit schema, no header.
-- Skiff/Protobuf → binary job-I/O formats whose role (zero-parse typed
-  exchange) Arrow already plays inside Spark; not needed as external files.
-- YSON → the reference's own serialization; 'Any' columns carry JSON text
-  here instead (functions.ql ypath getters). A full YSON text parser is
-  deliberately out of scope: every fixture and interchange path is parquet.
+- Skiff → REAL reader+writer via the Spark 4 Python DataSource API
+  (``sources/skiff.py``): the reference's binary job-I/O wire format,
+  one task per part-file, sidecar-self-describing. Protobuf wire rows
+  remain out of scope (Arrow plays the typed-exchange role in Spark).
+- YSON → binary-YSON codec in ``sources/yson.py`` (used for Skiff's
+  ``yson32`` nested slots); query-side 'Any' columns carry JSON text
+  (functions.ql ypath getters) so getters stay JVM-side.
 
 Plus: RemoteCopy (cross-catalog copy preserving layout) and chunk
 compaction (the auto-merge analog).

@@ -1,0 +1,425 @@
+"""Skiff wire format as a Spark Python DataSource (reader + writer).
+
+Skiff is the reference's schema-full binary job-I/O format
+(``yt/yt/library/formats/skiff_writer.cpp``, core wire library
+``library/cpp/skiff/``; the Go codec ``yt/go/skiff/encoder.go:124-208``
+is the most readable spec). Wire layout, confirmed against the Go encoder:
+
+- each row starts with a **uint16 little-endian variant tag** selecting the
+  table schema (0 for a single-table stream);
+- fields follow in schema order, no per-field names on the wire;
+- ``int64``/``uint64`` → 8-byte LE; ``double`` → IEEE-754 8-byte LE;
+  ``boolean`` → 1 byte; ``string32`` → uint32 LE byte-length + raw bytes;
+  ``yson32`` → uint32 LE byte-length + binary-YSON payload;
+- an **optional** column is ``variant8<nothing, T>``: one tag byte, 0 for
+  null, 1 followed by the value.
+
+Spark-first mapping: the format is implemented with the Spark 4 Python
+DataSource API (``pyspark.sql.datasource``) so it plugs into normal
+``spark.read.format("skiff")`` / ``df.write.format("skiff")`` planning —
+one task per part-file on read, one file per partition on write, Arrow
+batches across the Python boundary. Skiff is an *interchange* format (the
+reference uses it for job I/O, not storage), so the per-row Python codec is
+acceptable; analytics paths stay on parquet.
+
+Type mapping (Spark ⇄ Skiff):
+
+================  ============  =====================================
+Spark type        Skiff wire    notes
+================  ============  =====================================
+long/int/short    int64         read back as ``long``
+decimal(20,0)     uint64        the uint64 discipline (SURVEY §2.1)
+double/float      double        read back as ``double``
+boolean           boolean
+string            string32      utf-8
+binary            string32      byte-preserving
+date              int64         days since epoch
+timestamp         int64         microseconds since epoch, UTC
+array/map/struct  yson32        via :mod:`ytsaurus_spark.sources.yson`
+================  ============  =====================================
+
+A ``_skiff_schema.json`` sidecar (Spark schema JSON) is committed with
+each written directory so ``spark.read.format("skiff").load(path)`` is
+self-describing; pass an explicit ``.schema(...)`` to read foreign files.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import os
+import struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from ytsaurus_spark.sources import yson
+
+SIDECAR = "_skiff_schema.json"
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_TS = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+INT64 = "int64"
+UINT64 = "uint64"
+DOUBLE = "double"
+BOOLEAN = "boolean"
+STRING32 = "string32"
+YSON32 = "yson32"
+
+
+def wire_type_for(dtype: DataType) -> str:
+    """Spark type → Skiff wire type (see module table)."""
+    if isinstance(dtype, (LongType, IntegerType, ShortType, ByteType, DateType, TimestampType, TimestampNTZType)):
+        return INT64
+    if isinstance(dtype, DecimalType) and dtype.scale == 0:
+        return UINT64
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return DOUBLE
+    if isinstance(dtype, BooleanType):
+        return BOOLEAN
+    if isinstance(dtype, (StringType, BinaryType)):
+        return STRING32
+    if isinstance(dtype, (ArrayType, MapType, StructType)):
+        return YSON32
+    raise TypeError(f"no Skiff wire type for Spark type {dtype.simpleString()}")
+
+
+def _to_wire_value(value, dtype: DataType):
+    """Normalize a Python row value to what the packer expects."""
+    if isinstance(dtype, DateType):
+        return (value - _EPOCH_DATE).days
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=datetime.timezone.utc)
+        return round((value - _EPOCH_TS).total_seconds() * 1_000_000)
+    if isinstance(dtype, DecimalType):
+        return int(value)
+    return value
+
+
+def _from_wire_value(value, dtype: DataType):
+    if isinstance(dtype, DateType):
+        return _EPOCH_DATE + datetime.timedelta(days=value)
+    if isinstance(dtype, TimestampType):
+        return _EPOCH_TS + datetime.timedelta(microseconds=value)
+    if isinstance(dtype, TimestampNTZType):
+        return (_EPOCH_TS + datetime.timedelta(microseconds=value)).replace(tzinfo=None)
+    if isinstance(dtype, DecimalType):
+        return decimal.Decimal(value)
+    return value
+
+
+def _arrow_type(dtype: DataType):
+    import pyarrow as pa
+
+    if isinstance(dtype, LongType):
+        return pa.int64()
+    if isinstance(dtype, IntegerType):
+        return pa.int32()
+    if isinstance(dtype, ShortType):
+        return pa.int16()
+    if isinstance(dtype, ByteType):
+        return pa.int8()
+    if isinstance(dtype, DecimalType):
+        return pa.decimal128(dtype.precision, dtype.scale)
+    if isinstance(dtype, DoubleType):
+        return pa.float64()
+    if isinstance(dtype, FloatType):
+        return pa.float32()
+    if isinstance(dtype, BooleanType):
+        return pa.bool_()
+    if isinstance(dtype, StringType):
+        return pa.string()
+    if isinstance(dtype, BinaryType):
+        return pa.binary()
+    if isinstance(dtype, DateType):
+        return pa.date32()
+    if isinstance(dtype, TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dtype, TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dtype, ArrayType):
+        return pa.list_(_arrow_type(dtype.elementType))
+    if isinstance(dtype, MapType):
+        return pa.map_(_arrow_type(dtype.keyType), _arrow_type(dtype.valueType))
+    if isinstance(dtype, StructType):
+        return pa.struct([(f.name, _arrow_type(f.dataType)) for f in dtype.fields])
+    raise TypeError(f"no arrow type for {dtype.simpleString()}")
+
+
+def _nested_to_plain(value, dtype: DataType):
+    """Spark nested value (Row/list/dict) → plain YSON-serializable value."""
+    if value is None:
+        return None
+    if isinstance(dtype, ArrayType):
+        return [_nested_to_plain(v, dtype.elementType) for v in value]
+    if isinstance(dtype, MapType):
+        return {k: _nested_to_plain(v, dtype.valueType) for k, v in value.items()}
+    if isinstance(dtype, StructType):
+        as_dict = value.asDict() if hasattr(value, "asDict") else dict(value)
+        return {f.name: _nested_to_plain(as_dict[f.name], f.dataType) for f in dtype.fields}
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return float(value)
+    if isinstance(dtype, (LongType, IntegerType, ShortType, ByteType)):
+        return int(value)
+    return value
+
+
+def encode_rows(rows, schema: StructType) -> bytes:
+    """Encode an iterable of per-field-ordered tuples as a Skiff stream."""
+    fields = [(f.dataType, wire_type_for(f.dataType), f.nullable) for f in schema.fields]
+    out = bytearray()
+    pack_i64 = struct.Struct("<q").pack
+    pack_u64 = struct.Struct("<Q").pack
+    pack_f64 = struct.Struct("<d").pack
+    pack_u32 = struct.Struct("<I").pack
+    for row in rows:
+        out += b"\x00\x00"  # variant16 table tag (single-table stream)
+        for value, (dtype, wire, nullable) in zip(row, fields):
+            if nullable:
+                if value is None:
+                    out.append(0)
+                    continue
+                out.append(1)
+            elif value is None:
+                raise ValueError("null in non-nullable Skiff field")
+            if wire == INT64:
+                out += pack_i64(_to_wire_value(value, dtype))
+            elif wire == UINT64:
+                out += pack_u64(_to_wire_value(value, dtype))
+            elif wire == DOUBLE:
+                out += pack_f64(float(value))
+            elif wire == BOOLEAN:
+                out.append(1 if value else 0)
+            elif wire == STRING32:
+                raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+                out += pack_u32(len(raw))
+                out += raw
+            else:  # YSON32
+                raw = yson.dumps(_nested_to_plain(value, dtype))
+                out += pack_u32(len(raw))
+                out += raw
+    return bytes(out)
+
+
+def decode_stream(data: bytes, schema: StructType, batch_rows: int = 4096):
+    """Parse a Skiff stream → iterator of ``pyarrow.RecordBatch``."""
+    import pyarrow as pa
+
+    fields = [(f.dataType, wire_type_for(f.dataType), f.nullable) for f in schema.fields]
+    arrow_schema = pa.schema([(f.name, _arrow_type(f.dataType)) for f in schema.fields])
+    unpack_i64 = struct.Struct("<q").unpack_from
+    unpack_u64 = struct.Struct("<Q").unpack_from
+    unpack_f64 = struct.Struct("<d").unpack_from
+    unpack_u32 = struct.Struct("<I").unpack_from
+    columns: list[list] = [[] for _ in fields]
+    pos, size = 0, len(data)
+
+    def flush():
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(col, type=arrow_schema.field(i).type) for i, col in enumerate(columns)],
+            schema=arrow_schema,
+        )
+        for col in columns:
+            col.clear()
+        return batch
+
+    while pos < size:
+        tag = data[pos] | (data[pos + 1] << 8)
+        if tag != 0:
+            raise ValueError(f"multi-table Skiff stream (tag {tag}) not supported")
+        pos += 2
+        for (dtype, wire, nullable), col in zip(fields, columns):
+            if nullable:
+                present = data[pos]
+                pos += 1
+                if present == 0:
+                    col.append(None)
+                    continue
+            if wire == INT64:
+                col.append(_from_wire_value(unpack_i64(data, pos)[0], dtype))
+                pos += 8
+            elif wire == UINT64:
+                col.append(_from_wire_value(unpack_u64(data, pos)[0], dtype))
+                pos += 8
+            elif wire == DOUBLE:
+                col.append(unpack_f64(data, pos)[0])
+                pos += 8
+            elif wire == BOOLEAN:
+                col.append(bool(data[pos]))
+                pos += 1
+            elif wire == STRING32:
+                length = unpack_u32(data, pos)[0]
+                pos += 4
+                raw = data[pos : pos + length]
+                pos += length
+                col.append(raw.decode("utf-8") if isinstance(dtype, StringType) else bytes(raw))
+            else:  # YSON32
+                length = unpack_u32(data, pos)[0]
+                pos += 4
+                value, end = yson.loads_prefix(data, pos)
+                if end != pos + length:
+                    raise ValueError(f"yson32 length mismatch at byte {pos}")
+                pos += length
+                col.append(value)
+        if len(columns[0]) >= batch_rows:
+            yield flush()
+    if columns and columns[0]:
+        yield flush()
+
+
+class _SkiffFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _SkiffReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self._path = path
+        self._schema = schema
+
+    def partitions(self):
+        if os.path.isdir(self._path):
+            files = sorted(
+                os.path.join(self._path, f)
+                for f in os.listdir(self._path)
+                if f.endswith(".skiff")
+            )
+        else:
+            files = [self._path]
+        # One task per part-file: on a real cluster each file parses in its
+        # own task; an empty dir still needs one (empty) partition.
+        return [_SkiffFilePartition(f) for f in files] or [_SkiffFilePartition("")]
+
+    def read(self, partition: _SkiffFilePartition):
+        if not partition.path:
+            return iter(())
+        with open(partition.path, "rb") as fh:
+            data = fh.read()
+        return decode_stream(data, self._schema)
+
+
+class _SkiffCommit(WriterCommitMessage):
+    pass
+
+
+class _SkiffWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, schema: StructType):
+        self._path = path
+        self._schema = schema
+
+    def write(self, iterator):
+        os.makedirs(self._path, exist_ok=True)
+        out_path = os.path.join(self._path, f"part-{uuid.uuid4().hex}.skiff")
+        chunks = []
+        for batch in iterator:
+            rows = zip(
+                *(
+                    [
+                        _arrow_cell_to_py(col.to_pylist(), field.dataType)
+                        for col, field in zip(batch.columns, self._schema.fields)
+                    ]
+                    or [[]]
+                )
+            )
+            chunks.append(encode_rows(rows, self._schema))
+        with open(out_path, "wb") as fh:
+            fh.writelines(chunks)
+        return _SkiffCommit()
+
+
+def _arrow_cell_to_py(values: list, dtype: DataType) -> list:
+    """Arrow ``to_pylist`` values → what ``encode_rows`` expects."""
+    if isinstance(dtype, MapType):
+        # arrow maps round-trip as lists of (key, value) tuples
+        return [dict(v) if v is not None else None for v in values]
+    return values
+
+
+class SkiffDataSource(DataSource):
+    """``spark.read.format("skiff")`` / ``df.write.format("skiff")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "skiff"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("skiff datasource requires a path")
+        return path
+
+    def schema(self) -> StructType:
+        sidecar = os.path.join(self._path(), SIDECAR)
+        if os.path.exists(sidecar):
+            with open(sidecar) as fh:
+                return StructType.fromJson(json.load(fh))
+        raise ValueError(
+            f"no {SIDECAR} sidecar under {self._path()}; pass .schema(...) explicitly"
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        for field in schema.fields:
+            wire_type_for(field.dataType)  # fail fast on unsupported types
+        return _SkiffReader(self._path(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        import shutil
+
+        path = self._path()
+        for field in schema.fields:
+            wire_type_for(field.dataType)
+        if overwrite and os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, SIDECAR), "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        return _SkiffWriter(path, schema)
+
+
+def register_skiff(spark: SparkSession) -> None:
+    """Idempotently register the skiff format on a session."""
+    try:
+        spark.dataSource.register(SkiffDataSource)
+    except Exception:  # already registered
+        pass
+
+
+def write_skiff(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    register_skiff(df.sparkSession)
+    df.write.format("skiff").mode(mode).save(path)
+
+
+def read_skiff(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    register_skiff(spark)
+    reader = spark.read.format("skiff")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
