@@ -145,3 +145,37 @@ def test_run_sort_mixed_order(spark, grp):
     out = mr.run_sort(grp, ["a", "b desc"], num_partitions=2)
     rows = [(r.a, r.b) for r in out.collect()]
     assert rows == sorted(rows, key=lambda x: (x[0], -x[1]))
+
+
+def test_run_vanilla_two_tasks(spark):
+    import pandas as pd
+
+    def producer(job_index: int) -> pd.DataFrame:
+        return pd.DataFrame({"job": [job_index] * 3, "v": list(range(3))})
+
+    def singleton(job_index: int) -> pd.DataFrame:
+        return pd.DataFrame({"msg": [f"job-{job_index}"]})
+
+    out = mr.run_vanilla(
+        spark,
+        {
+            "produce": (4, producer, "job bigint, v bigint"),
+            "one": (1, singleton, "msg string"),
+        },
+    )
+    produce = out["produce"].collect()
+    assert len(produce) == 12  # 4 jobs x 3 rows
+    assert {r.job for r in produce} == {0, 1, 2, 3}  # every job ran exactly once
+    assert rows_set(out["one"]) == {("job-0",)}
+
+
+def test_run_vanilla_one_spark_task_per_job(spark):
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def report(job_index: int) -> pd.DataFrame:
+        return pd.DataFrame({"job": [job_index], "pid": [TaskContext.get().partitionId()]})
+
+    out = mr.run_vanilla(spark, {"t": (6, report, "job bigint, pid int")})["t"].collect()
+    # each job landed in its own Spark task/partition
+    assert len({r.pid for r in out}) == 6

@@ -331,3 +331,41 @@ def sample_rows_deterministic(df: DataFrame, key: str, modulus: int) -> DataFram
     """Systematic deterministic sample: keep rows where key % modulus == 0.
     Reproducible across engines (used by the correctness oracle)."""
     return df.filter((F.col(key) % modulus) == 0)
+
+
+def run_vanilla(
+    spark,
+    tasks: dict[str, tuple[int, Callable[[int], "pd.DataFrame"], Any]],
+) -> dict[str, DataFrame]:
+    """Vanilla operation: named tasks of N input-less parallel jobs each.
+
+    Mirrors the reference's vanilla controller (vanilla_controller.cpp:
+    TVanillaTask with a per-task ``job_count``, jobs get no input tables and
+    emit rows to the task's outputs). Spark-first shape: each task is
+    ``spark.range(job_count, numPartitions=job_count)`` — exactly one job
+    index per partition, so every job body runs as its own Spark task — the scheduler
+    places, retries and speculates them like any other stage, which is the
+    cluster story at scale (the reference's chunk-pool job accounting maps
+    to Spark task scheduling).
+
+    ``tasks`` maps task name → ``(job_count, job_fn, output_schema)``;
+    ``job_fn(job_index) -> pandas.DataFrame`` is the job body (rows for the
+    task's output table). Jobs must be deterministic/idempotent: Spark may
+    re-run a failed or speculated task, same as the reference re-schedules
+    a failed job.
+    """
+    outputs: dict[str, DataFrame] = {}
+    for name, (job_count, job_fn, output_schema) in tasks.items():
+        if job_count < 1:
+            raise ValueError(f"task {name!r}: job_count must be >= 1")
+
+        def runner(batches: Iterator[pd.DataFrame], _fn=job_fn) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                for job_index in batch["id"]:
+                    yield _fn(int(job_index))
+
+        # range with numPartitions=n slices exactly one job index per
+        # partition — no shuffle, guaranteed 1:1 job↔task placement
+        seed = spark.range(0, job_count, 1, job_count)
+        outputs[name] = seed.mapInPandas(runner, schema=output_schema)
+    return outputs
