@@ -531,3 +531,313 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         """
     )
+
+
+# --- TPC-H Q5: local supplier volume ---------------------------------------
+
+_Q5_SQL = """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """
+
+
+@register("tpch_q5_local_supplier_volume", _Q5_SQL)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the c_nationkey = s_nationkey
+    equi-condition makes this the classic co-located fact-fact join; nation/
+    region broadcast, lineitem-orders-customer shuffle on their keys."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
+
+
+# --- TPC-H Q8: national market share ---------------------------------------
+
+_Q8_SQL = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """
+
+
+@register("tpch_q8_market_share", _Q8_SQL)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 8-table join, conditional-sum
+    ratio. Part filter prunes lineitem via the join; dims broadcast."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+# --- TPC-H Q9: product-type profit (supply cost proxied) -------------------
+
+_Q9_SQL = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """
+
+
+@register("tpch_q9_product_profit", _Q9_SQL)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit). The fixture has no partsupp table,
+    so ps_supplycost is proxied as 0.1 * p_retailprice — same plan shape
+    (part-filtered lineitem x supplier x orders, profit by nation x year)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+# --- TPC-H Q11: important stock (partsupp derived from lineitem) -----------
+
+_Q11_SQL = """
+    WITH supplied AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_key, round(value, 2) AS value
+    FROM supplied
+    WHERE value > (SELECT 0.001 * sum(value) FROM supplied)
+    ORDER BY value DESC, p_key
+    """
+
+
+@register("tpch_q11_important_stock", _Q11_SQL)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part supplied value for a nation
+    group, kept if above a scalar-subquery fraction of the total. The
+    fixture has no partsupp, so value derives from lineitem revenue."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# --- TPC-H Q13: customer order-count distribution --------------------------
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): left join keeps order-less
+    customers (c_count 0), two-level aggregation. The original's o_comment
+    NOT LIKE filter is proxied by o_orderpriority (no comment column)."""
+    cat = load_tables(spark, sf_dir)
+    cust = cat.read("customer")
+    orders = cat.read("orders")
+    c_orders = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- TPC-H Q16: parts/supplier relationship --------------------------------
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+
+@register("tpch_q16_parts_supplier", _Q16_SQL)
+def tpch_q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct-supplier counts per (brand, type, size) with a
+    NOT IN anti-join (negative-balance suppliers proxy the original's
+    complaints filter). Part-supplier pairs derive from lineitem (no
+    partsupp in the fixture)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+# --- TPC-H Q20: potential part promotion (semi-join) -----------------------
+
+_Q20_SQL = """
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 50
+      )
+    ORDER BY s_name
+    """
+
+
+@register("tpch_q20_part_promotion", _Q20_SQL)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): IN over an aggregated
+    subquery → left-semi join; shipped quantity stands in for the
+    original's ps_availqty threshold."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+# --- TPC-H Q21: suppliers who kept orders waiting --------------------------
+
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """
+
+
+@register("tpch_q21_suppliers_waiting", _Q21_SQL)
+def tpch_q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS /
+    NOT EXISTS pair over the same fact table → semi + anti join on
+    l_orderkey. The fixture lacks receipt/commit dates, so "late" is
+    proxied by l_returnflag = 'R' — the sole-guilty-supplier correlation
+    shape is what matters."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+# --- TPC-H Q2: min-cost supplier (window form) -----------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p_partkey, s_name, s_acctbal, n_name,
+             min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part
+      JOIN pairs    ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey
+    FROM cand WHERE s_acctbal = min_bal
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost supplier): the correlated min-subquery expressed
+    as a per-part window min (one pass, no re-join). Part-supplier pairs
+    derive from lineitem; min s_acctbal stands in for min ps_supplycost."""
+    cat = load_tables(spark, sf_dir)
+    pairs = cat.read("lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = cat.read("part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    nation = cat.read("nation")
+    region = cat.read("region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        pairs.join(F.broadcast(part), pairs.l_partkey == F.col("p_partkey"))
+        .join(cat.read("supplier"), pairs.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .withColumn("min_bal", F.min("s_acctbal").over(W.partitionBy("p_partkey")))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+    )
+    return (
+        cand.select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(20)
+    )
