@@ -292,3 +292,45 @@ def test_merge_tables_auto_detect(spark, tmp):
     write_table(b, pc)
     mixed = merge_tables(spark, [pa, pc])
     assert {r.k for r in mixed.collect()} == {1, 2, 3, 4}
+
+
+def test_log_tx_table_row_level_mvcc(spark, tmp):
+    import os
+    import time
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    path = os.path.join(tmp, "mvcc")
+    t = LogTxTable(spark, path, key_cols=["k"])
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string"))
+    ts_after_init = time.time()
+    time.sleep(0.02)
+    t.insert_rows(spark.createDataFrame([(1, "a2"), (3, "c")], "k bigint, s string"))
+    t.delete_rows(spark.createDataFrame([(2,)], "k bigint"))
+
+    keys = spark.createDataFrame([(1,), (2,)], "k bigint")
+    # timestamped lookup: state as of the init commit
+    old = t.lookup_rows(keys, timestamp=ts_after_init)
+    assert rows_set(old) == {(1, "a"), (2, "b")}
+    # latest lookup: key 2 tombstoned
+    assert rows_set(t.lookup_rows(keys)) == {(1, "a2")}
+    # versioned lookup by version number
+    assert rows_set(t.lookup_rows(keys, version=0)) == {(1, "a"), (2, "b")}
+
+    # per-row write timestamps: key 1 written at gen 1, key 3 at gen 1
+    stamped = t.read(with_timestamps=True)
+    assert set(stamped.columns) == {"k", "s", "__write_ts"}
+    by_key = {r.k: r for r in stamped.collect()}
+    assert by_key[1].s == "a2" and by_key[1]["__write_ts"] > ts_after_init
+    segs = {s["v"]: s["ts"] for s in t._segments()}
+    assert by_key[1]["__write_ts"] == pytest.approx(segs[1])
+    assert by_key[3]["__write_ts"] == pytest.approx(segs[1])
+
+    # full row history: every write + tombstone, newest first per key
+    hist = t.versioned_lookup(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    recs = [(r.k, r["__gen"], r["__op"]) for r in hist.collect()]
+    assert recs == [(1, 1, "u"), (1, 0, "u"), (2, 2, "d"), (2, 0, "u")]
+    # history survives compaction (bases are derived, not writes)
+    t.compact()
+    hist2 = t.versioned_lookup(spark.createDataFrame([(2,)], "k bigint"))
+    assert [(r.k, r["__gen"], r["__op"]) for r in hist2.collect()] == [(2, 2, "d"), (2, 0, "u")]

@@ -309,3 +309,77 @@ def ql_sr_any_getters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM [//home/ev/events] "
         "WHERE get_int64(props, '/k') > 90",
     )
+
+
+@register(
+    "dyn_mvcc_timestamped_read",
+    """
+    SELECT c_custkey,
+           round(c_acctbal, 2) AS bal_t1,
+           CASE WHEN c_custkey BETWEEN 30 AND 40 THEN NULL
+                WHEN c_custkey <= 15 THEN round(c_acctbal + 100, 2)
+                ELSE round(c_acctbal, 2) END AS bal_now,
+           CAST(CASE WHEN c_custkey <= 15 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_writes,
+           CAST(CASE WHEN c_custkey BETWEEN 30 AND 40 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_deletes
+    FROM customer WHERE c_custkey <= 40
+    ORDER BY c_custkey
+    """,
+)
+def dyn_mvcc_timestamped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MVCC over the log-structured table: a read at a captured
+    timestamp sees the pre-update state while the latest read sees
+    upserts+tombstones, and versioned_lookup exposes each key's full
+    write/delete history (the reference's timestamped LookupRows +
+    VersionedLookupRows, client_dynamic_tables_impl.cpp:1599-1603,
+    versioned_row.h). The oracle reconstructs all four facets from the
+    untouched customer parquet."""
+    import shutil
+    import tempfile
+    import time
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    cat = load_tables(spark, sf_dir)
+    cust = (
+        cat.read("customer")
+        .filter(F.col("c_custkey") <= 40)
+        .select("c_custkey", "c_acctbal")
+    )
+    path = tempfile.mkdtemp(prefix="ytspark_mvcc_")
+    try:
+        t = LogTxTable(spark, path, key_cols=["c_custkey"])
+        t.init(cust)
+        t1 = time.time()
+        t.insert_rows(
+            cust.filter(F.col("c_custkey") <= 15).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 100
+            )
+        )
+        t.delete_rows(
+            cust.filter(F.col("c_custkey").between(30, 40)).select("c_custkey")
+        )
+        old = t.read(timestamp=t1).select(
+            "c_custkey", F.round("c_acctbal", 2).alias("bal_t1")
+        )
+        now = t.read().select(
+            "c_custkey", F.round("c_acctbal", 2).alias("bal_now")
+        )
+        hist = (
+            t.versioned_lookup(cust.select("c_custkey"))
+            .groupBy("c_custkey")
+            .agg(
+                F.sum(F.when(F.col("__op") == "u", 1).otherwise(0)).alias("n_writes"),
+                F.sum(F.when(F.col("__op") == "d", 1).otherwise(0)).alias("n_deletes"),
+            )
+        )
+        result = (
+            old.join(now, "c_custkey", "left")
+            .join(hist, "c_custkey")
+            .orderBy("c_custkey")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

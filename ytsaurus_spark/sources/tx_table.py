@@ -248,11 +248,10 @@ class LogTxTable:
 
     # -- reads ------------------------------------------------------------
 
-    def read(
-        self, version: int | None = None, timestamp: float | None = None
-    ) -> DataFrame:
-        """Resolved state as of a version / wall-clock timestamp (newest
-        committed ≤ timestamp), defaulting to the latest commit."""
+    def _resolve_version(
+        self, version: int | None, timestamp: float | None
+    ) -> int:
+        """version/timestamp args → concrete committed version."""
         segs = self._segments()
         if not segs:
             raise FileNotFoundError(f"no committed version in {self.path}")
@@ -262,56 +261,113 @@ class LogTxTable:
             upto = [s for s in segs if s["ts"] <= timestamp]
             if not upto:
                 raise ValueError(f"no commit at or before timestamp {timestamp}")
-            version = upto[-1]["v"]
-        elif version is None:
-            version = segs[-1]["v"]
-        visible = [s for s in segs if s["v"] <= version]
-        if not visible or visible[-1]["v"] != version:
+            return upto[-1]["v"]
+        if version is None:
+            return segs[-1]["v"]
+        if not any(s["v"] == version for s in segs):
             raise ValueError(f"version {version} not committed")
+        return version
+
+    def _chain(self, version: int) -> list[dict]:
+        """Segments a read at ``version`` must merge: newest base ≤ v plus
+        the deltas after it."""
+        visible = [s for s in self._segments() if s["v"] <= version]
         base_idx = max(i for i, s in enumerate(visible) if s["kind"] == "base")
-        chain = visible[base_idx:]
+        return visible[base_idx:]
 
-        def seg_df(s: dict) -> DataFrame:
-            df = self.spark.read.parquet(os.path.join(self.path, f"s{s['v']}"))
-            if s["kind"] == "base":
-                df = df.withColumn("__op", F.lit("u"))
-            return df.withColumn("__gen", F.lit(s["v"]))
+    def _seg_df(self, s: dict) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.path, f"s{s['v']}"))
+        if s["kind"] == "base":
+            df = df.withColumn("__op", F.lit("u"))
+        return df.withColumn("__gen", F.lit(s["v"]))
 
-        u = seg_df(chain[0])
+    def _gen_ts_col(self):
+        """Map expression commit generation → wall-clock commit timestamp
+        (segment count is small; stays a literal, no join)."""
+        pairs: list = []
+        for s in self._segments():
+            pairs += [F.lit(s["v"]), F.lit(float(s["ts"]))]
+        return F.element_at(F.create_map(*pairs), F.col("__gen"))
+
+    def read(
+        self,
+        version: int | None = None,
+        timestamp: float | None = None,
+        with_timestamps: bool = False,
+    ) -> DataFrame:
+        """Resolved state as of a version / wall-clock timestamp (newest
+        committed ≤ timestamp), defaulting to the latest commit.
+
+        ``with_timestamps=True`` appends a ``__write_ts`` column — the
+        commit wall-clock of each row's newest surviving write, the
+        reference's per-row ``$timestamp`` system column
+        (versioned_row.h write-timestamp semantics) at commit granularity.
+        """
+        version = self._resolve_version(version, timestamp)
+        chain = self._chain(version)
+        u = self._seg_df(chain[0])
         for s in chain[1:]:
-            u = u.unionByName(seg_df(s))
-        if len(chain) == 1:
+            u = u.unionByName(self._seg_df(s))
+        if len(chain) == 1 and not with_timestamps:
             return u.drop("__op", "__gen")
-        return self._resolve(u)
+        return self._resolve(u, with_timestamps=with_timestamps)
 
-    def lookup_rows(self, keys: DataFrame) -> DataFrame:
-        """Point lookups: the key filter applies to every segment BEFORE
-        the merge, so parquet min/max pruning bounds IO per segment —
-        the reference's per-store key lookup."""
-        segs = self._segments()
-        if not segs:
-            raise FileNotFoundError(f"no committed version in {self.path}")
-        base_idx = max(i for i, s in enumerate(segs) if s["kind"] == "base")
-        chain = segs[base_idx:]
-        parts = []
-        for s in chain:
-            df = self.spark.read.parquet(os.path.join(self.path, f"s{s['v']}"))
-            if s["kind"] == "base":
-                df = df.withColumn("__op", F.lit("u"))
-            parts.append(
-                df.join(F.broadcast(keys.select(*self.key_cols)), self.key_cols, "left_semi")
-                .withColumn("__gen", F.lit(s["v"]))
+    def lookup_rows(
+        self,
+        keys: DataFrame,
+        version: int | None = None,
+        timestamp: float | None = None,
+        with_timestamps: bool = False,
+    ) -> DataFrame:
+        """Point lookups, optionally at a historical version/timestamp
+        (the reference's timestamped LookupRows contract,
+        client_dynamic_tables_impl.cpp:1599-1603). The key filter applies
+        to every segment BEFORE the merge, so parquet min/max pruning
+        bounds IO per segment — the reference's per-store key lookup."""
+        version = self._resolve_version(version, timestamp)
+        chain = self._chain(version)
+        parts = [
+            self._seg_df(s).join(
+                F.broadcast(keys.select(*self.key_cols)), self.key_cols, "left_semi"
             )
+            for s in chain
+        ]
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        if len(parts) == 1:
+        if len(parts) == 1 and not with_timestamps:
             return u.drop("__op", "__gen")
-        return self._resolve(u)
+        return self._resolve(u, with_timestamps=with_timestamps)
+
+    def versioned_lookup(self, keys: DataFrame) -> DataFrame:
+        """Row-version history: every write/tombstone for the given keys
+        across the whole log, annotated with ``__gen`` (commit version),
+        ``__write_ts`` (commit wall-clock) and ``__op`` ('u'/'d') —
+        the reference's versioned read (VersionedLookupRows returning
+        TVersionedRow write/delete timestamp lists, versioned_row.h).
+        History spans ALL segments (compaction adds a base, never drops
+        deltas), newest first per key."""
+        segs = self._segments()
+        if not segs:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        keyset = F.broadcast(keys.select(*self.key_cols))
+        parts = [
+            self._seg_df(s).join(keyset, self.key_cols, "left_semi")
+            for s in segs
+            if s["kind"] != "base" or s["v"] == 0  # deltas + the seed only:
+            # compaction bases are derived states, not writes
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            u.withColumn("__write_ts", self._gen_ts_col())
+            .orderBy(*self.key_cols, F.col("__gen").desc())
+        )
 
     # -- merge-on-read resolution ------------------------------------------
 
-    def _resolve(self, u: DataFrame) -> DataFrame:
+    def _resolve(self, u: DataFrame, with_timestamps: bool = False) -> DataFrame:
         """One-shuffle merge: window (last tombstone per key) + groupBy
         (fold survivors) share the key partitioning."""
         from pyspark.sql import Window as W
@@ -337,6 +393,12 @@ class LogTxTable:
                     aggs.append(_AGG_FOLDS[fold](F.col(c)).alias(c))
             else:
                 aggs.append(F.max_by(F.col(c), F.col("__gen")).alias(c))
+        if with_timestamps:
+            aggs.append(F.max("__gen").alias("__gen"))
+            merged = live.groupBy(*self.key_cols).agg(*aggs)
+            return merged.withColumn("__write_ts", self._gen_ts_col()).select(
+                *cols, "__write_ts"
+            )
         return live.groupBy(*self.key_cols).agg(*aggs).select(*cols)
 
     def _schema_cols(self) -> list[str]:
