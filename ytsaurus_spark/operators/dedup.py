@@ -244,3 +244,47 @@ def ngram_jaccard_pairs(
     return jac.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (never all-pairs).
+
+    The semantic-dedup path for an embedded corpus: vectors are bucketed by
+    random-hyperplane LSH sign bits (deterministic planes shared with
+    :func:`ytsaurus_spark.operators.similarity.lsh_bucket`), candidate
+    pairs come from a bucket equi-join (a_id < b_id), and the exact cosine
+    filter keeps pairs at or above ``threshold``. Same plan spine as
+    minhash_lsh_pairs: one bucket shuffle, candidates bounded by bucket
+    size — the 100 TB shape. Recall < 1 by construction (a near-dup pair
+    split across buckets is missed); raise ``num_planes`` probes or union
+    multiple plane sets to tighten it.
+
+    Returns (a_id, b_id, cosine) with cosine rounded to 4 decimals.
+    """
+    from ytsaurus_spark.operators.similarity import _dot, lsh_bucket
+
+    buckets = lsh_bucket(emb, num_planes, dim, id_col, vec_col)
+    withb = emb.join(buckets, id_col)
+    a = withb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.expr(f"{_dot('av', 'bv')} / sqrt({_dot('av', 'av')} * {_dot('bv', 'bv')})"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
+    )

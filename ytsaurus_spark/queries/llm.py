@@ -832,3 +832,63 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 4).alias("avg_recall_at_3"),
         F.count(F.lit(1)).alias("n_queries"),
     )
+
+
+# --- embedding-cosine near-dup (semantic dedup) ----------------------------
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), v AS (
+      SELECT vec_id, ev FROM base
+      UNION ALL
+      SELECT vec_id + 100000, list_concat([ev[1] * 1.01], ev[2:])
+      FROM base WHERE vec_id < 60
+    ), withb AS (
+      SELECT vec_id, ev, {bits} AS bucket
+      FROM (SELECT vec_id, ev, ev AS cv FROM v)
+    ), s AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(a.ev, b.ev) /
+               sqrt(list_dot_product(a.ev, a.ev) *
+                    list_dot_product(b.ev, b.ev)) AS cos
+      FROM withb a JOIN withb b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round(cos, 4) AS cosine
+    FROM s WHERE cos >= 0.99
+    ORDER BY a_id, b_id
+    """.format(
+        bits=" || ".join(
+            "CASE WHEN list_sum([cv[d+1] * (((({h}+1)*(d+3)) % 7) - 3) "
+            "for d in range(0, 64)]) >= 0 THEN '1' ELSE '0' END".format(h=h)
+            for h in range(8)
+        )
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup detection, LSH-bucketed.
+
+    The fixture embeddings have no natural near-dups (max pairwise cosine
+    ≈ 0.51), so the query plants one clone per vec_id < 60 with its first
+    coordinate scaled by 1.01 (cosine vs the original ≈ 0.9999) — both
+    engines derive the same planted set, making the LSH + exact-cosine
+    pipeline fully hash-checkable. Candidates come from the deterministic
+    hyperplane buckets, never an all-pairs join."""
+    cat = load_tables(spark, sf_dir)
+    base = cat.read("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding").getItem(0) * 1.01),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    v = base.unionByName(clones)
+    return dedup.embedding_near_dup_pairs(
+        v, threshold=0.99, num_planes=8, dim=64
+    ).orderBy("a_id", "b_id")
