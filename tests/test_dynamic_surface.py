@@ -164,3 +164,36 @@ def test_select_rows_ql_offset_limit_order(spark):
     spark.createDataFrame([(i,) for i in range(20)], "k bigint").createOrReplaceTempView("ol")
     out = select_rows(spark, "k FROM [//x/ol] ORDER BY k OFFSET 5 LIMIT 3")
     assert [r.k for r in out.collect()] == [5, 6, 7]
+
+
+def test_custom_fold_xdelta_interface(spark, tmp_path):
+    """User-supplied merge fn as the aggregate fold (the xdelta fold
+    interface): values merge in generation order, deterministically."""
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators.keyed_tables import KeyedTable
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    merge = lambda acc, v: F.concat_ws("+", acc, v)  # noqa: E731
+
+    base = spark.createDataFrame([(1, "p0"), (2, "q0")], "k bigint, patch string")
+    t = KeyedTable(base, key_cols=["k"], aggregates={"patch": merge})
+    t = t.insert_rows(spark.createDataFrame([(1, "p1")], "k bigint, patch string"))
+    t = t.insert_rows(
+        spark.createDataFrame([(1, "p2"), (2, None)], "k bigint, patch string")
+    )
+    got = {r.k: r.patch for r in t.df.collect()}
+    assert got == {1: "p0+p1+p2", 2: "q0"}  # null delta = fold identity
+
+    # durable layer: same fold across delta segments + tombstone reset
+    lt = LogTxTable(spark, str(tmp_path / "xd"), key_cols=["k"], aggregates={"patch": merge})
+    lt.init(base)
+    lt.insert_rows(spark.createDataFrame([(1, "p1")], "k bigint, patch string"))
+    lt.insert_rows(spark.createDataFrame([(1, "p2")], "k bigint, patch string"))
+    lt.delete_rows(spark.createDataFrame([(2,)], "k bigint"))
+    lt.insert_rows(spark.createDataFrame([(2, "q9")], "k bigint, patch string"))
+    got = {r.k: r.patch for r in lt.read().collect()}
+    assert got == {1: "p0+p1+p2", 2: "q9"}
+    # history: fold state as of version 1
+    got1 = {r.k: r.patch for r in lt.read(version=1).collect()}
+    assert got1 == {1: "p0+p1", 2: "q0"}

@@ -52,6 +52,45 @@ def _first_written(c: str):
     return F.min(pair).getField("v")
 
 
+def _custom_fold(c: str, merge):
+    """User-supplied binary fold, applied over the key's non-null values in
+    generation order (oldest first).
+
+    Honors the reference's fold-on-write interface for aggregates with no
+    built-in SQL analog — e.g. xdelta's patch merging
+    (builtin_function_registry.cpp:246), whose patch format is not public:
+    the user supplies ``merge(acc, value) -> Column`` and the engine
+    guarantees deterministic application order. The fold stays JVM-side
+    (higher-order ``aggregate`` over a gen-sorted collect_list); ties
+    within one generation break by value, keeping it order-independent."""
+    pair = F.when(
+        F.col(c).isNotNull(),
+        F.struct(F.col("__gen").alias("g"), F.col(c).alias("v")),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(pair)), lambda s: s.getField("v")
+    )
+    rest = F.slice(ordered, F.lit(2), F.greatest(F.size(ordered) - 1, F.lit(0)))
+    return F.when(F.size(ordered) == 0, F.lit(None)).otherwise(
+        F.aggregate(rest, F.try_element_at(ordered, F.lit(1)), merge)
+    )
+
+
+def _fold_expr(c: str, fold):
+    """Fold spec (name or callable) → aggregation expression for column c."""
+    if callable(fold):
+        return _custom_fold(c, fold).alias(c)
+    if fold == "first":
+        return _first_written(c).alias(c)
+    return _AGG_FOLDS[fold](F.col(c)).alias(c)
+
+
+def _check_folds(aggregates: dict) -> None:
+    for col, fn in aggregates.items():
+        if not callable(fn) and fn not in _AGG_FOLDS:
+            raise ValueError(f"unsupported aggregate {fn} for {col}")
+
+
 @dataclass
 class KeyedTable:
     """A key-unique table snapshot with optional aggregate columns.
@@ -68,9 +107,7 @@ class KeyedTable:
     _history: list[DataFrame] = field(default_factory=list)
 
     def __post_init__(self) -> None:
-        for col, fn in self.aggregates.items():
-            if fn not in _AGG_FOLDS:
-                raise ValueError(f"unsupported aggregate {fn} for {col}")
+        _check_folds(self.aggregates)
 
     # -- reads --------------------------------------------------------------
 
@@ -128,11 +165,7 @@ class KeyedTable:
                 if c in self.key_cols:
                     continue
                 if c in self.aggregates:
-                    fold = self.aggregates[c]
-                    if fold == "first":
-                        aggs.append(_first_written(c).alias(c))
-                    else:
-                        aggs.append(_AGG_FOLDS[fold](F.col(c)).alias(c))
+                    aggs.append(_fold_expr(c, self.aggregates[c]))
                 else:
                     # newest generation wins for plain columns
                     aggs.append(

@@ -383,3 +383,39 @@ def dyn_mvcc_timestamped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=result.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "dyn_custom_fold",
+    """
+    SELECT c_custkey,
+           CASE
+             WHEN c_custkey <= 4                    THEN 'b' || c_custkey || '+u1'
+             WHEN c_custkey BETWEEN 5 AND 10        THEN 'b' || c_custkey || '+u1+u2'
+             WHEN c_custkey BETWEEN 11 AND 15       THEN 'b' || c_custkey || '+u2'
+             ELSE 'b' || c_custkey
+           END AS patch
+    FROM customer WHERE c_custkey <= 20
+    ORDER BY c_custkey
+    """,
+)
+def dyn_custom_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-supplied merge fn as the aggregate fold (the reference's xdelta
+    fold-on-write interface, builtin_function_registry.cpp:246, with the
+    patch merge supplied by the caller since the xdelta patch format is not
+    public): patches concatenate in commit order across upserts."""
+    cat = load_tables(spark, sf_dir)
+    keys = cat.read("customer").filter(F.col("c_custkey") <= 20).select("c_custkey")
+    merge = lambda acc, v: F.concat_ws("+", acc, v)  # noqa: E731
+    t = KeyedTable(
+        keys.withColumn("patch", F.concat(F.lit("b"), F.col("c_custkey"))),
+        key_cols=["c_custkey"],
+        aggregates={"patch": merge},
+    )
+    t = t.insert_rows(
+        keys.filter(F.col("c_custkey") <= 10).withColumn("patch", F.lit("u1"))
+    )
+    t = t.insert_rows(
+        keys.filter(F.col("c_custkey").between(5, 15)).withColumn("patch", F.lit("u2"))
+    )
+    return t.df.orderBy("c_custkey")

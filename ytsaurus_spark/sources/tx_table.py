@@ -38,7 +38,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ytsaurus_spark.operators.keyed_tables import KeyedTable, _AGG_FOLDS
+from ytsaurus_spark.operators.keyed_tables import KeyedTable, _AGG_FOLDS, _check_folds
 
 
 class TxTable:
@@ -162,9 +162,7 @@ class LogTxTable:
         self.path = path
         self.key_cols = key_cols
         self.aggregates = aggregates or {}
-        for col, fn in self.aggregates.items():
-            if fn not in _AGG_FOLDS:
-                raise ValueError(f"unsupported aggregate {fn} for {col}")
+        _check_folds(self.aggregates)
         os.makedirs(path, exist_ok=True)
 
     # -- manifest -------------------------------------------------------
@@ -372,7 +370,7 @@ class LogTxTable:
         (fold survivors) share the key partitioning."""
         from pyspark.sql import Window as W
 
-        from ytsaurus_spark.operators.keyed_tables import _first_written
+        from ytsaurus_spark.operators.keyed_tables import _fold_expr
 
         cols = [c for c in u.columns if c not in ("__op", "__gen")]
         w = W.partitionBy(*self.key_cols)
@@ -386,11 +384,7 @@ class LogTxTable:
             if c in self.key_cols:
                 continue
             if c in self.aggregates:
-                fold = self.aggregates[c]
-                if fold == "first":
-                    aggs.append(_first_written(c).alias(c))
-                else:
-                    aggs.append(_AGG_FOLDS[fold](F.col(c)).alias(c))
+                aggs.append(_fold_expr(c, self.aggregates[c]))
             else:
                 aggs.append(F.max_by(F.col(c), F.col("__gen")).alias(c))
         if with_timestamps:
