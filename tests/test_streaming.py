@@ -332,3 +332,59 @@ def test_queue_to_txtable_durable_pipeline(spark, stream_dir):
     # versions: v0 empty, v1 after first batch of 10
     assert t.read(0).count() == 0
     assert sum(r.n for r in t.read(1).collect()) == 10
+
+
+def test_match_recognize_stream_state_across_batches(spark, stream_dir):
+    """Streaming MATCH_RECOGNIZE: a pattern started in batch 1 completes in
+    batch 2 via carried state; completed matches emit exactly once."""
+    from ytsaurus_spark.operators.match_recognize import match_recognize_stream
+
+    src_dir = os.path.join(stream_dir, "src")
+    # user 1: view(v) add(a) in batch 1 ... buy(b) in batch 2 -> one "vab"
+    # user 2: full "vab" within batch 1
+    _write_events(
+        spark,
+        src_dir,
+        [
+            (1, "2024-01-01 10:00:00", 1, 1.0),   # v  (value<=2)
+            (2, "2024-01-01 10:01:00", 1, 3.0),   # a  (2<value<=4)
+            (3, "2024-01-01 10:00:00", 2, 1.0),   # v
+            (4, "2024-01-01 10:01:00", 2, 3.0),   # a
+            (5, "2024-01-01 10:02:00", 2, 9.0),   # b  (value>4)
+        ],
+    )
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    out = match_recognize_stream(
+        src,
+        partition_by=["user_id"],
+        order_col="event_id",
+        symbols=[
+            ("v", F.col("value") <= 2),
+            ("a", (F.col("value") > 2) & (F.col("value") <= 4)),
+            ("b", F.col("value") > 4),
+        ],
+        pattern="vab",
+    )
+    q = out.writeStream.format("memory").queryName("mr_stream").start()
+    try:
+        q.processAllAvailable()
+        got1 = [(r.user_id, r.match_seq) for r in spark.table("mr_stream").collect()]
+        assert got1 == [(2, "vab")]  # user 1 still pending in state
+        # batch 2 completes user 1's match and starts+completes another for 2
+        _write_events(
+            spark,
+            src_dir,
+            [
+                (6, "2024-01-01 10:03:00", 1, 9.0),   # b -> completes v,a
+                (7, "2024-01-01 10:03:00", 2, 1.5),   # v
+                (8, "2024-01-01 10:04:00", 2, 2.5),   # a
+                (9, "2024-01-01 10:05:00", 2, 5.0),   # b -> second match
+            ],
+        )
+        q.processAllAvailable()
+        got2 = sorted(
+            (r.user_id, r.match_seq) for r in spark.table("mr_stream").collect()
+        )
+        assert got2 == [(1, "vab"), (2, "vab"), (2, "vab")]
+    finally:
+        q.stop()

@@ -205,3 +205,78 @@ def match_recognize_measures(
             yield emit(carry)
 
     return arranged.mapInPandas(runner, output_schema)
+
+
+def match_recognize_stream(
+    events,
+    partition_by: list[str],
+    order_col: str,
+    symbols: list[tuple[str, Column]],
+    pattern: str,
+    max_buffer: int = 10_000,
+):
+    """Streaming MATCH_RECOGNIZE: pattern matching over an unbounded stream.
+
+    The reference executes MATCH_RECOGNIZE over streams with a per-key
+    state machine (mkql_match_recognize.cpp streaming mode); Spark's analog
+    is ``applyInPandasWithState``. Per key, the state is the tail of the
+    encoded symbol string that no completed match has consumed — 1 byte per
+    pending row, capped at ``max_buffer`` (the reference bounds its pending
+    window the same way). Each micro-batch appends its rows' symbols in
+    ``order_col`` order, emits every completed non-overlapping match
+    (AFTER MATCH SKIP PAST LAST ROW), and carries the unmatched suffix.
+
+    Emission is batch-greedy: a quantifier-final pattern (e.g. ``ab*``)
+    emits as soon as the regex completes within the buffered sequence, so
+    rows of one logical match arriving in later batches start a new match —
+    streaming row-pattern engines share this boundary semantics (matches
+    conclude when the pattern cannot extend with known data). Within-key
+    ordering across batches relies on source order (use a queue/log source
+    that preserves per-key order, as the reference's ordered queues do).
+
+    Returns a streaming DataFrame (partition_by..., match_seq, match_n)
+    in append mode: one row per completed match, ``match_n`` numbering
+    matches per key from 1 within each batch-emission.
+
+    Encoding happens JVM-side before grouping; Python sees only
+    (key, order, one char) rows — Arrow-batched, O(rows).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sym = encode_symbols(events, symbols).alias("__sym")
+    enc = events.select(*partition_by, F.col(order_col).alias("__ord"), sym)
+    key_fields = [events.schema[c] for c in partition_by]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("match_seq", T.StringType()),
+            T.StructField("match_n", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    rx = re.compile(pattern)
+
+    def fn(key, pdfs, state):
+        buf = state.get[0] if state.exists else ""
+        chunks = [pdf for pdf in pdfs]
+        rows = pd.concat(chunks).sort_values("__ord") if chunks else None
+        if rows is not None and len(rows):
+            buf = (buf or "") + "".join(rows["__sym"])
+        matches = []
+        last_end = 0
+        for m in rx.finditer(buf):
+            if m.end() == m.start():  # zero-width: avoid infinite loop
+                break
+            matches.append(m.group(0))
+            last_end = m.end()
+        state.update((buf[last_end:][-max_buffer:],))
+        if matches:
+            out = pd.DataFrame({"match_seq": matches, "match_n": range(1, len(matches) + 1)})
+            for c, v in zip(partition_by, key):
+                out[c] = v
+            yield out[[*partition_by, "match_seq", "match_n"]]
+
+    return enc.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -320,3 +320,80 @@ def stream_queue_to_logtable(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=result.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "stream_match_recognize",
+    """
+    WITH enc AS (
+      SELECT user_id, event_id,
+             CASE WHEN value <= 50 THEN 'v'
+                  WHEN value <= 200 THEN 'a'
+                  ELSE 'b' END AS sym
+      FROM events
+    ), seqs AS (
+      SELECT user_id, string_agg(sym, '' ORDER BY event_id) AS seq
+      FROM enc GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'va+b')) AS BIGINT) AS n_matches
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'va+b')) > 0
+    ORDER BY user_id
+    """,
+)
+def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE over the live event stream
+    (mkql_match_recognize.cpp streaming mode → applyInPandasWithState):
+    per-user pattern va+b with state carried across micro-batches. The
+    pattern ends in a fixed symbol, so completed streaming matches equal
+    the batch regex over each user's full ordered sequence — which is
+    exactly what the DuckDB oracle computes."""
+    import os
+    import tempfile
+
+    from ytsaurus_spark.operators.match_recognize import match_recognize_stream
+
+    load_tables(spark, sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    matches = match_recognize_stream(
+        src,
+        partition_by=["user_id"],
+        order_col="event_id",
+        symbols=[
+            ("v", F.col("value") <= 50),
+            ("a", (F.col("value") > 50) & (F.col("value") <= 200)),
+            ("b", F.col("value") > 200),
+        ],
+        pattern="va+b",
+    )
+    name = "stream_match_recognize_out"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        result = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+            .orderBy("user_id")
+        )
+        rows = result.collect()
+    return spark.createDataFrame(rows, schema=result.schema)
