@@ -42,6 +42,11 @@ HEADLINE = [
     "pipeline_clean_corpus",      # full dedup+quality pipeline
     "match_recognize_funnel",     # sequence pattern matching
     "stream_incremental_agg",     # queue pulls + keyed-table folds
+    # added round 2 (baselines recorded in BASELINE.md at their r02 values)
+    "dedup_embedding_cosine",     # hyperplane-bucketed semantic near-dup
+    "tpch_q8_market_share",       # 8-table join, conditional-share agg
+    "stream_match_recognize",     # stateful streaming pattern matching
+    "dyn_mvcc_timestamped_read",  # log-structured MVCC reads + history
 ]
 
 

@@ -280,3 +280,38 @@ def match_recognize_stream(
     return enc.groupBy(*partition_by).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def with_navigation(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    cols: list[str],
+    depth: int = 1,
+) -> DataFrame:
+    """PREV/NEXT navigation columns for DEFINE predicates.
+
+    The reference's row-pattern DEFINE clauses may reference PREV(col) /
+    NEXT(col) (sql_match_recognize.cpp navigation functions). Spark's
+    equivalent is lag/lead over the match ordering — this helper
+    materializes ``__prev_<col>[_k]`` / ``__next_<col>[_k]`` (k up to
+    ``depth``; the _1 suffix is omitted) so symbol predicates passed to
+    :func:`encode_symbols` / :func:`match_recognize` can use row-relative
+    conditions, e.g.::
+
+        with_navigation(df, ["user_id"], ["ts"], ["value"])
+        symbols=[("r", F.col("value") > F.col("__prev_value"))]  # rising
+
+    One window shuffle on (partition_by, order_by) — the same shuffle the
+    match aggregation needs, so Catalyst reuses the partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    out = df
+    for c in cols:
+        for k in range(1, depth + 1):
+            suffix = f"_{k}" if k > 1 else ""
+            out = out.withColumn(f"__prev_{c}{suffix}", F.lag(c, k).over(w))
+            out = out.withColumn(f"__next_{c}{suffix}", F.lead(c, k).over(w))
+    return out

@@ -837,3 +837,59 @@ def fn_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").cast("decimal(20,0)").cast("string").alias("u64_str"),
         )
     )
+
+
+@register(
+    "match_recognize_navigation",
+    """
+    WITH nav AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_value
+      FROM events
+    ), seqs AS (
+      SELECT user_id,
+             string_agg(CASE WHEN prev_value IS NOT NULL
+                                  AND value > prev_value THEN 'r'
+                             ELSE '.' END, '' ORDER BY event_id) AS seq
+      FROM nav GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'rrr+')) AS BIGINT) AS n_streaks
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'rrr+')) > 0
+    ORDER BY user_id
+    """,
+)
+def match_recognize_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREV navigation inside DEFINE (sql_match_recognize.cpp navigation
+    functions): symbol r = value > PREV(value), pattern r{3,} — rising
+    streaks of length ≥ 3 per user. with_navigation materializes the
+    lag/lead columns on the same (key, order) shuffle the match uses."""
+    from ytsaurus_spark.operators.match_recognize import (
+        match_recognize,
+        with_navigation,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    nav = with_navigation(
+        cat.read("events"), ["user_id"], ["event_id"], ["value"]
+    )
+    m = match_recognize(
+        nav,
+        partition_by=["user_id"],
+        order_by=["event_id"],
+        symbols=[
+            (
+                "r",
+                F.col("__prev_value").isNotNull()
+                & (F.col("value") > F.col("__prev_value")),
+            ),
+        ],
+        pattern="rrr+",
+    )
+    return (
+        m.filter(F.col("n_matches") > 0)
+        .select("user_id", F.col("n_matches").alias("n_streaks"))
+        .orderBy("user_id")
+    )
