@@ -1,0 +1,115 @@
+"""Unit tests for the corpus-curation operators on micro-fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.operators import curation
+
+
+@pytest.fixture()
+def docs(spark):
+    # 4-char tokens → est tokens = ceil(len/4) is easy to reason about.
+    return spark.createDataFrame(
+        [
+            (0, "aaaa bbbb cccc dddd", "en", "s0"),   # 5 est tokens (19 chars)
+            (1, "eeee ffff gggg hhhh", "en", "s0"),   # 5
+            (2, "iiii jjjj", "en", "s1"),             # 3 (9 chars)
+            (3, "aaaa bbbb cccc dddd", "en", "s1"),   # dup of 0
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+
+
+def test_pack_sequences_bins_and_order(docs):
+    packed = curation.pack_sequences(docs, budget=8)
+    rows = {r.doc_id: (r["__tok"], r.bin_id) for r in packed.collect()}
+    # cumulative: doc0 [0,5) bin0; doc1 [5,10) starts at 5 -> bin0;
+    # doc2 [10,13) -> bin1; doc3 [13,18) -> bin1
+    assert rows[0] == (5, 0)
+    assert rows[1] == (5, 0)
+    assert rows[2] == (3, 1)
+    assert rows[3] == (5, 1)
+    summ = {r.bin_id: (r.n_docs, r.tokens) for r in
+            curation.pack_bins_summary(packed, 8).collect()}
+    assert summ[0] == (2, 10) and summ[1] == (2, 8)
+
+
+def test_pack_sequences_matches_single_partition_cumsum(spark):
+    # Property: bin assignment is partitioning-invariant (two-phase prefix
+    # sum == the naive global window). 100 docs, random-ish lengths.
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.repeat(F.lit("x"), ((F.col("id") * 37) % 97 + 1).cast("int")).alias("text"),
+    )
+    got = {
+        (r.doc_id, r.bin_id)
+        for r in curation.pack_sequences(docs, budget=50).collect()
+    }
+    rows = sorted(
+        (r.doc_id, -(-len(r.text) // 4)) for r in docs.collect()
+    )
+    cum, want = 0, set()
+    for doc_id, tok in rows:
+        want.add((doc_id, cum // 50))
+        cum += tok
+    assert got == want
+
+
+def test_contamination_check(docs):
+    bench = docs.filter(F.col("doc_id") == 3)   # same text as doc 0
+    train = docs.filter(F.col("doc_id") < 3)
+    hits = {r.doc_id: r.n_shared for r in
+            curation.contamination_check(train, bench, k=2).collect()}
+    assert 0 in hits and hits[0] == 3           # three shared 2-grams
+    assert 1 not in hits and 2 not in hits
+
+
+def test_pii_scrub_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith@corp.io or 555-0199 ref 1234567 end"),
+         (2, "nothing sensitive here")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.n_redactions for r in curation.pii_scrub(df).collect()}
+    assert out[1] == 3 and out[2] == 0
+    scrubbed = curation.pii_scrub(df).collect()
+    assert all(len(r.scrubbed_md5) == 32 for r in scrubbed)
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    kept = curation.stratified_sample(docs, {"a": 10, "b": 100})
+    counts = {r.source: r.c for r in
+              kept.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts["b"] == 1000                  # rate 100 keeps everything
+    assert 40 <= counts["a"] <= 160             # ~10% of 1000
+    # determinism: second run keeps the identical id set
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in
+            curation.stratified_sample(docs, {"a": 10, "b": 100}).collect()}
+    assert ids1 == ids2
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"), (2, "all words here differ fully")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.top_count, r.n_tokens, r.top_ratio)
+           for r in curation.repetition_stats(df).collect()}
+    assert out[1] == (4, 5, 0.8)
+    assert out[2] == (1, 5, 0.2)
+
+
+def test_train_mix_weights_equalize(docs):
+    out = {r.source: (r.tokens, r.weight) for r in
+           curation.train_mix_weights(docs).collect()}
+    # s0: 5+5=10 tokens, s1: 3+5=8 tokens, target = 9 each
+    assert out["s0"][0] == 10 and out["s1"][0] == 8
+    assert out["s0"][1] == pytest.approx(0.9)
+    assert out["s1"][1] == pytest.approx(1.125)

@@ -29,9 +29,11 @@ def normalize_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and represent with enough digits to catch real diffs
+        # Preserve the sign of zero: the driver's value hash is built from
+        # exact reprs, so a DuckDB -0.0 vs Spark 0.0 IS a failure (caught
+        # live by ql_sr_array_join in round 2). repr() distinguishes them.
         if v == 0:
-            return 0.0
+            return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
         return round(v, 9)
     if isinstance(v, bool):
         return bool(v)

@@ -201,6 +201,15 @@ class Catalog:
         cols = self._nanos_columns(name)
         for c in cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Defensive: if inferTimestampNTZ couldn't be applied to this session
+        # before the relation was resolved, µs-without-UTC-flag columns come
+        # back as TIMESTAMP_NTZ, which forbids epoch arithmetic. Coerce to
+        # TimestampType (session zone is UTC, so the wall time is unchanged).
+        from pyspark.sql import types as T
+
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         return df
 
     def _nanos_columns(self, name: str) -> list[str]:

@@ -75,6 +75,7 @@ def _load() -> None:
     from ytsaurus_spark.queries import (  # noqa: F401
         aggregates,
         analytics_q,
+        curation_q,
         dynamic_q,
         formats_q,
         llm,

@@ -1,0 +1,198 @@
+"""Corpus-curation queries: sequence packing, contamination, PII scrubbing,
+stratified sampling, repetition detection, domain-mixture weighting.
+
+Each entry pairs the distributed implementation (operators/curation.py)
+with a DuckDB oracle that mirrors the arithmetic exactly — same hash
+function (md5), same rounding, same regex subset — so the driver's value
+hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ytsaurus_spark.catalog import load_tables
+from ytsaurus_spark.operators import curation
+from ytsaurus_spark.queries import register
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "curation_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tok, sum(tok) OVER (ORDER BY doc_id) AS cum FROM t
+    )
+    SELECT CAST(floor((cum - tok) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS tokens,
+           round(sum(tok) / {PACK_BUDGET}.0, 4) AS fill
+    FROM c GROUP BY 1
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of documents into fixed token windows via a
+    two-phase distributed prefix sum (no single-partition window)."""
+    cat = load_tables(spark, sf_dir)
+    packed = curation.pack_sequences(cat.read("documents"), PACK_BUDGET)
+    return curation.pack_bins_summary(packed, PACK_BUDGET)
+
+
+@register(
+    "curation_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN [array_to_string(t[i:i+4], ' ')
+                        for i in range(1, len(t) - 3)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shs) AS s FROM sh)
+    ), bench AS (
+      SELECT DISTINCT s FROM shx WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM shx JOIN bench USING (s)
+    WHERE doc_id % 7 != 0
+    GROUP BY doc_id
+    """,
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 5-gram overlap between the training
+    split and a broadcast benchmark split."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return curation.contamination_check(train, bench, k=5)
+
+
+@register(
+    "curation_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.com or 555-' ||
+             lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') ||
+             ' ref ' || (1000000 + doc_id) AS t0
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t0, '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+')) AS c1,
+             regexp_replace(t0, '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, c1,
+             len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{4}')) AS c2,
+             regexp_replace(t1, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, c1, c2,
+             len(regexp_extract_all(t2, '[0-9]{6,}')) AS c3,
+             regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions,
+           md5(t3) AS scrubbed_md5
+    FROM s3
+    """,
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically PII-augmented text column —
+    the augmentation guarantees every regex class actually fires, so the
+    oracle checks real match/replace behavior, not a no-op."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.com or 555-"),
+            F.lpad(((F.col("doc_id") * 7919) % 10000).cast("string"), 4, "0"),
+            F.lit(" ref "),
+            (F.col("doc_id") + 1000000).cast("string"),
+        ).alias("text"),
+    )
+    return curation.pii_scrub(aug)
+
+
+@register(
+    "curation_stratified_sample",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100)
+          < CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 10
+                        WHEN 'src2' THEN 25 WHEN 'src3' THEN 50 ELSE 80 END
+    GROUP BY source
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sampling with per-source rates; the kept
+    set is identical on any cluster size / partitioning."""
+    cat = load_tables(spark, sf_dir)
+    kept = curation.stratified_sample(
+        cat.read("documents"),
+        {"src0": 5, "src1": 10, "src2": 25, "src3": 50},
+        default_rate=80,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@register(
+    "curation_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), pt AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(max(c) AS BIGINT) AS top_count,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_ratio
+    FROM pt GROUP BY doc_id
+    """,
+)
+def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition detector (max single-token share)."""
+    cat = load_tables(spark, sf_dir)
+    return curation.repetition_stats(cat.read("documents"))
+
+
+@register(
+    "curation_train_mix",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(sum(ceil(length(text) / 4.0)) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS k FROM per
+    )
+    SELECT source, tokens, round((t / k) / tokens, 6) AS weight
+    FROM per, tot
+    """,
+)
+def curation_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weights that equalize per-source token mass."""
+    cat = load_tables(spark, sf_dir)
+    return curation.train_mix_weights(cat.read("documents"))

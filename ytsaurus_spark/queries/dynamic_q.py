@@ -147,7 +147,7 @@ def dyn_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ql_sr_array_join",
     """
-    SELECT vec_id, round(CAST(UNNEST(embedding) AS DOUBLE), 4) AS e
+    SELECT vec_id, round(CAST(UNNEST(embedding) AS DOUBLE), 4) + 0.0 AS e
     FROM embeddings WHERE vec_id < 100
     """,
 )
@@ -157,7 +157,7 @@ def ql_sr_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return select_rows(
         spark,
-        "vec_id, round(double(emb), 4) AS e "
+        "vec_id, round(double(emb), 4) + 0.0 AS e "
         "FROM [//home/vectors/embeddings] "
         "ARRAY JOIN embedding AS emb "
         "WHERE vec_id < 100",
@@ -168,8 +168,8 @@ def ql_sr_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ql_sr_array_join_zip",
     """
     SELECT vec_id,
-           round(CAST(UNNEST(embedding) AS DOUBLE), 4) AS e1,
-           round(CAST(UNNEST(embedding[2:]) AS DOUBLE), 4) AS e2
+           round(CAST(UNNEST(embedding) AS DOUBLE), 4) + 0.0 AS e1,
+           round(CAST(UNNEST(embedding[2:]) AS DOUBLE), 4) + 0.0 AS e2
     FROM embeddings WHERE vec_id < 50
     """,
 )
@@ -180,7 +180,7 @@ def ql_sr_array_join_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return select_rows(
         spark,
-        "vec_id, round(double(e1), 4) AS e1, round(double(e2), 4) AS e2 "
+        "vec_id, round(double(e1), 4) + 0.0 AS e1, round(double(e2), 4) + 0.0 AS e2 "
         "FROM [//home/vectors/embeddings] "
         "ARRAY JOIN embedding AS e1, slice(embedding, 2, 100000) AS e2 "
         "WHERE vec_id < 50",

@@ -36,10 +36,16 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # Parquet TIMESTAMP(NANOS) columns (events.ts in the fixtures) are not a
-    # Spark timestamp type; read them as long and let the catalog convert
-    # ns → µs explicitly (truncation matches DuckDB's ns→µs cast).
+    # Parquet TIMESTAMP(NANOS) columns (events.ts in earlier fixture
+    # generations) are not a Spark timestamp type; read them as long and let
+    # the catalog convert ns → µs explicitly (truncation matches DuckDB's
+    # ns→µs cast). Harmless when the fixtures carry µs timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP (LTZ,
+    # rendered in the UTC session zone) rather than TIMESTAMP_NTZ: NTZ
+    # forbids numeric casts (epoch arithmetic) and DuckDB renders its naive
+    # TIMESTAMP identically to LTZ-in-UTC, so LTZ keeps oracle hash parity.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     # keep managed-table storage (bucketed tables) out of the repo tree
     "spark.sql.warehouse.dir": "/tmp/ytsaurus_spark_warehouse",
