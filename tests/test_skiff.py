@@ -199,3 +199,51 @@ def test_skiff_unsupported_type_fails_fast(spark, tmp):
     df = spark.sql("select interval 1 day as iv")
     with pytest.raises(Exception):
         write_skiff(df, os.path.join(tmp, "bad"))
+
+
+# --- multi-table streams (variant16 tag routing) ---------------------------
+
+def test_skiff_multi_table_roundtrip(spark, tmp):
+    from ytsaurus_spark.sources.skiff import read_skiff_multi, write_skiff_multi
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id bigint, s string"
+    )
+    b = spark.createDataFrame(
+        [(1.5, True), (2.5, False)], "v double, flag boolean"
+    )
+    path = os.path.join(tmp, "multi")
+    write_skiff_multi([a, b], path)
+    back_a = read_skiff_multi(spark, path, 0)
+    back_b = read_skiff_multi(spark, path, 1)
+    assert rows_set(back_a) == rows_set(a)
+    assert rows_set(back_b) == rows_set(b)
+    assert back_a.schema == a.schema and back_b.schema == b.schema
+
+
+def test_skiff_multi_wire_interleaved(spark):
+    # Tag routing is row-level: decoding a hand-interleaved stream picks
+    # out exactly the rows of the requested table.
+    sa = T.StructType([T.StructField("id", T.LongType(), False)])
+    sb = T.StructType([T.StructField("s", T.StringType(), False)])
+    data = (
+        encode_rows([(10,)], sa, table_index=0)
+        + encode_rows([("hi",)], sb, table_index=1)
+        + encode_rows([(20,)], sa, table_index=0)
+    )
+    batches = list(decode_stream(data, sa, all_schemas=[sa, sb], table_index=0))
+    ids = [v for b in batches for v in b.column(0).to_pylist()]
+    assert ids == [10, 20]
+    strs = [
+        v
+        for b in decode_stream(data, sb, all_schemas=[sa, sb], table_index=1)
+        for v in b.column(0).to_pylist()
+    ]
+    assert strs == ["hi"]
+
+
+def test_skiff_unknown_tag_rejected(spark):
+    sa = T.StructType([T.StructField("id", T.LongType(), False)])
+    data = encode_rows([(1,)], sa, table_index=3)
+    with pytest.raises(ValueError, match="tag 3"):
+        list(decode_stream(data, sa))

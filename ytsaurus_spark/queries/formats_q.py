@@ -75,3 +75,54 @@ def fmt_skiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "fmt_skiff_multi_table",
+    """
+    SELECT 'orders' AS tbl,
+           CAST(COUNT(*) AS BIGINT)         AS n,
+           CAST(SUM(o_orderkey) AS BIGINT)  AS key_sum
+    FROM orders WHERE o_orderkey % 50 = 0
+    UNION ALL
+    SELECT 'customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT)
+    FROM customer WHERE c_custkey % 10 = 0
+    ORDER BY tbl
+    """,
+)
+def fmt_skiff_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tables → ONE multi-table Skiff stream (variant16 row tags) →
+    demultiplexed reads → per-table aggregates.
+
+    Proves the tag routing end-to-end: the oracle aggregates the original
+    parquet, so a hash match means each table's rows came back exactly and
+    none leaked across tags (the reference's multi-output job writer,
+    yt/yt/library/formats/skiff_writer.cpp variant16 routing; Go codec
+    yt/go/skiff/encoder.go:124-208).
+    """
+    from ytsaurus_spark.sources.skiff import read_skiff_multi, write_skiff_multi
+
+    cat = load_tables(spark, sf_dir)
+    orders = (
+        cat.read("orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    customer = (
+        cat.read("customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ytspark_skiffm_"), "stream")
+    write_skiff_multi([orders, customer], path)
+    back_o = read_skiff_multi(spark, path, 0)
+    back_c = read_skiff_multi(spark, path, 1)
+    agg_o = back_o.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum")
+    ).select(F.lit("orders").alias("tbl"), "n", "key_sum")
+    agg_c = back_c.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("key_sum")
+    ).select(F.lit("customer").alias("tbl"), "n", "key_sum")
+    return agg_o.unionAll(agg_c).orderBy("tbl")

@@ -83,6 +83,7 @@ from pyspark.sql.types import (
 from ytsaurus_spark.sources import yson
 
 SIDECAR = "_skiff_schema.json"
+SIDECAR_MULTI = "_skiff_multi_schema.json"
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 _EPOCH_TS = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 
@@ -192,16 +193,21 @@ def _nested_to_plain(value, dtype: DataType):
     return value
 
 
-def encode_rows(rows, schema: StructType) -> bytes:
-    """Encode an iterable of per-field-ordered tuples as a Skiff stream."""
+def encode_rows(rows, schema: StructType, table_index: int = 0) -> bytes:
+    """Encode an iterable of per-field-ordered tuples as a Skiff stream.
+
+    ``table_index`` becomes each row's variant16 tag — 0 for a single-table
+    stream, N for the Nth table of a multi-table stream (the reference's
+    table-index routing, ``yt/go/skiff/encoder.go:124-208``)."""
     fields = [(f.dataType, wire_type_for(f.dataType), f.nullable) for f in schema.fields]
     out = bytearray()
     pack_i64 = struct.Struct("<q").pack
     pack_u64 = struct.Struct("<Q").pack
     pack_f64 = struct.Struct("<d").pack
     pack_u32 = struct.Struct("<I").pack
+    tag_bytes = struct.Struct("<H").pack(table_index)
     for row in rows:
-        out += b"\x00\x00"  # variant16 table tag (single-table stream)
+        out += tag_bytes  # variant16 table tag
         for value, (dtype, wire, nullable) in zip(row, fields):
             if nullable:
                 if value is None:
@@ -229,17 +235,42 @@ def encode_rows(rows, schema: StructType) -> bytes:
     return bytes(out)
 
 
-def decode_stream(data: bytes, schema: StructType, batch_rows: int = 4096):
-    """Parse a Skiff stream → iterator of ``pyarrow.RecordBatch``."""
+def decode_stream(
+    data: bytes,
+    schema: StructType,
+    batch_rows: int = 4096,
+    all_schemas: list[StructType] | None = None,
+    table_index: int = 0,
+):
+    """Parse a Skiff stream → iterator of ``pyarrow.RecordBatch``.
+
+    Single-table streams: every row must carry tag ``table_index`` (0).
+    Multi-table streams: pass ``all_schemas`` (one per tag, in tag order);
+    rows tagged with other tables are parsed to advance the cursor and
+    discarded — the read contract is one table per scan, mirroring the
+    reference readers' per-table routing (a reducer asks GetTableIndex and
+    the framework has already demultiplexed the wire stream)."""
     import pyarrow as pa
 
-    fields = [(f.dataType, wire_type_for(f.dataType), f.nullable) for f in schema.fields]
+    specs_by_tag: dict[int, list] = {
+        table_index: [
+            (f.dataType, wire_type_for(f.dataType), f.nullable) for f in schema.fields
+        ]
+    }
+    if all_schemas is not None:
+        for tag, s in enumerate(all_schemas):
+            specs_by_tag.setdefault(
+                tag,
+                [(f.dataType, wire_type_for(f.dataType), f.nullable) for f in s.fields],
+            )
+    fields = specs_by_tag[table_index]
     arrow_schema = pa.schema([(f.name, _arrow_type(f.dataType)) for f in schema.fields])
     unpack_i64 = struct.Struct("<q").unpack_from
     unpack_u64 = struct.Struct("<Q").unpack_from
     unpack_f64 = struct.Struct("<d").unpack_from
     unpack_u32 = struct.Struct("<I").unpack_from
     columns: list[list] = [[] for _ in fields]
+    discard: list[None] = []  # sink for foreign-table values
     pos, size = 0, len(data)
 
     def flush():
@@ -253,43 +284,58 @@ def decode_stream(data: bytes, schema: StructType, batch_rows: int = 4096):
 
     while pos < size:
         tag = data[pos] | (data[pos + 1] << 8)
-        if tag != 0:
-            raise ValueError(f"multi-table Skiff stream (tag {tag}) not supported")
+        if tag not in specs_by_tag:
+            raise ValueError(
+                f"Skiff row tag {tag} has no schema (stream has "
+                f"{len(specs_by_tag)} known table(s)); pass all_schemas"
+            )
         pos += 2
-        for (dtype, wire, nullable), col in zip(fields, columns):
+        keep = tag == table_index
+        row_fields = specs_by_tag[tag]
+        sinks = columns if keep else [discard] * len(row_fields)
+        for (dtype, wire, nullable), col in zip(row_fields, sinks):
             if nullable:
                 present = data[pos]
                 pos += 1
                 if present == 0:
-                    col.append(None)
+                    if keep:
+                        col.append(None)
                     continue
             if wire == INT64:
-                col.append(_from_wire_value(unpack_i64(data, pos)[0], dtype))
+                if keep:
+                    col.append(_from_wire_value(unpack_i64(data, pos)[0], dtype))
                 pos += 8
             elif wire == UINT64:
-                col.append(_from_wire_value(unpack_u64(data, pos)[0], dtype))
+                if keep:
+                    col.append(_from_wire_value(unpack_u64(data, pos)[0], dtype))
                 pos += 8
             elif wire == DOUBLE:
-                col.append(unpack_f64(data, pos)[0])
+                if keep:
+                    col.append(unpack_f64(data, pos)[0])
                 pos += 8
             elif wire == BOOLEAN:
-                col.append(bool(data[pos]))
+                if keep:
+                    col.append(bool(data[pos]))
                 pos += 1
             elif wire == STRING32:
                 length = unpack_u32(data, pos)[0]
                 pos += 4
-                raw = data[pos : pos + length]
+                if keep:
+                    raw = data[pos : pos + length]
+                    col.append(
+                        raw.decode("utf-8") if isinstance(dtype, StringType) else bytes(raw)
+                    )
                 pos += length
-                col.append(raw.decode("utf-8") if isinstance(dtype, StringType) else bytes(raw))
             else:  # YSON32
                 length = unpack_u32(data, pos)[0]
                 pos += 4
-                value, end = yson.loads_prefix(data, pos)
-                if end != pos + length:
-                    raise ValueError(f"yson32 length mismatch at byte {pos}")
+                if keep:
+                    value, end = yson.loads_prefix(data, pos)
+                    if end != pos + length:
+                        raise ValueError(f"yson32 length mismatch at byte {pos}")
+                    col.append(value)
                 pos += length
-                col.append(value)
-        if len(columns[0]) >= batch_rows:
+        if columns[0] and len(columns[0]) >= batch_rows:
             yield flush()
     if columns and columns[0]:
         yield flush()
@@ -301,9 +347,17 @@ class _SkiffFilePartition(InputPartition):
 
 
 class _SkiffReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        all_schemas: list[StructType] | None = None,
+        table_index: int = 0,
+    ):
         self._path = path
         self._schema = schema
+        self._all_schemas = all_schemas
+        self._table_index = table_index
 
     def partitions(self):
         if os.path.isdir(self._path):
@@ -323,7 +377,12 @@ class _SkiffReader(DataSourceReader):
             return iter(())
         with open(partition.path, "rb") as fh:
             data = fh.read()
-        return decode_stream(data, self._schema)
+        return decode_stream(
+            data,
+            self._schema,
+            all_schemas=self._all_schemas,
+            table_index=self._table_index,
+        )
 
 
 class _SkiffCommit(WriterCommitMessage):
@@ -331,9 +390,10 @@ class _SkiffCommit(WriterCommitMessage):
 
 
 class _SkiffWriter(DataSourceArrowWriter):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType, table_index: int = 0):
         self._path = path
         self._schema = schema
+        self._table_index = table_index
 
     def write(self, iterator):
         os.makedirs(self._path, exist_ok=True)
@@ -349,7 +409,7 @@ class _SkiffWriter(DataSourceArrowWriter):
                     or [[]]
                 )
             )
-            chunks.append(encode_rows(rows, self._schema))
+            chunks.append(encode_rows(rows, self._schema, self._table_index))
         with open(out_path, "wb") as fh:
             fh.writelines(chunks)
         return _SkiffCommit()
@@ -376,7 +436,23 @@ class SkiffDataSource(DataSource):
             raise ValueError("skiff datasource requires a path")
         return path
 
+    def _table_index(self) -> int | None:
+        v = self.options.get("tableindex", self.options.get("tableIndex"))
+        return int(v) if v is not None else None
+
+    def _multi_schemas(self) -> list[StructType] | None:
+        sidecar = os.path.join(self._path(), SIDECAR_MULTI)
+        if os.path.exists(sidecar):
+            with open(sidecar) as fh:
+                return [StructType.fromJson(s) for s in json.load(fh)["tables"]]
+        return None
+
     def schema(self) -> StructType:
+        idx = self._table_index()
+        if idx is not None:
+            multi = self._multi_schemas()
+            if multi is not None:
+                return multi[idx]
         sidecar = os.path.join(self._path(), SIDECAR)
         if os.path.exists(sidecar):
             with open(sidecar) as fh:
@@ -388,7 +464,12 @@ class SkiffDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         for field in schema.fields:
             wire_type_for(field.dataType)  # fail fast on unsupported types
-        return _SkiffReader(self._path(), schema)
+        return _SkiffReader(
+            self._path(),
+            schema,
+            all_schemas=self._multi_schemas(),
+            table_index=self._table_index() or 0,
+        )
 
     def writer(self, schema: StructType, overwrite: bool):
         import shutil
@@ -396,12 +477,16 @@ class SkiffDataSource(DataSource):
         path = self._path()
         for field in schema.fields:
             wire_type_for(field.dataType)
+        idx = self._table_index()
         if overwrite and os.path.isdir(path):
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, SIDECAR), "w") as fh:
-            json.dump(schema.jsonValue(), fh)
-        return _SkiffWriter(path, schema)
+        if idx is None:
+            with open(os.path.join(path, SIDECAR), "w") as fh:
+                json.dump(schema.jsonValue(), fh)
+        # multi-table writes: write_skiff_multi commits the multi sidecar
+        # up front on the driver; per-table appends just tag their rows.
+        return _SkiffWriter(path, schema, table_index=idx or 0)
 
 
 def register_skiff(spark: SparkSession) -> None:
@@ -423,3 +508,48 @@ def read_skiff(spark: SparkSession, path: str, schema: StructType | None = None)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def write_skiff_multi(dfs: list[DataFrame], path: str) -> None:
+    """Write N DataFrames as ONE multi-table Skiff stream directory.
+
+    Each row carries its table's variant16 tag; a ``_skiff_multi_schema``
+    sidecar records the per-tag schemas. Every table writes in parallel
+    (one file per partition, any file may later be concatenated with any
+    other — the wire format is order-free), which is the Spark-shaped
+    version of the reference's multi-output job writer
+    (``yt/yt/library/formats/skiff_writer.cpp`` variant16 routing).
+    """
+    import shutil
+
+    if not dfs:
+        raise ValueError("write_skiff_multi needs at least one DataFrame")
+    spark = dfs[0].sparkSession
+    register_skiff(spark)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, SIDECAR_MULTI), "w") as fh:
+        json.dump({"tables": [df.schema.jsonValue() for df in dfs]}, fh)
+    for i, df in enumerate(dfs):
+        (
+            df.write.format("skiff")
+            .mode("append")
+            .option("tableIndex", str(i))
+            .save(path)
+        )
+
+
+def read_skiff_multi(
+    spark: SparkSession, path: str, table_index: int
+) -> DataFrame:
+    """Read one table out of a multi-table Skiff stream directory. Rows of
+    other tables are skipped wire-level (parsed for length, not
+    materialized) — the per-table demultiplex the reference job framework
+    performs before handing rows to user code."""
+    register_skiff(spark)
+    return (
+        spark.read.format("skiff")
+        .option("tableIndex", str(table_index))
+        .load(path)
+    )
