@@ -334,3 +334,40 @@ def test_log_tx_table_row_level_mvcc(spark, tmp):
     t.compact()
     hist2 = t.versioned_lookup(spark.createDataFrame([(2,)], "k bigint"))
     assert [(r.k, r["__gen"], r["__op"]) for r in hist2.collect()] == [(2, 2, "d"), (2, 0, "u")]
+
+
+def test_log_tx_table_subcommit_ordering(spark, tmp):
+    import os
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    path = os.path.join(tmp, "subt")
+    t = LogTxTable(spark, path, key_cols=["k"], aggregates={"cnt": "sum", "fst": "first"})
+    t.init(
+        spark.createDataFrame(
+            [(1, "seed", 1, 100)], "k bigint, s string, cnt bigint, fst bigint"
+        )
+    )
+    # ONE batch, three writes to the same key, ordered by seq:
+    # plain column -> highest seq wins; sum folds all; first -> lowest seq
+    # non-null beats... (stored gen 0 still beats the whole batch).
+    batch = spark.createDataFrame(
+        [(1, "w1", 10, None, 1), (1, "w3", 30, 300, 3), (1, "w2", 20, 200, 2),
+         (2, "n1", 5, None, 1), (2, "n2", 6, 600, 2)],
+        "k bigint, s string, cnt bigint, fst bigint, seq bigint",
+    )
+    t.insert_rows(batch, seq_col="seq")
+    got = {r.k: (r.s, r.cnt, r.fst) for r in t.read().collect()}
+    assert got[1] == ("w3", 61, 100)        # w3 wins plain; 1+10+30+20; seed first
+    assert got[2] == ("n2", 11, 600)        # n2 wins plain; first non-null = seq2
+    # versioned history exposes sub-positions newest-first within the commit
+    hist = t.versioned_lookup(spark.createDataFrame([(1,)], "k bigint")).collect()
+    subs = [r["__sub"] for r in hist if r["__gen"] == 1]
+    assert subs == [3, 2, 1]
+    # old read paths (no seq) still work after the sub-commit delta
+    t.insert_rows(
+        spark.createDataFrame(
+            [(1, "plain", 1, None)], "k bigint, s string, cnt bigint, fst bigint"
+        )
+    )
+    assert {r.k: r.s for r in t.read().collect()}[1] == "plain"

@@ -43,11 +43,14 @@ _AGG_FOLDS = {
 
 def _first_written(c: str):
     """Deterministic 'first' fold: the non-null value of the LOWEST
-    generation (stored=0 beats incoming=1); ties inside one incoming batch
-    break by value min, keeping the fold order-independent."""
+    (generation, sub-position) — stored=0 beats incoming=1, and within one
+    batch the lowest seq wins; residual ties break by value min, keeping
+    the fold order-independent."""
     pair = F.when(
         F.col(c).isNotNull(),
-        F.struct(F.col("__gen").alias("g"), F.col(c).alias("v")),
+        F.struct(
+            F.col("__gen").alias("g"), F.col("__sub").alias("s"), F.col(c).alias("v")
+        ),
     )
     return F.min(pair).getField("v")
 
@@ -65,7 +68,9 @@ def _custom_fold(c: str, merge):
     within one generation break by value, keeping it order-independent."""
     pair = F.when(
         F.col(c).isNotNull(),
-        F.struct(F.col("__gen").alias("g"), F.col(c).alias("v")),
+        F.struct(
+            F.col("__gen").alias("g"), F.col("__sub").alias("s"), F.col(c).alias("v")
+        ),
     )
     ordered = F.transform(
         F.array_sort(F.collect_list(pair)), lambda s: s.getField("v")
@@ -157,8 +162,12 @@ class KeyedTable:
         if self.aggregates:
             # fold = groupBy over (current ∪ incoming): one shuffle on the
             # key, partial aggregation map-side — same cost as the MERGE.
-            tagged_old = self.df.withColumn("__gen", F.lit(0))
-            tagged_new = new_rows.withColumn("__gen", F.lit(1))
+            tagged_old = self.df.withColumn("__gen", F.lit(0)).withColumn(
+                "__sub", F.lit(0).cast("long")
+            )
+            tagged_new = new_rows.withColumn("__gen", F.lit(1)).withColumn(
+                "__sub", F.lit(0).cast("long")
+            )
             union = tagged_old.unionByName(tagged_new, allowMissingColumns=True)
             aggs = []
             for c in cols:

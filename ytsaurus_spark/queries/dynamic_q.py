@@ -4,6 +4,8 @@ upsert/lookup/delete with aggregate columns, secondary-index reads.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -419,3 +421,54 @@ def dyn_custom_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys.filter(F.col("c_custkey").between(5, 15)).withColumn("patch", F.lit("u2"))
     )
     return t.df.orderBy("c_custkey")
+
+
+@register(
+    "dyn_subcommit_order",
+    """
+    SELECT user_id,
+           round(arg_max(value, event_id), 6) AS last_value,
+           arg_max(event_type, event_id)      AS last_type,
+           CAST(count(*) AS BIGINT)           AS n_events
+    FROM events WHERE user_id < 200
+    GROUP BY user_id
+    """,
+)
+def dyn_subcommit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-commit MVCC ordering: ONE insert batch carries every event of a
+    user, sequenced by event_id (``seq_col``); the resolved row must show
+    the LAST write's plain columns while the aggregate column folds across
+    all writes of the batch — per-row write ordering inside a single
+    transaction (versioned_row.h write-timestamp lists), which commit-level
+    generations alone cannot express. The oracle recomputes the same
+    last-write-wins + fold directly from the events parquet."""
+    import tempfile
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    cat = load_tables(spark, sf_dir)
+    ev = (
+        cat.read("events")
+        .filter(F.col("user_id") < 200)
+        .select(
+            F.col("user_id"),
+            F.round("value", 6).alias("last_value"),
+            F.col("event_type").alias("last_type"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("event_id"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ytspark_sub_"), "t")
+    t = LogTxTable(
+        spark, path, key_cols=["user_id"], aggregates={"n_events": "sum"}
+    )
+    t.init(
+        spark.createDataFrame(
+            [],
+            "user_id bigint, last_value double, last_type string, n_events bigint",
+        )
+    )
+    t.insert_rows(ev, seq_col="event_id")
+    # the returned plan reads the segment files lazily — they must outlive
+    # this call (same contract as the skiff roundtrip queries)
+    return t.read().select("user_id", "last_value", "last_type", "n_events")

@@ -893,3 +893,139 @@ def match_recognize_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("n_matches").alias("n_streaks"))
         .orderBy("user_id")
     )
+
+
+# --- Url / Ip / Digest scalar UDF modules ----------------------------------
+# (the reference's common UDF libraries: yql/essentials/udfs/common/url_base,
+#  ip_base, digest — SURVEY §2.3 scalar module row. Spark gives Url via
+#  parse_url, digests via md5/sha2; Ip math is pure int arithmetic, so all
+#  three families stay JVM-side with zero Python.)
+
+@register(
+    "fn_url",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id ||
+             '?lang=' || lang || '&rev=' || (doc_id % 7) AS url
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)      AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1)          AS q_lang,
+           regexp_extract(url, '[?&]rev=([^&#]*)', 1)           AS q_rev,
+           regexp_extract(url, '^([a-z]+)://', 1)               AS scheme,
+           regexp_extract(url, '([^.]+\\.[^.]+)$'
+             ) IS NOT NULL AS has_tld
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Url module parity (GetHost/GetPath/GetCGIParam/GetScheme —
+    yql/essentials/udfs/common/url_base): Spark's parse_url covers the
+    whole family natively; the oracle re-derives each part with regex."""
+    cat = load_tables(spark, sf_dir)
+    u = (
+        cat.read("documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+                F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+                F.lit("&rev="), (F.col("doc_id") % 7).cast("string"),
+            ).alias("url"),
+        )
+    )
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("rev")).alias("q_rev"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url("url", F.lit("HOST")).rlike("[^.]+\\.[^.]+$").alias("has_tld"),
+    )
+
+
+@register(
+    "fn_ip",
+    """
+    WITH ips AS (
+      SELECT doc_id,
+             '10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' ||
+             ((doc_id * 13) % 256) AS ip
+      FROM documents WHERE doc_id < 60
+    ), parts AS (
+      SELECT doc_id, ip, string_split(ip, '.') AS o FROM ips
+    )
+    SELECT doc_id, ip,
+           CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536 +
+           CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT)   AS ip_num,
+           CAST(o[1] AS BIGINT) = 10                            AS is_private,
+           o[1] || '.' || o[2] || '.0.0'                        AS subnet16
+    FROM parts
+    """,
+)
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ip module parity (FromString/ToNum/IsPrivate/GetSubnet —
+    yql/essentials/udfs/common/ip_base): dotted-quad ↔ uint32 is pure
+    integer arithmetic over split octets, identical in both engines."""
+    cat = load_tables(spark, sf_dir)
+    ips = (
+        cat.read("documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit("."), ((F.col("doc_id") * 13) % 256).cast("string"),
+            ).alias("ip"),
+        )
+    )
+    o = F.split("ip", "\\.")
+    oct_ = lambda i: F.element_at(o, i).cast("long")  # noqa: E731
+    return ips.select(
+        "doc_id",
+        "ip",
+        (oct_(1) * 16777216 + oct_(2) * 65536 + oct_(3) * 256 + oct_(4)).alias(
+            "ip_num"
+        ),
+        (oct_(1) == 10).alias("is_private"),
+        F.concat(
+            F.element_at(o, 1), F.lit("."), F.element_at(o, 2), F.lit(".0.0")
+        ).alias("subnet16"),
+    )
+
+
+@register(
+    "fn_digest",
+    """
+    SELECT doc_id,
+           md5(text)                                   AS h_md5,
+           sha256(text)                                AS h_sha256,
+           length(md5(text))                           AS md5_len,
+           substr(md5(text || '|salt'), 1, 8)          AS salted_prefix
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def fn_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest module parity (Md5Hex/Sha256/salted hashing —
+    yql/essentials/udfs/common/digest): Spark md5/sha2 are JVM built-ins;
+    both engines emit lowercase hex."""
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.md5("text").alias("h_md5"),
+            F.sha2(F.col("text"), 256).alias("h_sha256"),
+            F.length(F.md5("text")).cast("long").alias("md5_len"),
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("|salt"))), 1, 8).alias(
+                "salted_prefix"
+            ),
+        )
+    )

@@ -202,13 +202,25 @@ class LogTxTable:
             raise ValueError(f"{self.path} already initialized")
         return self._write_segment(df, "base")
 
-    def insert_rows(self, rows: DataFrame, update: bool = False) -> int:
+    def insert_rows(
+        self, rows: DataFrame, update: bool = False, seq_col: str | None = None
+    ) -> int:
         """Upsert commit: appends ONLY ``rows`` as a delta.
 
         ``update=True`` (partial-column upsert) fills omitted plain
         columns from the current resolved state at commit time — the
         write stays O(changes); only the fill-in read touches the log.
-        Omitted aggregate columns contribute the fold identity (null)."""
+        Omitted aggregate columns contribute the fold identity (null).
+
+        ``seq_col`` orders writes *within* this batch (sub-commit
+        timestamps): when one batch carries several writes for the same
+        key, the row with the highest ``seq_col`` wins the plain columns,
+        and aggregate columns fold across all of them — the reference's
+        per-row timestamp ordering inside a transaction
+        (yt/yt/client/table_client/versioned_row.h write-timestamp lists).
+        Without ``seq_col``, all rows of the batch share sub-position 0
+        and per-key multiplicity within a batch is a caller error for
+        plain columns (ambiguous winner)."""
         schema_cols = self._schema_cols()
         missing = [c for c in schema_cols if c not in rows.columns]
         if missing and not update:
@@ -225,7 +237,14 @@ class LogTxTable:
             for c in missing:
                 if c in self.aggregates:
                     rows = rows.withColumn(c, F.lit(None).cast(base_types[c]))
-        delta = rows.select(*schema_cols).withColumn("__op", F.lit("u"))
+        sub = (
+            F.col(seq_col).cast("long") if seq_col is not None else F.lit(0).cast("long")
+        )
+        delta = (
+            rows.withColumn("__sub", sub)
+            .select(*schema_cols, "__sub")
+            .withColumn("__op", F.lit("u"))
+        )
         return self._write_segment(delta, "delta")
 
     def delete_rows(self, keys: DataFrame) -> int:
@@ -236,7 +255,11 @@ class LogTxTable:
         for c in schema_cols:
             if c not in self.key_cols:
                 delta = delta.withColumn(c, F.lit(None).cast(base_types[c]))
-        delta = delta.select(*schema_cols).withColumn("__op", F.lit("d"))
+        delta = (
+            delta.select(*schema_cols)
+            .withColumn("__sub", F.lit(0).cast("long"))
+            .withColumn("__op", F.lit("d"))
+        )
         return self._write_segment(delta, "delta")
 
     def compact(self) -> int:
@@ -277,6 +300,8 @@ class LogTxTable:
         df = self.spark.read.parquet(os.path.join(self.path, f"s{s['v']}"))
         if s["kind"] == "base":
             df = df.withColumn("__op", F.lit("u"))
+        if "__sub" not in df.columns:  # bases + pre-sub-commit deltas
+            df = df.withColumn("__sub", F.lit(0).cast("long"))
         return df.withColumn("__gen", F.lit(s["v"]))
 
     def _gen_ts_col(self):
@@ -307,7 +332,7 @@ class LogTxTable:
         for s in chain[1:]:
             u = u.unionByName(self._seg_df(s))
         if len(chain) == 1 and not with_timestamps:
-            return u.drop("__op", "__gen")
+            return u.drop("__op", "__gen", "__sub")
         return self._resolve(u, with_timestamps=with_timestamps)
 
     def lookup_rows(
@@ -334,7 +359,7 @@ class LogTxTable:
         for p in parts[1:]:
             u = u.unionByName(p)
         if len(parts) == 1 and not with_timestamps:
-            return u.drop("__op", "__gen")
+            return u.drop("__op", "__gen", "__sub")
         return self._resolve(u, with_timestamps=with_timestamps)
 
     def versioned_lookup(self, keys: DataFrame) -> DataFrame:
@@ -360,7 +385,7 @@ class LogTxTable:
             u = u.unionByName(p)
         return (
             u.withColumn("__write_ts", self._gen_ts_col())
-            .orderBy(*self.key_cols, F.col("__gen").desc())
+            .orderBy(*self.key_cols, F.col("__gen").desc(), F.col("__sub").desc())
         )
 
     # -- merge-on-read resolution ------------------------------------------
@@ -372,13 +397,16 @@ class LogTxTable:
 
         from ytsaurus_spark.operators.keyed_tables import _fold_expr
 
-        cols = [c for c in u.columns if c not in ("__op", "__gen")]
+        cols = [c for c in u.columns if c not in ("__op", "__gen", "__sub")]
         w = W.partitionBy(*self.key_cols)
         last_del = F.max(F.when(F.col("__op") == "d", F.col("__gen"))).over(w)
         live = u.withColumn("__last_del", last_del).filter(
             (F.col("__op") == "u")
             & (F.col("__last_del").isNull() | (F.col("__gen") > F.col("__last_del")))
         )
+        # write order = (commit generation, within-batch sub-position):
+        # struct comparison gives the lexicographic "newest write wins"
+        ver = F.struct(F.col("__gen"), F.col("__sub"))
         aggs = []
         for c in cols:
             if c in self.key_cols:
@@ -386,7 +414,7 @@ class LogTxTable:
             if c in self.aggregates:
                 aggs.append(_fold_expr(c, self.aggregates[c]))
             else:
-                aggs.append(F.max_by(F.col(c), F.col("__gen")).alias(c))
+                aggs.append(F.max_by(F.col(c), ver).alias(c))
         if with_timestamps:
             aggs.append(F.max("__gen").alias("__gen"))
             merged = live.groupBy(*self.key_cols).agg(*aggs)
@@ -397,4 +425,4 @@ class LogTxTable:
 
     def _schema_cols(self) -> list[str]:
         first = self.spark.read.parquet(os.path.join(self.path, "s0"))
-        return [c for c in first.columns if c not in ("__op", "__gen")]
+        return [c for c in first.columns if c not in ("__op", "__gen", "__sub")]
