@@ -112,3 +112,61 @@ def test_rejects_bad_inputs(spark, seq_df):
             seq_df, ["uid"], ["seq"], SYMBOLS(), "vv",
             measures={"x": ("median", "v")}, output_schema="uid bigint",
         )
+
+
+def test_skip_to_symbol_scan():
+    import re
+
+    from ytsaurus_spark.operators.match_recognize import _scan_matches
+
+    rx = re.compile("cv+")
+    # c at 0, views 1-3; to_last v resumes AT index 3 -> no second c-match
+    assert _scan_matches(rx, "cvvvp", ("to_last", "v")) == [(0, 4)]
+    # two anchors: cvv starting at 0, resume at 2 (last v), next c at 3
+    assert _scan_matches(rx, "cvvcv", ("to_last", "v")) == [(0, 3), (3, 5)]
+    # to_first v of "cv+" resumes at the first v (index 1 of match)
+    assert _scan_matches(rx, "cvvcv", ("to_first", "v")) == [(0, 3), (3, 5)]
+    # vv overlapping via to_last
+    assert _scan_matches(re.compile("vv"), "vvvv", ("to_last", "v")) == [
+        (0, 2), (1, 3), (2, 4),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not advance"):
+        _scan_matches(re.compile("vv"), "vvv", ("to_first", "v"))
+    with _pytest.raises(ValueError, match="not present"):
+        _scan_matches(re.compile("c"), "cv", ("to_last", "v"))
+
+
+def test_skip_to_symbol_validation(spark):
+    from ytsaurus_spark.operators.match_recognize import match_recognize_measures
+
+    df = spark.createDataFrame([(1, 1, "a")], "k bigint, o bigint, t string")
+    with pytest.raises(ValueError, match="unsupported AFTER MATCH SKIP"):
+        match_recognize_measures(
+            df, ["k"], ["o"], [("a", F.col("t") == "a")], "a",
+            {"n": ("count", None)}, "k bigint, match_no bigint, classifier string, n bigint",
+            after_match_skip=("to_somewhere", "a"),
+        )
+
+
+def test_all_rows_per_match(spark):
+    from ytsaurus_spark.operators.match_recognize import match_recognize_rows
+
+    df = spark.createDataFrame(
+        [(1, 1, "c"), (1, 2, "p"), (1, 3, "c"), (1, 4, "c"), (1, 5, "p"),
+         (2, 1, "p"), (2, 2, "c")],
+        "k bigint, o bigint, t string",
+    )
+    out = match_recognize_rows(
+        df, ["k"], ["o"],
+        [("c", F.col("t") == "c"), ("p", F.col("t") == "p")],
+        "cp", keep_cols=["o"],
+        output_schema="k bigint, o bigint, match_no bigint, classifier string, row_in_match bigint",
+    ).collect()
+    got = {(r.k, r.o): (r.match_no, r.classifier, r.row_in_match) for r in out}
+    assert got[(1, 1)] == (1, "c", 1)
+    assert got[(1, 2)] == (1, "p", 2)
+    assert got[(1, 4)] == (2, "c", 1)
+    assert got[(1, 5)] == (2, "p", 2)
+    assert (1, 3) not in got and len(out) == 4  # key 2 has no match

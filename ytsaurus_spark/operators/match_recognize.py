@@ -18,9 +18,10 @@ Supported: concatenation, alternation, quantifiers (* + ? {n,m}) — anything
 the regex engine supports over the symbol alphabet. ``match_recognize``
 returns per-key match counts/strings; ``match_recognize_measures`` adds
 MEASURES over each match's row range and AFTER MATCH SKIP policies
-(PAST LAST ROW / TO NEXT ROW — sql_match_recognize.cpp skip modes,
-exec mkql_match_recognize.cpp). Still not supported: per-row navigation
-(PREV/NEXT inside DEFINE) and SKIP TO <symbol>.
+(PAST LAST ROW / TO NEXT ROW / TO FIRST|LAST <symbol> —
+sql_match_recognize.cpp skip modes, exec mkql_match_recognize.cpp).
+Per-row navigation (PREV/NEXT inside DEFINE) comes from
+``with_navigation`` pre-encoded lag/lead columns.
 
 Scale: state per partition key is the encoded symbol string (1 byte/row) —
 bounded by per-key sequence length, the same bound the reference's
@@ -98,13 +99,18 @@ _MEASURE_KINDS = ("first", "last", "min", "max", "sum", "count", "avg")
 
 
 def _scan_matches(
-    rx: "re.Pattern[str]", s: str, skip: str
+    rx: "re.Pattern[str]", s: str, skip
 ) -> list[tuple[int, int]]:
     """Left-to-right match scan under an AFTER MATCH SKIP policy.
 
-    - ``past_last_row``: resume after the match (non-overlapping) —
+    - ``"past_last_row"``: resume after the match (non-overlapping) —
       the reference's default.
-    - ``to_next_row``: resume at match start + 1 (overlapping matches).
+    - ``"to_next_row"``: resume at match start + 1 (overlapping matches).
+    - ``("to_first", sym)`` / ``("to_last", sym)``: resume AT the row the
+      first/last occurrence of ``sym`` mapped to inside the match (SQL's
+      AFTER MATCH SKIP TO [FIRST|LAST] symbol). Per the standard, a skip
+      that lands on the match's own first row cannot advance and is a
+      runtime error, as is a symbol the match never mapped.
     """
     out: list[tuple[int, int]] = []
     pos = 0
@@ -113,7 +119,25 @@ def _scan_matches(
         if not m:
             break
         out.append((m.start(), m.end()))
-        pos = m.start() + 1 if skip == "to_next_row" else max(m.end(), m.start() + 1)
+        if skip == "to_next_row":
+            pos = m.start() + 1
+        elif skip == "past_last_row":
+            pos = max(m.end(), m.start() + 1)
+        else:
+            mode, sym = skip
+            body = s[m.start() : m.end()]
+            idx = body.find(sym) if mode == "to_first" else body.rfind(sym)
+            if idx < 0:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {sym!r}: symbol not present in "
+                    f"match {body!r}"
+                )
+            if idx == 0:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {sym!r} does not advance past the "
+                    f"match start (match {body!r}) — infinite loop"
+                )
+            pos = m.start() + idx
     return out
 
 
@@ -141,7 +165,15 @@ def match_recognize_measures(
     walks each key's ordered rows, regex-scans the symbol string under the
     skip policy, and aggregates each match's row slice vectorized.
     """
-    if after_match_skip not in ("past_last_row", "to_next_row"):
+    valid_scalar = after_match_skip in ("past_last_row", "to_next_row")
+    valid_to_sym = (
+        isinstance(after_match_skip, tuple)
+        and len(after_match_skip) == 2
+        and after_match_skip[0] in ("to_first", "to_last")
+        and isinstance(after_match_skip[1], str)
+        and len(after_match_skip[1]) == 1
+    )
+    if not (valid_scalar or valid_to_sym):
         raise ValueError(f"unsupported AFTER MATCH SKIP {after_match_skip!r}")
     for name, (kind, _src) in measures.items():
         if kind not in _MEASURE_KINDS:
@@ -189,6 +221,78 @@ def match_recognize_measures(
                     rows.append(rec)
             cols = [*partition_by, "match_no", "classifier", *measures]
             return pd.DataFrame(rows, columns=cols)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_key = tuple(pdf[partition_by].iloc[-1])
+            mask = (pdf[partition_by] == last_key).all(axis=1)
+            complete, carry = pdf[~mask], pdf[mask]
+            if len(complete):
+                yield emit(complete)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return arranged.mapInPandas(runner, output_schema)
+
+
+def match_recognize_rows(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    symbols: list[tuple[str, Column]],
+    pattern: str,
+    keep_cols: list[str],
+    output_schema: str,
+    *,
+    after_match_skip: str = "past_last_row",
+) -> DataFrame:
+    """ALL ROWS PER MATCH output mode: every matched input row comes back,
+    annotated with ``match_no`` (1-based per partition key), ``classifier``
+    (the symbol the row mapped to) and ``row_in_match`` (1-based offset) —
+    the row-expansion form of sql_match_recognize.cpp's output modes,
+    complementing ``match_recognize_measures``'s ONE ROW PER MATCH.
+
+    ``output_schema`` must be the DDL for
+    (partition_by..., keep_cols..., match_no, classifier, row_in_match).
+    Under overlapping skip policies a source row can appear in several
+    matches (once per match), exactly as the standard specifies.
+    Same execution shape as the measures form: one shuffle, sorted
+    partitions, a streaming pandas pass.
+    """
+    rx = re.compile(pattern)
+    if rx.search("") is not None:
+        raise ValueError("PATTERN must not match the empty row sequence")
+    sym = encode_symbols(df, symbols).alias("__sym")
+    need = [c for c in keep_cols if c not in partition_by]
+    arranged = (
+        df.select(*partition_by, *order_by, *[c for c in need if c not in order_by], sym)
+        .repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *order_by)
+    )
+    skip = after_match_skip
+    out_keep = [*partition_by, *[c for c in keep_cols if c not in partition_by]]
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for _key, g in pdf.groupby(partition_by, sort=False):
+                s = "".join(g["__sym"])
+                for match_no, (lo, hi) in enumerate(_scan_matches(rx, s, skip), 1):
+                    sl = g.iloc[lo:hi][out_keep].copy()
+                    sl["match_no"] = match_no
+                    sl["classifier"] = list(s[lo:hi])
+                    sl["row_in_match"] = range(1, hi - lo + 1)
+                    frames.append(sl)
+            cols = [*out_keep, "match_no", "classifier", "row_in_match"]
+            if not frames:
+                return pd.DataFrame(columns=cols)
+            return pd.concat(frames, ignore_index=True)[cols]
 
         for pdf in batches:
             if carry is not None:

@@ -1029,3 +1029,123 @@ def fn_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "match_recognize_skip_to",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    cv AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_cv
+      FROM seq WHERE event_type = 'click' AND nxt = 'view'
+      GROUP BY user_id
+    ),
+    v AS (SELECT user_id, rn FROM seq WHERE event_type = 'view'),
+    runs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM (SELECT user_id, rn,
+                   rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                     AS grp
+            FROM v)
+      GROUP BY user_id, grp
+    ),
+    vv AS (
+      SELECT user_id, CAST(sum(len - 1) AS BIGINT) AS n_vv
+      FROM runs WHERE len >= 2 GROUP BY user_id
+    )
+    SELECT user_id, n_cv, n_vv
+    FROM cv JOIN vv USING (user_id)
+    """,
+)
+def match_recognize_skip_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO LAST <symbol> (sql_match_recognize.cpp skip
+    modes): resuming AT the last mapped symbol row makes pattern ``vv``
+    overlap run-wise (len-1 matches per view-run) and lets ``cv+`` reuse
+    its final view as a potential next-match anchor — both counts derived
+    independently by the oracle from window functions."""
+    from ytsaurus_spark.operators.match_recognize import match_recognize_measures
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    kw = dict(
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[
+            ("c", F.col("event_type") == "click"),
+            ("v", F.col("event_type") == "view"),
+            ("p", F.col("event_type") == "purchase"),
+        ],
+        measures={"n_rows": ("count", None)},
+        output_schema=(
+            "user_id bigint, match_no bigint, classifier string, n_rows bigint"
+        ),
+        after_match_skip=("to_last", "v"),
+    )
+    cv = (
+        match_recognize_measures(ev, pattern="cv+", **kw)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_cv"))
+    )
+    vv = (
+        match_recognize_measures(ev, pattern="vv", **kw)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_vv"))
+    )
+    return cv.join(vv, "user_id")
+
+
+@register(
+    "match_recognize_all_rows",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER w AS nxt,
+             lead(event_id)  OVER w AS nxt_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+      SELECT user_id, event_id AS c_id, nxt_id AS p_id,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS match_no
+      FROM seq WHERE event_type = 'click' AND nxt = 'purchase'
+    )
+    SELECT user_id, c_id AS event_id, match_no,
+           'c' AS classifier, CAST(1 AS BIGINT) AS row_in_match FROM pairs
+    UNION ALL
+    SELECT user_id, p_id, match_no, 'p', CAST(2 AS BIGINT) FROM pairs
+    """,
+)
+def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH output mode on pattern ``cp`` (click immediately
+    followed by purchase): every matched source row returns with its
+    match_no / per-row classifier / offset — the row-expansion output of
+    sql_match_recognize.cpp, which the oracle reconstructs pair-wise with
+    window functions."""
+    from ytsaurus_spark.operators.match_recognize import match_recognize_rows
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    return match_recognize_rows(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[
+            ("c", F.col("event_type") == "click"),
+            ("p", F.col("event_type") == "purchase"),
+        ],
+        pattern="cp",
+        keep_cols=["event_id"],
+        output_schema=(
+            "user_id bigint, event_id bigint, match_no bigint, "
+            "classifier string, row_in_match bigint"
+        ),
+    )
