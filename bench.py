@@ -47,6 +47,9 @@ HEADLINE = [
     "tpch_q8_market_share",       # 8-table join, conditional-share agg
     "stream_match_recognize",     # stateful streaming pattern matching
     "dyn_mvcc_timestamped_read",  # log-structured MVCC reads + history
+    # added round 3 (baselines = their r03 steady-state values)
+    "curation_pack_sequences",    # two-phase prefix-sum packing
+    "curation_contamination",     # broadcast n-gram contamination scan
 ]
 
 

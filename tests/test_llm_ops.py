@@ -223,3 +223,30 @@ def test_multiprobe_recall_beats_single_probe(spark):
     r9 = recall(ann_topk_lsh_multiprobe(emb, queries, k=3))
     assert r9 > r1
     assert r9 >= 0.2  # multi-probe pulls recall out of the floor
+
+
+def test_pq_encode_and_adc_topk(spark):
+    from ytsaurus_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),   # exemplar -> code 0
+            (2, [5.0, 5.0, 0.0, 0.0]),     # exemplar -> code 1
+            (1, [0.1, 0.0, 9.0, 9.0]),     # near 0 in both subspaces
+            (3, [5.2, 4.9, 0.3, 0.1]),     # near 2 in both subspaces
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    codes = {
+        (r.vec_id, r.sub): r.code
+        for r in pq_encode(emb, m=2, ksub=2, dim=4, stride=2).collect()
+    }
+    assert codes[(0, 0)] == 0 and codes[(0, 1)] == 0
+    assert codes[(2, 0)] == 1 and codes[(2, 1)] == 1
+    assert codes[(1, 0)] == 0 and codes[(1, 1)] == 0
+    assert codes[(3, 0)] == 1 and codes[(3, 1)] == 1
+    top = pq_topk(
+        emb, emb.filter(F.col("vec_id") == 1), k=1, m=2, ksub=2, dim=4, stride=2
+    ).collect()
+    # ADC collapses id1 onto code (0,0) == id0's codes -> id0 is nearest
+    assert len(top) == 1 and top[0].q_id == 1 and top[0].c_id == 0

@@ -49,3 +49,30 @@ def test_group_agg_single_shuffle(spark, sf_dir):
     df = ql_group_agg(spark, sf_dir)
     # one exchange for the groupBy (partial agg map-side), nothing else
     assert shuffle_count(df) <= 1
+
+
+def test_pack_sequences_single_data_shuffle(spark, sf_dir):
+    # Two-phase prefix sum: the document stream must take exactly ONE hash
+    # exchange (the __blk window); a rangepartitioning or a second data
+    # exchange means the prefix-sum decomposition regressed into
+    # re-bucketing physical partitions.
+    from ytsaurus_spark.queries.curation_q import curation_pack_sequences
+
+    df = curation_pack_sequences(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan
+    # data window + tiny offsets agg + offsets single-partition window +
+    # final bin groupBy = 4 non-broadcast exchanges, no more
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    # The benchmark shingle set must broadcast: a sort-merge join here
+    # would shuffle the full training corpus by shingle string at 100 TB.
+    from ytsaurus_spark.queries.curation_q import curation_contamination
+
+    df = curation_contamination(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -35,35 +35,40 @@ def pack_sequences(
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block: int = 4096,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in id
     order, token counts accumulate, and each document is assigned to the
     training window (bin) its first token lands in.
 
     Scale shape: a naive ``sum() OVER (ORDER BY id)`` collapses to ONE
-    partition. Instead: range-partition by id, cumsum *within* partitions
-    (parallel), then add broadcast per-partition prefix offsets — the same
-    two-phase prefix sum the catalog uses for global row indexes
-    (catalog.py _with_global_row_index). Cost: one count-style pre-pass
-    over per-partition sums, no data shuffle beyond the range partition.
+    partition. Instead, a two-phase prefix sum over explicit id blocks
+    (``__blk = id div block``): cumsum *within* each block via a window
+    partitioned on ``__blk`` — its hash exchange is the ONLY shuffle the
+    data takes — plus broadcast per-block prefix offsets from a
+    column-pruned pre-pass (partial-agg'd map-side, tiny). Using a
+    derived block key instead of ``spark_partition_id()`` keeps the window
+    partitioning aligned with a deterministic key (no second exchange to
+    re-bucket physical partitions) and makes the layout independent of
+    cluster size. Assumes roughly-dense ids (sparse ids skew block sizes
+    but never break correctness).
     """
     toks = F.ceil(F.length(text_col) / 4).cast("long")
-    base = (
-        docs.select(F.col(id_col), toks.alias("__tok"))
-        .repartitionByRange(F.col(id_col))
-        .sortWithinPartitions(id_col)
-        .withColumn("__pid", F.spark_partition_id())
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__tok"),
+        (F.col(id_col) / block).cast("long").alias("__blk"),
     )
-    per_part = base.groupBy("__pid").agg(F.sum("__tok").alias("__psum"))
-    offsets = per_part.select(
-        "__pid",
-        (F.sum("__psum").over(Window.orderBy("__pid")) - F.col("__psum")).alias(
+    per_blk = base.groupBy("__blk").agg(F.sum("__tok").alias("__bsum"))
+    offsets = per_blk.select(
+        "__blk",
+        (F.sum("__bsum").over(Window.orderBy("__blk")) - F.col("__bsum")).alias(
             "__off"
         ),
     )
-    w = Window.partitionBy("__pid").orderBy(id_col)
+    w = Window.partitionBy("__blk").orderBy(id_col)
     packed = (
-        base.join(F.broadcast(offsets), "__pid")
+        base.join(F.broadcast(offsets), "__blk")
         .withColumn("__cum", F.sum("__tok").over(w) + F.col("__off"))
         .withColumn(
             "bin_id", F.floor((F.col("__cum") - F.col("__tok")) / budget)

@@ -392,3 +392,134 @@ def ann_topk_lsh_multiprobe(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- product quantization (IVF-PQ style ADC scan) --------------------------
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int,
+    ksub: int,
+    dim: int,
+    stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks from deterministic exemplar vectors.
+
+    Vector space splits into ``m`` subspaces of ``dim/m`` dims; subspace
+    codebook entry ``c`` is the corresponding slice of exemplar vector
+    ``c*stride`` — reproducible on any engine/cluster (same policy as
+    ``ivf_assign`` exemplars; an offline k-means refresh slots in without
+    changing the query path). Returns (sub, code, cbslice)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    cb = emb.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * ksub)
+    ).select(
+        (F.col(id_col) / stride).cast("int").alias("code"),
+        F.col(vec_col).alias("cbv"),
+    )
+    return cb.select(
+        "code",
+        "cbv",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        "sub",
+        "code",
+        F.expr(f"slice(cbv, sub * {dsub} + 1, {dsub})").alias("cbslice"),
+    )
+
+
+_SLICE_D2 = (
+    "aggregate(zip_with(vslice, cbslice, (x, y) -> "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+    "0D, (acc, d) -> acc + d)"
+)
+
+
+def _subspace_dists(
+    vecs: DataFrame, codebook: DataFrame, m: int, dsub: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, sub, code, d2): squared L2 between each vector's subspace
+    slice and every codebook entry — codebook broadcast, no pairwise
+    vector join."""
+    vs = vecs.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("v"),
+    ).select(
+        id_col, "sub", F.expr(f"slice(v, sub * {dsub} + 1, {dsub})").alias("vslice")
+    )
+    return vs.join(F.broadcast(codebook), "sub").select(
+        id_col, "sub", "code", F.expr(_SLICE_D2).alias("d2")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    stride: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes in long form: (id, sub, code) — each vector compresses to
+    ``m`` small ints (the 100 TB point of PQ: the searchable index is
+    ~m bytes/vector instead of dim*4). One broadcast join + one argmin
+    window over m*ksub narrow rows per vector; no Python, no pairwise."""
+    from pyspark.sql import Window as W
+
+    cb = pq_codebook(emb, m, ksub, dim, stride, id_col, vec_col)
+    scored = _subspace_dists(emb, cb, m, dim // m, id_col, vec_col)
+    w = W.partitionBy(id_col, "sub").orderBy(F.col("d2").asc(), F.col("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    stride: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Per query, the distance TABLE (m × ksub subspace distances) is tiny
+    and broadcasts; approximate distance to a candidate = sum of the m
+    table entries its codes select. Candidates are scanned as compressed
+    codes — full vectors never join queries — so the heavy side moves
+    ~m ints per row through one (sub, code) equi-join + one sum, the PQ
+    scan shape that holds at 100 TB. Returns (q_id, c_id, adc, rank)."""
+    from pyspark.sql import Window as W
+
+    cb = pq_codebook(emb, m, ksub, dim, stride, id_col, vec_col)
+    codes = pq_encode(emb, m, ksub, dim, stride, id_col, vec_col)
+    qvecs = emb.join(queries.select(id_col), id_col, "left_semi")
+    dtab = _subspace_dists(qvecs, cb, m, dim // m, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), "sub", "code", "d2"
+    )
+    adc = (
+        codes.withColumnRenamed(id_col, "c_id")
+        .join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum("d2"), 4).alias("adc"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "adc", "rank")
+    )

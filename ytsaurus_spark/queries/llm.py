@@ -892,3 +892,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(
         v, threshold=0.99, num_planes=8, dim=64
     ).orderBy("a_id", "b_id")
+
+
+@register(
+    "sim_pq_topk",
+    """
+    WITH cb AS (
+      SELECT CAST(vec_id / 60 AS INT) AS code, embedding::DOUBLE[] AS cbv
+      FROM embeddings WHERE vec_id % 60 = 0 AND vec_id < 60 * 8
+    ), cbs AS (
+      SELECT sub, code, cbv[sub*16+1 : sub*16+16] AS cbslice
+      FROM cb CROSS JOIN (SELECT unnest(range(4)) AS sub)
+    ), vecsub AS (
+      SELECT vec_id, sub,
+             (embedding::DOUBLE[])[sub*16+1 : sub*16+16] AS vslice
+      FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS sub)
+    ), scored AS (
+      SELECT v.vec_id, v.sub, c.code,
+             list_sum([ (v.vslice[i] - c.cbslice[i]) * (v.vslice[i] - c.cbslice[i])
+                        for i in range(1, 17) ]) AS d2
+      FROM vecsub v JOIN cbs c USING (sub)
+    ), codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), adc AS (
+      SELECT s.vec_id AS q_id, x.vec_id AS c_id, round(sum(s.d2), 4) AS adc
+      FROM codes x JOIN scored s ON s.sub = x.sub AND s.code = x.code
+      WHERE s.vec_id < 10 AND s.vec_id <> x.vec_id
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT q_id, c_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rnk
+      FROM adc
+    )
+    SELECT q_id, c_id, adc, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 3
+    """,
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC scan): vectors compress to m=4 codes
+    from 8-entry per-subspace codebooks (deterministic exemplars, stride
+    60 — mirrored exactly by the oracle); per-query distance tables
+    broadcast and candidates are scanned as codes, never as full vectors.
+    The third ANN scale path next to LSH buckets and IVF cells."""
+    from ytsaurus_spark.operators.similarity import pq_topk
+
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
