@@ -13,7 +13,7 @@ import duckdb
 import pytest
 
 N_TABLES = 3
-N_QUERIES = 60
+N_QUERIES = 90
 ROWS_PER_TABLE = 120
 
 
@@ -45,7 +45,37 @@ def _pred(rng: random.Random) -> str:
 
 def _gen_query(rng: random.Random) -> str:
     t = f"rt{rng.randrange(N_TABLES)}"
-    kind = rng.randrange(7)
+    kind = rng.randrange(9)
+    if kind == 7:  # correlated EXISTS / IN-subquery semi and anti joins
+        t2 = f"rt{rng.randrange(N_TABLES)}"
+        form = rng.randrange(3)
+        if form == 0:
+            return (
+                f"SELECT k, CAST(count(*) AS BIGINT) AS n FROM {t} a "
+                f"WHERE EXISTS (SELECT 1 FROM {t2} b WHERE b.k = a.k "
+                f"AND b.v IS NOT NULL AND b.v > {rng.randint(-50, 50)}) "
+                f"GROUP BY k"
+            )
+        if form == 1:
+            return (
+                f"SELECT k, v FROM {t} WHERE k IN "
+                f"(SELECT k FROM {t2} WHERE {_pred(rng)}) "
+                f"ORDER BY k, v NULLS FIRST LIMIT 40"
+            )
+        return (
+            f"SELECT k, CAST(count(*) AS BIGINT) AS n FROM {t} "
+            f"WHERE k NOT IN (SELECT coalesce(v, 0) FROM {t2} "
+            f"WHERE v IS NOT NULL) GROUP BY k"
+        )
+    if kind == 8:  # string expression pipeline
+        return (
+            f"SELECT k, s, upper(coalesce(s, '')) AS up, "
+            f"substr(coalesce(s, 'none'), 1, {rng.randint(1, 3)}) AS pre, "
+            f"replace(coalesce(s, ''), 'x', '{rng.choice(['q', 'zz', ''])}') AS rep, "
+            f"length(coalesce(s, '')) + k AS ln, "
+            f"concat(coalesce(s, '_'), '-', CAST(k AS STRING)) AS joined "
+            f"FROM {t} WHERE {_pred(rng)}"
+        )
     if kind == 0:  # filter + project with expressions
         return (
             f"SELECT k, v, CASE WHEN k > 10 THEN 'hi' ELSE 'lo' END AS band, "

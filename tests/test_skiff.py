@@ -247,3 +247,17 @@ def test_skiff_unknown_tag_rejected(spark):
     data = encode_rows([(1,)], sa, table_index=3)
     with pytest.raises(ValueError, match="tag 3"):
         list(decode_stream(data, sa))
+
+
+def test_skiff_multi_union_table_index(spark, tmp):
+    from ytsaurus_spark.sources.skiff import read_skiff_multi_all, write_skiff_multi
+
+    a = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    b = spark.createDataFrame([(9.5,)], "v double")
+    path = os.path.join(tmp, "multiu")
+    write_skiff_multi([a, b], path)
+    rows = read_skiff_multi_all(spark, path).collect()
+    by_tag = {r["__table_index"]: r for r in rows}
+    assert by_tag[0].id == 1 and by_tag[0].s == "x" and by_tag[0].v is None
+    assert by_tag[1].v == 9.5 and by_tag[1].id is None
+    assert len(rows) == 2

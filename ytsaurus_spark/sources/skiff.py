@@ -553,3 +553,27 @@ def read_skiff_multi(
         .option("tableIndex", str(table_index))
         .load(path)
     )
+
+
+def read_skiff_multi_all(spark: SparkSession, path: str) -> DataFrame:
+    """All tables of a multi-table Skiff stream as ONE DataFrame: schemas
+    union by name (missing columns null) plus a ``__table_index`` column —
+    the reference reducer's GetTableIndex contract
+    (yt/cpp/mapreduce/interface/operation.h multi-input readers) in
+    DataFrame form. Each table is one demultiplexing pass over the stream
+    (N tables = N passes); for analytics-sized data convert to parquet
+    first — Skiff is the interchange, not the scan format."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    sidecar = os.path.join(path, SIDECAR_MULTI)
+    with open(sidecar) as fh:
+        n = len(json.load(fh)["tables"])
+    parts = [
+        read_skiff_multi(spark, path, i).withColumn("__table_index", F.lit(i))
+        for i in range(n)
+    ]
+    return _reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
