@@ -182,3 +182,39 @@ def test_rich_path_key_ranges(spark, sf_dir):
     assert keys and all(100 <= k < 200 for k in keys)
     # half-open upper bound honored, lower inclusive
     assert min(keys) == 100
+
+
+def test_column_groups_and_locks(spark):
+    from ytsaurus_spark.yt_types import ColumnSchema, TableSchema
+
+    sch = TableSchema(
+        columns=[
+            ColumnSchema("k", "int64", required=True, sort_order="ascending"),
+            ColumnSchema("a", "string", group="meta"),
+            ColumnSchema("big", "string", group="payload"),
+            ColumnSchema("b", "string", group="meta", lock="l1"),
+            ColumnSchema("c", "double"),
+        ]
+    )
+    # group colocation: meta columns adjacent, key first
+    assert sch.group_order() == ["k", "a", "b", "big", "c"]
+    # lock/group surfaced as field metadata for API parity
+    f = {x.name: x for x in sch.to_spark().fields}
+    assert f["b"].metadata.get("yt.lock") == "l1"
+    assert f["a"].metadata.get("yt.group") == "meta"
+    assert not f["k"].nullable
+
+
+def test_validate_required_splits_violations(spark):
+    from ytsaurus_spark.yt_types import ColumnSchema, TableSchema
+
+    sch = TableSchema(
+        columns=[
+            ColumnSchema("k", "int64", required=True),
+            ColumnSchema("v", "string"),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a"), (None, "b"), (2, None)], "k bigint, v string")
+    ok, bad = sch.validate_required(df)
+    assert {r.v for r in ok.collect()} == {"a", None}
+    assert [r.v for r in bad.collect()] == ["b"]

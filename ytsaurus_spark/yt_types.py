@@ -65,10 +65,26 @@ class ColumnSchema:
     sort_order: str | None = None  # "ascending" | "descending" | None
     expression: str | None = None  # Spark SQL expr for computed columns
     aggregate: str | None = None   # sum | min | max | first
+    # Physical/concurrency hints (schema.h Lock/Group): ``group`` colocates
+    # columns in storage — here it orders columns so parquet column chunks
+    # of one group sit adjacent (the Scan-format analog of YT's block
+    # groups); ``lock`` names the column's write-lock group — Spark commits
+    # are snapshot-atomic per table, so locks are carried as metadata for
+    # API parity and surfaced in to_spark() field metadata.
+    lock: str | None = None
+    group: str | None = None
 
     def spark_field(self) -> T.StructField:
+        meta = {}
+        if self.lock:
+            meta["yt.lock"] = self.lock
+        if self.group:
+            meta["yt.group"] = self.group
         return T.StructField(
-            self.name, yt_type_to_spark(self.type_name), nullable=not self.required
+            self.name,
+            yt_type_to_spark(self.type_name),
+            nullable=not self.required,
+            metadata=meta or None,
         )
 
 
@@ -88,6 +104,38 @@ class TableSchema:
 
     def key_columns(self) -> list[str]:
         return [c.name for c in self.columns if c.sort_order]
+
+    def group_order(self) -> list[str]:
+        """Column order with storage groups colocated (TColumnSchema::Group,
+        schema.h): grouped columns become adjacent parquet column chunks —
+        the Scan-format block-group analog. Key columns stay first;
+        ungrouped columns keep declaration order after their group peers."""
+        keys = [c for c in self.columns if c.sort_order]
+        rest = [c for c in self.columns if not c.sort_order]
+        seen: dict[str, list] = {}
+        ordered: list = []
+        for c in rest:
+            g = c.group or f"__solo_{c.name}"
+            if g not in seen:
+                seen[g] = []
+                ordered.append(seen[g])
+            seen[g].append(c)
+        return [c.name for c in keys] + [c.name for grp in ordered for c in grp]
+
+    def validate_required(self, df):
+        """NOT NULL enforcement for ``required`` columns (schema.h Required)
+        as a plan-side filter guard: returns (clean_df, violations_df) so
+        writers can reject or quarantine — no driver-side collect."""
+        from pyspark.sql import functions as F
+
+        req = [c.name for c in self.columns if c.required]
+        if not req:
+            return df, df.limit(0)
+        bad = None
+        for c in req:
+            cond = F.col(c).isNull()
+            bad = cond if bad is None else (bad | cond)
+        return df.filter(~bad), df.filter(bad)
 
     def to_spark(self) -> T.StructType:
         fields = [c.spark_field() for c in self.columns]
