@@ -218,3 +218,67 @@ def test_validate_required_splits_violations(spark):
     ok, bad = sch.validate_required(df)
     assert {r.v for r in ok.collect()} == {"a", None}
     assert [r.v for r in bad.collect()] == ["b"]
+
+
+def test_schema_compatibility_verdicts():
+    from ytsaurus_spark.yt_types import (
+        ColumnSchema as C,
+        TableSchema,
+        check_schema_compatibility,
+    )
+
+    old = TableSchema([C("k", "int32", sort_order="ascending"), C("v", "int32")])
+    # widening + new optional column: fully compatible
+    widened = TableSchema(
+        [C("k", "int64", sort_order="ascending"), C("v", "int64"), C("w", "string")]
+    )
+    assert check_schema_compatibility(old, widened) == "fully_compatible"
+    # narrowing needs validation
+    narrowed = TableSchema([C("k", "int32", sort_order="ascending"), C("v", "int16")])
+    assert check_schema_compatibility(old, narrowed) == "requires_validation"
+    # optional -> required needs validation
+    req = TableSchema(
+        [C("k", "int32", sort_order="ascending"), C("v", "int32", required=True)]
+    )
+    assert check_schema_compatibility(old, req) == "requires_validation"
+    # cross-family type change / new required column / dropped column (strict)
+    bad_t = TableSchema([C("k", "string", sort_order="ascending"), C("v", "int32")])
+    assert check_schema_compatibility(old, bad_t) == "incompatible"
+    new_req = TableSchema(
+        [C("k", "int32", sort_order="ascending"), C("v", "int32"), C("z", "int64", required=True)]
+    )
+    assert check_schema_compatibility(old, new_req) == "incompatible"
+    dropped = TableSchema([C("k", "int32", sort_order="ascending")])
+    assert check_schema_compatibility(old, dropped) == "incompatible"
+    dropped_weak = TableSchema([C("k", "int32", sort_order="ascending")], strict=False)
+    assert check_schema_compatibility(old, dropped_weak) == "fully_compatible"
+    # re-keying is not evolution
+    rekeyed = TableSchema([C("v", "int32", sort_order="ascending"), C("k", "int32")])
+    assert check_schema_compatibility(old, rekeyed) == "incompatible"
+
+
+def test_merge_table_schemas_widens_and_keeps_common_keys():
+    from ytsaurus_spark.yt_types import (
+        ColumnSchema as C,
+        TableSchema,
+        merge_table_schemas,
+    )
+
+    a = TableSchema(
+        [C("k", "int32", sort_order="ascending", required=True), C("x", "int16")]
+    )
+    b = TableSchema(
+        [C("k", "int64", sort_order="ascending", required=True), C("y", "double")]
+    )
+    m = merge_table_schemas(a, b)
+    cols = {c.name: c for c in m.columns}
+    assert cols["k"].type_name == "int64" and cols["k"].sort_order == "ascending"
+    assert cols["k"].required  # required on both sides stays required
+    assert cols["x"].type_name == "int16" and not cols["x"].required
+    assert "y" in cols and cols["y"].sort_order is None
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        merge_table_schemas(
+            TableSchema([C("k", "string")]), TableSchema([C("k", "int64")])
+        )

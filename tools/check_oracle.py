@@ -61,10 +61,27 @@ def canonical_rows(cols, rows):
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:]) if args and os.path.isdir(args[0]) else set(args)
 
-    spark = get_spark("check_oracle")
+    if vanilla:
+        # The driver-harness condition: a FOREIGN session with none of our
+        # confs — the registry bootstrap (ensure_runtime_confs) must make
+        # every query work on it. This mode is what would have caught
+        # round 1's 0/50 (catalog assumed a pre-configured session).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+            )
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -14,7 +14,7 @@ caller picks LongType (fast, overflow at 2^63) or DecimalType(20,0) (exact).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import types as T
 
@@ -252,3 +252,127 @@ def _split_all(s: str) -> list[str]:
     if cur:
         out.append("".join(cur).strip())
     return out
+
+
+# --- schema evolution (check_schema_compatibility.cpp, merge_table_schemas.cpp)
+
+_INT_WIDEN = ["int8", "int16", "int32", "int64"]
+_UINT_WIDEN = ["uint8", "uint16", "uint32", "uint64"]
+_FLOAT_WIDEN = ["float", "double"]
+
+
+def _type_compat(old: str, new: str) -> str:
+    """'ok' if every old value fits the new type, 'validate' if it may,
+    'bad' otherwise. Widening within a numeric family is safe; narrowing
+    needs validation; cross-family is incompatible — the reference's
+    simple-type compatibility lattice
+    (yt/yt/client/table_client/check_schema_compatibility.cpp)."""
+    o, n = old.strip().lower(), new.strip().lower()
+    if o == n:
+        return "ok"
+    for fam in (_INT_WIDEN, _UINT_WIDEN, _FLOAT_WIDEN):
+        if o in fam and n in fam:
+            return "ok" if fam.index(o) <= fam.index(n) else "validate"
+    if {o, n} == {"string", "utf8"}:
+        # utf8 ⊂ string: widening ok, narrowing needs validation
+        return "ok" if o == "utf8" else "validate"
+    return "bad"
+
+
+def check_schema_compatibility(
+    old: "TableSchema", new: "TableSchema"
+) -> str:
+    """Can data written under ``old`` be read/ingested under ``new``?
+
+    Returns "fully_compatible" | "requires_validation" | "incompatible" —
+    the three-way verdict of the reference's
+    ``CheckTableSchemaCompatibility`` (check_schema_compatibility.cpp):
+
+    - matching columns: new type must equal or widen the old type
+      (narrowing → validation; cross-family → incompatible);
+    - required→optional is free; optional→required needs validation
+      (nulls may exist);
+    - a NEW required column with no old counterpart is incompatible
+      (old rows cannot supply it); new optional columns are free;
+    - dropping a column is incompatible under a strict new schema
+      (old rows carry data the schema forbids) but fine under a weak one;
+    - the sorted key prefix must be preserved in order and sort
+      direction — re-keying is a Sort operation, not an evolution.
+    """
+    verdict = "fully_compatible"
+
+    def worsen(v: str) -> None:
+        nonlocal verdict
+        order = ["fully_compatible", "requires_validation", "incompatible"]
+        if order.index(v) > order.index(verdict):
+            verdict = v
+
+    new_by_name = {c.name: c for c in new.columns}
+    old_by_name = {c.name: c for c in old.columns}
+    for oc in old.columns:
+        nc = new_by_name.get(oc.name)
+        if nc is None:
+            worsen("incompatible" if new.strict else "fully_compatible")
+            continue
+        t = _type_compat(oc.type_name, nc.type_name)
+        if t == "bad":
+            worsen("incompatible")
+        elif t == "validate":
+            worsen("requires_validation")
+        if nc.required and not oc.required:
+            worsen("requires_validation")
+    for nc in new.columns:
+        if nc.name not in old_by_name and nc.required:
+            worsen("incompatible")
+    old_keys = [(c.name, c.sort_order) for c in old.columns if c.sort_order]
+    new_keys = [(c.name, c.sort_order) for c in new.columns if c.sort_order]
+    if new_keys[: len(old_keys)] != old_keys and old_keys[: len(new_keys)] != new_keys:
+        worsen("incompatible")
+    return verdict
+
+
+def merge_table_schemas(a: "TableSchema", b: "TableSchema") -> "TableSchema":
+    """Smallest schema both inputs fit into (merge_table_schemas.cpp; used
+    by Merge operations over heterogeneous inputs and by weak-schema
+    inference): shared columns widen to the common supertype, optionality
+    ORs, one-sided columns become optional, keys keep the longest common
+    sorted prefix, strictness ANDs."""
+
+    def widen(x: str, y: str) -> str:
+        if _type_compat(x, y) == "ok":
+            return y
+        if _type_compat(y, x) == "ok":
+            return x
+        raise ValueError(f"no common supertype for {x!r} and {y!r}")
+
+    b_by_name = {c.name: c for c in b.columns}
+    common_keys: list[str] = []
+    for ca, cb in zip(
+        [c for c in a.columns if c.sort_order], [c for c in b.columns if c.sort_order]
+    ):
+        if ca.name == cb.name and ca.sort_order == cb.sort_order:
+            common_keys.append(ca.name)
+        else:
+            break
+    merged: list[ColumnSchema] = []
+    seen = set()
+    for ca in a.columns:
+        cb = b_by_name.get(ca.name)
+        seen.add(ca.name)
+        if cb is None:
+            merged.append(replace(ca, required=False, sort_order=None))
+        else:
+            merged.append(
+                replace(
+                    ca,
+                    type_name=widen(ca.type_name, cb.type_name),
+                    required=ca.required and cb.required,
+                    sort_order=ca.sort_order if ca.name in common_keys else None,
+                )
+            )
+    for cb in b.columns:
+        if cb.name not in seen:
+            merged.append(replace(cb, required=False, sort_order=None))
+    return TableSchema(
+        columns=merged, strict=a.strict and b.strict, unique_keys=False
+    )
