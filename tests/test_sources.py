@@ -371,3 +371,37 @@ def test_log_tx_table_subcommit_ordering(spark, tmp):
         )
     )
     assert {r.k: r.s for r in t.read().collect()}[1] == "plain"
+
+
+def test_replicated_table_sync_async_fallback(spark, tmp):
+    import os
+
+    from ytsaurus_spark.sources.replicas import ReplicatedTable, replica_states
+
+    rt = ReplicatedTable(
+        spark, os.path.join(tmp, "repl"), key_cols=["k"], aggregates={"n": "sum"}
+    )
+    rt.init(spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k bigint, s string, n bigint"))
+    rt.add_replica("r_sync", "sync")
+    rt.add_replica("r_async", "async")
+    # write: sync replica commits with it, async lags
+    rt.insert_rows(
+        spark.createDataFrame([(1, "a2", 1), (3, "c", 1)], "k bigint, s string, n bigint")
+    )
+    st = replica_states(rt)
+    assert st["r_sync"]["in_sync"] and not st["r_async"]["in_sync"]
+    assert rt.replica_lag() == {"r_sync": 0, "r_async": 1}
+    # in-sync read sees the new write; stale replica serves its version
+    fresh = {r.k: (r.s, r.n) for r in rt.read(prefer=["r_async"]).collect()}
+    assert fresh[1] == ("a2", 2) and fresh[3] == ("c", 1)
+    stale = {r.k: r.s for r in rt.replicas["r_async"].table.read().collect()}
+    assert stale[1] == "a" and 3 not in stale
+    # background tick catches the async replica up
+    assert rt.tick() == {"r_async": 1}
+    assert set(rt.in_sync_replicas()) == {"r_async", "r_sync"}
+    after = {r.k: (r.s, r.n) for r in rt.read(prefer=["r_async"]).collect()}
+    assert after == fresh
+    # no in-sync replica and require_sync -> falls back to main
+    rt2 = ReplicatedTable(spark, os.path.join(tmp, "repl2"), key_cols=["k"])
+    rt2.init(spark.createDataFrame([(9, "z")], "k bigint, s string"))
+    assert {r.k for r in rt2.read().collect()} == {9}

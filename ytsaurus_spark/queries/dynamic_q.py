@@ -472,3 +472,68 @@ def dyn_subcommit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the returned plan reads the segment files lazily — they must outlive
     # this call (same contract as the skiff roundtrip queries)
     return t.read().select("user_id", "last_value", "last_type", "n_events")
+
+
+@register(
+    "dyn_replica_failover",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 30
+    ),
+    fresh AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round(sum(CASE WHEN c_custkey <= 10
+                            THEN c_acctbal + 50 ELSE c_acctbal END), 2) AS bal
+      FROM base
+    ),
+    stale AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(sum(c_acctbal), 2) AS bal
+      FROM base
+    )
+    SELECT 'r_async_stale' AS src, n, bal FROM stale
+    UNION ALL SELECT 'r_async_synced', n, bal FROM fresh
+    UNION ALL SELECT 'r_sync', n, bal FROM fresh
+    ORDER BY src
+    """,
+)
+def dyn_replica_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-table read path (client_dynamic_tables_impl.cpp:
+    1620-1642): a sync replica commits with the write and serves the fresh
+    state; an async replica lags (serving its applied version) until the
+    replicator tick ships the missing segments; in-sync reads prefer
+    replicas with fallback. All three observable states hash-match an
+    oracle that recomputes them from the untouched customer parquet."""
+    import tempfile
+
+    from ytsaurus_spark.sources.replicas import ReplicatedTable
+
+    cat = load_tables(spark, sf_dir)
+    base = (
+        cat.read("customer")
+        .filter(F.col("c_custkey") <= 30)
+        .select("c_custkey", "c_acctbal")
+    )
+    rt = ReplicatedTable(
+        spark,
+        tempfile.mkdtemp(prefix="ytspark_repl_"),
+        key_cols=["c_custkey"],
+    )
+    rt.init(base)
+    rt.add_replica("r_sync", "sync")
+    rt.add_replica("r_async", "async")
+    rt.insert_rows(
+        base.filter(F.col("c_custkey") <= 10).select(
+            "c_custkey", (F.col("c_acctbal") + 50).alias("c_acctbal")
+        )
+    )
+
+    def summarize(df: DataFrame, src: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+        ).select(F.lit(src).alias("src"), "n", "bal")
+
+    stale = summarize(rt.replicas["r_async"].table.read(), "r_async_stale")
+    rt.tick()  # replicator ships the missing segment
+    synced = summarize(rt.read(prefer=["r_async"]), "r_async_synced")
+    sync_read = summarize(rt.read(prefer=["r_sync"]), "r_sync")
+    return stale.unionAll(synced).unionAll(sync_read).orderBy("src")
