@@ -222,3 +222,37 @@ def train_mix_weights(
             F.round((F.col("t") / F.col("k")) / F.col("tokens"), 6).alias("weight"),
         )
     )
+
+
+def global_shuffle(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle for training order: sort by
+    md5(id) — a pseudorandom permutation that is reproducible across
+    engines, re-runs, and cluster sizes (no seed state, no driver RNG).
+    At scale this is ONE range shuffle (repartitionByRange semantics of a
+    global sort), the standard way to decorrelate a 100 TB corpus before
+    sharding into training files."""
+    return docs.withColumn("__shuffle_key", F.md5(F.col(id_col).cast("string"))).orderBy(
+        "__shuffle_key"
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching: docs grouped into ``n_buckets`` quantile
+    buckets of estimated token length, so batches pad to similar lengths
+    (the throughput trick sequence-packing doesn't cover for
+    padded-batch trainers). ntile over a single narrow sort — the sorted
+    column is the token count, so the shuffle moves (id, tokens) only."""
+    from pyspark.sql import Window
+
+    toks = F.ceil(F.length(text_col) / 4).cast("long")
+    w = Window.orderBy(toks.asc(), F.col(id_col).asc())
+    return docs.select(
+        F.col(id_col),
+        toks.alias("est_tokens"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )

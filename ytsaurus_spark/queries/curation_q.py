@@ -196,3 +196,118 @@ def curation_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture weights that equalize per-source token mass."""
     cat = load_tables(spark, sf_dir)
     return curation.train_mix_weights(cat.read("documents"))
+
+
+@register(
+    "curation_global_shuffle",
+    """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS __shuffle_key
+    FROM documents
+    ORDER BY __shuffle_key LIMIT 100
+    """,
+)
+def curation_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (training-order decorrelation): a
+    pseudorandom permutation by id-hash, reproducible across engines and
+    cluster sizes; one range shuffle at scale."""
+    cat = load_tables(spark, sf_dir)
+    return (
+        curation.global_shuffle(cat.read("documents"))
+        .select("doc_id", "__shuffle_key")
+        .limit(100)
+    )
+
+
+@register(
+    "curation_length_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, est_tokens,
+             ntile(8) OVER (ORDER BY est_tokens, doc_id) AS bucket
+      FROM t
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(est_tokens) AS BIGINT) AS min_toks,
+           CAST(max(est_tokens) AS BIGINT) AS max_toks
+    FROM b GROUP BY bucket
+    """,
+)
+def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: quantile buckets of estimated token
+    length so padded batches waste minimal compute."""
+    cat = load_tables(spark, sf_dir)
+    b = curation.length_buckets(cat.read("documents"), n_buckets=8)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("est_tokens").cast("long").alias("min_toks"),
+        F.max("est_tokens").cast("long").alias("max_toks"),
+    )
+
+
+@register(
+    "pipeline_training_export",
+    f"""
+    WITH train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)
+    ), dd AS (
+      SELECT t.doc_id, t.text FROM train t JOIN canon USING (doc_id)
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN [array_to_string(t[i:i+4], ' ')
+                        for i in range(1, len(t) - 3)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shs) AS s FROM sh)
+    ), bench AS (
+      SELECT DISTINCT s FROM shx WHERE doc_id % 7 = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM shx JOIN bench USING (s)
+      WHERE doc_id % 7 != 0
+    ), clean AS (
+      SELECT dd.doc_id, CAST(ceil(length(dd.text) / 4.0) AS BIGINT) AS tok
+      FROM dd
+      WHERE dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND CAST(ceil(length(dd.text) / 4.0) AS BIGINT) >= 40
+    ), cum AS (
+      SELECT doc_id, tok, sum(tok) OVER (ORDER BY doc_id) AS cum FROM clean
+    )
+    SELECT CAST(floor((cum - tok) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS tokens
+    FROM cum GROUP BY 1
+    """,
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data export as ONE declarative plan: exact dedup
+    (min-id per content hash) → benchmark decontamination (broadcast 5-gram
+    scan) → quality floor (≥40 est tokens) → sequence packing into
+    2048-token windows. Catalyst fuses the stages; nothing materializes
+    between them (the reference would chain four MapReduce operations with
+    intermediate tables — run_map_reduce, run_operation_commands.py:142)."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    canon = train.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = train.join(canon.select("doc_id"), "doc_id")
+    dirty = curation.contamination_check(dd, bench, k=5).select("doc_id")
+    clean = (
+        dd.join(dirty, "doc_id", "left_anti")
+        .filter(F.ceil(F.length("text") / 4).cast("long") >= 40)
+    )
+    packed = curation.pack_sequences(clean, PACK_BUDGET)
+    return curation.pack_bins_summary(packed, PACK_BUDGET).select(
+        "bin_id", "n_docs", "tokens"
+    )
