@@ -388,3 +388,46 @@ def test_match_recognize_stream_state_across_batches(spark, stream_dir):
         assert got2 == [(1, "vab"), (2, "vab"), (2, "vab")]
     finally:
         q.stop()
+
+
+def test_time_order_recover_reorders_within_delay(spark, stream_dir):
+    from ytsaurus_spark.streaming.stateful import time_order_recover
+
+    src_dir = os.path.join(stream_dir, "oo")
+    schema = "user_id bigint, ts_us bigint, event_id bigint, value double"
+    # batch 1: out-of-order arrivals 100, 40, 70 (delay 30 -> horizon 70)
+    spark.createDataFrame(
+        [(1, 100, 10, 1.0), (1, 40, 11, 2.0), (1, 70, 12, 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    fn, out_schema, state_schema = time_order_recover(
+        "user_id", ts_col="ts_us", delay_us=30
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        T._parse_datatype_string(out_schema),
+        T._parse_datatype_string(state_schema),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = out.writeStream.format("memory").queryName("oo_out").start()
+    try:
+        q.processAllAvailable()
+        first = [(r.ts_us, r.emit_seq) for r in
+                 spark.table("oo_out").orderBy("emit_seq").collect()]
+        # 100 stays buffered (inside delay); 40, 70 emit in EVENT-TIME order
+        assert first == [(40, 0), (70, 1)]
+        # batch 2 advances max ts to 130 -> horizon 100 releases 90 and 100
+        spark.createDataFrame(
+            [(1, 130, 13, 4.0), (1, 90, 14, 5.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        rows = [(r.ts_us, r.emit_seq) for r in
+                spark.table("oo_out").orderBy("emit_seq").collect()]
+        assert rows == [(40, 0), (70, 1), (90, 2), (100, 3)]
+    finally:
+        q.stop()

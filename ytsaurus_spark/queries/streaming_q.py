@@ -397,3 +397,84 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = result.collect()
     return spark.createDataFrame(rows, schema=result.schema)
+
+
+@register(
+    "stream_time_order_recover",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id < 40
+    ), horizon AS (
+      SELECT user_id, max(ts_us) - 1800000000 AS h FROM e GROUP BY user_id
+    ), ready AS (
+      SELECT e.user_id, e.ts_us, e.event_id
+      FROM e JOIN horizon USING (user_id) WHERE e.ts_us <= h
+    )
+    SELECT user_id, ts_us, event_id,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS BIGINT)
+             AS emit_seq
+    FROM ready
+    """,
+)
+def stream_time_order_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeOrderRecover (mkql_time_order_recover.cpp): a real streaming
+    pass re-emits each user's events in EVENT-TIME order, buffering
+    anything younger than 30 min behind the key's max-seen timestamp.
+    The oracle derives the same emitted set + order from the static table:
+    per key, rows at or below (max ts - delay), event-time ordered with a
+    0-based emit sequence."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ytsaurus_spark.streaming.stateful import time_order_recover
+
+    load_tables(spark, sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = src.filter(F.col("user_id") < 40).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    fn, out_schema, state_schema = time_order_recover(
+        "user_id", ts_col="ts_us", delay_us=30 * 60 * 1_000_000,
+        payload_cols=("event_id",),
+        output_schema="user_id bigint, ts_us bigint, event_id bigint, emit_seq bigint",
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        T._parse_datatype_string(out_schema),
+        T._parse_datatype_string(state_schema),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_time_order_recover_out"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rows = spark.table(name).collect()
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts_us bigint, event_id bigint, emit_seq bigint"
+    )

@@ -65,3 +65,63 @@ def idempotent_batch_writer(write_fn) -> Any:
         write_fn(batch_df, epoch_id)
 
     return _write
+
+
+def time_order_recover(
+    key_col: str,
+    ts_col: str = "ts",
+    delay_us: int = 60_000_000,
+    payload_cols: tuple = ("event_id", "value"),
+    output_schema: str | None = None,
+):
+    """Out-of-order recovery: re-emit each key's events in EVENT-TIME order,
+    holding back anything younger than ``delay_us`` behind the key's
+    max-seen timestamp — the reference's TimeOrderRecover node
+    (yql/essentials/minikql/comp_nodes/mkql_time_order_recover.cpp), which
+    YQL inserts before order-sensitive streaming ops; Spark's watermark
+    covers the *dropping* side, this covers the *reordering* side.
+
+    Returns (fn, output_schema, state_schema) for
+    ``grouped.applyInPandasWithState(fn, out, state, "append", NoTimeout)``.
+    State per key = the buffered (ts, payload...) rows still inside the
+    delay window — bounded by delay × event rate, the same bound the
+    reference's heap carries. Emitted rows get ``emit_seq`` (0-based per
+    key) so downstream operators can assert monotone event time.
+    """
+    out = output_schema or (
+        f"{key_col} bigint, {ts_col} bigint, "
+        + ", ".join(f"{c} double" if c == "value" else f"{c} bigint" for c in payload_cols)
+        + ", emit_seq bigint"
+    )
+    buf_cols = [ts_col, *payload_cols]
+    state_schema = "buf string, emitted bigint"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import json
+
+        if state.exists:
+            buf_json, emitted = state.get
+            buf = json.loads(buf_json)
+        else:
+            buf, emitted = [], 0
+        for pdf in pdfs:
+            if len(pdf):
+                # to_json round-trip yields native Python scalars (numpy
+                # types are not JSON-serializable for the state column)
+                buf.extend(json.loads(pdf[buf_cols].to_json(orient="values")))
+        if not buf:
+            return
+        max_ts = max(r[0] for r in buf)
+        horizon = max_ts - delay_us
+        # tie-break equal timestamps on the first payload column so the
+        # emitted order is fully deterministic
+        ready = sorted((r for r in buf if r[0] <= horizon), key=lambda r: (r[0], r[1]))
+        buf = [r for r in buf if r[0] > horizon]
+        state.update((json.dumps(buf), emitted + len(ready)))
+        if ready:
+            out_pdf = pd.DataFrame(ready, columns=buf_cols)
+            out_pdf.insert(0, key_col, key[0])
+            out_pdf["emit_seq"] = range(emitted, emitted + len(ready))
+            yield out_pdf
+
+    return fn, out, state_schema
