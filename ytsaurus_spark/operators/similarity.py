@@ -523,3 +523,49 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "adc", "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_cells: int = 16,
+    centroid_stride: int = 30,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    pq_stride: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the ADC code scan restricted to the query's IVF cell — the
+    standard billion-scale ANN index (inverted file prunes the candidate
+    set, product quantization compresses what remains). Cost per query =
+    |cell| code rows summed over m table lookups; neither full vectors nor
+    out-of-cell candidates move. Returns (q_id, c_id, adc, rank)."""
+    from pyspark.sql import Window as W
+
+    assignments, _cents = ivf_assign(
+        emb, num_cells, id_col, vec_col, centroid_stride
+    )
+    cb = pq_codebook(emb, m, ksub, dim, pq_stride, id_col, vec_col)
+    codes = pq_encode(emb, m, ksub, dim, pq_stride, id_col, vec_col)
+    cand = codes.join(assignments, id_col).withColumnRenamed(id_col, "c_id")
+    qvecs = emb.join(queries.select(id_col), id_col, "left_semi")
+    dtab = (
+        _subspace_dists(qvecs, cb, m, dim // m, id_col, vec_col)
+        .join(assignments, id_col)  # the query's own cell
+        .select(F.col(id_col).alias("q_id"), "cell", "sub", "code", "d2")
+    )
+    adc = (
+        cand.join(F.broadcast(dtab), ["cell", "sub", "code"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum("d2"), 4).alias("adc"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "adc", "rank")
+    )

@@ -943,3 +943,71 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     emb = cat.read("embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@register(
+    "sim_ivfpq_topk",
+    """
+    WITH cents AS (
+      SELECT CAST(vec_id / 30 AS INT) AS cell, embedding::DOUBLE[] AS centv
+      FROM embeddings WHERE vec_id % 30 = 0 AND vec_id < 30 * 16
+    ), cscored AS (
+      SELECT e.vec_id, c.cell,
+             list_sum([ (e.embedding[i]::DOUBLE - c.centv[i]) *
+                        (e.embedding[i]::DOUBLE - c.centv[i])
+                        for i in range(1, 65) ]) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    ), cb AS (
+      SELECT CAST(vec_id / 60 AS INT) AS code, embedding::DOUBLE[] AS cbv
+      FROM embeddings WHERE vec_id % 60 = 0 AND vec_id < 60 * 8
+    ), cbs AS (
+      SELECT sub, code, cbv[sub*16+1 : sub*16+16] AS cbslice
+      FROM cb CROSS JOIN (SELECT unnest(range(4)) AS sub)
+    ), vecsub AS (
+      SELECT vec_id, sub,
+             (embedding::DOUBLE[])[sub*16+1 : sub*16+16] AS vslice
+      FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS sub)
+    ), scored AS (
+      SELECT v.vec_id, v.sub, c.code,
+             list_sum([ (v.vslice[i] - c.cbslice[i]) * (v.vslice[i] - c.cbslice[i])
+                        for i in range(1, 17) ]) AS d2
+      FROM vecsub v JOIN cbs c USING (sub)
+    ), codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), adc AS (
+      SELECT s.vec_id AS q_id, x.vec_id AS c_id, round(sum(s.d2), 4) AS adc
+      FROM codes x
+      JOIN assign ax ON ax.vec_id = x.vec_id
+      JOIN assign aq ON aq.cell = ax.cell
+      JOIN scored s ON s.sub = x.sub AND s.code = x.code AND s.vec_id = aq.vec_id
+      WHERE s.vec_id < 10 AND s.vec_id <> x.vec_id
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT q_id, c_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rnk
+      FROM adc
+    )
+    SELECT q_id, c_id, adc, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 3
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index: the PQ/ADC code scan restricted to the
+    query's IVF cell (cell pruning × code compression — the standard
+    billion-scale ANN layout). Oracle composes the exemplar-centroid
+    assignment and the codebook arithmetic of both halves."""
+    from ytsaurus_spark.operators.similarity import ivfpq_topk
+
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
