@@ -52,19 +52,36 @@ def test_group_agg_single_shuffle(spark, sf_dir):
 
 
 def test_pack_sequences_single_data_shuffle(spark, sf_dir):
-    # Two-phase prefix sum: the document stream must take exactly ONE hash
-    # exchange (the __blk window); a rangepartitioning or a second data
-    # exchange means the prefix-sum decomposition regressed into
-    # re-bucketing physical partitions.
+    # Hierarchical prefix sum: the document stream takes exactly ONE hash
+    # exchange (the __b1 window); every other exchange is over per-block /
+    # per-super-block aggregates (n/4096, n/4096² rows). rangepartitioning
+    # or an unpartitioned Window means the decomposition regressed into a
+    # global sort.
+    from ytsaurus_spark.plans import unpartitioned_window_count
     from ytsaurus_spark.queries.curation_q import curation_pack_sequences
 
     df = curation_pack_sequences(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan
-    # data window + tiny offsets agg + offsets single-partition window +
-    # final bin groupBy = 4 non-broadcast exchanges, no more
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
-    assert plan.count("BroadcastExchange") == 1
+    assert unpartitioned_window_count(df) == 0
+    # 1 data exchange + aggregate-level exchanges (block sums, super-block
+    # sums, top-level offsets, final bin groupBy)
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 7
+    assert plan.count("BroadcastExchange") >= 2  # offsets + off2 broadcast
+
+
+def test_length_buckets_no_global_window(spark, sf_dir):
+    # The round-3 scale-killer: a global ntile() sorted the whole corpus
+    # on one executor. The histogram decomposition must keep zero
+    # unpartitioned windows and no data-scale range shuffle.
+    from ytsaurus_spark.plans import unpartitioned_window_count
+    from ytsaurus_spark.queries.curation_q import curation_length_buckets
+
+    df = curation_length_buckets(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert unpartitioned_window_count(df) == 0
+    assert "rangepartitioning" not in plan
+    assert "ntile" not in plan.lower()
 
 
 def test_contamination_broadcasts_benchmark(spark, sf_dir):

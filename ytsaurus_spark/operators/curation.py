@@ -30,6 +30,83 @@ def _hash_bucket(col, buckets: int = 100):
             .cast("long") % buckets)
 
 
+def _floor_div(col_name: str, n: int):
+    """Exact floor division of an integer column by a literal, in pure
+    integer arithmetic: ``(x - pmod(x, n)) div n``. The numerator is an
+    exact multiple of ``n`` so truncating ``div`` equals floor even for
+    negative ids, and nothing routes through a double (ids >= 2^53 stay
+    exact) — float ``(x / n).cast('long')`` breaks both properties."""
+    return F.expr(f"((`{col_name}`) - pmod(`{col_name}`, {n})) div {n}")
+
+
+def prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    out_col: str = "__prefix",
+    block: int = 4096,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``val_col`` in ``key_col`` order with no
+    unpartitioned window at ANY level — the hierarchical form of the
+    two-phase prefix-sum trick.
+
+    A naive ``sum() OVER (ORDER BY key)`` moves every row to one executor
+    (the reference never does this either: its Sort builds a sampled
+    partition tree, sort_controller.cpp:241-308). Decomposition here:
+
+    - level 0: cumsum *within* id-blocks (``__b1 = key fdiv block``) via a
+      window PARTITIONED on ``__b1`` — the only shuffle the data takes;
+    - level 1: per-block sums (n/block rows) cumsum'd within
+      super-blocks (``__b2 = key fdiv block²``), window PARTITIONED on
+      ``__b2``;
+    - level 2: super-block offsets via a broadcast ``<`` self-join over
+      the n/block² super-block rows — (n/block²)² pairs ≈ 360k at 10^10
+      rows, so the top never needs a window at all.
+
+    Ties in ``key_col`` are summed together (the exclusive prefix counts
+    strictly-smaller keys only), which keeps the result deterministic
+    regardless of physical row order. All block keys use exact integer
+    floor division (negative and >2^53 ids stay monotone)."""
+    b2_of_b1 = F.expr(f"((`__b1`) - pmod(`__b1`, {block})) div {block}")
+    base = df.withColumn("__b1", _floor_div(key_col, block))
+    s1 = (
+        base.groupBy("__b1")
+        .agg(F.sum(val_col).alias("__v1"))
+        .withColumn("__b2", b2_of_b1)
+    )
+    s2 = s1.groupBy("__b2").agg(F.sum("__v1").alias("__v2"))
+    a, b = s2.alias("a"), s2.alias("b")
+    off2 = (
+        a.join(F.broadcast(b), F.col("b.__b2") < F.col("a.__b2"), "left")
+        .groupBy(F.col("a.__b2").alias("__b2"))
+        .agg(F.coalesce(F.sum("b.__v2"), F.lit(0)).alias("__off2"))
+    )
+    w1 = Window.partitionBy("__b2").orderBy("__b1")
+    offsets = (
+        s1.join(F.broadcast(off2), "__b2")
+        .withColumn(
+            "__boff",
+            F.sum("__v1").over(w1) - F.col("__v1") + F.col("__off2"),
+        )
+        .select("__b1", "__boff")
+    )
+    # exclusive within block over strictly-smaller keys (RANGE frame ending
+    # at 1 PRECEDING handles duplicate keys deterministically)
+    w0 = (
+        Window.partitionBy("__b1")
+        .orderBy(key_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), "__b1")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(val_col).over(w0), F.lit(0)) + F.col("__boff"),
+        )
+        .drop("__b1", "__boff")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,
@@ -41,38 +118,18 @@ def pack_sequences(
     order, token counts accumulate, and each document is assigned to the
     training window (bin) its first token lands in.
 
-    Scale shape: a naive ``sum() OVER (ORDER BY id)`` collapses to ONE
-    partition. Instead, a two-phase prefix sum over explicit id blocks
-    (``__blk = id div block``): cumsum *within* each block via a window
-    partitioned on ``__blk`` — its hash exchange is the ONLY shuffle the
-    data takes — plus broadcast per-block prefix offsets from a
-    column-pruned pre-pass (partial-agg'd map-side, tiny). Using a
-    derived block key instead of ``spark_partition_id()`` keeps the window
-    partitioning aligned with a deterministic key (no second exchange to
-    re-bucket physical partitions) and makes the layout independent of
-    cluster size. Assumes roughly-dense ids (sparse ids skew block sizes
-    but never break correctness).
-    """
+    Scale shape: the running token count is a hierarchical ``prefix_sum``
+    — within-block windows are hash-partitioned on the derived block key
+    (ONE data shuffle), block offsets come from per-block aggregates, and
+    the top level is a broadcast self-join, so no unpartitioned window
+    exists at any level. Using a derived block key instead of
+    ``spark_partition_id()`` keeps the layout independent of cluster
+    size. Assumes roughly-dense ids (sparse ids skew block sizes but
+    never break correctness)."""
     toks = F.ceil(F.length(text_col) / 4).cast("long")
-    base = docs.select(
-        F.col(id_col),
-        toks.alias("__tok"),
-        (F.col(id_col) / block).cast("long").alias("__blk"),
-    )
-    per_blk = base.groupBy("__blk").agg(F.sum("__tok").alias("__bsum"))
-    offsets = per_blk.select(
-        "__blk",
-        (F.sum("__bsum").over(Window.orderBy("__blk")) - F.col("__bsum")).alias(
-            "__off"
-        ),
-    )
-    w = Window.partitionBy("__blk").orderBy(id_col)
-    packed = (
-        base.join(F.broadcast(offsets), "__blk")
-        .withColumn("__cum", F.sum("__tok").over(w) + F.col("__off"))
-        .withColumn(
-            "bin_id", F.floor((F.col("__cum") - F.col("__tok")) / budget)
-        )
+    base = docs.select(F.col(id_col), toks.alias("__tok"))
+    packed = prefix_sum(base, id_col, "__tok", "__pre", block).withColumn(
+        "bin_id", F.floor(F.col("__pre") / budget)
     )
     return packed.select(id_col, "__tok", "bin_id")
 
@@ -244,15 +301,33 @@ def length_buckets(
 ) -> DataFrame:
     """Length-bucketed batching: docs grouped into ``n_buckets`` quantile
     buckets of estimated token length, so batches pad to similar lengths
-    (the throughput trick sequence-packing doesn't cover for
-    padded-batch trainers). ntile over a single narrow sort — the sorted
-    column is the token count, so the shuffle moves (id, tokens) only."""
-    from pyspark.sql import Window
+    (the throughput trick sequence-packing doesn't cover for padded-batch
+    trainers).
 
+    Scale shape: a global ``ntile`` window would sort the whole corpus on
+    one executor. Instead the quantiles come from the token-LENGTH
+    HISTOGRAM: one groupBy on the token count (cardinality bounded by the
+    max document length — thousands of distinct values at 100 TB, never
+    corpus-sized), a hierarchical ``prefix_sum`` over that histogram for
+    exact cumulative counts, and a broadcast join back to assign
+    ``bucket = floor(n_buckets * rows_strictly_shorter / n) + 1`` in the
+    scan stage. Zero data-scale sorts, zero unpartitioned windows; ties
+    (equal token counts) land in one bucket, which is exactly what a
+    padded-batch trainer wants."""
     toks = F.ceil(F.length(text_col) / 4).cast("long")
-    w = Window.orderBy(toks.asc(), F.col(id_col).asc())
-    return docs.select(
-        F.col(id_col),
-        toks.alias("est_tokens"),
-        F.ntile(n_buckets).over(w).alias("bucket"),
+    t = docs.select(F.col(id_col), toks.alias("est_tokens"))
+    hist = t.groupBy("est_tokens").agg(F.count(F.lit(1)).alias("__c"))
+    cum = prefix_sum(hist, "est_tokens", "__c", "__c_lt")
+    total = hist.agg(F.sum("__c").alias("__n"))
+    buckets = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "est_tokens",
+            (
+                F.floor(F.lit(n_buckets) * F.col("__c_lt") / F.col("__n")) + 1
+            ).alias("bucket"),
+        )
+    )
+    return t.join(F.broadcast(buckets), "est_tokens").select(
+        id_col, "est_tokens", "bucket"
     )

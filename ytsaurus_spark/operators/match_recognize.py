@@ -98,6 +98,22 @@ def match_recognize(
 _MEASURE_KINDS = ("first", "last", "min", "max", "sum", "count", "avg")
 
 
+def _validate_after_match_skip(after_match_skip) -> None:
+    """Reject malformed AFTER MATCH SKIP specs up front — a bad value
+    reaching _scan_matches would be silently unpacked as (mode, sym) or
+    raise a confusing unpack error mid-job."""
+    valid_scalar = after_match_skip in ("past_last_row", "to_next_row")
+    valid_to_sym = (
+        isinstance(after_match_skip, tuple)
+        and len(after_match_skip) == 2
+        and after_match_skip[0] in ("to_first", "to_last")
+        and isinstance(after_match_skip[1], str)
+        and len(after_match_skip[1]) == 1
+    )
+    if not (valid_scalar or valid_to_sym):
+        raise ValueError(f"unsupported AFTER MATCH SKIP {after_match_skip!r}")
+
+
 def _scan_matches(
     rx: "re.Pattern[str]", s: str, skip
 ) -> list[tuple[int, int]]:
@@ -165,16 +181,7 @@ def match_recognize_measures(
     walks each key's ordered rows, regex-scans the symbol string under the
     skip policy, and aggregates each match's row slice vectorized.
     """
-    valid_scalar = after_match_skip in ("past_last_row", "to_next_row")
-    valid_to_sym = (
-        isinstance(after_match_skip, tuple)
-        and len(after_match_skip) == 2
-        and after_match_skip[0] in ("to_first", "to_last")
-        and isinstance(after_match_skip[1], str)
-        and len(after_match_skip[1]) == 1
-    )
-    if not (valid_scalar or valid_to_sym):
-        raise ValueError(f"unsupported AFTER MATCH SKIP {after_match_skip!r}")
+    _validate_after_match_skip(after_match_skip)
     for name, (kind, _src) in measures.items():
         if kind not in _MEASURE_KINDS:
             raise ValueError(f"unsupported measure {kind!r} for {name}")
@@ -263,6 +270,7 @@ def match_recognize_rows(
     Same execution shape as the measures form: one shuffle, sorted
     partitions, a streaming pandas pass.
     """
+    _validate_after_match_skip(after_match_skip)
     rx = re.compile(pattern)
     if rx.search("") is not None:
         raise ValueError("PATTERN must not match the empty row sequence")

@@ -6,4 +6,5 @@ from ytsaurus_spark.plans.explain import (  # noqa: F401
     has_pushed_filters,
     scan_read_schema,
     shuffle_count,
+    unpartitioned_window_count,
 )

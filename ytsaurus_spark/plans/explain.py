@@ -47,6 +47,22 @@ def broadcast_join_count(df: DataFrame) -> int:
     return formatted_plan(df).count("BroadcastHashJoin")
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of Window operators with an EMPTY partition spec — each one
+    moves its whole input to a single task (Spark's WindowExec warning).
+    A physical-plan Window line prints
+    ``Window [exprs], [partSpec], [orderSpec]`` when partitioned and only
+    ``Window [exprs], [orderSpec]`` when global, so the bracket-group
+    separator count distinguishes them."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for line in plan.splitlines():
+        if "Window [" in line and "windowspecdefinition" in line:
+            if line.count("], [") < 2:
+                n += 1
+    return n
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators (each = one shuffle stage). Counts only
     numbered plan nodes, not mentions in argument/reuse lines."""

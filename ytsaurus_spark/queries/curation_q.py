@@ -224,20 +224,30 @@ def curation_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
       FROM documents
+    ), h AS (
+      SELECT est_tokens, count(*) AS c FROM t GROUP BY est_tokens
+    ), cum AS (
+      SELECT est_tokens,
+             COALESCE(SUM(c) OVER (ORDER BY est_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+             SUM(c) OVER () AS total
+      FROM h
     ), b AS (
-      SELECT doc_id, est_tokens,
-             ntile(8) OVER (ORDER BY est_tokens, doc_id) AS bucket
-      FROM t
+      SELECT est_tokens,
+             CAST(FLOOR(8.0 * c_lt / total) AS BIGINT) + 1 AS bucket
+      FROM cum
     )
     SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-           CAST(min(est_tokens) AS BIGINT) AS min_toks,
-           CAST(max(est_tokens) AS BIGINT) AS max_toks
-    FROM b GROUP BY bucket
+           CAST(min(t.est_tokens) AS BIGINT) AS min_toks,
+           CAST(max(t.est_tokens) AS BIGINT) AS max_toks
+    FROM t JOIN b USING (est_tokens) GROUP BY bucket
     """,
 )
 def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-bucketed batching: quantile buckets of estimated token
-    length so padded batches waste minimal compute."""
+    """Length-bucketed batching: histogram-derived quantile buckets of
+    estimated token length so padded batches waste minimal compute. The
+    oracle mirrors the histogram decomposition (DuckDB may use the naive
+    window — it is the oracle, not the scale path)."""
     cat = load_tables(spark, sf_dir)
     b = curation.length_buckets(cat.read("documents"), n_buckets=8)
     return b.groupBy("bucket").agg(

@@ -107,8 +107,16 @@ def time_order_recover(
         for pdf in pdfs:
             if len(pdf):
                 # to_json round-trip yields native Python scalars (numpy
-                # types are not JSON-serializable for the state column)
-                buf.extend(json.loads(pdf[buf_cols].to_json(orient="values")))
+                # types are not JSON-serializable for the state column);
+                # double_precision=15 keeps double payloads exact — the
+                # default 10 silently truncates them
+                buf.extend(
+                    json.loads(
+                        pdf[buf_cols].to_json(
+                            orient="values", double_precision=15
+                        )
+                    )
+                )
         if not buf:
             return
         max_ts = max(r[0] for r in buf)

@@ -326,8 +326,18 @@ def check_schema_compatibility(
             worsen("incompatible")
     old_keys = [(c.name, c.sort_order) for c in old.columns if c.sort_order]
     new_keys = [(c.name, c.sort_order) for c in new.columns if c.sort_order]
-    if new_keys[: len(old_keys)] != old_keys and old_keys[: len(new_keys)] != new_keys:
+    if len(new_keys) > len(old_keys):
+        # Widening the sorted key prefix is NOT an evolution: existing data
+        # is not sorted by the added key columns
+        # (check_schema_compatibility.cpp:183-190 returns Incompatible).
         worsen("incompatible")
+    elif new_keys != old_keys[: len(new_keys)]:
+        worsen("incompatible")
+    if new.unique_keys:
+        # Output uniqueness needs input uniqueness over the SAME key set:
+        # a shorter key can collapse distinct old keys into duplicates.
+        if not old.unique_keys or len(new_keys) != len(old_keys):
+            worsen("incompatible")
     return verdict
 
 
