@@ -126,9 +126,17 @@ class LogTxTable:
         s0/ s1/ s2/ ...              # one parquet dir per committed segment
 
     Manifest entry per segment: ``{"v": N, "kind": "base"|"delta",
-    "ts": wall_clock}``. A delta holds only the rows written by that
-    commit, each tagged ``__op`` ('u' upsert / 'd' delete); a base is a
-    fully-resolved state (the initial seed, or a ``compact()`` output).
+    "ts": wall_clock, "range": [key_min, key_max] | null}``. A delta holds
+    only the rows written by that commit, each tagged ``__op`` ('u' upsert
+    / 'd' delete); a base is a fully-resolved state (the initial seed, or
+    a ``compact()`` output). ``range`` is the first key column's min/max
+    lifted from the segment's parquet footers at commit time (no extra
+    pass); ranged reads and lookups use it to skip whole segments before
+    any parquet IO — CHYT's granule min-max pruning
+    (yt/chyt/server/granule_min_max_filter.cpp:24-83) at segment
+    granularity, which is the LSM read-amplification fix at scale.
+    Entries without ``range`` (older manifests, statless footers) are
+    simply unprunable.
 
     Reads at version v: newest base ≤ v, plus every delta in between,
     resolved per key in ONE shuffle (window + groupBy share the key
@@ -190,9 +198,62 @@ class LogTxTable:
 
     def _write_segment(self, df: DataFrame, kind: str) -> int:
         v = self.current_version() + 1
-        df.write.mode("overwrite").parquet(os.path.join(self.path, f"s{v}"))
-        self._publish({"v": v, "kind": kind, "ts": time.time()})
+        seg_dir = os.path.join(self.path, f"s{v}")
+        df.write.mode("overwrite").parquet(seg_dir)
+        self._publish(
+            {"v": v, "kind": kind, "ts": time.time(),
+             "range": self._footer_key_range(seg_dir)}
+        )
         return v
+
+    def _footer_key_range(self, seg_dir: str):
+        """[min, max] of the FIRST key column, read from the parquet
+        footers the segment write just produced — no extra data pass, no
+        Spark job. Stored in the manifest so readers can skip whole
+        segments (CHYT's granule pruning, granule_min_max_filter.cpp:24-83
+        — there from chunk meta, here from footer statistics). ``None`` =
+        unprunable (stats missing / non-JSON key type); footer string
+        stats may be safe-direction truncated (prefix min ≤ true min,
+        bumped max ≥ true max), which only widens the range."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        col = self.key_cols[0]
+        lo = hi = None
+        try:
+            for f in _glob.glob(os.path.join(seg_dir, "*.parquet")):
+                md = _pq.ParquetFile(f).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if col not in idx:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes) or isinstance(mx, bytes):
+                        mn, mx = mn.decode("utf-8", "replace"), mx.decode(
+                            "utf-8", "replace"
+                        )
+                    if not isinstance(mn, (int, float, str, bool)):
+                        return None
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+        except Exception:
+            return None
+        return None if lo is None else [lo, hi]
+
+    @staticmethod
+    def _overlaps(seg: dict, lo, hi) -> bool:
+        """Conservative range test: unprunable segments always overlap."""
+        rng = seg.get("range")
+        if rng is None or lo is None or hi is None:
+            return True
+        mn, mx = rng
+        if mn is None or mx is None:
+            return True
+        return not (mx < lo or mn > hi)
 
     # -- writes (each O(rows written), never O(table)) --------------------
 
@@ -312,11 +373,25 @@ class LogTxTable:
             pairs += [F.lit(s["v"]), F.lit(float(s["ts"]))]
         return F.element_at(F.create_map(*pairs), F.col("__gen"))
 
+    def _empty_log_df(self) -> DataFrame:
+        """Zero-row frame with the full log schema (for reads whose every
+        segment was pruned). Schema comes from the seed segment's footer —
+        the one piece of metadata a reader always holds."""
+        df = self.spark.read.parquet(os.path.join(self.path, "s0"))
+        if "__sub" not in df.columns:
+            df = df.withColumn("__sub", F.lit(0).cast("long"))
+        return (
+            df.withColumn("__op", F.lit("u"))
+            .withColumn("__gen", F.lit(0))
+            .filter(F.lit(False))
+        )
+
     def read(
         self,
         version: int | None = None,
         timestamp: float | None = None,
         with_timestamps: bool = False,
+        key_range: tuple | None = None,
     ) -> DataFrame:
         """Resolved state as of a version / wall-clock timestamp (newest
         committed ≤ timestamp), defaulting to the latest commit.
@@ -325,13 +400,26 @@ class LogTxTable:
         commit wall-clock of each row's newest surviving write, the
         reference's per-row ``$timestamp`` system column
         (versioned_row.h write-timestamp semantics) at commit granularity.
+
+        ``key_range=(lo, hi)`` (inclusive, on the first key column) prunes
+        non-overlapping segments from the manifest BEFORE any parquet IO —
+        the LSM read-amplification fix: a ranged read of an old key region
+        skips every delta that only touched other regions (CHYT's granule
+        min-max filter applied at segment granularity).
         """
         version = self._resolve_version(version, timestamp)
         chain = self._chain(version)
-        u = self._seg_df(chain[0])
-        for s in chain[1:]:
-            u = u.unionByName(self._seg_df(s))
-        if len(chain) == 1 and not with_timestamps:
+        lo, hi = key_range if key_range is not None else (None, None)
+        chain = [s for s in chain if self._overlaps(s, lo, hi)]
+        if not chain:
+            u = self._empty_log_df()
+        else:
+            u = self._seg_df(chain[0])
+            for s in chain[1:]:
+                u = u.unionByName(self._seg_df(s))
+        if key_range is not None:
+            u = u.filter(F.col(self.key_cols[0]).between(lo, hi))
+        if len(chain) == 1 and chain[0]["kind"] == "base" and not with_timestamps:
             return u.drop("__op", "__gen", "__sub")
         return self._resolve(u, with_timestamps=with_timestamps)
 
@@ -344,21 +432,34 @@ class LogTxTable:
     ) -> DataFrame:
         """Point lookups, optionally at a historical version/timestamp
         (the reference's timestamped LookupRows contract,
-        client_dynamic_tables_impl.cpp:1599-1603). The key filter applies
-        to every segment BEFORE the merge, so parquet min/max pruning
-        bounds IO per segment — the reference's per-store key lookup."""
+        client_dynamic_tables_impl.cpp:1599-1603).
+
+        Two pruning levels: (1) the manifest's per-segment key ranges drop
+        whole segments that cannot contain any requested key — no parquet
+        IO at all for them (one tiny min/max job on the key set buys it);
+        (2) the key semi-join applies to every surviving segment BEFORE
+        the merge, so footer min/max pruning bounds IO within them — the
+        reference's per-store key lookup."""
         version = self._resolve_version(version, timestamp)
         chain = self._chain(version)
+        k0 = self.key_cols[0]
+        b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+        chain = [s for s in chain if self._overlaps(s, b["lo"], b["hi"])]
+        keyset = F.broadcast(keys.select(*self.key_cols))
         parts = [
-            self._seg_df(s).join(
-                F.broadcast(keys.select(*self.key_cols)), self.key_cols, "left_semi"
-            )
+            self._seg_df(s).join(keyset, self.key_cols, "left_semi")
             for s in chain
         ]
+        if not parts:
+            parts = [self._empty_log_df()]
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        if len(parts) == 1 and not with_timestamps:
+        if (
+            len(chain) == 1
+            and chain[0]["kind"] == "base"
+            and not with_timestamps
+        ):
             return u.drop("__op", "__gen", "__sub")
         return self._resolve(u, with_timestamps=with_timestamps)
 
@@ -373,13 +474,18 @@ class LogTxTable:
         segs = self._segments()
         if not segs:
             raise FileNotFoundError(f"no committed version in {self.path}")
+        k0 = self.key_cols[0]
+        b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
         keyset = F.broadcast(keys.select(*self.key_cols))
         parts = [
             self._seg_df(s).join(keyset, self.key_cols, "left_semi")
             for s in segs
-            if s["kind"] != "base" or s["v"] == 0  # deltas + the seed only:
+            if (s["kind"] != "base" or s["v"] == 0)  # deltas + the seed only:
             # compaction bases are derived states, not writes
+            and self._overlaps(s, b["lo"], b["hi"])
         ]
+        if not parts:
+            parts = [self._empty_log_df()]
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
