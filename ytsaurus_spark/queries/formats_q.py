@@ -126,3 +126,60 @@ def fmt_skiff_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("key_sum")
     ).select(F.lit("customer").alias("tbl"), "n", "key_sum")
     return agg_o.unionAll(agg_c).orderBy("tbl")
+
+
+@register(
+    "fmt_proto_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*)                                   AS n,
+           CAST(SUM(o_orderkey) AS BIGINT)            AS key_sum,
+           ROUND(SUM(o_totalprice), 2)                AS price_sum,
+           COUNT(*) - COUNT(maybe_priority)           AS null_count,
+           MIN(maybe_priority)                        AS min_priority
+    FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice > 100000 THEN o_orderpriority END
+                   AS maybe_priority
+        FROM orders WHERE o_orderkey % 17 = 0
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def fmt_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders slice → lenval protobuf wire rows → back → aggregate.
+
+    Exercises varint int64, fixed64 double, len-delimited strings and
+    proto2 field-absence nulls on the wire (reference format
+    EFormatType::Protobuf, yt/yt/client/formats/public.h:49-62), then
+    proves losslessness by hash-matching the aggregate DuckDB computes
+    from the untouched parquet."""
+    from ytsaurus_spark.sources.protobuf import read_proto, write_proto
+
+    cat = load_tables(spark, sf_dir)
+    slice_df = (
+        cat.read("orders")
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_totalprice") > 100000, F.col("o_orderpriority")).alias(
+                "maybe_priority"
+            ),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ytspark_proto_"), "orders")
+    write_proto(slice_df, path)
+    back = read_proto(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            (F.count(F.lit(1)) - F.count("maybe_priority")).alias("null_count"),
+            F.min("maybe_priority").alias("min_priority"),
+        )
+        .orderBy("o_orderstatus")
+    )
