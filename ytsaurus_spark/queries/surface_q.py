@@ -1149,3 +1149,113 @@ def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "classifier string, row_in_match bigint"
         ),
     )
+
+
+# --- Unicode + multi-pattern scalar modules (SURVEY §2.3 long tail:
+#  unicode_base, hyperscan/pire — yql/essentials/udfs/common/) ------------
+
+@register(
+    "fn_unicode",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, 'caf' || 'é' || '-' || lang AS dstr
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           nfc_normalize(dstr)                          AS nfc,
+           CAST(length(nfc_normalize(dstr)) AS BIGINT)  AS nfc_len,
+           CAST(length(dstr) AS BIGINT)                 AS raw_len,
+           upper(lang)                                  AS lang_up,
+           reverse(lang)                                AS lang_rev,
+           CAST(levenshtein(lang, 'en') AS BIGINT)      AS lev_en,
+           CAST(unicode(lang) AS BIGINT)                AS first_cp,
+           'strasse-' || lang                           AS folded,
+           regexp_matches(dstr, '^[\\x00-\\x7F]*$')     AS is_ascii
+    FROM t
+    """,
+)
+def fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode module parity (Normalize/NFC, GetLength, ToUpper, Reverse,
+    LevensteinDistance, ToCodePointList's first element, Fold, IsAscii —
+    unicode_base_udf.h:821-858). The probe string carries a combining
+    acute (e +  ̷U+0301), so NFC genuinely recombines: nfc_len is one char
+    shorter than raw_len. Normalization runs in an Arrow-batched Pandas
+    UDF (no Spark builtin); everything else stays JVM-side. Fold is
+    Python casefold (full folding: ß→ss) — the oracle pins the expected
+    literal since DuckDB's lower() does not fold."""
+    from ytsaurus_spark.functions.unicode_text import casefold, normalize_nfc
+
+    cat = load_tables(spark, sf_dir)
+    t = (
+        cat.read("documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(F.lit("caf"), F.lit("é-"), F.col("lang")).alias(
+                "dstr"
+            ),
+        )
+    )
+    return t.select(
+        "doc_id",
+        normalize_nfc(F.col("dstr")).alias("nfc"),
+        F.length(normalize_nfc(F.col("dstr"))).cast("long").alias("nfc_len"),
+        F.length("dstr").cast("long").alias("raw_len"),
+        F.upper("lang").alias("lang_up"),
+        F.reverse("lang").alias("lang_rev"),
+        F.levenshtein("lang", F.lit("en")).cast("long").alias("lev_en"),
+        F.ascii("lang").cast("long").alias("first_cp"),
+        casefold(F.concat(F.lit("Straße-"), F.col("lang"))).alias(
+            "folded"
+        ),
+        F.col("dstr").rlike("^[\\x00-\\x7F]*$").alias("is_ascii"),
+    )
+
+
+_MM_PATTERNS = ["window window", "hash scan", "batch batch batch"]
+
+
+@register(
+    "fn_multimatch",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(text,
+             '(?:window window)|(?:hash scan)|(?:batch batch batch)')
+             THEN 1 ELSE 0 END) AS BIGINT) AS any_n,
+           CAST(sum(
+             CASE WHEN regexp_matches(text, 'window window')
+                  THEN 1 ELSE 0 END
+             + 2 * CASE WHEN regexp_matches(text, 'hash scan')
+                        THEN 1 ELSE 0 END
+             + 4 * CASE WHEN regexp_matches(text, 'batch batch batch')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS mask_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def fn_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperscan/Pire module parity (Grep/MultiGrep over a compiled
+    multi-pattern database — yql/essentials/udfs/common/hyperscan): N
+    patterns compile into ONE alternation scanned once per row for the
+    any-match, plus a per-pattern bitmask; both are scan-stage JVM regex
+    expressions (codegen), zero Python, zero extra passes over the
+    corpus."""
+    from ytsaurus_spark.functions.unicode_text import (
+        multi_grep_any,
+        multi_grep_mask,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(multi_grep_any("text", _MM_PATTERNS), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("any_n"),
+        F.sum(multi_grep_mask("text", _MM_PATTERNS)).cast("long").alias(
+            "mask_sum"
+        ),
+    )
