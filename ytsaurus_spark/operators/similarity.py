@@ -142,6 +142,51 @@ def ann_topk_lsh(
     )
 
 
+def _lloyd_refine(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    iterations: int,
+    id_col: str,
+    cent_col: str = "centv",
+    dist_round: int = 6,
+) -> DataFrame:
+    """``iterations`` Lloyd steps over (cell, centv) centroids — the
+    k-means refinement that turns exemplar seeds into trained centroids
+    (re-training an IVF index). Same declarative shape as
+    ``kmeans_iterations``: broadcast centroids, rounded-distance argmin
+    (engine-deterministic), posexplode element-wise means; no driver-side
+    data. ``vecs`` must be (id, v) with v array<double>."""
+    from pyspark.sql import Window as W
+
+    d2 = (
+        f"round(aggregate(zip_with(v, {cent_col}, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (acc, d) -> acc + d), {dist_round})"
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell"))
+    for _ in range(iterations):
+        assign = (
+            vecs.join(F.broadcast(centroids))
+            .withColumn("d2", F.expr(d2))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "cell")
+        )
+        flat = vecs.join(assign, id_col).select(
+            "cell", F.posexplode("v").alias("i", "e")
+        )
+        centroids = (
+            flat.groupBy("cell", "i")
+            .agg(F.avg("e").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+                ).alias(cent_col)
+            )
+        )
+    return centroids
+
+
 def ivf_assign(
     emb: DataFrame,
     num_cells: int = 16,
@@ -149,16 +194,20 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_stride: int | None = None,
     total_rows: int | None = None,
+    refine_iterations: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) cell assignment — the other standard ANN scale
     path next to LSH: pick exemplar centroids, assign every vector to its
     nearest, search only within probed cells.
 
-    Centroids here are deterministic exemplars (every ``stride``-th vector
-    by id) rather than k-means — reproducible everywhere and refinable
-    offline (a k-means refresh slots in without changing the query path,
-    exactly like re-training an IVF index). Returns (assignments, centroids)
-    where assignments = (vec_id, cell) and centroids = (cell, cv).
+    Centroids seed as deterministic exemplars (every ``stride``-th vector
+    by id) — reproducible everywhere; ``refine_iterations > 0`` then runs
+    that many Lloyd steps over the corpus (``_lloyd_refine``), the k-means
+    index training that tightens cells around the real data distribution
+    (measured recall uplift in SCALE.md). The refined path rounds
+    distances before every argmin so assignments stay engine-
+    deterministic and oracle-checkable. Returns (assignments, centroids)
+    where assignments = (vec_id, cell) and centroids = (cell, centv).
 
     ``centroid_stride`` must be known up front — pass it, or pass
     ``total_rows`` (cheap from parquet footers: ``Catalog.row_count``) to
@@ -183,13 +232,29 @@ def ivf_assign(
         (F.col(id_col) / centroid_stride).cast("int").alias("cell"),
         F.col(vec_col).alias("centv"),
     )
+    if refine_iterations > 0:
+        vecs = emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        centroids = _lloyd_refine(
+            vecs,
+            centroids.withColumn("centv", F.col("centv").cast("array<double>")),
+            refine_iterations,
+            id_col,
+        )
+        dist = (
+            "round(aggregate(zip_with(v, centv, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "0D, (acc, d) -> acc + d), 6)"
+        )
+    else:
+        dist = (
+            "aggregate(zip_with(v, centv, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "0D, (acc, d) -> acc + d)"
+        )
     scored = emb.select(F.col(id_col), F.col(vec_col).alias("v")).join(
         F.broadcast(centroids)
-    )
-    dist = (
-        "aggregate(zip_with(v, centv, (x, y) -> "
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-        "0D, (acc, d) -> acc + d)"
     )
     w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell"))
     assignments = (
@@ -211,17 +276,22 @@ def ivf_topk(
     centroid_stride: int | None = None,
     total_rows: int | None = None,
     nprobe: int = 1,
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """Approximate top-k within the query's ``nprobe`` nearest IVF cells.
 
     The equi-join on cell replaces the cross join; ``nprobe > 1`` probes
     the n nearest cells per query — same plan shape, ×nprobe candidate
     rows, the standard IVF recall/cost dial. Candidates live in exactly
-    one cell, so probing distinct cells never duplicates a pair."""
+    one cell, so probing distinct cells never duplicates a pair.
+    ``refine_iterations`` trains the cells with that many Lloyd steps
+    before assignment (see ``ivf_assign``) — the recall dial that costs
+    index-build time instead of query candidates."""
     from pyspark.sql import Window as W
 
     assignments, centroids = ivf_assign(
-        emb, num_cells, id_col, vec_col, centroid_stride, total_rows
+        emb, num_cells, id_col, vec_col, centroid_stride, total_rows,
+        refine_iterations=refine_iterations,
     )
     with_cell = emb.join(assignments, id_col)
     if nprobe <= 1:
@@ -238,6 +308,8 @@ def ivf_topk(
             "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
             "0D, (acc, d) -> acc + d)"
         )
+        if refine_iterations > 0:
+            d2 = f"round({d2}, 6)"
         wq = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cell"))
         q = (
             qv.join(F.broadcast(centroids))
@@ -404,14 +476,21 @@ def pq_codebook(
     stride: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """Per-subspace PQ codebooks from deterministic exemplar vectors.
 
     Vector space splits into ``m`` subspaces of ``dim/m`` dims; subspace
-    codebook entry ``c`` is the corresponding slice of exemplar vector
-    ``c*stride`` — reproducible on any engine/cluster (same policy as
-    ``ivf_assign`` exemplars; an offline k-means refresh slots in without
-    changing the query path). Returns (sub, code, cbslice)."""
+    codebook entry ``c`` seeds as the corresponding slice of exemplar
+    vector ``c*stride`` — reproducible on any engine/cluster (same policy
+    as ``ivf_assign`` exemplars). ``refine_iterations > 0`` then runs
+    per-subspace Lloyd steps over the corpus slices (all m subspaces
+    train in ONE plan — the argmin window partitions on (id, sub), the
+    mean groupBy on (sub, code, dim)), with rounded distances so the
+    trained codebook is engine-deterministic. Returns (sub, code,
+    cbslice)."""
+    from pyspark.sql import Window as W
+
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -421,7 +500,7 @@ def pq_codebook(
         (F.col(id_col) / stride).cast("int").alias("code"),
         F.col(vec_col).alias("cbv"),
     )
-    return cb.select(
+    codebook = cb.select(
         "code",
         "cbv",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -430,6 +509,47 @@ def pq_codebook(
         "code",
         F.expr(f"slice(cbv, sub * {dsub} + 1, {dsub})").alias("cbslice"),
     )
+    if refine_iterations <= 0:
+        return codebook
+    codebook = codebook.withColumn(
+        "cbslice", F.col("cbslice").cast("array<double>")
+    )
+    vslices = emb.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        id_col,
+        "sub",
+        F.expr(f"slice(v, sub * {dsub} + 1, {dsub})").alias("vslice"),
+    )
+    d2 = (
+        "round(aggregate(zip_with(vslice, cbslice, (x, y) -> "
+        "(x - y) * (x - y)), 0D, (acc, d) -> acc + d), 6)"
+    )
+    w = W.partitionBy(id_col, "sub").orderBy(F.col("d2").asc(), F.col("code"))
+    for _ in range(refine_iterations):
+        assign = (
+            vslices.join(F.broadcast(codebook), "sub")
+            .withColumn("d2", F.expr(d2))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "sub", "code")
+        )
+        flat = vslices.join(assign, [id_col, "sub"]).select(
+            "sub", "code", F.posexplode("vslice").alias("i", "e")
+        )
+        codebook = (
+            flat.groupBy("sub", "code", "i")
+            .agg(F.avg("e").alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+                ).alias("cbslice")
+            )
+        )
+    return codebook
 
 
 _SLICE_D2 = (
@@ -466,6 +586,7 @@ def pq_encode(
     stride: int = 60,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """PQ codes in long form: (id, sub, code) — each vector compresses to
     ``m`` small ints (the 100 TB point of PQ: the searchable index is
@@ -473,7 +594,10 @@ def pq_encode(
     window over m*ksub narrow rows per vector; no Python, no pairwise."""
     from pyspark.sql import Window as W
 
-    cb = pq_codebook(emb, m, ksub, dim, stride, id_col, vec_col)
+    cb = pq_codebook(
+        emb, m, ksub, dim, stride, id_col, vec_col,
+        refine_iterations=refine_iterations,
+    )
     scored = _subspace_dists(emb, cb, m, dim // m, id_col, vec_col)
     w = W.partitionBy(id_col, "sub").orderBy(F.col("d2").asc(), F.col("code"))
     return (
@@ -493,6 +617,7 @@ def pq_topk(
     stride: int = 60,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes.
 
@@ -504,8 +629,14 @@ def pq_topk(
     scan shape that holds at 100 TB. Returns (q_id, c_id, adc, rank)."""
     from pyspark.sql import Window as W
 
-    cb = pq_codebook(emb, m, ksub, dim, stride, id_col, vec_col)
-    codes = pq_encode(emb, m, ksub, dim, stride, id_col, vec_col)
+    cb = pq_codebook(
+        emb, m, ksub, dim, stride, id_col, vec_col,
+        refine_iterations=refine_iterations,
+    )
+    codes = pq_encode(
+        emb, m, ksub, dim, stride, id_col, vec_col,
+        refine_iterations=refine_iterations,
+    )
     qvecs = emb.join(queries.select(id_col), id_col, "left_semi")
     dtab = _subspace_dists(qvecs, cb, m, dim // m, id_col, vec_col).select(
         F.col(id_col).alias("q_id"), "sub", "code", "d2"

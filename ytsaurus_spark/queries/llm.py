@@ -1011,3 +1011,93 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     emb = cat.read("embeddings")
     return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# --- IVF with k-means-refined centroids (trained index) --------------------
+
+def _ivf_refined_oracle(iters: int = 1, k: int = 16, stride: int = 30) -> str:
+    """IVF top-k after ``iters`` Lloyd refinement steps — the kmeans
+    oracle's CTE chain feeding the ivf_topk search SQL. Distances round
+    to 6 decimals before every argmin (exactly what the refined Spark
+    path does), so assignments replay identically."""
+    head = f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents0 AS (
+      SELECT CAST(vec_id / {stride} AS INT) AS cell, v AS cv
+      FROM vecs WHERE vec_id % {stride} = 0 AND vec_id < {stride * k}
+    )"""
+    step = """
+    , scored{n} AS (
+      SELECT vec_id, cell,
+             round(list_sum([ (v[i] - cv[i]) * (v[i] - cv[i])
+                              for i in range(1, 65) ]), 6) AS d2
+      FROM vecs CROSS JOIN cents{p}
+    ), assign{n} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM scored{n}
+      ) WHERE rn = 1
+    ), flat{n} AS (
+      SELECT a.cell, generate_subscripts(v, 1) AS i, unnest(v) AS e
+      FROM vecs JOIN assign{n} a USING (vec_id)
+    ), cents{n} AS (
+      SELECT cell, list(m ORDER BY i) AS cv FROM (
+        SELECT cell, i, avg(e) AS m FROM flat{n} GROUP BY cell, i
+      ) GROUP BY cell
+    )"""
+    body = "".join(step.format(n=i + 1, p=i) for i in range(iters))
+    return (
+        head
+        + body
+        + f"""
+    , scoredF AS (
+      SELECT vec_id, cell,
+             round(list_sum([ (v[i] - cv[i]) * (v[i] - cv[i])
+                              for i in range(1, 65) ]), 6) AS d2
+      FROM vecs CROSS JOIN cents{iters}
+    ), assignF AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM scoredF
+      ) WHERE rn = 1
+    ), withc AS (
+      SELECT e.vec_id, e.v, a.cell FROM vecs e JOIN assignF a USING (vec_id)
+    ), s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_dot_product(q.v, c.v) /
+               sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v))
+               AS cos
+      FROM withc q JOIN withc c USING (cell)
+      WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    ), r AS (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+               AS rnk
+      FROM s
+    )
+    SELECT q_id, c_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 3
+    """
+    )
+
+
+@register("sim_ivf_refined_topk", _ivf_refined_oracle())
+def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED index: one Lloyd step refines the exemplar
+    centroids over the corpus before assignment (ivf_assign
+    refine_iterations=1) — the k-means index training the exemplar
+    docstring promised, now wired in. Distances round before argmin so
+    the DuckDB oracle replays the identical training + search. Recall
+    uplift vs the exemplar index is measured in SCALE.md."""
+    from ytsaurus_spark.operators.similarity import ivf_topk
+
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(
+        emb, queries, k=3, num_cells=16, centroid_stride=30,
+        refine_iterations=1,
+    )
