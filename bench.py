@@ -53,6 +53,58 @@ HEADLINE = [
 ]
 
 
+# The 5 most expensive headline queries (r03 driver bench) — the scaling
+# probe re-times exactly these at two scale factors to expose super-linear
+# blowups (LSH bucket explosion, merge-read amplification) that a
+# single-sf bench cannot see. Run with `python bench.py --scaling`;
+# results recorded in BASELINE.md. The default bench path is untouched so
+# driver rounds stay one-for-one comparable.
+SCALING_SET = [
+    "curation_contamination",
+    "stream_match_recognize",
+    "pipeline_clean_corpus",
+    "dyn_mvcc_timestamped_read",
+    "dedup_minhash_lsh",
+]
+
+
+def _timed(fn, spark, sf_dir, runs: int = 2) -> float:
+    """Steady-state timing: one warm pass, then best-of-``runs``."""
+    try:
+        fn(spark, sf_dir).count()
+    except Exception:
+        pass
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def scaling_probe() -> None:
+    """Time SCALING_SET at sf0.01 and sf0.1 (10× data) and print the
+    per-query scaling exponent alpha = log10(t_big / t_small): alpha ≈ 1
+    is linear, alpha > ~1.1 means super-linear work is hiding in the
+    plan. Uses the same steady-state methodology as the main bench."""
+    import math
+
+    spark = get_spark("bench-scaling")
+    queries = all_queries()
+    dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    out: dict[str, dict] = {}
+    for name in SCALING_SET:
+        ts = [_timed(queries[name], spark, d) for d in dirs]
+        out[name] = {
+            "sf0.01_s": round(ts[0], 3),
+            "sf0.1_s": round(ts[1], 3),
+            "alpha": round(math.log10(max(ts[1], 1e-9) / max(ts[0], 1e-9)), 3),
+        }
+    print(json.dumps({"metric": "scaling_probe", "queries": out}))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -107,4 +159,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        scaling_probe()
+    else:
+        main()

@@ -11,6 +11,7 @@ import random
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 N_TABLES = 3
 N_QUERIES = 90
@@ -166,3 +167,37 @@ def test_randomized_queries_match_duckdb(engines):
     assert not failures, "\n".join(
         f"[{qi}] {sql}\n  -> {info}" for qi, sql, info in failures[:5]
     )
+
+
+def test_rollup_empty_input_shim_matches_duckdb(engines):
+    """The documented empty-input ROLLUP divergence, made compatible:
+    ansi_rollup unions the grand-total row exactly when Spark's rollup
+    emits nothing. Randomized predicates INCLUDING empty selections now
+    match DuckDB row-for-row (the base fuzzer must keep WHERE out of its
+    rollup case; this one puts it back with the shim on)."""
+    from ytsaurus_spark.queries.aggregates import ansi_rollup
+
+    spark, con, rng = engines
+    failures = []
+    for qi in range(60):
+        t = f"rt{rng.randrange(N_TABLES)}"
+        pred = _pred(rng)
+        if qi % 7 == 0:
+            pred = "k > 999999"  # force the empty-input corner explicitly
+        sql = (
+            f"SELECT k, s, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(coalesce(v, 0)) AS BIGINT) AS sv "
+            f"FROM {t} WHERE {pred} GROUP BY ROLLUP(k, s)"
+        )
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("v", F.lit(0))).cast("long").alias("sv"),
+        ]
+        sdf = ansi_rollup(
+            spark.table(t).filter(F.expr(pred)), ["k", "s"], aggs
+        )
+        srows = sorted([tuple(r) for r in sdf.collect()], key=repr)
+        drows = sorted([tuple(r) for r in con.execute(sql).fetchall()], key=repr)
+        if srows != drows:
+            failures.append((qi, sql, f"{len(srows)} vs {len(drows)}"))
+    assert not failures, failures[:5]

@@ -561,3 +561,33 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
     )
+
+
+# --- ANSI empty-input ROLLUP/CUBE compatibility ----------------------------
+
+def ansi_rollup(df: DataFrame, group_cols: list[str], aggs) -> DataFrame:
+    """ROLLUP with ANSI empty-input semantics.
+
+    Spark's ``rollup()`` emits ZERO rows over an empty input; ANSI (and
+    DuckDB, and the reference's YQL) emit the grand-total row (count 0,
+    sums NULL). This helper makes the divergence opt-in compatible: it
+    unions the global aggregate — which Spark *does* emit on empty input
+    — but only when the rollup produced nothing, via a left-anti join
+    against a 1-row marker of the rollup output. Fully declarative (no
+    driver-side emptiness check); on non-empty input the fallback branch
+    is provably empty and the plan is the plain rollup plus a LIMIT-1
+    subplan. ``aggs`` is a list of aliased aggregate Columns usable in
+    both ``rollup().agg`` and global ``agg``.
+    """
+    roll = df.rollup(*group_cols).agg(*aggs)
+    null_keys = [
+        F.lit(None).cast(df.schema[c].dataType).alias(c) for c in group_cols
+    ]
+    grand = df.agg(*aggs).select(*null_keys, "*")
+    marker = roll.select(F.lit(1).alias("__nonempty")).limit(1)
+    fallback = (
+        grand.withColumn("__nonempty", F.lit(1))
+        .join(marker, "__nonempty", "left_anti")
+        .drop("__nonempty")
+    )
+    return roll.unionByName(fallback)
