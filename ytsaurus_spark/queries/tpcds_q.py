@@ -523,3 +523,276 @@ def tpcds_q77_profit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("profit"),
         )
     )
+
+
+# --- TPC-DS q51 shape: dueling cumulative windows over a FULL OUTER join ---
+
+
+@register(
+    "tpcds_q51_cumulative_channels",
+    f"""
+    WITH base AS (
+      SELECT {_CHANNEL_SQL} AS channel, l_partkey AS item_sk,
+             CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS d_ym,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS s_tt
+      FROM lineitem
+      GROUP BY 1, 2, 3
+    ), web AS (
+      SELECT item_sk, d_ym,
+             SUM(s_tt) OVER (PARTITION BY item_sk ORDER BY d_ym
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_tt
+      FROM base WHERE channel = 'web'
+    ), store AS (
+      SELECT item_sk, d_ym,
+             SUM(s_tt) OVER (PARTITION BY item_sk ORDER BY d_ym
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_tt
+      FROM base WHERE channel = 'store'
+    ), joined AS (
+      SELECT COALESCE(w.item_sk, s.item_sk) AS item_sk,
+             COALESCE(w.d_ym, s.d_ym) AS d_ym,
+             w.cume_tt AS web_sales, s.cume_tt AS store_sales
+      FROM web w FULL OUTER JOIN store s
+        ON w.item_sk = s.item_sk AND w.d_ym = s.d_ym
+    ), y AS (
+      SELECT item_sk, d_ym, web_sales, store_sales,
+             MAX(web_sales) OVER (PARTITION BY item_sk ORDER BY d_ym
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS web_cumulative,
+             MAX(store_sales) OVER (PARTITION BY item_sk ORDER BY d_ym
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS store_cumulative
+      FROM joined
+    )
+    SELECT item_sk, d_ym, web_sales, store_sales,
+           web_cumulative, store_cumulative
+    FROM y WHERE web_cumulative > store_cumulative
+    ORDER BY item_sk, d_ym LIMIT 100
+    """,
+)
+def tpcds_q51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 51 (queries/51.sql): per-item cumulative web vs store sales,
+    FULL OUTER joined by (item, month), then running MAX of each side
+    (gap-filling the sparser channel) and the crossover filter. Every
+    window partitions on item_sk — the reference's shape with no global
+    sort; money flows as BIGINT ten-thousandths so cumulative sums are
+    exact across engines. FULL OUTER on two aggregated inputs is
+    cell-count sized, not fact sized."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    base = li.groupBy(
+        _channel_col().alias("channel"),
+        F.col("l_partkey").alias("item_sk"),
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("int")
+        .alias("d_ym"),
+    ).agg(
+        F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("s_tt")
+    )
+    wcum = W.partitionBy("item_sk").orderBy("d_ym").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    web = (
+        base.filter(F.col("channel") == "web")
+        .withColumn("cume_tt", F.sum("s_tt").over(wcum))
+        .select("item_sk", "d_ym", F.col("cume_tt").alias("web_sales"))
+        .alias("w")
+    )
+    store = (
+        base.filter(F.col("channel") == "store")
+        .withColumn("cume_tt", F.sum("s_tt").over(wcum))
+        .select(
+            F.col("item_sk").alias("s_item_sk"),
+            F.col("d_ym").alias("s_d_ym"),
+            F.col("cume_tt").alias("store_sales"),
+        )
+        .alias("s")
+    )
+    joined = web.join(
+        store,
+        (F.col("w.item_sk") == F.col("s.s_item_sk"))
+        & (F.col("w.d_ym") == F.col("s.s_d_ym")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("w.item_sk"), F.col("s.s_item_sk")).alias("item_sk"),
+        F.coalesce(F.col("w.d_ym"), F.col("s.s_d_ym")).alias("d_ym"),
+        "web_sales",
+        "store_sales",
+    )
+    y = joined.select(
+        "*",
+        F.max("web_sales").over(wcum).alias("web_cumulative"),
+        F.max("store_sales").over(wcum).alias("store_cumulative"),
+    )
+    return (
+        y.filter(F.col("web_cumulative") > F.col("store_cumulative"))
+        .orderBy("item_sk", "d_ym")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q88 shape: N independent band counts cross-joined to one row ---
+
+
+def _band_count(li, lo_m: int, hi_m: int, alias: str):
+    return (
+        li.filter(
+            (F.month("l_shipdate") >= lo_m)
+            & (F.month("l_shipdate") <= hi_m)
+            & (
+                ((F.col("l_quantity") <= 10) & (F.col("l_discount") >= 0.05))
+                | ((F.col("l_quantity") > 10) & (F.col("l_quantity") <= 30))
+                | ((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.03))
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias(alias))
+    )
+
+
+_Q88_BAND_PRED = """(
+        (l_quantity <= 10 AND l_discount >= 0.05)
+        OR (l_quantity > 10 AND l_quantity <= 30)
+        OR (l_quantity > 30 AND l_discount <= 0.03))"""
+
+_Q88_BANDS = [(1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12)]
+
+
+@register(
+    "tpcds_q88_time_bands",
+    "SELECT "
+    + ", ".join(
+        f"""(SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE month(l_shipdate) BETWEEN {lo} AND {hi}
+           AND {_Q88_BAND_PRED}) AS band_{lo}_{hi}"""
+        for lo, hi in _Q88_BANDS
+    ),
+)
+def tpcds_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 88 (queries/88.sql): N independent filtered counts (time
+    bands × a 3-way demographic disjunction) cross-joined into ONE result
+    row. Each band is a scan-stage count; the cross joins multiply 1-row
+    aggregates (broadcast scalars), so the fact table is scanned, never
+    shuffled — Catalyst shares one scan across the bands via exchange
+    reuse."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    out = None
+    for lo, hi in _Q88_BANDS:
+        cnt = _band_count(li, lo, hi, f"band_{lo}_{hi}")
+        out = cnt if out is None else out.crossJoin(F.broadcast(cnt))
+    return out
+
+
+# --- TPC-DS q35 shape: EXISTS across channels + demographic rollout --------
+
+
+@register(
+    "tpcds_q35_exists_demographics",
+    f"""
+    WITH ch AS (
+      SELECT {_CHANNEL_SQL} AS channel, o_custkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT c_mktsegment, n_name,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(c_custkey) AS BIGINT) AS min_cust,
+           CAST(max(c_custkey) AS BIGINT) AS max_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM ch WHERE o_custkey = c_custkey
+                  AND channel = 'store')
+      AND (EXISTS (SELECT 1 FROM ch WHERE o_custkey = c_custkey
+                   AND channel = 'web')
+           OR EXISTS (SELECT 1 FROM ch WHERE o_custkey = c_custkey
+                      AND channel = 'catalog'))
+    GROUP BY c_mktsegment, n_name
+    """,
+)
+def tpcds_q35_exists_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 35 (queries/35.sql): customers present in the store channel
+    AND at least one remote channel, rolled up by demographic attributes
+    (mktsegment × nation here). The EXISTS chain compiles to left-semi
+    joins on aggregated key sets; the OR of two EXISTS becomes a semi
+    join against the union of the two channel key sets — no fact-side
+    row explosion."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    ch = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        _channel_col().alias("channel"), "o_custkey"
+    )
+    store_keys = ch.filter(F.col("channel") == "store").select("o_custkey")
+    remote_keys = ch.filter(
+        F.col("channel").isin("web", "catalog")
+    ).select("o_custkey")
+    cust = cat.read("customer").join(
+        F.broadcast(cat.read("nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        cust.join(
+            store_keys, cust.c_custkey == store_keys.o_custkey, "left_semi"
+        )
+        .join(
+            remote_keys, cust.c_custkey == remote_keys.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("c_custkey").cast("long").alias("min_cust"),
+            F.max("c_custkey").cast("long").alias("max_cust"),
+        )
+    )
+
+
+# --- TPC-DS q2 shape: period-over-period ratio self-join -------------------
+
+
+@register(
+    "tpcds_q2_period_ratio",
+    f"""
+    WITH monthly AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(month(l_shipdate) AS INT) AS d_moy,
+             {_CHANNEL_SQL} AS channel,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS s_tt
+      FROM lineitem
+      GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT d_year, d_moy, CAST(SUM(s_tt) AS BIGINT) AS s_tt
+      FROM monthly WHERE channel IN ('web', 'catalog')
+      GROUP BY d_year, d_moy
+    )
+    SELECT a.d_moy AS d_moy, a.s_tt AS cur_tt, b.s_tt AS prev_tt,
+           round(CAST(a.s_tt AS DOUBLE) / b.s_tt, 4) AS ratio
+    FROM merged a JOIN merged b
+      ON a.d_moy = b.d_moy AND a.d_year = 1997 AND b.d_year = 1996
+    """,
+)
+def tpcds_q2_period_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 02 (queries/02.sql): combined web+catalog sales per period,
+    self-joined across consecutive years on the period number to emit the
+    year-over-year ratio. The self-join runs on a months-sized aggregate
+    (broadcastable); division happens once on exact fixed-point inputs so
+    the rounded ratio is engine-stable."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("d_year"),
+        F.month("l_shipdate").alias("d_moy"),
+        _channel_col().alias("channel"),
+    ).agg(F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("s_tt"))
+    merged = (
+        monthly.filter(F.col("channel").isin("web", "catalog"))
+        .groupBy("d_year", "d_moy")
+        .agg(F.sum("s_tt").cast("long").alias("s_tt"))
+    )
+    a = merged.filter(F.col("d_year") == 1997).alias("a")
+    b = merged.filter(F.col("d_year") == 1996).alias("b")
+    return a.join(F.broadcast(b), F.col("a.d_moy") == F.col("b.d_moy")).select(
+        F.col("a.d_moy").alias("d_moy"),
+        F.col("a.s_tt").alias("cur_tt"),
+        F.col("b.s_tt").alias("prev_tt"),
+        F.round(F.col("a.s_tt").cast("double") / F.col("b.s_tt"), 4).alias(
+            "ratio"
+        ),
+    )
