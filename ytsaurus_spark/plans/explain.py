@@ -51,15 +51,21 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     """Number of Window operators with an EMPTY partition spec — each one
     moves its whole input to a single task (Spark's WindowExec warning).
     A physical-plan Window line prints
-    ``Window [exprs], [partSpec], [orderSpec]`` when partitioned and only
-    ``Window [exprs], [orderSpec]`` when global, so the bracket-group
-    separator count distinguishes them."""
+    ``Window [exprs], [partSpec], [orderSpec]`` when partitioned-and-
+    ordered, ``Window [exprs], [partSpec]`` when partition-only (whole-
+    partition frame, no ORDER BY — still distributed), and
+    ``Window [exprs], [orderSpec]`` when global.  The two-group forms are
+    told apart by sort-direction markers: an order spec prints
+    ``col ASC|DESC NULLS …`` while a partition spec never carries a
+    direction."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = 0
     for line in plan.splitlines():
         if "Window [" in line and "windowspecdefinition" in line:
             if line.count("], [") < 2:
-                n += 1
+                tail = line.rsplit("], [", 1)[-1]
+                if " ASC " in tail or " DESC " in tail or tail.strip() in ("]", "]]"):
+                    n += 1
     return n
 
 

@@ -796,3 +796,556 @@ def tpcds_q2_period_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio"
         ),
     )
+
+
+# --- TPC-DS q36 shape: margin ROLLUP ranked within grouping level ----------
+
+
+@register(
+    "tpcds_q36_margin_hierarchy",
+    """
+    WITH m AS (
+      SELECT substring(p_brand, 7, 1) AS cat, p_type AS class,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS sales_tt,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)
+                            - l_quantity * p_retailprice * 0.1) * 10000, 0)
+                  AS BIGINT) AS profit_tt,
+             CAST(GROUPING(substring(p_brand, 7, 1)) AS INT) AS g_cat,
+             CAST(GROUPING(p_type) AS INT) AS g_class
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1997
+      GROUP BY ROLLUP(substring(p_brand, 7, 1), p_type)
+      HAVING sum(l_extendedprice * (1 - l_discount)) <> 0
+    )
+    SELECT cat, class, CAST(g_cat + g_class AS INT) AS lochierarchy,
+           round(CAST(profit_tt AS DOUBLE) / sales_tt, 4) AS gross_margin,
+           CAST(rank() OVER (
+             PARTITION BY g_cat + g_class,
+                          CASE WHEN g_class = 0 THEN cat END
+             ORDER BY CAST(profit_tt AS DOUBLE) / sales_tt
+           ) AS INT) AS rk
+    FROM m
+    """,
+)
+def tpcds_q36_margin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 36 (yt/benchmarks/run/queries/36.sql): gross-margin ROLLUP
+    over (category, class) with a rank WITHIN each hierarchy level —
+    partitioned on GROUPING()-derived keys, so leaf rows rank against
+    their category siblings and subtotal rows against other subtotals.
+    One expand+aggregate for the ROLLUP, one window shuffle on the
+    (small) aggregate; margins divide exact fixed-point sums so the rank
+    order is engine-stable."""
+    cat_ = load_tables(spark, sf_dir)
+    li, part = cat_.read("lineitem"), cat_.read("part")
+    m = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.substring("p_brand", 7, 1).alias("cat"),
+            F.col("p_type").alias("class"),
+            _amt().alias("amt"),
+            (_amt() - F.col("l_quantity") * F.col("p_retailprice") * 0.1)
+            .alias("profit"),
+        )
+        .rollup("cat", "class")
+        .agg(
+            F.round(F.sum("amt") * 10000, 0).cast("long").alias("sales_tt"),
+            F.round(F.sum("profit") * 10000, 0).cast("long").alias("profit_tt"),
+            F.grouping("cat").cast("int").alias("g_cat"),
+            F.grouping("class").cast("int").alias("g_class"),
+            F.sum("amt").alias("__raw_sales"),
+        )
+        .filter(F.col("__raw_sales") != 0)
+    )
+    margin = F.col("profit_tt").cast("double") / F.col("sales_tt")
+    wrk = W.partitionBy(
+        F.col("g_cat") + F.col("g_class"),
+        F.when(F.col("g_class") == 0, F.col("cat")),
+    ).orderBy(margin)
+    return m.select(
+        "cat",
+        "class",
+        (F.col("g_cat") + F.col("g_class")).cast("int").alias("lochierarchy"),
+        F.round(margin, 4).alias("gross_margin"),
+        F.rank().over(wrk).cast("int").alias("rk"),
+    )
+
+
+# --- TPC-DS q59 shape: weekday pivot + week-over-week ratio self-join ------
+
+
+_Q59_PIVOT_SQL = ", ".join(
+    f"CAST(sum(CASE WHEN dow = {d} THEN s_tt END) AS BIGINT) AS d{d}"
+    for d in range(7)
+)
+_Q59_RATIO_SQL = ", ".join(
+    f"round(CAST(a.d{d} AS DOUBLE) / b.d{d}, 4) AS r{d}" for d in range(7)
+)
+
+
+@register(
+    "tpcds_q59_weekday_wow",
+    f"""
+    WITH days AS (
+      SELECT date_diff('day', DATE '1995-01-01', l_shipdate) AS dd,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem
+    ), weekly AS (
+      SELECT dd // 7 AS wk, dd % 7 AS dow,
+             CAST(round(sum(amt) * 10000, 0) AS BIGINT) AS s_tt
+      FROM days GROUP BY 1, 2
+    ), piv AS (
+      SELECT wk, {_Q59_PIVOT_SQL} FROM weekly GROUP BY wk
+    )
+    SELECT a.wk AS wk, {_Q59_RATIO_SQL}
+    FROM piv a JOIN piv b ON a.wk = b.wk + 52
+    WHERE a.wk BETWEEN 52 AND 103
+    """,
+)
+def tpcds_q59_weekday_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 59 (queries/59.sql): weekly sales PIVOTed into one column
+    per weekday, then the pivoted table self-joined at a 52-week offset
+    to emit this-year/last-year ratios per weekday. Weeks and weekdays
+    derive from an epoch-anchored day count (engine-neutral — no
+    locale-dependent week function); the self-join runs on a
+    weeks-cardinality aggregate, broadcastable at any corpus size."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    days = li.select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("dd"),
+        _amt().alias("amt"),
+    )
+    weekly = (
+        days.groupBy(
+            F.expr("dd div 7").alias("wk"), (F.col("dd") % 7).alias("dow")
+        )
+        .agg(F.round(F.sum("amt") * 10000, 0).cast("long").alias("s_tt"))
+    )
+    piv = (
+        weekly.groupBy("wk")
+        .pivot("dow", list(range(7)))
+        .agg(F.sum("s_tt"))
+        .select("wk", *[F.col(str(d)).alias(f"d{d}") for d in range(7)])
+    )
+    a = piv.alias("a")
+    b = piv.select(
+        (F.col("wk") + 52).alias("b_wk"),
+        *[F.col(f"d{d}").alias(f"b_d{d}") for d in range(7)],
+    ).alias("b")
+    return (
+        a.filter(F.col("wk").between(52, 103))
+        .join(F.broadcast(b), F.col("wk") == F.col("b_wk"))
+        .select(
+            "wk",
+            *[
+                F.round(
+                    F.col(f"d{d}").cast("double") / F.col(f"b_d{d}"), 4
+                ).alias(f"r{d}")
+                for d in range(7)
+            ],
+        )
+    )
+
+
+# --- TPC-DS q89 shape: rolling-frame deviation from moving average ---------
+
+
+@register(
+    "tpcds_q89_rolling_deviation",
+    """
+    WITH monthly AS (
+      SELECT p_brand, CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(month(l_shipdate) AS INT) AS d_moy,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS s_tt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+    ), v AS (
+      SELECT monthly.*,
+             SUM(s_tt) OVER (PARTITION BY p_brand ORDER BY d_year, d_moy
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS wsum_tt,
+             COUNT(*) OVER (PARTITION BY p_brand ORDER BY d_year, d_moy
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_w
+      FROM monthly
+    )
+    SELECT p_brand, d_year, d_moy, s_tt,
+           CAST(wsum_tt AS BIGINT) AS wsum_tt, CAST(n_w AS BIGINT) AS n_w
+    FROM v
+    WHERE d_year = 1997 AND 10 * abs(n_w * s_tt - wsum_tt) > wsum_tt
+    """,
+)
+def tpcds_q89_rolling_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 89 (queries/89.sql): months whose brand sales deviate >10%
+    from a CENTERED 3-month moving average — a ROWS sliding frame, the
+    one window frame shape the q47/q57 suite doesn't cover. The window
+    partitions on brand (never global); the >10% test is pure integer
+    arithmetic over fixed-point sums (|n*s - wsum| * 10 > wsum), so no
+    double-average rounding can flake the hash."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").alias("d_year"),
+            F.month("l_shipdate").alias("d_moy"),
+        )
+        .agg(F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("s_tt"))
+    )
+    wfr = (
+        W.partitionBy("p_brand").orderBy("d_year", "d_moy").rowsBetween(-1, 1)
+    )
+    v = monthly.withColumn(
+        "wsum_tt", F.sum("s_tt").over(wfr).cast("long")
+    ).withColumn("n_w", F.count(F.lit(1)).over(wfr).cast("long"))
+    return v.filter(
+        (F.col("d_year") == 1997)
+        & (10 * F.abs(F.col("n_w") * F.col("s_tt") - F.col("wsum_tt"))
+           > F.col("wsum_tt"))
+    )
+
+
+# --- TPC-DS q49 shape: worst return ratios ranked per channel --------------
+
+
+@register(
+    "tpcds_q49_return_ratio_rank",
+    f"""
+    WITH base AS (
+      SELECT {_CHANNEL_SQL} AS channel, l_partkey AS item,
+             CAST(round(sum(CASE WHEN l_returnflag = 'R'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END) * 10000, 0) AS BIGINT) AS ret_tt,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS sales_tt
+      FROM lineitem
+      GROUP BY 1, 2
+      HAVING sum(CASE WHEN l_returnflag = 'R'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END) > 0
+         AND sum(l_extendedprice * (1 - l_discount)) > 0
+    ), ranked AS (
+      SELECT channel, item,
+             round(CAST(ret_tt AS DOUBLE) / sales_tt, 4) AS return_ratio,
+             CAST(dense_rank() OVER (PARTITION BY channel
+               ORDER BY CAST(ret_tt AS DOUBLE) / sales_tt DESC) AS INT)
+               AS ratio_rank,
+             CAST(rank() OVER (PARTITION BY channel
+               ORDER BY ret_tt DESC) AS INT) AS currency_rank
+      FROM base
+    )
+    SELECT channel, item, return_ratio, ratio_rank, currency_rank
+    FROM ranked WHERE ratio_rank <= 10 OR currency_rank <= 10
+    """,
+)
+def tpcds_q49_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 49 (queries/49.sql): per channel, the items with the worst
+    return ratio — dual rankings (ratio dense_rank + returned-currency
+    rank), keep anything in either top-10. The reference writes three
+    per-channel subqueries UNION ALLed; here channel is a partition
+    column, so ONE aggregate + ONE partitioned window replaces the
+    union, and no window is ever global. Ratios divide exact fixed-point
+    sums — identical doubles on both engines, so ranks can't flake."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    ret = F.when(F.col("l_returnflag") == "R", _amt()).otherwise(F.lit(0.0))
+    base = (
+        li.groupBy(_channel_col().alias("channel"), F.col("l_partkey").alias("item"))
+        .agg(
+            F.round(F.sum(ret) * 10000, 0).cast("long").alias("ret_tt"),
+            F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("sales_tt"),
+            F.sum(ret).alias("__raw_ret"),
+            F.sum(_amt()).alias("__raw_sales"),
+        )
+        .filter((F.col("__raw_ret") > 0) & (F.col("__raw_sales") > 0))
+    )
+    ratio = F.col("ret_tt").cast("double") / F.col("sales_tt")
+    ranked = base.select(
+        "channel",
+        "item",
+        F.round(ratio, 4).alias("return_ratio"),
+        F.dense_rank()
+        .over(W.partitionBy("channel").orderBy(ratio.desc()))
+        .cast("int")
+        .alias("ratio_rank"),
+        F.rank()
+        .over(W.partitionBy("channel").orderBy(F.col("ret_tt").desc()))
+        .cast("int")
+        .alias("currency_rank"),
+    )
+    return ranked.filter(
+        (F.col("ratio_rank") <= 10) | (F.col("currency_rank") <= 10)
+    )
+
+
+# --- TPC-DS q54 shape: customer revenue segmentation histogram -------------
+
+
+@register(
+    "tpcds_q54_revenue_segments",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS rev_tt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(o_orderdate) = 1997
+      GROUP BY o_custkey
+    )
+    SELECT CAST(rev_tt // 500000000 AS BIGINT) AS segment,
+           CAST((rev_tt // 500000000) * 50000 AS BIGINT) AS segment_base,
+           CAST(count(*) AS BIGINT) AS num_customers
+    FROM rev GROUP BY 1, 2
+    """,
+)
+def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 54 (queries/54.sql): bucket customers by yearly revenue into
+    fixed-width segments and count the histogram. Revenue flows as BIGINT
+    ten-thousandths; the segment is exact integer floor division (bucket
+    width $50k in tt units), so bucket edges can't flake. Two partial-agg
+    shuffles (customer, then segment), the second over segment
+    cardinality — nothing global."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("rev_tt"))
+    )
+    seg = F.expr("rev_tt div 500000000")
+    return (
+        rev.groupBy(
+            seg.cast("long").alias("segment"),
+            (seg * 50000).cast("long").alias("segment_base"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("num_customers"))
+    )
+
+
+# --- TPC-DS q34 shape: line-count band, join back to customer --------------
+
+
+@register(
+    "tpcds_q34_count_band",
+    """
+    WITH cnts AS (
+      SELECT o_orderkey, o_custkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity BETWEEN 1 AND 30
+      GROUP BY o_orderkey, o_custkey
+      HAVING count(*) BETWEEN 5 AND 7
+    )
+    SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey, cnt
+    FROM cnts JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def tpcds_q34_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 34 (queries/34.sql): orders whose filtered line count falls
+    in a band (the reference's 15-20-ticket store baskets; 5-7 lines on
+    the TPC-H-shaped fact), joined back to the customer dim for display
+    attributes. The HAVING band runs on the partial-agg'd count before
+    the dim join, so only band survivors (a tiny fraction) reach the
+    broadcast customer join."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    cnts = (
+        li.filter(F.col("l_quantity").between(1, 30))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt").between(5, 7))
+    )
+    cust = cat.read("customer")
+    return cnts.join(
+        F.broadcast(cust), cnts.o_custkey == cust.c_custkey
+    ).select(
+        "c_name",
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "cnt",
+    )
+
+
+# --- TPC-DS q31 shape: quarter-over-quarter growth, two channels compared --
+
+
+@register(
+    "tpcds_q31_qoq_growth",
+    f"""
+    WITH q AS (
+      SELECT n_name, {_CHANNEL_SQL} AS channel,
+             CAST(quarter(l_shipdate) AS INT) AS qtr,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS s_tt
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE year(l_shipdate) = 1997 AND quarter(l_shipdate) <= 3
+      GROUP BY 1, 2, 3
+    ), six AS (
+      SELECT n_name,
+             CAST(sum(CASE WHEN channel = 'store' AND qtr = 1 THEN s_tt END)
+                  AS BIGINT) AS ss1,
+             CAST(sum(CASE WHEN channel = 'store' AND qtr = 2 THEN s_tt END)
+                  AS BIGINT) AS ss2,
+             CAST(sum(CASE WHEN channel = 'store' AND qtr = 3 THEN s_tt END)
+                  AS BIGINT) AS ss3,
+             CAST(sum(CASE WHEN channel = 'web' AND qtr = 1 THEN s_tt END)
+                  AS BIGINT) AS ws1,
+             CAST(sum(CASE WHEN channel = 'web' AND qtr = 2 THEN s_tt END)
+                  AS BIGINT) AS ws2,
+             CAST(sum(CASE WHEN channel = 'web' AND qtr = 3 THEN s_tt END)
+                  AS BIGINT) AS ws3
+      FROM q GROUP BY n_name
+    )
+    SELECT n_name,
+           round(CAST(ws2 AS DOUBLE) / ws1, 4) AS web_g1,
+           round(CAST(ws3 AS DOUBLE) / ws2, 4) AS web_g2,
+           round(CAST(ss2 AS DOUBLE) / ss1, 4) AS store_g1,
+           round(CAST(ss3 AS DOUBLE) / ss2, 4) AS store_g2
+    FROM six
+    WHERE ss1 > 0 AND ss2 > 0 AND ss3 > 0
+      AND ws1 > 0 AND ws2 > 0 AND ws3 > 0
+      AND CAST(ws2 AS DOUBLE) / ws1 > CAST(ss2 AS DOUBLE) / ss1
+      AND CAST(ws3 AS DOUBLE) / ws2 > CAST(ss3 AS DOUBLE) / ss2
+    """,
+)
+def tpcds_q31_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 31 (queries/31.sql): nations where WEB sales grew faster
+    than STORE sales in BOTH consecutive quarter transitions of a year.
+    The reference writes six CTE scans self-joined on county; here one
+    (nation, channel, quarter) aggregate pivots to six columns via
+    conditional aggregation — one fact shuffle instead of six, then a
+    nation-cardinality filter. Growth ratios divide exact fixed-point
+    sums, identical across engines."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    q = (
+        li.join(cat.read("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cat.read("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.read("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter((F.year("l_shipdate") == 1997) & (F.quarter("l_shipdate") <= 3))
+        .groupBy(
+            "n_name",
+            _channel_col().alias("channel"),
+            F.quarter("l_shipdate").cast("int").alias("qtr"),
+        )
+        .agg(F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("s_tt"))
+    )
+    cell = lambda ch, k: F.sum(  # noqa: E731
+        F.when((F.col("channel") == ch) & (F.col("qtr") == k), F.col("s_tt"))
+    ).cast("long")
+    six = q.groupBy("n_name").agg(
+        cell("store", 1).alias("ss1"),
+        cell("store", 2).alias("ss2"),
+        cell("store", 3).alias("ss3"),
+        cell("web", 1).alias("ws1"),
+        cell("web", 2).alias("ws2"),
+        cell("web", 3).alias("ws3"),
+    )
+    d = lambda a, b: F.col(a).cast("double") / F.col(b)  # noqa: E731
+    pos = (
+        (F.col("ss1") > 0) & (F.col("ss2") > 0) & (F.col("ss3") > 0)
+        & (F.col("ws1") > 0) & (F.col("ws2") > 0) & (F.col("ws3") > 0)
+    )
+    return (
+        six.filter(
+            pos
+            & (d("ws2", "ws1") > d("ss2", "ss1"))
+            & (d("ws3", "ws2") > d("ss3", "ss2"))
+        )
+        .select(
+            "n_name",
+            F.round(d("ws2", "ws1"), 4).alias("web_g1"),
+            F.round(d("ws3", "ws2"), 4).alias("web_g2"),
+            F.round(d("ss2", "ss1"), 4).alias("store_g1"),
+            F.round(d("ss3", "ss2"), 4).alias("store_g2"),
+        )
+    )
+
+
+# --- TPC-DS q78 shape: returns-excluding anti join + channel ratio ---------
+
+
+@register(
+    "tpcds_q78_no_return_ratio",
+    f"""
+    WITH returned_keys AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_returnflag = 'R'
+    ), net AS (
+      SELECT l.*, {_CHANNEL_SQL.replace('l_linenumber', 'l.l_linenumber')}
+             AS channel
+      FROM lineitem l LEFT JOIN returned_keys r
+        ON l.l_orderkey = r.l_orderkey AND l.l_partkey = r.l_partkey
+      WHERE r.l_orderkey IS NULL
+    ), ss AS (
+      SELECT l_partkey AS item, CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(round(sum(l_quantity), 0) AS BIGINT) AS ss_qty,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS ss_tt
+      FROM net WHERE channel = 'store' GROUP BY 1, 2
+    ), os AS (
+      SELECT l_partkey AS item, CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(round(sum(l_quantity), 0) AS BIGINT) AS os_qty,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS os_tt
+      FROM net WHERE channel IN ('web', 'catalog') GROUP BY 1, 2
+    )
+    SELECT ss.item AS item, ss.d_year AS d_year, ss_qty, ss_tt, os_qty, os_tt,
+           round(CAST(ss_qty AS DOUBLE) / os_qty, 4) AS qty_ratio
+    FROM ss JOIN os ON ss.item = os.item AND ss.d_year = os.d_year
+    WHERE ss_qty > 0 AND os_qty > 0
+    """,
+)
+def tpcds_q78_no_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 78 (queries/78.sql): per (item, year), store vs other-channel
+    sales of NEVER-RETURNED order-parts — the reference's signature
+    LEFT-JOIN-returns-WHERE-NULL anti pattern, here a genuine fact-scale
+    anti semi join (a sale line is excluded when ANY line of its
+    (order, part) was returned, not just its own flag). Spark spells it
+    left_anti; the returned-key set is an aggregate (DISTINCT) so the
+    anti join shuffles on the composite key once. Channel aggregates
+    join at (item, year) cardinality."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    net = li.join(returned, ["l_orderkey", "l_partkey"], "left_anti").select(
+        "*", _channel_col().alias("channel")
+    )
+    def _chan_agg(df, pred, qty, tt):
+        return df.filter(pred).groupBy(
+            F.col("l_partkey").alias("item"),
+            F.year("l_shipdate").cast("int").alias("d_year"),
+        ).agg(
+            F.round(F.sum("l_quantity"), 0).cast("long").alias(qty),
+            F.round(F.sum(_amt()) * 10000, 0).cast("long").alias(tt),
+        )
+    ss = _chan_agg(net, F.col("channel") == "store", "ss_qty", "ss_tt")
+    os_ = _chan_agg(
+        net, F.col("channel").isin("web", "catalog"), "os_qty", "os_tt"
+    )
+    return (
+        ss.join(os_, ["item", "d_year"])
+        .filter((F.col("ss_qty") > 0) & (F.col("os_qty") > 0))
+        .select(
+            "item", "d_year", "ss_qty", "ss_tt", "os_qty", "os_tt",
+            F.round(
+                F.col("ss_qty").cast("double") / F.col("os_qty"), 4
+            ).alias("qty_ratio"),
+        )
+    )
