@@ -250,3 +250,32 @@ def test_pq_encode_and_adc_topk(spark):
     ).collect()
     # ADC collapses id1 onto code (0,0) == id0's codes -> id0 is nearest
     assert len(top) == 1 and top[0].q_id == 1 and top[0].c_id == 0
+
+
+def test_word_entropy_known_values(spark):
+    # "a a b b" -> uniform over 2 types: H = 1 bit, norm = 1.0
+    # "a a a a" -> single type: H = 0, norm undefined (null)
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a a a a")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in text.word_entropy(df).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_types == 2
+    assert abs(out[1].entropy - 1.0) < 1e-9
+    assert abs(out[1].norm_entropy - 1.0) < 1e-9
+    assert out[2].entropy == 0.0 and out[2].norm_entropy is None
+
+
+def test_range_search_threshold_and_self_exclusion(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.1]),   # cos(1,2) ~ 0.995
+            (3, [0.0, 1.0]),   # cos(1,3) = 0
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = rows_set(
+        similarity.range_search(df, df.filter(F.col("vec_id") == 1), 0.5)
+    )
+    ids = {(q, c) for q, c, _ in out}
+    assert ids == {(1, 2)}  # 3 below threshold, self excluded

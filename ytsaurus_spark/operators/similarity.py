@@ -700,3 +700,33 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "adc", "rank")
     )
+
+
+def range_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) similarity search: ALL candidates within a cosine
+    threshold of each query — the fixed-radius complement of
+    :func:`cosine_topk` (dedup wants "everything closer than r", not a
+    fixed k). Queries broadcast, candidates stream through the scan
+    stage with a codegen'd HOF dot product; no window, no shuffle of the
+    candidate side. The threshold compares the UNROUNDED cosine — both
+    engines fold the arrays in the same order, so the cut is exact."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    return (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                f"{_dot('qv', 'cv')} / sqrt({_dot('qv', 'qv')} * {_dot('cv', 'cv')})"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"))
+    )

@@ -83,3 +83,38 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " "
     )
     return docs.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+def word_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy and normalized lexical
+    diversity — a standard corpus-quality signal: machine-generated or
+    boilerplate text shows low entropy, natural prose high.
+
+    Computed distributed as two partial-aggregable groupBys (never a
+    per-doc collect): explode words → count per (doc, word) → fold with
+    the shift identity ``H = log2(n) − (Σ c·log2 c) / n``, which needs
+    only SUM/COUNT — both map-side combinable, so at 10^10 docs the
+    shuffle carries (doc, word) partial counts and then doc-sized rows.
+    ``norm_entropy = H / log2(n_types)`` rescales to [0, 1]."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    counts = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    e = counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("__clogc"),
+    )
+    h = F.log2("n_tokens") - F.col("__clogc") / F.col("n_tokens")
+    return e.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        F.round(h, 6).alias("entropy"),
+        F.when(F.col("n_types") > 1, F.round(h / F.log2("n_types"), 6))
+        .alias("norm_entropy"),
+    )

@@ -1101,3 +1101,62 @@ def sim_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=3, num_cells=16, centroid_stride=30,
         refine_iterations=1,
     )
+
+
+@register(
+    "text_word_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), c AS (
+      SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2
+    ), e AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             log2(CAST(sum(cnt) AS DOUBLE))
+               - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt) AS h
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types, round(h, 6) AS entropy,
+           CASE WHEN n_types > 1
+                THEN round(h / log2(CAST(n_types AS DOUBLE)), 6) END
+             AS norm_entropy
+    FROM e
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy / lexical-diversity quality signal over the
+    documents table (see operators/text.py word_entropy for the
+    distributed shape)."""
+    cat = load_tables(spark, sf_dir)
+    return text.word_entropy(cat.read("documents"))
+
+
+@register(
+    "sim_range_search",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+    )
+    SELECT q_id, c_id,
+           round(list_dot_product(qv, cv) /
+             sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4)
+             AS cosine
+    FROM q, c
+    WHERE q_id <> c_id
+      AND list_dot_product(qv, cv) /
+            sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) >= 0.3
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius neighbor search (all candidates with cosine >= 0.3 of
+    each query vector) — the range complement of sim_cosine_topk."""
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    return similarity.range_search(
+        emb, emb.filter(F.col("vec_id") < 10), threshold=0.3
+    )

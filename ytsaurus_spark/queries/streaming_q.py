@@ -478,3 +478,103 @@ def stream_time_order_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id bigint, ts_us bigint, event_id bigint, emit_seq bigint"
     )
+
+
+# --- stream-stream interval join: clicks joined to purchases within 30 min -
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.user_id AS user_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us,
+           round(p.value, 4) AS amount
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join — the attribution staple the reference
+    expresses as a Flow pipeline of two queue readers into a keyed join
+    (yt/yt/flow/lib; queue semantics in queue_client.h): every click
+    joined to same-user purchases landing within the next 4 hours.
+
+    Runs the REAL Structured Streaming path: two readStream sources over
+    the same parquet, both watermarked, inner-joined on key + event-time
+    range; Spark keeps per-key state only inside the watermark horizon,
+    so state is bounded at any corpus size (the 100 TB shape — an
+    unbounded-buffer join would OOM). With the file source every row is
+    on time, so the emitted set equals the batch join, giving an exact
+    DuckDB oracle. Delay flows as exact integer microseconds."""
+    import os
+    import tempfile
+
+    load_tables(spark, sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def _src():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    clicks = (
+        _src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + interval 4 hours"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+        F.round("p_value", 4).alias("amount"),
+    )
+    name = "stream_stream_join_out"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rows = spark.table(name).collect()
+    return spark.createDataFrame(rows, schema=spark.table(name).schema)
