@@ -1349,3 +1349,286 @@ def tpcds_q78_no_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qty_ratio"),
         )
     )
+
+
+# --- TPC-DS q39 shape: coefficient-of-variation filter + month self-join ---
+
+
+@register(
+    "tpcds_q39_cov_months",
+    """
+    WITH q AS (
+      SELECT p_brand AS brand, n_name AS wh,
+             CAST(month(l_shipdate) AS INT) AS d_moy,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s2
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE month(l_shipdate) IN (1, 2)
+      GROUP BY 1, 2, 3
+    ), v AS (
+      -- var_samp > mean^2/4 (CoV > 0.5)  <=>  4*n*(n*s2-s1^2) > s1^2*(n-1)
+      SELECT brand, wh, d_moy, n, s1, s2,
+             round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                        / (n * (n - 1))) / (CAST(s1 AS DOUBLE) / n), 4)
+               AS cov
+      FROM q
+      WHERE n > 1 AND s1 > 0 AND 4 * n * (n * s2 - s1 * s1) > s1 * s1 * (n - 1)
+    )
+    SELECT a.brand AS brand, a.wh AS wh,
+           a.cov AS cov_m1, b.cov AS cov_m2,
+           a.n AS n_m1, b.n AS n_m2
+    FROM v a JOIN v b
+      ON a.brand = b.brand AND a.wh = b.wh AND a.d_moy = 1 AND b.d_moy = 2
+    """,
+)
+def tpcds_q39_cov_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 39 (yt/benchmarks/run/queries/39.sql): items whose monthly
+    demand is HIGH-VARIANCE (coefficient of variation > 0.5 — the
+    reference uses 1.0; the TPC-H quantity spread tops out near 0.57) in
+    two CONSECUTIVE months at the same warehouse (brand × supplier
+    nation on this fixture, the grain with non-singleton groups) — the statistical-filter +
+    self-join family. The CoV>1 cut is pure integer arithmetic
+    (var_samp > mean²/4 ⟺ 4n(n·S2 − S1²) > S1²(n−1) over exact quantity
+    sums), so no stddev summation-order ulp can flip membership; the
+    self-join runs on the already-filtered (item, warehouse, month)
+    aggregate, tiny at any scale."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    qv = F.col("l_quantity").cast("long")
+    q = (
+        li.join(F.broadcast(cat.read("part")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(cat.read("supplier")), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cat.read("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.month("l_shipdate").isin(1, 2))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("n_name").alias("wh"),
+            F.month("l_shipdate").cast("int").alias("d_moy"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(qv).cast("long").alias("s1"),
+            F.sum(qv * qv).cast("long").alias("s2"),
+        )
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    v = q.filter(
+        (n > 1) & (s1 > 0) & (4 * n * (n * s2 - s1 * s1) > s1 * s1 * (n - 1))
+    ).withColumn(
+        "cov",
+        F.round(
+            F.sqrt((n * s2 - s1 * s1).cast("double") / (n * (n - 1)))
+            / (s1.cast("double") / n),
+            4,
+        ),
+    )
+    a = v.filter(F.col("d_moy") == 1).alias("a")
+    b = v.filter(F.col("d_moy") == 2).select(
+        F.col("brand").alias("b_brand"),
+        F.col("wh").alias("b_wh"),
+        F.col("cov").alias("cov_m2"),
+        F.col("n").alias("n_m2"),
+    )
+    return a.join(
+        b, (F.col("brand") == F.col("b_brand")) & (F.col("wh") == F.col("b_wh"))
+    ).select(
+        "brand",
+        "wh",
+        F.col("cov").alias("cov_m1"),
+        "cov_m2",
+        F.col("n").alias("n_m1"),
+        "n_m2",
+    )
+
+
+# --- TPC-DS q64 shape: deep snowflake aggregate self-joined across years ---
+
+
+@register(
+    "tpcds_q64_snowflake_years",
+    """
+    WITH cs AS (
+      SELECT l_partkey AS item, p_brand AS brand,
+             cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             CAST(year(o_orderdate) AS INT) AS syear,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS s_tt
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_size <= 20
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT a.item AS item, a.brand AS brand,
+           a.cust_nation AS cust_nation, a.supp_nation AS supp_nation,
+           a.cnt AS cnt1, b.cnt AS cnt2, a.s_tt AS s1_tt, b.s_tt AS s2_tt
+    FROM cs a JOIN cs b
+      ON a.item = b.item AND a.cust_nation = b.cust_nation
+     AND a.supp_nation = b.supp_nation
+     AND a.syear = 1996 AND b.syear = 1997 AND b.cnt <= a.cnt
+    """,
+)
+def tpcds_q64_snowflake_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 64 (queries/64.sql): the deep-snowflake family — a 7-table
+    join chain (fact → orders → customer → nation, part, supplier →
+    nation) aggregated per (item, nations, year), then SELF-JOINED
+    across consecutive years with the reference's cnt2 <= cnt1 guard.
+    All five dims broadcast (two nation copies under different aliases);
+    the only fact-scale shuffles are the orders join and the final
+    aggregate, and the year self-join runs on aggregate-sized inputs."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    nation = cat.read("nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cs = (
+        li.join(cat.read("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cat.read("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(cat.read("part").filter(F.col("p_size") <= 20)),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(cat.read("supplier")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            F.col("l_partkey").alias("item"),
+            F.col("p_brand").alias("brand"),
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("syear"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("s_tt"),
+        )
+    )
+    a = cs.filter(F.col("syear") == 1996).alias("a")
+    b = cs.filter(F.col("syear") == 1997).select(
+        F.col("item").alias("b_item"),
+        F.col("cust_nation").alias("b_cn"),
+        F.col("supp_nation").alias("b_sn"),
+        F.col("cnt").alias("cnt2"),
+        F.col("s_tt").alias("s2_tt"),
+    )
+    return a.join(
+        b,
+        (F.col("item") == F.col("b_item"))
+        & (F.col("cust_nation") == F.col("b_cn"))
+        & (F.col("supp_nation") == F.col("b_sn"))
+        & (F.col("cnt2") <= F.col("cnt")),
+    ).select(
+        "item",
+        "brand",
+        "cust_nation",
+        "supp_nation",
+        F.col("cnt").alias("cnt1"),
+        "cnt2",
+        F.col("s_tt").alias("s1_tt"),
+        "s2_tt",
+    )
+
+
+# --- TPC-DS q11/q4 shape: per-customer YoY growth compared across channels -
+
+
+@register(
+    "tpcds_q11_customer_yoy",
+    f"""
+    WITH per AS (
+      SELECT o_custkey, {_CHANNEL_SQL} AS channel,
+             CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS s_tt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(l_shipdate) IN (1996, 1997) AND {_CHANNEL_SQL} <> 'catalog'
+      GROUP BY 1, 2, 3
+    ), four AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN channel = 'store' AND d_year = 1996
+                      THEN s_tt END) AS BIGINT) AS s_first,
+             CAST(sum(CASE WHEN channel = 'store' AND d_year = 1997
+                      THEN s_tt END) AS BIGINT) AS s_second,
+             CAST(sum(CASE WHEN channel = 'web' AND d_year = 1996
+                      THEN s_tt END) AS BIGINT) AS w_first,
+             CAST(sum(CASE WHEN channel = 'web' AND d_year = 1997
+                      THEN s_tt END) AS BIGINT) AS w_second
+      FROM per GROUP BY o_custkey
+    )
+    SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           round(CAST(w_second AS DOUBLE) / w_first, 4) AS web_ratio,
+           round(CAST(s_second AS DOUBLE) / s_first, 4) AS store_ratio
+    FROM four JOIN customer ON o_custkey = c_custkey
+    WHERE s_first > 0 AND w_first > 0
+      AND CAST(w_second AS DOUBLE) / w_first
+            > CAST(s_second AS DOUBLE) / s_first
+    """,
+)
+def tpcds_q11_customer_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 11 / 4 (queries/11.sql, 04.sql): customers whose WEB
+    spending grew faster year-over-year than their STORE spending. The
+    reference materializes a year_total CTE and self-joins it four
+    times; here one (customer, channel, year) aggregate pivots to four
+    cells via conditional aggregation — a single fact shuffle on
+    customer instead of four CTE re-joins — then the broadcast customer
+    dim supplies display attributes. NULL cells (customer absent in a
+    channel-year) fail the > comparison exactly as the reference's
+    inner self-joins drop them."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    per = (
+        li.join(cat.read("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.year("l_shipdate").isin(1996, 1997))
+        .filter(_channel_col() != "catalog")
+        .groupBy(
+            "o_custkey",
+            _channel_col().alias("channel"),
+            F.year("l_shipdate").cast("int").alias("d_year"),
+        )
+        .agg(F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("s_tt"))
+    )
+    cell = lambda ch, y: F.sum(  # noqa: E731
+        F.when((F.col("channel") == ch) & (F.col("d_year") == y), F.col("s_tt"))
+    ).cast("long")
+    four = per.groupBy("o_custkey").agg(
+        cell("store", 1996).alias("s_first"),
+        cell("store", 1997).alias("s_second"),
+        cell("web", 1996).alias("w_first"),
+        cell("web", 1997).alias("w_second"),
+    )
+    wr = F.col("w_second").cast("double") / F.col("w_first")
+    sr = F.col("s_second").cast("double") / F.col("s_first")
+    cust = cat.read("customer")
+    return (
+        four.filter((F.col("s_first") > 0) & (F.col("w_first") > 0) & (wr > sr))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.round(wr, 4).alias("web_ratio"),
+            F.round(sr, 4).alias("store_ratio"),
+        )
+    )
