@@ -46,7 +46,17 @@ def _pred(rng: random.Random) -> str:
 
 def _gen_query(rng: random.Random) -> str:
     t = f"rt{rng.randrange(N_TABLES)}"
-    kind = rng.randrange(9)
+    kind = rng.randrange(10)
+    if kind == 9:  # FULL OUTER join with coalesced keys
+        t2 = f"rt{rng.randrange(N_TABLES)}"
+        return (
+            f"SELECT coalesce(a.k, b.k) AS k, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(coalesce(a.v, 0)) AS BIGINT) AS sa, "
+            f"CAST(sum(coalesce(b.v, 0)) AS BIGINT) AS sb "
+            f"FROM (SELECT k, v FROM {t} WHERE {_pred(rng)}) a "
+            f"FULL JOIN (SELECT k, v FROM {t2} WHERE {_pred(rng)}) b "
+            f"ON a.k = b.k GROUP BY coalesce(a.k, b.k)"
+        )
     if kind == 7:  # correlated EXISTS / IN-subquery semi and anti joins
         t2 = f"rt{rng.randrange(N_TABLES)}"
         form = rng.randrange(3)
