@@ -463,3 +463,54 @@ def test_log_tx_table_pruned_to_empty(spark, tmp):
     out = t.lookup_rows(spark.createDataFrame([(99,)], "k bigint"))
     assert out.columns == ["k", "v"]
     assert out.count() == 0
+
+
+def test_yamr_roundtrip(spark, tmp):
+    from ytsaurus_spark.sources.formats import read_yamr, write_yamr
+
+    df = spark.createDataFrame(
+        [("k1", "s1", "v with\ttab"), ("k2", "s2", "plain")],
+        "key string, subkey string, value string",
+    )
+    p = f"{tmp}/yamr"
+    write_yamr(df, p)
+    back = read_yamr(spark, p, has_subkey=True)
+    assert {tuple(r) for r in back.collect()} == {
+        ("k1", "s1", "v with\ttab"),  # value keeps its embedded tab
+        ("k2", "s2", "plain"),
+    }
+    # two-field variant
+    df2 = df.select("key", "value")
+    p2 = f"{tmp}/yamr2"
+    write_yamr(df2, p2)
+    assert read_yamr(spark, p2).columns == ["key", "value"]
+
+
+def test_yamred_dsv(spark, tmp):
+    from ytsaurus_spark.sources.formats import read_yamred_dsv
+
+    lines = ["k1\ta=1\tb=x", "k2\ta=2\tb=y"]
+    p = f"{tmp}/yamred"
+    spark.createDataFrame([(l,) for l in lines], "value string").write.text(p)
+    out = {r.key: r.fields for r in read_yamred_dsv(spark, p).collect()}
+    assert out == {"k1": {"a": "1", "b": "x"}, "k2": {"a": "2", "b": "y"}}
+
+
+def test_webjson_envelope(spark):
+    import json as _json
+
+    from ytsaurus_spark.sources.formats import to_webjson
+
+    df = spark.createDataFrame(
+        [(1, "a", True, None)], "id bigint, s string, f boolean, x string"
+    )
+    env = _json.loads(to_webjson(df, limit=10))
+    assert env["incomplete"] is False
+    assert env["all_column_names"] == ["id", "s", "f", "x"]
+    row = env["rows"][0]
+    assert row["id"] == {"$type": "int64", "$value": "1"}
+    assert row["f"] == {"$type": "boolean", "$value": "true"}
+    assert row["x"] is None
+    # truncation flag
+    big = spark.range(5).select(F.col("id"))
+    assert _json.loads(to_webjson(big, limit=3))["incomplete"] is True

@@ -12,8 +12,15 @@ Mapping:
 - SchemafulDsv → csv with an explicit schema, no header.
 - Skiff → REAL reader+writer via the Spark 4 Python DataSource API
   (``sources/skiff.py``): the reference's binary job-I/O wire format,
-  one task per part-file, sidecar-self-describing. Protobuf wire rows
-  remain out of scope (Arrow plays the typed-exchange role in Spark).
+  one task per part-file, sidecar-self-describing.
+- Protobuf → lenval wire rows as a second Python DataSource
+  (``sources/protobuf.py``), reusing the Skiff task layout.
+- YAMR / YamredDsv → tab-framed key/subkey/value text lines
+  (``read_yamr``/``write_yamr``/``read_yamred_dsv``): limit-split stays
+  JVM-side, the value map parses with ``str_to_map``.
+- WebJson → output-only typed-value envelope for UI display
+  (``to_webjson``): bounded row slice, every value tagged with its YT
+  type name — intentionally driver-side, it is a pagination format.
 - YSON → binary-YSON codec in ``sources/yson.py`` (used for Skiff's
   ``yson32`` nested slots); query-side 'Any' columns carry JSON text
   (functions.ql ypath getters) so getters stay JVM-side.
@@ -170,3 +177,85 @@ def compact_table(
 
     shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+def read_yamr(spark: SparkSession, path: str, has_subkey: bool = False) -> DataFrame:
+    """YAMR text lines (formats/public.h EFormatType::Yamr): ``key\\tvalue``
+    or, with ``has_subkey``, ``key\\tsubkey\\tvalue``. The VALUE is the
+    untouched remainder of the line (it may itself contain tabs), so the
+    split is limit-bounded — all JVM-side."""
+    lines = spark.read.text(path)
+    n = 3 if has_subkey else 2
+    parts = F.split(F.col("value"), "\t", n)
+    cols = [parts.getItem(0).alias("key")]
+    if has_subkey:
+        cols.append(parts.getItem(1).alias("subkey"))
+    cols.append(parts.getItem(n - 1).alias("value"))
+    return lines.select(*cols)
+
+
+def write_yamr(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write (key[, subkey], value) string columns as YAMR text lines."""
+    order = [c for c in ("key", "subkey", "value") if c in df.columns]
+    out = df.select(F.concat_ws("\t", *order).alias("value"))
+    out.write.mode(mode).text(path)
+
+
+def read_yamred_dsv(
+    spark: SparkSession, path: str, has_subkey: bool = False
+) -> DataFrame:
+    """YamredDsv: YAMR framing whose value part is DSV ``k=v`` pairs —
+    key/subkey columns plus a MapType of the remaining fields."""
+    base = read_yamr(spark, path, has_subkey=has_subkey)
+    return base.withColumn(
+        "fields", F.str_to_map(F.col("value"), F.lit("\t"), F.lit("="))
+    ).drop("value")
+
+
+#: YT type names for the WebJson $type tags (data_type mapping used by the
+#: UI; public.h WebJson is an output-only format).
+_WEBJSON_TYPES = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "double",
+    "float": "double",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+def to_webjson(df: DataFrame, limit: int = 1000) -> str:
+    """Render a bounded row slice as the WebJson envelope: every value
+    wrapped as ``{"$type": t, "$value": str}``, plus column metadata and
+    an ``incomplete`` flag when the slice truncated. WebJson is the
+    reference UI's pagination format — bounded driver-side output is the
+    CONTRACT here, not a scale compromise (the analytics path never
+    reads it back)."""
+    rows = df.limit(limit + 1).collect()
+    incomplete = len(rows) > limit
+    rows = rows[:limit]
+    types = {name: _WEBJSON_TYPES.get(dt, "any") for name, dt in df.dtypes}
+    out_rows = []
+    for r in rows:
+        d = r.asDict()
+        out_rows.append(
+            {
+                k: None
+                if d[k] is None
+                else {"$type": types[k], "$value": str(d[k]).lower()
+                      if types[k] == "boolean" else str(d[k])}
+                for k in d
+            }
+        )
+    return json.dumps(
+        {
+            "rows": out_rows,
+            "incomplete_columns": "false",
+            "incomplete_all_column_names": "false",
+            "all_column_names": [name for name, _ in df.dtypes],
+            "incomplete": incomplete,
+        },
+        sort_keys=True,
+    )
