@@ -1632,3 +1632,108 @@ def tpcds_q11_customer_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sr, 4).alias("store_ratio"),
         )
     )
+
+
+# --- TPC-DS q25 shape: sale -> return -> repurchase multi-fact chain -------
+
+
+@register(
+    "tpcds_q25_sale_return_repurchase",
+    f"""
+    WITH f AS (
+      SELECT o_custkey AS ck, n_name,
+             l_returnflag AS rf, {_CHANNEL_SQL} AS ch,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) AS INT) AS ym,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ), s AS (
+      SELECT ck, n_name, ym, amt FROM f
+      WHERE ch = 'store' AND rf <> 'R' AND ym BETWEEN 1997*12+1 AND 1997*12+12
+    ), r AS (
+      SELECT ck, ym, amt FROM f WHERE rf = 'R'
+    ), c2 AS (
+      SELECT ck, ym, amt FROM f WHERE ch = 'catalog' AND rf <> 'R'
+    )
+    SELECT s.n_name AS n_name,
+           CAST(count(*) AS BIGINT) AS n_chains,
+           CAST(round(sum(s.amt) * 10000, 0) AS BIGINT) AS store_tt,
+           CAST(round(sum(r.amt) * 10000, 0) AS BIGINT) AS return_tt,
+           CAST(round(sum(c2.amt) * 10000, 0) AS BIGINT) AS catalog_tt
+    FROM s
+      JOIN r ON s.ck = r.ck AND r.ym BETWEEN s.ym AND s.ym + 3
+      JOIN c2 ON r.ck = c2.ck AND c2.ym BETWEEN r.ym AND r.ym + 3
+    GROUP BY s.n_name
+    """,
+)
+def tpcds_q25_sale_return_repurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS 25 (yt/benchmarks/run/queries/25.sql): the multi-fact chain
+    family — a store sale, a subsequent return by the same customer
+    within 3 months, and a catalog repurchase within 3 months of the
+    return, aggregated by customer nation. THREE derivations of the fact
+    table join each other on the customer key with event-time window
+    residuals: the chain joins are keyed equi-joins (time windows ride
+    as residual predicates, never a cross product), so at scale each
+    shuffles on customer — bounded by per-customer activity inside the
+    window, the same state bound the streaming interval join uses."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    f = (
+        li.join(cat.read("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cat.read("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.read("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("ck"),
+            "n_name",
+            F.col("l_returnflag").alias("rf"),
+            _channel_col().alias("ch"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("int")
+            .alias("ym"),
+            _amt().alias("amt"),
+        )
+    )
+    s = f.filter(
+        (F.col("ch") == "store")
+        & (F.col("rf") != "R")
+        & F.col("ym").between(1997 * 12 + 1, 1997 * 12 + 12)
+    ).select(
+        F.col("ck").alias("s_ck"), "n_name", F.col("ym").alias("s_ym"),
+        F.col("amt").alias("s_amt"),
+    )
+    r = f.filter(F.col("rf") == "R").select(
+        F.col("ck").alias("r_ck"), F.col("ym").alias("r_ym"),
+        F.col("amt").alias("r_amt"),
+    )
+    c2 = f.filter((F.col("ch") == "catalog") & (F.col("rf") != "R")).select(
+        F.col("ck").alias("c_ck"), F.col("ym").alias("c_ym"),
+        F.col("amt").alias("c_amt"),
+    )
+    chain = (
+        s.join(
+            r,
+            (F.col("s_ck") == F.col("r_ck"))
+            & F.col("r_ym").between(F.col("s_ym"), F.col("s_ym") + 3),
+        )
+        .join(
+            c2,
+            (F.col("r_ck") == F.col("c_ck"))
+            & F.col("c_ym").between(F.col("r_ym"), F.col("r_ym") + 3),
+        )
+    )
+    return chain.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chains"),
+        F.round(F.sum("s_amt") * 10000, 0).cast("long").alias("store_tt"),
+        F.round(F.sum("r_amt") * 10000, 0).cast("long").alias("return_tt"),
+        F.round(F.sum("c_amt") * 10000, 0).cast("long").alias("catalog_tt"),
+    )
