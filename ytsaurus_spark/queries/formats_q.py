@@ -183,3 +183,49 @@ def fmt_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "fmt_yamr_roundtrip",
+    """
+    SELECT c_mktsegment AS subkey,
+           CAST(COUNT(*) AS BIGINT)        AS n,
+           CAST(SUM(c_custkey) AS BIGINT)  AS key_sum,
+           MIN(c_name)                     AS min_name,
+           MAX(c_name)                     AS max_name
+    FROM customer WHERE c_custkey % 7 = 0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def fmt_yamr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer slice → YAMR key/subkey/value text lines → back →
+    aggregate. YAMR is an all-string format (EFormatType::Yamr,
+    yt/yt/client/formats/public.h:49-62): the key carries the customer id
+    as decimal text and is cast back to BIGINT after the read, so a hash
+    match against the untouched parquet proves both the tab framing and
+    the numeric round-trip are lossless."""
+    from ytsaurus_spark.sources.formats import read_yamr, write_yamr
+
+    cat = load_tables(spark, sf_dir)
+    slice_df = (
+        cat.read("customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").cast("string").alias("key"),
+            F.col("c_mktsegment").alias("subkey"),
+            F.col("c_name").alias("value"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ytspark_yamr_"), "customer")
+    write_yamr(slice_df, path)
+    back = read_yamr(spark, path, has_subkey=True)
+    return (
+        back.groupBy(F.col("subkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("key").cast("long")).cast("long").alias("key_sum"),
+            F.min("value").alias("min_name"),
+            F.max("value").alias("max_name"),
+        )
+        .orderBy("subkey")
+    )
