@@ -93,3 +93,19 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_equidepth_and_deciles_no_global_window(spark, sf_dir):
+    # The equi-depth histogram and revenue deciles must use the
+    # histogram + prefix_sum decomposition, never a global ntile
+    # (round-3-class scale defect: one executor sorts the whole fact).
+    from ytsaurus_spark.plans import unpartitioned_window_count
+    from ytsaurus_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in (
+        "agg_histogram_equidepth",
+        "analytics_customer_deciles",
+        "op_sort",
+    ):
+        assert unpartitioned_window_count(qs[name](spark, sf_dir)) == 0, name

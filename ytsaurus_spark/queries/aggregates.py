@@ -478,33 +478,55 @@ def agg_top_bottom(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_histogram_equidepth",
     """
-    WITH tiled AS (
-      SELECT o_totalprice,
-             CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
-               AS bucket
-      FROM orders
-    )
-    SELECT bucket,
-           CAST(count(*) AS BIGINT) AS n,
-           round(min(o_totalprice), 2) AS lo,
-           round(max(o_totalprice), 2) AS hi
-    FROM tiled GROUP BY bucket
+    WITH h AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS p_tt,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT p_tt, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY p_tt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c_lt
+      FROM h
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h)
+    SELECT CAST((8 * c_lt) // n + 1 AS INT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS n,
+           round(min(p_tt) / 100.0, 2) AS lo,
+           round(max(p_tt) / 100.0, 2) AS hi
+    FROM cum, tot GROUP BY 1
     """,
 )
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    """Equi-depth (equal-frequency) histogram WITHOUT a global ntile: a
+    global `ntile(8) OVER (ORDER BY price)` sorts the whole fact on one
+    executor. Instead the bucket comes from the price HISTOGRAM — one
+    partial-agg'd groupBy on exact cents, a hierarchical `prefix_sum`
+    for cumulative counts (block-partitioned windows only), and
+    `bucket = (k * rows_strictly_cheaper) div n + 1` assigned on
+    histogram rows. Ties share a bucket (the statistically meaningful
+    equi-depth definition); the oracle mirrors the same formula."""
+    from ytsaurus_spark.operators.curation import prefix_sum
 
     cat = load_tables(spark, sf_dir)
-    tiled = cat.read("orders").select(
-        "o_totalprice",
-        F.ntile(8)
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bucket"),
+    h = (
+        cat.read("orders")
+        .groupBy(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p_tt")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
-    return tiled.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("o_totalprice"), 2).alias("lo"),
-        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    cum = prefix_sum(h, "p_tt", "__c", "c_lt")
+    tot = h.agg(F.sum("__c").cast("long").alias("n_total"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.expr("(8 * c_lt) div n_total") + 1).cast("int").alias("bucket")
+        )
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.round(F.min("p_tt") / 100.0, 2).alias("lo"),
+            F.round(F.max("p_tt") / 100.0, 2).alias("hi"),
+        )
     )
 
 

@@ -159,37 +159,61 @@ def analytics_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_customer_deciles",
     """
     WITH spend AS (
-      SELECT o_custkey, sum(o_totalprice) AS total
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS t_tt
       FROM orders GROUP BY o_custkey
-    ), tiled AS (
-      SELECT o_custkey, total,
-             CAST(ntile(10) OVER (ORDER BY total DESC, o_custkey) AS INT)
-               AS decile
-      FROM spend
-    )
-    SELECT decile,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(total), 2) AS decile_rev,
-           round(min(total), 2) AS min_spend,
-           round(max(total), 2) AS max_spend
-    FROM tiled GROUP BY decile
+    ), h AS (
+      SELECT t_tt, CAST(count(*) AS BIGINT) AS c FROM spend GROUP BY 1
+    ), cum AS (
+      SELECT t_tt, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY t_tt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c_gt
+      FROM h
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h)
+    SELECT CAST((10 * c_gt) // n + 1 AS INT) AS decile,
+           CAST(sum(c) AS BIGINT) AS n_customers,
+           round(sum(t_tt * c) / 100.0, 2) AS decile_rev,
+           round(min(t_tt) / 100.0, 2) AS min_spend,
+           round(max(t_tt) / 100.0, 2) AS max_spend
+    FROM cum, tot GROUP BY 1
     """,
 )
 def analytics_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue deciles WITHOUT a global ntile (which would sort every
+    customer on one executor): per-customer spend in exact cents →
+    spend histogram → hierarchical `prefix_sum` on the NEGATED key for
+    a strictly-greater cumulative count → `decile = (10*c_gt) div n + 1`
+    assigned on histogram rows. Equal spenders share a decile; decile
+    revenue folds from the histogram (`Σ t_tt·c`), exact to the cent."""
+    from ytsaurus_spark.operators.curation import prefix_sum
+
     cat = load_tables(spark, sf_dir)
     spend = (
         cat.read("orders")
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("total"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("t_tt")
+        )
     )
-    tiled = spend.withColumn(
-        "decile", F.ntile(10).over(W.orderBy(F.col("total").desc(), "o_custkey"))
+    h = spend.groupBy("t_tt").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    cum = prefix_sum(
+        h.withColumn("__negt", -F.col("t_tt")), "__negt", "__c", "c_gt"
     )
-    return tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("total"), 2).alias("decile_rev"),
-        F.round(F.min("total"), 2).alias("min_spend"),
-        F.round(F.max("total"), 2).alias("max_spend"),
+    tot = h.agg(F.sum("__c").cast("long").alias("n_total"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.expr("(10 * c_gt) div n_total") + 1).cast("int").alias("decile")
+        )
+        .agg(
+            F.sum("__c").cast("long").alias("n_customers"),
+            F.round(F.sum(F.col("t_tt") * F.col("__c")) / 100.0, 2).alias(
+                "decile_rev"
+            ),
+            F.round(F.min("t_tt") / 100.0, 2).alias("min_spend"),
+            F.round(F.max("t_tt") / 100.0, 2).alias("max_spend"),
+        )
     )
 
 

@@ -164,18 +164,35 @@ def op_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def op_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_sort verified scale-safely: ranking the FULL sorted output with
+    a global row_number window would re-sort the fact on one executor, so
+    instead the head is taken with orderBy+limit (TakeOrderedAndProject —
+    per-partition heaps) and ranks attach to the 200-row result via a
+    broadcast self-join count (rank = #rows ≤ self; keys are unique so
+    this equals row_number), leaving no window anywhere in the plan."""
     cat = load_tables(spark, sf_dir)
     orders = cat.read("orders").select("o_orderkey", "o_totalprice")
     sorted_df = mr.run_sort(orders, ["o_totalprice", "o_orderkey"], num_partitions=8)
-    # Global rank materializes the total order the sort produced; limiting to
-    # the head keeps the oracle comparison exact and cheap.
-    from pyspark.sql import Window as W
-
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    top = sorted_df.orderBy("o_totalprice", "o_orderkey").limit(200)
+    b = top.select(
+        F.col("o_totalprice").alias("b_p"), F.col("o_orderkey").alias("b_k")
+    )
     return (
-        sorted_df.withColumn("global_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("global_rank") <= 200)
-        .select("global_rank", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        top.join(
+            F.broadcast(b),
+            (F.col("b_p") < F.col("o_totalprice"))
+            | (
+                (F.col("b_p") == F.col("o_totalprice"))
+                & (F.col("b_k") <= F.col("o_orderkey"))
+            ),
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("global_rank"))
+        .select(
+            "global_rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
     )
 
 
