@@ -179,3 +179,89 @@ def test_run_vanilla_one_spark_task_per_job(spark):
     out = mr.run_vanilla(spark, {"t": (6, report, "job bigint, pid int")})["t"].collect()
     # each job landed in its own Spark task/partition
     assert len({r.pid for r in out}) == 6
+
+
+def test_run_operation_spec_map_reduce(spark, sf_dir, tmp_path):
+    # The yt.wrapper-style spec dict drives the same operators end to end,
+    # including input_query pushdown and an output-table commit.
+    from ytsaurus_spark.catalog import load_tables
+
+    cat = load_tables(spark, sf_dir)
+
+    def mapper(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"k": pdf["o_custkey"] % 10, "price": pdf["o_totalprice"]}
+            )
+
+    def reducer(pdf):
+        return pd.DataFrame(
+            {"k": [pdf["k"].iloc[0]], "total": [float(pdf["price"].sum())]}
+        )
+
+    out = mr.run_operation(
+        cat,
+        {
+            "operation_type": "map_reduce",
+            "input_table_paths": ["orders"],
+            "input_query": "SELECT * FROM __input WHERE o_orderkey % 2 = 0",
+            "mapper": {"command": mapper, "output_schema": "k bigint, price double"},
+            "reducer": {"command": reducer, "output_schema": "k bigint, total double"},
+            "reduce_by": ["k"],
+        },
+    )
+    rows = {r.k: round(r.total, 2) for r in out.collect()}
+    assert set(rows) == set(range(10))
+    # cross-check one bucket against a direct aggregate
+    expect = (
+        cat.read("orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .filter(F.col("o_custkey") % 10 == 3)
+        .agg(F.sum("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert rows[3] == round(expect, 2)
+
+
+def test_run_operation_spec_sort_erase_merge(spark, sf_dir):
+    from ytsaurus_spark.catalog import load_tables
+
+    cat = load_tables(spark, sf_dir)
+    s = mr.run_operation(
+        cat,
+        {"operation_type": "sort", "input_table_paths": ["nation"],
+         "sort_by": ["n_name"]},
+    )
+    names = [r.n_name for r in s.collect()]
+    assert names == sorted(names)
+    e = mr.run_operation(
+        cat,
+        {"operation_type": "erase", "input_table_paths": ["nation"],
+         "erase_predicate": F.col("n_regionkey") == 0},
+    )
+    assert e.filter(F.col("n_regionkey") == 0).count() == 0
+    m = mr.run_operation(
+        cat,
+        {"operation_type": "merge", "input_table_paths": ["nation", "nation"]},
+    )
+    assert m.count() == 2 * cat.read("nation").count()
+
+
+def test_run_operation_spec_vanilla(spark, sf_dir):
+    from ytsaurus_spark.catalog import load_tables
+
+    cat = load_tables(spark, sf_dir)
+    outs = mr.run_operation(
+        cat,
+        {
+            "operation_type": "vanilla",
+            "tasks": {
+                "gen": {
+                    "job_count": 3,
+                    "command": lambda i: pd.DataFrame({"job": [i], "x": [i * i]}),
+                    "output_schema": "job bigint, x bigint",
+                }
+            },
+        },
+    )
+    assert rows_set(outs["gen"]) == {(0, 0), (1, 1), (2, 4)}

@@ -369,3 +369,103 @@ def run_vanilla(
         seed = spark.range(0, job_count, 1, job_count)
         outputs[name] = seed.mapInPandas(runner, schema=output_schema)
     return outputs
+
+
+def run_operation(cat, spec: dict) -> DataFrame:
+    """Spec-dict operation submission — the `yt.wrapper.run_operation`
+    entry point (yt/python/yt/wrapper/run_operation_commands.py:63-387;
+    spec shapes from spec_builders.py): a reference user who writes
+
+        run_map_reduce(mapper, reducer, in_, out, reduce_by=[...])
+
+    or submits a spec dict can hand the SAME spec here. Supported
+    ``operation_type`` values: map, reduce, map_reduce, join_reduce,
+    sort, merge, erase, vanilla. Recognized spec keys mirror the
+    reference: ``input_table_paths`` (catalog names, rich paths
+    accepted), ``output_table_path``, ``mapper``/``reducer``
+    (``{"command": callable, "output_schema": ...}`` — the container
+    runs Python callables over Arrow batches where the reference runs
+    arbitrary executables over pipes), ``reduce_by``, ``sort_by``,
+    ``join_by``, ``input_query``, ``sampling`` ({"sampling_rate": p} or
+    {"key": col, "modulus": m} deterministic), ``merge_mode``,
+    ``erase_predicate``, ``tasks`` (vanilla). Returns the result
+    DataFrame; with ``output_table_path`` it is also committed to the
+    catalog (overwrite, matching scheduler output-table semantics).
+
+    Everything compiles to the declarative operators above, so specs get
+    Catalyst planning (pushdown through input_query, partial-agg
+    combiners) — not a literal job scheduler."""
+    op = spec["operation_type"]
+    inputs = [cat.read(p) for p in spec.get("input_table_paths", [])]
+
+    if spec.get("input_query"):
+        inputs = [apply_input_query(df, spec["input_query"]) for df in inputs]
+    samp = spec.get("sampling")
+    if samp:
+        if "sampling_rate" in samp:
+            inputs = [
+                sample_rows(df, samp["sampling_rate"], seed=samp.get("seed"))
+                for df in inputs
+            ]
+        else:
+            inputs = [
+                sample_rows_deterministic(df, samp["key"], samp["modulus"])
+                for df in inputs
+            ]
+
+    mapper = spec.get("mapper") or {}
+    reducer = spec.get("reducer") or {}
+    if op == "map":
+        out = run_map(inputs[0], mapper["command"], mapper["output_schema"])
+    elif op == "reduce":
+        out = run_reduce(
+            inputs[0],
+            spec["reduce_by"],
+            reducer["command"],
+            reducer["output_schema"],
+            sort_by=spec.get("sort_by"),
+        )
+    elif op == "map_reduce":
+        out = run_map_reduce(
+            inputs[0],
+            mapper.get("command"),
+            mapper.get("output_schema"),
+            spec["reduce_by"],
+            reducer["command"],
+            reducer["output_schema"],
+            sort_by=spec.get("sort_by"),
+        )
+    elif op == "join_reduce":
+        out = run_join_reduce(
+            inputs[0],
+            inputs[1:],
+            spec["join_by"],
+            reducer["command"],
+            reducer["output_schema"],
+        )
+    elif op == "sort":
+        out = run_sort(inputs[0], spec["sort_by"])
+    elif op == "merge":
+        out = run_merge(
+            inputs,
+            mode=spec.get("merge_mode", "unordered"),
+            merge_by=spec.get("merge_by"),
+        )
+    elif op == "erase":
+        out = run_erase(inputs[0], spec["erase_predicate"])
+    elif op == "vanilla":
+        tasks = {
+            name: (t["job_count"], t["command"], t["output_schema"])
+            for name, t in spec["tasks"].items()
+        }
+        # multi-output: returns {task_name: DataFrame}, as the reference's
+        # vanilla tasks each own their output tables
+        return run_vanilla(cat.spark, tasks)
+    else:
+        raise ValueError(f"unknown operation_type {op!r}")
+
+    dst = spec.get("output_table_path")
+    if dst:
+        cat.create_table(dst, out, mode="overwrite")
+        out = cat.read(dst)
+    return out
