@@ -279,3 +279,36 @@ def test_range_search_threshold_and_self_exclusion(spark):
     )
     ids = {(q, c) for q, c, _ in out}
     assert ids == {(1, 2)}  # 3 below threshold, self excluded
+
+
+def test_chunk_documents_windows(spark):
+    from ytsaurus_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id bigint, text string")
+    out = sorted(
+        chunk_documents(df, chunk_chars=6, overlap=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk_id, r.offset, r.chunk_text) for r in out] == [
+        (0, 0, "abcdef"),
+        (1, 4, "efghij"),
+        (2, 8, "ij"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=4, overlap=4)
+
+
+def test_tfidf_discriminates(spark):
+    from ytsaurus_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1"),
+            (2, "common common rare2"),
+            (3, "common common rare3"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.token for r in tfidf_top_terms(df, k=1).collect()}
+    # 'common' has idf = ln(1) = 0; the per-doc unique term must win
+    assert out == {1: "rare1", 2: "rare2", 3: "rare3"}

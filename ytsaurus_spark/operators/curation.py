@@ -331,3 +331,36 @@ def length_buckets(
     return t.join(F.broadcast(buckets), "est_tokens").select(
         id_col, "est_tokens", "bucket"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the embedding-pipeline pre-step (chunk → embed → index). Offsets are
+    generated with `sequence()` and exploded INSIDE the scan stage, so
+    chunking is embarrassingly parallel: no shuffle, no Python, output
+    rows ≈ corpus_chars / stride. `chunk_id = offset div stride` keeps
+    ids stable under re-partitioning (never a window or zipWithIndex)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    off = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.length(text_col), F.lit(1)) - 1,
+            F.lit(stride),
+        )
+    ).alias("off")
+    return docs.select(F.col(id_col), F.col(text_col), off).select(
+        id_col,
+        F.expr(f"off div {stride}").cast("int").alias("chunk_id"),
+        F.col("off").cast("long").alias("offset"),
+        F.substring(F.col(text_col), F.col("off") + 1, chunk_chars).alias(
+            "chunk_text"
+        ),
+    )

@@ -118,3 +118,80 @@ def word_entropy(
         F.when(F.col("n_types") > 1, F.round(h / F.log2("n_types"), 6))
         .alias("norm_entropy"),
     )
+
+
+def vocabulary(
+    docs: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency per token,
+    top-k by frequency. The top-k is orderBy+limit (TakeOrderedAndProject
+    — per-partition heaps), NOT a global rank window; df comes from a
+    distinct (doc, token) pre-aggregation so both counts partial-agg
+    map-side. The seed step for BPE training / idf tables."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    per_doc = words.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("__tf_d")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("__tf_d").cast("long").alias("tf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(top_k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (idf = ln(N/df)). Shape: per-(doc, token) counts and per-token
+    document frequencies are both partial-agg'd groupBys; they meet in a
+    keyed equi-join on token (vocab-sized side broadcasts when small,
+    shuffles keyed when not); the final top-k window partitions by doc —
+    never global. Scores divide exact integer counts so the doubles are
+    engine-identical; ties break on the token string."""
+    from pyspark.sql import Window as W
+
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = words.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = words.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -1160,3 +1160,77 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.range_search(
         emb, emb.filter(F.col("vec_id") < 10), threshold=0.3
     )
+
+
+@register(
+    "curation_chunk_documents",
+    """
+    SELECT doc_id,
+           CAST(off // 160 AS INT) AS chunk_id,
+           CAST(off AS BIGINT) AS offset,
+           substr(text, off + 1, 200) AS chunk_text
+    FROM documents,
+         unnest(range(0, greatest(length(text), 1), 160)) AS u(off)
+    """,
+)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (200 chars, 40 overlap) —
+    the embed-pipeline pre-step; see operators/curation.chunk_documents
+    for the scan-stage shape."""
+    from ytsaurus_spark.operators.curation import chunk_documents
+
+    cat = load_tables(spark, sf_dir)
+    return chunk_documents(cat.read("documents"), chunk_chars=200, overlap=40)
+
+
+@register(
+    "text_vocabulary",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), per_doc AS (
+      SELECT doc_id, token, count(*) AS tf_d FROM w GROUP BY 1, 2
+    )
+    SELECT token, CAST(sum(tf_d) AS BIGINT) AS tf,
+           CAST(count(*) AS BIGINT) AS df
+    FROM per_doc GROUP BY token
+    ORDER BY tf DESC, token LIMIT 100
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with term and document frequencies."""
+    cat = load_tables(spark, sf_dir)
+    return text.vocabulary(cat.read("documents"), top_k=100)
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM w GROUP BY 1, 2
+    ), df_t AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w GROUP BY token
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df_t.df,
+             tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+      FROM tf JOIN df_t USING (token), n
+    ), ranked AS (
+      SELECT scored.*,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf."""
+    cat = load_tables(spark, sf_dir)
+    return text.tfidf_top_terms(cat.read("documents"), k=3)
