@@ -109,3 +109,26 @@ def test_equidepth_and_deciles_no_global_window(spark, sf_dir):
         "op_sort",
     ):
         assert unpartitioned_window_count(qs[name](spark, sf_dir)) == 0, name
+
+
+def test_unpartitioned_window_detector(spark):
+    # The detector is the suite's central scale gate — pin all four window
+    # print forms: bare global, ordered global (must count), partition-only,
+    # partitioned+ordered (must not).
+    from pyspark.sql import Window as W
+
+    from ytsaurus_spark.plans import unpartitioned_window_count
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    assert unpartitioned_window_count(
+        df.select(F.sum("id").over(W.partitionBy()))
+    ) == 1, "bare global window undetected"
+    assert unpartitioned_window_count(
+        df.select(F.row_number().over(W.orderBy("id")))
+    ) == 1, "ordered global window undetected"
+    assert unpartitioned_window_count(
+        df.select(F.sum("id").over(W.partitionBy("g")))
+    ) == 0, "partition-only window false positive"
+    assert unpartitioned_window_count(
+        df.select(F.row_number().over(W.partitionBy("g").orderBy("id")))
+    ) == 0, "partitioned+ordered window false positive"

@@ -469,7 +469,7 @@ def test_yamr_roundtrip(spark, tmp):
     from ytsaurus_spark.sources.formats import read_yamr, write_yamr
 
     df = spark.createDataFrame(
-        [("k1", "s1", "v with\ttab"), ("k2", "s2", "plain")],
+        [("k1", "s1", "v with\ttab"), ("k2", "s2", "plain"), ("k3", None, "v3")],
         "key string, subkey string, value string",
     )
     p = f"{tmp}/yamr"
@@ -478,6 +478,7 @@ def test_yamr_roundtrip(spark, tmp):
     assert {tuple(r) for r in back.collect()} == {
         ("k1", "s1", "v with\ttab"),  # value keeps its embedded tab
         ("k2", "s2", "plain"),
+        ("k3", "", "v3"),  # NULL writes as an empty field, never shifts
     }
     # two-field variant
     df2 = df.select("key", "value")

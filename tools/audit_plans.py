@@ -1,7 +1,11 @@
 """Whole-registry plan-shape audit: build every registered query's physical
 plan and flag the scale anti-patterns the per-family gates check piecemeal —
-global (unpartitioned) windows, cartesian products that aren't broadcast
-scalars, and missing parquet pushdown on filtered scans.
+global (unpartitioned) windows and CartesianProduct operators. (Broadcast
+nested-loop joins over 1-row aggregates are the scalar-crossJoin idiom and
+print as BroadcastNestedLoopJoin, not CartesianProduct, so they don't trip
+this. Pushdown/pruning stay covered by the targeted tests in
+tests/test_plans.py — a generic sweep can't know which scans SHOULD carry
+filters.)
 
 Queries that EXECUTE work at build time (streaming memory-sink drains,
 durable-commit dyn_* pipelines, format writers) still only run sf-sized
@@ -23,19 +27,19 @@ from ytsaurus_spark.queries import all_queries
 from ytsaurus_spark.session import get_spark
 
 
+GLOBAL_WINDOW = "global window(s)"
+
+
 def audit(df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     findings = []
     n_global = unpartitioned_window_count(df)
     if n_global:
-        findings.append(f"{n_global} global window(s)")
+        findings.append(f"{n_global} {GLOBAL_WINDOW}")
     n_cart = plan.count("CartesianProduct")
     if n_cart:
         findings.append(f"{n_cart} CartesianProduct")
-    # BroadcastNestedLoopJoin is fine for scalar crossJoins; flag only when
-    # the build side is not a 1-row aggregate (heuristic: plan shows it
-    # directly over a scan).
-    return findings, plan
+    return findings
 
 
 # Documented exceptions: global windows whose INPUT is dim-sized by
@@ -58,15 +62,19 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
-            findings, _ = audit(df)
+            findings = audit(df)
         except Exception:
             print(f"ERROR {name}")
             traceback.print_exc(limit=2)
             bad += 1
             continue
-        if findings and name in ALLOWED_GLOBAL_WINDOWS:
-            print(f"allow {name}: {ALLOWED_GLOBAL_WINDOWS[name]}")
-            continue
+        if name in ALLOWED_GLOBAL_WINDOWS:
+            # the allowlist covers ONLY the global-window finding; anything
+            # else (e.g. a CartesianProduct creeping in) still flags
+            allowed = [f for f in findings if f.endswith(GLOBAL_WINDOW)]
+            findings = [f for f in findings if not f.endswith(GLOBAL_WINDOW)]
+            if allowed:
+                print(f"allow {name}: {ALLOWED_GLOBAL_WINDOWS[name]}")
         if findings:
             print(f"FLAG  {name}: {'; '.join(findings)}")
             bad += 1

@@ -53,19 +53,25 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     A physical-plan Window line prints
     ``Window [exprs], [partSpec], [orderSpec]`` when partitioned-and-
     ordered, ``Window [exprs], [partSpec]`` when partition-only (whole-
-    partition frame, no ORDER BY — still distributed), and
-    ``Window [exprs], [orderSpec]`` when global.  The two-group forms are
-    told apart by sort-direction markers: an order spec prints
-    ``col ASC|DESC NULLS …`` while a partition spec never carries a
-    direction."""
+    partition frame, no ORDER BY — still distributed),
+    ``Window [exprs], [orderSpec]`` when global-with-order, and bare
+    ``Window [exprs]`` (zero separators) when global-without-order
+    (e.g. ``sum(x) OVER ()``).  The two-group forms are told apart by
+    sort-direction markers: an order spec prints ``col ASC|DESC NULLS …``
+    while a partition spec never carries a direction.  Guarded by
+    ``test_plans.py::test_unpartitioned_window_detector`` against both
+    global forms regressing to undetected."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = 0
     for line in plan.splitlines():
         if "Window [" in line and "windowspecdefinition" in line:
-            if line.count("], [") < 2:
+            seps = line.count("], [")
+            if seps == 0:
+                n += 1  # bare Window [exprs]: neither partition nor order
+            elif seps == 1:
                 tail = line.rsplit("], [", 1)[-1]
-                if " ASC " in tail or " DESC " in tail or tail.strip() in ("]", "]]"):
-                    n += 1
+                if " ASC " in tail or " DESC " in tail:
+                    n += 1  # second group is an ORDER spec -> no partition
     return n
 
 

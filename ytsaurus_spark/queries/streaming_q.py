@@ -21,6 +21,29 @@ _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over the events fixture with the raw on-disk schema
+    (older fixture generations stored ts as int64 nanos — readStream
+    can't re-infer nanos timestamps, so normalize after the read). The
+    file source wants a directory, so the sf dir is streamed with a glob
+    for this one table. Single definition: every live-streaming query
+    reads events through here so a fixture ts-encoding change lands in
+    ONE place."""
+    import os
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
 # --- tumbling window (GROUP BY HOPPING with hop == interval) ---------------
 
 @register(
@@ -175,18 +198,7 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     load_tables(spark, sf_dir)
-    path = os.path.join(sf_dir, "events.parquet")
-    # Stream with the raw on-disk schema (ts stored as int64 nanos), then
-    # convert — readStream can't re-infer nanos timestamps. The file source
-    # wants a directory, so stream the sf dir with a glob for this table.
-    raw_schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _events_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -355,12 +367,7 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.operators.match_recognize import match_recognize_stream
 
     load_tables(spark, sf_dir)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = _events_stream(spark, sf_dir)
     matches = match_recognize_stream(
         src,
         partition_by=["user_id"],
@@ -434,15 +441,7 @@ def stream_time_order_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.streaming.stateful import time_order_recover
 
     load_tables(spark, sf_dir)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    src = src.filter(F.col("user_id") < 40).select(
+    src = _events_stream(spark, sf_dir).filter(F.col("user_id") < 40).select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
     fn, out_schema, state_schema = time_order_recover(
@@ -480,7 +479,7 @@ def stream_time_order_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- stream-stream interval join: clicks joined to purchases within 30 min -
+# --- stream-stream interval join: clicks joined to purchases within 4 h ---
 
 @register(
     "stream_stream_join",
@@ -513,20 +512,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     load_tables(spark, sf_dir)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-
-    def _src():
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
 
     clicks = (
-        _src()
+        _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -536,7 +524,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        _src()
+        _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),

@@ -1371,13 +1371,19 @@ def tpcds_q78_no_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE month(l_shipdate) IN (1, 2)
       GROUP BY 1, 2, 3
     ), v AS (
-      -- var_samp > mean^2/4 (CoV > 0.5)  <=>  4*n*(n*s2-s1^2) > s1^2*(n-1)
+      -- var_samp > mean^2/4 (CoV > 0.5)  <=>  4*n*(n*s2-s1^2) > s1^2*(n-1);
+      -- products reach ~s1^2*n (past int64 at TB scale), so they multiply
+      -- as 128-bit HUGEINT here and DECIMAL(38,0) on the Spark side —
+      -- exact on both engines, no wraparound
       SELECT brand, wh, d_moy, n, s1, s2,
              round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
                         / (n * (n - 1))) / (CAST(s1 AS DOUBLE) / n), 4)
                AS cov
       FROM q
-      WHERE n > 1 AND s1 > 0 AND 4 * n * (n * s2 - s1 * s1) > s1 * s1 * (n - 1)
+      WHERE n > 1 AND s1 > 0
+        AND 4 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2
+                                      - CAST(s1 AS HUGEINT) * s1)
+            > CAST(s1 AS HUGEINT) * s1 * (n - 1)
     )
     SELECT a.brand AS brand, a.wh AS wh,
            a.cov AS cov_m1, b.cov AS cov_m2,
@@ -1394,7 +1400,10 @@ def tpcds_q39_cov_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation on this fixture, the grain with non-singleton groups) — the statistical-filter +
     self-join family. The CoV>1 cut is pure integer arithmetic
     (var_samp > mean²/4 ⟺ 4n(n·S2 − S1²) > S1²(n−1) over exact quantity
-    sums), so no stddev summation-order ulp can flip membership; the
+    sums, with cross-products in 128-bit arithmetic — HUGEINT in the
+    oracle, DECIMAL(38,0) in Spark — since they pass int64 near TB
+    scale), so neither a stddev summation-order ulp nor int64 wraparound
+    can flip membership; the
     self-join runs on the already-filtered (item, warehouse, month)
     aggregate, tiny at any scale."""
     cat = load_tables(spark, sf_dir)
@@ -1420,8 +1429,11 @@ def tpcds_q39_cov_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    nd, s1d = [c.cast("decimal(38,0)") for c in (n, s1)]
     v = q.filter(
-        (n > 1) & (s1 > 0) & (4 * n * (n * s2 - s1 * s1) > s1 * s1 * (n - 1))
+        (n > 1)
+        & (s1 > 0)
+        & (4 * nd * (nd * s2 - s1d * s1) > s1d * s1 * (n - 1))
     ).withColumn(
         "cov",
         F.round(

@@ -195,9 +195,16 @@ def read_yamr(spark: SparkSession, path: str, has_subkey: bool = False) -> DataF
 
 
 def write_yamr(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Write (key[, subkey], value) string columns as YAMR text lines."""
+    """Write (key[, subkey], value) string columns as YAMR text lines.
+    NULLs write as empty fields (coalesce to '') — concat_ws alone would
+    SKIP a null column, shifting the remaining fields left and corrupting
+    the round-trip."""
     order = [c for c in ("key", "subkey", "value") if c in df.columns]
-    out = df.select(F.concat_ws("\t", *order).alias("value"))
+    out = df.select(
+        F.concat_ws(
+            "\t", *[F.coalesce(F.col(c), F.lit("")) for c in order]
+        ).alias("value")
+    )
     out.write.mode(mode).text(path)
 
 
