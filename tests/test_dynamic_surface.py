@@ -197,3 +197,22 @@ def test_custom_fold_xdelta_interface(spark, tmp_path):
     # history: fold state as of version 1
     got1 = {r.k: r.patch for r in lt.read(version=1).collect()}
     assert got1 == {1: "p0+p1", 2: "q0"}
+
+
+def test_explain_select_rows(spark, sf_dir):
+    from ytsaurus_spark.catalog import load_tables
+    from ytsaurus_spark.operators.select_rows import explain_select_rows
+
+    load_tables(spark, sf_dir).register_all()
+    out = explain_select_rows(
+        spark,
+        "n_name, n_regionkey FROM [//home/nation] "
+        "WHERE n_regionkey > 1 ORDER BY n_name ASC LIMIT 5",
+    )
+    assert out["query"].startswith("n_name")
+    assert "SELECT" in out["translated_sql"].upper()
+    # the "optimized plan" view must show pushdown + the top-k strategy,
+    # which is what a reference user inspects explain_query output for
+    assert "PushedFilters" in out["plan"]
+    assert "GreaterThan(n_regionkey,1)" in out["plan"]
+    assert "TakeOrderedAndProject" in out["plan"]

@@ -611,3 +611,35 @@ def select_rows(
         schema_fn=lambda name: spark.table(name).columns,
     )
     return spark.sql(sql)
+
+
+def explain_select_rows(
+    spark: SparkSession,
+    query: str,
+    table_resolver=None,
+    placeholder_values: dict | None = None,
+) -> dict:
+    """ExplainQuery API parity (reference `explain_query`,
+    yt/yt/client/api/client.h TExplainQueryOptions; driver command
+    `explain_query` returns the parsed AST plus per-subquery optimized
+    plans). Returns the same three views a reference user gets:
+
+    - ``query``: the original QL text;
+    - ``translated_sql``: what the QL front-end compiled to (the AST
+      analog — our "parse" artifact is the Spark SQL rendering);
+    - ``plan``: Catalyst's formatted physical plan — the optimized-plan
+      analog, showing pushed filters, read schema, join strategies and
+      exchanges (what the reference shows as per-tablet subquery plans).
+
+    Nothing executes: the plan comes from the query's lazy analysis."""
+    sql = translate_ql(
+        query,
+        table_resolver,
+        placeholder_values,
+        schema_fn=lambda name: spark.table(name).columns,
+    )
+    df = spark.sql(sql)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return {"query": query, "translated_sql": sql, "plan": plan}
