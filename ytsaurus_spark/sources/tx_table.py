@@ -196,15 +196,21 @@ class LogTxTable:
             json.dump(manifest, f)
         os.replace(tmp, self._log_path)  # atomic publish
 
-    def _write_segment(self, df: DataFrame, kind: str) -> int:
+    def _stage_segment(self, df: DataFrame, kind: str) -> dict:
+        """Write a segment's parquet WITHOUT publishing it: readers are
+        manifest-driven, so a staged ``s{v}`` directory stays invisible
+        until `_publish` lands its entry. This is the participant half of
+        the cross-table two-phase commit (`sources/transactions.py`)."""
         v = self.current_version() + 1
         seg_dir = os.path.join(self.path, f"s{v}")
         df.write.mode("overwrite").parquet(seg_dir)
-        self._publish(
-            {"v": v, "kind": kind, "ts": time.time(),
-             "range": self._footer_key_range(seg_dir)}
-        )
-        return v
+        return {"v": v, "kind": kind, "ts": time.time(),
+                "range": self._footer_key_range(seg_dir)}
+
+    def _write_segment(self, df: DataFrame, kind: str) -> int:
+        entry = self._stage_segment(df, kind)
+        self._publish(entry)
+        return entry["v"]
 
     def _footer_key_range(self, seg_dir: str):
         """[min, max] of the FIRST key column, read from the parquet
@@ -282,6 +288,13 @@ class LogTxTable:
         Without ``seq_col``, all rows of the batch share sub-position 0
         and per-key multiplicity within a batch is a caller error for
         plain columns (ambiguous winner)."""
+        return self._write_segment(
+            self._insert_delta(rows, update, seq_col), "delta"
+        )
+
+    def _insert_delta(
+        self, rows: DataFrame, update: bool = False, seq_col: str | None = None
+    ) -> DataFrame:
         schema_cols = self._schema_cols()
         missing = [c for c in schema_cols if c not in rows.columns]
         if missing and not update:
@@ -301,27 +314,28 @@ class LogTxTable:
         sub = (
             F.col(seq_col).cast("long") if seq_col is not None else F.lit(0).cast("long")
         )
-        delta = (
+        return (
             rows.withColumn("__sub", sub)
             .select(*schema_cols, "__sub")
             .withColumn("__op", F.lit("u"))
         )
-        return self._write_segment(delta, "delta")
 
-    def delete_rows(self, keys: DataFrame) -> int:
-        """Tombstone commit: appends only the keys, O(deleted keys)."""
+    def _delete_delta(self, keys: DataFrame) -> DataFrame:
         schema_cols = self._schema_cols()
         base_types = dict(self.read().dtypes)
         delta = keys.select(*self.key_cols)
         for c in schema_cols:
             if c not in self.key_cols:
                 delta = delta.withColumn(c, F.lit(None).cast(base_types[c]))
-        delta = (
+        return (
             delta.select(*schema_cols)
             .withColumn("__sub", F.lit(0).cast("long"))
             .withColumn("__op", F.lit("d"))
         )
-        return self._write_segment(delta, "delta")
+
+    def delete_rows(self, keys: DataFrame) -> int:
+        """Tombstone commit: appends only the keys, O(deleted keys)."""
+        return self._write_segment(self._delete_delta(keys), "delta")
 
     def compact(self) -> int:
         """Fold the log into a new base segment (store compaction). Later
