@@ -537,3 +537,70 @@ def dyn_replica_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
     synced = summarize(rt.read(prefer=["r_async"]), "r_async_synced")
     sync_read = summarize(rt.read(prefer=["r_sync"]), "r_sync")
     return stale.unionAll(synced).unionAll(sync_read).orderBy("src")
+
+
+@register(
+    "dyn_multi_table_tx",
+    """
+    WITH a AS (
+      SELECT c_custkey AS k,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT)
+               - CASE WHEN c_custkey % 5 = 0 THEN 1000 ELSE 0 END AS bal_tt
+      FROM customer WHERE c_custkey <= 200
+    ), b AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 5 = 0 THEN 1000 ELSE 0 END AS recv_tt
+      FROM customer WHERE c_custkey <= 200
+    )
+    SELECT a.k AS k, a.bal_tt AS bal_tt, b.recv_tt AS recv_tt
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+def dyn_multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table atomic transaction end-to-end: two keyed tables seeded
+    from the customer slice, ONE MultiTableTransaction debits every 5th
+    account in table A and credits the matching row in table B, then the
+    joined post-commit state must equal the oracle's closed-form CASE.
+    Exercises stage → intent → publish across both logs (plus a pre-read
+    proving invisibility before commit); balances flow as exact cents."""
+    import tempfile
+
+    from ytsaurus_spark.sources.transactions import MultiTableTransaction
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    cat = load_tables(spark, sf_dir)
+    cust = (
+        cat.read("customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_tt"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ytspark_mtx_")
+    a = LogTxTable(spark, f"{root}/a", ["k"])
+    b = LogTxTable(spark, f"{root}/b", ["k"])
+    a.init(cust)
+    b.init(cust.select("k", F.lit(0).cast("long").alias("recv_tt")))
+    movers = cust.filter(F.col("k") % 5 == 0)
+    tx = MultiTableTransaction(f"{root}/coord")
+    tx.insert_rows(
+        a, movers.select("k", (F.col("bal_tt") - 1000).alias("bal_tt"))
+    )
+    tx.insert_rows(
+        b, movers.select("k", F.lit(1000).cast("long").alias("recv_tt"))
+    )
+    assert a.read().filter(F.col("k") % 5 == 0).agg(
+        F.max("bal_tt")
+    ).collect() == cust.filter(F.col("k") % 5 == 0).agg(
+        F.max("bal_tt")
+    ).collect(), "staged writes leaked before commit"
+    tx.commit()
+    return (
+        a.read()
+        .join(
+            b.read().select(F.col("k").alias("bk"), "recv_tt"),
+            F.col("k") == F.col("bk"),
+        )
+        .select("k", "bal_tt", "recv_tt")
+    )
