@@ -865,3 +865,70 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
         .limit(20)
     )
+
+
+@register(
+    "analytics_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', ts) // 7 AS wk
+      FROM events
+    ), first_wk AS (
+      SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id
+    ), cells AS (
+      SELECT cohort, CAST(wk - cohort AS INT) AS offset_wk,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM act JOIN first_wk USING (user_id)
+      GROUP BY cohort, wk - cohort
+    ), sized AS (
+      SELECT c.cohort, c.offset_wk, c.n_users, z.n_users AS cohort_size
+      FROM cells c JOIN cells z
+        ON c.cohort = z.cohort AND z.offset_wk = 0
+    )
+    SELECT CAST(cohort AS INT) AS cohort, offset_wk, n_users, cohort_size,
+           round(100.0 * n_users / cohort_size, 2) AS retention_pct
+    FROM sized
+    """,
+)
+def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix over the events stream: users
+    grouped by first-active week, each later week's distinct-active
+    count as a share of the cohort. Shape at 100 TB: the distinct
+    (user, week) pre-aggregation partial-aggs map-side and bounds
+    everything downstream to user-cardinality; first-week derives from
+    the SAME aggregate; the cohort-size join runs on cohort×offset cells
+    (tiny, broadcast). Percentages divide exact integer counts — no
+    hash flake. Week = epoch-anchored day count div 7, engine-neutral."""
+    cat = load_tables(spark, sf_dir)
+    act = (
+        cat.read("events")
+        .select(
+            "user_id",
+            F.expr(
+                "datediff(cast(ts as date), date'2024-01-01') div 7"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    first_wk = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    cells = (
+        act.join(first_wk, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).cast("int").alias("offset_wk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    base = cells.filter(F.col("offset_wk") == 0).select(
+        F.col("cohort").alias("z_cohort"), F.col("n_users").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(base), F.col("cohort") == F.col("z_cohort"))
+        .select(
+            F.col("cohort").cast("int").alias("cohort"),
+            "offset_wk",
+            "n_users",
+            "cohort_size",
+            F.round(100.0 * F.col("n_users") / F.col("cohort_size"), 2).alias(
+                "retention_pct"
+            ),
+        )
+    )
