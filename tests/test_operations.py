@@ -265,3 +265,23 @@ def test_run_operation_spec_vanilla(spark, sf_dir):
         },
     )
     assert rows_set(outs["gen"]) == {(0, 0), (1, 1), (2, 4)}
+
+
+def test_operation_tracker_lifecycle(spark, sf_dir):
+    from ytsaurus_spark.catalog import load_tables
+
+    cat = load_tables(spark, sf_dir)
+    tr = mr.OperationTracker()
+    mr.run_operation(
+        cat,
+        {"operation_type": "sort", "input_table_paths": ["region"],
+         "sort_by": ["r_name"]},
+        tracker=tr,
+    ).collect()
+    with pytest.raises(ValueError):
+        mr.run_operation(cat, {"operation_type": "nonsense"}, tracker=tr)
+    ops = tr.list_operations()
+    assert [o["state"] for o in ops] == ["completed", "failed"]
+    assert tr.list_operations(state="failed")[0]["error"].startswith("ValueError")
+    done = tr.get_operation(ops[0]["id"])
+    assert done["operation_type"] == "sort" and done["finish_time"] is not None

@@ -371,7 +371,7 @@ def run_vanilla(
     return outputs
 
 
-def run_operation(cat, spec: dict) -> DataFrame:
+def run_operation(cat, spec: dict, tracker: "OperationTracker | None" = None) -> DataFrame:
     """Spec-dict operation submission — the `yt.wrapper.run_operation`
     entry point (yt/python/yt/wrapper/run_operation_commands.py:63-387;
     spec shapes from spec_builders.py): a reference user who writes
@@ -394,7 +394,17 @@ def run_operation(cat, spec: dict) -> DataFrame:
 
     Everything compiles to the declarative operators above, so specs get
     Catalyst planning (pushdown through input_query, partial-agg
-    combiners) — not a literal job scheduler."""
+    combiners) — not a literal job scheduler. Pass a tracker to record
+    the run for get_operation / list_operations polling."""
+    if tracker is not None:
+        op_id = tracker._start(spec)
+        try:
+            out = run_operation(cat, spec)
+        except Exception as e:
+            tracker._finish(op_id, f"{type(e).__name__}: {e}")
+            raise
+        tracker._finish(op_id, None)
+        return out
     op = spec["operation_type"]
     inputs = [cat.read(p) for p in spec.get("input_table_paths", [])]
 
@@ -469,3 +479,56 @@ def run_operation(cat, spec: dict) -> DataFrame:
         cat.create_table(dst, out, mode="overwrite")
         out = cat.read(dst)
     return out
+
+
+class OperationTracker:
+    """Operation lifecycle bookkeeping — `get_operation` / `list_operations`
+    parity (reference API: yt/yt/client/api/client.h TGetOperationOptions /
+    TListOperationsOptions; scheduler states in
+    yt/yt/client/scheduler/public.h EOperationState). `run_operation`
+    records through a tracker when one is passed; states move
+    pending → running → completed|failed with wall-clock stamps and the
+    failure's error text, which is what users poll the scheduler for."""
+
+    def __init__(self) -> None:
+        self._ops: dict[str, dict] = {}
+        self._n = 0
+
+    def _start(self, spec: dict) -> str:
+        import time as _t
+
+        self._n += 1
+        op_id = f"op-{self._n:06d}"
+        self._ops[op_id] = {
+            "id": op_id,
+            "operation_type": spec.get("operation_type"),
+            "spec": {k: v for k, v in spec.items()
+                     if isinstance(v, (str, int, float, list))},
+            "state": "running",
+            "start_time": _t.time(),
+            "finish_time": None,
+            "error": None,
+        }
+        return op_id
+
+    def _finish(self, op_id: str, error: str | None) -> None:
+        import time as _t
+
+        op = self._ops[op_id]
+        op["state"] = "failed" if error else "completed"
+        op["finish_time"] = _t.time()
+        op["error"] = error
+
+    def get_operation(self, op_id: str) -> dict:
+        return dict(self._ops[op_id])
+
+    def list_operations(
+        self, state: str | None = None, op_type: str | None = None
+    ) -> list[dict]:
+        out = [
+            dict(o)
+            for o in self._ops.values()
+            if (state is None or o["state"] == state)
+            and (op_type is None or o["operation_type"] == op_type)
+        ]
+        return sorted(out, key=lambda o: o["id"])
