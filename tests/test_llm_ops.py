@@ -312,3 +312,21 @@ def test_tfidf_discriminates(spark):
     out = {r.doc_id: r.token for r in tfidf_top_terms(df, k=1).collect()}
     # 'common' has idf = ln(1) = 0; the per-doc unique term must win
     assert out == {1: "rare1", 2: "rare2", 3: "rare3"}
+
+
+def test_bpe_greedy_overlap_and_frequency_weighting(spark):
+    from ytsaurus_spark.operators.text import bpe_learn_merges
+
+    # 'erer' x3: pair (e,r) occurs TWICE per word (overlap-correct greedy)
+    # and weights by word frequency -> cnt = 3 words * 2 = 6.
+    df = spark.createDataFrame(
+        [(1, "erer erer erer"), (2, "ab")], "doc_id bigint, text string"
+    )
+    out = bpe_learn_merges(df, n_merges=2).collect()
+    first = out[0]
+    assert (first.left_sym, first.right_sym, first.cnt) == ("e", "r", 6)
+    # after merging, 'erer' becomes [er, er] -> next best pair is (er, er)
+    second = out[1]
+    assert (second.left_sym, second.right_sym, second.merged) == (
+        "er", "er", "erer",
+    )

@@ -195,3 +195,68 @@ def tfidf_top_terms(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges from the
+    corpus — the tokenizer-training primitive. Each iteration is one
+    DISTRIBUTED job: adjacent-pair counts aggregate over the word-
+    frequency table (partial-agg'd, vocab-sized — at 100 TB the vocab is
+    millions of rows, never corpus-sized, because pair statistics weight
+    by word FREQUENCY, the classic BPE trick), and only the single
+    argmax pair row reaches the driver — the coordinator decision, the
+    same role the reference's scheduler plays between jobs. The merge
+    applies as one string `replace` over symbol sequences wrapped in
+    sentinel pairs (``\\x1f a \\x1f\\x1f b \\x1f``), which makes SQL's
+    non-overlapping left-to-right replace EQUAL to greedy BPE (each
+    boundary owns its own sentinel, so back-to-back matches like
+    [e,r,e,r] both merge). Ties break on the pair string, so the learned
+    table is deterministic and oracle-comparable."""
+    S = "chr(31)"  # symbol sentinel
+    P = "chr(1)"  # pair separator
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    seq = vocab.select(
+        F.expr(
+            f"{S} || array_join(transform(sequence(1, length(word)), "
+            f"i -> substring(word, i, 1)), {S} || {S}) || {S}"
+        ).alias("s"),
+        "freq",
+    )
+    pairs_expr = (
+        f"CASE WHEN size(l) >= 2 THEN transform(sequence(0, size(l) - 2), "
+        f"i -> concat(element_at(l, i + 1), {P}, element_at(l, i + 2))) "
+        f"ELSE array() END"
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = (
+            seq.select(
+                F.expr(f"split(btrim(s, {S}), {S} || {S})").alias("l"), "freq"
+            )
+            .select(F.explode(F.expr(pairs_expr)).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        a, b = top.pair.split("\x01")
+        merges.append((step, a, b, a + b, top.cnt))
+        sep = "\x1f"
+        seq = seq.select(
+            F.replace(
+                F.col("s"),
+                F.lit(sep + a + sep + sep + b + sep),
+                F.lit(sep + a + b + sep),
+            ).alias("s"),
+            "freq",
+        )
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, cnt bigint",
+    )

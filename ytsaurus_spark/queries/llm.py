@@ -1234,3 +1234,74 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf-idf."""
     cat = load_tables(spark, sf_dir)
     return text.tfidf_top_terms(cat.read("documents"), k=3)
+
+
+_BPE_ORACLE = """
+WITH vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0 GROUP BY word
+), seq1 AS (
+  SELECT chr(31) || array_to_string(list_transform(range(1, length(word)+1),
+                                                   i -> word[i]),
+                                    chr(31) || chr(31)) || chr(31) AS s, freq
+  FROM vocab
+), p1 AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(CASE WHEN len(l) >= 2
+                  THEN list_transform(range(1, len(l)),
+                                      i -> l[i] || chr(1) || l[i+1])
+                  ELSE [] END) AS pair, freq
+    FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS l, freq
+          FROM seq1)
+  ) GROUP BY pair), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+seq2 AS (
+  SELECT replace(s,
+                 chr(31) || replace(pair, chr(1), chr(31) || chr(31)) || chr(31),
+                 chr(31) || replace(pair, chr(1), '') || chr(31)) AS s, freq
+  FROM seq1, m1),
+p2 AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(CASE WHEN len(l) >= 2
+                  THEN list_transform(range(1, len(l)),
+                                      i -> l[i] || chr(1) || l[i+1])
+                  ELSE [] END) AS pair, freq
+    FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS l, freq
+          FROM seq2)
+  ) GROUP BY pair), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+seq3 AS (
+  SELECT replace(s,
+                 chr(31) || replace(pair, chr(1), chr(31) || chr(31)) || chr(31),
+                 chr(31) || replace(pair, chr(1), '') || chr(31)) AS s, freq
+  FROM seq2, m2),
+p3 AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(CASE WHEN len(l) >= 2
+                  THEN list_transform(range(1, len(l)),
+                                      i -> l[i] || chr(1) || l[i+1])
+                  ELSE [] END) AS pair, freq
+    FROM (SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS l, freq
+          FROM seq3)
+  ) GROUP BY pair), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+SELECT * FROM (
+  SELECT 1 AS step, string_split(pair, chr(1))[1] AS left_sym,
+         string_split(pair, chr(1))[2] AS right_sym,
+         replace(pair, chr(1), '') AS merged, cnt FROM m1
+  UNION ALL
+  SELECT 2, string_split(pair, chr(1))[1], string_split(pair, chr(1))[2],
+         replace(pair, chr(1), ''), cnt FROM m2
+  UNION ALL
+  SELECT 3, string_split(pair, chr(1))[1], string_split(pair, chr(1))[2],
+         replace(pair, chr(1), ''), cnt FROM m3
+) ORDER BY step
+"""
+
+
+@register("text_bpe_merges", _BPE_ORACLE)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned from the documents corpus (see
+    operators/text.bpe_learn_merges for the distributed shape; the
+    oracle unrolls the same three iterations as chained CTEs with a
+    scalar argmax subquery per step)."""
+    cat = load_tables(spark, sf_dir)
+    return text.bpe_learn_merges(cat.read("documents"), n_merges=3)
