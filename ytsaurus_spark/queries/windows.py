@@ -238,3 +238,41 @@ def win_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("v", 2, ignoreNulls=True).over(w).alias("second_nn"),
         F.last_value("v", ignoreNulls=True).over(w).alias("last_nn"),
     )
+
+
+@register(
+    "win_time_range_frame",
+    """
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 4) AS val_last_hour
+    FROM events
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (trailing hour per user) — the
+    event-time sliding-window aggregate as a WINDOW rather than a
+    GROUP BY HOPPING. Spark's DataFrame rangeBetween takes numeric
+    bounds, so the order key is epoch microseconds with a 1-hour span —
+    a monotone bijection of the timestamp ordering, so frame membership
+    (including tie peers, which RANGE frames always include) is
+    identical to the oracle's INTERVAL form. Partitioned on user —
+    never global."""
+    cat = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return cat.read("events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("val_last_hour"),
+    )
