@@ -132,3 +132,34 @@ def test_unpartitioned_window_detector(spark):
     assert unpartitioned_window_count(
         df.select(F.row_number().over(W.partitionBy("g").orderBy("id")))
     ) == 0, "partitioned+ordered window false positive"
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    # Partition-pruned star join: when the fact is partitioned on the join
+    # dimension, a selective dim filter must prune fact partitions at
+    # RUNTIME (Spark's DPP = the reference's tablet-range routing from the
+    # join key set, executor.cpp:513-622). The plan must carry a
+    # dynamicpruning subquery on the fact scan's partition filters.
+    li = load_tables(spark, sf_dir).read("lineitem")
+    fact_path = str(tmp_path / "li_by_year")
+    li.withColumn("l_year", F.year("l_shipdate")).write.partitionBy(
+        "l_year"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 1996 else "drop") for y in range(1992, 2003)],
+        "d_year int, tag string",
+    )
+    # DPP preconditions: the dim side carries a SELECTIVE filter and is
+    # the broadcast build side (reuseBroadcastOnly default) — then the
+    # fact scan's partition filters gain a dynamicpruning subquery.
+    joined = (
+        fact.join(
+            F.broadcast(dim.filter(F.col("tag") == "keep")),
+            fact.l_year == F.col("d_year"),
+        )
+        .groupBy("tag")
+        .count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
