@@ -282,3 +282,63 @@ def test_merge_table_schemas_widens_and_keeps_common_keys():
         merge_table_schemas(
             TableSchema([C("k", "string")]), TableSchema([C("k", "int64")])
         )
+
+
+def test_alter_table_evolution_rules(spark, tmp_path):
+    from ytsaurus_spark.catalog import (
+        Catalog,
+        alter_table,
+        get_table_schema,
+        set_table_schema,
+    )
+    from ytsaurus_spark.yt_types import ColumnSchema, TableSchema
+
+    cat = Catalog(spark=spark, root=str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 300, None)], "k bigint, v bigint, s string"
+    )
+    cat.create_table("t", df)
+    old = TableSchema(
+        [
+            ColumnSchema("k", "int64", sort_order="ascending"),
+            ColumnSchema("v", "int64"),
+            ColumnSchema("s", "string"),
+        ]
+    )
+    set_table_schema(cat, "t", old)
+    assert get_table_schema(cat, "t").key_columns() == ["k"]
+
+    # widening the key prefix is NOT an evolution -> refused
+    rekeyed = TableSchema(
+        [
+            ColumnSchema("k", "int64", sort_order="ascending"),
+            ColumnSchema("v", "int64", sort_order="ascending"),
+            ColumnSchema("s", "string"),
+        ]
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        alter_table(cat, "t", rekeyed)
+
+    # narrowing int64 -> int32 requires validation; 300 fits, so it passes
+    narrowed = TableSchema(
+        [
+            ColumnSchema("k", "int64", sort_order="ascending"),
+            ColumnSchema("v", "int32"),
+            ColumnSchema("s", "string"),
+        ]
+    )
+    assert alter_table(cat, "t", narrowed) == "requires_validation"
+    assert get_table_schema(cat, "t").columns[1].type_name == "int32"
+
+    # making a column with NULLs required must FAIL validation
+    required_s = TableSchema(
+        [
+            ColumnSchema("k", "int64", sort_order="ascending"),
+            ColumnSchema("v", "int32"),
+            ColumnSchema("s", "string", required=True),
+        ]
+    )
+    with pytest.raises(ValueError, match="validation failed"):
+        alter_table(cat, "t", required_s)
+    # failed alter leaves the stored schema untouched
+    assert get_table_schema(cat, "t").columns[2].required is False

@@ -314,3 +314,110 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Catalog:
     cat = Catalog(spark, sf_dir)
     cat.register_all()
     return cat
+
+
+def _schema_to_json(schema) -> dict:
+    import dataclasses
+
+    return {
+        "strict": schema.strict,
+        "unique_keys": schema.unique_keys,
+        "columns": [
+            {k: v for k, v in dataclasses.asdict(c).items() if v not in (None, False)}
+            for c in schema.columns
+        ],
+    }
+
+
+def _schema_from_json(d: dict):
+    from ytsaurus_spark.yt_types import ColumnSchema, TableSchema
+
+    return TableSchema(
+        columns=[ColumnSchema(**c) for c in d["columns"]],
+        strict=d.get("strict", True),
+        unique_keys=d.get("unique_keys", False),
+    )
+
+
+def set_table_schema(cat: Catalog, name: str, schema) -> None:
+    """Attach a TableSchema to a stored table (the @schema attribute on a
+    Cypress table node). Persisted in the `_yt_attrs.json` sidecar next
+    to the data, like the sorted_by attribute."""
+    from ytsaurus_spark.sources.formats import _write_attrs, table_attributes
+
+    attrs = table_attributes(cat.table_path(name))
+    attrs["schema"] = _schema_to_json(schema)
+    _write_attrs(cat.table_path(name), attrs)
+
+
+def get_table_schema(cat: Catalog, name: str):
+    from ytsaurus_spark.sources.formats import table_attributes
+
+    d = table_attributes(cat.table_path(name)).get("schema")
+    return None if d is None else _schema_from_json(d)
+
+
+def alter_table(cat: Catalog, name: str, new_schema) -> str:
+    """AlterTable (reference `alter_table` / TAlterTableOptions): change a
+    stored table's schema under the evolution rules. Applies
+    `check_schema_compatibility` (check_schema_compatibility.cpp):
+
+    - ``incompatible`` → refused (ValueError), schema unchanged;
+    - ``requires_validation`` → the data is CHECKED first, distributed:
+      required columns must hold no NULLs, and every narrowing-type
+      column must round-trip through the new type exactly (one scan, an
+      aggregate of violation counts — no driver-side rows);
+    - ``fully_compatible`` (or validation passed) → metadata-only commit
+      of the new schema, exactly like the reference's alter (data files
+      are untouched; readers/writers consult the stored schema).
+
+    Returns the verdict that allowed the alter."""
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.yt_types import (
+        _type_compat,
+        check_schema_compatibility,
+        yt_type_to_spark,
+    )
+
+    old = get_table_schema(cat, name)
+    if old is None:
+        raise ValueError(f"table {name!r} has no stored schema; set one first")
+    verdict = check_schema_compatibility(old, new_schema)
+    if verdict == "incompatible":
+        raise ValueError(f"alter_table({name!r}): schemas are incompatible")
+    if verdict == "requires_validation":
+        df = cat.read(name)
+        old_types = {c.name: c.type_name for c in old.columns}
+        checks = []
+        for nc in new_schema.columns:
+            if nc.name not in df.columns:
+                continue
+            oc_type = old_types.get(nc.name)
+            if nc.required:
+                checks.append(
+                    F.sum(F.col(nc.name).isNull().cast("long")).alias(
+                        f"null_{nc.name}"
+                    )
+                )
+            if oc_type and _type_compat(oc_type, nc.type_name) == "validate":
+                t = yt_type_to_spark(nc.type_name).simpleString()
+                roundtrip = F.col(nc.name).cast(t).cast(
+                    yt_type_to_spark(oc_type).simpleString()
+                )
+                checks.append(
+                    F.sum(
+                        (
+                            ~roundtrip.eqNullSafe(F.col(nc.name))
+                        ).cast("long")
+                    ).alias(f"narrow_{nc.name}")
+                )
+        if checks:
+            row = df.agg(*checks).collect()[0]
+            bad = {k: v for k, v in row.asDict().items() if v}
+            if bad:
+                raise ValueError(
+                    f"alter_table({name!r}): validation failed: {bad}"
+                )
+    set_table_schema(cat, name, new_schema)
+    return verdict
