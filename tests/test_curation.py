@@ -113,3 +113,28 @@ def test_train_mix_weights_equalize(docs):
     assert out["s0"][0] == 10 and out["s1"][0] == 8
     assert out["s0"][1] == pytest.approx(0.9)
     assert out["s1"][1] == pytest.approx(1.125)
+
+
+def test_prefix_sum_property_random_keys(spark):
+    # Hierarchical prefix_sum must equal the naive exclusive cumsum over
+    # strictly-smaller keys for ANY key set — negative keys, gaps, and
+    # block-boundary keys included (the shapes the exact floor-div block
+    # derivation exists for). Randomized but seeded; small block size
+    # forces multi-level hierarchy.
+    import random
+
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    rng = random.Random(9)
+    keys = rng.sample(range(-50_000, 50_000), 300) + [0, -1, 4096, 8191, -4096]
+    rows = [(k, rng.randint(1, 9)) for k in set(keys)]
+    df = spark.createDataFrame(rows, "k bigint, c bigint")
+    got = {
+        r.k: r.out
+        for r in prefix_sum(df, "k", "c", "out", block=16).collect()
+    }
+    srt = sorted(rows)
+    acc = 0
+    for k, c in srt:
+        assert got[k] == acc, (k, got[k], acc)
+        acc += c
