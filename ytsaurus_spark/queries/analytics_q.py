@@ -621,13 +621,20 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q9: product-type profit (supply cost proxied) -------------------
 
+# Profit flows as exact BIGINT ten-thousandths: the per-row amount has <=4
+# decimals, so the scaled value is integer-exact and the SUM is the same
+# integer on every engine at every scale factor — a plain double sum
+# rounded to cents flaked at sf0.1 (sum magnitude 2.2e7 puts the rounding
+# boundary inside double summation-order noise).
 _Q9_SQL = """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           round(CAST(sum(amount_tt) AS BIGINT) / 10000.0, 2) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.1 * p_retailprice * l_quantity AS amount
+             CAST(round((l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity) * 10000, 0)
+                  AS BIGINT) AS amount_tt
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey

@@ -57,35 +57,60 @@ def ql_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ql_group_agg",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
-           count(*)                                                    AS count_order
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) / 100.0, 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * 10000, 0) AS BIGINT)) AS BIGINT) / 10000.0, 4)
+             AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS BIGINT)
+                 / 1000000.0, 6) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) / 100.0 / count(*), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def ql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 with MONEY AS EXACT FIXED-POINT: price carries 2 decimals,
+    disc_price 4, charge 6, so the scaled per-row values are integer-exact
+    and the sums are the same BIGINT on every engine at every scale
+    factor. The plain double-sum form flaked at sf0.1: sum_charge ~2.8e9
+    at 6 decimals needs 16 significant digits — past double precision, so
+    summation order moved the rounded value. Scaled sums cost nothing:
+    the cast/round runs in the scan stage, the partial-agg combine is
+    integer addition."""
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base_u = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    charge_u = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1000000,
+        0,
+    ).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum(base_u) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_u) / 10000.0, 4).alias("sum_disc_price"),
+            F.round(F.sum(charge_u) / 1000000.0, 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.sum(base_u) / 100.0 / n, 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            n.alias("count_order"),
         )
     )
 
