@@ -595,3 +595,32 @@ def test_multi_table_transaction_conflict_detection(spark, tmp):
     gap = dict(staged, v=a.current_version() + 2)
     with pytest.raises(RuntimeError, match="stale"):
         T._publish_entry(a.path, gap)
+
+
+def test_multi_table_transaction_foreign_delta_conflict(spark, tmp):
+    # A foreign writer's DELTA landing on the staged version between
+    # stage and publish must raise, not be mistaken for our own publish
+    # (identity = the entry's tx tag, not just kind).
+    from ytsaurus_spark.sources import transactions as T
+
+    a, _ = _two_tables(spark, tmp)
+    staged = {"v": a.current_version() + 1, "kind": "delta",
+              "ts": 0.0, "range": None, "tx": "me"}
+    a.insert_rows(spark.createDataFrame([(9, 90)], "k bigint, v bigint"))
+    with pytest.raises(RuntimeError, match="conflicting commit"):
+        T._publish_entry(a.path, staged)
+    # re-publishing our OWN entry stays a no-op
+    mine = dict(a._segments()[-1])
+    T._publish_entry(a.path, {**mine, "tx": mine.get("tx")})
+
+
+def test_multi_table_transaction_update_same_table_refused(spark, tmp):
+    from ytsaurus_spark.sources.transactions import MultiTableTransaction
+
+    a, _ = _two_tables(spark, tmp)
+    tx = MultiTableTransaction(f"{tmp}/coord4")
+    tx.insert_rows(a, spark.createDataFrame([(2, 20)], "k bigint, v bigint"))
+    with pytest.raises(ValueError, match="full rows"):
+        tx.insert_rows(
+            a, spark.createDataFrame([(2,)], "k bigint"), update=True
+        )

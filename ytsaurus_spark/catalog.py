@@ -392,6 +392,13 @@ def alter_table(cat: Catalog, name: str, new_schema) -> str:
         checks = []
         for nc in new_schema.columns:
             if nc.name not in df.columns:
+                if nc.required:
+                    # a required column the data doesn't carry at all is
+                    # the all-NULLs case — every row violates it
+                    raise ValueError(
+                        f"alter_table({name!r}): validation failed: "
+                        f"required column {nc.name!r} absent from data"
+                    )
                 continue
             oc_type = old_types.get(nc.name)
             if nc.required:

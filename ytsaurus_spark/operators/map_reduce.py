@@ -487,8 +487,10 @@ class OperationTracker:
     TListOperationsOptions; scheduler states in
     yt/yt/client/scheduler/public.h EOperationState). `run_operation`
     records through a tracker when one is passed; states move
-    pending → running → completed|failed with wall-clock stamps and the
-    failure's error text, which is what users poll the scheduler for."""
+    running → completed|failed with wall-clock stamps and the failure's
+    error text, which is what users poll the scheduler for. (The
+    queueing states — pending/materializing — don't exist here:
+    submission IS execution, there is no scheduler admission step.)"""
 
     def __init__(self) -> None:
         self._ops: dict[str, dict] = {}

@@ -244,7 +244,10 @@ def bpe_learn_merges(
             .groupBy("pair")
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )
-        top = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        head = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not head:
+            break  # corpus exhausted (every word is a single symbol)
+        top = head[0]
         a, b = top.pair.split("\x01")
         merges.append((step, a, b, a + b, top.cnt))
         sep = "\x1f"

@@ -19,8 +19,8 @@ Spark-side shape — write-ahead intent + presumed roll-forward:
 
 `recover(coordinator_dir)` rolls every decided-but-unfinished intent
 FORWARD (pure JSON manipulation — no Spark needed), which is the
-presumed-commit half of 2PC; `abort()` before commit discards staged
-segment dirs. Single writer per table is assumed (the reference's
+presumed-commit half of 2PC; a pre-intent failure inside `commit()`
+removes its own staged dirs. Single writer per table is assumed (the reference's
 tablet write path serializes through the tablet cell leader the same
 way); `_publish_entry` still verifies the staged version is the next
 version and raises on a conflicting interleaved commit rather than
@@ -50,14 +50,20 @@ def _read_manifest(table_path: str) -> list[dict]:
 
 
 def _publish_entry(table_path: str, entry: dict) -> None:
-    """Append one manifest entry, atomically and idempotently (an entry
-    with the same version already present means a prior attempt already
-    published here — skip). Raises if a DIFFERENT commit took the staged
-    version: that is a concurrent-writer conflict the caller must see."""
+    """Append one manifest entry, atomically and idempotently. Idempotence
+    is decided by FULL identity — the entry's ``tx`` tag (and kind): only
+    this transaction's own prior publish is skippable. Any other commit
+    occupying the staged version — including another delta — raises, so a
+    concurrent writer landing between stage and publish can never be
+    mistaken for our own work (that would silently drop this
+    transaction's rows for one table while others got theirs)."""
     segs = _read_manifest(table_path)
     existing = [s for s in segs if s["v"] == entry["v"]]
     if existing:
-        if existing[0]["kind"] != entry["kind"]:
+        if (
+            existing[0]["kind"] != entry["kind"]
+            or existing[0].get("tx") != entry.get("tx")
+        ):
             raise RuntimeError(
                 f"version {entry['v']} of {table_path} was taken by a "
                 "conflicting commit"
@@ -112,6 +118,15 @@ class MultiTableTransaction:
         seq_col: str | None = None,
     ) -> None:
         self._check_open()
+        if update and any(t.path == table.path for t, _, _, _ in self._ops):
+            # update=True fills omitted columns from the PUBLISHED state;
+            # inside a tx that would silently revert columns written by an
+            # earlier op on the same table (staged segments are invisible
+            # to read()), so refuse rather than corrupt.
+            raise ValueError(
+                "partial-column update of a table already written in this "
+                "transaction is not supported; write full rows"
+            )
         self._ops.append(
             (table, "insert", rows, {"update": update, "seq_col": seq_col})
         )
@@ -137,33 +152,38 @@ class MultiTableTransaction:
         if not self._ops:
             self._state = "committed"
             return
-        # phase 1: stage every segment (one staged version per table —
-        # multiple ops on one table stack deltas v, v+1, ... which is
-        # fine because they publish in staging order)
+        # phase 1: stage every segment through the participant's own
+        # staging path (one entry shape, one footer-range reader —
+        # tx_table._stage_segment); multiple ops on one table stack
+        # deltas v, v+1, ... and publish in staging order. A failure
+        # before the intent record is durable aborts cleanly: staged
+        # dirs are removed and nothing was ever visible.
         staged: list[dict] = []
         next_v: dict[str, int] = {}
-        for table, kind, df, kw in self._ops:
-            delta = (
-                table._insert_delta(df, **kw)
-                if kind == "insert"
-                else table._delete_delta(df)
-            )
-            v = next_v.get(table.path, table.current_version() + 1)
-            seg_dir = os.path.join(table.path, f"s{v}")
-            delta.write.mode("overwrite").parquet(seg_dir)
-            entry = {
-                "v": v,
-                "kind": "delta",
-                "ts": time.time(),
-                "range": table._footer_key_range(seg_dir),
-            }
-            staged.append({"table_path": table.path, "entry": entry})
-            next_v[table.path] = v + 1
-        # phase 2: durable intent = the commit decision
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"tx_id": self.tx_id, "participants": staged}, f)
-        os.replace(tmp, self._intent_path)
+        try:
+            for table, kind, df, kw in self._ops:
+                delta = (
+                    table._insert_delta(df, **kw)
+                    if kind == "insert"
+                    else table._delete_delta(df)
+                )
+                v = next_v.get(table.path, table.current_version() + 1)
+                entry = table._stage_segment(delta, "delta", v)
+                entry["tx"] = self.tx_id
+                staged.append({"table_path": table.path, "entry": entry})
+                next_v[table.path] = v + 1
+            # phase 2: durable intent = the commit decision
+            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".json.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"tx_id": self.tx_id, "participants": staged}, f)
+            os.replace(tmp, self._intent_path)
+        except Exception:
+            for p in staged:
+                shutil.rmtree(
+                    os.path.join(p["table_path"], f"s{p['entry']['v']}"),
+                    ignore_errors=True,
+                )
+            raise
         # phase 3: publish everywhere (idempotent), then forget
         for p in staged:
             _publish_entry(p["table_path"], p["entry"])
@@ -171,9 +191,9 @@ class MultiTableTransaction:
         self._state = "committed"
 
     def abort(self) -> None:
-        """Discard staged state. Only valid before commit(); staged
-        segment dirs (if any partial prepare happened) are orphans that
-        no manifest references — removed here, harmless if left."""
+        """Discard the transaction. Staging only happens inside commit(),
+        which cleans its own segment dirs on pre-intent failure, so
+        abort() has no disk state to reclaim — it just closes the tx."""
         self._check_open()
         self._state = "aborted"
         self._ops.clear()
@@ -188,14 +208,24 @@ def recover(coordinator_dir: str) -> int:
     if not os.path.isdir(coordinator_dir):
         return 0
     n = 0
+    failures: list[str] = []
     for name in sorted(os.listdir(coordinator_dir)):
         if not (name.startswith("tx_") and name.endswith(".json")):
             continue
         path = os.path.join(coordinator_dir, name)
-        with open(path) as f:
-            intent = json.load(f)
-        for p in intent["participants"]:
-            _publish_entry(p["table_path"], p["entry"])
-        os.remove(path)
-        n += 1
+        # one damaged/conflicted intent must not block the others: roll
+        # forward everything that can be, then report what could not
+        try:
+            with open(path) as f:
+                intent = json.load(f)
+            for p in intent["participants"]:
+                _publish_entry(p["table_path"], p["entry"])
+            os.remove(path)
+            n += 1
+        except Exception as e:
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    if failures:
+        raise RuntimeError(
+            f"recovered {n} transaction(s); unrecoverable: {failures}"
+        )
     return n

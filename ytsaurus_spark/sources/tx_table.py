@@ -196,12 +196,15 @@ class LogTxTable:
             json.dump(manifest, f)
         os.replace(tmp, self._log_path)  # atomic publish
 
-    def _stage_segment(self, df: DataFrame, kind: str) -> dict:
+    def _stage_segment(self, df: DataFrame, kind: str, v: int | None = None) -> dict:
         """Write a segment's parquet WITHOUT publishing it: readers are
         manifest-driven, so a staged ``s{v}`` directory stays invisible
         until `_publish` lands its entry. This is the participant half of
-        the cross-table two-phase commit (`sources/transactions.py`)."""
-        v = self.current_version() + 1
+        the cross-table two-phase commit (`sources/transactions.py`),
+        which passes an explicit ``v`` when stacking several deltas on
+        one table inside a transaction."""
+        if v is None:
+            v = self.current_version() + 1
         seg_dir = os.path.join(self.path, f"s{v}")
         df.write.mode("overwrite").parquet(seg_dir)
         return {"v": v, "kind": kind, "ts": time.time(),
