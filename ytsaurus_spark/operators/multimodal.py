@@ -110,3 +110,24 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         n_frames.alias("n_frames"),
         F.substring("media", 1, every_n_bytes).alias("frame0"),
     )
+
+
+def frame_explode(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Explode a binary payload into fixed-stride frame slices —
+    (id, frame_idx, frame) with the partial tail included. The offsets
+    generate with `sequence()` inside the scan stage (the chunk_documents
+    shape on bytes): no shuffle, no Python, output rows ≈ payload_bytes /
+    stride. substring on BINARY stays JVM-side; real video decoding
+    would replace the slicer per-batch behind the same schema."""
+    off = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.length("media"), F.lit(1)) - 1,
+            F.lit(every_n_bytes),
+        )
+    ).alias("off")
+    return df.select("id", "media", off).select(
+        "id",
+        F.expr(f"off div {every_n_bytes}").cast("int").alias("frame_idx"),
+        F.expr(f"substring(media, off + 1, {every_n_bytes})").alias("frame"),
+    )

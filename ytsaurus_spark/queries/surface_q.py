@@ -1259,3 +1259,41 @@ def fn_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mask_sum"
         ),
     )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS id, CAST(off // 64 AS INT) AS frame_idx,
+           CAST(strlen(substr(text, off + 1, 64)) AS BIGINT) AS frame_len,
+           CAST(list_aggregate(list_transform(
+                  range(1, strlen(substr(text, off + 1, 64)) + 1),
+                  i -> ascii(substr(text, off + 1, 64)[i])), 'sum') % 997
+                AS BIGINT) AS frame_sum_mod
+    FROM documents,
+         unnest(range(0, greatest(strlen(text), 1), 64)) AS u(off)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling EXPLODED: every 64-byte slice of each payload as
+    its own row (partial tail included) with a per-frame checksum —
+    hash-checked against a char-wise DuckDB oracle (fixture media is
+    UTF-8 of ASCII text, so bytes == code points). The slicing runs in
+    the scan stage (sequence+explode, no Python); the checksum is a
+    codegen'd HOF fold over the frame — a real decoder would replace the
+    fold per Arrow batch behind the same (id, frame_idx, frame) schema."""
+    from ytsaurus_spark.operators.multimodal import attach_binary, frame_explode
+
+    cat = load_tables(spark, sf_dir)
+    media = attach_binary(cat.read("documents"), "text", "doc_id")
+    frames = frame_explode(media, every_n_bytes=64)
+    fs = "cast(frame as string)"
+    return frames.select(
+        "id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.expr(
+            f"aggregate(transform(sequence(1, length({fs})), "
+            f"i -> ascii(substring({fs}, i, 1))), 0, (a, x) -> a + x) % 997"
+        ).cast("long").alias("frame_sum_mod"),
+    )
