@@ -566,3 +566,98 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     rows = spark.table(name).collect()
     return spark.createDataFrame(rows, schema=spark.table(name).schema)
+
+
+# --- composite: stream-stream join folded into a keyed table ---------------
+
+@register(
+    "pipeline_stream_attribution",
+    """
+    SELECT c.user_id AS user_id,
+           CAST(count(*) AS BIGINT) AS n_attributed,
+           CAST(sum(CAST(round(p.value * 10000, 0) AS BIGINT)) AS BIGINT)
+             AS total_tt
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    GROUP BY c.user_id
+    """,
+)
+def pipeline_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship streaming composition — two queues joined
+    and folded into a dynamic table (Flow pipeline into an
+    aggregate-column table): the watermarked stream-stream interval join
+    feeds foreachBatch, each batch pre-aggregates per user and UPSERTS
+    into a LogTxTable whose columns fold with `sum` — so arbitrarily
+    many micro-batches accumulate exactly like the reference's
+    aggregate-column writes, durably, and the final table state must
+    hash-match the one-shot batch SQL. Amounts fold as exact BIGINT
+    ten-thousandths (doubles would drift across fold order)."""
+    import os
+    import tempfile
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    load_tables(spark, sf_dir)
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + interval 4 hours"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.round(F.col("p_value") * 10000, 0).cast("long").alias("amount_tt"),
+    )
+    root = tempfile.mkdtemp(prefix="ytspark_attr_")
+    table = LogTxTable(
+        spark,
+        os.path.join(root, "attribution"),
+        ["user_id"],
+        aggregates={"n_attributed": "sum", "total_tt": "sum"},
+    )
+    table.init(
+        spark.createDataFrame(
+            [], "user_id bigint, n_attributed bigint, total_tt bigint"
+        )
+    )
+
+    def fold_batch(batch, epoch_id):
+        agg = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_attributed"),
+            F.sum("amount_tt").cast("long").alias("total_tt"),
+        )
+        if agg.take(1):
+            table.insert_rows(agg)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(fold_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return table.read().select("user_id", "n_attributed", "total_tt")
