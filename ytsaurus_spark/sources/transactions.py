@@ -33,7 +33,6 @@ import json
 import os
 import shutil
 import tempfile
-import time
 import uuid
 
 from pyspark.sql import DataFrame
