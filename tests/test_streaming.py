@@ -431,3 +431,63 @@ def test_time_order_recover_reorders_within_delay(spark, stream_dir):
         assert rows == [(40, 0), (70, 1), (90, 2), (100, 3)]
     finally:
         q.stop()
+
+
+# -- exactly-once producer sessions (producer_client.h:57-87) -------------
+
+
+def test_producer_session_exactly_once_and_fencing(spark, stream_dir):
+    from ytsaurus_spark.streaming.queues import (
+        DurableQueue,
+        InvalidRowSequenceNumbersError,
+        ZombieEpochError,
+    )
+
+    q = DurableQueue(spark, os.path.join(stream_dir, "q"))
+    rows = spark.range(10).select(
+        F.col("id").alias("seq"), (F.col("id") * 2).alias("payload")
+    )
+    s1 = q.create_session("sess")
+    assert s1.epoch == 0 and s1.last_seq == -1
+    assert s1.push_batch(rows, seq_col="seq") == 10
+    # replay of the same batch appends nothing
+    assert s1.push_batch(rows, seq_col="seq") == 0
+    assert q.read().count() == 10
+
+    # recreate: epoch bumps, last_seq resumes; the old session is fenced
+    s2 = q.create_session("sess")
+    assert s2.epoch == 1 and s2.last_seq == 9
+    with pytest.raises(ZombieEpochError):
+        s1.push_batch(rows, seq_col="seq")
+
+    # overlapping push from the resumed session lands only the fresh tail
+    more = spark.range(5, 15).select(
+        F.col("id").alias("seq"), (F.col("id") * 2).alias("payload")
+    )
+    assert s2.push_batch(more, seq_col="seq") == 5
+    got = q.read()
+    assert got.count() == 15
+    # $row_index is dense 0..14 and ordered like seq
+    idx = [r["$row_index"] for r in got.orderBy("seq").collect()]
+    assert idx == list(range(15))
+
+    # duplicate seqs inside one batch are rejected
+    dup = spark.createDataFrame([(100, 1), (100, 2)], "seq long, payload long")
+    with pytest.raises(InvalidRowSequenceNumbersError):
+        s2.push_batch(dup, seq_col="seq")
+
+
+def test_producer_session_auto_sequence_and_range_read(spark, stream_dir):
+    from ytsaurus_spark.streaming.queues import DurableQueue
+
+    q = DurableQueue(spark, os.path.join(stream_dir, "q2"))
+    s = q.create_session("auto")
+    a = spark.createDataFrame([(x,) for x in "abc"], "v string")
+    b = spark.createDataFrame([(x,) for x in "de"], "v string")
+    assert s.push_batch(a) == 3
+    assert s.push_batch(b) == 2
+    # seq continued across batches: a second auto push of 2 rows follows 3
+    assert s.last_seq == 4
+    # range read prunes to the covering segment(s) via the manifest
+    mid = q.read(lo=1, hi=4).orderBy("$row_index")
+    assert [r["v"] for r in mid.collect()] == ["b", "c", "d"]

@@ -335,6 +335,67 @@ def stream_queue_to_logtable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_producer_exactly_once",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 4)     AS total
+    FROM events WHERE event_id < 400
+    GROUP BY user_id
+    """,
+)
+def stream_producer_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once producer sessions on a durable queue (SURVEY §2.6).
+
+    Reference semantics (yt/yt/client/queue_client/producer_client.h:57-87,
+    public.h:38-40): a producer session is ``(session_id, epoch, seq)``;
+    re-pushing already-acknowledged sequence numbers is a silent no-op, and
+    recreating the session bumps the epoch so the old writer is fenced.
+
+    The scenario pushes event_id<200 twice (the replay appends 0 rows),
+    recreates the session (fencing the first writer — its next push raises
+    ZombieEpochError), then pushes the overlapping range [100, 400) from
+    the resumed session: only [200, 400) lands. If any dedup or fence
+    leaked, counts/sums would double somewhere and the oracle hash over
+    plain ``events WHERE event_id < 400`` would catch it."""
+    import shutil
+    import tempfile
+
+    from ytsaurus_spark.streaming.queues import DurableQueue, ZombieEpochError
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events").select("event_id", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="ytspark_queue_")
+    try:
+        q = DurableQueue(spark, path)
+        s1 = q.create_session("pipeline-a")
+        batch1 = ev.filter(F.col("event_id") < 200)
+        s1.push_batch(batch1, seq_col="event_id")
+        replayed = s1.push_batch(batch1, seq_col="event_id")
+        assert replayed == 0, "replay must append nothing"
+        s2 = q.create_session("pipeline-a")  # fences s1, resumes last_seq
+        try:
+            s1.push_batch(batch1, seq_col="event_id")
+            raise AssertionError("fenced session must not push")
+        except ZombieEpochError:
+            pass
+        overlap = ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 400))
+        s2.push_batch(overlap, seq_col="event_id")
+        result = (
+            q.read()
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("value"), 4).alias("total"),
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "stream_match_recognize",
     """
     WITH enc AS (

@@ -1297,3 +1297,100 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"i -> ascii(substring({fs}, i, 1))), 0, (a, x) -> a + x) % 997"
         ).cast("long").alias("frame_sum_mod"),
     )
+
+
+# --- Set UDF module (yql/essentials/udfs/common/set) -----------------------
+
+@register(
+    "fn_set",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             list_sort(list_distinct(string_split(p_name, ' '))) AS a,
+             ['green', 'sandy', 'metallic', 'tomato'] AS b
+      FROM part WHERE p_partkey <= 200
+    )
+    SELECT p_partkey,
+           list_sort(list_filter(a, x -> list_contains(b, x)))     AS inter,
+           list_sort(list_distinct(list_concat(a, b)))             AS uni,
+           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS diff,
+           list_sort(list_concat(
+             list_filter(a, x -> NOT list_contains(b, x)),
+             list_filter(b, x -> NOT list_contains(a, x))))        AS symdiff,
+           len(list_filter(a, x -> list_contains(b, x))) = 0       AS disjoint,
+           len(list_filter(b, x -> NOT list_contains(a, x))) = 0   AS includes_b
+    FROM t
+    """,
+)
+def fn_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set UDF module (SetIntersection/Union/Difference/SymmetricDifference/
+    IsDisjoint/Includes, yql/essentials/udfs/common/set) as codegen'd array
+    set-algebra — no Python, no shuffle; every op runs in the scan stage."""
+    cat = load_tables(spark, sf_dir)
+    t = (
+        cat.read("part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.array_sort(F.array_distinct(F.split("p_name", " "))).alias("a"),
+            F.array(*[F.lit(w) for w in ["green", "sandy", "metallic", "tomato"]]).alias("b"),
+        )
+    )
+    return t.select(
+        "p_partkey",
+        F.array_sort(F.array_intersect("a", "b")).alias("inter"),
+        F.array_sort(F.array_union("a", "b")).alias("uni"),
+        F.array_sort(F.array_except("a", "b")).alias("diff"),
+        F.array_sort(
+            F.array_union(F.array_except("a", "b"), F.array_except("b", "a"))
+        ).alias("symdiff"),
+        (~F.arrays_overlap("a", "b")).alias("disjoint"),
+        (F.size(F.array_except("b", "a")) == 0).alias("includes_b"),
+    )
+
+
+# --- Compress UDF module (codec roundtrips) --------------------------------
+
+@register(
+    "fn_compress",
+    """
+    SELECT doc_id,
+           text                              AS roundtrip_zlib,
+           text                              AS roundtrip_bz2,
+           CAST(length(text) AS BIGINT)      AS orig_len
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress/Decompress UDF module roundtrip (compress_base; block codec
+    list yt/yt/core/compression/public.h:17-60) via Arrow-batched pandas
+    UDFs over stdlib zlib/bz2.
+
+    The oracle proves decompress(compress(x)) == x byte-for-byte for both
+    codecs; an in-plan guard additionally proves compression is not the
+    identity — any doc >= 200 chars whose zlib output fails to shrink
+    raises. Both codecs run executor-side per Arrow batch; nothing moves
+    through the driver."""
+    from ytsaurus_spark.functions.compress import compress, decompress
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents").filter(F.col("doc_id") < 200)
+    enc = docs.select(
+        "doc_id",
+        F.col("text"),
+        compress("text", "zlib").alias("z"),
+        compress("text", "bz2").alias("bz"),
+    )
+    n_bad = (
+        enc.filter((F.length("text") >= 200) & (F.length("z") >= F.length("text")))
+        .limit(1)
+        .count()
+    )
+    if n_bad:
+        raise AssertionError("zlib compression did not shrink a long document")
+    return enc.select(
+        "doc_id",
+        decompress("z", "zlib").cast("string").alias("roundtrip_zlib"),
+        decompress("bz", "bz2").cast("string").alias("roundtrip_bz2"),
+        F.length("text").cast("long").alias("orig_len"),
+    )

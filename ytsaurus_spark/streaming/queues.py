@@ -18,9 +18,12 @@ which is replay-from-anywhere by design.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -113,6 +116,184 @@ def trim_queue(
     if partition_col is not None:
         below = below & (F.col(partition_col) == partition)
     return queue.filter(~below)
+
+
+class ZombieEpochError(RuntimeError):
+    """A fenced-out producer session tried to push (error code ZombieEpoch
+    3102, yt/yt/client/queue_client/public.h:15): a newer ``create_session``
+    for the same session id bumped the epoch, so this writer's pushes must
+    be rejected to preserve exactly-once."""
+
+
+class InvalidRowSequenceNumbersError(ValueError):
+    """Sequence numbers inside one push batch must be strictly increasing
+    (InvalidRowSequenceNumbers 3103, public.h:16)."""
+
+
+class DurableQueue:
+    """Ordered-table queue persisted as parquet segments under ``path``,
+    with exactly-once producer sessions.
+
+    Reference: producer sessions are identified by ``(session_id, epoch,
+    sequence_number)`` (yt/yt/client/queue_client/public.h:38-40); a session
+    is (re)created with ``CreateSession`` which returns the last acknowledged
+    sequence number and a fresh epoch that fences zombie writers
+    (producer_client.h:57-87). A push whose sequence numbers were already
+    acknowledged is dropped silently — that replay-dedup is what makes
+    retried pushes exactly-once.
+
+    Spark re-expression: segments are append-only parquet directories named
+    by the row-index range they cover; the atomic ``os.replace`` manifest
+    (same protocol as sources/tx_table.py) carries the segment list, the
+    next ``$row_index``, and per-session ``{epoch, last_seq}`` state. Reads
+    union the manifested segments — a pull with a row-index range prunes to
+    the overlapping segments via the manifest before any parquet IO, the
+    same store-pruning a tablet pull does. At 100 TB the manifest stays tiny
+    (one line per flush batch, compactable); row data never moves through
+    the driver — only the pushed batch's DataFrame is written.
+    """
+
+    MANIFEST = "_queue.json"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest (atomic publish, tx_table.py protocol) ---------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, self.MANIFEST)
+
+    def _state(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"segments": [], "next_row_index": 0, "sessions": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _publish(self, state: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._manifest_path)
+
+    # -- producer sessions ---------------------------------------------
+
+    def create_session(self, session_id: str) -> "ProducerSession":
+        """CreateSession (producer_client.h:83-87): bump the session epoch
+        (fencing any still-running writer with the old epoch) and return
+        the last acknowledged sequence number so the producer can resume
+        exactly where it stopped."""
+        state = self._state()
+        sess = state["sessions"].get(session_id, {"epoch": -1, "last_seq": -1})
+        sess = {"epoch": sess["epoch"] + 1, "last_seq": sess["last_seq"]}
+        state["sessions"][session_id] = sess
+        self._publish(state)
+        return ProducerSession(self, session_id, sess["epoch"], sess["last_seq"])
+
+    # -- reads ----------------------------------------------------------
+
+    def read(self, lo: int | None = None, hi: int | None = None) -> DataFrame:
+        """Union of manifested segments; a [lo, hi) row-index range prunes
+        non-overlapping segments from the manifest before any parquet IO."""
+        segs = self._state()["segments"]
+        if lo is not None:
+            segs = [s for s in segs if s["hi"] >= lo]
+        if hi is not None:
+            segs = [s for s in segs if s["lo"] < hi]
+        if not segs:
+            return self.spark.createDataFrame([], schema="`$row_index` long")
+        df = self.spark.read.parquet(*[os.path.join(self.path, s["dir"]) for s in segs])
+        if lo is not None:
+            df = df.filter(F.col("$row_index") >= lo)
+        if hi is not None:
+            df = df.filter(F.col("$row_index") < hi)
+        return df
+
+
+@dataclass
+class ProducerSession:
+    """One producer's exactly-once write session (IProducerSession,
+    producer_client.h:57-75). ``push_batch`` returns the number of rows
+    actually appended — a full replay returns 0."""
+
+    queue: DurableQueue
+    session_id: str
+    epoch: int
+    last_seq: int
+
+    def push_batch(self, rows: DataFrame, seq_col: str | None = None) -> int:
+        """Append ``rows`` once, even if the same batch is pushed again.
+
+        With ``seq_col`` the caller supplies explicit sequence numbers
+        (strictly increasing within the batch); without it, numbers are
+        auto-assigned (AutoSequenceNumber, producer_client.h:37) in the
+        batch's current order. Rows whose sequence number is <= the last
+        acknowledged one are dropped (the replay-dedup); a session whose
+        epoch was superseded raises ZombieEpochError.
+
+        The batch is one producer flush (BatchOptions, producer_client.h:
+        22-28) — bounded, so the seq ordering window below runs over one
+        flush's rows, not the queue; segment data is written distributed.
+        """
+        from pyspark.sql import Window as W
+
+        state = self.queue._state()
+        sess = state["sessions"].get(self.session_id)
+        if sess is None or sess["epoch"] != self.epoch:
+            raise ZombieEpochError(
+                f"session {self.session_id!r} epoch {self.epoch} fenced "
+                f"(current: {None if sess is None else sess['epoch']})"
+            )
+        if seq_col is None:
+            seq_col = "$sequence_number"
+            w = W.orderBy(F.monotonically_increasing_id())
+            rows = rows.withColumn(
+                seq_col,
+                F.row_number().over(w).cast("long") + self.last_seq,
+            )
+        else:
+            rows = rows.withColumn(seq_col, F.col(seq_col).cast("long"))
+            n_all = rows.count()
+            n_distinct = rows.select(seq_col).distinct().count()
+            if n_distinct != n_all:
+                raise InvalidRowSequenceNumbersError(
+                    "duplicate sequence numbers within one push batch"
+                )
+        fresh = rows.filter(F.col(seq_col) > self.last_seq)
+        idx = W.orderBy(seq_col)
+        fresh = fresh.withColumn(
+            "$row_index",
+            F.row_number().over(idx).cast("long") + state["next_row_index"] - 1,
+        )
+        stats = fresh.agg(
+            F.count("*").alias("n"), F.max(seq_col).alias("hi_seq")
+        ).first()
+        n = int(stats["n"])
+        if n == 0:
+            return 0
+        lo = state["next_row_index"]
+        hi = lo + n - 1
+        seg_dir = f"seg_{lo}_{hi}"
+        fresh.write.mode("overwrite").parquet(os.path.join(self.queue.path, seg_dir))
+        # Re-check the fence AFTER the (slow) write, right before publish:
+        # a writer fenced mid-write must not land its manifest entry.
+        latest = self.queue._state()
+        cur = latest["sessions"].get(self.session_id)
+        if cur is None or cur["epoch"] != self.epoch:
+            raise ZombieEpochError(
+                f"session {self.session_id!r} fenced during push"
+            )
+        latest["segments"].append({"dir": seg_dir, "lo": lo, "hi": hi})
+        latest["next_row_index"] = hi + 1
+        self.last_seq = int(stats["hi_seq"])
+        latest["sessions"][self.session_id] = {
+            "epoch": self.epoch,
+            "last_seq": self.last_seq,
+        }
+        self.queue._publish(latest)
+        return n
 
 
 def with_row_index(df: DataFrame, order_by: list[str]) -> DataFrame:
