@@ -22,7 +22,22 @@ TPC-H q1–q22 suite in analytics_q.py):
 - q23     — multi-step CTE chain (frequent items ∩ best customers);
 - q33/q56 — three per-channel aggregates UNION ALLed then re-aggregated;
 - q47/q57 — windowed year-over-year deviation ranking (avg-over-partition
-            + rank + lag/lead on a monthly aggregate).
+            + rank + lag/lead on a monthly aggregate);
+- q1      — correlated per-group avg subquery as aggregate + broadcast-back;
+- q6      — correlated dim avg gating the fact scan (category price filter);
+- q9      — 15 scalar subqueries fused into one conditional-aggregate pass;
+- q41     — dim-only EXISTS self-join with a disjunctive band predicate;
+- q44     — asc/desc rankings of one aggregate self-joined on rank position;
+- q48     — three-arm dim×fact band disjunction over a join;
+- q50     — sale-to-return latency banded into a count matrix;
+- q66     — 12-month pivot over a UNION ALL of two channels with different
+            amount expressions;
+- q70     — rank-within-parent over ROLLUP grouping-set output;
+- q76     — per-channel IS NULL key scans UNION ALLed (manufactured nulls);
+- q87     — left-deep EXCEPT chain of (customer, day) sets;
+- q93     — per-line return-quantity adjustment folded into one aggregate;
+- q95     — HAVING-count-distinct and distinct-set gates on a fact sum;
+- q97     — FULL OUTER join collapsed to a channel-overlap matrix.
 
 All are pure DataFrame plans: Catalyst handles CTE dedup, the INTERSECT
 becomes a shuffled distinct-join, per-channel branches share one scan via
@@ -1748,4 +1763,772 @@ def tpcds_q25_sale_return_repurchase(
         F.round(F.sum("s_amt") * 10000, 0).cast("long").alias("store_tt"),
         F.round(F.sum("r_amt") * 10000, 0).cast("long").alias("return_tt"),
         F.round(F.sum("c_amt") * 10000, 0).cast("long").alias("catalog_tt"),
+    )
+
+
+# --- TPC-DS q1 shape: returns above 1.2x the state average -----------------
+
+
+@register(
+    "tpcds_q1_high_returners",
+    """
+    WITH ctr AS (
+      SELECT o_custkey AS cust, c_nationkey AS state,
+             sum(l_extendedprice) AS total
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey, c_nationkey
+    ), avgs AS (
+      SELECT state, avg(total) AS st_avg FROM ctr GROUP BY state
+    )
+    SELECT cust, round(total, 4) AS total
+    FROM ctr JOIN avgs USING (state)
+    WHERE total > 1.2 * st_avg
+    ORDER BY cust LIMIT 100
+    """,
+)
+def tpcds_q1_high_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 01 (yt/benchmarks/run/queries/01.sql): customers whose return
+    total exceeds 1.2x their state's average. The correlated avg subquery
+    re-expresses as a groupBy over the already-aggregated per-customer
+    totals joined back — both sides are customer-scale, the state-avg side
+    is nation-scale and broadcasts. Derivation: returns = l_returnflag='R',
+    state = the customer's nation."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    ctr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("state")
+        )
+        .agg(F.sum("l_extendedprice").alias("total"))
+    )
+    avgs = ctr.groupBy("state").agg(F.avg("total").alias("st_avg"))
+    return (
+        ctr.join(F.broadcast(avgs), "state")
+        .filter(F.col("total") > 1.2 * F.col("st_avg"))
+        .select("cust", F.round("total", 4).alias("total"))
+        .orderBy("cust")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q6 shape: pricey-item buyers by state --------------------------
+
+
+@register(
+    "tpcds_q6_pricey_item_states",
+    """
+    WITH cat_avg AS (
+      SELECT substring(p_brand, 7, 1) AS category,
+             avg(p_retailprice) AS ap
+      FROM part GROUP BY 1
+    )
+    SELECT n_name AS state, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN cat_avg  ON substring(p_brand, 7, 1) = category
+    WHERE p_retailprice > 1.03 * ap AND month(o_orderdate) = 3
+    GROUP BY n_name HAVING count(*) >= 10
+    ORDER BY cnt, state LIMIT 100
+    """,
+)
+def tpcds_q6_pricey_item_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 06 (06.sql): states whose customers bought items priced at
+    least 1.03x their category's average, one calendar month. The correlated
+    per-category avg is a tiny grouped dim aggregate broadcast back onto
+    the part dim BEFORE the fact join — the fact scan meets an already-
+    filtered item list (category = first brand digit, month from
+    o_orderdate)."""
+    cat = load_tables(spark, sf_dir)
+    li, part, orders = cat.read("lineitem"), cat.read("part"), cat.read("orders")
+    cust, nation = cat.read("customer"), cat.read("nation")
+    category = F.substring("p_brand", 7, 1)
+    cat_avg = part.groupBy(category.alias("category")).agg(
+        F.avg("p_retailprice").alias("ap")
+    )
+    pricey = (
+        part.join(F.broadcast(cat_avg), category == F.col("category"))
+        .filter(F.col("p_retailprice") > 1.03 * F.col("ap"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(pricey), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.month("o_orderdate") == 3)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("state"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy("cnt", "state")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q9 shape: quantity-band CASE over conditional aggregates -------
+
+
+@register(
+    "tpcds_q9_quantity_buckets",
+    """
+    SELECT
+      CASE WHEN count(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 END) > 12000
+           THEN round(avg(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice END), 4)
+           ELSE round(avg(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_discount END), 4) END AS bucket1,
+      CASE WHEN count(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 END) > 12000
+           THEN round(avg(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_extendedprice END), 4)
+           ELSE round(avg(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_discount END), 4) END AS bucket2,
+      CASE WHEN count(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 END) > 12000
+           THEN round(avg(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_extendedprice END), 4)
+           ELSE round(avg(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_discount END), 4) END AS bucket3,
+      CASE WHEN count(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 END) > 12000
+           THEN round(avg(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN l_extendedprice END), 4)
+           ELSE round(avg(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN l_discount END), 4) END AS bucket4,
+      CASE WHEN count(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN 1 END) > 12000
+           THEN round(avg(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN l_extendedprice END), 4)
+           ELSE round(avg(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN l_discount END), 4) END AS bucket5
+    FROM lineitem
+    """,
+)
+def tpcds_q9_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 09 (09.sql): five CASE buckets each choosing between two
+    statistics of a quantity band. The reference query runs 15 scalar
+    subqueries (3 per bucket) over the same fact; here all 30 conditional
+    aggregates fold into ONE scan + ONE partial/final aggregate — the
+    single-pass rewrite matters at 100 TB where 15 fact rescans would be
+    the whole query cost."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    cols = []
+    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)], 1):
+        band = F.col("l_quantity").between(lo, hi)
+        cols.append(
+            F.when(
+                F.count(F.when(band, 1)) > 12000,
+                F.round(F.avg(F.when(band, F.col("l_extendedprice"))), 4),
+            )
+            .otherwise(F.round(F.avg(F.when(band, F.col("l_discount"))), 4))
+            .alias(f"bucket{i}")
+        )
+    return li.agg(*cols)
+
+
+# --- TPC-DS q41 shape: dim-only EXISTS self-join with disjunctive bands ----
+
+
+@register(
+    "tpcds_q41_manufact_exists",
+    """
+    SELECT DISTINCT p1.p_name AS product_name
+    FROM part p1
+    WHERE p1.p_partkey BETWEEN 100 AND 400
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_size % 10 = p1.p_size % 10
+          AND ((p2.p_type = 'ECONOMY'  AND p2.p_size BETWEEN 1  AND 5)
+            OR (p2.p_type = 'PROMO'    AND p2.p_size BETWEEN 10 AND 15)
+            OR (p2.p_type = 'STANDARD' AND p2.p_size BETWEEN 20 AND 25)))
+    ORDER BY product_name LIMIT 100
+    """,
+)
+def tpcds_q41_manufact_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 41 (41.sql): distinct product names whose manufacturer also
+    makes items matching any of several attribute bands — an EXISTS
+    self-join on the item dim with a heavy OR predicate. The inner side
+    filters FIRST, collapses to distinct manufacturer ids (10 values),
+    and semi-joins broadcast — the disjunction never touches a fact table.
+    Derivation: manufact = p_size % 10, class bands from p_type."""
+    cat = load_tables(spark, sf_dir)
+    part = cat.read("part")
+    manufact = (F.col("p_size") % 10).alias("manufact")
+    inner = (
+        part.filter(
+            ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 5))
+            | ((F.col("p_type") == "PROMO") & F.col("p_size").between(10, 15))
+            | ((F.col("p_type") == "STANDARD") & F.col("p_size").between(20, 25))
+        )
+        .select(manufact)
+        .distinct()
+    )
+    return (
+        part.filter(F.col("p_partkey").between(100, 400))
+        .withColumn("manufact", F.col("p_size") % 10)
+        .join(F.broadcast(inner), "manufact", "left_semi")
+        .select(F.col("p_name").alias("product_name"))
+        .distinct()
+        .orderBy("product_name")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q44 shape: best/worst items paired by rank position ------------
+
+
+@register(
+    "tpcds_q44_best_worst",
+    f"""
+    WITH perf AS (
+      SELECT {_CHANNEL_SQL} AS channel, l_partkey AS item,
+             avg(l_extendedprice * (1 - l_discount)) AS a
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT channel, item,
+             row_number() OVER (PARTITION BY channel ORDER BY a ASC,  item) AS r_asc,
+             row_number() OVER (PARTITION BY channel ORDER BY a DESC, item DESC) AS r_desc
+      FROM perf
+    )
+    SELECT b.channel, CAST(b.r_asc AS BIGINT) AS pos,
+           b.item AS worst_item, w.item AS best_item
+    FROM ranked b JOIN ranked w
+      ON b.channel = w.channel AND b.r_asc = w.r_desc
+    WHERE b.r_asc <= 10
+    ORDER BY b.channel, pos
+    """,
+)
+def tpcds_q44_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 44 (44.sql): pair the 10 best- and 10 worst-performing items
+    position-by-position — two opposite-direction rankings of the same
+    per-item aggregate self-joined on rank. Ranks partition by channel
+    (never global) over item-scale aggregates; the rank<=10 filter makes
+    the join sides 10 rows each per channel."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    perf = li.groupBy(_channel_col().alias("channel"), F.col("l_partkey").alias("item")).agg(
+        F.avg(_amt()).alias("a")
+    )
+    w_asc = W.partitionBy("channel").orderBy(F.col("a").asc(), F.col("item").asc())
+    w_desc = W.partitionBy("channel").orderBy(F.col("a").desc(), F.col("item").desc())
+    ranked = perf.select(
+        "channel", "item",
+        F.row_number().over(w_asc).cast("long").alias("r_asc"),
+        F.row_number().over(w_desc).cast("long").alias("r_desc"),
+    )
+    b = ranked.alias("b")
+    w = ranked.alias("w")
+    return (
+        b.filter(F.col("r_asc") <= 10)
+        .join(
+            w,
+            (F.col("b.channel") == F.col("w.channel"))
+            & (F.col("b.r_asc") == F.col("w.r_desc")),
+        )
+        .select(
+            F.col("b.channel").alias("channel"),
+            F.col("b.r_asc").alias("pos"),
+            F.col("b.item").alias("worst_item"),
+            F.col("w.item").alias("best_item"),
+        )
+        .orderBy("channel", "pos")
+    )
+
+
+# --- TPC-DS q50 shape: sale-to-return latency band matrix ------------------
+
+
+@register(
+    "tpcds_q50_return_latency",
+    """
+    SELECT n_name AS state,
+      CAST(count(CASE WHEN d <= 30 THEN 1 END) AS BIGINT)               AS d30,
+      CAST(count(CASE WHEN d BETWEEN 31  AND 60  THEN 1 END) AS BIGINT) AS d60,
+      CAST(count(CASE WHEN d BETWEEN 61  AND 90  THEN 1 END) AS BIGINT) AS d90,
+      CAST(count(CASE WHEN d BETWEEN 91  AND 120 THEN 1 END) AS BIGINT) AS d120,
+      CAST(count(CASE WHEN d > 120 THEN 1 END) AS BIGINT)               AS dmore
+    FROM (
+      SELECT c_nationkey,
+             date_diff('day', o_orderdate::date, l_shipdate::date) AS d
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+    ) t JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY state
+    """,
+)
+def tpcds_q50_return_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 50 (50.sql): how long returns take, bucketed 30/60/90/120/120+
+    days — a returns-to-sales join banded into a count matrix. Derivation:
+    the return event date = l_shipdate of the 'R' line, the sale date =
+    o_orderdate; the band CASEs are conditional counts in ONE aggregate
+    (the reference query's five scalar sums over the same join, fused)."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    cust, nation = cat.read("customer"), cat.read("nation")
+    t = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("d"),
+        )
+    )
+    band = lambda c: F.count(F.when(c, 1)).cast("long")  # noqa: E731
+    return (
+        t.groupBy(F.col("n_name").alias("state"))
+        .agg(
+            band(F.col("d") <= 30).alias("d30"),
+            band(F.col("d").between(31, 60)).alias("d60"),
+            band(F.col("d").between(61, 90)).alias("d90"),
+            band(F.col("d").between(91, 120)).alias("d120"),
+            band(F.col("d") > 120).alias("dmore"),
+        )
+        .orderBy("state")
+    )
+
+
+# --- TPC-DS q66 shape: monthly pivot over two unioned channel facts --------
+
+
+@register(
+    "tpcds_q66_monthly_pivot",
+    f"""
+    WITH facts AS (
+      SELECT s_nationkey AS wh, year(o_orderdate) AS y,
+             month(o_orderdate) AS m,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE {_CHANNEL_SQL} = 'store'
+      UNION ALL
+      SELECT s_nationkey, year(o_orderdate), month(o_orderdate),
+             l_extendedprice * (1 + l_tax)
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE {_CHANNEL_SQL} = 'web'
+    )
+    SELECT wh, CAST(y AS INT) AS y,
+           round(sum(CASE WHEN m = 1  THEN amt ELSE 0 END), 4) AS jan,
+           round(sum(CASE WHEN m = 2  THEN amt ELSE 0 END), 4) AS feb,
+           round(sum(CASE WHEN m = 3  THEN amt ELSE 0 END), 4) AS mar,
+           round(sum(CASE WHEN m = 4  THEN amt ELSE 0 END), 4) AS apr,
+           round(sum(CASE WHEN m = 5  THEN amt ELSE 0 END), 4) AS may,
+           round(sum(CASE WHEN m = 6  THEN amt ELSE 0 END), 4) AS jun,
+           round(sum(CASE WHEN m = 7  THEN amt ELSE 0 END), 4) AS jul,
+           round(sum(CASE WHEN m = 8  THEN amt ELSE 0 END), 4) AS aug,
+           round(sum(CASE WHEN m = 9  THEN amt ELSE 0 END), 4) AS sep,
+           round(sum(CASE WHEN m = 10 THEN amt ELSE 0 END), 4) AS oct,
+           round(sum(CASE WHEN m = 11 THEN amt ELSE 0 END), 4) AS nov,
+           round(sum(CASE WHEN m = 12 THEN amt ELSE 0 END), 4) AS dec
+    FROM facts GROUP BY wh, y ORDER BY wh, y
+    """,
+)
+def tpcds_q66_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 66 (66.sql): warehouse shipping report — 12 monthly sums
+    pivoted into columns, over a UNION ALL of two channel facts with
+    DIFFERENT amount expressions (net for store, tax-inclusive for web).
+    Warehouse = supplier nation. Both branches share one scan via exchange
+    reuse; the pivot is conditional aggregation, not 12 passes."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, sup = cat.read("lineitem"), cat.read("orders"), cat.read("supplier")
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(sup), li.l_suppkey == sup.s_suppkey
+    )
+    ch = _channel_col()
+    store = base.filter(ch == "store").select(
+        F.col("s_nationkey").alias("wh"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        _amt().alias("amt"),
+    )
+    web = base.filter(ch == "web").select(
+        F.col("s_nationkey").alias("wh"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        (F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("amt"),
+    )
+    facts = store.unionAll(web)
+    months = ["jan", "feb", "mar", "apr", "may", "jun",
+              "jul", "aug", "sep", "oct", "nov", "dec"]
+    aggs = [
+        F.round(F.sum(F.when(F.col("m") == i + 1, F.col("amt")).otherwise(0.0)), 4).alias(name)
+        for i, name in enumerate(months)
+    ]
+    return facts.groupBy("wh", "y").agg(*aggs).orderBy("wh", "y")
+
+
+# --- TPC-DS q70 shape: rank within ROLLUP strata ---------------------------
+
+
+@register(
+    "tpcds_q70_rollup_rank",
+    """
+    WITH base AS (
+      SELECT r_name AS region, n_name AS state,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+    ), agg AS (
+      SELECT region, state, round(sum(amt), 4) AS total,
+             CAST(GROUPING(region) + GROUPING(state) AS BIGINT) AS lochier
+      FROM base GROUP BY ROLLUP(region, state)
+    )
+    SELECT region, state, total, lochier,
+           CAST(row_number() OVER (
+             PARTITION BY lochier, CASE WHEN lochier = 0 THEN region END
+             ORDER BY total DESC, coalesce(state, ''), coalesce(region, '')
+           ) AS BIGINT) AS rank_in_parent
+    FROM agg
+    ORDER BY lochier DESC, coalesce(region, ''), rank_in_parent
+    """,
+)
+def tpcds_q70_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 70 (70.sql): sales hierarchy report ranking each state within
+    its region stratum of a ROLLUP — a window over grouping-set output,
+    partitioned by (grouping level, parent) so subtotal rows rank against
+    subtotal rows only. The window input is the ROLLUP aggregate
+    (dim-scale), never the fact."""
+    cat = load_tables(spark, sf_dir)
+    li, sup = cat.read("lineitem"), cat.read("supplier")
+    nation, region = cat.read("nation"), cat.read("region")
+    base = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("state"),
+            _amt().alias("amt"),
+        )
+    )
+    agg = base.rollup("region", "state").agg(
+        F.round(F.sum("amt"), 4).alias("total"),
+        (F.grouping("region") + F.grouping("state")).cast("long").alias("lochier"),
+    )
+    w = W.partitionBy(
+        "lochier", F.when(F.col("lochier") == 0, F.col("region"))
+    ).orderBy(
+        F.col("total").desc(),
+        F.coalesce(F.col("state"), F.lit("")),
+        F.coalesce(F.col("region"), F.lit("")),
+    )
+    return agg.select(
+        "region", "state", "total", "lochier",
+        F.row_number().over(w).cast("long").alias("rank_in_parent"),
+    ).orderBy(
+        F.col("lochier").desc(), F.coalesce(F.col("region"), F.lit("")), "rank_in_parent"
+    )
+
+
+# --- TPC-DS q76 shape: null-key facts per channel, unioned -----------------
+
+
+@register(
+    "tpcds_q76_null_keys",
+    f"""
+    WITH f AS (
+      SELECT {_CHANNEL_SQL} AS channel, year(l_shipdate) AS y,
+             l_extendedprice AS amt,
+             NULLIF(l_suppkey  % 7, 0) AS sk,
+             NULLIF(l_partkey  % 5, 0) AS pk,
+             NULLIF(l_orderkey % 3, 0) AS ok
+      FROM lineitem
+    )
+    SELECT channel, CAST(y AS INT) AS y,
+           CAST(count(*) AS BIGINT) AS cnt, round(sum(amt), 4) AS total
+    FROM (
+      SELECT channel, y, amt FROM f WHERE channel = 'store'   AND sk IS NULL
+      UNION ALL
+      SELECT channel, y, amt FROM f WHERE channel = 'catalog' AND pk IS NULL
+      UNION ALL
+      SELECT channel, y, amt FROM f WHERE channel = 'web'     AND ok IS NULL
+    ) u GROUP BY channel, y ORDER BY channel, y
+    """,
+)
+def tpcds_q76_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 76 (76.sql): counts/sums of fact rows whose dim key is NULL,
+    a different key per channel, UNION ALLed then re-aggregated. The
+    fixture has no null keys, so the derivation manufactures them
+    deterministically (NULLIF of a modulus) — the SHAPE under test is
+    three filtered scans of one fact sharing the scan via exchange reuse,
+    IS NULL predicates pushed to each."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    f = li.select(
+        _channel_col().alias("channel"),
+        F.year("l_shipdate").alias("y"),
+        F.col("l_extendedprice").alias("amt"),
+        F.nullif(F.col("l_suppkey") % 7, F.lit(0)).alias("sk"),
+        F.nullif(F.col("l_partkey") % 5, F.lit(0)).alias("pk"),
+        F.nullif(F.col("l_orderkey") % 3, F.lit(0)).alias("ok"),
+    )
+    u = (
+        f.filter((F.col("channel") == "store") & F.col("sk").isNull())
+        .select("channel", "y", "amt")
+        .unionAll(
+            f.filter((F.col("channel") == "catalog") & F.col("pk").isNull())
+            .select("channel", "y", "amt")
+        )
+        .unionAll(
+            f.filter((F.col("channel") == "web") & F.col("ok").isNull())
+            .select("channel", "y", "amt")
+        )
+    )
+    return (
+        u.groupBy("channel", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum("amt"), 4).alias("total"),
+        )
+        .orderBy("channel", "y")
+    )
+
+
+# --- TPC-DS q87 shape: EXCEPT chain of channel customer sets ---------------
+
+
+@register(
+    "tpcds_q87_except_chain",
+    f"""
+    WITH store_c AS (
+      SELECT DISTINCT o_custkey AS c, o_orderdate::date AS d FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey WHERE {_CHANNEL_SQL} = 'store'
+    ), catalog_c AS (
+      SELECT DISTINCT o_custkey AS c, o_orderdate::date AS d FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey WHERE {_CHANNEL_SQL} = 'catalog'
+    ), web_c AS (
+      SELECT DISTINCT o_custkey AS c, o_orderdate::date AS d FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey WHERE {_CHANNEL_SQL} = 'web'
+    ), only_store AS (
+      SELECT c, d FROM store_c EXCEPT SELECT c, d FROM catalog_c
+      EXCEPT SELECT c, d FROM web_c
+    )
+    SELECT n_name AS state, CAST(count(*) AS BIGINT) AS n
+    FROM only_store JOIN customer ON c = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY state
+    """,
+)
+def tpcds_q87_except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 87 (87.sql): customers present in one channel and absent from
+    the other two, at (customer, order-day) granularity mirroring the reference's (name, d_date) tuples — a set-difference CHAIN (EXCEPT is left-deep, so order
+    matters), then a dim rollup of the survivors. Each EXCEPT is a
+    distinct anti-join on customer-scale sets; the three channel scans
+    share the fact scan."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    cust, nation = cat.read("customer"), cat.read("nation")
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        _channel_col().alias("channel"),
+        F.col("o_custkey").alias("c"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    sets = {
+        ch: base.filter(F.col("channel") == ch).select("c", "d").distinct()
+        for ch in ("store", "catalog", "web")
+    }
+    only_store = sets["store"].exceptAll(sets["catalog"]).exceptAll(sets["web"]).distinct()
+    return (
+        only_store.join(F.broadcast(cust), F.col("c") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("state"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("state")
+    )
+
+
+# --- TPC-DS q93 shape: net sales after partial returns ---------------------
+
+
+@register(
+    "tpcds_q93_net_after_returns",
+    """
+    SELECT o_custkey AS cust,
+           round(sum(CASE WHEN l_returnflag = 'R' AND l_linenumber % 5 = 2
+                          THEN l_extendedprice
+                               * (l_quantity - floor(l_quantity / 2))
+                               / l_quantity
+                          ELSE l_extendedprice END), 4) AS act_sales
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    ORDER BY act_sales, cust LIMIT 100
+    """,
+)
+def tpcds_q93_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 93 (93.sql): actual per-customer sales after subtracting the
+    returned portion of each line (a returns join with a quantity
+    adjustment for one return reason). Derivation: the 'return' rows are
+    the R-flagged lines with reason = l_linenumber%5==2, returning half
+    the quantity. One fact-orders join, one aggregate, top-k."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    adj = F.when(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 5 == 2),
+        F.col("l_extendedprice")
+        * (F.col("l_quantity") - F.floor(F.col("l_quantity") / 2))
+        / F.col("l_quantity"),
+    ).otherwise(F.col("l_extendedprice"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.round(F.sum(adj), 4).alias("act_sales"))
+        .orderBy("act_sales", "cust")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q95 shape: multi-supplier returned web orders ------------------
+
+
+@register(
+    "tpcds_q95_multi_warehouse",
+    f"""
+    WITH ws AS (
+      SELECT l_orderkey, l_suppkey, l_extendedprice
+      FROM lineitem WHERE {_CHANNEL_SQL} = 'web'
+    ), multi AS (
+      SELECT l_orderkey FROM ws
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+    ), returned AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT CAST(count(DISTINCT w.l_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_extendedprice), 4) AS total
+    FROM ws w
+      JOIN multi    USING (l_orderkey)
+      JOIN returned USING (l_orderkey)
+    """,
+)
+def tpcds_q95_multi_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 95 (95.sql): web orders shipped from more than one warehouse
+    that also have a return — two semi-join-shaped subqueries (a grouped
+    HAVING on distinct suppliers ≈ the self-join EXISTS, and a distinct
+    returns set) gating the fact aggregate. Both gates are order-scale
+    key sets."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    ws = li.filter(_channel_col() == "web").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    multi = (
+        ws.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    return (
+        ws.join(multi, "l_orderkey")
+        .join(returned, "l_orderkey")
+        .agg(
+            F.count_distinct("l_orderkey").cast("long").alias("n_orders"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+        )
+    )
+
+
+# --- TPC-DS q97 shape: FULL OUTER channel-overlap matrix -------------------
+
+
+@register(
+    "tpcds_q97_channel_overlap",
+    f"""
+    WITH s AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS i
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE {_CHANNEL_SQL} = 'store'
+    ), w AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS i
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE {_CHANNEL_SQL} = 'web'
+    )
+    SELECT
+      CAST(sum(CASE WHEN s.c IS NOT NULL AND w.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+      CAST(sum(CASE WHEN s.c IS NULL AND w.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS web_only,
+      CAST(sum(CASE WHEN s.c IS NOT NULL AND w.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+    FROM s FULL OUTER JOIN w ON s.c = w.c AND s.i = w.i
+    """,
+)
+def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 97 (97.sql): how many (customer, item) pairs bought in store
+    only / web only / both — a FULL OUTER join of two distinct pair sets
+    collapsed to a 3-cell matrix with null-sentinel CASE counts. The
+    full-outer runs as one shuffle on (c, i); both inputs share the fact
+    scan."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        _channel_col().alias("channel"),
+        F.col("o_custkey").alias("c"),
+        F.col("l_partkey").alias("i"),
+    )
+    s = base.filter(F.col("channel") == "store").select("c", "i").distinct().alias("s")
+    w = base.filter(F.col("channel") == "web").select("c", "i").distinct().alias("w")
+    j = s.join(
+        w, (F.col("s.c") == F.col("w.c")) & (F.col("s.i") == F.col("w.i")), "full_outer"
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return j.agg(
+        cnt(F.col("s.c").isNotNull() & F.col("w.c").isNull()).alias("store_only"),
+        cnt(F.col("s.c").isNull() & F.col("w.c").isNotNull()).alias("web_only"),
+        cnt(F.col("s.c").isNotNull() & F.col("w.c").isNotNull()).alias("both_channels"),
+    )
+
+
+# --- TPC-DS q48 shape: disjunctive band filter across joins ----------------
+
+
+@register(
+    "tpcds_q48_band_disjunction",
+    """
+    SELECT CAST(round(sum(l_quantity), 0) AS BIGINT) AS qty
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE ((c_mktsegment = 'BUILDING'
+            AND l_quantity BETWEEN 1 AND 20
+            AND o_totalprice BETWEEN 1000 AND 100000)
+        OR (c_mktsegment = 'MACHINERY'
+            AND l_quantity BETWEEN 10 AND 30
+            AND o_totalprice BETWEEN 2000 AND 200000)
+        OR (c_mktsegment = 'AUTOMOBILE'
+            AND l_quantity BETWEEN 20 AND 40
+            AND o_totalprice BETWEEN 3000 AND 300000))
+      AND n_name IN ('FRANCE', 'GERMANY', 'CANADA', 'KENYA', 'JAPAN')
+    """,
+)
+def tpcds_q48_band_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 48 (48.sql): one big quantity sum gated by a three-arm
+    disjunction that correlates a dim attribute (segment) with fact bands
+    (quantity, order total) — the shape that tests OR-predicate pushdown
+    across a join. The residual OR evaluates post-join in the codegen
+    stage; the nation IN-list prunes via the broadcast dim."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    cust, nation = cat.read("customer"), cat.read("nation")
+    arm = lambda seg, qlo, qhi, tlo, thi: (  # noqa: E731
+        (F.col("c_mktsegment") == seg)
+        & F.col("l_quantity").between(qlo, qhi)
+        & F.col("o_totalprice").between(tlo, thi)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            (
+                arm("BUILDING", 1, 20, 1000, 100000)
+                | arm("MACHINERY", 10, 30, 2000, 200000)
+                | arm("AUTOMOBILE", 20, 40, 3000, 300000)
+            )
+            & F.col("n_name").isin("FRANCE", "GERMANY", "CANADA", "KENYA", "JAPAN")
+        )
+        .agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("qty"))
     )
