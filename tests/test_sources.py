@@ -624,3 +624,46 @@ def test_multi_table_transaction_update_same_table_refused(spark, tmp):
         tx.insert_rows(
             a, spark.createDataFrame([(2,)], "k bigint"), update=True
         )
+
+
+# -- Arrow IPC DataSource (EFormatType::Arrow) ----------------------------
+
+
+def test_arrow_roundtrip_all_types(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.sources.arrow import read_arrow, write_arrow
+
+    df = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+        F.when(F.col("id") % 3 == 0, F.col("id")).alias("maybe"),
+        F.array(F.col("id"), F.col("id") * 2).alias("arr"),
+        (F.col("id") % 2 == 0).alias("b"),
+    )
+    path = str(tmp_path / "t")
+    write_arrow(df, path)
+    back = read_arrow(spark, path)
+    # self-describing: schema read from the IPC footer
+    assert back.schema == df.schema
+    assert back.count() == 100
+    assert back.filter(F.col("maybe").isNull()).count() == 66
+    got = {r["k"]: r for r in back.collect()}
+    assert got[6]["arr"] == [6, 12] and got[6]["s"] == "v6" and got[6]["b"]
+
+
+def test_arrow_schema_projection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.sources.arrow import read_arrow, write_arrow
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    path = str(tmp_path / "t2")
+    write_arrow(df, path)
+    # narrower explicit schema prunes columns at the batch level
+    back = read_arrow(spark, path, schema="b long")
+    assert back.columns == ["b"]
+    assert sorted(r["b"] for r in back.collect()) == [i * 2 for i in range(10)]

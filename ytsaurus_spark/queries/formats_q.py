@@ -229,3 +229,67 @@ def fmt_yamr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subkey")
     )
+
+
+@register(
+    "fmt_arrow_roundtrip",
+    """
+    SELECT l_returnflag,
+           COUNT(*)                              AS n,
+           CAST(SUM(l_orderkey) AS BIGINT)       AS key_sum,
+           ROUND(SUM(l_extendedprice), 2)        AS price_sum,
+           COUNT(*) - COUNT(maybe_status)        AS null_count,
+           CAST(SUM(n_pair) AS BIGINT)           AS pair_sum,
+           MIN(ship_date)                        AS first_ship
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_extendedprice,
+               CASE WHEN l_quantity > 25 THEN l_linestatus END AS maybe_status,
+               len([l_partkey, l_suppkey]) AS n_pair,
+               l_shipdate::date AS ship_date
+        FROM lineitem WHERE l_orderkey % 23 = 0
+    )
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def fmt_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem slice → Arrow IPC files → back → aggregate.
+
+    The reference's Arrow job-I/O format (EFormatType::Arrow,
+    yt/yt/client/formats/public.h:49-62; arrow_writer.cpp/arrow_parser.cpp)
+    as a columnar Spark DataSource: record batches flow Arrow→Arrow in
+    both directions (no per-row Python), covering strings, int64, double,
+    date, absent/null values, and a nested array column. Losslessness is
+    hash-proven against the aggregate DuckDB computes from the untouched
+    parquet."""
+    from ytsaurus_spark.sources.arrow import read_arrow, write_arrow
+
+    cat = load_tables(spark, sf_dir)
+    slice_df = (
+        cat.read("lineitem")
+        .filter(F.col("l_orderkey") % 23 == 0)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_extendedprice",
+            F.when(F.col("l_quantity") > 25, F.col("l_linestatus")).alias(
+                "maybe_status"
+            ),
+            F.array("l_partkey", "l_suppkey").alias("pair"),
+            F.to_date("l_shipdate").alias("ship_date"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ytspark_arrow_"), "lineitem")
+    write_arrow(slice_df, path)
+    back = read_arrow(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+            (F.count(F.lit(1)) - F.count("maybe_status")).alias("null_count"),
+            F.sum(F.size("pair")).cast("long").alias("pair_sum"),
+            F.min("ship_date").alias("first_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
