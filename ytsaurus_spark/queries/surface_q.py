@@ -1394,3 +1394,47 @@ def fn_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         decompress("bz", "bz2").cast("string").alias("roundtrip_bz2"),
         F.length("text").cast("long").alias("orig_len"),
     )
+
+
+# --- Query Tracker async surface (query_tracker_client.h) ------------------
+
+@register(
+    "qt_async_query",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def qt_async_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async query through the Query Tracker (StartQuery → poll → read,
+    query_tracker_client.h:169-198): the query id returns immediately, the
+    state machine advances pending→running→completing→completed on a
+    worker thread inside a cancellable Spark job group, and the result is
+    read back from the tracker's persisted parquet — the exact submission
+    surface the reference's TPC-DS harness drives (SURVEY §3.3)."""
+    import shutil
+    import tempfile
+
+    from ytsaurus_spark.query_tracker import QueryTracker
+
+    cat = load_tables(spark, sf_dir)
+    cat.register_all()
+    root = tempfile.mkdtemp(prefix="ytspark_qt_")
+    try:
+        qt = QueryTracker(spark, root)
+        qid = qt.start_query(
+            "sql",
+            """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+            """,
+        )
+        rec = qt.wait(qid)
+        assert rec["state"] == "completed", rec
+        result = qt.read_query_result(qid)
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
