@@ -342,6 +342,42 @@ def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sum_if / avg_if / some (YQL conditional-aggregate variants,
+# yql/essentials/mount/lib/yql/aggregate.yqls) ------------------------------
+
+@register(
+    "agg_if_variants",
+    """
+    SELECT c_mktsegment,
+           round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 4) AS pos_sum,
+           round(avg(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 6) AS pos_avg,
+           CAST(count(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT) AS n_neg,
+           min(upper(c_mktsegment)) AS seg_some
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_if_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YQL SUM_IF / AVG_IF / COUNT_IF / SOME (aggregate.yqls): the _if
+    variants are conditional folds — one pass, a CASE inside the aggregate,
+    never a second filtered scan. SOME picks an arbitrary group member
+    (any_value); it is only hash-stable on a functionally-dependent column,
+    so the oracle pins it with the group key itself (the reference makes
+    the same determinism caveat — SOME is free to pick any value)."""
+    cat = load_tables(spark, sf_dir)
+    cust = cat.read("customer")
+    pos = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(pos), 4).alias("pos_sum"),
+            F.round(F.avg(pos), 6).alias("pos_avg"),
+            F.count(F.when(F.col("c_acctbal") < 0, 1)).cast("long").alias("n_neg"),
+            F.any_value(F.upper("c_mktsegment")).alias("seg_some"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --- mode / topfreq (YQL Top/TopFreq/Mode): most frequent values per group.
 # Expressed as count + ranked window — the exact-count form; the sketch form
 # at 100 TB swaps the count for a count-min/space-saving summary, same shape.
