@@ -216,3 +216,46 @@ def test_explain_select_rows(spark, sf_dir):
     assert "PushedFilters" in out["plan"]
     assert "GreaterThan(n_regionkey,1)" in out["plan"]
     assert "TakeOrderedAndProject" in out["plan"]
+
+
+# -- Unfolding / Unique secondary indexes (ESecondaryIndexKind) -----------
+
+
+def test_unfolding_index_list_contains(spark):
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators.secondary_index import (
+        build_unfolding_index,
+        query_with_unfolding_index,
+    )
+
+    t = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"]), (3, ["c"]), (4, [])],
+        "k long, tags array<string>",
+    )
+    idx = build_unfolding_index(t, "tags", ["k"])
+    got = query_with_unfolding_index(t, idx, ["k"], "b")
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+    # element absent from every list -> empty, not an error
+    assert query_with_unfolding_index(t, idx, ["k"], "z").count() == 0
+
+
+def test_unique_index_violation(spark):
+    import pytest as _pytest
+
+    from ytsaurus_spark.operators.secondary_index import (
+        UniqueKeyViolationError,
+        build_unique_index,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, email string"
+    )
+    idx = build_unique_index(ok, ["email"], ["k"])
+    assert idx.count() == 3
+
+    dup = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "z")], "k long, email string"
+    )
+    with _pytest.raises(UniqueKeyViolationError, match="email"):
+        build_unique_index(dup, ["email"], ["k"])

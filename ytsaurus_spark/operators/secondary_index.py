@@ -43,3 +43,67 @@ def query_with_index(
     shuffles: scan + broadcast-hash-semi-join only."""
     keys = index.filter(index_predicate).select(*key_cols)
     return table.join(F.broadcast(keys), key_cols, "left_semi")
+
+
+class UniqueKeyViolationError(ValueError):
+    """UniqueKeyViolation (yt/yt/client/table_client/public.h:180): a
+    Unique-kind index rejects two primary rows sharing an indexed value."""
+
+
+def build_unfolding_index(
+    table: DataFrame, list_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Materialize an Unfolding index (ESecondaryIndexKind::Unfolding,
+    yt/yt/client/tablet_client/public.h:236-240): ONE index row per
+    element of the list column, so ``list_contains(col, x)`` predicates
+    become point lookups on the unfolded value.
+
+    The index is element-count-sized (rows × avg list length) but each row
+    is narrow (value + primary key); range partitioning on the value keeps
+    a point probe to one partition's parquet row groups at scale."""
+    unfolded = table.select(
+        F.explode(F.col(list_col)).alias("__unfolded"), *key_cols
+    ).distinct()
+    return unfolded.repartitionByRange(F.col("__unfolded")).sortWithinPartitions(
+        "__unfolded"
+    )
+
+
+def query_with_unfolding_index(
+    table: DataFrame,
+    index: DataFrame,
+    key_cols: list[str],
+    value,
+) -> DataFrame:
+    """``WHERE list_contains(col, value)`` through the unfolding index:
+    probe the index at the value (partition-pruned point read), broadcast
+    the matched key set, semi-join the primary — the primary's list column
+    is never exploded, never shuffled."""
+    keys = index.filter(F.col("__unfolded") == F.lit(value)).select(*key_cols)
+    return table.join(F.broadcast(keys), key_cols, "left_semi")
+
+
+def build_unique_index(
+    table: DataFrame, indexed_cols: list[str], key_cols: list[str]
+) -> DataFrame:
+    """Materialize a Unique index (ESecondaryIndexKind::Unique): same
+    projection as FullSync, but building it VALIDATES that no indexed
+    value maps to more than one primary key — the write-path contract the
+    reference enforces on insert (UniqueKeyViolation error 306).
+
+    Validation is one partial-agg'd groupBy over the projection (count > 1
+    survivors only), so the check costs one index-sized aggregate, not a
+    self-join."""
+    dup = (
+        table.groupBy(*indexed_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        viol = {c: dup[0][c] for c in indexed_cols}
+        raise UniqueKeyViolationError(
+            f"indexed value {viol} maps to multiple primary rows"
+        )
+    return build_index(table, indexed_cols, key_cols)

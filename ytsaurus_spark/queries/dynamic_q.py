@@ -604,3 +604,31 @@ def dyn_multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "bal_tt", "recv_tt")
     )
+
+
+@register(
+    "dyn_unfolding_index",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE list_contains(string_split(text, ' '), 'data')
+    """,
+)
+def dyn_unfolding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfolding secondary index (ESecondaryIndexKind::Unfolding,
+    yt/yt/client/tablet_client/public.h:236-240): the index holds one row
+    per TOKEN of each document, so a ``list_contains(tokens, 'data')``
+    predicate becomes a point probe into the index — the primary table is
+    then semi-joined on the matched doc ids, never exploded. The oracle
+    recomputes membership the straightforward way from the raw text."""
+    from ytsaurus_spark.operators.secondary_index import (
+        build_unfolding_index,
+        query_with_unfolding_index,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    idx = build_unfolding_index(tokenized, "toks", ["doc_id"])
+    hits = query_with_unfolding_index(docs, idx, ["doc_id"], "data")
+    return hits.select("doc_id", "lang", "n_chars")
