@@ -259,3 +259,47 @@ def test_unique_index_violation(spark):
     )
     with _pytest.raises(UniqueKeyViolationError, match="email"):
         build_unique_index(dup, ["email"], ["k"])
+
+
+def test_log_table_retention_trim(spark, tmp_path):
+    import time as _time
+
+    import pytest as _pytest
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    t = LogTxTable(spark, str(tmp_path / "ret"), key_cols=["k"])
+    t.init(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))       # v0
+    t.insert_rows(spark.createDataFrame([(1, 11)], "k long, v long"))         # v1
+    t.insert_rows(spark.createDataFrame([(3, 30)], "k long, v long"))         # v2
+    cut = _time.time()
+    _time.sleep(0.01)
+    t.insert_rows(spark.createDataFrame([(2, 21)], "k long, v long"))         # v3
+    base_v = t.compact()                                                       # v4
+
+    # before trim: full history readable
+    assert {r["v"] for r in t.read(version=1).collect()} == {11, 20}
+
+    reclaimed = t.trim_history(cut)
+    assert reclaimed == 3  # v0, v1, v2 retired; v3 (post-cut) + base kept
+
+    # current state intact, including the post-cut delta
+    now = {r["k"]: r["v"] for r in t.read().collect()}
+    assert now == {1: 11, 2: 21, 3: 30}
+    # segments on disk actually reclaimed
+    import os as _os
+    assert not _os.path.exists(str(tmp_path / "ret" / "s0"))
+
+    # reads below the retention floor are rejected
+    with _pytest.raises(ValueError, match="retention"):
+        t.read(version=1)
+    # reads at/after the floor still fine
+    assert t.read(version=base_v).count() == 3
+
+    # history now spans only retained deltas
+    hist = t.versioned_lookup(spark.createDataFrame([(2,)], "k long"))
+    assert [r["__gen"] for r in hist.collect()] == [3]
+
+    # new commits continue normally after a trim
+    t.insert_rows(spark.createDataFrame([(4, 40)], "k long, v long"))
+    assert t.read().count() == 4

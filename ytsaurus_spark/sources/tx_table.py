@@ -156,7 +156,11 @@ class LogTxTable:
 
     Time travel: ``read(version=...)`` or ``read(timestamp=...)`` — old
     segments are never rewritten, so every historical version stays
-    readable (compaction ADDS a base; it does not drop history).
+    readable (compaction ADDS a base; it does not drop history) until
+    ``trim_history(retention_timestamp)`` reclaims versions older than
+    the retention point — the reference's TTL/retention compaction
+    (min/max_data_ttl, max_data_versions); reads below the surviving
+    floor then raise.
     """
 
     def __init__(
@@ -340,10 +344,57 @@ class LogTxTable:
         """Tombstone commit: appends only the keys, O(deleted keys)."""
         return self._write_segment(self._delete_delta(keys), "delta")
 
-    def compact(self) -> int:
+    def compact(self, retention_timestamp: float | None = None) -> int:
         """Fold the log into a new base segment (store compaction). Later
-        reads touch one segment; historical versions remain readable."""
-        return self._write_segment(self.read(), "base")
+        reads touch one segment; historical versions remain readable
+        unless ``retention_timestamp`` is passed, in which case history
+        committed before it is trimmed afterwards (see trim_history)."""
+        v = self._write_segment(self.read(), "base")
+        if retention_timestamp is not None:
+            self.trim_history(retention_timestamp)
+        return v
+
+    def trim_history(self, retention_timestamp: float) -> int:
+        """Drop row history committed before ``retention_timestamp`` —
+        the reference's TTL/retention compaction (``min_data_ttl`` /
+        ``max_data_ttl`` / ``max_data_versions`` in the tablet retention
+        config, applied by the store compactor): old versions stop being
+        readable and their storage is reclaimed, while the current state
+        (and every commit at/after the retention point) is untouched.
+
+        Mechanics: the newest base is the retention anchor — every
+        segment OLDER than the anchor whose commit time predates the
+        retention point is retired (manifest entry removed first, atomic
+        publish; directories deleted after, so a concurrent reader of the
+        old manifest never sees a half-removed segment). Reads at a
+        version/timestamp below the surviving floor raise, mirroring the
+        reference's retention-timestamp validation
+        (client_dynamic_tables_impl.cpp:1599-1603). Returns the number of
+        segments reclaimed; metadata-only except the directory removal —
+        no data pass, O(segments) not O(rows)."""
+        import shutil
+
+        segs = self._segments()
+        bases = [s for s in segs if s["kind"] == "base"]
+        if not bases:
+            return 0
+        anchor = bases[-1]["v"]
+        retire = [
+            s for s in segs if s["v"] < anchor and s["ts"] < retention_timestamp
+        ]
+        if not retire:
+            return 0
+        keep = [s for s in segs if s not in retire]
+        manifest = {"segments": keep}
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._log_path)
+        for s in retire:
+            shutil.rmtree(
+                os.path.join(self.path, f"s{s['v']}"), ignore_errors=True
+            )
+        return len(retire)
 
     # -- reads ------------------------------------------------------------
 
@@ -364,6 +415,11 @@ class LogTxTable:
         if version is None:
             return segs[-1]["v"]
         if not any(s["v"] == version for s in segs):
+            if version < segs[0]["v"]:
+                raise ValueError(
+                    f"version {version} predates the retention floor "
+                    f"(oldest retained segment is v{segs[0]['v']})"
+                )
             raise ValueError(f"version {version} not committed")
         return version
 
@@ -371,8 +427,13 @@ class LogTxTable:
         """Segments a read at ``version`` must merge: newest base ≤ v plus
         the deltas after it."""
         visible = [s for s in self._segments() if s["v"] <= version]
-        base_idx = max(i for i, s in enumerate(visible) if s["kind"] == "base")
-        return visible[base_idx:]
+        base_idxs = [i for i, s in enumerate(visible) if s["kind"] == "base"]
+        if not base_idxs:
+            raise ValueError(
+                f"version {version} predates the retention floor "
+                "(history trimmed by trim_history)"
+            )
+        return visible[base_idxs[-1]:]
 
     def _seg_df(self, s: dict) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.path, f"s{s['v']}"))
@@ -394,7 +455,8 @@ class LogTxTable:
         """Zero-row frame with the full log schema (for reads whose every
         segment was pruned). Schema comes from the seed segment's footer —
         the one piece of metadata a reader always holds."""
-        df = self.spark.read.parquet(os.path.join(self.path, "s0"))
+        v0 = self._segments()[0]["v"]
+        df = self.spark.read.parquet(os.path.join(self.path, f"s{v0}"))
         if "__sub" not in df.columns:
             df = df.withColumn("__sub", F.lit(0).cast("long"))
         return (
@@ -486,8 +548,9 @@ class LogTxTable:
         ``__write_ts`` (commit wall-clock) and ``__op`` ('u'/'d') —
         the reference's versioned read (VersionedLookupRows returning
         TVersionedRow write/delete timestamp lists, versioned_row.h).
-        History spans ALL segments (compaction adds a base, never drops
-        deltas), newest first per key."""
+        History spans all RETAINED segments (compaction adds a base and
+        keeps deltas; trim_history reclaims those beyond retention),
+        newest first per key."""
         segs = self._segments()
         if not segs:
             raise FileNotFoundError(f"no committed version in {self.path}")
@@ -547,5 +610,6 @@ class LogTxTable:
         return live.groupBy(*self.key_cols).agg(*aggs).select(*cols)
 
     def _schema_cols(self) -> list[str]:
-        first = self.spark.read.parquet(os.path.join(self.path, "s0"))
+        v0 = self._segments()[0]["v"]
+        first = self.spark.read.parquet(os.path.join(self.path, f"s{v0}"))
         return [c for c in first.columns if c not in ("__op", "__gen", "__sub")]
