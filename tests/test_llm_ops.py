@@ -330,3 +330,45 @@ def test_bpe_greedy_overlap_and_frequency_weighting(spark):
     assert (second.left_sym, second.right_sym, second.merged) == (
         "er", "er", "erer",
     )
+
+
+def test_semantic_dedup_flags_partition(spark):
+    import numpy as np
+
+    from ytsaurus_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 8))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 near-copies of each base vector
+            v = b + rng.normal(scale=0.01, size=8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        emb, k=2, iterations=1, threshold=0.95, centroid_stride=5
+    )
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(got) == 12  # every vector classified exactly once
+    # each triple keeps its min id and drops the near-copies that share
+    # its cluster; at least the global near-copies of kept ids are gone
+    assert sum(1 for k in got.values() if not k) >= 4
+    assert got[0] is True  # smallest id always survives
+
+
+def test_lm_score_prefers_natural_text(spark):
+    from ytsaurus_spark.operators.text import lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat too"),
+            (2, "the cat sat on the mat and the cat sat on"),
+            (3, "zq xv jk qz vx kj zq xv jk qz vx kj zq xv"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lm_score"] for r in lm_score(docs).collect()}
+    # repeated natural bigrams score higher than the rare-bigram doc
+    assert got[1] > got[3] and got[2] > got[3]

@@ -288,3 +288,66 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 30,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    recipe): cluster the embeddings with k-means, then drop near-duplicate
+    pairs WITHIN each cluster only — the cluster assignment plays the role
+    the LSH bucket plays in :func:`embedding_near_dup_pairs`, but learned
+    from the data, so semantically-close documents land in the same
+    bucket even when no random hyperplane would pair them.
+
+    Plan shape at 100 TB: the k-means fit is the chained declarative Lloyd
+    of ``kmeans_iterations`` (broadcast centroids, no driver data); the
+    pair scan is a cluster equi-join, O(Σ cell²) not O(n²); the drop rule
+    is greedy-by-id (a vector is dropped iff it has a kept-or-dropped
+    near-dup with a smaller id) — deterministic, no iteration, identical
+    in any engine. Returns (id, cell, kept).
+    """
+    from ytsaurus_spark.operators.similarity import _dot, kmeans_iterations
+
+    assign = kmeans_iterations(
+        emb, k=k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride,
+    )
+    withc = (
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .join(assign, id_col)
+    )
+    a = withc.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"), "cell")
+    b = withc.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "cell")
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(
+                    f"{_dot('av', 'bv')} / "
+                    f"sqrt({_dot('av', 'av')} * {_dot('bv', 'bv')})"
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return withc.join(drops, id_col, "left_anti").select(
+        id_col, "cell", F.lit(True).alias("kept")
+    ).unionByName(
+        withc.join(drops, id_col, "left_semi").select(
+            id_col, "cell", F.lit(False).alias("kept")
+        )
+    )

@@ -263,3 +263,57 @@ def bpe_learn_merges(
         merges,
         "step int, left_sym string, right_sym string, merged string, cnt bigint",
     )
+
+
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Statistical language-model quality score: average log2 probability
+    of each document's character bigrams under a bigram model trained on
+    the corpus itself (add-one smoothing over the observed alphabet) —
+    the CCNet-style perplexity filter with the n-gram LM trained in-plan
+    instead of imported (no external model artifact, fully deterministic).
+
+    Three partial-agg'd aggregates train the model (bigram counts, prefix
+    counts, alphabet size); scoring joins each doc's bigrams to the
+    broadcast-able count tables. At 100 TB the model tables are
+    alphabet²-sized — KBs — so the corpus is scanned twice (train, score)
+    and never shuffled by anything wider than a bigram key. Low scores =
+    improbable character sequences = boilerplate/garbled text.
+
+    Returns (id, n_bigrams, lm_score); lm_score rounded for
+    engine-stable comparisons.
+    """
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 1), "
+                f"i -> substring({text_col}, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    joint = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = bg.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.count(F.lit(1)).alias("c_pre")
+    )
+    alphabet = bg.select(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("vsize")
+    )
+    scored = (
+        bg.join(F.broadcast(joint), "bg")
+        .withColumn("c1", F.substring("bg", 1, 1))
+        .join(F.broadcast(prefix), "c1")
+        .join(F.broadcast(alphabet))
+        .withColumn(
+            "lp",
+            F.log2((F.col("c_bg") + 1) / (F.col("c_pre") + F.col("vsize"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), round_to).alias("lm_score"),
+    )

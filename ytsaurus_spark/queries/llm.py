@@ -717,6 +717,74 @@ def _kmeans_oracle(iters: int = 3, k: int = 8, stride: int = 30) -> str:
     )
 
 
+def _semantic_dedup_oracle(iters: int = 2, k: int = 8, stride: int = 30,
+                           threshold: float = 0.3) -> str:
+    """SemDeDup oracle: replay the Lloyd scaffold of _kmeans_oracle, then
+    the within-cluster pair scan and the greedy min-id drop rule."""
+    head = f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents0 AS (
+      SELECT CAST(vec_id / {stride} AS INT) AS cell, v AS cv
+      FROM vecs WHERE vec_id % {stride} = 0 AND vec_id < {stride * k}
+    )"""
+    step = """
+    , scored{n} AS (
+      SELECT vec_id, cell,
+             round(list_sum([ (v[i] - cv[i]) * (v[i] - cv[i])
+                              for i in range(1, 65) ]), 6) AS d2
+      FROM vecs CROSS JOIN cents{p}
+    ), assign{n} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM scored{n}
+      ) WHERE rn = 1
+    ), flat{n} AS (
+      SELECT a.cell, generate_subscripts(v, 1) AS i, unnest(v) AS e
+      FROM vecs JOIN assign{n} a USING (vec_id)
+    ), cents{n} AS (
+      SELECT cell, list(m ORDER BY i) AS cv FROM (
+        SELECT cell, i, avg(e) AS m FROM flat{n} GROUP BY cell, i
+      ) GROUP BY cell
+    )"""
+    body = "".join(step.format(n=i + 1, p=i) for i in range(iters))
+    return (
+        head
+        + body
+        + f"""
+    , withc AS (
+      SELECT vec_id, v, cell FROM vecs JOIN assign{iters} USING (vec_id)
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM withc a JOIN withc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+              sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+            4) >= {threshold}
+    )
+    SELECT w.vec_id, w.cell, d.vec_id IS NULL AS kept
+    FROM withc w LEFT JOIN drops d ON w.vec_id = d.vec_id
+    """
+    )
+
+
+@register("dedup_semantic", _semantic_dedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup, the published semantic-dedup recipe):
+    k-means cells bucket the pair scan, within-cell cosine >= 0.3 pairs
+    drop the higher id. The whole pipeline — Lloyd fit, cell equi-join,
+    greedy drop — is one declarative plan chain replayed exactly by the
+    DuckDB oracle (rounded distances and cosines keep argmin/threshold
+    decisions engine-stable)."""
+    from ytsaurus_spark.operators.dedup import semantic_dedup
+
+    cat = load_tables(spark, sf_dir)
+    return semantic_dedup(
+        cat.read("embeddings"), k=8, iterations=2, threshold=0.3,
+        centroid_stride=30,
+    )
+
+
 @register("sim_kmeans", _kmeans_oracle())
 def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations of k-means (k=8, exemplar init) — the iterative-
@@ -1305,3 +1373,38 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar argmax subquery per step)."""
     cat = load_tables(spark, sf_dir)
     return text.bpe_learn_merges(cat.read("documents"), n_merges=3)
+
+
+@register(
+    "text_lm_score",
+    """
+    WITH bg AS (
+      SELECT doc_id, unnest([ substring(text, i, 2)
+                              for i in range(1, length(text)) ]) AS bg
+      FROM documents
+    ), joint AS (
+      SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg
+    ), prefix AS (
+      SELECT substring(bg, 1, 1) AS c1, count(*) AS c_pre FROM bg GROUP BY 1
+    ), alphabet AS (
+      SELECT count(DISTINCT substring(bg, 2, 1)) AS vsize FROM bg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(log2((c_bg + 1) * 1.0 / (c_pre + vsize))), 4) AS lm_score
+    FROM bg
+      JOIN joint USING (bg)
+      JOIN prefix ON substring(bg, 1, 1) = c1
+      CROSS JOIN alphabet
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM quality scoring trained in-plan on the corpus (the
+    CCNet perplexity-filter shape without an external model): three tiny
+    aggregates build the model, a broadcast join scores every bigram, and
+    the per-doc average log-prob is the quality signal."""
+    from ytsaurus_spark.operators.text import lm_score
+
+    cat = load_tables(spark, sf_dir)
+    return lm_score(cat.read("documents"))
