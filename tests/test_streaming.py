@@ -491,3 +491,61 @@ def test_producer_session_auto_sequence_and_range_read(spark, stream_dir):
     # range read prunes to the covering segment(s) via the manifest
     mid = q.read(lo=1, hi=4).orderBy("$row_index")
     assert [r["v"] for r in mid.collect()] == ["b", "c", "d"]
+
+
+def test_producer_session_random_walk_matches_model(spark, stream_dir):
+    """Model-based randomized check (the reference's systest style): a
+    seeded walk of pushes, replays, overlapping retries, and session
+    recreations must leave the queue holding each sequence number exactly
+    once — the exactly-once invariant under any interleaving."""
+    import random
+
+    from ytsaurus_spark.streaming.queues import DurableQueue, ZombieEpochError
+
+    rng = random.Random(20260814)
+    q = DurableQueue(spark, os.path.join(stream_dir, "walk"))
+    session = q.create_session("walk")
+    stale = None
+    model_max_seq = -1
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("seq"), (F.col("id") * 7).alias("payload")
+        )
+
+    for _ in range(12):
+        op = rng.choice(["fresh", "replay", "overlap", "recreate", "zombie"])
+        if op == "fresh":
+            n = rng.randint(1, 40)
+            lo, hi = model_max_seq + 1, model_max_seq + 1 + n
+            assert session.push_batch(batch(lo, hi), seq_col="seq") == n
+            model_max_seq = hi - 1
+        elif op == "replay" and model_max_seq >= 0:
+            lo = rng.randint(0, model_max_seq)
+            assert (
+                session.push_batch(batch(lo, model_max_seq + 1), seq_col="seq")
+                == 0
+            )
+        elif op == "overlap" and model_max_seq >= 0:
+            lo = rng.randint(0, model_max_seq)
+            n_new = rng.randint(1, 20)
+            hi = model_max_seq + 1 + n_new
+            assert (
+                session.push_batch(batch(lo, hi), seq_col="seq") == n_new
+            )
+            model_max_seq = hi - 1
+        elif op == "recreate":
+            stale = session
+            session = q.create_session("walk")
+            assert session.last_seq == model_max_seq
+        elif op == "zombie" and stale is not None:
+            with pytest.raises(ZombieEpochError):
+                stale.push_batch(batch(0, 1), seq_col="seq")
+
+    got = q.read()
+    seqs = sorted(r["seq"] for r in got.collect())
+    assert seqs == list(range(model_max_seq + 1)), "gaps or duplicates"
+    # payloads intact and row indexes dense
+    assert got.filter(F.col("payload") != F.col("seq") * 7).count() == 0
+    idx = sorted(r["$row_index"] for r in got.collect())
+    assert idx == list(range(model_max_seq + 1))
