@@ -65,6 +65,7 @@ SCALING_SET = [
     "pipeline_clean_corpus",
     "dyn_mvcc_timestamped_read",
     "dedup_minhash_lsh",
+    "dedup_semantic",             # added r4: Lloyd chain + cell pair scan
 ]
 
 
