@@ -37,7 +37,16 @@ TPC-H q1–q22 suite in analytics_q.py):
 - q87     — left-deep EXCEPT chain of (customer, day) sets;
 - q93     — per-line return-quantity adjustment folded into one aggregate;
 - q95     — HAVING-count-distinct and distinct-set gates on a fact sum;
-- q97     — FULL OUTER join collapsed to a channel-overlap matrix.
+- q97     — FULL OUTER join collapsed to a channel-overlap matrix;
+- q8      — literal-VALUES set INTERSECT an aggregated subquery as a gate;
+- q21/q40 — before/after event-date split as conditional sums (one scan);
+- q32     — correlated per-item avg in WHERE, decorrelated to a join;
+- q38     — INTERSECT-of-distinct-customer-sets counterpart to q87;
+- q45     — (dim predicate OR subquery membership) via a broadcast flag join;
+- q46     — aggregate to order grain, rejoin the dim, attribute mismatch;
+- q58     — three-channel near-equal revenue bands over one shared rollup;
+- q65     — aggregate self-joined to its own re-aggregate (store avg);
+- q98     — ratio-to-report window partitioned on the class key.
 
 All are pure DataFrame plans: Catalyst handles CTE dedup, the INTERSECT
 becomes a shuffled distinct-join, per-channel branches share one scan via
@@ -2531,4 +2540,462 @@ def tpcds_q48_band_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("n_name").isin("FRANCE", "GERMANY", "CANADA", "KENYA", "JAPAN")
         )
         .agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("qty"))
+    )
+
+
+# --- TPC-DS q8 shape: literal-list INTERSECT subquery gating a dim ---------
+
+
+@register(
+    "tpcds_q8_preferred_zips",
+    """
+    WITH preferred AS (
+      SELECT c_nationkey AS zip FROM customer
+      WHERE c_acctbal > 5000 GROUP BY c_nationkey HAVING count(*) > 10
+    ), zips AS (
+      SELECT * FROM (VALUES (1),(3),(5),(7),(9),(11),(13),(15),(17),(19),(21),(23)) AS t(zip)
+      INTERSECT SELECT zip FROM preferred
+    )
+    SELECT s_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sales
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN zips ON s_nationkey = zip
+    WHERE l_linenumber % 3 = 0
+    GROUP BY s_name
+    """,
+)
+def tpcds_q8_preferred_zips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 08 (yt/benchmarks/run/queries/08.sql): store sales for
+    suppliers located in zips that are BOTH in a literal list AND have
+    enough preferred customers — a literal-VALUES set INTERSECTed with an
+    aggregated subquery, then used as a semi-join gate. zip := supplier
+    nation (fixture has no address column). The INTERSECT runs over two
+    tiny sets and broadcasts into the fact scan."""
+    cat = load_tables(spark, sf_dir)
+    li, supp, cust = cat.read("lineitem"), cat.read("supplier"), cat.read("customer")
+    literal = spark.range(1, 24, 2).select(F.col("id").cast("int").alias("zip"))
+    preferred = (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("zip"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 10)
+        .select("zip")
+    )
+    zips = literal.intersect(preferred)
+    return (
+        li.filter(F.col("l_linenumber") % 3 == 0)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(zips), supp.s_nationkey == F.col("zip"))
+        .groupBy("s_name")
+        .agg(F.round(F.sum(_amt()), 4).alias("net_sales"))
+    )
+
+
+# --- TPC-DS q21 shape: before/after date-split ratio band ------------------
+
+
+@register(
+    "tpcds_q21_before_after_ratio",
+    """
+    WITH inv AS (
+      SELECT s_name,
+             sum(CASE WHEN l_shipdate <  TIMESTAMP '1997-06-17' THEN l_quantity ELSE 0 END) AS inv_before,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-17' THEN l_quantity ELSE 0 END) AS inv_after
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-04-17' AND TIMESTAMP '1997-08-17'
+      GROUP BY s_name
+    )
+    SELECT s_name, CAST(inv_before AS BIGINT) AS inv_before,
+           CAST(inv_after AS BIGINT) AS inv_after
+    FROM inv
+    WHERE inv_before > 0 AND inv_after / inv_before BETWEEN 2.0/3.0 AND 3.0/2.0
+    """,
+)
+def tpcds_q21_before_after_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 21 (21.sql): warehouses whose inventory within ±2 months of
+    an event date stayed within a 2/3..3/2 before/after ratio. Inventory
+    := summed ship quantity per supplier; the date split folds into two
+    conditional sums over ONE scan (no self-join), the ratio band is a
+    post-aggregate HAVING."""
+    cat = load_tables(spark, sf_dir)
+    li, supp = cat.read("lineitem"), cat.read("supplier")
+    pivot = "1997-06-17"
+    inv = (
+        li.filter(F.col("l_shipdate").between("1997-04-17", "1997-08-17"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < pivot, F.col("l_quantity")).otherwise(0.0)
+            ).alias("inv_before"),
+            F.sum(
+                F.when(F.col("l_shipdate") >= pivot, F.col("l_quantity")).otherwise(0.0)
+            ).alias("inv_after"),
+        )
+    )
+    return (
+        inv.filter(
+            (F.col("inv_before") > 0)
+            & (F.col("inv_after") / F.col("inv_before")).between(2.0 / 3.0, 3.0 / 2.0)
+        )
+        .select(
+            "s_name",
+            F.col("inv_before").cast("long").alias("inv_before"),
+            F.col("inv_after").cast("long").alias("inv_after"),
+        )
+    )
+
+
+# --- TPC-DS q32 shape: correlated per-item average gating the fact ---------
+
+
+@register(
+    "tpcds_q32_excess_discount",
+    """
+    WITH item_avg AS (
+      SELECT l_partkey AS pk, avg(l_discount) AS ad FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice), 4) AS excess
+    FROM lineitem JOIN item_avg ON l_partkey = pk
+    WHERE l_discount > 1.3 * ad
+    """,
+)
+def tpcds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 32 (32.sql): "excess discount" — revenue of fact rows whose
+    discount exceeds 1.3x the per-item average, the correlated-scalar-
+    subquery-in-WHERE shape. Decorrelated into a per-item aggregate
+    joined back on the item key: one shuffle for the avg, one equi-join
+    (AQE picks broadcast when the item side is small)."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    item_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_discount").alias("ad")
+    )
+    return (
+        li.join(item_avg, li.l_partkey == item_avg.pk)
+        .filter(F.col("l_discount") > 1.3 * F.col("ad"))
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("excess"))
+    )
+
+
+# --- TPC-DS q38 shape: INTERSECT of customers across all channels ----------
+
+
+@register(
+    "tpcds_q38_channel_intersect",
+    """
+    WITH s AS (SELECT DISTINCT o_custkey AS ck FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 0),
+         c AS (SELECT DISTINCT o_custkey AS ck FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 1),
+         w AS (SELECT DISTINCT o_custkey AS ck FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 2)
+    SELECT CAST(count(*) AS BIGINT) AS omni_customers
+    FROM (SELECT ck FROM s INTERSECT SELECT ck FROM c INTERSECT SELECT ck FROM w) t
+    """,
+)
+def tpcds_q38_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 38 (38.sql): count of customers who bought through ALL three
+    channels — the INTERSECT-of-distinct-sets counterpart to q87's EXCEPT
+    chain. Catalyst plans each INTERSECT as a left-semi join over the
+    deduped keys; the three branches share one orders⋈lineitem scan."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    chan = lambda k: (  # noqa: E731
+        j.filter(F.col("l_linenumber") % 3 == k).select(F.col("o_custkey").alias("ck")).distinct()
+    )
+    omni = chan(0).intersect(chan(1)).intersect(chan(2))
+    return omni.agg(F.count(F.lit(1)).cast("long").alias("omni_customers"))
+
+
+# --- TPC-DS q40 shape: returns-netted before/after pivot -------------------
+
+
+@register(
+    "tpcds_q40_net_before_after",
+    """
+    SELECT n_name,
+           round(sum(CASE WHEN l_shipdate <  TIMESTAMP '1997-06-17' THEN net ELSE 0 END), 4) AS before_amt,
+           round(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-17' THEN net ELSE 0 END), 4) AS after_amt
+    FROM (
+      SELECT l_shipdate, l_suppkey,
+             CASE WHEN l_returnflag = 'R' THEN -l_extendedprice ELSE l_extendedprice END AS net
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-04-17' AND TIMESTAMP '1997-08-17'
+    ) f
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def tpcds_q40_net_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 40 (40.sql): net sales (returns subtracted) by warehouse
+    location before vs after an event date. Returns net in as a sign flip
+    of the same scan (no returns-table join), the date pivot is a pair of
+    conditional sums — one fact pass, two broadcast dims."""
+    cat = load_tables(spark, sf_dir)
+    li, supp, nation = cat.read("lineitem"), cat.read("supplier"), cat.read("nation")
+    pivot = "1997-06-17"
+    f = li.filter(F.col("l_shipdate").between("1997-04-17", "1997-08-17")).select(
+        "l_shipdate",
+        "l_suppkey",
+        F.when(F.col("l_returnflag") == "R", -F.col("l_extendedprice"))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("net"),
+    )
+    return (
+        f.join(F.broadcast(supp), f.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("l_shipdate") < pivot, F.col("net")).otherwise(0.0)), 4
+            ).alias("before_amt"),
+            F.round(
+                F.sum(F.when(F.col("l_shipdate") >= pivot, F.col("net")).otherwise(0.0)), 4
+            ).alias("after_amt"),
+        )
+    )
+
+
+# --- TPC-DS q45 shape: OR between a dim predicate and a subquery IN --------
+
+
+@register(
+    "tpcds_q45_zip_or_itemset",
+    """
+    SELECT c_nationkey AS zip, round(sum(l_extendedprice * (1 - l_discount)), 4) AS web_sales
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    WHERE l_linenumber % 3 = 2
+      AND (c_nationkey IN (2, 4, 6, 8, 10)
+           OR l_partkey IN (SELECT p_partkey FROM part WHERE p_size IN (1, 2, 3)))
+    GROUP BY c_nationkey
+    """,
+)
+def tpcds_q45_zip_or_itemset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 45 (45.sql): web sales by zip where the customer zip is in a
+    literal list OR the item is in a subquery set — the disjunction that
+    defeats plain semi-join pushdown. Decorrelated as a broadcast LEFT
+    join against the (unique-key) item set producing a membership flag,
+    then a residual OR filter; the fact table is scanned once and never
+    shuffled for the membership test."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    part = cat.read("part")
+    itemset = (
+        part.filter(F.col("p_size").isin(1, 2, 3))
+        .select(F.col("p_partkey").alias("flag_pk"))
+        .withColumn("in_set", F.lit(True))
+    )
+    return (
+        li.filter(F.col("l_linenumber") % 3 == 2)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(itemset), li.l_partkey == F.col("flag_pk"), "left")
+        .filter(F.col("c_nationkey").isin(2, 4, 6, 8, 10) | F.col("in_set").isNotNull())
+        .groupBy(F.col("c_nationkey").alias("zip"))
+        .agg(F.round(F.sum(_amt()), 4).alias("web_sales"))
+    )
+
+
+# --- TPC-DS q46 shape: per-order aggregate rejoined to the customer dim ----
+
+
+@register(
+    "tpcds_q46_nation_mismatch",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey AS ok, o_custkey AS ck, s_nationkey AS bought_nation,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS amt
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_orderkey, o_custkey, s_nationkey
+    )
+    SELECT c_name, ok, bought_nation, amt
+    FROM per_order JOIN customer ON ck = c_custkey
+    WHERE bought_nation <> c_nationkey
+    ORDER BY c_name, ok, bought_nation LIMIT 100
+    """,
+)
+def tpcds_q46_nation_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 46 (46.sql): order totals for customers whose current city
+    differs from the city they bought in — aggregate to order grain
+    FIRST, then rejoin the customer dim and filter on the attribute
+    mismatch. city := nation (fixture has no address). The order-grain
+    aggregate is the only data shuffle; the customer rejoin broadcasts,
+    and the top-k is TakeOrderedAndProject with a unique sort key."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    supp, cust = cat.read("supplier"), cat.read("customer")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("l_orderkey").alias("ok"),
+            F.col("o_custkey").alias("ck"),
+            F.col("s_nationkey").alias("bought_nation"),
+        )
+        .agg(F.round(F.sum(_amt()), 4).alias("amt"))
+    )
+    return (
+        per_order.join(F.broadcast(cust), per_order.ck == cust.c_custkey)
+        .filter(F.col("bought_nation") != F.col("c_nationkey"))
+        .select("c_name", "ok", "bought_nation", "amt")
+        .orderBy("c_name", "ok", "bought_nation")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q58 shape: three-channel near-equal revenue comparison ---------
+
+
+@register(
+    "tpcds_q58_equal_channels",
+    """
+    WITH r AS (
+      SELECT l_partkey AS item, l_linenumber % 3 AS ch,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem
+      WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+      GROUP BY l_partkey, l_linenumber % 3
+    )
+    SELECT s.item AS item,
+           round(s.rev, 4) AS store_rev, round(c.rev, 4) AS catalog_rev,
+           round(w.rev, 4) AS web_rev
+    FROM (SELECT item, rev FROM r WHERE ch = 0) s
+      JOIN (SELECT item, rev FROM r WHERE ch = 1) c ON s.item = c.item
+      JOIN (SELECT item, rev FROM r WHERE ch = 2) w ON s.item = w.item
+    WHERE s.rev BETWEEN 0.7 * (s.rev + c.rev + w.rev) / 3 AND 1.3 * (s.rev + c.rev + w.rev) / 3
+      AND c.rev BETWEEN 0.7 * (s.rev + c.rev + w.rev) / 3 AND 1.3 * (s.rev + c.rev + w.rev) / 3
+      AND w.rev BETWEEN 0.7 * (s.rev + c.rev + w.rev) / 3 AND 1.3 * (s.rev + c.rev + w.rev) / 3
+    """,
+)
+def tpcds_q58_equal_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 58 (58.sql): items whose revenue is roughly EQUAL across all
+    three channels (each within ±30% of the three-channel average). One
+    grouped pass computes (item, channel) revenue; the three-way self-join
+    is an equi-join on the item key sharing that single aggregate via
+    exchange reuse — no per-channel rescans of the fact."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    r = (
+        li.filter(F.year("l_shipdate").between(1996, 1998))
+        .groupBy(
+            F.col("l_partkey").alias("item"),
+            (F.col("l_linenumber") % 3).alias("ch"),
+        )
+        .agg(F.sum(_amt()).alias("rev"))
+    )
+    pick = lambda k, name: (  # noqa: E731
+        r.filter(F.col("ch") == k).select(F.col("item").alias(f"{name}_item"), F.col("rev").alias(name))
+    )
+    s, c, w = pick(0, "srev"), pick(1, "crev"), pick(2, "wrev")
+    avg3 = (F.col("srev") + F.col("crev") + F.col("wrev")) / 3
+    band = lambda col: col.between(0.7 * avg3, 1.3 * avg3)  # noqa: E731
+    return (
+        s.join(c, s.srev_item == c.crev_item)
+        .join(w, s.srev_item == w.wrev_item)
+        .filter(band(F.col("srev")) & band(F.col("crev")) & band(F.col("wrev")))
+        .select(
+            F.col("srev_item").alias("item"),
+            F.round("srev", 4).alias("store_rev"),
+            F.round("crev", 4).alias("catalog_rev"),
+            F.round("wrev", 4).alias("web_rev"),
+        )
+    )
+
+
+# --- TPC-DS q65 shape: group-level statistic self-join ---------------------
+
+
+@register(
+    "tpcds_q65_low_revenue_items",
+    """
+    WITH sp AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk, sum(l_extendedprice) AS rev
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), sa AS (
+      SELECT sk, avg(rev) AS ar FROM sp GROUP BY sk
+    )
+    SELECT s_name, p_name, pk AS item, round(rev, 4) AS revenue
+    FROM sp
+      JOIN sa ON sp.sk = sa.sk
+      JOIN supplier ON sp.sk = s_suppkey
+      JOIN part ON sp.pk = p_partkey
+    WHERE rev <= 0.5 * ar
+    ORDER BY s_name, item LIMIT 100
+    """,
+)
+def tpcds_q65_low_revenue_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 65 (65.sql): per store, items earning at most half that
+    store's average item revenue — the aggregate-joined-to-its-own-
+    re-aggregate shape. store := supplier. The (store, item) rollup is
+    the one data shuffle; the per-store average re-aggregates THAT
+    (tiny) result, and both dims broadcast."""
+    cat = load_tables(spark, sf_dir)
+    li, supp, part = cat.read("lineitem"), cat.read("supplier"), cat.read("part")
+    sp = li.groupBy(
+        F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")
+    ).agg(F.sum("l_extendedprice").alias("rev"))
+    sa = sp.groupBy(F.col("sk").alias("sa_sk")).agg(F.avg("rev").alias("ar"))
+    return (
+        sp.join(F.broadcast(sa), sp.sk == sa.sa_sk)
+        .filter(F.col("rev") <= 0.5 * F.col("ar"))
+        .join(F.broadcast(supp), sp.sk == supp.s_suppkey)
+        .join(F.broadcast(part), sp.pk == part.p_partkey)
+        .select(
+            "s_name",
+            "p_name",
+            F.col("pk").alias("item"),
+            F.round("rev", 4).alias("revenue"),
+        )
+        .orderBy("s_name", "item")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q98 shape: ratio-to-report window within a class ---------------
+
+
+@register(
+    "tpcds_q98_revenue_ratio",
+    """
+    SELECT class, brand, round(sum_amt, 4) AS revenue,
+           round(sum_amt * 100 / sum(sum_amt) OVER (PARTITION BY class), 4) AS revenueratio
+    FROM (
+      SELECT p_type AS class, p_brand AS brand,
+             sum(l_extendedprice * (1 - l_discount)) AS sum_amt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1997
+      GROUP BY p_type, p_brand
+    ) t
+    """,
+)
+def tpcds_q98_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 98 (98.sql, also the q12/q20 family): each brand's share of
+    its class revenue — the ratio-to-report window. The window PARTITIONs
+    on the class key over an already-aggregated input (|brands| rows), so
+    it never sees fact-scale data and never plans a global window."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    t = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type").alias("class"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(_amt()).alias("sum_amt"))
+    )
+    win = W.partitionBy("class")
+    return t.select(
+        "class",
+        "brand",
+        F.round("sum_amt", 4).alias("revenue"),
+        F.round(F.col("sum_amt") * 100 / F.sum("sum_amt").over(win), 4).alias(
+            "revenueratio"
+        ),
     )
