@@ -2999,3 +2999,136 @@ def tpcds_q98_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenueratio"
         ),
     )
+
+
+# --- TPC-DS q24 shape: fact-to-fact pairing join + scalar average gate -----
+
+
+@register(
+    "tpcds_q24_sale_return_pairs",
+    """
+    WITH paired AS (
+      SELECT o_custkey AS ck, s.l_extendedprice AS price
+      FROM lineitem s
+        JOIN lineitem r ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+             AND s.l_linenumber < r.l_linenumber
+        JOIN orders ON s.l_orderkey = o_orderkey
+      WHERE s.l_returnflag <> 'R' AND r.l_returnflag = 'R'
+    ), netpaid AS (
+      SELECT ck, sum(price) AS paid FROM paired GROUP BY ck
+    ), gate AS (SELECT avg(paid) AS ap FROM netpaid)
+    SELECT ck, round(paid, 4) AS paid
+    FROM netpaid, gate WHERE paid > ap
+    """,
+)
+def tpcds_q24_sale_return_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 24 (yt/benchmarks/run/queries/24.sql): sales paired with
+    their returns on the composite (ticket, item) key, summed per
+    customer, gated against a scalar average of those sums. The fact-to-
+    fact self-join is an equi-join on (orderkey, partkey) — both sides
+    shuffle-partition on the same composite key, no broadcast of fact
+    data — and the gate broadcasts a 1-row aggregate."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    s = li.filter(F.col("l_returnflag") != "R").select(
+        F.col("l_orderkey").alias("s_ok"),
+        F.col("l_partkey").alias("s_pk"),
+        F.col("l_linenumber").alias("s_ln"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"),
+        F.col("l_partkey").alias("r_pk"),
+        F.col("l_linenumber").alias("r_ln"),
+    )
+    netpaid = (
+        s.join(r, (s.s_ok == r.r_ok) & (s.s_pk == r.r_pk) & (s.s_ln < r.r_ln))
+        .join(orders, s.s_ok == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum("price").alias("paid"))
+    )
+    gate = netpaid.agg(F.avg("paid").alias("ap"))
+    return (
+        netpaid.crossJoin(F.broadcast(gate))
+        .filter(F.col("paid") > F.col("ap"))
+        .select("ck", F.round("paid", 4).alias("paid"))
+    )
+
+
+# --- TPC-DS q28 shape: six band aggregates fused into one pass -------------
+
+
+@register(
+    "tpcds_q28_band_aggregates",
+    """
+    SELECT
+      round(avg(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice END), 4) AS b1_avg,
+      CAST(count(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice END) AS BIGINT) AS b1_n,
+      CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice END) AS BIGINT) AS b1_nd,
+      round(avg(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_extendedprice END), 4) AS b2_avg,
+      CAST(count(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_extendedprice END) AS BIGINT) AS b2_n,
+      CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_extendedprice END) AS BIGINT) AS b2_nd,
+      round(avg(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_extendedprice END), 4) AS b3_avg,
+      CAST(count(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_extendedprice END) AS BIGINT) AS b3_n,
+      CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_extendedprice END) AS BIGINT) AS b3_nd,
+      round(avg(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN l_extendedprice END), 4) AS b4_avg,
+      CAST(count(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN l_extendedprice END) AS BIGINT) AS b4_n,
+      CAST(count(DISTINCT CASE WHEN l_quantity BETWEEN 31 AND 40 THEN l_extendedprice END) AS BIGINT) AS b4_nd
+    FROM lineitem
+    """,
+)
+def tpcds_q28_band_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 28 (28.sql): six quantity-band (avg, count, count distinct)
+    triples, written in the reference as six scalar subqueries cross-
+    joined — the hand-optimized variant (queries_optimized/) fuses them
+    into ONE scan with conditional aggregates, which is what this plan
+    does natively: a single pass with CASE-gated aggregates, the multi-
+    DISTINCT resolved by Catalyst's expand (4 bands here)."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    cols = []
+    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 30), (31, 40)], 1):
+        banded = F.when(
+            F.col("l_quantity").between(lo, hi), F.col("l_extendedprice")
+        )
+        cols += [
+            F.round(F.avg(banded), 4).alias(f"b{i}_avg"),
+            F.count(banded).cast("long").alias(f"b{i}_n"),
+            F.count_distinct(banded).cast("long").alias(f"b{i}_nd"),
+        ]
+    return li.agg(*cols)
+
+
+# --- TPC-DS q61 shape: promotional-to-total two-scalar ratio ---------------
+
+
+@register(
+    "tpcds_q61_promo_ratio",
+    """
+    WITH promo AS (
+      SELECT sum(l_extendedprice * (1 - l_discount)) AS p
+      FROM lineitem WHERE l_linenumber % 3 = 0 AND l_discount >= 0.05
+    ), total AS (
+      SELECT sum(l_extendedprice * (1 - l_discount)) AS t
+      FROM lineitem WHERE l_linenumber % 3 = 0
+    )
+    SELECT round(p, 4) AS promotional, round(t, 4) AS total,
+           round(p * 100 / t, 4) AS promo_pct
+    FROM promo, total
+    """,
+)
+def tpcds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 61 (61.sql): promotional store revenue as a share of total —
+    two scalar aggregates cross-joined into a single ratio row. Both
+    scalars reduce the same channel scan (the promo one adds a residual
+    discount filter); the cross join is two 1-row broadcasts."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    store = li.filter(F.col("l_linenumber") % 3 == 0)
+    promo = store.filter(F.col("l_discount") >= 0.05).agg(F.sum(_amt()).alias("p"))
+    total = store.agg(F.sum(_amt()).alias("t"))
+    return promo.crossJoin(F.broadcast(total)).select(
+        F.round("p", 4).alias("promotional"),
+        F.round("t", 4).alias("total"),
+        F.round(F.col("p") * 100 / F.col("t"), 4).alias("promo_pct"),
+    )
