@@ -1438,3 +1438,60 @@ def qt_async_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=result.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- SQL-standard JSON functions (YQL JSON_VALUE / JSON_EXISTS / JSON_QUERY)
+
+
+@register(
+    "fn_json_sql",
+    """
+    WITH j AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+             to_json(struct_pack(t := event_type,
+                                 k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS doc
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(k_val) AS BIGINT) AS k_sum,
+           CAST(sum(CASE WHEN has_k THEN 1 ELSE 0 END) AS BIGINT) AS has_k_n,
+           min(doc) AS first_doc,
+           CAST(sum(json_array_length(json_array(k_val, k_val + 1))) AS BIGINT) AS arr_len_sum
+    FROM j GROUP BY event_type
+    """,
+)
+def fn_json_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YQL's SQL-standard JSON functions (JSON_VALUE, JSON_EXISTS,
+    JSON_QUERY, serialization — yql/essentials/udfs and the Yson/Json
+    built-ins, reference yt/yt/library/query evaluation of Any columns):
+    JSON_VALUE == get_json_object + cast, JSON_EXISTS == extraction
+    non-null, JSON_QUERY/serialize == to_json of a struct, array length
+    over a constructed JSON array. All JVM-native expressions inside
+    whole-stage codegen — no Python, one aggregate exchange."""
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    j = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+        ).alias("doc"),
+    )
+    return j.groupBy("event_type").agg(
+        F.sum("k_val").cast("long").alias("k_sum"),
+        F.sum(F.when(F.col("has_k"), 1).otherwise(0)).cast("long").alias("has_k_n"),
+        F.min("doc").alias("first_doc"),
+        F.sum(
+            F.json_array_length(
+                F.to_json(F.array(F.col("k_val"), F.col("k_val") + 1))
+            )
+        )
+        .cast("long")
+        .alias("arr_len_sum"),
+    )
