@@ -317,3 +317,52 @@ def lm_score(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("lp"), round_to).alias("lm_score"),
     )
+
+
+def classifier_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """fastText/DCLM-style quality classifier applied IN-PLAN: a fixed-
+    weight logistic layer over deterministic text features (stopword
+    ratio, type-token ratio, mean word length, digit ratio, length norm).
+    The model is frozen weights — training happens offline; at pipeline
+    scale the score is pure codegen arithmetic over one scan, no Python
+    and no shuffle. Features are rounded to 4 decimals BEFORE the dot
+    product so the score is bit-stable across engines.
+
+    Mirrors the reference's corpus-filter stage in spirit (quality gates
+    ahead of dedup in training-data pipelines); weights are illustrative.
+    """
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), w -> array_contains({stop_arr}, w)))")
+    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    stop_ratio = r4(n_stop / n)
+    ttr = r4(F.size(F.array_distinct(t)) / n)
+    mean_len = r4(((F.length(text_col) - (n - 1)) / n) / 10.0)
+    digit_ratio = r4(
+        (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "[0-9]", "")))
+        / F.length(text_col)
+    )
+    len_norm = r4(F.least(F.length(text_col) / 1000.0, F.lit(1.0)))
+    z = (
+        2.0 * stop_ratio
+        + 1.5 * ttr
+        - 0.8 * mean_len
+        - 3.0 * digit_ratio
+        + 0.5 * len_norm
+        - 0.5
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return docs.select(
+        F.col(id_col),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+        digit_ratio.alias("digit_ratio"),
+        prob.alias("quality_prob"),
+        (prob >= threshold).alias("keep"),
+    )

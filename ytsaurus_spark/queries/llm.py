@@ -1408,3 +1408,40 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = load_tables(spark, sf_dir)
     return lm_score(cat.read("documents"))
+
+
+# --- frozen-weight logistic quality classifier, applied in-plan ------------
+
+@register(
+    "text_classifier_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), f AS (
+      SELECT doc_id,
+             round(len(list_filter(toks,
+                   w -> list_contains(['the','a','of','and','to','in'], w)))
+               * 1.0 / len(toks), 4) AS stop_ratio,
+             round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+             round(((length(text) - (len(toks) - 1)) * 1.0 / len(toks)) / 10.0, 4) AS mean_len,
+             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / length(text), 4) AS digit_ratio,
+             round(least(length(text) / 1000.0, 1.0), 4) AS len_norm
+      FROM t
+    )
+    SELECT doc_id, stop_ratio, ttr, digit_ratio,
+           round(1.0 / (1.0 + exp(-(2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
+                                    - 3.0 * digit_ratio + 0.5 * len_norm - 0.5))), 4)
+             AS quality_prob,
+           round(1.0 / (1.0 + exp(-(2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
+                                    - 3.0 * digit_ratio + 0.5 * len_norm - 0.5))), 4) >= 0.5
+             AS keep
+    FROM f
+    """,
+)
+def text_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight logistic quality classifier scored inside the scan
+    stage (operators/text.py classifier_score) — the model-based filter
+    step of a training-data pipeline, as one codegen expression."""
+    cat = load_tables(spark, sf_dir)
+    return text.classifier_score(cat.read("documents"))
