@@ -276,3 +276,101 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
         F.round(F.sum("value").over(w), 4).alias("val_last_hour"),
     )
+
+
+# --- time-series densification (gap fill onto a fixed grid) ----------------
+
+@register(
+    "ts_gap_fill",
+    """
+    WITH obs AS (
+      SELECT user_id AS k, date_trunc('hour', ts) AS bucket, round(sum(value), 4) AS v
+      FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), spans AS (
+      SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY k
+    ), grid AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM spans
+    )
+    SELECT grid.k AS user_id,
+           strftime(grid.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           coalesce(v, 0.0) AS value
+    FROM grid LEFT JOIN obs ON grid.k = obs.k AND grid.bucket = obs.bucket
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly series densified onto the full hour grid of each
+    user's own span, missing buckets as 0 (operators/timeseries.gap_fill).
+    Reference analogue: windowed QL over ordered log tables leaves gaps;
+    this is the densification pass. Per-key sequence explode — grid size
+    bounded by each key's span, co-partitioned left join, no global ops."""
+    from ytsaurus_spark.operators.timeseries import gap_fill
+
+    cat = load_tables(spark, sf_dir)
+    ev = (
+        cat.read("events")
+        .filter(F.col("ts") < "2024-01-04 00:00:00")
+        .select("user_id", "ts", F.round("value", 10).alias("value"))
+    )
+    obs_rounded = gap_fill(ev, "user_id", "ts", "value", step="1 hour", fill=0.0)
+    return obs_rounded.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@register(
+    "ts_resample_ffill",
+    """
+    WITH obs AS (
+      SELECT user_id AS k, date_trunc('hour', ts) AS bucket, round(sum(value), 4) AS v
+      FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), spans AS (
+      SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY k
+    ), grid AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM spans
+    ), dense AS (
+      SELECT grid.k, grid.bucket, v, v IS NULL AS was_gap
+      FROM grid LEFT JOIN obs ON grid.k = obs.k AND grid.bucket = obs.bucket
+    )
+    SELECT k AS user_id,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           was_gap
+    FROM dense
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to hourly grain with forward fill from the last observed
+    bucket (operators/timeseries.resample): the fill window PARTITIONs on
+    the key — each key sorts only its own buckets, never a global sort."""
+    from ytsaurus_spark.operators.timeseries import resample
+
+    cat = load_tables(spark, sf_dir)
+    ev = (
+        cat.read("events")
+        .filter(F.col("ts") < "2024-01-04 00:00:00")
+        .select("user_id", "ts", "value")
+    )
+    # round the per-bucket aggregate exactly like the oracle's obs CTE
+    from ytsaurus_spark.operators.timeseries import gap_fill as _gf
+
+    dense = _gf(ev, "user_id", "ts", "value", step="1 hour", fill=None)
+    dense = dense.withColumn("value", F.round("value", 4))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.last("value", ignorenulls=True).over(w).alias("value"),
+        F.col("value").isNull().alias("was_gap"),
+    )
