@@ -366,3 +366,53 @@ def classifier_score(
         prob.alias("quality_prob"),
         (prob >= threshold).alias("keep"),
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_learn_merges`` output) to
+    tokenize every document and count tokens — the tokenizer-apply half
+    of the pipeline. The model (a few hundred merge rows at most) is
+    collected ONCE driver-side and compiled into a single codegen
+    expression: per word, sentinel-wrap the characters then apply each
+    merge in rank order as a string replace (the same sentinel trick the
+    learner uses, so left-to-right non-overlapping replace == greedy
+    BPE). The corpus never shuffles — tokenization happens in the scan
+    stage; the per-doc aggregate is the only exchange. Fertility
+    (tokens per char) is the standard tokenizer-quality metric."""
+    sep = "\x1f"
+    model = [
+        (r.left_sym, r.right_sym)
+        for r in merges.orderBy("step").collect()
+    ]
+    S = "chr(31)"
+    enc = (
+        f"{S} || array_join(transform(sequence(1, length(word)), "
+        f"i -> substring(word, i, 1)), {S} || {S}) || {S}"
+    )
+    for a, b in model:
+        lit = lambda x: "'" + x.replace("'", "\\'") + "'"  # noqa: E731
+        enc = (
+            f"replace({enc}, {S} || {lit(a)} || {S} || {S} || {lit(b)} || {S}, "
+            f"{S} || {lit(a + b)} || {S})"
+        )
+    n_tok_word = f"size(split(btrim({enc}, {S}), {S} || {S}))"
+    words = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    return (
+        words.select(id_col, "n_chars", F.expr(n_tok_word).alias("n_tok"))
+        .groupBy(id_col, "n_chars")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_chars"), 4).alias("fertility"),
+        )
+    )

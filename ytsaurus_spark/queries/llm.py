@@ -1375,6 +1375,59 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_learn_merges(cat.read("documents"), n_merges=3)
 
 
+
+
+_BPE_ENCODE_ORACLE = _BPE_ORACLE.replace(
+    """SELECT * FROM (
+  SELECT 1 AS step, string_split(pair, chr(1))[1] AS left_sym,
+         string_split(pair, chr(1))[2] AS right_sym,
+         replace(pair, chr(1), '') AS merged, cnt FROM m1
+  UNION ALL
+  SELECT 2, string_split(pair, chr(1))[1], string_split(pair, chr(1))[2],
+         replace(pair, chr(1), ''), cnt FROM m2
+  UNION ALL
+  SELECT 3, string_split(pair, chr(1))[1], string_split(pair, chr(1))[2],
+         replace(pair, chr(1), ''), cnt FROM m3
+) ORDER BY step""",
+    """SELECT doc_id, n_tokens, round(n_tokens * 1.0 / n_chars, 4) AS fertility
+FROM (
+  SELECT doc_id, max(n_chars) AS n_chars,
+         CAST(sum(len(string_split(trim(s, chr(31)), chr(31) || chr(31)))) AS BIGINT)
+           AS n_tokens
+  FROM (
+    SELECT doc_id, n_chars,
+           replace(replace(replace(
+             chr(31) || array_to_string(list_transform(range(1, length(word)+1),
+                                                       i -> word[i]),
+                                        chr(31) || chr(31)) || chr(31),
+             r1.pat, r1.rep), r2.pat, r2.rep), r3.pat, r3.rep) AS s
+    FROM (SELECT doc_id, length(text) AS n_chars,
+                 unnest(string_split(text, ' ')) AS word FROM documents) w,
+         (SELECT chr(31) || replace(pair, chr(1), chr(31) || chr(31)) || chr(31) AS pat,
+                 chr(31) || replace(pair, chr(1), '') || chr(31) AS rep FROM m1) r1,
+         (SELECT chr(31) || replace(pair, chr(1), chr(31) || chr(31)) || chr(31) AS pat,
+                 chr(31) || replace(pair, chr(1), '') || chr(31) AS rep FROM m2) r2,
+         (SELECT chr(31) || replace(pair, chr(1), chr(31) || chr(31)) || chr(31) AS pat,
+                 chr(31) || replace(pair, chr(1), '') || chr(31) AS rep FROM m3) r3
+    WHERE length(word) > 0
+  ) enc GROUP BY doc_id
+) t""",
+)
+
+
+@register("text_bpe_encode", _BPE_ENCODE_ORACLE)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the 3 merges learned by text_bpe_merges
+    and count tokens + fertility per doc (operators/text.bpe_encode):
+    the model collects driver-side (3 rows), compiles into one codegen
+    replace chain, and the corpus is tokenized in the scan stage — the
+    per-doc aggregate is the only shuffle."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    merges = text.bpe_learn_merges(docs, n_merges=3)
+    return text.bpe_encode(docs, merges)
+
+
 @register(
     "text_lm_score",
     """
