@@ -939,3 +939,63 @@ def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- iterative graph analytics: damped PageRank as chained passes ----------
+
+@register(
+    "graph_pagerank",
+    """
+    WITH edges AS (
+      SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (SELECT count(*) * 1.0 AS n FROM nodes),
+    outdeg AS (SELECT src AS node, count(*) * 1.0 AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS recv
+           FROM r0 r JOIN outdeg d ON r.node = d.node
+                     JOIN edges e ON e.src = r.node GROUP BY e.dst),
+    d1 AS (SELECT coalesce(sum(r.rank), 0) AS dm
+           FROM r0 r LEFT JOIN outdeg d ON r.node = d.node WHERE d.node IS NULL),
+    r1 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(recv, 0) + d1.dm / nn.n) AS rank
+           FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn, d1),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS recv
+           FROM r1 r JOIN outdeg d ON r.node = d.node
+                     JOIN edges e ON e.src = r.node GROUP BY e.dst),
+    d2 AS (SELECT coalesce(sum(r.rank), 0) AS dm
+           FROM r1 r LEFT JOIN outdeg d ON r.node = d.node WHERE d.node IS NULL),
+    r2 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(recv, 0) + d2.dm / nn.n) AS rank
+           FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn, d2),
+    c3 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS recv
+           FROM r2 r JOIN outdeg d ON r.node = d.node
+                     JOIN edges e ON e.src = r.node GROUP BY e.dst),
+    d3 AS (SELECT coalesce(sum(r.rank), 0) AS dm
+           FROM r2 r LEFT JOIN outdeg d ON r.node = d.node WHERE d.node IS NULL),
+    r3 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(recv, 0) + d3.dm / nn.n) AS rank
+           FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 synchronous iterations, d=0.85) over the
+    supplier→customer order graph (operators/graph.pagerank). The
+    reference runs iterative analytics as controller-resubmitted
+    operation chains (controller_agent/controllers); here each iteration
+    is a src-partitioned join + dst aggregate — two shuffles per pass,
+    dangling mass redistributed uniformly. The oracle unrolls the same
+    three iterations as chained CTEs."""
+    from ytsaurus_spark.operators.graph import pagerank
+
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
