@@ -1,0 +1,92 @@
+"""Multi-dimensional data layout: Z-order clustering for 2-D+ skipping.
+
+The reference prunes chunks from per-chunk key min/max statistics
+(chyt/server/granule_min_max_filter.cpp:24-83; sorted tables give tight
+ranges only on the leading key). A single sort key cannot give tight
+ranges on TWO independent columns at once — the classic fix is Z-order:
+interleave the bits of the rank-normalized dimensions and range-
+partition + sort by the interleaved value, so every output file covers a
+small HYPER-RECTANGLE of the space and parquet row-group min/max stats
+prune 2-D box queries on either dimension.
+
+Plan shape at 100 TB: one partial aggregate for per-column min/max
+(broadcast back — same trick as the curation quantile pass), the z-value
+is pure codegen arithmetic in the scan stage, and the write is one
+range-exchange on zval. No global window, no driver-side data."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["zorder_value", "layout_zorder", "file_overlap_fraction"]
+
+_BITS = 16
+
+
+def zorder_value(df: DataFrame, cols: list[str], out_col: str = "__zval") -> DataFrame:
+    """Attach the Z-order (Morton) value of ``cols`` (numeric). Each
+    column is min/max scaled to 16 bits from a broadcast 1-row aggregate;
+    bits interleave via a higher-order ``aggregate`` — all JVM-side."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    stats = df.agg(*aggs)
+    with_stats = df.crossJoin(F.broadcast(stats))
+    n = len(cols)
+    scaled = []
+    for c in cols:
+        lo, hi = f"__min_{c}", f"__max_{c}"
+        scaled.append(
+            f"cast(floor((cast(`{c}` as double) - `{lo}`) / "
+            f"(CASE WHEN `{hi}` = `{lo}` THEN 1.0 ELSE `{hi}` - `{lo}` END) "
+            f"* {(1 << _BITS) - 1}) as bigint)"
+        )
+    # interleave: bit i of column j lands at position i*n + j
+    terms = " + ".join(
+        f"shiftleft(shiftright(__s{j}, i) & 1, i * {n} + {j})" for j in range(n)
+    )
+    sel = [F.expr(s).alias(f"__s{j}") for j, s in enumerate(scaled)]
+    z = with_stats.select("*", *sel).withColumn(
+        out_col,
+        F.expr(f"aggregate(sequence(0, {_BITS - 1}), 0L, (acc, i) -> acc + {terms})"),
+    )
+    drop = [f"__s{j}" for j in range(n)] + [a for c in cols for a in (f"__min_{c}", f"__max_{c}")]
+    return z.drop(*drop)
+
+
+def layout_zorder(df: DataFrame, cols: list[str], path: str, n_files: int = 8) -> None:
+    """Write ``df`` to parquet clustered by the Z-order of ``cols``:
+    range-partition on zval (one exchange) and sort within partitions so
+    row-group min/max stats are tight on EVERY listed dimension."""
+    z = zorder_value(df, cols)
+    (
+        z.repartitionByRange(n_files, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_overlap_fraction(path: str, col: str, lo, hi) -> float:
+    """Fraction of parquet row groups whose [min, max] stats for ``col``
+    overlap [lo, hi] — the skip-rate a stats-pruning scan achieves.
+    Reads only footers (the same IO a planner does)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = hit = 0
+    for f in _glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                cmeta = md.row_group(rg).column(ci)
+                if cmeta.path_in_schema == col:
+                    total += 1
+                    st = cmeta.statistics
+                    if st is None or st.min is None:
+                        hit += 1
+                    elif not (st.max < lo or st.min > hi):
+                        hit += 1
+    return hit / total if total else 1.0

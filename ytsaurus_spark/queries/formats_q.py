@@ -293,3 +293,39 @@ def fmt_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- Z-order clustered layout: 2-D box query after rewrite -----------------
+
+@register(
+    "layout_zorder_box",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 10.0 AND 60.0
+    """,
+)
+def layout_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite events Z-order-clustered on (user_id, value) — the 2-D
+    skipping layout (operators/layout.py; reference analogue: chunk
+    min/max pruning, chyt/server/granule_min_max_filter.cpp:24-83, which
+    a single sort key only serves on the leading column) — then answer a
+    2-D box query from the clustered copy. Every output file covers a
+    hyper-rectangle, so row-group stats prune BOTH predicates; the
+    oracle proves the rewritten layout returns byte-identical results."""
+    import tempfile
+
+    from ytsaurus_spark.operators.layout import layout_zorder
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    path = os.path.join(tempfile.mkdtemp(prefix="ytspark_zorder_"), "events")
+    layout_zorder(ev, ["user_id", "value"], path, n_files=8)
+    z = spark.read.parquet(path)
+    return (
+        z.filter(F.col("user_id").between(10, 40) & F.col("value").between(10.0, 60.0))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
