@@ -364,3 +364,31 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws a deterministic uniform u from md5(id) and ranks by
+    ln(u)/w — the top-k by that key is an exact weighted sample, and the
+    whole thing is one TakeOrderedAndProject (distributed heap top-k, no
+    global sort, no shuffle of the losers). The training-mix primitive
+    for 'sample 10M docs proportional to quality weight' at corpus
+    scale; deterministic because u is a hash, so the sample is
+    reproducible and oracle-checkable."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float((1 << 32) + 1)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        docs.withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__es_key")
+    )

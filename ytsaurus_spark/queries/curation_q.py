@@ -321,3 +321,27 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_bins_summary(packed, PACK_BUDGET).select(
         "bin_id", "n_docs", "tokens"
     )
+
+
+@register(
+    "curation_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                / 4294967297.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible weighted sampling without replacement (A-ES top-k,
+    operators/curation.weighted_sample), weight = doc length. One
+    distributed top-k; the md5-derived uniform makes the sample
+    deterministic across engines and runs."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents").select("doc_id", "source", "n_chars")
+    out = curation.weighted_sample(docs, "n_chars", k=50)
+    return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
