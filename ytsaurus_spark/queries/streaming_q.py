@@ -722,3 +722,127 @@ def pipeline_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return table.read().select("user_id", "n_attributed", "total_tt")
+
+
+# --- stream-stream LEFT OUTER interval join: null rows on state expiry ----
+
+@register(
+    "stream_stream_left_join",
+    """
+    SELECT c.user_id AS user_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           round(p.value, 4) AS amount
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — unmatched clicks emit
+    with NULL purchase columns only after the watermark passes their
+    join horizon (Spark evicts the state row and emits the outer
+    result). That expiry needs the watermark to ADVANCE past the last
+    real click + 4 h, which a finite file stream never does on its own —
+    so the events file is staged into a directory with a far-future
+    sentinel file, maxFilesPerTrigger=1 forces a second trigger, and the
+    sentinel drags the watermark forward to flush every pending outer
+    row. The emitted set then equals the batch LEFT join (oracle).
+
+    Scale shape: identical to the inner interval join (bounded per-key
+    state inside the watermark horizon); the outer rows are emitted
+    incrementally as state expires — no end-of-stream buffering."""
+    import os
+    import shutil
+    import tempfile
+
+    load_tables(spark, sf_dir)
+    src_file = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src_file).schema
+
+    stage = tempfile.mkdtemp(prefix="ytspark_ssleft_")
+    shutil.copy(src_file, os.path.join(stage, "events.parquet"))
+    max_ts = spark.read.parquet(src_file).agg(F.max("ts")).collect()[0][0]
+    # one sentinel per SIDE: each must survive its branch's event_type
+    # filter, or the watermark node never sees it and never advances
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, -1, "click", 0.0, "{}"), (-2, max_ts, -1, "purchase", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).select(
+        F.col("event_id"),
+        (F.col("ts") + F.expr("interval 12 hours")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sent_dir = os.path.join(stage, "zz_sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    for i, f in enumerate(sorted(os.listdir(sent_dir))):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sent_dir, f), os.path.join(stage, "zz_sentinel.parquet"))
+    shutil.rmtree(sent_dir)
+    # the sentinel file must sort AFTER the data file for trigger order
+    os.utime(os.path.join(stage, "zz_sentinel.parquet"), None)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + interval 4 hours"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.round("p_value", 4).alias("amount"),
+    )
+    name = "stream_stream_left_join_out"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rows = spark.table(name).filter(F.col("user_id") != -1).collect()
+    out = spark.createDataFrame(rows, schema=spark.table(name).schema)
+    shutil.rmtree(stage, ignore_errors=True)
+    return out.filter(F.col("user_id") != -1)
