@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched Pandas functions.
 
-The image/audio codec libraries are not in this container, so the *decode*
-step is stubbed (NotImplementedError or a deterministic fake) — but the
-Spark-side plumbing is real and tested: schema (binary + metadata struct),
-partition-aware batch processing via mapInPandas, and the UDF batch shapes
-a real decoder would drop into.
+PNG decodes NATIVELY (pure-stdlib codec, sources/png.py — zlib + filter
+reconstruction from the public spec), so the image path is real end to end:
+synthesize_png builds valid PNGs, decode_image/extract_image_features
+decode them, and the closed-form oracle (`mm_png_decode`) hash-checks the
+decoded statistics. Other codecs (JPEG/audio/video) stay import-gated on
+their libraries; opaque payloads use the deterministic byte-feature path.
+The Spark-side plumbing — schema (binary + metadata struct), Arrow-batched
+mapInPandas, partitioning — is identical for every path.
 
 At 100 TB: binary payloads dominate IO, so the scan must prune to the
 binary column only when needed (parquet column pruning handles this), and
@@ -52,15 +55,24 @@ def decode_image(media: bytes, media_type: str):
     function raises with the dependency named. The Spark-side plumbing
     (schema, Arrow batching, partitioning) is identical for both paths,
     so installing the codec changes no plan shapes."""
+    from ytsaurus_spark.sources.png import PNG_MAGIC, png_decode
+
+    if media[:8] == PNG_MAGIC:
+        # REAL decode, no external dependency: pure-stdlib PNG codec
+        # (sources/png.py — zlib inflate + filter reconstruction from the
+        # public spec). 8-bit RGB covers the synthetic fixtures and the
+        # thumbnail shapes ML pipelines carry.
+        w, h, _ = png_decode(media)
+        return w, h, "RGB"
     try:
         import io
 
         from PIL import Image  # type: ignore
     except ImportError as e:  # pragma: no cover - env has no imaging libs
         raise NotImplementedError(
-            "image decode needs an imaging library (pip install pillow); "
-            "the deterministic byte-feature path is the supported "
-            "contract in codec-less environments"
+            "non-PNG decode needs an imaging library (pip install pillow); "
+            "PNG decodes natively via sources/png.py, and the byte-feature "
+            "path covers opaque payloads"
         ) from e
     with Image.open(io.BytesIO(media)) as im:  # pragma: no cover
         return im.width, im.height, im.mode
@@ -130,4 +142,74 @@ def frame_explode(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "id",
         F.expr(f"off div {every_n_bytes}").cast("int").alias("frame_idx"),
         F.expr(f"substring(media, off + 1, {every_n_bytes})").alias("frame"),
+    )
+
+
+def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL PNG payloads deterministically from row ids (fixture
+    substitute with actual image bytes): w = 4 + id%3, h = 4 + id%2,
+    channel value at (x, y, c) = (id*7 + x*13 + y*31 + c*5) % 256. The
+    closed form makes decoded statistics oracle-checkable without an
+    image library on the oracle side."""
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ytsaurus_spark.sources.png import png_encode
+
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads, ws, hs = [], [], []
+            for i in ids:
+                w, h = 4 + int(i) % 3, 4 + int(i) % 2
+                px = bytes(
+                    (int(i) * 7 + x * 13 + y * 31 + c * 5) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                payloads.append(png_encode(w, h, px))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "media": payloads,
+                    "media_type": "image/png",
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "sample_rate": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(runner, MEDIA_SCHEMA)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """REAL image feature extraction: decode each PNG payload (stdlib
+    codec) and emit dimensions + per-channel means — the decode+featurize
+    batch shape (mapInPandas, zero shuffle) with an actual decoder."""
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ytsaurus_spark.sources.png import png_decode
+
+        for pdf in batches:
+            out = {"id": pdf["id"], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for media in pdf["media"]:
+                w, h, px = png_decode(bytes(media))
+                n = w * h
+                sums = [0, 0, 0]
+                for j in range(0, len(px), 3):
+                    sums[0] += px[j]
+                    sums[1] += px[j + 1]
+                    sums[2] += px[j + 2]
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(round(sums[0] / n, 4))
+                out["mean_g"].append(round(sums[1] / n, 4))
+                out["mean_b"].append(round(sums[2] / n, 4))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "media").mapInPandas(
+        runner,
+        "id bigint, width int, height int, mean_r double, mean_g double, mean_b double",
     )

@@ -11,7 +11,13 @@ from pyspark.sql import functions as F
 
 from ytsaurus_spark.catalog import load_tables
 from ytsaurus_spark.operators.asof import asof_join
-from ytsaurus_spark.operators.multimodal import attach_binary, extract_features, frame_sample
+from ytsaurus_spark.operators.multimodal import (
+    attach_binary,
+    extract_features,
+    extract_image_features,
+    frame_sample,
+    synthesize_png,
+)
 from ytsaurus_spark.queries import register
 
 
@@ -1494,4 +1500,46 @@ def fn_json_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("arr_len_sum"),
+    )
+
+
+# --- REAL image decode: stdlib PNG codec, closed-form oracle ---------------
+
+
+@register(
+    "mm_png_decode",
+    """
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 3 AS w, 4 + doc_id % 2 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM g
+    ), pxy AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px
+    )
+    SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           round(avg((doc_id * 7 + x * 13 + y * 31) % 256), 4) AS mean_r,
+           round(avg((doc_id * 7 + x * 13 + y * 31 + 5) % 256), 4) AS mean_g,
+           round(avg((doc_id * 7 + x * 13 + y * 31 + 10) % 256), 4) AS mean_b
+    FROM pxy GROUP BY doc_id
+    """,
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: synthesize valid PNGs from row ids
+    (operators/multimodal.synthesize_png), decode them with the pure-
+    stdlib codec (sources/png.py — no imaging library), and emit
+    dimensions + per-channel means. The oracle recomputes the statistics
+    from the generating closed form, so a decoder bug (filter math,
+    stride, channel order) breaks the hash. Plan: two mapInPandas stages
+    over Arrow batches, zero shuffles."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    media = synthesize_png(docs)
+    feats = extract_image_features(media)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
     )
