@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 N_TABLES = 3
-N_QUERIES = 90
+N_QUERIES = 120
 ROWS_PER_TABLE = 120
 
 
@@ -46,7 +46,32 @@ def _pred(rng: random.Random) -> str:
 
 def _gen_query(rng: random.Random) -> str:
     t = f"rt{rng.randrange(N_TABLES)}"
-    kind = rng.randrange(10)
+    kind = rng.randrange(13)
+    if kind == 10:  # scalar correlated subquery in SELECT
+        t2 = f"rt{rng.randrange(N_TABLES)}"
+        return (
+            f"SELECT k, v, "
+            f"(SELECT max(b.v) FROM {t2} b WHERE b.k = a.k) AS mv, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM {t2} b WHERE b.k = a.k "
+            f"AND b.v IS NOT NULL) AS nc "
+            f"FROM {t} a WHERE {_pred(rng)} "
+            f"ORDER BY k, v NULLS FIRST LIMIT 40"
+        )
+    if kind == 11:  # FILTER-clause aggregates
+        return (
+            f"SELECT k, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(count(*) FILTER (WHERE v IS NOT NULL AND v > {rng.randint(-50, 50)}) AS BIGINT) AS nf, "
+            f"CAST(sum(coalesce(v, 0)) FILTER (WHERE s IS NOT NULL) AS BIGINT) AS sf, "
+            f"min(v) FILTER (WHERE s = '{rng.choice(['x', 'y', 'z'])}') AS mf "
+            f"FROM {t} WHERE {_pred(rng)} GROUP BY k"
+        )
+    if kind == 12:  # GROUPING SETS without the global set (empty-input safe)
+        return (
+            f"SELECT k, s, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(grouping(k) AS BIGINT) AS gk, CAST(grouping(s) AS BIGINT) AS gs, "
+            f"CAST(sum(coalesce(v, 0)) AS BIGINT) AS sv "
+            f"FROM {t} WHERE {_pred(rng)} GROUP BY GROUPING SETS ((k), (s), (k, s))"
+        )
     if kind == 9:  # FULL OUTER join with coalesced keys
         t2 = f"rt{rng.randrange(N_TABLES)}"
         return (
