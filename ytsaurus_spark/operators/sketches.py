@@ -1,0 +1,73 @@
+"""Mergeable cardinality sketches (K-Minimum-Values) as declarative plans.
+
+The reference's ``cardinality`` aggregate is HyperLogLog with a mergeable
+intermediate state (yt/yt/library/query/engine_api/builtin_function_registry
+cardinality; YQL exposes the merge in ``udaf_traits_factory``). Spark's
+``approx_count_distinct`` is also HLL but hides its state, so set
+ALGEBRA over sketches (union/intersection estimates, cross-segment
+merge) can't be expressed with it. KMV is the sketch whose state IS a
+relational value — the k smallest value hashes — so building, merging,
+and estimating are ordinary aggregates:
+
+- build: distinct (group, hash) pre-aggregate, then a group-PARTITIONED
+  top-k window (row_number <= k) — never global, two keyed shuffles;
+- estimate: D ≈ (k-1) * H / h_k with h_k the k-th smallest hash over
+  hash space H (exact when the group has < k distinct values);
+- merge: union the hash sets, retake the k smallest — same plan shape,
+  which is the whole point (sketches from different table segments /
+  days / clusters combine without rescanning data).
+
+The hash is the md5-prefix integer used across the repo (engine-exact in
+DuckDB), so every estimate is oracle-checkable bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_build", "kmv_estimate", "kmv_merge"]
+
+_H = float(1 << 32)  # hash space size
+
+
+def _hash32(col) -> "F.Column":
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmv_build(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+    """Per-group KMV sketch: (group, hashes array of <= k, n_distinct_seen
+    capped at k). Scale shape: distinct pre-agg on (group, hash) then a
+    group-partitioned top-k window — no collect of unbounded sets."""
+    hashed = df.select(
+        F.col(group_col).alias("g"), _hash32(F.col(value_col)).alias("h")
+    ).distinct()
+    w = W.partitionBy("g").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.groupBy("g").agg(
+        F.sort_array(F.collect_list("h")).alias("hashes")
+    ).select(F.col("g").alias(group_col), "hashes")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64, out_col: str = "est") -> DataFrame:
+    """Distinct-count estimate from a sketch: exact below k, else
+    (k-1) * H / h_k."""
+    n = F.size("hashes")
+    hk = F.element_at("hashes", k).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_H) / hk, 0)
+    )
+    return sketch.withColumn(out_col, est.cast("long"))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Merge two sketch tables: union hash sets per group, retake the k
+    smallest — the cross-segment combine, an aggregate over (group,
+    sketch-sized arrays), never over raw data."""
+    both = a.select(group_col, "hashes").unionByName(b.select(group_col, "hashes"))
+    exploded = both.select(group_col, F.explode("hashes").alias("h")).distinct()
+    w = W.partitionBy(group_col).orderBy("h")
+    topk = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("h")).alias("hashes")
+    )

@@ -649,3 +649,52 @@ def ansi_rollup(df: DataFrame, group_cols: list[str], aggs) -> DataFrame:
         .drop("__nonempty")
     )
     return roll.unionByName(fallback)
+
+
+# --- mergeable KMV cardinality sketch (explicit-state HLL counterpart) -----
+
+@register(
+    "agg_kmv_distinct",
+    """
+    WITH words AS (
+      SELECT DISTINCT lang AS g,
+             ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    ), topk AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM words
+    ), sk AS (
+      SELECT g, count(*) AS n, max(h) AS hk FROM topk WHERE rn <= 64 GROUP BY g
+    ), ex AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS exact FROM words GROUP BY g
+    )
+    SELECT sk.g AS lang,
+           CAST(CASE WHEN sk.n < 64 THEN sk.n
+                ELSE round(63.0 * 4294967296.0 / sk.hk, 0) END AS BIGINT) AS est,
+           ex.exact AS exact
+    FROM sk JOIN ex ON sk.g = ex.g
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct words per language via an EXPLICIT-state cardinality
+    sketch (operators/sketches.py KMV) next to the exact count — the
+    mergeable counterpart of `agg_cardinality_hll` (reference
+    `cardinality`): the sketch state is a relational value, so
+    cross-segment merges are ordinary aggregates. Estimate arithmetic is
+    md5-exact in the oracle."""
+    from ytsaurus_spark.operators.sketches import kmv_build, kmv_estimate
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    sk = kmv_estimate(kmv_build(words, "lang", "word", k=64), k=64)
+    exact = words.groupBy("lang").agg(
+        F.count_distinct(
+            F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+        ).cast("long").alias("exact")
+    )
+    return sk.join(exact, "lang").select(
+        "lang", F.col("est"), F.col("exact")
+    )
