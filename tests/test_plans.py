@@ -163,3 +163,46 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst's runtime bloom filter (runtime semi-join reduction): a
+    selective filter on one shuffle-join side injects a bloom filter
+    probe (`might_contain`) into the OTHER side's scan stage, cutting the
+    shuffled fact rows before the exchange — the reference's analogue is
+    CHYT's granule pruning plus the QL coordinator's key-range
+    distribution, but this one is value-based and runtime-built. Default
+    thresholds target cluster sizes (creation side >= 10 MB scans), so
+    the test lowers them to fixture scale to pin that the capability is
+    live in this Spark build; at 100 TB the defaults fire on their own."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), "no runtime bloom filter injected"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
