@@ -355,3 +355,47 @@ def op_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(col).alias("col"), "n", "n_nonnull", "n_distinct", "min_v", "max_v")
 
     return profile("o_orderkey", None).unionByName(profile("o_totalprice", 2))
+
+
+@register(
+    "op_concatenate",
+    """
+    WITH half1 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         half2 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM (SELECT * FROM half1 UNION ALL SELECT * FROM half2) u
+    GROUP BY o_orderpriority
+    """,
+)
+def op_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate operation (reference `concatenate`,
+    yt/python/yt/wrapper/table_commands.py): two stored halves of orders
+    linked into one table by a METADATA-ONLY manifest (no data read at
+    link time — the master-side chunk-list merge), then scanned as a
+    union with per-member pushdown. Append mode extends the link."""
+    import os
+    import tempfile
+
+    from ytsaurus_spark.sources.formats import (
+        concatenate,
+        read_concatenated,
+        write_table,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders")
+    base = tempfile.mkdtemp(prefix="ytspark_concat_")
+    h1, h2, dest = (os.path.join(base, n) for n in ("h1", "h2", "linked"))
+    write_table(orders.filter(F.col("o_orderkey") % 2 == 0), h1)
+    write_table(orders.filter(F.col("o_orderkey") % 2 == 1), h2)
+    concatenate([h1], dest)
+    concatenate([h2], dest, append=True)
+    return (
+        read_concatenated(spark, dest)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

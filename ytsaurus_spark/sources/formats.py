@@ -266,3 +266,38 @@ def to_webjson(df: DataFrame, limit: int = 1000) -> str:
         },
         sort_keys=True,
     )
+
+
+def concatenate(paths: list[str], dest: str, append: bool = False) -> None:
+    """YT's Concatenate command (yt/python/yt/wrapper/table_commands.py
+    concatenate; driver ``ConcatenateNodes``): make ``dest`` the union of
+    the input tables WITHOUT reading a single data row — in the
+    reference, chunk lists merge in the master; here the destination is
+    a link manifest listing member table paths. O(#members) metadata at
+    any data size; ``append=True`` extends an existing link (rich-YPath
+    ``<append=%true>`` semantics). Reads resolve members at scan time so
+    late-appended members show up, exactly like chunk-list composition."""
+    os.makedirs(dest, exist_ok=True)
+    manifest = os.path.join(dest, "_yt_concat.json")
+    members: list[str] = []
+    if append and os.path.exists(manifest):
+        with open(manifest) as f:
+            members = json.load(f)["members"]
+    members += [os.path.abspath(p) for p in paths]
+    with open(manifest, "w") as f:
+        json.dump({"members": members}, f)
+
+
+def read_concatenated(spark: SparkSession, dest: str, fmt: str = "parquet") -> DataFrame:
+    """Read a concatenate link: unionByName over the member tables (the
+    scan plans per-member predicate pushdown + column pruning as usual;
+    nothing was ever copied). Members written as plain files or as
+    directories both resolve."""
+    manifest = os.path.join(dest, "_yt_concat.json")
+    with open(manifest) as f:
+        members = json.load(f)["members"]
+    dfs = [read_table(spark, p, fmt) for p in members]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
