@@ -667,3 +667,58 @@ def test_arrow_schema_projection(spark, tmp_path):
     back = read_arrow(spark, path, schema="b long")
     assert back.columns == ["b"]
     assert sorted(r["b"] for r in back.collect()) == [i * 2 for i in range(10)]
+
+
+def test_table_lock_conflict_matrix(spark, tmp):
+    from ytsaurus_spark.sources import transactions as T
+
+    a, _ = _two_tables(spark, tmp)
+    coord = f"{tmp}/coord_locks"
+    t1, t2, t3 = (T.MultiTableTransaction(coord) for _ in range(3))
+    t1.lock(a, "shared")
+    t2.lock(a, "shared")  # shared + shared coexist
+    import pytest as _pytest
+
+    with _pytest.raises(T.LockConflictError):
+        t3.lock(a, "exclusive")  # exclusive blocked by shared holders
+    t1.commit()
+    t2.abort()  # both releases
+    t3.lock(a, "exclusive")  # now free
+    t4 = T.MultiTableTransaction(coord)
+    with _pytest.raises(T.LockConflictError):
+        t4.lock(a, "shared")  # shared blocked by exclusive
+    with _pytest.raises(T.LockConflictError):
+        t4.insert_rows(a, spark.createDataFrame([(9, 9)], "k bigint, v bigint"))
+    t3.abort()
+
+
+def test_snapshot_lock_pins_reads(spark, tmp):
+    from ytsaurus_spark.sources import transactions as T
+
+    a, _ = _two_tables(spark, tmp)
+    coord = f"{tmp}/coord_snap"
+    reader = T.MultiTableTransaction(coord)
+    reader.lock(a, "snapshot")
+    writer = T.MultiTableTransaction(coord)
+    writer.insert_rows(a, spark.createDataFrame([(2, 20)], "k bigint, v bigint"))
+    writer.commit()
+    # snapshot reader still sees the pre-commit state; a fresh read sees both
+    assert reader.read(a).count() == 1
+    assert a.read().count() == 2
+    reader.commit()
+
+
+def test_write_takes_implicit_shared_lock_and_clear_locks(spark, tmp):
+    from ytsaurus_spark.sources import transactions as T
+
+    a, _ = _two_tables(spark, tmp)
+    coord = f"{tmp}/coord_impl"
+    w = T.MultiTableTransaction(coord)
+    w.insert_rows(a, spark.createDataFrame([(3, 30)], "k bigint, v bigint"))
+    assert [l["mode"] for l in T._read_locks(a.path)] == ["shared"]
+    # a crashed tx's lock is swept administratively
+    assert T.clear_locks(a.path) == 1
+    assert T._read_locks(a.path) == []
+    w._held.clear()  # lock swept out from under it; commit stays clean
+    w.commit()
+    assert a.read().count() == 2

@@ -33,6 +33,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -106,6 +107,8 @@ class MultiTableTransaction:
         self.tx_id = uuid.uuid4().hex[:16]
         self._ops: list[tuple[LogTxTable, str, DataFrame, dict]] = []
         self._state = "open"
+        self._snapshots: dict[str, int] = {}
+        self._held: list[str] = []  # table paths with shared/exclusive locks
 
     # -- staging ----------------------------------------------------------
 
@@ -126,13 +129,76 @@ class MultiTableTransaction:
                 "partial-column update of a table already written in this "
                 "transaction is not supported; write full rows"
             )
+        self._take_lock(table, "shared")
         self._ops.append(
             (table, "insert", rows, {"update": update, "seq_col": seq_col})
         )
 
     def delete_rows(self, table: LogTxTable, keys: DataFrame) -> None:
         self._check_open()
+        self._take_lock(table, "shared")
         self._ops.append((table, "delete", keys, {}))
+
+    # -- locks ------------------------------------------------------------
+
+    def lock(self, table: LogTxTable, mode: str = "shared") -> None:
+        """Take a table lock (reference lock modes, transaction.h /
+        Cypress lock semantics):
+
+        - ``snapshot`` — pin the table's CURRENT version for this
+          transaction's ``read()``; never conflicts, never blocks anyone
+          (immutable old segments make it free);
+        - ``shared``   — many holders; blocks exclusive. Writes staged
+          through this transaction take it implicitly;
+        - ``exclusive`` — sole holder; conflicts with every other lock.
+
+        Conflicting acquisition raises LockConflictError immediately
+        (fail-fast, the reference's concurrent-lock error) rather than
+        queueing — lease-based waiting needs a lock manager process this
+        single-host layout doesn't have."""
+        self._check_open()
+        if mode == "snapshot":
+            self._snapshots.setdefault(table.path, table.current_version())
+            return
+        if mode not in ("shared", "exclusive"):
+            raise ValueError(f"unknown lock mode {mode!r}")
+        self._take_lock(table, mode)
+
+    def _take_lock(self, table: LogTxTable, mode: str) -> None:
+        locks = _read_locks(table.path)
+        mine = [l for l in locks if l["tx"] == self.tx_id]
+        others = [l for l in locks if l["tx"] != self.tx_id]
+        if any(l["mode"] == "exclusive" for l in others) or (
+            mode == "exclusive" and others
+        ):
+            holder = next(iter(others))
+            raise LockConflictError(
+                f"cannot take {mode} lock on {table.path}: "
+                f"{holder['mode']} lock held by concurrent transaction "
+                f"{holder['tx']}"
+            )
+        if any(l["mode"] == mode or l["mode"] == "exclusive" for l in mine):
+            return  # already held at sufficient strength
+        locks = others + mine + [
+            {"tx": self.tx_id, "mode": mode, "acquired_at": time.time()}
+        ]
+        _write_locks(table.path, locks)
+        if table.path not in self._held:
+            self._held.append(table.path)
+
+    def read(self, table: LogTxTable) -> DataFrame:
+        """Transaction-scoped read: under a snapshot lock, the pinned
+        version (repeatable reads regardless of concurrent commits);
+        otherwise the current published state."""
+        v = self._snapshots.get(table.path)
+        return table.read(version=v) if v is not None else table.read()
+
+    def _release_locks(self) -> None:
+        for path in self._held:
+            _write_locks(
+                path, [l for l in _read_locks(path) if l["tx"] != self.tx_id]
+            )
+        self._held.clear()
 
     def _check_open(self) -> None:
         if self._state != "open":
@@ -149,6 +215,7 @@ class MultiTableTransaction:
         intent record is the atomic commit point."""
         self._check_open()
         if not self._ops:
+            self._release_locks()
             self._state = "committed"
             return
         # phase 1: stage every segment through the participant's own
@@ -187,6 +254,7 @@ class MultiTableTransaction:
         for p in staged:
             _publish_entry(p["table_path"], p["entry"])
         os.remove(self._intent_path)
+        self._release_locks()
         self._state = "committed"
 
     def abort(self) -> None:
@@ -194,6 +262,7 @@ class MultiTableTransaction:
         which cleans its own segment dirs on pre-intent failure, so
         abort() has no disk state to reclaim — it just closes the tx."""
         self._check_open()
+        self._release_locks()
         self._state = "aborted"
         self._ops.clear()
 
@@ -228,3 +297,42 @@ def recover(coordinator_dir: str) -> int:
             f"recovered {n} transaction(s); unrecoverable: {failures}"
         )
     return n
+
+
+# -- table locks -----------------------------------------------------------
+
+
+class LockConflictError(RuntimeError):
+    """Concurrent transaction lock conflict (the reference's
+    ``Cannot take lock … since … taken by concurrent transaction``)."""
+
+
+def _locks_path(table_path: str) -> str:
+    return os.path.join(table_path, "_yt_locks.json")
+
+
+def _read_locks(table_path: str) -> list[dict]:
+    p = _locks_path(table_path)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)["locks"]
+    return []
+
+
+def _write_locks(table_path: str, locks: list[dict]) -> None:
+    fd, tmp = tempfile.mkstemp(dir=table_path, suffix=".locks.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"locks": locks}, f)
+    os.replace(tmp, _locks_path(table_path))
+
+
+def clear_locks(table_path: str, older_than: float | None = None) -> int:
+    """Administrative lock sweep (a crashed tx's locks outlive it; the
+    reference expires them with the transaction lease — the lease-less
+    analogue is an explicit sweep). Returns the number removed."""
+    locks = _read_locks(table_path)
+    keep = [
+        l for l in locks if older_than is not None and l["acquired_at"] >= older_than
+    ]
+    _write_locks(table_path, keep)
+    return len(locks) - len(keep)
