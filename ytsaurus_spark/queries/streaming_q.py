@@ -846,3 +846,53 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rows, schema=spark.table(name).schema)
     shutil.rmtree(stage, ignore_errors=True)
     return out.filter(F.col("user_id") != -1)
+
+
+# --- Flow pipeline: persistent source → map chain → persistent sink --------
+
+@register(
+    "stream_flow_pipeline",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value * 2 + 1), 4) AS sum_v2
+    FROM events
+    WHERE value * 2 + 1 >= 20.0
+    GROUP BY event_type
+    """,
+)
+def stream_flow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YT Flow pipeline (yt/yt/flow/lib, YtflowPersistentSource →
+    YtflowMap chain → YtflowPersistentSink): two chained stateless map
+    stages over the events stream, run through the REAL Structured
+    Streaming path with a checkpointed parquet sink, then aggregated
+    from the sink. The map chain compiles to ONE fused Spark plan (no
+    per-stage materialization); restart-resume semantics are pinned by
+    test_flow_pipeline_batch_and_stream_resume."""
+    import os
+    import tempfile
+
+    from ytsaurus_spark.streaming.flow import FlowPipeline
+
+    load_tables(spark, sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    base = tempfile.mkdtemp(prefix="ytspark_flow_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+
+    pipe = (
+        FlowPipeline(
+            spark,
+            sf_dir,  # the file source wants a directory; glob to events
+            raw_schema,
+            sink,
+            ckpt,
+            source_options={"pathGlobFilter": "events.parquet"},
+        )
+        .map(lambda df: df.withColumn("v2", F.col("value") * 2 + 1))
+        .map(lambda df: df.filter(F.col("v2") >= 20.0))
+    )
+    pipe.run_stream()
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("v2"), 4).alias("sum_v2"),
+    )

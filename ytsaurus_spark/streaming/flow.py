@@ -35,6 +35,7 @@ class FlowPipeline:
     transforms: list[Transform] = field(default_factory=list)
     source_format: str = "parquet"
     sink_format: str = "parquet"
+    source_options: dict = field(default_factory=dict)
 
     def map(self, fn: Transform) -> "FlowPipeline":
         self.transforms.append(fn)
@@ -47,9 +48,9 @@ class FlowPipeline:
 
     def run_batch(self) -> int:
         """One-shot run; returns rows written."""
-        src = self.spark.read.schema(self.source_schema).format(
-            self.source_format
-        ).load(self.source_path)
+        src = self.spark.read.schema(self.source_schema).options(
+            **self.source_options
+        ).format(self.source_format).load(self.source_path)
         out = self._apply(src)
         out.write.mode("overwrite").format(self.sink_format).save(self.sink_path)
         return self.spark.read.format(self.sink_format).load(self.sink_path).count()
@@ -58,9 +59,9 @@ class FlowPipeline:
         """Streaming run with checkpointed progress: re-running after a stop
         processes only files not yet committed to the checkpoint — the
         persistent-operator restart semantics of YT Flow."""
-        src = self.spark.readStream.schema(self.source_schema).format(
-            self.source_format
-        ).load(self.source_path)
+        src = self.spark.readStream.schema(self.source_schema).options(
+            **self.source_options
+        ).format(self.source_format).load(self.source_path)
         out = self._apply(src)
         q = (
             out.writeStream.format(self.sink_format)
