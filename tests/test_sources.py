@@ -722,3 +722,22 @@ def test_write_takes_implicit_shared_lock_and_clear_locks(spark, tmp):
     w._held.clear()  # lock swept out from under it; commit stays clean
     w.commit()
     assert a.read().count() == 2
+
+
+def test_freeze_unfreeze_tablet(spark, tmp):
+    import pytest as _pytest
+
+    from ytsaurus_spark.sources.tx_table import FrozenTabletError, LogTxTable
+
+    t = LogTxTable(spark, f"{tmp}/frozen_t", ["k"])
+    t.init(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+    t.freeze()
+    assert t.tablet_state() == "frozen"
+    assert t.read().count() == 1  # reads still served
+    with _pytest.raises(FrozenTabletError):
+        t.insert_rows(spark.createDataFrame([(2, 20)], "k bigint, v bigint"))
+    with _pytest.raises(FrozenTabletError):
+        t.compact()
+    t.unfreeze()
+    t.insert_rows(spark.createDataFrame([(2, 20)], "k bigint, v bigint"))
+    assert t.read().count() == 2

@@ -1543,3 +1543,46 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_g",
         "mean_b",
     )
+
+
+# --- edit-distance fuzzy matching (YQL String::LevenshteinDistance) --------
+
+
+@register(
+    "fn_edit_distance",
+    """
+    WITH names AS (
+      SELECT DISTINCT substr(p_name, 1, 8) AS a FROM part WHERE p_size <= 3
+    ), names2 AS (
+      SELECT DISTINCT substr(p_name, 1, 8) AS b FROM part WHERE p_size >= 48
+    )
+    SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+    FROM names, names2
+    WHERE levenshtein(a, b) <= 2 AND a <> b
+    ORDER BY a, b
+    """,
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YQL String::LevenshteinDistance (yql/essentials/udfs/common/string)
+    as Spark's native `levenshtein` — fuzzy-matching two name sets within
+    edit distance 2. Both sides are deduped prefixes (dim-sized), so the
+    threshold cross join is a bounded candidate scan; at corpus scale the
+    standard prefilter is length/prefix bucketing before the distance."""
+    cat = load_tables(spark, sf_dir)
+    part = cat.read("part")
+    names = (
+        part.filter(F.col("p_size") <= 3)
+        .select(F.substring("p_name", 1, 8).alias("a"))
+        .distinct()
+    )
+    names2 = (
+        part.filter(F.col("p_size") >= 48)
+        .select(F.substring("p_name", 1, 8).alias("b"))
+        .distinct()
+    )
+    return (
+        names.crossJoin(names2)
+        .filter((F.levenshtein("a", "b") <= 2) & (F.col("a") != F.col("b")))
+        .select("a", "b", F.levenshtein("a", "b").cast("long").alias("dist"))
+        .orderBy("a", "b")
+    )

@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 from ytsaurus_spark.operators.keyed_tables import KeyedTable, _AGG_FOLDS, _check_folds
 
 
+class FrozenTabletError(RuntimeError):
+    """Write/compaction attempted on a frozen tablet (reference
+    freeze_table semantics: reads OK, mutations rejected)."""
+
+
 class TxTable:
     """Versioned keyed table rooted at a directory."""
 
@@ -193,7 +198,36 @@ class LogTxTable:
         segs = self._segments()
         return segs[-1]["v"] if segs else -1
 
+    # -- tablet state (mount/freeze lifecycle) --------------------------
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.path, "_yt_state.json")
+
+    def tablet_state(self) -> str:
+        """'mounted' (default) or 'frozen' — the reference's tablet
+        lifecycle subset that matters for a single-host layout
+        (freeze_table/unfreeze_table: frozen tablets serve reads but
+        reject writes and suspend background compaction)."""
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)["state"]
+        return "mounted"
+
+    def freeze(self) -> None:
+        with open(self._state_path, "w") as f:
+            json.dump({"state": "frozen"}, f)
+
+    def unfreeze(self) -> None:
+        with open(self._state_path, "w") as f:
+            json.dump({"state": "mounted"}, f)
+
     def _publish(self, entry: dict) -> None:
+        if self.tablet_state() == "frozen":
+            raise FrozenTabletError(
+                f"table {self.path} is frozen: writes and compaction are "
+                "rejected until unfreeze()"
+            )
         manifest = {"segments": self._segments() + [entry]}
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
