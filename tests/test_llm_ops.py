@@ -372,3 +372,25 @@ def test_lm_score_prefers_natural_text(spark):
     got = {r["doc_id"]: r["lm_score"] for r in lm_score(docs).collect()}
     # repeated natural bigrams score higher than the rare-bigram doc
     assert got[1] > got[3] and got[2] > got[3]
+
+
+def test_fuzzy_join_recall_exact_vs_brute_force(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators.dedup import fuzzy_join
+
+    rng = random.Random(7)
+    words = list(
+        {"".join(rng.choice("abcd") for _ in range(rng.randint(3, 8))) for _ in range(80)}
+    )
+    la, lb = words[:40], words[40:]
+    A = spark.createDataFrame([(w,) for w in la], ["a"])
+    B = spark.createDataFrame([(w,) for w in lb], ["b"])
+    got = {(r.a, r.b) for r in fuzzy_join(A, B, "a", "b", 2).collect()}
+    brute = {
+        (r.a, r.b)
+        for r in A.crossJoin(B).filter(F.levenshtein("a", "b") <= 2).collect()
+    }
+    assert got == brute  # bucketing loses nothing, adds nothing

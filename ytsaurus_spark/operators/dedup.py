@@ -351,3 +351,57 @@ def semantic_dedup(
             id_col, "cell", F.lit(False).alias("kept")
         )
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Edit-distance join at scale: bucket both sides by (first char,
+    length band) before computing Levenshtein, so candidates are an
+    EQUI-join on the bucket key instead of an all-pairs cross join.
+    Strings within distance d can differ in length by at most d, so each
+    left row probes the length bands floor((len±d)/band) — emitted as a
+    small explode (≤ 3 bands for d ≤ band) — and must share a first
+    character unless an edit touches position 0; the first-char relax
+    keeps recall exact by ALSO probing the '*' wildcard bucket for rows
+    whose first character differs. Candidates then pass the exact
+    distance filter. The same shape the reference's fuzzy dedup would
+    use: bucket → equi-join → verify, never O(n²)."""
+    band = max(max_distance, 2)
+
+    def keyed(df: DataFrame, col: str, probe: bool) -> DataFrame:
+        base = df.withColumn("__len", F.length(col))
+        if probe:
+            # probe every length band reachable within max_distance
+            lo = F.floor((F.col("__len") - max_distance) / band)
+            hi = F.floor((F.col("__len") + max_distance) / band)
+            bands = F.sequence(lo, hi)
+        else:
+            bands = F.array(F.floor(F.col("__len") / band))
+        first = F.substring(col, 1, 1)
+        return (
+            base.withColumn("__band", F.explode(bands))
+            .withColumn("__fc", F.explode(F.array(first, F.lit("*"))))
+        )
+
+    l = keyed(left, left_col, probe=True).withColumnRenamed("__len", "__llen")
+    r = keyed(right, right_col, probe=False).withColumnRenamed("__len", "__rlen")
+    cand = l.join(r, ["__band", "__fc"])
+    # wildcard bucket pairs both-wildcard only when first chars differ
+    # (same-first-char pairs already met in the exact-char bucket; drop dups)
+    cand = cand.filter(
+        (F.col("__fc") != "*")
+        | (F.substring(left_col, 1, 1) != F.substring(right_col, 1, 1))
+    ).dropDuplicates([left_col, right_col])
+    return (
+        cand.filter(F.levenshtein(left_col, right_col) <= max_distance)
+        .select(
+            left_col,
+            right_col,
+            F.levenshtein(left_col, right_col).cast("long").alias("dist"),
+        )
+    )

@@ -1498,3 +1498,42 @@ def text_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     step of a training-data pipeline, as one codegen expression."""
     cat = load_tables(spark, sf_dir)
     return text.classifier_score(cat.read("documents"))
+
+
+# --- bucketed fuzzy join (edit-distance dedup candidate generation) --------
+
+@register(
+    "dedup_fuzzy_join",
+    """
+    WITH la AS (
+      SELECT DISTINCT substr(p_name, 1, 6) AS a FROM part WHERE p_size <= 5
+    ), lb AS (
+      SELECT DISTINCT substr(p_name, 1, 6) AS b FROM part WHERE p_size >= 46
+    )
+    SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+    FROM la, lb
+    WHERE levenshtein(a, b) <= 1
+    """,
+)
+def dedup_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join via (first-char, length-band) bucketing
+    (operators/dedup.fuzzy_join): candidates meet on an equi-join key
+    instead of a cross join, then verify with exact Levenshtein —
+    recall-exact (wildcard bucket covers first-char edits; verified
+    against brute force in tests). The oracle IS the brute force, so the
+    gate proves the bucketing loses nothing."""
+    from ytsaurus_spark.operators.dedup import fuzzy_join
+
+    cat = load_tables(spark, sf_dir)
+    part = cat.read("part")
+    la = (
+        part.filter(F.col("p_size") <= 5)
+        .select(F.substring("p_name", 1, 6).alias("a"))
+        .distinct()
+    )
+    lb = (
+        part.filter(F.col("p_size") >= 46)
+        .select(F.substring("p_name", 1, 6).alias("b"))
+        .distinct()
+    )
+    return fuzzy_join(la, lb, "a", "b", max_distance=1)
