@@ -88,3 +88,19 @@ def test_synthesize_and_extract_spark(spark):
     for r in feats:
         assert r.width == 4 + r.id % 3 and r.height == 4 + r.id % 2
         assert 0.0 <= r.mean_r <= 255.0
+
+
+def test_wav_round_trip_spark(spark):
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav,
+    )
+
+    docs = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    rows = {r.id: r for r in extract_audio_features(synthesize_wav(docs)).collect()}
+    assert rows[0].n_samples == 256 and rows[0].sample_rate == 8000
+    assert rows[1].n_samples == 257 and rows[1].sample_rate == 16000
+    assert rows[0].duration_ms == 32.0  # 256 frames @ 8 kHz
+    assert all(r.rms > 0 for r in rows.values())

@@ -1586,3 +1586,50 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.levenshtein("a", "b").cast("long").alias("dist"))
         .orderBy("a", "b")
     )
+
+
+# --- REAL audio decode: stdlib WAV codec, closed-form oracle ---------------
+
+
+@register(
+    "mm_wav_decode",
+    """
+    WITH g AS (
+      SELECT doc_id, 256 + doc_id % 64 AS n,
+             8000 * (1 + doc_id % 2) AS sr
+      FROM documents
+    ), samples AS (
+      SELECT doc_id, n, sr,
+             ((doc_id * 31 + unnest(range(0, n)) * 7) % 65536) - 32768 AS s
+      FROM g
+    )
+    SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(max(sr) AS INT) AS sample_rate,
+           round(max(n) * 1000.0 / max(sr), 4) AS duration_ms,
+           round(sqrt(avg(s * s * 1.0)), 4) AS rms
+    FROM samples GROUP BY doc_id
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end: synthesize PCM16 WAVs from row ids
+    (operators/multimodal.synthesize_wav — stdlib `wave`, no audio
+    library), decode them back with the same stdlib reader, and emit
+    frame count / sample rate / duration / RMS. The oracle recomputes
+    everything from the generating closed form, so a codec or
+    sample-unpacking bug breaks the hash. Two mapInPandas stages, zero
+    shuffles."""
+    from ytsaurus_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    feats = extract_audio_features(synthesize_wav(docs))
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        "rms",
+    )
