@@ -549,3 +549,62 @@ def test_producer_session_random_walk_matches_model(spark, stream_dir):
     assert got.filter(F.col("payload") != F.col("seq") * 7).count() == 0
     idx = sorted(r["$row_index"] for r in got.collect())
     assert idx == list(range(model_max_seq + 1))
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """Large-state streaming backend: the RocksDB state store provider
+    (disk-backed, the 100 TB-state answer to the in-memory HDFS-backed
+    default) produces identical results on a stateful dedup. At cluster
+    scale this is the difference between state that must fit in executor
+    heap and state bounded only by local disk."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def run(name):
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        agg = src.withWatermark("ts", "1 hour").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return {
+            (r.user_id, r.event_type, r.event_id)
+            for r in spark.table(name).collect()
+        }
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    default_rows = run("state_default_out")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks_rows = run("state_rocks_out")
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
