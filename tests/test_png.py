@@ -104,3 +104,22 @@ def test_wav_round_trip_spark(spark):
     assert rows[1].n_samples == 257 and rows[1].sample_rate == 16000
     assert rows[0].duration_ms == 32.0  # 256 frames @ 8 kHz
     assert all(r.rms > 0 for r in rows.values())
+
+
+def test_video_frames_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators.multimodal import (
+        extract_video_frames,
+        synthesize_video,
+    )
+
+    docs = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    all_frames = extract_video_frames(synthesize_video(docs), every_n=1).collect()
+    per_doc = {}
+    for r in all_frames:
+        per_doc.setdefault(r.id, []).append(r.frame_idx)
+    for i, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(2 + i % 3))
+    sampled = extract_video_frames(synthesize_video(docs), every_n=2).collect()
+    assert all(r.frame_idx % 2 == 0 for r in sampled)

@@ -286,3 +286,88 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         runner,
         "id bigint, n_samples bigint, sample_rate int, duration_ms double, rms double",
     )
+
+
+def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL video-like payloads: a length-prefixed container of
+    PNG-encoded frames (the MJPEG shape with PNG as the per-frame
+    codec). n_frames = 2 + id%3; frame f is a 4x4 RGB image with channel
+    value ((id*7 + f*97 + x*13 + y*31 + c*5) % 256). Container layout:
+    4-byte big-endian frame count, then per frame 4-byte length + PNG
+    bytes. Every layer (container parse, PNG decode) is real code."""
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ytsaurus_spark.sources.png import png_encode
+
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n_frames = 2 + i % 3
+                frames = []
+                for f in range(n_frames):
+                    px = bytes(
+                        (i * 7 + f * 97 + x * 13 + y * 31 + c * 5) % 256
+                        for y in range(4)
+                        for x in range(4)
+                        for c in range(3)
+                    )
+                    frames.append(png_encode(4, 4, px))
+                body = b"".join(
+                    struct.pack(">I", len(fr)) + fr for fr in frames
+                )
+                payloads.append(struct.pack(">I", n_frames) + body)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "media": payloads,
+                    "media_type": "video/x-png-frames",
+                    "width": pd.array([4] * len(ids), dtype="int32"),
+                    "height": pd.array([4] * len(ids), dtype="int32"),
+                    "sample_rate": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(runner, MEDIA_SCHEMA)
+
+
+def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling + decode: parse the frame container, keep
+    every ``every_n``-th frame, PNG-decode it, and emit per-frame mean
+    luminance — the sample-then-featurize stage of a video pipeline,
+    with actual decoders at both layers. One mapInPandas, no shuffle;
+    output rows = frames kept."""
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ytsaurus_spark.sources.png import png_decode
+
+        for pdf in batches:
+            ids, fidx, means = [], [], []
+            for i, media in zip(pdf["id"], pdf["media"]):
+                raw = bytes(media)
+                (n_frames,) = struct.unpack(">I", raw[:4])
+                pos = 4
+                for f in range(n_frames):
+                    (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+                    frame = raw[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if f % every_n:
+                        continue
+                    w, h, px = png_decode(frame)
+                    ids.append(int(i))
+                    fidx.append(f)
+                    means.append(round(sum(px) / len(px), 4))
+            yield pd.DataFrame(
+                {"id": pd.array(ids, dtype="int64"),
+                 "frame_idx": pd.array(fidx, dtype="int32"),
+                 "mean_value": means}
+            )
+
+    return df.select("id", "media").mapInPandas(
+        runner, "id bigint, frame_idx int, mean_value double"
+    )

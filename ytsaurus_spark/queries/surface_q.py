@@ -1633,3 +1633,42 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         "rms",
     )
+
+
+# --- REAL video frame sampling + decode, closed-form oracle ----------------
+
+
+@register(
+    "mm_video_frames",
+    """
+    WITH g AS (
+      SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS f FROM documents
+    ), px AS (
+      SELECT doc_id, f, unnest(range(0, 48)) AS p FROM g
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           round(avg((doc_id * 7 + f * 97 + ((p // 3) % 4) * 13
+                      + (p // 12) * 31 + (p % 3) * 5) % 256), 4) AS mean_value
+    FROM px
+    WHERE f % 2 = 0
+    GROUP BY doc_id, f
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path end to end: frame containers of PNG-encoded frames
+    (operators/multimodal.synthesize_video), every-2nd-frame sampling,
+    per-frame PNG decode, mean pixel value — container parse AND frame
+    codec are real code (sources/png.py), and the oracle recomputes the
+    means from the generating closed form. 48 bytes/frame = 4x4 RGB;
+    pixel p maps to (x, y, c) = ((p//3)%4, p//12, p%3)."""
+    from ytsaurus_spark.operators.multimodal import (
+        extract_video_frames,
+        synthesize_video,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    frames = extract_video_frames(synthesize_video(docs), every_n=2)
+    return frames.select(
+        F.col("id").alias("doc_id"), "frame_idx", "mean_value"
+    )
