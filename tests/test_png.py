@@ -123,3 +123,15 @@ def test_video_frames_round_trip(spark):
         assert sorted(idxs) == list(range(2 + i % 3))
     sampled = extract_video_frames(synthesize_video(docs), every_n=2).collect()
     assert all(r.frame_idx % 2 == 0 for r in sampled)
+
+
+def test_resize_images_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators.multimodal import resize_images, synthesize_png
+
+    docs = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    out = {r.id: r for r in resize_images(synthesize_png(docs), factor=2).collect()}
+    for i, r in out.items():
+        assert r.width == (4 + i % 3 + 1) // 2
+        assert r.height == (4 + i % 2 + 1) // 2

@@ -1672,3 +1672,52 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         F.col("id").alias("doc_id"), "frame_idx", "mean_value"
     )
+
+
+@register(
+    "mm_image_resize",
+    """
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 3 AS w, 4 + doc_id % 2 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(range(0, ((w + 1) // 2) * ((h + 1) // 2) * 3)) AS p
+      FROM g
+    ), mapped AS (
+      -- resized pixel p -> source (x, y, c) with nearest-neighbor stride 2
+      SELECT doc_id, w, h,
+             ((p // 3) % ((w + 1) // 2)) * 2 AS x,
+             (p // (3 * ((w + 1) // 2))) * 2 AS y,
+             p % 3 AS c
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(max((w + 1) // 2) AS INT) AS width,
+           CAST(max((h + 1) // 2) AS INT) AS height,
+           round(avg((doc_id * 7 + x * 13 + y * 31 + c * 5) % 256), 4) AS mean_value
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: synthesize PNGs, nearest-neighbor downsample 2x
+    through decode→sample→re-encode (operators/multimodal.resize_images),
+    then re-decode the RESIZED payload for its stats — so the oracle's
+    closed-form mean checks the full decode/encode/decode chain. The
+    100 TB shape: thumbnail in the scan stage, shrink bytes before any
+    exchange."""
+    from ytsaurus_spark.operators.multimodal import (
+        resize_images,
+        synthesize_png,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    resized = resize_images(synthesize_png(docs), factor=2)
+    # re-decode the resized payload: stats must match the closed form
+    from ytsaurus_spark.operators.multimodal import extract_image_features
+
+    feats = extract_image_features(resized.select("id", "media"))
+    return feats.select(
+        F.col("id").alias("doc_id"), "width", "height"
+    ).join(
+        resized.select(F.col("id").alias("doc_id"), "mean_value"), "doc_id"
+    )
