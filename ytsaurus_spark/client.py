@@ -1,0 +1,302 @@
+"""YtClient facade: the reference's primary user entry point
+(``yt.wrapper.YtClient`` / ``yt.wrapper`` module-level functions,
+yt/python/yt/wrapper/client.py) mapped 1:1 onto this engine, so code
+written against the reference keeps its call sites:
+
+    client = YtClient(root="/data/cluster", spark=spark)
+    client.create("map_node", "//home/analytics")
+    client.write_table("//home/analytics/clicks", df)
+    rows = client.read_table("//home/analytics/clicks{user_id,ts}")
+    client.run_sort("//home/analytics/clicks", sort_by=["user_id"])
+    client.select_rows("user_id, sum(v) AS s FROM [//home/analytics/clicks] "
+                       "GROUP BY user_id")
+
+Cypress paths (``//a/b/c``) map to directories under ``root``; tables are
+parquet dirs with the repo's attribute sidecars, so everything the engine
+offers (rich-path reads, sorted attributes, dynamic tables, operations)
+composes through the same path namespace. ``@attribute`` path suffixes
+work on get(). Dynamic tables (``create("table", ...,
+attributes={"dynamic": True, "schema": [...]})``) are LogTxTables — the
+same MVCC/locks/TTL machinery as the rest of the repo.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ytsaurus_spark.sources.formats import (
+    read_table as _read_fmt,
+    table_attributes,
+    write_table as _write_fmt,
+    _write_attrs,
+)
+from ytsaurus_spark.sources.tx_table import LogTxTable
+
+
+class YPathError(ValueError):
+    pass
+
+
+class YtClient:
+    def __init__(self, root: str, spark: SparkSession) -> None:
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+        self._dyn_cache: dict[str, LogTxTable] = {}
+
+    # -- path resolution ---------------------------------------------------
+
+    def _fs(self, ypath: str) -> str:
+        if not ypath.startswith("//"):
+            raise YPathError(f"cypress paths start with //: {ypath!r}")
+        rel = ypath[2:]
+        if ".." in rel.split("/"):
+            raise YPathError(f"path escapes the tree: {ypath!r}")
+        return os.path.join(self.root, rel)
+
+    @staticmethod
+    def _split_rich(ypath: str) -> tuple[str, str]:
+        """Split '//a/b{cols}[range]' into (plain path, rich suffix)."""
+        for i, ch in enumerate(ypath):
+            if ch in "{[":
+                return ypath[:i], ypath[i:]
+        return ypath, ""
+
+    # -- cypress-ish node commands ----------------------------------------
+
+    def create(self, node_type: str, ypath: str, attributes: dict | None = None,
+               recursive: bool = True, ignore_existing: bool = False) -> None:
+        p = self._fs(ypath)
+        if os.path.exists(p) and not ignore_existing:
+            raise YPathError(f"node already exists: {ypath}")
+        if node_type == "map_node":
+            os.makedirs(p, exist_ok=True)
+            return
+        if node_type != "table":
+            raise YPathError(f"unsupported node type {node_type!r}")
+        attrs = dict(attributes or {})
+        if attrs.get("dynamic"):
+            schema = attrs.get("schema") or []
+            keys = [c["name"] for c in schema if c.get("sort_order")]
+            if not keys:
+                raise YPathError("dynamic table needs sorted key columns")
+            os.makedirs(p, exist_ok=True)
+            _write_attrs(p, {"dynamic": True, "key_columns": keys,
+                             "schema": schema})
+            return
+        if recursive:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+        os.makedirs(p, exist_ok=True)
+        _write_attrs(p, attrs)
+
+    def exists(self, ypath: str) -> bool:
+        path, _ = self._split_rich(ypath)
+        return os.path.exists(self._fs(path))
+
+    def remove(self, ypath: str, recursive: bool = False, force: bool = False) -> None:
+        p = self._fs(ypath)
+        if not os.path.exists(p):
+            if force:
+                return
+            raise YPathError(f"no such node: {ypath}")
+        if recursive:
+            shutil.rmtree(p)
+        else:
+            entries = [e for e in os.listdir(p) if not e.startswith("_yt_")]
+            if any(os.path.isdir(os.path.join(p, e)) for e in entries):
+                raise YPathError(f"non-empty map node: {ypath} (use recursive)")
+            shutil.rmtree(p)
+
+    def list(self, ypath: str) -> list[str]:
+        p = self._fs(ypath)
+        return sorted(
+            e for e in os.listdir(p)
+            if not e.startswith("_yt_") and not e.startswith(".")
+        )
+
+    def copy(self, src: str, dst: str) -> None:
+        shutil.copytree(self._fs(src), self._fs(dst))
+
+    def move(self, src: str, dst: str) -> None:
+        shutil.move(self._fs(src), self._fs(dst))
+
+    # -- attributes (@ paths) ----------------------------------------------
+
+    def get(self, ypath: str):
+        """get('//a/b/@attr') or get('//a/b/@') for the whole attr dict;
+        computed attributes row_count / schema resolve from data."""
+        if "/@" not in ypath:
+            raise YPathError("get() wants an @attribute path")
+        node, attr = ypath.rsplit("/@", 1)
+        p = self._fs(node)
+        attrs = dict(table_attributes(p))
+        if attr in ("row_count", ""):
+            try:
+                attrs.setdefault("row_count", self.read_table(node).count())
+            except Exception:
+                pass
+        if attr == "":
+            return attrs
+        if attr not in attrs:
+            raise YPathError(f"no attribute @{attr} on {node}")
+        return attrs[attr]
+
+    def set(self, ypath: str, value) -> None:
+        if "/@" not in ypath:
+            raise YPathError("set() wants an @attribute path")
+        node, attr = ypath.rsplit("/@", 1)
+        p = self._fs(node)
+        attrs = dict(table_attributes(p))
+        attrs[attr] = value
+        _write_attrs(p, attrs)
+
+    # -- static tables -----------------------------------------------------
+
+    def write_table(self, ypath: str, df: DataFrame, append: bool | None = None) -> None:
+        path, rich = self._split_rich(ypath)
+        if append is None:
+            append = "append=%true" in rich or "append=true" in rich
+        p = self._fs(path)
+        prior = dict(table_attributes(p)) if os.path.exists(p) else {}
+        _write_fmt(df, p, mode="append" if append else "overwrite")
+        if prior:
+            _write_attrs(p, prior)
+
+    def read_table(self, ypath: str) -> DataFrame:
+        from ytsaurus_spark.catalog import RichPath
+
+        path, rich = self._split_rich(ypath)
+        p = self._fs(path)
+        if table_attributes(p).get("dynamic"):
+            df = self._dyn(path).read()
+        else:
+            df = _read_fmt(self.spark, p)
+        if rich and "append" not in rich:
+            rp = RichPath.parse("t" + rich)
+            if rp.columns:
+                df = df.select(*rp.columns)
+            if rp.lower_row is not None or rp.upper_row is not None:
+                from ytsaurus_spark.catalog import _with_global_row_index
+
+                df = _with_global_row_index(df)
+                if rp.lower_row is not None:
+                    df = df.filter(f"__row_index >= {rp.lower_row}")
+                if rp.upper_row is not None:
+                    df = df.filter(f"__row_index < {rp.upper_row}")
+                df = df.drop("__row_index")
+        return df
+
+    def row_count(self, ypath: str) -> int:
+        return self.read_table(ypath).count()
+
+    def concatenate(self, source_paths: list[str], dst: str, append: bool = False) -> None:
+        from ytsaurus_spark.sources.formats import concatenate
+
+        concatenate([self._fs(p) for p in source_paths], self._fs(dst), append=append)
+
+    # -- dynamic tables ----------------------------------------------------
+
+    def _dyn(self, ypath: str) -> LogTxTable:
+        p = self._fs(ypath)
+        if p not in self._dyn_cache:
+            attrs = table_attributes(p)
+            if not attrs.get("dynamic"):
+                raise YPathError(f"{ypath} is not a dynamic table")
+            self._dyn_cache[p] = LogTxTable(self.spark, p, attrs["key_columns"])
+        return self._dyn_cache[p]
+
+    def insert_rows(self, ypath: str, rows: DataFrame, update: bool = False) -> None:
+        t = self._dyn(ypath)
+        if t.current_version() < 0:
+            t.init(rows)
+        else:
+            t.insert_rows(rows, update=update)
+
+    def delete_rows(self, ypath: str, keys: DataFrame) -> None:
+        self._dyn(ypath).delete_rows(keys)
+
+    def lookup_rows(self, ypath: str, keys: DataFrame, timestamp=None) -> DataFrame:
+        return self._dyn(ypath).lookup_rows(keys, timestamp=timestamp)
+
+    def select_rows(self, query: str, placeholder_values: dict | None = None) -> DataFrame:
+        """QL over cypress paths: ``[//a/b]`` table refs read through this
+        client (static or dynamic) and register as temp views."""
+        from ytsaurus_spark.operators.select_rows import select_rows as _sr
+
+        def resolver(path: str) -> str:
+            name = "yt_" + path.strip("/").replace("/", "_").replace("-", "_")
+            self.read_table("//" + path.strip("/")).createOrReplaceTempView(name)
+            return name
+
+        return _sr(self.spark, query, table_resolver=resolver,
+                   placeholder_values=placeholder_values)
+
+    def freeze_table(self, ypath: str) -> None:
+        self._dyn(ypath).freeze()
+
+    def unfreeze_table(self, ypath: str) -> None:
+        self._dyn(ypath).unfreeze()
+
+    # -- operations --------------------------------------------------------
+
+    def run_operation(self, spec: dict, tracker=None):
+        """Spec-dict submission (yt.wrapper.run_operation): the client is
+        its own catalog adapter — spec paths read/write through the
+        cypress namespace (operators/map_reduce.run_operation does the
+        rest, including input_query/sampling/tracker)."""
+        from ytsaurus_spark.operators.map_reduce import run_operation as _run_op
+
+        client = self
+
+        class _Adapter:
+            spark = self.spark
+
+            def read(self, p):
+                return client.read_table(p if p.startswith("//") else "//" + p)
+
+            def create_table(self, p, df, mode="overwrite"):
+                client.write_table(p if p.startswith("//") else "//" + p, df)
+
+        return _run_op(_Adapter(), spec, tracker=tracker)
+
+    def _rewrite(self, p: str, df: DataFrame, extra_attrs: dict | None = None) -> None:
+        """Overwrite a table IN PLACE from a plan that reads it: stage to a
+        sibling dir, then swap — Spark's lazy scan would otherwise read
+        files the overwrite is deleting (the reference never has this
+        problem because outputs are new chunk lists; the swap recreates
+        that write-new-then-repoint discipline)."""
+        prior = dict(table_attributes(p)) if os.path.exists(p) else {}
+        prior.update(extra_attrs or {})
+        tmp = p + ".rewrite_tmp"
+        _write_fmt(df, tmp, mode="overwrite")
+        shutil.rmtree(p, ignore_errors=True)
+        os.replace(tmp, p)
+        if prior:
+            _write_attrs(p, prior)
+
+    def run_sort(self, src: str, dst: str | None = None, sort_by: list[str] | None = None) -> None:
+        from ytsaurus_spark.operators.map_reduce import run_sort
+
+        out = run_sort(self.read_table(src), sort_by or [])
+        self._rewrite(self._fs(dst or src), out, {"sorted_by": sort_by or []})
+
+    def run_merge(self, sources: list[str], dst: str, mode: str = "unordered") -> None:
+        from ytsaurus_spark.operators.map_reduce import run_merge
+
+        dfs = [self.read_table(s) for s in sources]
+        merge_by = None
+        if mode == "sorted":
+            merge_by = list(table_attributes(self._fs(self._split_rich(sources[0])[0])).get("sorted_by") or [])
+        self.write_table(dst, run_merge(dfs, mode=mode, merge_by=merge_by))
+
+    def run_erase(self, ypath: str, predicate: str) -> None:
+        from pyspark.sql import functions as F
+
+        from ytsaurus_spark.operators.map_reduce import run_erase
+
+        path, _ = self._split_rich(ypath)
+        self._rewrite(self._fs(path), run_erase(self.read_table(path), F.expr(predicate)))
