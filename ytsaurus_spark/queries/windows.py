@@ -374,3 +374,48 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w).alias("value"),
         F.col("value").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    """
+    SELECT user_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           round(arg_min(value, ts), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(arg_max(value, ts), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (user, hour) — the downsampling shape time-series
+    stores run over ordered tables: open/close are argmin/argmax on the
+    event time (min_by/max_by, one aggregate pass — never a window), so
+    the whole bar computes in one partial-agg'd groupBy. Ties on ts
+    cannot occur in the fixture (event times are unique per user)."""
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("b")
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "user_id",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
