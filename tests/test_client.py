@@ -103,3 +103,25 @@ def test_run_sort_merge_erase_and_operation(client, spark):
     from ytsaurus_spark.sources.formats import read_concatenated
 
     assert read_concatenated(spark, client._fs("//linked")).count() == 3
+
+
+def test_check_permission_acl_walk(client, spark):
+    client.create("map_node", "//home/secure")
+    df = spark.createDataFrame([(1,)], "k bigint")
+    client.write_table("//home/secure/t", df)
+    # allow at the parent, inherited by the table
+    client.set("//home/secure/@acl", [
+        {"subjects": ["alice"], "permissions": ["read"], "action": "allow"}
+    ])
+    assert client.check_permission("alice", "read", "//home/secure/t") == "allow"
+    assert client.check_permission("bob", "read", "//home/secure/t") == "deny"
+    assert client.check_permission("alice", "write", "//home/secure/t") == "deny"
+    # node-level deny beats inherited allow
+    client.set("//home/secure/t/@acl", [
+        {"subjects": ["alice"], "permissions": ["read"], "action": "deny"}
+    ])
+    assert client.check_permission("alice", "read", "//home/secure/t") == "deny"
+    # inherit_acl=false cuts the walk
+    client.set("//home/secure/t/@acl", [])
+    client.set("//home/secure/t/@inherit_acl", False)
+    assert client.check_permission("alice", "read", "//home/secure/t") == "deny"

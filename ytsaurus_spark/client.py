@@ -300,3 +300,35 @@ class YtClient:
 
         path, _ = self._split_rich(ypath)
         self._rewrite(self._fs(path), run_erase(self.read_table(path), F.expr(predicate)))
+
+    # -- ACLs (cypress access control subset) ------------------------------
+
+    def check_permission(self, user: str, permission: str, ypath: str) -> str:
+        """Cypress ACL check (reference check_permission command;
+        ESecurityAction allow/deny): walk from the node to the root,
+        first matching ACE wins (deny beats allow at the same node —
+        reference ACE ordering), inherited entries apply unless
+        ``inherit_acl`` is false at some node. ACEs live in the ``@acl``
+        attribute: [{"subjects": [...], "permissions": [...],
+        "action": "allow"|"deny"}]. Returns 'allow' or 'deny'
+        (default-deny like the reference)."""
+        node = ypath
+        while True:
+            p = self._fs(node)
+            attrs = table_attributes(p) if os.path.exists(p) else {}
+            decision = None
+            for ace in attrs.get("acl", []):
+                if user not in ace.get("subjects", []):
+                    continue
+                if permission not in ace.get("permissions", []):
+                    continue
+                if ace.get("action") == "deny":
+                    return "deny"
+                decision = "allow"
+            if decision:
+                return decision
+            if not attrs.get("inherit_acl", True):
+                return "deny"
+            if node == "//":
+                return "deny"
+            node = node.rsplit("/", 1)[0] or "//"
