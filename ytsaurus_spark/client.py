@@ -331,4 +331,5 @@ class YtClient:
                 return "deny"
             if node == "//":
                 return "deny"
-            node = node.rsplit("/", 1)[0] or "//"
+            parent = node.rsplit("/", 1)[0]
+            node = parent if parent.startswith("//") else "//"
