@@ -399,3 +399,43 @@ def op_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "client_end_to_end",
+    """
+    WITH sorted_orders AS (
+      SELECT * FROM orders WHERE o_totalprice > 50000
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM sorted_orders
+    GROUP BY o_orderpriority
+    """,
+)
+def client_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YtClient facade exercised end to end inside the correctness
+    gate: create a cypress tree, write orders under it, sort it in place
+    (stage-and-swap rewrite, @sorted_by recorded), then answer a QL
+    select_rows over the cypress path. Every hop goes through the
+    reference call-site surface (client.py); the oracle is the plain
+    relational equivalent."""
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+
+    cat = load_tables(spark, sf_dir)
+    client = YtClient(root=tempfile.mkdtemp(prefix="ytspark_client_"), spark=spark)
+    client.create("map_node", "//warehouse")
+    client.write_table("//warehouse/orders", cat.read("orders"))
+    client.run_sort("//warehouse/orders", sort_by=["o_orderkey"])
+    assert client.get("//warehouse/orders/@sorted_by") == ["o_orderkey"]
+    return client.select_rows(
+        "o_orderpriority, sum(1) AS n0, sum(o_totalprice) AS t0 "
+        "FROM [//warehouse/orders] WHERE o_totalprice > 50000 "
+        "GROUP BY o_orderpriority"
+    ).select(
+        "o_orderpriority",
+        F.col("n0").cast("long").alias("n"),
+        F.round("t0", 4).alias("total"),
+    )
