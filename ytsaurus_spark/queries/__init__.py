@@ -83,6 +83,7 @@ def _load() -> None:
         ql,
         streaming_q,
         surface_q,
+        tpcds2_q,
         tpcds_q,
         windows,
     )
