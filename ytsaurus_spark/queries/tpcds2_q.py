@@ -445,3 +445,375 @@ def tpcds_q96_band_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+# --- TPC-DS q4: three-channel customer YoY growth lattice -------------------
+
+
+@register(
+    "tpcds_q4_three_channel_yoy",
+    f"""
+    WITH per AS (
+      SELECT o_custkey, {_CHANNEL_SQL} AS channel,
+             CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS s_tt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3
+    ), six AS (
+      SELECT o_custkey,
+        CAST(sum(CASE WHEN channel='store'   AND d_year=1996 THEN s_tt END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN channel='store'   AND d_year=1997 THEN s_tt END) AS BIGINT) AS s2,
+        CAST(sum(CASE WHEN channel='catalog' AND d_year=1996 THEN s_tt END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN channel='catalog' AND d_year=1997 THEN s_tt END) AS BIGINT) AS c2,
+        CAST(sum(CASE WHEN channel='web'     AND d_year=1996 THEN s_tt END) AS BIGINT) AS w1,
+        CAST(sum(CASE WHEN channel='web'     AND d_year=1997 THEN s_tt END) AS BIGINT) AS w2
+      FROM per GROUP BY o_custkey
+    )
+    SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           round(CAST(c2 AS DOUBLE) / c1, 4) AS cat_ratio
+    FROM six JOIN customer ON o_custkey = c_custkey
+    WHERE s1 > 0 AND c1 > 0 AND w1 > 0
+      AND CAST(c2 AS DOUBLE) / c1 > CAST(s2 AS DOUBLE) / s1
+      AND CAST(c2 AS DOUBLE) / c1 > CAST(w2 AS DOUBLE) / w1
+    ORDER BY c_custkey LIMIT 100
+    """,
+)
+def tpcds_q4_three_channel_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 04 (queries/04.sql): customers whose CATALOG spending grew
+    faster year-over-year than BOTH their store and web spending — the
+    full three-channel extension of the q11 lattice. The reference
+    self-joins a year_total CTE six times; here ONE (customer, channel,
+    year) aggregate pivots to six cells via conditional aggregation —
+    a single fact shuffle on customer. Amounts are exact 1e-4 fixed
+    point so both engines divide identical integers."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    per = (
+        li.join(cat.read("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy(
+            "o_custkey",
+            _channel_col().alias("channel"),
+            F.year("l_shipdate").cast("int").alias("d_year"),
+        )
+        .agg(F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("s_tt"))
+    )
+    cell = lambda ch, y: F.sum(  # noqa: E731
+        F.when((F.col("channel") == ch) & (F.col("d_year") == y), F.col("s_tt"))
+    ).cast("long")
+    six = per.groupBy("o_custkey").agg(
+        cell("store", 1996).alias("s1"), cell("store", 1997).alias("s2"),
+        cell("catalog", 1996).alias("c1"), cell("catalog", 1997).alias("c2"),
+        cell("web", 1996).alias("w1"), cell("web", 1997).alias("w2"),
+    )
+    cr = F.col("c2").cast("double") / F.col("c1")
+    sr = F.col("s2").cast("double") / F.col("s1")
+    wr = F.col("w2").cast("double") / F.col("w1")
+    cust = cat.read("customer")
+    return (
+        six.filter(
+            (F.col("s1") > 0) & (F.col("c1") > 0) & (F.col("w1") > 0)
+            & (cr > sr) & (cr > wr)
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.round(cr, 4).alias("cat_ratio"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q74: two-channel YoY on the quantity measure --------------------
+
+
+@register(
+    "tpcds_q74_quantity_yoy",
+    f"""
+    WITH per AS (
+      SELECT o_custkey, {_CHANNEL_SQL} AS channel,
+             CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(round(sum(l_quantity * 100)) AS BIGINT) AS q_tt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(l_shipdate) IN (1996, 1997) AND {_CHANNEL_SQL} <> 'catalog'
+      GROUP BY 1, 2, 3
+    ), four AS (
+      SELECT o_custkey,
+        CAST(sum(CASE WHEN channel='store' AND d_year=1996 THEN q_tt END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN channel='store' AND d_year=1997 THEN q_tt END) AS BIGINT) AS s2,
+        CAST(sum(CASE WHEN channel='web'   AND d_year=1996 THEN q_tt END) AS BIGINT) AS w1,
+        CAST(sum(CASE WHEN channel='web'   AND d_year=1997 THEN q_tt END) AS BIGINT) AS w2
+      FROM per GROUP BY o_custkey
+    )
+    SELECT c_name
+    FROM four JOIN customer ON o_custkey = c_custkey
+    WHERE s1 > 0 AND w1 > 0
+      AND CAST(w2 AS DOUBLE) / w1 > CAST(s2 AS DOUBLE) / s1
+    ORDER BY c_name, c_custkey LIMIT 100
+    """,
+)
+def tpcds_q74_quantity_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 74 (queries/74.sql): the q11 lattice on the NET-PAID
+    measure (here: quantity, the fixture's undiscounted measure) over
+    store + web, emitting just the customer names. Same one-shuffle
+    conditional-aggregation pivot."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    per = (
+        li.join(cat.read("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.year("l_shipdate").isin(1996, 1997))
+        .filter(_channel_col() != "catalog")
+        .groupBy(
+            "o_custkey",
+            _channel_col().alias("channel"),
+            F.year("l_shipdate").cast("int").alias("d_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_quantity") * 100), 0).cast("long").alias("q_tt"))
+    )
+    cell = lambda ch, y: F.sum(  # noqa: E731
+        F.when((F.col("channel") == ch) & (F.col("d_year") == y), F.col("q_tt"))
+    ).cast("long")
+    four = per.groupBy("o_custkey").agg(
+        cell("store", 1996).alias("s1"), cell("store", 1997).alias("s2"),
+        cell("web", 1996).alias("w1"), cell("web", 1997).alias("w2"),
+    )
+    wr = F.col("w2").cast("double") / F.col("w1")
+    sr = F.col("s2").cast("double") / F.col("s1")
+    cust = cat.read("customer")
+    return (
+        four.filter((F.col("s1") > 0) & (F.col("w1") > 0) & (wr > sr))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .orderBy("c_name", "c_custkey")
+        .limit(100)
+        .select("c_name")
+    )
+
+
+# --- TPC-DS q75: YoY decline with returns netting ---------------------------
+
+
+@register(
+    "tpcds_q75_yoy_decline",
+    """
+    WITH per AS (
+      SELECT substring(p_brand, 7, 1) AS category, p_brand AS brand,
+             CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                           ELSE l_quantity END) AS BIGINT) AS net_qty,
+             CAST(round(sum(CASE WHEN l_returnflag = 'R'
+                                 THEN -l_extendedprice * 100
+                                 ELSE l_extendedprice * 100 END))
+                  AS BIGINT) AS net_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.category AS category, a.brand AS brand,
+           b.net_qty AS prev_qty, a.net_qty AS curr_qty,
+           CAST(a.net_qty - b.net_qty AS BIGINT) AS qty_diff,
+           round((a.net_cents - b.net_cents) / 100.0, 4) AS amt_diff
+    FROM per a JOIN per b
+      ON a.category = b.category AND a.brand = b.brand
+     AND a.d_year = 1997 AND b.d_year = 1996
+    WHERE b.net_qty > 0 AND CAST(a.net_qty AS DOUBLE) / b.net_qty < 0.9
+    ORDER BY qty_diff, category, brand LIMIT 100
+    """,
+)
+def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 75 (queries/75.sql): brands whose returns-netted sales
+    volume DROPPED >10% year-over-year. The reference UNION ALLs three
+    channels each LEFT JOINed to its returns table; the fixture folds
+    returns netting into conditional sums of one scan (returns =
+    'R' lines, tpcds_q.py derivation), then the prior-year comparison is
+    a self-join of the brand-year aggregate — brand-cardinality, so the
+    join broadcasts; the fact is shuffled once."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    sign = F.when(F.col("l_returnflag") == "R", -1).otherwise(1)
+    per = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.substring("p_brand", 7, 1).alias("category"),
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("int").alias("d_year"),
+        )
+        .agg(
+            F.sum(sign * F.col("l_quantity")).cast("long").alias("net_qty"),
+            F.round(F.sum(sign * F.col("l_extendedprice") * 100), 0)
+            .cast("long")
+            .alias("net_cents"),
+        )
+    )
+    a = per.filter(F.col("d_year") == 1997).alias("a")
+    b = per.filter(F.col("d_year") == 1996).alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.category") == F.col("b.category"))
+            & (F.col("a.brand") == F.col("b.brand")),
+        )
+        .filter(
+            (F.col("b.net_qty") > 0)
+            & (F.col("a.net_qty").cast("double") / F.col("b.net_qty") < 0.9)
+        )
+        .select(
+            F.col("a.category").alias("category"),
+            F.col("a.brand").alias("brand"),
+            F.col("b.net_qty").alias("prev_qty"),
+            F.col("a.net_qty").alias("curr_qty"),
+            (F.col("a.net_qty") - F.col("b.net_qty")).cast("long").alias("qty_diff"),
+            F.round((F.col("a.net_cents") - F.col("b.net_cents")) / 100.0, 4)
+            .alias("amt_diff"),
+        )
+        .orderBy("qty_diff", "category", "brand")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q30: web high returners vs state average ------------------------
+
+
+@register(
+    "tpcds_q30_web_returners",
+    """
+    WITH ctr AS (
+      SELECT o_custkey AS cust, c_nationkey AS state,
+             sum(l_extendedprice) AS total
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
+      GROUP BY o_custkey, c_nationkey
+    ), avgs AS (SELECT state, avg(total) AS st_avg FROM ctr GROUP BY state)
+    SELECT c_name, round(total, 4) AS total
+    FROM ctr JOIN avgs USING (state)
+      JOIN customer ON cust = c_custkey
+    WHERE total > 1.2 * st_avg
+    ORDER BY c_name, cust LIMIT 100
+    """,
+)
+def tpcds_q30_web_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 30 (queries/30.sql): the WEB-channel sibling of q1 —
+    customers whose web return total exceeds 1.2x their state's average,
+    emitting customer detail columns. Same decorrelated per-state-avg
+    broadcast-back shape; the channel gate prunes the fact scan."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    ctr = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 3 == 2))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("state")
+        )
+        .agg(F.sum("l_extendedprice").alias("total"))
+    )
+    avgs = ctr.groupBy("state").agg(F.avg("total").alias("st_avg"))
+    return (
+        ctr.join(F.broadcast(avgs), "state")
+        .filter(F.col("total") > 1.2 * F.col("st_avg"))
+        .join(F.broadcast(cust), F.col("cust") == cust.c_custkey)
+        .orderBy("c_name", "cust")
+        .limit(100)
+        .select("c_name", F.round("total", 4).alias("total"))
+    )
+
+
+# --- TPC-DS q81: catalog high returners with customer detail ----------------
+
+
+@register(
+    "tpcds_q81_catalog_returners",
+    """
+    WITH ctr AS (
+      SELECT o_custkey AS cust, c_nationkey AS state,
+             sum(l_extendedprice) AS total
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
+      GROUP BY o_custkey, c_nationkey
+    ), avgs AS (SELECT state, avg(total) AS st_avg FROM ctr GROUP BY state)
+    SELECT c_name, round(c_acctbal, 4) AS c_acctbal,
+           CAST(state AS INT) AS state, round(total, 4) AS total
+    FROM ctr JOIN avgs USING (state)
+      JOIN customer ON cust = c_custkey
+    WHERE total > 1.2 * st_avg
+    ORDER BY c_name, cust LIMIT 100
+    """,
+)
+def tpcds_q81_catalog_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 81 (queries/81.sql): the CATALOG-channel sibling of q1/q30
+    with the wider customer-detail projection (name, balance, state).
+    Identical decorrelated shape; kept distinct because the reference
+    ships it as its own benchmark query."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    ctr = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 3 == 1))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("state")
+        )
+        .agg(F.sum("l_extendedprice").alias("total"))
+    )
+    avgs = ctr.groupBy("state").agg(F.avg("total").alias("st_avg"))
+    return (
+        ctr.join(F.broadcast(avgs), "state")
+        .filter(F.col("total") > 1.2 * F.col("st_avg"))
+        .join(F.broadcast(cust), F.col("cust") == cust.c_custkey)
+        .orderBy("c_name", "cust")
+        .limit(100)
+        .select(
+            "c_name",
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+            F.col("state").cast("int").alias("state"),
+            F.round("total", 4).alias("total"),
+        )
+    )
+
+
+# --- TPC-DS q92: web excess discount amount ---------------------------------
+
+
+@register(
+    "tpcds_q92_web_excess_discount",
+    """
+    WITH web AS (
+      SELECT l_partkey, l_extendedprice * l_discount AS disc_amt, l_discount
+      FROM lineitem WHERE l_linenumber % 3 = 2
+    ), item_avg AS (
+      SELECT l_partkey AS pk, avg(l_discount) AS ad FROM web GROUP BY l_partkey
+    )
+    SELECT round(sum(disc_amt), 4) AS excess_discount
+    FROM web JOIN item_avg ON l_partkey = pk
+    WHERE l_discount > 1.3 * ad
+    """,
+)
+def tpcds_q92_web_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 92 (queries/92.sql): total web DISCOUNT AMOUNT on rows
+    whose discount exceeds 1.3x the per-item web average — the q32
+    correlated-scalar shape on the web channel with the discount-amount
+    measure. Decorrelated to a per-item aggregate joined back; both
+    sides come from the one channel-pruned scan."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    web = li.filter(F.col("l_linenumber") % 3 == 2).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amt"),
+        "l_discount",
+    )
+    item_avg = web.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_discount").alias("ad")
+    )
+    return (
+        web.join(item_avg, web.l_partkey == item_avg.pk)
+        .filter(F.col("l_discount") > 1.3 * F.col("ad"))
+        .agg(F.round(F.sum("disc_amt"), 4).alias("excess_discount"))
+    )
