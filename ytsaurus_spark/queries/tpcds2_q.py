@@ -193,14 +193,14 @@ def tpcds_q55_manager_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q7_demographic_avgs",
     """
     SELECT p_name AS item,
-           round(CAST(round(sum(l_quantity * 100)) AS BIGINT) * 1.0
-                 / (100 * count(*)), 4) AS agg1,
-           round(CAST(round(sum(o_totalprice * 100)) AS BIGINT) * 1.0
-                 / (100 * count(*)), 4) AS agg2,
-           round(CAST(round(sum(l_discount * 100)) AS BIGINT) * 1.0
-                 / (100 * count(*)), 4) AS agg3,
-           round(CAST(round(sum(l_extendedprice * 100)) AS BIGINT) * 1.0
-                 / (100 * count(*)), 4) AS agg4
+           CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg1,
+           CAST(floor(CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg2,
+           CAST(floor(CAST(sum(round(l_discount * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg3,
+           CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg4
     FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -237,11 +237,14 @@ def tpcds_q7_demographic_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_name").alias("item"))
         .agg(*[
-            F.round(
-                F.round(F.sum(F.col(c) * 100), 0).cast("long")
-                * 1.0
-                / (100 * F.count(F.lit(1))),
-                4,
+            (
+                F.floor(
+                    F.sum(F.round(F.col(c) * 100, 0)).cast("long")
+                    * 100.0
+                    / F.count(F.lit(1))
+                    + 0.5
+                ).cast("long")
+                / 10000.0
             ).alias(a)
             for c, a in [
                 ("l_quantity", "agg1"),
@@ -537,7 +540,7 @@ def tpcds_q4_three_channel_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT o_custkey, {_CHANNEL_SQL} AS channel,
              CAST(year(l_shipdate) AS INT) AS d_year,
-             CAST(round(sum(l_quantity * 100)) AS BIGINT) AS q_tt
+             CAST(sum(round(l_quantity * 100)) AS BIGINT) AS q_tt
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE year(l_shipdate) IN (1996, 1997) AND {_CHANNEL_SQL} <> 'catalog'
       GROUP BY 1, 2, 3
@@ -572,7 +575,7 @@ def tpcds_q74_quantity_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             _channel_col().alias("channel"),
             F.year("l_shipdate").cast("int").alias("d_year"),
         )
-        .agg(F.round(F.sum(F.col("l_quantity") * 100), 0).cast("long").alias("q_tt"))
+        .agg(F.sum(F.round(F.col("l_quantity") * 100, 0)).cast("long").alias("q_tt"))
     )
     cell = lambda ch, y: F.sum(  # noqa: E731
         F.when((F.col("channel") == ch) & (F.col("d_year") == y), F.col("q_tt"))
@@ -604,9 +607,9 @@ def tpcds_q74_quantity_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(year(l_shipdate) AS INT) AS d_year,
              CAST(sum(CASE WHEN l_returnflag = 'R' THEN -l_quantity
                            ELSE l_quantity END) AS BIGINT) AS net_qty,
-             CAST(round(sum(CASE WHEN l_returnflag = 'R'
-                                 THEN -l_extendedprice * 100
-                                 ELSE l_extendedprice * 100 END))
+             CAST(sum(round(CASE WHEN l_returnflag = 'R'
+                                THEN -l_extendedprice * 100
+                                ELSE l_extendedprice * 100 END))
                   AS BIGINT) AS net_cents
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE year(l_shipdate) IN (1996, 1997)
@@ -644,7 +647,7 @@ def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(sign * F.col("l_quantity")).cast("long").alias("net_qty"),
-            F.round(F.sum(sign * F.col("l_extendedprice") * 100), 0)
+            F.sum(F.round(sign * F.col("l_extendedprice") * 100, 0))
             .cast("long")
             .alias("net_cents"),
         )
@@ -816,4 +819,418 @@ def tpcds_q92_web_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame
         web.join(item_avg, web.l_partkey == item_avg.pk)
         .filter(F.col("l_discount") > 1.3 * F.col("ad"))
         .agg(F.round(F.sum("disc_amt"), 4).alias("excess_discount"))
+    )
+
+
+# --- TPC-DS q18: catalog averages over a geography ROLLUP -------------------
+
+
+@register(
+    "tpcds_q18_geo_rollup_avgs",
+    """
+    SELECT r_name AS country, n_name AS state,
+           CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg1,
+           CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg2,
+           CAST(floor(CAST(sum(round(l_discount * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg3,
+           CAST(floor(CAST(sum(round(c_acctbal * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg4
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_linenumber % 3 = 1 AND c_mktsegment = 'FURNITURE'
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def tpcds_q18_geo_rollup_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 18 (queries/18.sql): four catalog-sales averages for one
+    demographic slice, subtotaled over the customer-geography hierarchy
+    (country, state := region, nation). ROLLUP is one expand+aggregate
+    over the dim-broadcast join; averages are exact integer-cent sums
+    divided once so both engines round identical doubles."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    cust, nation, region = (
+        cat.read("customer"), cat.read("nation"), cat.read("region")
+    )
+    base = (
+        li.filter(F.col("l_linenumber") % 3 == 1)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "FURNITURE")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    fixed_avg = lambda c, a: (  # noqa: E731
+        F.floor(
+            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
+            * 100.0
+            / F.count(F.lit(1))
+            + 0.5
+        ).cast("long")
+        / 10000.0
+    ).alias(a)
+    return (
+        base.select(
+            F.col("r_name").alias("country"), F.col("n_name").alias("state"),
+            "l_quantity", "l_extendedprice", "l_discount", "c_acctbal",
+        )
+        .rollup("country", "state")
+        .agg(
+            fixed_avg("l_quantity", "agg1"),
+            fixed_avg("l_extendedprice", "agg2"),
+            fixed_avg("l_discount", "agg3"),
+            fixed_avg("c_acctbal", "agg4"),
+        )
+    )
+
+
+# --- TPC-DS q22: quantity-on-hand over the product hierarchy ROLLUP ---------
+
+
+@register(
+    "tpcds_q22_product_rollup_qoh",
+    """
+    SELECT substring(p_brand, 7, 1) AS category, p_brand AS brand,
+           p_type AS class,
+           CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS qoh
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ROLLUP(1, 2, 3)
+    """,
+)
+def tpcds_q22_product_rollup_qoh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 22 (queries/22.sql): average quantity on hand subtotaled
+    over the item hierarchy (category > brand > class). inventory :=
+    lineitem quantities (the fixture's only stock-like measure). One
+    broadcast dim join + one ROLLUP aggregate; no ORDER BY so nothing
+    ever leaves partial-aggregate shape until the final merge."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.substring("p_brand", 7, 1).alias("category"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("class"),
+            "l_quantity",
+        )
+        .rollup("category", "brand", "class")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.round(F.col("l_quantity") * 100, 0)).cast("long")
+                    * 100.0
+                    / F.count(F.lit(1))
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("qoh")
+        )
+    )
+
+
+# --- TPC-DS q27: store averages over a state/item ROLLUP --------------------
+
+
+@register(
+    "tpcds_q27_state_item_rollup",
+    """
+    SELECT p_brand AS item, n_name AS state,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_state,
+           CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg1,
+           CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg2,
+           CAST(floor(CAST(sum(round(l_discount * 100)) AS BIGINT)
+                      * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg3
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+    WHERE l_linenumber % 3 = 0 AND c_mktsegment = 'HOUSEHOLD'
+    GROUP BY ROLLUP(p_brand, n_name)
+    """,
+)
+def tpcds_q27_state_item_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 27 (queries/27.sql): store-sales averages for one
+    demographic, subtotaled item-then-state, with the GROUPING() flag
+    exposed the way the reference query emits g_state. Same fixed-point
+    average discipline as q18."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    cust, nation, part = cat.read("customer"), cat.read("nation"), cat.read("part")
+    base = (
+        li.filter(F.col("l_linenumber") % 3 == 0)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "HOUSEHOLD")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("item"), F.col("n_name").alias("state"),
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+    )
+    fixed_avg = lambda c, a: (  # noqa: E731
+        F.floor(
+            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
+            * 100.0
+            / F.count(F.lit(1))
+            + 0.5
+        ).cast("long")
+        / 10000.0
+    ).alias(a)
+    return base.rollup("item", "state").agg(
+        F.grouping("state").cast("long").alias("g_state"),
+        fixed_avg("l_quantity", "agg1"),
+        fixed_avg("l_extendedprice", "agg2"),
+        fixed_avg("l_discount", "agg3"),
+    )
+
+
+# --- TPC-DS q43: weekday sales pivot per store ------------------------------
+
+
+@register(
+    "tpcds_q43_store_weekdays",
+    """
+    WITH days AS (
+      SELECT s_nationkey AS store,
+             date_diff('day', DATE '1995-01-01', l_shipdate) % 7 AS dow,
+             l_extendedprice AS amt
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linenumber % 3 = 0 AND year(l_shipdate) = 1997
+    )
+    SELECT store,
+           round(sum(CASE WHEN dow = 0 THEN amt ELSE 0 END), 4) AS d0,
+           round(sum(CASE WHEN dow = 1 THEN amt ELSE 0 END), 4) AS d1,
+           round(sum(CASE WHEN dow = 2 THEN amt ELSE 0 END), 4) AS d2,
+           round(sum(CASE WHEN dow = 3 THEN amt ELSE 0 END), 4) AS d3,
+           round(sum(CASE WHEN dow = 4 THEN amt ELSE 0 END), 4) AS d4,
+           round(sum(CASE WHEN dow = 5 THEN amt ELSE 0 END), 4) AS d5,
+           round(sum(CASE WHEN dow = 6 THEN amt ELSE 0 END), 4) AS d6
+    FROM days GROUP BY store ORDER BY store
+    """,
+)
+def tpcds_q43_store_weekdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 43 (queries/43.sql): one year of store sales pivoted into a
+    weekday column per store. store := supplier nation, weekday := the
+    epoch-anchored day count mod 7 (q59's engine-neutral derivation —
+    no locale-dependent week function). Seven conditional sums fuse into
+    ONE aggregate pass."""
+    cat = load_tables(spark, sf_dir)
+    li, sup = cat.read("lineitem"), cat.read("supplier")
+    days = (
+        li.filter((F.col("l_linenumber") % 3 == 0) & (F.year("l_shipdate") == 1997))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_nationkey").alias("store"),
+            (
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.lit("1995-01-01").cast("date"),
+                )
+                % 7
+            ).alias("dow"),
+            F.col("l_extendedprice").alias("amt"),
+        )
+    )
+    day_sum = lambda d: F.round(  # noqa: E731
+        F.sum(F.when(F.col("dow") == d, F.col("amt")).otherwise(F.lit(0.0))), 4
+    ).alias(f"d{d}")
+    return (
+        days.groupBy("store")
+        .agg(*[day_sum(d) for d in range(7)])
+        .orderBy("store")
+    )
+
+
+# --- TPC-DS q67: top-10 sales cells within category over a deep ROLLUP ------
+
+
+@register(
+    "tpcds_q67_category_top_cells",
+    """
+    WITH agg AS (
+      SELECT substring(p_brand, 7, 1) AS category, p_brand AS brand,
+             p_type AS class, CAST(year(l_shipdate) AS INT) AS d_year,
+             CAST(month(l_shipdate) AS INT) AS d_moy,
+             CAST(sum(round(l_quantity * l_extendedprice * 100)) AS BIGINT)
+               AS sumsales
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linenumber % 3 = 0
+      GROUP BY ROLLUP(1, 2, 3, 4, 5)
+    )
+    SELECT * FROM (
+      SELECT category, brand, class, d_year, d_moy, sumsales,
+             CAST(row_number() OVER (
+               PARTITION BY category
+               ORDER BY sumsales DESC, coalesce(brand, ''),
+                        coalesce(class, ''), coalesce(d_year, -1),
+                        coalesce(d_moy, -1)
+             ) AS BIGINT) AS rk
+      FROM agg
+    ) t WHERE rk <= 10
+    """,
+)
+def tpcds_q67_category_top_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 67 (queries/67.sql): the deep product/time ROLLUP ranked
+    within category, keeping each category's top-10 cells. sumsales is
+    exact integer cents so rank order can't flake on double ties; the
+    ORDER BY carries a full coalesced tie-break (Spark and DuckDB
+    default NULL ordering differs — coalesce removes NULLs from the sort
+    keys entirely). The window partitions on category, never global, and
+    its input is the ROLLUP aggregate, not the fact."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    agg = (
+        li.filter(F.col("l_linenumber") % 3 == 0)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.substring("p_brand", 7, 1).alias("category"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("class"),
+            F.year("l_shipdate").cast("int").alias("d_year"),
+            F.month("l_shipdate").cast("int").alias("d_moy"),
+            (F.col("l_quantity") * F.col("l_extendedprice")).alias("qp"),
+        )
+        .rollup("category", "brand", "class", "d_year", "d_moy")
+        .agg(F.sum(F.round(F.col("qp") * 100, 0)).cast("long").alias("sumsales"))
+    )
+    w = W.partitionBy("category").orderBy(
+        F.col("sumsales").desc(),
+        F.coalesce(F.col("brand"), F.lit("")),
+        F.coalesce(F.col("class"), F.lit("")),
+        F.coalesce(F.col("d_year"), F.lit(-1)),
+        F.coalesce(F.col("d_moy"), F.lit(-1)),
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+# --- TPC-DS q86: rank-within-parent over a web ROLLUP -----------------------
+
+
+@register(
+    "tpcds_q86_web_rollup_rank",
+    """
+    WITH agg AS (
+      SELECT substring(p_brand, 7, 1) AS category, p_type AS class,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total,
+             CAST(GROUPING(category) + GROUPING(class) AS BIGINT) AS lochier
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linenumber % 3 = 2
+      GROUP BY ROLLUP(category, class)
+    )
+    SELECT category, class, total, lochier,
+           CAST(row_number() OVER (
+             PARTITION BY lochier, CASE WHEN lochier = 0 THEN category END
+             ORDER BY total DESC, coalesce(category, ''), coalesce(class, '')
+           ) AS BIGINT) AS rank_in_parent
+    FROM agg
+    """,
+)
+def tpcds_q86_web_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 86 (queries/86.sql): the q70 rank-within-parent pattern on
+    WEB sales over the item hierarchy (category > class) — each class
+    ranks inside its category stratum, subtotal rows rank against
+    subtotal rows. Window input is the ROLLUP output (dim-scale)."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    agg = (
+        li.filter(F.col("l_linenumber") % 3 == 2)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.substring("p_brand", 7, 1).alias("category"),
+            F.col("p_type").alias("class"),
+            _amt().alias("amt"),
+        )
+        .rollup("category", "class")
+        .agg(
+            F.round(F.sum("amt"), 4).alias("total"),
+            (F.grouping("category") + F.grouping("class"))
+            .cast("long")
+            .alias("lochier"),
+        )
+    )
+    w = W.partitionBy(
+        "lochier", F.when(F.col("lochier") == 0, F.col("category"))
+    ).orderBy(
+        F.col("total").desc(),
+        F.coalesce(F.col("category"), F.lit("")),
+        F.coalesce(F.col("class"), F.lit("")),
+    )
+    return agg.select(
+        "category", "class", "total", "lochier",
+        F.row_number().over(w).cast("long").alias("rank_in_parent"),
+    )
+
+
+# --- TPC-DS q80: channel ROLLUP with netted returns and profit --------------
+
+
+@register(
+    "tpcds_q80_netted_channel_report",
+    f"""
+    WITH ch AS (
+      SELECT {_CHANNEL_SQL} AS channel, p_brand AS id,
+             CASE WHEN l_returnflag <> 'R'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS sales,
+             CASE WHEN l_returnflag = 'R'
+                  THEN l_extendedprice ELSE 0 END AS returned,
+             CASE WHEN l_returnflag <> 'R'
+                  THEN l_extendedprice * (1 - l_discount)
+                       - l_extendedprice * l_tax
+                  ELSE -l_extendedprice END AS profit
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1997
+    )
+    SELECT channel, id, round(sum(sales), 4) AS sales,
+           round(sum(returned), 4) AS returned,
+           round(sum(profit), 4) AS profit
+    FROM ch GROUP BY ROLLUP(channel, id)
+    """,
+)
+def tpcds_q80_netted_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 80 (queries/80.sql): the q5 channel report extended with
+    RETURNS NETTING and a profit measure — sales exclude returned lines,
+    returns subtract from profit, one year. cost := the tax share
+    (l_tax * price), the fixture's only cost-like rate. Still ONE fact
+    scan: the channel/returns split is a CASE, the ROLLUP one
+    expand+aggregate."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    is_r = F.col("l_returnflag") == "R"
+    ch = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            _channel_col().alias("channel"),
+            F.col("p_brand").alias("id"),
+            F.when(~is_r, _amt()).otherwise(F.lit(0.0)).alias("sales"),
+            F.when(is_r, F.col("l_extendedprice")).otherwise(F.lit(0.0))
+            .alias("returned"),
+            F.when(
+                ~is_r, _amt() - F.col("l_extendedprice") * F.col("l_tax")
+            )
+            .otherwise(-F.col("l_extendedprice"))
+            .alias("profit"),
+        )
+    )
+    return ch.rollup("channel", "id").agg(
+        F.round(F.sum("sales"), 4).alias("sales"),
+        F.round(F.sum("returned"), 4).alias("returned"),
+        F.round(F.sum("profit"), 4).alias("profit"),
     )
