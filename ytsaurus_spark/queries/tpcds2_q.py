@@ -1234,3 +1234,434 @@ def tpcds_q80_netted_channel_report(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.sum("returned"), 4).alias("returned"),
         F.round(F.sum("profit"), 4).alias("profit"),
     )
+
+
+# --- TPC-DS q10: active-in-store AND (catalog OR web) demographics ----------
+
+
+@register(
+    "tpcds_q10_channel_reach",
+    """
+    WITH s AS (SELECT DISTINCT o_custkey AS ck FROM orders
+               JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 0 AND year(l_shipdate) = 1997),
+         c AS (SELECT DISTINCT o_custkey AS ck FROM orders
+               JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 1 AND year(l_shipdate) = 1997),
+         w AS (SELECT DISTINCT o_custkey AS ck FROM orders
+               JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 2 AND year(l_shipdate) = 1997)
+    SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer
+    WHERE c_custkey IN (SELECT ck FROM s)
+      AND (c_custkey IN (SELECT ck FROM c) OR c_custkey IN (SELECT ck FROM w))
+    GROUP BY 1 ORDER BY seg
+    """,
+)
+def tpcds_q10_channel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 10 (queries/10.sql): demographic counts of customers with
+    store activity AND activity in at least one direct channel — an
+    EXISTS ∧ (EXISTS ∨ EXISTS) gate. The OR of two IN-subqueries
+    rewrites to ONE left-semi join against the UNION of the two customer
+    sets (all customer-cardinality, broadcastable); the three distinct
+    sets share one fact scan via exchange reuse."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    def chan(n):
+        return (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter((F.col("l_linenumber") % 3 == n) & (F.year("l_shipdate") == 1997))
+            .select(F.col("o_custkey").alias("ck"))
+            .distinct()
+        )
+    s, either = chan(0), chan(1).union(chan(2)).distinct()
+    return (
+        cust.join(s, cust.c_custkey == s.ck, "left_semi")
+        .join(either, cust.c_custkey == either.ck, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("seg")
+    )
+
+
+# --- TPC-DS q69: store-only customers (NOT EXISTS other channels) -----------
+
+
+@register(
+    "tpcds_q69_store_only",
+    """
+    WITH s AS (SELECT DISTINCT o_custkey AS ck FROM orders
+               JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 0 AND year(l_shipdate) = 1997),
+         c AS (SELECT DISTINCT o_custkey AS ck FROM orders
+               JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 1 AND year(l_shipdate) = 1997),
+         w AS (SELECT DISTINCT o_custkey AS ck FROM orders
+               JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_linenumber % 3 = 2 AND year(l_shipdate) = 1997)
+    SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer
+    WHERE c_custkey IN (SELECT ck FROM s)
+      AND c_custkey NOT IN (SELECT ck FROM c)
+      AND c_custkey NOT IN (SELECT ck FROM w)
+    GROUP BY 1 ORDER BY seg
+    """,
+)
+def tpcds_q69_store_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 69 (queries/69.sql): the q10 complement — store-active
+    customers with NO catalog and NO web activity, counted by
+    demographic. The NOT INs are left-anti joins against the unioned
+    direct-channel set (keys are never NULL here, so anti ≡ NOT IN)."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    def chan(n):
+        return (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter((F.col("l_linenumber") % 3 == n) & (F.year("l_shipdate") == 1997))
+            .select(F.col("o_custkey").alias("ck"))
+            .distinct()
+        )
+    s, either = chan(0), chan(1).union(chan(2)).distinct()
+    return (
+        cust.join(s, cust.c_custkey == s.ck, "left_semi")
+        .join(either, cust.c_custkey == either.ck, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("seg")
+    )
+
+
+# --- TPC-DS q15: catalog sales by zip behind a 3-way OR gate ----------------
+
+
+@register(
+    "tpcds_q15_zip_or_gate",
+    """
+    SELECT c_nationkey AS zip,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sales
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    WHERE l_linenumber % 3 = 1
+      AND (c_nationkey IN (5, 10, 15) OR c_nationkey % 5 = 0
+           OR l_extendedprice > 90000)
+    GROUP BY 1 ORDER BY zip
+    """,
+)
+def tpcds_q15_zip_or_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 15 (queries/15.sql): catalog sales per zip where the row
+    passes a zip-list OR state-list OR big-ticket disjunction — the
+    OR spans DIM and FACT columns so it can't become a semi-join; it
+    stays a scan-stage predicate after the broadcast dim join. zip/state
+    := nation keys (module derivation)."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    return (
+        li.filter(F.col("l_linenumber") % 3 == 1)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            F.col("c_nationkey").isin(5, 10, 15)
+            | (F.col("c_nationkey") % 5 == 0)
+            | (F.col("l_extendedprice") > 90000)
+        )
+        .groupBy(F.col("c_nationkey").alias("zip"))
+        .agg(F.round(F.sum(_amt()), 4).alias("sales"))
+        .orderBy("zip")
+    )
+
+
+# --- TPC-DS q16: catalog orders shipped multi-nation, return-free -----------
+
+
+@register(
+    "tpcds_q16_catalog_shipping",
+    """
+    WITH co AS (
+      SELECT l_orderkey AS ok, s_nationkey AS nk, l_extendedprice AS price,
+             l_returnflag AS flag, o_orderpriority AS pri
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 1
+    ), per_order AS (
+      SELECT ok, count(DISTINCT nk) AS nations,
+             CAST(count(CASE WHEN flag = 'R' THEN 1 END) AS BIGINT) AS rets,
+             sum(price) AS total
+      FROM co WHERE pri = '2-HIGH' GROUP BY ok
+    )
+    SELECT CAST(count(*) AS BIGINT) AS order_count,
+           round(sum(total), 4) AS total_shipping_cost
+    FROM per_order WHERE nations >= 2 AND rets = 0
+    """,
+)
+def tpcds_q16_catalog_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 16 (queries/16.sql): count + cost of high-priority catalog
+    orders shipped from AT LEAST TWO nations with NO returned line — the
+    EXISTS-other-warehouse ∧ NOT-EXISTS-returns pair. Both EXISTS
+    decorrelate into ONE order-grain aggregate (distinct-nation count +
+    conditional return count), so the fact shuffles once on the order
+    key instead of running two correlated probes."""
+    cat = load_tables(spark, sf_dir)
+    li, sup, orders = cat.read("lineitem"), cat.read("supplier"), cat.read("orders")
+    co = (
+        li.filter(F.col("l_linenumber") % 3 == 1)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "2-HIGH"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    per_order = co.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("s_nationkey").alias("nations"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("long").alias("rets"),
+        F.sum("l_extendedprice").alias("total"),
+    )
+    return (
+        per_order.filter((F.col("nations") >= 2) & (F.col("rets") == 0))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("order_count"),
+            F.round(F.sum("total"), 4).alias("total_shipping_cost"),
+        )
+    )
+
+
+# --- TPC-DS q94: web orders multi-supplier, return-free ---------------------
+
+
+@register(
+    "tpcds_q94_web_shipping",
+    """
+    WITH wo AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk, l_extendedprice AS price,
+             l_returnflag AS flag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 2 AND year(o_orderdate) = 1996
+    ), per_order AS (
+      SELECT ok, count(DISTINCT sk) AS supps,
+             CAST(count(CASE WHEN flag = 'R' THEN 1 END) AS BIGINT) AS rets,
+             sum(price) AS total
+      FROM wo GROUP BY ok
+    )
+    SELECT CAST(count(*) AS BIGINT) AS order_count,
+           round(sum(total), 4) AS total_net
+    FROM per_order WHERE supps >= 2 AND rets = 0
+    """,
+)
+def tpcds_q94_web_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 94 (queries/94.sql): the q16 shape on the WEB channel for
+    one year — orders touched by ≥2 suppliers and free of returns,
+    rolled to one count+sum row via the same decorrelated order-grain
+    aggregate."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    wo = (
+        li.filter(F.col("l_linenumber") % 3 == 2)
+        .join(
+            orders.filter(F.year("o_orderdate") == 1996),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    per_order = wo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("long").alias("rets"),
+        F.sum("l_extendedprice").alias("total"),
+    )
+    return (
+        per_order.filter((F.col("supps") >= 2) & (F.col("rets") == 0))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("order_count"),
+            F.round(F.sum("total"), 4).alias("total_net"),
+        )
+    )
+
+
+# --- TPC-DS q60: per-channel category aggregates, unioned and re-agged ------
+
+
+@register(
+    "tpcds_q60_category_union",
+    f"""
+    WITH u AS (
+      SELECT {_CHANNEL_SQL} AS ch, p_brand AS id,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE substring(p_brand, 7, 1) = '1' AND month(l_shipdate) = 9
+    ), per AS (
+      SELECT id, ch, sum(amt) AS t FROM u GROUP BY id, ch
+    )
+    SELECT id, round(sum(t), 4) AS total
+    FROM per GROUP BY id ORDER BY id
+    """,
+)
+def tpcds_q60_category_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 60 (queries/60.sql): item totals for one category and month
+    where each CHANNEL is aggregated separately and the three aggregates
+    are UNION ALLed then re-aggregated — the q33/q56 family keyed on
+    category. The union members are per-channel aggregates of one shared
+    scan (exchange reuse); the re-aggregate runs on item cardinality."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    u = (
+        li.filter(F.month("l_shipdate") == 9)
+        .join(
+            F.broadcast(part.filter(F.substring("p_brand", 7, 1) == "1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            _channel_col().alias("ch"), F.col("p_brand").alias("id"),
+            _amt().alias("amt"),
+        )
+    )
+    branches = [
+        u.filter(F.col("ch") == c).groupBy("id").agg(F.sum("amt").alias("t"))
+        for c in ("store", "catalog", "web")
+    ]
+    per = branches[0].union(branches[1]).union(branches[2])
+    return (
+        per.groupBy("id")
+        .agg(F.round(F.sum("t"), 4).alias("total"))
+        .orderBy("id")
+    )
+
+
+# --- TPC-DS q71: brand revenue by time band across three channels -----------
+
+
+@register(
+    "tpcds_q71_brand_time_bands",
+    f"""
+    WITH u AS (
+      SELECT {_CHANNEL_SQL} AS ch, p_brand AS brand,
+             CAST(month(l_shipdate) AS INT) AS t,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size % 10 = 7 AND year(l_shipdate) = 1997
+    )
+    SELECT brand, t, round(sum(amt), 4) AS total
+    FROM u GROUP BY brand, t ORDER BY brand, t
+    """,
+)
+def tpcds_q71_brand_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 71 (queries/71.sql): one manufacturer's brand revenue per
+    time band with all three channels UNIONed — the reference unions
+    three facts against a time dim; the fixture's channels share one
+    fact, so the union folds into one scan grouped by (brand, band).
+    band := month (q88 derivation), manufacturer := p_size % 10."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(
+            F.broadcast(part.filter(F.col("p_size") % 10 == 7)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.month("l_shipdate").cast("int").alias("t"),
+        )
+        .agg(F.round(F.sum(_amt()), 4).alias("total"))
+        .orderBy("brand", "t")
+    )
+
+
+# --- TPC-DS q73: small-basket frequent shoppers -----------------------------
+
+
+@register(
+    "tpcds_q73_small_baskets",
+    """
+    WITH per AS (
+      SELECT l_orderkey AS ok, o_custkey AS ck,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 0
+        AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      GROUP BY 1, 2 HAVING count(*) BETWEEN 1 AND 5
+    )
+    SELECT c_name, ok, cnt
+    FROM per JOIN customer ON ck = c_custkey
+    ORDER BY cnt DESC, c_name, ok LIMIT 100
+    """,
+)
+def tpcds_q73_small_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 73 (queries/73.sql): the q34 count-band join-back with the
+    SMALL basket band (1–5 items) and a different demographic gate —
+    order-grain counts filtered by HAVING, then the customer dim joined
+    back for display. One fact shuffle on the order key."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    per = (
+        li.filter(F.col("l_linenumber") % 3 == 0)
+        .join(
+            orders.filter(
+                F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt").between(1, 5))
+    )
+    return (
+        per.join(F.broadcast(cat.read("customer")), per.ck == F.col("c_custkey"))
+        .orderBy(F.col("cnt").desc(), "c_name", "ok")
+        .limit(100)
+        .select("c_name", "ok", "cnt")
+    )
+
+
+# --- TPC-DS q83: three-channel return quantities joined on item -------------
+
+
+@register(
+    "tpcds_q83_return_shares",
+    """
+    WITH sr AS (SELECT l_partkey AS pk, CAST(sum(l_quantity) AS BIGINT) AS q
+                FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 0
+                GROUP BY 1),
+         cr AS (SELECT l_partkey AS pk, CAST(sum(l_quantity) AS BIGINT) AS q
+                FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
+                GROUP BY 1),
+         wr AS (SELECT l_partkey AS pk, CAST(sum(l_quantity) AS BIGINT) AS q
+                FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
+                GROUP BY 1)
+    SELECT sr.pk AS pk, sr.q AS sret, cr.q AS cret, wr.q AS wret,
+           round(sr.q * 100.0 / ((sr.q + cr.q + wr.q) / 3.0), 4) AS s_share,
+           round(cr.q * 100.0 / ((sr.q + cr.q + wr.q) / 3.0), 4) AS c_share,
+           round(wr.q * 100.0 / ((sr.q + cr.q + wr.q) / 3.0), 4) AS w_share
+    FROM sr JOIN cr ON sr.pk = cr.pk JOIN wr ON sr.pk = wr.pk
+    ORDER BY pk LIMIT 100
+    """,
+)
+def tpcds_q83_return_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 83 (queries/83.sql): items returned in ALL three channels
+    with each channel's share of the item's average return volume. Three
+    per-channel return aggregates (one shared scan) inner-join on the
+    item key — item-cardinality joins, each side already aggregated, so
+    nothing fact-scale crosses the wire after the first shuffle."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    def rets(n, alias):
+        return (
+            li.filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 3 == n))
+            .groupBy(F.col("l_partkey").alias(f"{alias}_pk"))
+            .agg(F.sum("l_quantity").cast("long").alias(f"{alias}_q"))
+        )
+    sr, cr, wr = rets(0, "s"), rets(1, "c"), rets(2, "w")
+    tot3 = (F.col("s_q") + F.col("c_q") + F.col("w_q")) / 3.0
+    return (
+        sr.join(cr, sr.s_pk == cr.c_pk)
+        .join(wr, sr.s_pk == wr.w_pk)
+        .select(
+            F.col("s_pk").alias("pk"),
+            F.col("s_q").alias("sret"),
+            F.col("c_q").alias("cret"),
+            F.col("w_q").alias("wret"),
+            F.round(F.col("s_q") * 100.0 / tot3, 4).alias("s_share"),
+            F.round(F.col("c_q") * 100.0 / tot3, 4).alias("c_share"),
+            F.round(F.col("w_q") * 100.0 / tot3, 4).alias("w_share"),
+        )
+        .orderBy("pk")
+        .limit(100)
+    )
