@@ -1665,3 +1665,929 @@ def tpcds_q83_return_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pk")
         .limit(100)
     )
+
+
+# --- TPC-DS q12: web revenue ratio-to-report within class -------------------
+
+
+@register(
+    "tpcds_q12_web_revenue_ratio",
+    """
+    WITH agg AS (
+      SELECT p_type AS class, p_brand AS brand,
+             CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+                  AS BIGINT) AS t
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linenumber % 3 = 2 AND month(l_shipdate) IN (5, 6)
+      GROUP BY 1, 2
+    )
+    SELECT class, brand, round(t / 10000.0, 4) AS itemrevenue,
+           round(t * 100.0 / sum(t) OVER (PARTITION BY class), 4)
+             AS revenueratio
+    FROM agg
+    """,
+)
+def tpcds_q12_web_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 12 (queries/12.sql): each brand's share of its class's WEB
+    revenue over a two-month window — the q98 ratio-to-report shape on
+    the web channel. Revenue is exact 1e-4 fixed point (price×(1-disc)
+    has ≤4 decimals, so the per-element round is exact) so the window
+    sum and the share division are identical integers/doubles in both
+    engines. The window partitions on class — never global."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    agg = (
+        li.filter((F.col("l_linenumber") % 3 == 2) & F.month("l_shipdate").isin(5, 6))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("class"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.round(_amt() * 10000, 0)).cast("long").alias("t"))
+    )
+    w = W.partitionBy("class")
+    return agg.select(
+        "class", "brand",
+        F.round(F.col("t") / 10000.0, 4).alias("itemrevenue"),
+        F.round(F.col("t") * 100.0 / F.sum("t").over(w), 4).alias("revenueratio"),
+    )
+
+
+# --- TPC-DS q20: catalog revenue ratio-to-report within class ---------------
+
+
+@register(
+    "tpcds_q20_catalog_revenue_ratio",
+    """
+    WITH agg AS (
+      SELECT p_type AS class, p_brand AS brand,
+             CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+                  AS BIGINT) AS t
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linenumber % 3 = 1 AND month(l_shipdate) IN (2, 3)
+      GROUP BY 1, 2
+    )
+    SELECT class, brand, round(t / 10000.0, 4) AS itemrevenue,
+           round(t * 100.0 / sum(t) OVER (PARTITION BY class), 4)
+             AS revenueratio
+    FROM agg
+    """,
+)
+def tpcds_q20_catalog_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 20 (queries/20.sql): the q12/q98 ratio-to-report shape on
+    the CATALOG channel over its own two-month window. Same exact
+    fixed-point discipline and class-partitioned window."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    agg = (
+        li.filter((F.col("l_linenumber") % 3 == 1) & F.month("l_shipdate").isin(2, 3))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("class"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.round(_amt() * 10000, 0)).cast("long").alias("t"))
+    )
+    w = W.partitionBy("class")
+    return agg.select(
+        "class", "brand",
+        F.round(F.col("t") / 10000.0, 4).alias("itemrevenue"),
+        F.round(F.col("t") * 100.0 / F.sum("t").over(w), 4).alias("revenueratio"),
+    )
+
+
+# --- TPC-DS q13: three-arm demographic x quantity-band disjunction ----------
+
+
+@register(
+    "tpcds_q13_band_disjunction_avgs",
+    """
+    SELECT
+      CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+                 * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_qty,
+      CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+                 * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 4) AS total
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    WHERE l_linenumber % 3 = 0 AND (
+         (c_mktsegment = 'BUILDING'   AND l_quantity BETWEEN 1  AND 20)
+      OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity BETWEEN 21 AND 35)
+      OR (c_mktsegment = 'MACHINERY'  AND l_quantity BETWEEN 36 AND 50))
+    """,
+)
+def tpcds_q13_band_disjunction_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 13 (queries/13.sql): one-row store-sales averages where
+    each row must pass ONE of three (demographic, quantity-band) arm
+    pairs — the cross-table OR that can't push into either side alone.
+    It evaluates post-join in the scan stage; averages use the exact
+    cent-sum + half-up-floor discipline (see q7)."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    arm = lambda seg, lo, hi: (  # noqa: E731
+        (F.col("c_mktsegment") == seg) & F.col("l_quantity").between(lo, hi)
+    )
+    base = (
+        li.filter(F.col("l_linenumber") % 3 == 0)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            arm("BUILDING", 1, 20)
+            | arm("AUTOMOBILE", 21, 35)
+            | arm("MACHINERY", 36, 50)
+        )
+    )
+    fixed_avg = lambda c, a: (  # noqa: E731
+        F.floor(
+            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
+            * 100.0
+            / F.count(F.lit(1))
+            + 0.5
+        ).cast("long")
+        / 10000.0
+    ).alias(a)
+    return base.agg(
+        fixed_avg("l_quantity", "avg_qty"),
+        fixed_avg("l_extendedprice", "avg_price"),
+        F.round(F.sum(_amt()), 4).alias("total"),
+    )
+
+
+# --- TPC-DS q85: web returns by reason behind a band disjunction ------------
+
+
+@register(
+    "tpcds_q85_return_reasons",
+    """
+    SELECT o_orderpriority AS reason,
+      CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+                 * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_qty,
+      CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+                 * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_refund
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2 AND (
+         (c_mktsegment = 'BUILDING'  AND c_acctbal BETWEEN 0    AND 3000)
+      OR (c_mktsegment = 'FURNITURE' AND c_acctbal BETWEEN 3000 AND 6000)
+      OR (c_mktsegment = 'HOUSEHOLD' AND c_acctbal BETWEEN 6000 AND 10000))
+    GROUP BY 1 ORDER BY reason LIMIT 100
+    """,
+)
+def tpcds_q85_return_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 85 (queries/85.sql): average quantity and refund of WEB
+    returns per return reason, gated by a three-arm (demographic,
+    income-band) disjunction — q13's OR shape plus the reason grouping.
+    reason := o_orderpriority (module derivation). Exact fixed-point
+    averages; the returns+channel gates prune the scan."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
+    arm = lambda seg, lo, hi: (  # noqa: E731
+        (F.col("c_mktsegment") == seg) & F.col("c_acctbal").between(lo, hi)
+    )
+    base = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 3 == 2))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            arm("BUILDING", 0, 3000)
+            | arm("FURNITURE", 3000, 6000)
+            | arm("HOUSEHOLD", 6000, 10000)
+        )
+    )
+    fixed_avg = lambda c, a: (  # noqa: E731
+        F.floor(
+            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
+            * 100.0
+            / F.count(F.lit(1))
+            + 0.5
+        ).cast("long")
+        / 10000.0
+    ).alias(a)
+    return (
+        base.groupBy(F.col("o_orderpriority").alias("reason"))
+        .agg(fixed_avg("l_quantity", "avg_qty"),
+             fixed_avg("l_extendedprice", "avg_refund"))
+        .orderBy("reason")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q17: sale -> return -> repurchase quantity statistics -----------
+
+
+@register(
+    "tpcds_q17_repurchase_stats",
+    """
+    WITH s AS (SELECT c_nationkey AS ck, l_partkey AS pk,
+                      CAST(sum(l_quantity) AS BIGINT) AS q
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+               WHERE l_linenumber % 3 = 0 AND l_returnflag <> 'R'
+               GROUP BY 1, 2),
+         r AS (SELECT c_nationkey AS ck, l_partkey AS pk,
+                      CAST(sum(l_quantity) AS BIGINT) AS q
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+               WHERE l_linenumber % 3 = 0 AND l_returnflag = 'R'
+               GROUP BY 1, 2),
+         c AS (SELECT c_nationkey AS ck, l_partkey AS pk,
+                      CAST(sum(l_quantity) AS BIGINT) AS q
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+               WHERE l_linenumber % 3 = 1
+               GROUP BY 1, 2),
+         j AS (SELECT p_brand AS brand, s.q AS sq, r.q AS rq, c.q AS cq
+               FROM s JOIN r ON s.ck = r.ck AND s.pk = r.pk
+                      JOIN c ON s.ck = c.ck AND s.pk = c.pk
+                      JOIN part ON s.pk = p_partkey)
+    SELECT brand, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(sq) AS BIGINT) AS store_qty,
+      CAST(sum(rq) AS BIGINT) AS return_qty,
+      CAST(sum(cq) AS BIGINT) AS catalog_qty,
+      round(CASE WHEN count(*) > 1 THEN
+        sqrt((count(*) * sum(sq * sq) - sum(sq) * sum(sq)) * 1.0
+             / (count(*) * (count(*) - 1))) END, 4) AS store_qty_stdev
+    FROM j GROUP BY brand
+    """,
+)
+def tpcds_q17_repurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 17 (queries/17.sql): customers who bought in store,
+    returned, then repurchased by catalog — per-brand quantity counts
+    and spread. chain key := (customer STATE, item): the fixture is too
+    sparse for per-customer chains at test SF (empty result proves
+    nothing), so the household key relaxes to the state, keeping the
+    triple-join shape with a non-trivial oracle. The three fact roles
+    are (state, item)-grain
+    aggregates of ONE scan inner-joined pairwise (the reference's
+    triple fact join), all on the same key so one shuffle partitioning
+    is reused. Stddev is computed from exact integer sums with the
+    explicit formula — both engines take sqrt of the IDENTICAL double
+    instead of their own streaming-variance paths."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, part = cat.read("lineitem"), cat.read("orders"), cat.read("part")
+    cust = cat.read("customer")
+    def grain(pred):
+        return (
+            li.filter(pred)
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(
+                F.col("c_nationkey").alias("ck"), F.col("l_partkey").alias("pk")
+            )
+            .agg(F.sum("l_quantity").cast("long").alias("q"))
+        )
+    s = grain((F.col("l_linenumber") % 3 == 0) & (F.col("l_returnflag") != "R"))
+    r = grain((F.col("l_linenumber") % 3 == 0) & (F.col("l_returnflag") == "R"))
+    c = grain(F.col("l_linenumber") % 3 == 1)
+    j = (
+        s.select(F.col("ck"), F.col("pk"), F.col("q").alias("sq"))
+        .join(
+            r.select(F.col("ck"), F.col("pk"), F.col("q").alias("rq")),
+            ["ck", "pk"],
+        )
+        .join(
+            c.select(F.col("ck"), F.col("pk"), F.col("q").alias("cq")),
+            ["ck", "pk"],
+        )
+        .join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
+        .select(F.col("p_brand").alias("brand"), "sq", "rq", "cq")
+    )
+    n = F.count(F.lit(1))
+    s1, s2 = F.sum("sq"), F.sum(F.col("sq") * F.col("sq"))
+    return j.groupBy("brand").agg(
+        n.cast("long").alias("n"),
+        F.sum("sq").cast("long").alias("store_qty"),
+        F.sum("rq").cast("long").alias("return_qty"),
+        F.sum("cq").cast("long").alias("catalog_qty"),
+        F.round(
+            F.when(
+                n > 1,
+                F.sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))),
+            ),
+            4,
+        ).alias("store_qty_stdev"),
+    )
+
+
+# --- TPC-DS q29: sale -> return -> repurchase quantity maxima ---------------
+
+
+@register(
+    "tpcds_q29_repurchase_maxima",
+    """
+    WITH s AS (SELECT c_nationkey AS ck, l_partkey AS pk,
+                      CAST(max(l_quantity) AS BIGINT) AS q
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+               WHERE l_linenumber % 3 = 0 AND l_returnflag <> 'R'
+               GROUP BY 1, 2),
+         r AS (SELECT c_nationkey AS ck, l_partkey AS pk,
+                      CAST(max(l_quantity) AS BIGINT) AS q
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+               WHERE l_linenumber % 3 = 0 AND l_returnflag = 'R'
+               GROUP BY 1, 2),
+         c AS (SELECT c_nationkey AS ck, l_partkey AS pk,
+                      CAST(max(l_quantity) AS BIGINT) AS q
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+               WHERE l_linenumber % 3 = 1
+               GROUP BY 1, 2)
+    SELECT p_brand AS brand,
+           CAST(max(s.q) AS BIGINT) AS store_max,
+           CAST(max(r.q) AS BIGINT) AS return_max,
+           CAST(max(c.q) AS BIGINT) AS catalog_max
+    FROM s JOIN r ON s.ck = r.ck AND s.pk = r.pk
+           JOIN c ON s.ck = c.ck AND s.pk = c.pk
+           JOIN part ON s.pk = p_partkey
+    GROUP BY 1
+    """,
+)
+def tpcds_q29_repurchase_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 29 (queries/29.sql): the q17 triple-fact chain reporting
+    per-brand quantity MAXIMA instead of spread — integer maxes, so no
+    float discipline is needed at all. Same single-key shuffle reuse."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, part = cat.read("lineitem"), cat.read("orders"), cat.read("part")
+    cust = cat.read("customer")
+    def grain(pred, alias):
+        return (
+            li.filter(pred)
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(
+                F.col("c_nationkey").alias("ck"), F.col("l_partkey").alias("pk")
+            )
+            .agg(F.max("l_quantity").cast("long").alias(alias))
+        )
+    s = grain((F.col("l_linenumber") % 3 == 0) & (F.col("l_returnflag") != "R"), "sq")
+    r = grain((F.col("l_linenumber") % 3 == 0) & (F.col("l_returnflag") == "R"), "rq")
+    c = grain(F.col("l_linenumber") % 3 == 1, "cq")
+    return (
+        s.join(r, ["ck", "pk"])
+        .join(c, ["ck", "pk"])
+        .join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.max("sq").cast("long").alias("store_max"),
+            F.max("rq").cast("long").alias("return_max"),
+            F.max("cq").cast("long").alias("catalog_max"),
+        )
+    )
+
+
+# --- TPC-DS q19: brand revenue where buyer and seller locations differ ------
+
+
+@register(
+    "tpcds_q19_cross_location_brands",
+    """
+    SELECT p_brand AS brand, round(sum(l_extendedprice), 4) AS ext_price
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part     ON l_partkey = p_partkey
+    WHERE l_linenumber % 3 = 0 AND month(l_shipdate) = 11
+      AND c_nationkey <> s_nationkey
+    GROUP BY 1 ORDER BY ext_price DESC, brand LIMIT 100
+    """,
+)
+def tpcds_q19_cross_location_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 19 (queries/19.sql): brand revenue for store sales where the
+    customer's zip differs from the store's — the location-mismatch
+    residual predicate over a two-dim join (q46's family at brand
+    grain). zip := nation key on both sides; both dims broadcast and the
+    mismatch evaluates in the scan stage."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    cust, sup, part = cat.read("customer"), cat.read("supplier"), cat.read("part")
+    return (
+        li.filter((F.col("l_linenumber") % 3 == 0) & (F.month("l_shipdate") == 11))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("ext_price"))
+        .orderBy(F.col("ext_price").desc(), "brand")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q68: order-grain dual sums with location mismatch ---------------
+
+
+@register(
+    "tpcds_q68_ticket_sums",
+    """
+    WITH per AS (
+      SELECT l_orderkey AS ok, o_custkey AS ck, s_nationkey AS bought_nation,
+             round(sum(l_extendedprice), 4) AS ext_sales,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sales
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linenumber % 3 = 0
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_name, ok, bought_nation, ext_sales, net_sales
+    FROM per JOIN customer ON ck = c_custkey
+    WHERE bought_nation <> c_nationkey
+    ORDER BY c_name, ok, bought_nation LIMIT 100
+    """,
+)
+def tpcds_q68_ticket_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 68 (queries/68.sql): the q46 aggregate-to-ticket-grain
+    shape emitting TWO per-ticket amount sums (list and net), for
+    promo-priority orders whose purchase location differs from the
+    customer's. One order-grain shuffle; the customer rejoin broadcasts
+    and the mismatch filters after it."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    sup, cust = cat.read("supplier"), cat.read("customer")
+    per = (
+        li.filter(F.col("l_linenumber") % 3 == 0)
+        .join(
+            orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("ok"),
+            F.col("o_custkey").alias("ck"),
+            F.col("s_nationkey").alias("bought_nation"),
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("ext_sales"),
+            F.round(F.sum(_amt()), 4).alias("net_sales"),
+        )
+    )
+    cust = cat.read("customer")
+    return (
+        per.join(F.broadcast(cust), per.ck == cust.c_custkey)
+        .filter(F.col("bought_nation") != F.col("c_nationkey"))
+        .orderBy("c_name", "ok", "bought_nation")
+        .limit(100)
+        .select("c_name", "ok", "bought_nation", "ext_sales", "net_sales")
+    )
+
+
+# --- TPC-DS q79: per-ticket store profit for promo shoppers -----------------
+
+
+@register(
+    "tpcds_q79_ticket_profit",
+    """
+    WITH per AS (
+      SELECT l_orderkey AS ok, o_custkey AS ck, s_nationkey AS store,
+             round(sum(l_extendedprice * (1 - l_discount)
+                       - l_extendedprice * l_tax), 4) AS profit
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linenumber % 3 = 0
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_name, store, ok, profit
+    FROM per JOIN customer ON ck = c_custkey
+    ORDER BY c_name, store, ok LIMIT 100
+    """,
+)
+def tpcds_q79_ticket_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 79 (queries/79.sql): per-ticket store profit for one
+    household-demographic slice, with customer display attributes joined
+    back — the q46/q68 ticket-grain family on the PROFIT measure (cost
+    := the tax share, q80's derivation). One order-grain shuffle, dims
+    broadcast, distributed top-k."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    sup, cust = cat.read("supplier"), cat.read("customer")
+    per = (
+        li.filter(F.col("l_linenumber") % 3 == 0)
+        .join(
+            orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("ok"),
+            F.col("o_custkey").alias("ck"),
+            F.col("s_nationkey").alias("store"),
+        )
+        .agg(
+            F.round(
+                F.sum(_amt() - F.col("l_extendedprice") * F.col("l_tax")), 4
+            ).alias("profit")
+        )
+    )
+    return (
+        per.join(F.broadcast(cust), per.ck == cust.c_custkey)
+        .orderBy("c_name", "store", "ok")
+        .limit(100)
+        .select("c_name", "store", "ok", "profit")
+    )
+
+
+# --- TPC-DS q37: catalog-sold items in a price and stock band ---------------
+
+
+@register(
+    "tpcds_q37_catalog_item_bands",
+    """
+    WITH inv AS (
+      SELECT l_partkey AS pk FROM lineitem
+      GROUP BY 1 HAVING sum(l_quantity) BETWEEN 200 AND 1500
+    )
+    SELECT p_partkey AS item, p_name AS name,
+           round(p_retailprice, 4) AS price
+    FROM part
+      JOIN inv ON p_partkey = pk
+      JOIN (SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_linenumber % 3 = 1) cs ON p_partkey = cs.l_partkey
+    WHERE p_retailprice BETWEEN 800 AND 1300
+    ORDER BY item LIMIT 100
+    """,
+)
+def tpcds_q37_catalog_item_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 37 (queries/37.sql): items in a retail-price band whose
+    stock on hand sits in a quantity band AND that actually sold through
+    the catalog channel. inventory := total lineitem quantity per item
+    (q22's derivation). Both gates are item-grain aggregates semi-joined
+    into the dim — the fact is scanned for aggregates only, and the
+    price predicate pushes into the part scan."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    inv = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq").between(200, 1500))
+        .select("pk")
+    )
+    cs = (
+        li.filter(F.col("l_linenumber") % 3 == 1)
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        part.filter(F.col("p_retailprice").between(800, 1300))
+        .join(inv, F.col("p_partkey") == F.col("pk"), "left_semi")
+        .join(cs, F.col("p_partkey") == cs.l_partkey, "left_semi")
+        .select(
+            F.col("p_partkey").alias("item"),
+            F.col("p_name").alias("name"),
+            F.round("p_retailprice", 4).alias("price"),
+        )
+        .orderBy("item")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q82: store-sold items in a price and stock band -----------------
+
+
+@register(
+    "tpcds_q82_store_item_bands",
+    """
+    WITH inv AS (
+      SELECT l_partkey AS pk FROM lineitem
+      GROUP BY 1 HAVING sum(l_quantity) BETWEEN 400 AND 900
+    )
+    SELECT p_partkey AS item, p_name AS name,
+           round(p_retailprice, 4) AS price
+    FROM part
+      JOIN inv ON p_partkey = pk
+      JOIN (SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_linenumber % 3 = 0) ss ON p_partkey = ss.l_partkey
+    WHERE p_retailprice BETWEEN 900 AND 950
+    ORDER BY item LIMIT 100
+    """,
+)
+def tpcds_q82_store_item_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 82 (queries/82.sql): the q37 shape on the STORE channel
+    with its own price/stock bands. Same item-grain semi-join plan."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    inv = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq").between(400, 900))
+        .select("pk")
+    )
+    ss = (
+        li.filter(F.col("l_linenumber") % 3 == 0)
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        part.filter(F.col("p_retailprice").between(900, 950))
+        .join(inv, F.col("p_partkey") == F.col("pk"), "left_semi")
+        .join(ss, F.col("p_partkey") == ss.l_partkey, "left_semi")
+        .select(
+            F.col("p_partkey").alias("item"),
+            F.col("p_name").alias("name"),
+            F.round("p_retailprice", 4).alias("price"),
+        )
+        .orderBy("item")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q72: inventory below demand, promo split ------------------------
+
+
+@register(
+    "tpcds_q72_inventory_shortfall",
+    """
+    WITH demand AS (
+      SELECT l_partkey AS pk,
+             date_diff('day', DATE '1995-01-01', l_shipdate) // 7 AS wk,
+             l_quantity AS dq, o_orderpriority AS pri
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 1
+    ), inv AS (
+      SELECT l_partkey AS pk,
+             date_diff('day', DATE '1995-01-01', l_shipdate) // 7 AS wk,
+             l_quantity AS iq
+      FROM lineitem WHERE l_linenumber % 3 = 0
+    )
+    SELECT d.pk AS item, CAST(d.wk AS BIGINT) AS week,
+           CAST(count(CASE WHEN d.pri IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                AS BIGINT) AS promo,
+           CAST(count(CASE WHEN d.pri NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                AS BIGINT) AS no_promo,
+           CAST(count(*) AS BIGINT) AS total_cnt
+    FROM demand d JOIN inv i ON d.pk = i.pk AND d.wk = i.wk AND i.iq < d.dq
+    GROUP BY 1, 2
+    ORDER BY total_cnt DESC, item, week LIMIT 100
+    """,
+)
+def tpcds_q72_inventory_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 72 (queries/72.sql): catalog demand lines whose same-week
+    inventory sits BELOW the demanded quantity, split promo/no-promo —
+    the inventory-below-demand non-equi fact-fact join. inventory :=
+    store-channel lines of the same item/week (the fixture's stock
+    proxy), week := epoch-anchored day count div 7 (q59). The join is
+    EQUI on (item, week) with the quantity comparison as a residual —
+    so at scale it shuffles both sides once on a well-distributed
+    composite key, never degenerating into a range cross-product."""
+    cat = load_tables(spark, sf_dir)
+    li, orders = cat.read("lineitem"), cat.read("orders")
+    wk = F.expr(
+        "date_diff(day, DATE'1995-01-01', cast(l_shipdate as date)) div 7"
+    )
+    demand = (
+        li.filter(F.col("l_linenumber") % 3 == 1)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_partkey").alias("pk"), wk.alias("wk"),
+            F.col("l_quantity").alias("dq"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+    )
+    inv = li.filter(F.col("l_linenumber") % 3 == 0).select(
+        F.col("l_partkey").alias("i_pk"), wk.alias("i_wk"),
+        F.col("l_quantity").alias("iq"),
+    )
+    is_promo = F.col("pri").isin("1-URGENT", "2-HIGH")
+    return (
+        demand.join(
+            inv,
+            (F.col("pk") == F.col("i_pk"))
+            & (F.col("wk") == F.col("i_wk"))
+            & (F.col("iq") < F.col("dq")),
+        )
+        .groupBy(F.col("pk").alias("item"), F.col("wk").cast("long").alias("week"))
+        .agg(
+            F.count(F.when(is_promo, 1)).cast("long").alias("promo"),
+            F.count(F.when(~is_promo, 1)).cast("long").alias("no_promo"),
+            F.count(F.lit(1)).cast("long").alias("total_cnt"),
+        )
+        .orderBy(F.col("total_cnt").desc(), "item", "week")
+        .limit(100)
+    )
+
+
+# --- TPC-DS q53: manufacturer quarterly deviation from own average ----------
+
+
+@register(
+    "tpcds_q53_manufact_deviation",
+    """
+    WITH monthly AS (
+      SELECT p_size % 10 AS manufact,
+             CAST(quarter(l_shipdate) AS INT) AS qtr,
+             CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+                  AS BIGINT) AS s_tt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linenumber % 3 = 0 AND year(l_shipdate) = 1997
+      GROUP BY 1, 2
+    ), with_avg AS (
+      SELECT manufact, qtr, s_tt,
+             avg(s_tt) OVER (PARTITION BY manufact) AS av
+      FROM monthly
+    )
+    SELECT manufact, qtr, round(s_tt / 10000.0, 4) AS sales,
+           round(av / 10000.0, 4) AS avg_sales
+    FROM with_avg
+    WHERE av > 0 AND abs(s_tt - av) / av > 0.1
+    ORDER BY manufact, qtr
+    """,
+)
+def tpcds_q53_manufact_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 53 (queries/53.sql): manufacturer quarters deviating >10%
+    from the manufacturer's own average — the q89 deviation family at
+    manufacturer/quarter grain. Sales are exact 1e-4 fixed point so the
+    partition average (integer sum / count) and the deviation test are
+    identical doubles in both engines. Window partitions on manufact."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    monthly = (
+        li.filter((F.col("l_linenumber") % 3 == 0) & (F.year("l_shipdate") == 1997))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            (F.col("p_size") % 10).alias("manufact"),
+            F.quarter("l_shipdate").cast("int").alias("qtr"),
+        )
+        .agg(F.sum(F.round(_amt() * 10000, 0)).cast("long").alias("s_tt"))
+    )
+    w = W.partitionBy("manufact")
+    with_avg = monthly.withColumn("av", F.avg("s_tt").over(w))
+    return (
+        with_avg.filter(
+            (F.col("av") > 0)
+            & (F.abs(F.col("s_tt") - F.col("av")) / F.col("av") > 0.1)
+        )
+        .select(
+            "manufact", "qtr",
+            F.round(F.col("s_tt") / 10000.0, 4).alias("sales"),
+            F.round(F.col("av") / 10000.0, 4).alias("avg_sales"),
+        )
+        .orderBy("manufact", "qtr")
+    )
+
+
+# --- TPC-DS q63: class monthly deviation from own average -------------------
+
+
+@register(
+    "tpcds_q63_class_deviation",
+    """
+    WITH monthly AS (
+      SELECT p_type AS class, CAST(month(l_shipdate) AS INT) AS moy,
+             CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+                  AS BIGINT) AS s_tt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linenumber % 3 = 0 AND year(l_shipdate) = 1997
+      GROUP BY 1, 2
+    ), with_avg AS (
+      SELECT class, moy, s_tt,
+             avg(s_tt) OVER (PARTITION BY class) AS av
+      FROM monthly
+    )
+    SELECT class, moy, round(s_tt / 10000.0, 4) AS sales,
+           round(av / 10000.0, 4) AS avg_sales
+    FROM with_avg
+    WHERE av > 0 AND abs(s_tt - av) / av > 0.1
+    ORDER BY class, moy
+    """,
+)
+def tpcds_q63_class_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 63 (queries/63.sql): the q53 deviation shape at item-CLASS
+    / month grain. Same exact fixed-point discipline and dim-partitioned
+    window."""
+    cat = load_tables(spark, sf_dir)
+    li, part = cat.read("lineitem"), cat.read("part")
+    monthly = (
+        li.filter((F.col("l_linenumber") % 3 == 0) & (F.year("l_shipdate") == 1997))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_type").alias("class"),
+            F.month("l_shipdate").cast("int").alias("moy"),
+        )
+        .agg(F.sum(F.round(_amt() * 10000, 0)).cast("long").alias("s_tt"))
+    )
+    w = W.partitionBy("class")
+    with_avg = monthly.withColumn("av", F.avg("s_tt").over(w))
+    return (
+        with_avg.filter(
+            (F.col("av") > 0)
+            & (F.abs(F.col("s_tt") - F.col("av")) / F.col("av") > 0.1)
+        )
+        .select(
+            "class", "moy",
+            F.round(F.col("s_tt") / 10000.0, 4).alias("sales"),
+            F.round(F.col("av") / 10000.0, 4).alias("avg_sales"),
+        )
+        .orderBy("class", "moy")
+    )
+
+
+# --- TPC-DS q62: web shipping-latency bucket matrix -------------------------
+
+
+@register(
+    "tpcds_q62_web_latency_matrix",
+    """
+    SELECT s_nationkey AS warehouse, o_orderpriority AS ship_mode,
+      CAST(count(CASE WHEN d <= 30 THEN 1 END) AS BIGINT)               AS d30,
+      CAST(count(CASE WHEN d BETWEEN 31 AND 60  THEN 1 END) AS BIGINT)  AS d60,
+      CAST(count(CASE WHEN d BETWEEN 61 AND 90  THEN 1 END) AS BIGINT)  AS d90,
+      CAST(count(CASE WHEN d BETWEEN 91 AND 120 THEN 1 END) AS BIGINT)  AS d120,
+      CAST(count(CASE WHEN d > 120 THEN 1 END) AS BIGINT)               AS dmore
+    FROM (
+      SELECT s_nationkey, o_orderpriority,
+             date_diff('day', o_orderdate::date, l_shipdate::date) AS d
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linenumber % 3 = 2
+    ) t GROUP BY 1, 2 ORDER BY warehouse, ship_mode
+    """,
+)
+def tpcds_q62_web_latency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 62 (queries/62.sql): web order-to-ship latency banded
+    30/60/90/120/120+ per (warehouse, ship mode). warehouse := supplier
+    nation, ship mode := order priority (module derivations). The five
+    band counts fuse into ONE aggregate over the channel-pruned scan —
+    the q50 matrix family keyed on the shipping dims."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, sup = cat.read("lineitem"), cat.read("orders"), cat.read("supplier")
+    t = (
+        li.filter(F.col("l_linenumber") % 3 == 2)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_nationkey", "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("d"),
+        )
+    )
+    band = lambda c: F.count(F.when(c, 1)).cast("long")  # noqa: E731
+    return (
+        t.groupBy(
+            F.col("s_nationkey").alias("warehouse"),
+            F.col("o_orderpriority").alias("ship_mode"),
+        )
+        .agg(
+            band(F.col("d") <= 30).alias("d30"),
+            band(F.col("d").between(31, 60)).alias("d60"),
+            band(F.col("d").between(61, 90)).alias("d90"),
+            band(F.col("d").between(91, 120)).alias("d120"),
+            band(F.col("d") > 120).alias("dmore"),
+        )
+        .orderBy("warehouse", "ship_mode")
+    )
+
+
+# --- TPC-DS q99: catalog shipping-latency bucket matrix ---------------------
+
+
+@register(
+    "tpcds_q99_catalog_latency_matrix",
+    """
+    SELECT s_nationkey AS warehouse, o_orderstatus AS call_center,
+      CAST(count(CASE WHEN d <= 30 THEN 1 END) AS BIGINT)               AS d30,
+      CAST(count(CASE WHEN d BETWEEN 31 AND 60  THEN 1 END) AS BIGINT)  AS d60,
+      CAST(count(CASE WHEN d BETWEEN 61 AND 90  THEN 1 END) AS BIGINT)  AS d90,
+      CAST(count(CASE WHEN d BETWEEN 91 AND 120 THEN 1 END) AS BIGINT)  AS d120,
+      CAST(count(CASE WHEN d > 120 THEN 1 END) AS BIGINT)               AS dmore
+    FROM (
+      SELECT s_nationkey, o_orderstatus,
+             date_diff('day', o_orderdate::date, l_shipdate::date) AS d
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linenumber % 3 = 1
+    ) t GROUP BY 1, 2 ORDER BY warehouse, call_center
+    """,
+)
+def tpcds_q99_catalog_latency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 99 (queries/99.sql): the q62 latency matrix on the CATALOG
+    channel keyed by (warehouse, call center). call_center :=
+    o_orderstatus here so the two matrix queries exercise different
+    grouping dims. Same one-pass fused band counts."""
+    cat = load_tables(spark, sf_dir)
+    li, orders, sup = cat.read("lineitem"), cat.read("orders"), cat.read("supplier")
+    t = (
+        li.filter(F.col("l_linenumber") % 3 == 1)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_nationkey", "o_orderstatus",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("d"),
+        )
+    )
+    band = lambda c: F.count(F.when(c, 1)).cast("long")  # noqa: E731
+    return (
+        t.groupBy(
+            F.col("s_nationkey").alias("warehouse"),
+            F.col("o_orderstatus").alias("call_center"),
+        )
+        .agg(
+            band(F.col("d") <= 30).alias("d30"),
+            band(F.col("d").between(31, 60)).alias("d60"),
+            band(F.col("d").between(61, 90)).alias("d90"),
+            band(F.col("d").between(91, 120)).alias("d120"),
+            band(F.col("d") > 120).alias("dmore"),
+        )
+        .orderBy("warehouse", "call_center")
+    )
