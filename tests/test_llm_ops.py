@@ -394,3 +394,43 @@ def test_fuzzy_join_recall_exact_vs_brute_force(spark):
         for r in A.crossJoin(B).filter(F.levenshtein("a", "b") <= 2).collect()
     }
     assert got == brute  # bucketing loses nothing, adds nothing
+
+
+def test_winnowing_detects_planted_passage(spark):
+    # The winnowing guarantee: any shared substring of length >= k+w-1
+    # (= 23 chars at k=16, w=8) yields at least one common fingerprint.
+    passage = "XYZQW-shared-passage-of-enough-length-123"  # 41 chars
+    a = "left padding text before " + passage + " and trailing words here"
+    b = "unrelated prefix material " + passage + " totally other suffix"
+    c = "no overlap with anything QQQQQQQQQQQQQQQQQQQQQQQQQQQQQQQQQQQ else"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    pairs = dedup.winnow_shared_passages(docs, k=16, w=8, min_shared=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnowing_df_max_prunes_boilerplate(spark):
+    # A fingerprint present in EVERY doc (shared boilerplate) must vanish
+    # under df_max, while genuine low-frequency overlaps survive.
+    boiler = "COMMON-BOILERPLATE-HEADER-ACROSS-ALL-DOCS"
+    passage = "rare-shared-passage-only-in-two-docs!!"
+    rows = [
+        (1, boiler + " alpha " + passage),
+        (2, boiler + " beta " + passage),
+        (3, boiler + " gamma unrelated body text follows here"),
+        (4, boiler + " delta another unrelated body of words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = dedup.winnow_shared_passages(docs, k=16, w=8, min_shared=1)
+    assert {(r.id_a, r.id_b) for r in uncapped.collect()} == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+    }
+    capped = dedup.winnow_shared_passages(
+        docs, k=16, w=8, min_shared=1, df_max=2
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1, 2) in got  # the rare passage survives
+    assert (3, 4) not in got  # boilerplate-only pair is pruned

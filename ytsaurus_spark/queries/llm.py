@@ -1537,3 +1537,45 @@ def dedup_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return fuzzy_join(la, lb, "a", "b", max_distance=1)
+
+
+# --- winnowing fingerprints: shared-passage detection ----------------------
+
+@register(
+    "dedup_winnowing",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(length(text) - 15, 1))) AS p,
+             text
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, p,
+             ('0x' || substr(md5(substr(text, p, 16)), 1, 8))::BIGINT AS h
+      FROM grams
+    ), winmin AS (
+      SELECT doc_id, p, h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmin
+      FROM hashed
+    ), fp AS (
+      SELECT DISTINCT doc_id, h FROM winmin WHERE p >= 8 AND h = wmin
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) shared-passage detection: document pairs sharing
+    >= 3 window-minimum k-gram fingerprints (k=16, w=8) — guaranteed to
+    catch any copied substring of >= k+w-1 = 23 chars, the passage-level
+    duplication whole-doc hashing misses. The window min partitions per
+    document; the pair search is the inverted-index fingerprint join
+    (operators/dedup.py:winnow_shared_passages, with the production
+    df_max hot-fingerprint cap documented there)."""
+    cat = load_tables(spark, sf_dir)
+    return dedup.winnow_shared_passages(
+        cat.read("documents"), k=16, w=8, min_shared=3
+    )
