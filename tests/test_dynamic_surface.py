@@ -303,3 +303,49 @@ def test_log_table_retention_trim(spark, tmp_path):
     # new commits continue normally after a trim
     t.insert_rows(spark.createDataFrame([(4, 40)], "k long, v long"))
     assert t.read().count() == 4
+
+
+def test_changes_between_replay_and_compaction_fallback(spark, tmp_path):
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    t = LogTxTable(spark, str(tmp_path / "cdc"), key_cols=["k"])
+    v0 = t.init(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    ))
+    # commit A: real update for k=1, NO-OP rewrite for k=2, insert k=4
+    t.insert_rows(spark.createDataFrame(
+        [(1, 11), (2, 20), (4, 40)], "k long, v long"
+    ))
+    # commit B: delete k=3
+    v2 = t.delete_rows(spark.createDataFrame([(3,)], "k long"))
+
+    got = {
+        r["k"]: (r["change"], r["old_v"], r["new_v"])
+        for r in t.changes_between(from_version=v0).collect()
+    }
+    assert got == {
+        1: ("update", 10, 11),
+        3: ("delete", 30, None),
+        4: ("insert", None, 40),
+    }  # k=2 rewrote its own value: net diff drops it
+
+    # an intermediate range that contains only commit A
+    got_a = {r["k"]: r["change"]
+             for r in t.changes_between(from_version=v0,
+                                        to_version=v2 - 1).collect()}
+    assert got_a == {1: "update", 4: "insert"}
+
+    # compaction inside the range forces the state-diff fallback; the
+    # same net answer must come back, including the delete
+    t.compact()
+    t.insert_rows(spark.createDataFrame([(5, 50)], "k long, v long"))
+    got_fb = {
+        r["k"]: (r["change"], r["old_v"], r["new_v"])
+        for r in t.changes_between(from_version=v0).collect()
+    }
+    assert got_fb == {
+        1: ("update", 10, 11),
+        3: ("delete", 30, None),
+        4: ("insert", None, 40),
+        5: ("insert", None, 50),
+    }

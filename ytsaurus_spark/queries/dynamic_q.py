@@ -632,3 +632,79 @@ def dyn_unfolding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_unfolding_index(tokenized, "toks", ["doc_id"])
     hits = query_with_unfolding_index(docs, idx, ["doc_id"], "data")
     return hits.select("doc_id", "lang", "n_chars")
+
+
+# --- CDC: net row-image diff between two committed states ------------------
+
+
+@register(
+    "dyn_changes_between",
+    """
+    WITH updates AS (
+      SELECT c_custkey, 'update' AS change,
+             c_acctbal AS old_c_acctbal,
+             c_acctbal + 100 AS new_c_acctbal
+      FROM customer WHERE c_custkey <= 10
+    ), inserts AS (
+      SELECT CAST(1000 + i AS BIGINT) AS c_custkey, 'insert' AS change,
+             CAST(NULL AS DOUBLE) AS old_c_acctbal,
+             (1000 + i) * 1.5 AS new_c_acctbal
+      FROM generate_series(1, 3) t(i)
+    ), deletes AS (
+      SELECT c_custkey, 'delete' AS change,
+             c_acctbal AS old_c_acctbal,
+             CAST(NULL AS DOUBLE) AS new_c_acctbal
+      FROM customer WHERE c_custkey BETWEEN 21 AND 25
+    )
+    SELECT * FROM updates
+    UNION ALL SELECT * FROM inserts
+    UNION ALL SELECT * FROM deletes
+    ORDER BY c_custkey
+    """,
+)
+def dyn_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC surface: ``LogTxTable.changes_between`` emits the NET row-image
+    diff of two committed states — the reference's replication-log /
+    changelog stream (ordered write+delete records shipped to replicas)
+    collapsed to one record per changed key. The run seeds the table from
+    customer, then (commit A) bumps balances for keys <=10, REWRITES keys
+    11..15 with their unchanged values (must NOT appear: net semantics),
+    inserts three fresh keys, and (commit B) deletes keys 21..25. Only
+    the two delta segments are replayed — O(changes) — and the old state
+    is consulted just for the touched keys via pruned lookup_rows. The
+    oracle reconstructs all three change kinds from the untouched
+    parquet."""
+    import shutil
+    import tempfile
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    cat = load_tables(spark, sf_dir)
+    cust = (
+        cat.read("customer")
+        .filter(F.col("c_custkey") <= 40)
+        .select("c_custkey", "c_acctbal")
+    )
+    path = tempfile.mkdtemp(prefix="ytspark_cdc_")
+    try:
+        t = LogTxTable(spark, path, key_cols=["c_custkey"])
+        v0 = t.init(cust)
+        bump = cust.filter(F.col("c_custkey") <= 10).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100
+        )
+        rewrite_same = cust.filter(F.col("c_custkey").between(11, 15))
+        fresh = spark.range(1001, 1004).select(
+            F.col("id").cast("long").alias("c_custkey"),
+            (F.col("id") * 1.5).alias("c_acctbal"),
+        )
+        t.insert_rows(bump.unionByName(rewrite_same).unionByName(fresh))
+        t.delete_rows(
+            cust.filter(F.col("c_custkey").between(21, 25)).select("c_custkey")
+        )
+        return (
+            t.changes_between(from_version=v0)
+            .orderBy("c_custkey")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
