@@ -349,3 +349,27 @@ def test_changes_between_replay_and_compaction_fallback(spark, tmp_path):
         4: ("insert", None, 40),
         5: ("insert", None, 50),
     }
+
+
+def test_apply_changes_syncs_replica(spark, tmp_path):
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    src = LogTxTable(spark, str(tmp_path / "src"), key_cols=["k"])
+    seed = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    v0 = src.init(seed)
+
+    rep = LogTxTable(spark, str(tmp_path / "rep"), key_cols=["k"])
+    rep.init(seed)  # replica synced at v0
+
+    src.insert_rows(spark.createDataFrame([(1, 11), (4, 40)], "k long, v long"))
+    src.delete_rows(spark.createDataFrame([(2,)], "k long"))
+
+    rep.apply_changes(src.changes_between(from_version=v0))
+    assert sorted(map(tuple, rep.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
+
+    # empty diff applies as a no-op (no spurious commits)
+    before = rep.current_version()
+    assert rep.apply_changes(src.changes_between(from_version=src.current_version())) is None
+    assert rep.current_version() == before

@@ -708,6 +708,37 @@ class LogTxTable:
             .select(*self.key_cols, "change", *out_old, *out_new)
         )
 
+    def apply_changes(self, changes: DataFrame) -> int | None:
+        """Apply a ``changes_between`` diff to THIS table — the consumer
+        half of the CDC pair: ``replica.apply_changes(
+        source.changes_between(from_version=last_synced))`` brings an
+        async replica to the source state in one upsert commit plus one
+        delete commit, both O(changes) (the reference's replication-log
+        apply, with the log collapsed to net row images).
+
+        Returns the last committed version (None when the diff is empty).
+        Idempotent for a fixed diff: re-applying writes the same images.
+        """
+        val_cols = [
+            c[len("new_"):] for c in changes.columns if c.startswith("new_")
+        ]
+        upserts = changes.filter(F.col("change").isin("insert", "update")).select(
+            *self.key_cols,
+            *[F.col(f"new_{c}").alias(c) for c in val_cols],
+        )
+        deletes = changes.filter(F.col("change") == "delete").select(
+            *self.key_cols
+        )
+        # localCheckpoint pins both splits of the (possibly lazily-built)
+        # diff before the first commit mutates this table's manifest.
+        upserts, deletes = upserts.localCheckpoint(), deletes.localCheckpoint()
+        v = None
+        if upserts.count():
+            v = self.insert_rows(upserts)
+        if deletes.count():
+            v = self.delete_rows(deletes)
+        return v
+
     # -- merge-on-read resolution ------------------------------------------
 
     def _resolve(self, u: DataFrame, with_timestamps: bool = False) -> DataFrame:
