@@ -1261,23 +1261,27 @@ def tpcds_q80_netted_channel_report(spark: SparkSession, sf_dir: str) -> DataFra
 def tpcds_q10_channel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 10 (queries/10.sql): demographic counts of customers with
     store activity AND activity in at least one direct channel — an
-    EXISTS ∧ (EXISTS ∨ EXISTS) gate. The OR of two IN-subqueries
-    rewrites to ONE left-semi join against the UNION of the two customer
-    sets (all customer-cardinality, broadcastable); the three distinct
-    sets share one fact scan via exchange reuse."""
+    EXISTS ∧ (EXISTS ∨ EXISTS) gate. The whole EXISTS lattice
+    decorrelates to ONE per-customer conditional-flag aggregate (max of
+    per-channel indicators) — a single fact pass and a single customer-key
+    shuffle, versus three correlated probes (or three distinct-sets +
+    two semi joins); the surviving flag keys broadcast into the dim."""
     cat = load_tables(spark, sf_dir)
     li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
-    def chan(n):
-        return (
-            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-            .filter((F.col("l_linenumber") % 3 == n) & (F.year("l_shipdate") == 1997))
-            .select(F.col("o_custkey").alias("ck"))
-            .distinct()
+    ch = F.col("l_linenumber") % 3
+    flags = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.year("l_shipdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max((ch == 0).cast("int")).alias("in_s"),
+            F.max(((ch == 1) | (ch == 2)).cast("int")).alias("in_cw"),
         )
-    s, either = chan(0), chan(1).union(chan(2)).distinct()
+        .filter((F.col("in_s") == 1) & (F.col("in_cw") == 1))
+        .select("ck")
+    )
     return (
-        cust.join(s, cust.c_custkey == s.ck, "left_semi")
-        .join(either, cust.c_custkey == either.ck, "left_semi")
+        cust.join(F.broadcast(flags), cust.c_custkey == F.col("ck"), "left_semi")
         .groupBy(F.col("c_mktsegment").alias("seg"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy("seg")
@@ -1310,21 +1314,25 @@ def tpcds_q10_channel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q69_store_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 69 (queries/69.sql): the q10 complement — store-active
     customers with NO catalog and NO web activity, counted by
-    demographic. The NOT INs are left-anti joins against the unioned
-    direct-channel set (keys are never NULL here, so anti ≡ NOT IN)."""
+    demographic (keys are never NULL here, so anti ≡ NOT IN). Same
+    single-pass conditional-flag decorrelation as q10 with the direct-
+    channel flag inverted — one fact pass, one customer-key shuffle."""
     cat = load_tables(spark, sf_dir)
     li, orders, cust = cat.read("lineitem"), cat.read("orders"), cat.read("customer")
-    def chan(n):
-        return (
-            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-            .filter((F.col("l_linenumber") % 3 == n) & (F.year("l_shipdate") == 1997))
-            .select(F.col("o_custkey").alias("ck"))
-            .distinct()
+    ch = F.col("l_linenumber") % 3
+    flags = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.year("l_shipdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max((ch == 0).cast("int")).alias("in_s"),
+            F.max(((ch == 1) | (ch == 2)).cast("int")).alias("in_cw"),
         )
-    s, either = chan(0), chan(1).union(chan(2)).distinct()
+        .filter((F.col("in_s") == 1) & (F.col("in_cw") == 0))
+        .select("ck")
+    )
     return (
-        cust.join(s, cust.c_custkey == s.ck, "left_semi")
-        .join(either, cust.c_custkey == either.ck, "left_anti")
+        cust.join(F.broadcast(flags), cust.c_custkey == F.col("ck"), "left_semi")
         .groupBy(F.col("c_mktsegment").alias("seg"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy("seg")
