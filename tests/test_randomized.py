@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 N_TABLES = 3
-N_QUERIES = 120
+N_QUERIES = 130
 ROWS_PER_TABLE = 120
 
 
@@ -46,7 +46,26 @@ def _pred(rng: random.Random) -> str:
 
 def _gen_query(rng: random.Random) -> str:
     t = f"rt{rng.randrange(N_TABLES)}"
-    kind = rng.randrange(13)
+    kind = rng.randrange(14)
+    if kind == 13:  # rank-within-parent over ROLLUP output (TPC-DS q70/q86
+        # family): subtotal rows rank against subtotal rows only; all sort
+        # keys coalesced so engine NULL-ordering defaults never diverge.
+        # (no WHERE: the empty-input ROLLUP divergence is documented)
+        return (
+            f"WITH agg AS ("
+            f"  SELECT k, s, CAST(count(*) AS BIGINT) AS n, "
+            f"         CAST(sum(coalesce(v, 0)) AS BIGINT) AS sv, "
+            f"         CAST(grouping(k) + grouping(s) AS BIGINT) AS lochier "
+            f"  FROM {t} GROUP BY ROLLUP(k, s)), "
+            f"ranked AS ("
+            f"  SELECT k, s, n, sv, lochier, "
+            f"    CAST(row_number() OVER ("
+            f"      PARTITION BY lochier, CASE WHEN lochier = 0 THEN k END "
+            f"      ORDER BY sv DESC, n DESC, coalesce(k, -1), coalesce(s, '')"
+            f"    ) AS BIGINT) AS rn "
+            f"  FROM agg) "
+            f"SELECT * FROM ranked WHERE rn <= {rng.randint(2, 6)}"
+        )
     if kind == 10:  # scalar correlated subquery in SELECT
         t2 = f"rt{rng.randrange(N_TABLES)}"
         return (
