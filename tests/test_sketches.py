@@ -31,3 +31,34 @@ def test_merge_equals_direct_sketch(spark):
         kmv_build(a, "g", "v", k=64), kmv_build(b, "g", "v", k=64), "g", k=64
     ).collect()[0].hashes
     assert direct == merged
+
+
+def test_kmv_intersect_exact_below_k(spark):
+    from ytsaurus_spark.operators.sketches import kmv_build, kmv_intersect_estimate
+
+    a = spark.createDataFrame([("g", i) for i in range(30)], "g string, v long")
+    b = spark.createDataFrame([("g", i) for i in range(20, 50)], "g string, v long")
+    est = kmv_intersect_estimate(
+        kmv_build(a, "g", "v", k=64), kmv_build(b, "g", "v", k=64), "g", k=64
+    ).collect()[0]
+    # union 50 < k and both sketches uncapped: everything is exact
+    assert est["est_union"] == 50
+    assert est["est_intersect"] == 10
+    assert est["k_overlap"] == 10
+    assert abs(est["jaccard"] - 10 / 50) < 1e-9
+
+
+def test_kmv_intersect_estimates_large_overlap(spark):
+    from ytsaurus_spark.operators.sketches import kmv_build, kmv_intersect_estimate
+
+    # |A| = |B| = 3000, |A ∩ B| = 1500 (true Jaccard = 1/3)
+    a = spark.createDataFrame([("g", i) for i in range(3000)], "g string, v long")
+    b = spark.createDataFrame(
+        [("g", i) for i in range(1500, 4500)], "g string, v long"
+    )
+    est = kmv_intersect_estimate(
+        kmv_build(a, "g", "v", k=256), kmv_build(b, "g", "v", k=256), "g", k=256
+    ).collect()[0]
+    assert 3500 < est["est_union"] < 5500      # true 4500
+    assert 900 < est["est_intersect"] < 2100   # true 1500
+    assert 0.15 < est["jaccard"] < 0.55        # true 0.333

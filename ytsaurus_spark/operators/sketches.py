@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_build", "kmv_estimate", "kmv_merge"]
+__all__ = ["kmv_build", "kmv_estimate", "kmv_merge", "kmv_intersect_estimate"]
 
 _H = float(1 << 32)  # hash space size
 
@@ -70,4 +70,55 @@ def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = 64) -> DataFr
     topk = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return topk.groupBy(group_col).agg(
         F.sort_array(F.collect_list("h")).alias("hashes")
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Set ALGEBRA over sketches (Beyer et al., SIGMOD'07): per-group
+    estimates of |A∪B|, |A∩B| and the Jaccard similarity from two KMV
+    sketches — the capability Spark's approx_count_distinct cannot
+    express because its HLL state is opaque (the motivating case:
+    distinct-user overlap between two segments without rescanning
+    either).
+
+    Method: take the k smallest hashes of the UNION; with h_k that set's
+    maximum, rho = |{union top-k} ∩ A ∩ B| / k estimates Jaccard and
+    |A∩B| ≈ rho * (k-1) * H / h_k. When the union holds fewer than k
+    hashes everything is exact. Input is sketch tables (arrays of <= k
+    hashes) — the plan aggregates sketch-sized data only, so two
+    100 TB segment scans reduce to a join of kilobyte rows."""
+    ea = a.select(
+        F.col(group_col).alias("g"), F.explode("hashes").alias("h")
+    ).withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+    eb = b.select(
+        F.col(group_col).alias("g"), F.explode("hashes").alias("h")
+    ).withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1))
+    u = (
+        ea.unionByName(eb)
+        .groupBy("g", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = W.partitionBy("g").orderBy("h")
+    topk = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = topk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("kk"),
+        F.max("h").cast("double").alias("hk"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("both"),
+    )
+    exact = F.col("kk") < k
+    est_union = F.when(exact, F.col("kk").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_H) / F.col("hk"), 0)
+    )
+    rho = F.col("both").cast("double") / F.col("kk")
+    est_inter = F.when(exact, F.col("both").cast("double")).otherwise(
+        F.round(rho * est_union, 0)
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        est_union.cast("long").alias("est_union"),
+        est_inter.cast("long").alias("est_intersect"),
+        F.col("both").cast("long").alias("k_overlap"),
+        F.round(rho, 4).alias("jaccard"),
     )

@@ -698,3 +698,78 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "lang").select(
         "lang", F.col("est"), F.col("exact")
     )
+
+
+# --- KMV set algebra: segment-overlap estimation ---------------------------
+
+@register(
+    "agg_kmv_set_algebra",
+    """
+    WITH ha AS (
+      SELECT DISTINCT year(o_orderdate) AS g,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), hb AS (
+      SELECT DISTINCT year(o_orderdate) AS g,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM orders WHERE o_orderpriority = '2-HIGH'
+    ), ska AS (
+      SELECT g, h FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM ha) WHERE rn <= 64
+    ), skb AS (
+      SELECT g, h FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hb) WHERE rn <= 64
+    ), u AS (
+      SELECT g, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT g, h, 1 AS in_a, 0 AS in_b FROM ska
+        UNION ALL SELECT g, h, 0, 1 FROM skb
+      ) GROUP BY g, h
+    ), topk AS (
+      SELECT g, h, in_a, in_b,
+             row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM u
+    ), agg AS (
+      SELECT g, count(*) AS kk, max(h) AS hk,
+             sum(in_a * in_b) AS nboth FROM topk WHERE rn <= 64 GROUP BY g
+    )
+    SELECT CAST(g AS INT) AS year,
+      CAST(CASE WHEN kk < 64 THEN kk
+           ELSE round(63.0 * 4294967296.0 / hk, 0) END AS BIGINT) AS est_union,
+      CAST(CASE WHEN kk < 64 THEN nboth
+           ELSE round((nboth * 1.0 / kk)
+                      * round(63.0 * 4294967296.0 / hk, 0), 0)
+           END AS BIGINT) AS est_intersect,
+      CAST(nboth AS BIGINT) AS k_overlap
+    FROM agg
+    """,
+)
+def agg_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year OVERLAP between two customer segments (urgent-order vs
+    high-order buyers) computed purely from KMV sketch states — union
+    cardinality, intersection cardinality, and the raw top-k overlap
+    count (operators/sketches.py:kmv_intersect_estimate, Beyer et al.
+    SIGMOD'07). The point: Spark's own approx_count_distinct HLL state
+    is opaque, so this set algebra is inexpressible with it — with KMV
+    the sketches are rows, and combining two 100 TB segments costs a
+    join of kilobyte arrays. The oracle replicates the whole pipeline
+    (build → cap → union → estimate) md5-exactly."""
+    from ytsaurus_spark.operators.sketches import (
+        kmv_build,
+        kmv_intersect_estimate,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders")
+    seg = lambda pri: orders.filter(  # noqa: E731
+        F.col("o_orderpriority") == pri
+    ).select(F.year("o_orderdate").alias("year"), "o_custkey")
+    ska = kmv_build(seg("1-URGENT"), "year", "o_custkey", k=64)
+    skb = kmv_build(seg("2-HIGH"), "year", "o_custkey", k=64)
+    est = kmv_intersect_estimate(ska, skb, "year", k=64)
+    # project the raw overlap count, not the rounded Jaccard (the ratio's
+    # 4-decimal rounding can sit on a half — integers keep the oracle
+    # exact); jaccard stays available from the operator for callers.
+    return est.select(
+        F.col("year").cast("int").alias("year"),
+        "est_union",
+        "est_intersect",
+        "k_overlap",
+    )
