@@ -2394,8 +2394,8 @@ def tpcds_q72_inventory_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame
              avg(s_tt) OVER (PARTITION BY manufact) AS av
       FROM monthly
     )
-    SELECT manufact, qtr, round(s_tt / 10000.0, 4) AS sales,
-           round(av / 10000.0, 4) AS avg_sales
+    SELECT manufact, qtr, s_tt / 10000.0 AS sales,
+           CAST(floor(av + 0.5) AS BIGINT) / 10000.0 AS avg_sales
     FROM with_avg
     WHERE av > 0 AND abs(s_tt - av) / av > 0.1
     ORDER BY manufact, qtr
@@ -2427,8 +2427,9 @@ def tpcds_q53_manufact_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "manufact", "qtr",
-            F.round(F.col("s_tt") / 10000.0, 4).alias("sales"),
-            F.round(F.col("av") / 10000.0, 4).alias("avg_sales"),
+            (F.col("s_tt") / 10000.0).alias("sales"),
+            (F.floor(F.col("av") + 0.5).cast("long") / 10000.0)
+            .alias("avg_sales"),
         )
         .orderBy("manufact", "qtr")
     )
@@ -2452,8 +2453,8 @@ def tpcds_q53_manufact_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
              avg(s_tt) OVER (PARTITION BY class) AS av
       FROM monthly
     )
-    SELECT class, moy, round(s_tt / 10000.0, 4) AS sales,
-           round(av / 10000.0, 4) AS avg_sales
+    SELECT class, moy, s_tt / 10000.0 AS sales,
+           CAST(floor(av + 0.5) AS BIGINT) / 10000.0 AS avg_sales
     FROM with_avg
     WHERE av > 0 AND abs(s_tt - av) / av > 0.1
     ORDER BY class, moy
@@ -2483,8 +2484,9 @@ def tpcds_q63_class_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "class", "moy",
-            F.round(F.col("s_tt") / 10000.0, 4).alias("sales"),
-            F.round(F.col("av") / 10000.0, 4).alias("avg_sales"),
+            (F.col("s_tt") / 10000.0).alias("sales"),
+            (F.floor(F.col("av") + 0.5).cast("long") / 10000.0)
+            .alias("avg_sales"),
         )
         .orderBy("class", "moy")
     )
