@@ -608,3 +608,4 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocks_rows == default_rows and len(rocks_rows) > 0
+

@@ -133,3 +133,12 @@ def time_order_recover(
             yield out_pdf
 
     return fn, out, state_schema
+
+
+# NOTE: Spark 4's transformWithStateInPandas (StatefulProcessor + typed
+# ValueState handles) is the designated successor of applyInPandasWithState
+# for the custom stateful operators in this module. It is NOT used here
+# because its driver worker imports google.protobuf, which this
+# environment does not provide (verified: STREAMING_PYTHON_RUNNER_
+# INITIALIZATION_FAILURE / ImportError google.protobuf.descriptor) — the
+# applyInPandasWithState implementations above are the supported path.
