@@ -330,17 +330,29 @@ def classifier_score(
     ratio, type-token ratio, mean word length, digit ratio, length norm).
     The model is frozen weights — training happens offline; at pipeline
     scale the score is pure codegen arithmetic over one scan, no Python
-    and no shuffle. Features are rounded to 4 decimals BEFORE the dot
-    product so the score is bit-stable across engines.
+    and no shuffle.
+
+    Determinism: the emitted score is the LOGIT (the linear layer), not
+    the sigmoid — sigmoid needs exp(), whose last ulp differs between
+    libm implementations (JVM vs DuckDB), which flaked the sf0.1 oracle
+    exactly once at a 4-decimal rounding half. The logit is a dot product
+    of half-up-quantized features: every operation is the identical IEEE
+    op on identical doubles in both engines. keep ≡ sigmoid(z) >= thr ≡
+    z >= logit(thr), so the filter semantics are unchanged; callers
+    wanting calibrated probabilities apply sigmoid downstream.
 
     Mirrors the reference's corpus-filter stage in spirit (quality gates
     ahead of dedup in training-data pipelines); weights are illustrative.
     """
+    import math
+
     t = F.split(F.col(text_col), " ")
     n = F.size(t)
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
     n_stop = F.expr(f"size(filter(split({text_col}, ' '), w -> array_contains({stop_arr}, w)))")
-    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    # half-up quantization to 1e-4: floor(x*10^4 + 0.5) is the identical
+    # IEEE op chain in both engines (plain round(x, 4) diverges on halves)
+    r4 = lambda c: F.floor(c * 10000 + 0.5).cast("long") / 10000.0  # noqa: E731
     stop_ratio = r4(n_stop / n)
     ttr = r4(F.size(F.array_distinct(t)) / n)
     mean_len = r4(((F.length(text_col) - (n - 1)) / n) / 10.0)
@@ -357,14 +369,15 @@ def classifier_score(
         + 0.5 * len_norm
         - 0.5
     )
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    logit = r4(z)
+    thr_logit = math.log(threshold / (1.0 - threshold))
     return docs.select(
         F.col(id_col),
         stop_ratio.alias("stop_ratio"),
         ttr.alias("ttr"),
         digit_ratio.alias("digit_ratio"),
-        prob.alias("quality_prob"),
-        (prob >= threshold).alias("keep"),
+        logit.alias("quality_logit"),
+        (z >= thr_logit).alias("keep"),
     )
 
 

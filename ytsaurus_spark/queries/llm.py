@@ -1472,23 +1472,25 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
     ), f AS (
       SELECT doc_id,
-             round(len(list_filter(toks,
+             CAST(floor(len(list_filter(toks,
                    w -> list_contains(['the','a','of','and','to','in'], w)))
-               * 1.0 / len(toks), 4) AS stop_ratio,
-             round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
-             round(((length(text) - (len(toks) - 1)) * 1.0 / len(toks)) / 10.0, 4) AS mean_len,
-             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-               * 1.0 / length(text), 4) AS digit_ratio,
-             round(least(length(text) / 1000.0, 1.0), 4) AS len_norm
+               * 1.0 / len(toks) * 10000 + 0.5) AS BIGINT) / 10000.0 AS stop_ratio,
+             CAST(floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000 + 0.5)
+               AS BIGINT) / 10000.0 AS ttr,
+             CAST(floor(((length(text) - (len(toks) - 1)) * 1.0 / len(toks)) / 10.0
+               * 10000 + 0.5) AS BIGINT) / 10000.0 AS mean_len,
+             CAST(floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / length(text) * 10000 + 0.5) AS BIGINT) / 10000.0 AS digit_ratio,
+             CAST(floor(least(length(text) / 1000.0, 1.0) * 10000 + 0.5)
+               AS BIGINT) / 10000.0 AS len_norm
       FROM t
     )
     SELECT doc_id, stop_ratio, ttr, digit_ratio,
-           round(1.0 / (1.0 + exp(-(2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
-                                    - 3.0 * digit_ratio + 0.5 * len_norm - 0.5))), 4)
-             AS quality_prob,
-           round(1.0 / (1.0 + exp(-(2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
-                                    - 3.0 * digit_ratio + 0.5 * len_norm - 0.5))), 4) >= 0.5
-             AS keep
+           CAST(floor((2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
+                       - 3.0 * digit_ratio + 0.5 * len_norm - 0.5) * 10000 + 0.5)
+                AS BIGINT) / 10000.0 AS quality_logit,
+           (2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
+            - 3.0 * digit_ratio + 0.5 * len_norm - 0.5) >= 0.0 AS keep
     FROM f
     """,
 )
