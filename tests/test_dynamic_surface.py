@@ -373,3 +373,30 @@ def test_apply_changes_syncs_replica(spark, tmp_path):
     before = rep.current_version()
     assert rep.apply_changes(src.changes_between(from_version=src.current_version())) is None
     assert rep.current_version() == before
+
+
+def test_changes_between_and_apply_with_aggregate_folds(spark, tmp_path):
+    # Review-found bug class: fold columns must diff and apply by their
+    # RESOLVED values, not raw deltas (a plain upsert would re-fold).
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    src = LogTxTable(spark, str(tmp_path / "asrc"), key_cols=["k"],
+                     aggregates={"cnt": "sum"})
+    v0 = src.init(spark.createDataFrame([(1, 10), (2, 5)], "k long, cnt long"))
+    src.insert_rows(spark.createDataFrame([(1, 1)], "k long, cnt long"))
+    src.insert_rows(spark.createDataFrame([(1, 2)], "k long, cnt long"))
+    assert {r["k"]: r["cnt"] for r in src.read().collect()} == {1: 13, 2: 5}
+
+    diff = src.changes_between(from_version=v0)
+    got = {r["k"]: (r["change"], r["old_cnt"], r["new_cnt"])
+           for r in diff.collect()}
+    assert got == {1: ("update", 10, 13)}  # resolved image, not the +2 delta
+
+    rep = LogTxTable(spark, str(tmp_path / "arep"), key_cols=["k"],
+                     aggregates={"cnt": "sum"})
+    rep.init(spark.createDataFrame([(1, 10), (2, 5)], "k long, cnt long"))
+    rep.apply_changes(diff)
+    assert {r["k"]: r["cnt"] for r in rep.read().collect()} == {1: 13, 2: 5}
+    # idempotent: re-applying the same diff converges, never re-folds
+    rep.apply_changes(diff)
+    assert {r["k"]: r["cnt"] for r in rep.read().collect()} == {1: 13, 2: 5}

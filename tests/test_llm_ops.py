@@ -434,3 +434,15 @@ def test_winnowing_df_max_prunes_boilerplate(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (1, 2) in got  # the rare passage survives
     assert (3, 4) not in got  # boilerplate-only pair is pruned
+
+
+def test_winnowing_fingerprints_short_documents(spark):
+    # Documents shorter than k+w-1 still fingerprint (min of available
+    # hashes) — identical short docs must be pairable, not invisible.
+    docs = spark.createDataFrame(
+        [(1, "tiny but identical!"), (2, "tiny but identical!"), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.winnow_shared_passages(docs, k=16, w=8, min_shared=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got

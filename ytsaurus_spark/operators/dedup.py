@@ -433,9 +433,11 @@ def winnow_fingerprints(
         F.col(id_col),
         F.explode(F.sequence(F.lit(1), n_pos)).alias("p"),
         F.col(text_col),
+        n_pos.alias("__np"),
     ).select(
         id_col,
         "p",
+        "__np",
         F.conv(F.substring(F.md5(F.expr(f"substr(`{text_col}`, p, {k})")), 1, 8), 16, 10)
         .cast("long")
         .alias("h"),
@@ -443,12 +445,19 @@ def winnow_fingerprints(
     from pyspark.sql import Window
 
     win = Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
-    return (
-        grams.withColumn("wmin", F.min("h").over(win))
-        .filter((F.col("p") >= w) & (F.col("h") == F.col("wmin")))
-        .select(id_col, "h")
-        .distinct()
-    )
+    # Full windows (p >= w) select positions whose hash equals the rolling
+    # min. Documents with fewer than w grams have no full window — classic
+    # winnowing's short-input rule emits the minimum of ALL their hashes
+    # instead (the min VALUE of the clamped final window, which may sit at
+    # an earlier position than __np), so short docs stay pairable.
+    sel = grams.withColumn("wmin", F.min("h").over(win))
+    full = sel.filter(
+        (F.col("p") >= w) & (F.col("h") == F.col("wmin"))
+    ).select(id_col, "h")
+    short = sel.filter(
+        (F.col("p") == F.col("__np")) & (F.col("__np") < w)
+    ).select(F.col(id_col), F.col("wmin").alias("h"))
+    return full.union(short).distinct()
 
 
 def winnow_shared_passages(

@@ -1552,16 +1552,20 @@ def dedup_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              text
       FROM documents
     ), hashed AS (
-      SELECT doc_id, p,
+      SELECT doc_id, p, text,
              ('0x' || substr(md5(substr(text, p, 16)), 1, 8))::BIGINT AS h
       FROM grams
     ), winmin AS (
-      SELECT doc_id, p, h,
+      SELECT doc_id, p, h, text,
              min(h) OVER (PARTITION BY doc_id ORDER BY p
                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmin
       FROM hashed
     ), fp AS (
-      SELECT DISTINCT doc_id, h FROM winmin WHERE p >= 8 AND h = wmin
+      SELECT doc_id, h FROM winmin WHERE p >= 8 AND h = wmin
+      UNION
+      SELECT doc_id, wmin AS h FROM winmin
+      WHERE p = greatest(length(text) - 15, 1)
+        AND greatest(length(text) - 15, 1) < 8
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(count(*) AS BIGINT) AS n_shared

@@ -51,6 +51,23 @@ def _amt():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _fixed_avg(c: str, alias: str):
+    """Cross-engine-deterministic 4-decimal average: exact integer-cent
+    element sums + a single division + half-up floor — both engines
+    round IDENTICAL doubles (plain round(avg(x), 4) diverges when the
+    exact decimal lands on a half; bit us live on q7/q27/q63)."""
+    return (
+        F.floor(
+            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
+            * 100.0
+            / F.count(F.lit(1))
+            + 0.5
+        ).cast("long")
+        / 10000.0
+    ).alias(alias)
+
+
+
 # --- TPC-DS q3: brand revenue by year for one manufacturer, one month ------
 
 
@@ -237,15 +254,7 @@ def tpcds_q7_demographic_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_name").alias("item"))
         .agg(*[
-            (
-                F.floor(
-                    F.sum(F.round(F.col(c) * 100, 0)).cast("long")
-                    * 100.0
-                    / F.count(F.lit(1))
-                    + 0.5
-                ).cast("long")
-                / 10000.0
-            ).alias(a)
+            _fixed_avg(c, a)
             for c, a in [
                 ("l_quantity", "agg1"),
                 ("o_totalprice", "agg2"),
@@ -867,15 +876,6 @@ def tpcds_q18_geo_rollup_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    fixed_avg = lambda c, a: (  # noqa: E731
-        F.floor(
-            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
-            * 100.0
-            / F.count(F.lit(1))
-            + 0.5
-        ).cast("long")
-        / 10000.0
-    ).alias(a)
     return (
         base.select(
             F.col("r_name").alias("country"), F.col("n_name").alias("state"),
@@ -883,10 +883,10 @@ def tpcds_q18_geo_rollup_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .rollup("country", "state")
         .agg(
-            fixed_avg("l_quantity", "agg1"),
-            fixed_avg("l_extendedprice", "agg2"),
-            fixed_avg("l_discount", "agg3"),
-            fixed_avg("c_acctbal", "agg4"),
+            _fixed_avg("l_quantity", "agg1"),
+            _fixed_avg("l_extendedprice", "agg2"),
+            _fixed_avg("l_discount", "agg3"),
+            _fixed_avg("c_acctbal", "agg4"),
         )
     )
 
@@ -922,17 +922,7 @@ def tpcds_q22_product_rollup_qoh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_quantity",
         )
         .rollup("category", "brand", "class")
-        .agg(
-            (
-                F.floor(
-                    F.sum(F.round(F.col("l_quantity") * 100, 0)).cast("long")
-                    * 100.0
-                    / F.count(F.lit(1))
-                    + 0.5
-                ).cast("long")
-                / 10000.0
-            ).alias("qoh")
-        )
+        .agg(_fixed_avg("l_quantity", "qoh"))
     )
 
 
@@ -981,20 +971,11 @@ def tpcds_q27_state_item_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_quantity", "l_extendedprice", "l_discount",
         )
     )
-    fixed_avg = lambda c, a: (  # noqa: E731
-        F.floor(
-            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
-            * 100.0
-            / F.count(F.lit(1))
-            + 0.5
-        ).cast("long")
-        / 10000.0
-    ).alias(a)
     return base.rollup("item", "state").agg(
         F.grouping("state").cast("long").alias("g_state"),
-        fixed_avg("l_quantity", "agg1"),
-        fixed_avg("l_extendedprice", "agg2"),
-        fixed_avg("l_discount", "agg3"),
+        _fixed_avg("l_quantity", "agg1"),
+        _fixed_avg("l_extendedprice", "agg2"),
+        _fixed_avg("l_discount", "agg3"),
     )
 
 
@@ -1800,18 +1781,9 @@ def tpcds_q13_band_disjunction_avgs(spark: SparkSession, sf_dir: str) -> DataFra
             | arm("MACHINERY", 36, 50)
         )
     )
-    fixed_avg = lambda c, a: (  # noqa: E731
-        F.floor(
-            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
-            * 100.0
-            / F.count(F.lit(1))
-            + 0.5
-        ).cast("long")
-        / 10000.0
-    ).alias(a)
     return base.agg(
-        fixed_avg("l_quantity", "avg_qty"),
-        fixed_avg("l_extendedprice", "avg_price"),
+        _fixed_avg("l_quantity", "avg_qty"),
+        _fixed_avg("l_extendedprice", "avg_price"),
         F.round(F.sum(_amt()), 4).alias("total"),
     )
 
@@ -1858,19 +1830,10 @@ def tpcds_q85_return_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
             | arm("HOUSEHOLD", 6000, 10000)
         )
     )
-    fixed_avg = lambda c, a: (  # noqa: E731
-        F.floor(
-            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
-            * 100.0
-            / F.count(F.lit(1))
-            + 0.5
-        ).cast("long")
-        / 10000.0
-    ).alias(a)
     return (
         base.groupBy(F.col("o_orderpriority").alias("reason"))
-        .agg(fixed_avg("l_quantity", "avg_qty"),
-             fixed_avg("l_extendedprice", "avg_refund"))
+        .agg(_fixed_avg("l_quantity", "avg_qty"),
+             _fixed_avg("l_extendedprice", "avg_refund"))
         .orderBy("reason")
         .limit(100)
     )

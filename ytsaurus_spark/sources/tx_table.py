@@ -625,81 +625,64 @@ class LogTxTable:
         final value at ``to`` equals its value at ``from`` emits nothing
         (NET diff — intermediate churn inside the range cancels out).
 
-        Scale shape — O(changes), not O(state): only the delta segments
-        inside ``(from, to]`` are read and last-writer-wins-resolved (one
-        key shuffle over the CHANGED keys); the ``from`` state is then
-        consulted ONLY for those keys via ``lookup_rows``, which prunes
-        untouched segments through the manifest key ranges. The full
-        table state is never scanned unless a compaction base landed
-        inside the range (then the base IS the change set and the diff
-        falls back to a full outer state join — still one shuffle)."""
+        Scale shape — O(changes), not O(state): the delta segments inside
+        ``(from, to]`` are read ONLY to learn the touched key set; both
+        row images then come from ``lookup_rows`` at the two versions,
+        which prunes untouched segments through the manifest key ranges
+        AND applies the full merge-on-read resolution — so aggregate
+        (fold) columns diff by their RESOLVED values, not raw deltas.
+        The full table state is never scanned unless a compaction base
+        landed inside the range (the base rewrites history, so the diff
+        falls back to a full outer join of the two resolved states —
+        still one shuffle)."""
         v1 = self._resolve_version(from_version, from_timestamp)
         v2 = self._resolve_version(to_version, to_timestamp)
         if v2 < v1:
             raise ValueError(f"to-version {v2} precedes from-version {v1}")
-        val_cols = [c for c in self.read(version=v1).columns
-                    if c not in self.key_cols]
+        val_cols = [c for c in self._schema_cols() if c not in self.key_cols]
         in_range = [s for s in self._segments() if v1 < s["v"] <= v2]
         if any(s["kind"] == "base" for s in in_range):
-            # compaction rewrote history inside the range: replay is not
-            # possible, diff the two resolved states instead.
-            new_disp = self.read(version=v2).withColumn("__op", F.lit("u"))
-            old = self.read(version=v1)
+            # compaction rewrote history inside the range: the touched-key
+            # set is unknowable from deltas, diff the two resolved states.
+            new_state, old_state = self.read(version=v2), self.read(version=v1)
         else:
             if not in_range:
-                parts = [self._empty_log_df()]
+                touched = self._empty_log_df().select(*self.key_cols)
             else:
                 parts = [self._seg_df(s) for s in in_range]
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
-            # last writer wins inside the range -> final disposition per key
-            from pyspark.sql import Window as W
-
-            w = W.partitionBy(*self.key_cols).orderBy(
-                F.col("__gen").desc(), F.col("__sub").desc()
-            )
-            new_disp = (
-                u.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "__gen", "__sub")
-            )
-            old = self.lookup_rows(
-                new_disp.select(*self.key_cols), version=v1
-            )
-        newer = new_disp.select(
+                u = parts[0]
+                for p_ in parts[1:]:
+                    u = u.unionByName(p_)
+                touched = u.select(*self.key_cols).distinct()
+            new_state = self.lookup_rows(touched, version=v2)
+            old_state = self.lookup_rows(touched, version=v1)
+        newer = new_state.select(
             *self.key_cols,
-            F.col("__op"),
+            F.lit(True).alias("__in_new"),
             *[F.col(c).alias(f"new_{c}") for c in val_cols],
         )
-        older = old.select(
+        older = old_state.select(
             *self.key_cols,
-            F.lit(True).alias("__existed"),
+            F.lit(True).alias("__in_old"),
             *[F.col(c).alias(f"old_{c}") for c in val_cols],
         )
-        # FULL join: in the state-diff fallback, keys live at v1 but gone
-        # at v2 only appear on the old side (read(v2) has no tombstones);
-        # in the replay path the old side is key-pruned to the touched
-        # set, so the full join degenerates to the left join exactly.
         j = newer.join(older, self.key_cols, "full")
-        existed = F.coalesce(F.col("__existed"), F.lit(False))
+        in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+        in_old = F.coalesce(F.col("__in_old"), F.lit(False))
         same = F.lit(True)
         for c in val_cols:
-            same = same & (
-                F.col(f"new_{c}").eqNullSafe(F.col(f"old_{c}"))
-            )
+            same = same & F.col(f"new_{c}").eqNullSafe(F.col(f"old_{c}"))
         change = (
-            F.when((F.col("__op") == "d") & existed, "delete")
-            .when(F.col("__op").isNull() & existed, "delete")
-            .when((F.col("__op") == "u") & ~existed, "insert")
-            .when((F.col("__op") == "u") & existed & ~same, "update")
+            F.when(in_old & ~in_new, "delete")
+            .when(in_new & ~in_old, "insert")
+            .when(in_new & in_old & ~same, "update")
         )
         out_old = [
-            F.when(existed, F.col(f"old_{c}")).alias(f"old_{c}")
+            F.when(in_old, F.col(f"old_{c}")).alias(f"old_{c}")
             for c in val_cols
         ]
         out_new = [
-            F.when(F.col("__op") == "u", F.col(f"new_{c}")).alias(f"new_{c}")
+            F.when(in_new, F.col(f"new_{c}")).alias(f"new_{c}")
             for c in val_cols
         ]
         return (
@@ -712,12 +695,18 @@ class LogTxTable:
         """Apply a ``changes_between`` diff to THIS table — the consumer
         half of the CDC pair: ``replica.apply_changes(
         source.changes_between(from_version=last_synced))`` brings an
-        async replica to the source state in one upsert commit plus one
-        delete commit, both O(changes) (the reference's replication-log
-        apply, with the log collapsed to net row images).
+        async replica to the source state (the reference's
+        replication-log apply, with the log collapsed to net row images).
+
+        Writes a tombstone for EVERY changed key, then re-inserts the
+        new images for inserts/updates. The delete-then-reinsert shape is
+        what makes the apply correct for aggregate (fold) columns too: a
+        plain upsert would FOLD the image into the replica's current
+        value instead of replacing it. Two O(changes) commits; and
+        because the image lands on a fresh (post-tombstone) key, applying
+        the same diff twice converges to the same state (idempotent).
 
         Returns the last committed version (None when the diff is empty).
-        Idempotent for a fixed diff: re-applying writes the same images.
         """
         val_cols = [
             c[len("new_"):] for c in changes.columns if c.startswith("new_")
@@ -726,17 +715,15 @@ class LogTxTable:
             *self.key_cols,
             *[F.col(f"new_{c}").alias(c) for c in val_cols],
         )
-        deletes = changes.filter(F.col("change") == "delete").select(
-            *self.key_cols
-        )
+        all_keys = changes.select(*self.key_cols)
         # localCheckpoint pins both splits of the (possibly lazily-built)
         # diff before the first commit mutates this table's manifest.
-        upserts, deletes = upserts.localCheckpoint(), deletes.localCheckpoint()
+        upserts, all_keys = upserts.localCheckpoint(), all_keys.localCheckpoint()
         v = None
+        if all_keys.count():
+            v = self.delete_rows(all_keys)
         if upserts.count():
             v = self.insert_rows(upserts)
-        if deletes.count():
-            v = self.delete_rows(deletes)
         return v
 
     # -- merge-on-read resolution ------------------------------------------
