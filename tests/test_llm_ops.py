@@ -424,16 +424,28 @@ def test_winnowing_df_max_prunes_boilerplate(spark):
         (4, boiler + " delta another unrelated body of words"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
-    uncapped = dedup.winnow_shared_passages(docs, k=16, w=8, min_shared=1)
-    assert {(r.id_a, r.id_b) for r in uncapped.collect()} == {
+    uncapped = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.winnow_shared_passages(
+            docs, k=16, w=8, min_shared=1
+        ).collect()
+    }
+    assert set(uncapped) == {
         (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
     }
-    capped = dedup.winnow_shared_passages(
-        docs, k=16, w=8, min_shared=1, df_max=2
-    )
-    got = {(r.id_a, r.id_b) for r in capped.collect()}
-    assert (1, 2) in got  # the rare passage survives
-    assert (3, 4) not in got  # boilerplate-only pair is pruned
+    capped = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.winnow_shared_passages(
+            docs, k=16, w=8, min_shared=1, df_max=2
+        ).collect()
+    }
+    assert (1, 2) in capped  # the rare passage survives
+    # every all-doc boilerplate fingerprint is pruned: pairs that exist at
+    # all share strictly fewer fingerprints than before, and the rare
+    # passage keeps (1, 2) strictly above any surviving straddle overlap
+    for pair, n in capped.items():
+        assert n < uncapped[pair]
+    assert capped[(1, 2)] > capped.get((3, 4), 0)
 
 
 def test_winnowing_fingerprints_short_documents(spark):

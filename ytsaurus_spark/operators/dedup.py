@@ -445,15 +445,18 @@ def winnow_fingerprints(
     from pyspark.sql import Window
 
     win = Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
-    # Full windows (p >= w) select positions whose hash equals the rolling
-    # min. Documents with fewer than w grams have no full window — classic
-    # winnowing's short-input rule emits the minimum of ALL their hashes
-    # instead (the min VALUE of the clamped final window, which may sit at
-    # an earlier position than __np), so short docs stay pairable.
+    # Classic winnowing selection: EVERY full window (p >= w) contributes
+    # its minimum VALUE; consecutive windows usually share mins, so the
+    # distinct collapses density to ~2/(w+1) of the gram count. (Selecting
+    # positions where h == wmin instead would lose the guarantee on
+    # monotone hash runs — a strictly increasing window never has its min
+    # at the newest position.) Documents with fewer than w grams have no
+    # full window — the short-input rule emits the min of ALL their
+    # hashes (the clamped final window), so short docs stay pairable.
     sel = grams.withColumn("wmin", F.min("h").over(win))
-    full = sel.filter(
-        (F.col("p") >= w) & (F.col("h") == F.col("wmin"))
-    ).select(id_col, "h")
+    full = sel.filter(F.col("p") >= w).select(
+        F.col(id_col), F.col("wmin").alias("h")
+    )
     short = sel.filter(
         (F.col("p") == F.col("__np")) & (F.col("__np") < w)
     ).select(F.col(id_col), F.col("wmin").alias("h"))

@@ -1561,7 +1561,7 @@ def dedup_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmin
       FROM hashed
     ), fp AS (
-      SELECT doc_id, h FROM winmin WHERE p >= 8 AND h = wmin
+      SELECT doc_id, wmin AS h FROM winmin WHERE p >= 8
       UNION
       SELECT doc_id, wmin AS h FROM winmin
       WHERE p = greatest(length(text) - 15, 1)
