@@ -400,3 +400,50 @@ def test_changes_between_and_apply_with_aggregate_folds(spark, tmp_path):
     # idempotent: re-applying the same diff converges, never re-folds
     rep.apply_changes(diff)
     assert {r["k"]: r["cnt"] for r in rep.read().collect()} == {1: 13, 2: 5}
+
+
+def test_changes_between_randomized_model(spark, tmp_path):
+    # Property: for ANY committed version pair (v_i, v_j), applying
+    # changes_between(v_i, v_j) to a fresh table seeded with the state at
+    # v_i reproduces the state at v_j exactly — across random upserts,
+    # deletes, fold columns, and a mid-sequence compaction. Seeded, so
+    # failures reproduce.
+    import random
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    rng = random.Random(7)
+    src = LogTxTable(spark, str(tmp_path / "rsrc"), key_cols=["k"],
+                     aggregates={"cnt": "sum"})
+    versions = [src.init(spark.createDataFrame(
+        [(k, rng.randint(0, 5), rng.randint(0, 9)) for k in range(8)],
+        "k long, v long, cnt long",
+    ))]
+    for step in range(6):
+        if step == 3:
+            src.compact()
+        if rng.random() < 0.3:
+            keys = rng.sample(range(12), 2)
+            versions.append(src.delete_rows(
+                spark.createDataFrame([(k,) for k in keys], "k long")
+            ))
+        else:
+            rows = [
+                (rng.randrange(12), rng.randint(0, 5), rng.randint(0, 9))
+                for _ in range(3)
+            ]
+            versions.append(src.insert_rows(
+                spark.createDataFrame(rows, "k long, v long, cnt long")
+            ))
+
+    def state(v):
+        return sorted(map(tuple, src.read(version=v).collect()))
+
+    pairs = [(versions[0], versions[-1]), (versions[2], versions[4]),
+             (versions[1], versions[-1]), (versions[4], versions[4])]
+    for i, (v1, v2) in enumerate(pairs):
+        rep = LogTxTable(spark, str(tmp_path / f"rrep{i}"), key_cols=["k"],
+                         aggregates={"cnt": "sum"})
+        rep.init(src.read(version=v1))
+        rep.apply_changes(src.changes_between(from_version=v1, to_version=v2))
+        assert sorted(map(tuple, rep.read().collect())) == state(v2), (v1, v2)
