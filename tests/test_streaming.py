@@ -609,3 +609,28 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocks_rows == default_rows and len(rocks_rows) > 0
 
+
+
+def test_publish_changes_exactly_once(spark, tmp_path):
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+    from ytsaurus_spark.streaming.queues import DurableQueue, publish_changes
+
+    src = LogTxTable(spark, str(tmp_path / "cdcq_src"), key_cols=["k"])
+    v0 = src.init(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    src.insert_rows(spark.createDataFrame([(1, 11), (3, 30)], "k long, v long"))
+    v2 = src.delete_rows(spark.createDataFrame([(2,)], "k long"))
+
+    q = DurableQueue(spark, str(tmp_path / "cdcq"))
+    n = publish_changes(src, q, "repl", from_version=v0, to_version=v2)
+    assert n == 3  # update k=1, insert k=3, delete k=2
+    got = {r["k"]: r["change"] for r in q.read().collect()}
+    assert got == {1: "update", 3: "insert", 2: "delete"}
+
+    # retried publish of the same range: replay-dedup appends nothing
+    assert publish_changes(src, q, "repl", from_version=v0, to_version=v2) == 0
+    assert q.read().count() == 3
+
+    # a later range appends only its own records
+    src.insert_rows(spark.createDataFrame([(4, 40)], "k long, v long"))
+    assert publish_changes(src, q, "repl", from_version=v2) == 1
+    assert q.read().count() == 4

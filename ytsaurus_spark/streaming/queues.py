@@ -306,3 +306,45 @@ def with_row_index(df: DataFrame, order_by: list[str]) -> DataFrame:
 
     w = W.orderBy(*order_by)
     return df.withColumn("$row_index", F.row_number().over(w).cast("long") - 1)
+
+
+def publish_changes(
+    table,
+    queue: DurableQueue,
+    session_id: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> int:
+    """Ship a LogTxTable's net row-image diff into a DurableQueue — the
+    reference's replication-log/changelog delivery: row change records
+    flow to consumers through an ordered queue, and the producer-session
+    replay dedup makes redelivery exactly-once (a retried publish of the
+    same version range appends nothing).
+
+    Sequence numbers are DETERMINISTIC: ``to_version * 2^32 + rank``
+    where rank orders the diff by its key columns — so the same diff
+    always carries the same numbers (that is what the session's
+    replay-dedup keys on), and diffs of later version ranges always sort
+    after earlier ones. Returns the number of records actually appended.
+
+    Consumer side: ``pull_queue``/``pull_and_advance`` deliver the change
+    records in order; ``LogTxTable.apply_changes`` applies them (the
+    other half of the CDC pair, sources/tx_table.py).
+    """
+    from pyspark.sql import Window as W
+
+    v2 = (
+        to_version
+        if to_version is not None
+        else table.current_version()
+    )
+    diff = table.changes_between(
+        from_version=from_version, to_version=v2
+    )
+    w = W.orderBy(*[F.col(c) for c in table.key_cols])
+    records = diff.withColumn(
+        "$sequence_number",
+        (F.lit(int(v2) * (1 << 32)) + F.row_number().over(w)).cast("long"),
+    )
+    session = queue.create_session(session_id)
+    return session.push_batch(records, seq_col="$sequence_number")
