@@ -330,6 +330,12 @@ def publish_changes(
     Consumer side: ``pull_queue``/``pull_and_advance`` deliver the change
     records in order; ``LogTxTable.apply_changes`` applies them (the
     other half of the CDC pair, sources/tx_table.py).
+
+    Scale note: rank assignment is a single-partition window over the
+    DIFF (not the table) — the same one-flush bound as push_batch's
+    auto-sequencing; a publish is one producer flush by contract. For
+    diffs beyond one flush, publish per key range (each range is its own
+    deterministic record block).
     """
     from pyspark.sql import Window as W
 
