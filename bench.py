@@ -72,6 +72,7 @@ SCALING_SET = [
     "dyn_mvcc_timestamped_read",
     "dedup_minhash_lsh",
     "dedup_semantic",             # added r4: Lloyd chain + cell pair scan
+    "dedup_winnowing",            # added r4: per-doc window min + fp join
 ]
 
 
