@@ -458,3 +458,31 @@ def test_winnowing_fingerprints_short_documents(spark):
     pairs = dedup.winnow_shared_passages(docs, k=16, w=8, min_shared=1)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
+
+
+def test_winnowing_guarantee_property(spark):
+    # The classic-selection guarantee: ANY shared substring of length
+    # >= k+w-1 produces at least one common fingerprint, regardless of
+    # the surrounding context. Seeded random contexts, exact-floor-length
+    # planted passages (k=8, w=4 -> floor 11 chars).
+    import random
+
+    rng = random.Random(99)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    rows = []
+    expected = set()
+    for i in range(10):
+        passage = "".join(rng.choice(alpha) for _ in range(11))
+        left_a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        right_a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        left_b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        right_b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        a_id, b_id = 100 * i + 1, 100 * i + 2
+        rows += [(a_id, left_a + passage + right_a),
+                 (b_id, left_b + passage + right_b)]
+        expected.add((a_id, b_id))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.winnow_shared_passages(docs, k=8, w=4, min_shared=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    missing = expected - got
+    assert not missing, f"guarantee violated for planted pairs: {missing}"
