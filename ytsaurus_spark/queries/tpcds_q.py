@@ -148,11 +148,14 @@ def tpcds_q5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpcds_q14_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS 14 (queries/14.sql): items sold through ALL channels
-    (INTERSECT of per-channel brand/class sets — the reference spells it
-    as chained LEFT SEMI JOINs) filtered against a scalar average
-    subquery. The INTERSECT inputs are projections of ONE shared scan;
-    the scalar average broadcasts, never a shuffle."""
+    """TPC-DS 14 (queries/14.sql): items sold through ALL channels,
+    filtered against a scalar average subquery. The oracle keeps the
+    reference's INTERSECT spelling; the Spark plan decorrelates the
+    whole intersect chain into ONE (brand, class) aggregate counting
+    distinct channels == 3 — Catalyst does not share scans between
+    INTERSECT branches (the set-op form re-scanned the fact 10×,
+    measured), so the flag aggregate is the 100 TB shape: one scan for
+    the item set, one for the average, one for the report."""
     cat = load_tables(spark, sf_dir)
     li, part = cat.read("lineitem"), cat.read("part")
     sales = (
@@ -165,8 +168,12 @@ def tpcds_q14_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
             _amt().alias("amt"),
         )
     )
-    pair = lambda c: sales.filter(F.col("channel") == c).select("brand", "class")  # noqa: E731
-    cross_items = pair("store").intersect(pair("catalog")).intersect(pair("web"))
+    cross_items = (
+        sales.groupBy("brand", "class")
+        .agg(F.countDistinct("channel").alias("__nch"))
+        .filter(F.col("__nch") == 3)
+        .select("brand", "class")
+    )
     avg_sales = sales.agg(F.avg("amt").alias("av"))
     return (
         sales.join(F.broadcast(cross_items), ["brand", "class"])
@@ -2325,9 +2332,12 @@ def tpcds_q76_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q87_except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 87 (87.sql): customers present in one channel and absent from
     the other two, at (customer, order-day) granularity mirroring the reference's (name, d_date) tuples — a set-difference CHAIN (EXCEPT is left-deep, so order
-    matters), then a dim rollup of the survivors. Each EXCEPT is a
-    distinct anti-join on customer-scale sets; the three channel scans
-    share the fact scan."""
+    matters), then a dim rollup of the survivors (the oracle keeps the
+    EXCEPT spelling). The Spark plan folds the whole chain into ONE
+    (customer, day) aggregate of per-channel presence flags — present in
+    store and absent everywhere else — one fact scan and one shuffle
+    versus a scan per set-op branch; equivalent because the EXCEPT
+    operands are distinct sets of the same grain."""
     cat = load_tables(spark, sf_dir)
     li, orders = cat.read("lineitem"), cat.read("orders")
     cust, nation = cat.read("customer"), cat.read("nation")
@@ -2336,11 +2346,17 @@ def tpcds_q87_except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"),
         F.to_date("o_orderdate").alias("d"),
     )
-    sets = {
-        ch: base.filter(F.col("channel") == ch).select("c", "d").distinct()
-        for ch in ("store", "catalog", "web")
-    }
-    only_store = sets["store"].exceptAll(sets["catalog"]).exceptAll(sets["web"]).distinct()
+    flag = lambda ch: F.max((F.col("channel") == ch).cast("int"))  # noqa: E731
+    only_store = (
+        base.groupBy("c", "d")
+        .agg(
+            flag("store").alias("__s"),
+            flag("catalog").alias("__c"),
+            flag("web").alias("__w"),
+        )
+        .filter((F.col("__s") == 1) & (F.col("__c") == 0) & (F.col("__w") == 0))
+        .select("c", "d")
+    )
     return (
         only_store.join(F.broadcast(cust), F.col("c") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -2697,15 +2713,18 @@ def tpcds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q38_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 38 (38.sql): count of customers who bought through ALL three
     channels — the INTERSECT-of-distinct-sets counterpart to q87's EXCEPT
-    chain. Catalyst plans each INTERSECT as a left-semi join over the
-    deduped keys; the three branches share one orders⋈lineitem scan."""
+    chain (the oracle keeps the INTERSECT spelling). The Spark plan is
+    the single-pass decorrelation: one per-customer aggregate counting
+    distinct channels == 3 — one fact scan and one shuffle, where the
+    set-op form scanned the join once per branch."""
     cat = load_tables(spark, sf_dir)
     li, orders = cat.read("lineitem"), cat.read("orders")
     j = orders.join(li, orders.o_orderkey == li.l_orderkey)
-    chan = lambda k: (  # noqa: E731
-        j.filter(F.col("l_linenumber") % 3 == k).select(F.col("o_custkey").alias("ck")).distinct()
+    omni = (
+        j.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.countDistinct(F.col("l_linenumber") % 3).alias("__nch"))
+        .filter(F.col("__nch") == 3)
     )
-    omni = chan(0).intersect(chan(1)).intersect(chan(2))
     return omni.agg(F.count(F.lit(1)).cast("long").alias("omni_customers"))
 
 
