@@ -1884,37 +1884,37 @@ def tpcds_q17_repurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse for per-customer chains at test SF (empty result proves
     nothing), so the household key relaxes to the state, keeping the
     triple-join shape with a non-trivial oracle. The three fact roles
-    are (state, item)-grain
-    aggregates of ONE scan inner-joined pairwise (the reference's
-    triple fact join), all on the same key so one shuffle partitioning
-    is reused. Stddev is computed from exact integer sums with the
-    explicit formula — both engines take sqrt of the IDENTICAL double
-    instead of their own streaming-variance paths."""
+    are conditional sums of
+    ONE scan grouped on (state, item) — the reference's triple fact join
+    decorrelated the q14 way (each join role becomes a filtered SUM, the
+    inner-join semantics a "present in all three" filter), so the fact
+    is scanned once and shuffled once instead of once per role. Stddev
+    is computed from exact integer sums with the explicit formula — both
+    engines take sqrt of the IDENTICAL double instead of their own
+    streaming-variance paths."""
     cat = load_tables(spark, sf_dir)
     li, orders, part = cat.read("lineitem"), cat.read("orders"), cat.read("part")
     cust = cat.read("customer")
-    def grain(pred):
-        return (
-            li.filter(pred)
-            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy(
-                F.col("c_nationkey").alias("ck"), F.col("l_partkey").alias("pk")
-            )
-            .agg(F.sum("l_quantity").cast("long").alias("q"))
-        )
-    s = grain((F.col("l_linenumber") % 3 == 0) & (F.col("l_returnflag") != "R"))
-    r = grain((F.col("l_linenumber") % 3 == 0) & (F.col("l_returnflag") == "R"))
-    c = grain(F.col("l_linenumber") % 3 == 1)
+    ch = F.col("l_linenumber") % 3
+    is_r = F.col("l_returnflag") == "R"
+    role = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.col("l_quantity"))
+    ).cast("long")
     j = (
-        s.select(F.col("ck"), F.col("pk"), F.col("q").alias("sq"))
-        .join(
-            r.select(F.col("ck"), F.col("pk"), F.col("q").alias("rq")),
-            ["ck", "pk"],
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("ck"), F.col("l_partkey").alias("pk")
         )
-        .join(
-            c.select(F.col("ck"), F.col("pk"), F.col("q").alias("cq")),
-            ["ck", "pk"],
+        .agg(
+            role((ch == 0) & ~is_r).alias("sq"),
+            role((ch == 0) & is_r).alias("rq"),
+            role(ch == 1).alias("cq"),
+        )
+        .filter(
+            F.col("sq").isNotNull()
+            & F.col("rq").isNotNull()
+            & F.col("cq").isNotNull()
         )
         .join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
         .select(F.col("p_brand").alias("brand"), "sq", "rq", "cq")
@@ -1973,26 +1973,32 @@ def tpcds_q17_repurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q29_repurchase_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 29 (queries/29.sql): the q17 triple-fact chain reporting
     per-brand quantity MAXIMA instead of spread — integer maxes, so no
-    float discipline is needed at all. Same single-key shuffle reuse."""
+    float discipline is needed at all. Same single-pass conditional
+    aggregation as q17: one fact scan, one (state, item) shuffle."""
     cat = load_tables(spark, sf_dir)
     li, orders, part = cat.read("lineitem"), cat.read("orders"), cat.read("part")
     cust = cat.read("customer")
-    def grain(pred, alias):
-        return (
-            li.filter(pred)
-            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy(
-                F.col("c_nationkey").alias("ck"), F.col("l_partkey").alias("pk")
-            )
-            .agg(F.max("l_quantity").cast("long").alias(alias))
-        )
-    s = grain((F.col("l_linenumber") % 3 == 0) & (F.col("l_returnflag") != "R"), "sq")
-    r = grain((F.col("l_linenumber") % 3 == 0) & (F.col("l_returnflag") == "R"), "rq")
-    c = grain(F.col("l_linenumber") % 3 == 1, "cq")
+    ch = F.col("l_linenumber") % 3
+    is_r = F.col("l_returnflag") == "R"
+    role = lambda cond: F.max(  # noqa: E731
+        F.when(cond, F.col("l_quantity"))
+    ).cast("long")
     return (
-        s.join(r, ["ck", "pk"])
-        .join(c, ["ck", "pk"])
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .agg(
+            role((ch == 0) & ~is_r).alias("sq"),
+            role((ch == 0) & is_r).alias("rq"),
+            role(ch == 1).alias("cq"),
+        )
+        .filter(
+            F.col("sq").isNotNull()
+            & F.col("rq").isNotNull()
+            & F.col("cq").isNotNull()
+        )
         .join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
