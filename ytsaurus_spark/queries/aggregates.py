@@ -349,8 +349,14 @@ def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_if_variants",
     """
     SELECT c_mktsegment,
-           round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 4) AS pos_sum,
-           round(avg(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 6) AS pos_avg,
+           CAST(sum(CASE WHEN c_acctbal > 0
+                         THEN round(c_acctbal * 100) END) AS BIGINT) / 100.0
+             AS pos_sum,
+           CAST(floor(CAST(sum(CASE WHEN c_acctbal > 0
+                                    THEN round(c_acctbal * 100) END) AS BIGINT)
+                      * 10000.0
+                      / count(CASE WHEN c_acctbal > 0 THEN 1 END) + 0.5)
+                AS BIGINT) / 1000000.0 AS pos_avg,
            CAST(count(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT) AS n_neg,
            min(upper(c_mktsegment)) AS seg_some
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -365,12 +371,18 @@ def agg_if_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same determinism caveat — SOME is free to pick any value)."""
     cat = load_tables(spark, sf_dir)
     cust = cat.read("customer")
-    pos = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+    pos_c = F.when(F.col("c_acctbal") > 0, F.round(F.col("c_acctbal") * 100))
+    pos_n = F.count(F.when(F.col("c_acctbal") > 0, 1))
     return (
         cust.groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(pos), 4).alias("pos_sum"),
-            F.round(F.avg(pos), 6).alias("pos_avg"),
+            (F.sum(pos_c).cast("long") / 100.0).alias("pos_sum"),
+            (
+                F.floor(F.sum(pos_c).cast("long") * 10000.0 / pos_n + 0.5).cast(
+                    "long"
+                )
+                / 1000000.0
+            ).alias("pos_avg"),
             F.count(F.when(F.col("c_acctbal") < 0, 1)).cast("long").alias("n_neg"),
             F.any_value(F.upper("c_mktsegment")).alias("seg_some"),
         )

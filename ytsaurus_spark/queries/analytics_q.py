@@ -116,7 +116,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH nat AS (
       SELECT r_name, n_name,
-             sum(o_totalprice) AS nat_rev
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS nat_rev_c
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
@@ -124,9 +124,11 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r_name, n_name
     )
     SELECT r_name, n_name,
-           round(nat_rev, 2) AS nat_rev,
-           round(nat_rev / sum(nat_rev) OVER (PARTITION BY r_name), 6) AS share,
-           CAST(rank() OVER (PARTITION BY r_name ORDER BY nat_rev DESC, n_name)
+           nat_rev_c / 100.0 AS nat_rev,
+           CAST(floor(nat_rev_c * 1000000.0
+                      / sum(nat_rev_c) OVER (PARTITION BY r_name) + 0.5)
+                AS BIGINT) / 1000000.0 AS share,
+           CAST(rank() OVER (PARTITION BY r_name ORDER BY nat_rev_c DESC, n_name)
                 AS INT) AS rnk
     FROM nat
     """,
@@ -135,20 +137,29 @@ def analytics_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     orders, cust = cat.read("orders"), cat.read("customer")
     nation, region = cat.read("nation"), cat.read("region")
+    # Integer-cents discipline: round each o_totalprice to cents BEFORE
+    # summing (per-element doubles are bit-identical across engines, so the
+    # BIGINT sum is exact), then half-up floor for the 6-decimal share —
+    # round(double, 6) on a repeating ratio is a cross-engine repr hazard.
     nat = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum("o_totalprice").alias("nat_rev"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("nat_rev_c"))
     )
     w = W.partitionBy("r_name")
-    wr = w.orderBy(F.col("nat_rev").desc(), "n_name")
+    wr = w.orderBy(F.col("nat_rev_c").desc(), "n_name")
     return nat.select(
         "r_name",
         "n_name",
-        F.round("nat_rev", 2).alias("nat_rev"),
-        F.round(F.col("nat_rev") / F.sum("nat_rev").over(w), 6).alias("share"),
+        (F.col("nat_rev_c") / 100.0).alias("nat_rev"),
+        (
+            F.floor(
+                F.col("nat_rev_c") * 1000000.0 / F.sum("nat_rev_c").over(w) + 0.5
+            ).cast("long")
+            / 1000000.0
+        ).alias("share"),
         F.rank().over(wr).alias("rnk"),
     )
 
@@ -222,7 +233,8 @@ def analytics_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+                      * 100.0 / 7.0 + 0.5) AS BIGINT) / 10000.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
@@ -245,7 +257,20 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(avgs, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            # exact integer cents, then half-up floor at 4 decimals —
+            # round(sum/7.0, 4) can land on a non-dyadic x.xxxx5 where
+            # Spark (shortest-repr) and DuckDB (binary) round apart
+            (
+                F.floor(
+                    F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long")
+                    * 100.0
+                    / 7.0
+                    + 0.5
+                ).cast("long")
+                / 10000.0
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -354,11 +379,12 @@ def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo",
     """
-    SELECT round(
+    SELECT CAST(floor(
              100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN l_extendedprice * (1 - l_discount)
+                              THEN round(l_extendedprice * (1 - l_discount) * 10000)
                               ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+             / sum(round(l_extendedprice * (1 - l_discount) * 10000))
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01'
       AND l_shipdate < TIMESTAMP '1995-10-01'
@@ -371,15 +397,23 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
     )
     part = cat.read("part")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # net price has <=4 decimals, so per-element round(net*10000) is the
+    # identical double in both engines and the sum is an exact integer;
+    # the ratio of exact integers + half-up floor is engine-deterministic
+    # (round(double, 6) on the raw ratio is a repr-tie hazard).
+    net_tt = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(0.0))
-                / F.sum(net),
-                6,
+            (
+                F.floor(
+                    100.0
+                    * F.sum(F.when(F.col("p_type").like("PROMO%"), net_tt).otherwise(0.0))
+                    / F.sum(net_tt)
+                    * 1000000
+                    + 0.5
+                ).cast("long")
+                / 1000000.0
             ).alias("promo_revenue")
         )
     )
@@ -588,11 +622,12 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _Q8_SQL = """
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           CAST(floor(sum(CASE WHEN nation = 'NATION_3' THEN vol_tt ELSE 0 END)
+                      * 1000000.0 / sum(vol_tt) + 0.5)
+                AS BIGINT) / 1000000.0 AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             round(l_extendedprice * (1 - l_discount) * 10000) AS vol_tt,
              n2.n_name AS nation
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -628,7 +663,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary inside double summation-order noise).
 _Q9_SQL = """
     SELECT nation, o_year,
-           round(CAST(sum(amount_tt) AS BIGINT) / 10000.0, 2) AS sum_profit
+           CAST(floor(CAST(sum(amount_tt) AS BIGINT) / 100.0 + 0.5)
+                AS BIGINT) / 100.0 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS INT) AS o_year,
@@ -894,7 +930,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON c.cohort = z.cohort AND z.offset_wk = 0
     )
     SELECT CAST(cohort AS INT) AS cohort, offset_wk, n_users, cohort_size,
-           round(100.0 * n_users / cohort_size, 2) AS retention_pct
+           CAST(floor(100.0 * n_users / cohort_size * 100 + 0.5)
+                AS BIGINT) / 100.0 AS retention_pct
     FROM sized
     """,
 )
@@ -934,9 +971,12 @@ def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "offset_wk",
             "n_users",
             "cohort_size",
-            F.round(100.0 * F.col("n_users") / F.col("cohort_size"), 2).alias(
-                "retention_pct"
-            ),
+            (
+                F.floor(
+                    100.0 * F.col("n_users") / F.col("cohort_size") * 100 + 0.5
+                ).cast("long")
+                / 100.0
+            ).alias("retention_pct"),
         )
     )
 

@@ -66,10 +66,15 @@ def ql_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
                  * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS BIGINT)
                  / 1000000.0, 6) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-                 AS BIGINT) / 100.0 / count(*), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(floor(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                 AS BIGINT) * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0
+             AS avg_qty,
+           CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0
+             AS avg_price,
+           CAST(floor(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
+                 AS BIGINT) * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0
+             AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -88,6 +93,8 @@ def ql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
     base_u = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty_u = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
     disc_u = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
     ).cast("long")
@@ -107,9 +114,20 @@ def ql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(base_u) / 100.0, 2).alias("sum_base_price"),
             F.round(F.sum(disc_u) / 10000.0, 4).alias("sum_disc_price"),
             F.round(F.sum(charge_u) / 1000000.0, 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum(base_u) / 100.0 / n, 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avgs as exact-integer ratios + half-up floor: round(avg, 4)
+            # is a cross-engine tie when sum/n terminates at an x.xxxx5
+            (
+                F.floor(F.sum(qty_u).cast("long") * 100.0 / n + 0.5).cast("long")
+                / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.floor(F.sum(base_u).cast("long") * 100.0 / n + 0.5).cast("long")
+                / 10000.0
+            ).alias("avg_price"),
+            (
+                F.floor(F.sum(disc_c).cast("long") * 100.0 / n + 0.5).cast("long")
+                / 10000.0
+            ).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
@@ -444,9 +462,12 @@ def ql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ql_subquery",
     """
-    SELECT c_mktsegment, round(avg(total_spent), 4) AS avg_spent
+    SELECT c_mktsegment,
+           CAST(floor(CAST(sum(spent_c) AS BIGINT) * 100.0 / count(*) + 0.5)
+                AS BIGINT) / 10000.0 AS avg_spent
     FROM (
-      SELECT c_custkey, c_mktsegment, sum(o_totalprice) AS total_spent
+      SELECT c_custkey, c_mktsegment,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spent_c
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_mktsegment
     ) t
@@ -457,9 +478,12 @@ def ql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     return spark.sql(
         """
-        SELECT c_mktsegment, round(avg(total_spent), 4) AS avg_spent
+        SELECT c_mktsegment,
+               CAST(floor(CAST(sum(spent_c) AS BIGINT) * 100.0 / count(*) + 0.5)
+                    AS BIGINT) / 10000.0 AS avg_spent
         FROM (
-          SELECT c_custkey, c_mktsegment, sum(o_totalprice) AS total_spent
+          SELECT c_custkey, c_mktsegment,
+                 CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spent_c
           FROM customer JOIN orders ON c_custkey = o_custkey
           GROUP BY c_custkey, c_mktsegment
         ) t
