@@ -1,19 +1,26 @@
-"""Cross-engine rounding determinism (the tpch_q9 hash-flake class).
+"""Cross-engine rounding + output-type determinism (the tpch_q9 red class).
 
 The driver's correctness gate hashes EXACT value reprs of Spark vs DuckDB
-output. ``round(double, n)`` diverges between engines when the operand's
-exact decimal terminates with a 5 at the rounding digit: Spark rounds the
-shortest decimal repr half-up, DuckDB rounds the binary value — a
-coin-flip on every representable half boundary (round-4 driver red:
-tpch_q9, 5 of 175 groups on an exact half-cent).
+output — no normalization. Two independent hazards are pinned here:
 
-The registry-wide fix is half-up FLOOR arithmetic over exact integer
-scaled sums: every operation (integer sum, correctly-rounded IEEE
-division, +0.5, floor) is bit-deterministic given identical inputs, so
-both engines must produce the identical double. These tests pin that
-property with exact-repr comparison (NOT the 9-digit-rounded comparison
-the local gate uses), over adversarial tie values and randomized group
-perturbations.
+1. ``round(double, n)`` diverges between engines when the operand's exact
+   decimal terminates with a 5 at the rounding digit: Spark rounds the
+   shortest decimal repr half-up, DuckDB rounds the binary value. Fix:
+   half-up FLOOR arithmetic over exact integer scaled sums — every
+   operation (integer sum, correctly-rounded IEEE division, +0.5, floor)
+   is bit-deterministic given identical inputs.
+
+2. Output TYPE divergence (the round-5 driver red, worth more rows than
+   hazard 1 ever was): in a ``spark.sql`` body, ``x / 100.0`` parses the
+   literal as DECIMAL, so the whole projection comes out DecimalType,
+   while DuckDB parses ``100.0`` as DOUBLE — ``Decimal('0.02')`` vs
+   ``0.02`` fails the exact-repr hash on EVERY row despite identical
+   values. Fix: ``1eN``-notation literals (DOUBLE in both engines) and an
+   explicit ``CAST(... AS DOUBLE)`` on the aggregate before the division.
+
+These tests use exact-repr comparison with NO normalization — the same
+comparison the driver does — over adversarial tie values and randomized
+group perturbations. A Decimal leaking out of the Spark side fails here.
 """
 
 from __future__ import annotations
@@ -44,44 +51,50 @@ TIE_SUMS = [
     0,
 ]
 
-
-def _norm(v):
-    """Driver-style normalization: DECIMAL → float (Spark parses `100.0`
-    literals as DECIMAL, DuckDB division yields DOUBLE; the driver's
-    value hash compares them post-conversion — q53/q63 passed round 4
-    with exactly this type split)."""
-    import decimal
-
-    return float(v) if isinstance(v, decimal.Decimal) else v
+# The registry's blessed final-projection shape: explicit DOUBLE interior
+# math, 1eN literals. Identical text runs on both engines.
+CENTS_EXPR = (
+    "CAST(floor(CAST({v} AS DOUBLE) / 1e2 + 0.5) AS BIGINT) / 1e2"
+)
 
 
 def _spark_round_cents(spark, sums):
     df = spark.createDataFrame([(int(s),) for s in sums], "sum_tt long")
-    out = df.selectExpr(
-        "CAST(floor(CAST(sum_tt AS BIGINT) / 100.0 + 0.5) AS BIGINT)"
-        " / 100.0 AS v"
-    ).collect()
-    return [_norm(r["v"]) for r in out]
+    out = df.selectExpr(CENTS_EXPR.format(v="sum_tt") + " AS v").collect()
+    return [r["v"] for r in out]
 
 
 def _duck_round_cents(sums):
     con = duckdb.connect()
-    out = []
-    for s in sums:
-        (v,) = con.execute(
-            f"SELECT CAST(floor(CAST({s} AS BIGINT) / 100.0 + 0.5) AS BIGINT)"
-            " / 100.0"
-        ).fetchone()
-        out.append(v)
-    return out
+    return [
+        con.execute("SELECT " + CENTS_EXPR.format(v=s)).fetchone()[0]
+        for s in sums
+    ]
 
 
 def test_half_up_floor_exact_repr_parity(spark):
-    """Exact-repr equality on adversarial half-cent ties in both engines."""
+    """Exact-repr equality on adversarial half-cent ties in both engines —
+    and both sides must be plain Python floats (no Decimal leakage)."""
     sv = _spark_round_cents(spark, TIE_SUMS)
     dv = _duck_round_cents(TIE_SUMS)
     for s, a, b in zip(TIE_SUMS, sv, dv):
+        assert type(a) is float, f"sum_tt={s}: spark emitted {type(a)}"
+        assert type(b) is float, f"sum_tt={s}: duckdb emitted {type(b)}"
         assert repr(a) == repr(b), f"sum_tt={s}: spark={a!r} duck={b!r}"
+
+
+def test_decimal_literal_form_is_the_hazard(spark):
+    """Negative control: the PRE-fix form (``/ 100.0`` literals) emits
+    DecimalType from spark.sql — the exact bug class the round-5 driver
+    flagged. If Spark ever changes literal typing this test documents it."""
+    import decimal
+
+    df = spark.createDataFrame([(100,)], "sum_tt long")
+    (row,) = df.selectExpr(
+        "CAST(floor(CAST(sum_tt AS BIGINT) / 100.0 + 0.5) AS BIGINT)"
+        " / 100.0 AS v"
+    ).collect()
+    assert isinstance(row["v"], decimal.Decimal)
 
 
 def test_half_up_floor_is_half_up():
@@ -97,13 +110,13 @@ def test_half_up_floor_is_half_up():
 
 
 def test_group_perturbation_never_flips(spark):
-    """VERDICT r4 item 1's 'done' bar: perturb group membership — moving
-    rows between groups changes each group's exact integer sum, and the
-    rounded output must remain the pure half-up function of that sum,
-    identical in both engines, for every perturbation."""
+    """Perturb group membership — moving rows between groups changes each
+    group's exact integer sum, and the rounded output must remain the pure
+    half-up function of that sum, identical in both engines, for every
+    perturbation."""
     rng = random.Random(9)
     # amounts in ten-thousandths, biased to produce …50 tie sums often
-    amounts = [rng.randrange(-10**9, 10**9) for _ in range(500)]
+    amounts = [rng.randrange(-(10**9), 10**9) for _ in range(500)]
     amounts += [25, 25, -25, 75]  # tie makers
     for trial in range(5):
         k = rng.randrange(2, 7)
@@ -118,23 +131,25 @@ def test_group_perturbation_never_flips(spark):
 
 @pytest.mark.parametrize("denom", [7.0, 3.0])
 def test_ratio_half_up_parity(spark, denom):
-    """The avg/ratio species (q17 avg_yearly, ql_group_agg avgs):
-    floor(int * 100.0 / denom + 0.5) is engine-identical."""
+    """The avg/ratio species (q17 avg_yearly, ql_subquery avg_spent):
+    floor(CAST(int AS DOUBLE) * 1e2 / denom + 0.5) / 1e4 is
+    engine-identical AND emits DOUBLE on both sides."""
     con = duckdb.connect()
     vals = [700035, 700000, 35, 5, 0, 123456789, 2**45 + 5]
+    expr = (
+        "CAST(floor(CAST({v} AS DOUBLE) * 1e2 / {d} + 0.5)"
+        " AS BIGINT) / 1e4"
+    )
     df = spark.createDataFrame([(int(v),) for v in vals], "c long")
     sv = [
-        _norm(r["v"])
+        r["v"]
         for r in df.selectExpr(
-            f"CAST(floor(CAST(c AS BIGINT) * 100.0 / {denom} + 0.5)"
-            " AS BIGINT) / 10000.0 AS v"
+            expr.format(v="c", d=denom) + " AS v"
         ).collect()
     ]
     dv = [
-        con.execute(
-            f"SELECT CAST(floor(CAST({v} AS BIGINT) * 100.0 / {denom} + 0.5)"
-            " AS BIGINT) / 10000.0"
-        ).fetchone()[0]
+        con.execute("SELECT " + expr.format(v=v, d=denom)).fetchone()[0]
         for v in vals
     ]
+    assert all(type(a) is float for a in sv)
     assert [repr(a) for a in sv] == [repr(b) for b in dv]

@@ -8,9 +8,22 @@ as a named (spark_fn, oracle_sql) pair.
 
 Conventions that keep Spark and DuckDB hash-identical:
 - alias every computed column identically on both sides;
-- wrap double aggregates in ``round(x, N)`` on both sides (summation order
-  differs between engines; rounding removes last-ulp noise);
-- cast DuckDB integer ``sum()`` to BIGINT (DuckDB widens to HUGEINT);
+- NEVER finish a double aggregate with ``round(x, N)`` — Spark rounds the
+  shortest decimal repr while DuckDB rounds the binary value, so a ratio
+  landing on x.xxx5 is a cross-engine coin flip. Instead scale to an exact
+  integer PER ELEMENT and cast before summing — ``sum(CAST(round(x * 100)
+  AS BIGINT))`` in SQL, ``F.sum(F.round(c * 100).cast("long"))`` in the
+  DataFrame API — so the sum is an exact, order-independent integer at any
+  scale factor; then finish ratios/averages with a half-up floor over
+  explicit DOUBLE math: ``CAST(floor(CAST(num AS DOUBLE) * 1eN / den + 0.5)
+  AS BIGINT) / 1eN``;
+- ``spark.sql`` bodies must divide by ``1eN``-notation literals, never
+  ``100.0``-style: Spark parses ``100.0`` as DECIMAL (DuckDB as DOUBLE),
+  and the driver hashes exact reprs, so a DecimalType output column fails
+  every row (the round-5 q8/q9 regression). ``1eN`` is DOUBLE in both.
+  DataFrame-API bodies are safe (Python floats are DoubleType);
+- cast DuckDB integer ``sum()`` to BIGINT when the sum itself is an output
+  column (DuckDB widens to HUGEINT);
 - project timestamps through a shared string format.
 """
 

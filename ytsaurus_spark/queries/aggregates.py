@@ -350,10 +350,10 @@ def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            CAST(sum(CASE WHEN c_acctbal > 0
-                         THEN round(c_acctbal * 100) END) AS BIGINT) / 100.0
+                         THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS BIGINT) / 100.0
              AS pos_sum,
            CAST(floor(CAST(sum(CASE WHEN c_acctbal > 0
-                                    THEN round(c_acctbal * 100) END) AS BIGINT)
+                                    THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS BIGINT)
                       * 10000.0
                       / count(CASE WHEN c_acctbal > 0 THEN 1 END) + 0.5)
                 AS BIGINT) / 1000000.0 AS pos_avg,
@@ -371,7 +371,9 @@ def agg_if_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same determinism caveat — SOME is free to pick any value)."""
     cat = load_tables(spark, sf_dir)
     cust = cat.read("customer")
-    pos_c = F.when(F.col("c_acctbal") > 0, F.round(F.col("c_acctbal") * 100))
+    pos_c = F.when(
+        F.col("c_acctbal") > 0, F.round(F.col("c_acctbal") * 100).cast("long")
+    )
     pos_n = F.count(F.when(F.col("c_acctbal") > 0, 1))
     return (
         cust.groupBy("c_mktsegment")

@@ -116,7 +116,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH nat AS (
       SELECT r_name, n_name,
-             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS nat_rev_c
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS nat_rev_c
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
@@ -146,7 +146,7 @@ def analytics_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("nat_rev_c"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("nat_rev_c"))
     )
     w = W.partitionBy("r_name")
     wr = w.orderBy(F.col("nat_rev_c").desc(), "n_name")
@@ -233,7 +233,7 @@ def analytics_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity",
     """
-    SELECT CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+    SELECT CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / 7.0 + 0.5) AS BIGINT) / 10000.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -263,7 +263,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Spark (shortest-repr) and DuckDB (binary) round apart
             (
                 F.floor(
-                    F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long")
+                    F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long")
                     * 100.0
                     / 7.0
                     + 0.5
@@ -381,9 +381,10 @@ def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(floor(
              100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN round(l_extendedprice * (1 - l_discount) * 10000)
+                              THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                              * 10000) AS BIGINT)
                               ELSE 0 END)
-             / sum(round(l_extendedprice * (1 - l_discount) * 10000))
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
              * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01'
@@ -401,14 +402,16 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical double in both engines and the sum is an exact integer;
     # the ratio of exact integers + half-up floor is engine-deterministic
     # (round(double, 6) on the raw ratio is a repr-tie hazard).
-    net_tt = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+    net_tt = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.floor(
                     100.0
-                    * F.sum(F.when(F.col("p_type").like("PROMO%"), net_tt).otherwise(0.0))
+                    * F.sum(F.when(F.col("p_type").like("PROMO%"), net_tt).otherwise(0))
                     / F.sum(net_tt)
                     * 1000000
                     + 0.5
@@ -622,12 +625,14 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _Q8_SQL = """
     SELECT o_year,
-           CAST(floor(sum(CASE WHEN nation = 'NATION_3' THEN vol_tt ELSE 0 END)
-                      * 1000000.0 / sum(vol_tt) + 0.5)
-                AS BIGINT) / 1000000.0 AS mkt_share
+           CAST(floor(CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_tt
+                                    ELSE 0 END) AS DOUBLE)
+                      * 1e6 / CAST(sum(vol_tt) AS DOUBLE) + 0.5)
+                AS BIGINT) / 1e6 AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-             round(l_extendedprice * (1 - l_discount) * 10000) AS vol_tt,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS vol_tt,
              n2.n_name AS nation
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -663,8 +668,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary inside double summation-order noise).
 _Q9_SQL = """
     SELECT nation, o_year,
-           CAST(floor(CAST(sum(amount_tt) AS BIGINT) / 100.0 + 0.5)
-                AS BIGINT) / 100.0 AS sum_profit
+           CAST(floor(CAST(sum(amount_tt) AS DOUBLE) / 1e2 + 0.5)
+                AS BIGINT) / 1e2 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS INT) AS o_year,

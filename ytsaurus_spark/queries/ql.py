@@ -463,11 +463,11 @@ def ql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ql_subquery",
     """
     SELECT c_mktsegment,
-           CAST(floor(CAST(sum(spent_c) AS BIGINT) * 100.0 / count(*) + 0.5)
-                AS BIGINT) / 10000.0 AS avg_spent
+           CAST(floor(CAST(sum(spent_c) AS DOUBLE) * 1e2 / count(*) + 0.5)
+                AS BIGINT) / 1e4 AS avg_spent
     FROM (
       SELECT c_custkey, c_mktsegment,
-             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spent_c
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spent_c
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_mktsegment
     ) t
@@ -479,11 +479,11 @@ def ql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_mktsegment,
-               CAST(floor(CAST(sum(spent_c) AS BIGINT) * 100.0 / count(*) + 0.5)
-                    AS BIGINT) / 10000.0 AS avg_spent
+               CAST(floor(CAST(sum(spent_c) AS DOUBLE) * 1e2 / count(*) + 0.5)
+                    AS BIGINT) / 1e4 AS avg_spent
         FROM (
           SELECT c_custkey, c_mktsegment,
-                 CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spent_c
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spent_c
           FROM customer JOIN orders ON c_custkey = o_custkey
           GROUP BY c_custkey, c_mktsegment
         ) t

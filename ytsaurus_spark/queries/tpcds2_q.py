@@ -58,7 +58,7 @@ def _fixed_avg(c: str, alias: str):
     exact decimal lands on a half; bit us live on q7/q27/q63)."""
     return (
         F.floor(
-            F.sum(F.round(F.col(c) * 100, 0)).cast("long")
+            F.sum(F.round(F.col(c) * 100, 0).cast("long")).cast("long")
             * 100.0
             / F.count(F.lit(1))
             + 0.5
@@ -210,13 +210,13 @@ def tpcds_q55_manager_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q7_demographic_avgs",
     """
     SELECT p_name AS item,
-           CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg1,
-           CAST(floor(CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg2,
-           CAST(floor(CAST(sum(round(l_discount * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg3,
-           CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg4
     FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -549,7 +549,7 @@ def tpcds_q4_three_channel_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT o_custkey, {_CHANNEL_SQL} AS channel,
              CAST(year(l_shipdate) AS INT) AS d_year,
-             CAST(sum(round(l_quantity * 100)) AS BIGINT) AS q_tt
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_tt
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE year(l_shipdate) IN (1996, 1997) AND {_CHANNEL_SQL} <> 'catalog'
       GROUP BY 1, 2, 3
@@ -584,7 +584,7 @@ def tpcds_q74_quantity_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             _channel_col().alias("channel"),
             F.year("l_shipdate").cast("int").alias("d_year"),
         )
-        .agg(F.sum(F.round(F.col("l_quantity") * 100, 0)).cast("long").alias("q_tt"))
+        .agg(F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).cast("long").alias("q_tt"))
     )
     cell = lambda ch, y: F.sum(  # noqa: E731
         F.when((F.col("channel") == ch) & (F.col("d_year") == y), F.col("q_tt"))
@@ -616,9 +616,9 @@ def tpcds_q74_quantity_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(year(l_shipdate) AS INT) AS d_year,
              CAST(sum(CASE WHEN l_returnflag = 'R' THEN -l_quantity
                            ELSE l_quantity END) AS BIGINT) AS net_qty,
-             CAST(sum(round(CASE WHEN l_returnflag = 'R'
+             CAST(sum(CAST(round(CASE WHEN l_returnflag = 'R'
                                 THEN -l_extendedprice * 100
-                                ELSE l_extendedprice * 100 END))
+                                ELSE l_extendedprice * 100 END) AS BIGINT))
                   AS BIGINT) AS net_cents
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE year(l_shipdate) IN (1996, 1997)
@@ -656,7 +656,7 @@ def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(sign * F.col("l_quantity")).cast("long").alias("net_qty"),
-            F.sum(F.round(sign * F.col("l_extendedprice") * 100, 0))
+            F.sum(F.round(sign * F.col("l_extendedprice") * 100, 0).cast("long"))
             .cast("long")
             .alias("net_cents"),
         )
@@ -838,13 +838,13 @@ def tpcds_q92_web_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame
     "tpcds_q18_geo_rollup_avgs",
     """
     SELECT r_name AS country, n_name AS state,
-           CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg1,
-           CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg2,
-           CAST(floor(CAST(sum(round(l_discount * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg3,
-           CAST(floor(CAST(sum(round(c_acctbal * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg4
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -899,7 +899,7 @@ def tpcds_q18_geo_rollup_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT substring(p_brand, 7, 1) AS category, p_brand AS brand,
            p_type AS class,
-           CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS qoh
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY ROLLUP(1, 2, 3)
@@ -934,11 +934,11 @@ def tpcds_q22_product_rollup_qoh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_brand AS item, n_name AS state,
            CAST(GROUPING(n_name) AS BIGINT) AS g_state,
-           CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg1,
-           CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg2,
-           CAST(floor(CAST(sum(round(l_discount * 100)) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
                       * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS agg3
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -1046,7 +1046,7 @@ def tpcds_q43_store_weekdays(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT substring(p_brand, 7, 1) AS category, p_brand AS brand,
              p_type AS class, CAST(year(l_shipdate) AS INT) AS d_year,
              CAST(month(l_shipdate) AS INT) AS d_moy,
-             CAST(sum(round(l_quantity * l_extendedprice * 100)) AS BIGINT)
+             CAST(sum(CAST(round(l_quantity * l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                AS sumsales
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_linenumber % 3 = 0
@@ -1086,7 +1086,7 @@ def tpcds_q67_category_top_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_quantity") * F.col("l_extendedprice")).alias("qp"),
         )
         .rollup("category", "brand", "class", "d_year", "d_moy")
-        .agg(F.sum(F.round(F.col("qp") * 100, 0)).cast("long").alias("sumsales"))
+        .agg(F.sum(F.round(F.col("qp") * 100, 0).cast("long")).cast("long").alias("sumsales"))
     )
     w = W.partitionBy("category").orderBy(
         F.col("sumsales").desc(),
@@ -1664,7 +1664,7 @@ def tpcds_q83_return_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
       SELECT p_type AS class, p_brand AS brand,
-             CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
                   AS BIGINT) AS t
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_linenumber % 3 = 2 AND month(l_shipdate) IN (5, 6)
@@ -1689,7 +1689,7 @@ def tpcds_q12_web_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter((F.col("l_linenumber") % 3 == 2) & F.month("l_shipdate").isin(5, 6))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("class"), F.col("p_brand").alias("brand"))
-        .agg(F.sum(F.round(_amt() * 10000, 0)).cast("long").alias("t"))
+        .agg(F.sum(F.round(_amt() * 10000, 0).cast("long")).cast("long").alias("t"))
     )
     w = W.partitionBy("class")
     return agg.select(
@@ -1707,7 +1707,7 @@ def tpcds_q12_web_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
       SELECT p_type AS class, p_brand AS brand,
-             CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
                   AS BIGINT) AS t
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_linenumber % 3 = 1 AND month(l_shipdate) IN (2, 3)
@@ -1729,7 +1729,7 @@ def tpcds_q20_catalog_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFra
         li.filter((F.col("l_linenumber") % 3 == 1) & F.month("l_shipdate").isin(2, 3))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("class"), F.col("p_brand").alias("brand"))
-        .agg(F.sum(F.round(_amt() * 10000, 0)).cast("long").alias("t"))
+        .agg(F.sum(F.round(_amt() * 10000, 0).cast("long")).cast("long").alias("t"))
     )
     w = W.partitionBy("class")
     return agg.select(
@@ -1746,9 +1746,9 @@ def tpcds_q20_catalog_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFra
     "tpcds_q13_band_disjunction_avgs",
     """
     SELECT
-      CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+      CAST(floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                  * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_qty,
-      CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+      CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                  * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_price,
       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total
     FROM lineitem
@@ -1795,9 +1795,9 @@ def tpcds_q13_band_disjunction_avgs(spark: SparkSession, sf_dir: str) -> DataFra
     "tpcds_q85_return_reasons",
     """
     SELECT o_orderpriority AS reason,
-      CAST(floor(CAST(sum(round(l_quantity * 100)) AS BIGINT)
+      CAST(floor(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                  * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_qty,
-      CAST(floor(CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+      CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                  * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_refund
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -2353,7 +2353,7 @@ def tpcds_q72_inventory_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH monthly AS (
       SELECT p_size % 10 AS manufact,
              CAST(quarter(l_shipdate) AS INT) AS qtr,
-             CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
                   AS BIGINT) AS s_tt
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_linenumber % 3 = 0 AND year(l_shipdate) = 1997
@@ -2385,7 +2385,7 @@ def tpcds_q53_manufact_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_size") % 10).alias("manufact"),
             F.quarter("l_shipdate").cast("int").alias("qtr"),
         )
-        .agg(F.sum(F.round(_amt() * 10000, 0)).cast("long").alias("s_tt"))
+        .agg(F.sum(F.round(_amt() * 10000, 0).cast("long")).cast("long").alias("s_tt"))
     )
     w = W.partitionBy("manufact")
     with_avg = monthly.withColumn("av", F.avg("s_tt").over(w))
@@ -2412,7 +2412,7 @@ def tpcds_q53_manufact_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH monthly AS (
       SELECT p_type AS class, CAST(month(l_shipdate) AS INT) AS moy,
-             CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
                   AS BIGINT) AS s_tt
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_linenumber % 3 = 0 AND year(l_shipdate) = 1997
@@ -2442,7 +2442,7 @@ def tpcds_q63_class_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_type").alias("class"),
             F.month("l_shipdate").cast("int").alias("moy"),
         )
-        .agg(F.sum(F.round(_amt() * 10000, 0)).cast("long").alias("s_tt"))
+        .agg(F.sum(F.round(_amt() * 10000, 0).cast("long")).cast("long").alias("s_tt"))
     )
     w = W.partitionBy("class")
     with_avg = monthly.withColumn("av", F.avg("s_tt").over(w))
