@@ -120,7 +120,9 @@ def tpcds_sweep() -> None:
     Single timed run per query after one suite-wide warm pass (99 queries
     amortize codegen warmup across the suite; per-query best-of-2 would
     double an already-long sweep for little variance gain). Prints one
-    JSON line; recorded in BASELINE.md."""
+    JSON line; round-over-round movers are tracked by
+    tools/tpcds_sweep.py, which wraps this and snapshots
+    TPCDS_SWEEP.json. Returns the per-query timings dict."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench-tpcds")
     queries = all_queries()
@@ -144,6 +146,7 @@ def tpcds_sweep() -> None:
         )
     )
     spark.stop()
+    return timings
 
 
 def main() -> None:

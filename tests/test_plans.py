@@ -206,3 +206,82 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q64_single_pass_fold(spark, sf_dir):
+    """q64's year self-join is folded into one conditional aggregation:
+    every table scanned exactly once (the self-join form re-derived the
+    7-table chain per year branch — 14 scans, r5 verdict item 1)."""
+    from ytsaurus_spark.plans import executed_scan_tables
+    from ytsaurus_spark.queries.tpcds_q import tpcds_q64_snowflake_years
+
+    scans = executed_scan_tables(tpcds_q64_snowflake_years(spark, sf_dir))
+    assert all(v == 1 for v in scans.values()), scans
+    assert scans.get("lineitem") == 1 and scans.get("orders") == 1
+
+
+def test_q25_shared_exchange(spark, sf_dir):
+    """q25's three fact branches: lineitem keeps per-branch selective
+    scans (filters intentionally push through the ck repartition), but
+    orders/customer dedup to one scan via AQE exchange reuse, and the
+    chain joins inherit the ck partitioning (was 12 scans total)."""
+    from ytsaurus_spark.plans import executed_scan_tables
+    from ytsaurus_spark.queries.tpcds_q import (
+        tpcds_q25_sale_return_repurchase,
+    )
+
+    scans = executed_scan_tables(tpcds_q25_sale_return_repurchase(spark, sf_dir))
+    assert scans.get("lineitem", 0) <= 3, scans
+    assert scans.get("orders") == 1 and scans.get("customer") == 1, scans
+
+
+def test_q23_persisted_single_scan(spark, sf_dir):
+    """q23's four consumers read one persisted 4-column projection of the
+    fact join: each fact scanned exactly once (was 4 full reads of each —
+    the branches' union of year ranges is the whole table, so
+    materialize-once beats filter-pushdown here)."""
+    from ytsaurus_spark.plans import executed_scan_tables
+    from ytsaurus_spark.queries.tpcds_q import tpcds_q23_frequent_best
+
+    df = tpcds_q23_frequent_best(spark, sf_dir)
+    scans = executed_scan_tables(df)
+    assert scans.get("lineitem") == 1 and scans.get("orders") == 1, scans
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_agg_cube_plan_shape(spark, sf_dir):
+    """agg_cube: one lineitem scan expanded through a single Expand node,
+    ≤2 exchanges (grouping-set agg + presentation sort). Pinned so the
+    r4 'agg_cube 1.65 s' scare — which resolved as host-load noise — is
+    attributable to a plan change if it ever recurs."""
+    from ytsaurus_spark.plans import (
+        executed_scan_tables,
+        formatted_plan,
+        shuffle_count,
+    )
+    from ytsaurus_spark.queries.aggregates import agg_cube
+
+    df = agg_cube(spark, sf_dir)
+    assert executed_scan_tables(df) == {"lineitem": 1}
+    assert shuffle_count(df) <= 2
+    assert "Expand" in formatted_plan(df)
+
+
+def test_winnowing_scan_side_selection(spark):
+    """winnow_fingerprints runs ENTIRELY in the scan stage: hash array +
+    window-minima HOFs + per-doc distinct happen before the explode, so
+    the operator itself has ZERO exchanges and hands its consumer
+    fingerprint-grain rows (~2/(w+1) of the gram count). The old shape
+    shuffled one row per corpus character twice (r5 verdict item 4)."""
+    from ytsaurus_spark.operators import dedup
+    from ytsaurus_spark.plans import shuffle_count
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(docs, k=8, w=4)
+    assert shuffle_count(fps) == 0
+    assert {r["doc_id"] for r in fps.collect()} == {1, 2}

@@ -422,45 +422,52 @@ def winnow_fingerprints(
     both documents — the detection floor exact-hash dedup lacks and
     MinHash only meets probabilistically.
 
-    Scale shape: the k-gram explode is scan-stage (rows ≈ corpus chars),
-    the window min PARTITIONS BY document (never global), and the output
-    collapses to ~2/(w+1) of the gram count. No Python anywhere.
+    Scale shape — ENTIRELY scan-stage, zero shuffles: the per-doc k-gram
+    hash array is built in one projection, window minima are selected
+    with array HOFs (``transform`` over window starts + ``array_min`` ∘
+    ``slice``), and per-doc ``array_distinct`` collapses consecutive
+    windows sharing a min BEFORE the explode — so only selected
+    fingerprints (~2/(w+1) of the gram count) ever become rows, and the
+    (doc, fp) output is already unique with no global ``distinct``. The
+    earlier form exploded every gram and ran a partitionBy(doc) window +
+    global distinct: two fact-scale exchanges carrying one row per
+    corpus CHARACTER — at 100 TB that shuffle is ~(w+1)/2× the one this
+    shape hands its consumer. The O(w) rescan per window min is JVM
+    codegen over an in-memory array (w is a small constant).
 
     Determinism: hash = first 8 md5 hex digits of the raw k-gram, so the
     DuckDB oracle reproduces fingerprints bit-exactly."""
-    n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("p"),
-        F.col(text_col),
-        n_pos.alias("__np"),
-    ).select(
-        id_col,
-        "p",
-        "__np",
-        F.conv(F.substring(F.md5(F.expr(f"substr(`{text_col}`, p, {k})")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
+    t = f"`{text_col}`"
+    # Classic winnowing selection: EVERY full window (start s in
+    # [1, np-w+1]) contributes its minimum VALUE. (Selecting positions
+    # where h == window-min instead would lose the guarantee on monotone
+    # hash runs — a strictly increasing window never has its min at the
+    # newest position.) Documents with fewer than w grams have no full
+    # window — the short-input rule emits the min of ALL their hashes
+    # (the clamped final window), so short docs stay pairable.
+    fps = F.expr(
+        f"""
+        CASE WHEN size(__hs) >= {w}
+             THEN array_distinct(transform(
+                    sequence(1, size(__hs) - {w} + 1),
+                    s -> array_min(slice(__hs, s, {w}))))
+             ELSE array(array_min(__hs)) END
+        """
     )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
-    # Classic winnowing selection: EVERY full window (p >= w) contributes
-    # its minimum VALUE; consecutive windows usually share mins, so the
-    # distinct collapses density to ~2/(w+1) of the gram count. (Selecting
-    # positions where h == wmin instead would lose the guarantee on
-    # monotone hash runs — a strictly increasing window never has its min
-    # at the newest position.) Documents with fewer than w grams have no
-    # full window — the short-input rule emits the min of ALL their
-    # hashes (the clamped final window), so short docs stay pairable.
-    sel = grams.withColumn("wmin", F.min("h").over(win))
-    full = sel.filter(F.col("p") >= w).select(
-        F.col(id_col), F.col("wmin").alias("h")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(
+                f"""
+                transform(
+                  sequence(1, greatest(length({t}) - {k - 1}, 1)),
+                  p -> CAST(conv(substring(md5(substring({t}, p, {k})),
+                                 1, 8), 16, 10) AS BIGINT))
+                """
+            ).alias("__hs"),
+        )
+        .select(F.col(id_col), F.explode(fps).alias("h"))
     )
-    short = sel.filter(
-        (F.col("p") == F.col("__np")) & (F.col("__np") < w)
-    ).select(F.col(id_col), F.col("wmin").alias("h"))
-    return full.union(short).distinct()
 
 
 def winnow_shared_passages(

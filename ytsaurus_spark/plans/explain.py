@@ -80,3 +80,33 @@ def shuffle_count(df: DataFrame) -> int:
     numbered plan nodes, not mentions in argument/reuse lines."""
     plan = formatted_plan(df)
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def executed_scan_tables(df: DataFrame, run: bool = True) -> dict[str, int]:
+    """Per-table FileScan counts in the FINAL (post-AQE) physical plan —
+    the honest multi-consumer metric: AQE inserts ReusedExchange at
+    runtime, so the pre-execution plan over-counts shared subtrees, and
+    the executed toString concatenates final + initial plans (only the
+    final section is parsed). ``run=True`` collects the frame first so
+    the adaptive plan is final."""
+    if run:
+        df.collect()
+    # Parse the final section of the executed plan's toString: it is the
+    # only rendering that collapses runtime-reused subtrees (formatted
+    # explain re-prints a scan under every ReusedExchange consumer, which
+    # over-counts shared reads). Location paths truncate mid-line there,
+    # so tables are identified by the scan's column prefix instead.
+    prefix_to_table = {
+        "l": "lineitem", "o": "orders", "c": "customer", "n": "nation",
+        "r": "region", "p": "part", "s": "supplier", "ev": "events",
+        "doc": "documents", "emb": "embeddings",
+    }
+    full = df._jdf.queryExecution().executedPlan().toString()
+    final = full.split("== Initial Plan ==")[0]
+    out: dict[str, int] = {}
+    for m in re.finditer(r"FileScan \w+ \[([A-Za-z_0-9]*)", final):
+        first_col = m.group(1)
+        prefix = first_col.split("_", 1)[0] if first_col else ""
+        table = prefix_to_table.get(prefix, f"?{first_col}")
+        out[table] = out.get(table, 0) + 1
+    return out

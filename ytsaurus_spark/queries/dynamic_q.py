@@ -708,3 +708,123 @@ def dyn_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "pipeline_cdc_replica",
+    """
+    WITH expected AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey <= 10 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer
+      WHERE c_custkey <= 40 AND c_custkey NOT BETWEEN 21 AND 25
+      UNION ALL
+      SELECT CAST(1000 + i AS BIGINT) AS c_custkey,
+             (1000 + i) * 1.5 AS c_acctbal
+      FROM generate_series(1, 3) t(i)
+    )
+    SELECT c_custkey, c_acctbal, TRUE AS matches_source
+    FROM expected ORDER BY c_custkey
+    """,
+)
+def pipeline_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop END TO END — the reference's async-replica delivery
+    chain (replication log → queue → replica apply) over the Spark-side
+    pair: ``changes_between`` → ``publish_changes`` (exactly-once
+    producer session into a DurableQueue) → consumer pull → replica
+    ``apply_changes``.
+
+    Run: source and replica both init from customer keys <= 40; the
+    source then bumps balances (<=10), rewrites keys 11..15 with
+    UNCHANGED values (net diff must not ship them), inserts 1001..1003
+    and deletes 21..25. The net diff is published into a durable queue —
+    TWICE with the same deterministic sequence numbers, asserting the
+    replay appends 0 records (the exactly-once contract) — then pulled
+    by a registered consumer and applied to the replica.
+
+    Output: the replica's final state with ``matches_source`` computed
+    by a null-safe full comparison against the source — the oracle pins
+    every row TRUE, so a divergent or missing replica row hash-fails
+    (replica ≡ source is part of the hashed result, not a side assert).
+
+    Scale shape: the diff is O(changes) (delta segments give the touched
+    keys, pruned lookups give both images); the queue ships only change
+    records; the apply is two O(changes) commits. The source state is
+    never rescanned end-to-end."""
+    import shutil
+    import tempfile
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+    from ytsaurus_spark.streaming.queues import (
+        DurableQueue,
+        QueueConsumer,
+        publish_changes,
+        pull_and_advance,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    cust = (
+        cat.read("customer")
+        .filter(F.col("c_custkey") <= 40)
+        .select("c_custkey", "c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="ytspark_cdc_pipe_")
+    try:
+        source = LogTxTable(
+            spark, os.path.join(root, "source"), key_cols=["c_custkey"]
+        )
+        replica = LogTxTable(
+            spark, os.path.join(root, "replica"), key_cols=["c_custkey"]
+        )
+        v0 = source.init(cust)
+        replica.init(cust)
+        bump = cust.filter(F.col("c_custkey") <= 10).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100
+        )
+        rewrite_same = cust.filter(F.col("c_custkey").between(11, 15))
+        fresh = spark.range(1001, 1004).select(
+            F.col("id").cast("long").alias("c_custkey"),
+            (F.col("id") * 1.5).alias("c_acctbal"),
+        )
+        source.insert_rows(bump.unionByName(rewrite_same).unionByName(fresh))
+        source.delete_rows(
+            cust.filter(F.col("c_custkey").between(21, 25)).select("c_custkey")
+        )
+        queue = DurableQueue(spark, os.path.join(root, "queue"))
+        appended = publish_changes(source, queue, "repl", from_version=v0)
+        if appended <= 0:
+            raise AssertionError("first publish shipped no change records")
+        replayed = publish_changes(source, queue, "repl", from_version=v0)
+        if replayed != 0:
+            raise AssertionError(
+                f"replayed publish appended {replayed} records (expected 0)"
+            )
+        consumer = QueueConsumer(name="replica_sync")
+        changes = pull_and_advance(
+            queue.read(), consumer, "$row_index", max_rows=1 << 30
+        ).drop("$row_index", "$sequence_number")
+        replica.apply_changes(changes)
+        rep = replica.read()
+        src = source.read().select(
+            F.col("c_custkey").alias("s_key"),
+            F.col("c_acctbal").alias("s_bal"),
+        )
+        return (
+            rep.join(src, rep.c_custkey == src.s_key, "full")
+            .select(
+                F.coalesce(F.col("c_custkey"), F.col("s_key")).alias(
+                    "c_custkey"
+                ),
+                "c_acctbal",
+                (
+                    F.col("c_custkey").isNotNull()
+                    & F.col("s_key").isNotNull()
+                    & F.col("c_acctbal").eqNullSafe(F.col("s_bal"))
+                ).alias("matches_source"),
+            )
+            .orderBy("c_custkey")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1721,3 +1721,147 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(
         resized.select(F.col("id").alias("doc_id"), "mean_value"), "doc_id"
     )
+
+
+# --- Stat UDF module (yql/essentials/udfs/common/stat) ---------------------
+
+@register(
+    "fn_stat",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT)                    AS n,
+             round(quantile_cont(c_acctbal, 0.5), 4)     AS p50,
+             round(quantile_cont(c_acctbal, 0.9), 4)     AS p90,
+             round(quantile_cont(c_acctbal, 0.99), 4)    AS p99
+      FROM customer GROUP BY c_mktsegment
+    ), merged AS (
+      SELECT '__ALL__'                                   AS segment,
+             CAST(count(*) AS BIGINT)                    AS n,
+             round(quantile_cont(c_acctbal, 0.5), 4)     AS p50,
+             round(quantile_cont(c_acctbal, 0.9), 4)     AS p90,
+             round(quantile_cont(c_acctbal, 0.99), 4)    AS p99
+      FROM customer
+    )
+    SELECT * FROM seg UNION ALL SELECT * FROM merged ORDER BY segment
+    """,
+)
+def fn_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stat UDF module façade (Stat.TDigest_Create/AddValue/GetPercentile/
+    Merge, yql/essentials/udfs/common/stat/static/stat_udf.h:17-73): the
+    reference builds a mergeable t-digest per group and reads percentiles
+    off it. Spark-first twin: ``percentile`` is the exact distributed
+    aggregate (Create+AddValue+GetPercentile collapse into one declarative
+    agg); Merge — combining group sketches into a coarser grain — is
+    re-aggregation at that grain (the '__ALL__' row), which is what sketch
+    merge approximates. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` — Spark's own mergeable quantile sketch, the
+    literal TDigest counterpart — at the cost of exact-oracle parity."""
+    cat = load_tables(spark, sf_dir)
+    cust = cat.read("customer")
+    pct = lambda p: F.round(  # noqa: E731
+        F.percentile("c_acctbal", F.lit(p)), 4
+    )
+    seg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        pct(0.5).alias("p50"),
+        pct(0.9).alias("p90"),
+        pct(0.99).alias("p99"),
+    )
+    merged = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        pct(0.5).alias("p50"),
+        pct(0.9).alias("p90"),
+        pct(0.99).alias("p99"),
+    ).select(F.lit("__ALL__").alias("segment"), "n", "p50", "p90", "p99")
+    return seg.unionByName(merged).orderBy("segment")
+
+
+# --- Vector UDF module (yql/essentials/udfs/common/vector) -----------------
+
+@register(
+    "fn_vector",
+    """
+    WITH cents AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY round(c_acctbal * 100), c_custkey)
+               AS rn
+      FROM customer
+    ), top5 AS (
+      SELECT c_nationkey, c, rn FROM cents WHERE rn <= 5
+    ), built AS (
+      SELECT c_nationkey,
+             list(c ORDER BY rn)            AS vec,
+             CAST(count(*) AS BIGINT)       AS n,
+             CAST(sum(c * c) AS BIGINT)     AS norm2
+      FROM top5 GROUP BY c_nationkey
+    ), dot AS (
+      SELECT a.c_nationkey,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot_rev
+      FROM top5 a
+      JOIN (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM top5 GROUP BY c_nationkey) s USING (c_nationkey)
+      JOIN top5 b ON a.c_nationkey = b.c_nationkey
+                 AND a.rn + b.rn = s.cnt + 1
+      GROUP BY a.c_nationkey
+    )
+    SELECT built.c_nationkey AS c_nationkey, vec, n, norm2, dot_rev
+    FROM built JOIN dot ON built.c_nationkey = dot.c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def fn_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector UDF module façade (Vector.Create/Emplace/Swap/GetResult,
+    yql/essentials/udfs/common/vector/vector_udf.cpp:97-116): the
+    reference incrementally builds a mutable vector resource inside an
+    aggregation and reads it out. Spark-first twin: Create+Emplace+
+    GetResult collapse into an ordered ``collect_list`` per group (here
+    the 5 smallest balance-cents per nation — bounded, so the array stays
+    executor-sized at any SF); Swap — exchanging two vector bindings — is
+    a zero-cost column rename in a declarative engine. The vector math
+    the module feeds (norms, dot products) runs as JVM array HOFs
+    (``aggregate``/``zip_with``) with exact integer cents — the same
+    no-Python path the similarity operators use (operators/similarity.py).
+    """
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    cents = cat.read("customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c"),
+        "c_custkey",
+    )
+    w = W.partitionBy("c_nationkey").orderBy("c", "c_custkey")
+    top5 = (
+        cents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    built = (
+        top5.groupBy("c_nationkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "c"))
+            ).alias("__pairs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("norm2"),
+        )
+        .select(
+            "c_nationkey",
+            F.transform("__pairs", lambda p: p.c).alias("vec"),
+            "n",
+            "norm2",
+        )
+    )
+    return built.select(
+        "c_nationkey",
+        "vec",
+        "n",
+        "norm2",
+        F.aggregate(
+            F.zip_with("vec", F.reverse("vec"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_rev"),
+    ).orderBy("c_nationkey")
