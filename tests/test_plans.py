@@ -285,3 +285,39 @@ def test_winnowing_scan_side_selection(spark):
     fps = dedup.winnow_fingerprints(docs, k=8, w=4)
     assert shuffle_count(fps) == 0
     assert {r["doc_id"] for r in fps.collect()} == {1, 2}
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Co-located bucketed join: with both tables bucketBy+sortBy on the
+    join key, the SortMergeJoin plans with ZERO Exchange and ZERO Sort —
+    the write-once shuffle amortized across every later join, the Spark
+    twin of the reference's sorted-input reduce."""
+    import re
+    import tempfile
+
+    from ytsaurus_spark.catalog import load_tables
+    from ytsaurus_spark.plans import formatted_plan, shuffle_count
+    from ytsaurus_spark.sources.bucketed import BucketedPair
+
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders").select("o_orderkey", "o_orderstatus")
+    li = cat.read("lineitem").select("l_orderkey", "l_extendedprice")
+    root = tempfile.mkdtemp(prefix="ytspark_bucketed_t_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with BucketedPair(
+            spark, orders, li, ["o_orderkey"], ["l_orderkey"], 4, root
+        ) as pair:
+            joined = pair.left().join(
+                pair.right(),
+                pair.left().o_orderkey == pair.right().l_orderkey,
+            )
+            plan = formatted_plan(joined)
+            assert "SortMergeJoin" in plan
+            assert shuffle_count(joined) == 0, plan
+            assert not re.search(r"\(\d+\) Sort\b", plan), plan
+            # and it actually runs
+            assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -439,3 +439,60 @@ def client_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("long").alias("n"),
         F.round("t0", 4).alias("total"),
     )
+
+
+@register(
+    "op_bucketed_join",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_c
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def op_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed sorted tables — the Spark twin of
+    the reference's sorted-input reduce/join (sorted_controller.cpp key
+    slicing; Reduce requires inputs sorted by join_by). Both facts are
+    written ONCE with bucketBy(orderkey).sortBy(orderkey); the join then
+    satisfies its distribution and ordering straight off the scans —
+    the plan has no Exchange and no Sort on either join leg (pinned in
+    tests/test_plans.py::test_bucketed_join_no_exchange). Broadcast is
+    disabled inside the run so the demonstration is the merge-join path
+    the shape exists for (at fact-×-fact scale broadcast is off the
+    table anyway); the conf is restored after."""
+    import tempfile
+
+    from ytsaurus_spark.sources.bucketed import BucketedPair
+
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders").select("o_orderkey", "o_orderstatus")
+    li = cat.read("lineitem").select("l_orderkey", "l_extendedprice")
+    root = tempfile.mkdtemp(prefix="ytspark_bucketed_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with BucketedPair(
+            spark, orders, li, ["o_orderkey"], ["l_orderkey"], 8, root
+        ) as pair:
+            joined = pair.left().join(
+                pair.right(),
+                pair.left().o_orderkey == pair.right().l_orderkey,
+            )
+            return (
+                joined.groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_lines"),
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100).cast("long")
+                    )
+                    .cast("long")
+                    .alias("rev_c"),
+                )
+                .orderBy("o_orderstatus")
+                .localCheckpoint()  # materialize before tables drop
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
