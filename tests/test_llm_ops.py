@@ -486,3 +486,33 @@ def test_winnowing_guarantee_property(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     missing = expected - got
     assert not missing, f"guarantee violated for planted pairs: {missing}"
+
+
+def test_repetition_signals_crafted(spark):
+    """Gopher repetition signals on crafted docs: a fully repetitive doc
+    scores all-duplicate bigrams; an all-distinct doc scores zero; and
+    the operator itself plans with no exchange (scan-stage HOFs)."""
+    from ytsaurus_spark.operators import text as t
+    from ytsaurus_spark.plans import shuffle_count
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            (2, "one two three four five"),
+            (3, "a b a b a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = t.repetition_signals(docs)
+    assert shuffle_count(out) == 0
+    rows = {r["doc_id"]: r for r in out.collect()}
+    r1 = rows[1]  # 4 bigrams, all "spam spam"
+    assert r1["n_bigram"] == 4 and r1["top_bigram_n"] == 4
+    assert r1["dup_bigram_n"] == 4 and r1["dup_bigram_ratio"] == 1.0
+    r2 = rows[2]  # all distinct
+    assert r2["top_bigram_n"] == 1 and r2["dup_bigram_n"] == 0
+    assert r2["dup_bigram_ratio"] == 0.0
+    r3 = rows[3]  # "a b" x3, "b a" x2 -> all 5 bigrams duplicated
+    assert r3["n_bigram"] == 5 and r3["top_bigram_n"] == 3
+    assert r3["dup_bigram_n"] == 5
+    assert r3["top_trigram_n"] == 2  # "a b a" x2

@@ -429,3 +429,62 @@ def bpe_encode(
             F.round(F.col("n_tokens") / F.col("n_chars"), 4).alias("fertility"),
         )
     )
+
+
+def repetition_signals(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    'repetitious documents are a strong signal of low quality') over the
+    word stream: bigram/trigram counts, the most-frequent-n-gram count,
+    and the duplicated-n-gram mass, plus a 4-decimal duplicate-bigram
+    ratio. Everything runs as JVM array HOFs inside the scan stage — one
+    projection, no shuffle, no Python; counts are exact integers so the
+    only double is the final ratio (blessed half-up-floor shape).
+
+    The per-distinct-gram occurrence count is O(g²) in the document's
+    gram count via ``filter`` rescans — deliberate: g is per-document
+    (not corpus) sized, the work is whole-stage-codegen'd, and the
+    alternative (explode + groupBy) would shuffle one row per corpus
+    gram, which is the 100 TB anti-shape (compare winnow_fingerprints).
+    """
+    from pyspark.sql import functions as F
+
+    t = f"`{text_col}`"
+
+    def gram_stats(n: int, prefix: str):
+        idx = f"sequence(1, size(__w) - {n - 1})"
+        parts = ", ' ', ".join(
+            f"element_at(__w, i + {j})" for j in range(n)
+        )
+        grams = f"transform({idx}, i -> concat({parts}))"
+        counts = (
+            f"transform(array_distinct({grams}), "
+            f"g -> size(filter({grams}, x -> x = g)))"
+        )
+        return [
+            F.expr(f"size({grams})").cast("long").alias(f"n_{prefix}"),
+            F.expr(f"array_max({counts})")
+            .cast("long")
+            .alias(f"top_{prefix}_n"),
+            F.expr(
+                f"aggregate({counts}, 0, (a, c) -> a + IF(c > 1, c, 0))"
+            )
+            .cast("long")
+            .alias(f"dup_{prefix}_n"),
+        ]
+
+    return docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    ).select(
+        id_col,
+        F.expr("size(__w)").cast("long").alias("n_words"),
+        *gram_stats(2, "bigram"),
+        *gram_stats(3, "trigram"),
+    ).withColumn(
+        "dup_bigram_ratio",
+        F.expr(
+            "CAST(floor(CAST(dup_bigram_n AS DOUBLE) * 1e4 / n_bigram"
+            " + 0.5) AS BIGINT) / 1e4"
+        ),
+    )

@@ -1585,3 +1585,55 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_shared_passages(
         cat.read("documents"), k=16, w=8, min_shared=3
     )
+
+
+# --- repetition quality signals (Gopher §A1.1) -----------------------------
+
+@register(
+    "text_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1]) AS b2,
+             list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' '
+                                 || ws[i + 2]) AS b3
+      FROM w
+    ), c AS (
+      SELECT doc_id, n_words,
+             CAST(len(b2) AS BIGINT) AS n_bigram,
+             list_transform(list_distinct(b2),
+                            d -> len(list_filter(b2, x -> x = d))) AS c2,
+             CAST(len(b3) AS BIGINT) AS n_trigram,
+             list_transform(list_distinct(b3),
+                            d -> len(list_filter(b3, x -> x = d))) AS c3
+      FROM g
+    )
+    SELECT doc_id, n_words,
+           n_bigram,
+           CAST(list_max(c2) AS BIGINT) AS top_bigram_n,
+           CAST(COALESCE(list_sum(list_filter(c2, c -> c > 1)), 0)
+                AS BIGINT) AS dup_bigram_n,
+           n_trigram,
+           CAST(list_max(c3) AS BIGINT) AS top_trigram_n,
+           CAST(COALESCE(list_sum(list_filter(c3, c -> c > 1)), 0)
+                AS BIGINT) AS dup_trigram_n,
+           CAST(floor(CAST(COALESCE(list_sum(list_filter(c2, c -> c > 1)),
+                               0) AS DOUBLE)
+                      * 1e4 / n_bigram + 0.5) AS BIGINT) / 1e4
+             AS dup_bigram_ratio
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (top/duplicated word
+    n-gram mass) — the standard pretraining-corpus quality filter family
+    alongside text_quality's length/stopword ratios. Scan-stage JVM HOFs
+    only; see operators/text.py:repetition_signals for the scale notes."""
+    cat = load_tables(spark, sf_dir)
+    return text.repetition_signals(cat.read("documents")).orderBy("doc_id")
