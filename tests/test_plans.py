@@ -321,3 +321,38 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
             assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+import pytest as _pytest
+
+# Round-6 registry-wide scan-count audit: every query measured ≥3 fact
+# scans was folded (conditional-aggregate pivot, order-grain pre-agg,
+# OR-merged disjoint branches, persist for all-consumers-need-all
+# shapes). Budgets pin the rewrites; a value is the MAX per-table
+# FileScan count in the final adaptive plan.
+SCAN_BUDGETS = {
+    "tpcds_q88_time_bands": 1,
+    "tpcds_q14_cross_channel": 1,
+    "tpcds_q33_manufact_union": 1,
+    "tpcds_q56_class_union": 1,
+    "tpcds_q60_category_union": 1,
+    "tpcds_q58_equal_channels": 1,
+    "tpcds_q76_null_keys": 1,
+    "tpcds_q83_return_shares": 1,
+    "tpcds_q78_no_return_ratio": 2,  # + the selective returns slice
+    "tpcds_q95_multi_warehouse": 2,  # + the selective returns slice
+    "tpch_q21_suppliers_waiting": 2,  # l1 slice + order-grain aggregate
+    "graph_pagerank": 2,  # persisted edges: one li + one orders read
+    "pipeline_clean_corpus": 1,  # persisted canon set
+    "pipeline_training_export": 2,  # persisted dd + benchmark slice
+}
+
+
+@_pytest.mark.parametrize("name", sorted(SCAN_BUDGETS))
+def test_scan_budget(spark, sf_dir, name):
+    from ytsaurus_spark.plans import executed_scan_tables
+    from ytsaurus_spark.queries import all_queries
+
+    scans = executed_scan_tables(all_queries()[name](spark, sf_dir))
+    worst = max(scans.values(), default=0)
+    assert worst <= SCAN_BUDGETS[name], (name, scans)

@@ -32,17 +32,28 @@ def pagerank(
 ) -> DataFrame:
     """Damped PageRank with ``iterations`` synchronous passes over
     ``edges`` (columns src, dst; parallel edges act as weight). Returns
-    (node, rank). Deterministic: fixed iteration count, uniform init."""
+    (node, rank). Deterministic: fixed iteration count, uniform init.
+
+    The static inputs — edge list, node set, out-degrees — are persisted
+    before the loop: without that, every iteration's lazy plan re-derives
+    them from source (the round-6 audit measured 6 fact scans for 3
+    iterations). Caching the invariant edge list is the canonical
+    distributed-PageRank move (it is exactly what GraphX/Pregel do); at
+    100 TB the memory-and-disk columnar cache of (src, dst) is the price
+    of ONE materialization versus one corpus read per iteration per
+    consumer."""
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     # out-degree (parallel edges counted) per source
     outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).persist()
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )

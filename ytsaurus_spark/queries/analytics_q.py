@@ -852,13 +852,45 @@ _Q21_SQL = """
 
 @register("tpch_q21_suppliers_waiting", _Q21_SQL)
 def tpch_q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS /
-    NOT EXISTS pair over the same fact table → semi + anti join on
-    l_orderkey. The fixture lacks receipt/commit dates, so "late" is
-    proxied by l_returnflag = 'R' — the sole-guilty-supplier correlation
-    shape is what matters."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q21_SQL)
+    """TPC-H Q21 (suppliers who kept orders waiting): the oracle keeps
+    the reference's EXISTS / NOT EXISTS spelling; the Spark plan folds
+    both correlated subqueries into ONE order-grain aggregate — for an
+    l1 row with returnflag 'R', EXISTS(another supplier in the order) ⟺
+    distinct-supplier count ≥ 2, and NOT EXISTS(another supplier with
+    'R') ⟺ the order's distinct RETURNING-supplier count is exactly 1
+    (l1's own supplier is returning, so 1 means only it). The naive
+    semi + anti pair re-scanned the fact once per subquery (3 scans,
+    round-6 audit); the fold is the l1 scan + one aggregate of the same
+    scan shape — and both shuffle on l_orderkey, so AQE lines them up.
+    The fixture lacks receipt/commit dates, so "late" is proxied by
+    l_returnflag = 'R' — the sole-guilty-supplier correlation shape is
+    what matters."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__ns"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__nrs"),
+    )
+    orders = cat.read("orders").filter(F.col("o_orderstatus") == "F")
+    supp = cat.read("supplier")
+    nation = cat.read("nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("__ns") > 1) & (F.col("__nrs") == 1))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey,
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
 
 
 # --- TPC-H Q2: min-cost supplier (window form) -----------------------------

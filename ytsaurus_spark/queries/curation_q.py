@@ -303,15 +303,25 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan) → quality floor (≥40 est tokens) → sequence packing into
     2048-token windows. Catalyst fuses the stages; nothing materializes
     between them (the reference would chain four MapReduce operations with
-    intermediate tables — run_map_reduce, run_operation_commands.py:142)."""
+    intermediate tables — run_map_reduce, run_operation_commands.py:142)
+    except the deduped train set, which is persisted: both downstream
+    consumers (contamination shingling, the quality+packing chain) need
+    ALL of it, and dedup itself is a single window pass instead of a
+    groupBy + join-back (round-6 audit: 6 corpus scans before, 2 after —
+    the persisted dd materialization plus the benchmark slice)."""
+    from pyspark.sql import Window as W
+
     cat = load_tables(spark, sf_dir)
     docs = cat.read("documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     train = docs.filter(F.col("doc_id") % 7 != 0)
-    canon = train.groupBy(F.md5("text").alias("__h")).agg(
-        F.min("doc_id").alias("doc_id")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (
+        train.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
     )
-    dd = train.join(canon.select("doc_id"), "doc_id")
     dirty = curation.contamination_check(dd, bench, k=5).select("doc_id")
     clean = (
         dd.join(dirty, "doc_id", "left_anti")

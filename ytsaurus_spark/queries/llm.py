@@ -479,16 +479,24 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data cleaning pipeline in one plan: exact dedup
     (keep min doc_id) → minhash-LSH near-dup removal (keep the lower id of
     each colliding pair) → quality filter (type-token ratio + length).
-    Everything stays declarative: one pipeline, no intermediate
-    materialization, Catalyst fuses the stages."""
+
+    Exact dedup is a single window pass (row_number per content hash)
+    rather than a groupBy + semi-join back — one corpus read, not two —
+    and the canon set is persisted because BOTH remaining stages (LSH
+    pair mining, survivor filter) consume all of it (round-6 audit: 3
+    corpus scans before, 1 after). The pipeline stays one declarative
+    plan; the persist is the only materialization point."""
+    from pyspark.sql import Window as W
+
     cat = load_tables(spark, sf_dir)
     docs = cat.read("documents")
-    canon = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon_docs = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
     )
-    canon_docs = docs.join(canon, "doc_id", "left_semi")
     pairs = dedup.minhash_lsh_pairs(canon_docs, num_hashes=8, band_rows=2, shingle_k=3)
     near_dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = canon_docs.join(near_dup_ids, "doc_id", "left_anti")

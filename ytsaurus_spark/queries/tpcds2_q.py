@@ -1486,9 +1486,11 @@ def tpcds_q94_web_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q60_category_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 60 (queries/60.sql): item totals for one category and month
     where each CHANNEL is aggregated separately and the three aggregates
-    are UNION ALLed then re-aggregated — the q33/q56 family keyed on
-    category. The union members are per-channel aggregates of one shared
-    scan (exchange reuse); the re-aggregate runs on item cardinality."""
+    are re-aggregated — the q33/q56 family keyed on category. The oracle
+    keeps the union spelling; the Spark plan folds the branches into one
+    (id, channel) partial aggregate re-summed per id (the per-branch
+    channel filters previously pushed into three separate fact scans —
+    round-6 audit; same fold as tpcds_q.py:_union_by_dim)."""
     cat = load_tables(spark, sf_dir)
     li, part = cat.read("lineitem"), cat.read("part")
     u = (
@@ -1502,13 +1504,10 @@ def tpcds_q60_category_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             _amt().alias("amt"),
         )
     )
-    branches = [
-        u.filter(F.col("ch") == c).groupBy("id").agg(F.sum("amt").alias("t"))
-        for c in ("store", "catalog", "web")
-    ]
-    per = branches[0].union(branches[1]).union(branches[2])
     return (
-        per.groupBy("id")
+        u.groupBy("id", "ch")
+        .agg(F.sum("amt").alias("t"))
+        .groupBy("id")
         .agg(F.round(F.sum("t"), 4).alias("total"))
         .orderBy("id")
     )
@@ -1625,23 +1624,29 @@ def tpcds_q73_small_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q83_return_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 83 (queries/83.sql): items returned in ALL three channels
-    with each channel's share of the item's average return volume. Three
-    per-channel return aggregates (one shared scan) inner-join on the
-    item key — item-cardinality joins, each side already aggregated, so
-    nothing fact-scale crosses the wire after the first shuffle."""
+    with each channel's share of the item's average return volume. The
+    oracle keeps the three-CTE join spelling; the Spark plan pivots it
+    into ONE per-item conditional aggregation over the returns slice
+    (the per-channel modulus filters pushed into three separate scans —
+    round-6 audit; the channels partition the slice, so the union is
+    the whole slice). Present-in-all-three = all conditional sums
+    non-null. One selective scan, one shuffle, no joins."""
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
-    def rets(n, alias):
-        return (
-            li.filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 3 == n))
-            .groupBy(F.col("l_partkey").alias(f"{alias}_pk"))
-            .agg(F.sum("l_quantity").cast("long").alias(f"{alias}_q"))
-        )
-    sr, cr, wr = rets(0, "s"), rets(1, "c"), rets(2, "w")
+    ch = F.col("l_linenumber") % 3
+    cell = lambda k: F.sum(  # noqa: E731
+        F.when(ch == k, F.col("l_quantity"))
+    ).cast("long")
     tot3 = (F.col("s_q") + F.col("c_q") + F.col("w_q")) / 3.0
     return (
-        sr.join(cr, sr.s_pk == cr.c_pk)
-        .join(wr, sr.s_pk == wr.w_pk)
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_partkey").alias("s_pk"))
+        .agg(cell(0).alias("s_q"), cell(1).alias("c_q"), cell(2).alias("w_q"))
+        .filter(
+            F.col("s_q").isNotNull()
+            & F.col("c_q").isNotNull()
+            & F.col("w_q").isNotNull()
+        )
         .select(
             F.col("s_pk").alias("pk"),
             F.col("s_q").alias("sret"),

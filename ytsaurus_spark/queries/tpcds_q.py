@@ -155,7 +155,11 @@ def tpcds_q14_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct channels == 3 — Catalyst does not share scans between
     INTERSECT branches (the set-op form re-scanned the fact 10×,
     measured), so the flag aggregate is the 100 TB shape: one scan for
-    the item set, one for the average, one for the report."""
+    the item set, one for the average, one for the report — and since
+    round 6, ONE scan total: everything derives from a persisted
+    (brand, class, channel) partial aggregate (cells ≈ |brands|×
+    |classes|×3, kilobytes at any SF — the three consumers previously
+    re-derived the fact join with different column pruning, 3 scans)."""
     cat = load_tables(spark, sf_dir)
     li, part = cat.read("lineitem"), cat.read("part")
     sales = (
@@ -168,21 +172,31 @@ def tpcds_q14_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
             _amt().alias("amt"),
         )
     )
+    cells = (
+        sales.groupBy("brand", "class", "channel")
+        .agg(
+            F.sum("amt").alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        .persist()
+    )
     cross_items = (
-        sales.groupBy("brand", "class")
+        cells.groupBy("brand", "class")
         .agg(F.countDistinct("channel").alias("__nch"))
         .filter(F.col("__nch") == 3)
         .select("brand", "class")
     )
-    avg_sales = sales.agg(F.avg("amt").alias("av"))
+    avg_sales = cells.agg(
+        (F.sum("__s") / F.sum("__n")).alias("av")
+    )
     return (
-        sales.join(F.broadcast(cross_items), ["brand", "class"])
+        cells.join(F.broadcast(cross_items), ["brand", "class"])
         .crossJoin(F.broadcast(avg_sales))
         .groupBy("channel", "brand", "av")
         .agg(
-            F.round(F.sum("amt"), 4).alias("sales"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("amt").alias("__raw"),
+            F.round(F.sum("__s"), 4).alias("sales"),
+            F.sum("__n").cast("long").alias("n"),
+            F.sum("__s").alias("__raw"),
         )
         .filter(F.col("__raw") > 25 * F.col("av"))
         .select("channel", "brand", "sales", "n")
@@ -277,8 +291,16 @@ def tpcds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _union_by_dim(cat, dim_col, dim_alias: str, year: int, cat_digit: str):
-    """Three per-channel aggregates UNION ALLed then re-aggregated — the
-    q33/q56 skeleton. Category filter on substring(p_brand, 7, 1)."""
+    """Three per-channel aggregates re-aggregated — the q33/q56 skeleton.
+    Category filter on substring(p_brand, 7, 1). The oracle keeps the
+    reference's UNION ALL spelling; the Spark plan folds the three
+    branches into ONE pass: groupBy(dim, channel) partials then a
+    dim-grain re-sum — the identical arithmetic structure (per-channel
+    totals summed per dim), but one fact scan instead of three (each
+    union branch re-derived the filtered join; the channel filters
+    pushed into three separate scans — measured in the round-6 audit).
+    The second aggregate runs on channel-grain partials, so at 100 TB
+    the fold saves two full corpus reads for one agg over ~3×dims rows."""
     li, part = cat.read("lineitem"), cat.read("part")
     base = (
         li.filter(F.year("l_shipdate") == year)
@@ -287,15 +309,9 @@ def _union_by_dim(cat, dim_col, dim_alias: str, year: int, cat_digit: str):
         .select(_channel_col().alias("channel"), dim_col.alias(dim_alias),
                 _amt().alias("amt"))
     )
-    per = lambda c: (  # noqa: E731
-        base.filter(F.col("channel") == c)
-        .groupBy(dim_alias)
-        .agg(F.sum("amt").alias("total"))
-    )
     return (
-        per("store")
-        .unionAll(per("catalog"))
-        .unionAll(per("web"))
+        base.groupBy(dim_alias, "channel")
+        .agg(F.sum("amt").alias("total"))
         .groupBy(dim_alias)
         .agg(F.round(F.sum("total"), 4).alias("total_sales"))
     )
@@ -690,21 +706,6 @@ def tpcds_q51_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- TPC-DS q88 shape: N independent band counts cross-joined to one row ---
 
 
-def _band_count(li, lo_m: int, hi_m: int, alias: str):
-    return (
-        li.filter(
-            (F.month("l_shipdate") >= lo_m)
-            & (F.month("l_shipdate") <= hi_m)
-            & (
-                ((F.col("l_quantity") <= 10) & (F.col("l_discount") >= 0.05))
-                | ((F.col("l_quantity") > 10) & (F.col("l_quantity") <= 30))
-                | ((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.03))
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias(alias))
-    )
-
-
 _Q88_BAND_PRED = """(
         (l_quantity <= 10 AND l_discount >= 0.05)
         OR (l_quantity > 10 AND l_quantity <= 30)
@@ -726,17 +727,28 @@ _Q88_BANDS = [(1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12)]
 def tpcds_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 88 (queries/88.sql): N independent filtered counts (time
     bands × a 3-way demographic disjunction) cross-joined into ONE result
-    row. Each band is a scan-stage count; the cross joins multiply 1-row
-    aggregates (broadcast scalars), so the fact table is scanned, never
-    shuffled — Catalyst shares one scan across the bands via exchange
-    reuse."""
+    row. The oracle keeps the reference's N-scalar-subquery spelling; the
+    Spark plan folds all bands into ONE conditional aggregation — each
+    band's month filter pushed into its own scan previously (6 full fact
+    reads, round-6 audit; the bands partition the year, so their union IS
+    the whole table and per-branch pruning buys nothing). One scan, one
+    1-row aggregate, no cross joins."""
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
-    out = None
-    for lo, hi in _Q88_BANDS:
-        cnt = _band_count(li, lo, hi, f"band_{lo}_{hi}")
-        out = cnt if out is None else out.crossJoin(F.broadcast(cnt))
-    return out
+    band_pred = (
+        ((F.col("l_quantity") <= 10) & (F.col("l_discount") >= 0.05))
+        | ((F.col("l_quantity") > 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.03))
+    )
+    m = F.month("l_shipdate")
+    return li.filter(band_pred).agg(
+        *[
+            F.count(F.when((m >= lo) & (m <= hi), 1))
+            .cast("long")
+            .alias(f"band_{lo}_{hi}")
+            for lo, hi in _Q88_BANDS
+        ]
+    )
 
 
 # --- TPC-DS q35 shape: EXISTS across channels + demographic rollout --------
@@ -1371,8 +1383,12 @@ def tpcds_q78_no_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti semi join (a sale line is excluded when ANY line of its
     (order, part) was returned, not just its own flag). Spark spells it
     left_anti; the returned-key set is an aggregate (DISTINCT) so the
-    anti join shuffles on the composite key once. Channel aggregates
-    join at (item, year) cardinality."""
+    anti join shuffles on the composite key once — and its scan is the
+    SELECTIVE returns slice, the one per-branch read worth keeping.
+    The two channel aggregates fold into ONE (item, year) conditional
+    aggregation (the store / web+catalog filters previously re-derived
+    the whole anti-join per branch — round-6 audit); the inner join at
+    (item, year) becomes both conditional sums non-null."""
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
     returned = (
@@ -1383,20 +1399,22 @@ def tpcds_q78_no_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = li.join(returned, ["l_orderkey", "l_partkey"], "left_anti").select(
         "*", _channel_col().alias("channel")
     )
-    def _chan_agg(df, pred, qty, tt):
-        return df.filter(pred).groupBy(
+    is_ss = F.col("channel") == "store"
+    is_os = F.col("channel").isin("web", "catalog")
+    cell = lambda pred, c: F.round(  # noqa: E731
+        F.sum(F.when(pred, c)), 0
+    ).cast("long")
+    return (
+        net.groupBy(
             F.col("l_partkey").alias("item"),
             F.year("l_shipdate").cast("int").alias("d_year"),
-        ).agg(
-            F.round(F.sum("l_quantity"), 0).cast("long").alias(qty),
-            F.round(F.sum(_amt()) * 10000, 0).cast("long").alias(tt),
         )
-    ss = _chan_agg(net, F.col("channel") == "store", "ss_qty", "ss_tt")
-    os_ = _chan_agg(
-        net, F.col("channel").isin("web", "catalog"), "os_qty", "os_tt"
-    )
-    return (
-        ss.join(os_, ["item", "d_year"])
+        .agg(
+            cell(is_ss, F.col("l_quantity")).alias("ss_qty"),
+            (cell(is_ss, _amt() * 10000)).alias("ss_tt"),
+            cell(is_os, F.col("l_quantity")).alias("os_qty"),
+            (cell(is_os, _amt() * 10000)).alias("os_tt"),
+        )
         .filter((F.col("ss_qty") > 0) & (F.col("os_qty") > 0))
         .select(
             "item", "d_year", "ss_qty", "ss_tt", "os_qty", "os_tt",
@@ -2316,9 +2334,12 @@ def tpcds_q76_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 76 (76.sql): counts/sums of fact rows whose dim key is NULL,
     a different key per channel, UNION ALLed then re-aggregated. The
     fixture has no null keys, so the derivation manufactures them
-    deterministically (NULLIF of a modulus) — the SHAPE under test is
-    three filtered scans of one fact sharing the scan via exchange reuse,
-    IS NULL predicates pushed to each."""
+    deterministically (NULLIF of a modulus). The oracle keeps the UNION
+    spelling; the Spark plan folds the branches — they are DISJOINT on
+    channel and the aggregate groups by channel, so the union is one
+    filter with the per-channel predicates ORed (one scan, the three
+    pushed IS NULL scans of the union form measured in the round-6
+    audit)."""
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
     f = li.select(
@@ -2329,20 +2350,14 @@ def tpcds_q76_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("l_partkey") % 5, F.lit(0)).alias("pk"),
         F.nullif(F.col("l_orderkey") % 3, F.lit(0)).alias("ok"),
     )
-    u = (
-        f.filter((F.col("channel") == "store") & F.col("sk").isNull())
-        .select("channel", "y", "amt")
-        .unionAll(
-            f.filter((F.col("channel") == "catalog") & F.col("pk").isNull())
-            .select("channel", "y", "amt")
-        )
-        .unionAll(
-            f.filter((F.col("channel") == "web") & F.col("ok").isNull())
-            .select("channel", "y", "amt")
-        )
+    cond = (
+        ((F.col("channel") == "store") & F.col("sk").isNull())
+        | ((F.col("channel") == "catalog") & F.col("pk").isNull())
+        | ((F.col("channel") == "web") & F.col("ok").isNull())
     )
     return (
-        u.groupBy("channel", "y")
+        f.filter(cond)
+        .groupBy("channel", "y")
         .agg(
             F.count(F.lit(1)).cast("long").alias("cnt"),
             F.round(F.sum("amt"), 4).alias("total"),
@@ -2480,27 +2495,30 @@ def tpcds_q95_multi_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     that also have a return — two semi-join-shaped subqueries (a grouped
     HAVING on distinct suppliers ≈ the self-join EXISTS, and a distinct
     returns set) gating the fact aggregate. Both gates are order-scale
-    key sets."""
+    key sets. The web slice folds to ONE order-grain aggregate carrying
+    both the distinct-supplier count AND the order total, so the final
+    sum runs over order-level partials instead of re-scanning the slice
+    (round-6 audit: the ws branch was scanned twice); the returns scan
+    stays separate because it is the selective R-rows slice."""
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
-    ws = li.filter(_channel_col() == "web").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice"
-    )
-    multi = (
-        ws.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") > 1)
-        .select("l_orderkey")
+    per_order = (
+        li.filter(_channel_col() == "web")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("ns"),
+            F.sum("l_extendedprice").alias("ototal"),
+        )
     )
     returned = (
         li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
     )
     return (
-        ws.join(multi, "l_orderkey")
-        .join(returned, "l_orderkey")
+        per_order.filter(F.col("ns") > 1)
+        .join(returned, "l_orderkey", "left_semi")
         .agg(
-            F.count_distinct("l_orderkey").cast("long").alias("n_orders"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("ototal"), 4).alias("total"),
         )
     )
 
@@ -2944,32 +2962,34 @@ def tpcds_q46_nation_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q58_equal_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS 58 (58.sql): items whose revenue is roughly EQUAL across all
-    three channels (each within ±30% of the three-channel average). One
-    grouped pass computes (item, channel) revenue; the three-way self-join
-    is an equi-join on the item key sharing that single aggregate via
-    exchange reuse — no per-channel rescans of the fact."""
+    three channels (each within ±30% of the three-channel average). The
+    oracle keeps the reference's three-way self-join spelling; the Spark
+    plan pivots it into ONE per-item conditional aggregation — the ch
+    filters on the self-join legs pushed below the aggregate into three
+    separate fact scans (round-6 audit; the channels partition the rows,
+    so their union is the whole filtered fact). The inner-join
+    requirement (item present in every channel) becomes all three
+    conditional sums non-null. One scan, one shuffle, no join at all."""
     cat = load_tables(spark, sf_dir)
     li = cat.read("lineitem")
-    r = (
-        li.filter(F.year("l_shipdate").between(1996, 1998))
-        .groupBy(
-            F.col("l_partkey").alias("item"),
-            (F.col("l_linenumber") % 3).alias("ch"),
-        )
-        .agg(F.sum(_amt()).alias("rev"))
-    )
-    pick = lambda k, name: (  # noqa: E731
-        r.filter(F.col("ch") == k).select(F.col("item").alias(f"{name}_item"), F.col("rev").alias(name))
-    )
-    s, c, w = pick(0, "srev"), pick(1, "crev"), pick(2, "wrev")
+    ch = F.col("l_linenumber") % 3
+    cell = lambda k: F.sum(F.when(ch == k, _amt()))  # noqa: E731
     avg3 = (F.col("srev") + F.col("crev") + F.col("wrev")) / 3
     band = lambda col: col.between(0.7 * avg3, 1.3 * avg3)  # noqa: E731
     return (
-        s.join(c, s.srev_item == c.crev_item)
-        .join(w, s.srev_item == w.wrev_item)
+        li.filter(F.year("l_shipdate").between(1996, 1998))
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(
+            cell(0).alias("srev"), cell(1).alias("crev"), cell(2).alias("wrev")
+        )
+        .filter(
+            F.col("srev").isNotNull()
+            & F.col("crev").isNotNull()
+            & F.col("wrev").isNotNull()
+        )
         .filter(band(F.col("srev")) & band(F.col("crev")) & band(F.col("wrev")))
         .select(
-            F.col("srev_item").alias("item"),
+            "item",
             F.round("srev", 4).alias("store_rev"),
             F.round("crev", 4).alias("catalog_rev"),
             F.round("wrev", 4).alias("web_rev"),
