@@ -516,3 +516,36 @@ def test_repetition_signals_crafted(spark):
     assert r3["n_bigram"] == 5 and r3["top_bigram_n"] == 3
     assert r3["dup_bigram_n"] == 5
     assert r3["top_trigram_n"] == 2  # "a b a" x2
+
+
+def test_incremental_dedup_crafted(spark):
+    """Incremental dedup semantics on crafted docs: a batch doc duplicating
+    the corpus dies via the INDEX (no corpus text read), a batch doc
+    duplicating a lower-id batch mate dies, a fresh doc survives and its
+    band rows extend the index."""
+    from ytsaurus_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content about distributed query engines"),
+            (5, "completely different content about distributed query engines"),
+            (7, "yet another unique document with its own vocabulary entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    index = dedup.band_signatures(corpus)
+    survivors, new_index = dedup.incremental_minhash_dedup(batch, index)
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert ids == [3, 7]  # 1 dies vs corpus, 5 dies vs batch-mate 3
+    idx_ids = {r["doc_id"] for r in new_index.collect()}
+    assert idx_ids == {3, 7}
+    # appending keeps the loop incremental: re-running the SAME batch
+    # against the grown index yields no survivors
+    grown = index.unionByName(new_index)
+    again, _ = dedup.incremental_minhash_dedup(batch, grown)
+    assert again.count() == 0

@@ -74,6 +74,40 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, band, band_sig) LSH band rows — the persistable DEDUP INDEX.
+
+    This is the unpivoted banding of ``minhash_signatures``; a corpus's
+    band table is what an incremental pipeline stores between batches
+    (kilobytes per document regardless of document size), so new data
+    dedupes against 100 TB of history by joining THIS table, never by
+    re-reading the corpus."""
+    if num_hashes % band_rows:
+        raise ValueError("band_rows must divide num_hashes")
+    mh = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    n_bands = num_hashes // band_rows
+    band_sigs = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)])
+        ).alias(f"sig{b}")
+        for b in range(n_bands)
+    ]
+    wide = mh.select(F.col(id_col), *band_sigs)
+    # unpivot to (doc, band, band_sig) for the bucket join
+    stack = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
+    return wide.select(
+        id_col,
+        F.expr(f"stack({n_bands}, {stack}) AS (band, band_sig)"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -88,22 +122,8 @@ def minhash_lsh_pairs(
     bands = num_hashes / band_rows; two docs collide if any band's minhash
     slice matches exactly. Returns distinct (doc_a < doc_b) pairs.
     ``max_bucket`` caps bucket size (skew guard for 100 TB runs)."""
-    if num_hashes % band_rows:
-        raise ValueError("band_rows must divide num_hashes")
-    mh = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
-    n_bands = num_hashes // band_rows
-    band_sigs = [
-        F.md5(
-            F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)])
-        ).alias(f"sig{b}")
-        for b in range(n_bands)
-    ]
-    wide = mh.select(F.col(id_col), *band_sigs)
-    # unpivot to (doc, band, band_sig) for the bucket join
-    stack = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
-    sigs = wide.select(
-        id_col,
-        F.expr(f"stack({n_bands}, {stack}) AS (band, band_sig)"),
+    sigs = band_signatures(
+        docs, text_col, id_col, num_hashes, band_rows, shingle_k
     )
     if max_bucket is not None:
         counts = sigs.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
@@ -516,3 +536,61 @@ def winnow_shared_passages(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedupe a NEW batch against an existing corpus WITHOUT touching the
+    corpus — the production shape for a continuously-ingesting training
+    pipeline. ``index`` is the corpus's persisted band table
+    (``band_signatures`` output, or empty with the same schema for a
+    cold start). A new doc is dropped when any of its bands collides
+    with the index (duplicate of history) or with a LOWER-id surviving
+    batch mate (duplicate within the batch — the same lower-id-wins rule
+    as minhash_lsh_pairs). Returns ``(survivor_ids, new_index_rows)``;
+    appending the second to the index keeps the loop incremental.
+
+    Scale shape: per batch the work is O(batch shingles) + one equi-join
+    of the batch's band rows against the index (band_sig is an md5 —
+    uniformly distributed, so the join never skews); the corpus text is
+    never re-read, and the index grows by bands-per-doc rows per
+    survivor (constant kilobytes per document)."""
+    sigs = band_signatures(
+        new_docs, text_col, id_col, num_hashes, band_rows, shingle_k
+    )
+    # duplicates of history: any band collides with the index
+    dup_hist = (
+        sigs.join(
+            index.select("band", "band_sig").distinct(),
+            ["band", "band_sig"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    # duplicates within the batch: ANY collision with a lower batch id
+    # removes the higher id — the same lower-id-wins convention as the
+    # whole-corpus minhash_lsh_pairs path (pipeline_clean_corpus), kept
+    # regardless of whether the lower doc itself duplicates history.
+    a = sigs.select(F.col(id_col).alias("__a"), "band", "band_sig")
+    b = sigs.select(F.col(id_col).alias("__b"), "band", "band_sig")
+    dup_batch = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("__a") < F.col("__b"))
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    survivors = (
+        new_docs.select(id_col)
+        .join(dup_hist, id_col, "left_anti")
+        .join(dup_batch, id_col, "left_anti")
+    )
+    new_index = sigs.join(survivors, id_col, "left_semi")
+    return survivors, new_index

@@ -1645,3 +1645,68 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     only; see operators/text.py:repetition_signals for the scale notes."""
     cat = load_tables(spark, sf_dir)
     return text.repetition_signals(cat.read("documents")).orderBy("doc_id")
+
+
+# --- incremental dedup: new batch vs persisted corpus index ----------------
+
+@register(
+    "dedup_incremental",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+      FROM shx CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), sigs AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 2
+    ), idx AS (
+      SELECT DISTINCT band, band_sig FROM sigs WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT * FROM sigs WHERE doc_id % 2 = 1
+    ), dup_hist AS (
+      SELECT DISTINCT doc_id FROM batch JOIN idx USING (band, band_sig)
+    ), dup_batch AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch a JOIN batch b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_index_rows
+    FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM dup_hist)
+      AND doc_id NOT IN (SELECT doc_id FROM dup_batch)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the continuously-ingesting pipeline
+    shape: even doc_ids play the already-ingested corpus whose PERSISTED
+    band-signature index (operators/dedup.band_signatures — kilobytes per
+    document) is all that survives between batches; odd doc_ids are the
+    new batch, deduped against the index plus themselves WITHOUT reading
+    any corpus text (operators/dedup.incremental_minhash_dedup). Output:
+    surviving batch ids with their appended index-row counts — so the
+    hash also proves the index-maintenance half of the loop."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.band_signatures(corpus)
+    survivors, new_index = dedup.incremental_minhash_dedup(batch, index)
+    return (
+        new_index.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_index_rows"))
+        .orderBy("doc_id")
+    )
