@@ -125,3 +125,20 @@ def test_check_permission_acl_walk(client, spark):
     client.set("//home/secure/t/@acl", [])
     client.set("//home/secure/t/@inherit_acl", False)
     assert client.check_permission("alice", "read", "//home/secure/t") == "deny"
+
+
+def test_file_nodes(client, spark):
+    """write_file/read_file roundtrip (the reference's Cypress file nodes —
+    job attachments, UDF-registry blobs); type checks and attribute
+    visibility included."""
+    client.write_file("//files/blob.bin", b"\x00\x01udf-bitcode\xff")
+    assert client.read_file("//files/blob.bin") == b"\x00\x01udf-bitcode\xff"
+    # overwrite is atomic and replaces content
+    client.write_file("//files/blob.bin", b"v2")
+    assert client.read_file("//files/blob.bin") == b"v2"
+    assert client.exists("//files/blob.bin")
+    assert client.get("//files/blob.bin/@type") == "file"
+    # a table is not a file node
+    client.write_table("//files/t", spark.range(3).toDF("x"))
+    with pytest.raises(YPathError):
+        client.read_file("//files/t")

@@ -76,6 +76,14 @@ class YtClient:
         if node_type == "map_node":
             os.makedirs(p, exist_ok=True)
             return
+        if node_type == "file":
+            if recursive:
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+            os.makedirs(p, exist_ok=True)
+            _write_attrs(p, {**dict(attributes or {}), "type": "file"})
+            with open(os.path.join(p, "_yt_file_data"), "wb"):
+                pass
+            return
         if node_type != "table":
             raise YPathError(f"unsupported node type {node_type!r}")
         attrs = dict(attributes or {})
@@ -165,6 +173,35 @@ class YtClient:
         _write_fmt(df, p, mode="append" if append else "overwrite")
         if prior:
             _write_attrs(p, prior)
+
+    # -- file nodes (reference: write_file/read_file over Cypress file
+    # nodes — job attachments, the UDF registry's bitcode blobs) ----------
+
+    def write_file(self, ypath: str, data: bytes) -> None:
+        """Upload bytes to a Cypress file node (created if absent) — the
+        reference's write_file. Content lands atomically (tmp + rename),
+        matching every other manifest write in the repo."""
+        import tempfile as _tf
+
+        p = self._fs(ypath)
+        if not os.path.exists(p):
+            self.create("file", ypath)
+        elif dict(table_attributes(p)).get("type") != "file":
+            raise YPathError(f"not a file node: {ypath}")
+        fd, tmp = _tf.mkstemp(dir=p, suffix=".bin.tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(p, "_yt_file_data"))
+
+    def read_file(self, ypath: str) -> bytes:
+        """Read a Cypress file node's content — the reference's read_file."""
+        p = self._fs(ypath)
+        if not os.path.exists(p):
+            raise YPathError(f"no such node: {ypath}")
+        if dict(table_attributes(p)).get("type") != "file":
+            raise YPathError(f"not a file node: {ypath}")
+        with open(os.path.join(p, "_yt_file_data"), "rb") as f:
+            return f.read()
 
     def read_table(self, ypath: str) -> DataFrame:
         from ytsaurus_spark.catalog import RichPath
