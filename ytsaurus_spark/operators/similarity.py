@@ -253,17 +253,44 @@ def ivf_assign(
             "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
             "0D, (acc, d) -> acc + d)"
         )
-    scored = emb.select(F.col(id_col), F.col(vec_col).alias("v")).join(
+    assignments = ivf_assign_to(emb, centroids, id_col, vec_col, dist)
+    return assignments, centroids
+
+
+def ivf_assign_to(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_expr: str | None = None,
+) -> DataFrame:
+    """Assign vectors to their nearest cell among EXISTING centroids —
+    the incremental half of the IVF index: a continuously-ingesting
+    pipeline persists (cell, centv) once and routes every new embedding
+    batch through this, never re-deriving (let alone re-training) the
+    index from the corpus. O(batch × num_cells) scan-stage math with the
+    centroids broadcast; appending the assignments to the corpus's
+    (vec_id, cell) table keeps ivf_topk serving the grown index.
+    Deterministic: squared-L2 argmin with cell-id tiebreak, same formula
+    at build and ingest time."""
+    from pyspark.sql import Window as W
+
+    if dist_expr is None:
+        dist_expr = (
+            "aggregate(zip_with(v, centv, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "0D, (acc, d) -> acc + d)"
+        )
+    scored = vecs.select(F.col(id_col), F.col(vec_col).alias("v")).join(
         F.broadcast(centroids)
     )
     w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell"))
-    assignments = (
-        scored.withColumn("d2", F.expr(dist))
+    return (
+        scored.withColumn("d2", F.expr(dist_expr))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, "cell")
     )
-    return assignments, centroids
 
 
 def ivf_topk(

@@ -1710,3 +1710,51 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_index_rows"))
         .orderBy("doc_id")
     )
+
+
+# --- incremental IVF: new embedding batch vs persisted centroids -----------
+
+@register(
+    "sim_ivf_incremental",
+    """
+    WITH cents AS (
+      SELECT CAST(vec_id / 30 AS INT) AS cell, embedding::DOUBLE[] AS centv
+      FROM embeddings
+      WHERE vec_id % 30 = 0 AND vec_id < 30 * 8 AND vec_id % 2 = 0
+    ), batch AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 2 = 1
+    ), scored AS (
+      SELECT b.vec_id, c.cell,
+             list_sum([ (b.v[i] - c.centv[i]) * (b.v[i] - c.centv[i])
+                        for i in range(1, 65) ]) AS d2
+      FROM batch b CROSS JOIN cents c
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell
+    FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM scored
+    ) WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingestion — the embedding-side twin of
+    dedup_incremental: even vec_ids play the indexed corpus whose
+    PERSISTED centroids (8 cells, stride-30 exemplars) are all that
+    survives between batches; odd vec_ids are the new batch, routed to
+    their nearest cell by operators/similarity.ivf_assign_to without
+    touching corpus vectors. Appending the output to the corpus's
+    (vec_id, cell) table keeps ivf_topk serving the grown index."""
+    from ytsaurus_spark.operators.similarity import ivf_assign, ivf_assign_to
+
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    _, centroids = ivf_assign(corpus, num_cells=8, centroid_stride=30)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return (
+        ivf_assign_to(batch, centroids)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .orderBy("vec_id")
+    )
