@@ -260,23 +260,49 @@ def train_mix_weights(
     docs: DataFrame,
     stratum_col: str = "source",
     text_col: str = "text",
+    alpha: float = 0.0,
 ) -> DataFrame:
     """Domain-mixture reweighting: per-stratum token mass and the sampling
-    weight that equalizes the mixture (target = uniform share). One
-    aggregation + a broadcast scalar; the weight column feeds
-    stratified_sample / weighted loaders downstream."""
+    weight that moves the mixture to a TEMPERATURE-scaled target — the
+    T5/multilingual convention ``target_share ∝ natural_share^alpha``:
+    ``alpha = 1`` keeps natural proportions, ``alpha = 0`` (default,
+    the original behavior) equalizes all strata, values between damp
+    dominant domains without flattening them (0.3–0.7 is the usual
+    pretraining range). ``weight = target_share / natural_share``, so
+    feeding it to stratified_sample / weighted loaders realizes the
+    target. One aggregation + a broadcast scalar.
+
+    Determinism note: the registered oracle uses alpha = 0.5 because
+    ``pow(x, 0.5) = sqrt(x)`` is correctly rounded IEEE in every engine;
+    arbitrary exponents go through libm ``pow``, whose last ulp may
+    differ across engines — fine for training, not for an exact-repr
+    gate."""
     per = docs.groupBy(stratum_col).agg(
         F.sum(F.ceil(F.length(text_col) / 4)).cast("long").alias("tokens")
     )
+    if alpha == 0.0:
+        powered = F.lit(1.0)
+    elif alpha == 0.5:
+        powered = F.sqrt(F.col("tokens").cast("double"))
+    elif alpha == 1.0:
+        powered = F.col("tokens").cast("double")
+    else:
+        powered = F.pow(F.col("tokens").cast("double"), F.lit(alpha))
+    per = per.withColumn("__p", powered)
     total = per.agg(
-        F.sum("tokens").alias("t"), F.count(F.lit(1)).alias("k")
+        F.sum("tokens").cast("double").alias("t"),
+        F.sum("__p").alias("sp"),
     )
     return (
         per.crossJoin(F.broadcast(total))
         .select(
             stratum_col,
             "tokens",
-            F.round((F.col("t") / F.col("k")) / F.col("tokens"), 6).alias("weight"),
+            F.round(
+                (F.col("__p") / F.col("sp"))
+                / (F.col("tokens") / F.col("t")),
+                6,
+            ).alias("weight"),
         )
     )
 

@@ -355,3 +355,32 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat.read("documents").select("doc_id", "source", "n_chars")
     out = curation.weighted_sample(docs, "n_chars", k=50)
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@register(
+    "curation_train_mix_temp",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(sum(ceil(length(text) / 4.0)) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS DOUBLE) AS t,
+             sum(sqrt(tokens::DOUBLE)) AS sp FROM per
+    )
+    SELECT source, tokens,
+           round((sqrt(tokens::DOUBLE) / sp) / (tokens / t), 6) AS weight
+    FROM per, tot ORDER BY source
+    """,
+)
+def curation_train_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (alpha = 0.5, the T5-style
+    ``target ∝ natural^alpha`` damping): dominant sources shrink, small
+    sources grow, but natural ordering survives — unlike the uniform
+    (alpha = 0) mix. alpha = 0.5 is the oracle-exact choice: sqrt is
+    correctly rounded IEEE in both engines, arbitrary pow is not
+    (operators/curation.train_mix_weights)."""
+    cat = load_tables(spark, sf_dir)
+    return curation.train_mix_weights(
+        cat.read("documents"), alpha=0.5
+    ).orderBy("source")
