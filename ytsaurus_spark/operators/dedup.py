@@ -594,3 +594,28 @@ def incremental_minhash_dedup(
     )
     new_index = sigs.join(survivors, id_col, "left_semi")
     return survivors, new_index
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    hash_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-content incremental dedup — the cheap first gate in front of
+    ``incremental_minhash_dedup``: ``hash_index`` is the corpus's
+    persisted distinct md5(text) set (32 bytes per unique document). A
+    new doc is dropped when its content hash is already indexed or a
+    LOWER batch id has the same hash. Returns ``(survivor_ids,
+    new_index_hashes)``; appending the second keeps the loop
+    incremental. One shuffle on the hash (uniform by construction)."""
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    fresh = hashed.join(
+        hash_index.select("text_hash").distinct(), "text_hash", "left_anti"
+    )
+    keep = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    survivors = keep.select(id_col)
+    new_hashes = keep.select("text_hash")
+    return survivors, new_hashes

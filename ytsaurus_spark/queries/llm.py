@@ -1758,3 +1758,36 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cell").cast("int").alias("cell"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    "dedup_incremental_exact",
+    """
+    WITH idx AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT min(doc_id) AS doc_id, h AS text_hash
+    FROM batch WHERE h NOT IN (SELECT h FROM idx)
+    GROUP BY h ORDER BY doc_id
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash incremental dedup — the cheap gate in front of the
+    minhash stage (operators/dedup.incremental_exact_dedup): the corpus
+    survives between batches as its distinct content-hash set only (32
+    bytes per unique doc at any corpus size)."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    corpus_index = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("text_hash")
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    survivors, new_hashes = dedup.incremental_exact_dedup(batch, corpus_index)
+    hashed = batch.select("doc_id", F.md5("text").alias("text_hash"))
+    return (
+        survivors.join(hashed, "doc_id")
+        .select("doc_id", "text_hash")
+        .orderBy("doc_id")
+    )
