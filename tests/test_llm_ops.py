@@ -549,3 +549,38 @@ def test_incremental_dedup_crafted(spark):
     grown = index.unionByName(new_index)
     again, _ = dedup.incremental_minhash_dedup(batch, grown)
     assert again.count() == 0
+
+
+def test_exact_substring_coverage(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    d1 = shared + " unique one tail words here now"
+    d2 = "lead in words " + shared + " other ending entirely"
+    d3 = "no overlap with anything else at all in this document text body"
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, short)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_coverage(df, gram_len=8).collect()
+    }
+    # the shared 8-gram covers exactly its 8 positions in both docs
+    assert out[1].dup_tokens == 8 and out[2].dup_tokens == 8
+    assert out[3].dup_tokens == 0
+    assert out[4].dup_tokens == 0 and out[4].n_tokens == 2
+    assert out[1].dup_ratio == 8 / out[1].n_tokens
+
+
+def test_exact_substring_interval_union(spark):
+    # two overlapping duplicated windows must union, not double-count
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 words -> two 8-grams
+    df = spark.createDataFrame(
+        [(1, run + " filler ending words"), (2, "prefix " + run + " suffix")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.dup_tokens
+        for r in dedup.exact_substring_coverage(df, gram_len=8).collect()
+    }
+    assert out[1] == 9 and out[2] == 9  # 8 + least(8, 1) overlap

@@ -619,3 +619,80 @@ def incremental_exact_dedup(
     survivors = keep.select(id_col)
     new_hashes = keep.select("text_hash")
     return survivors, new_hashes
+
+
+def exact_substring_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate coverage (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better") at word grain: a position
+    is *duplicated* when it lies inside any ``gram_len``-word window whose
+    exact content occurs >= 2 times anywhere in the corpus (other docs OR
+    elsewhere in the same doc — the paper's suffix-array criterion).
+
+    Returns one row per document: ``n_tokens``, ``dup_tokens`` (count of
+    positions covered by at least one duplicated gram), and ``dup_ratio``.
+    Pipelines drop or trim docs above a ratio threshold.
+
+    Distributed shape (the suffix array is a single-machine construct; the
+    equivalent corpus-scale recipe is gram hashing):
+      1. one projection builds md5 hashes of every ``gram_len``-word
+         window (array HOFs, inside the scan stage);
+      2. gram-grain groupBy counts occurrences — map-side combinable, the
+         one corpus-sized shuffle;
+      3. left-semi join (doc, pos) hits against the >=2 grams;
+      4. per-doc interval union via a lag window: sorted start positions,
+         each contributes ``least(gram_len, pos - prev_pos)`` — O(hits)
+         with no per-position explosion (never multiplies by gram_len).
+    At 100 TB the shuffle carries one row per corpus word (hash + pos),
+    same grain as winnow_fingerprints' scan-side selection.
+
+    Docs shorter than ``gram_len`` words have no windows -> dup_tokens 0
+    (whole-doc duplicates are exact_dedup's job).
+    """
+    from pyspark.sql import Window
+
+    L = gram_len
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(t) >= {L} THEN "
+                f"transform(sequence(0, size(t) - {L}), "
+                f"i -> md5(concat_ws(' ', slice(t, i + 1, {L})))) "
+                f"ELSE array() END"
+            )
+        ).alias("pos", "g"),
+    )
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_grams, "g", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    contrib = F.when(
+        F.lag("pos").over(w).isNull(), F.lit(L)
+    ).otherwise(F.least(F.lit(L), F.col("pos") - F.lag("pos").over(w)))
+    cov = (
+        hits.select(F.col(id_col), contrib.alias("contrib"))
+        .groupBy(id_col)
+        .agg(F.sum("contrib").cast("long").alias("dup_tokens"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    out = base.join(cov, id_col, "left")
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return out.select(
+        id_col,
+        "n_tokens",
+        dup.alias("dup_tokens"),
+        (dup / F.col("n_tokens")).alias("dup_ratio"),
+    )

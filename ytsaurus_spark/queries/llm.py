@@ -1791,3 +1791,43 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_hash")
         .orderBy("doc_id")
     )
+
+
+# --- exact-substring duplicate coverage (Lee et al. 2021) -------------------
+
+@register(
+    "dedup_exact_substring",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(t[i:i+7], ' ')) AS g
+      FROM toks, LATERAL unnest(range(1, len(t) - 6)) AS r(i)
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ), cov AS (
+      SELECT doc_id,
+             CASE WHEN lag(pos) OVER w IS NULL THEN 8
+                  ELSE least(8, pos - lag(pos) OVER w) END AS contrib
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), doccov AS (
+      SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(c.dup_tokens, 0) AS dup_tokens,
+           COALESCE(c.dup_tokens, 0) / len(string_split(d.text, ' '))
+             AS dup_ratio
+    FROM documents d LEFT JOIN doccov c USING (doc_id)
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-grain exact-substring duplicate coverage: the corpus-scale
+    equivalent of the suffix-array dedup pass (gram-hash groupBy instead
+    of a single-node suffix array)."""
+    cat = load_tables(spark, sf_dir)
+    return dedup.exact_substring_coverage(cat.read("documents"), gram_len=8)
