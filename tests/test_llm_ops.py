@@ -584,3 +584,16 @@ def test_exact_substring_interval_union(spark):
         for r in dedup.exact_substring_coverage(df, gram_len=8).collect()
     }
     assert out[1] == 9 and out[2] == 9  # 8 + least(8, 1) overlap
+
+
+def test_gopher_rules(spark):
+    good = " ".join(["the", "and", "of"] + ["word"] * 60)  # 63 words, stopwords ok
+    short = "too short entirely"
+    bullets = "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, bullets)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in text.gopher_rules(df).collect()}
+    assert out[1].passes
+    assert not out[2].ok_word_count and not out[2].passes
+    assert not out[3].ok_bullets and out[3].n_bullet_lines == 10

@@ -488,3 +488,66 @@ def repetition_signals(
             " + 0.5) AS BIGINT) / 1e4"
         ),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full Gopher quality-filter rule set (Rae et al. 2021 §A1.1):
+    word-count band, mean-word-length band, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, and the
+    >=2-stopwords requirement, plus the conjunction ``passes``.
+
+    Every rule is an INTEGER cross-multiplied comparison (``3*n <=
+    sum_len <= 10*n`` instead of ``3 <= sum_len/n <= 10``) so the
+    output is bit-identical across engines — no float division anywhere.
+    One projection, array HOFs only, runs inside the scan stage with
+    column pruning; at 100 TB this is a pure map over the corpus."""
+    t = f"`{text_col}`"
+    words = f"split({t}, ' ')"
+    lines = f"split({t}, '\\n')"
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+    exprs = {
+        "n_words": f"size({words})",
+        "sum_word_len": f"aggregate({words}, 0, (a, w) -> a + length(w))",
+        "n_alpha_words": (
+            f"size(filter({words}, w -> w rlike '[a-zA-Z]'))"
+        ),
+        "n_stop_kinds": (
+            f"size(array_intersect(array_distinct({words}), {stop_arr}))"
+        ),
+        "n_lines": f"size({lines})",
+        "n_bullet_lines": f"size(filter({lines}, l -> l rlike '^[-*]'))",
+        "n_ellipsis_lines": (
+            f"size(filter({lines}, l -> l rlike '\\\\.\\\\.\\\\.$'))"
+        ),
+        "n_hash_symbols": f"length({t}) - length(replace({t}, '#', ''))",
+    }
+    cols = [F.col(id_col)] + [
+        F.expr(e).cast("long").alias(n) for n, e in exprs.items()
+    ]
+    out = docs.select(*cols)
+    n = F.col("n_words")
+    rules = {
+        "ok_word_count": (n >= 50) & (n <= 100000),
+        "ok_mean_word_len": (F.col("sum_word_len") >= 3 * n)
+        & (F.col("sum_word_len") <= 10 * n),
+        # symbol-to-word ratio <= 0.1  ->  10 * symbols <= words
+        "ok_symbol_ratio": 10 * F.col("n_hash_symbols") <= n,
+        # < 90% of lines bullet-started  ->  10 * bullets < 9 * lines
+        "ok_bullets": 10 * F.col("n_bullet_lines") < 9 * F.col("n_lines"),
+        # < 30% of lines ellipsis-ended  ->  10 * ell < 3 * lines
+        "ok_ellipsis": 10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines"),
+        # >= 80% words contain an alphabetic char -> 5 * alpha >= 4 * words
+        "ok_alpha": 5 * F.col("n_alpha_words") >= 4 * n,
+        "ok_stopwords": F.col("n_stop_kinds") >= 2,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else (passes & F.col(name))
+    return out.withColumn("passes", passes)

@@ -1831,3 +1831,57 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a single-node suffix array)."""
     cat = load_tables(spark, sf_dir)
     return dedup.exact_substring_coverage(cat.read("documents"), gram_len=8)
+
+
+# --- Gopher quality rule set (Rae et al. 2021 A1.1) -------------------------
+
+@register(
+    "text_gopher_rules",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             string_split(text, chr(10)) AS l,
+             length(text) - length(replace(text, '#', '')) AS n_hash
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(w),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stop_kinds,
+             CAST(len(l) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '^[-*]')))
+               AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '\\.\\.\\.$')))
+               AS BIGINT) AS n_ellipsis_lines,
+             CAST(n_hash AS BIGINT) AS n_hash_symbols
+      FROM base
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+             AS ok_mean_word_len,
+           (10 * n_hash_symbols <= n_words) AS ok_symbol_ratio,
+           (10 * n_bullet_lines < 9 * n_lines) AS ok_bullets,
+           (10 * n_ellipsis_lines < 3 * n_lines) AS ok_ellipsis,
+           (5 * n_alpha_words >= 4 * n_words) AS ok_alpha,
+           (n_stop_kinds >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+            AND (10 * n_hash_symbols <= n_words)
+            AND (10 * n_bullet_lines < 9 * n_lines)
+            AND (10 * n_ellipsis_lines < 3 * n_lines)
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (n_stop_kinds >= 2)) AS passes
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality filters as integer-only rule columns + conjunction."""
+    cat = load_tables(spark, sf_dir)
+    return text.gopher_rules(cat.read("documents"))
