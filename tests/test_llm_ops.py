@@ -597,3 +597,15 @@ def test_gopher_rules(spark):
     assert out[1].passes
     assert not out[2].ok_word_count and not out[2].passes
     assert not out[3].ok_bullets and out[3].n_bullet_lines == 10
+
+
+def test_unigram_surprisal_exact_bits(spark):
+    # corpus: 'a' x 8, 'b' x 4, 'c' x 4 -> total 16 (floorlog2 = 4)
+    # bits: a = 4 - 3 = 1, b = c = 4 - 2 = 2
+    df = spark.createDataFrame(
+        [(1, "a a a a a a a a"), (2, "b b b b c c c c")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.unigram_surprisal(df).collect()}
+    assert out[1].total_bits == 8 * 1 and out[1].mean_bits == 1.0
+    assert out[2].total_bits == 8 * 2 and out[2].mean_bits == 2.0

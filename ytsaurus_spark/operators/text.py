@@ -551,3 +551,51 @@ def gopher_rules(
     for name in rules:
         passes = F.col(name) if passes is None else (passes & F.col(name))
     return out.withColumn("passes", passes)
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: train
+    word frequencies over the WHOLE input, then score each doc by its
+    mean per-token surprisal — the classic "perplexity filter" shape
+    (rare-word-heavy or OOV-ish docs score high, boilerplate low).
+
+    Surprisal is measured in WHOLE bits via exact integer arithmetic:
+    ``floor(log2(n)) = len(binary(n)) - 1`` computed on the digit string
+    (never libm — Java's ``log(x)/log(2)`` and C's ``log2`` disagree by
+    1 ulp exactly where ``floor`` flips), so
+    ``bits(w) = floorlog2(total_tokens) - floorlog2(count(w))`` and doc
+    scores are exact BIGINT sums — order-independent at any scale.
+
+    Shape at 100 TB: two word-grain groupBys (both map-side combinable),
+    a 1-row total broadcast, and a word-grain join for the score lookup
+    (AQE broadcasts it while the vocab fits); the final agg is doc-grain.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = wc.agg(F.sum("cnt").alias("total"))
+
+    def flog2(c):
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    sur = wc.crossJoin(F.broadcast(total)).select(
+        "w", (flog2(F.col("total")) - flog2(F.col("cnt"))).cast("long").alias("bits")
+    )
+    dw = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dw.join(sur, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("bits")).cast("long").alias("total_bits"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "total_bits",
+            (F.col("total_bits") / F.col("n_tokens")).alias("mean_bits"),
+        )
+    )

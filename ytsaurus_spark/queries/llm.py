@@ -1885,3 +1885,37 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality filters as integer-only rule columns + conjunction."""
     cat = load_tables(spark, sf_dir)
     return text.gopher_rules(cat.read("documents"))
+
+
+# --- unigram LM surprisal scoring (perplexity-filter shape) -----------------
+
+@register(
+    "text_unigram_surprisal",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS cnt FROM words GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc
+    ), sur AS (
+      SELECT w,
+             (length(to_base(total, 2)) - 1)
+               - (length(to_base(CAST(cnt AS BIGINT), 2)) - 1) AS bits
+      FROM wc CROSS JOIN tot
+    ), dw AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * bits) AS BIGINT) AS total_bits,
+           CAST(sum(c * bits) AS BIGINT) / CAST(sum(c) AS BIGINT)
+             AS mean_bits
+    FROM dw JOIN sur USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-bit unigram surprisal score trained on the input corpus."""
+    cat = load_tables(spark, sf_dir)
+    return text.unigram_surprisal(cat.read("documents"))
