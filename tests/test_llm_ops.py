@@ -609,3 +609,17 @@ def test_unigram_surprisal_exact_bits(spark):
     out = {r.doc_id: r for r in text.unigram_surprisal(df).collect()}
     assert out[1].total_bits == 8 * 1 and out[1].mean_bits == 1.0
     assert out[2].total_bits == 8 * 2 and out[2].mean_bits == 2.0
+
+
+def test_scalar_quantize_int8(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in similarity.scalar_quantize_int8(df).collect()}
+    assert all(r.n_dims == 2 for r in out.values())
+    # endpoints reconstruct exactly; the midpoint of [0,1] codes to 128
+    # (127.5 + 0.5 floor) -> xhat 128/255, err = |128/255 - 0.5| ~ 1.96e-3
+    assert out[1].max_abs_err_1e9 == 0 and out[2].max_abs_err_1e9 == 0
+    assert out[3].max_abs_err_1e9 == round((128 / 255 - 0.5) * 1e9)
+    assert out[1].code_md5 != out[2].code_md5

@@ -1919,3 +1919,37 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-bit unigram surprisal score trained on the input corpus."""
     cat = load_tables(spark, sf_dir)
     return text.unigram_surprisal(cat.read("documents"))
+
+
+# --- int8 scalar quantization of embeddings (FAISS SQ8 shape) ---------------
+
+@register(
+    "sim_scalar_quantize_int8",
+    """
+    WITH elems AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+    ), stats AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM elems GROUP BY dim
+    ), coded AS (
+      SELECT e.vec_id, e.dim, e.x, s.lo, s.hi,
+             CAST(floor((e.x - s.lo) * 255 / (s.hi - s.lo) + 0.5)
+               AS BIGINT) AS q
+      FROM elems e JOIN stats s USING (dim)
+    ), errs AS (
+      SELECT vec_id, dim, q,
+             CAST(floor(abs((lo + q * (hi - lo) / 255) - x) * 1e9 + 0.5)
+               AS BIGINT) AS err
+      FROM coded
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY dim)) AS code_md5,
+           max(err) AS max_abs_err_1e9
+    FROM errs GROUP BY vec_id
+    """,
+)
+def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized embedding codes + reconstruction fidelity."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.scalar_quantize_int8(cat.read("embeddings"))
