@@ -138,3 +138,22 @@ def test_prefix_sum_property_random_keys(spark):
     for k, c in srt:
         assert got[k] == acc, (k, got[k], acc)
         acc += c
+
+
+def test_select_to_budget_prefix_cut(spark):
+    # four docs, diversity priority: doc 1 all-distinct, doc 4 all-same
+    rows = [
+        (1, "a b c d", 16),
+        (2, "a b c c", 16),
+        (3, "a a b b", 16),
+        (4, "a a a a", 16),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    from ytsaurus_spark.operators import curation
+
+    # total est tokens = 4 * ceil(16/4) = 16; budget_denom=2 -> budget 8
+    out = curation.select_to_budget(df, budget_denom=2).collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [1, 2]  # highest-TTR prefix that fits
+    cums = {r.doc_id: r.cum_tokens for r in out}
+    assert cums[1] == 4 and cums[2] == 8

@@ -418,3 +418,58 @@ def weighted_sample(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def select_to_budget(
+    docs: DataFrame,
+    budget_denom: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-ranked greedy selection up to a token budget — the "pick
+    the best N tokens" step of a training-data mix: rank documents by a
+    lexical-diversity priority (scaled type-token ratio, exact integer),
+    then walk the ranking accumulating estimated BPE tokens
+    (``ceil(n_chars / 4)``) and keep every document that still fits
+    within ``total_tokens / budget_denom``.
+
+    The budget is data-relative (a fraction of the corpus), so the
+    operator is scale-free; selection is a clean prefix cut — the
+    running total counts every ranked row, so the kept set is the
+    longest prefix of the ranking that fits — deterministic and a pure
+    function of the ranking.
+
+    Scale shape: the running total uses the hierarchical
+    ``prefix_sum`` (no single-partition window anywhere), the corpus
+    total is a 1-row broadcast, and everything else is a projection.
+    All arithmetic is integer (ceil via ``(x + 3) div 4``, ranking via
+    integer cross-multiplication) — bit-identical in the oracle."""
+    stats = docs.select(
+        F.col(id_col),
+        F.expr(f"((`{chars_col}`) + 3) div 4").cast("long").alias("est_tokens"),
+        F.expr(
+            f"(CAST(size(array_distinct(split(`{text_col}`, ' '))) AS BIGINT)"
+            f" * 1000000) div size(split(`{text_col}`, ' '))"
+        ).cast("long").alias("priority"),
+    )
+    # integer ordering key: priority DESC, doc_id ASC
+    keyed = stats.withColumn(
+        "__k",
+        (F.lit(1000000) - F.col("priority")) * F.lit(10_000_000_000)
+        + F.col(id_col),
+    )
+    budget = stats.agg(
+        F.expr(f"(sum(est_tokens)) div {budget_denom}").alias("__budget")
+    )
+    pre = prefix_sum(keyed, "__k", "est_tokens", out_col="__before")
+    return (
+        pre.crossJoin(F.broadcast(budget))
+        .where(F.col("__before") + F.col("est_tokens") <= F.col("__budget"))
+        .select(
+            id_col,
+            "priority",
+            "est_tokens",
+            (F.col("__before") + F.col("est_tokens")).alias("cum_tokens"),
+        )
+    )

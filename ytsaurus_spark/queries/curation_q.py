@@ -384,3 +384,34 @@ def curation_train_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.train_mix_weights(
         cat.read("documents"), alpha=0.5
     ).orderBy("source")
+
+
+# --- budget-capped quality selection ---------------------------------------
+
+@register(
+    "curation_select_to_budget",
+    """
+    WITH stats AS (
+      SELECT doc_id,
+             CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens,
+             CAST((CAST(len(list_distinct(string_split(text, ' ')))
+                     AS BIGINT) * 1000000)
+                  // len(string_split(text, ' ')) AS BIGINT) AS priority
+      FROM documents
+    ), b AS (
+      SELECT CAST(sum(est_tokens) // 10 AS BIGINT) AS budget FROM stats
+    ), c AS (
+      SELECT doc_id, priority, est_tokens,
+             CAST(sum(est_tokens) OVER (
+               ORDER BY priority DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM stats
+    )
+    SELECT doc_id, priority, est_tokens, cum_tokens
+    FROM c CROSS JOIN b WHERE cum_tokens <= budget
+    """,
+)
+def curation_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked fill to 1/10 of the corpus's token budget."""
+    cat = load_tables(spark, sf_dir)
+    return curation.select_to_budget(cat.read("documents"), budget_denom=10)
