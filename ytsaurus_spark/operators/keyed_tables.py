@@ -218,3 +218,20 @@ class KeyedTable:
             max_versions=self.max_versions,
             _history=hist,
         )
+
+
+    def reshard_with_pivots(self, pivots: list) -> DataFrame:
+        """ReshardTable with EXPLICIT pivot keys (the reference's primary
+        form — ReshardTable(path, pivot_keys), table_client.h:389-394):
+        tablet i holds keys in [pivot[i-1], pivot[i]), tablet 0 everything
+        below the first pivot. Returns the table with its ``tablet``
+        assignment, hash-partitioned by tablet so each tablet's rows are
+        co-located — deterministic, unlike the sampled bounds of
+        ``reshard`` (which mirrors the no-pivots auto form)."""
+        key = self.key_cols[0]
+        tablet = sum(
+            (F.when(F.col(key) >= F.lit(p), 1).otherwise(0) for p in pivots),
+            F.lit(0),
+        )
+        out = self.df.withColumn("tablet", tablet.cast("int"))
+        return out.repartition(max(1, len(pivots) + 1), "tablet")

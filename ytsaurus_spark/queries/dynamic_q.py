@@ -828,3 +828,173 @@ def pipeline_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- ReshardTable with explicit pivot keys ---------------------------------
+
+@register(
+    "dyn_reshard_pivots",
+    """
+    SELECT (CASE WHEN c_custkey >= 400 THEN 1 ELSE 0 END
+            + CASE WHEN c_custkey >= 800 THEN 1 ELSE 0 END
+            + CASE WHEN c_custkey >= 1200 THEN 1 ELSE 0 END) AS tablet,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def dyn_reshard_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-pivot ReshardTable: per-tablet row counts and key ranges
+    after assignment — proves every key landed in its pivot interval."""
+    cat = load_tables(spark, sf_dir)
+    t = KeyedTable(df=cat.read("customer"), key_cols=["c_custkey"])
+    sharded = t.reshard_with_pivots([400, 800, 1200])
+    return sharded.groupBy("tablet").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+# --- Computed (virtual) key columns ----------------------------------------
+
+@register(
+    "dyn_computed_key_columns",
+    """
+    SELECT (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+            % 8) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(c_custkey) AS BIGINT) AS min_key
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def dyn_computed_key_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A computed key column (TColumnSchema::Expression — the reference's
+    farm_hash(key) % n sharding idiom) materialized at write time through
+    the TableSchema, then aggregated by the computed shard."""
+    from ytsaurus_spark.yt_types import (
+        ColumnSchema,
+        TableSchema,
+        materialize_computed_columns,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    schema = TableSchema(
+        columns=[
+            ColumnSchema(
+                "shard",
+                "int64",
+                sort_order="ascending",
+                expression=(
+                    "pmod(CAST(conv(substring(md5(CAST(c_custkey AS STRING)),"
+                    " 1, 4), 16, 10) AS BIGINT), 8)"
+                ),
+            ),
+            ColumnSchema("c_custkey", "int64", sort_order="ascending"),
+            ColumnSchema("c_name", "utf8"),
+        ]
+    )
+    df = cat.read("customer").select("c_custkey", "c_name")
+    materialized = materialize_computed_columns(df, schema)
+    return materialized.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+    )
+
+
+# --- AlterTable schema evolution -------------------------------------------
+
+@register(
+    "dyn_schema_evolution",
+    """
+    SELECT 'fully_compatible' AS verdict,
+           CAST(c_custkey AS BIGINT) AS c_custkey,
+           c_name,
+           CAST(NULL AS VARCHAR) AS segment
+    FROM customer
+    WHERE c_custkey <= 100
+    """,
+)
+def dyn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AlterTable evolution: widen a key column int32 -> int64 and add an
+    optional column. The compatibility verdict (the reference's
+    CheckTableSchemaCompatibility three-way result) is computed by the
+    engine and carried in the output — the oracle pins it."""
+    from ytsaurus_spark.yt_types import (
+        ColumnSchema,
+        TableSchema,
+        check_schema_compatibility,
+    )
+
+    old = TableSchema(
+        columns=[
+            ColumnSchema("c_custkey", "int32", sort_order="ascending"),
+            ColumnSchema("c_name", "utf8"),
+        ]
+    )
+    new = TableSchema(
+        columns=[
+            ColumnSchema("c_custkey", "int64", sort_order="ascending"),
+            ColumnSchema("c_name", "utf8"),
+            ColumnSchema("segment", "utf8"),
+        ]
+    )
+    verdict = check_schema_compatibility(old, new)
+    cat = load_tables(spark, sf_dir)
+    df = (
+        cat.read("customer")
+        .where(F.col("c_custkey") <= 100)
+        .select(
+            F.lit(verdict).alias("verdict"),
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.lit(None).cast("string").alias("segment"),
+        )
+    )
+    return df
+
+
+# --- Query Tracker lifecycle end-to-end ------------------------------------
+
+@register(
+    "qt_lifecycle",
+    """
+    SELECT 'completed' AS state, 'sql' AS engine, 'draft' AS draft_state,
+           CAST(5 AS BIGINT) AS result_count,
+           n_regionkey, CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def qt_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query Tracker end-to-end: submit through StartQuery, poll to
+    completion, read the durably-written result back with
+    ReadQueryResult, and pin the lifecycle fields (state, engine,
+    result_count, a draft query's non-execution) in the output."""
+    from ytsaurus_spark.query_tracker import QueryTracker
+
+    cat = load_tables(spark, sf_dir)
+    cat.read("nation").createOrReplaceTempView("qt_nation")
+    qt = QueryTracker(spark)
+    qid = qt.start_query(
+        "sql",
+        "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n "
+        "FROM qt_nation GROUP BY n_regionkey",
+        annotations={"purpose": "round6-gate"},
+    )
+    draft_id = qt.start_query("sql", "SELECT 1", draft=True)
+    rec = qt.wait(qid)
+    qt.alter_query(qid, {"reviewed": "yes"})
+    draft_state = qt.get_query(draft_id)["state"]
+    out = qt.read_query_result(qid)
+    return out.select(
+        F.lit(rec["state"]).alias("state"),
+        F.lit(rec["engine"]).alias("engine"),
+        F.lit(draft_state).alias("draft_state"),
+        F.lit(int(rec["result_count"])).cast("long").alias("result_count"),
+        "n_regionkey",
+        "n",
+    )

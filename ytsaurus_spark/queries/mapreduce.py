@@ -496,3 +496,139 @@ def op_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --- spec-dict submission + OperationTracker lifecycle ---------------------
+
+@register(
+    "op_spec_tracker",
+    """
+    SELECT 'op-000001' AS op_id, 'completed' AS state,
+           'map_reduce' AS op_type,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def op_spec_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `run_operation(spec_dict, tracker)` path end-to-end: a reference
+    user's map_reduce spec submitted verbatim, lifecycle polled back from
+    the tracker (get_operation/list_operations), tracker fields joined
+    onto the result so the oracle proves both the computation AND the
+    recorded scheduler state."""
+    cat = load_tables(spark, sf_dir)
+    tracker = mr.OperationTracker()
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "o_orderpriority": pdf["o_orderpriority"],
+                    "cents": (pdf["o_totalprice"] * 100).round().astype("int64"),
+                }
+            )
+
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "total_cents": [pdf["cents"].sum()],
+            }
+        )
+
+    spec = {
+        "operation_type": "map_reduce",
+        "input_table_paths": ["orders"],
+        "mapper": {
+            "command": mapper,
+            "output_schema": "o_orderpriority string, cents bigint",
+        },
+        "reduce_by": ["o_orderpriority"],
+        "reducer": {
+            "command": reducer,
+            "output_schema": (
+                "o_orderpriority string, n_orders bigint, total_cents bigint"
+            ),
+        },
+    }
+    out = mr.run_operation(cat, spec, tracker=tracker)
+    rec = tracker.list_operations(state="completed", op_type="map_reduce")[0]
+    assert tracker.get_operation(rec["id"])["state"] == "completed"
+    return out.select(
+        F.lit(rec["id"]).alias("op_id"),
+        F.lit(rec["state"]).alias("state"),
+        F.lit(rec["operation_type"]).alias("op_type"),
+        "o_orderpriority",
+        "n_orders",
+        "total_cents",
+    )
+
+
+# --- Vanilla operation (vanilla_controller.cpp) ----------------------------
+
+@register(
+    "op_vanilla_generate",
+    """
+    SELECT CAST(i AS INTEGER) AS job, CAST(j AS INTEGER) AS seq,
+           CAST(i * 10 + j AS BIGINT) AS val
+    FROM range(4) t(i) CROSS JOIN range(5) s(j)
+    """,
+)
+def op_vanilla_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vanilla: 4 input-less parallel jobs, each emitting 5 deterministic
+    rows to the task's output table — submitted through the spec-dict
+    path so the vanilla controller shape is the one exercised."""
+    cat = load_tables(spark, sf_dir)
+
+    def job(i: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"job": [i] * 5, "seq": list(range(5)), "val": [i * 10 + j for j in range(5)]}
+        )
+
+    spec = {
+        "operation_type": "vanilla",
+        "tasks": {
+            "gen": {
+                "job_count": 4,
+                "command": job,
+                "output_schema": "job int, seq int, val bigint",
+            }
+        },
+    }
+    return mr.run_operation(cat, spec)["gen"]
+
+
+# --- RemoteCopy (remote_copy_job.cpp) --------------------------------------
+
+@register(
+    "op_remote_copy",
+    """
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def op_remote_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RemoteCopy a table to a second storage root (partition layout
+    re-established on s_nationkey), then aggregate FROM THE COPY — the
+    oracle over the source proves copy fidelity."""
+    import os
+    import tempfile
+
+    from ytsaurus_spark.sources import formats as fmts
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    dst = os.path.join(tempfile.mkdtemp(prefix="ytspark_rcopy_"), "supplier")
+    fmts.remote_copy(spark, src, dst, partition_by=["s_nationkey"])
+    copied = fmts.read_table(spark, dst)
+    return copied.groupBy(F.col("s_nationkey").cast("long").alias("s_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )
