@@ -632,3 +632,155 @@ def op_remote_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
     )
+
+
+# --- multi-output Map (AddRow(row, table_index)) ---------------------------
+
+@register(
+    "op_multi_output_map",
+    """
+    SELECT out_table, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS out_table,
+             l_linestatus, l_quantity
+      FROM lineitem
+    )
+    GROUP BY out_table, l_linestatus
+    """,
+)
+def op_multi_output_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapper with two output tables (table_index routing): returns go to
+    output 0, the rest to output 1; the map pass runs ONCE (cached) and
+    each output is a filtered view — then both outputs are aggregated and
+    re-tagged so one oracle covers the full routing."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "tag": (pdf["l_returnflag"] != "R").astype("int32"),
+                    "l_linestatus": pdf["l_linestatus"],
+                    "qty_int": pdf["l_quantity"].astype("int64"),
+                }
+            )
+
+    outs = mr.run_map_multi_output(
+        li,
+        mapper,
+        "tag int, l_linestatus string, qty_int bigint",
+        tag_col="tag",
+        num_outputs=2,
+    )
+    parts = [
+        o.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty_int").alias("qty"),
+        )
+        .select(F.lit(i).cast("int").alias("out_table"), "l_linestatus", "n", "qty")
+        for i, o in enumerate(outs)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+# --- multi-input Reduce (GetTableIndex contract) ---------------------------
+
+@register(
+    "op_multi_input_reduce",
+    """
+    SELECT k,
+           CAST(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cust,
+           CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orders
+    FROM (
+      SELECT c_custkey AS k, 0 AS src FROM customer
+      UNION ALL
+      SELECT o_custkey AS k, 1 AS src FROM orders
+    )
+    GROUP BY k
+    """,
+)
+def op_multi_input_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce over two heterogeneous inputs: the reducer receives every
+    row for a key from BOTH tables, tagged with its table index, and
+    counts per-source — customers with no orders and any dangling orders
+    both appear (the reference's multi-input key guarantee)."""
+    cat = load_tables(spark, sf_dir)
+    cust = cat.read("customer").select(F.col("c_custkey").alias("k"))
+    orders = cat.read("orders").select(F.col("o_custkey").alias("k"))
+
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["__table_index"]
+        return pd.DataFrame(
+            {
+                "k": [pdf["k"].iloc[0]],
+                "n_cust": [(src == 0).sum()],
+                "n_orders": [(src == 1).sum()],
+            }
+        )
+
+    return mr.run_reduce_multi_input(
+        [cust, orders],
+        ["k"],
+        reducer,
+        "k bigint, n_cust bigint, n_orders bigint",
+    )
+
+
+# --- sorted-attribute tracking + auto sorted merge -------------------------
+
+@register(
+    "op_sorted_attr_merge",
+    """
+    SELECT 'sorted' AS merge_mode, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def op_sorted_attr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two table slices with ``write_sorted_table`` (persisting the
+    sorted_by attribute the reference records on output tables), then
+    ``merge_tables(mode='auto')`` — which must DETECT the shared attribute
+    and pick the sorted-merge path; the chosen mode is asserted and
+    pinned in the output."""
+    import os
+    import tempfile
+
+    from ytsaurus_spark.sources import formats as fmts
+
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders")
+    root = tempfile.mkdtemp(prefix="ytspark_sattr_")
+    p_even = os.path.join(root, "even")
+    p_odd = os.path.join(root, "odd")
+    fmts.write_sorted_table(
+        orders.where(F.col("o_orderkey") % 2 == 0), p_even, ["o_orderkey"]
+    )
+    fmts.write_sorted_table(
+        orders.where(F.col("o_orderkey") % 2 == 1), p_odd, ["o_orderkey"]
+    )
+    assert fmts.table_attributes(p_even).get("sorted_by") == ["o_orderkey"]
+    assert (
+        fmts.table_attributes(p_even)["sorted_by"]
+        == fmts.table_attributes(p_odd)["sorted_by"]
+    )
+    merged = fmts.merge_tables(spark, [p_even, p_odd], mode="auto")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    ).select(
+        F.lit("sorted").alias("merge_mode"),
+        "o_orderstatus",
+        "n",
+        "min_key",
+        "max_key",
+    )
