@@ -329,3 +329,44 @@ def layout_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@register(
+    "fmt_codec_roundtrip",
+    """
+    SELECT codec, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM part CROSS JOIN (
+      SELECT unnest(['zstd', 'gzip', 'snappy']) AS codec
+    )
+    GROUP BY codec
+    """,
+)
+def fmt_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec roundtrip (the reference's per-block codec choice
+    → parquet codec selection): the same table written under zstd, gzip,
+    and snappy, read back, and aggregated per codec — identical rows
+    under every codec proves codec-transparent storage."""
+    from ytsaurus_spark.sources.formats import read_table, write_table
+
+    cat = load_tables(spark, sf_dir)
+    part = cat.read("part")
+    root = tempfile.mkdtemp(prefix="ytspark_codec_")
+    outs = []
+    for codec in ("zstd", "gzip", "snappy"):
+        p = os.path.join(root, codec)
+        write_table(part, p, fmt="parquet", compression=codec)
+        back = read_table(spark, p)
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias(
+                    "price_cents"
+                ),
+            ).select(F.lit(codec).alias("codec"), "n", "price_cents")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
