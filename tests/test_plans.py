@@ -345,6 +345,9 @@ SCAN_BUDGETS = {
     "graph_pagerank": 2,  # persisted edges: one li + one orders read
     "pipeline_clean_corpus": 1,  # persisted canon set
     "pipeline_training_export": 2,  # persisted dd + benchmark slice
+    "dedup_exact_substring": 2,  # persisted gram stream + short-doc base
+    "curation_select_to_budget": 1,  # persisted doc-grain stats
+    "text_unigram_surprisal": 1,  # persisted (doc, word) counts
 }
 
 

@@ -444,7 +444,11 @@ def select_to_budget(
     ``prefix_sum`` (no single-partition window anywhere), the corpus
     total is a 1-row broadcast, and everything else is a projection.
     All arithmetic is integer (ceil via ``(x + 3) div 4``, ranking via
-    integer cross-multiplication) — bit-identical in the oracle."""
+    integer cross-multiplication) — bit-identical in the oracle.
+    The doc-grain stats projection is persisted (3 small columns, the
+    fold/push/persist rule's all-consumers-need-all case) so the
+    budget total, the ordering key, and the prefix sum all read it
+    without re-scanning the corpus text."""
     stats = docs.select(
         F.col(id_col),
         F.expr(f"((`{chars_col}`) + 3) div 4").cast("long").alias("est_tokens"),
@@ -452,7 +456,7 @@ def select_to_budget(
             f"(CAST(size(array_distinct(split(`{text_col}`, ' '))) AS BIGINT)"
             f" * 1000000) div size(split(`{text_col}`, ' '))"
         ).cast("long").alias("priority"),
-    )
+    ).persist()
     # integer ordering key: priority DESC, doc_id ASC
     keyed = stats.withColumn(
         "__k",

@@ -657,6 +657,9 @@ def exact_substring_coverage(
 
     L = gram_len
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    # persisted: the duplicate-gram counts AND the position hits both read
+    # this gram stream — without the persist the corpus text is hashed
+    # three times (grams, dup filter probe, hit probe)
     grams = toks.select(
         id_col,
         F.posexplode(
@@ -667,7 +670,7 @@ def exact_substring_coverage(
                 f"ELSE array() END"
             )
         ).alias("pos", "g"),
-    )
+    ).persist()
     dup_grams = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -568,14 +568,17 @@ def unigram_surprisal(
     ``bits(w) = floorlog2(total_tokens) - floorlog2(count(w))`` and doc
     scores are exact BIGINT sums — order-independent at any scale.
 
-    Shape at 100 TB: two word-grain groupBys (both map-side combinable),
+    Shape at 100 TB: the corpus explodes ONCE into (doc, word) counts —
+    persisted, since the vocab counts, the total, and the per-doc scores
+    all derive from it — then word-grain groupBys (map-side combinable),
     a 1-row total broadcast, and a word-grain join for the score lookup
     (AQE broadcasts it while the vocab fits); the final agg is doc-grain.
     """
     words = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    dw = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    wc = dw.groupBy("w").agg(F.sum("c").alias("cnt"))
     total = wc.agg(F.sum("cnt").alias("total"))
 
     def flog2(c):
@@ -584,7 +587,6 @@ def unigram_surprisal(
     sur = wc.crossJoin(F.broadcast(total)).select(
         "w", (flog2(F.col("total")) - flog2(F.col("cnt"))).cast("long").alias("bits")
     )
-    dw = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
     return (
         dw.join(sur, "w")
         .groupBy(id_col)

@@ -103,8 +103,34 @@ def executed_scan_tables(df: DataFrame, run: bool = True) -> dict[str, int]:
     }
     full = df._jdf.queryExecution().executedPlan().toString()
     final = full.split("== Initial Plan ==")[0]
+    # A persisted frame prints its cached child plan (FileScan included)
+    # under EVERY InMemoryTableScan consumer, but the parquet read runs
+    # exactly once — at cache materialization. Count a FileScan nested
+    # under InMemoryRelation once per DISTINCT cached relation (keyed by
+    # the scan's printed signature), and every uncached FileScan as-is.
     out: dict[str, int] = {}
-    for m in re.finditer(r"FileScan \w+ \[([A-Za-z_0-9]*)", final):
+    cache_depths: list[int] = []  # indents of open InMemoryRelation blocks
+    seen_cached_scans: set[str] = set()
+
+    def _indent(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else 0
+
+    for line in final.splitlines():
+        ind = _indent(line)
+        while cache_depths and ind <= cache_depths[-1]:
+            cache_depths.pop()
+        if "InMemoryRelation" in line:
+            cache_depths.append(ind)
+            continue
+        m = re.search(r"FileScan \w+ \[([A-Za-z_0-9]*)", line)
+        if not m:
+            continue
+        if cache_depths:
+            sig = line[m.start():].strip()
+            if sig in seen_cached_scans:
+                continue
+            seen_cached_scans.add(sig)
         first_col = m.group(1)
         prefix = first_col.split("_", 1)[0] if first_col else ""
         table = prefix_to_table.get(prefix, f"?{first_col}")
