@@ -623,3 +623,39 @@ def test_scalar_quantize_int8(spark):
     assert out[1].max_abs_err_1e9 == 0 and out[2].max_abs_err_1e9 == 0
     assert out[3].max_abs_err_1e9 == round((128 / 255 - 0.5) * 1e9)
     assert out[1].code_md5 != out[2].code_md5
+
+
+def test_exact_dedup_keep_best(spark):
+    # docs 1,2 identical text; doc 3 same words but duplicated (lower TTR)
+    df = spark.createDataFrame(
+        [(5, "a b c d"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id bigint, text string",
+    )
+    out = {r.text_hash: r for r in dedup.exact_dedup_keep_best(df).collect()}
+    dup = [r for r in out.values() if r.n_dups == 2][0]
+    assert dup.kept_id == 2  # equal priority -> lowest id wins
+    solo = [r for r in out.values() if r.n_dups == 1][0]
+    assert solo.kept_id == 3 and solo.priority == 500000
+
+
+def test_feature_hash_sums_to_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z x"), (2, "q")], "doc_id bigint, text string"
+    )
+    out = text.feature_hash(df, num_buckets=4).collect()
+    per_doc = {}
+    for r in out:
+        assert 0 <= r.bucket < 4
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.cnt
+    assert per_doc == {1: 4, 2: 1}
+
+
+def test_bigram_surprisal_exact_bits(spark):
+    # corpus bigrams: (a,b) x4, (a,c) x4 -> ctx(a)=8; bits = 3-2 = 1 each
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a b"),
+         (5, "a c"), (6, "a c"), (7, "a c"), (8, "a c")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.bigram_surprisal(df).collect()}
+    assert all(r.n_bigrams == 1 and r.total_bits == 1 for r in out.values())

@@ -699,3 +699,39 @@ def exact_substring_coverage(
         dup.alias("dup_tokens"),
         (dup / F.col("n_tokens")).alias("dup_ratio"),
     )
+
+
+def exact_dedup_keep_best(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup with QUALITY-ranked survivor selection: within each
+    content-hash group keep the document with the highest lexical
+    diversity (scaled type-token ratio, exact integer), ties broken by
+    lowest id — the production variant of ``exact_dedup``'s keep-first
+    rule when duplicates differ in metadata but pipelines must keep the
+    best-scored copy deterministically.
+
+    One hash-partitioned window (row_number per md5 group) — the same
+    single-shuffle cost as exact_dedup."""
+    from pyspark.sql import Window
+
+    pri = F.expr(
+        f"(CAST(size(array_distinct(split(`{text_col}`, ' '))) AS BIGINT)"
+        f" * 1000000) div size(split(`{text_col}`, ' '))"
+    )
+    w = Window.partitionBy("text_hash").orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    )
+    ranked = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_hash"),
+        pri.cast("long").alias("priority"),
+    ).withColumn("__rn", F.row_number().over(w))
+    grp = ranked.groupBy("text_hash").agg(F.count(F.lit(1)).alias("n_dups"))
+    kept = ranked.where(F.col("__rn") == 1).drop("__rn")
+    return kept.join(grp, "text_hash").select(
+        "text_hash",
+        F.col(id_col).alias("kept_id"),
+        "priority",
+        "n_dups",
+    )

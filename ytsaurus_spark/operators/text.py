@@ -601,3 +601,92 @@ def unigram_surprisal(
             (F.col("total_bits") / F.col("n_tokens")).alias("mean_bits"),
         )
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    num_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing vectorizer (the "hashing trick"): bag-of-words
+    counts folded into ``num_buckets`` dimensions by a stable md5 bucket
+    of each word — the standard fixed-width featurization for linear
+    classifiers/near-dup embeddings when the vocabulary is unbounded.
+
+    Long output form (doc_id, bucket, cnt): the natural distributed
+    layout (one map-side-combinable groupBy, no wide pivot), and the
+    dense vector is one ``collect_list`` away for consumers that need
+    it. Bucket ids are md5-derived, so the same word lands in the same
+    bucket on any engine or cluster size."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long")
+        % num_buckets
+    )
+    return (
+        words.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram conditional-surprisal score per document, in exact whole-bit
+    arithmetic (see ``unigram_surprisal`` for why libm is banned):
+    ``bits(w1 w2) = floorlog2(count(w1 ·)) - floorlog2(count(w1 w2))`` —
+    the integer form of -log2 P(w2 | w1), where the context count sums
+    over bigram STARTS so conditional probabilities are well-formed.
+    Low mean bits = highly predictable word-to-word transitions
+    (boilerplate/templates); high = unusual transitions.
+
+    Shape: one projection builds per-doc bigram arrays (scan-stage HOFs),
+    the (doc, bigram) counts persist once (corpus bigram counts, context
+    counts, and per-doc scores all derive from them), then bigram-grain
+    joins. Docs with <2 words have no bigrams and are excluded."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(`{text_col}`, ' ')) >= 2 THEN "
+                f"transform(sequence(0, size(split(`{text_col}`, ' ')) - 2), "
+                f"i -> struct(element_at(split(`{text_col}`, ' '), i + 1) AS w1, "
+                f"element_at(split(`{text_col}`, ' '), i + 2) AS w2)) "
+                f"ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    dbg = (
+        grams.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    bg_counts = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("bg_cnt"))
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("bg_cnt").alias("ctx_cnt"))
+
+    def flog2(c):
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    scored = bg_counts.join(ctx_counts, "w1").select(
+        "w1",
+        "w2",
+        (flog2(F.col("ctx_cnt")) - flog2(F.col("bg_cnt"))).cast("long").alias("bits"),
+    )
+    return (
+        dbg.join(scored, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("bits")).cast("long").alias("total_bits"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "total_bits",
+            (F.col("total_bits") / F.col("n_bigrams")).alias("mean_bits"),
+        )
+    )

@@ -1953,3 +1953,88 @@ def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized embedding codes + reconstruction fidelity."""
     cat = load_tables(spark, sf_dir)
     return similarity.scalar_quantize_int8(cat.read("embeddings"))
+
+
+# --- exact dedup with quality-ranked survivor ------------------------------
+
+@register(
+    "dedup_exact_keep_best",
+    """
+    WITH p AS (
+      SELECT doc_id, md5(text) AS text_hash,
+             CAST((CAST(len(list_distinct(string_split(text, ' ')))
+                     AS BIGINT) * 1000000)
+                  // len(string_split(text, ' ')) AS BIGINT) AS priority
+      FROM documents
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY text_hash
+                                ORDER BY priority DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY text_hash) AS n_dups
+      FROM p
+    )
+    SELECT text_hash, doc_id AS kept_id, priority,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the best-scored duplicate per content hash."""
+    cat = load_tables(spark, sf_dir)
+    return dedup.exact_dedup_keep_best(cat.read("documents"))
+
+
+# --- feature-hashing vectorizer --------------------------------------------
+
+@register(
+    "text_feature_hash",
+    """
+    SELECT doc_id,
+           (('0x' || substr(md5(w), 1, 4))::BIGINT % 16) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket hashing-trick bag-of-words featurization, long form."""
+    cat = load_tables(spark, sf_dir)
+    return text.feature_hash(cat.read("documents"), num_buckets=16)
+
+
+# --- bigram conditional surprisal ------------------------------------------
+
+@register(
+    "text_bigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+    ), dbg AS (
+      SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY doc_id, w1, w2
+    ), bgc AS (
+      SELECT w1, w2, CAST(sum(c) AS BIGINT) AS bg_cnt
+      FROM dbg GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(sum(bg_cnt) AS BIGINT) AS ctx_cnt FROM bgc GROUP BY w1
+    ), s AS (
+      SELECT w1, w2,
+             (length(to_base(ctx_cnt, 2)) - 1)
+               - (length(to_base(bg_cnt, 2)) - 1) AS bits
+      FROM bgc JOIN ctx USING (w1)
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(sum(c * bits) AS BIGINT) AS total_bits,
+           CAST(sum(c * bits) AS BIGINT) / CAST(sum(c) AS BIGINT)
+             AS mean_bits
+    FROM dbg JOIN s USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-bit bigram conditional surprisal trained on the corpus."""
+    cat = load_tables(spark, sf_dir)
+    return text.bigram_surprisal(cat.read("documents"))
