@@ -348,6 +348,9 @@ SCAN_BUDGETS = {
     "dedup_exact_substring": 2,  # persisted gram stream + short-doc base
     "curation_select_to_budget": 1,  # persisted doc-grain stats
     "text_unigram_surprisal": 1,  # persisted (doc, word) counts
+    "text_bigram_surprisal": 1,  # persisted (doc, bigram) counts
+    "dedup_exact_keep_best": 1,  # single window pass (rank + group size)
+    "text_feature_hash": 1,
 }
 
 

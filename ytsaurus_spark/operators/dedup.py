@@ -711,8 +711,9 @@ def exact_dedup_keep_best(
     rule when duplicates differ in metadata but pipelines must keep the
     best-scored copy deterministically.
 
-    One hash-partitioned window (row_number per md5 group) — the same
-    single-shuffle cost as exact_dedup."""
+    One hash-partitioned window pass computes BOTH the rank and the
+    group size (count over the same partition) — one shuffle, one corpus
+    scan, same cost as exact_dedup."""
     from pyspark.sql import Window
 
     pri = F.expr(
@@ -722,14 +723,17 @@ def exact_dedup_keep_best(
     w = Window.partitionBy("text_hash").orderBy(
         F.col("priority").desc(), F.col(id_col).asc()
     )
-    ranked = docs.select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("text_hash"),
-        pri.cast("long").alias("priority"),
-    ).withColumn("__rn", F.row_number().over(w))
-    grp = ranked.groupBy("text_hash").agg(F.count(F.lit(1)).alias("n_dups"))
-    kept = ranked.where(F.col("__rn") == 1).drop("__rn")
-    return kept.join(grp, "text_hash").select(
+    wg = Window.partitionBy("text_hash")
+    ranked = (
+        docs.select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("text_hash"),
+            pri.cast("long").alias("priority"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(wg).cast("long"))
+    )
+    return ranked.where(F.col("__rn") == 1).select(
         "text_hash",
         F.col(id_col).alias("kept_id"),
         "priority",
