@@ -659,3 +659,18 @@ def test_bigram_surprisal_exact_bits(spark):
     )
     out = {r.doc_id: r for r in text.bigram_surprisal(df).collect()}
     assert all(r.n_bigrams == 1 and r.total_bits == 1 for r in out.values())
+
+
+def test_knn_classify_separable(spark):
+    # two well-separated clusters along orthogonal axes
+    rows = []
+    for i in range(20):
+        lab = i % 2
+        base = [1.0, 0.0] if lab == 0 else [0.0, 1.0]
+        rows.append((i, [base[0] + 0.01 * (i % 3), base[1]], lab))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = similarity.knn_classify(df, k=3, query_mod=10).collect()
+    assert len(out) == 2  # vec_ids 0 and 10 held out
+    assert all(r.correct for r in out)

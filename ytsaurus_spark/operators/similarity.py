@@ -808,3 +808,53 @@ def scalar_quantize_int8(
             F.max("err").alias("max_abs_err_1e9"),
         )
     )
+
+
+def knn_classify(
+    vectors: DataFrame,
+    k: int = 5,
+    query_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification with a deterministic hold-out
+    split: vectors whose id ≡ 0 (mod ``query_mod``) are the evaluation
+    queries, the rest the labeled corpus. Each query takes its ``k``
+    nearest corpus neighbors by exact cosine and predicts the majority
+    label (ties: more votes first, then smaller label) — the standard
+    embedding-quality probe run after any embedding/quantization change.
+
+    Scale shape is ``cosine_topk``'s: the query slice broadcasts, the
+    corpus never shuffles for scoring, and the vote is a tiny
+    (queries × k)-row aggregation. Returns one row per query:
+    (q_id, true_label, pred_label, votes, correct)."""
+    from pyspark.sql import Window as W
+
+    queries = vectors.filter(F.col(id_col) % query_mod == 0)
+    corpus = vectors.filter(F.col(id_col) % query_mod != 0)
+    topk = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    votes = (
+        topk.join(
+            corpus.select(
+                F.col(id_col).alias("c_id"), F.col(label_col).alias("nb_label")
+            ),
+            "c_id",
+        )
+        .groupBy("q_id", "nb_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("nb_label"))
+    pred = votes.withColumn("__pr", F.row_number().over(w)).where(
+        F.col("__pr") == 1
+    )
+    truth = queries.select(
+        F.col(id_col).alias("q_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(truth, "q_id").select(
+        "q_id",
+        "true_label",
+        F.col("nb_label").alias("pred_label"),
+        "votes",
+        (F.col("nb_label") == F.col("true_label")).alias("correct"),
+    )

@@ -2038,3 +2038,44 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-bit bigram conditional surprisal trained on the corpus."""
     cat = load_tables(spark, sf_dir)
     return text.bigram_surprisal(cat.read("documents"))
+
+
+# --- k-NN majority-vote classification (embedding-quality probe) -----------
+
+@register(
+    "sim_knn_classify",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS true_label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), c AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv, label AS nb_label
+      FROM embeddings WHERE vec_id % 10 <> 0
+    ), s AS (
+      SELECT q_id, true_label, c_id, nb_label,
+             list_dot_product(qv, cv) /
+               sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv))
+               AS cos
+      FROM q, c
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, c_id) AS rnk
+      FROM s
+    ), v AS (
+      SELECT q_id, true_label, nb_label, CAST(count(*) AS BIGINT) AS votes
+      FROM r WHERE rnk <= 5 GROUP BY q_id, true_label, nb_label
+    ), p AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY votes DESC, nb_label) AS pr
+      FROM v
+    )
+    SELECT q_id, true_label, nb_label AS pred_label, votes,
+           (nb_label = true_label) AS correct
+    FROM p WHERE pr = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label prediction on the deterministic 1/10
+    hold-out split of the embeddings table."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.knn_classify(cat.read("embeddings"), k=5, query_mod=10)
