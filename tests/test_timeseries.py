@@ -43,3 +43,17 @@ def test_resample_forward_fills(spark):
 def test_fill_window_is_key_partitioned(spark):
     out = resample(_series(spark), "user_id", "ts", "value")
     assert unpartitioned_window_count(out) == 0
+
+
+def test_mad_outliers_exact(spark):
+    from ytsaurus_spark.operators import timeseries
+
+    # key 1: values 1..5 plus a wild 100 -> median 3.00/3.50? lower median:
+    # n=6, rank<=3 -> median = 3.00 (300 cents); devs: 200,100,0,100,200,9700
+    # lower median of devs (rank<=3 of 0,100,100,200,200,9700) = 100
+    # outliers: dev > 300 -> only 9700
+    rows = [(i, 1, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 100])]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+    out = timeseries.mad_outliers(df).collect()[0]
+    assert out.n == 6 and out.median_cents == 300
+    assert out.mad_cents == 100 and out.n_outliers == 1

@@ -79,3 +79,67 @@ def resample(
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         F.col(value_col).isNull().alias("was_gap"),
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-key outlier detection via median absolute deviation,
+    in EXACT integer arithmetic: values scale to cents, the median is
+    the lower median element (rank ``floor((n+1)/2)`` of the
+    (cents, id)-sorted group — an actual data element, never an
+    interpolated float), MAD is the lower median of |x - median|, and a
+    row is an outlier when ``|x - median| > k * MAD``. Every quantity is
+    a BIGINT, so the flags are bit-identical on any engine.
+
+    Shape: all three passes are windows/aggs partitioned on the key —
+    co-partitioned, no global ordering anywhere; at 10^10 rows this is
+    two key-grain shuffles (ranks reuse the first exchange)."""
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    base = events.select(
+        F.col(key_col).alias("k"), F.col(order_col).alias("oid"),
+        cents.alias("cents"),
+    )
+    w_rn = W.partitionBy("k").orderBy("cents", "oid")
+    w_all = W.partitionBy("k")
+    ranked = base.withColumn("__rn", F.row_number().over(w_rn)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    med = ranked.groupBy("k").agg(
+        F.max(
+            F.when(F.col("__rn") * 2 <= F.col("__n") + 1, F.col("cents"))
+        ).alias("median_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = base.join(med, "k").withColumn(
+        "__dev", F.abs(F.col("cents") - F.col("median_cents"))
+    )
+    w_drn = W.partitionBy("k").orderBy("__dev", "oid")
+    dev_ranked = dev.withColumn("__drn", F.row_number().over(w_drn))
+    mad = dev_ranked.groupBy("k").agg(
+        F.max(
+            F.when(F.col("__drn") * 2 <= F.col("n") + 1, F.col("__dev"))
+        ).alias("mad_cents")
+    )
+    flagged = dev.join(mad, "k").withColumn(
+        "__out", F.col("__dev") > k * F.col("mad_cents")
+    )
+    return (
+        flagged.groupBy("k")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("median_cents").alias("median_cents"),
+            F.max(F.col("mad_cents")).alias("mad_cents"),
+            F.sum(F.col("__out").cast("long")).cast("long").alias("n_outliers"),
+        )
+        .select(
+            F.col("k").alias(key_col), "n", "median_cents", "mad_cents",
+            "n_outliers",
+        )
+    )

@@ -2079,3 +2079,53 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold-out split of the embeddings table."""
     cat = load_tables(spark, sf_dir)
     return similarity.knn_classify(cat.read("embeddings"), k=5, query_mod=10)
+
+
+# --- robust MAD outlier detection (exact integer arithmetic) ----------------
+
+@register(
+    "ts_mad_outliers",
+    """
+    WITH base AS (
+      SELECT user_id AS k, event_id AS oid,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY k ORDER BY cents, oid) AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM base
+    ), med AS (
+      SELECT k,
+             CAST(max(CASE WHEN rn * 2 <= n + 1 THEN cents END) AS BIGINT)
+               AS median_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ranked GROUP BY k
+    ), dev AS (
+      SELECT b.k, b.oid, b.cents, m.median_cents, m.n,
+             abs(b.cents - m.median_cents) AS dv
+      FROM base b JOIN med m USING (k)
+    ), devr AS (
+      SELECT *, row_number() OVER (PARTITION BY k ORDER BY dv, oid) AS drn
+      FROM dev
+    ), mad AS (
+      SELECT k,
+             CAST(max(CASE WHEN drn * 2 <= n + 1 THEN dv END) AS BIGINT)
+               AS mad_cents
+      FROM devr GROUP BY k
+    )
+    SELECT d.k AS user_id,
+           CAST(max(d.n) AS BIGINT) AS n,
+           CAST(max(d.median_cents) AS BIGINT) AS median_cents,
+           CAST(max(ma.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN d.dv > 3 * ma.mad_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ma USING (k)
+    GROUP BY d.k
+    """,
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier counts via exact integer median/MAD."""
+    from ytsaurus_spark.operators import timeseries
+
+    cat = load_tables(spark, sf_dir)
+    return timeseries.mad_outliers(cat.read("events"), k=3)
