@@ -674,3 +674,32 @@ def test_knn_classify_separable(spark):
     out = similarity.knn_classify(df, k=3, query_mod=10).collect()
     assert len(out) == 2  # vec_ids 0 and 10 held out
     assert all(r.correct for r in out)
+
+
+def test_c4_line_filter_rules(spark):
+    txt = "\n".join(
+        [
+            "this line is properly terminated.",   # kept
+            "too short.",                          # < 3 words
+            "no terminal punctuation here",        # no [.!?"]
+            "this has a brace { in it.",           # brace
+            "enable javascript to continue now.",  # javascript
+            'he said "fine words indeed."',        # kept (quote end ok? ends with ")
+        ]
+    )
+    df = spark.createDataFrame([(1, txt)], "doc_id bigint, text string")
+    r = text.c4_line_filter(df).collect()[0]
+    assert r.n_lines == 6 and r.n_kept == 2
+
+
+def test_corpus_diff_statuses(spark):
+    from ytsaurus_spark.operators import curation
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id bigint, text string"
+    )
+    st = {r.doc_id: r.status for r in curation.corpus_diff(old, new).collect()}
+    assert st == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

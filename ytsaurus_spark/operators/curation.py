@@ -477,3 +477,30 @@ def select_to_budget(
             (F.col("__before") + F.col("est_tokens")).alias("cum_tokens"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content hash: one
+    row per document id with status ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` — the static-table analog of the
+    dynamic-table CDC ``changes_between``, used to audit what a
+    recrawl/refresh actually did before retraining on it.
+
+    One full-outer hash join on the id; content comparison is md5, so
+    the diff never shuffles document bodies — at 100 TB both sides
+    reduce to (id, 32-byte hash) before the join."""
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__oh"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__nh"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), "added")
+        .when(F.col("__nh").isNull(), "removed")
+        .when(F.col("__oh") == F.col("__nh"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(F.col(id_col), status.alias("status"))

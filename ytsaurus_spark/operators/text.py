@@ -690,3 +690,31 @@ def bigram_surprisal(
             (F.col("total_bits") / F.col("n_bigrams")).alias("mean_bits"),
         )
     )
+
+
+def c4_line_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that (a) have >= 3 words, (b) end in terminal punctuation,
+    (c) contain no '{', (d) contain neither "lorem ipsum" nor
+    "javascript" (case-insensitive). Returns per-doc counts plus an md5
+    of the kept text, so the cleaned content itself is oracle-hashable.
+
+    One projection of array HOFs over the line split — scan-stage only,
+    no shuffle; the filter conditions are all exact string predicates."""
+    t = f"`{text_col}`"
+    lines = f"split({t}, '\\n')"
+    keep = (
+        "filter({lines}, l -> size(split(l, ' ')) >= 3 "
+        "AND l rlike '[.!?\"]$' "
+        "AND NOT l rlike '\\\\{{' "
+        "AND NOT lower(l) rlike 'lorem ipsum' "
+        "AND NOT lower(l) rlike 'javascript')"
+    ).format(lines=lines)
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(f"size({keep})").cast("long").alias("n_kept"),
+        F.expr(f"md5(array_join({keep}, CHAR(10)))").alias("kept_md5"),
+    )

@@ -2129,3 +2129,84 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = load_tables(spark, sf_dir)
     return timeseries.mad_outliers(cat.read("events"), k=3)
+
+
+# --- C4 line-level cleaning --------------------------------------------------
+
+@register(
+    "text_c4_line_filter",
+    """
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_lines,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           md5(COALESCE(array_to_string(k, chr(10)), '')) AS kept_md5
+    FROM (
+      SELECT doc_id, l,
+             list_filter(l, x -> len(string_split(x, ' ')) >= 3
+                AND regexp_matches(x, '[.!?"]$')
+                AND NOT regexp_matches(x, '\\{')
+                AND NOT regexp_matches(lower(x), 'lorem ipsum')
+                AND NOT regexp_matches(lower(x), 'javascript')) AS k
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
+    )
+    """,
+)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-filter rules with the cleaned text md5-pinned per doc."""
+    cat = load_tables(spark, sf_dir)
+    return text.c4_line_filter(cat.read("documents"))
+
+
+# --- corpus snapshot diff ----------------------------------------------------
+
+@register(
+    "curation_corpus_diff",
+    """
+    WITH oldv AS (
+      SELECT doc_id, md5(text) AS oh FROM documents
+    ), newv AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+               AS nh
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5('new ' || text)
+      FROM documents WHERE doc_id % 19 = 0
+    ), j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.oh IS NULL THEN 'added'
+                  WHEN n.nh IS NULL THEN 'removed'
+                  WHEN o.oh = n.nh THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM oldv o FULL OUTER JOIN newv n USING (doc_id)
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM j GROUP BY status
+    """,
+)
+def curation_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (added/removed/changed/unchanged) between the corpus
+    and a deterministically perturbed recrawl of it, counted by status."""
+    from ytsaurus_spark.operators import curation
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    changed = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.where(F.col("doc_id") % 17 != 0)
+        .select("doc_id", changed.alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    diff = curation.corpus_diff(docs, new)
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
