@@ -62,3 +62,32 @@ def test_kmv_intersect_estimates_large_overlap(spark):
     assert 3500 < est["est_union"] < 5500      # true 4500
     assert 900 < est["est_intersect"] < 2100   # true 1500
     assert 0.15 < est["jaccard"] < 0.55        # true 0.333
+
+
+def test_count_min_upper_bound_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators import sketches
+
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 3, "v string")
+    b = spark.createDataFrame([("x",)] * 5 + [("z",)] * 7, "v string")
+    sk_a = sketches.count_min_build(a, "v", depth=4, width=8)
+    sk_b = sketches.count_min_build(b, "v", depth=4, width=8)
+    # cell-wise merge == sketch of the concatenated stream
+    merged = (
+        sk_a.unionByName(sk_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    sk_ab = sketches.count_min_build(a.unionByName(b), "v", depth=4, width=8)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in sk_ab.collect()
+    }
+    probes = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+    est = {
+        r.v: r.cms_est
+        for r in sketches.count_min_estimate(
+            merged, probes, "v", depth=4, width=8
+        ).collect()
+    }
+    assert est["x"] >= 15 and est["y"] >= 3 and est["z"] >= 7

@@ -122,3 +122,64 @@ def kmv_intersect_estimate(
         F.col("both").cast("long").alias("k_overlap"),
         F.round(rho, 4).alias("jaccard"),
     )
+
+
+def count_min_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch over a value stream: ``depth`` independent md5
+    hash rows × ``width`` counters. Returns the counter table
+    (row, bucket, cnt) — depth×width rows TOTAL regardless of stream
+    size, built by one map-side-combinable groupBy, and mergeable across
+    shards/batches by summing matching (row, bucket) cells (the same
+    merge-by-key contract as the KMV sketch above)."""
+    rows = None
+    for i in range(depth):
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col(value_col))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        r = df.select(F.lit(i).alias("row"), h.alias("bucket"))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query the sketch for every probe value: the estimate is the
+    MIN over the ``depth`` counters the value hashes to — an upper bound
+    on the true count (classic CMS guarantee). The sketch (depth×width
+    rows) broadcasts; probes never shuffle."""
+    probe_cells = None
+    for i in range(depth):
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col(value_col))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        r = probes.select(
+            F.col(value_col), F.lit(i).alias("row"), h.alias("bucket")
+        )
+        probe_cells = r if probe_cells is None else probe_cells.unionByName(r)
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

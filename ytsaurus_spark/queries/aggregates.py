@@ -787,3 +787,60 @@ def agg_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_intersect",
         "k_overlap",
     )
+
+
+# --- mergeable count-min frequency sketch -----------------------------------
+
+@register(
+    "agg_count_min_sketch",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), seeds AS (
+      SELECT unnest(range(4)) AS i
+    ), cells AS (
+      SELECT i AS row,
+             (('0x' || substr(md5(i::VARCHAR || '|' || w), 1, 8))::BIGINT
+              % 64) AS bucket
+      FROM words CROSS JOIN seeds
+    ), sk AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row, bucket
+    ), exact AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt FROM words GROUP BY w
+    ), probes AS (
+      SELECT e.w, e.exact_cnt, i AS row,
+             (('0x' || substr(md5(i::VARCHAR || '|' || e.w), 1, 8))::BIGINT
+              % 64) AS bucket
+      FROM exact e CROSS JOIN seeds
+    )
+    SELECT p.w AS word,
+           max(p.exact_cnt) AS exact_cnt,
+           CAST(min(s.cnt) AS BIGINT) AS cms_est,
+           (min(s.cnt) >= max(p.exact_cnt)) AS never_underestimates
+    FROM probes p JOIN sk s USING (row, bucket)
+    GROUP BY p.w
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 64) over the corpus word stream,
+    point-queried for every vocabulary word with the exact count joined
+    alongside — the output hashes the sketch's one-sided error guarantee
+    (estimate >= exact, pinned as a boolean column) together with the
+    estimates themselves. The sketch is depth×width rows independent of
+    stream size and merges across batches by cell-wise sum."""
+    from ytsaurus_spark.operators import sketches
+
+    cat = load_tables(spark, sf_dir)
+    words = cat.read("documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    sk = sketches.count_min_build(words, "w", depth=4, width=64)
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    est = sketches.count_min_estimate(sk, exact.select("w"), "w", depth=4, width=64)
+    return est.join(exact, "w").select(
+        F.col("w").alias("word"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+    )
