@@ -34,6 +34,9 @@ SHOWCASE = {
     "dedup_winnowing": "Scan-side winnowing (round 6): fingerprint selection entirely inside the scan projection (hash array + HOF window minima + per-doc distinct); the ONE exchange carries selected fingerprints, never grams. At fact scale both self-join legs reuse it (ReusedExchange); at this toy SF one leg broadcasts.",
     "tpcds_q88_time_bands": "q88 band fold (round 6): six time-band counts as ONE conditional aggregation over one scan (was 6 scans cross-joined).",
     "tpcds_q23_frequent_best": "Multi-consumer persist (round 6): freq/csales/best/report all read one cached 4-column projection of the fact join (InMemoryTableScan), one FileScan per fact.",
+    "dedup_exact_substring": "Exact-substring coverage (round 6): gram hashes built inside the scan projection, persisted once for the dup-count and hit-probe consumers; coverage union is a doc-partitioned lag window over hit starts — O(hits), never multiplied by gram length.",
+    "curation_select_to_budget": "Token-budget prefix cut (round 6): hierarchical prefix sum over the persisted doc-grain stats (one corpus scan), 1-row budget broadcast; no unpartitioned window at any level.",
+    "sim_scalar_quantize_int8": "Int8 scalar quantization: element-grain posexplode, 32-row min/max training agg broadcast back, doc-grain re-agg — the FAISS-SQ8 train+encode two-pass shape.",
 }
 
 # Hand-written sketches for plans whose interesting part is not the
