@@ -57,3 +57,38 @@ def test_mad_outliers_exact(spark):
     out = timeseries.mad_outliers(df).collect()[0]
     assert out.n == 6 and out.median_cents == 300
     assert out.mad_cents == 100 and out.n_outliers == 1
+
+
+def test_interval_join_matches_theta(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators import timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    facts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=37 * i)) for i in range(200)],
+        "fid bigint, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(hours=5 * j), base + dt.timedelta(hours=5 * j + 3))
+            for j in range(20)
+        ],
+        "iid bigint, start timestamp, end timestamp",
+    )
+    got = {
+        (r.fid, r.iid)
+        for r in timeseries.interval_join(facts, ivs).select("fid", "iid").collect()
+    }
+    expected = {
+        (r.fid, r.iid)
+        for r in facts.join(
+            ivs, (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end"))
+        ).select("fid", "iid").collect()
+    }
+    assert got == expected and len(expected) > 0
+    # plan check: the rewrite must be an equi-join, not nested-loop
+    plan = timeseries.interval_join(facts, ivs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -143,3 +143,48 @@ def mad_outliers(
             "n_outliers",
         )
     )
+
+
+def interval_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    keys: list | None = None,
+    grid_seconds: int = 3600,
+) -> DataFrame:
+    """Scalable interval-overlap join: match fact rows to every interval
+    with ``start <= ts < end`` (plus optional equi-``keys``) WITHOUT the
+    naive theta-join (which Spark plans as a broadcast-nested-loop —
+    quadratic and a non-starter at 100 TB).
+
+    Shape: both sides bucket onto a ``grid_seconds`` time grid — the
+    fact row to its single grid cell, the interval exploded to the cells
+    it spans — so the planner gets an EQUI-join on (grid, keys) and only
+    the residual range predicate runs per candidate. Each fact row lives
+    in exactly one cell, so a (fact, interval) pair meets at most once:
+    no distinct needed. Interval explosion is bounded by
+    span/grid_seconds cells; pick the grid near the median interval
+    length (the standard range-join binning rule)."""
+    keys = keys or []
+    f_cell = F.expr(
+        f"((unix_timestamp(`{ts_col}`)) - pmod(unix_timestamp(`{ts_col}`),"
+        f" {grid_seconds})) div {grid_seconds}"
+    )
+    s_cell = (
+        f"((unix_timestamp(`{start_col}`)) - pmod(unix_timestamp(`{start_col}`),"
+        f" {grid_seconds})) div {grid_seconds}"
+    )
+    e_cell = (
+        f"((unix_timestamp(`{end_col}`)) - pmod(unix_timestamp(`{end_col}`),"
+        f" {grid_seconds})) div {grid_seconds}"
+    )
+    fb = fact.withColumn("__cell", f_cell)
+    ib = intervals.withColumn(
+        "__cell", F.explode(F.expr(f"sequence({s_cell}, {e_cell})"))
+    )
+    joined = fb.join(ib, ["__cell"] + keys).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("__cell")

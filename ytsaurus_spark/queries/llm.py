@@ -2210,3 +2210,57 @@ def curation_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# --- grid-bucketed interval-overlap join ------------------------------------
+
+@register(
+    "ts_interval_join",
+    """
+    WITH win AS (
+      SELECT i AS window_id,
+             TIMESTAMP '2024-01-01 00:00:00' + (i * 36) * INTERVAL 1 HOUR
+               AS w_start,
+             TIMESTAMP '2024-01-01 00:00:00' + (i * 36 + 24) * INTERVAL 1 HOUR
+               AS w_end
+      FROM (SELECT unnest(range(14)) AS i)
+    )
+    SELECT w.window_id, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN win w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id, e.event_type
+    """,
+)
+def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events matched to 14 overlapping 24h windows (36h stride) through
+    the grid-bucketed interval join — the oracle uses the plain range
+    theta-join, proving the equi-join rewrite exact."""
+    from ytsaurus_spark.operators import timeseries
+
+    cat = load_tables(spark, sf_dir)
+    win = spark.range(14).select(
+        F.col("id").cast("int").alias("window_id"),
+        F.expr(
+            "timestampadd(HOUR, CAST(id * 36 AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("w_start"),
+        F.expr(
+            "timestampadd(HOUR, CAST(id * 36 + 24 AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("w_end"),
+    )
+    joined = timeseries.interval_join(
+        cat.read("events"),
+        win,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        grid_seconds=3600,
+    )
+    return joined.groupBy("window_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
