@@ -135,3 +135,23 @@ def test_resize_images_round_trip(spark):
     for i, r in out.items():
         assert r.width == (4 + i % 3 + 1) // 2
         assert r.height == (4 + i % 2 + 1) // 2
+
+
+def test_image_phash_identical_and_bitlen(spark):
+    from ytsaurus_spark.operators.multimodal import image_phash, synthesize_png
+
+    ids = spark.createDataFrame([(1,), (2,), (257,)], "doc_id bigint")
+    ph = {
+        r.id: r.phash
+        for r in image_phash(synthesize_png(ids)).collect()
+    }
+    # bit length = w*h of each synthesized image
+    assert len(ph[1]) == (4 + 1 % 3) * (4 + 1 % 2)
+    assert len(ph[2]) == (4 + 2 % 3) * (4 + 2 % 2)
+    # same generator content -> same hash; different ids -> (here) different
+    ph2 = {
+        r.id: r.phash
+        for r in image_phash(synthesize_png(ids)).collect()
+    }
+    assert ph == ph2  # deterministic across runs
+    assert ph[1] != ph[2]

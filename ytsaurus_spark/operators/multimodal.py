@@ -406,3 +406,31 @@ def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
         runner,
         "id bigint, media binary, width int, height int, mean_value double",
     )
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """Perceptual hash of decoded images — the image-side dedup key: each
+    pixel's grayscale (channel sum) compares against the image mean in
+    EXACT integer arithmetic (``g * n > total`` instead of ``g > mean``),
+    emitting one bit per pixel in row-major order. Identical-content
+    images hash identically regardless of byte-level encoding
+    differences; visually-near images differ in few bits (Hamming
+    bucketing downstream, same as SimHash for text).
+
+    Real decode path (sources/png.py) inside one mapInPandas — Arrow
+    batches, zero shuffle; the hash is oracle-checkable from the
+    fixture's closed-form pixels."""
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ytsaurus_spark.sources.png import png_decode
+
+        for pdf in batches:
+            hashes = []
+            for media in pdf["media"]:
+                w, h, px = png_decode(bytes(media))
+                g = [px[j] + px[j + 1] + px[j + 2] for j in range(0, len(px), 3)]
+                total, n = sum(g), len(g)
+                hashes.append("".join("1" if v * n > total else "0" for v in g))
+            yield pd.DataFrame({"id": pdf["id"], "phash": hashes})
+
+    return df.select("id", "media").mapInPandas(runner, "id bigint, phash string")

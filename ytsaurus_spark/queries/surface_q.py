@@ -1865,3 +1865,62 @@ def fn_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("dot_rev"),
     ).orderBy("c_nationkey")
+
+
+# --- perceptual-hash image dedup (real decode, closed-form oracle) ---------
+
+@register(
+    "mm_image_phash_dedup",
+    """
+    WITH gids AS (
+      SELECT DISTINCT doc_id % 100 AS gid FROM documents
+    ), px AS (
+      SELECT gid, y * (4 + gid % 3) + x AS pos,
+             ((gid*7 + x*13 + y*31) % 256)
+             + ((gid*7 + x*13 + y*31 + 5) % 256)
+             + ((gid*7 + x*13 + y*31 + 10) % 256) AS g
+      FROM gids,
+           LATERAL unnest(range(0, 4 + gid % 2)) AS ry(y),
+           LATERAL unnest(range(0, 4 + gid % 3)) AS rx(x)
+    ), tot AS (
+      SELECT gid, CAST(sum(g) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM px GROUP BY gid
+    ), bits AS (
+      SELECT p.gid,
+             string_agg(CASE WHEN p.g * t.n > t.total THEN '1' ELSE '0' END,
+                        '' ORDER BY p.pos) AS phash
+      FROM px p JOIN tot t USING (gid) GROUP BY p.gid
+    ), docs2 AS (
+      SELECT doc_id, doc_id % 100 AS gid FROM documents
+    )
+    SELECT b.phash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(d.doc_id) AS BIGINT) AS canonical_id
+    FROM docs2 d JOIN bits b USING (gid)
+    GROUP BY b.phash
+    """,
+)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash with a REAL decode path: documents
+    share generator images (doc_id % 100), the PNGs are synthesized,
+    byte-decoded (sources/png.py), pHashed in exact integer arithmetic,
+    and duplicate groups counted per hash — the oracle recomputes the
+    hashes from the generating closed form, so a decoder or hash bug
+    breaks every group."""
+    from ytsaurus_spark.operators.multimodal import image_phash, synthesize_png
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents").select(
+        "doc_id", (F.col("doc_id") % 100).alias("gid")
+    )
+    gens = docs.select(F.col("gid").alias("doc_id")).distinct()
+    ph = image_phash(synthesize_png(gens))
+    return (
+        docs.join(ph, docs["gid"] == ph["id"])
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
