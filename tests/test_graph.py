@@ -23,3 +23,87 @@ def test_pagerank_uniform_on_cycle(spark):
     )
     out = [r.rank for r in pagerank(edges, iterations=4).collect()]
     assert all(abs(r - 1.0 / 3.0) < 1e-9 for r in out)
+
+def _random_graph(n: int, m: int, seed: int):
+    import random
+
+    rng = random.Random(seed)
+    return list({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
+
+
+def _union_find_components(n: int, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_converged_matches_union_find(spark, seed):
+    from ytsaurus_spark.operators.graph import connected_components
+
+    edges = _random_graph(60, 45, seed)  # sparse -> many components
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.comp
+        for r in connected_components(df, converge=True).collect()
+    }
+    want = _union_find_components(60, edges)
+    # only nodes with at least one edge appear in the operator output;
+    # the min-label must equal the component minimum for every one
+    comp_min = {}
+    for v, root in want.items():
+        comp_min.setdefault(root, []).append(v)
+    expect = {
+        v: min(members)
+        for root, members in comp_min.items()
+        for v in members
+        if len(members) > 1 or any(v in e for e in edges)
+    }
+    for node, comp in got.items():
+        assert comp == expect[node], (node, comp, expect[node])
+
+
+def test_connected_components_bounded_rounds_is_k_hop_min(spark):
+    from ytsaurus_spark.operators.graph import connected_components
+
+    # path graph 0-1-2-3-4-5: after 2 rounds node 5 sees min within 2 hops = 3
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.comp for r in connected_components(df, iterations=2).collect()}
+    assert got[5] == 3 and got[2] == 0 and got[0] == 0
+    got4 = {r.node: r.comp for r in connected_components(df, iterations=4).collect()}
+    assert got4[5] == 1  # 4 hops from 5 reaches 1, not yet 0
+    gotc = {r.node: r.comp for r in connected_components(df, converge=True).collect()}
+    assert set(gotc.values()) == {0}
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_triangle_count_matches_brute_force(spark, seed):
+    from itertools import combinations
+
+    from ytsaurus_spark.operators.graph import triangle_count
+
+    edges = _random_graph(25, 90, seed)  # dense enough for triangles
+    es = set(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_tri for r in triangle_count(df).collect()}
+    want = {}
+    for a, b, c in combinations(range(25), 3):
+        if (
+            tuple(sorted((a, b))) in es
+            and tuple(sorted((b, c))) in es
+            and tuple(sorted((a, c))) in es
+        ):
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want

@@ -343,6 +343,8 @@ SCAN_BUDGETS = {
     "tpcds_q95_multi_warehouse": 2,  # + the selective returns slice
     "tpch_q21_suppliers_waiting": 2,  # l1 slice + order-grain aggregate
     "graph_pagerank": 2,  # persisted edges: one li + one orders read
+    "graph_connected_components": 2,  # persisted sym; self-join = 2 li reads
+    "graph_triangle_count": 2,  # persisted oriented list; self-join = 2 li reads
     "pipeline_clean_corpus": 1,  # persisted canon set
     "pipeline_training_export": 2,  # persisted dd + benchmark slice
     "dedup_exact_substring": 2,  # persisted gram stream + short-doc base

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "connected_components", "triangle_count"]
 
 
 def pagerank(
@@ -85,3 +85,144 @@ def pagerank(
             )
         )
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    converge: bool = False,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list: after round t
+    every node carries the minimum node id within t hops, so with enough
+    rounds the label is the component minimum — the standard distributed
+    connected-components recurrence (the reference would run it as a
+    controller-resubmitted MapReduce chain, controller_agent/controllers).
+
+    Returns (node, comp). With ``converge=False`` (default) exactly
+    ``iterations`` synchronous rounds run — a deterministic, bounded plan
+    whose result ("min id within k hops") an oracle can unroll as k CTEs.
+    With ``converge=True`` the loop continues until a round changes no
+    label (checked via a single scalar aggregate per round — the bounded
+    coordinator decision, not a data collect), yielding true components.
+
+    Scale shape: the symmetrized edge list and the per-round label table
+    are both key-partitioned on node; each round is ONE equi-join plus
+    ONE min-aggregate — two shuffles over |V| + |E| rows, never pairs.
+    The edge list is persisted once and reused every round."""
+    # symmetrize in ONE pass over the edge list (explode both directions)
+    # rather than a union of two reads — halves the source scans
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("u"), F.col(dst_col).alias("v")),
+                    F.struct(F.col(dst_col).alias("u"), F.col(src_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .persist()
+    )
+    rounds = iterations if not converge else 64  # safety bound ≥ diameter
+    for i in range(rounds):
+        nxt = (
+            labels.select("node", "comp")
+            .union(
+                sym.join(labels, sym.u == labels.node)
+                .select(F.col("v").alias("node"), F.col("comp"))
+            )
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        if converge:
+            # truncate lineage every round: without this the logical plan
+            # doubles per iteration and an O(diameter) loop overflows the
+            # 2 GiB plan-string limit long before data is the problem.
+            # localCheckpoint materializes to executor-local storage; a
+            # restart-tolerant production run would use a reliable
+            # checkpoint dir instead (same call shape).
+            nxt = nxt.localCheckpoint()
+        else:
+            nxt = nxt.persist()
+        if converge:
+            changed = (
+                nxt.join(labels.withColumnRenamed("comp", "old"), "node")
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            )
+            if changed == 0:
+                labels.unpersist()
+                labels = nxt
+                break
+        labels.unpersist()
+        labels = nxt
+    return labels
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle membership counts over an undirected graph.
+
+    Canonicalizes each edge to (lo, hi) by degree order — every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, the
+    classic orientation that bounds any node's out-degree by O(sqrt(m))
+    and therefore the wedge join's intermediate size by O(m^1.5) even on
+    power-law graphs (a raw id-orientation lets one hub node generate
+    deg² wedges). Triangles are then wedges (a→b, b→c) closed by a third
+    oriented edge (a→c): two self-equi-joins on the oriented list — the
+    canonical distributed triangle plan. Returns (node, n_tri) for every
+    node in at least one triangle; each triangle credits all 3 corners."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()  # referenced 3× below (directly + twice via deg)
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: from lower (deg, id) to higher (deg, id)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist()
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = oriented.select(F.col("u").alias("x2"), F.col("v").alias("z2"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, (F.col("x") == F.col("x2")) & (F.col("z") == F.col("z2")))
+        .select("x", "y", "z")
+    )
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

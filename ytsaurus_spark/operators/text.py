@@ -718,3 +718,103 @@ def c4_line_filter(
         F.expr(f"size({keep})").cast("long").alias("n_kept"),
         F.expr(f"md5(array_join({keep}, CHAR(10)))").alias("kept_md5"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 5,
+    postings_cap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed inverted-index construction — the canonical MapReduce
+    workload (the reference's word-count/indexing Map+Sort+Reduce chain,
+    yt/examples map_reduce): explode tokens, aggregate per term into
+    document frequency, collection frequency, and a bounded posting list
+    (first ``postings_cap`` doc ids ascending, comma-joined).
+
+    Scale shape: ONE shuffle keyed on (doc, token) for the per-doc tf,
+    then one on token; the posting list is capped BEFORE serialization
+    (slice of the sorted set), so a stop-word's row stays bounded — at
+    100 TB an uncapped collect_set on 'the' is a driver-killer, the cap
+    plus df/cf counts is what a real index shard emits."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    per_doc = words.groupBy("token", id_col).agg(
+        F.count(F.lit(1)).alias("__tf_d")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("__tf_d").cast("long").alias("cf"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set(F.col(id_col))), 1, postings_cap),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def cooccurrence_lift(
+    docs: DataFrame,
+    window: int = 3,
+    min_pair: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Windowed token co-occurrence with lift scoring — the collocation /
+    phrase-mining primitive (word2vec-style skip-gram pair extraction).
+    A pair (x, y) is counted once per ordered position pair with
+    1 ≤ pos_y − pos_x ≤ ``window``; lift = N · c_xy / (c_x · c_y) over
+    position counts — a PMI monotone that needs no log, so the score is
+    one exact IEEE division of exact integers (cross-engine stable,
+    unlike ln()).
+
+    Scale shape: the positional self-join is per-document AND bounded by
+    the window via the band predicate, so intermediate size is
+    |tokens| × window, never |tokens|²; both pair and unigram counts
+    partial-aggregate map-side; the tiny total-count frame broadcasts."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0).persist()
+    right = toks.select(
+        F.col(id_col).alias("__rid"),
+        F.col("pos").alias("rpos"),
+        F.col("tok").alias("rtok"),
+    )
+    pairs = (
+        toks.join(
+            right,
+            (F.col(id_col) == F.col("__rid"))
+            & (F.col("rpos") - F.col("pos") >= 1)
+            & (F.col("rpos") - F.col("pos") <= window),
+        )
+        .groupBy(F.col("tok").alias("tok_a"), F.col("rtok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair)
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.col("n").cast("double")
+                * F.col("c_ab").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -1076,3 +1076,105 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --- connected components + triangles (iterative graph analytics) ----------
+
+_COPURCHASE_EDGES_SQL = """
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+                      greatest(a.l_partkey, b.l_partkey) AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity <= 15 AND b.l_quantity <= 15
+"""
+
+_CC_ROUND_SQL = """
+l{i} AS (SELECT node, min(comp) AS comp FROM (
+    SELECT node, comp FROM l{p}
+    UNION ALL SELECT s.v AS node, l.comp FROM sym s JOIN l{p} l ON s.u = l.node
+  ) GROUP BY node)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase graph: an undirected (lo, hi) edge per pair of
+    small-quantity parts appearing in the same order — the sparse
+    similarity graph a dedup/recommendation pipeline would build."""
+    cat = load_tables(spark, sf_dir)
+    a = cat.read("lineitem").filter(F.col("l_quantity") <= 15).select(
+        "l_orderkey", "l_partkey"
+    )
+    b = a.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_partkey").alias("r_partkey")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") < F.col("r_partkey")),
+        )
+        .select(
+            F.least("l_partkey", "r_partkey").alias("src"),
+            F.greatest("l_partkey", "r_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_connected_components",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS comp FROM sym),"""
+    + ",".join(_CC_ROUND_SQL.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT node, comp FROM l4
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by synchronous min-label propagation (4
+    rounds) over the part co-purchase graph
+    (operators/graph.connected_components). The reference expresses this
+    as a controller-resubmitted MapReduce chain
+    (controller_agent/controllers); each Spark round is one node-keyed
+    equi-join + one min-aggregate — |V|+|E| rows shuffled per round,
+    never pairs. The oracle unrolls the identical 4 rounds as CTEs, so
+    the k-hop-min label matches exactly regardless of convergence; the
+    converge=True variant (true components via a per-round scalar
+    convergence check) is differential-tested against union-find in
+    tests."""
+    from ytsaurus_spark.operators.graph import connected_components
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return connected_components(edges, iterations=4)
+
+
+@register(
+    "graph_triangle_count",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    tri AS (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle membership over the part co-purchase graph
+    (operators/graph.triangle_count). Spark orients each edge from its
+    lower-(degree, id) endpoint — the orientation that bounds the wedge
+    join's intermediate size by O(m^1.5) on any degree distribution —
+    then closes wedges with two self-equi-joins. The oracle counts the
+    same triangles from the id-canonical edge list; per-triangle corner
+    credit is engine-independent."""
+    from ytsaurus_spark.operators.graph import triangle_count
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return triangle_count(edges)

@@ -2264,3 +2264,63 @@ def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+@register(
+    "text_inverted_index",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), per_doc AS (
+      SELECT token, doc_id, count(*) AS tf_d
+      FROM w WHERE length(token) > 0 GROUP BY 1, 2
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf_d) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
+    FROM per_doc GROUP BY token HAVING count(*) >= 5
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index shard build (operators/text.inverted_index): per
+    term document frequency, collection frequency, and the first 16
+    posting doc-ids — the reference's canonical Map+Sort+Reduce indexing
+    chain re-expressed as two partial-aggregating shuffles with the
+    posting list capped before serialization."""
+    cat = load_tables(spark, sf_dir)
+    return text.inverted_index(cat.read("documents"), min_df=5, postings_cap=16)
+
+
+@register(
+    "text_cooccurrence_lift",
+    """
+    WITH t AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+      WHERE length(tok) > 0
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM t a JOIN t b ON a.doc_id = b.doc_id
+            AND b.pos - a.pos BETWEEN 1 AND 3
+      GROUP BY 1, 2 HAVING count(*) >= 20
+    ), uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+    SELECT tok_a, tok_b, c_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST(nn.n AS DOUBLE) * CAST(c_ab AS DOUBLE)
+             / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+    FROM pairs JOIN uni ua ON pairs.tok_a = ua.tok
+               JOIN uni ub ON pairs.tok_b = ub.tok, nn
+    """,
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (≤3) token co-occurrence with lift scoring
+    (operators/text.cooccurrence_lift) — skip-gram pair mining with a
+    log-free PMI monotone: lift = N·c_xy/(c_x·c_y), one exact IEEE
+    division of exact integer counts, identical in both engines. The
+    positional self-join is doc-keyed and window-banded, so intermediates
+    are |tokens|·window, never quadratic."""
+    cat = load_tables(spark, sf_dir)
+    return text.cooccurrence_lift(cat.read("documents"), window=3, min_pair=20)
