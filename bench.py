@@ -73,6 +73,10 @@ SCALING_SET = [
     "dedup_minhash_lsh",
     "dedup_semantic",             # added r4: Lloyd chain + cell pair scan
     "dedup_winnowing",            # added r4: per-doc window min + fp join
+    "dedup_exact_substring",      # added r6: gram-grain shuffle + hit probe
+    "text_bigram_surprisal",      # added r6: (doc, bigram) counts + joins
+    "sim_scalar_quantize_int8",   # added r6: element-grain train + encode
+    "curation_select_to_budget",  # added r6: hierarchical prefix sum
 ]
 
 
