@@ -92,3 +92,27 @@ def test_interval_join_matches_theta(spark):
     # plan check: the rewrite must be an equi-join, not nested-loop
     plan = timeseries.interval_join(facts, ivs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_matches_sequential_reference(spark):
+    import datetime
+
+    from ytsaurus_spark.operators.timeseries import ewma
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0, i), float((i * 7) % 5) + 0.125)
+        for i in range(50)
+    ] + [("b", datetime.datetime(2024, 1, 1, 1, 0), 42.0)]
+    df = spark.createDataFrame(rows, ["key", "ts", "value"])
+    out = {(r.key, r.ts): r.ewma for r in ewma(df, alpha=0.25, lookback=40).collect()}
+
+    # sequential truncated reference: fold the trailing <=40 values
+    vals = [v for _, _, v in rows[:50]]
+    for t in range(50):
+        trail = vals[max(0, t - 39) : t + 1]
+        acc = trail[0]
+        for x in trail[1:]:
+            acc = 0.25 * x + 0.75 * acc
+        assert out[("a", rows[t][1])] == acc  # bit-exact, same fold order
+    # single-row key: ewma == value (seed)
+    assert out[("b", rows[50][1])] == 42.0

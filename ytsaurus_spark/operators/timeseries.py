@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill", "resample"]
+__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma"]
 
 
 def gap_fill(
@@ -188,3 +188,48 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("__cell")
+
+
+def ewma(
+    series: DataFrame,
+    alpha: float = 0.25,
+    lookback: int = 40,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Exponentially weighted moving average per key, truncated to the
+    last ``lookback`` observations — the anomaly-score / smoothing
+    primitive for metric streams.
+
+    EWMA is inherently sequential (s_t = a·x_t + (1−a)·s_{t−1}), which
+    is why naive ports collect per-key series to the driver. The
+    distributed shape used here: a key-partitioned ORDER BY window
+    collects the trailing ``lookback`` values into an array, and ONE
+    sequential fold over that bounded array computes the truncated
+    recurrence — (1−a)^lookback < 1e-5 at the defaults, and the
+    truncation IS the operator's spec (both engines run the identical
+    fold, so results are bit-exact cross-engine: same values, same
+    order, same IEEE ops — no cross-partition float reassociation).
+    At 100 TB this is one shuffle on key; frame size is bounded by
+    ``lookback``, never by key cardinality or history length."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(lookback - 1), W.currentRow)
+    )
+    trail = F.collect_list(F.col(val_col).cast("double")).over(w)
+    # fold oldest→newest: acc = a*x + (1-a)*acc, seeded with the oldest
+    # value (standard s_0 = x_0 initialization of the truncated window)
+    ew = F.expr(
+        f"aggregate(slice(__trail, 2, {lookback}), "
+        f"CAST(element_at(__trail, 1) AS DOUBLE), "
+        f"(acc, x) -> CAST({alpha}D * x + {1.0 - alpha}D * acc AS DOUBLE))"
+    )
+    return (
+        series.withColumn("__trail", trail)
+        .withColumn("ewma", ew)
+        .drop("__trail")
+    )

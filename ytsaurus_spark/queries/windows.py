@@ -419,3 +419,41 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "ts_ewma",
+    """
+    WITH w AS (
+      SELECT user_id, ts, value::DOUBLE AS value,
+             list(value::DOUBLE) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS trail
+      FROM events
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+           list_reduce(trail, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+    FROM w
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.25, 40-observation truncated lookback) over
+    the event value stream (operators/timeseries.ewma). EWMA's sequential
+    recurrence is re-expressed as a bounded-frame window collect plus ONE
+    in-row sequential fold — one shuffle on user_id, frame size capped at
+    the lookback, no driver-side series walk. alpha=0.25 is dyadic so the
+    fold literals are exact in both engines; DuckDB's list_reduce seeds
+    with the first (oldest) element exactly like the Spark fold's
+    element_at(trail, 1) seed, so results are bit-identical."""
+    from ytsaurus_spark.operators.timeseries import ewma
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events").select("user_id", "ts", "value")
+    out = ewma(ev, alpha=0.25, lookback=40, key_col="user_id",
+               ts_col="ts", val_col="value")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        "ewma",
+    )
