@@ -107,3 +107,17 @@ def test_triangle_count_matches_brute_force(spark, seed):
             for v in (a, b, c):
                 want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+def test_bfs_layers_path_graph(spark):
+    from ytsaurus_spark.operators.graph import bfs_layers
+
+    edges = [(i, i + 1) for i in range(6)]  # path 0-1-2-3-4-5-6
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.dist for r in bfs_layers(df, srcs, rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # nodes beyond 3 hops absent
+
+    srcs2 = spark.createDataFrame([(0,), (6,)], ["node"])
+    got2 = {r.node: r.dist for r in bfs_layers(df, srcs2, rounds=3).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 3, 6: 0, 5: 1, 4: 2}

@@ -345,6 +345,7 @@ SCAN_BUDGETS = {
     "graph_pagerank": 2,  # persisted edges: one li + one orders read
     "graph_connected_components": 2,  # persisted sym; self-join = 2 li reads
     "graph_triangle_count": 2,  # persisted oriented list; self-join = 2 li reads
+    "graph_bfs_layers": 2,  # persisted edge list shared by sources + sym
     "pipeline_clean_corpus": 1,  # persisted canon set
     "pipeline_training_export": 2,  # persisted dd + benchmark slice
     "dedup_exact_substring": 2,  # persisted gram stream + short-doc base

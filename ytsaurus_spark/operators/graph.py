@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components", "triangle_count"]
+__all__ = ["pagerank", "connected_components", "triangle_count", "bfs_layers"]
 
 
 def pagerank(
@@ -226,3 +226,52 @@ def triangle_count(
     )
     corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def bfs_layers(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop layers: (node, dist) where dist is the
+    minimum hop count from any source node, bounded at ``rounds`` hops
+    (unreached nodes are absent). The min-plus twin of
+    ``connected_components``: each synchronous round relaxes
+    dist' = min(dist, 1 + min over neighbors' dist) with one node-keyed
+    equi-join + one min-aggregate — |V|+|E| rows shuffled per round.
+    The frontier-expansion primitive for reachability / impact-radius
+    queries; a fixed round count keeps the plan bounded and lets an
+    oracle unroll the identical recurrence (a convergence loop would
+    need per-round lineage truncation, see connected_components)."""
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("u"), F.col(dst_col).alias("v")),
+                    F.struct(F.col(dst_col).alias("u"), F.col(src_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
+    dist = sources.select(F.col(sources.columns[0]).alias("node")).distinct().select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).persist()
+    for _ in range(rounds):
+        nxt = (
+            dist.select("node", "dist")
+            .union(
+                sym.join(dist, sym.u == dist.node)
+                .select(F.col("v").alias("node"), (F.col("dist") + F.lit(1)).alias("dist"))
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        dist.unpersist()
+        dist = nxt
+    return dist

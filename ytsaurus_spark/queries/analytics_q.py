@@ -1178,3 +1178,41 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir)
     return triangle_count(edges)
+
+
+_BFS_ROUND_SQL = """
+d{i} AS (SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL SELECT s.v AS node, d.dist + 1 AS dist
+    FROM sym s JOIN d{p} d ON s.u = d.node
+  ) GROUP BY node)"""
+
+
+@register(
+    "graph_bfs_layers",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+    d0 AS (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+           FROM sym WHERE u % 97 = 0),"""
+    + ",".join(_BFS_ROUND_SQL.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT node, dist FROM d4
+    """,
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop layers (operators/graph.bfs_layers): minimum
+    hop distance within 4 rounds from the deterministic source set
+    (co-purchase nodes ≡ 0 mod 97) — the min-plus twin of
+    connected_components, one node-keyed join + min-aggregate per round.
+    The oracle unrolls the same 4 relaxations as CTEs; unreached nodes
+    are absent on both sides."""
+    from ytsaurus_spark.operators.graph import bfs_layers
+
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    sym_nodes = (
+        edges.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
+    )
+    sources = sym_nodes.filter(F.col("node") % 97 == 0)
+    return bfs_layers(edges, sources, rounds=4)
