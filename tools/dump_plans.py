@@ -37,6 +37,11 @@ SHOWCASE = {
     "dedup_exact_substring": "Exact-substring coverage (round 6): gram hashes built inside the scan projection, persisted once for the dup-count and hit-probe consumers; coverage union is a doc-partitioned lag window over hit starts — O(hits), never multiplied by gram length.",
     "curation_select_to_budget": "Token-budget prefix cut (round 6): hierarchical prefix sum over the persisted doc-grain stats (one corpus scan), 1-row budget broadcast; no unpartitioned window at any level.",
     "sim_scalar_quantize_int8": "Int8 scalar quantization: element-grain posexplode, 32-row min/max training agg broadcast back, doc-grain re-agg — the FAISS-SQ8 train+encode two-pass shape.",
+    "graph_connected_components": "Min-label propagation (round 6): four unrolled rounds, each ONE node-keyed join + min-aggregate over the persisted symmetrized edge list (InMemoryTableScan) — |V|+|E| rows per round, never pairs.",
+    "graph_triangle_count": "Degree-oriented wedge join (round 6): edges oriented low-(deg,id)→high before the two self-equi-joins, bounding intermediates at O(m^1.5); corner credit explodes 3 rows/triangle into a partial-agg'd count.",
+    "text_inverted_index": "Index shard build (round 6): (doc,token) then token partial-agg shuffles; the posting list is sliced from the sorted per-term set BEFORE serialization — stop-word rows stay bounded.",
+    "text_cooccurrence_lift": "Skip-gram pair mining (round 6): doc-keyed window-banded positional self-join (intermediates |tokens|·w); unigram and pair counts partial-agg; the 1-row total broadcasts into the lift projection.",
+    "ts_ewma": "Sequential recurrence as a bounded window fold (round 6): key-partitioned ordered window collects the 40-value trail; the EWMA fold runs in-row — one exchange on key, no driver-side series walk.",
 }
 
 # Hand-written sketches for plans whose interesting part is not the

@@ -2324,3 +2324,102 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are |tokens|·window, never quadratic."""
     cat = load_tables(spark, sf_dir)
     return text.cooccurrence_lift(cat.read("documents"), window=3, min_pair=20)
+
+
+@register(
+    "dedup_lsh_eval",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+      FROM shx CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), sigs AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 2
+    ), pred AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ), shd AS (
+      SELECT DISTINCT doc_id, s FROM shx
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5
+    ), j AS (
+      SELECT coalesce(p.doc_a, t.doc_a) AS doc_a,
+             CASE WHEN p.doc_a IS NOT NULL AND t.doc_a IS NOT NULL THEN 'tp'
+                  WHEN p.doc_a IS NOT NULL THEN 'fp' ELSE 'fn' END AS cls
+      FROM pred p
+      FULL OUTER JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(sum(CASE WHEN cls = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(sum(CASE WHEN cls = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      CAST(sum(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(sum(CASE WHEN cls IN ('tp', 'fp') THEN 1 ELSE 0 END) AS DOUBLE)
+        AS precision,
+      CAST(sum(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(sum(CASE WHEN cls IN ('tp', 'fn') THEN 1 ELSE 0 END) AS DOUBLE)
+        AS recall
+    FROM j
+    """,
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the minhash-LSH detector against exact 3-shingle
+    Jaccard ground truth (threshold 0.5): TP/FP/FN pair counts plus
+    precision and recall as single exact IEEE divisions — 'measure,
+    don't guess' as a first-class registry query, not a notebook
+    afterthought. Both sides are bucketed equi-joins (band-signature
+    buckets / shingle buckets); the eval itself is a pair-keyed full
+    outer join. At 100 TB the exact-truth leg runs on a sampled slice —
+    the detector leg is the production path being audited."""
+    pred = dedup.minhash_lsh_pairs(
+        load_tables(spark, sf_dir).read("documents"),
+        num_hashes=8, band_rows=2, shingle_k=3,
+    ).select("doc_a", "doc_b")
+    truth = dedup.ngram_jaccard_pairs(
+        load_tables(spark, sf_dir).read("documents"),
+        shingle_k=3, threshold=0.5,
+    ).select("doc_a", "doc_b")
+    p = pred.withColumn("__p", F.lit(1))
+    t = truth.withColumn("__t", F.lit(1))
+    j = p.join(t, ["doc_a", "doc_b"], "full_outer")
+    cls = (
+        F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), F.lit("tp"))
+        .when(F.col("__p").isNotNull(), F.lit("fp"))
+        .otherwise(F.lit("fn"))
+    )
+    agg = j.select(cls.alias("cls")).agg(
+        F.sum(F.when(F.col("cls") == "tp", 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("cls") == "fp", 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("cls") == "fn", 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    return agg.select(
+        "tp", "fp", "fn",
+        (F.col("tp").cast("double")
+         / (F.col("tp") + F.col("fp")).cast("double")).alias("precision"),
+        (F.col("tp").cast("double")
+         / (F.col("tp") + F.col("fn")).cast("double")).alias("recall"),
+    )
