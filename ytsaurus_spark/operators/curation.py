@@ -504,3 +504,45 @@ def corpus_diff(
         .otherwise("changed")
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def balanced_shards(
+    docs: DataFrame,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Assign documents to ``num_shards`` near-equal-token output shards
+    — the export-sharding step of a training-data pipeline (each shard
+    becomes one output file / tape of roughly equal training cost).
+
+    Deterministic bin assignment, not bin packing: shard =
+    exclusive-prefix-tokens // ceil(total/num_shards) in id order, so
+    every engine computes the identical split and shard sizes differ
+    only by the one straddling document per boundary. The running total
+    is the hierarchical ``prefix_sum`` (no unpartitioned window at any
+    level); the corpus total is a 1-row broadcast. All arithmetic is
+    integer. Returns one row per shard: (shard_id, n_docs, n_tokens)."""
+    est = docs.select(
+        F.col(id_col),
+        F.expr(f"CAST(({chars_col} + 3) div 4 AS BIGINT)").alias("est_tokens"),
+    )
+    with_prefix = prefix_sum(est, id_col, "est_tokens", out_col="__prefix")
+    total = est.agg(F.sum("est_tokens").cast("long").alias("__total"))
+    # all-integer: shard_size = ceil(total / S) via (total + S - 1) div S —
+    # exact past 2^53 where a double round-trip would not be
+    assigned = with_prefix.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "est_tokens",
+        F.expr(
+            f"CAST(__prefix div ((__total + {num_shards - 1}) div {num_shards}) "
+            "AS BIGINT)"
+        ).alias("shard_id"),
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("est_tokens").cast("long").alias("n_tokens"),
+        )
+    )

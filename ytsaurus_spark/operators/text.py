@@ -818,3 +818,47 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_k`` token vocabulary — the tokenizer-coverage /
+    domain-shift signal a curation pipeline scores before training.
+
+    Scale shape: the vocabulary is an aggregate-sized frame (top-k by
+    (tf DESC, token) — deterministic at the rank boundary) that
+    BROADCASTS into the token stream, so the scoring pass adds no
+    shuffle beyond the per-doc count; rates are one exact IEEE division
+    of exact integer counts."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    vocab = (
+        words.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "tok")
+        .limit(vocab_k)
+        .select("tok", F.lit(1).alias("__iv"))
+    )
+    flagged = words.join(F.broadcast(vocab), "tok", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("oov_rate"),
+        )
+    )

@@ -415,3 +415,36 @@ def curation_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy quality-ranked fill to 1/10 of the corpus's token budget."""
     cat = load_tables(spark, sf_dir)
     return curation.select_to_budget(cat.read("documents"), budget_denom=10)
+
+
+@register(
+    "curation_balanced_shards",
+    """
+    WITH est AS (
+      SELECT doc_id, CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens
+      FROM documents
+    ), pre AS (
+      SELECT doc_id, est_tokens,
+             CAST(coalesce(sum(est_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS prefix
+      FROM est
+    ), t AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS total FROM est)
+    SELECT CAST(prefix // ((total + 7) // 8) AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(est_tokens) AS BIGINT) AS n_tokens
+    FROM pre CROSS JOIN t
+    GROUP BY 1
+    """,
+)
+def curation_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-equal-token export sharding (operators/curation.balanced_shards):
+    shard = exclusive-prefix-tokens // ceil(total/8) in doc-id order —
+    deterministic integer assignment via the hierarchical prefix sum (no
+    unpartitioned window at any level; the oracle's global OVER (ORDER BY)
+    is the semantics, not the plan). One row per shard with doc and token
+    totals; shard sizes differ only by the straddling document at each
+    boundary."""
+    cat = load_tables(spark, sf_dir)
+    return curation.balanced_shards(cat.read("documents"), num_shards=8)

@@ -2423,3 +2423,36 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double")
          / (F.col("tp") + F.col("fn")).cast("double")).alias("recall"),
     )
+
+
+@register(
+    "text_oov_rate",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), w2 AS (
+      SELECT doc_id, tok FROM w WHERE length(tok) > 0
+    ), v AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM w2 GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 100)
+    ), f AS (
+      SELECT doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM w2 LEFT JOIN v ON w2.tok = v.tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM f GROUP BY doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate vs the corpus top-100 vocabulary
+    (operators/text.oov_rate): the tokenizer-coverage signal. The vocab
+    is aggregate-sized and broadcasts into the token stream (no extra
+    shuffle); the rank-100 tie boundary is deterministic via
+    (tf DESC, token); rates are exact integer counts through one IEEE
+    division."""
+    cat = load_tables(spark, sf_dir)
+    return text.oov_rate(cat.read("documents"), vocab_k=100)
