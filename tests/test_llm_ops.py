@@ -703,3 +703,60 @@ def test_corpus_diff_statuses(spark):
     )
     st = {r.doc_id: r.status for r in curation.corpus_diff(old, new).collect()}
     assert st == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_inverted_index_caps_and_counts(spark):
+    from ytsaurus_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common word" + (" rare" if i == 0 else "")) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = {r.token: r for r in inverted_index(docs, min_df=2, postings_cap=5).collect()}
+    assert "rare" not in out  # df=1 < min_df
+    assert out["common"].df == 20 and out["common"].cf == 20
+    # postings capped at 5, sorted ascending
+    assert out["common"].postings == "0,1,2,3,4"
+
+
+def test_cooccurrence_window_band(spark):
+    from ytsaurus_spark.operators.text import cooccurrence_lift
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    out = {(r.tok_a, r.tok_b): r for r in
+           cooccurrence_lift(docs, window=2, min_pair=1).collect()}
+    assert ("a", "b") in out and ("a", "c") in out
+    assert ("a", "d") not in out  # distance 3 > window 2
+    r = out[("a", "b")]
+    assert r.c_ab == 1 and r.c_a == 1 and r.c_b == 1
+    assert r.lift == 5.0  # N=5 tokens, 5*1/(1*1)
+
+
+def test_oov_rate_boundary(spark):
+    from ytsaurus_spark.operators.text import oov_rate
+
+    # vocab_k=1 keeps only the most frequent token ('x'); tie broken by token
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in oov_rate(docs, vocab_k=1).collect()}
+    assert out[1].n_tokens == 3 and out[1].n_oov == 1
+    assert out[2].n_tokens == 2 and out[2].n_oov == 1
+    assert out[2].oov_rate == 0.5
+
+
+def test_balanced_shards_token_conservation(spark):
+    from ytsaurus_spark.operators.curation import balanced_shards
+
+    docs = spark.createDataFrame(
+        [(i, "t", 4 * (1 + i % 3)) for i in range(100)],
+        ["doc_id", "text", "n_chars"],
+    )
+    rows = balanced_shards(docs, num_shards=4).collect()
+    assert sum(r.n_docs for r in rows) == 100
+    total = sum(r.n_tokens for r in rows)
+    assert total == sum(1 + i % 3 for i in range(100))
+    # near-equal: every shard within one max-doc of the ideal quarter
+    ideal = total / 4
+    assert all(abs(r.n_tokens - ideal) <= 3 for r in rows)
+    assert sorted(r.shard_id for r in rows) == [0, 1, 2, 3]
