@@ -448,3 +448,69 @@ def curation_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary."""
     cat = load_tables(spark, sf_dir)
     return curation.balanced_shards(cat.read("documents"), num_shards=8)
+
+
+@register(
+    "curation_dataset_card",
+    """
+    WITH base AS (
+      SELECT doc_id, text, lang, source,
+             md5(text) AS h,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ), top_lang AS (
+      SELECT lang FROM base GROUP BY lang
+      ORDER BY count(*) DESC, lang ASC LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           (SELECT lang FROM top_lang) AS top_lang,
+           CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+           CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_doc_tokens
+    FROM base
+    """,
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (datasheet) for the corpus: doc/unique/dup
+    counts, token totals, language and source cardinalities, dominant
+    language, exact-dup rate and mean length — the summary artifact a
+    training-data export ships alongside the shards. ONE corpus scan
+    feeding conditional/distinct aggregates (distincts partial-aggregate
+    per grouping-set expansion); the dominant language is an
+    aggregate-sized broadcast scalar with a deterministic
+    (count DESC, lang ASC) tie-break; rates are exact IEEE divisions."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents").select(
+        "doc_id", "text", "lang", "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("long").alias("n_exact_dups"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return agg.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs", "n_unique_texts", "n_exact_dups", "n_tokens",
+        "n_langs", "n_sources", "top_lang",
+        (F.col("n_exact_dups").cast("double") / F.col("n_docs").cast("double"))
+        .alias("exact_dup_rate"),
+        (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"))
+        .alias("mean_doc_tokens"),
+    )
