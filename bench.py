@@ -77,6 +77,7 @@ SCALING_SET = [
     "text_bigram_surprisal",      # added r6: (doc, bigram) counts + joins
     "sim_scalar_quantize_int8",   # added r6: element-grain train + encode
     "curation_select_to_budget",  # added r6: hierarchical prefix sum
+    "graph_connected_components", # added r6: 4-round label propagation
 ]
 
 
