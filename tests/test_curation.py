@@ -157,3 +157,27 @@ def test_select_to_budget_prefix_cut(spark):
     assert kept == [1, 2]  # highest-TTR prefix that fits
     cums = {r.doc_id: r.cum_tokens for r in out}
     assert cums[1] == 4 and cums[2] == 8
+
+
+def test_paragraph_dedup_reassembly(spark):
+    from ytsaurus_spark.operators.curation import paragraph_dedup
+
+    # doc 1 and 2 share an identical first chunk (8 chars at chunk_chars=8);
+    # doc 2's copy must drop, its unique tail must survive in offset order
+    docs = spark.createDataFrame(
+        [(1, "AAAABBBBCCCCDDDD"), (2, "AAAABBBBEEEEFFFF"), (3, "GGGG")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs, chunk_chars=8).collect()}
+    assert out[1].clean_text == "AAAABBBBCCCCDDDD" and out[1].n_dropped == 0
+    assert out[2].clean_text == "EEEEFFFF" and out[2].n_dropped == 1
+    assert out[2].n_chunks == 2
+    assert out[3].clean_text == "GGGG"  # short doc, single whole-text chunk
+
+    # fully-duplicate doc collapses to empty remainder
+    docs2 = spark.createDataFrame(
+        [(1, "XXXXYYYY"), (2, "XXXXYYYY")], ["doc_id", "text"]
+    )
+    out2 = {r.doc_id: r for r in paragraph_dedup(docs2, chunk_chars=8).collect()}
+    assert out2[1].clean_text == "XXXXYYYY"
+    assert out2[2].clean_text == "" and out2[2].n_dropped == 1

@@ -546,3 +546,60 @@ def balanced_shards(
             F.sum("est_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    chunk_chars: int = 160,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus paragraph-level exact dedup WITH document reassembly
+    — the RefinedWeb/C4 move of dropping repeated passages everywhere
+    they recur while keeping each document's unique remainder (the
+    synthetic corpus has no newlines, so 'paragraph' = fixed
+    ``chunk_chars`` window; a real corpus swaps the chunker for a
+    newline split, identical plan shape).
+
+    Keep rule: a chunk instance survives iff it is the globally FIRST
+    occurrence of its content, first = min (doc_id, offset) — one
+    hash-partitioned window, deterministic. Reassembly concatenates each
+    document's surviving chunks in offset order via an in-row sort of
+    the collected (offset, chunk) structs.
+
+    Scale shape: chunking explodes inside the scan (no shuffle); dedup
+    is ONE shuffle on the chunk hash; reassembly is ONE shuffle on
+    doc_id with per-doc state bounded by the document's own chunk count.
+    Returns (doc_id, clean_text, n_chunks, n_dropped)."""
+    from pyspark.sql import Window as W
+
+    chunks = chunk_documents(
+        docs, chunk_chars=chunk_chars, overlap=0,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col, "offset", "chunk_text")
+    w = W.partitionBy(F.md5("chunk_text")).orderBy(id_col, "offset")
+    flagged = chunks.withColumn("__rn", F.row_number().over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(F.col("offset"), F.col("chunk_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                "",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "clean_text", "n_chunks", "n_dropped")
+    )

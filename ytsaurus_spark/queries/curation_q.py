@@ -514,3 +514,38 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"))
         .alias("mean_doc_tokens"),
     )
+
+
+@register(
+    "curation_paragraph_dedup",
+    """
+    WITH chunks AS (
+      SELECT doc_id, CAST(off AS BIGINT) AS off,
+             substr(text, off + 1, 160) AS chunk
+      FROM documents,
+           unnest(range(0, greatest(length(text), 1), 160)) AS u(off)
+    ), flagged AS (
+      SELECT doc_id, off, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, off) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           coalesce(string_agg(chunk, '' ORDER BY off)
+                      FILTER (WHERE rn = 1), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def curation_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus passage dedup with document reassembly
+    (operators/curation.paragraph_dedup): every repeated 160-char chunk
+    is dropped except its globally-first occurrence (min (doc_id, off) —
+    one hash-partitioned window), then each document's surviving chunks
+    re-concatenate in offset order — the RefinedWeb line-dedup move with
+    the unique remainder kept. Chunking explodes inside the scan; dedup
+    is one chunk-hash shuffle; reassembly one doc shuffle with per-doc
+    state bounded by the doc's own chunk count."""
+    cat = load_tables(spark, sf_dir)
+    return curation.paragraph_dedup(cat.read("documents"), chunk_chars=160)
