@@ -2456,3 +2456,41 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     division."""
     cat = load_tables(spark, sf_dir)
     return text.oov_rate(cat.read("documents"), vocab_k=100)
+
+
+@register(
+    "text_langid_eval",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), pred AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+             CASE WHEN len(list_filter(toks,
+                      w -> list_contains(['the','a','of','and','to','in'], w)))
+                      * 1.0 / len(toks) >= 0.05
+                  THEN 'en' ELSE 'other' END AS predicted
+      FROM t
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted
+    """,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language-ID heuristic
+    against the corpus's labeled lang column (collapsed to en/other, the
+    detector's codomain) — the detector-audit companion to
+    dedup_lsh_eval: quality signals get measured in-engine, not assumed.
+    One scan, scan-stage HOF arithmetic, a 4-row aggregate."""
+    cat = load_tables(spark, sf_dir)
+    pred = text.language_id(cat.read("documents"))
+    return (
+        pred.select(
+            F.when(F.col("labeled_lang") == "en", F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("actual"),
+            F.col("predicted_lang").alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
