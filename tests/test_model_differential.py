@@ -177,3 +177,26 @@ def test_bigram_surprisal_vs_model(spark):
         for r in text.bigram_surprisal(df).collect()
     }
     assert got == expected
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from ytsaurus_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=100)),
+         (2, base + dt.timedelta(seconds=5000))],
+        ["lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(10, base), (20, base + dt.timedelta(seconds=4990))],
+        ["rid", "ts"],
+    )
+    out = {r.lid: r.rid for r in
+           asof_join(left, right, on="ts", tolerance=60.0).collect()}
+    assert out[1] is None   # match is 100s old > 60s tolerance
+    assert out[2] == 20     # match is 10s old, kept
+    out2 = {r.lid: r.rid for r in asof_join(left, right, on="ts").collect()}
+    assert out2[1] == 10 and out2[2] == 20  # no tolerance: both match

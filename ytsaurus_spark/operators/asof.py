@@ -23,12 +23,19 @@ def asof_join(
     right_cols: list[str] | None = None,
     *,
     strict: bool = False,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest ``on`` value
     ≤ left's (< when ``strict``). ``by`` adds equality keys (per-group asof).
 
     Ties on the axis: right rows sort before left rows at the same ``on``
     value unless ``strict``, matching ASOF JOIN semantics.
+
+    ``tolerance`` (pandas merge_asof semantics): a match older than
+    ``tolerance`` axis units (seconds for timestamp axes) is discarded —
+    the matched columns come back NULL, the left row stays. Implemented
+    by also carrying the matched axis value through the same window and
+    conditionally nulling — no extra shuffle, same single-window plan.
     """
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
@@ -47,15 +54,25 @@ def asof_join(
         .orderBy(F.col(on).asc(), side_order)
         .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
     )
+    carry = list(right_cols) + ([on] if tolerance is not None else [])
     carried = unioned.select(
         "*",
         *[
             F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
             .over(w)
             .alias(f"__asof_{c}")
-            for c in right_cols
+            for c in carry
         ],
     )
+    if tolerance is not None:
+        in_tol = (
+            F.col(on).cast("double") - F.col(f"__asof_{on}").cast("double")
+        ) <= F.lit(float(tolerance))
+        for c in right_cols:
+            carried = carried.withColumn(
+                f"__asof_{c}", F.when(in_tol, F.col(f"__asof_{c}"))
+            )
+        carried = carried.drop(f"__asof_{on}")
     out = carried.filter(F.col("__side") == 1).drop("__side", *right_cols)
     for c in right_cols:
         out = out.withColumnRenamed(f"__asof_{c}", c)

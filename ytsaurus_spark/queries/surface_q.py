@@ -1924,3 +1924,47 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_id"),
         )
     )
+
+
+@register(
+    "asof_tolerance_join",
+    """
+    SELECT p.event_id, p.user_id,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN c.event_id END AS click_id,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN round(c.value, 4) END AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour tolerance (pandas merge_asof semantics):
+    the most recent click before each purchase counts only if it is at
+    most an hour old — stale matches null out, the purchase row stays.
+    Same single-window carry-forward plan as asof_join (the matched axis
+    value rides the same window; no extra shuffle); the oracle is
+    DuckDB's native ASOF LEFT JOIN with the tolerance applied as a
+    post-filter on the matched age."""
+    from ytsaurus_spark.operators.asof import asof_join
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by=["user_id"],
+        right_cols=["click_id", "click_value"], tolerance=3600.0,
+    )
+    return joined.select(
+        "event_id", "user_id", "click_id",
+        F.round("click_value", 4).alias("click_value"),
+    )
