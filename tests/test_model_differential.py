@@ -200,3 +200,21 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert out[2] == 20     # match is 10s old, kept
     out2 = {r.lid: r.rid for r in asof_join(left, right, on="ts").collect()}
     assert out2[1] == 10 and out2[2] == 20  # no tolerance: both match
+
+
+def test_asof_forward_ties_and_strict(spark):
+    from ytsaurus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 25)], ["lid", "ts"])
+    right = spark.createDataFrame([(100, 10), (200, 30)], ["rid", "ts"])
+    fwd = {r.lid: r.rid for r in
+           asof_join(left, right, on="ts", direction="forward").collect()}
+    assert fwd == {1: 100, 2: 200}  # equal axis matches when non-strict
+    fwd_strict = {r.lid: r.rid for r in
+                  asof_join(left, right, on="ts", direction="forward",
+                            strict=True).collect()}
+    assert fwd_strict == {1: 200, 2: 200}  # equal axis excluded
+    fwd_tol = {r.lid: r.rid for r in
+               asof_join(left, right, on="ts", direction="forward",
+                         tolerance=4.0).collect()}
+    assert fwd_tol == {1: 100, 2: None}  # 30-25=5 > 4 nulls out

@@ -24,9 +24,13 @@ def asof_join(
     *,
     strict: bool = False,
     tolerance: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest ``on`` value
     ≤ left's (< when ``strict``). ``by`` adds equality keys (per-group asof).
+    ``direction='forward'`` flips the axis: the SMALLEST right value ≥
+    left's (> when strict), pandas merge_asof's forward mode — same
+    single-window plan with the frame mirrored to FOLLOWING.
 
     Ties on the axis: right rows sort before left rows at the same ``on``
     value unless ``strict``, matching ASOF JOIN semantics.
@@ -46,28 +50,42 @@ def asof_join(
     ).withColumn("__side", F.lit(0))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    fwd = direction == "forward"
     # strict: right rows at the same axis value must NOT be visible to left
-    # rows at that value → order right after left at equal `on`.
-    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    # rows at that value. Backward: order right AFTER left at equal `on`
+    # (beyond the frame end). Forward: the mirror — order right BEFORE
+    # left at equal `on` (before the frame start); non-strict forward
+    # orders left first so equal-axis right rows fall inside the
+    # FOLLOWING frame.
+    if fwd:
+        side_order = F.col("__side").asc() if strict else F.col("__side").desc()
+        frame = (0, W.unboundedFollowing)
+    else:
+        side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+        frame = (W.unboundedPreceding, -1 if strict else 0)
     w = (
         W.partitionBy(*by)
         .orderBy(F.col(on).asc(), side_order)
-        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
+        .rowsBetween(*frame)
     )
+    pick = F.first if fwd else F.last
     carry = list(right_cols) + ([on] if tolerance is not None else [])
     carried = unioned.select(
         "*",
         *[
-            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            pick(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
             .over(w)
             .alias(f"__asof_{c}")
             for c in carry
         ],
     )
     if tolerance is not None:
-        in_tol = (
-            F.col(on).cast("double") - F.col(f"__asof_{on}").cast("double")
-        ) <= F.lit(float(tolerance))
+        delta = F.col(on).cast("double") - F.col(f"__asof_{on}").cast("double")
+        if fwd:
+            delta = -delta
+        in_tol = delta <= F.lit(float(tolerance))
         for c in right_cols:
             carried = carried.withColumn(
                 f"__asof_{c}", F.when(in_tol, F.col(f"__asof_{c}"))

@@ -1968,3 +1968,44 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "click_id",
         F.round("click_value", 4).alias("click_value"),
     )
+
+
+@register(
+    "asof_forward_join",
+    """
+    SELECT c.event_id, c.user_id,
+           p.event_id AS purchase_id,
+           round(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas merge_asof direction='forward'): for
+    each click, the user's NEXT purchase at-or-after it — the conversion
+    attribution complement of asof_last_click_before_purchase. Same
+    one-window plan with the frame mirrored to FOLLOWING and first()
+    instead of last(); the oracle is DuckDB's native forward ASOF
+    (c.ts <= p.ts)."""
+    from ytsaurus_spark.operators.asof import asof_join
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by=["user_id"],
+        right_cols=["purchase_id", "purchase_value"], direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
