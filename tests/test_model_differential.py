@@ -218,3 +218,20 @@ def test_asof_forward_ties_and_strict(spark):
                asof_join(left, right, on="ts", direction="forward",
                          tolerance=4.0).collect()}
     assert fwd_tol == {1: 100, 2: None}  # 30-25=5 > 4 nulls out
+
+
+def test_asof_nearest_pick_and_ties(spark):
+    from ytsaurus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 21), (3, 100)], ["lid", "ts"])
+    right = spark.createDataFrame([(100, 8), (200, 12), (300, 30)], ["rid", "ts"])
+    got = {r.lid: r.rid for r in
+           asof_join(left, right, on="ts", direction="nearest").collect()}
+    # lid=1: bk at 8 (d=2) vs fw at 12 (d=2) -> tie prefers backward
+    # lid=2: bk at 12 (d=9) beats fw at 30 (d=9)? both 9 -> backward
+    # lid=3: only backward (30, d=70)
+    assert got == {1: 100, 2: 200, 3: 300}
+    got_tol = {r.lid: r.rid for r in
+               asof_join(left, right, on="ts", direction="nearest",
+                         tolerance=5.0).collect()}
+    assert got_tol == {1: 100, 2: None, 3: None}

@@ -50,8 +50,63 @@ def asof_join(
     ).withColumn("__side", F.lit(0))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest":
+        # both carry windows over the SAME keyed union — one shuffle, two
+        # window phases (orderings differ only in the tie column, so the
+        # second phase is a local re-sort, not another exchange); per row
+        # the closer match wins, ties prefer backward (documented rule).
+        wb = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        wf = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        carry = list(right_cols) + [on]
+        carried = unioned.select(
+            "*",
+            *[
+                F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+                .over(wb)
+                .alias(f"__bk_{c}")
+                for c in carry
+            ],
+            *[
+                F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+                .over(wf)
+                .alias(f"__fw_{c}")
+                for c in carry
+            ],
+        )
+        d_bk = F.col(on).cast("double") - F.col(f"__bk_{on}").cast("double")
+        d_fw = F.col(f"__fw_{on}").cast("double") - F.col(on).cast("double")
+        if tolerance is not None:
+            d_bk = F.when(d_bk <= F.lit(float(tolerance)), d_bk)
+            d_fw = F.when(d_fw <= F.lit(float(tolerance)), d_fw)
+        use_bk = d_bk.isNotNull() & (
+            d_fw.isNull() | (d_bk <= d_fw)
+        )
+        for c in right_cols:
+            carried = carried.withColumn(
+                f"__asof_{c}",
+                F.when(use_bk, F.col(f"__bk_{c}")).otherwise(
+                    F.when(d_fw.isNotNull(), F.col(f"__fw_{c}"))
+                ),
+            )
+        out = carried.filter(F.col("__side") == 1).drop(
+            "__side",
+            *right_cols,
+            *[f"__bk_{c}" for c in carry],
+            *[f"__fw_{c}" for c in carry],
+        )
+        for c in right_cols:
+            out = out.withColumnRenamed(f"__asof_{c}", c)
+        return out
     fwd = direction == "forward"
     # strict: right rows at the same axis value must NOT be visible to left
     # rows at that value. Backward: order right AFTER left at equal `on`

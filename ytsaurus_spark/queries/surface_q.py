@@ -2009,3 +2009,49 @@ def asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "purchase_id",
         F.round("purchase_value", 4).alias("purchase_value"),
     )
+
+
+@register(
+    "asof_nearest_join",
+    """
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    bk AS (
+      SELECT v.event_id, cb.event_id AS bk_id, cb.ts AS bk_ts
+      FROM v ASOF LEFT JOIN c cb
+        ON v.user_id = cb.user_id AND v.ts >= cb.ts
+    ), fw AS (
+      SELECT v.event_id, cf.event_id AS fw_id, cf.ts AS fw_ts
+      FROM v ASOF LEFT JOIN c cf
+        ON v.user_id = cf.user_id AND v.ts <= cf.ts
+    )
+    SELECT v.event_id, v.user_id,
+           CASE WHEN bk_ts IS NOT NULL AND (fw_ts IS NULL OR
+                     epoch(v.ts) - epoch(bk_ts) <= epoch(fw_ts) - epoch(v.ts))
+                THEN bk_id
+                WHEN fw_ts IS NOT NULL THEN fw_id END AS click_id
+    FROM v JOIN bk USING (event_id) JOIN fw USING (event_id)
+    """,
+)
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (merge_asof direction='nearest'): for each view
+    the temporally closest click by the same user in EITHER direction,
+    ties preferring backward. One keyed shuffle carries both the
+    backward and forward windows (orderings differ only in the tie
+    column → local re-sort, no second exchange); the oracle composes
+    DuckDB's backward and forward ASOF joins with the same pick rule."""
+    from ytsaurus_spark.operators.asof import asof_join
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        views, clicks, on="ts", by=["user_id"],
+        right_cols=["click_id"], direction="nearest",
+    )
+    return joined.select("event_id", "user_id", "click_id")
