@@ -346,6 +346,14 @@ SCAN_BUDGETS = {
     "graph_connected_components": 2,  # persisted sym; self-join = 2 li reads
     "graph_triangle_count": 2,  # persisted oriented list; self-join = 2 li reads
     "graph_bfs_layers": 2,  # persisted edge list shared by sources + sym
+    "text_inverted_index": 1,
+    "text_cooccurrence_lift": 1,  # persisted token stream
+    "text_oov_rate": 1,  # persisted token stream (vocab + scoring)
+    "curation_paragraph_dedup": 1,
+    "curation_dataset_card": 1,  # persisted doc projection (top_lang + agg)
+    "curation_balanced_shards": 1,  # persisted est (prefix_sum ×2 + total)
+    "dedup_lsh_eval": 1,  # one cached documents relation, both legs
+    "asof_nearest_join": 2,  # views + clicks slices, per-leg pushed filters
     "pipeline_clean_corpus": 1,  # persisted canon set
     "pipeline_training_export": 2,  # persisted dd + benchmark slice
     "dedup_exact_substring": 2,  # persisted gram stream + short-doc base

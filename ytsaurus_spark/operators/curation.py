@@ -526,7 +526,7 @@ def balanced_shards(
     est = docs.select(
         F.col(id_col),
         F.expr(f"CAST(({chars_col} + 3) div 4 AS BIGINT)").alias("est_tokens"),
-    )
+    ).persist()  # consumed by prefix_sum (twice) and the corpus total
     with_prefix = prefix_sum(est, id_col, "est_tokens", out_col="__prefix")
     total = est.agg(F.sum("est_tokens").cast("long").alias("__total"))
     # all-integer: shard_size = ceil(total / S) via (total + S - 1) div S —

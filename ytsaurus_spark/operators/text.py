@@ -837,7 +837,7 @@ def oov_rate(
     of exact integer counts."""
     words = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).filter(F.length("tok") > 0)
+    ).filter(F.length("tok") > 0).persist()  # vocab + scoring consumers
     vocab = (
         words.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__c"))

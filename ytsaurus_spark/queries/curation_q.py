@@ -490,7 +490,7 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source",
         F.md5("text").alias("h"),
         F.size(F.split("text", " ")).alias("n_toks"),
-    )
+    ).persist()  # top_lang + main aggregate consumers
     top_lang = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("__c"))

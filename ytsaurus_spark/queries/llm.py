@@ -2395,13 +2395,12 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets / shingle buckets); the eval itself is a pair-keyed full
     outer join. At 100 TB the exact-truth leg runs on a sampled slice —
     the detector leg is the production path being audited."""
+    docs = load_tables(spark, sf_dir).read("documents").persist()
     pred = dedup.minhash_lsh_pairs(
-        load_tables(spark, sf_dir).read("documents"),
-        num_hashes=8, band_rows=2, shingle_k=3,
+        docs, num_hashes=8, band_rows=2, shingle_k=3,
     ).select("doc_a", "doc_b")
     truth = dedup.ngram_jaccard_pairs(
-        load_tables(spark, sf_dir).read("documents"),
-        shingle_k=3, threshold=0.5,
+        docs, shingle_k=3, threshold=0.5,
     ).select("doc_a", "doc_b")
     p = pred.withColumn("__p", F.lit(1))
     t = truth.withColumn("__t", F.lit(1))
