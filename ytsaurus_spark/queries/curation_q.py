@@ -549,3 +549,75 @@ def curation_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state bounded by the doc's own chunk count."""
     cat = load_tables(spark, sf_dir)
     return curation.paragraph_dedup(cat.read("documents"), chunk_chars=160)
+
+
+@register(
+    "curation_ccnet_buckets",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS cnt FROM words GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc
+    ), sur AS (
+      SELECT w,
+             (length(to_base(total, 2)) - 1)
+               - (length(to_base(CAST(cnt AS BIGINT), 2)) - 1) AS bits
+      FROM wc CROSS JOIN tot
+    ), dw AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    ), scored AS (
+      SELECT doc_id,
+             CAST(sum(c * bits) AS BIGINT) AS total_bits,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * bits) AS BIGINT) / CAST(sum(c) AS BIGINT)
+               AS mean_bits
+      FROM dw JOIN sur USING (w) GROUP BY doc_id
+    ), ranked AS (
+      SELECT s.doc_id, d.lang, s.mean_bits,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY s.mean_bits, s.doc_id) AS rk,
+             count(*) OVER (PARTITION BY d.lang) AS n
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, mean_bits,
+           CASE (3 * (rk - 1)) // n
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM ranked
+    """,
+)
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality terciles PER LANGUAGE over
+    the exact whole-bit unigram surprisal score (lower = more fluent):
+    per-lang rank with a deterministic (score, doc_id) tie-break, bucket
+    = (3·(rank−1)) div n in pure integer arithmetic — the
+    perplexity-bucketing move of Wenzek et al.'s CCNet pipeline with the
+    in-engine LM replacing the external one. Windows partition on lang
+    (never global); the model CTEs are the persisted corpus aggregates
+    of text_unigram_surprisal."""
+    from pyspark.sql import Window as W
+
+    from ytsaurus_spark.operators import text as text_ops
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    scored = text_ops.unigram_surprisal(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = W.partitionBy("lang").orderBy("mean_bits", "doc_id")
+    wn = W.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id", "lang", "mean_bits",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bucket_ix = F.expr("(3 * (rk - 1)) div n")
+    return ranked.select(
+        "doc_id", "lang", "mean_bits",
+        F.when(bucket_ix == 0, F.lit("head"))
+        .when(bucket_ix == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
