@@ -116,3 +116,26 @@ def test_ewma_matches_sequential_reference(spark):
         assert out[("a", rows[t][1])] == acc  # bit-exact, same fold order
     # single-row key: ewma == value (seed)
     assert out[("b", rows[50][1])] == 42.0
+
+
+def test_holt_linear_matches_sequential_reference(spark):
+    import datetime
+
+    from ytsaurus_spark.operators.timeseries import holt_linear
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0, i), float((i * 13) % 7) + 0.25)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts", "value"])
+    got = {r.ts: (r.level, r.trend, r.forecast)
+           for r in holt_linear(df, alpha=0.25, beta=0.125, lookback=40).collect()}
+    vals = [v for _, _, v in rows]
+    for t in range(50):
+        trail = vals[max(0, t - 39): t + 1]
+        lvl, tr = trail[0], 0.0
+        for x in trail[1:]:
+            new_lvl = 0.25 * x + 0.75 * (lvl + tr)
+            tr = 0.125 * (new_lvl - lvl) + 0.875 * tr
+            lvl = new_lvl
+        assert got[rows[t][1]] == (lvl, tr, lvl + tr)  # bit-exact

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma"]
+__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear"]
 
 
 def gap_fill(
@@ -232,4 +232,60 @@ def ewma(
         series.withColumn("__trail", trail)
         .withColumn("ewma", ew)
         .drop("__trail")
+    )
+
+
+def holt_linear(
+    series: DataFrame,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    lookback: int = 40,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key,
+    truncated to the last ``lookback`` observations — the
+    level-plus-trend forecasting primitive (the EWMA's two-state
+    sibling):
+
+        level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_t₋₁
+
+    The coupled recurrence folds over the same bounded window-collected
+    trail as ``ewma``, with the accumulator encoded as a 2-element
+    array [level, trend] (seeded [x_oldest, 0]) so the identical fold
+    runs in both engines — dyadic α/β keep every literal exact, and
+    element order is fixed, so results are bit-identical cross-engine.
+    One shuffle on key; frame bounded by ``lookback``. Emits the
+    smoothed level, trend, and the one-step forecast level+trend."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(lookback - 1), W.currentRow)
+    )
+    trail = F.collect_list(F.col(val_col).cast("double")).over(w)
+    a, b = float(alpha), float(beta)
+    lvl = (
+        f"({a}D * element_at(el, 1) + {1.0 - a}D * "
+        "(element_at(acc, 1) + element_at(acc, 2)))"
+    )
+    state = F.expr(
+        f"aggregate(slice(transform(__trail, v -> array(v, 0D)), 2, {lookback}), "
+        "array(element_at(__trail, 1), 0D), "
+        f"(acc, el) -> array({lvl}, "
+        f"{b}D * ({lvl} - element_at(acc, 1)) + {1.0 - b}D * element_at(acc, 2)))"
+    )
+    return (
+        series.withColumn("__trail", trail)
+        .withColumn("__st", state)
+        .select(
+            "*",
+            F.element_at("__st", 1).alias("level"),
+            F.element_at("__st", 2).alias("trend"),
+            (F.element_at("__st", 1) + F.element_at("__st", 2)).alias("forecast"),
+        )
+        .drop("__trail", "__st")
     )

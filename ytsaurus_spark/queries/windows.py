@@ -457,3 +457,49 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         "ewma",
     )
+
+
+@register(
+    "ts_holt_trend",
+    """
+    WITH w AS (
+      SELECT user_id, ts, value::DOUBLE AS value,
+             list(value::DOUBLE) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS trail
+      FROM events
+    ), st AS (
+      SELECT user_id, ts, value,
+             list_reduce(list_transform(trail, v -> [v, 0e0]),
+               (acc, el) -> [
+                 0.25e0 * el[1] + 0.75e0 * (acc[1] + acc[2]),
+                 0.125e0 * (0.25e0 * el[1] + 0.75e0 * (acc[1] + acc[2])
+                            - acc[1]) + 0.875e0 * acc[2]
+               ]) AS s
+      FROM w
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+           s[1] AS level, s[2] AS trend, s[1] + s[2] AS forecast
+    FROM st
+    """,
+)
+def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (alpha=0.25, beta=0.125, 40-obs
+    truncated lookback) per user over the event value stream
+    (operators/timeseries.holt_linear). The coupled level+trend
+    recurrence folds over the same bounded window trail as ts_ewma with
+    a 2-element array accumulator — dyadic smoothing constants and a
+    fixed fold order make level, trend, and the one-step forecast
+    bit-identical cross-engine. One shuffle on user_id."""
+    from ytsaurus_spark.operators.timeseries import holt_linear
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events").select("user_id", "ts", "value")
+    out = holt_linear(ev, alpha=0.25, beta=0.125, lookback=40,
+                      key_col="user_id", ts_col="ts", val_col="value")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        "level", "trend", "forecast",
+    )
