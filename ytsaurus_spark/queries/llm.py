@@ -2493,3 +2493,86 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "pipeline_refinedweb",
+    """
+    WITH chunks AS (
+      SELECT doc_id, CAST(off AS BIGINT) AS off,
+             substr(text, off + 1, 160) AS chunk
+      FROM documents,
+           unnest(range(0, greatest(length(text), 1), 160)) AS u(off)
+    ), flagged AS (
+      SELECT doc_id, off, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, off) AS rn
+      FROM chunks
+    ), cleaned AS (
+      SELECT doc_id,
+             coalesce(string_agg(chunk, '' ORDER BY off)
+                        FILTER (WHERE rn = 1), '') AS clean_text,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM flagged GROUP BY doc_id
+    ), scored AS (
+      SELECT d.source, c.doc_id, c.clean_text, c.n_dropped,
+             string_split(c.clean_text, ' ') AS toks
+      FROM cleaned c JOIN documents d USING (doc_id)
+      WHERE c.clean_text <> ''
+    ), kept AS (
+      SELECT source, doc_id, n_dropped, len(toks) AS n_toks
+      FROM scored
+      WHERE len(toks) BETWEEN 8 AND 1000
+        AND length(clean_text) - len(toks) + 1 <= 12 * len(toks)
+        AND len(list_filter(toks,
+              w -> list_contains(['the','a','of','and','to','in'], w)))
+            * 1.0 / len(toks) >= 0.05
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(n_dropped) AS BIGINT) AS n_dropped_chunks
+    FROM kept GROUP BY source
+    """,
+)
+def pipeline_refinedweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style pipeline as ONE declarative plan: cross-corpus
+    passage dedup with reassembly (curation.paragraph_dedup) → integer
+    quality gate (8 ≤ words ≤ 1000, mean word length ≤ 12 via
+    cross-multiplication — chars − words + 1 ≤ 12·words) → stopword-ratio
+    English gate (the lang_id heuristic on the CLEANED text) → per-source
+    export summary. Complements pipeline_clean_corpus (minhash path):
+    this is the passage-grain chain. One chunk-hash shuffle, one doc
+    reassembly shuffle, the rest scan-stage; the summary partial-aggs."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    from ytsaurus_spark.operators.curation import paragraph_dedup
+
+    cleaned = paragraph_dedup(docs, chunk_chars=160).filter(
+        F.col("clean_text") != ""
+    )
+    joined = cleaned.join(docs.select("doc_id", "source"), "doc_id")
+    toks = F.split(F.col("clean_text"), " ")
+    n_toks = F.size(toks)
+    stop_ratio_ok = (
+        F.size(
+            F.filter(
+                toks,
+                lambda w: w.isin("the", "a", "of", "and", "to", "in"),
+            )
+        )
+        * F.lit(1.0)
+        / n_toks
+        >= 0.05
+    )
+    kept = joined.filter(
+        n_toks.between(8, 1000)
+        & (F.length("clean_text") - n_toks + 1 <= 12 * n_toks)
+        & stop_ratio_ok
+    ).select("source", F.col("n_dropped"), n_toks.alias("n_toks"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_dropped").cast("long").alias("n_dropped_chunks"),
+    )
