@@ -354,6 +354,10 @@ SCAN_BUDGETS = {
     "curation_balanced_shards": 1,  # persisted est (prefix_sum ×2 + total)
     "dedup_lsh_eval": 1,  # one cached documents relation, both legs
     "asof_nearest_join": 2,  # views + clicks slices, per-leg pushed filters
+    "pipeline_refinedweb": 1,  # persisted docs: chunking + source join
+    "curation_ccnet_buckets": 1,  # persisted (doc, word) counts
+    "ts_ewma": 1,
+    "ts_holt_trend": 1,
     "pipeline_clean_corpus": 1,  # persisted canon set
     "pipeline_training_export": 2,  # persisted dd + benchmark slice
     "dedup_exact_substring": 2,  # persisted gram stream + short-doc base

@@ -2546,7 +2546,7 @@ def pipeline_refinedweb(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the passage-grain chain. One chunk-hash shuffle, one doc
     reassembly shuffle, the rest scan-stage; the summary partial-aggs."""
     cat = load_tables(spark, sf_dir)
-    docs = cat.read("documents")
+    docs = cat.read("documents").persist()  # dedup chunking + source join
     from ytsaurus_spark.operators.curation import paragraph_dedup
 
     cleaned = paragraph_dedup(docs, chunk_chars=160).filter(
