@@ -862,3 +862,76 @@ def oov_rate(
             .alias("oov_rate"),
         )
     )
+
+
+def langid_ngram(
+    docs: DataFrame,
+    profile_k: int = 20,
+    doc_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Cavnar–Trenkle rank-profile language identification trained
+    in-plan on the labeled corpus: each language's profile is its top
+    ``profile_k`` tokens ranked by (count DESC, token), each document's
+    profile its top ``doc_k``; the out-of-place score is
+    Σ |doc_rank − lang_rank| with ``profile_k`` as the out-of-profile
+    penalty, and the predicted language is the (score, lang)-minimal
+    candidate — all integer arithmetic, fully deterministic.
+
+    (Resubstitution demo: profiles are trained on the same labeled rows
+    they classify — a real deployment trains on a held-out labeled set;
+    the plan is identical.)
+
+    Scale shape: language profiles are aggregate-sized (langs ×
+    profile_k rows) and BROADCAST; document profiles come from one
+    (doc, token) count + a doc-partitioned rank window; scoring is
+    doc_k × n_langs rows per document — linear in the corpus with a
+    small constant. Returns (doc_id, actual, predicted, score)."""
+    from pyspark.sql import Window as W
+
+    words = docs.select(
+        F.col(id_col), F.col(label_col).alias("__lab"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0).persist()
+
+    lp_w = W.partitionBy("__lab").orderBy(F.col("__c").desc(), "tok")
+    lang_prof = (
+        words.groupBy("__lab", "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("lrank", F.row_number().over(lp_w))
+        .filter(F.col("lrank") <= profile_k)
+        .select(F.col("__lab").alias("cand"), "tok", "lrank")
+    )
+    langs = lang_prof.select("cand").distinct()
+
+    dp_w = W.partitionBy(id_col).orderBy(F.col("__c").desc(), "tok")
+    doc_prof = (
+        words.groupBy(id_col, "__lab", "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("drank", F.row_number().over(dp_w))
+        .filter(F.col("drank") <= doc_k)
+        .select(id_col, F.col("__lab").alias("actual"), "tok", "drank")
+    )
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_prof), ["cand", "tok"], "left")
+        .groupBy(id_col, "actual", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")),
+                    F.lit(profile_k),
+                )
+            ).cast("long").alias("score")
+        )
+    )
+    pick_w = W.partitionBy(id_col).orderBy("score", "cand")
+    return (
+        scored.withColumn("__rk", F.row_number().over(pick_w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            id_col, "actual", F.col("cand").alias("predicted"), "score"
+        )
+    )

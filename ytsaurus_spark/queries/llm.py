@@ -2576,3 +2576,53 @@ def pipeline_refinedweb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("n_tokens"),
         F.sum("n_dropped").cast("long").alias("n_dropped_chunks"),
     )
+
+
+@register(
+    "text_langid_ngram",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), w2 AS (
+      SELECT doc_id, lang, tok FROM w WHERE length(tok) > 0
+    ), lp AS (
+      SELECT lang AS cand, tok, lrank FROM (
+        SELECT lang, tok, count(*) AS c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, tok) AS lrank
+        FROM w2 GROUP BY lang, tok)
+      WHERE lrank <= 20
+    ), langs AS (SELECT DISTINCT cand FROM lp),
+    dp AS (
+      SELECT doc_id, actual, tok, drank FROM (
+        SELECT doc_id, lang AS actual, tok, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, tok) AS drank
+        FROM w2 GROUP BY doc_id, lang, tok)
+      WHERE drank <= 10
+    ), scored AS (
+      SELECT dp.doc_id, dp.actual, langs.cand,
+             CAST(sum(coalesce(abs(dp.drank - lp.lrank), 20)) AS BIGINT)
+               AS score
+      FROM dp CROSS JOIN langs
+      LEFT JOIN lp ON lp.cand = langs.cand AND lp.tok = dp.tok
+      GROUP BY dp.doc_id, dp.actual, langs.cand
+    )
+    SELECT doc_id, actual, cand AS predicted, score FROM (
+      SELECT scored.*,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score, cand) AS rk
+      FROM scored)
+    WHERE rk = 1
+    """,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle rank-profile language ID over the full 5-language
+    label set (operators/text.langid_ngram): per-lang top-20 token
+    profiles (aggregate-sized, broadcast), per-doc top-10 profiles
+    (doc-partitioned rank window), out-of-place scoring in pure integer
+    arithmetic, deterministic (score, lang) argmin — the real
+    multi-class language detector the stopword heuristic approximates."""
+    cat = load_tables(spark, sf_dir)
+    return text.langid_ngram(cat.read("documents"))
