@@ -235,3 +235,17 @@ def test_asof_nearest_pick_and_ties(spark):
                asof_join(left, right, on="ts", direction="nearest",
                          tolerance=5.0).collect()}
     assert got_tol == {1: 100, 2: None, 3: None}
+
+
+def test_asof_nearest_strict_excludes_exact(spark):
+    from ytsaurus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], ["lid", "ts"])
+    right = spark.createDataFrame([(100, 10), (200, 13), (300, 6)], ["rid", "ts"])
+    plain = {r.lid: r.rid for r in
+             asof_join(left, right, on="ts", direction="nearest").collect()}
+    assert plain == {1: 100}  # exact match wins at distance 0
+    strict = {r.lid: r.rid for r in
+              asof_join(left, right, on="ts", direction="nearest",
+                        strict=True).collect()}
+    assert strict == {1: 200}  # exact excluded; fw d=3 beats bk d=4

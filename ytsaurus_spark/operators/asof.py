@@ -6,6 +6,12 @@ on the shared sort axis, carry the most recent right-side row forward with a
 partitionBy), fully codegen'd — scales like any window aggregate and avoids
 the per-group ``pd.merge_asof`` Python path entirely.
 
+Every direction uses an UNBOUNDED PRECEDING frame: forward is expressed as
+backward over a DESCENDING axis sort, because Spark evaluates
+``unboundedPreceding..0`` frames incrementally (O(n) per partition) while
+``0..unboundedFollowing`` frames re-aggregate from each row to partition end
+(O(n²) on a hot key — a non-starter for a million-event key).
+
 DuckDB's native ASOF JOIN serves as the correctness oracle.
 """
 
@@ -13,6 +19,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def _carry_window(by: list[str], on: str, *, fwd: bool, strict: bool):
+    """The carry window for one direction, always with an incremental
+    UNBOUNDED PRECEDING frame.
+
+    Backward: axis ascending — ``last`` over the preceding frame is the
+    greatest right value ≤ current. Forward: axis DESCENDING — preceding
+    rows hold larger axis values, so the same ``last`` picks the smallest
+    right value ≥ current. Ties: non-strict sorts right rows before the
+    current left row (inside the frame); strict sorts them after (outside
+    the ``-1``-ended frame)."""
+    axis = F.col(on).desc() if fwd else F.col(on).asc()
+    side = F.col("__side").desc() if strict else F.col("__side").asc()
+    return (
+        W.partitionBy(*by)
+        .orderBy(axis, side)
+        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
+    )
 
 
 def asof_join(
@@ -28,21 +53,28 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest ``on`` value
     ≤ left's (< when ``strict``). ``by`` adds equality keys (per-group asof).
-    ``direction='forward'`` flips the axis: the SMALLEST right value ≥
-    left's (> when strict), pandas merge_asof's forward mode — same
-    single-window plan with the frame mirrored to FOLLOWING.
+
+    ``direction``: 'backward' (default), 'forward' (the SMALLEST right
+    value ≥ left's, > when strict), or 'nearest' (the temporally closer of
+    the two, ties preferring backward; ``strict`` excludes equal-axis
+    matches from both sides). Forward/nearest reuse the backward carry
+    window over a descending axis sort, so every direction costs one keyed
+    shuffle with incremental O(n) frames (nearest adds a second window
+    phase — a local re-sort, not an exchange).
 
     Ties on the axis: right rows sort before left rows at the same ``on``
     value unless ``strict``, matching ASOF JOIN semantics.
 
-    ``tolerance`` (pandas merge_asof semantics): a match older than
+    ``tolerance`` (pandas merge_asof semantics): a match farther than
     ``tolerance`` axis units (seconds for timestamp axes) is discarded —
     the matched columns come back NULL, the left row stays. Implemented
     by also carrying the matched axis value through the same window and
-    conditionally nulling — no extra shuffle, same single-window plan.
+    conditionally nulling — no extra shuffle.
     """
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
 
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(
@@ -50,23 +82,9 @@ def asof_join(
     ).withColumn("__side", F.lit(0))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
-    if direction not in ("backward", "forward", "nearest"):
-        raise ValueError(f"unknown direction {direction!r}")
     if direction == "nearest":
-        # both carry windows over the SAME keyed union — one shuffle, two
-        # window phases (orderings differ only in the tie column, so the
-        # second phase is a local re-sort, not another exchange); per row
-        # the closer match wins, ties prefer backward (documented rule).
-        wb = (
-            W.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        wf = (
-            W.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").desc())
-            .rowsBetween(0, W.unboundedFollowing)
-        )
+        wb = _carry_window(by, on, fwd=False, strict=strict)
+        wf = _carry_window(by, on, fwd=True, strict=strict)
         carry = list(right_cols) + [on]
         carried = unioned.select(
             "*",
@@ -77,7 +95,7 @@ def asof_join(
                 for c in carry
             ],
             *[
-                F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+                F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
                 .over(wf)
                 .alias(f"__fw_{c}")
                 for c in carry
@@ -107,30 +125,14 @@ def asof_join(
         for c in right_cols:
             out = out.withColumnRenamed(f"__asof_{c}", c)
         return out
+
     fwd = direction == "forward"
-    # strict: right rows at the same axis value must NOT be visible to left
-    # rows at that value. Backward: order right AFTER left at equal `on`
-    # (beyond the frame end). Forward: the mirror — order right BEFORE
-    # left at equal `on` (before the frame start); non-strict forward
-    # orders left first so equal-axis right rows fall inside the
-    # FOLLOWING frame.
-    if fwd:
-        side_order = F.col("__side").asc() if strict else F.col("__side").desc()
-        frame = (0, W.unboundedFollowing)
-    else:
-        side_order = F.col("__side").desc() if strict else F.col("__side").asc()
-        frame = (W.unboundedPreceding, -1 if strict else 0)
-    w = (
-        W.partitionBy(*by)
-        .orderBy(F.col(on).asc(), side_order)
-        .rowsBetween(*frame)
-    )
-    pick = F.first if fwd else F.last
+    w = _carry_window(by, on, fwd=fwd, strict=strict)
     carry = list(right_cols) + ([on] if tolerance is not None else [])
     carried = unioned.select(
         "*",
         *[
-            pick(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
             .over(w)
             .alias(f"__asof_{c}")
             for c in carry
