@@ -139,3 +139,25 @@ def test_holt_linear_matches_sequential_reference(spark):
             tr = 0.125 * (new_lvl - lvl) + 0.875 * tr
             lvl = new_lvl
         assert got[rows[t][1]] == (lvl, tr, lvl + tr)  # bit-exact
+
+
+def test_ewma_null_values_skip_trail(spark):
+    import datetime
+
+    from ytsaurus_spark.operators.timeseries import ewma, holt_linear
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("a", base.replace(minute=0), 4.0),
+            ("a", base.replace(minute=1), None),
+            ("a", base.replace(minute=2), 8.0),
+            ("b", base.replace(minute=0), None)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = {(r.key, r.ts.minute): r.ewma for r in ewma(df, alpha=0.25).collect()}
+    # null row inherits the trail without its own value; next row folds
+    # over [4.0, 8.0] exactly as if the null row were absent
+    assert out[("a", 1)] == 4.0
+    assert out[("a", 2)] == 0.25 * 8.0 + 0.75 * 4.0
+    assert out[("b", 0)] is None  # all-null trail -> NULL, both engines
+    h = {(r.key, r.ts.minute): (r.level, r.trend)
+         for r in holt_linear(df).collect()}
+    assert h[("b", 0)] == (None, None)  # NULL state, not [NULL, 0]

@@ -87,6 +87,26 @@ def pagerank(
     return ranks
 
 
+def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected adjacency (u, v) in ONE pass over the edge list
+    (explode of both directions rather than a union of two reads —
+    halves the source scans), deduplicated and persisted for reuse
+    across propagation rounds."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("u"), F.col(dst_col).alias("v")),
+                    F.struct(F.col(dst_col).alias("u"), F.col(src_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     iterations: int = 4,
@@ -111,28 +131,18 @@ def connected_components(
     are both key-partitioned on node; each round is ONE equi-join plus
     ONE min-aggregate — two shuffles over |V| + |E| rows, never pairs.
     The edge list is persisted once and reused every round."""
-    # symmetrize in ONE pass over the edge list (explode both directions)
-    # rather than a union of two reads — halves the source scans
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src_col).alias("u"), F.col(dst_col).alias("v")),
-                    F.struct(F.col(dst_col).alias("u"), F.col(src_col).alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-        .persist()
-    )
+    sym = _symmetrize(edges, src_col, dst_col)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
         .persist()
     )
-    rounds = iterations if not converge else 64  # safety bound ≥ diameter
+    # converge mode: the cap must exceed the graph diameter (min-label
+    # propagation needs ~diameter rounds); raise rather than silently
+    # return a k-hop minimum if it is ever hit.
+    rounds = iterations if not converge else max(iterations, 64)
+    converged = not converge
     for i in range(rounds):
         nxt = (
             labels.select("node", "comp")
@@ -162,9 +172,15 @@ def connected_components(
             if changed == 0:
                 labels.unpersist()
                 labels = nxt
+                converged = True
                 break
         labels.unpersist()
         labels = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {rounds} rounds "
+            f"(graph diameter exceeds the cap); pass a larger `iterations`"
+        )
     return labels
 
 
@@ -245,19 +261,7 @@ def bfs_layers(
     queries; a fixed round count keeps the plan bounded and lets an
     oracle unroll the identical recurrence (a convergence loop would
     need per-round lineage truncation, see connected_components)."""
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src_col).alias("u"), F.col(dst_col).alias("v")),
-                    F.struct(F.col(dst_col).alias("u"), F.col(src_col).alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-        .persist()
-    )
+    sym = _symmetrize(edges, src_col, dst_col)
     dist = sources.select(F.col(sources.columns[0]).alias("node")).distinct().select(
         "node", F.lit(0).cast("long").alias("dist")
     ).persist()

@@ -734,23 +734,35 @@ def inverted_index(
     (first ``postings_cap`` doc ids ascending, comma-joined).
 
     Scale shape: ONE shuffle keyed on (doc, token) for the per-doc tf,
-    then one on token; the posting list is capped BEFORE serialization
-    (slice of the sorted set), so a stop-word's row stays bounded — at
-    100 TB an uncapped collect_set on 'the' is a driver-killer, the cap
-    plus df/cf counts is what a real index shard emits."""
+    then one on token; the posting list is capped BEFORE aggregation — a
+    token-partitioned rank window marks the first ``postings_cap`` doc
+    ids and only those enter the collect, so a stop-word's aggregation
+    buffer holds at most ``postings_cap`` entries (an uncapped
+    collect_set on 'the' accumulates every matching doc id on one
+    executor before any slice could drop them — the memory bomb this
+    bounds). The rank window reuses the token-grain exchange the final
+    aggregate needs anyway."""
+    from pyspark.sql import Window as PW
+
     words = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.length("token") > 0)
     per_doc = words.groupBy("token", id_col).agg(
         F.count(F.lit(1)).alias("__tf_d")
     )
+    w = PW.partitionBy("token").orderBy(id_col)
+    flagged = per_doc.withColumn("__rn", F.row_number().over(w))
     return (
-        per_doc.groupBy("token")
+        flagged.groupBy("token")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df"),
             F.sum("__tf_d").cast("long").alias("cf"),
             F.array_join(
-                F.slice(F.sort_array(F.collect_set(F.col(id_col))), 1, postings_cap),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rn") <= postings_cap, F.col(id_col))
+                    )
+                ),
                 ",",
             ).alias("postings"),
         )

@@ -223,9 +223,11 @@ def ewma(
     trail = F.collect_list(F.col(val_col).cast("double")).over(w)
     # fold oldest→newest: acc = a*x + (1-a)*acc, seeded with the oldest
     # value (standard s_0 = x_0 initialization of the truncated window)
+    # try_element_at: an all-NULL window leaves an empty trail (NULLs
+    # never enter it), and ANSI element_at throws on index 1 of []
     ew = F.expr(
         f"aggregate(slice(__trail, 2, {lookback}), "
-        f"CAST(element_at(__trail, 1) AS DOUBLE), "
+        f"CAST(try_element_at(__trail, 1) AS DOUBLE), "
         f"(acc, x) -> CAST({alpha}D * x + {1.0 - alpha}D * acc AS DOUBLE))"
     )
     return (
@@ -272,11 +274,15 @@ def holt_linear(
         f"({a}D * element_at(el, 1) + {1.0 - a}D * "
         "(element_at(acc, 1) + element_at(acc, 2)))"
     )
+    # NULL values never enter the trail (collect_list drops them — the
+    # DuckDB oracle mirrors with FILTER); an all-NULL window yields an
+    # empty trail and a NULL state (not a [NULL, 0] half-state)
     state = F.expr(
+        f"CASE WHEN size(__trail) = 0 THEN NULL ELSE "
         f"aggregate(slice(transform(__trail, v -> array(v, 0D)), 2, {lookback}), "
-        "array(element_at(__trail, 1), 0D), "
+        "array(try_element_at(__trail, 1), 0D), "
         f"(acc, el) -> array({lvl}, "
-        f"{b}D * ({lvl} - element_at(acc, 1)) + {1.0 - b}D * element_at(acc, 2)))"
+        f"{b}D * ({lvl} - element_at(acc, 1)) + {1.0 - b}D * element_at(acc, 2))) END"
     )
     return (
         series.withColumn("__trail", trail)

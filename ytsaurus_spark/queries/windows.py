@@ -426,13 +426,15 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT user_id, ts, value::DOUBLE AS value,
-             list(value::DOUBLE) OVER (
+             list(value::DOUBLE) FILTER (WHERE value IS NOT NULL) OVER (
                PARTITION BY user_id ORDER BY ts
                ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS trail
       FROM events
     )
     SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
-           list_reduce(trail, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+           CASE WHEN len(trail) = 0 THEN NULL
+                ELSE list_reduce(trail, (acc, x) -> 0.25 * x + 0.75 * acc)
+           END AS ewma
     FROM w
     """,
 )
@@ -464,18 +466,19 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT user_id, ts, value::DOUBLE AS value,
-             list(value::DOUBLE) OVER (
+             list(value::DOUBLE) FILTER (WHERE value IS NOT NULL) OVER (
                PARTITION BY user_id ORDER BY ts
                ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS trail
       FROM events
     ), st AS (
       SELECT user_id, ts, value,
-             list_reduce(list_transform(trail, v -> [v, 0e0]),
+             CASE WHEN len(trail) = 0 THEN NULL
+             ELSE list_reduce(list_transform(trail, v -> [v, 0e0]),
                (acc, el) -> [
                  0.25e0 * el[1] + 0.75e0 * (acc[1] + acc[2]),
                  0.125e0 * (0.25e0 * el[1] + 0.75e0 * (acc[1] + acc[2])
                             - acc[1]) + 0.875e0 * acc[2]
-               ]) AS s
+               ]) END AS s
       FROM w
     )
     SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
