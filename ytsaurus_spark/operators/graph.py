@@ -13,7 +13,15 @@ list. Per iteration: contributions = ranks ⋈ edges (equi-join on src,
 both sides partitioned by src), then a sum-by-dst aggregate. Two
 shuffles per iteration at any scale, dominated by the edge list — the
 canonical distributed PageRank plan. Dangling mass (nodes without
-out-edges) redistributes uniformly, so total rank stays 1."""
+out-edges) redistributes uniformly, so total rank stays 1.
+
+Persist lifecycle: these operators persist their loop-invariant inputs
+(edge lists, adjacency) because every propagation round re-reads them;
+the caches are MEMORY_AND_DISK and LRU-evicted, and live for the
+returned plan's lifetime. A session running many graph queries
+back-to-back can reclaim storage eagerly by unpersisting after the
+result is materialized — the cache is an optimization, never a
+correctness dependency."""
 
 from __future__ import annotations
 
