@@ -2626,3 +2626,85 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-class language detector the stopword heuristic approximates."""
     cat = load_tables(spark, sf_dir)
     return text.langid_ngram(cat.read("documents"))
+
+
+@register(
+    "sim_ann_recall_eval",
+    """
+    WITH q0 AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), cand AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY
+                 list_dot_product(qv, cv) /
+                   sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv))
+                 DESC, c_id) AS rnk
+        FROM q0 CROSS JOIN cand WHERE q_id <> c_id)
+      WHERE rnk <= 3
+    ), cents AS (
+      SELECT CAST(vec_id / 30 AS INT) AS cell, embedding::DOUBLE[] AS centv
+      FROM embeddings WHERE vec_id % 30 = 0 AND vec_id < 30 * 16
+    ), scored AS (
+      SELECT e.vec_id, c.cell,
+             list_sum([ (e.embedding[i]::DOUBLE - c.centv[i]) *
+                        (e.embedding[i]::DOUBLE - c.centv[i])
+                        for i in range(1, 65) ]) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), withc AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, a.cell
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ), ivf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, c.v) /
+                   sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v))
+                 DESC, c.vec_id) AS rnk
+        FROM withc q JOIN withc c USING (cell)
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+      WHERE rnk <= 3
+    )
+    SELECT exact.q_id,
+           CAST(count(ivf.c_id) AS BIGINT) AS n_hits,
+           CAST(count(ivf.c_id) AS DOUBLE) / 3e0 AS recall
+    FROM exact LEFT JOIN ivf
+      ON exact.q_id = ivf.q_id AND exact.c_id = ivf.c_id
+    GROUP BY exact.q_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@3 of the IVF index against exact brute-force
+    cosine top-3 — the ANN-quality audit as a first-class registry query
+    (the detector-audit companion to dedup_lsh_eval; SCALE.md's recall
+    tables, now oracle-gated). Both legs are the existing operators'
+    plans (broadcast queries / cell-bucketed probe); the eval join is
+    pair-keyed. At 100 TB the exact leg runs on a query SAMPLE — the
+    standard ANN-benchmark protocol — while the IVF leg is the
+    production path."""
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=3).select("q_id", "c_id")
+    from ytsaurus_spark.operators.similarity import ivf_topk
+
+    ivf = ivf_topk(emb, queries, k=3, num_cells=16, centroid_stride=30).select(
+        F.col("q_id").alias("iq"), F.col("c_id").alias("ic")
+    )
+    j = exact.join(
+        ivf, (F.col("q_id") == F.col("iq")) & (F.col("c_id") == F.col("ic")),
+        "left",
+    )
+    return j.groupBy("q_id").agg(
+        F.count("ic").cast("long").alias("n_hits"),
+        (F.count("ic").cast("double") / F.lit(3.0)).alias("recall"),
+    )
