@@ -760,3 +760,56 @@ def test_balanced_shards_token_conservation(spark):
     ideal = total / 4
     assert all(abs(r.n_tokens - ideal) <= 3 for r in rows)
     assert sorted(r.shard_id for r in rows) == [0, 1, 2, 3]
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "apple apple apple apple"),
+            (3, "banana cherry banana cherry"),
+            (4, "dog cat mouse bird"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [("qa", "apple"), ("qb", "dog cat")], ["q_id", "q_text"]
+    )
+    out = text.bm25_topk(docs, queries, k=4)
+    rows = {(r.q_id, r.rk): r for r in out.collect()}
+    # qa: only docs 1 and 2 contain 'apple'; doc 2 has higher tf
+    assert rows[("qa", 1)].doc_id == 2 and rows[("qa", 2)].doc_id == 1
+    assert ("qa", 3) not in rows  # non-matching docs never surface
+    # qb: doc 4 matches both terms, nothing else matches any
+    assert rows[("qb", 1)].doc_id == 4
+    assert rows[("qb", 1)].n_terms == 2
+    assert all(r.score_micros > 0 for r in rows.values())
+
+
+def test_lag_corr_detects_shifted_series(spark):
+    from ytsaurus_spark.operators.timeseries import lag_corr
+
+    # y is x shifted forward by 2 days: r(lag=2) must be exactly 1.0
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    daily = spark.createDataFrame(
+        [(d, xs[d], xs[d - 2] if d >= 2 else 7) for d in range(len(xs))],
+        "d int, x long, y long",
+    )
+    out = {r.lag: r for r in lag_corr(daily, max_lag=3).collect()}
+    # r = num/(sqrt(dx)*sqrt(dy)); sqrt(n)**2 differs from n by <=1 ulp,
+    # so a perfect correlation lands within 2 ulp of 1.0, not exactly on it
+    assert abs(out[2].r - 1.0) < 1e-12
+    assert out[2].n == len(xs) - 2
+    assert abs(out[0].r) < 1.0  # unshifted alignment is not perfect
+    # moments are exact integers
+    assert out[2].num == out[2].dx == out[2].dy
+
+
+def test_lag_corr_constant_series_null_r(spark):
+    from ytsaurus_spark.operators.timeseries import lag_corr
+
+    daily = spark.createDataFrame(
+        [(d, 5, d) for d in range(6)], "d int, x long, y long"
+    )
+    out = {r.lag: r for r in lag_corr(daily, max_lag=1).collect()}
+    assert out[0].dx == 0 and out[0].r is None  # zero-variance guard

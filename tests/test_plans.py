@@ -366,6 +366,9 @@ SCAN_BUDGETS = {
     "text_bigram_surprisal": 1,  # persisted (doc, bigram) counts
     "dedup_exact_keep_best": 1,  # single window pass (rank + group size)
     "text_feature_hash": 1,
+    "text_bm25_topk": 1,  # persisted token stream (tf/dl/df consumers)
+    "ts_lag_corr": 1,  # persisted daily frame (both lag-join sides)
+    "text_textrank_keywords": 1,  # persisted positional tokens + pagerank edges
 }
 
 

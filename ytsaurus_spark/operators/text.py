@@ -947,3 +947,95 @@ def langid_ngram(
             id_col, "actual", F.col("cand").alias("predicted"), "score"
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents per query row
+    (columns ``q_id, q_text``) — the contamination-check / eval-retrieval
+    primitive over the inverted-index statistics (same df/tf/dl frames as
+    ``inverted_index``; the reference runs ad-hoc retrieval as QL over
+    indexed tables, yt/yt/library/query).
+
+    Determinism discipline: the idf is the log-free Robertson ratio
+    ``(N - df + 0.5) / (df + 0.5)`` (a per-term monotone of the classic
+    ``ln``-idf; ``ln`` is not correctly-rounded IEEE, the ratio is), the
+    tf saturation is ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``, and
+    each per-term contribution is rounded to exact integer MICRO-UNITS
+    before the per-(query, doc) sum — so the sum is order-independent
+    and the (score_micros DESC, doc_id) ranking is engine-exact.
+
+    Scale shape: doc statistics are one (doc, token) shuffle (shared
+    tf/dl/df frames); the query term set and df sides BROADCAST into the
+    token-keyed tf stream, so scoring adds no extra corpus shuffle; the
+    top-k window partitions by query over candidate sets bounded by the
+    posting lists of the query's terms, never the corpus."""
+    from pyspark.sql import Window as W
+
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.length("tok") > 0).persist()  # tf + dl consumers
+    tf = words.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        queries.select(
+            "q_id", F.explode(F.split(F.col("q_text"), " ")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfc = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    matched = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(df_t), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            id_col,
+            F.round(idf * tfc * F.lit(1e6)).cast("long").alias("micro"),
+        )
+    )
+    scores = matched.groupBy("q_id", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("micro").cast("long").alias("score_micros"),
+    )
+    rk_w = W.partitionBy("q_id").orderBy(
+        F.col("score_micros").desc(), F.col(id_col)
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            id_col,
+            "n_terms",
+            "score_micros",
+            (F.col("score_micros").cast("double") / F.lit(1e6)).alias("score"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear"]
+__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear", "lag_corr"]
 
 
 def gap_fill(
@@ -295,3 +295,65 @@ def holt_linear(
         )
         .drop("__trail", "__st")
     )
+
+
+def lag_corr(
+    daily: DataFrame,
+    max_lag: int = 7,
+    day_col: str = "d",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between two integer-valued daily
+    series: for each lag 0..``max_lag``, r(lag) = corr(x_t, y_{t+lag})
+    over the days where both sides exist. Input ``daily`` has one row per
+    day with integer day number ``day_col`` and exact-integer (e.g.
+    cents-scaled) series columns — the lead/lag attribution primitive
+    over event streams (the reference's windowed QL over ordered tables).
+
+    Determinism discipline: all five moments (Σx, Σy, Σxy, Σx², Σy²) are
+    exact BIGINT sums of exact integers, so they are order-independent;
+    r is then one IEEE-exact expression over the integer moments —
+    num/(sqrt(dx)·sqrt(dy)) with num = n·Σxy − Σx·Σy — identical in any
+    engine. (BIGINT bounds: Σx² needs n·x_max² < 2⁶³; at corpus scales
+    beyond that, pre-aggregate to a coarser grain or drop to DECIMAL.)
+
+    Scale shape: the daily frame is aggregate-sized (one row per day),
+    so the lag self-join is a broadcast of a tiny frame against itself;
+    everything upstream (the per-day aggregation of the raw events) is
+    the single corpus shuffle."""
+    # Both sides of the lag join read ``daily``; persist so the upstream
+    # per-day corpus aggregation materializes once (the frame itself is
+    # one-row-per-day tiny — the cache is the plan dedup, not capacity).
+    daily = daily.persist()
+    lags = (
+        daily.sparkSession.range(max_lag + 1)
+        .select(F.col("id").cast("int").alias("lag"))
+    )
+    xs = daily.select(F.col(day_col).alias("xd"), F.col(x_col).alias("x"))
+    ys = daily.select(F.col(day_col).alias("yd"), F.col(y_col).alias("y"))
+    pairs = (
+        xs.crossJoin(F.broadcast(lags))
+        .join(ys, F.col("yd") == F.col("xd") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy")
+    with_m = m.select("lag", "n", num, dx, dy)
+    r = F.when(
+        (F.col("dx") > 0) & (F.col("dy") > 0),
+        F.col("num").cast("double")
+        / (
+            F.sqrt(F.col("dx").cast("double"))
+            * F.sqrt(F.col("dy").cast("double"))
+        ),
+    )
+    return with_m.select("lag", "n", "num", "dx", "dy", r.alias("r"))

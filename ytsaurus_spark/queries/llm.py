@@ -2708,3 +2708,245 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ic").cast("long").alias("n_hits"),
         (F.count("ic").cast("double") / F.lit(3.0)).alias("recall"),
     )
+
+
+@register(
+    "text_bm25_topk",
+    """
+    WITH q(q_id, q_text) AS (VALUES ('q1', 'table scan fast'),
+                                    ('q2', 'join merge sort'),
+                                    ('q3', 'stream window agg group')),
+    w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), wf AS (SELECT doc_id, tok FROM w WHERE length(tok) > 0),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM wf GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM wf GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), df_t AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), qt AS (
+      SELECT DISTINCT q_id, tok FROM (
+        SELECT q_id, unnest(string_split(q_text, ' ')) AS tok FROM q)
+      WHERE length(tok) > 0
+    ), m AS (
+      SELECT qt.q_id, tf.doc_id,
+             CAST(round(
+               ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+               * 1e6) AS BIGINT) AS micro
+      FROM qt JOIN tf USING (tok) JOIN df_t USING (tok)
+              JOIN dl USING (doc_id), stats
+    ), s AS (
+      SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(micro) AS BIGINT) AS score_micros
+      FROM m GROUP BY 1, 2
+    ), r AS (
+      SELECT s.*, row_number() OVER (PARTITION BY q_id
+               ORDER BY score_micros DESC, doc_id) AS rk
+      FROM s
+    )
+    SELECT q_id, doc_id, n_terms, score_micros,
+           CAST(score_micros AS DOUBLE) / 1e6 AS score, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval for three fixed term queries over the
+    documents corpus (operators/text.bm25_topk) — log-free Robertson
+    idf, per-term integer micro-unit contributions summed exactly, so
+    the ranking is engine-exact end to end. Query terms, df, and the
+    one-row corpus stats broadcast into the (doc, token) tf stream."""
+    queries = spark.createDataFrame(
+        [("q1", "table scan fast"),
+         ("q2", "join merge sort"),
+         ("q3", "stream window agg group")],
+        ["q_id", "q_text"],
+    )
+    cat = load_tables(spark, sf_dir)
+    return text.bm25_topk(cat.read("documents"), queries, k=5)
+
+
+@register(
+    "ts_lag_corr",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ), lags AS (SELECT unnest(range(8)) AS lag_v),
+    pairs AS (
+      SELECT lag_v, a.x AS x, b.y AS y
+      FROM daily a CROSS JOIN lags JOIN daily b ON b.d = a.d + lag_v
+    ), m AS (
+      SELECT CAST(lag_v AS INT) AS lag_d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1
+    ), d2 AS (
+      SELECT lag_d, n,
+             CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+             CAST(n * syy - sy * sy AS BIGINT) AS dy
+      FROM m
+    )
+    SELECT lag_d, n, num, dx, dy,
+           CASE WHEN dx > 0 AND dy > 0
+                THEN CAST(num AS DOUBLE)
+                     / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+           END AS r
+    FROM d2
+    """,
+)
+def ts_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag attribution: Pearson r between daily purchase cents and
+    click cents at lags 0..7 days (operators/timeseries.lag_corr). All
+    five moments are exact BIGINT sums; r is one IEEE-exact expression
+    (+,-,*,/,sqrt are all correctly rounded — ln is not, and is not
+    used). The daily frame is aggregate-sized, so the lag self-join is
+    broadcast-tiny; the single corpus shuffle is the per-day sum."""
+    from ytsaurus_spark.operators.timeseries import lag_corr
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    )
+    out = lag_corr(daily, max_lag=7)
+    return out.select(
+        F.col("lag").alias("lag_d"), "n", "num", "dx", "dy", "r"
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    """
+    WITH t AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+      WHERE length(tok) > 0
+    ), co AS (
+      SELECT a.tok AS src, b.tok AS dst
+      FROM t a JOIN t b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+       AND a.tok <> b.tok
+    ), edges AS (
+      SELECT src, dst FROM co UNION ALL SELECT dst AS src, src AS dst FROM co
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (SELECT count(*) * 1.0 AS n FROM nodes),
+    outdeg AS (SELECT src AS node, count(*) * 1.0 AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS recv
+           FROM r0 r JOIN outdeg d ON r.node = d.node
+                     JOIN edges e ON e.src = r.node GROUP BY e.dst),
+    d1 AS (SELECT coalesce(sum(r.rank), 0) AS dm
+           FROM r0 r LEFT JOIN outdeg d ON r.node = d.node WHERE d.node IS NULL),
+    r1 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(recv, 0) + d1.dm / nn.n) AS rank
+           FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn, d1),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS recv
+           FROM r1 r JOIN outdeg d ON r.node = d.node
+                     JOIN edges e ON e.src = r.node GROUP BY e.dst),
+    d2 AS (SELECT coalesce(sum(r.rank), 0) AS dm
+           FROM r1 r LEFT JOIN outdeg d ON r.node = d.node WHERE d.node IS NULL),
+    r2 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(recv, 0) + d2.dm / nn.n) AS rank
+           FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn, d2),
+    c3 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS recv
+           FROM r2 r JOIN outdeg d ON r.node = d.node
+                     JOIN edges e ON e.src = r.node GROUP BY e.dst),
+    d3 AS (SELECT coalesce(sum(r.rank), 0) AS dm
+           FROM r2 r LEFT JOIN outdeg d ON r.node = d.node WHERE d.node IS NULL),
+    r3 AS (SELECT nodes.node,
+                  0.15 / nn.n + 0.85 * (coalesce(recv, 0) + d3.dm / nn.n) AS rank
+           FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
+    SELECT node AS tok, round(rank, 6) AS rank,
+           CAST(row_number() OVER (ORDER BY round(rank, 6) DESC, node)
+                AS INT) AS kw_rank
+    FROM r3
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): damped
+    PageRank over the symmetric token co-occurrence graph (window <= 2),
+    parallel edges acting as co-occurrence weights — reuses
+    operators/graph.pagerank (3 synchronous passes, d=0.85), so the
+    per-iteration shape is the same two src/dst-keyed shuffles; the
+    positional self-join building edges is doc-keyed and window-banded
+    (|tokens|·window, never quadratic). Ranks round to 1e-6 before the
+    keyword ordering, so the row_number is taken over engine-identical
+    values; the final ordering window is vocabulary-sized (aggregate
+    scale), not corpus-sized."""
+    from ytsaurus_spark.operators.graph import pagerank
+
+    cat = load_tables(spark, sf_dir)
+    # persisted: the positional self-join + symmetric union would
+    # otherwise re-derive the token stream 4x from the corpus scan
+    toks = cat.read("documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).filter(F.length("tok") > 0).select("doc_id", "tok", "pos").persist()
+    a = toks.select(
+        F.col("doc_id").alias("da"), F.col("tok").alias("ta"),
+        F.col("pos").alias("pa"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("db"), F.col("tok").alias("tb"),
+        F.col("pos").alias("pb"),
+    )
+    co = a.join(
+        b,
+        (F.col("da") == F.col("db"))
+        & ((F.col("pb") - F.col("pa")).between(1, 2))
+        & (F.col("ta") != F.col("tb")),
+    ).select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
+    edges = co.union(
+        co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    from pyspark.sql import Window as W
+
+    ranked = pr.select(
+        F.col("node").alias("tok"), F.round("rank", 6).alias("rank")
+    )
+    return ranked.withColumn(
+        "kw_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("rank").desc(), "tok"))
+        .cast("int"),
+    )
