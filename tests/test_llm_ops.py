@@ -813,3 +813,55 @@ def test_lag_corr_constant_series_null_r(spark):
     )
     out = {r.lag: r for r in lag_corr(daily, max_lag=1).collect()}
     assert out[0].dx == 0 and out[0].r is None  # zero-variance guard
+
+
+def test_mips_differs_from_cosine_and_augmentation_preserves_order(spark):
+    import math
+
+    # candidate 2 is long but misaligned; candidate 3 short but aligned
+    rows = [
+        (1, [1.0, 0.0, 0.0]),   # query
+        (2, [3.0, 3.0, 0.0]),   # dot=3, cosine=0.707
+        (3, [0.9, 0.0, 0.0]),   # dot=0.9, cosine=1.0
+        (4, [0.0, 0.0, 2.0]),   # dot=0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 1)
+    mips = {r.rank: r.c_id for r in similarity.mips_topk(emb, q, k=3).collect()}
+    cos = {r.rank: r.c_id for r in similarity.cosine_topk(emb, q, k=3).collect()}
+    assert mips[1] == 2 and cos[1] == 3  # magnitude flips the winner
+
+    # Bachrach-style augmentation: x' = [x/M, sqrt(1 - |x|^2/M^2)],
+    # q' = [q, 0] -> cosine order over x' == dot order over x
+    m = max(math.sqrt(sum(v * v for v in vec)) for _, vec in rows[1:])
+    aug = [
+        (i, [v / m for v in vec]
+            + [math.sqrt(max(0.0, 1.0 - sum(v * v for v in vec) / (m * m)))])
+        for i, vec in rows
+        if i != 1
+    ] + [(1, rows[0][1] + [0.0])]
+    emb_a = spark.createDataFrame(aug, "vec_id bigint, embedding array<double>")
+    cos_a = {
+        r.rank: r.c_id
+        for r in similarity.cosine_topk(
+            emb_a, emb_a.filter(F.col("vec_id") == 1), k=3
+        ).collect()
+    }
+    assert [cos_a[i] for i in (1, 2, 3)] == [mips[i] for i in (1, 2, 3)]
+
+
+def test_seasonal_decompose_recovers_pure_weekly_signal(spark):
+    from ytsaurus_spark.operators.timeseries import seasonal_decompose
+
+    season = [70, 0, -70, 35, -35, 14, -14]  # sums to zero over the period
+    daily = spark.createDataFrame(
+        [(d, 1000 + season[d % 7]) for d in range(28)], "d int, x long"
+    )
+    out = {r.d: r for r in seasonal_decompose(daily, period=7).collect()}
+    # edges (incomplete centered window) stay null
+    assert out[0].trend_p is None and out[27].resid is None
+    # interior: trend recovers the level, seasonal the offset, resid ~ 0
+    for d in range(3, 25):
+        assert out[d].trend == 1000.0
+        assert out[d].seasonal == float(season[d % 7])
+        assert out[d].resid == 0.0

@@ -369,6 +369,7 @@ SCAN_BUDGETS = {
     "text_bm25_topk": 1,  # persisted token stream (tf/dl/df consumers)
     "ts_lag_corr": 1,  # persisted daily frame (both lag-join sides)
     "text_textrank_keywords": 1,  # persisted positional tokens + pagerank edges
+    "ts_seasonal_decompose": 1,  # persisted base frame (phase means + projection)
 }
 
 

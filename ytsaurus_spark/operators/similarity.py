@@ -858,3 +858,46 @@ def knn_classify(
         "votes",
         (F.col("nb_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def mips_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by MAXIMUM INNER PRODUCT (un-normalized dot) — the
+    recommendation / reward-model scoring mode, distinct from cosine:
+    a long vector can outrank a better-aligned short one.
+
+    Scale path (documented, unit-tested in test_llm_ops): MIPS reduces
+    to cosine ANN by the order-preserving augmentation x' = [x/M,
+    sqrt(1 − ‖x‖²/M²)] with M ≥ max‖x‖ (Bachrach et al. 2014, the
+    Xbox/ALS trick), after which the existing LSH/IVF bucketed indexes
+    apply unchanged; this operator is the exact baseline those indexes
+    are audited against. Queries broadcast; candidates never shuffle;
+    the dot is the same sequential zip_with fold as cosine_topk, so the
+    score is engine-identical."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("dot", F.expr(_dot("qv", "cv")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("dot", 4).alias("dot"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

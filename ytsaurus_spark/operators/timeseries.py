@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear", "lag_corr"]
+__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear", "lag_corr", "seasonal_decompose"]
 
 
 def gap_fill(
@@ -357,3 +357,71 @@ def lag_corr(
         ),
     )
     return with_m.select("lag", "n", "num", "dx", "dy", r.alias("r"))
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    period: int = 7,
+    day_col: str = "d",
+    x_col: str = "x",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of one integer-valued
+    daily series: trend = centered ``period``-day moving average,
+    seasonal = per-phase mean of the detrended values, residual = value
+    − trend − seasonal (the decomposition behind anomaly baselines and
+    load forecasting; the reference leaves it to windowed QL).
+
+    Determinism discipline: everything stays ×``period`` scaled integers
+    as long as possible — ``trend_p`` is the exact BIGINT window sum
+    (null until the window is full), ``detr_p = period·x − trend_p`` is
+    exact BIGINT, the per-phase seasonal mean sums exact BIGINTs — so
+    the only doubles are three final correctly-rounded divisions, with
+    identical operand association in any engine. Odd ``period`` assumed
+    (centered window is symmetric).
+
+    Scale shape: the input is an aggregate-sized daily frame, so the
+    unpartitioned ORDER BY ``day_col`` window is a deliberate
+    single-partition pass over per-day rows, not corpus rows (partition
+    by series key for the multi-key variant); the phase means are a
+    ``period``-row broadcast join."""
+    half = period // 2
+    w = W.orderBy(day_col).rowsBetween(-half, half)
+    base = daily.select(
+        F.col(day_col).alias("d"),
+        F.col(x_col).alias("x"),
+        (F.col(day_col) % period).alias("phase"),
+        F.when(
+            F.count(F.lit(1)).over(W.orderBy(day_col).rowsBetween(-half, half))
+            == period,
+            F.sum(x_col).over(w),
+        ).cast("long").alias("trend_p"),
+    ).withColumn(
+        "detr_p",
+        (F.lit(period) * F.col("x") - F.col("trend_p")).cast("long"),
+    ).persist()  # phase means + final projection both read it
+    phase_means = base.filter(F.col("detr_p").isNotNull()).groupBy(
+        "phase"
+    ).agg(
+        (
+            F.sum("detr_p").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("s_p")
+    )
+    return (
+        base.join(F.broadcast(phase_means), "phase", "left")
+        .select(
+            "d",
+            "x",
+            F.col("phase").cast("int").alias("phase"),
+            "trend_p",
+            "detr_p",
+            (F.col("trend_p").cast("double") / F.lit(float(period))).alias(
+                "trend"
+            ),
+            (F.col("s_p") / F.lit(float(period))).alias("seasonal"),
+            (
+                (F.col("detr_p").cast("double") - F.col("s_p"))
+                / F.lit(float(period))
+            ).alias("resid"),
+        )
+    )

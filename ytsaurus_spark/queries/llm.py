@@ -2950,3 +2950,89 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("rank").desc(), "tok"))
         .cast("int"),
     )
+
+
+@register(
+    "sim_mips_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), s AS (
+      SELECT q_id, c_id, list_dot_product(qv, cv) AS dot
+      FROM q, c WHERE q_id <> c_id
+    ), r AS (
+      SELECT q_id, c_id, dot,
+             row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id)
+               AS rnk
+      FROM s
+    )
+    SELECT q_id, c_id, round(dot, 4) AS dot, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 5
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-5 (operators/similarity.mips_topk) —
+    the recommendation/reward scoring mode where magnitude matters.
+    Same broadcast-queries shape and sequential-fold dot as cosine_topk;
+    the order-preserving augmentation to cosine (so the LSH/IVF indexes
+    serve MIPS unchanged at 100 TB) is unit-tested in test_llm_ops."""
+    cat = load_tables(spark, sf_dir)
+    emb = cat.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.mips_topk(emb, queries, k=5)
+
+
+@register(
+    "ts_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), base AS (
+      SELECT d, x, CAST(d % 7 AS INT) AS phase,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN CAST(sum(x) OVER w7 AS BIGINT) END AS trend_p
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), b2 AS (
+      SELECT *, CAST(7 * x - trend_p AS BIGINT) AS detr_p FROM base
+    ), pm AS (
+      SELECT phase,
+             CAST(sum(detr_p) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_p
+      FROM b2 WHERE detr_p IS NOT NULL GROUP BY phase
+    )
+    SELECT d, x, b2.phase, trend_p, detr_p,
+           CAST(trend_p AS DOUBLE) / 7.0 AS trend,
+           s_p / 7.0 AS seasonal,
+           (CAST(detr_p AS DOUBLE) - s_p) / 7.0 AS resid
+    FROM b2 LEFT JOIN pm ON b2.phase = pm.phase
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly additive decomposition of the daily purchase-cents series
+    (operators/timeseries.seasonal_decompose): exact BIGINT 7-day window
+    sums and x7-scaled detrended integers; the only doubles are three
+    final correctly-rounded divisions, so trend/seasonal/residual are
+    engine-identical without any rounding wrapper."""
+    from ytsaurus_spark.operators.timeseries import seasonal_decompose
+
+    cat = load_tables(spark, sf_dir)
+    daily = (
+        cat.read("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return seasonal_decompose(daily, period=7)
