@@ -42,6 +42,11 @@ SHOWCASE = {
     "text_inverted_index": "Index shard build (round 6): (doc,token) then token partial-agg shuffles; the posting list is sliced from the sorted per-term set BEFORE serialization — stop-word rows stay bounded.",
     "text_cooccurrence_lift": "Skip-gram pair mining (round 6): doc-keyed window-banded positional self-join (intermediates |tokens|·w); unigram and pair counts partial-agg; the 1-row total broadcasts into the lift projection.",
     "ts_ewma": "Sequential recurrence as a bounded window fold (round 6): key-partitioned ordered window collects the 40-value trail; the EWMA fold runs in-row — one exchange on key, no driver-side series walk.",
+    "text_bm25_topk": "BM25 retrieval (round 6): one persisted (doc,token) stream feeds tf/dl/df; query terms, df, and 1-row corpus stats broadcast into the token-keyed tf side — zero corpus shuffles beyond index build; top-k window partitions by query over posting-list-bounded candidates.",
+    "text_textrank_keywords": "TextRank (round 6): doc-keyed window-banded positional self-join over the persisted token stream builds vocabulary-grain edges; the pagerank passes exchange token-grain rows only; final keyword window is vocabulary-sized.",
+    "ts_lag_corr": "Lagged cross-correlation (round 6): the corpus reduces to a persisted per-day frame in ONE shuffle; the lag self-join broadcasts a tiny frame; r comes from exact BIGINT moments in the final projection.",
+    "ts_seasonal_decompose": "Weekly decomposition (round 6): per-day frame persisted; centered 7-row window + phase-mean broadcast both run at day grain — the unpartitioned window sorts days, not corpus rows.",
+    "sim_mips_topk": "MIPS top-k (round 6): queries broadcast, candidates never shuffle, sequential-fold dot in the scan projection; per-query top-k window.",
 }
 
 # Hand-written sketches for plans whose interesting part is not the
