@@ -78,6 +78,8 @@ SCALING_SET = [
     "sim_scalar_quantize_int8",   # added r6: element-grain train + encode
     "curation_select_to_budget",  # added r6: hierarchical prefix sum
     "graph_connected_components", # added r6: 4-round label propagation
+    "text_bm25_topk",             # added r6: index stats + broadcast retrieval
+    "text_textrank_keywords",     # added r6: positional self-join + pagerank
 ]
 
 

@@ -865,3 +865,45 @@ def test_seasonal_decompose_recovers_pure_weekly_signal(spark):
         assert out[d].trend == 1000.0
         assert out[d].seasonal == float(season[d % 7])
         assert out[d].resid == 0.0
+
+
+def test_cusum_finds_level_shift(spark):
+    from ytsaurus_spark.operators.timeseries import cusum_changepoint
+
+    # level 100 for days 0-9, level 200 for days 10-19: shift at d=10
+    daily = spark.createDataFrame(
+        [(d, 100 if d < 10 else 200) for d in range(20)], "d int, x long"
+    )
+    out = {r.d: r for r in cusum_changepoint(daily).collect()}
+    peak = next(r for r in out.values() if r.abs_rank == 1)
+    assert peak.d == 9  # |cusum| peaks on the last pre-shift day
+    assert out[19].cusum == 0  # built-in checksum: returns to zero
+
+
+def test_power_iteration_matches_numpy_eigvec(spark):
+    import numpy as np
+
+    from ytsaurus_spark.operators.similarity import power_iteration_pc1
+
+    # dominant direction (1, 1, 0, 0)/sqrt(2) plus small structured noise
+    rng_free = [  # deterministic fixture, no RNG
+        (i, [0.3 * s + 0.01 * ((i * 7) % 5 - 2),
+             0.3 * s - 0.01 * ((i * 3) % 5 - 2),
+             0.02 * ((i * 11) % 7 - 3),
+             0.01 * ((i * 13) % 3 - 1)])
+        for i, s in enumerate([1, -1, 1, -1, 1, 1, -1, -1, 1, -1] * 4)
+    ]
+    emb = spark.createDataFrame(
+        rng_free, "vec_id bigint, embedding array<double>"
+    )
+    out = {r.dim: r.v3 for r in power_iteration_pc1(emb, iterations=3).collect()}
+    v = np.array([out[i] for i in range(4)], dtype=float)
+
+    # reference eigenvector of the same quantized integer covariance
+    c = np.round(np.array([e for _, e in rng_free]) * 127)
+    yc = len(c) * c - c.sum(axis=0)
+    cov = yc.T @ yc
+    evec = np.linalg.eigh(cov)[1][:, -1]
+    cos = abs(v @ evec) / (np.linalg.norm(v) * np.linalg.norm(evec))
+    assert cos > 0.99
+    assert max(abs(v)) == 1000  # fixed-point normalization invariant

@@ -370,6 +370,8 @@ SCAN_BUDGETS = {
     "ts_lag_corr": 1,  # persisted daily frame (both lag-join sides)
     "text_textrank_keywords": 1,  # persisted positional tokens + pagerank edges
     "ts_seasonal_decompose": 1,  # persisted base frame (phase means + projection)
+    "ts_cusum_changepoint": 1,  # persisted daily frame (totals + cusum pass)
+    "sim_power_iteration_pc1": 1,  # persisted element/centered/cov frames
 }
 
 

@@ -901,3 +901,102 @@ def mips_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def power_iteration_pc1(
+    emb: DataFrame,
+    iterations: int = 3,
+    scale: int = 1000,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leading principal direction of the embedding cloud by FIXED-POINT
+    power iteration — the whitening / drift-diagnostic primitive (which
+    dimension combination carries the variance), computed with zero
+    float summations so the result is engine-exact.
+
+    Discipline: elements quantize to integers (round(x·quant), the SQ8
+    move from scalar_quantize_int8); centering is n-scaled subtraction
+    (y = n·c − Σc, exact BIGINT); the covariance is an exact integer
+    (i, j) aggregate; the matrix and each iterate renormalize to
+    ``scale`` fixed-point units via pure BIGINT half-up division
+    ``(1000·|v| + max div 2) div max``, so every iterate is an integer
+    vector and the Σ_j C'_ij·v_j products stay exact. Sign is pinned by
+    the deterministic all-ones start.
+
+    Scale shape: the (i, j) covariance explode is dim² rows PER VECTOR
+    but partial-aggregates map-side, so the one shuffle carries only
+    dim²·partitions rows (dim²=4096 here); everything after runs on
+    dim- or dim²-sized aggregate frames with broadcast iterates. BIGINT
+    bounds: n³·quant² < 2^63 for the raw covariance (pre-aggregate to
+    means at corpora beyond ~10⁵ vectors — same plan, one extra
+    division), and scale²·dim < 2^63 always holds.
+
+    Returns one row per dimension: (dim, v1..v_iterations fixed-point
+    iterate values)."""
+    el = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("i", "xv"),
+    ).select(
+        "vid",
+        "i",
+        F.round(F.col("xv").cast("double") * quant).cast("long").alias("c"),
+    ).persist()  # per-dim stats + the centering join both read it
+    stats = el.groupBy("i").agg(
+        F.sum("c").cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    y = el.join(F.broadcast(stats), "i").select(
+        "vid", "i", (F.col("n") * F.col("c") - F.col("m")).cast("long").alias("y")
+    ).persist()  # both legs of the covariance self-join
+    yj = y.select(
+        F.col("vid").alias("vid2"), F.col("i").alias("j"), F.col("y").alias("yj")
+    )
+    cov = (
+        y.join(yj, F.col("vid") == F.col("vid2"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("y") * F.col("yj")).cast("long").alias("cv"))
+    )
+    maxc = cov.agg(F.max(F.abs(F.col("cv"))).cast("long").alias("mc"))
+    cf = (
+        cov.crossJoin(F.broadcast(maxc))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"CAST(CASE WHEN cv >= 0 THEN (cv * {scale} + mc div 2) div mc "
+                f"ELSE -((-cv * {scale} + mc div 2) div mc) END AS BIGINT)"
+            ).alias("cq"),
+        )
+        .persist()  # reused by every iteration
+    )
+    # v0 = all ones; each pass: w = C'·v, then renormalize to `scale`
+    v = None  # DataFrame (j, v) or None for the implicit all-ones start
+    iterates = []
+    for it in range(1, iterations + 1):
+        if v is None:
+            w = cf.groupBy("i").agg(F.sum("cq").cast("long").alias("w"))
+        else:
+            w = (
+                cf.join(F.broadcast(v), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("cq") * F.col("v")).cast("long").alias("w"))
+            )
+        mx = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("mw"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(
+                    f"CAST(CASE WHEN mw = 0 THEN 0 "
+                    f"WHEN w >= 0 THEN (w * {scale} + mw div 2) div mw "
+                    f"ELSE -((-w * {scale} + mw div 2) div mw) END AS BIGINT)"
+                ).alias("v"),
+            )
+        )
+        iterates.append(v.select(F.col("j"), F.col("v").alias(f"v{it}")))
+    out = iterates[0]
+    for nxt in iterates[1:]:
+        out = out.join(nxt, "j")
+    return out.select(F.col("j").cast("int").alias("dim"), *[f"v{k}" for k in range(1, iterations + 1)])

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear", "lag_corr", "seasonal_decompose"]
+__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear", "lag_corr", "seasonal_decompose", "cusum_changepoint"]
 
 
 def gap_fill(
@@ -424,4 +424,49 @@ def seasonal_decompose(
                 / F.lit(float(period))
             ).alias("resid"),
         )
+    )
+
+
+def cusum_changepoint(
+    daily: DataFrame,
+    day_col: str = "d",
+    x_col: str = "x",
+) -> DataFrame:
+    """CUSUM changepoint localization over one integer-valued daily
+    series: the cumulative sum of n-scaled deviations ``dev_k = n·x_k −
+    Σx`` peaks (in absolute value) at the most likely level-shift point
+    (Page 1954; the scan a monitoring pipeline runs over per-day metric
+    rollups). Scaling by n instead of subtracting the mean keeps EVERY
+    quantity an exact BIGINT — dev, the running cusum, and the peak rank
+    are engine-identical with zero float operations.
+
+    Returns the full series with ``abs_rank`` (1 = strongest candidate
+    changepoint; cusum returns to exactly 0 on the last row by
+    construction — a built-in checksum).
+
+    Scale shape: input is the aggregate-sized per-day frame (one corpus
+    shuffle upstream); the unpartitioned cumulative window deliberately
+    sorts day-grain rows only — partition by series key for the
+    multi-metric variant. BIGINT bound: n·Σ|x| < 2^63."""
+    daily = daily.persist()  # totals + the cusum pass both read it
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x_col).cast("long").alias("s"),
+    )
+    w = W.orderBy(day_col).rowsBetween(W.unboundedPreceding, 0)
+    c = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "dev",
+            (F.col("n") * F.col(x_col) - F.col("s")).cast("long"),
+        )
+        .withColumn("cusum", F.sum("dev").over(w).cast("long"))
+    )
+    rk = W.orderBy(F.abs(F.col("cusum")).desc(), day_col)
+    return c.select(
+        F.col(day_col).alias("d"),
+        F.col(x_col).alias("x"),
+        "dev",
+        "cusum",
+        F.row_number().over(rk).cast("int").alias("abs_rank"),
     )

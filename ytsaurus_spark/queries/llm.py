@@ -3036,3 +3036,115 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seasonal_decompose(daily, period=7)
+
+
+@register(
+    "ts_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ), c AS (
+      SELECT d, x, CAST(n * x - s AS BIGINT) AS dev,
+             CAST(sum(n * x - s) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cusum
+      FROM daily, tot
+    )
+    SELECT d, x, dev, cusum,
+           CAST(row_number() OVER (ORDER BY abs(cusum) DESC, d) AS INT)
+             AS abs_rank
+    FROM c
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift scan over the daily purchase-cents series
+    (operators/timeseries.cusum_changepoint): deviations are n-scaled so
+    dev, the running cusum, and the peak rank are all exact BIGINTs —
+    zero float ops anywhere. abs_rank 1 marks the strongest changepoint
+    candidate; the last row's cusum is exactly 0 by construction."""
+    from ytsaurus_spark.operators.timeseries import cusum_changepoint
+
+    cat = load_tables(spark, sf_dir)
+    daily = (
+        cat.read("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return cusum_changepoint(daily)
+
+
+@register(
+    "sim_power_iteration_pc1",
+    """
+    WITH el AS (
+      SELECT vid, i - 1 AS i, CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT vec_id AS vid, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), stats AS (
+      SELECT i, CAST(sum(c) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n
+      FROM el GROUP BY i
+    ), y AS (
+      SELECT vid, el.i AS i, CAST(n * c - m AS BIGINT) AS y
+      FROM el JOIN stats ON el.i = stats.i
+    ), cov AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.y * b.y) AS BIGINT) AS cv
+      FROM y a JOIN y b ON a.vid = b.vid GROUP BY 1, 2
+    ), maxc AS (SELECT CAST(max(abs(cv)) AS BIGINT) AS mc FROM cov),
+    cf AS (
+      SELECT i, j,
+             CAST(CASE WHEN cv >= 0 THEN (cv * 1000 + mc // 2) // mc
+                  ELSE -((-cv * 1000 + mc // 2) // mc) END AS BIGINT) AS cq
+      FROM cov, maxc
+    ),
+    w1 AS (SELECT i, CAST(sum(cq) AS BIGINT) AS w FROM cf GROUP BY i),
+    m1 AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mw FROM w1),
+    v1 AS (SELECT i AS j,
+                  CAST(CASE WHEN mw = 0 THEN 0
+                       WHEN w >= 0 THEN (w * 1000 + mw // 2) // mw
+                       ELSE -((-w * 1000 + mw // 2) // mw) END AS BIGINT) AS v
+           FROM w1, m1),
+    w2 AS (SELECT cf.i AS i, CAST(sum(cq * v) AS BIGINT) AS w
+           FROM cf JOIN v1 ON cf.j = v1.j GROUP BY cf.i),
+    m2 AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mw FROM w2),
+    v2 AS (SELECT i AS j,
+                  CAST(CASE WHEN mw = 0 THEN 0
+                       WHEN w >= 0 THEN (w * 1000 + mw // 2) // mw
+                       ELSE -((-w * 1000 + mw // 2) // mw) END AS BIGINT) AS v
+           FROM w2, m2),
+    w3 AS (SELECT cf.i AS i, CAST(sum(cq * v) AS BIGINT) AS w
+           FROM cf JOIN v2 ON cf.j = v2.j GROUP BY cf.i),
+    m3 AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mw FROM w3),
+    v3 AS (SELECT i AS j,
+                  CAST(CASE WHEN mw = 0 THEN 0
+                       WHEN w >= 0 THEN (w * 1000 + mw // 2) // mw
+                       ELSE -((-w * 1000 + mw // 2) // mw) END AS BIGINT) AS v
+           FROM w3, m3)
+    SELECT CAST(v1.j AS INT) AS dim, v1.v AS v1, v2.v AS v2, v3.v AS v3
+    FROM v1 JOIN v2 ON v1.j = v2.j JOIN v3 ON v1.j = v3.j
+    """,
+)
+def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding cloud by fixed-point
+    power iteration (operators/similarity.power_iteration_pc1): int8
+    quantization, n-scaled integer centering, exact BIGINT covariance,
+    and pure-integer half-up renormalization each pass — the whitening /
+    drift diagnostic with zero float summations, so all three iterates
+    hash identically cross-engine. The oracle unrolls the same three
+    passes as CTEs."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.power_iteration_pc1(cat.read("embeddings"), iterations=3)
