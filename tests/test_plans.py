@@ -372,6 +372,7 @@ SCAN_BUDGETS = {
     "ts_seasonal_decompose": 1,  # persisted base frame (phase means + projection)
     "ts_cusum_changepoint": 1,  # persisted daily frame (totals + cusum pass)
     "sim_power_iteration_pc1": 1,  # persisted element/centered/cov frames
+    "sim_hybrid_rrf": 2,  # per-leg selective query slices (doc_id/vec_id < 5)
 }
 
 

@@ -3148,3 +3148,118 @@ def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes as CTEs."""
     cat = load_tables(spark, sf_dir)
     return similarity.power_iteration_pc1(cat.read("embeddings"), iterations=3)
+
+
+@register(
+    "sim_hybrid_rrf",
+    """
+    WITH qd AS (
+      SELECT doc_id AS q_id, text AS q_text FROM documents WHERE doc_id < 5
+    ),
+    w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), wf AS (SELECT doc_id, tok FROM w WHERE length(tok) > 0),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM wf GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM wf GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), df_t AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), qt AS (
+      SELECT DISTINCT q_id, tok FROM (
+        SELECT q_id, unnest(string_split(q_text, ' ')) AS tok FROM qd)
+      WHERE length(tok) > 0
+    ), m AS (
+      SELECT qt.q_id, tf.doc_id,
+             CAST(round(
+               ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+               * 1e6) AS BIGINT) AS micro
+      FROM qt JOIN tf USING (tok) JOIN df_t USING (tok)
+              JOIN dl USING (doc_id), stats
+    ), s AS (
+      SELECT q_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micros
+      FROM m GROUP BY 1, 2
+    ), br AS (
+      SELECT q_id, doc_id AS c_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score_micros DESC, doc_id) AS INT) AS rk_b
+      FROM s
+    ), bleg AS (
+      SELECT q_id, c_id, rk_b FROM br WHERE rk_b <= 10 AND c_id <> q_id
+    ),
+    qv AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id < 5
+    ), cv AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS cvec FROM embeddings
+    ), cs AS (
+      SELECT q_id, c_id,
+             list_dot_product(qvec, cvec) /
+               sqrt(list_dot_product(qvec, qvec)
+                    * list_dot_product(cvec, cvec)) AS cos
+      FROM qv, cv WHERE q_id <> c_id
+    ), cr AS (
+      SELECT q_id, c_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, c_id) AS INT) AS rk_c
+      FROM cs
+    ), cleg AS (SELECT q_id, c_id, rk_c FROM cr WHERE rk_c <= 10),
+    fused AS (
+      SELECT q_id, c_id, rk_b, rk_c,
+             coalesce(1.0 / (60 + rk_b), 0)
+               + coalesce(1.0 / (60 + rk_c), 0) AS rrf
+      FROM bleg FULL JOIN cleg USING (q_id, c_id)
+    )
+    SELECT q_id, c_id, rk_b, rk_c, rrf,
+           CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY rrf DESC, c_id) AS INT) AS rk
+    FROM fused QUALIFY rk <= 5
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid query-by-example retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009): a lexical BM25 leg (the query is the example
+    document's own text) and a dense cosine leg over the aligned
+    embedding, fused by rrf = Σ 1/(60 + rank) and re-ranked — the
+    standard RAG retrieval stack as one declarative plan. Both legs are
+    the existing operators' shapes (posting-bounded BM25; broadcast
+    cosine); the fusion is a top-10 × top-10 full outer join at
+    (query, candidate) grain, and the two-term rrf sum is a fixed-order
+    expression over exact small-integer divisions, so scores and the
+    fused ranking are engine-exact."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    emb = cat.read("embeddings")
+    qdocs = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    bleg = (
+        text.bm25_topk(docs, qdocs, k=10)
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select("q_id", F.col("doc_id").alias("c_id"), F.col("rk").alias("rk_b"))
+    )
+    cleg = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).select("q_id", "c_id", F.col("rank").alias("rk_c"))
+    fused = bleg.join(cleg, ["q_id", "c_id"], "full").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rk_b")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rk_c")), F.lit(0.0)),
+    )
+    from pyspark.sql import Window as W
+
+    rk_w = W.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("c_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(rk_w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "rk_b", "rk_c", "rrf", "rk")
+    )
