@@ -634,3 +634,45 @@ def test_publish_changes_exactly_once(spark, tmp_path):
     src.insert_rows(spark.createDataFrame([(4, 40)], "k long, v long"))
     assert publish_changes(src, q, "repl", from_version=v2) == 1
     assert q.read().count() == 4
+
+
+def test_cusum_monitor_fold_matches_reset_identity():
+    """The stateful fold s=max(0, s+d) equals cum - least(0, min-prefix-cum),
+    and state carries the fold across calls (micro-batches)."""
+    import pandas as pd
+
+    from ytsaurus_spark.streaming.stateful import cusum_monitor
+
+    fn, out_schema, state_schema = cusum_monitor(
+        "k", order_col="oid", val_col="x", reference=10, threshold=15
+    )
+
+    class StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    state = StubState()
+    xs = [5, 30, 2, 40, 1, 1, 50]  # d = x-10: -5,20,-8,30,-9,-9,40
+    batch1 = pd.DataFrame({"oid": [0, 1, 2], "x": xs[:3]})
+    batch2 = pd.DataFrame({"oid": [3, 4, 5, 6], "x": xs[3:]})
+    out1 = list(fn(("a",), iter([batch1]), state))[0]
+    out2 = list(fn(("a",), iter([batch2]), state))[0]
+    got = list(out1.s) + list(out2.s)
+
+    # reference: the batch reset identity over the whole series
+    cum, mn, want = 0, 0, []
+    for x in xs:
+        cum += x - 10
+        mn = min(mn, cum)
+        want.append(cum - min(0, mn))
+    assert got == want
+    assert list(out2.alarm) == [s > 15 for s in got[3:]]
+    assert state.get[1] == len(xs)  # n carried across batches

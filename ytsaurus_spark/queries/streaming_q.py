@@ -896,3 +896,87 @@ def stream_flow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("v2"), 4).alias("sum_v2"),
     )
+
+
+# --- streaming CUSUM drift monitor (stateful, exact-integer fold) ----------
+
+@register(
+    "stream_cusum_monitor",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ), c AS (
+      SELECT event_type, event_id, cents,
+             CAST(sum(cents - 10500) OVER (PARTITION BY event_type
+                    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum
+      FROM e
+    ), s AS (
+      SELECT event_type, event_id, cents,
+             CAST(cum - least(0, min(cum) OVER (PARTITION BY event_type
+                    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)) AS BIGINT) AS s
+      FROM c
+    )
+    SELECT event_type, event_id, cents, s, s > 100000 AS alarm FROM s
+    """,
+)
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming one-sided CUSUM drift monitor
+    (streaming/stateful.cusum_monitor): a REAL Structured Streaming pass
+    folds s = max(0, s + (cents − 10500)) per event_type with two-BIGINT
+    state carried across micro-batches, flagging s > 100000. The oracle
+    computes the batch reset identity (cumulative sum minus its clamped
+    running minimum) — exact integers on both sides, so the streamed
+    fold must match row-for-row."""
+    import tempfile
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ytsaurus_spark.streaming.stateful import cusum_monitor
+
+    load_tables(spark, sf_dir)
+    src = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "event_type",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    fn, out_schema, state_schema = cusum_monitor(
+        "event_type", order_col="event_id", val_col="cents",
+        reference=10_500, threshold=100_000,
+    )
+    out = src.groupBy("event_type").applyInPandasWithState(
+        fn,
+        T._parse_datatype_string(out_schema),
+        T._parse_datatype_string(state_schema),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_cusum_monitor_out"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table(name).collect()
+    return spark.createDataFrame(
+        rows, "event_type string, event_id bigint, cents bigint, s bigint, alarm boolean"
+    )

@@ -135,6 +135,64 @@ def time_order_recover(
     return fn, out, state_schema
 
 
+def cusum_monitor(
+    key_col: str,
+    order_col: str = "event_id",
+    val_col: str = "cents",
+    reference: int = 10_500,
+    threshold: int = 100_000,
+):
+    """One-sided streaming CUSUM drift monitor (Page 1954): per key,
+    fold ``s = max(0, s + (x − reference))`` in ``order_col`` order and
+    flag ``alarm = s > threshold`` — the canonical change-detection
+    monitor over a metric stream, with per-key integer state carried
+    across micro-batches. All arithmetic is exact Python/BIGINT integers
+    (feed cents-scaled values), so the streamed fold is bit-identical to
+    the batch reset identity ``s_t = cum_t − least(0, min_{i≤t} cum_i)``
+    — which is exactly what the DuckDB oracle computes with two window
+    passes.
+
+    Feed in-order streams (or compose with ``time_order_recover``
+    upstream for out-of-order feeds); within a batch the fn sorts by
+    ``order_col``, across batches state continues the fold. State per
+    key = two BIGINTs — O(keys), the smallest possible monitor state.
+
+    Returns (fn, output_schema, state_schema) for
+    ``grouped.applyInPandasWithState(fn, out, state, "append", NoTimeout)``.
+    """
+    out = (
+        f"{key_col} string, {order_col} bigint, {val_col} bigint, "
+        "s bigint, alarm boolean"
+    )
+    state_schema = "s bigint, n bigint"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        s, n = state.get if state.exists else (0, 0)
+        rows = []
+        for pdf in pdfs:
+            if len(pdf):
+                rows.extend(
+                    (int(o), int(x))
+                    for o, x in zip(pdf[order_col], pdf[val_col])
+                )
+        if not rows:
+            return
+        rows.sort()
+        out_rows = []
+        for o, x in rows:
+            s = s + (x - reference)
+            if s < 0:
+                s = 0
+            n += 1
+            out_rows.append((key[0], o, x, s, s > threshold))
+        state.update((s, n))
+        yield pd.DataFrame(
+            out_rows, columns=[key_col, order_col, val_col, "s", "alarm"]
+        )
+
+    return fn, out, state_schema
+
+
 # NOTE: Spark 4's transformWithStateInPandas (StatefulProcessor + typed
 # ValueState handles) is the designated successor of applyInPandasWithState
 # for the custom stateful operators in this module. It is NOT used here
