@@ -907,3 +907,27 @@ def test_power_iteration_matches_numpy_eigvec(spark):
     cos = abs(v @ evec) / (np.linalg.norm(v) * np.linalg.norm(evec))
     assert cos > 0.99
     assert max(abs(v)) == 1000  # fixed-point normalization invariant
+
+
+def test_audio_frame_energy_conserves_samples(spark):
+    from ytsaurus_spark.operators.multimodal import (
+        extract_audio_frame_energy,
+        synthesize_wav,
+    )
+
+    docs = spark.createDataFrame([(0,), (1,), (63,)], "doc_id bigint")
+    fr = extract_audio_frame_energy(synthesize_wav(docs), frame=64)
+    rows = fr.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.id, []).append(r)
+    for i, frames in per_doc.items():
+        n = 256 + i % 64
+        assert sum(f.n_in_frame for f in frames) == n  # nothing dropped
+        assert len(frames) == (n + 63) // 64  # trailing partial kept
+        # energies are the exact integer sums of the generating form
+        want0 = sum(
+            (((i * 31 + j * 7) % 65536) - 32768) ** 2 for j in range(64)
+        )
+        first = next(f for f in frames if f.frame_idx == 0)
+        assert first.energy == want0

@@ -288,6 +288,43 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     )
 
 
+def extract_audio_frame_energy(df: DataFrame, frame: int = 64) -> DataFrame:
+    """REAL audio decode to FRAME grain: parse each WAV (stdlib ``wave``)
+    and emit one row per ``frame``-sample window with its exact integer
+    energy Σs² — the front half of energy-threshold voice-activity
+    detection. Energies are exact Python/BIGINT integers (PCM16 squares
+    summed), so every downstream threshold/segment decision is
+    engine-exact. The trailing partial frame is kept with its own
+    ``n_in_frame``. One mapInPandas stage, zero shuffles; output volume
+    is samples/frame per clip."""
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ids, fidx, nin, en = [], [], [], []
+            for rid, media in zip(pdf["id"], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(media)), "rb") as w:
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                for f0 in range(0, n, frame):
+                    chunk = samples[f0 : f0 + frame]
+                    ids.append(int(rid))
+                    fidx.append(f0 // frame)
+                    nin.append(len(chunk))
+                    en.append(sum(s * s for s in chunk))
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": fidx, "n_in_frame": nin,
+                 "energy": en}
+            )
+
+    return df.select("id", "media").mapInPandas(
+        runner, "id bigint, frame_idx int, n_in_frame bigint, energy bigint"
+    )
+
+
 def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build REAL video-like payloads: a length-prefixed container of
     PNG-encoded frames (the MJPEG shape with PNG as the per-frame

@@ -2055,3 +2055,83 @@ def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_id"], direction="nearest",
     )
     return joined.select("event_id", "user_id", "click_id")
+
+
+# --- REAL audio VAD: frame-energy segmentation, closed-form oracle ---------
+
+
+@register(
+    "mm_audio_vad_segments",
+    """
+    WITH g AS (
+      SELECT doc_id, 256 + doc_id % 64 AS n FROM documents
+    ), sm AS (
+      SELECT doc_id, unnest(range(0, n)) AS j FROM g
+    ), s2 AS (
+      SELECT doc_id, j // 64 AS frame_idx,
+             CAST(((doc_id * 31 + j * 7) % 65536) - 32768 AS BIGINT) AS s
+      FROM sm
+    ), fr AS (
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(sum(s * s) AS BIGINT) AS energy
+      FROM s2 GROUP BY 1, 2
+    ), fl AS (
+      SELECT doc_id, frame_idx, energy,
+             energy > 22900000000 AS active,
+             lag(energy > 22900000000) OVER (PARTITION BY doc_id
+                 ORDER BY frame_idx) AS prev_active
+      FROM fr
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active,
+           CAST(sum(CASE WHEN active AND (prev_active IS NULL
+                         OR NOT prev_active) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_segments,
+           CAST(max(energy) AS BIGINT) AS peak_energy
+    FROM fl GROUP BY doc_id
+    """,
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL energy-threshold voice-activity detection end to end:
+    synthesize PCM16 WAVs, decode to 64-sample frame energies (exact
+    integer Σs² — operators/multimodal.extract_audio_frame_energy), flag
+    active frames, and count contiguous active segments via a per-clip
+    lag window. The oracle recomputes frames and energies from the
+    generating closed form, so a codec, framing, or segmentation bug
+    breaks the hash. Decode is one mapInPandas stage; the segment window
+    partitions per clip (frames-per-clip bounded), and the final
+    aggregate partial-aggs."""
+    from pyspark.sql import Window as W
+
+    from ytsaurus_spark.operators.multimodal import (
+        extract_audio_frame_energy,
+        synthesize_wav,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    fr = extract_audio_frame_energy(synthesize_wav(cat.read("documents")))
+    lag_w = W.partitionBy("id").orderBy("frame_idx")
+    fl = fr.withColumn("active", F.col("energy") > 22_900_000_000).withColumn(
+        "prev_active", F.lag("active").over(lag_w)
+    )
+    return (
+        fl.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum(F.when(F.col("active"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_active"),
+            F.sum(
+                F.when(
+                    F.col("active")
+                    & (F.col("prev_active").isNull() | ~F.col("prev_active")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_segments"),
+            F.max("energy").cast("long").alias("peak_energy"),
+        )
+    )
