@@ -121,3 +121,39 @@ def test_bfs_layers_path_graph(spark):
     srcs2 = spark.createDataFrame([(0,), (6,)], ["node"])
     got2 = {r.node: r.dist for r in bfs_layers(df, srcs2, rounds=3).collect()}
     assert got2 == {0: 0, 1: 1, 2: 2, 3: 3, 6: 0, 5: 1, 4: 2}
+
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    """Bounded Bellman-Ford vs a reference Dijkstra on a weighted path
+    graph where the cheap route needs MORE hops than the direct edge."""
+    import heapq
+
+    from ytsaurus_spark.operators.graph import sssp_weighted
+
+    #   0 -10- 1 -1- 2 -1- 3      direct 0-3 edge costs 20: the 3-hop
+    #   0 --------20------- 3      12-cost path must win
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 1), (2, 3, 1), (0, 3, 20)],
+        "src bigint, dst bigint, w bigint",
+    )
+    sources = spark.createDataFrame([(0,)], "node bigint")
+    got = {
+        r.node: r.dist
+        for r in sssp_weighted(edges, sources, rounds=4).collect()
+    }
+
+    adj = {}
+    for s, d, w in [(0, 1, 10), (1, 2, 1), (2, 3, 1), (0, 3, 20)]:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist, heap = {0: 0}, [(0, 0)]
+    while heap:
+        c, u = heapq.heappop(heap)
+        if c > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            if c + w < dist.get(v, float("inf")):
+                dist[v] = c + w
+                heapq.heappush(heap, (c + w, v))
+    assert got == dist
+    assert got[3] == 12  # the longer-hop cheaper path won

@@ -287,3 +287,66 @@ def bfs_layers(
         dist.unpersist()
         dist = nxt
     return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Bounded Bellman–Ford: (node, dist) where dist is the minimum
+    WEIGHTED path cost from any source reachable within ``rounds``
+    relaxations (unreached nodes absent). The weighted generalization of
+    ``bfs_layers`` — each synchronous round relaxes
+    dist' = min(dist, min over incident edges (dist[u] + w)) with one
+    node-keyed equi-join + one min-aggregate, |V|+|E| rows per round.
+    Integer weights keep every distance an exact BIGINT, so the result
+    is engine-exact; a fixed round count bounds the plan and lets an
+    oracle unroll the identical recurrence. Treats edges as undirected
+    (symmetrized in one explode pass, weight carried both ways); the
+    static adjacency persists across rounds like pagerank's edge list."""
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("u"),
+                        F.col(dst_col).alias("v"),
+                        F.col(w_col).alias("w"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("u"),
+                        F.col(src_col).alias("v"),
+                        F.col(w_col).alias("w"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v", "e.w")
+        .persist()
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    for _ in range(rounds):
+        nxt = (
+            dist.select("node", "dist")
+            .union(
+                sym.join(dist, sym.u == dist.node).select(
+                    F.col("v").alias("node"),
+                    (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        dist.unpersist()
+        dist = nxt
+    return dist

@@ -1216,3 +1216,69 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = sym_nodes.filter(F.col("node") % 97 == 0)
     return bfs_layers(edges, sources, rounds=4)
+
+
+_SSSP_ROUND_SQL = """
+w{i} AS (SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM w{p}
+    UNION ALL SELECT s.v AS node, d.dist + s.w AS dist
+    FROM sym s JOIN w{p} d ON s.u = d.node
+  ) GROUP BY node)"""
+
+
+@register(
+    "graph_sssp_weighted",
+    """
+    WITH e AS (
+      SELECT least(a.l_partkey, b.l_partkey) AS src,
+             greatest(a.l_partkey, b.l_partkey) AS dst,
+             CAST(min(a.l_quantity + b.l_quantity) AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity <= 15 AND b.l_quantity <= 15
+      GROUP BY 1, 2
+    ),
+    sym AS (SELECT src AS u, dst AS v, w FROM e
+            UNION ALL SELECT dst, src, w FROM e),
+    w0 AS (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+           FROM sym WHERE u % 97 = 0),"""
+    + ",".join(_SSSP_ROUND_SQL.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT node, dist FROM w4
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source (multi-source) shortest paths
+    (operators/graph.sssp_weighted): bounded Bellman–Ford over the
+    co-purchase graph with edge weight = min combined quantity of the
+    pair's co-occurrences — 4 relaxation rounds from the ≡0 mod 97
+    source set. Distances stay exact BIGINTs; the oracle unrolls the
+    same 4 min-plus rounds as CTEs. Note the weighted 4-round frontier
+    can DIFFER from BFS reachability: a longer-hop cheaper path wins
+    where the round budget allows it."""
+    from ytsaurus_spark.operators.graph import sssp_weighted
+
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    a = li.filter(F.col("l_quantity") <= 15).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"),
+        F.col("l_quantity").alias("qa"),
+    )
+    b = li.filter(F.col("l_quantity") <= 15).select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"),
+        F.col("l_quantity").alias("qb"),
+    )
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy(
+            F.least("pa", "pb").alias("src"),
+            F.greatest("pa", "pb").alias("dst"),
+        )
+        .agg(F.min(F.col("qa") + F.col("qb")).cast("long").alias("w"))
+        .persist()
+    )
+    sym_nodes = edges.select(
+        F.explode(F.array("src", "dst")).alias("node")
+    ).distinct()
+    sources = sym_nodes.filter(F.col("node") % 97 == 0)
+    return sssp_weighted(edges, sources, rounds=4)
