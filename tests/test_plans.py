@@ -374,6 +374,7 @@ SCAN_BUDGETS = {
     "sim_power_iteration_pc1": 1,  # persisted element/centered/cov frames
     "sim_hybrid_rrf": 2,  # per-leg selective query slices (doc_id/vec_id < 5)
     "graph_sssp_weighted": 2,  # lineitem self-join legs; edges persisted once
+    "ts_rolling_median": 1,  # single window pass over the per-day frame
 }
 
 

@@ -53,3 +53,57 @@ def test_function_renames_only_at_word_boundaries(a, b):
     sql = translate_ql(q)
     assert "my_is_null" in sql
     assert f"isnull({b})" in sql
+
+
+# --- fold identities behind the round-6 monitoring operators ----------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+    ref=st.integers(min_value=0, max_value=10**9),
+)
+def test_cusum_reset_identity_property(xs, ref):
+    """max(0, s+d) fold == cum − least(0, running-min(cum)) for ANY
+    integer series — the identity the stream_cusum_monitor oracle rests
+    on (pure-Python twin of the Spark/DuckDB computation)."""
+    s, fold = 0, []
+    for x in xs:
+        s = max(0, s + (x - ref))
+        fold.append(s)
+    cum, mn, ident = 0, 0, []
+    for x in xs:
+        cum += x - ref
+        mn = min(mn, cum)
+        ident.append(cum - min(0, mn))
+    assert fold == ident
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=2, max_size=60),
+)
+def test_cusum_n_scaled_returns_to_zero(xs):
+    """Σ(n·x_i − Σx) over the whole series is exactly 0 — the
+    ts_cusum_changepoint checksum invariant, for any integer series."""
+    n, s = len(xs), sum(xs)
+    assert sum(n * x - s for x in xs) == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10**6), min_size=8, max_size=60),
+    lag=st.integers(min_value=0, max_value=5),
+)
+def test_lag_corr_shifted_series_moments_equal(xs, lag):
+    """For y = x shifted by `lag`, the aligned lag-`lag` moments satisfy
+    num == dx == dy exactly (perfect correlation in integer arithmetic)
+    — the invariant behind ts_lag_corr's exactness claim."""
+    pairs = [(xs[i], xs[i]) for i in range(len(xs) - lag)]
+    n = len(pairs)
+    sx = sum(a for a, _ in pairs)
+    sy = sum(b for _, b in pairs)
+    sxy = sum(a * b for a, b in pairs)
+    sxx = sum(a * a for a, _ in pairs)
+    syy = sum(b * b for _, b in pairs)
+    assert n * sxy - sx * sy == n * sxx - sx * sx == n * syy - sy * sy

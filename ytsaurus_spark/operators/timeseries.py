@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear", "lag_corr", "seasonal_decompose", "cusum_changepoint"]
+__all__ = ["gap_fill", "resample", "mad_outliers", "interval_join", "ewma", "holt_linear", "lag_corr", "seasonal_decompose", "cusum_changepoint", "rolling_median"]
 
 
 def gap_fill(
@@ -469,4 +469,33 @@ def cusum_changepoint(
         "dev",
         "cusum",
         F.row_number().over(rk).cast("int").alias("abs_rank"),
+    )
+
+
+def rolling_median(
+    daily: DataFrame,
+    window: int = 7,
+    day_col: str = "d",
+    x_col: str = "x",
+) -> DataFrame:
+    """Centered rolling median over one integer-valued daily series —
+    the robust smoother (median filters shrug off the spikes that wreck
+    a moving average). Odd ``window`` only; incomplete edge windows stay
+    null. The median is ELEMENT SELECTION over the sorted window list
+    (collect_list → sort_array → middle element), never interpolation,
+    so the output is an exact BIGINT on any engine.
+
+    Scale shape: the input is the aggregate-sized per-day frame; the
+    unpartitioned ORDER BY window sorts day-grain rows (partition by
+    series key for the multi-key variant); per-row state is the
+    ``window``-element list — bounded, in-row."""
+    half = window // 2
+    w = W.orderBy(day_col).rowsBetween(-half, half)
+    return daily.select(
+        F.col(day_col).alias("d"),
+        F.col(x_col).alias("x"),
+        F.when(
+            F.count(F.lit(1)).over(w) == window,
+            F.sort_array(F.collect_list(x_col).over(w)).getItem(half),
+        ).cast("long").alias("med"),
     )

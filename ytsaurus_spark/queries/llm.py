@@ -3263,3 +3263,44 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id", "rk_b", "rk_c", "rrf", "rk")
     )
+
+
+@register(
+    "ts_rolling_median",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT d, x,
+           CASE WHEN count(*) OVER w7 = 7
+                THEN CAST(list_sort(list(x) OVER w7)[4] AS BIGINT) END AS med
+    FROM daily
+    WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day rolling median of daily purchase cents
+    (operators/timeseries.rolling_median): exact integer ELEMENT
+    selection from the sorted window list — no interpolation, no
+    floats — so the robust-smoothed series is engine-identical.
+    Incomplete edge windows stay null on both sides."""
+    from ytsaurus_spark.operators.timeseries import rolling_median
+
+    cat = load_tables(spark, sf_dir)
+    daily = (
+        cat.read("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return rolling_median(daily, window=7)
