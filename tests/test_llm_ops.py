@@ -931,3 +931,43 @@ def test_audio_frame_energy_conserves_samples(spark):
         )
         first = next(f for f in frames if f.frame_idx == 0)
         assert first.energy == want0
+
+
+def test_odd_window_validation(spark):
+    import pytest as _pt
+
+    from ytsaurus_spark.operators.timeseries import (
+        rolling_median,
+        seasonal_decompose,
+    )
+
+    daily = spark.createDataFrame([(0, 1)], "d int, x long")
+    with _pt.raises(ValueError, match="odd window"):
+        rolling_median(daily, window=6)
+    with _pt.raises(ValueError, match="odd period"):
+        seasonal_decompose(daily, period=6)
+
+
+def test_power_iteration_degenerate_corpus_all_zero(spark):
+    """Identical embeddings -> zero covariance; the mc=0 guard must
+    yield all-zero iterates instead of a divide-by-zero crash."""
+    from ytsaurus_spark.operators.similarity import power_iteration_pc1
+
+    emb = spark.createDataFrame(
+        [(i, [0.5, 0.5, 0.5]) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = power_iteration_pc1(emb, iterations=2).collect()
+    assert len(out) == 3
+    assert all(r.v1 == 0 and r.v2 == 0 for r in out)
+
+
+def test_bm25_exclude_self_realigns_ranks(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (3, "apple date")],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame([(1, "apple banana")], ["q_id", "q_text"])
+    kept = text.bm25_topk(docs, q, k=3, exclude_self=True).collect()
+    assert all(r.doc_id != 1 for r in kept)
+    assert min(r.rk for r in kept) == 1  # ranks start at 1 without self

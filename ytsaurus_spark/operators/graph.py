@@ -270,6 +270,16 @@ def bfs_layers(
     oracle unroll the identical recurrence (a convergence loop would
     need per-round lineage truncation, see connected_components)."""
     sym = _symmetrize(edges, src_col, dst_col)
+    return _min_plus_rounds(sym, sources, rounds, F.col("dist") + F.lit(1))
+
+
+def _min_plus_rounds(sym, sources, rounds: int, step) -> DataFrame:
+    """Shared bounded min-plus relaxation loop behind ``bfs_layers``
+    (step = dist + 1) and ``sssp_weighted`` (step = dist + w): each
+    synchronous round is one node-keyed equi-join + one min-aggregate
+    over the persisted adjacency ``sym`` (columns u, v, and whatever
+    ``step`` references), |V|+|E| rows per round, frontier persisted and
+    the previous round's cache released."""
     dist = sources.select(F.col(sources.columns[0]).alias("node")).distinct().select(
         "node", F.lit(0).cast("long").alias("dist")
     ).persist()
@@ -278,7 +288,7 @@ def bfs_layers(
             dist.select("node", "dist")
             .union(
                 sym.join(dist, sym.u == dist.node)
-                .select(F.col("v").alias("node"), (F.col("dist") + F.lit(1)).alias("dist"))
+                .select(F.col("v").alias("node"), step.cast("long").alias("dist"))
             )
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
@@ -328,25 +338,4 @@ def sssp_weighted(
         .select("e.u", "e.v", "e.w")
         .persist()
     )
-    dist = (
-        sources.select(F.col(sources.columns[0]).alias("node"))
-        .distinct()
-        .select("node", F.lit(0).cast("long").alias("dist"))
-        .persist()
-    )
-    for _ in range(rounds):
-        nxt = (
-            dist.select("node", "dist")
-            .union(
-                sym.join(dist, sym.u == dist.node).select(
-                    F.col("v").alias("node"),
-                    (F.col("dist") + F.col("w")).cast("long").alias("dist"),
-                )
-            )
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .persist()
-        )
-        dist.unpersist()
-        dist = nxt
-    return dist
+    return _min_plus_rounds(sym, sources, rounds, F.col("dist") + F.col("w"))

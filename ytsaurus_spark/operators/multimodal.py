@@ -256,24 +256,34 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias("id")).mapInPandas(runner, MEDIA_SCHEMA)
 
 
+def _decode_pcm16(media) -> tuple:
+    """Decode one PCM16 mono WAV payload (stdlib ``wave``) to its sample
+    tuple — the single decode site shared by extract_audio_features and
+    extract_audio_frame_energy, so a fixture/codec change lands once."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(bytes(media)), "rb") as w:
+        n, sr = w.getnframes(), w.getframerate()
+        samples = struct.unpack(f"<{n}h", w.readframes(n))
+    return samples, sr
+
+
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """REAL audio decode + featurize: parse each WAV with the stdlib
     ``wave`` reader and emit frame count, sample rate, duration, and
     RMS amplitude — the decode-and-model batch shape, zero shuffles."""
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
         import math
-        import struct
-        import wave
 
         for pdf in batches:
             out = {"id": pdf["id"], "n_samples": [], "sample_rate": [],
                    "duration_ms": [], "rms": []}
             for media in pdf["media"]:
-                with wave.open(io.BytesIO(bytes(media)), "rb") as w:
-                    n, sr = w.getnframes(), w.getframerate()
-                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                samples, sr = _decode_pcm16(media)
+                n = len(samples)
                 out["n_samples"].append(n)
                 out["sample_rate"].append(sr)
                 out["duration_ms"].append(round(n * 1000.0 / sr, 4))
@@ -299,16 +309,11 @@ def extract_audio_frame_energy(df: DataFrame, frame: int = 64) -> DataFrame:
     is samples/frame per clip."""
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import struct
-        import wave
-
         for pdf in batches:
             ids, fidx, nin, en = [], [], [], []
             for rid, media in zip(pdf["id"], pdf["media"]):
-                with wave.open(io.BytesIO(bytes(media)), "rb") as w:
-                    n = w.getnframes()
-                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                samples, _sr = _decode_pcm16(media)
+                n = len(samples)
                 for f0 in range(0, n, frame):
                     chunk = samples[f0 : f0 + frame]
                     ids.append(int(rid))

@@ -929,9 +929,12 @@ def power_iteration_pc1(
     but partial-aggregates map-side, so the one shuffle carries only
     dim²·partitions rows (dim²=4096 here); everything after runs on
     dim- or dim²-sized aggregate frames with broadcast iterates. BIGINT
-    bounds: n³·quant² < 2^63 for the raw covariance (pre-aggregate to
-    means at corpora beyond ~10⁵ vectors — same plan, one extra
-    division), and scale²·dim < 2^63 always holds.
+    bounds: the renormalization multiplies the raw covariance by
+    ``scale`` before dividing, so the binding constraint is
+    n³·quant²·scale < 2^63 — safe to ~10⁴ vectors at the defaults;
+    beyond that pre-aggregate to means (divide y by n — same plan, one
+    extra division) before the covariance. scale²·dim < 2^63 always
+    holds.
 
     Returns one row per dimension: (dim, v1..v_iterations fixed-point
     iterate values)."""
@@ -965,7 +968,8 @@ def power_iteration_pc1(
             "i",
             "j",
             F.expr(
-                f"CAST(CASE WHEN cv >= 0 THEN (cv * {scale} + mc div 2) div mc "
+                f"CAST(CASE WHEN mc = 0 THEN 0 "
+                f"WHEN cv >= 0 THEN (cv * {scale} + mc div 2) div mc "
                 f"ELSE -((-cv * {scale} + mc div 2) div mc) END AS BIGINT)"
             ).alias("cq"),
         )

@@ -957,6 +957,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """BM25 ranked retrieval: top-``k`` documents per query row
     (columns ``q_id, q_text``) — the contamination-check / eval-retrieval
@@ -976,7 +977,13 @@ def bm25_topk(
     tf/dl/df frames); the query term set and df sides BROADCAST into the
     token-keyed tf stream, so scoring adds no extra corpus shuffle; the
     top-k window partitions by query over candidate sets bounded by the
-    posting lists of the query's terms, never the corpus."""
+    posting lists of the query's terms, never the corpus.
+
+    ``exclude_self``: for query-by-example (q_id drawn from the same id
+    space as the documents), drop the query's own document BEFORE
+    ranking, so rank 1 is the best OTHER document — keeps rank numbers
+    aligned with retrieval legs that exclude self natively (cosine_topk
+    does), which matters when ranks feed a fusion like RRF."""
     from pyspark.sql import Window as W
 
     words = docs.select(
@@ -1014,6 +1021,11 @@ def bm25_topk(
         .join(F.broadcast(df_t), "tok")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
+    )
+    if exclude_self:
+        matched = matched.filter(F.col(id_col) != F.col("q_id"))
+    matched = (
+        matched
         .select(
             "q_id",
             id_col,

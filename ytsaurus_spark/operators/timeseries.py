@@ -384,6 +384,9 @@ def seasonal_decompose(
     single-partition pass over per-day rows, not corpus rows (partition
     by series key for the multi-key variant); the phase means are a
     ``period``-row broadcast join."""
+    if period % 2 == 0:
+        raise ValueError("seasonal_decompose requires an odd period "
+                         "(centered window must be symmetric)")
     half = period // 2
     w = W.orderBy(day_col).rowsBetween(-half, half)
     base = daily.select(
@@ -391,8 +394,7 @@ def seasonal_decompose(
         F.col(x_col).alias("x"),
         (F.col(day_col) % period).alias("phase"),
         F.when(
-            F.count(F.lit(1)).over(W.orderBy(day_col).rowsBetween(-half, half))
-            == period,
+            F.count(F.lit(1)).over(w) == period,
             F.sum(x_col).over(w),
         ).cast("long").alias("trend_p"),
     ).withColumn(
@@ -489,6 +491,9 @@ def rolling_median(
     unpartitioned ORDER BY window sorts day-grain rows (partition by
     series key for the multi-key variant); per-row state is the
     ``window``-element list — bounded, in-row."""
+    if window % 2 == 0:
+        raise ValueError("rolling_median requires an odd window "
+                         "(element-selection median, no interpolation)")
     half = window // 2
     w = W.orderBy(day_col).rowsBetween(-half, half)
     return daily.select(

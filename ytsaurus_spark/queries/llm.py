@@ -3107,7 +3107,8 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), maxc AS (SELECT CAST(max(abs(cv)) AS BIGINT) AS mc FROM cov),
     cf AS (
       SELECT i, j,
-             CAST(CASE WHEN cv >= 0 THEN (cv * 1000 + mc // 2) // mc
+             CAST(CASE WHEN mc = 0 THEN 0
+                  WHEN cv >= 0 THEN (cv * 1000 + mc // 2) // mc
                   ELSE -((-cv * 1000 + mc // 2) // mc) END AS BIGINT) AS cq
       FROM cov, maxc
     ),
@@ -3185,6 +3186,7 @@ def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
                * 1e6) AS BIGINT) AS micro
       FROM qt JOIN tf USING (tok) JOIN df_t USING (tok)
               JOIN dl USING (doc_id), stats
+      WHERE tf.doc_id <> qt.q_id
     ), s AS (
       SELECT q_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micros
       FROM m GROUP BY 1, 2
@@ -3194,7 +3196,7 @@ def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ORDER BY score_micros DESC, doc_id) AS INT) AS rk_b
       FROM s
     ), bleg AS (
-      SELECT q_id, c_id, rk_b FROM br WHERE rk_b <= 10 AND c_id <> q_id
+      SELECT q_id, c_id, rk_b FROM br WHERE rk_b <= 10
     ),
     qv AS (
       SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvec
@@ -3230,7 +3232,10 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Cormack et al. 2009): a lexical BM25 leg (the query is the example
     document's own text) and a dense cosine leg over the aligned
     embedding, fused by rrf = Σ 1/(60 + rank) and re-ranked — the
-    standard RAG retrieval stack as one declarative plan. Both legs are
+    standard RAG retrieval stack as one declarative plan. Both legs
+    exclude the query's own document BEFORE ranking (bm25_topk's
+    exclude_self mirrors cosine_topk's native behavior), so the two
+    rank scales are aligned for fusion. Both legs are
     the existing operators' shapes (posting-bounded BM25; broadcast
     cosine); the fusion is a top-10 × top-10 full outer join at
     (query, candidate) grain, and the two-term rrf sum is a fixed-order
@@ -3243,8 +3248,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
     )
     bleg = (
-        text.bm25_topk(docs, qdocs, k=10)
-        .filter(F.col("doc_id") != F.col("q_id"))
+        text.bm25_topk(docs, qdocs, k=10, exclude_self=True)
         .select("q_id", F.col("doc_id").alias("c_id"), F.col("rk").alias("rk_b"))
     )
     cleg = similarity.cosine_topk(
