@@ -375,6 +375,7 @@ SCAN_BUDGETS = {
     "sim_hybrid_rrf": 2,  # per-leg selective query slices (doc_id/vec_id < 5)
     "graph_sssp_weighted": 2,  # lineitem self-join legs; edges persisted once
     "ts_rolling_median": 1,  # single window pass over the per-day frame
+    "sim_pc1_drift_by_label": 2,  # persisted pc1 frames + the label side read
 }
 
 

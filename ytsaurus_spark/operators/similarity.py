@@ -938,6 +938,21 @@ def power_iteration_pc1(
 
     Returns one row per dimension: (dim, v1..v_iterations fixed-point
     iterate values)."""
+    y = _pc1_centered(emb, quant, id_col, vec_col)
+    iterates = _pc1_iterates(y, iterations, scale)
+    out = iterates[0]
+    for nxt in iterates[1:]:
+        out = out.join(nxt, "j")
+    return out.select(
+        F.col("j").cast("int").alias("dim"),
+        *[f"v{k}" for k in range(1, iterations + 1)],
+    )
+
+
+def _pc1_centered(emb, quant, id_col, vec_col):
+    """Quantize + n-scale-center the embedding elements: persisted
+    (vid, i, y) with y = n·round(x·quant) − Σround(x·quant), exact
+    BIGINT (shared by power_iteration_pc1 and pc1_project_by_label)."""
     el = emb.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col)).alias("i", "xv"),
@@ -950,9 +965,15 @@ def power_iteration_pc1(
         F.sum("c").cast("long").alias("m"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    y = el.join(F.broadcast(stats), "i").select(
+    return el.join(F.broadcast(stats), "i").select(
         "vid", "i", (F.col("n") * F.col("c") - F.col("m")).cast("long").alias("y")
-    ).persist()  # both legs of the covariance self-join
+    ).persist()  # both legs of the covariance self-join + any projection
+
+
+def _pc1_iterates(y, iterations: int, scale: int):
+    """Fixed-point power iteration over the centered codes ``y``:
+    returns the list of per-pass iterate frames [(j, v1), (j, v2), ...]
+    (exact-integer covariance + half-up renormalization each pass)."""
     yj = y.select(
         F.col("vid").alias("vid2"), F.col("i").alias("j"), F.col("y").alias("yj")
     )
@@ -1000,7 +1021,58 @@ def power_iteration_pc1(
             )
         )
         iterates.append(v.select(F.col("j"), F.col("v").alias(f"v{it}")))
-    out = iterates[0]
-    for nxt in iterates[1:]:
-        out = out.join(nxt, "j")
-    return out.select(F.col("j").cast("int").alias("dim"), *[f"v{k}" for k in range(1, iterations + 1)])
+    return iterates
+
+
+def pc1_project_by_label(
+    emb: DataFrame,
+    iterations: int = 3,
+    scale: int = 1000,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding drift by segment: project every centered vector onto
+    the fixed-point leading principal direction (the last
+    power-iteration iterate) and aggregate the projection per
+    ``label_col`` — the "which segment moved along the main axis"
+    diagnostic a curation pipeline runs per source/language/snapshot.
+
+    Exactness: proj = Σ_i y_i·v_i is a product of exact BIGINTs summed
+    exactly; per-label sums are BIGINT; the mean is one half-up floor
+    over explicit double division. Shape: the projection join broadcasts
+    the dim-sized iterate into the (vid, i, y) stream — one vid-grain
+    aggregate, one label-grain aggregate, nothing new at corpus scale.
+
+    Returns (label, n_vecs, sum_proj, mean_proj)."""
+    y = _pc1_centered(emb, quant, id_col, vec_col)
+    v_last = _pc1_iterates(y, iterations, scale)[-1].select(
+        F.col("j").alias("i"), F.col(f"v{iterations}").alias("v")
+    )
+    proj = (
+        y.join(F.broadcast(v_last), "i")
+        .groupBy("vid")
+        .agg(F.sum(F.col("y") * F.col("v")).cast("long").alias("proj"))
+    )
+    labels = emb.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("label")
+    )
+    return (
+        proj.join(labels, "vid")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("proj").cast("long").alias("sum_proj"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "sum_proj",
+            F.floor(
+                F.col("sum_proj").cast("double")
+                / F.col("n_vecs").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("mean_proj"),
+        )
+    )

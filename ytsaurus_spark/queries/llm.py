@@ -3087,10 +3087,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(daily)
 
 
-@register(
-    "sim_power_iteration_pc1",
-    """
-    WITH el AS (
+_PC1_CTES = """el AS (
       SELECT vid, i - 1 AS i, CAST(round(u * 127) AS BIGINT) AS c
       FROM (SELECT vec_id AS vid, unnest(embedding::DOUBLE[]) AS u,
                    generate_subscripts(embedding, 1) AS i
@@ -3134,7 +3131,12 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(CASE WHEN mw = 0 THEN 0
                        WHEN w >= 0 THEN (w * 1000 + mw // 2) // mw
                        ELSE -((-w * 1000 + mw // 2) // mw) END AS BIGINT) AS v
-           FROM w3, m3)
+           FROM w3, m3)"""
+
+
+@register(
+    "sim_power_iteration_pc1",
+    "WITH " + _PC1_CTES + """
     SELECT CAST(v1.j AS INT) AS dim, v1.v AS v1, v2.v AS v2, v3.v AS v3
     FROM v1 JOIN v2 ON v1.j = v2.j JOIN v3 ON v1.j = v3.j
     """,
@@ -3308,3 +3310,31 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rolling_median(daily, window=7)
+
+
+@register(
+    "sim_pc1_drift_by_label",
+    "WITH " + _PC1_CTES + """,
+    vz AS (SELECT j AS i, v FROM v3),
+    proj AS (
+      SELECT vid, CAST(sum(y * v) AS BIGINT) AS proj
+      FROM y JOIN vz ON y.i = vz.i GROUP BY vid
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(proj) AS BIGINT) AS sum_proj,
+           CAST(floor(CAST(sum(proj) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      + 0.5) AS BIGINT) AS mean_proj
+    FROM proj JOIN embeddings ON proj.vid = embeddings.vec_id
+    GROUP BY label
+    """,
+)
+def sim_pc1_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift by segment
+    (operators/similarity.pc1_project_by_label): each centered vector's
+    exact integer projection onto the fixed-point leading principal
+    direction, aggregated per label — the "which segment moved along
+    the main axis" diagnostic. The oracle reuses the pc1 CTE chain and
+    adds the projection + label rollup; sums are exact BIGINTs and the
+    mean is one half-up floor over explicit double division."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.pc1_project_by_label(cat.read("embeddings"), iterations=3)
