@@ -181,3 +181,34 @@ def test_paragraph_dedup_reassembly(spark):
     out2 = {r.doc_id: r for r in paragraph_dedup(docs2, chunk_chars=8).collect()}
     assert out2[1].clean_text == "XXXXYYYY"
     assert out2[2].clean_text == "" and out2[2].n_dropped == 1
+
+
+def test_source_cap_matches_unsalted_rank(spark):
+    # Property: the salted two-phase top-k equals the plain unsalted
+    # row_number rank, including on a skewed corpus (one mega-source)
+    # and under n_chars ties (tie-break by doc_id).
+    rows = [(i, f"s{0 if i < 40 else i % 3}", (i * 7) % 11) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    got = {
+        r.doc_id: r.kept
+        for r in curation.source_cap(docs, cap=5, salt_buckets=4).collect()
+    }
+    import itertools
+
+    expected = {}
+    by_src = sorted(rows, key=lambda t: t[1])
+    for _, grp in itertools.groupby(by_src, key=lambda t: t[1]):
+        ranked = sorted(grp, key=lambda t: (-t[2], t[0]))
+        for rk, (doc_id, _, _) in enumerate(ranked, start=1):
+            expected[doc_id] = rk <= 5
+    assert got == expected
+    assert sum(got.values()) == 5 * 3  # 3 sources, 5 kept each
+
+
+def test_source_cap_cap_larger_than_source(spark):
+    docs = spark.createDataFrame(
+        [(i, "only", i) for i in range(4)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    out = curation.source_cap(docs, cap=10, salt_buckets=3).collect()
+    assert all(r.kept for r in out) and len(out) == 4

@@ -376,6 +376,9 @@ SCAN_BUDGETS = {
     "graph_sssp_weighted": 2,  # lineitem self-join legs; edges persisted once
     "ts_rolling_median": 1,  # single window pass over the per-day frame
     "sim_pc1_drift_by_label": 2,  # persisted pc1 frames + the label side read
+    "curation_source_cap": 1,  # persisted phase-1 rank feeds both union branches
+    "mm_audio_fingerprint_dedup": 1,  # one decode pass; mean + fold share the id exchange
+    "stream_trending_topk": 1,  # one (window, type) partial-agg pass
 }
 
 

@@ -603,3 +603,60 @@ def paragraph_dedup(
         )
         .select(id_col, "clean_text", "n_chunks", "n_dropped")
     )
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int = 10,
+    salt_buckets: int = 16,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source (per-domain) document cap — the RefinedWeb/CCNet move
+    of bounding how much any single domain contributes to the training
+    mix: within each source, keep only the top ``cap`` documents ranked
+    by ``order_col`` DESC (ties broken by ``id_col`` ASC) and flag the
+    rest as dropped.
+
+    Scale shape: a single row_number window over the raw source key
+    inherits the corpus's domain skew (one mega-domain = one hot
+    partition carrying all its rows). Instead the top-``cap`` selection
+    runs in two phases: phase 1 ranks within (source, salt) where salt
+    = md5-hash(id) % ``salt_buckets`` — skew-free, and any row ranked
+    > cap inside its salt bucket can never make the global top cap, so
+    it is finalized as dropped right there — its bulk is never
+    shuffled again (and never joined back: the result is the UNION of
+    the early-dropped stream and the re-ranked survivors, so the
+    corpus crosses exactly one skew-free exchange). Phase 2 re-ranks
+    only the <= salt_buckets * cap per-source survivors on the raw
+    key — a bounded, tiny exchange. Both windows order identically,
+    so the result is exactly the unsalted rank.
+
+    Returns one row per document: (id, source, order_col, kept)."""
+    salted = docs.select(
+        F.col(id_col), F.col(source_col), F.col(order_col),
+        _hash_bucket(F.col(id_col), salt_buckets).alias("__salt"),
+    )
+    w1 = Window.partitionBy(source_col, "__salt").orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    # both union branches consume the ranked frame; persist the narrow
+    # (id, source, order, salt, rk1) projection so the corpus is scanned
+    # and salt-shuffled once, not once per branch
+    phase1 = salted.withColumn("__rk1", F.row_number().over(w1)).persist()
+    early_dropped = phase1.filter(F.col("__rk1") > cap).select(
+        id_col, source_col, order_col, F.lit(False).alias("kept")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    survivors = (
+        phase1.filter(F.col("__rk1") <= cap)
+        .withColumn("__rk", F.row_number().over(w2))
+        .select(
+            id_col, source_col, order_col,
+            (F.col("__rk") <= cap).alias("kept"),
+        )
+    )
+    return survivors.unionByName(early_dropped)

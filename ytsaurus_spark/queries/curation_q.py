@@ -621,3 +621,52 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+@register(
+    "curation_source_cap",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM r GROUP BY source
+    """,
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (operators/curation.source_cap): keep
+    the top-10 documents per source by length, drop the rest — the
+    RefinedWeb/CCNet guard against any one domain dominating the mix.
+    The distributed form is the salted two-phase top-k (skew-free
+    (source, salt) window finalizes the bulk as dropped; only the
+    bounded per-source survivor set re-ranks on the raw key, and the
+    two streams union — no join back, one corpus-wide exchange); the
+    oracle is the plain unsalted rank, which phase equivalence must
+    reproduce exactly."""
+    cat = load_tables(spark, sf_dir)
+    capped = curation.source_cap(cat.read("documents"), cap=10)
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )

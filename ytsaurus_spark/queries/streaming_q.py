@@ -980,3 +980,52 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, event_id bigint, cents bigint, s bigint, alarm boolean"
     )
+
+
+@register(
+    "stream_trending_topk",
+    f"""
+    WITH w AS (
+      SELECT strftime(date_trunc('hour', ts) - i * INTERVAL 1 HOUR,
+                      '{_TS_FMT_DUCK}') AS win_start,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events, (SELECT unnest([0, 1]) AS i)
+      GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n, CAST(rk AS INT) AS rk FROM (
+      SELECT w.*,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM w)
+    WHERE rk <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now: top-3 event types per 2-hour sliding window (1-hour
+    slide) ranked by count — the windowed leaderboard every event
+    pipeline keeps. Batch-expressed form of the streaming pattern
+    (windowed partial-agg counts, then a rank over the tiny
+    window-grain aggregate — the corpus shuffles once at
+    (window, type) grain; the rank window runs over per-window rows
+    that number |event types|, never raw events). Deterministic
+    tie-break by event_type."""
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    counts = (
+        cat.read("events")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    rk_w = W.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(rk_w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )

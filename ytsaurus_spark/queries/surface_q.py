@@ -2135,3 +2135,82 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("energy").cast("long").alias("peak_energy"),
         )
     )
+
+
+@register(
+    "mm_audio_fingerprint_dedup",
+    """
+    WITH g AS (
+      SELECT doc_id, 256 + doc_id % 64 AS n FROM documents
+    ), sm AS (
+      SELECT doc_id, unnest(range(0, n)) AS j FROM g
+    ), s2 AS (
+      SELECT doc_id, j // 32 AS frame_idx,
+             CAST(((doc_id * 31 + j * 7) % 65536) - 32768 AS BIGINT) AS s
+      FROM sm
+    ), fr AS (
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(sum(s * s) AS BIGINT) AS energy
+      FROM s2 GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(energy) AS BIGINT) AS total
+      FROM fr GROUP BY doc_id
+    ), fp AS (
+      SELECT fr.doc_id, tot.n_frames,
+             CAST(sum(CASE WHEN fr.energy * tot.n_frames > tot.total
+                           THEN 1::BIGINT << fr.frame_idx
+                           ELSE 0 END) AS BIGINT) AS fp
+      FROM fr JOIN tot ON fr.doc_id = tot.doc_id
+      GROUP BY fr.doc_id, tot.n_frames
+    )
+    SELECT n_frames, fp,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM fp GROUP BY n_frames, fp
+    """,
+)
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint audio dedup end to end: synthesize PCM16
+    WAVs, decode to exact integer 32-sample frame energies
+    (operators/multimodal.extract_audio_frame_energy), derive a
+    Shazam-style spectral-shape fingerprint (bit i set iff frame i's
+    energy exceeds the clip mean — the compare is the integer
+    cross-multiply energy·n_frames > Σenergy, no float features), and
+    bucket clips by (n_frames, fingerprint) to find duplicate-audio
+    clusters with a deterministic min-id canonical. The dedup is a
+    bucketed equi-group on a tiny key — never an all-pairs compare —
+    so at 100 TB the corpus crosses one decode stage (mapInPandas,
+    Arrow batches) and one clip-grain exchange (the mean window and
+    the fingerprint fold share the id partitioning). The oracle
+    recomputes frames and energies from the WAV generator's closed
+    form, so a codec, framing, or bit-packing bug breaks the hash."""
+    from pyspark.sql import Window as W
+
+    from ytsaurus_spark.operators.multimodal import (
+        extract_audio_frame_energy,
+        synthesize_wav,
+    )
+
+    cat = load_tables(spark, sf_dir)
+    fr = extract_audio_frame_energy(
+        synthesize_wav(cat.read("documents")), frame=32
+    )
+    wtot = W.partitionBy("id")
+    d = fr.withColumn(
+        "total", F.sum("energy").over(wtot)
+    ).withColumn("n_frames", F.count(F.lit(1)).over(wtot).cast("long"))
+    fp = d.groupBy("id", "n_frames").agg(
+        F.sum(
+            F.when(
+                F.col("energy") * F.col("n_frames") > F.col("total"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), frame_idx)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("fp"),
+    )
+    return fp.groupBy("n_frames", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.min("id").cast("long").alias("canonical_id"),
+    )
