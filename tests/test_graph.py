@@ -157,3 +157,18 @@ def test_sssp_weighted_matches_dijkstra(spark):
                 heapq.heappush(heap, (c + w, v))
     assert got == dist
     assert got[3] == 12  # the longer-hop cheaper path won
+
+
+def test_label_propagation_two_triangles(spark):
+    from ytsaurus_spark.operators.graph import label_propagation
+
+    # Two triangles bridged at 2-3: after 3 deterministic rounds the
+    # left triangle converges to label 0 and the right to label 2
+    # (hand-unrolled: r1=[1,0,0,2,3,3], r2=[0,0,0,3,2,2],
+    # r3=[0,0,0,2,2,2]).
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, 3).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}

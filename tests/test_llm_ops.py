@@ -971,3 +971,50 @@ def test_bm25_exclude_self_realigns_ranks(spark):
     kept = text.bm25_topk(docs, q, k=3, exclude_self=True).collect()
     assert all(r.doc_id != 1 for r in kept)
     assert min(r.rk for r in kept) == 1  # ranks start at 1 without self
+
+
+def test_auc_exact_with_ties(spark):
+    from ytsaurus_spark.operators.text import auc
+
+    # pos scores [2, 2], neg scores [1, 2]: U = 1 + 0.5 + 1 + 0.5 = 3
+    # over 4 pairs -> AUC 0.75, exercising the doubled-U tie path.
+    df = spark.createDataFrame(
+        [(2, True), (2, True), (1, False), (2, False)],
+        "sc bigint, pos boolean",
+    )
+    row = auc(df, "sc", "pos").collect()[0]
+    assert (row.n_pos, row.n_neg, row.u2) == (2, 2, 6)
+    assert row.auc == 0.75
+
+
+def test_auc_perfect_and_inverted(spark):
+    from ytsaurus_spark.operators.text import auc
+
+    perfect = spark.createDataFrame(
+        [(10, True), (9, True), (1, False), (0, False)],
+        "sc bigint, pos boolean",
+    )
+    assert auc(perfect, "sc", "pos").collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(0, True), (1, False)], "sc bigint, pos boolean"
+    )
+    assert auc(inverted, "sc", "pos").collect()[0].auc == 0.0
+
+
+def test_auc_matches_pairwise_bruteforce(spark):
+    import itertools
+
+    from ytsaurus_spark.operators.text import auc
+
+    rows = [((i * 13) % 7, (i * 5) % 3 == 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "sc bigint, pos boolean")
+    got = auc(df, "sc", "pos").collect()[0]
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    u2 = sum(
+        2 if ps > ns else (1 if ps == ns else 0)
+        for ps, ns in itertools.product(pos, neg)
+    )
+    assert got.u2 == u2
+    expected = int((u2 / (2 * len(pos) * len(neg))) * 1e6 + 0.5) / 1e6
+    assert got.auc == expected

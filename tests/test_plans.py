@@ -379,6 +379,8 @@ SCAN_BUDGETS = {
     "curation_source_cap": 1,  # persisted phase-1 rank feeds both union branches
     "mm_audio_fingerprint_dedup": 1,  # one decode pass; mean + fold share the id exchange
     "stream_trending_topk": 1,  # one (window, type) partial-agg pass
+    "eval_quality_auc": 1,  # label rides the scoring projection; score-grain persisted
+    "graph_label_propagation": 2,  # lineitem self-join legs; sym edges persisted once
 }
 
 

@@ -25,7 +25,7 @@ correctness dependency."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "connected_components", "triangle_count", "bfs_layers"]
@@ -339,3 +339,49 @@ def sssp_weighted(
         .persist()
     )
     return _min_plus_rounds(sym, sources, rounds, F.col("dist") + F.col("w"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al.) over an undirected edge list: every node starts as its own
+    community; each round a node adopts the most frequent label among
+    its neighbors, ties broken by the smallest label — fully
+    deterministic, unlike the classic randomized-order variant, so an
+    oracle can unroll the exact ``iterations`` rounds as CTEs.
+
+    Scale shape: each round is one node-keyed equi-join (neighbor
+    labels), one (node, label) count aggregate (partial-agged), and one
+    argmax window PARTITIONED on node whose partition size is the
+    node's distinct-neighbor-label count — bounded by degree, never
+    global. The symmetrized edge list is persisted once and reused
+    every round; labels re-persist per round and unpersist the previous
+    iterate. Returns (node, label)."""
+    sym = _symmetrize(edges, src_col, dst_col).persist()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    pick_w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label")
+    )
+    for _ in range(iterations):
+        nxt = (
+            sym.join(labels, sym.u == labels.node)
+            .select(F.col("v").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("__rk", F.row_number().over(pick_w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+            .persist()
+        )
+        labels.unpersist()
+        labels = nxt
+    return labels

@@ -324,6 +324,7 @@ def classifier_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """fastText/DCLM-style quality classifier applied IN-PLAN: a fixed-
     weight logistic layer over deterministic text features (stopword
@@ -373,6 +374,9 @@ def classifier_score(
     thr_logit = math.log(threshold / (1.0 - threshold))
     return docs.select(
         F.col(id_col),
+        # extra_cols ride the scoring projection so downstream evals
+        # (e.g. auc against a label column) never join the corpus back
+        *[F.col(c) for c in extra_cols],
         stop_ratio.alias("stop_ratio"),
         ttr.alias("ttr"),
         digit_ratio.alias("digit_ratio"),
@@ -1050,4 +1054,65 @@ def bm25_topk(
             (F.col("score_micros").cast("double") / F.lit(1e6)).alias("score"),
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+def auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Exact Mann-Whitney AUC of an integer score against a boolean
+    label — the standard "did the quality classifier actually rank good
+    documents above bad ones" evaluation, computed without ever ranking
+    individual rows.
+
+    Shape: rows collapse to score-grain (pos_g, neg_g) counts first
+    (one partial-agged shuffle), then the negatives-below-each-score
+    running total comes from curation.prefix_sum — the hierarchical
+    two-phase prefix sum, so there is NO unpartitioned window even with
+    billions of distinct scores. U doubles to stay integral under ties:
+    U2 = Σ_g pos_g · (2·neg_below_g + neg_g) (each tie pair contributes
+    exactly 1 = 2·½), and AUC = U2 / (2·n_pos·n_neg) with one half-up
+    floor at ``digits`` decimals. ``score_col`` must be integral (a
+    quantized logit); ties are handled exactly, not by rank jitter.
+
+    Returns one row: (n_pos, n_neg, u2, auc)."""
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    g = scored.groupBy(score_col).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0))
+        .cast("long")
+        .alias("pos_g"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1))
+        .cast("long")
+        .alias("neg_g"),
+    ).persist()  # score-grain (tiny); prefix_sum fans out into several
+    # consumers of its input, and without this each one re-runs the
+    # full corpus scan + feature chain
+    cum = prefix_sum(g, score_col, "neg_g", out_col="__neg_below")
+    agg = cum.agg(
+        F.sum("pos_g").cast("long").alias("n_pos"),
+        F.sum("neg_g").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_g") * (2 * F.col("__neg_below") + F.col("neg_g"))
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    scale = float(10 ** digits)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.floor(
+                F.col("u2").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+                * scale
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(scale)
+        ).alias("auc"),
     )

@@ -1282,3 +1282,42 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     sources = sym_nodes.filter(F.col("node") % 97 == 0)
     return sssp_weighted(edges, sources, rounds=4)
+
+
+_LPA_ROUND_SQL = """
+lp{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rk
+    FROM (SELECT s.v AS node, l.lab AS lab, count(*) AS c
+          FROM sym s JOIN lp{p} l ON s.u = l.node
+          GROUP BY s.v, l.lab))
+  WHERE rk = 1)"""
+
+
+@register(
+    "graph_label_propagation",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+    lp0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),"""
+    + ",".join(_LPA_ROUND_SQL.format(i=i, p=i - 1) for i in range(1, 4))
+    + """
+    SELECT node, lab AS label FROM lp3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation, 3 rounds, over the part co-purchase graph
+    (operators/graph.label_propagation): each node adopts its
+    neighbors' most frequent label, ties to the smallest — the
+    classic LPA made order-independent so every engine computes the
+    identical communities. Per round: one node-keyed join, one
+    (node, label) partial-agged count, one degree-bounded argmax
+    window — |V|+|E| rows shuffled, never pairs. The oracle unrolls
+    the same 3 rounds as CTEs."""
+    from ytsaurus_spark.operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return label_propagation(edges, iterations=3)

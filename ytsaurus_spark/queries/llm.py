@@ -3338,3 +3338,70 @@ def sim_pc1_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean is one half-up floor over explicit double division."""
     cat = load_tables(spark, sf_dir)
     return similarity.pc1_project_by_label(cat.read("embeddings"), iterations=3)
+
+
+@register(
+    "eval_quality_auc",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+      FROM documents
+    ), f AS (
+      SELECT lang,
+             CAST(floor(len(list_filter(toks,
+                   w -> list_contains(['the','a','of','and','to','in'], w)))
+               * 1.0 / len(toks) * 10000 + 0.5) AS BIGINT) / 10000.0
+               AS stop_ratio,
+             CAST(floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000
+               + 0.5) AS BIGINT) / 10000.0 AS ttr,
+             CAST(floor(((length(text) - (len(toks) - 1)) * 1.0 / len(toks))
+               / 10.0 * 10000 + 0.5) AS BIGINT) / 10000.0 AS mean_len,
+             CAST(floor((length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / length(text) * 10000 + 0.5) AS BIGINT) / 10000.0
+               AS digit_ratio,
+             CAST(floor(least(length(text) / 1000.0, 1.0) * 10000 + 0.5)
+               AS BIGINT) / 10000.0 AS len_norm
+      FROM t
+    ), s AS (
+      SELECT lang = 'en' AS pos,
+             CAST(floor((2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
+                         - 3.0 * digit_ratio + 0.5 * len_norm - 0.5)
+                        * 10000 + 0.5) AS BIGINT) AS sc
+      FROM f
+    ), g AS (
+      SELECT sc,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_g,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_g
+      FROM s GROUP BY sc
+    ), c AS (
+      SELECT pos_g, neg_g,
+             CAST(coalesce(sum(neg_g) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS neg_below
+      FROM g
+    )
+    SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos,
+           CAST(sum(neg_g) AS BIGINT) AS n_neg,
+           CAST(sum(pos_g * (2 * neg_below + neg_g)) AS BIGINT) AS u2,
+           CAST(floor(CAST(sum(pos_g * (2 * neg_below + neg_g)) AS DOUBLE)
+                / (2 * sum(pos_g) * sum(neg_g)) * 1e6 + 0.5) AS BIGINT)
+             / 1e6 AS auc
+    FROM c
+    """,
+)
+def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation AUC (operators/text.auc): exact
+    Mann-Whitney AUC of the frozen quality-classifier logit
+    (text.classifier_score) as a predictor of lang = 'en', computed at
+    score grain with the hierarchical prefix sum — no global row rank,
+    exact tie handling via the doubled-U identity. The oracle rebuilds
+    the feature chain and the grouped U from scratch, so a feature,
+    quantization, or prefix-sum bug breaks the hash."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    scored = text.classifier_score(docs, extra_cols=("lang",)).select(
+        F.round(F.col("quality_logit") * 10000).cast("long").alias("sc"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    return text.auc(scored, "sc", "pos")
