@@ -381,6 +381,8 @@ SCAN_BUDGETS = {
     "stream_trending_topk": 1,  # one (window, type) partial-agg pass
     "eval_quality_auc": 1,  # label rides the scoring projection; score-grain persisted
     "graph_label_propagation": 2,  # lineitem self-join legs; sym edges persisted once
+    "analytics_funnel_conversion": 1,  # chained stage windows share the user partition
+    "analytics_cohort_retention": 1,  # first-seen via user window, no join back
 }
 
 

@@ -1321,3 +1321,151 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir)
     return label_propagation(edges, iterations=3)
+
+
+@register(
+    "analytics_funnel_conversion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_v
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, u.t_v,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > u.t_v
+                      THEN e.ts END) AS t_c
+      FROM events e JOIN u ON e.user_id = u.user_id
+      GROUP BY e.user_id, u.t_v
+    ), p AS (
+      SELECT e.user_id, c.t_v, c.t_c,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_c
+                      THEN e.ts END) AS t_p
+      FROM events e JOIN c ON e.user_id = c.user_id
+      GROUP BY e.user_id, c.t_v, c.t_c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_viewed,
+           CAST(sum(CASE WHEN t_c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked,
+           CAST(sum(CASE WHEN t_p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchased,
+           CAST(floor(CAST(sum(CASE WHEN t_c IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                * 1e6 / sum(CASE WHEN t_v IS NOT NULL THEN 1 ELSE 0 END)
+                + 0.5) AS BIGINT) / 1e6 AS view_to_click,
+           CAST(floor(CAST(sum(CASE WHEN t_p IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                * 1e6 / sum(CASE WHEN t_c IS NOT NULL THEN 1 ELSE 0 END)
+                + 0.5) AS BIGINT) / 1e6 AS click_to_purchase
+    FROM p
+    """,
+)
+def analytics_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click-after-view →
+    purchase-after-click): the product-analytics staple. One shuffle on
+    user_id; the three stage timestamps chain as unordered windows over
+    the SAME user partition (t_v, then t_c = min click after t_v, then
+    t_p = min purchase after t_c — no re-exchange between passes), and
+    the final funnel counts partial-agg to one row. Ratios are exact
+    integer counts with one half-up floor each, emitted as DOUBLE."""
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id")
+    ev = (
+        cat.read("events")
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_v",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_c",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_v")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_c")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("t_v").isNotNull()).alias("viewed"),
+        F.max(F.col("t_c").isNotNull()).alias("clicked"),
+        F.max(F.col("t_p").isNotNull()).alias("purchased"),
+    )
+    ratio = lambda num, den: (  # noqa: E731
+        F.floor(num.cast("double") * 1e6 / den + F.lit(0.5)).cast("long")
+        / F.lit(1e6)
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("viewed"), 1).otherwise(0)).cast("long").alias("n_viewed"),
+        F.sum(F.when(F.col("clicked"), 1).otherwise(0)).cast("long").alias("n_clicked"),
+        F.sum(F.when(F.col("purchased"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchased"),
+    )
+    return agg.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        ratio(F.col("n_clicked"), F.col("n_viewed")).alias("view_to_click"),
+        ratio(F.col("n_purchased"), F.col("n_clicked")).alias("click_to_purchase"),
+    )
+
+
+@register(
+    "analytics_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_date,
+           CAST(datediff('day', f.cohort_date, CAST(e.ts AS DATE)) // 7
+                AS INT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date, distinct
+    actives per (cohort, week-offset) — the growth-analytics staple.
+    Week offsets are integer day-diffs div 7 (no engine week-truncation
+    semantics to diverge on). Single scan: the first-seen date is an
+    unordered min window over the user partition (one user-keyed
+    shuffle), then events partial-agg at (cohort, offset) grain for the
+    distinct count — no join and no second pass over the corpus."""
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    w = W.partitionBy("user_id")
+    return (
+        ev.withColumn("cohort_date", F.min("d").over(w))
+        .select(
+            "cohort_date",
+            (F.datediff(F.col("d"), F.col("cohort_date"))
+             .cast("long") / F.lit(7)).cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
