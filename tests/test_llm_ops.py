@@ -1018,3 +1018,40 @@ def test_auc_matches_pairwise_bruteforce(spark):
     assert got.u2 == u2
     expected = int((u2 / (2 * len(pos) * len(neg))) * 1e6 + 0.5) / 1e6
     assert got.auc == expected
+
+
+def test_zipf_fit_matches_bruteforce(spark):
+    from collections import Counter
+
+    from ytsaurus_spark.operators.text import zipf_fit
+
+    texts = [
+        "aa aa aa aa aa aa aa aa bb bb bb bb",
+        "bb cc cc dd ee ff aa gg",
+        "cc dd hh ii jj aa bb cc",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = zipf_fit(docs).collect()[0]
+
+    counts = Counter(w for t in texts for w in t.split(" ") if w)
+    bands = Counter(counts.values())  # count -> n_words
+    flog2 = lambda n: n.bit_length() - 1  # noqa: E731
+    pts, above = [], 0
+    for c in sorted(bands, reverse=True):
+        nw = bands[c]
+        pts.append((nw, flog2(1 + above), flog2(c)))
+        above += nw
+    sw = sum(w for w, _, _ in pts)
+    sx = sum(w * x for w, x, _ in pts)
+    sy = sum(w * y for w, _, y in pts)
+    sxx = sum(w * x * x for w, x, _ in pts)
+    sxy = sum(w * x * y for w, x, y in pts)
+    den = sw * sxx - sx * sx
+    import math
+
+    slope = math.floor((sw * sxy - sx * sy) * 1e6 / den + 0.5) / 1e6
+    intercept = math.floor((sy * sxx - sx * sxy) * 1e6 / den + 0.5) / 1e6
+    assert got.n_bands == len(pts) and got.n_words == sw
+    assert got.slope == slope and got.intercept == intercept

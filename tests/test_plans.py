@@ -383,6 +383,8 @@ SCAN_BUDGETS = {
     "graph_label_propagation": 2,  # lineitem self-join legs; sym edges persisted once
     "analytics_funnel_conversion": 1,  # chained stage windows share the user partition
     "analytics_cohort_retention": 1,  # first-seen via user window, no join back
+    "sim_label_centroid_matrix": 1,  # corpus collapses in one (label, dim) agg; cent persisted
+    "text_zipf_fit": 1,  # band-grain persisted; prefix-sum consumers hit cache
 }
 
 

@@ -1076,3 +1076,72 @@ def pc1_project_by_label(
             ).cast("long").alias("mean_proj"),
         )
     )
+
+
+def label_centroid_similarity(
+    emb: DataFrame,
+    quant: int = 127,
+    digits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the "how close are these two sources/languages/clusters in
+    embedding space" diagnostic behind mix design and cluster audits.
+
+    Exactness: cosine of mean vectors equals cosine of per-label SUM
+    vectors (the 1/n factors cancel), so the whole computation runs on
+    exact BIGINT sums of int8-quantized codes: one (label, dim)
+    aggregate collapses the corpus, and everything after — pair dots,
+    norms, the final sqrt+divide — happens on a labels×dims frame small
+    enough to broadcast. The only float ops are the final
+    IEEE-correctly-rounded sqrt and divide on identical integers, then
+    one half-up floor at ``digits``.
+
+    Returns (label_a, label_b, dot, cos) for label_a < label_b."""
+    el = emb.select(
+        F.col(label_col).alias("lab"),
+        F.posexplode(F.col(vec_col)).alias("i", "xv"),
+    ).select("lab", "i", F.round(F.col("xv") * quant).cast("long").alias("c"))
+    cent = el.groupBy("lab", "i").agg(
+        F.sum("c").cast("long").alias("s")
+    ).persist()  # labels×dims; consumed by norms and both pair legs
+    norms = cent.groupBy("lab").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("n2")
+    )
+    a = cent.select(
+        F.col("lab").alias("label_a"), "i", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("lab").alias("label_b"), "i", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(F.broadcast(b), "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("lab").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("lab").alias("label_b"), F.col("n2").alias("nb2"))
+    scale = float(10 ** digits)
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot",
+            (
+                F.floor(
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("na2").cast("double") * F.col("nb2").cast("double")
+                    )
+                    * scale
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(scale)
+            ).alias("cos"),
+        )
+    )

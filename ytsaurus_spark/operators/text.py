@@ -1116,3 +1116,69 @@ def auc(
             / F.lit(scale)
         ).alias("auc"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: weighted
+    least-squares slope of log2(count) against log2(rank) — the
+    corpus-health diagnostic (natural text slopes near −1; boilerplate
+    or template floods bend the curve).
+
+    No global rank window: words collapse to count-grain bands
+    (count → n_words), each band's minimum rank is 1 + the number of
+    words in strictly more frequent bands — an exclusive prefix sum
+    over the tiny band frame via curation.prefix_sum (key = −count, so
+    ascending key order is descending count). Logs are WHOLE-bit
+    ``floor(log2) = len(binary) − 1`` on the digit string (never
+    libm), the regression sums are exact BIGINTs weighted by band
+    size, and the slope/intercept take one half-up floor each at 1e−6.
+
+    Returns one row: (n_bands, n_words, slope, intercept)."""
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bands = (
+        vocab.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
+        .withColumn("negc", -F.col("c"))
+        .persist()  # band-grain (tiny); prefix_sum fans out consumers
+    )
+    ranked = prefix_sum(bands, "negc", "nw", out_col="__above")
+
+    def flog2(col):
+        return (F.length(F.conv(col.cast("string"), 10, 2)) - 1).cast("long")
+
+    pts = ranked.select(
+        F.col("nw").alias("wgt"),
+        flog2(1 + F.col("__above")).alias("x"),
+        flog2(F.col("c")).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+        F.sum("wgt").cast("long").alias("sw"),
+        F.sum(F.col("wgt") * F.col("x")).cast("long").alias("sx"),
+        F.sum(F.col("wgt") * F.col("y")).cast("long").alias("sy"),
+        F.sum(F.col("wgt") * F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("wgt") * F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    den = F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fix6 = lambda num: (  # noqa: E731
+        F.floor(num.cast("double") * 1e6 / den.cast("double") + F.lit(0.5))
+        .cast("long")
+        / F.lit(1e6)
+    )
+    return sums.select(
+        "n_bands",
+        F.col("sw").alias("n_words"),
+        fix6(F.col("sw") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope"
+        ),
+        fix6(F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias(
+            "intercept"
+        ),
+    )

@@ -3405,3 +3405,95 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("pos"),
     )
     return text.auc(scored, "sc", "pos")
+
+
+@register(
+    "sim_label_centroid_matrix",
+    """
+    WITH el AS (
+      SELECT label AS lab, i - 1 AS i,
+             CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), cent AS (
+      SELECT lab, i, CAST(sum(c) AS BIGINT) AS s FROM el GROUP BY lab, i
+    ), norms AS (
+      SELECT lab, CAST(sum(s * s) AS BIGINT) AS n2 FROM cent GROUP BY lab
+    ), dots AS (
+      SELECT a.lab AS label_a, b.lab AS label_b,
+             CAST(sum(a.s * b.s) AS BIGINT) AS dot
+      FROM cent a JOIN cent b ON a.i = b.i AND a.lab < b.lab
+      GROUP BY a.lab, b.lab
+    )
+    SELECT label_a, label_b, dot,
+           CAST(floor(CAST(dot AS DOUBLE)
+                / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                * 1e6 + 0.5) AS BIGINT) / 1e6 AS cos
+    FROM dots
+    JOIN norms na ON na.lab = dots.label_a
+    JOIN norms nb ON nb.lab = dots.label_b
+    """,
+)
+def sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (operators/similarity.label_centroid_similarity): the
+    cluster/source-proximity audit. The 1/n factors cancel in cosine,
+    so the matrix computes on exact BIGINT sums of int8 codes — the
+    corpus collapses in ONE (label, dim) aggregate; pair dots, norms,
+    and the final sqrt run on the broadcast labels×dims frame. The
+    label columns keep the fixture's INT type on both engines."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.label_centroid_similarity(cat.read("embeddings"))
+
+
+@register(
+    "text_zipf_fit",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), v AS (
+      SELECT tok, count(*) AS c FROM w WHERE length(tok) > 0 GROUP BY tok
+    ), b AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS nw FROM v GROUP BY c
+    ), r AS (
+      SELECT c, nw,
+             1 + coalesce(sum(nw) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS minrank
+      FROM b
+    ), p AS (
+      SELECT nw AS wgt,
+             CAST(length(bin(minrank)) - 1 AS BIGINT) AS x,
+             CAST(length(bin(c)) - 1 AS BIGINT) AS y
+      FROM r
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bands,
+             CAST(sum(wgt) AS BIGINT) AS sw,
+             CAST(sum(wgt * x) AS BIGINT) AS sx,
+             CAST(sum(wgt * y) AS BIGINT) AS sy,
+             CAST(sum(wgt * x * x) AS BIGINT) AS sxx,
+             CAST(sum(wgt * x * y) AS BIGINT) AS sxy
+      FROM p
+    )
+    SELECT n_bands, sw AS n_words,
+           CAST(floor(CAST(sw * sxy - sx * sy AS DOUBLE) * 1e6
+                / CAST(sw * sxx - sx * sx AS DOUBLE) + 0.5) AS BIGINT)
+             / 1e6 AS slope,
+           CAST(floor(CAST(sy * sxx - sx * sxy AS DOUBLE) * 1e6
+                / CAST(sw * sxx - sx * sx AS DOUBLE) + 0.5) AS BIGINT)
+             / 1e6 AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic (operators/text.zipf_fit):
+    weighted least-squares slope of whole-bit log2(count) vs
+    log2(rank) over count-grain vocabulary bands — no global rank
+    window (band min-ranks come from the hierarchical prefix sum with
+    key = −count), logs are digit-string floor-log2 (no libm), and the
+    regression runs on exact BIGINT sums. Natural corpora fit near −1;
+    template floods bend the slope — the cheap corpus-health check
+    before training."""
+    cat = load_tables(spark, sf_dir)
+    return text.zipf_fit(cat.read("documents"))
