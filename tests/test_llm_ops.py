@@ -1055,3 +1055,72 @@ def test_zipf_fit_matches_bruteforce(spark):
     intercept = math.floor((sy * sxx - sx * sxy) * 1e6 / den + 0.5) / 1e6
     assert got.n_bands == len(pts) and got.n_words == sw
     assert got.slope == slope and got.intercept == intercept
+
+
+def test_calibration_ece_bruteforce(spark):
+    from ytsaurus_spark.operators.text import calibration_ece
+
+    rows = [((i * 37) % 21000 - 10500, (i * 7) % 3 != 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "sc bigint, pos boolean")
+    got = {r.bin: r for r in calibration_ece(df, "sc", "pos", bins=10, slope=100).collect()}
+    # Python brute force of the identical integral pipeline.
+    bins = {}
+    for sc, pos in rows:
+        cm = min(max(500000 + sc * 100, 0), 1000000)
+        b = min(cm * 10 // 1000000, 9)
+        n, np_, cs = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, np_ + (1 if pos else 0), cs + cm)
+    n_total = sum(n for n, _, _ in bins.values())
+    gap_total = sum(abs(np_ * 1000000 - cs) for _, np_, cs in bins.values())
+    ece = int(gap_total / n_total + 0.5) / 1e6
+    assert set(got) == set(bins)
+    for b, (n, np_, cs) in bins.items():
+        r = got[b]
+        assert (r.n, r.n_pos, r.conf_micros) == (n, np_, cs)
+        assert r.acc == int(np_ * 1000000 / n + 0.5) / 1e6
+        assert r.conf == int(cs / n + 0.5) / 1e6
+        assert r.ece == ece
+
+
+def test_calibration_ece_perfectly_calibrated(spark):
+    from ytsaurus_spark.operators.text import calibration_ece
+
+    # conf 0.25 bucket with 1/4 positives and conf 0.75 with 3/4: ECE 0.
+    rows = []
+    for _ in range(1):
+        rows += [(-2500, True)] + [(-2500, False)] * 3  # conf 250000
+        rows += [(2500, True)] * 3 + [(2500, False)]  # conf 750000
+    df = spark.createDataFrame(rows, "sc bigint, pos boolean")
+    out = calibration_ece(df, "sc", "pos", bins=10, slope=100).collect()
+    assert all(r.ece == 0.0 for r in out)
+    assert all(r.gap == 0.0 for r in out)
+
+
+def test_confusion_stats_hand_counts(spark):
+    from ytsaurus_spark.operators.text import confusion_stats
+
+    # tp=2 fp=1 fn=1 tn=3 at threshold 0.
+    rows = [(5, True), (1, True), (3, False), (-1, True),
+            (-2, False), (-9, False), (-1, False)]
+    df = spark.createDataFrame(rows, "sc bigint, pos boolean")
+    out = {r.cls: r for r in confusion_stats(df, "sc", "pos").collect()}
+    p = out["pos"]
+    assert (p.tp, p.fp, p.fn) == (2, 1, 1)
+    assert p.precision == int(2 * 1e6 / 3 + 0.5) / 1e6
+    assert p.recall == int(2 * 1e6 / 3 + 0.5) / 1e6
+    assert p.f1 == int(4 * 1e6 / 6 + 0.5) / 1e6
+    n = out["neg"]
+    assert (n.tp, n.fp, n.fn) == (3, 1, 1)
+
+
+def test_confusion_stats_zero_division(spark):
+    from ytsaurus_spark.operators.text import confusion_stats
+
+    # Everything predicted negative: pos-class precision denominator 0.
+    df = spark.createDataFrame(
+        [(-5, True), (-1, False)], "sc bigint, pos boolean"
+    )
+    out = {r.cls: r for r in confusion_stats(df, "sc", "pos").collect()}
+    assert out["pos"].precision == 0.0
+    assert out["pos"].recall == 0.0
+    assert out["neg"].recall == 1.0

@@ -1182,3 +1182,140 @@ def zipf_fit(
             "intercept"
         ),
     )
+
+
+def calibration_ece(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    slope: int = 25,
+) -> DataFrame:
+    """Reliability table + expected calibration error of a quantized
+    classifier logit against a boolean label — the "does 0.8 confidence
+    mean 80% correct" audit run before a classifier gates a corpus.
+
+    Confidence is a monotone piecewise-linear squash of the integer
+    logit into micro-probabilities (``clamp(5e5 + sc·slope, 0, 1e6)``)
+    — sigmoid's exp() last-ulp differs between libm implementations, so
+    the squash keeps every step integral (same reasoning as
+    classifier_score emitting the logit). Rows bin by integer division;
+    each bin accumulates exact BIGINT (n, n_pos, Σconf_micros); the ECE
+    numerator Σ_b |n_pos_b·1e6 − Σconf_b| is an exact integer, so the
+    single half-up floor at the end is the only rounding anywhere.
+
+    Shape: ONE corpus shuffle at bin grain (≤ ``bins`` groups, partial-
+    agged map-side), then the ECE scalar broadcasts back onto the bin
+    rows. Returns one row per non-empty bin:
+    (bin, n, n_pos, conf_micros, acc, conf, gap, ece)."""
+    conf = F.least(
+        F.lit(1000000).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.lit(500000) + F.col(score_col) * slope).cast("long"),
+        ),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(conf * bins / F.lit(1000000)).cast("long"),
+            F.lit(bins - 1).cast("long"),
+        ).alias("bin"),
+        conf.alias("conf_micro"),
+        F.when(F.col(label_col), 1).otherwise(0).alias("pos"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("conf_micro").cast("long").alias("conf_micros"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("__n_total"),
+        F.sum(F.abs(F.col("n_pos") * 1000000 - F.col("conf_micros")))
+        .cast("long")
+        .alias("__gap_total"),
+    )
+    fix = lambda num, den: (  # noqa: E731
+        F.floor(num.cast("double") / den.cast("double") + F.lit(0.5)).cast(
+            "long"
+        )
+    )
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "n_pos",
+            "conf_micros",
+            (fix(F.col("n_pos") * 1000000, F.col("n")) / F.lit(1e6)).alias(
+                "acc"
+            ),
+            (fix(F.col("conf_micros"), F.col("n")) / F.lit(1e6)).alias(
+                "conf"
+            ),
+            (
+                F.abs(
+                    fix(F.col("n_pos") * 1000000, F.col("n"))
+                    - fix(F.col("conf_micros"), F.col("n"))
+                )
+                / F.lit(1e6)
+            ).alias("gap"),
+            (
+                fix(F.col("__gap_total"), F.col("__n_total")) / F.lit(1e6)
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+def confusion_stats(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: int = 0,
+) -> DataFrame:
+    """Binary confusion matrix + per-class precision/recall/F1 for a
+    thresholded integer score against a boolean label — the go/no-go
+    summary of a corpus-gating classifier.
+
+    One exact-count aggregate produces (tp, fp, fn, tn); the table then
+    pivots to one row per class ('pos' and 'neg' — the 'neg' row scores
+    the complement classifier, i.e. macro-averaging ready). All counts
+    are exact BIGINTs; precision/recall/F1 take one half-up floor each
+    at 1e−6 (F1 from the 2tp/(2tp+fp+fn) identity — no intermediate
+    rounding of P and R). Zero denominators report 0, the sklearn
+    ``zero_division=0`` convention."""
+    pred = F.col(score_col) >= threshold
+    act = F.col(label_col)
+    cm = scored.agg(
+        F.sum(F.when(pred & act, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(pred & ~act, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~pred & act, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~pred & ~act, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    rows = cm.select(
+        F.expr(
+            "stack(2, 'pos', tp, fp, fn, 'neg', tn, fn, fp) "
+            "AS (cls, c_tp, c_fp, c_fn)"
+        )
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(num.cast("double") * 1e6 / den.cast("double") + F.lit(0.5)).cast(
+            "long"
+        )
+    ) / F.lit(
+        1e6
+    )
+    return rows.select(
+        "cls",
+        F.col("c_tp").alias("tp"),
+        F.col("c_fp").alias("fp"),
+        F.col("c_fn").alias("fn"),
+        ratio(F.col("c_tp"), F.col("c_tp") + F.col("c_fp")).alias("precision"),
+        ratio(F.col("c_tp"), F.col("c_tp") + F.col("c_fn")).alias("recall"),
+        ratio(
+            2 * F.col("c_tp"),
+            2 * F.col("c_tp") + F.col("c_fp") + F.col("c_fn"),
+        ).alias("f1"),
+    ).orderBy(F.col("cls").desc())

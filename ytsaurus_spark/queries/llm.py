@@ -3497,3 +3497,141 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before training."""
     cat = load_tables(spark, sf_dir)
     return text.zipf_fit(cat.read("documents"))
+
+
+_EVAL_FEATURES_SQL = """
+    t AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+      FROM documents
+    ), f AS (
+      SELECT lang,
+             CAST(floor(len(list_filter(toks,
+                   w -> list_contains(['the','a','of','and','to','in'], w)))
+               * 1.0 / len(toks) * 10000 + 0.5) AS BIGINT) / 10000.0
+               AS stop_ratio,
+             CAST(floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000
+               + 0.5) AS BIGINT) / 10000.0 AS ttr,
+             CAST(floor(((length(text) - (len(toks) - 1)) * 1.0 / len(toks))
+               / 10.0 * 10000 + 0.5) AS BIGINT) / 10000.0 AS mean_len,
+             CAST(floor((length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / length(text) * 10000 + 0.5) AS BIGINT) / 10000.0
+               AS digit_ratio,
+             CAST(floor(least(length(text) / 1000.0, 1.0) * 10000 + 0.5)
+               AS BIGINT) / 10000.0 AS len_norm
+      FROM t
+    ), s AS (
+      SELECT lang = 'en' AS pos,
+             CAST(floor((2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
+                         - 3.0 * digit_ratio + 0.5 * len_norm - 0.5)
+                        * 10000 + 0.5) AS BIGINT) AS sc
+      FROM f
+    )
+"""
+
+
+@register(
+    "eval_calibration_ece",
+    "WITH "
+    + _EVAL_FEATURES_SQL
+    + """
+    , b AS (
+      SELECT least(greatest(500000 + sc * 100, 0), 1000000) AS cm, pos
+      FROM s
+    ), g AS (
+      SELECT least(cm * 10 // 1000000, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(cm) AS BIGINT) AS conf_micros
+      FROM b GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(abs(n_pos * 1000000 - conf_micros)) AS BIGINT) AS gt
+      FROM g
+    )
+    SELECT bin, n, n_pos, conf_micros,
+           CAST(floor(CAST(n_pos * 1000000 AS DOUBLE) / CAST(n AS DOUBLE)
+                + 0.5) AS BIGINT) / 1e6 AS acc,
+           CAST(floor(CAST(conf_micros AS DOUBLE) / CAST(n AS DOUBLE)
+                + 0.5) AS BIGINT) / 1e6 AS conf,
+           abs(CAST(floor(CAST(n_pos * 1000000 AS DOUBLE) / CAST(n AS DOUBLE)
+                     + 0.5) AS BIGINT)
+               - CAST(floor(CAST(conf_micros AS DOUBLE) / CAST(n AS DOUBLE)
+                     + 0.5) AS BIGINT)) / 1e6 AS gap,
+           CAST(floor(CAST(gt AS DOUBLE) / CAST(nt AS DOUBLE) + 0.5)
+                AS BIGINT) / 1e6 AS ece
+    FROM g, tot
+    ORDER BY bin
+    """,
+)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + ECE of the frozen quality classifier as a
+    predictor of lang = 'en' (operators/text.calibration_ece): the
+    calibration audit a corpus-gating classifier gets before its
+    threshold is trusted. Confidence is the integral linear squash of
+    the quantized logit (sigmoid's exp() diverges between libms), bins
+    accumulate exact BIGINT (n, n_pos, Σconf), and the ECE numerator is
+    an exact integer — one corpus shuffle at ≤10-bin grain, partial-
+    agged. The oracle rebuilds features, squash, binning, and the ECE
+    identity from scratch."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    scored = text.classifier_score(docs, extra_cols=("lang",)).select(
+        F.round(F.col("quality_logit") * 10000).cast("long").alias("sc"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    return text.calibration_ece(scored, "sc", "pos", bins=10, slope=100)
+
+
+@register(
+    "eval_confusion_f1",
+    "WITH "
+    + _EVAL_FEATURES_SQL
+    + """
+    , cm AS (
+      SELECT CAST(sum(CASE WHEN sc >= 0 AND pos THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN sc >= 0 AND NOT pos THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN sc < 0 AND pos THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN sc < 0 AND NOT pos THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM s
+    ), r AS (
+      SELECT 'pos' AS cls, tp AS c_tp, fp AS c_fp, fn AS c_fn FROM cm
+      UNION ALL
+      SELECT 'neg' AS cls, tn AS c_tp, fn AS c_fp, fp AS c_fn FROM cm
+    )
+    SELECT cls, c_tp AS tp, c_fp AS fp, c_fn AS fn,
+           CASE WHEN c_tp + c_fp = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(c_tp AS DOUBLE) * 1e6
+                     / CAST(c_tp + c_fp AS DOUBLE) + 0.5) AS BIGINT)
+           END / 1e6 AS precision,
+           CASE WHEN c_tp + c_fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(c_tp AS DOUBLE) * 1e6
+                     / CAST(c_tp + c_fn AS DOUBLE) + 0.5) AS BIGINT)
+           END / 1e6 AS recall,
+           CASE WHEN 2 * c_tp + c_fp + c_fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(2 * c_tp AS DOUBLE) * 1e6
+                     / CAST(2 * c_tp + c_fp + c_fn AS DOUBLE) + 0.5)
+                     AS BIGINT)
+           END / 1e6 AS f1
+    FROM r
+    ORDER BY cls DESC
+    """,
+)
+def eval_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded-classifier confusion matrix with per-class
+    precision/recall/F1 (operators/text.confusion_stats): logit >= 0
+    predicts lang = 'en'. One exact-count aggregate pivots to a 'pos'
+    and a 'neg' row (macro-average ready); F1 uses the 2tp/(2tp+fp+fn)
+    identity so no intermediate P/R rounding enters. The oracle
+    recomputes the features and all four cells independently."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    scored = text.classifier_score(docs, extra_cols=("lang",)).select(
+        F.round(F.col("quality_logit") * 10000).cast("long").alias("sc"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    return text.confusion_stats(scored, "sc", "pos", threshold=0)
