@@ -1124,3 +1124,45 @@ def test_confusion_stats_zero_division(spark):
     assert out["pos"].precision == 0.0
     assert out["pos"].recall == 0.0
     assert out["neg"].recall == 1.0
+
+
+def test_labeled_retrieval_eval_bruteforce(spark):
+    from ytsaurus_spark.operators.similarity import labeled_retrieval_eval
+
+    # Deterministic tiny cloud: 30 vectors, 3 labels, dim 4.
+    rows = []
+    for v in range(30):
+        lab = v % 3
+        vec = [((v * 7 + d * 13) % 19 - 9) / 9.0 for d in range(4)]
+        rows.append((v, vec, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    k, stride, quant = 3, 5, 127
+    got = {
+        r.label: r
+        for r in labeled_retrieval_eval(
+            df, k=k, stride=stride, quant=quant
+        ).collect()
+    }
+    codes = {v: [round(x * quant) for x in vec] for v, vec, _ in rows}
+    labs = {v: lab for v, _, lab in rows}
+    per = {}
+    for qv in [v for v, _, _ in rows if v % stride == 0]:
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(codes[qv], codes[c])), c)
+                for c, _, _ in rows
+                if c != qv
+            )
+        )
+        hits = sum(1 for _, c in scored[:k] if labs[c] == labs[qv])
+        n_q, h = per.get(labs[qv], (0, 0))
+        per[labs[qv]] = (n_q + 1, h + hits)
+    n_by_lab = {lab: sum(1 for _, _, l in rows if l == lab) for lab in (0, 1, 2)}
+    assert set(got) == set(per)
+    for lab, (n_q, h) in per.items():
+        r = got[lab]
+        assert (r.n_queries, r.n_hits) == (n_q, h)
+        assert r.p_at_k == int(h * 1e6 / (n_q * k) + 0.5) / 1e6
+        assert r.r_at_k == int(h * 1e6 / (n_q * (n_by_lab[lab] - 1)) + 0.5) / 1e6

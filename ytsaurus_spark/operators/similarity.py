@@ -1145,3 +1145,101 @@ def label_centroid_similarity(
             ).alias("cos"),
         )
     )
+
+
+def labeled_retrieval_eval(
+    emb: DataFrame,
+    k: int = 10,
+    stride: int = 37,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-ground-truth retrieval evaluation: macro precision@k and
+    recall@k of exact inner-product top-k, per label — the "does nearest-
+    neighbor search actually surface same-class items" metric computed
+    before an ANN index is trusted for retrieval-augmented training.
+
+    Vectors quantize to int8 codes (round(u·quant), the SQ8 move), so
+    the score is an exact BIGINT dot — no float tie ever reaches the
+    rank window. The deterministic query subset (id % stride = 0)
+    broadcasts; candidates never shuffle; the rank window partitions by
+    query id. Per query, hits = same-label neighbors in the top k;
+    macro-aggregating by query label gives P@k = hits/(n_q·k) and
+    R@k = hits/(n_q·(n_label − 1)) (self excluded), each with one
+    half-up floor at 1e−6. At index scale the same evaluation runs
+    against ivf_topk/ann_topk_lsh output instead of the exact ranks —
+    this operator is the ground-truth baseline those are audited
+    against (cf. ann recall audits in SCALE.md).
+
+    Returns one row per label:
+    (label, n_queries, n_hits, p_at_k, r_at_k)."""
+    from pyspark.sql import Window as W
+
+    codes = F.expr(
+        f"transform({vec_col}, u -> CAST(round(u * {quant}) AS BIGINT))"
+    )
+    base = emb.select(
+        F.col(id_col), codes.alias("__codes"), F.col(label_col).alias("__lab")
+    )
+    q = base.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("q_id"),
+        F.col("__codes").alias("qc"),
+        F.col("__lab").alias("q_lab"),
+    )
+    c = base.select(
+        F.col(id_col).alias("c_id"),
+        F.col("__codes").alias("cc"),
+        F.col("__lab").alias("c_lab"),
+    )
+    dot = (
+        "aggregate(zip_with(qc, cc, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "q_lab", "c_lab", F.expr(dot).alias("dot"), "c_id"
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
+    hits = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy("q_id", "q_lab")
+        .agg(
+            F.sum(F.when(F.col("c_lab") == F.col("q_lab"), 1).otherwise(0))
+            .cast("long")
+            .alias("hits")
+        )
+    )
+    rel = base.groupBy(F.col("__lab").alias("q_lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lab")
+    )
+    per_label = (
+        hits.groupBy("q_lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("hits").cast("long").alias("n_hits"),
+        )
+        .join(F.broadcast(rel), "q_lab")
+    )
+    fix6 = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(num.cast("double") * 1e6 / den.cast("double") + F.lit(0.5))
+        .cast("long")
+    ) / F.lit(
+        1e6
+    )
+    return per_label.select(
+        F.col("q_lab").alias("label"),
+        "n_queries",
+        "n_hits",
+        fix6(F.col("n_hits"), F.col("n_queries") * k).alias("p_at_k"),
+        fix6(
+            F.col("n_hits"), F.col("n_queries") * (F.col("n_lab") - 1)
+        ).alias("r_at_k"),
+    ).orderBy("label")

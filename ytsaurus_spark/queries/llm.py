@@ -3635,3 +3635,67 @@ def eval_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("pos"),
     )
     return text.confusion_stats(scored, "sc", "pos", threshold=0)
+
+
+@register(
+    "eval_precision_recall_at_k",
+    """
+    WITH el AS (
+      SELECT vec_id, i - 1 AS i, CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), d AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+             CAST(sum(q.c * e.c) AS BIGINT) AS dot
+      FROM (SELECT * FROM el WHERE vec_id % 37 = 0) q
+      JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    ), r AS (
+      SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot DESC, c_id) AS rk
+      FROM d
+    ), h AS (
+      SELECT q_id, ql.label AS q_lab,
+             CAST(sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM r
+      JOIN embeddings cl ON cl.vec_id = r.c_id
+      JOIN embeddings ql ON ql.vec_id = r.q_id
+      WHERE rk <= 10
+      GROUP BY q_id, ql.label
+    ), relc AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_lab
+      FROM embeddings GROUP BY label
+    )
+    SELECT q_lab AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(hits) AS BIGINT) AS n_hits,
+           CAST(floor(CAST(sum(hits) AS DOUBLE) * 1e6
+                / CAST(count(*) * 10 AS DOUBLE) + 0.5) AS BIGINT) / 1e6
+             AS p_at_k,
+           CASE WHEN count(*) * (any_value(n_lab) - 1) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(sum(hits) AS DOUBLE) * 1e6
+                     / CAST(count(*) * (any_value(n_lab) - 1) AS DOUBLE)
+                     + 0.5) AS BIGINT)
+           END / 1e6 AS r_at_k
+    FROM h JOIN relc ON relc.label = h.q_lab
+    GROUP BY q_lab
+    ORDER BY q_lab
+    """,
+)
+def eval_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro P@10 / R@10 of exact int8-code inner-product retrieval
+    against label ground truth (operators/similarity.labeled_retrieval_eval)
+    — the retrieval-quality eval that complements sim_ann_recall_eval's
+    index-vs-exact audit (that one scores the INDEX against exact
+    search; this scores exact search against LABELS). Deterministic
+    query subset broadcasts; scores are exact BIGINT dots so the rank
+    window never sees a float tie; the oracle recomputes ranks from the
+    unnested element join."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.labeled_retrieval_eval(
+        cat.read("embeddings"), k=10, stride=37
+    )
