@@ -172,3 +172,61 @@ def test_label_propagation_two_triangles(spark):
     )
     got = {r.node: r.label for r in label_propagation(edges, 3).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
+
+
+def test_jaccard_link_prediction_bruteforce(spark):
+    from itertools import combinations
+
+    from ytsaurus_spark.operators.graph import jaccard_link_prediction
+
+    # Deterministic sparse graph on 12 nodes.
+    edges = [(i, (i * i + 3) % 12) for i in range(12)] + [
+        (i, (i + 4) % 12) for i in range(0, 12, 2)
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src bigint, dst bigint"
+    )
+    got = {
+        (r.src, r.dst): r
+        for r in jaccard_link_prediction(df, min_common=1).collect()
+    }
+    # Python brute force.
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbr = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {}
+    for u, v in combinations(sorted(nbr), 2):
+        if (u, v) in und:
+            continue
+        common = len(nbr[u] & nbr[v])
+        if common >= 1:
+            want[(u, v)] = (common, len(nbr[u]), len(nbr[v]))
+    assert set(got) == set(want)
+    for (u, v), (common, du, dv) in want.items():
+        r = got[(u, v)]
+        assert (r.common, r.deg_src, r.deg_dst) == (common, du, dv)
+        assert r.jaccard == int(common * 1e6 / (du + dv - common) + 0.5) / 1e6
+
+
+def test_jaccard_link_prediction_max_degree_drops_hub(spark):
+    from ytsaurus_spark.operators.graph import jaccard_link_prediction
+
+    # Star through hub 0 (degree 4) plus one wedge through node 9.
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (9, 1), (9, 2)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    full = {
+        (r.src, r.dst): r.common
+        for r in jaccard_link_prediction(df, min_common=1).collect()
+    }
+    assert full[(1, 2)] == 2  # via hub 0 AND via 9
+    assert full[(3, 4)] == 1  # via hub only
+    capped = {
+        (r.src, r.dst): r.common
+        for r in jaccard_link_prediction(
+            df, min_common=1, max_degree=3
+        ).collect()
+    }
+    assert capped[(1, 2)] == 1  # hub wedges gone, node-9 wedge stays
+    assert (3, 4) not in capped

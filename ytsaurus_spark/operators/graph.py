@@ -385,3 +385,88 @@ def label_propagation(
         labels.unpersist()
         labels = nxt
     return labels
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_degree: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Neighbor-set Jaccard link prediction over an undirected graph:
+    for every ABSENT edge (u, v) with at least ``min_common`` common
+    neighbors, score |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the classic
+    common-neighbors candidate generator for recommendations and
+    entity-resolution blocking.
+
+    Shape: candidates come from ONE wedge self-join on the shared
+    neighbor (never an all-pairs product) — each intermediate node w
+    emits its neighbor pairs, so the exchange carries Σ_w deg(w)²/2
+    wedges, partial-agged into (u, v, common) counts. Existing edges
+    leave via a broadcast-able anti-join on the canonical (lo, hi) key.
+    The intersection count, degrees, and union size are exact BIGINTs;
+    Jaccard takes one half-up floor at 1e−6. Σdeg² is the true
+    candidate-set size of this metric; on power-law graphs pass
+    ``max_degree`` to drop hub intermediaries (the standard blocking
+    cap — documented approximation: common neighbors are then counted
+    through non-hub nodes only).
+
+    Returns (src, dst, common, deg_src, deg_dst, jaccard), src < dst."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()  # consumed by sym (twice via union) and the anti-join
+    )
+    sym = und.select(
+        F.col("a").alias("w"), F.col("b").alias("n")
+    ).unionAll(und.select(F.col("b").alias("w"), F.col("a").alias("n")))
+    deg = sym.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    hubs = sym
+    if max_degree is not None:
+        hubs = sym.join(
+            deg.filter(F.col("deg") <= max_degree).select(
+                F.col("node").alias("w")
+            ),
+            "w",
+        )
+    lhs = hubs.select("w", F.col("n").alias("u"))
+    rhs = hubs.select("w", F.col("n").alias("v"))
+    wedges = (
+        lhs.join(rhs, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    cand = wedges.join(
+        und,
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_src"))
+    db = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_dst"))
+    out = cand.join(da, "u").join(db, "v")
+    union_sz = F.col("deg_src") + F.col("deg_dst") - F.col("common")
+    return out.select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        "common",
+        "deg_src",
+        "deg_dst",
+        (
+            F.floor(
+                F.col("common").cast("double")
+                * 1e6
+                / union_sz.cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("jaccard"),
+    )

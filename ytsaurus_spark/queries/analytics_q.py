@@ -1469,3 +1469,47 @@ def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", "week_offset")
         .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
     )
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    sym AS (SELECT src AS w, dst AS n FROM e
+            UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY w),
+    wedge AS (
+      SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS common
+      FROM sym a JOIN sym b ON a.w = b.w AND a.n < b.n
+      GROUP BY a.n, b.n
+    ), cand AS (
+      SELECT * FROM wedge
+      WHERE common >= 2
+        AND NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.src = wedge.u AND e.dst = wedge.v)
+    )
+    SELECT u AS src, v AS dst, common,
+           da.deg AS deg_src, db.deg AS deg_dst,
+           CAST(floor(CAST(common AS DOUBLE) * 1e6
+                / CAST(da.deg + db.deg - common AS DOUBLE) + 0.5)
+                AS BIGINT) / 1e6 AS jaccard
+    FROM cand
+    JOIN deg da ON da.node = cand.u
+    JOIN deg db ON db.node = cand.v
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction over the part co-purchase
+    graph (operators/graph.jaccard_link_prediction): scores every absent
+    edge with ≥2 shared neighbors — the recommendation / blocking
+    candidate generator. One wedge self-join on the shared neighbor
+    (never all-pairs), partial-agged counts, broadcast-able anti-join
+    against existing edges; intersection/union sizes are exact BIGINTs
+    with one half-up floor for the ratio. The oracle rebuilds wedges,
+    the NOT EXISTS anti-join, and the ratio from the same edge CTE."""
+    from ytsaurus_spark.operators.graph import jaccard_link_prediction
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return jaccard_link_prediction(edges, min_common=2)
