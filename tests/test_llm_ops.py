@@ -1166,3 +1166,49 @@ def test_labeled_retrieval_eval_bruteforce(spark):
         assert (r.n_queries, r.n_hits) == (n_q, h)
         assert r.p_at_k == int(h * 1e6 / (n_q * k) + 0.5) / 1e6
         assert r.r_at_k == int(h * 1e6 / (n_q * (n_by_lab[lab] - 1)) + 0.5) / 1e6
+
+
+def test_rfm_tiles_match_bruteforce(spark, sf_dir):
+    """RFM quartiles from the histogram+prefix-sum path must equal the
+    definitional (4 * count_strictly_better) // n + 1 per customer."""
+    from ytsaurus_spark.queries.analytics_q import analytics_rfm_segmentation
+
+    got = analytics_rfm_segmentation(spark, sf_dir).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    cust = con.execute(
+        """
+        SELECT o_custkey,
+               date_diff('day', max(CAST(o_orderdate AS DATE)),
+                 (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS rec,
+               count(*) AS freq,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS mon
+        FROM orders GROUP BY 1
+        """
+    ).fetchall()
+    n = len(cust)
+    recs = sorted(r for _, r, _, _ in cust)
+    freqs = sorted((f for _, _, f, _ in cust), reverse=True)
+    mons = sorted((m for _, _, _, m in cust), reverse=True)
+    import bisect
+
+    def tile_asc(vals, v):
+        return (4 * bisect.bisect_left(vals, v)) // n + 1
+
+    def tile_desc(vals_desc, v):
+        asc = sorted(vals_desc)
+        better = len(asc) - bisect.bisect_right(asc, v)
+        return (4 * better) // n + 1
+
+    segs = {}
+    for _, r, f, m in cust:
+        key = (tile_asc(recs, r), tile_desc(freqs, f), tile_desc(mons, m))
+        cnt, s = segs.get(key, (0, 0))
+        segs[key] = (cnt + 1, s + m)
+    assert {(x.r_tile, x.f_tile, x.m_tile): (x.n_customers, x.monetary_cents)
+            for x in got} == segs

@@ -1513,3 +1513,122 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
 
     edges = _copurchase_edges(spark, sf_dir)
     return jaccard_link_prediction(edges, min_common=2)
+
+
+# --- RFM segmentation (quartile tiles without a global ntile) ---------------
+
+_RFM_TILE_SQL = """
+{h} AS (SELECT {key}, CAST(count(*) AS BIGINT) AS c FROM c2 GROUP BY 1),
+{t} AS (SELECT {key},
+        CAST(COALESCE(SUM(c) OVER (ORDER BY {key} {dirn}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS before_c
+        FROM {h})"""
+
+
+@register(
+    "analytics_rfm_segmentation",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             max(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS mon
+      FROM orders GROUP BY 1
+    ), anch AS (SELECT max(CAST(o_orderdate AS DATE)) AS ad FROM orders),
+    c2 AS (
+      SELECT ck, CAST(date_diff('day', last_d, ad) AS BIGINT) AS rec,
+             freq, mon
+      FROM cust, anch
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c2),
+    """
+    + _RFM_TILE_SQL.format(h="rh", t="rt", key="rec", dirn="ASC")
+    + ","
+    + _RFM_TILE_SQL.format(h="fh", t="ft", key="freq", dirn="DESC")
+    + ","
+    + _RFM_TILE_SQL.format(h="mh", t="mt", key="mon", dirn="DESC")
+    + """
+    SELECT CAST((4 * rt.before_c) // n + 1 AS INT) AS r_tile,
+           CAST((4 * ft.before_c) // n + 1 AS INT) AS f_tile,
+           CAST((4 * mt.before_c) // n + 1 AS INT) AS m_tile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS monetary_cents,
+           CAST(floor(CAST(sum(mon) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                + 0.5) AS BIGINT) AS avg_monetary_cents
+    FROM c2
+    JOIN rt USING (rec) JOIN ft USING (freq) JOIN mt USING (mon)
+    CROSS JOIN tot
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of the customer base — recency (days
+    since last order vs corpus anchor), frequency, and monetary (exact
+    cents), each cut into quartiles WITHOUT a global ntile: the deciles
+    trick (analytics_customer_deciles) per dimension — metric-value
+    histogram → hierarchical prefix_sum → tile = (4·count_better) div n
+    + 1 assigned on histogram rows, so equal values share a tile and no
+    executor ever sorts all customers. The three tile maps broadcast
+    back onto the customer frame; the corpus shuffles once to customer
+    grain and once to segment grain."""
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("mon"),
+    )
+    anch = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("ad"))
+    c2 = cust.crossJoin(F.broadcast(anch)).select(
+        "ck",
+        F.datediff(F.col("ad"), F.col("last_d")).cast("long").alias("rec"),
+        "freq",
+        "mon",
+    ).persist()  # consumed by three histograms + the final join
+    tot = c2.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def tile_map(key: str, descending: bool) -> DataFrame:
+        h = c2.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        if descending:
+            h = h.withColumn("__k", -F.col(key))
+        else:
+            h = h.withColumn("__k", F.col(key))
+        return prefix_sum(h, "__k", "__c", "before_c").select(
+            key, F.col("before_c").cast("long").alias(f"__b_{key}")
+        )
+
+    # rec (days) and freq (small ints) histograms are bounded-cardinality
+    # -> broadcast; the mon (cents) histogram is near customer-grain, so its
+    # tile map joins on the shuffle path (AQE picks the strategy).
+    out = (
+        c2.join(tile_map("mon", descending=True), "mon")
+        .join(F.broadcast(tile_map("rec", descending=False)), "rec")
+        .join(F.broadcast(tile_map("freq", descending=True)), "freq")
+        .crossJoin(F.broadcast(tot))
+    )
+    tile = lambda b: (F.expr(f"(4 * {b}) div n") + 1).cast("int")  # noqa: E731
+    return (
+        out.groupBy(
+            tile("__b_rec").alias("r_tile"),
+            tile("__b_freq").alias("f_tile"),
+            tile("__b_mon").alias("m_tile"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon").cast("long").alias("monetary_cents"),
+            F.floor(
+                F.sum("mon").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_monetary_cents"),
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )
