@@ -1212,3 +1212,84 @@ def test_rfm_tiles_match_bruteforce(spark, sf_dir):
         segs[key] = (cnt + 1, s + m)
     assert {(x.r_tile, x.f_tile, x.m_tile): (x.n_customers, x.monetary_cents)
             for x in got} == segs
+
+
+def test_readability_bruteforce(spark):
+    import re
+
+    from ytsaurus_spark.operators.text import readability
+
+    docs = [
+        ("the cat sat on the mat. it was flat!", "en"),
+        ("incomprehensibility notwithstanding, perseverance triumphs.", "en"),
+        ("a b c", "xx"),
+        ("zzz qqq brr", "xx"),  # zero vowel groups
+    ]
+    df = spark.createDataFrame(docs, "text string, lang string")
+    got = {r.grp: r for r in readability(df).collect()}
+    per_grp = {}
+    for text, lang in docs:
+        words = text.count(" ") + 1
+        sents = max(1, len(re.findall(r"[.!?]", text)))
+        syll = len(re.findall(r"[aeiouy]+", text.lower()))
+        fre = 206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)
+        import math
+
+        tt = math.floor(fre * 10000 + 0.5)
+        per_grp.setdefault(lang, []).append(tt)
+    for lang, tts in per_grp.items():
+        r = got[lang]
+        assert r.n_docs == len(tts)
+        import math
+
+        assert r.mean_fre == math.floor(sum(tts) / len(tts) + 0.5) / 1e4
+        assert r.min_fre == min(tts) / 1e4
+        assert r.max_fre == max(tts) / 1e4
+
+
+def test_centroid_silhouette_bruteforce(spark):
+    import math
+
+    from ytsaurus_spark.operators.similarity import centroid_silhouette
+
+    # Two tight, well-separated clusters + one spread cluster, dim 3.
+    rows = []
+    for v in range(24):
+        lab = v % 3
+        base = [float(lab * 10), float(-lab * 5), float(lab)]
+        vec = [(b + ((v * 7 + d) % 5 - 2) / 10.0) / 40.0 for d, b in enumerate(base)]
+        rows.append((v, vec, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    got = {r.label: r for r in centroid_silhouette(df).collect()}
+    codes = {v: [round(x * 127) for x in vec] for v, vec, _ in rows}
+    labs = sorted({l for _, _, l in rows})
+    n_l = {l: sum(1 for _, _, x in rows if x == l) for l in labs}
+    s_l = {
+        l: [
+            sum(codes[v][i] for v, _, x in rows if x == l)
+            for i in range(3)
+        ]
+        for l in labs
+    }
+    per = {}
+    for v, _, own in rows:
+        d = {
+            l: math.sqrt(
+                sum((n_l[l] * codes[v][i] - s_l[l][i]) ** 2 for i in range(3))
+            )
+            / n_l[l]
+            for l in labs
+        }
+        a = d[own]
+        b = min(d[l] for l in labs if l != own)
+        sm = 0 if max(a, b) == 0 else math.floor((b - a) / max(a, b) * 1e6 + 0.5)
+        cnt, s = per.get(own, (0, 0))
+        per[own] = (cnt + 1, s + sm)
+    for lab, (cnt, s) in per.items():
+        r = got[lab]
+        assert (r.n_points, r.sil_micros_sum) == (cnt, s)
+        assert r.mean_silhouette == math.floor(s / cnt + 0.5) / 1e6
+    # tight clusters separate well
+    assert got[2].mean_silhouette > 0.5

@@ -1243,3 +1243,96 @@ def labeled_retrieval_eval(
             F.col("n_hits"), F.col("n_queries") * (F.col("n_lab") - 1)
         ).alias("r_at_k"),
     ).orderBy("label")
+
+
+def centroid_silhouette(
+    emb: DataFrame,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Centroid silhouette per label — the cluster-separation audit
+    ((b − a)/max(a, b) with a = distance to own-label centroid, b =
+    distance to the nearest other centroid), the medoid-free variant
+    every clustering / labeling pipeline can afford at corpus scale.
+
+    Exactness discipline: codes are int8 quantized; the point-to-
+    centroid distance uses the n-scaled identity d_L = sqrt(Σ_i (n_L·x_i
+    − s_Li)²)/n_L with s_L the exact BIGINT per-label element sums — so
+    the only floats are one sqrt + one divide per (point, label), the
+    same correctly-rounded IEEE chain on both engines; the per-point
+    silhouette quantizes half-up to 1e−6 before the label mean.
+
+    Shape: centroids come from ONE (label, dim) aggregate; the
+    labels×dims frame (with per-label counts) broadcasts back onto the
+    element stream, so the corpus-grain work is one N·d·L partial-agged
+    aggregate to (point, label) grain — never a point-point product.
+
+    Returns (label, n_points, sil_micros_sum, mean_silhouette)."""
+    codes = F.expr(
+        f"transform({vec_col}, u -> CAST(round(u * {quant}) AS BIGINT))"
+    )
+    el = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("own"),
+        F.posexplode(codes).alias("i", "c"),
+    )
+    nl = emb.groupBy(F.col(label_col).alias("lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cent = (
+        el.groupBy(F.col("own").alias("lab"), "i")
+        .agg(F.sum("c").cast("long").alias("s"))
+        .join(nl, "lab")
+    )
+    diff = F.col("n") * F.col("c") - F.col("s")
+    q = (
+        el.join(F.broadcast(cent), "i")
+        .groupBy(id_col, "own", "lab")
+        .agg(
+            F.sum(diff * diff).cast("long").alias("qq"),
+            F.first("n").alias("n"),
+        )
+    )
+    d = q.select(
+        id_col,
+        "own",
+        "lab",
+        (
+            F.sqrt(F.col("qq").cast("double")) / F.col("n").cast("double")
+        ).alias("d"),
+    )
+    ab = d.groupBy(id_col, "own").agg(
+        F.min(F.when(F.col("lab") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("lab") != F.col("own"), F.col("d"))).alias("b"),
+    )
+    sil = ab.select(
+        "own",
+        F.when(F.greatest("a", "b") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("b") - F.col("a"))
+                / F.greatest("a", "b")
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("sm"),
+    )
+    return (
+        sil.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("sm").cast("long").alias("sil_micros_sum"),
+            (
+                F.floor(
+                    F.sum("sm").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

@@ -1319,3 +1319,66 @@ def confusion_stats(
             2 * F.col("c_tp") + F.col("c_fp") + F.col("c_fn"),
         ).alias("f1"),
     ).orderBy(F.col("cls").desc())
+
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Flesch reading-ease profile per group — the corpus-difficulty
+    audit (too-hard and too-easy tails both signal extraction junk in a
+    training mix).
+
+    All three inputs are pure integer counts from length arithmetic:
+    words = spaces + 1; sentences = max(1, count of [.!?]); syllables =
+    vowel-group count via the two-replacement identity
+    ``len(sub(v+, 'V')) − len(sub(v+, ''))`` (each group collapses to
+    one char in the first form and zero in the second, so the
+    difference counts groups regardless of what 'V' collides with).
+    The Flesch formula then runs one fixed IEEE op chain per document
+    and quantizes half-up to 1e−4 BEFORE aggregation, so the per-group
+    sums are exact BIGINTs. One scan, one group-grain shuffle.
+
+    Returns (group, n_docs, mean_fre, min_fre, max_fre)."""
+    t = F.col(text_col)
+    lt = F.lower(t)
+    n_words = (
+        F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    ).cast("long")
+    n_sents = F.greatest(
+        F.lit(1).cast("long"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[.!?]", ""))).cast(
+            "long"
+        ),
+    )
+    n_syll = (
+        F.length(F.regexp_replace(lt, "[aeiouy]+", "V"))
+        - F.length(F.regexp_replace(lt, "[aeiouy]+", ""))
+    ).cast("long")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        F.floor(fre * 10000 + F.lit(0.5)).cast("long").alias("fre_tt"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum("fre_tt").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1e4)
+            ).alias("mean_fre"),
+            (F.min("fre_tt") / F.lit(1e4)).alias("min_fre"),
+            (F.max("fre_tt") / F.lit(1e4)).alias("max_fre"),
+        )
+        .orderBy("grp")
+    )

@@ -3699,3 +3699,112 @@ def eval_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.labeled_retrieval_eval(
         cat.read("embeddings"), k=10, stride=37
     )
+
+
+@register(
+    "text_readability",
+    """
+    WITH per_doc AS (
+      SELECT lang AS grp,
+             CAST(floor((CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE)
+                 * (CAST(length(text) - length(replace(text, ' ', '')) + 1
+                         AS DOUBLE)
+                    / CAST(greatest(1, length(text)
+                        - length(regexp_replace(text, '[.!?]', '', 'g')))
+                        AS DOUBLE))
+               - CAST(84.6 AS DOUBLE)
+                 * (CAST(length(regexp_replace(lower(text), '[aeiouy]+',
+                                               'V', 'g'))
+                         - length(regexp_replace(lower(text), '[aeiouy]+',
+                                                 '', 'g')) AS DOUBLE)
+                    / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                           AS DOUBLE)))
+               * 10000 + 0.5) AS BIGINT) AS fre_tt
+      FROM documents
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(CAST(sum(fre_tt) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) / 1e4
+             AS mean_fre,
+           min(fre_tt) / 1e4 AS min_fre,
+           max(fre_tt) / 1e4 AS max_fre
+    FROM per_doc
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per language
+    (operators/text.readability): words/sentences/syllables are pure
+    integer length arithmetic (syllables via the two-replacement
+    vowel-group identity), the formula runs one fixed IEEE op chain per
+    document and quantizes half-up to 1e−4 BEFORE the group sums, so
+    aggregation is exact BIGINT. One scan, one ≤|langs|-group shuffle.
+    The oracle rebuilds all three counters and the op chain verbatim."""
+    cat = load_tables(spark, sf_dir)
+    return text.readability(cat.read("documents"))
+
+
+@register(
+    "sim_silhouette",
+    """
+    WITH el AS (
+      SELECT vec_id, label AS own, i - 1 AS i,
+             CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), nl AS (
+      SELECT label AS lab, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1
+    ), cent AS (
+      SELECT own AS lab, i, CAST(sum(c) AS BIGINT) AS s
+      FROM el GROUP BY 1, 2
+    ), q AS (
+      SELECT e.vec_id, e.own, c.lab,
+             CAST(sum((n.n * e.c - c.s) * (n.n * e.c - c.s)) AS BIGINT)
+               AS qq,
+             any_value(n.n) AS n
+      FROM el e
+      JOIN cent c ON c.i = e.i
+      JOIN nl n ON n.lab = c.lab
+      GROUP BY e.vec_id, e.own, c.lab
+    ), d AS (
+      SELECT vec_id, own, lab,
+             sqrt(CAST(qq AS DOUBLE)) / CAST(n AS DOUBLE) AS d
+      FROM q
+    ), ab AS (
+      SELECT vec_id, own,
+             min(CASE WHEN lab = own THEN d END) AS a,
+             min(CASE WHEN lab <> own THEN d END) AS b
+      FROM d GROUP BY vec_id, own
+    ), sil AS (
+      SELECT own,
+             CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor((b - a) / greatest(a, b) * 1e6 + 0.5)
+                            AS BIGINT)
+             END AS sm
+      FROM ab
+    )
+    SELECT own AS label, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(sm) AS BIGINT) AS sil_micros_sum,
+           CAST(floor(CAST(sum(sm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                + 0.5) AS BIGINT) / 1e6 AS mean_silhouette
+    FROM sil
+    GROUP BY own
+    ORDER BY own
+    """,
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette per label
+    (operators/similarity.centroid_silhouette): cluster-separation
+    quality of the label partition — a = distance to own centroid, b =
+    nearest other centroid, silhouette (b−a)/max(a,b) with the n-scaled
+    integer distance identity so the only floats are one sqrt + one
+    divide per (point, label). Centroids broadcast; corpus-grain work is
+    a single N·d·L partial-agged aggregate. The oracle rebuilds the
+    element sums, the scaled distances, and the per-point quantization
+    from scratch."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.centroid_silhouette(cat.read("embeddings"))
