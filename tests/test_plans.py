@@ -385,6 +385,13 @@ SCAN_BUDGETS = {
     "analytics_cohort_retention": 1,  # first-seen via user window, no join back
     "sim_label_centroid_matrix": 1,  # corpus collapses in one (label, dim) agg; cent persisted
     "text_zipf_fit": 1,  # band-grain persisted; prefix-sum consumers hit cache
+    "eval_calibration_ece": 1,  # bin-grain persisted; ECE total + table share it
+    "eval_confusion_f1": 1,  # one conditional-count aggregate, stack pivot
+    "eval_precision_recall_at_k": 1,  # persisted code projection: queries/candidates/rel
+    "analytics_rfm_segmentation": 1,  # persisted cust frame; anchor folded from it
+    "graph_jaccard_link_prediction": 2,  # lineitem self-join legs; und persisted
+    "sim_silhouette": 1,  # persisted element stream: centroids/counts/distances
+    "text_readability": 1,  # one projection, one <=|langs| exchange
 }
 
 

@@ -1182,7 +1182,8 @@ def labeled_retrieval_eval(
     )
     base = emb.select(
         F.col(id_col), codes.alias("__codes"), F.col(label_col).alias("__lab")
-    )
+    ).persist()  # one code projection serves queries, candidates, and the
+    # per-label relevant counts (one corpus scan total)
     q = base.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("q_id"),
         F.col("__codes").alias("qc"),
@@ -1277,8 +1278,9 @@ def centroid_silhouette(
         F.col(id_col),
         F.col(label_col).alias("own"),
         F.posexplode(codes).alias("i", "c"),
-    )
-    nl = emb.groupBy(F.col(label_col).alias("lab")).agg(
+    ).persist()  # one decode of the element stream feeds centroids, counts,
+    # and the distance aggregate (keeps the query at ONE corpus scan)
+    nl = el.filter(F.col("i") == 0).groupBy(F.col("own").alias("lab")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     cent = (

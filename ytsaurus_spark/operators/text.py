@@ -1227,7 +1227,7 @@ def calibration_ece(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("conf_micro").cast("long").alias("conf_micros"),
-    )
+    ).persist()  # <=bins rows; the ECE total and the bin table both consume it
     tot = g.agg(
         F.sum("n").cast("long").alias("__n_total"),
         F.sum(F.abs(F.col("n_pos") * 1000000 - F.col("conf_micros")))

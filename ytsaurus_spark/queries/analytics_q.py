@@ -1583,8 +1583,9 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("mon"),
-    )
-    anch = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("ad"))
+    ).persist()  # customer grain; feeds the anchor aggregate and c2
+    # anchor = max over per-customer maxima == global max: no second orders scan
+    anch = cust.agg(F.max("last_d").alias("ad"))
     c2 = cust.crossJoin(F.broadcast(anch)).select(
         "ck",
         F.datediff(F.col("ad"), F.col("last_d")).cast("long").alias("rec"),
