@@ -212,3 +212,44 @@ def test_source_cap_cap_larger_than_source(spark):
     )
     out = curation.source_cap(docs, cap=10, salt_buckets=3).collect()
     assert all(r.kept for r in out) and len(out) == 4
+
+
+def test_filter_attrition_waterfall(spark):
+    from ytsaurus_spark.operators.curation import filter_attrition
+
+    rows = [
+        (True, True, True),    # survives all
+        (False, True, True),   # dies at g1
+        (True, False, False),  # dies at g2 (never evaluated at g3)
+        (True, True, False),   # dies at g3
+        (False, False, False), # dies at g1 only
+    ]
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    out = {r.stage: r for r in filter_attrition(df, ["a", "b", "c"]).collect()}
+    assert (out[1].n_in, out[1].n_fail, out[1].n_out) == (5, 2, 3)
+    assert (out[2].n_in, out[2].n_fail, out[2].n_out) == (3, 1, 2)
+    assert (out[3].n_in, out[3].n_fail, out[3].n_out) == (2, 1, 1)
+    assert out[1].fail_ppm == 400000
+    assert out[2].fail_ppm == 333333
+    assert out[3].fail_ppm == 500000
+    assert out[1].gate == "a" and out[3].gate == "c"
+
+
+def test_filter_attrition_conserves_flow(spark, sf_dir):
+    """n_out of stage i must equal n_in of stage i+1 and the final
+    n_out must equal the count of docs passing every Gopher gate."""
+    from ytsaurus_spark.operators.curation import filter_attrition
+    from ytsaurus_spark.operators.text import gopher_rules
+    from ytsaurus_spark.catalog import load_tables
+
+    cat = load_tables(spark, sf_dir)
+    flags = gopher_rules(cat.read("documents")).persist()
+    gates = ["ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+             "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stopwords"]
+    out = sorted(filter_attrition(flags, gates).collect(),
+                 key=lambda r: r.stage)
+    for a, b in zip(out, out[1:]):
+        assert a.n_out == b.n_in
+    n_pass = flags.filter("passes").count()
+    assert out[-1].n_out == n_pass
+    assert out[0].n_in == flags.count()

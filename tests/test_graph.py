@@ -230,3 +230,30 @@ def test_jaccard_link_prediction_max_degree_drops_hub(spark):
     }
     assert capped[(1, 2)] == 1  # hub wedges gone, node-9 wedge stays
     assert (3, 4) not in capped
+
+
+def test_kcore_matches_full_peel_on_converged_graph(spark):
+    from ytsaurus_spark.operators.graph import kcore
+
+    # Clique K4 (a 3-core) + a tail path that peels away in <=3 rounds.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.deg for r in kcore(df, k=3, rounds=4).collect()}
+    # True 3-core = the K4; inside it every node has degree 3.
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_bounded_round_semantics(spark):
+    from ytsaurus_spark.operators.graph import kcore
+
+    # A long path under k=2 peels one endpoint pair per round: after
+    # r rounds the survivors are the nodes > r hops from both ends —
+    # bounded rounds keep exactly the unrolled-depth set.
+    n = 10
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    surv2 = {r.node for r in kcore(df, k=2, rounds=2).collect()}
+    assert surv2 == set(range(2, n - 1))
+    surv4 = {r.node for r in kcore(df, k=2, rounds=4).collect()}
+    assert surv4 == set(range(4, n - 3))

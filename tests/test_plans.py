@@ -392,6 +392,9 @@ SCAN_BUDGETS = {
     "graph_jaccard_link_prediction": 2,  # lineitem self-join legs; und persisted
     "sim_silhouette": 1,  # persisted element stream: centroids/counts/distances
     "text_readability": 1,  # one projection, one <=|langs| exchange
+    "graph_kcore": 2,  # lineitem self-join legs; sym persisted across rounds
+    "analytics_market_basket": 1,  # persisted basket grain: pairs/supports/total
+    "curation_filter_attrition": 1,  # one rule projection, one aggregate
 }
 
 

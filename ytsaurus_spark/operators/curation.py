@@ -660,3 +660,62 @@ def source_cap(
         )
     )
     return survivors.unionByName(early_dropped)
+
+
+def filter_attrition(
+    flags: DataFrame,
+    gates: list,
+) -> DataFrame:
+    """Waterfall attrition report for a gate pipeline: given per-row
+    boolean gate columns evaluated in ``gates`` order, report how many
+    rows REACH each gate (passed all earlier ones) and how many die
+    there — the funnel every corpus-cleaning pipeline publishes next to
+    its dataset card (which single filter is eating the corpus?).
+
+    ONE aggregate computes 2·|gates| conditional sums (reach_i =
+    AND of earlier gates, fail_i = reach_i AND NOT gate_i) — the corpus
+    crosses zero joins and one all-to-one exchange; the ≤|gates|-row
+    pivot happens on the single aggregate row via stack(). Counts are
+    exact BIGINTs; fail_ppm takes one half-up floor.
+
+    Returns (stage, gate, n_in, n_fail, n_out, fail_ppm) per gate,
+    stage 1-based in pipeline order."""
+    aggs = []
+    reach = F.lit(True)
+    for i, g in enumerate(gates, start=1):
+        aggs.append(
+            F.sum(F.when(reach, 1).otherwise(0))
+            .cast("long")
+            .alias(f"in_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(reach & ~F.col(g), 1).otherwise(0))
+            .cast("long")
+            .alias(f"fail_{i}")
+        )
+        reach = reach & F.col(g)
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{g}', in_{i}, fail_{i}" for i, g in enumerate(gates, start=1)
+    )
+    rows = one.select(
+        F.expr(
+            f"stack({len(gates)}, {stack_args}) AS (stage, gate, n_in, n_fail)"
+        )
+    )
+    return rows.select(
+        F.col("stage").cast("int").alias("stage"),
+        "gate",
+        "n_in",
+        "n_fail",
+        (F.col("n_in") - F.col("n_fail")).cast("long").alias("n_out"),
+        F.when(F.col("n_in") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.col("n_fail").cast("double") * 1e6
+                / F.col("n_in").cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("fail_ppm"),
+    ).orderBy("stage")

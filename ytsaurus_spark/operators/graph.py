@@ -470,3 +470,44 @@ def jaccard_link_prediction(
             / F.lit(1e6)
         ).alias("jaccard"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected graph: each
+    synchronous round removes every node whose degree within the
+    surviving subgraph is below ``k``; after ``rounds`` rounds the
+    remaining nodes approximate the k-core from above (exactly the
+    k-core once a round removes nothing — same bounded-round semantics
+    as connected_components, so a fixed unroll is oracle-matchable).
+
+    Per round: ONE node-keyed equi-join of the symmetric edge list
+    against the alive set (both endpoints must survive) + one count
+    aggregate — |E|+|V| rows per round, never materializing the induced
+    subgraph. The alive frames are node-sized and localCheckpoint-free;
+    the symmetric edge list persists once.
+
+    Returns (node, deg) for nodes alive after ``rounds`` peels; deg is
+    measured in the last peel's input subgraph (the round-``rounds``
+    degree that justified keeping the node), matching the unrolled
+    oracle CTEs round for round."""
+    sym = _symmetrize(edges, src_col, dst_col).persist()
+    alive = sym.select(F.col("u").alias("node")).distinct()
+    out = None
+    for _ in range(rounds):
+        au = alive.select(F.col("node").alias("u"))
+        av = alive.select(F.col("node").alias("v"))
+        deg = (
+            sym.join(au, "u")
+            .join(av, "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        out = deg.filter(F.col("deg") >= k).persist()
+        alive = out.select("node")
+    return out.select("node", "deg")

@@ -1633,3 +1633,122 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+_KCORE_ROUND_SQL = """
+d{i} AS (SELECT s.u AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM sym s
+         JOIN a{p} x ON s.u = x.node
+         JOIN a{p} y ON s.v = y.node
+         GROUP BY s.u),
+a{i} AS (SELECT node FROM d{i} WHERE deg >= 3)"""
+
+
+@register(
+    "graph_kcore",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    sym AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+    a0 AS (SELECT DISTINCT u AS node FROM sym),"""
+    + ",".join(_KCORE_ROUND_SQL.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT node, deg FROM d4 WHERE deg >= 3
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peeling over the part co-purchase graph
+    (operators/graph.kcore): 4 synchronous rounds each drop nodes with
+    degree < 3 in the surviving subgraph — the standard dense-community
+    / spam-ring extraction primitive. Per round one node-keyed
+    equi-join + one count aggregate (|E|+|V| rows, never the induced
+    subgraph); the oracle unrolls the identical 4 rounds as CTEs so the
+    result matches exactly regardless of convergence."""
+    from ytsaurus_spark.operators.graph import kcore
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return kcore(edges, k=3, rounds=4)
+
+
+@register(
+    "analytics_market_basket",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+      SELECT a.pk AS part_a, c.pk AS part_b, CAST(count(*) AS BIGINT) AS pair_cnt
+      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), supp AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY pk
+    ), tot AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b
+    )
+    SELECT part_a, part_b, pair_cnt,
+           sa.s AS supp_a, sb.s AS supp_b, n_orders,
+           CAST(floor(CAST(pair_cnt AS DOUBLE) * 1e6
+                / CAST(sa.s AS DOUBLE) + 0.5) AS BIGINT) / 1e6 AS conf_ab,
+           CAST(floor(CAST(pair_cnt AS DOUBLE) * 1e6
+                / CAST(sb.s AS DOUBLE) + 0.5) AS BIGINT) / 1e6 AS conf_ba,
+           CAST(floor(CAST(pair_cnt * n_orders AS DOUBLE) * 1e6
+                / CAST(sa.s * sb.s AS DOUBLE) + 0.5) AS BIGINT) / 1e6
+             AS lift
+    FROM pairs
+    JOIN supp sa ON sa.pk = part_a
+    JOIN supp sb ON sb.pk = part_b
+    CROSS JOIN tot
+    """,
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: pair support, directional
+    confidence, and lift for every part pair co-purchased in ≥2 orders —
+    the classic market-basket primitive. Shape: baskets dedupe to
+    (order, part) grain once (persisted — pair join, supports, and the
+    order count all share it); pair candidates come from ONE self-
+    equi-join on the order key (never a part×part product), partial-
+    agged and support-filtered BEFORE the metric joins, so the
+    confidence/lift joins see only surviving rules. Counts are exact
+    BIGINTs; each metric takes one half-up floor at 1e−6."""
+    cat = load_tables(spark, sf_dir)
+    b = (
+        cat.read("lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .persist()  # basket grain; pair join + supports + order count
+    )
+    b2 = b.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
+    pairs = (
+        b.join(b2, (F.col("ok") == F.col("ok2")) & (F.col("pk") < F.col("pk2")))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk2").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    supp = b.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    tot = b.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    sa = supp.select(F.col("pk").alias("part_a"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("pk").alias("part_b"), F.col("s").alias("supp_b"))
+    fix6 = lambda num, den: (  # noqa: E731
+        F.floor(num.cast("double") * 1e6 / den.cast("double") + F.lit(0.5))
+        .cast("long")
+        / F.lit(1e6)
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            "supp_a",
+            "supp_b",
+            "n_orders",
+            fix6(F.col("pair_cnt"), F.col("supp_a")).alias("conf_ab"),
+            fix6(F.col("pair_cnt"), F.col("supp_b")).alias("conf_ba"),
+            fix6(
+                F.col("pair_cnt") * F.col("n_orders"),
+                F.col("supp_a") * F.col("supp_b"),
+            ).alias("lift"),
+        )
+    )

@@ -3808,3 +3808,87 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scratch."""
     cat = load_tables(spark, sf_dir)
     return similarity.centroid_silhouette(cat.read("embeddings"))
+
+
+_GOPHER_FLAGS_SQL = """
+    base AS (
+      SELECT string_split(text, ' ') AS w,
+             string_split(text, chr(10)) AS l,
+             length(text) - length(replace(text, '#', '')) AS n_hash
+      FROM documents
+    ), m AS (
+      SELECT CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(w),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stop_kinds,
+             CAST(len(l) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '^[-*]')))
+               AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '\\.\\.\\.$')))
+               AS BIGINT) AS n_ellipsis_lines,
+             CAST(n_hash AS BIGINT) AS n_hash_symbols
+      FROM base
+    ), fl AS (
+      SELECT (n_words >= 50 AND n_words <= 100000) AS g1,
+             (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+               AS g2,
+             (10 * n_hash_symbols <= n_words) AS g3,
+             (10 * n_bullet_lines < 9 * n_lines) AS g4,
+             (10 * n_ellipsis_lines < 3 * n_lines) AS g5,
+             (5 * n_alpha_words >= 4 * n_words) AS g6,
+             (n_stop_kinds >= 2) AS g7
+      FROM m
+    )
+"""
+
+_GOPHER_GATE_NAMES = (
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio", "ok_bullets",
+    "ok_ellipsis", "ok_alpha", "ok_stopwords",
+)
+
+
+def _attrition_oracle_sql() -> str:
+    reach = "TRUE"
+    selects = []
+    for i, name in enumerate(_GOPHER_GATE_NAMES, start=1):
+        selects.append(
+            f"SELECT {i} AS stage, '{name}' AS gate,\n"
+            f"  CAST(sum(CASE WHEN {reach} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_in,\n"
+            f"  CAST(sum(CASE WHEN {reach} AND NOT g{i} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_fail\n"
+            f"FROM fl"
+        )
+        reach = f"{reach} AND g{i}" if reach != "TRUE" else f"g{i}"
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + _GOPHER_FLAGS_SQL + f", stages AS ({union})\n"
+        "SELECT CAST(stage AS INT) AS stage, gate, n_in, n_fail,\n"
+        "  CAST(n_in - n_fail AS BIGINT) AS n_out,\n"
+        "  CASE WHEN n_in = 0 THEN CAST(0 AS BIGINT)\n"
+        "       ELSE CAST(floor(CAST(n_fail AS DOUBLE) * 1e6\n"
+        "            / CAST(n_in AS DOUBLE) + 0.5) AS BIGINT)\n"
+        "  END AS fail_ppm\n"
+        "FROM stages ORDER BY stage"
+    )
+
+
+@register("curation_filter_attrition", _attrition_oracle_sql())
+def curation_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-by-gate attrition waterfall of the Gopher filter pipeline
+    (operators/curation.filter_attrition over text.gopher_rules): which
+    filter eats the corpus — n_in (docs that passed all earlier gates),
+    n_fail, n_out, and fail_ppm per gate in pipeline order. ONE
+    aggregate of 2·|gates| conditional sums over the integer-only rule
+    projection — zero joins, one all-to-one exchange, pivot via stack()
+    on the single aggregate row. The oracle rebuilds every rule and the
+    cumulative reach logic as a UNION ALL over the flags CTE."""
+    from ytsaurus_spark.operators.curation import filter_attrition
+
+    cat = load_tables(spark, sf_dir)
+    flags = text.gopher_rules(cat.read("documents"))
+    return filter_attrition(flags, list(_GOPHER_GATE_NAMES))
