@@ -1329,3 +1329,83 @@ def test_market_basket_bruteforce(spark):
         for a, c in combinations(sorted(pks), 2):
             want[(a, c)] += 1
     assert got == dict(want)
+
+
+def test_matryoshka_recall_bruteforce(spark):
+    from ytsaurus_spark.operators.similarity import matryoshka_recall
+
+    rows = []
+    for v in range(40):
+        vec = [((v * 11 + d * 7) % 17 - 8) / 8.0 for d in range(8)]
+        rows.append((v, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r.k: r
+        for r in matryoshka_recall(
+            df, k_values=(1, 3), trunc_dim=4, stride=7
+        ).collect()
+    }
+    codes = {v: [round(x * 127) for x in vec] for v, vec in rows}
+    qids = [v for v, _ in rows if v % 7 == 0]
+    hits = {1: 0, 3: 0}
+    for qv in qids:
+        full = sorted(
+            (-sum(a * b for a, b in zip(codes[qv], codes[c])), c)
+            for c, _ in rows if c != qv
+        )
+        trunc = sorted(
+            (-sum(a * b for a, b in zip(codes[qv][:4], codes[c][:4])), c)
+            for c, _ in rows if c != qv
+        )
+        for k in (1, 3):
+            fs = {c for _, c in full[:k]}
+            ts = {c for _, c in trunc[:k]}
+            hits[k] += len(fs & ts)
+    for k in (1, 3):
+        r = got[k]
+        assert r.n_queries == len(qids)
+        assert r.n_hits == hits[k]
+        assert r.recall == int(hits[k] * 1e6 / (len(qids) * k) + 0.5) / 1e6
+        assert r.trunc_dim == 4
+
+
+def test_labeled_ndcg_bruteforce(spark):
+    import math
+
+    from ytsaurus_spark.operators.similarity import (
+        NDCG_IDEAL_MICROS,
+        NDCG_W_MICROS,
+        labeled_ndcg_at_k,
+    )
+
+    rows = []
+    for v in range(36):
+        lab = v % 3
+        vec = [((v * 13 + d * 5) % 23 - 11) / 11.0 for d in range(6)]
+        rows.append((v, vec, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    k, stride = 5, 6
+    got = {r.label: r for r in labeled_ndcg_at_k(df, k=k, stride=stride).collect()}
+    codes = {v: [round(x * 127) for x in vec] for v, vec, _ in rows}
+    labs = {v: lab for v, _, lab in rows}
+    n_lab = {l: sum(1 for _, _, x in rows if x == l) for l in (0, 1, 2)}
+    per = {}
+    for qv in [v for v, _, _ in rows if v % stride == 0]:
+        ranked = sorted(
+            (-sum(a * b for a, b in zip(codes[qv], codes[c])), c)
+            for c, _, _ in rows if c != qv
+        )[:k]
+        dcg = sum(
+            NDCG_W_MICROS[r] for r, (_, c) in enumerate(ranked)
+            if labs[c] == labs[qv]
+        )
+        ideal = NDCG_IDEAL_MICROS[min(k, max(1, n_lab[labs[qv]] - 1)) - 1]
+        nd = math.floor(dcg * 1e6 / ideal + 0.5)
+        cnt, s = per.get(labs[qv], (0, 0))
+        per[labs[qv]] = (cnt + 1, s + nd)
+    for lab, (cnt, s) in per.items():
+        r = got[lab]
+        assert r.n_queries == cnt
+        assert r.mean_ndcg == math.floor(s / cnt + 0.5) / 1e6

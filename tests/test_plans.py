@@ -395,6 +395,9 @@ SCAN_BUDGETS = {
     "graph_kcore": 2,  # lineitem self-join legs; sym persisted across rounds
     "analytics_market_basket": 1,  # persisted basket grain: pairs/supports/total
     "curation_filter_attrition": 1,  # one rule projection, one aggregate
+    "ts_downsample_lttb": 1,  # persisted rebased points: anchors + rank join
+    "sim_matryoshka_recall": 2,  # selective query slice + one candidate scan
+    "eval_ndcg_at_k": 1,  # persisted code projection: queries/candidates/counts
 }
 
 

@@ -161,3 +161,56 @@ def test_ewma_null_values_skip_trail(spark):
     h = {(r.key, r.ts.minute): (r.level, r.trend)
          for r in holt_linear(df).collect()}
     assert h[("b", 0)] == (None, None)  # NULL state, not [NULL, 0]
+
+
+def test_lttb_downsample_bruteforce(spark):
+    import datetime
+
+    from ytsaurus_spark.operators.timeseries import lttb_downsample
+
+    # One series, 40 points over ~400 s, 8 buckets.
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        ts = base + datetime.timedelta(seconds=i * 10 + (i % 3))
+        val = float((i * 37) % 100) / 4.0
+        rows.append(("s1", i, ts, val))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id bigint, ts timestamp, value double"
+    )
+    nb = 8
+    got = {r.bucket: r for r in lttb_downsample(
+        df, n_buckets=nb, series_col="event_type", ts_col="ts",
+        val_col="value", id_col="event_id").collect()}
+    # Python brute force of the identical integral pipeline.
+    xs = [int(ts.timestamp()) for _, _, ts, _ in rows]
+    mn, mx = min(xs), max(xs)
+    span = max(1, (mx - mn) // nb + 1)
+    pts = []
+    for (_, pid, ts, val), x in zip(rows, xs):
+        pts.append((pid, x - mn, round(val * 100)))
+    buckets = {}
+    for pid, x, yc in pts:
+        buckets.setdefault(x // span, []).append((pid, x, yc))
+    order = sorted(buckets)
+    want = {}
+    for ix, b in enumerate(order):
+        if ix == 0 or ix == len(order) - 1:
+            continue
+        bp, bn = order[ix - 1], order[ix + 1]
+        cp, syp = len(buckets[bp]), sum(y for _, _, y in buckets[bp])
+        cn, syn = len(buckets[bn]), sum(y for _, _, y in buckets[bn])
+        cp2 = (2 * bp + 1) * span
+        cn2 = (2 * bn + 1) * span
+        best = None
+        for pid, x, yc in buckets[b]:
+            area2 = abs((cp2 - cn2) * cn * (yc * cp - syp)
+                        - (cp2 - 2 * x) * (syn * cp - syp * cn))
+            key = (-area2, pid)
+            if best is None or key < best[0]:
+                best = (key, pid, x, yc, area2)
+        want[b] = best[1:]
+    assert set(got) == set(want)
+    for b, (pid, x, yc, area2) in want.items():
+        r = got[b]
+        assert (r.id, r.x_s, r.val_cents, r.area2) == (pid, x, yc, area2)

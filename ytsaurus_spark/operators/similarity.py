@@ -1338,3 +1338,218 @@ def centroid_silhouette(
         )
         .orderBy("label")
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    k_values: tuple = (1, 5, 10),
+    trunc_dim: int = 16,
+    stride: int = 41,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall of TRUNCATED-dimension retrieval against full-dimension
+    exact top-k — the Matryoshka-representation question ("how much of
+    the neighbor structure do the first d' dims carry?") that decides
+    whether the cheap prefix index is safe at corpus scale.
+
+    Both scores compute on ONE joined (query, candidate) frame — the
+    full dot and the prefix dot are two exact BIGINT folds over the
+    same int8 codes, so there is no second corpus pass and no float
+    tie; two rank windows share the frame. recall@k = |topk_full ∩
+    topk_trunc| / (n_q·k), one half-up floor each.
+
+    Returns one row per k: (k, trunc_dim, n_queries, n_hits, recall)."""
+    from pyspark.sql import Window as W
+
+    codes = F.expr(
+        f"transform({vec_col}, u -> CAST(round(u * {quant}) AS BIGINT))"
+    )
+    base = emb.select(F.col(id_col), codes.alias("__codes"))
+    q = base.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("q_id"), F.col("__codes").alias("qc")
+    )
+    c = base.select(F.col(id_col).alias("c_id"), F.col("__codes").alias("cc"))
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.expr(fold.format(a="qc", b="cc")).alias("dot_full"),
+            F.expr(
+                fold.format(
+                    a=f"slice(qc, 1, {trunc_dim})",
+                    b=f"slice(cc, 1, {trunc_dim})",
+                )
+            ).alias("dot_trunc"),
+        )
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("dot_full").desc(), F.col("c_id"))
+    wt = W.partitionBy("q_id").orderBy(
+        F.col("dot_trunc").desc(), F.col("c_id")
+    )
+    ranked = scored.select(
+        "q_id",
+        F.row_number().over(wf).alias("rk_f"),
+        F.row_number().over(wt).alias("rk_t"),
+    )
+    kmax = max(k_values)
+    agg = ranked.filter(
+        (F.col("rk_f") <= kmax) | (F.col("rk_t") <= kmax)
+    ).agg(
+        F.countDistinct("q_id").cast("long").alias("n_q"),
+        *[
+            F.sum(
+                F.when((F.col("rk_f") <= k) & (F.col("rk_t") <= k), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias(f"h_{k}")
+            for k in k_values
+        ],
+    )
+    stack_args = ", ".join(f"{k}, h_{k}" for k in k_values)
+    rows = agg.select(
+        "n_q",
+        F.expr(
+            f"stack({len(k_values)}, {stack_args}) AS (k, n_hits)"
+        ),
+    )
+    return rows.select(
+        F.col("k").cast("int").alias("k"),
+        F.lit(trunc_dim).cast("int").alias("trunc_dim"),
+        F.col("n_q").alias("n_queries"),
+        "n_hits",
+        (
+            F.floor(
+                F.col("n_hits").cast("double")
+                * 1e6
+                / (F.col("n_q") * F.col("k")).cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("recall"),
+    ).orderBy("k")
+
+
+# DCG discount weights in micro-units: w_r = round(1e6 / log2(r + 1)) for
+# rank r = 1..10, precomputed ONCE (embedding log2 as literals keeps the
+# metric free of libm — JVM and DuckDB log2 can differ in the last ulp),
+# plus the cumulative ideal sums for IDCG.
+NDCG_W_MICROS = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+NDCG_IDEAL_MICROS = tuple(
+    sum(NDCG_W_MICROS[: i + 1]) for i in range(len(NDCG_W_MICROS))
+)
+
+
+def labeled_ndcg_at_k(
+    emb: DataFrame,
+    k: int = 10,
+    stride: int = 43,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Macro nDCG@k of exact inner-product retrieval against label
+    ground truth — the rank-weighted retrieval eval (a same-label hit
+    at rank 1 is worth more than at rank 10), complementing the flat
+    P@k/R@k of labeled_retrieval_eval.
+
+    Determinism: the log2 discount enters ONLY through the precomputed
+    integer weight table (NDCG_W_MICROS — literals, not libm calls),
+    so per-query DCG and the ideal IDCG are exact BIGINT sums; the
+    single division happens once per query with a half-up floor, and
+    the per-label mean averages those exact micro values. Shape:
+    queries broadcast, candidates never shuffle, rank window per query.
+
+    Returns (label, n_queries, mean_ndcg) per query label."""
+    from pyspark.sql import Window as W
+
+    codes = F.expr(
+        f"transform({vec_col}, u -> CAST(round(u * {quant}) AS BIGINT))"
+    )
+    base = emb.select(
+        F.col(id_col), codes.alias("__codes"), F.col(label_col).alias("__lab")
+    ).persist()  # one code projection: queries, candidates, label counts
+    q = base.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("q_id"),
+        F.col("__codes").alias("qc"),
+        F.col("__lab").alias("q_lab"),
+    )
+    c = base.select(
+        F.col(id_col).alias("c_id"),
+        F.col("__codes").alias("cc"),
+        F.col("__lab").alias("c_lab"),
+    )
+    dot = (
+        "aggregate(zip_with(qc, cc, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
+    weight = F.element_at(
+        F.array(*[F.lit(x).cast("long") for x in NDCG_W_MICROS]), F.col("rk")
+    )
+    dcg = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_lab", "c_lab", F.expr(dot).alias("dot"), "c_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy("q_id", "q_lab")
+        .agg(
+            F.sum(
+                F.when(F.col("c_lab") == F.col("q_lab"), weight).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("dcg_micros")
+        )
+    )
+    nl = base.groupBy(F.col("__lab").alias("q_lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lab")
+    )
+    ideal = F.element_at(
+        F.array(*[F.lit(x).cast("long") for x in NDCG_IDEAL_MICROS]),
+        F.least(
+            F.lit(k), F.greatest(F.lit(1).cast("long"), F.col("n_lab") - 1)
+        ).cast("int"),
+    )
+    per_q = dcg.join(F.broadcast(nl), "q_lab").select(
+        "q_lab",
+        F.when(F.col("n_lab") <= 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.col("dcg_micros").cast("double")
+                * 1e6
+                / ideal.cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("ndcg_micros"),
+    )
+    return (
+        per_q.groupBy(F.col("q_lab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            (
+                F.floor(
+                    F.sum("ndcg_micros").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("mean_ndcg"),
+        )
+        .orderBy("label")
+    )

@@ -504,3 +504,104 @@ def rolling_median(
             F.sort_array(F.collect_list(x_col).over(w)).getItem(half),
         ).cast("long").alias("med"),
     )
+
+
+def lttb_downsample(
+    events: DataFrame,
+    n_buckets: int = 32,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Fixed-anchor largest-triangle-three-buckets downsampling: per
+    series, split the time range into ``n_buckets`` equal spans and keep
+    the ONE point per interior bucket that subtends the largest triangle
+    with the neighboring buckets' anchor points — the standard
+    shape-preserving reduction for plotting/monitoring huge series.
+
+    Anchor variant: classic LTTB anchors on the previously SELECTED
+    point (a sequential dependency); this uses (bucket center x, bucket
+    mean y) anchors for both neighbors, which drops the dependency so
+    every bucket selects in parallel — one window over the bucket-grain
+    frame, zero sequential passes (the published streaming/parallel
+    LTTB trade-off). Exactness: x rebases to per-series seconds and
+    doubles (2x so bucket centers stay integral), y quantizes to cents,
+    and the triangle area comparison multiplies through by c_prev·c_next
+    so the argmax runs on exact BIGINT cross products — no float enters
+    selection. Ties break on the id column. Exact while
+    4·span_s·c²·y_cents < 2^63 (document: at bigger scales pre-bucket
+    to coarser ticks first).
+
+    Shape: one (series, bucket) partial-agged aggregate builds the
+    anchor frame (≤ series·n_buckets rows; its lag/lead window
+    partitions by series); the corpus-grain work is one broadcast join
+    of anchors onto points + one per-bucket rank window.
+
+    Returns (series, bucket, id, x_s, val_cents, area2) with one row
+    per interior bucket."""
+    from pyspark.sql import Window as W
+
+    ev = events.select(
+        F.col(series_col).alias("series"),
+        F.col(id_col).alias("pid"),
+        F.col(ts_col).cast("long").alias("xs"),
+        F.round(F.col(val_col) * 100).cast("long").alias("yc"),
+    )
+    rng = ev.groupBy("series").agg(
+        F.min("xs").alias("mn"), F.max("xs").alias("mx")
+    )
+    spanned = ev.join(F.broadcast(rng), "series").select(
+        "series",
+        "pid",
+        (F.col("xs") - F.col("mn")).alias("x"),
+        "yc",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(mx - mn) div {n_buckets}") + 1,
+        ).alias("span"),
+    )
+    pts = spanned.withColumn("bucket", F.expr("x div span")).persist()
+    bag = pts.groupBy("series", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.first("span").alias("span"),
+    )
+    w = W.partitionBy("series").orderBy("bucket")
+    anch = bag.select(
+        "series",
+        "bucket",
+        F.lag("bucket").over(w).alias("b_p"),
+        F.lag("c").over(w).alias("c_p"),
+        F.lag("sy").over(w).alias("sy_p"),
+        F.lead("bucket").over(w).alias("b_n"),
+        F.lead("c").over(w).alias("c_n"),
+        F.lead("sy").over(w).alias("sy_n"),
+    ).filter(F.col("b_p").isNotNull() & F.col("b_n").isNotNull())
+    j = pts.join(F.broadcast(anch), ["series", "bucket"])
+    cp2 = (2 * F.col("b_p") + 1) * F.col("span")
+    cn2 = (2 * F.col("b_n") + 1) * F.col("span")
+    x2 = 2 * F.col("x")
+    area2 = F.abs(
+        (cp2 - cn2) * F.col("c_n")
+        * (F.col("yc") * F.col("c_p") - F.col("sy_p"))
+        - (cp2 - x2)
+        * (F.col("sy_n") * F.col("c_p") - F.col("sy_p") * F.col("c_n"))
+    )
+    rk_w = W.partitionBy("series", "bucket").orderBy(
+        F.col("area2").desc(), F.col("pid")
+    )
+    return (
+        j.withColumn("area2", area2)
+        .withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "series",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("pid").alias("id"),
+            F.col("x").alias("x_s"),
+            F.col("yc").alias("val_cents"),
+            F.col("area2").cast("long").alias("area2"),
+        )
+        .orderBy("series", "bucket")
+    )

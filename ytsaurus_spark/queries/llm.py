@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ytsaurus_spark.catalog import load_tables
-from ytsaurus_spark.operators import dedup, similarity, text
+from ytsaurus_spark.operators import dedup, similarity, text, timeseries
 from ytsaurus_spark.queries import register
 
 
@@ -3892,3 +3892,198 @@ def curation_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
     flags = text.gopher_rules(cat.read("documents"))
     return filter_attrition(flags, list(_GOPHER_GATE_NAMES))
+
+
+@register(
+    "ts_downsample_lttb",
+    """
+    WITH ev AS (
+      SELECT event_type AS series, event_id AS pid,
+             epoch_us(ts) // 1000000 AS xs,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events
+    ), rng AS (
+      SELECT series, min(xs) AS mn, max(xs) AS mx FROM ev GROUP BY 1
+    ), pts AS (
+      SELECT ev.series, pid, xs - mn AS x, yc,
+             greatest(1, (mx - mn) // 32 + 1) AS span,
+             (xs - mn) // greatest(1, (mx - mn) // 32 + 1) AS bucket
+      FROM ev JOIN rng ON rng.series = ev.series
+    ), bag AS (
+      SELECT series, bucket,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(yc) AS BIGINT) AS sy,
+             any_value(span) AS span
+      FROM pts GROUP BY 1, 2
+    ), anch AS (
+      SELECT series, bucket, span,
+             lag(bucket) OVER w AS b_p, lag(c) OVER w AS c_p,
+             lag(sy) OVER w AS sy_p,
+             lead(bucket) OVER w AS b_n, lead(c) OVER w AS c_n,
+             lead(sy) OVER w AS sy_n
+      FROM bag
+      WINDOW w AS (PARTITION BY series ORDER BY bucket)
+    ), j AS (
+      SELECT p.series, p.bucket, p.pid, p.x, p.yc,
+             abs(((2 * b_p + 1) * a.span - (2 * b_n + 1) * a.span) * c_n
+                   * (p.yc * c_p - sy_p)
+                 - ((2 * b_p + 1) * a.span - 2 * p.x)
+                   * (sy_n * c_p - sy_p * c_n)) AS area2
+      FROM pts p
+      JOIN anch a ON a.series = p.series AND a.bucket = p.bucket
+      WHERE b_p IS NOT NULL AND b_n IS NOT NULL
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY series, bucket
+                                   ORDER BY area2 DESC, pid) AS r
+      FROM j
+    )
+    SELECT series, CAST(bucket AS BIGINT) AS bucket, pid AS id,
+           x AS x_s, yc AS val_cents, CAST(area2 AS BIGINT) AS area2
+    FROM rk WHERE r = 1
+    ORDER BY series, bucket
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel fixed-anchor LTTB downsampling of the events series
+    (operators/timeseries.lttb_downsample): one shape-preserving point
+    per interior bucket per event type, selected by exact BIGINT
+    triangle cross products (count-scaled mean anchors, 2x-scaled
+    bucket centers — no float enters the argmax). One bucket-grain
+    aggregate + lag/lead window (≤ series·32 rows) broadcasts back
+    onto the points; one per-bucket rank window. The oracle unrolls
+    the identical rebasing, bucketing, and area algebra."""
+    cat = load_tables(spark, sf_dir)
+    return timeseries.lttb_downsample(cat.read("events"), n_buckets=32)
+
+
+@register(
+    "sim_matryoshka_recall",
+    """
+    WITH el AS (
+      SELECT vec_id, i - 1 AS i, CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), d AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+             CAST(sum(q.c * e.c) AS BIGINT) AS dot_full,
+             CAST(sum(CASE WHEN q.i < 16 THEN q.c * e.c ELSE 0 END)
+                  AS BIGINT) AS dot_trunc
+      FROM (SELECT * FROM el WHERE vec_id % 41 = 0) q
+      JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    ), r AS (
+      SELECT q_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot_full DESC, c_id) AS rk_f,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot_trunc DESC, c_id) AS rk_t
+      FROM d
+    ), agg AS (
+      SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_q,
+             CAST(sum(CASE WHEN rk_f <= 1 AND rk_t <= 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h_1,
+             CAST(sum(CASE WHEN rk_f <= 5 AND rk_t <= 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h_5,
+             CAST(sum(CASE WHEN rk_f <= 10 AND rk_t <= 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h_10
+      FROM r WHERE rk_f <= 10 OR rk_t <= 10
+    ), rows_k AS (
+      SELECT 1 AS k, n_q, h_1 AS n_hits FROM agg
+      UNION ALL SELECT 5, n_q, h_5 FROM agg
+      UNION ALL SELECT 10, n_q, h_10 FROM agg
+    )
+    SELECT CAST(k AS INT) AS k, CAST(16 AS INT) AS trunc_dim,
+           n_q AS n_queries, n_hits,
+           CAST(floor(CAST(n_hits AS DOUBLE) * 1e6
+                / CAST(n_q * k AS DOUBLE) + 0.5) AS BIGINT) / 1e6 AS recall
+    FROM rows_k
+    ORDER BY k
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of 16-dim-prefix retrieval vs full 64-dim exact top-k
+    (operators/similarity.matryoshka_recall): the Matryoshka audit that
+    decides whether the cheap prefix index preserves neighbor structure.
+    Both dots are exact BIGINT folds over ONE joined frame (no second
+    corpus pass); two rank windows share it; recall@{1,5,10} pivots
+    from one aggregate row. The oracle rebuilds both rankings from the
+    element join with a conditional prefix sum."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.matryoshka_recall(
+        cat.read("embeddings"), k_values=(1, 5, 10), trunc_dim=16, stride=41
+    )
+
+
+_NDCG_W_SQL = "[" + ", ".join(
+    str(x) for x in (1000000, 630930, 500000, 430677, 386853,
+                     356207, 333333, 315465, 301030, 289065)
+) + "]"
+_NDCG_IDEAL_SQL = "[" + ", ".join(
+    str(x) for x in (1000000, 1630930, 2130930, 2561607, 2948460,
+                     3304667, 3638000, 3953465, 4254495, 4543560)
+) + "]"
+
+
+@register(
+    "eval_ndcg_at_k",
+    f"""
+    WITH el AS (
+      SELECT vec_id, i - 1 AS i, CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), d AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+             CAST(sum(q.c * e.c) AS BIGINT) AS dot
+      FROM (SELECT * FROM el WHERE vec_id % 43 = 0) q
+      JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    ), r AS (
+      SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot DESC, c_id) AS rk
+      FROM d
+    ), dcg AS (
+      SELECT r.q_id, ql.label AS q_lab,
+             CAST(sum(CASE WHEN cl.label = ql.label
+                           THEN {_NDCG_W_SQL}[rk] ELSE 0 END) AS BIGINT)
+               AS dcg_micros
+      FROM r
+      JOIN embeddings cl ON cl.vec_id = r.c_id
+      JOIN embeddings ql ON ql.vec_id = r.q_id
+      WHERE rk <= 10
+      GROUP BY r.q_id, ql.label
+    ), nl AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_lab
+      FROM embeddings GROUP BY 1
+    ), per_q AS (
+      SELECT q_lab,
+             CASE WHEN n_lab <= 1 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(CAST(dcg_micros AS DOUBLE) * 1e6
+                       / CAST({_NDCG_IDEAL_SQL}[
+                           least(10, greatest(1, n_lab - 1))] AS DOUBLE)
+                       + 0.5) AS BIGINT)
+             END AS ndcg_micros
+      FROM dcg JOIN nl ON nl.label = dcg.q_lab
+    )
+    SELECT q_lab AS label, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(floor(CAST(sum(ndcg_micros) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) / 1e6
+             AS mean_ndcg
+    FROM per_q
+    GROUP BY q_lab
+    ORDER BY q_lab
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro nDCG@10 of exact int8 inner-product retrieval against
+    label ground truth (operators/similarity.labeled_ndcg_at_k): the
+    rank-weighted eval — log2 discounts enter ONLY via the precomputed
+    integer weight table (no libm), so DCG/IDCG are exact BIGINT sums
+    with one half-up floor per query. Queries broadcast; candidates
+    never shuffle. The oracle indexes the same literal weight arrays."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.labeled_ndcg_at_k(
+        cat.read("embeddings"), k=10, stride=43
+    )
