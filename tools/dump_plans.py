@@ -47,6 +47,12 @@ SHOWCASE = {
     "ts_lag_corr": "Lagged cross-correlation (round 6): the corpus reduces to a persisted per-day frame in ONE shuffle; the lag self-join broadcasts a tiny frame; r comes from exact BIGINT moments in the final projection.",
     "ts_seasonal_decompose": "Weekly decomposition (round 6): per-day frame persisted; centered 7-row window + phase-mean broadcast both run at day grain — the unpartitioned window sorts days, not corpus rows.",
     "sim_mips_topk": "MIPS top-k (round 6): queries broadcast, candidates never shuffle, sequential-fold dot in the scan projection; per-query top-k window.",
+    "analytics_rfm_segmentation": "RFM quartiles (round 6): three histogram+prefix-sum tile maps instead of global ntiles; bounded-cardinality maps broadcast, the cents map joins keyed; customer frame persisted for its four consumers.",
+    "graph_kcore": "Bounded k-core peeling (round 6): per round one node-keyed equi-join of the persisted symmetric edge list against the alive set + a count aggregate; the induced subgraph is never materialized.",
+    "ts_downsample_lttb": "Parallel fixed-anchor LTTB (round 6): bucket-grain anchor frame (lag/lead window partitioned by series) broadcast onto the persisted rebased points; BIGINT triangle argmax in a per-bucket rank window — no sequential pass.",
+    "sim_silhouette": "Centroid silhouette (round 6): one (label, dim) exact-BIGINT centroid aggregate broadcast back; corpus-grain work is a single N*d*L partial-agged aggregate — never point-point pairs.",
+    "curation_filter_attrition": "Gate waterfall (round 6): 2*|gates| conditional sums in ONE aggregate over the integer-only rule projection; per-gate pivot on the single aggregate row.",
+    "analytics_market_basket": "Association rules (round 6): persisted basket grain; pair candidates from the order-key self-join, support-filtered BEFORE the confidence/lift joins.",
 }
 
 # Hand-written sketches for plans whose interesting part is not the
