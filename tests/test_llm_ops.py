@@ -1409,3 +1409,52 @@ def test_labeled_ndcg_bruteforce(spark):
         r = got[lab]
         assert r.n_queries == cnt
         assert r.mean_ndcg == math.floor(s / cnt + 0.5) / 1e6
+
+
+def test_cohens_kappa_hand_value(spark, sf_dir):
+    import math
+
+    from ytsaurus_spark.queries.llm import eval_cohens_kappa
+
+    r = eval_cohens_kappa(spark, sf_dir).collect()[0]
+    n, tp, fp, fn, tn = r.n, r.tp, r.fp, r.fn, r.tn
+    assert n == tp + fp + fn + tn
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    want = math.floor((po - pe) / (1 - pe) * 1e6 + 0.5) / 1e6
+    assert abs(r.kappa - want) <= 1e-6  # identity vs ratio formulation
+    assert -1.0 <= r.kappa <= 1.0
+
+
+def test_pareto_abc_bruteforce(spark, sf_dir):
+    import duckdb
+
+    from ytsaurus_spark.queries.analytics_q import analytics_pareto_abc
+
+    got = {r.cls: r for r in analytics_pareto_abc(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    rev = con.execute(
+        """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+               * 10000) AS BIGINT)) AS BIGINT)
+           FROM lineitem GROUP BY l_partkey"""
+    ).fetchall()
+    vals = sorted((v for (v,) in rev), reverse=True)
+    total = sum(vals)
+    classes = {}
+    above_by_val = {}
+    run = 0
+    for v in vals:  # strictly-greater cumulative: first index of each value
+        if v not in above_by_val:
+            above_by_val[v] = run
+        run += v
+    for v in vals:
+        above = above_by_val[v]
+        cls = "A" if 5 * above < 4 * total else (
+            "B" if 20 * above < 19 * total else "C")
+        n, s = classes.get(cls, (0, 0))
+        classes[cls] = (n + 1, s + v)
+    assert {c: (r.n_parts, r.rev_tt_sum) for c, r in got.items()} == classes
+    assert got["A"].rev_share >= 0.79  # A carries the top-80% band

@@ -398,6 +398,8 @@ SCAN_BUDGETS = {
     "ts_downsample_lttb": 1,  # persisted rebased points: anchors + rank join
     "sim_matryoshka_recall": 2,  # selective query slice + one candidate scan
     "eval_ndcg_at_k": 1,  # persisted code projection: queries/candidates/counts
+    "analytics_pareto_abc": 1,  # persisted band grain; prefix_sum + total share it
+    "eval_cohens_kappa": 1,  # one scan, one 1-row aggregate, zero joins
 }
 
 

@@ -1752,3 +1752,100 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "analytics_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS BIGINT) AS rev_tt
+      FROM lineitem GROUP BY 1
+    ), h AS (
+      SELECT rev_tt, CAST(count(*) AS BIGINT) AS n,
+             CAST(rev_tt * count(*) AS BIGINT) AS band_rev
+      FROM rev GROUP BY rev_tt
+    ), cum AS (
+      SELECT rev_tt, n, band_rev,
+             CAST(COALESCE(SUM(band_rev) OVER (ORDER BY rev_tt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS rev_above
+      FROM h
+    ), tot AS (SELECT CAST(sum(band_rev) AS BIGINT) AS t FROM h)
+    SELECT cls, CAST(sum(n) AS BIGINT) AS n_parts,
+           CAST(sum(band_rev) AS BIGINT) AS rev_tt_sum,
+           CAST(floor(CAST(sum(band_rev) AS DOUBLE) * 1e6
+                / CAST(any_value(t) AS DOUBLE) + 0.5) AS BIGINT) / 1e6
+             AS rev_share
+    FROM (
+      SELECT n, band_rev,
+             CASE WHEN 5 * rev_above < 4 * t THEN 'A'
+                  WHEN 20 * rev_above < 19 * t THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM cum CROSS JOIN tot
+    ) CROSS JOIN tot
+    GROUP BY cls
+    ORDER BY cls
+    """,
+)
+def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification of parts by revenue — class A
+    carries the top 80% of cumulative revenue, B the next 15%, C the
+    tail — WITHOUT a global rank: the deciles trick (revenue-value
+    histogram → hierarchical prefix_sum of band revenue → class assigned
+    by integer cross-multiplied comparison 5·above < 4·total on
+    histogram rows). Revenue is exact ten-thousandths (per-element
+    BIGINT casts before summing); equal-revenue parts share a class by
+    construction."""
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    cat = load_tables(spark, sf_dir)
+    rev = (
+        cat.read("lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev_tt")
+        )
+    )
+    h = (
+        rev.groupBy("rev_tt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("band_rev", (F.col("rev_tt") * F.col("n")).cast("long"))
+        .withColumn("__negr", -F.col("rev_tt"))
+        .persist()  # band grain; prefix_sum + total share it
+    )
+    cum = prefix_sum(h, "__negr", "band_rev", out_col="rev_above")
+    tot = h.agg(F.sum("band_rev").cast("long").alias("t"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "band_rev",
+        "t",
+        F.when(5 * F.col("rev_above") < 4 * F.col("t"), "A")
+        .when(20 * F.col("rev_above") < 19 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.sum("n").cast("long").alias("n_parts"),
+            F.sum("band_rev").cast("long").alias("rev_tt_sum"),
+            (
+                F.floor(
+                    F.sum("band_rev").cast("double")
+                    * 1e6
+                    / F.first("t").cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("rev_share"),
+        )
+        .orderBy("cls")
+    )

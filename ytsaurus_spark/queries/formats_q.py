@@ -370,3 +370,48 @@ def fmt_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "fmt_orc_roundtrip",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           CAST(sum(p_size) AS BIGINT) AS size_sum,
+           CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip (the second columnar wire format next to parquet —
+    EFormatType parity, yt/yt/client/formats/public.h:49-62): the part
+    table written as ORC (zlib), read back through Spark's native ORC
+    reader, and aggregated per brand with exact-integer checks over
+    string, int, and decimal-bearing columns. The oracle computes the
+    identical aggregate from the ORIGINAL parquet, so a hash match
+    proves the ORC path lossless end-to-end (type fidelity included —
+    a DOUBLE->FLOAT downcast or string truncation breaks the cents
+    sum)."""
+    from ytsaurus_spark.sources.formats import read_table, write_table
+
+    cat = load_tables(spark, sf_dir)
+    part = cat.read("part")
+    root = tempfile.mkdtemp(prefix="ytspark_orc_")
+    p = os.path.join(root, "part_orc")
+    write_table(part, p, fmt="orc", compression="zlib")
+    back = read_table(spark, p, fmt="orc")
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+            F.sum("p_size").cast("long").alias("size_sum"),
+            F.countDistinct("p_type").cast("long").alias("n_types"),
+        )
+        .orderBy("p_brand")
+    )

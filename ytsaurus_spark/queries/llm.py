@@ -4087,3 +4087,91 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.labeled_ndcg_at_k(
         cat.read("embeddings"), k=10, stride=43
     )
+
+
+@register(
+    "eval_cohens_kappa",
+    """
+    WITH p AS (
+      SELECT lang = 'en' AS act,
+             (len(list_filter(string_split(text, ' '),
+                w -> list_contains(['the','a','of','and','to','in'], w)))
+              * 20 >= len(string_split(text, ' '))) AS pred
+      FROM documents
+    ), cm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pred AND act THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp,
+             CAST(sum(CASE WHEN pred AND NOT act THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT pred AND act THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT pred AND NOT act THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+      FROM p
+    )
+    SELECT n, tp, fp, fn, tn,
+           CAST(floor(CAST(n * (tp + tn)
+                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                  AS DOUBLE) * 1e6
+                / CAST(n * n
+                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                  AS DOUBLE) + 0.5) AS BIGINT) / 1e6 AS kappa
+    FROM cm
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-density language-ID heuristic
+    (operators/text.language_id: >=5% function-word density predicts
+    'en', expressed integrally as 20·hits >= tokens) and the labeled
+    language — the chance-corrected inter-rater agreement that tells a
+    pipeline whether a cheap classifier can stand in for labels. The
+    identity kappa = (N·agree − Σ marginal products) / (N² − Σ marginal
+    products) keeps numerator and denominator exact BIGINTs; one
+    half-up floor. One scan, one 1-row aggregate, zero joins."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    t = F.split(F.col("text"), " ")
+    stop_arr = "array('the', 'a', 'of', 'and', 'to', 'in')"
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), w -> array_contains({stop_arr}, w)))"
+    )
+    p = docs.select(
+        (F.col("lang") == "en").alias("act"),
+        (n_stop * 20 >= F.size(t)).alias("pred"),
+    )
+    cm = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("pred") & F.col("act"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("act"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("act"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("act"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    marg = (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn")) + (
+        F.col("fn") + F.col("tn")
+    ) * (F.col("fp") + F.col("tn"))
+    return cm.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (
+            F.floor(
+                (F.col("n") * (F.col("tp") + F.col("tn")) - marg)
+                .cast("double")
+                * 1e6
+                / (F.col("n") * F.col("n") - marg).cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("kappa"),
+    )
