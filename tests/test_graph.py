@@ -257,3 +257,48 @@ def test_kcore_bounded_round_semantics(spark):
     assert surv2 == set(range(2, n - 1))
     surv4 = {r.node for r in kcore(df, k=2, rounds=4).collect()}
     assert surv4 == set(range(4, n - 3))
+
+
+def test_modularity_bruteforce(spark):
+    import math
+    from itertools import combinations
+
+    from ytsaurus_spark.operators.graph import modularity
+
+    # Two triangles joined by one bridge; communities = the triangles.
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    comm = [(0, 100), (1, 100), (2, 100), (3, 200), (4, 200), (5, 200)]
+    e_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    c_df = spark.createDataFrame(comm, "node bigint, label bigint")
+    out = {r.label: r for r in modularity(e_df, c_df).collect()}
+    m = len(edges)
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    labs = dict(comm)
+    for lab in (100, 200):
+        members = [n for n, l in comm if l == lab]
+        intra = sum(1 for a, b in edges if labs[a] == lab and labs[b] == lab)
+        dsum = sum(len(nbr[n]) for n in members)
+        r = out[lab]
+        assert (r.n_nodes, r.intra_edges, r.degree_sum) == (
+            len(members), intra, dsum)
+        assert r.q_num == 4 * m * intra - dsum * dsum
+    qn = sum(r.q_num for r in out.values())
+    want = math.floor(qn * 1e6 / (4 * m * m) + 0.5) / 1e6
+    assert all(r.modularity == want for r in out.values())
+    # Sanity: this partition is strongly modular.
+    assert want > 0.3
+
+
+def test_modularity_trivial_partition_is_zero(spark):
+    from ytsaurus_spark.operators.graph import modularity
+
+    # Everything in ONE community: Q = m/m - (2m/2m)^2 = 0 exactly.
+    edges = [(0, 1), (1, 2), (2, 3)]
+    comm = [(n, 7) for n in range(4)]
+    e_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    c_df = spark.createDataFrame(comm, "node bigint, label bigint")
+    rows = modularity(e_df, c_df).collect()
+    assert len(rows) == 1 and rows[0].modularity == 0.0

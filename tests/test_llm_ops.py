@@ -1458,3 +1458,42 @@ def test_pareto_abc_bruteforce(spark, sf_dir):
         classes[cls] = (n + 1, s + v)
     assert {c: (r.n_parts, r.rev_tt_sum) for c, r in got.items()} == classes
     assert got["A"].rev_share >= 0.79  # A carries the top-80% band
+
+
+def test_labeled_mrr_bruteforce(spark):
+    import math
+
+    from ytsaurus_spark.operators.similarity import (
+        MRR_W_MICROS,
+        labeled_mrr_at_k,
+    )
+
+    rows = []
+    for v in range(36):
+        lab = v % 3
+        vec = [((v * 13 + d * 5) % 23 - 11) / 11.0 for d in range(6)]
+        rows.append((v, vec, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    k, stride = 5, 6
+    got = {r.label: r for r in labeled_mrr_at_k(df, k=k, stride=stride).collect()}
+    codes = {v: [round(x * 127) for x in vec] for v, vec, _ in rows}
+    labs = {v: lab for v, _, lab in rows}
+    per = {}
+    for qv in [v for v, _, _ in rows if v % stride == 0]:
+        ranked = sorted(
+            (-sum(a * b for a, b in zip(codes[qv], codes[c])), c)
+            for c, _, _ in rows if c != qv
+        )[:k]
+        rr = 0
+        for r, (_, c) in enumerate(ranked, start=1):
+            if labs[c] == labs[qv]:
+                rr = MRR_W_MICROS[r - 1]
+                break
+        cnt, s = per.get(labs[qv], (0, 0))
+        per[labs[qv]] = (cnt + 1, s + rr)
+    for lab, (cnt, s) in per.items():
+        r = got[lab]
+        assert r.n_queries == cnt
+        assert r.mean_mrr == math.floor(s / cnt + 0.5) / 1e6

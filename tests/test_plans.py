@@ -400,6 +400,9 @@ SCAN_BUDGETS = {
     "eval_ndcg_at_k": 1,  # persisted code projection: queries/candidates/counts
     "analytics_pareto_abc": 1,  # persisted band grain; prefix_sum + total share it
     "eval_cohens_kappa": 1,  # one scan, one 1-row aggregate, zero joins
+    "graph_modularity": 2,  # lineitem self-join legs; und + comm persisted
+    "eval_mrr_at_k": 2,  # selective query slice + one candidate scan
+    "fmt_schema_evolution_merge": 2,  # two fixture slices written as generations
 }
 
 

@@ -511,3 +511,104 @@ def kcore(
         out = deg.filter(F.col("deg") >= k).persist()
         alive = out.select("node")
     return out.select("node", "deg")
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    graph — the quality score that decides whether a community
+    detection pass (e.g. label_propagation) found real structure:
+    Q = Σ_c [L_c/m − (D_c/2m)²] with L_c the intra-community edge
+    count, D_c the community degree sum, m the edge count.
+
+    Exactness: everything scales through the identity
+    Q·4m² = Σ_c (4m·L_c − D_c²), so each community's contribution is an
+    exact BIGINT numerator and the single half-up floor happens once on
+    the global sum. Shape: ONE join of the (lo, hi) edge list against
+    the broadcast-able community map on each endpoint (two keyed joins)
+    + label-grain aggregates; no pair enumeration beyond the edges
+    themselves.
+
+    Returns one row per community
+    (label, n_nodes, intra_edges, degree_sum, q_num) plus the constant
+    global ``modularity`` column (q_num summed / 4m²)."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()  # edge count, intra join, and degrees share it
+    )
+    comm = communities.select(
+        F.col(node_col).alias("__n"), F.col(label_col).alias("__lab")
+    ).persist()
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ca = comm.select(F.col("__n").alias("a"), F.col("__lab").alias("lab_a"))
+    cb = comm.select(F.col("__n").alias("b"), F.col("__lab").alias("lab_b"))
+    intra = (
+        und.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    deg = und.select(F.explode(F.array("a", "b")).alias("__n")).groupBy(
+        "__n"
+    ).agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    dsum = (
+        comm.join(deg, "__n", "left")
+        .groupBy(F.col("__lab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("deg"), F.lit(0)))
+            .cast("long")
+            .alias("degree_sum"),
+        )
+    )
+    per = (
+        dsum.join(intra, "label", "left")
+        .withColumn(
+            "intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long")
+        )
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "q_num",
+            (
+                4 * F.col("m") * F.col("intra_edges")
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("long"),
+        )
+        .persist()  # the global Q and the per-community rows share it
+    )
+    tot = per.agg(
+        F.sum("q_num").cast("long").alias("qn"),
+        F.first("m").alias("mm"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "label",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            "q_num",
+            (
+                F.floor(
+                    F.col("qn").cast("double")
+                    * 1e6
+                    / (4 * F.col("mm") * F.col("mm")).cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("modularity"),
+        )
+        .orderBy("label")
+    )

@@ -1553,3 +1553,92 @@ def labeled_ndcg_at_k(
         )
         .orderBy("label")
     )
+
+
+# Reciprocal-rank weights in micro-units: round(1e6 / r) for r = 1..10 —
+# literals on both engines, same discipline as NDCG_W_MICROS.
+MRR_W_MICROS = (
+    1000000, 500000, 333333, 250000, 200000,
+    166667, 142857, 125000, 111111, 100000,
+)
+
+
+def labeled_mrr_at_k(
+    emb: DataFrame,
+    k: int = 10,
+    stride: int = 43,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Macro MRR@k of exact inner-product retrieval against label
+    ground truth: per query, the reciprocal rank of the FIRST same-
+    label neighbor within the top k (0 if none) — the "how fast does
+    the right answer appear" eval. Reciprocals come from the literal
+    integer weight table (MRR_W_MICROS), so per-query values and the
+    per-label mean are exact; one half-up floor at the mean. Same
+    broadcast-queries / exact-BIGINT-dot / per-query-rank-window shape
+    as labeled_ndcg_at_k.
+
+    Returns (label, n_queries, mean_mrr)."""
+    from pyspark.sql import Window as W
+
+    codes = F.expr(
+        f"transform({vec_col}, u -> CAST(round(u * {quant}) AS BIGINT))"
+    )
+    base = emb.select(
+        F.col(id_col), codes.alias("__codes"), F.col(label_col).alias("__lab")
+    )
+    q = base.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("q_id"),
+        F.col("__codes").alias("qc"),
+        F.col("__lab").alias("q_lab"),
+    )
+    c = base.select(
+        F.col(id_col).alias("c_id"),
+        F.col("__codes").alias("cc"),
+        F.col("__lab").alias("c_lab"),
+    )
+    dot = (
+        "aggregate(zip_with(qc, cc, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
+    first_rel = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_lab", "c_lab", F.expr(dot).alias("dot"), "c_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy("q_id", "q_lab")
+        .agg(
+            F.min(
+                F.when(F.col("c_lab") == F.col("q_lab"), F.col("rk"))
+            ).alias("first_rk")
+        )
+    )
+    rr = F.when(
+        F.col("first_rk").isNull(), F.lit(0).cast("long")
+    ).otherwise(
+        F.element_at(
+            F.array(*[F.lit(x).cast("long") for x in MRR_W_MICROS]),
+            F.col("first_rk").cast("int"),
+        )
+    )
+    return (
+        first_rel.select("q_lab", rr.alias("rr_micros"))
+        .groupBy(F.col("q_lab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            (
+                F.floor(
+                    F.sum("rr_micros").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("mean_mrr"),
+        )
+        .orderBy("label")
+    )

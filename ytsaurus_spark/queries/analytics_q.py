@@ -1849,3 +1849,63 @@ def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+@register(
+    "graph_modularity",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+    lp0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),"""
+    + ",".join(_LPA_ROUND_SQL.format(i=i, p=i - 1) for i in range(1, 4))
+    + """,
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    intra AS (
+      SELECT ca.lab AS label, CAST(count(*) AS BIGINT) AS intra_edges
+      FROM e
+      JOIN lp3 ca ON ca.node = e.src
+      JOIN lp3 cb ON cb.node = e.dst
+      WHERE ca.lab = cb.lab
+      GROUP BY ca.lab
+    ), deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+    ), dsum AS (
+      SELECT c.lab AS label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(COALESCE(d.deg, 0)) AS BIGINT) AS degree_sum
+      FROM lp3 c LEFT JOIN deg d ON d.node = c.node
+      GROUP BY c.lab
+    ), per AS (
+      SELECT dsum.label, n_nodes,
+             CAST(COALESCE(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+             degree_sum,
+             CAST(4 * m.m * COALESCE(intra.intra_edges, 0)
+                  - degree_sum * degree_sum AS BIGINT) AS q_num,
+             m.m AS m
+      FROM dsum LEFT JOIN intra ON intra.label = dsum.label
+      CROSS JOIN m
+    ), tot AS (
+      SELECT CAST(sum(q_num) AS BIGINT) AS qn, any_value(m) AS mm FROM per
+    )
+    SELECT label, n_nodes, intra_edges, degree_sum, q_num,
+           CAST(floor(CAST(qn AS DOUBLE) * 1e6
+                / CAST(4 * mm * mm AS DOUBLE) + 0.5) AS BIGINT) / 1e6
+             AS modularity
+    FROM per CROSS JOIN tot
+    ORDER BY label
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round label-propagation communities
+    over the part co-purchase graph (operators/graph.modularity): the
+    quality audit that says whether LPA found real structure. The
+    Q·4m² = Σ_c(4m·L_c − D_c²) identity keeps every community term an
+    exact BIGINT; one half-up floor on the global sum. Two keyed joins
+    of the edge list against the broadcast community map + label-grain
+    aggregates — no pair enumeration beyond the edges. The oracle
+    unrolls LPA's 3 rounds and the modularity algebra verbatim."""
+    from ytsaurus_spark.operators.graph import label_propagation, modularity
+
+    edges = _copurchase_edges(spark, sf_dir)
+    comm = label_propagation(edges, iterations=3)
+    return modularity(edges, comm)

@@ -415,3 +415,62 @@ def fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "fmt_schema_evolution_merge",
+    """
+    WITH old_files AS (
+      SELECT doc_id, lang, NULL AS source, NULL AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+    ), new_files AS (
+      SELECT doc_id, lang, source, n_chars
+      FROM documents WHERE doc_id % 2 = 1
+    ), merged AS (
+      SELECT * FROM old_files UNION ALL SELECT * FROM new_files
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(source) AS BIGINT) AS with_source,
+           CAST(count(n_chars) AS BIGINT) AS with_chars,
+           CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS chars_sum
+    FROM merged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def fmt_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (the reference's weak-schema / ALTER
+    TABLE column-add contract, yt_types schema compat rules): an OLD
+    parquet generation written with (doc_id, lang) and a NEW generation
+    with the added (source, n_chars) columns live in one directory;
+    ``mergeSchema=true`` reads both, null-padding the old rows — the
+    lakehouse column-add path with zero rewrites of old data. The
+    aggregate counts non-null coverage per lang; the oracle simulates
+    the same two generations as a NULL-padded UNION ALL of fixture
+    slices, so a dropped column, misaligned union, or type-widening
+    bug breaks the hash."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    root = tempfile.mkdtemp(prefix="ytspark_evo_")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(root, "gen=0"))
+    new.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=0"), os.path.join(root, "gen=1")
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("source").cast("long").alias("with_source"),
+            F.count("n_chars").cast("long").alias("with_chars"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+            .cast("long")
+            .alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -4175,3 +4175,62 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("kappa"),
     )
+
+
+_MRR_W_SQL = "[" + ", ".join(
+    str(x) for x in (1000000, 500000, 333333, 250000, 200000,
+                     166667, 142857, 125000, 111111, 100000)
+) + "]"
+
+
+@register(
+    "eval_mrr_at_k",
+    f"""
+    WITH el AS (
+      SELECT vec_id, i - 1 AS i, CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), d AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+             CAST(sum(q.c * e.c) AS BIGINT) AS dot
+      FROM (SELECT * FROM el WHERE vec_id % 43 = 0) q
+      JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    ), r AS (
+      SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot DESC, c_id) AS rk
+      FROM d
+    ), fr AS (
+      SELECT r.q_id, ql.label AS q_lab,
+             min(CASE WHEN cl.label = ql.label THEN rk END) AS first_rk
+      FROM r
+      JOIN embeddings cl ON cl.vec_id = r.c_id
+      JOIN embeddings ql ON ql.vec_id = r.q_id
+      WHERE rk <= 10
+      GROUP BY r.q_id, ql.label
+    ), rr AS (
+      SELECT q_lab,
+             CASE WHEN first_rk IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST({_MRR_W_SQL}[first_rk] AS BIGINT)
+             END AS rr_micros
+      FROM fr
+    )
+    SELECT q_lab AS label, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(floor(CAST(sum(rr_micros) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) / 1e6
+             AS mean_mrr
+    FROM rr
+    GROUP BY q_lab
+    ORDER BY q_lab
+    """,
+)
+def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro MRR@10 of exact int8 inner-product retrieval vs label
+    ground truth (operators/similarity.labeled_mrr_at_k): reciprocal
+    rank of the first same-label neighbor, reciprocals from the literal
+    integer weight table (libm-free, same discipline as eval_ndcg_at_k).
+    The oracle indexes the same literal array over recomputed ranks."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.labeled_mrr_at_k(cat.read("embeddings"), k=10, stride=43)
