@@ -1497,3 +1497,81 @@ def test_labeled_mrr_bruteforce(spark):
         r = got[lab]
         assert r.n_queries == cnt
         assert r.mean_mrr == math.floor(s / cnt + 0.5) / 1e6
+
+
+def test_event_transitions_bruteforce(spark, sf_dir):
+    import duckdb
+
+    from ytsaurus_spark.queries.analytics_q import analytics_event_transitions
+
+    got = {(r.from_type, r.to_type): (r.n, r.out_n, r.p)
+           for r in analytics_event_transitions(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    trans = Counter()
+    prev = {}
+    for uid, et in rows:
+        if uid in prev:
+            trans[(prev[uid], et)] += 1
+        prev[uid] = et
+    outs = defaultdict(int)
+    for (a, _), n in trans.items():
+        outs[a] += n
+    assert set(got) == set(trans)
+    for key, n in trans.items():
+        gn, go, gp = got[key]
+        assert (gn, go) == (n, outs[key[0]])
+        assert gp == int(n * 1e6 / outs[key[0]] + 0.5) / 1e6
+
+
+def test_spearman_bruteforce(spark, sf_dir):
+    import math
+
+    import duckdb
+
+    from ytsaurus_spark.queries.llm import eval_spearman_quality_length
+
+    r = eval_spearman_quality_length(spark, sf_dir).collect()[0]
+    # Independent check: average-rank Spearman via plain Python over the
+    # same (n_chars, quantized logit) pairs read through DuckDB + the
+    # oracle feature formulas are already sweep-proven; here just verify
+    # the doubled-rank identity against a direct average-rank Pearson.
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["eval_spearman_quality_length"]
+    # Pull the sc2 pairs through the registered oracle's own CTE chain.
+    pairs_sql = sql.split(", hx AS")[0] + " SELECT x, y FROM sc2"
+    pairs = con.execute(pairs_sql).fetchall()
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        first = {}
+        for i, v in enumerate(s):
+            first.setdefault(v, i)
+        from collections import Counter
+
+        c = Counter(vals)
+        return {v: first[v] + (c[v] + 1) / 2 for v in c}  # 1-based avg rank
+
+    rx = avg_ranks([x for x, _ in pairs])
+    ry = avg_ranks([y for _, y in pairs])
+    xs = [rx[x] for x, _ in pairs]
+    ys = [ry[y] for _, y in pairs]
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(r.rho - rho) < 2e-6

@@ -403,6 +403,9 @@ SCAN_BUDGETS = {
     "graph_modularity": 2,  # lineitem self-join legs; und + comm persisted
     "eval_mrr_at_k": 2,  # selective query slice + one candidate scan
     "fmt_schema_evolution_merge": 2,  # two fixture slices written as generations
+    "analytics_event_transitions": 1,  # user-partitioned lead window, one matrix agg
+    "ts_theilsen_trend": 1,  # day frame aggregated once; pair join grid-bounded
+    "eval_spearman_quality_length": 1,  # persisted scored pairs: 2 rank maps + moments
 }
 
 

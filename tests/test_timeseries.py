@@ -214,3 +214,41 @@ def test_lttb_downsample_bruteforce(spark):
     for b, (pid, x, yc, area2) in want.items():
         r = got[b]
         assert (r.id, r.x_s, r.val_cents, r.area2) == (pid, x, yc, area2)
+
+
+def test_theilsen_bruteforce_even_and_odd_pairs(spark):
+    import math
+
+    from ytsaurus_spark.operators.timeseries import theilsen_trend
+
+    def brute(pts):
+        pairs = []
+        for i, (xi, yi) in enumerate(pts):
+            for xj, yj in pts[i + 1:]:
+                if xi < xj:
+                    pairs.append(((yj - yi) / (xj - xi), xi, xj))
+        pairs.sort()
+        slope = pairs[(len(pairs) + 1) // 2 - 1][0]
+        resid = sorted((y - slope * x, x) for x, y in pts)
+        inter = resid[(len(pts) + 1) // 2 - 1][0]
+        return (
+            math.floor(slope * 1e6 + 0.5) / 1e6,
+            math.floor(inter * 1e6 + 0.5) / 1e6,
+            len(pairs),
+        )
+
+    # Odd pair count (4 points -> 6 pairs? no: 4C2=6 even) and 5 pts = 10.
+    for pts in (
+        [(0, 10), (1, 12), (2, 100), (3, 16)],            # outlier day
+        [(0, 5), (1, 7), (2, 9), (3, 11), (4, 13)],        # perfect line
+    ):
+        df = spark.createDataFrame(pts, "d bigint, x bigint")
+        r = theilsen_trend(df, "d", "x").collect()[0]
+        ws, wi, np_ = brute(pts)
+        assert (r.slope, r.intercept, r.n_pairs) == (ws, wi, np_)
+    # Perfect line: slope exactly 2, intercept exactly 5.
+    df = spark.createDataFrame(
+        [(0, 5), (1, 7), (2, 9), (3, 11), (4, 13)], "d bigint, x bigint"
+    )
+    r = theilsen_trend(df, "d", "x").collect()[0]
+    assert (r.slope, r.intercept) == (2.0, 5.0)

@@ -605,3 +605,68 @@ def lttb_downsample(
         )
         .orderBy("series", "bucket")
     )
+
+
+def theilsen_trend(
+    daily: DataFrame,
+    x_col: str = "d",
+    y_col: str = "x",
+) -> DataFrame:
+    """Theil–Sen robust trend estimate over a (small) aggregated series:
+    the median of all pairwise slopes (y_j − y_i)/(x_j − x_i), i < j —
+    the breakdown-resistant alternative to least-squares trend (up to
+    ~29% outlier days cannot move it).
+
+    INPUT CONTRACT: ``daily`` is an already-aggregated frame (one row
+    per grid point — days, hours), so the O(n²) pair join is bounded by
+    the grid, not the corpus; the corpus-grain reduction happens
+    upstream (one partial-agged shuffle). Slopes are single IEEE
+    divisions of exact integers (deterministic on both engines); the
+    median element selects by rank (lower median), ties broken by the
+    (x_i, x_j) pair key, then the intercept is the median-of-residuals
+    b = lower-median(y − slope·x) computed the same way.
+
+    Returns one row: (n_points, n_pairs, slope, intercept)."""
+    from pyspark.sql import Window as W
+
+    daily = daily.persist()  # both pair-join legs, the residual pass, and
+    # the count all re-read the (small) grid frame
+    a = daily.select(F.col(x_col).alias("xi"), F.col(y_col).alias("yi"))
+    b = daily.select(F.col(x_col).alias("xj"), F.col(y_col).alias("yj"))
+    pairs = a.join(b, F.col("xi") < F.col("xj")).select(
+        "xi",
+        "xj",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("xj") - F.col("xi")).cast("double")
+        ).alias("slope"),
+    ).persist()  # pair frame (grid-bounded); count + rank share it
+    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    w = W.orderBy("slope", "xi", "xj")
+    med_slope = (
+        pairs.crossJoin(F.broadcast(np_))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("slope", "n_pairs")
+    )
+    resid = daily.crossJoin(F.broadcast(med_slope)).select(
+        "n_pairs",
+        "slope",
+        (F.col(y_col).cast("double") - F.col("slope") * F.col(x_col).cast("double")).alias(
+            "r"
+        ),
+        F.col(x_col).alias("xx"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    wr = W.orderBy("r", "xx")
+    return (
+        resid.crossJoin(F.broadcast(nn))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == F.floor((F.col("n_points") + 1) / 2))
+        .select(
+            "n_points",
+            "n_pairs",
+            (F.floor(F.col("slope") * 1e6 + F.lit(0.5)).cast("long") / F.lit(1e6)).alias("slope"),
+            (F.floor(F.col("r") * 1e6 + F.lit(0.5)).cast("long") / F.lit(1e6)).alias("intercept"),
+        )
+    )

@@ -1909,3 +1909,70 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     comm = label_propagation(edges, iterations=3)
     return modularity(edges, comm)
+
+
+@register(
+    "analytics_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), outs AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS out_n FROM t GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, n, out_n,
+           CAST(floor(CAST(n AS DOUBLE) * 1e6 / CAST(out_n AS DOUBLE)
+                + 0.5) AS BIGINT) / 1e6 AS p
+    FROM t JOIN outs ON outs.from_type = t.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    — the behavioral-flow / Sankey primitive: count and probability of
+    each (from_type → to_type) step. The lead window partitions by
+    user (per-user streams are bounded; never a global sort); pair
+    counts partial-agg to the ≤|types|² matrix, whose row-sum join is
+    broadcast-sized. Counts exact; probability takes one half-up
+    floor. Ordering ties inside a user's stream break on event_id in
+    both engines."""
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    outs = t.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("out_n")
+    )
+    return (
+        t.join(F.broadcast(outs), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "out_n",
+            (
+                F.floor(
+                    F.col("n").cast("double") * 1e6
+                    / F.col("out_n").cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

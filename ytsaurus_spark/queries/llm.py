@@ -4234,3 +4234,183 @@ def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle indexes the same literal array over recomputed ranks."""
     cat = load_tables(spark, sf_dir)
     return similarity.labeled_mrr_at_k(cat.read("embeddings"), k=10, stride=43)
+
+
+@register(
+    "ts_theilsen_trend",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), pairs AS (
+      SELECT a.d AS xi, b.d AS xj,
+             CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+    ms AS (
+      SELECT slope, n_pairs FROM (
+        SELECT slope, n_pairs,
+               row_number() OVER (ORDER BY slope, xi, xj) AS rk
+        FROM pairs CROSS JOIN np
+      ) WHERE rk = floor((n_pairs + 1) / 2)
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM daily),
+    resid AS (
+      SELECT n_pairs, slope,
+             CAST(x AS DOUBLE) - slope * CAST(d AS DOUBLE) AS r, d AS xx
+      FROM daily CROSS JOIN ms
+    )
+    SELECT n_points, n_pairs,
+           CAST(floor(slope * 1e6 + 0.5) AS BIGINT) / 1e6 AS slope,
+           CAST(floor(r * 1e6 + 0.5) AS BIGINT) / 1e6 AS intercept
+    FROM (
+      SELECT n_points, n_pairs, slope, r,
+             row_number() OVER (ORDER BY r, xx) AS rk
+      FROM resid CROSS JOIN nn
+    ) WHERE rk = floor((n_points + 1) / 2)
+    """,
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily purchase-cents series
+    (operators/timeseries.theilsen_trend): lower-median of all pairwise
+    slopes, then lower-median residual as intercept — immune to ~29%
+    outlier days, unlike the Holt/least-squares trend. The O(n²) pair
+    join runs on the ALREADY-AGGREGATED day frame (corpus reduces in
+    one partial-agged shuffle first); slopes are single IEEE divisions
+    of exact integers and the medians select actual elements by rank.
+    The oracle unrolls the identical pair/rank chain."""
+    from ytsaurus_spark.operators.timeseries import theilsen_trend
+
+    cat = load_tables(spark, sf_dir)
+    daily = (
+        cat.read("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return theilsen_trend(daily, "d", "x")
+
+
+@register(
+    "eval_spearman_quality_length",
+    "WITH "
+    + _EVAL_FEATURES_SQL.replace(
+        "SELECT lang = 'en' AS pos,",
+        "SELECT nch,",
+    ).replace(
+        "SELECT lang,",
+        "SELECT lang, length(text) AS nch,",
+    )
+    + """
+    , sc2 AS (
+      SELECT nch AS x,
+             CAST(floor((2.0 * stop_ratio + 1.5 * ttr - 0.8 * mean_len
+                         - 3.0 * digit_ratio + 0.5 * len_norm - 0.5)
+                        * 10000 + 0.5) AS BIGINT) AS y
+      FROM (SELECT nch, stop_ratio, ttr, mean_len, digit_ratio, len_norm
+            FROM f) f2
+    ), hx AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS c FROM sc2 GROUP BY x
+    ), rx AS (
+      SELECT x, CAST(2 * COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS BIGINT) AS r2x
+      FROM hx
+    ), hy AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS c FROM sc2 GROUP BY y
+    ), ry AS (
+      SELECT y, CAST(2 * COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS BIGINT) AS r2y
+      FROM hy
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2x) AS BIGINT) AS sx,
+             CAST(sum(r2y) AS BIGINT) AS sy,
+             CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+             CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+      FROM sc2 JOIN rx USING (x) JOIN ry USING (y)
+    )
+    SELECT n,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                * 1e6 + 0.5) AS BIGINT) / 1e6 AS rho
+    FROM mo
+    """,
+)
+def eval_spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between document length
+    and the frozen quality logit — "is the classifier just measuring
+    length?" — computed WITHOUT a global rank window: average ranks
+    come from value-grain histograms + the hierarchical prefix sum in
+    the doubled-rank identity R2(v) = 2·count_below + count(v) + 1
+    (integral even at ties), and ρ is Pearson over the exact BIGINT
+    rank moments, combined in one fixed double op chain with a single
+    half-up floor. Exact while n³ < 2^63 (≈2·10⁶ docs — beyond that,
+    center the doubled ranks first; documented). One scan; two
+    value-grain joins."""
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    scored = text.classifier_score(docs, extra_cols=("n_chars",)).select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.round(F.col("quality_logit") * 10000).cast("long").alias("y"),
+    ).persist()  # histograms (x, y) + the moment aggregate share it
+
+    def rank_map(col: str) -> DataFrame:
+        h = scored.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        cum = prefix_sum(h, col, "__c", out_col="__below")
+        return cum.select(
+            col,
+            (2 * F.col("__below") + F.col("__c") + 1)
+            .cast("long")
+            .alias(f"r2{col}"),
+        )
+
+    mo = (
+        scored.join(rank_map("x"), "x")
+        .join(rank_map("y"), "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("r2x").cast("long").alias("sx"),
+            F.sum("r2y").cast("long").alias("sy"),
+            F.sum(F.col("r2x") * F.col("r2x")).cast("long").alias("sxx"),
+            F.sum(F.col("r2y") * F.col("r2y")).cast("long").alias("syy"),
+            F.sum(F.col("r2x") * F.col("r2y")).cast("long").alias("sxy"),
+        )
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return mo.select(
+        "n",
+        (
+            F.floor(num / den * 1e6 + F.lit(0.5)).cast("long") / F.lit(1e6)
+        ).alias("rho"),
+    )
