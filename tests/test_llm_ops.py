@@ -1575,3 +1575,38 @@ def test_spearman_bruteforce(spark, sf_dir):
         (n * sxx - sx * sx) * (n * syy - sy * sy)
     )
     assert abs(r.rho - rho) < 2e-6
+
+
+def test_activity_streaks_bruteforce(spark, sf_dir):
+    import duckdb
+    from collections import defaultdict
+
+    from ytsaurus_spark.queries.analytics_q import analytics_activity_streaks
+
+    got = {r.longest: (r.n_users, r.streaks_sum, r.active_days_sum)
+           for r in analytics_activity_streaks(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    rows = con.execute(
+        "SELECT DISTINCT user_id, datediff('day', DATE '2024-01-01',"
+        " CAST(ts AS DATE)) FROM events"
+    ).fetchall()
+    by_user = defaultdict(set)
+    for uid, d in rows:
+        by_user[uid].add(d)
+    dist = defaultdict(lambda: [0, 0, 0])
+    for uid, ds in by_user.items():
+        ds = sorted(ds)
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        e = dist[max(streaks)]
+        e[0] += 1
+        e[1] += len(streaks)
+        e[2] += sum(streaks)
+    assert got == {k: tuple(v) for k, v in dist.items()}

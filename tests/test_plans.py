@@ -406,6 +406,8 @@ SCAN_BUDGETS = {
     "analytics_event_transitions": 1,  # user-partitioned lead window, one matrix agg
     "ts_theilsen_trend": 1,  # day frame aggregated once; pair join grid-bounded
     "eval_spearman_quality_length": 1,  # persisted scored pairs: 2 rank maps + moments
+    "analytics_activity_streaks": 1,  # user-partitioned island windows, one distribution agg
+    "ts_binary_segmentation": 1,  # persisted day grid; both levels reuse it
 }
 
 

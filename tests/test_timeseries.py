@@ -252,3 +252,37 @@ def test_theilsen_bruteforce_even_and_odd_pairs(spark):
     )
     r = theilsen_trend(df, "d", "x").collect()[0]
     assert (r.slope, r.intercept) == (2.0, 5.0)
+
+
+def test_binary_segmentation_bruteforce(spark):
+    from ytsaurus_spark.operators.timeseries import binary_segmentation
+
+    # Step series: level 10 then 50 then 20 — two clear changepoints.
+    ys = [10] * 6 + [50] * 6 + [20] * 6
+    pts = list(enumerate(ys))
+    df = spark.createDataFrame(pts, "d bigint, x bigint")
+    out = {(r.level, r.seg): r for r in
+           binary_segmentation(df, "d", "x").collect()}
+
+    def peak(seg_pts):
+        n = len(seg_pts)
+        s = sum(y for _, y in seg_pts)
+        cum, best = 0, None
+        for d, y in sorted(seg_pts):
+            cum += n * y - s
+            key = (-abs(cum), d)
+            if best is None or key < best[0]:
+                best = (key, d, abs(cum))
+        return best[1], best[2]
+
+    cp1, pk1 = peak(pts)
+    r1 = out[(1, 0)]
+    assert (r1.cp, r1.peak_abs_cusum, r1.n_seg) == (cp1, pk1, len(pts))
+    left = [(d, y) for d, y in pts if d <= cp1]
+    right = [(d, y) for d, y in pts if d > cp1]
+    for seg, seg_pts in ((1, left), (2, right)):
+        cp, pk = peak(seg_pts)
+        r = out[(2, seg)]
+        assert (r.cp, r.peak_abs_cusum, r.n_seg) == (cp, pk, len(seg_pts))
+        assert (r.seg_lo, r.seg_hi) == (min(d for d, _ in seg_pts),
+                                        max(d for d, _ in seg_pts))

@@ -670,3 +670,72 @@ def theilsen_trend(
             (F.floor(F.col("r") * 1e6 + F.lit(0.5)).cast("long") / F.lit(1e6)).alias("intercept"),
         )
     )
+
+
+def binary_segmentation(
+    daily: DataFrame,
+    x_col: str = "d",
+    y_col: str = "x",
+) -> DataFrame:
+    """Two-level binary segmentation for multiple changepoints: the
+    level-1 CUSUM peak splits the series, then each half runs its own
+    segment-local CUSUM scan — the standard recursive changepoint
+    scheme, unrolled two levels so the whole thing stays one
+    deterministic plan (same bounded-recursion contract as the
+    bounded-round graph operators).
+
+    Exactness: per segment the deviation is n_seg-scaled
+    (dev = n_seg·y − Σ_seg y), so devs, running cusums, and peak
+    selection are exact BIGINTs end to end; ties break on the grid key.
+    INPUT CONTRACT: ``daily`` is an already-aggregated grid frame
+    (corpus reduces upstream), persisted here for the two passes.
+
+    Returns one row per (level, segment): (level, seg, seg_lo, seg_hi,
+    n_seg, cp, peak_abs_cusum) — level 1 has one row, level 2 two."""
+    from pyspark.sql import Window as W
+
+    daily = daily.select(
+        F.col(x_col).alias("d"), F.col(y_col).alias("y")
+    ).persist()
+
+    def seg_peaks(segged: DataFrame, level: int) -> DataFrame:
+        stats = segged.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("long").alias("n_seg"),
+            F.sum("y").cast("long").alias("s_seg"),
+            F.min("d").cast("long").alias("seg_lo"),
+            F.max("d").cast("long").alias("seg_hi"),
+        )
+        w_cum = (
+            W.partitionBy("seg")
+            .orderBy("d")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        cum = (
+            segged.join(F.broadcast(stats), "seg")
+            .withColumn("dev", F.col("n_seg") * F.col("y") - F.col("s_seg"))
+            .withColumn("cusum", F.sum("dev").over(w_cum).cast("long"))
+        )
+        w_rk = W.partitionBy("seg").orderBy(
+            F.abs(F.col("cusum")).desc(), F.col("d")
+        )
+        return (
+            cum.withColumn("rk", F.row_number().over(w_rk))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.lit(level).cast("int").alias("level"),
+                F.col("seg").cast("long").alias("seg"),
+                "seg_lo",
+                "seg_hi",
+                "n_seg",
+                F.col("d").cast("long").alias("cp"),
+                F.abs(F.col("cusum")).cast("long").alias("peak_abs_cusum"),
+            )
+        )
+
+    l1 = seg_peaks(daily.withColumn("seg", F.lit(0)), 1).persist()
+    cp1 = l1.select(F.col("cp").alias("cp1"))
+    segged2 = daily.crossJoin(F.broadcast(cp1)).withColumn(
+        "seg", F.when(F.col("d") <= F.col("cp1"), 1).otherwise(2)
+    )
+    l2 = seg_peaks(segged2, 2)
+    return l1.unionByName(l2).orderBy("level", "seg")

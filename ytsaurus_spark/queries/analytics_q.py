@@ -1976,3 +1976,77 @@ def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "analytics_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+             CAST(min(d) AS BIGINT) AS start_d
+      FROM isl GROUP BY user_id, grp
+    ), per_user AS (
+      SELECT user_id,
+             CAST(max(len) AS BIGINT) AS longest,
+             CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS active_days
+      FROM streaks GROUP BY user_id
+    )
+    SELECT longest,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_streaks) AS BIGINT) AS streaks_sum,
+           CAST(sum(active_days) AS BIGINT) AS active_days_sum
+    FROM per_user
+    GROUP BY longest
+    ORDER BY longest
+    """,
+)
+def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks (islands & gaps): per user the
+    classic ``d − row_number()`` island key groups runs of consecutive
+    active days; the output is the longest-streak distribution. Both
+    windows and both aggregates partition on user_id (bounded per-user
+    day sets — never a global sort); the final distribution is
+    ≤|days|-row. All counts exact BIGINTs, no floats anywhere."""
+    from pyspark.sql import Window as W
+
+    cat = load_tables(spark, sf_dir)
+    days = (
+        cat.read("events")
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").cast("long").alias("start_d"),
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+    return (
+        per_user.groupBy("longest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_streaks").cast("long").alias("streaks_sum"),
+            F.sum("active_days").cast("long").alias("active_days_sum"),
+        )
+        .orderBy("longest")
+    )

@@ -4414,3 +4414,78 @@ def eval_spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num / den * 1e6 + F.lit(0.5)).cast("long") / F.lit(1e6)
         ).alias("rho"),
     )
+
+
+_BINSEG_SEG_SQL = """
+  SELECT level, seg, seg_lo, seg_hi, n_seg, cp, peak_abs_cusum FROM (
+    SELECT {level} AS level, seg, seg_lo, seg_hi, n_seg, d AS cp,
+           abs(cusum) AS peak_abs_cusum,
+           row_number() OVER (PARTITION BY seg
+                              ORDER BY abs(cusum) DESC, d) AS rk
+    FROM (
+      SELECT s.seg, s.d, st.seg_lo, st.seg_hi, st.n_seg,
+             CAST(sum(st.n_seg * s.y - st.s_seg)
+                  OVER (PARTITION BY s.seg ORDER BY s.d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cusum
+      FROM {src} s
+      JOIN (SELECT seg, CAST(count(*) AS BIGINT) AS n_seg,
+                   CAST(sum(y) AS BIGINT) AS s_seg,
+                   CAST(min(d) AS BIGINT) AS seg_lo,
+                   CAST(max(d) AS BIGINT) AS seg_hi
+            FROM {src} GROUP BY seg) st USING (seg)
+    )
+  ) WHERE rk = 1"""
+
+
+@register(
+    "ts_binary_segmentation",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), s1 AS (SELECT 0 AS seg, d, y FROM daily),
+    l1 AS ("""
+    + _BINSEG_SEG_SQL.format(level=1, src="s1")
+    + """),
+    s2 AS (
+      SELECT CASE WHEN d.d <= l1.cp THEN 1 ELSE 2 END AS seg, d.d, d.y
+      FROM daily d CROSS JOIN l1
+    ),
+    l2 AS ("""
+    + _BINSEG_SEG_SQL.format(level=2, src="s2")
+    + """)
+    SELECT CAST(level AS INT) AS level, CAST(seg AS BIGINT) AS seg,
+           seg_lo, seg_hi, n_seg, CAST(cp AS BIGINT) AS cp,
+           CAST(peak_abs_cusum AS BIGINT) AS peak_abs_cusum
+    FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+    ORDER BY level, seg
+    """,
+)
+def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level binary segmentation of the daily purchase-cents series
+    (operators/timeseries.binary_segmentation): the level-1 CUSUM peak
+    splits the series and each half reruns a segment-local n-scaled
+    CUSUM — three changepoint candidates from one deterministic plan,
+    every quantity an exact BIGINT (deviation, cusum, peak). Windows
+    partition by segment over the aggregated day grid. The oracle
+    unrolls both levels with the identical algebra."""
+    from ytsaurus_spark.operators.timeseries import binary_segmentation
+
+    cat = load_tables(spark, sf_dir)
+    daily = (
+        cat.read("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return binary_segmentation(daily, "d", "y")
