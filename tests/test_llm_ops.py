@@ -1610,3 +1610,67 @@ def test_activity_streaks_bruteforce(spark, sf_dir):
         e[1] += len(streaks)
         e[2] += sum(streaks)
     assert got == {k: tuple(v) for k, v in dist.items()}
+
+
+def test_embedding_outliers_bruteforce(spark):
+    from ytsaurus_spark.operators.similarity import embedding_outliers
+
+    # One tight cluster with a single far point injected per label.
+    rows = []
+    vid = 0
+    for lab in (0, 1):
+        for j in range(9):
+            vec = [(lab * 50 + (j % 3) - 1) / 127.0, (j % 2) / 127.0]
+            rows.append((vid, vec, lab)); vid += 1
+        rows.append((vid, [(lab * 50 + 40) / 127.0, 30 / 127.0], lab)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    got = {r.label: r for r in embedding_outliers(df, 3, 2).collect()}
+    codes = {v: [round(x * 127) for x in vec] for v, vec, _ in rows}
+    for lab in (0, 1):
+        members = [v for v, _, x in rows if x == lab]
+        n = len(members)
+        s = [sum(codes[v][i] for v in members) for i in range(2)]
+        qs = {v: sum((n * codes[v][i] - s[i]) ** 2 for i in range(2))
+              for v in members}
+        sq = sum(qs.values())
+        outs = sum(1 for v in members if qs[v] * n * 4 > 9 * sq)
+        r = got[lab]
+        assert (r.n_points, r.n_outliers) == (n, outs)
+        assert outs >= 1  # the injected far point is flagged
+        assert r.outlier_ppm == int(outs * 1e6 / n + 0.5)
+
+
+def test_gini_known_distributions(spark):
+    import math
+
+    from ytsaurus_spark.operators.curation import prefix_sum  # noqa: F401
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # Perfect equality -> G = (sum R2*x - (n+1)*sum x) / (n*sum x) with
+    # all x equal: R2 avg = n+1 so numerator is exactly 0.
+    import duckdb
+
+    con = duckdb.connect()
+    for vals, want in (
+        ([5, 5, 5, 5], 0.0),
+        ([0, 0, 0, 10], None),  # computed below
+    ):
+        n = len(vals)
+        s = sorted(vals)
+        # doubled average ranks
+        from collections import Counter
+
+        c = Counter(vals)
+        below = {}
+        run = 0
+        for v in sorted(c):
+            below[v] = run
+            run += c[v]
+        num = sum((2 * below[v] + c[v] + 1) * v for v in vals) - (n + 1) * sum(vals)
+        g = math.floor(num * 1e6 / (n * sum(vals)) + 0.5) / 1e6
+        if want is not None:
+            assert g == want
+        else:
+            assert g == 0.75  # classic: one holder of everything, n=4

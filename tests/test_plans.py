@@ -408,6 +408,8 @@ SCAN_BUDGETS = {
     "eval_spearman_quality_length": 1,  # persisted scored pairs: 2 rank maps + moments
     "analytics_activity_streaks": 1,  # user-partitioned island windows, one distribution agg
     "ts_binary_segmentation": 1,  # persisted day grid; both levels reuse it
+    "sim_embedding_outliers": 1,  # persisted element stream + (point,label) frame
+    "analytics_gini_revenue": 1,  # one customer shuffle + value-grain histogram
 }
 
 

@@ -1642,3 +1642,74 @@ def labeled_mrr_at_k(
         )
         .orderBy("label")
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    k_num: int = 3,
+    k_den: int = 2,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding outlier detection — flag vectors whose
+    squared distance to their OWN label centroid exceeds (k_num/k_den)²
+    times the label's mean squared distance: the curation filter that
+    drops mislabeled or off-distribution points before training.
+
+    Fully exact: with the n-scaled identity q = Σ_i (n·x_i − s_i)²
+    (exact BIGINT), the flag is the integer cross-comparison
+    q·n_lab·k_den² > k_num²·Σ_lab q — no division, no sqrt, no float
+    anywhere, so the flags are bit-identical on any engine. Shape: one
+    (label, dim) centroid aggregate broadcast back; one corpus-grain
+    (point, own-label) distance aggregate; label-grain means broadcast
+    into the flag projection.
+
+    Returns per label: (label, n_points, n_outliers, outlier_ppm)."""
+    codes = F.expr(
+        f"transform({vec_col}, u -> CAST(round(u * {quant}) AS BIGINT))"
+    )
+    el = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("lab"),
+        F.posexplode(codes).alias("i", "c"),
+    ).persist()  # centroids and the distance pass share one decode
+    cent = el.groupBy("lab", "i").agg(F.sum("c").cast("long").alias("s"))
+    nl = el.filter(F.col("i") == 0).groupBy("lab").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cw = cent.join(nl, "lab")
+    diff = F.col("n") * F.col("c") - F.col("s")
+    q = (
+        el.join(F.broadcast(cw), ["lab", "i"])
+        .groupBy(id_col, "lab")
+        .agg(
+            F.sum(diff * diff).cast("long").alias("qq"),
+            F.first("n").alias("n"),
+        )
+    ).persist()  # label means and the flag projection share it
+    means = q.groupBy("lab").agg(F.sum("qq").cast("long").alias("sq"))
+    flagged = q.join(F.broadcast(means), "lab").select(
+        "lab",
+        (
+            F.col("qq") * F.col("n") * (k_den * k_den)
+            > (k_num * k_num) * F.col("sq")
+        ).alias("out"),
+    )
+    return (
+        flagged.groupBy(F.col("lab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.col("out").cast("long")).cast("long").alias("n_outliers"),
+            F.floor(
+                F.sum(F.col("out").cast("long")).cast("double")
+                * 1e6
+                / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("outlier_ppm"),
+        )
+        .orderBy("label")
+    )

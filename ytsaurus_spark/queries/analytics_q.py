@@ -2050,3 +2050,82 @@ def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("longest")
     )
+
+
+@register(
+    "analytics_gini_revenue",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), h AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS c FROM spend GROUP BY cents
+    ), r AS (
+      SELECT cents, c,
+             CAST(2 * COALESCE(SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS BIGINT) AS r2
+      FROM h
+    ), mo AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cents * c) AS BIGINT) AS sx,
+             CAST(sum(r2 * cents * c) AS BIGINT) AS srx
+      FROM r
+    )
+    SELECT n, sx AS total_cents,
+           CAST(floor(CAST(srx - (n + 1) * sx AS DOUBLE) * 1e6
+                / CAST(n * sx AS DOUBLE) + 0.5) AS BIGINT) / 1e6 AS gini
+    FROM mo
+    """,
+)
+def analytics_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality audit
+    next to the ABC/decile reports — WITHOUT a global sort: average
+    ranks come from the cents-grain histogram + hierarchical prefix sum
+    in the doubled-rank identity R2(v) = 2·below + c + 1, and
+    G = (Σ R2·x − (n+1)·Σx)/(n·Σx) is exact BIGINT until the single
+    half-up floor. One customer-grain shuffle + one value-grain
+    histogram."""
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    cat = load_tables(spark, sf_dir)
+    spend = (
+        cat.read("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    h = spend.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    r = prefix_sum(h, "cents", "__c", out_col="__below").select(
+        "cents",
+        "__c",
+        (2 * F.col("__below") + F.col("__c") + 1).cast("long").alias("r2"),
+    )
+    mo = r.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.col("cents") * F.col("__c")).cast("long").alias("sx"),
+        F.sum(F.col("r2") * F.col("cents") * F.col("__c"))
+        .cast("long")
+        .alias("srx"),
+    )
+    return mo.select(
+        "n",
+        F.col("sx").alias("total_cents"),
+        (
+            F.floor(
+                (F.col("srx") - (F.col("n") + 1) * F.col("sx"))
+                .cast("double")
+                * 1e6
+                / (F.col("n") * F.col("sx")).cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("gini"),
+    )

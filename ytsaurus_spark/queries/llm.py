@@ -4489,3 +4489,57 @@ def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return binary_segmentation(daily, "d", "y")
+
+
+@register(
+    "sim_embedding_outliers",
+    """
+    WITH el AS (
+      SELECT vec_id, label AS lab, i - 1 AS i,
+             CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), nl AS (
+      SELECT lab, CAST(count(*) AS BIGINT) AS n
+      FROM el WHERE i = 0 GROUP BY lab
+    ), cent AS (
+      SELECT lab, i, CAST(sum(c) AS BIGINT) AS s FROM el GROUP BY lab, i
+    ), q AS (
+      SELECT e.vec_id, e.lab,
+             CAST(sum((n.n * e.c - c.s) * (n.n * e.c - c.s)) AS BIGINT)
+               AS qq,
+             any_value(n.n) AS n
+      FROM el e
+      JOIN cent c ON c.lab = e.lab AND c.i = e.i
+      JOIN nl n ON n.lab = e.lab
+      GROUP BY e.vec_id, e.lab
+    ), means AS (
+      SELECT lab, CAST(sum(qq) AS BIGINT) AS sq FROM q GROUP BY lab
+    ), fl AS (
+      SELECT q.lab, (qq * n * 4 > 9 * sq) AS out
+      FROM q JOIN means ON means.lab = q.lab
+    )
+    SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN out THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(floor(CAST(sum(CASE WHEN out THEN 1 ELSE 0 END) AS DOUBLE)
+                * 1e6 / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+             AS outlier_ppm
+    FROM fl
+    GROUP BY lab
+    ORDER BY lab
+    """,
+)
+def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding OOD flags
+    (operators/similarity.embedding_outliers, k = 3/2): a point is an
+    outlier when its n-scaled squared centroid distance exceeds (3/2)²
+    times the label mean — the mislabeled-point curation filter. The
+    flag is a pure integer cross-comparison q·n·4 > 9·Σq: no division,
+    sqrt, or float anywhere. The oracle rebuilds centroids, distances,
+    and the cross-compare from the element join."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.embedding_outliers(
+        cat.read("embeddings"), k_num=3, k_den=2
+    )
