@@ -1674,3 +1674,41 @@ def test_gini_known_distributions(spark):
             assert g == want
         else:
             assert g == 0.75  # classic: one holder of everything, n=4
+
+
+def test_containment_catches_subset_duplication(spark):
+    from ytsaurus_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    other = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id bigint, text string"
+    )
+    out = {(r.doc_a, r.doc_b): r for r in containment_pairs(df).collect()}
+    assert (1, 2) in out  # subset pair survives the containment gate
+    r = out[(1, 2)]
+    assert r.containment_small == 1.0  # small fully inside big
+    assert r.n_a < r.n_b
+    assert all(k == (1, 2) for k in out)  # unrelated doc never pairs
+
+
+def test_quantile_sketch_brackets_true_quantiles(spark, sf_dir):
+    import duckdb
+
+    from ytsaurus_spark.operators.sketches import log2_quantile_sketch
+    from ytsaurus_spark.catalog import load_tables
+
+    cat = load_tables(spark, sf_dir)
+    rows = {r.q_pct: r for r in log2_quantile_sketch(
+        cat.read("orders"), "o_totalprice").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    for q in (50, 90, 99):
+        true_q = con.execute(
+            f"SELECT CAST(quantile_disc(CAST(o_totalprice AS BIGINT), "
+            f"{q / 100}) AS BIGINT) FROM orders"
+        ).fetchone()[0]
+        r = rows[q]
+        assert r.lo <= true_q < r.hi  # the bracket contains the truth
+        assert r.hi <= 2 * max(r.lo, 1)  # <=2x relative error guarantee

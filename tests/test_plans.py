@@ -410,6 +410,8 @@ SCAN_BUDGETS = {
     "ts_binary_segmentation": 1,  # persisted day grid; both levels reuse it
     "sim_embedding_outliers": 1,  # persisted element stream + (point,label) frame
     "analytics_gini_revenue": 1,  # one customer shuffle + value-grain histogram
+    "agg_quantile_sketch": 1,  # <=64-bin histogram; prefix sum + total share it
+    "dedup_containment": 1,  # persisted distinct shingle stream: block + verify
 }
 
 

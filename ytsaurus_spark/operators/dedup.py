@@ -739,3 +739,98 @@ def exact_dedup_keep_best(
         "priority",
         "n_dups",
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_shingle_freq: int = 10,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: find pairs where the smaller
+    document's shingle set is mostly inside the larger's — the
+    subset-duplication case (quote pages, expanded reposts, boilerplate
+    wrappers) that symmetric Jaccard misses (a 100-word doc fully
+    contained in a 10000-word doc has Jaccard ≈ 0.01 but containment
+    1.0).
+
+    Candidate generation CANNOT reuse Jaccard-LSH banding — a contained
+    pair has near-zero Jaccard, exactly the region banding is tuned to
+    drop. Instead: RARE-SHINGLE INVERTED-INDEX BLOCKING — docs pair iff
+    they share a shingle appearing in at most ``max_shingle_freq`` docs
+    (a contained doc shares ≥num/den of the small set, so any rare
+    shingle in it surfaces the pair; a doc made ENTIRELY of hot
+    shingles is the documented miss, and the cap is the scale lever
+    that keeps the block join skew-free — hot shingles never join).
+    Only candidates re-join the distinct (doc, shingle) stream for the
+    exact intersection. The keep test is the integer cross-compare
+    inter·den ≥ num·min(|A|, |B|); the reported ratio takes one
+    half-up floor. Returns (doc_a, doc_b, inter, n_a, n_b,
+    containment_small)."""
+    sh = _shingles(docs, text_col, id_col, shingle_k).distinct().persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("__f"))
+        .filter(F.col("__f") <= max_shingle_freq)
+        .select("shingle")
+    )
+    blocked = sh.join(rare, "shingle")
+    ba = blocked.select(F.col(id_col).alias("doc_a"), "shingle")
+    bb = blocked.select(
+        F.col(id_col).alias("doc_b"), F.col("shingle").alias("__shc")
+    )
+    cand = (
+        ba.join(
+            bb,
+            (F.col("shingle") == F.col("__shc"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col(id_col).alias("__db"), F.col("shingle").alias("__shb")
+    )
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("__db") == F.col("doc_b"))
+            & (F.col("__shb") == F.col("shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("inter") * threshold_den
+            >= threshold_num * F.least("n_a", "n_b")
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "n_a",
+        "n_b",
+        (
+            F.floor(
+                F.col("inter").cast("double")
+                * 1e6
+                / F.least("n_a", "n_b").cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("containment_small"),
+    )

@@ -183,3 +183,65 @@ def count_min_estimate(
         .groupBy(value_col)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def log2_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable log2-binned quantile sketch: values land in whole-bit
+    bins (bin = floor(log2 v), computed by digit-string length — never
+    libm), the sketch is the (bin, count) histogram — trivially
+    mergeable by adding counts, the property exact percentiles lack —
+    and a quantile reports its bin's [2^b, 2^(b+1)) bracket: a
+    guaranteed ≤2× relative error at any scale, the classic
+    HdrHistogram/DDSketch trade (log-spaced buckets) with γ = 2 so
+    every step stays integral and engine-exact.
+
+    Shape: one partial-agged shuffle to ≤64 bins; quantile selection
+    runs on the bin frame (broadcast total). Non-positive values share
+    bin −1. Returns one row per requested quantile:
+    (q_pct, bin, lo, hi, cum_count, n)."""
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    v = F.col(value_col).cast("long")
+    binc = F.when(v < 1, F.lit(-1).cast("long")).otherwise(
+        (F.length(F.conv(v.cast("string"), 10, 2)) - 1).cast("long")
+    )
+    h = (
+        df.select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # <=64 rows; prefix sum + total share it
+    )
+    cum = prefix_sum(h, "bin", "c", out_col="__below").select(
+        "bin", "c", (F.col("__below") + F.col("c")).cast("long").alias("cum")
+    )
+    tot = h.agg(F.sum("c").cast("long").alias("n"))
+    qs = None
+    for q in quantiles:
+        pick = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("cum") * 100 >= q * F.col("n"))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).cast("int").alias("q_pct"),
+                "bin",
+                F.expr(
+                    "CAST(CASE WHEN bin < 0 THEN 0 "
+                    "ELSE shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) "
+                    "END AS BIGINT)"
+                ).alias("lo"),
+                F.expr(
+                    "CAST(CASE WHEN bin < 0 THEN 1 "
+                    "ELSE shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) + 1) "
+                    "END AS BIGINT)"
+                ).alias("hi"),
+                F.col("cum").alias("cum_count"),
+                F.col("n"),
+            )
+        )
+        qs = pick if qs is None else qs.unionByName(pick)
+    return qs.orderBy("q_pct")

@@ -844,3 +844,56 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
     )
+
+
+@register(
+    "agg_quantile_sketch",
+    """
+    WITH b AS (
+      SELECT CASE WHEN CAST(o_totalprice AS BIGINT) < 1 THEN -1
+                  ELSE CAST(length(bin(CAST(o_totalprice AS BIGINT))) - 1
+                       AS BIGINT)
+             END AS bin
+      FROM orders
+    ), h AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bin
+    ), cum AS (
+      SELECT bin, c,
+             CAST(SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM h
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+    q AS (SELECT unnest([50, 90, 99]) AS q_pct)
+    SELECT q_pct, bin, lo, hi, cum_count, n FROM (
+      SELECT CAST(q.q_pct AS INT) AS q_pct, cum.bin,
+             CAST(CASE WHEN cum.bin < 0 THEN 0
+                       ELSE 1 << cum.bin END AS BIGINT) AS lo,
+             CAST(CASE WHEN cum.bin < 0 THEN 1
+                       ELSE 1 << (cum.bin + 1) END AS BIGINT) AS hi,
+             cum.cum AS cum_count, tot.n,
+             row_number() OVER (PARTITION BY q.q_pct ORDER BY cum.bin)
+               AS rk
+      FROM q CROSS JOIN tot JOIN cum ON cum.cum * 100 >= q.q_pct * tot.n
+    ) WHERE rk = 1
+    ORDER BY q_pct
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-binned quantile sketch over order totals
+    (operators/sketches.log2_quantile_sketch): whole-bit bins (digit-
+    string log2, never libm) make the sketch a ≤64-row additive
+    histogram — the mergeability exact percentiles lack — and each
+    quantile reports its [2^b, 2^(b+1)) bracket: the HdrHistogram /
+    DDSketch trade at γ=2 so every step is integral. One partial-agged
+    shuffle; quantile selection on the broadcast bin frame. The oracle
+    rebuilds bins with DuckDB's bin() digit length and the same
+    cum·100 >= q·n cut."""
+    from ytsaurus_spark.operators.sketches import log2_quantile_sketch
+
+    cat = load_tables(spark, sf_dir)
+    # cast to BIGINT cents-free dollars: whole-dollar magnitude is the
+    # sketch's natural grain here
+    return log2_quantile_sketch(
+        cat.read("orders"), "o_totalprice", quantiles=(50, 90, 99)
+    )

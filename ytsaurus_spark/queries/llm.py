@@ -4543,3 +4543,66 @@ def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers(
         cat.read("embeddings"), k_num=3, k_den=2
     )
+
+
+
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shd AS (
+      SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh
+    ), rare AS (
+      SELECT s FROM (SELECT s, count(*) AS f FROM shd GROUP BY s)
+      WHERE f <= 10
+    ), blocked AS (
+      SELECT doc_id, shd.s FROM shd JOIN rare ON rare.s = shd.s
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocked a JOIN blocked b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY 1
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN shd x ON x.doc_id = c.doc_a
+      JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, inter, na.n AS n_a, nb.n AS n_b,
+           CAST(floor(CAST(inter AS DOUBLE) * 1e6
+                / CAST(least(na.n, nb.n) AS DOUBLE) + 0.5) AS BIGINT) / 1e6
+             AS containment_small
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE inter * 5 >= 4 * least(na.n, nb.n)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.containment_pairs):
+    pairs where the SMALLER shingle set is >=80% inside the larger —
+    the quote-page / expanded-repost case symmetric Jaccard misses.
+    Jaccard-LSH banding cannot surface these pairs (contained pairs
+    have near-zero Jaccard), so candidates come from RARE-SHINGLE
+    inverted-index blocking (shared shingle in <=10 docs — the cap
+    keeps the block join skew-free; a doc of only hot shingles is the
+    documented miss); only candidates re-join the distinct shingle
+    stream for the exact intersection, and the keep test is the
+    integer cross-compare inter*5 >= 4*min(|A|,|B|). The oracle
+    rebuilds shingles, blocking, candidates, and the verify."""
+    cat = load_tables(spark, sf_dir)
+    return dedup.containment_pairs(
+        cat.read("documents"), threshold_num=4, threshold_den=5
+    )
