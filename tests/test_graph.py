@@ -302,3 +302,29 @@ def test_modularity_trivial_partition_is_zero(spark):
     c_df = spark.createDataFrame(comm, "node bigint, label bigint")
     rows = modularity(e_df, c_df).collect()
     assert len(rows) == 1 and rows[0].modularity == 0.0
+
+
+def test_assortativity_star_is_negative(spark):
+    from ytsaurus_spark.operators.graph import assortativity
+
+    # Star graph: perfectly disassortative (r = -1).
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    r = assortativity(df).collect()[0]
+    assert r.n_edges == 5
+    assert r.r == -1.0
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from ytsaurus_spark.operators.graph import clustering_coefficient
+
+    # Complete graph K4: transitivity exactly 1.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "src bigint, dst bigint")
+    r = clustering_coefficient(df).collect()[0]
+    assert (r.n_triangles, r.n_wedges, r.coeff) == (4, 12, 1.0)
+    # Path graph: no triangles at all.
+    path = [(i, i + 1) for i in range(4)]
+    df2 = spark.createDataFrame(path, "src bigint, dst bigint")
+    r2 = clustering_coefficient(df2).collect()[0]
+    assert (r2.n_triangles, r2.coeff) == (0, 0.0)

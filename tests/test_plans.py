@@ -412,6 +412,8 @@ SCAN_BUDGETS = {
     "analytics_gini_revenue": 1,  # one customer shuffle + value-grain histogram
     "agg_quantile_sketch": 1,  # <=64-bin histogram; prefix sum + total share it
     "dedup_containment": 1,  # persisted distinct shingle stream: block + verify
+    "graph_assortativity": 2,  # lineitem self-join legs; sym persisted
+    "graph_clustering_coeff": 2,  # lineitem self-join legs; oriented list persisted
 }
 
 

@@ -612,3 +612,97 @@ def modularity(
         )
         .orderBy("label")
     )
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of the
+    endpoint degrees over all edge stubs — positive means hubs attach
+    to hubs (social-graph shape), negative means hubs attach to leaves
+    (star/bipartite shape). The one-number structural fingerprint next
+    to modularity.
+
+    Exactness: over the 2m directed stubs, the moment sums Σx, Σxx,
+    Σxy of the (deg_u, deg_v) pairs are exact BIGINTs (symmetric, so
+    Σy = Σx and Σyy = Σxx), and r combines them in one fixed double op
+    chain with a single half-up floor. Shape: degrees from one
+    aggregate of the persisted symmetric list, joined back onto the
+    stubs by each endpoint (two keyed joins), one moment aggregate.
+
+    Returns one row: (n_edges, r)."""
+    sym = _symmetrize(edges, src_col, dst_col)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
+    mo = (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n2"),
+            F.sum("dx").cast("long").alias("sx"),
+            F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        )
+    )
+    num = F.col("n2").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    den = F.col("n2").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    return mo.select(
+        (F.col("n2") / 2).cast("long").alias("n_edges"),
+        (
+            F.floor(num / den * 1e6 + F.lit(0.5)).cast("long") / F.lit(1e6)
+        ).alias("r"),
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global clustering coefficient (transitivity): C = 3·triangles /
+    wedges — how often two neighbors of a node are themselves
+    connected, the density fingerprint that separates community-rich
+    graphs from random ones.
+
+    Triangle counting reuses the degree-oriented wedge join (bounded
+    O(m^1.5)); the wedge denominator is the exact Σ_v deg(v)·(deg(v)−1)/2
+    from one degree aggregate. Both counts exact BIGINTs, one half-up
+    floor. Returns one row: (n_triangles, n_wedges, coeff)."""
+    tri = triangle_count(edges, src_col, dst_col)
+    n_tri = tri.agg(
+        (F.coalesce(F.sum("n_tri"), F.lit(0)) / 3).cast("long").alias("t")
+    )
+    sym = _symmetrize(edges, src_col, dst_col)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+    )
+    return (
+        n_tri.crossJoin(F.broadcast(wedges))
+        .select(
+            F.col("t").alias("n_triangles"),
+            F.col("w").alias("n_wedges"),
+            F.when(F.col("w") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.col("t").cast("double") * 3e6 / F.col("w").cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("coeff_micros"),
+        )
+        .select(
+            "n_triangles",
+            "n_wedges",
+            (F.col("coeff_micros") / F.lit(1e6)).alias("coeff"),
+        )
+    )

@@ -2129,3 +2129,76 @@ def analytics_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("gini"),
     )
+
+
+@register(
+    "graph_assortativity",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY u),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n2,
+             CAST(sum(du.deg) AS BIGINT) AS sx,
+             CAST(sum(du.deg * du.deg) AS BIGINT) AS sxx,
+             CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy
+      FROM sym
+      JOIN deg du ON du.node = sym.u
+      JOIN deg dv ON dv.node = sym.v
+    )
+    SELECT CAST(n2 / 2 AS BIGINT) AS n_edges,
+           CAST(floor((CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * 1e6 + 0.5) AS BIGINT) / 1e6 AS r
+    FROM mo
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph
+    (operators/graph.assortativity): Pearson correlation of endpoint
+    degrees over all 2m stubs — hubs-to-hubs vs hubs-to-leaves, the
+    structural fingerprint next to modularity. Moment sums are exact
+    BIGINTs (symmetry gives Σy = Σx); one fixed double op chain, one
+    half-up floor. Two keyed joins of the stub list against the degree
+    frame + one aggregate."""
+    from ytsaurus_spark.operators.graph import assortativity
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return assortativity(edges)
+
+
+@register(
+    "graph_clustering_coeff",
+    "WITH e AS ("
+    + _COPURCHASE_EDGES_SQL
+    + """),
+    tri AS (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tri),
+    sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+    wg AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg)
+    SELECT t AS n_triangles, w AS n_wedges,
+           CASE WHEN w = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(t AS DOUBLE) * 3e6 / CAST(w AS DOUBLE)
+                     + 0.5) AS BIGINT)
+           END / 1e6 AS coeff
+    FROM nt CROSS JOIN wg
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the co-purchase
+    graph (operators/graph.clustering_coefficient): 3·triangles/wedges.
+    Triangles reuse the degree-oriented O(m^1.5) wedge join; the wedge
+    denominator is one degree aggregate. The oracle counts the same
+    id-canonical triangles and Σ deg·(deg−1)/2."""
+    from ytsaurus_spark.operators.graph import clustering_coefficient
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return clustering_coefficient(edges)
