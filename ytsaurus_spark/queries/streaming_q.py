@@ -1029,3 +1029,69 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(rk_w).cast("int"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# --- streaming mergeable quantile sketch (windowed log2-bin histogram) -----
+
+@register(
+    "stream_quantile_sketch",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS win_start,
+           CASE WHEN CAST(round(value * 100) AS BIGINT) < 1 THEN -1
+                ELSE CAST(length(bin(CAST(round(value * 100) AS BIGINT))) - 1
+                     AS BIGINT)
+           END AS bin,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable quantile sketch: per tumbling hour, the
+    log2-binned value-cents histogram (operators/sketches.
+    log2_quantile_sketch's bin rule) maintained by Structured
+    Streaming's partial aggregation — THE property that makes the
+    sketch streamable: bins are additive, so incremental micro-batch
+    merges equal the batch histogram exactly (the oracle is the batch
+    twin). Whole-bit binning via digit-string length, never libm;
+    state per window is ≤64 bins. A quantile read at any time is the
+    bracket cut over the window's bins (agg_quantile_sketch's
+    selection)."""
+    import tempfile
+
+    load_tables(spark, sf_dir)
+    src = _events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    binc = F.when(cents < 1, F.lit(-1).cast("long")).otherwise(
+        (F.length(F.conv(cents.cast("string"), 10, 2)) - 1).cast("long")
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .withColumn("bin", binc)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("win_start"),
+            "bin",
+            "c",
+        )
+    )
+    name = "stream_quantile_sketch_out"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rows = spark.table(name).collect()
+    return spark.createDataFrame(rows, schema=spark.table(name).schema)
