@@ -1712,3 +1712,64 @@ def test_quantile_sketch_brackets_true_quantiles(spark, sf_dir):
         r = rows[q]
         assert r.lo <= true_q < r.hi  # the bracket contains the truth
         assert r.hi <= 2 * max(r.lo, 1)  # <=2x relative error guarantee
+
+
+def test_vocab_divergence_bits_identity(spark):
+    from ytsaurus_spark.operators.text import vocab_divergence
+    from pyspark.sql import functions as F
+
+    docs = [
+        ("alpha alpha alpha beta", 0),
+        ("alpha gamma gamma gamma gamma gamma gamma gamma", 1),
+    ]
+    df = spark.createDataFrame(docs, "text string, g int")
+    out = {r.token: r for r in vocab_divergence(
+        df, F.col("g"), top_k=10).collect()}
+    # Only 'alpha' appears in both groups: cnt_a=3 of 4, cnt_b=1 of 8.
+    assert set(out) == {"alpha"}
+    r = out["alpha"]
+    assert (r.cnt_a, r.cnt_b) == (3, 1)
+    # bits = floorlog2(total) - floorlog2(cnt): a: 2-1=1, b: 3-0=3.
+    assert (r.bits_a, r.bits_b, r.delta_bits) == (1, 3, -2)
+
+
+def test_kfold_split_deterministic_and_complete(spark, sf_dir):
+    from ytsaurus_spark.operators.curation import kfold_split
+    from ytsaurus_spark.catalog import load_tables
+
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    a = kfold_split(docs, k=5, strat_col="lang").collect()
+    b = kfold_split(docs, k=5, strat_col="lang").collect()
+    assert a == b  # rerun-stable
+    assert sum(r.n_rows for r in a) == docs.count()
+    assert {r.fold for r in a} <= set(range(5))
+
+
+def test_hard_negative_mining_shapes(spark):
+    from ytsaurus_spark.operators.similarity import hard_negative_mining
+
+    rows = []
+    for v in range(20):
+        lab = v % 2
+        vec = [((v * 7 + d * 3) % 11 - 5) / 5.0 for d in range(4)]
+        rows.append((v, vec, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    out = hard_negative_mining(df, n_negatives=3, stride=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    codes = {v: [round(x * 127) for x in vec] for v, vec, _ in rows}
+    labs = {v: l for v, _, l in rows}
+    for qv, items in by_q.items():
+        kinds = sorted((r.kind, r.rk) for r in items)
+        assert kinds == [("neg", 1), ("neg", 2), ("neg", 3), ("pos", 1)]
+        # the positive is the true same-label argmax
+        pos = next(r for r in items if r.kind == "pos")
+        best = max(
+            ((sum(a * b for a, b in zip(codes[qv], codes[c])), -c), c)
+            for c, _, _ in rows if c != qv and labs[c] == labs[qv]
+        )[1]
+        assert pos.c_id == best

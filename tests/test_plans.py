@@ -414,6 +414,9 @@ SCAN_BUDGETS = {
     "dedup_containment": 1,  # persisted distinct shingle stream: block + verify
     "graph_assortativity": 2,  # lineitem self-join legs; sym persisted
     "graph_clustering_coeff": 2,  # lineitem self-join legs; oriented list persisted
+    "text_vocab_divergence": 1,  # persisted (group, token) counts: totals + pivot
+    "curation_kfold_split": 1,  # pure projection + one audit aggregate
+    "sim_hard_negative_mining": 2,  # selective anchor slice + one candidate scan
 }
 
 

@@ -719,3 +719,36 @@ def filter_attrition(
         )
         .alias("fail_ppm"),
     ).orderBy("stage")
+
+
+def kfold_split(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    strat_col: str = None,
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation exports:
+    fold = int(md5(id)[:8], 16) % k — content-independent, engine-portable,
+    and stable under reshuffles/reruns (the property random() lacks),
+    computed in the scan projection with zero shuffles for the
+    assignment itself.
+
+    Returns the per-(fold[, strat]) audit frame the split gets reviewed
+    with: (fold[, strat], n_rows) — at 100 TB the assignment column is
+    free (pure projection) and only the audit aggregate exchanges."""
+    fold = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(k)
+    ).cast("int")
+    cols = [fold.alias("fold")]
+    group = ["fold"]
+    if strat_col:
+        cols.append(F.col(strat_col).alias("strat"))
+        group.append("strat")
+    return (
+        docs.select(*cols)
+        .groupBy(*group)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy(*group)
+    )

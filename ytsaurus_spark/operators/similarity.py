@@ -1713,3 +1713,77 @@ def embedding_outliers(
         )
         .orderBy("label")
     )
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    n_negatives: int = 3,
+    stride: int = 47,
+    quant: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor, the nearest
+    SAME-label neighbor (the positive) and the ``n_negatives`` nearest
+    DIFFERENT-label neighbors (the hard negatives — the pairs that
+    actually move a contrastive loss, vs easy random negatives).
+
+    One scored frame (exact BIGINT int8 dots — no float tie reaches the
+    windows), one rank window per (anchor, same-label?) slice. Anchors
+    broadcast; candidates never shuffle. At index scale the candidate
+    set comes from ivf_topk/ann buckets instead of the full corpus —
+    this is the exact baseline.
+
+    Returns (q_id, kind, rk, c_id, dot): kind 'pos' (rk 1) or 'neg'
+    (rk 1..n_negatives)."""
+    from pyspark.sql import Window as W
+
+    codes = F.expr(
+        f"transform({vec_col}, u -> CAST(round(u * {quant}) AS BIGINT))"
+    )
+    base = emb.select(
+        F.col(id_col), codes.alias("__codes"), F.col(label_col).alias("__lab")
+    )
+    q = base.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("q_id"),
+        F.col("__codes").alias("qc"),
+        F.col("__lab").alias("q_lab"),
+    )
+    c = base.select(
+        F.col(id_col).alias("c_id"),
+        F.col("__codes").alias("cc"),
+        F.col("__lab").alias("c_lab"),
+    )
+    dot = (
+        "aggregate(zip_with(qc, cc, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (F.col("c_lab") == F.col("q_lab")).alias("same"),
+            F.expr(dot).alias("dot"),
+        )
+    )
+    w = W.partitionBy("q_id", "same").orderBy(
+        F.col("dot").desc(), F.col("c_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.filter(
+            (F.col("same") & (F.col("rk") == 1))
+            | (~F.col("same") & (F.col("rk") <= n_negatives))
+        )
+        .select(
+            "q_id",
+            F.when(F.col("same"), "pos").otherwise("neg").alias("kind"),
+            F.col("rk").cast("int").alias("rk"),
+            "c_id",
+            "dot",
+        )
+        .orderBy("q_id", "kind", "rk")
+    )

@@ -1382,3 +1382,64 @@ def readability(
         )
         .orderBy("grp")
     )
+
+
+def vocab_divergence(
+    docs: DataFrame,
+    group_expr,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary drift between two corpus slices: per shared token, the
+    difference of whole-bit unigram surprisals — which words became
+    cheap/expensive between domains, the distribution-shift report a
+    train-mix change gets reviewed with.
+
+    Determinism discipline: surprisal is WHOLE bits via
+    ``floor(log2 n) = len(binary n) − 1`` on digit strings (the
+    established zipf/surprisal idiom — never libm), so every score is
+    an exact BIGINT and the top-k is an orderBy+limit (per-partition
+    heaps) with (|Δbits| desc, token) ordering. Shape: one (group,
+    token) partial-agged count, a 2-row totals broadcast, the pivot is
+    token-grain.
+
+    ``group_expr`` must evaluate to 0/1. Returns top_k rows:
+    (token, cnt_a, cnt_b, bits_a, bits_b, delta_bits)."""
+    words = docs.select(
+        group_expr.cast("int").alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    gc = words.groupBy("g", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    gc = gc.persist()  # totals + pivot share the (group, token) counts
+    piv = (
+        gc.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, F.col("c"))).alias("cnt_a"),
+            F.sum(F.when(F.col("g") == 1, F.col("c"))).alias("cnt_b"),
+        )
+        .filter(F.col("cnt_a").isNotNull() & F.col("cnt_b").isNotNull())
+    )
+    # totals over each group's FULL token mass (not just shared tokens):
+    # surprisal is relative to the group's distribution
+    tot = gc.agg(
+        F.sum(F.when(F.col("g") == 0, F.col("c"))).cast("long").alias("ta"),
+        F.sum(F.when(F.col("g") == 1, F.col("c"))).cast("long").alias("tb"),
+    )
+
+    def flog2(c):
+        return (F.length(F.conv(c.cast("string"), 10, 2)) - 1).cast("long")
+
+    scored = piv.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("token"),
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+        (flog2(F.col("ta")) - flog2(F.col("cnt_a"))).alias("bits_a"),
+        (flog2(F.col("tb")) - flog2(F.col("cnt_b"))).alias("bits_b"),
+    )
+    return (
+        scored.withColumn(
+            "delta_bits", (F.col("bits_a") - F.col("bits_b")).cast("long")
+        )
+        .orderBy(F.abs(F.col("delta_bits")).desc(), "token")
+        .limit(top_k)
+    )

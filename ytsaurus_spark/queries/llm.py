@@ -4606,3 +4606,121 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         cat.read("documents"), threshold_num=4, threshold_den=5
     )
+
+
+@register(
+    "text_vocab_divergence",
+    """
+    WITH words AS (
+      SELECT CAST(substr(source, 4) AS INT) % 2 AS g,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), gc AS (
+      SELECT g, w, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE length(w) > 0 GROUP BY g, w
+    ), piv AS (
+      SELECT w,
+             CAST(sum(CASE WHEN g = 0 THEN c END) AS BIGINT) AS cnt_a,
+             CAST(sum(CASE WHEN g = 1 THEN c END) AS BIGINT) AS cnt_b
+      FROM gc GROUP BY w
+      HAVING cnt_a IS NOT NULL AND cnt_b IS NOT NULL
+    ), tot AS (
+      SELECT CAST(sum(CASE WHEN g = 0 THEN c END) AS BIGINT) AS ta,
+             CAST(sum(CASE WHEN g = 1 THEN c END) AS BIGINT) AS tb
+      FROM gc
+    ), scored AS (
+      SELECT w AS token, cnt_a, cnt_b,
+             CAST((length(bin(ta)) - 1) - (length(bin(cnt_a)) - 1)
+                  AS BIGINT) AS bits_a,
+             CAST((length(bin(tb)) - 1) - (length(bin(cnt_b)) - 1)
+                  AS BIGINT) AS bits_b
+      FROM piv CROSS JOIN tot
+    )
+    SELECT token, cnt_a, cnt_b, bits_a, bits_b,
+           CAST(bits_a - bits_b AS BIGINT) AS delta_bits
+    FROM scored
+    ORDER BY abs(bits_a - bits_b) DESC, token
+    LIMIT 20
+    """,
+)
+def text_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between even- and odd-numbered sources
+    (operators/text.vocab_divergence): per shared token the whole-bit
+    surprisal delta — the distribution-shift report for a train-mix
+    change. Digit-string log2 (never libm), exact BIGINT scores,
+    orderBy+limit top-k. The oracle rebuilds both groups' counts and
+    the bit algebra with DuckDB's bin() digit length."""
+    cat = load_tables(spark, sf_dir)
+    return text.vocab_divergence(
+        cat.read("documents"),
+        F.expr("CAST(substr(source, 4) AS INT) % 2"),
+        top_k=20,
+    )
+
+
+@register(
+    "curation_kfold_split",
+    """
+    SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INT) AS fold,
+           lang AS strat,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def curation_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold audit
+    (operators/curation.kfold_split, k=5, stratified by lang): fold =
+    int(md5(id)[:8], 16) % k — content-independent and stable under
+    reruns, unlike random(); the assignment is a pure scan projection
+    and only the (fold, lang) audit aggregate exchanges. Both engines
+    parse the identical md5 hex prefix, so assignment is bit-equal."""
+    from ytsaurus_spark.operators.curation import kfold_split
+
+    cat = load_tables(spark, sf_dir)
+    return kfold_split(cat.read("documents"), k=5, strat_col="lang")
+
+
+@register(
+    "sim_hard_negative_mining",
+    """
+    WITH el AS (
+      SELECT vec_id, i - 1 AS i, CAST(round(u * 127) AS BIGINT) AS c
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), d AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+             CAST(sum(q.c * e.c) AS BIGINT) AS dot
+      FROM (SELECT * FROM el WHERE vec_id % 47 = 0) q
+      JOIN el e ON q.i = e.i AND e.vec_id <> q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    ), lab AS (SELECT vec_id, label FROM embeddings),
+    r AS (
+      SELECT d.q_id, d.c_id, d.dot,
+             (cl.label = ql.label) AS same,
+             row_number() OVER (PARTITION BY d.q_id, cl.label = ql.label
+                                ORDER BY dot DESC, c_id) AS rk
+      FROM d
+      JOIN lab cl ON cl.vec_id = d.c_id
+      JOIN lab ql ON ql.vec_id = d.q_id
+    )
+    SELECT q_id, CASE WHEN same THEN 'pos' ELSE 'neg' END AS kind,
+           CAST(rk AS INT) AS rk, c_id, dot
+    FROM r
+    WHERE (same AND rk = 1) OR (NOT same AND rk <= 3)
+    ORDER BY q_id, kind, rk
+    """,
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining
+    (operators/similarity.hard_negative_mining): per anchor the nearest
+    same-label positive + the 3 nearest different-label HARD negatives —
+    the pairs a contrastive loss actually learns from. Exact BIGINT
+    dots, one scored frame, rank windows per (anchor, same?) slice;
+    anchors broadcast. The oracle recomputes both slices' ranks."""
+    cat = load_tables(spark, sf_dir)
+    return similarity.hard_negative_mining(
+        cat.read("embeddings"), n_negatives=3, stride=47
+    )
