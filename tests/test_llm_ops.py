@@ -1773,3 +1773,27 @@ def test_hard_negative_mining_shapes(spark):
             for c, _, _ in rows if c != qv and labs[c] == labs[qv]
         )[1]
         assert pos.c_id == best
+
+
+def test_image_tile_stats_conserves_pixels(spark):
+    from ytsaurus_spark.operators.multimodal import (
+        extract_image_features,
+        image_tile_stats,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    media = synthesize_png(docs).persist()
+    tiles = image_tile_stats(media, grid=2).collect()
+    feats = {r.id: r for r in extract_image_features(media).collect()}
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for t in tiles:
+        agg[t.id][0] += t.n_px
+        agg[t.id][1] += t.sum_r
+    for rid, (n, sr) in agg.items():
+        f = feats[rid]
+        assert n == f.width * f.height  # every pixel in exactly one tile
+        assert round(sr / n, 4) == f.mean_r  # tile sums fold to the mean
+    assert all(len([t for t in tiles if t.id == rid]) == 4 for rid in agg)

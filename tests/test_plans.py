@@ -417,6 +417,7 @@ SCAN_BUDGETS = {
     "text_vocab_divergence": 1,  # persisted (group, token) counts: totals + pivot
     "curation_kfold_split": 1,  # pure projection + one audit aggregate
     "sim_hard_negative_mining": 2,  # selective anchor slice + one candidate scan
+    "mm_image_tile_stats": 1,  # one Arrow decode stage, zero shuffles
 }
 
 

@@ -16,6 +16,7 @@ from ytsaurus_spark.operators.multimodal import (
     extract_features,
     extract_image_features,
     frame_sample,
+    image_tile_stats,
     synthesize_png,
 )
 from ytsaurus_spark.queries import register
@@ -2214,3 +2215,55 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clips"),
         F.min("id").cast("long").alias("canonical_id"),
     )
+
+
+@register(
+    "mm_image_tile_stats",
+    """
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 3 AS w, 4 + doc_id % 2 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM g
+    ), pxy AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px
+    ), tiled AS (
+      SELECT doc_id,
+             CAST(least(x // ((w + 1) // 2), 1) AS INT) AS tile_x,
+             CAST(least(y // ((h + 1) // 2), 1) AS INT) AS tile_y,
+             (doc_id * 7 + x * 13 + y * 31) % 256 AS r,
+             (doc_id * 7 + x * 13 + y * 31 + 5) % 256 AS gg,
+             (doc_id * 7 + x * 13 + y * 31 + 10) % 256 AS b
+      FROM pxy
+    )
+    SELECT doc_id, tile_x, tile_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(gg) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM tiled
+    GROUP BY doc_id, tile_x, tile_y
+    ORDER BY doc_id, tile_x, tile_y
+    """,
+)
+def mm_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode + 2×2 tile mosaic statistics
+    (operators/multimodal.image_tile_stats): per-tile exact integer
+    channel sums — the ViT-style patch-grain pre-aggregation, with
+    ragged edge tiles keeping remainders so Σ tiles ≡ image. One
+    Arrow-batched mapInPandas stage over the stdlib PNG codec, zero
+    shuffles; the oracle recomputes every tile sum from the pixel
+    generating closed form, so a stride, filter, or tiling bug breaks
+    the hash."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    media = synthesize_png(docs)
+    tiles = image_tile_stats(media, grid=2)
+    return tiles.select(
+        F.col("id").alias("doc_id"),
+        "tile_x",
+        "tile_y",
+        "n_px",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    ).orderBy("doc_id", "tile_x", "tile_y")
