@@ -418,6 +418,8 @@ SCAN_BUDGETS = {
     "curation_kfold_split": 1,  # pure projection + one audit aggregate
     "sim_hard_negative_mining": 2,  # selective anchor slice + one candidate scan
     "mm_image_tile_stats": 1,  # one Arrow decode stage, zero shuffles
+    "eval_brier_score": 1,  # one scan, one 1-row aggregate
+    "analytics_seasonality_matrix": 1,  # one partial-agged <=168-cell matrix
 }
 
 

@@ -2202,3 +2202,39 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir)
     return clustering_coefficient(edges)
+
+
+@register(
+    "analytics_seasonality_matrix",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def analytics_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix — the seasonality
+    heatmap behind capacity planning and anomaly baselines. One scan,
+    one partial-agged shuffle to the ≤168-cell matrix; values in exact
+    cents (per-element BIGINT casts). Spark's dayofweek (1 = Sunday)
+    matches DuckDB's dayofweek+1, aligned explicitly in the oracle."""
+    cat = load_tables(spark, sf_dir)
+    return (
+        cat.read("events")
+        .groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .orderBy("dow", "hod")
+    )

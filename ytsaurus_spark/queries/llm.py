@@ -4724,3 +4724,66 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_mining(
         cat.read("embeddings"), n_negatives=3, stride=47
     )
+
+
+@register(
+    "eval_brier_score",
+    "WITH "
+    + _EVAL_FEATURES_SQL
+    + """
+    , b AS (
+      SELECT least(greatest(500 + sc // 1000, 0), 1000) AS cm,
+             CASE WHEN pos THEN 1000 ELSE 0 END AS y
+      FROM s
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((cm - y) * (cm - y)) AS BIGINT) AS se
+      FROM b
+    )
+    SELECT n, se AS sq_err_milli2,
+           CAST(floor(CAST(se AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+                AS BIGINT) / 1e6 AS brier
+    FROM mo
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the squashed quality-classifier confidence
+    against lang = 'en' — the proper scoring rule next to ECE
+    (calibration) and AUC (ranking). Confidence uses the same integral
+    linear squash as eval_calibration_ece but in MILLI-units, so the
+    squared-error sum stays an exact BIGINT at any corpus size
+    (max 1e6·n); one scan, one 1-row aggregate, a single half-up
+    floor. Brier = Σ(conf − y)²/n in milli² units scaled to [0, 1]."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    scored = text.classifier_score(docs, extra_cols=("lang",)).select(
+        F.round(F.col("quality_logit") * 10000).cast("long").alias("sc"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    b = scored.select(
+        F.least(
+            F.lit(1000).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.lit(500) + F.expr("sc div 1000")).cast("long"),
+            ),
+        ).alias("cm"),
+        F.when(F.col("pos"), 1000).otherwise(0).cast("long").alias("y"),
+    )
+    mo = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("cm") - F.col("y")) * (F.col("cm") - F.col("y")))
+        .cast("long")
+        .alias("se"),
+    )
+    return mo.select(
+        "n",
+        F.col("se").alias("sq_err_milli2"),
+        (
+            F.floor(
+                F.col("se").cast("double") / F.col("n").cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("brier"),
+    )
