@@ -53,6 +53,10 @@ SHOWCASE = {
     "sim_silhouette": "Centroid silhouette (round 6): one (label, dim) exact-BIGINT centroid aggregate broadcast back; corpus-grain work is a single N*d*L partial-agged aggregate — never point-point pairs.",
     "curation_filter_attrition": "Gate waterfall (round 6): 2*|gates| conditional sums in ONE aggregate over the integer-only rule projection; per-gate pivot on the single aggregate row.",
     "analytics_market_basket": "Association rules (round 6): persisted basket grain; pair candidates from the order-key self-join, support-filtered BEFORE the confidence/lift joins.",
+    "agg_quantile_sketch": "Mergeable log2 quantile sketch (round 6): <=64-bin additive histogram in one partial-agged exchange; bracket cut on the broadcast bin frame.",
+    "dedup_containment": "Containment dedup (round 6): rare-shingle inverted-index blocking (freq cap keeps the block join skew-free) + exact intersection verify on candidates only — Jaccard-LSH banding cannot surface these pairs.",
+    "sim_hard_negative_mining": "Contrastive pair mining (round 6): one exact-BIGINT-dot scored frame; per-(anchor, same-label?) rank windows; anchors broadcast.",
+    "mm_image_tile_stats": "Real decode + tile mosaic (round 6): single Arrow-batched mapInPandas stage, zero shuffles; exact integer tile sums.",
 }
 
 # Hand-written sketches for plans whose interesting part is not the
