@@ -420,6 +420,7 @@ SCAN_BUDGETS = {
     "mm_image_tile_stats": 1,  # one Arrow decode stage, zero shuffles
     "eval_brier_score": 1,  # one scan, one 1-row aggregate
     "analytics_seasonality_matrix": 1,  # one partial-agged <=168-cell matrix
+    "curation_fold_leakage": 1,  # one scan -> hash grain -> 1-row summary
 }
 
 

@@ -4787,3 +4787,61 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("brier"),
     )
+
+
+@register(
+    "curation_fold_leakage",
+    """
+    WITH f AS (
+      SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 5 AS INT) AS fold,
+             md5(text) AS th
+      FROM documents
+    ), g AS (
+      SELECT th,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT fold) AS BIGINT) AS n_folds
+      FROM f GROUP BY th
+    )
+    SELECT CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_groups,
+           CAST(sum(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaking_groups,
+           CAST(sum(CASE WHEN n_folds > 1 THEN n_copies ELSE 0 END)
+                AS BIGINT) AS leaking_docs,
+           CAST(count(*) AS BIGINT) AS distinct_texts
+    FROM g
+    """,
+)
+def curation_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval fold-leakage audit: exact-duplicate texts whose copies
+    land in MORE THAN ONE k-fold (curation.kfold_split's md5-prefix
+    assignment) — the classic contamination bug where a test fold
+    contains a training duplicate. One scan → (text-hash) grain with
+    count + distinct-fold count (both partial-aggable) → a 1-row
+    summary; the cure (dedup before splitting, or fold by content hash)
+    is one upstream operator swap. All counts exact."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    ).cast("int")
+    f = docs.select(fold.alias("fold"), F.md5("text").alias("th"))
+    g = f.groupBy("th").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct("fold").cast("long").alias("n_folds"),
+    )
+    return g.agg(
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_groups"),
+        F.sum(F.when(F.col("n_folds") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("leaking_groups"),
+        F.sum(F.when(F.col("n_folds") > 1, F.col("n_copies")).otherwise(0))
+        .cast("long")
+        .alias("leaking_docs"),
+        F.count(F.lit(1)).cast("long").alias("distinct_texts"),
+    )
