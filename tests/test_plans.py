@@ -421,6 +421,7 @@ SCAN_BUDGETS = {
     "eval_brier_score": 1,  # one scan, one 1-row aggregate
     "analytics_seasonality_matrix": 1,  # one partial-agged <=168-cell matrix
     "curation_fold_leakage": 1,  # one scan -> hash grain -> 1-row summary
+    "ql_recursive_cte": 3,  # successor edges + root anti-check + recursion seed
 }
 
 

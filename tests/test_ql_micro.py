@@ -156,3 +156,21 @@ def test_yson_any_access(spark):
         qf.try_get_int64(F.col("rest"), "/missing").alias("m"),
     ).collect()[0]
     assert (row.i, row.s, row.f, row.m) == (7, "x", 1.5, None)
+
+
+def test_recursive_cte_chain_invariants(spark, sf_dir):
+    """Each customer's chain visits one order per depth, so at every
+    depth n_orders == n_customers == #customers with >= depth orders."""
+    import duckdb
+
+    from ytsaurus_spark.queries.ql import ql_recursive_cte
+
+    rows = ql_recursive_cte(spark, sf_dir).collect()
+    assert all(r.n_orders == r.n_customers for r in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    per_cust = [n for (n,) in con.execute(
+        "SELECT count(*) FROM orders GROUP BY o_custkey").fetchall()]
+    for r in rows:
+        assert r.n_customers == sum(1 for n in per_cust if n >= r.depth)
+    assert max(r.depth for r in rows) == max(per_cust)

@@ -724,3 +724,47 @@ def ql_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cat.read("supplier").select(F.col("s_nationkey").alias("k"))
     d = cat.read("nation").select(F.col("n_regionkey").alias("k"))
     return a.intersectAll(b).unionByName(c.exceptAll(d))
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE nxt AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS next_k
+      FROM orders
+    ), firsts AS (
+      SELECT k, c FROM (
+        SELECT k, c,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY k) AS rn
+        FROM nxt
+        WHERE k NOT IN (SELECT next_k FROM nxt WHERE next_k IS NOT NULL)
+      ) WHERE rn = 1
+    ), chain(k, c, depth) AS (
+      SELECT k, c, 1 FROM firsts
+      UNION ALL
+      SELECT nxt.next_k, chain.c, chain.depth + 1
+      FROM chain JOIN nxt ON nxt.k = chain.k AND nxt.c = chain.c
+      WHERE nxt.next_k IS NOT NULL
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_customers
+    FROM chain
+    GROUP BY depth
+    ORDER BY depth
+    """
+
+
+@register("ql_recursive_cte", _RECURSIVE_SQL)
+def ql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4's SQL:1999 recursion —
+    YQL's recursive-select parity): walk each customer's order chain
+    from the first order via lead() successor edges, counting orders
+    and customers at every depth. The recursion is a per-customer
+    linear DAG (lead edges, no cycles), so UNION ALL iteration
+    terminates at max-orders-per-customer; both engines run the
+    IDENTICAL recursive text. Depth-grain output is bounded by the
+    deepest customer."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
