@@ -422,6 +422,7 @@ SCAN_BUDGETS = {
     "analytics_seasonality_matrix": 1,  # one partial-agged <=168-cell matrix
     "curation_fold_leakage": 1,  # one scan -> hash grain -> 1-row summary
     "ql_recursive_cte": 3,  # successor edges + root anti-check + recursion seed
+    "ql_lateral_join": 2,  # decorrelation duplicates the outer side (count-bug rewrite: empty groups must yield 0)
 }
 
 

@@ -768,3 +768,32 @@ def ql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     deepest customer."""
     load_tables(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c_custkey, c_mktsegment, l.top_key, l.top_cents, l.n_big
+    FROM customer,
+    LATERAL (
+      SELECT min(o_orderkey) AS top_key,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS top_cents,
+             CAST(count(*) AS BIGINT) AS n_big
+      FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 200000
+    ) l
+    WHERE l.n_big >= 3
+    """
+
+
+@register("ql_lateral_join", _LATERAL_SQL)
+def ql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4's SQL-standard lateral
+    join — YQL's correlated-subselect parity): per customer, an
+    aggregate over THAT customer's big orders, filtered on the lateral
+    result. Catalyst decorrelates this into a keyed aggregate + join —
+    no per-row re-execution; the COUNT over possibly-empty groups makes
+    the rewrite read the outer side twice (the standard count-bug
+    handling), which the scan-budget gate pins honestly at 2. Both
+    engines run the identical lateral text."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
