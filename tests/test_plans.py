@@ -423,6 +423,7 @@ SCAN_BUDGETS = {
     "curation_fold_leakage": 1,  # one scan -> hash grain -> 1-row summary
     "ql_recursive_cte": 3,  # successor edges + root anti-check + recursion seed
     "ql_lateral_join": 2,  # decorrelation duplicates the outer side (count-bug rewrite: empty groups must yield 0)
+    "analytics_price_volume_waterfall": 1,  # one fact shuffle to (brand, year); dims broadcast
 }
 
 

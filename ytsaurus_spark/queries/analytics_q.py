@@ -2238,3 +2238,106 @@ def analytics_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "analytics_price_volume_waterfall",
+    """
+    WITH yr AS (
+      SELECT p_brand AS brand,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS BIGINT) AS rev_tt
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), piv AS (
+      SELECT brand,
+             CAST(sum(CASE WHEN y = 1996 THEN qty END) AS BIGINT) AS qty1,
+             CAST(sum(CASE WHEN y = 1997 THEN qty END) AS BIGINT) AS qty2,
+             CAST(sum(CASE WHEN y = 1996 THEN rev_tt END) AS BIGINT)
+               AS rev1_tt,
+             CAST(sum(CASE WHEN y = 1997 THEN rev_tt END) AS BIGINT)
+               AS rev2_tt
+      FROM yr GROUP BY brand
+      HAVING qty1 IS NOT NULL AND qty2 IS NOT NULL
+    )
+    SELECT brand, qty1, qty2, rev1_tt, rev2_tt,
+           CAST(rev2_tt - rev1_tt AS BIGINT) AS delta_tt,
+           CAST(floor((CAST(rev2_tt AS DOUBLE) / CAST(qty2 AS DOUBLE)
+                       - CAST(rev1_tt AS DOUBLE) / CAST(qty1 AS DOUBLE))
+                * CAST(qty2 AS DOUBLE) + 0.5) AS BIGINT) AS price_eff_tt,
+           CAST(floor(CAST(qty2 - qty1 AS DOUBLE)
+                * (CAST(rev1_tt AS DOUBLE) / CAST(qty1 AS DOUBLE)) + 0.5)
+                AS BIGINT) AS volume_eff_tt
+    FROM piv
+    ORDER BY brand
+    """,
+)
+def analytics_price_volume_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue-change decomposition per brand (1996→1997):
+    the price/volume waterfall — price effect (unit-revenue change at
+    new volume) + volume effect (volume change at old unit revenue) —
+    the classic variance-analysis report. Revenue carries as exact
+    ten-thousandths; delta is exact; the two effects are single fixed
+    double op chains with one half-up floor each (the unit-revenue
+    division is the only non-integer step, identical on both engines).
+    One fact shuffle to (brand, year), dims broadcast."""
+    cat = load_tables(spark, sf_dir)
+    li = cat.read("lineitem")
+    o = cat.read("orders")
+    p = cat.read("part")
+    yr = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("int").alias("y"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev_tt"),
+        )
+    )
+    piv = (
+        yr.groupBy("brand")
+        .agg(
+            F.sum(F.when(F.col("y") == 1996, F.col("qty"))).cast("long").alias("qty1"),
+            F.sum(F.when(F.col("y") == 1997, F.col("qty"))).cast("long").alias("qty2"),
+            F.sum(F.when(F.col("y") == 1996, F.col("rev_tt"))).cast("long").alias("rev1_tt"),
+            F.sum(F.when(F.col("y") == 1997, F.col("rev_tt"))).cast("long").alias("rev2_tt"),
+        )
+        .filter(F.col("qty1").isNotNull() & F.col("qty2").isNotNull())
+    )
+    r1 = F.col("rev1_tt").cast("double") / F.col("qty1").cast("double")
+    r2 = F.col("rev2_tt").cast("double") / F.col("qty2").cast("double")
+    return piv.select(
+        "brand",
+        "qty1",
+        "qty2",
+        "rev1_tt",
+        "rev2_tt",
+        (F.col("rev2_tt") - F.col("rev1_tt")).cast("long").alias("delta_tt"),
+        F.floor((r2 - r1) * F.col("qty2").cast("double") + F.lit(0.5))
+        .cast("long")
+        .alias("price_eff_tt"),
+        F.floor(
+            (F.col("qty2") - F.col("qty1")).cast("double") * r1 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("volume_eff_tt"),
+    ).orderBy("brand")
