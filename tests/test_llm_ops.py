@@ -1797,3 +1797,30 @@ def test_image_tile_stats_conserves_pixels(spark):
         assert n == f.width * f.height  # every pixel in exactly one tile
         assert round(sr / n, 4) == f.mean_r  # tile sums fold to the mean
     assert all(len([t for t in tiles if t.id == rid]) == 4 for rid in agg)
+
+
+def test_boilerplate_line_stats_multiline(spark):
+    from ytsaurus_spark.operators.text import boilerplate_line_stats
+
+    footer = "subscribe to our newsletter"
+    docs = [
+        (1, f"real content one\n{footer}", "en"),
+        (2, f"real content two\n{footer}\nmore text", "en"),
+        (3, f"unique stuff\n{footer}", "fr"),
+        (4, "nothing shared here\nat all", "fr"),
+        (5, f"{footer}\n{footer}", "en"),  # repeated inside one doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    out = {r.lang: r for r in boilerplate_line_stats(df, min_df=3).collect()}
+    # footer appears in 4 DISTINCT docs -> boilerplate at min_df=3.
+    en = out["en"]
+    assert (en.n_docs, en.n_docs_affected) == (3, 3)
+    # doc 5 contributes TWO instances (both copies stripped).
+    assert en.boilerplate_instances == 4
+    assert en.chars_removed == 4 * len(footer)
+    fr = out["fr"]
+    assert (fr.n_docs, fr.n_docs_affected) == (2, 1)
+    assert fr.boilerplate_instances == 1
+    # raising the bar excludes it
+    out2 = {r.lang: r for r in boilerplate_line_stats(df, min_df=5).collect()}
+    assert all(r.boilerplate_instances == 0 for r in out2.values())

@@ -424,6 +424,7 @@ SCAN_BUDGETS = {
     "ql_recursive_cte": 3,  # successor edges + root anti-check + recursion seed
     "ql_lateral_join": 2,  # decorrelation duplicates the outer side (count-bug rewrite: empty groups must yield 0)
     "analytics_price_volume_waterfall": 1,  # one fact shuffle to (brand, year); dims broadcast
+    "curation_boilerplate_lines": 1,  # persisted line stream: df count + removal scan
 }
 
 

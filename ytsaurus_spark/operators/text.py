@@ -1443,3 +1443,65 @@ def vocab_divergence(
         .orderBy(F.abs(F.col("delta_bits")).desc(), "token")
         .limit(top_k)
     )
+
+
+def boilerplate_line_stats(
+    docs: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Boilerplate-line removal report (the CCNet/RefinedWeb frequent-
+    line filter): a line occurring in at least ``min_df`` distinct
+    documents is boilerplate (headers, footers, cookie banners); report
+    per group how many documents are affected and how much text the
+    filter would strip.
+
+    Shape: lines explode once; the (doc, line) stream dedupes to
+    distinct pairs for the document-frequency count (partial-aggable);
+    the boilerplate line set is the df-filtered frame (small — hot
+    lines by construction) and broadcasts back onto the per-doc line
+    stream, so the corpus crosses one line-grain exchange and one
+    group-grain aggregate. All counts exact BIGINTs.
+
+    Returns per group: (group, n_docs, n_docs_affected,
+    boilerplate_instances, chars_removed)."""
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.length("line") > 0).persist()  # df count + removal scan
+    df_t = (
+        lines.select("__id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line")
+    )
+    flagged = lines.join(
+        F.broadcast(df_t.withColumn("__bp", F.lit(1))), "line", "left"
+    )
+    per_doc = flagged.groupBy("__id", "grp").agg(
+        F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bp"),
+        F.sum(
+            F.when(F.col("__bp").isNotNull(), F.length("line")).otherwise(0)
+        )
+        .cast("long")
+        .alias("bp_chars"),
+    )
+    return (
+        per_doc.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_bp") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.sum("n_bp").cast("long").alias("boilerplate_instances"),
+            F.sum("bp_chars").cast("long").alias("chars_removed"),
+        )
+        .orderBy(group_col)
+    )

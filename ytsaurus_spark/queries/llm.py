@@ -4845,3 +4845,53 @@ def curation_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("leaking_docs"),
         F.count(F.lit(1)).cast("long").alias("distinct_texts"),
     )
+
+
+@register(
+    "curation_boilerplate_lines",
+    """
+    WITH lines AS (
+      SELECT doc_id, lang, unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), l2 AS (
+      SELECT doc_id, lang, line FROM lines WHERE length(line) > 0
+    ), bp AS (
+      SELECT line FROM (
+        SELECT line, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, line FROM l2)
+        GROUP BY line
+      ) WHERE df >= 2
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             CAST(sum(CASE WHEN bp.line IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bp,
+             CAST(sum(CASE WHEN bp.line IS NOT NULL THEN length(l2.line)
+                           ELSE 0 END) AS BIGINT) AS bp_chars
+      FROM l2 LEFT JOIN bp ON bp.line = l2.line
+      GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_bp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_affected,
+           CAST(sum(n_bp) AS BIGINT) AS boilerplate_instances,
+           CAST(sum(bp_chars) AS BIGINT) AS chars_removed
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def curation_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-line boilerplate report (the CCNet/RefinedWeb line
+    filter — operators/text.boilerplate_line_stats, min_df=2): lines
+    shared by ≥2 distinct documents are headers/footers/banners; report
+    per language how many documents the filter touches and the exact
+    character mass it strips. The fixture's single-line docs make this
+    degenerate to exact-duplicate mass at this SF (the multi-line
+    mechanics — per-line df, broadcast boilerplate set, removal scan —
+    are pinned by the unit test on a synthetic multi-line corpus); the
+    plan shape is the production one: one line-grain exchange + one
+    group aggregate."""
+    cat = load_tables(spark, sf_dir)
+    return text.boilerplate_line_stats(
+        cat.read("documents"), min_df=2, group_col="lang"
+    )
