@@ -57,6 +57,10 @@ SHOWCASE = {
     "dedup_containment": "Containment dedup (round 6): rare-shingle inverted-index blocking (freq cap keeps the block join skew-free) + exact intersection verify on candidates only — Jaccard-LSH banding cannot surface these pairs.",
     "sim_hard_negative_mining": "Contrastive pair mining (round 6): one exact-BIGINT-dot scored frame; per-(anchor, same-label?) rank windows; anchors broadcast.",
     "mm_image_tile_stats": "Real decode + tile mosaic (round 6): single Arrow-batched mapInPandas stage, zero shuffles; exact integer tile sums.",
+    "ql_recursive_cte": "WITH RECURSIVE (round 6): Spark 4 native recursion over per-customer successor chains — the UnionLoop iterates to the deepest chain; both engines run the identical recursive text.",
+    "ql_lateral_join": "LATERAL correlated aggregate (round 6): Catalyst decorrelates to one keyed aggregate + join; the COUNT-over-empty-groups rewrite reads the outer side twice (budget pinned at 2 with the reason).",
+    "analytics_price_volume_waterfall": "Price/volume waterfall (round 6): one fact shuffle to (brand, year), dims broadcast; effects are single double-division chains over exact ten-thousandth sums.",
+    "curation_boilerplate_lines": "Frequent-line filter (round 6): persisted line stream feeds the distinct-df count and the removal scan; the hot-line set broadcasts back.",
 }
 
 # Hand-written sketches for plans whose interesting part is not the
