@@ -22,34 +22,15 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ytsaurus_spark.plans import unpartitioned_window_count
+from ytsaurus_spark.plans import (
+    ALLOWED_GLOBAL_WINDOWS,
+    plan_audit_findings,
+)
 from ytsaurus_spark.queries import all_queries
 from ytsaurus_spark.session import get_spark
 
 
 GLOBAL_WINDOW = "global window(s)"
-
-
-def audit(df):
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    findings = []
-    n_global = unpartitioned_window_count(df)
-    if n_global:
-        findings.append(f"{n_global} {GLOBAL_WINDOW}")
-    n_cart = plan.count("CartesianProduct")
-    if n_cart:
-        findings.append(f"{n_cart} CartesianProduct")
-    return findings
-
-
-# Documented exceptions: global windows whose INPUT is dim-sized by
-# construction, kept because they demonstrate the window surface itself.
-# Anything fact-scale must use the histogram/prefix_sum decomposition
-# (see agg_histogram_equidepth, analytics_customer_deciles, length_buckets).
-ALLOWED_GLOBAL_WINDOWS = {
-    "win_ranks": "window-surface demo over the 2k-row part dim",
-    "win_range_frame": "RANGE-frame demo over the part dim",
-}
 
 
 def main() -> int:
@@ -62,7 +43,7 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
-            findings = audit(df)
+            findings = plan_audit_findings(df)
         except Exception:
             print(f"ERROR {name}")
             traceback.print_exc(limit=2)

@@ -496,9 +496,11 @@ def kcore(
     measured in the last peel's input subgraph (the round-``rounds``
     degree that justified keeping the node), matching the unrolled
     oracle CTEs round for round."""
+    if rounds < 1:
+        raise ValueError(f"kcore requires rounds >= 1, got {rounds}")
     sym = _symmetrize(edges, src_col, dst_col).persist()
     alive = sym.select(F.col("u").alias("node")).distinct()
-    out = None
+    out = prev = None
     for _ in range(rounds):
         au = alive.select(F.col("node").alias("u"))
         av = alive.select(F.col("node").alias("v"))
@@ -509,6 +511,10 @@ def kcore(
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
         out = deg.filter(F.col("deg") >= k).persist()
+        out.count()  # materialize before dropping the prior round's cache
+        if prev is not None:
+            prev.unpersist()
+        prev = out
         alive = out.select("node")
     return out.select("node", "deg")
 
@@ -657,7 +663,12 @@ def assortativity(
     ).cast("double") * F.col("sx").cast("double")
     return mo.select(
         (F.col("n2") / 2).cast("long").alias("n_edges"),
-        (
+        # regular graphs (all endpoint degrees equal) have zero degree
+        # variance — r is undefined, not NaN; same guard discipline as
+        # clustering_coefficient's w == 0 branch
+        F.when(
+            den == 0, F.lit(None).cast("double")
+        ).otherwise(
             F.floor(num / den * 1e6 + F.lit(0.5)).cast("long") / F.lit(1e6)
         ).alias("r"),
     )

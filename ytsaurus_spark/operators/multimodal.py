@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -91,10 +92,16 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
         for pdf in batches:
             media = pdf["media"]
             if deterministic_fake:
+                # vectorized byte stats: np.frombuffer views the payload
+                # without copying; per-byte Python loops are ~50x slower
                 n_bytes = media.map(len)
-                byte_sum = media.map(lambda b: sum(b) % 997)
+                byte_sum = media.map(
+                    lambda b: int(np.frombuffer(b, np.uint8).sum()) % 997
+                )
                 first_bin = media.map(
-                    lambda b: sum(1 for x in b[:256] if x < 64)
+                    lambda b: int(
+                        (np.frombuffer(b[:256], np.uint8) < 64).sum()
+                    )
                 )
             else:  # pragma: no cover - requires codec libs
                 raise NotImplementedError("real decode path not available")

@@ -1473,6 +1473,13 @@ def labeled_ndcg_at_k(
     queries broadcast, candidates never shuffle, rank window per query.
 
     Returns (label, n_queries, mean_ndcg) per query label."""
+    if not 1 <= k <= len(NDCG_W_MICROS):
+        raise ValueError(
+            f"labeled_ndcg_at_k supports k in [1, {len(NDCG_W_MICROS)}] "
+            "(the precomputed literal discount table); extend "
+            "NDCG_W_MICROS with round(1e6 / log2(r + 1)) literals for "
+            f"larger k, got k={k}"
+        )
     from pyspark.sql import Window as W
 
     codes = F.expr(
@@ -1582,6 +1589,13 @@ def labeled_mrr_at_k(
     as labeled_ndcg_at_k.
 
     Returns (label, n_queries, mean_mrr)."""
+    if not 1 <= k <= len(MRR_W_MICROS):
+        raise ValueError(
+            f"labeled_mrr_at_k supports k in [1, {len(MRR_W_MICROS)}] "
+            "(the precomputed literal reciprocal table); extend "
+            "MRR_W_MICROS with round(1e6 / r) literals for larger k, "
+            f"got k={k}"
+        )
     from pyspark.sql import Window as W
 
     codes = F.expr(

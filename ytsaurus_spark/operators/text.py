@@ -1020,9 +1020,13 @@ def bm25_topk(
             + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
         )
     )
+    # restrict the document-frequency table to query terms BEFORE
+    # broadcasting: df_t is vocabulary-sized, but only the query terms'
+    # postings matter, so the broadcast payload is |query terms| rows
+    # (q_id, tok, df), never the whole term dictionary
+    qdf = df_t.join(F.broadcast(qterms), "tok")
     matched = (
-        tf.join(F.broadcast(qterms), "tok")
-        .join(F.broadcast(df_t), "tok")
+        tf.join(F.broadcast(qdf), "tok")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
     )

@@ -359,11 +359,20 @@ def lag_corr(
     return with_m.select("lag", "n", "num", "dx", "dy", r.alias("r"))
 
 
+def _join_small(df: DataFrame, small: DataFrame, keys: list) -> DataFrame:
+    """Attach a per-key (or global 1-row) aggregate frame: broadcast
+    equi-join when keyed, broadcast cross join for the scalar case."""
+    if keys:
+        return df.join(F.broadcast(small), keys)
+    return df.crossJoin(F.broadcast(small))
+
+
 def seasonal_decompose(
     daily: DataFrame,
     period: int = 7,
     day_col: str = "d",
     x_col: str = "x",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Classical additive seasonal decomposition of one integer-valued
     daily series: trend = centered ``period``-day moving average,
@@ -379,17 +388,28 @@ def seasonal_decompose(
     identical operand association in any engine. Odd ``period`` assumed
     (centered window is symmetric).
 
-    Scale shape: the input is an aggregate-sized daily frame, so the
-    unpartitioned ORDER BY ``day_col`` window is a deliberate
-    single-partition pass over per-day rows, not corpus rows (partition
-    by series key for the multi-key variant); the phase means are a
-    ``period``-row broadcast join."""
+    Input contract — CONTIGUOUS day grid (per key): the centered window
+    is ROW-based, so a gap in ``day_col`` silently stretches the
+    "``period``-day" span across the missing days (the count==period
+    completeness check counts rows, not calendar days). Gap-fill with
+    ``gap_fill`` first if the series can have holes.
+
+    Scale shape: with ``key_col`` set (the production form) every window
+    PARTITIONS by the series key and the phase means group by
+    (key, phase) — the plan is per-series parallel with no global
+    window, so it scales to any number of series. Without a key the
+    single-series form keeps a deliberate unpartitioned window whose
+    input contract is an already-aggregated daily frame (per-day rows,
+    not corpus rows); the phase means are a ``period``-row broadcast
+    join either way."""
     if period % 2 == 0:
         raise ValueError("seasonal_decompose requires an odd period "
                          "(centered window must be symmetric)")
     half = period // 2
-    w = W.orderBy(day_col).rowsBetween(-half, half)
+    keys = [key_col] if key_col else []
+    w = W.partitionBy(*keys).orderBy(day_col).rowsBetween(-half, half)
     base = daily.select(
+        *keys,
         F.col(day_col).alias("d"),
         F.col(x_col).alias("x"),
         (F.col(day_col) % period).alias("phase"),
@@ -402,7 +422,7 @@ def seasonal_decompose(
         (F.lit(period) * F.col("x") - F.col("trend_p")).cast("long"),
     ).persist()  # phase means + final projection both read it
     phase_means = base.filter(F.col("detr_p").isNotNull()).groupBy(
-        "phase"
+        *keys, "phase"
     ).agg(
         (
             F.sum("detr_p").cast("double")
@@ -410,8 +430,9 @@ def seasonal_decompose(
         ).alias("s_p")
     )
     return (
-        base.join(F.broadcast(phase_means), "phase", "left")
+        base.join(F.broadcast(phase_means), keys + ["phase"], "left")
         .select(
+            *keys,
             "d",
             "x",
             F.col("phase").cast("int").alias("phase"),
@@ -433,6 +454,7 @@ def cusum_changepoint(
     daily: DataFrame,
     day_col: str = "d",
     x_col: str = "x",
+    key_col: str | None = None,
 ) -> DataFrame:
     """CUSUM changepoint localization over one integer-valued daily
     series: the cumulative sum of n-scaled deviations ``dev_k = n·x_k −
@@ -446,26 +468,32 @@ def cusum_changepoint(
     changepoint; cusum returns to exactly 0 on the last row by
     construction — a built-in checksum).
 
-    Scale shape: input is the aggregate-sized per-day frame (one corpus
-    shuffle upstream); the unpartitioned cumulative window deliberately
-    sorts day-grain rows only — partition by series key for the
-    multi-metric variant. BIGINT bound: n·Σ|x| < 2^63."""
+    Scale shape: with ``key_col`` set (the production multi-metric
+    form) the totals group by key and BOTH windows partition by it —
+    per-series parallel, no global window, any number of series. The
+    keyless form keeps a deliberate unpartitioned cumulative window
+    whose input contract is the aggregate-sized per-day frame (one
+    corpus shuffle upstream). BIGINT bound: n·Σ|x| < 2^63."""
+    keys = [key_col] if key_col else []
     daily = daily.persist()  # totals + the cusum pass both read it
-    tot = daily.agg(
+    tot = daily.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x_col).cast("long").alias("s"),
     )
-    w = W.orderBy(day_col).rowsBetween(W.unboundedPreceding, 0)
+    w = W.partitionBy(*keys).orderBy(day_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
     c = (
-        daily.crossJoin(F.broadcast(tot))
+        _join_small(daily, tot, keys)
         .withColumn(
             "dev",
             (F.col("n") * F.col(x_col) - F.col("s")).cast("long"),
         )
         .withColumn("cusum", F.sum("dev").over(w).cast("long"))
     )
-    rk = W.orderBy(F.abs(F.col("cusum")).desc(), day_col)
+    rk = W.partitionBy(*keys).orderBy(F.abs(F.col("cusum")).desc(), day_col)
     return c.select(
+        *keys,
         F.col(day_col).alias("d"),
         F.col(x_col).alias("x"),
         "dev",
@@ -479,6 +507,7 @@ def rolling_median(
     window: int = 7,
     day_col: str = "d",
     x_col: str = "x",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Centered rolling median over one integer-valued daily series —
     the robust smoother (median filters shrug off the spikes that wreck
@@ -487,16 +516,24 @@ def rolling_median(
     (collect_list → sort_array → middle element), never interpolation,
     so the output is an exact BIGINT on any engine.
 
-    Scale shape: the input is the aggregate-sized per-day frame; the
-    unpartitioned ORDER BY window sorts day-grain rows (partition by
-    series key for the multi-key variant); per-row state is the
-    ``window``-element list — bounded, in-row."""
+    Input contract — CONTIGUOUS day grid (per key): the window is
+    ROW-based, so day gaps stretch the span across missing days
+    (count==window checks rows, not days); ``gap_fill`` first if the
+    series can have holes.
+
+    Scale shape: with ``key_col`` set the window PARTITIONS by the
+    series key — per-series parallel, no global window. The keyless
+    form's unpartitioned ORDER BY window sorts day-grain rows only
+    (aggregate-sized input contract); per-row state is the
+    ``window``-element list — bounded, in-row, either way."""
     if window % 2 == 0:
         raise ValueError("rolling_median requires an odd window "
                          "(element-selection median, no interpolation)")
     half = window // 2
-    w = W.orderBy(day_col).rowsBetween(-half, half)
+    keys = [key_col] if key_col else []
+    w = W.partitionBy(*keys).orderBy(day_col).rowsBetween(-half, half)
     return daily.select(
+        *keys,
         F.col(day_col).alias("d"),
         F.col(x_col).alias("x"),
         F.when(
@@ -611,6 +648,7 @@ def theilsen_trend(
     daily: DataFrame,
     x_col: str = "d",
     y_col: str = "x",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Theil–Sen robust trend estimate over a (small) aggregated series:
     the median of all pairwise slopes (y_j − y_i)/(x_j − x_i), i < j —
@@ -626,14 +664,29 @@ def theilsen_trend(
     (x_i, x_j) pair key, then the intercept is the median-of-residuals
     b = lower-median(y − slope·x) computed the same way.
 
-    Returns one row: (n_points, n_pairs, slope, intercept)."""
+    Returns one row (per key with ``key_col`` set): (n_points, n_pairs,
+    slope, intercept). With ``key_col`` the pair join adds a key
+    equi-condition and BOTH median-rank windows partition by the key —
+    per-series parallel, no global window (the production multi-series
+    form); the keyless form keeps the bounded single-grid contract."""
     from pyspark.sql import Window as W
 
+    keys = [key_col] if key_col else []
     daily = daily.persist()  # both pair-join legs, the residual pass, and
     # the count all re-read the (small) grid frame
-    a = daily.select(F.col(x_col).alias("xi"), F.col(y_col).alias("yi"))
-    b = daily.select(F.col(x_col).alias("xj"), F.col(y_col).alias("yj"))
-    pairs = a.join(b, F.col("xi") < F.col("xj")).select(
+    a = daily.select(
+        *keys, F.col(x_col).alias("xi"), F.col(y_col).alias("yi")
+    )
+    b = daily.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col(x_col).alias("xj"),
+        F.col(y_col).alias("yj"),
+    )
+    cond = F.col("xi") < F.col("xj")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    pairs = a.join(b, cond).select(
+        *keys,
         "xi",
         "xj",
         (
@@ -641,15 +694,18 @@ def theilsen_trend(
             / (F.col("xj") - F.col("xi")).cast("double")
         ).alias("slope"),
     ).persist()  # pair frame (grid-bounded); count + rank share it
-    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    w = W.orderBy("slope", "xi", "xj")
+    np_ = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w = W.partitionBy(*keys).orderBy("slope", "xi", "xj")
     med_slope = (
-        pairs.crossJoin(F.broadcast(np_))
+        _join_small(pairs, np_, keys)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
-        .select("slope", "n_pairs")
+        .select(*keys, "slope", "n_pairs")
     )
-    resid = daily.crossJoin(F.broadcast(med_slope)).select(
+    resid = _join_small(daily, med_slope, keys).select(
+        *keys,
         "n_pairs",
         "slope",
         (F.col(y_col).cast("double") - F.col("slope") * F.col(x_col).cast("double")).alias(
@@ -657,13 +713,16 @@ def theilsen_trend(
         ),
         F.col(x_col).alias("xx"),
     )
-    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
-    wr = W.orderBy("r", "xx")
+    nn = daily.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    wr = W.partitionBy(*keys).orderBy("r", "xx")
     return (
-        resid.crossJoin(F.broadcast(nn))
+        _join_small(resid, nn, keys)
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") == F.floor((F.col("n_points") + 1) / 2))
         .select(
+            *keys,
             "n_points",
             "n_pairs",
             (F.floor(F.col("slope") * 1e6 + F.lit(0.5)).cast("long") / F.lit(1e6)).alias("slope"),
@@ -676,6 +735,7 @@ def binary_segmentation(
     daily: DataFrame,
     x_col: str = "d",
     y_col: str = "x",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Two-level binary segmentation for multiple changepoints: the
     level-1 CUSUM peak splits the series, then each half runs its own
@@ -690,38 +750,44 @@ def binary_segmentation(
     INPUT CONTRACT: ``daily`` is an already-aggregated grid frame
     (corpus reduces upstream), persisted here for the two passes.
 
-    Returns one row per (level, segment): (level, seg, seg_lo, seg_hi,
-    n_seg, cp, peak_abs_cusum) — level 1 has one row, level 2 two."""
+    Returns one row per (level, segment) — per key with ``key_col``
+    set: (level, seg, seg_lo, seg_hi, n_seg, cp, peak_abs_cusum) —
+    level 1 has one row, level 2 two. With ``key_col`` every window
+    partitions by (key, seg) — the level-1 literal ``seg = 0`` alone
+    would constant-fold to an unpartitioned window, so the key is what
+    makes the plan per-series parallel (the production form)."""
     from pyspark.sql import Window as W
 
+    keys = [key_col] if key_col else []
     daily = daily.select(
-        F.col(x_col).alias("d"), F.col(y_col).alias("y")
+        *keys, F.col(x_col).alias("d"), F.col(y_col).alias("y")
     ).persist()
 
     def seg_peaks(segged: DataFrame, level: int) -> DataFrame:
-        stats = segged.groupBy("seg").agg(
+        stats = segged.groupBy(*keys, "seg").agg(
             F.count(F.lit(1)).cast("long").alias("n_seg"),
             F.sum("y").cast("long").alias("s_seg"),
             F.min("d").cast("long").alias("seg_lo"),
             F.max("d").cast("long").alias("seg_hi"),
         )
         w_cum = (
-            W.partitionBy("seg")
+            W.partitionBy(*keys, "seg")
             .orderBy("d")
             .rowsBetween(W.unboundedPreceding, 0)
         )
         cum = (
-            segged.join(F.broadcast(stats), "seg")
+            segged.join(F.broadcast(stats), keys + ["seg"])
             .withColumn("dev", F.col("n_seg") * F.col("y") - F.col("s_seg"))
             .withColumn("cusum", F.sum("dev").over(w_cum).cast("long"))
         )
-        w_rk = W.partitionBy("seg").orderBy(
+        w_rk = W.partitionBy(*keys, "seg").orderBy(
             F.abs(F.col("cusum")).desc(), F.col("d")
         )
         return (
             cum.withColumn("rk", F.row_number().over(w_rk))
             .filter(F.col("rk") == 1)
             .select(
+                *keys,
                 F.lit(level).cast("int").alias("level"),
                 F.col("seg").cast("long").alias("seg"),
                 "seg_lo",
@@ -733,9 +799,9 @@ def binary_segmentation(
         )
 
     l1 = seg_peaks(daily.withColumn("seg", F.lit(0)), 1).persist()
-    cp1 = l1.select(F.col("cp").alias("cp1"))
-    segged2 = daily.crossJoin(F.broadcast(cp1)).withColumn(
+    cp1 = l1.select(*keys, F.col("cp").alias("cp1"))
+    segged2 = _join_small(daily, cp1, keys).withColumn(
         "seg", F.when(F.col("d") <= F.col("cp1"), 1).otherwise(2)
-    )
+    ).drop("cp1")
     l2 = seg_peaks(segged2, 2)
-    return l1.unionByName(l2).orderBy("level", "seg")
+    return l1.unionByName(l2).orderBy(*keys, "level", "seg")

@@ -75,6 +75,39 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     return n
 
 
+# Documented exceptions to the no-global-window rule: queries whose window
+# INPUT is dim-sized by construction, kept because they demonstrate the
+# window surface itself. Anything fact-scale must use the histogram /
+# prefix_sum decomposition (see agg_histogram_equidepth,
+# analytics_customer_deciles, text_textrank_keywords). The allowlist covers
+# ONLY the global-window finding — a CartesianProduct flags regardless.
+ALLOWED_GLOBAL_WINDOWS = {
+    "win_ranks": "window-surface demo over the 2k-row part dim",
+    "win_range_frame": "RANGE-frame demo over the part dim",
+}
+
+GLOBAL_WINDOW = "global window(s)"
+
+
+def plan_audit_findings(df: DataFrame, allow_global: bool = False) -> list[str]:
+    """Scale anti-patterns in a frame's physical plan: unpartitioned
+    windows (single-task sort of the whole input) and CartesianProduct
+    operators. Shared by tools/audit_plans.py and the whole-registry
+    pytest gate (tests/test_plan_audit.py) so `done: 0 flagged` is
+    enforced, not aspirational. Broadcast nested-loop joins over 1-row
+    aggregates are the scalar-crossJoin idiom and print as
+    BroadcastNestedLoopJoin, not CartesianProduct — they don't trip this."""
+    findings = []
+    n_global = unpartitioned_window_count(df)
+    if n_global and not allow_global:
+        findings.append(f"{n_global} {GLOBAL_WINDOW}")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_cart = plan.count("CartesianProduct")
+    if n_cart:
+        findings.append(f"{n_cart} CartesianProduct")
+    return findings
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators (each = one shuffle stage). Counts only
     numbered plan nodes, not mentions in argument/reuse lines."""

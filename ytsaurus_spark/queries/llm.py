@@ -2941,14 +2941,35 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(edges, iterations=3, damping=0.85)
     from pyspark.sql import Window as W
 
+    from ytsaurus_spark.operators.curation import prefix_sum
+
+    # Global keyword rank WITHOUT a global window: ranks quantize to
+    # exact micro-integers (they were just rounded to 1e-6), the
+    # value-grain histogram prefix-sums tokens with strictly GREATER
+    # rank (hierarchical prefix_sum, no unpartitioned level), and the
+    # residual row_number partitions by the rank value — so
+    # kw_rank = row_number() OVER (ORDER BY rank DESC, tok) exactly,
+    # but every window in the plan is partitioned (vocab-scale safe).
     ranked = pr.select(
         F.col("node").alias("tok"), F.round("rank", 6).alias("rank")
+    ).withColumn(
+        "rm", F.floor(F.col("rank") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ).persist()  # vocab-sized; hist + the final join both read it, and
+    # without the cut the broadcast build of `off` would re-run the
+    # whole 3-pass pagerank lineage inside the exchange thread
+    hist = (
+        ranked.groupBy("rm")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("nk", -F.col("rm"))
     )
-    return ranked.withColumn(
-        "kw_rank",
-        F.row_number()
-        .over(W.orderBy(F.col("rank").desc(), "tok"))
-        .cast("int"),
+    off = prefix_sum(hist, "nk", "c", out_col="off").select("rm", "off")
+    w = W.partitionBy("rm").orderBy("tok")
+    return (
+        ranked.join(off, "rm")  # co-partitioned on rm with the window
+        .withColumn(
+            "kw_rank", (F.col("off") + F.row_number().over(w)).cast("int")
+        )
+        .select("tok", "rank", "kw_rank")
     )
 
 
@@ -2989,45 +3010,49 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_seasonal_decompose",
     """
     WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      SELECT event_type AS k,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events GROUP BY 1, 2
     ), base AS (
-      SELECT d, x, CAST(d % 7 AS INT) AS phase,
+      SELECT k, d, x, CAST(d % 7 AS INT) AS phase,
              CASE WHEN count(*) OVER w7 = 7
                   THEN CAST(sum(x) OVER w7 AS BIGINT) END AS trend_p
       FROM daily
-      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      WINDOW w7 AS (PARTITION BY k ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ), b2 AS (
       SELECT *, CAST(7 * x - trend_p AS BIGINT) AS detr_p FROM base
     ), pm AS (
-      SELECT phase,
+      SELECT k, phase,
              CAST(sum(detr_p) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s_p
-      FROM b2 WHERE detr_p IS NOT NULL GROUP BY phase
+      FROM b2 WHERE detr_p IS NOT NULL GROUP BY k, phase
     )
-    SELECT d, x, b2.phase, trend_p, detr_p,
+    SELECT b2.k, d, x, b2.phase, trend_p, detr_p,
            CAST(trend_p AS DOUBLE) / 7.0 AS trend,
            s_p / 7.0 AS seasonal,
            (CAST(detr_p AS DOUBLE) - s_p) / 7.0 AS resid
-    FROM b2 LEFT JOIN pm ON b2.phase = pm.phase
+    FROM b2 LEFT JOIN pm ON b2.k = pm.k AND b2.phase = pm.phase
     """,
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly additive decomposition of the daily purchase-cents series
-    (operators/timeseries.seasonal_decompose): exact BIGINT 7-day window
-    sums and x7-scaled detrended integers; the only doubles are three
-    final correctly-rounded divisions, so trend/seasonal/residual are
-    engine-identical without any rounding wrapper."""
+    """Weekly additive decomposition of every event type's daily cents
+    series (operators/timeseries.seasonal_decompose, multi-series form):
+    exact BIGINT 7-day window sums and x7-scaled detrended integers; the
+    only doubles are three final correctly-rounded divisions, so
+    trend/seasonal/residual are engine-identical without any rounding
+    wrapper. Every window PARTITIONS by the series key — the audited
+    no-global-window production shape."""
     from ytsaurus_spark.operators.timeseries import seasonal_decompose
 
     cat = load_tables(spark, sf_dir)
     daily = (
         cat.read("events")
-        .filter(F.col("event_type") == "purchase")
         .groupBy(
+            F.col("event_type").alias("k"),
             F.datediff(
                 F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-            ).alias("d")
+            ).alias("d"),
         )
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long"))
@@ -3035,48 +3060,52 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    return seasonal_decompose(daily, period=7)
+    return seasonal_decompose(daily, period=7, key_col="k")
 
 
 @register(
     "ts_cusum_changepoint",
     """
     WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      SELECT event_type AS k,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events GROUP BY 1, 2
     ), tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
-      FROM daily
+      SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM daily GROUP BY k
     ), c AS (
-      SELECT d, x, CAST(n * x - s AS BIGINT) AS dev,
-             CAST(sum(n * x - s) OVER (ORDER BY d
+      SELECT daily.k, d, x, CAST(n * x - s AS BIGINT) AS dev,
+             CAST(sum(n * x - s) OVER (PARTITION BY daily.k ORDER BY d
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cusum
-      FROM daily, tot
+      FROM daily JOIN tot ON daily.k = tot.k
     )
-    SELECT d, x, dev, cusum,
-           CAST(row_number() OVER (ORDER BY abs(cusum) DESC, d) AS INT)
+    SELECT k, d, x, dev, cusum,
+           CAST(row_number() OVER (PARTITION BY k
+                                   ORDER BY abs(cusum) DESC, d) AS INT)
              AS abs_rank
     FROM c
     """,
 )
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM level-shift scan over the daily purchase-cents series
-    (operators/timeseries.cusum_changepoint): deviations are n-scaled so
-    dev, the running cusum, and the peak rank are all exact BIGINTs —
-    zero float ops anywhere. abs_rank 1 marks the strongest changepoint
-    candidate; the last row's cusum is exactly 0 by construction."""
+    """CUSUM level-shift scan over every event type's daily cents series
+    (operators/timeseries.cusum_changepoint, multi-metric form):
+    deviations are n-scaled so dev, the running cusum, and the peak rank
+    are all exact BIGINTs — zero float ops anywhere. abs_rank 1 marks
+    each series' strongest changepoint candidate; the last row's cusum
+    is exactly 0 per series by construction. Totals group by the series
+    key and both windows PARTITION by it — no global window."""
     from ytsaurus_spark.operators.timeseries import cusum_changepoint
 
     cat = load_tables(spark, sf_dir)
     daily = (
         cat.read("events")
-        .filter(F.col("event_type") == "purchase")
         .groupBy(
+            F.col("event_type").alias("k"),
             F.datediff(
                 F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-            ).alias("d")
+            ).alias("d"),
         )
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long"))
@@ -3084,7 +3113,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    return cusum_changepoint(daily)
+    return cusum_changepoint(daily, key_col="k")
 
 
 _PC1_CTES = """el AS (
@@ -3275,33 +3304,36 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_rolling_median",
     """
     WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      SELECT event_type AS k,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events GROUP BY 1, 2
     )
-    SELECT d, x,
+    SELECT k, d, x,
            CASE WHEN count(*) OVER w7 = 7
                 THEN CAST(list_sort(list(x) OVER w7)[4] AS BIGINT) END AS med
     FROM daily
-    WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    WINDOW w7 AS (PARTITION BY k ORDER BY d
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     """,
 )
 def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Centered 7-day rolling median of daily purchase cents
-    (operators/timeseries.rolling_median): exact integer ELEMENT
-    selection from the sorted window list — no interpolation, no
-    floats — so the robust-smoothed series is engine-identical.
-    Incomplete edge windows stay null on both sides."""
+    """Centered 7-day rolling median of every event type's daily cents
+    series (operators/timeseries.rolling_median, multi-series form):
+    exact integer ELEMENT selection from the sorted window list — no
+    interpolation, no floats — so the robust-smoothed series is
+    engine-identical. Incomplete edge windows stay null on both sides;
+    the window PARTITIONS by the series key — no global window."""
     from ytsaurus_spark.operators.timeseries import rolling_median
 
     cat = load_tables(spark, sf_dir)
     daily = (
         cat.read("events")
-        .filter(F.col("event_type") == "purchase")
         .groupBy(
+            F.col("event_type").alias("k"),
             F.datediff(
                 F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-            ).alias("d")
+            ).alias("d"),
         )
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long"))
@@ -3309,7 +3341,7 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    return rolling_median(daily, window=7)
+    return rolling_median(daily, window=7, key_col="k")
 
 
 @register(
@@ -4240,55 +4272,61 @@ def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_theilsen_trend",
     """
     WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      SELECT event_type AS k,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events GROUP BY 1, 2
     ), pairs AS (
-      SELECT a.d AS xi, b.d AS xj,
+      SELECT a.k, a.d AS xi, b.d AS xj,
              CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
-      FROM daily a JOIN daily b ON a.d < b.d
-    ), np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+      FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+    ), np AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM pairs GROUP BY k),
     ms AS (
-      SELECT slope, n_pairs FROM (
-        SELECT slope, n_pairs,
-               row_number() OVER (ORDER BY slope, xi, xj) AS rk
-        FROM pairs CROSS JOIN np
+      SELECT k, slope, n_pairs FROM (
+        SELECT pairs.k, slope, n_pairs,
+               row_number() OVER (PARTITION BY pairs.k
+                                  ORDER BY slope, xi, xj) AS rk
+        FROM pairs JOIN np ON pairs.k = np.k
       ) WHERE rk = floor((n_pairs + 1) / 2)
-    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM daily),
+    ), nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points
+              FROM daily GROUP BY k),
     resid AS (
-      SELECT n_pairs, slope,
+      SELECT daily.k, n_pairs, slope,
              CAST(x AS DOUBLE) - slope * CAST(d AS DOUBLE) AS r, d AS xx
-      FROM daily CROSS JOIN ms
+      FROM daily JOIN ms ON daily.k = ms.k
     )
-    SELECT n_points, n_pairs,
+    SELECT k, n_points, n_pairs,
            CAST(floor(slope * 1e6 + 0.5) AS BIGINT) / 1e6 AS slope,
            CAST(floor(r * 1e6 + 0.5) AS BIGINT) / 1e6 AS intercept
     FROM (
-      SELECT n_points, n_pairs, slope, r,
-             row_number() OVER (ORDER BY r, xx) AS rk
-      FROM resid CROSS JOIN nn
+      SELECT resid.k, n_points, n_pairs, slope, r,
+             row_number() OVER (PARTITION BY resid.k ORDER BY r, xx) AS rk
+      FROM resid JOIN nn ON resid.k = nn.k
     ) WHERE rk = floor((n_points + 1) / 2)
     """,
 )
 def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil–Sen robust trend of the daily purchase-cents series
-    (operators/timeseries.theilsen_trend): lower-median of all pairwise
-    slopes, then lower-median residual as intercept — immune to ~29%
-    outlier days, unlike the Holt/least-squares trend. The O(n²) pair
-    join runs on the ALREADY-AGGREGATED day frame (corpus reduces in
-    one partial-agged shuffle first); slopes are single IEEE divisions
-    of exact integers and the medians select actual elements by rank.
-    The oracle unrolls the identical pair/rank chain."""
+    """Theil–Sen robust trend of every event type's daily cents series
+    (operators/timeseries.theilsen_trend, multi-series form):
+    lower-median of all pairwise slopes, then lower-median residual as
+    intercept — immune to ~29% outlier days, unlike the
+    Holt/least-squares trend. The O(n²) pair join runs on the
+    ALREADY-AGGREGATED day frame per key (corpus reduces in one
+    partial-agged shuffle first); slopes are single IEEE divisions of
+    exact integers and the medians select actual elements by rank over
+    KEY-PARTITIONED windows — no global window. The oracle unrolls the
+    identical pair/rank chain."""
     from ytsaurus_spark.operators.timeseries import theilsen_trend
 
     cat = load_tables(spark, sf_dir)
     daily = (
         cat.read("events")
-        .filter(F.col("event_type") == "purchase")
         .groupBy(
+            F.col("event_type").alias("k"),
             F.datediff(
                 F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-            ).alias("d")
+            ).alias("d"),
         )
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long"))
@@ -4296,7 +4334,7 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    return theilsen_trend(daily, "d", "x")
+    return theilsen_trend(daily, "d", "x", key_col="k")
 
 
 @register(
@@ -4417,23 +4455,23 @@ def eval_spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BINSEG_SEG_SQL = """
-  SELECT level, seg, seg_lo, seg_hi, n_seg, cp, peak_abs_cusum FROM (
-    SELECT {level} AS level, seg, seg_lo, seg_hi, n_seg, d AS cp,
+  SELECT k, level, seg, seg_lo, seg_hi, n_seg, cp, peak_abs_cusum FROM (
+    SELECT k, {level} AS level, seg, seg_lo, seg_hi, n_seg, d AS cp,
            abs(cusum) AS peak_abs_cusum,
-           row_number() OVER (PARTITION BY seg
+           row_number() OVER (PARTITION BY k, seg
                               ORDER BY abs(cusum) DESC, d) AS rk
     FROM (
-      SELECT s.seg, s.d, st.seg_lo, st.seg_hi, st.n_seg,
+      SELECT s.k, s.seg, s.d, st.seg_lo, st.seg_hi, st.n_seg,
              CAST(sum(st.n_seg * s.y - st.s_seg)
-                  OVER (PARTITION BY s.seg ORDER BY s.d
+                  OVER (PARTITION BY s.k, s.seg ORDER BY s.d
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cusum
       FROM {src} s
-      JOIN (SELECT seg, CAST(count(*) AS BIGINT) AS n_seg,
+      JOIN (SELECT k, seg, CAST(count(*) AS BIGINT) AS n_seg,
                    CAST(sum(y) AS BIGINT) AS s_seg,
                    CAST(min(d) AS BIGINT) AS seg_lo,
                    CAST(max(d) AS BIGINT) AS seg_hi
-            FROM {src} GROUP BY seg) st USING (seg)
+            FROM {src} GROUP BY k, seg) st USING (k, seg)
     )
   ) WHERE rk = 1"""
 
@@ -4442,45 +4480,48 @@ _BINSEG_SEG_SQL = """
     "ts_binary_segmentation",
     """
     WITH daily AS (
-      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      SELECT event_type AS k,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
-    ), s1 AS (SELECT 0 AS seg, d, y FROM daily),
+      FROM events GROUP BY 1, 2
+    ), s1 AS (SELECT k, 0 AS seg, d, y FROM daily),
     l1 AS ("""
     + _BINSEG_SEG_SQL.format(level=1, src="s1")
     + """),
     s2 AS (
-      SELECT CASE WHEN d.d <= l1.cp THEN 1 ELSE 2 END AS seg, d.d, d.y
-      FROM daily d CROSS JOIN l1
+      SELECT d.k, CASE WHEN d.d <= l1.cp THEN 1 ELSE 2 END AS seg, d.d, d.y
+      FROM daily d JOIN l1 ON d.k = l1.k
     ),
     l2 AS ("""
     + _BINSEG_SEG_SQL.format(level=2, src="s2")
     + """)
-    SELECT CAST(level AS INT) AS level, CAST(seg AS BIGINT) AS seg,
+    SELECT k, CAST(level AS INT) AS level, CAST(seg AS BIGINT) AS seg,
            seg_lo, seg_hi, n_seg, CAST(cp AS BIGINT) AS cp,
            CAST(peak_abs_cusum AS BIGINT) AS peak_abs_cusum
     FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
-    ORDER BY level, seg
+    ORDER BY k, level, seg
     """,
 )
 def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level binary segmentation of the daily purchase-cents series
-    (operators/timeseries.binary_segmentation): the level-1 CUSUM peak
-    splits the series and each half reruns a segment-local n-scaled
-    CUSUM — three changepoint candidates from one deterministic plan,
-    every quantity an exact BIGINT (deviation, cusum, peak). Windows
-    partition by segment over the aggregated day grid. The oracle
+    """Two-level binary segmentation of every event type's daily cents
+    series (operators/timeseries.binary_segmentation, multi-series
+    form): each series' level-1 CUSUM peak splits it and each half
+    reruns a segment-local n-scaled CUSUM — three changepoint candidates
+    per series from one deterministic plan, every quantity an exact
+    BIGINT (deviation, cusum, peak). Windows partition by (series key,
+    segment) over the aggregated day grid — no global window (the bare
+    level-1 ``seg = 0`` literal would constant-fold to one). The oracle
     unrolls both levels with the identical algebra."""
     from ytsaurus_spark.operators.timeseries import binary_segmentation
 
     cat = load_tables(spark, sf_dir)
     daily = (
         cat.read("events")
-        .filter(F.col("event_type") == "purchase")
         .groupBy(
+            F.col("event_type").alias("k"),
             F.datediff(
                 F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-            ).alias("d")
+            ).alias("d"),
         )
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long"))
@@ -4488,7 +4529,7 @@ def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
-    return binary_segmentation(daily, "d", "y")
+    return binary_segmentation(daily, "d", "y", key_col="k")
 
 
 @register(

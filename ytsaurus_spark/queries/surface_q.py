@@ -1566,9 +1566,13 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YQL String::LevenshteinDistance (yql/essentials/udfs/common/string)
     as Spark's native `levenshtein` — fuzzy-matching two name sets within
-    edit distance 2. Both sides are deduped prefixes (dim-sized), so the
-    threshold cross join is a bounded candidate scan; at corpus scale the
-    standard prefilter is length/prefix bucketing before the distance."""
+    edit distance 2 via the production `dedup.fuzzy_join` shape: bucket
+    both sides by (first char, length band), equi-join the buckets, then
+    verify with the exact distance — no CartesianProduct anywhere in the
+    plan, the same bucket→probe→verify pipeline the corpus-scale fuzzy
+    dedup uses."""
+    from ytsaurus_spark.operators.dedup import fuzzy_join
+
     cat = load_tables(spark, sf_dir)
     part = cat.read("part")
     names = (
@@ -1582,9 +1586,8 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        names.crossJoin(names2)
-        .filter((F.levenshtein("a", "b") <= 2) & (F.col("a") != F.col("b")))
-        .select("a", "b", F.levenshtein("a", "b").cast("long").alias("dist"))
+        fuzzy_join(names, names2, "a", "b", max_distance=2)
+        .filter(F.col("a") != F.col("b"))
         .orderBy("a", "b")
     )
 
