@@ -425,6 +425,13 @@ SCAN_BUDGETS = {
     "ql_lateral_join": 2,  # decorrelation duplicates the outer side (count-bug rewrite: empty groups must yield 0)
     "analytics_price_volume_waterfall": 1,  # one fact shuffle to (brand, year); dims broadcast
     "curation_boilerplate_lines": 1,  # persisted line stream: df count + removal scan
+    # verbatim YQL bench files (queries/yql_q.py): the star views are
+    # inlined derivations, so the fact budget counts lineitem reads
+    "yql_q01": 3,  # $customer_total_return inlined twice (ctr1 + avg) + date_dim
+    "yql_q03": 1,
+    "yql_q42": 1,
+    "yql_q52": 1,
+    "yql_q55": 1,
 }
 
 

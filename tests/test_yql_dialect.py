@@ -1,0 +1,169 @@
+"""YQL dialect shim unit tests: translator mechanics (comments, statement
+splitting, named expressions, backtick paths, pragma parsing/mapping) plus
+an end-to-end yql_select run against the fixtures. The conformance proof —
+the reference's own bench files verbatim vs a DuckDB oracle — lives in the
+registry (queries/yql_q.py, yql_q01/03/42/52/55)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ytsaurus_spark.yql.dialect import (
+    PRAGMA_CONF_MAP,
+    apply_pragmas,
+    parse_size,
+    pragma_confs,
+    split_statements,
+    strip_comments,
+    translate_yql,
+)
+
+
+def test_strip_comments_preserves_strings():
+    assert strip_comments("select '--not a comment' -- real\nfrom t") == (
+        "select '--not a comment' \nfrom t"
+    )
+
+
+def test_split_statements_respects_quotes_and_parens():
+    text = "$a = (select 1; );select ';' as x; select 2"
+    # the ; inside parens and inside the string literal must not split
+    assert split_statements(text) == [
+        "$a = (select 1; )",
+        "select ';' as x",
+        "select 2",
+    ]
+
+
+def test_named_expressions_become_with_chain():
+    tq = translate_yql(
+        """
+        -- NB: named expressions instead of WITH
+        $base = (select 1 as x);
+        $doubled = (select x * 2 as y from $base);
+        select y from $doubled;
+        """
+    )
+    assert tq.named == ("base", "doubled")
+    assert tq.sql.startswith("WITH base AS")
+    assert "doubled AS" in tq.sql and "from doubled" in tq.sql
+    assert "$" not in tq.sql
+
+
+def test_undefined_ref_raises():
+    with pytest.raises(ValueError, match=r"\$missing"):
+        translate_yql("select * from $missing;")
+
+
+def test_forward_ref_raises():
+    # YQL requires definition before use; a forward $ref is an error
+    with pytest.raises(ValueError, match=r"\$later"):
+        translate_yql(
+            "$early = (select * from $later); $later = (select 1 as x);"
+            "select * from $early;"
+        )
+
+
+def test_backtick_paths_take_basename():
+    tq = translate_yql(
+        'pragma TablePathPrefix = "home/tpcds/3Tb";\n'
+        "select count(*) as n from `home/tpcds/3Tb/store_sales`;"
+    )
+    assert "from store_sales" in tq.sql
+    assert tq.pragmas["TablePathPrefix"] == "home/tpcds/3Tb"
+
+
+def test_reference_public_pragma_set_fully_mapped():
+    # every pragma in the reference's public set must have a mapping row
+    path = "/root/reference/yt/benchmarks/run/public_pragmas/default.sql"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    with open(path) as fh:
+        tq = translate_yql(fh.read() + "\nselect 1 as x;")
+    assert len(tq.pragmas) >= 20
+    confs = pragma_confs(tq.pragmas)  # raises on any unmapped pragma
+    assert confs["spark.sql.autoBroadcastJoinThreshold"] == str(4 * 2**30)
+    assert confs["spark.sql.files.maxPartitionBytes"] == str(64 * 2**20)
+
+
+def test_unknown_pragma_raises():
+    with pytest.raises(ValueError, match="no Spark mapping"):
+        pragma_confs({"yt.NotARealKnob": "1"})
+
+
+def test_parse_size():
+    assert parse_size("4G") == 4 * 2**30
+    assert parse_size("64M") == 64 * 2**20
+    assert parse_size("123") == 123
+
+
+def test_apply_pragmas_isolated_session(spark):
+    s2 = spark.newSession()
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev = apply_pragmas(s2, {"yt.MapJoinLimit": "1G"})
+    assert s2.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(2**30)
+    # the shared session is untouched — pragmas never leak
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert "spark.sql.autoBroadcastJoinThreshold" in prev
+
+
+def test_yql_select_end_to_end(spark, sf_dir):
+    from ytsaurus_spark.yql import yql_select
+
+    df = yql_select(
+        spark,
+        """
+        $big = (select o_custkey, sum(CAST(round(o_totalprice * 100) AS
+        BIGINT)) as cents from orders group by o_custkey);
+        select c_name, cents from $big cross join customer
+        where o_custkey = c_custkey and cents > 0
+        order by cents desc limit 5;
+        """,
+        sf_dir=sf_dir,
+        star=False,
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0]["cents"] >= rows[-1]["cents"]
+    # isolation: the temp views registered for the YQL run live in the
+    # private session, not the caller's
+    assert spark.newSession() is not df.sparkSession
+
+
+def test_star_views_match_channel_derivation(spark, sf_dir):
+    from ytsaurus_spark.yql.tpcds_star import register_star_views
+
+    s2 = register_star_views(spark.newSession(), sf_dir)
+    n_ss = s2.sql("select count(*) as n from store_sales").collect()[0].n
+    n_li = s2.sql(
+        "select count(*) as n from lineitem where l_linenumber % 3 = 0"
+    ).collect()[0].n
+    assert n_ss == n_li
+    # customer dim shadows the fixture name inside the isolated session
+    cols = s2.sql("select * from customer limit 1").columns
+    assert "c_customer_sk" in cols and "c_custkey" not in cols
+
+
+# --- codec gating (functions/compress.py) -----------------------------------
+# Placed here rather than a new file: small, same session fixture.
+
+
+def test_codec_registry_gates_and_roundtrips(spark):
+    import pytest as _pytest
+
+    from ytsaurus_spark.functions.compress import _codec, compress, decompress
+
+    # stdlib codecs roundtrip through the executor-side pandas UDFs
+    df = spark.createDataFrame([(1, "hello world " * 20)], "id int, t string")
+    out = df.select(
+        decompress(compress("t", "lzma"), "lzma").cast("string").alias("r")
+    ).collect()
+    assert out[0].r == "hello world " * 20
+    # non-stdlib codecs are import-gated with the library name in the error
+    for name in ("brotli", "lz4", "snappy", "zstd"):
+        with _pytest.raises((ImportError, ModuleNotFoundError)):
+            _codec(name)
+    with _pytest.raises(ValueError, match="unknown codec"):
+        _codec("rot13")

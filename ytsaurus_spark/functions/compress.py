@@ -43,6 +43,14 @@ def _codec(name: str):
         c = zstandard.ZstdCompressor()
         d = zstandard.ZstdDecompressor()
         return c.compress, d.decompress
+    if name == "brotli":
+        import brotli
+
+        return brotli.compress, brotli.decompress
+    if name == "lz4":
+        import lz4.frame
+
+        return lz4.frame.compress, lz4.frame.decompress
     raise ValueError(f"unknown codec {name!r}")
 
 

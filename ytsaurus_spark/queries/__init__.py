@@ -99,6 +99,7 @@ def _load() -> None:
         tpcds2_q,
         tpcds_q,
         windows,
+        yql_q,
     )
 
     _LOADED = True

@@ -1,0 +1,282 @@
+"""YQL SQL dialect front-end: run the reference's YQL query text on Spark.
+
+The reference's primary user surface is YQL SQL text (grammar
+``yql/essentials/sql/v1/SQLv1Antlr4.g.in``; every benchmark query in
+``yt/benchmarks/run/queries/*.sql`` uses it). The dialect extends ANSI SQL
+with three surface features this shim translates:
+
+- **Named expressions** ``$name = (select ...);`` — lazy subquery bindings
+  referenced as ``$name`` in later statements (the reference uses them
+  instead of ANSI ``WITH``; see the NB comments in the bench files).
+  Translated to a ``WITH`` chain in definition order (YQL requires
+  definition-before-use, so the order is already topological).
+- **Backticked table paths** ```//home/x/y/tablename``` — cypress paths.
+  Translated to the last path segment (the registered table/view name);
+  ``PRAGMA TablePathPrefix`` supplies the directory in YQL and is recorded
+  but not needed after the basename translation.
+- **PRAGMA statements** — engine tuning knobs
+  (``yt/benchmarks/run/public_pragmas/default.sql`` is the reference's
+  public set). Each maps to a Spark conf, or to a documented no-op where
+  Catalyst already provides the behavior declaratively (the mapping table
+  is PRAGMA_CONF_MAP below).
+
+Everything else in the bench files (optional ``AS``, ``CROSS JOIN`` +
+WHERE equality, qualified GROUP BY names, ``ORDER BY .. LIMIT``) is ANSI
+SQL that Spark parses directly — the translator leaves the final SELECT
+text untouched apart from ``$ref`` and backtick substitution, so the
+executed SQL is the reference's own text.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TranslatedQuery:
+    """Result of translate_yql: ANSI SQL + the parsed pragma set."""
+
+    sql: str
+    pragmas: dict[str, str] = field(default_factory=dict)
+    named: tuple[str, ...] = ()
+
+
+def strip_comments(text: str) -> str:
+    """Remove ``--`` line comments, preserving quoted strings."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            out.append(text[i : min(j + 1, n)])
+            i = j + 1
+        elif c == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def split_statements(text: str) -> list[str]:
+    """Split on top-level ``;`` (outside quotes and parentheses)."""
+    stmts, buf, depth = [], [], 0
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            buf.append(text[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == ";" and depth == 0:
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if "".join(buf).strip():
+        stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+_PRAGMA_RE = re.compile(
+    r"pragma\s+([A-Za-z_][\w.]*)\s*(?:=\s*(.+)|\((.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NAMED_RE = re.compile(r"\$([A-Za-z_]\w*)\s*=\s*(.+)$", re.DOTALL)
+_REF_RE = re.compile(r"\$([A-Za-z_]\w*)")
+_BACKTICK_RE = re.compile(r"`([^`]+)`")
+
+
+def _unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
+        return v[1:-1]
+    return v
+
+
+def _subst_refs(text: str, defined: set[str]) -> str:
+    def ref(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in defined:
+            raise ValueError(f"undefined named expression ${name}")
+        return name
+
+    return _REF_RE.sub(ref, text)
+
+
+def _subst_backticks(text: str) -> str:
+    # `//home/tpcds/3Tb/store_sales` -> store_sales (the registered name);
+    # PRAGMA TablePathPrefix supplied the directory in YQL
+    return _BACKTICK_RE.sub(
+        lambda m: m.group(1).rstrip("/").rsplit("/", 1)[-1], text
+    )
+
+
+def translate_yql(text: str) -> TranslatedQuery:
+    """Translate one YQL script (pragmas + named expressions + a final
+    SELECT) into a single ANSI SQL statement plus the pragma dict."""
+    pragmas: dict[str, str] = {}
+    ctes: list[tuple[str, str]] = []
+    final: str | None = None
+    for stmt in split_statements(strip_comments(text)):
+        if stmt.lower().startswith("pragma"):
+            m = _PRAGMA_RE.match(stmt)
+            if not m:
+                raise ValueError(f"unparsable pragma: {stmt!r}")
+            name = m.group(1)
+            if m.group(3) is not None:  # pragma config.flags("A", "B", ...)
+                val = ",".join(
+                    _unquote(a) for a in m.group(3).split(",") if a.strip()
+                )
+            else:
+                val = _unquote(m.group(2)) if m.group(2) is not None else "true"
+            pragmas[name] = val
+            continue
+        if stmt.startswith("$"):
+            m = _NAMED_RE.match(stmt)
+            if not m:
+                raise ValueError(f"unparsable named expression: {stmt!r}")
+            body = m.group(2).strip()
+            if body.startswith("(") and body.endswith(")"):
+                body = body[1:-1].strip()
+            ctes.append((m.group(1), body))
+            continue
+        if final is not None:
+            raise ValueError("multiple result statements in one YQL script")
+        final = stmt
+    if final is None:
+        raise ValueError("YQL script has no result SELECT")
+
+    defined: set[str] = set()
+    resolved: list[tuple[str, str]] = []
+    for name, body in ctes:  # definition order IS dependency order in YQL
+        resolved.append((name, _subst_backticks(_subst_refs(body, defined))))
+        defined.add(name)
+    final = _subst_backticks(_subst_refs(final, defined))
+
+    sql = assemble_with(resolved, final)
+    return TranslatedQuery(
+        sql=sql, pragmas=pragmas, named=tuple(n for n, _ in resolved)
+    )
+
+
+def assemble_with(ctes: list[tuple[str, str]], final: str) -> str:
+    """Compose CTE definitions and a final statement into one SQL text,
+    merging with the final statement's own WITH clause if present."""
+    if not ctes:
+        return final
+    with_block = ",\n".join(f"{n} AS (\n{b}\n)" for n, b in ctes)
+    stripped = final.lstrip()
+    if stripped[:4].lower() == "with" and stripped[4:5].isspace():
+        return f"WITH {with_block},\n{stripped[4:].lstrip()}"
+    return f"WITH {with_block}\n{final}"
+
+
+# --- pragma -> Spark conf mapping -------------------------------------------
+#
+# Every pragma in the reference's public set
+# (yt/benchmarks/run/public_pragmas/default.sql) maps to either a Spark conf
+# or a documented no-op (Catalyst/AQE already provides the behavior, or the
+# knob configures YT-operation mechanics Spark has no analog for). A pragma
+# that is NOT in this table raises — silent misconfiguration is worse than
+# an error naming the missing mapping.
+
+_SIZE_RE = re.compile(r"^(\d+)\s*([KMGT]?)B?$", re.IGNORECASE)
+_SIZE_MULT = {"": 1, "K": 2**10, "M": 2**20, "G": 2**30, "T": 2**40}
+
+
+def parse_size(v: str) -> int:
+    m = _SIZE_RE.match(v.strip())
+    if not m:
+        raise ValueError(f"unparsable size literal {v!r}")
+    return int(m.group(1)) * _SIZE_MULT[m.group(2).upper()]
+
+
+# name (lowercased) -> (spark conf, value fn) | (None, reason it's a no-op)
+PRAGMA_CONF_MAP: dict[str, tuple[str | None, object]] = {
+    # ANSI-semantics switches: Spark SQL is already ANSI on these surfaces
+    "ansiinforemptyornullableitemscollections": (
+        None, "Spark IN over empty/nullable collections is already ANSI"),
+    "ansioptionalas": (None, "Spark column aliases never require AS"),
+    "ansirankfornullablekeys": (None, "Spark RANK treats NULL keys ANSI"),
+    "compactgroupby": (None, "Catalyst prunes non-aggregated columns"),
+    "emitunionmerge": (None, "UNION ALL is already a merge in Spark"),
+    "tablepathprefix": (
+        None, "backticked paths translate to registered basenames"),
+    # optimizer flag bags: Catalyst applies these rewrites unconditionally
+    "config.flags": (
+        None, "filter pushdown / subset pruning / predicate extraction "
+              "are always-on Catalyst rules"),
+    # yt.* operation knobs with Spark analogs
+    "yt.mapjoinlimit": ("spark.sql.autoBroadcastJoinThreshold", parse_size),
+    "yt.datasizeperpartition": (
+        "spark.sql.files.maxPartitionBytes", parse_size),
+    "yt.lookupjoinmaxrows": (
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+        lambda v: None,  # no direct analog; DPP covers the lookup-join case
+    ),
+    "costbasedoptimizer": (
+        "spark.sql.cbo.enabled",
+        lambda v: "true" if v.lower() not in ("", "false", "disable") else "false",
+    ),
+    # yt.* operation mechanics with no Spark analog (scheduling, chunk
+    # management, operation fusing — Catalyst/AQE own these decisions)
+    "yt.useintermediatestreams": (None, "Spark pipelines stages natively"),
+    "yt.enablefusemaptomapreduce": (None, "whole-stage codegen fuses maps"),
+    "yt.automerge": (None, "AQE coalesces small partitions"),
+    "yt.hybriddqexecution": (None, "single engine; no DQ fallback"),
+    "dq.analyzequery": (None, "single engine; no DQ fallback"),
+    "yt.maxreplicationfactortofuseoperations": (None, "no chunk replication"),
+    "yt.partitionbyconstantkeysviamap": (None, "AQE handles constant keys"),
+    "yt.pool": (None, "scheduler pools are a cluster-manager concern"),
+    "yt.querycachemode": (None, "no cross-query operation cache"),
+    "yt.schedulingtagfilter": (None, "cluster-manager concern"),
+    "yt.tablecontentlocalexecution": (None, "driver-local exec not exposed"),
+    "yt.usenewpredicateextraction": (None, "always-on Catalyst rule"),
+    "yt.maxkeyrangecount": (None, "partition pruning has no range cap"),
+    "yt.maxextrajobmemorytofuseoperations": (None, "no operation fusing cap"),
+    "yt.extendedstatsmaxchunkcount": (None, "column stats via ANALYZE"),
+}
+
+
+def pragma_confs(pragmas: dict[str, str]) -> dict[str, str]:
+    """Spark confs implied by a pragma dict. Raises on unknown pragmas."""
+    confs: dict[str, str] = {}
+    for name, value in pragmas.items():
+        key = name.lower()
+        if key not in PRAGMA_CONF_MAP:
+            raise ValueError(f"no Spark mapping for pragma {name}")
+        conf, fn = PRAGMA_CONF_MAP[key]
+        if conf is None:
+            continue
+        mapped = fn(value) if callable(fn) else fn
+        if mapped is not None:
+            confs[conf] = str(mapped)
+    return confs
+
+
+def apply_pragmas(spark, pragmas: dict[str, str]) -> dict[str, str | None]:
+    """Set the implied confs on ``spark``; returns {conf: previous value}
+    so a caller can restore. Use on an isolated ``spark.newSession()``
+    when the pragmas should not leak into the shared session."""
+    prev: dict[str, str | None] = {}
+    for conf, value in pragma_confs(pragmas).items():
+        try:
+            prev[conf] = spark.conf.get(conf)
+        except Exception:
+            prev[conf] = None
+        spark.conf.set(conf, value)
+    return prev
