@@ -1,26 +1,41 @@
 """YQL dialect conformance queries: the reference's OWN benchmark SQL files
 run VERBATIM through the dialect shim (ytsaurus_spark/yql) — the proof that
-a user can paste YQL text (named expressions, optional AS, PRAGMA headers)
-and get the right answer from this engine.
+a user can paste YQL text (named ``$expr`` bindings, backticked
+identifiers, optional AS, PRAGMA headers, ``Module::Function`` calls) and
+get the right answer from this engine.
 
 Each entry reads ``yt/benchmarks/run/queries/NN.sql`` unmodified from the
-reference checkout at import time, translates it (named ``$expr`` bindings
-→ a WITH chain, ``$refs`` → CTE names, pragmas → recorded/applied), and:
+reference checkout at import time, translates it (translate_yql_script:
+named bindings → WITH chains, scalar/IN ``$refs`` → subqueries, YQL-only
+spellings → portable SQL), and:
 
 - Spark side: executes the translated text against the derived TPC-DS star
-  views (yql/tpcds_star.py) in an isolated session;
+  views (yql/tpcds_star.py) in a cached isolated session;
 - oracle side: the SAME translated text wrapped in main-qualified star
   CTEs, so DuckDB recomputes the identical semantics from the base
   fixtures.
 
-The star derivation (channel = l_linenumber % 3, money as integer cents,
-date_sk = yyyymmdd, manufact/manager ids from p_partkey residues) is the
-documented contract in yql/tpcds_star.py — the SQL text between the two
-engines differs ONLY in the base-table qualifier.
+Registered set = every statement that passes the STRICT dual-engine
+compare at BOTH sf0.01 and sf0.1 (tools/yql_conformance.py sweeps all 99
+files): 90 of 101 statements. The 11 exclusions, by reason:
 
-If the reference checkout is absent (standalone use), these conformance
-entries skip registration; the shim itself (yql.yql_select) needs no
-reference files.
+- LIMIT-tie nondeterminism (05, 27, 67): ORDER BY keys that are not a
+  total order, so the two engines legitimately pick different rows at
+  the LIMIT boundary;
+- Spark's documented ROLLUP-over-empty-input divergence (14a, 18, 80):
+  ANSI/DuckDB emit the grand-total row over an empty selection, Spark
+  emits nothing (COVERAGE.md Known gaps — opt-in shim exists as
+  aggregates.ansi_rollup but the verbatim text can't opt in);
+- engine-specific names for unaliased aggregate outputs (35, 38, 87):
+  bare ``count(*)`` columns print differently, and the text is verbatim
+  so we can't alias;
+- DECIMAL literal/typing divergence in output columns (77, 83, 90);
+- DuckDB binder strictness on a three-way USING chain (58).
+
+Multi-result scripts (14, 23, 24, 39) register one entry per statement
+with an a/b suffix. If the reference checkout is absent (standalone use),
+these conformance entries skip registration; the shim itself
+(yql.yql_select) needs no reference files.
 """
 
 from __future__ import annotations
@@ -33,40 +48,57 @@ from ytsaurus_spark.queries import register
 
 _BENCH_DIR = "/root/reference/yt/benchmarks/run/queries"
 
-# files chosen to cover the dialect surface: 01 = two chained named
-# expressions + explicit-join rewrite; 03/42/52/55 = optional-AS aliases,
-# qualified GROUP BY, CROSS JOIN + WHERE equality, ORDER BY .. LIMIT with
-# total tie-breaks (deterministic under the sorted-rows compare)
-_FILES = ("01", "03", "42", "52", "55")
+# statement ids passing the strict dual-engine sweep at sf0.01 AND sf0.1
+# (see module docstring for the 11 exclusions); 'NN' = single-statement
+# file, 'NNa'/'NNb' = statement within a multi-result script
+_PASSING = (
+    "01", "02", "03", "04", "06", "07", "08", "09", "10", "11", "12",
+    "13", "14b", "15", "16", "17", "19", "20", "21", "22", "23a", "23b",
+    "24a", "24b", "25", "26", "28", "29", "30", "31", "32", "33", "34",
+    "36", "37", "39a", "39b", "40", "41", "42", "43", "44", "45", "46",
+    "47", "48", "49", "50", "51", "52", "53", "54", "55", "56", "57",
+    "59", "60", "61", "62", "63", "64", "65", "66", "68", "69", "70",
+    "71", "72", "73", "74", "75", "76", "78", "79", "81", "82", "84",
+    "85", "86", "88", "89", "91", "92", "93", "94", "95", "96", "97",
+    "98", "99",
+)
 
 
-def _register_file(qnum: str, text: str) -> None:
-    from ytsaurus_spark.yql import oracle_with_star, translate_yql
+def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
+    from ytsaurus_spark.yql import oracle_with_star
+    from ytsaurus_spark.yql.dialect import translate_yql_script
 
-    tq = translate_yql(text)
+    tq = translate_yql_script(text)[part]
     oracle = oracle_with_star(tq.sql)
 
-    @register(f"yql_q{qnum}", oracle)
-    def run(spark: SparkSession, sf_dir: str, _text: str = text) -> DataFrame:
-        """Verbatim reference bench file yt/benchmarks/run/queries/{N}.sql
-        through yql.yql_select: translate → isolated session → star views
-        → spark.sql. The CROSS JOIN + WHERE equality form Catalyst folds
-        to broadcast hash joins (dims are dim-sized); money columns are
-        integer cents so every sum is exact on both engines."""
-        from ytsaurus_spark.yql import yql_select
+    @register(f"yql_q{qid}", oracle)
+    def run(spark: SparkSession, sf_dir: str,
+            _text: str = text, _part: int = part) -> DataFrame:
+        """Verbatim reference bench statement (yt/benchmarks/run/queries)
+        through the YQL dialect shim: translate -> cached isolated star
+        session -> spark.sql. CROSS JOIN + WHERE equality folds to
+        broadcast hash joins (dims are dim-sized); money columns are
+        integer cents so every sum is engine-exact."""
+        from ytsaurus_spark.yql import _star_session
+        from ytsaurus_spark.yql.dialect import translate_yql_script
 
-        return yql_select(spark, _text, sf_dir=sf_dir)
-
-    run.__doc__ = (run.__doc__ or "").replace("{N}", qnum)
+        parts = translate_yql_script(_text)
+        return _star_session(spark, sf_dir).sql(parts[_part].sql)
 
 
 def _load_all() -> None:
     if not os.path.isdir(_BENCH_DIR):  # standalone checkout: skip
         return
-    for qnum in _FILES:
-        path = os.path.join(_BENCH_DIR, f"{qnum}.sql")
-        with open(path, encoding="utf-8") as fh:
-            _register_file(qnum, fh.read())
+    texts: dict[str, str] = {}
+    for qid in _PASSING:
+        fnum = qid.rstrip("ab")
+        if fnum not in texts:
+            path = os.path.join(_BENCH_DIR, f"{fnum}.sql")
+            with open(path, encoding="utf-8") as fh:
+                texts[fnum] = fh.read()
+        part = 0 if qid == fnum else ord(qid[-1]) - ord("a")
+        n_parts = 2 if qid != fnum else 1
+        _register_statement(qid, texts[fnum], part, n_parts)
 
 
 _load_all()

@@ -17,6 +17,21 @@ from ytsaurus_spark.yql.tpcds_star import (  # noqa: F401
 )
 
 
+# isolated star sessions, one per (base session, sf_dir): the star views
+# are read-only derivations, so yql queries in one process share the
+# isolated session instead of rebuilding 24 temp views per call
+_STAR_SESSIONS: dict[tuple[int, str], object] = {}
+
+
+def _star_session(spark, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    s2 = _STAR_SESSIONS.get(key)
+    if s2 is None:
+        s2 = register_star_views(spark.newSession(), sf_dir)
+        _STAR_SESSIONS[key] = s2
+    return s2
+
+
 def yql_select(spark, text: str, sf_dir: str | None = None,
                star: bool = True, pragmas: bool = True):
     """Execute one YQL script and return the result DataFrame.
@@ -26,13 +41,14 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
     into the caller's session. ``sf_dir`` registers the fixture tables
     (and, with ``star``, the derived TPC-DS views) first; pass
     ``sf_dir=None`` to run against views the caller already registered.
+    Star sessions are cached per (base session, sf_dir).
     """
     tq = translate_yql(text)
-    s2 = spark.newSession()
-    if sf_dir is not None:
-        if star:
-            register_star_views(s2, sf_dir)
-        else:
+    if sf_dir is not None and star:
+        s2 = _star_session(spark, sf_dir)
+    else:
+        s2 = spark.newSession()
+        if sf_dir is not None:
             from ytsaurus_spark.catalog import load_tables
 
             load_tables(s2, sf_dir)

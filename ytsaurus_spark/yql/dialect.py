@@ -108,29 +108,158 @@ def _unquote(v: str) -> str:
 
 
 def _subst_refs(text: str, defined: set[str]) -> str:
-    def ref(m: re.Match) -> str:
-        name = m.group(1)
+    """Replace ``$name`` references by context (all names become CTEs):
+
+    - ``FROM $x`` / ``JOIN $x``  -> table reference ``FROM x``
+    - ``expr IN $x``             -> ``expr IN (SELECT * FROM x)``
+      (YQL lets a named collection follow IN directly)
+    - anywhere else (a scalar-subquery binding used as a VALUE, e.g.
+      ``> 0.95 * $max_store_sales``) -> ``(SELECT * FROM x)``
+    """
+
+    def check(name: str) -> str:
         if name not in defined:
             raise ValueError(f"undefined named expression ${name}")
         return name
 
-    return _REF_RE.sub(ref, text)
-
-
-def _subst_backticks(text: str) -> str:
-    # `//home/tpcds/3Tb/store_sales` -> store_sales (the registered name);
-    # PRAGMA TablePathPrefix supplied the directory in YQL
-    return _BACKTICK_RE.sub(
-        lambda m: m.group(1).rstrip("/").rsplit("/", 1)[-1], text
+    text = re.sub(
+        r"(?i)\bin\s+\$([A-Za-z_]\w*)",
+        lambda m: f"IN (SELECT * FROM {check(m.group(1))})",
+        text,
+    )
+    text = re.sub(
+        r"(?i)\b(from|join)(\s+)\$([A-Za-z_]\w*)",
+        lambda m: f"{m.group(1)}{m.group(2)}{check(m.group(3))}",
+        text,
+    )
+    return _REF_RE.sub(
+        lambda m: f"(SELECT * FROM {check(m.group(1))})", text
     )
 
 
-def translate_yql(text: str) -> TranslatedQuery:
-    """Translate one YQL script (pragmas + named expressions + a final
-    SELECT) into a single ANSI SQL statement plus the pragma dict."""
+def _subst_backticks(text: str) -> str:
+    """YQL backticks quote BOTH cypress paths and identifiers:
+    `//home/x/store_sales` -> store_sales (the registered basename);
+    `30 days` / `order count` (quoted aliases) -> a sanitized bare
+    identifier, since the translated text must parse on engines without
+    backtick quoting (DuckDB). Sanitizing renames the output column the
+    same way on every engine — a documented translation artifact."""
+
+    def sub(m: re.Match) -> str:
+        inner = m.group(1)
+        if "/" in inner:
+            return inner.rstrip("/").rsplit("/", 1)[-1]
+        words = re.findall(r"[A-Za-z0-9]+", inner)
+        ident = "_".join(words) if words else "col"
+        if ident[0].isdigit():
+            ident = "q" + ident
+        return ident
+
+    return _BACKTICK_RE.sub(sub, text)
+
+
+# YQL surface forms with no portable-SQL spelling, rewritten textually.
+# Each rule is (pattern, replacement); the UDF-module calls map onto the
+# reference's documented semantics (Math::Round's negated precision is
+# round-to-10^-N — the bench files' NB comments call this out).
+_REWRITES: list[tuple[re.Pattern, object]] = [
+    # DateTime::IntervalFromDays(30) -> INTERVAL 30 DAY
+    (re.compile(r"DateTime::IntervalFromDays\(\s*(\d+)\s*\)", re.I),
+     r"INTERVAL \1 DAY"),
+    # Math::Round(x, -2) -> round(x, 2); Math::Round(x) -> round(x)
+    (re.compile(r"Math::Round\(([^()]*?),\s*-(\d+)\s*\)", re.I),
+     r"round(\1, \2)"),
+    (re.compile(r"Math::Round\(", re.I), "round("),
+    # String::AsciiToUpper(x) -> upper(x)
+    (re.compile(r"String::AsciiToUpper\(", re.I), "upper("),
+    # Date('2000-06-17') -> CAST('2000-06-17' AS DATE)
+    (re.compile(r"\bdate\s*\(\s*'([^']+)'\s*\)", re.I),
+     r"CAST('\1' AS DATE)"),
+    # cast('P30D' as interval) -> INTERVAL 30 DAY (ISO-8601 duration
+    # literals parse in YQL but not in every ANSI engine)
+    (re.compile(r"cast\s*\(\s*'P(\d+)D'\s+as\s+interval\s*\)", re.I),
+     r"INTERVAL \1 DAY"),
+    # `returns` is a reserved word in some engines (DuckDB); the bench
+    # files use it as a result-column alias — rename the identifier
+    # (word-bounded, so store_returns/catalog_returns stay untouched)
+    (re.compile(r"\breturns\b", re.I), "returns_amt"),
+    # join-kind spellings: LEFT SEMI / LEFT ONLY -> the shared subset
+    (re.compile(r"\bleft\s+semi\s+join\b", re.I), "semi join"),
+    (re.compile(r"\bleft\s+only\s+join\b", re.I), "anti join"),
+]
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, buf, depth = [], [], 0
+    for c in text:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf))
+    return parts
+
+
+_GROUPBY_CLAUSE = re.compile(
+    r"(?is)(\bgroup\s+by\b)(.*?)(\border\s+by\b|\bhaving\b|\blimit\b|$)"
+)
+_ITEM_AS = re.compile(r"(?is)^(.*\S)\s+as\s+(\w+)\s*$")
+
+
+def _rewrite_groupby_as(text: str) -> str:
+    """YQL allows naming a GROUP BY expression (``group by expr as g``)
+    and selecting the name; ANSI does not. Move the expression into the
+    select list (``expr AS g``) and leave the bare expression in GROUP
+    BY. Only the reference's flat report shapes (q62/q99) use this."""
+    # conservative scope: only a FLAT statement (one SELECT, one GROUP BY)
+    # can be rewritten safely with a regional regex — the reference's two
+    # users of the feature (q62/q99) are flat report shapes; statements
+    # with subqueries/UNION branches pass through untouched
+    if (len(re.findall(r"(?i)\bselect\b", text)) != 1
+            or len(re.findall(r"(?i)\bgroup\s+by\b", text)) != 1):
+        return text
+    m = _GROUPBY_CLAUSE.search(text)
+    if not m or " as " not in m.group(2).lower():
+        return text
+    new_items, renames = [], []
+    for item in _split_top_commas(m.group(2)):
+        im = _ITEM_AS.match(item.strip())
+        if im and im.group(1).count("(") == im.group(1).count(")"):
+            new_items.append(im.group(1))
+            renames.append((im.group(1), im.group(2)))
+        else:
+            new_items.append(item.strip())
+    if not renames:
+        return text
+    before = text[: m.start(1)]
+    for expr, name in renames:
+        before = re.sub(rf"\b{name}\b", f"{expr} AS {name}", before, count=1)
+    return (
+        before + m.group(1) + "\n   " + "\n  ,".join(new_items) + "\n"
+        + text[m.start(3):]
+    )
+
+
+def _rewrite_yqlisms(text: str) -> str:
+    for pat, repl in _REWRITES:
+        text = pat.sub(repl, text)
+    return _rewrite_groupby_as(text)
+
+
+def translate_yql_script(text: str) -> list[TranslatedQuery]:
+    """Translate a YQL script into one TranslatedQuery PER result
+    statement. Named expressions accumulate across the script (a binding
+    defined before result N is visible to results N, N+1, ...), matching
+    YQL's definition-before-use scoping; each result gets the WITH chain
+    of every binding defined so far. Pragmas are script-global."""
     pragmas: dict[str, str] = {}
     ctes: list[tuple[str, str]] = []
-    final: str | None = None
+    finals: list[tuple[str, int]] = []  # (stmt, #ctes visible)
     for stmt in split_statements(strip_comments(text)):
         if stmt.lower().startswith("pragma"):
             m = _PRAGMA_RE.match(stmt)
@@ -154,23 +283,46 @@ def translate_yql(text: str) -> TranslatedQuery:
                 body = body[1:-1].strip()
             ctes.append((m.group(1), body))
             continue
-        if final is not None:
-            raise ValueError("multiple result statements in one YQL script")
-        final = stmt
-    if final is None:
+        finals.append((stmt, len(ctes)))
+    if not finals:
         raise ValueError("YQL script has no result SELECT")
 
     defined: set[str] = set()
     resolved: list[tuple[str, str]] = []
     for name, body in ctes:  # definition order IS dependency order in YQL
-        resolved.append((name, _subst_backticks(_subst_refs(body, defined))))
+        resolved.append(
+            (name,
+             _rewrite_yqlisms(_subst_backticks(_subst_refs(body, defined))))
+        )
         defined.add(name)
-    final = _subst_backticks(_subst_refs(final, defined))
 
-    sql = assemble_with(resolved, final)
-    return TranslatedQuery(
-        sql=sql, pragmas=pragmas, named=tuple(n for n, _ in resolved)
-    )
+    out = []
+    for final, n_visible in finals:
+        visible = resolved[:n_visible]
+        final_t = _rewrite_yqlisms(
+            _subst_backticks(
+                _subst_refs(final, {n for n, _ in visible})
+            )
+        )
+        out.append(
+            TranslatedQuery(
+                sql=assemble_with(visible, final_t),
+                pragmas=pragmas,
+                named=tuple(n for n, _ in visible),
+            )
+        )
+    return out
+
+
+def translate_yql(text: str) -> TranslatedQuery:
+    """Translate one YQL script (pragmas + named expressions + a final
+    SELECT) into a single ANSI SQL statement plus the pragma dict.
+    Raises if the script has more than one result statement — use
+    translate_yql_script for multi-result scripts."""
+    parts = translate_yql_script(text)
+    if len(parts) > 1:
+        raise ValueError("multiple result statements in one YQL script")
+    return parts[0]
 
 
 def assemble_with(ctes: list[tuple[str, str]], final: str) -> str:

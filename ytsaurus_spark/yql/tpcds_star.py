@@ -3,96 +3,547 @@ Spark execution path and the DuckDB oracle so the reference's bench SQL
 (``yt/benchmarks/run/queries/*.sql``) runs VERBATIM on both engines.
 
 One derivation text per TPC-DS table, written in the dual-engine SQL
-subset (year/month/day, substr, CASE, %, CAST — no engine-specific
-functions). ``{b}`` is the base-table qualifier: empty for Spark (base
+subset (year/month/day, substr, CASE, %, ||, CAST, floor — no
+engine-specific functions; calendar arithmetic uses the era-based
+days-from-civil formula below instead of the engines' differing datediff
+signatures). ``{b}`` is the base-table qualifier: empty for Spark (base
 fixtures are temp views in an isolated session), ``main.`` for DuckDB
 (the oracle wraps derivations as CTEs, and an unqualified base name would
-be a circular CTE reference when the star table shadows it — e.g. the
-TPC-DS ``customer`` dim over the TPC-H ``customer`` fixture).
+be a circular CTE reference when a star table shadows its source — e.g.
+the TPC-DS ``customer`` dim over the TPC-H ``customer`` fixture).
 
 Derivation contract (consistent with queries/tpcds_q.py's documented
 channel split):
 
-- channel: ``l_linenumber % 3`` (0=store, 1=catalog, 2=web); store_sales
-  and store_returns take the store slice;
-- returns: lines with ``l_returnflag = 'R'``;
-- item: brand = p_brand, brand_id = the digits of p_brand,
-  category = first brand digit, manufact/manager ids from p_partkey
-  residues (TPC-DS id ranges 1..1000 / 1..40);
-- date_dim: distinct fixture ship dates, d_date_sk = yyyymmdd;
-- store: supplier with an 8-state residue code;
+- channel: ``l_linenumber % 3`` (0=store, 1=catalog, 2=web) — each
+  ``*_sales`` table is one slice; ``*_returns`` adds ``l_returnflag='R'``;
+- surrogate keys: date_sk = yyyymmdd; item/promotion from p_partkey;
+  store/warehouse/call_center/web_site/ship_mode/reason from s_suppkey
+  residues; customer-grain dims (address, customer/household
+  demographics, income band) are keyed by c_custkey so every fact
+  pointer (``o_custkey``) resolves at ANY scale factor;
+- categorical attributes: CASE tables over key residues (the value sets
+  mirror the TPC-DS domains the bench queries filter on);
+- calendar: d_days since 1970-01-01 via the era-based civil formula
+  (pure integer arithmetic — identical on any engine), d_dow with
+  0=Sunday, d_week_seq Monday-aligned, d_month_seq months since 1900 (the convention the bench files' 1176..1217 windows assume — 1998-01 = 1176);
 - money: integer CENTS as BIGINT (the house exactness discipline — sums
-  stay exact on any engine; the one metric consumers divide at the end).
+  stay exact on any engine; ratios/averages divide exact integers).
 """
 
 from __future__ import annotations
 
-# yyyymmdd surrogate key — the dual-engine date_sk formula
-_DSK = (
-    "CAST(year(CAST({c} AS DATE)) * 10000 + month(CAST({c} AS DATE)) * 100"
-    " + day(CAST({c} AS DATE)) AS BIGINT)"
-)
+import re
+
+
+def _days(col: str) -> str:
+    """Days since 1970-01-01 from a date/timestamp column — the era-based
+    days-from-civil algorithm (Howard Hinnant's public-domain derivation)
+    in pure integer SQL arithmetic, so Spark and DuckDB agree exactly
+    without touching their incompatible datediff signatures."""
+    d = f"CAST({col} AS DATE)"
+    y = f"(year({d}) - CASE WHEN month({d}) <= 2 THEN 1 ELSE 0 END)"
+    era = f"CAST(floor({y} / 400.0) AS BIGINT)"
+    yoe = f"({y} - {era} * 400)"
+    doy = (
+        f"(CAST(floor((153 * (month({d}) + CASE WHEN month({d}) > 2 "
+        f"THEN -3 ELSE 9 END) + 2) / 5.0) AS BIGINT) + day({d}) - 1)"
+    )
+    doe = (
+        f"({yoe} * 365 + CAST(floor({yoe} / 4.0) AS BIGINT) "
+        f"- CAST(floor({yoe} / 100.0) AS BIGINT) + {doy})"
+    )
+    return f"({era} * 146097 + {doe} - 719468)"
+
+
+def _dsk(col: str) -> str:
+    """yyyymmdd surrogate date key."""
+    d = f"CAST({col} AS DATE)"
+    return (
+        f"CAST(year({d}) * 10000 + month({d}) * 100 + day({d}) AS BIGINT)"
+    )
+
+
+def _case(key: str, values: list[str], cast_int: bool = False) -> str:
+    """CASE table over key % len(values)."""
+    arms = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(values)
+    )
+    return f"CASE CAST(({key}) % {len(values)} AS INT) {arms} END"
+
+
+def _cents(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+# --- categorical domains (the values the bench queries filter on) ----------
+_COLORS = [
+    "almond", "aquamarine", "black", "chocolate", "cornflower", "cyan",
+    "firebrick", "frosted", "lavender", "magenta", "maroon", "papaya",
+    "purple", "rose", "slate", "steel",
+]
+_UNITS = [
+    "Box", "Bunch", "Bundle", "Carton", "Case", "Cup", "Dram", "Each",
+    "Gram", "Gross", "Lb", "Oz", "Pallet", "Pound", "Tsp",
+]
+_SIZES = ["economy", "large", "medium", "petite", "small", "extra large"]
+_STATES = ["NM", "TX", "CA", "NY", "OH", "GA", "WA", "TN", "SD", "KY"]
+_CITIES = [
+    "Midway", "Fairview", "Oak Grove", "Five Points", "Pleasant Hill",
+    "Centerville", "Riverside", "Salem", "Union", "Spring Hill",
+    "Greenville", "Franklin",
+]
+_COUNTIES = [
+    "Williamson County", "Walker County", "Ziebach County",
+    "Daviess County", "Barrow County", "Franklin Parish",
+    "Luce County", "Richland County",
+]
+_FIRST = ["James", "Mary", "John", "Linda", "Robert", "Susan", "David",
+          "Karen"]
+_LAST = ["Smith", "Johnson", "Brown", "Jones", "Miller", "Davis",
+         "Wilson", "Moore"]
+_EDU = ["Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
+        "Advanced Degree", "Unknown"]
+_MARITAL = ["M", "S", "D", "W", "U"]
+_CREDIT = ["Low Risk", "Good", "High Risk", "Unknown"]
+_BUY_POT = [">10000", "5001-10000", "1001-5000", "501-1000", "0-500",
+            "Unknown"]
+_DAY_NAMES = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+              "Friday", "Saturday"]
+_SM_TYPES = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "LIBRARY"]
+_SM_CARRIERS = ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL"]
+_REASONS = ["Package was damaged", "Stopped working",
+            "Did not fit", "Wrong size", "Not the product that was ordered"]
+
+
+def _money_cols(p: str) -> str:
+    """Per-line money columns for a sales channel, all integer cents —
+    derived from extendedprice/discount/tax so every relation the bench
+    queries test (paid = list - discount, profit = paid - wholesale)
+    holds exactly."""
+    ext = "l_extendedprice"
+    return f"""
+               {_cents(ext)} AS {p}_ext_list_price,
+               {_cents(f"{ext} * (1 - l_discount)")} AS {p}_ext_sales_price,
+               {_cents(f"{ext} * (1 - l_discount)")} AS {p}_net_paid,
+               {_cents(f"{ext} * (1 - l_discount) * (1 + l_tax)")}
+                 AS {p}_net_paid_inc_tax,
+               {_cents(f"{ext} * l_discount")} AS {p}_ext_discount_amt,
+               {_cents(f"{ext} * l_discount")} AS {p}_coupon_amt,
+               {_cents(f"{ext} * (1 - l_discount) * l_tax")} AS {p}_ext_tax,
+               {_cents(f"{ext} * 0.5")} AS {p}_ext_wholesale_cost,
+               ({_cents(f"{ext} * (1 - l_discount)")}
+                - {_cents(f"{ext} * 0.5")}) AS {p}_net_profit,
+               {_cents(f"{ext} * 0.25")} AS {p}_ext_ship_cost,
+               ({_cents(f"{ext} * (1 - l_discount)")}
+                + {_cents(f"{ext} * 0.25")}) AS {p}_net_paid_inc_ship,
+               ({_cents(f"{ext} * (1 - l_discount) * (1 + l_tax)")}
+                + {_cents(f"{ext} * 0.25")}) AS {p}_net_paid_inc_ship_tax,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100
+                          / l_quantity) AS BIGINT) AS {p}_sales_price,
+               CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)
+                 AS {p}_list_price,
+               CAST(round(l_extendedprice * 0.5 * 100 / l_quantity)
+                    AS BIGINT) AS {p}_wholesale_cost,
+               CAST(l_quantity AS INT) AS {p}_quantity
+    """.strip()
+
+
+def _sales_channel(prefix: str, residue: int, extra: str) -> str:
+    """One sales channel: the lineitem slice joined to orders for the
+    customer-grain pointers. Every *_sk pointer lands on a dim keyed to
+    resolve at any scale factor. Sold date = o_orderdate, ship date =
+    l_shipdate — the fixture's real order->ship latency (1..122 days)
+    carries the sold/ship semantics the latency-banding queries test."""
+    return f"""
+        SELECT {_dsk('o_orderdate')} AS {prefix}_sold_date_sk,
+               {_dsk('l_shipdate')} AS {prefix}_ship_date_sk,
+               (l_orderkey * 7919 + l_partkey) % 86400
+                 AS {prefix}_sold_time_sk,
+               l_partkey AS {prefix}_item_sk,
+               l_suppkey AS {prefix}_store_sk,
+               o_custkey AS {prefix}_customer_sk,
+               o_custkey AS {prefix}_cdemo_sk,
+               o_custkey AS {prefix}_hdemo_sk,
+               o_custkey AS {prefix}_addr_sk,
+               1 + l_partkey % 300 AS {prefix}_promo_sk,
+               l_orderkey AS {prefix}_ticket_number,
+               {extra}
+               {_money_cols(prefix)}
+        FROM {{b}}lineitem JOIN {{b}}orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = {residue}
+    """
+
+
+def _returns_channel(prefix: str, residue: int, date_col: str) -> str:
+    return f"""
+        SELECT {_dsk('l_shipdate')} AS {prefix}_returned_date_sk,
+               l_partkey AS {prefix}_item_sk,
+               l_orderkey AS {prefix}_ticket_number,
+               l_orderkey AS {prefix}_order_number,
+               o_custkey AS {prefix}_customer_sk,
+               o_custkey AS {prefix}_returning_customer_sk,
+               o_custkey AS {prefix}_refunded_customer_sk,
+               o_custkey AS {prefix}_cdemo_sk,
+               o_custkey AS {prefix}_returning_addr_sk,
+               o_custkey AS {prefix}_refunded_addr_sk,
+               l_suppkey AS {prefix}_store_sk,
+               1 + l_suppkey % 4 AS {prefix}_call_center_sk,
+               1 + l_partkey % 5 AS {prefix}_reason_sk,
+               CAST(l_quantity AS INT) AS {prefix}_return_quantity,
+               {_cents("l_extendedprice * (1 - l_discount)")}
+                 AS {prefix}_return_amt,
+               {_cents("l_extendedprice * (1 - l_discount)")}
+                 AS {prefix}_return_amount,
+               {_cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+                 AS {prefix}_return_amt_inc_tax,
+               {_cents("l_extendedprice * (1 - l_discount) * l_tax")}
+                 AS {prefix}_return_tax,
+               {_cents("l_extendedprice * l_tax")} AS {prefix}_fee,
+               {_cents("l_extendedprice * l_discount")}
+                 AS {prefix}_net_loss,
+               {_cents("l_extendedprice * (1 - l_discount) * 0.5")}
+                 AS {prefix}_refunded_cash,
+               o_custkey AS {prefix}_returning_cdemo_sk,
+               o_custkey AS {prefix}_refunded_cdemo_sk,
+               o_custkey AS {prefix}_returning_hdemo_sk,
+               o_custkey AS {prefix}_refunded_hdemo_sk,
+               1 + l_partkey % 100 AS {prefix}_catalog_page_sk,
+               1 + l_partkey % 100 AS {prefix}_web_page_sk,
+               {_cents("l_extendedprice * (1 - l_discount) * 0.3")}
+                 AS {prefix}_reversed_charge,
+               {_cents("l_extendedprice * (1 - l_discount) * 0.2")}
+                 AS {prefix}_store_credit,
+               {_cents("l_extendedprice * 0.5")} AS {prefix}_return_ship_cost
+        FROM {{b}}lineitem l JOIN {{b}}orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R' AND l.l_linenumber % 3 = {residue}
+    """
+
 
 STAR_VIEW_SQL: dict[str, str] = {
     "date_dim": f"""
         SELECT DISTINCT
-               {_DSK.format(c='l_shipdate')} AS d_date_sk,
-               CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS d_year,
-               CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS d_moy,
-               CAST(day(CAST(l_shipdate AS DATE)) AS INT) AS d_dom,
-               CAST(l_shipdate AS DATE) AS d_date
-        FROM {{b}}lineitem
+               {_dsk('d')} AS d_date_sk,
+               d AS d_date,
+               CAST(year(d) AS INT) AS d_year,
+               CAST(month(d) AS INT) AS d_moy,
+               CAST(day(d) AS INT) AS d_dom,
+               CAST((year(d) - 1900) * 12 + month(d) - 1 AS INT)
+                 AS d_month_seq,
+               CAST(floor(({_days('d')} + 3) / 7.0) AS INT) AS d_week_seq,
+               CAST(({_days('d')} + 4) % 7 AS INT) AS d_dow,
+               {_case(f"{_days('d')} + 4", _DAY_NAMES)} AS d_day_name,
+               CAST(floor((month(d) - 1) / 3.0) + 1 AS INT) AS d_qoy,
+               {_case('year(d) - 1995',
+                      ['1995', '1996', '1997', '1998', '1999', '2000',
+                       '2001'])} || 'Q' ||
+               {_case('CAST(floor((month(d) - 1) / 3.0) AS BIGINT)',
+                      ['1', '2', '3', '4'])} AS d_quarter_name
+        FROM (SELECT CAST(l_shipdate AS DATE) AS d FROM {{b}}lineitem
+              UNION
+              SELECT CAST(o_orderdate AS DATE) AS d FROM {{b}}orders)
+             __dates
     """,
-    "item": """
+    "time_dim": """
+        SELECT DISTINCT
+               (l_orderkey * 7919 + l_partkey) % 86400 AS t_time_sk,
+               (l_orderkey * 7919 + l_partkey) % 86400 AS t_time,
+               CAST(floor(((l_orderkey * 7919 + l_partkey) % 86400)
+                          / 3600.0) AS INT) AS t_hour,
+               CAST(floor(((l_orderkey * 7919 + l_partkey) % 86400)
+                          / 60.0) AS INT) % 60 AS t_minute,
+               CAST(((l_orderkey * 7919 + l_partkey) % 86400) % 60 AS INT)
+                 AS t_second,
+               CASE CAST(floor(((l_orderkey * 7919 + l_partkey) % 86400)
+                               / 28800.0) AS INT)
+                 WHEN 0 THEN 'third' WHEN 1 THEN 'first' ELSE 'second'
+               END AS t_shift,
+               CASE WHEN ((l_orderkey * 7919 + l_partkey) % 86400)
+                         BETWEEN 39600 AND 46800 THEN 'lunch'
+                    WHEN ((l_orderkey * 7919 + l_partkey) % 86400)
+                         BETWEEN 21600 AND 32400 THEN 'breakfast'
+                    WHEN ((l_orderkey * 7919 + l_partkey) % 86400)
+                         BETWEEN 61200 AND 72000 THEN 'dinner'
+                    ELSE '' END AS t_meal_time
+        FROM {b}lineitem
+    """,
+    "catalog_page": """
+        SELECT DISTINCT CAST(1 + p_partkey % 100 AS INT)
+                 AS cp_catalog_page_sk,
+               'page_' || CASE CAST(p_partkey % 4 AS INT)
+                 WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c'
+                 ELSE 'd' END AS cp_catalog_page_id,
+               CAST(1 + p_partkey % 20 AS INT) AS cp_catalog_number,
+               CAST(1 + p_partkey % 200 AS INT) AS cp_catalog_page_number,
+               CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'bi-annual'
+                 WHEN 1 THEN 'quarterly' ELSE 'monthly'
+                 END AS cp_type
+        FROM {b}part
+    """,
+    "web_page": """
+        SELECT DISTINCT CAST(1 + p_partkey % 100 AS INT) AS wp_web_page_sk,
+               CAST(2500 + (p_partkey % 100) * 50 AS INT) AS wp_char_count,
+               CAST(1 + p_partkey % 7 AS INT) AS wp_link_count,
+               CAST(1 + p_partkey % 4 AS INT) AS wp_image_count,
+               CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN 'Y' ELSE 'N'
+                 END AS wp_autogen_flag
+        FROM {b}part
+    """,
+    "item": f"""
         SELECT p_partkey AS i_item_sk,
+               p_name AS i_item_id,
+               p_name AS i_item_desc,
                p_brand AS i_brand,
                CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
                p_type AS i_class,
+               CAST(1 + p_partkey % 16 AS INT) AS i_class_id,
                substr(p_brand, 7, 1) AS i_category,
                CAST(substr(p_brand, 7, 1) AS INT) AS i_category_id,
                CAST(1 + p_partkey % 1000 AS INT) AS i_manufact_id,
                CAST(1 + p_partkey % 40 AS INT) AS i_manager_id,
-               p_retailprice AS i_current_price
-        FROM {b}part
+               {_case('p_partkey', ['ma', 'mb', 'mc', 'md', 'me'])} ||
+               {_case('CAST(floor(p_partkey / 5.0) AS BIGINT)',
+                      ['v', 'w', 'x', 'y', 'z'])} AS i_manufact,
+               {_case('p_partkey * 7 + 1', ['pa', 'pb', 'pc', 'pd'])} ||
+               {_case('CAST(floor(p_partkey / 4.0) AS BIGINT)',
+                      ['r', 's', 't'])} AS i_product_name,
+               {_case('p_partkey * 3 + 1', _COLORS)} AS i_color,
+               {_case('p_partkey * 5 + 2', _UNITS)} AS i_units,
+               {_case('p_partkey * 7 + 3', _SIZES)} AS i_size,
+               {_cents('p_retailprice')} AS i_current_price,
+               {_cents('p_retailprice * 0.6')} AS i_wholesale_cost
+        FROM {{b}}part
     """,
-    "store": """
+    "store": f"""
         SELECT s_suppkey AS s_store_sk,
+               s_name AS s_store_id,
                s_name AS s_store_name,
-               CASE CAST(s_suppkey % 8 AS INT)
-                 WHEN 0 THEN 'NM' WHEN 1 THEN 'TX' WHEN 2 THEN 'CA'
-                 WHEN 3 THEN 'NY' WHEN 4 THEN 'OH' WHEN 5 THEN 'GA'
-                 WHEN 6 THEN 'WA' ELSE 'TN'
-               END AS s_state
-        FROM {b}supplier
+               {_case('s_suppkey', _STATES[:8])} AS s_state,
+               {_case('s_suppkey * 3 + 1', _CITIES)} AS s_city,
+               {_case('s_suppkey * 5 + 2', _COUNTIES)} AS s_county,
+               'United States' AS s_country,
+               CASE CAST(s_suppkey % 2 AS INT) WHEN 0 THEN 'company_a'
+                    ELSE 'company_b' END AS s_company_name,
+               CAST(s_suppkey % 2 AS INT) AS s_company_id,
+               CAST(-5 - s_suppkey % 3 AS INT) AS s_gmt_offset,
+               CAST(200 + s_suppkey % 100 AS INT) AS s_number_employees,
+               CAST(5000000 + (s_suppkey * 7919) % 5000000 AS INT)
+                 AS s_floor_space,
+               CASE CAST(s_suppkey % 2 AS INT) WHEN 0 THEN '8AM-4PM'
+                    ELSE '8AM-12AM' END AS s_hours,
+               {_case('s_suppkey * 11 + 4', _FIRST)} || ' ' ||
+               {_case('s_suppkey * 13 + 5', _LAST)} AS s_manager,
+               CAST(1 + s_suppkey % 10 AS INT) AS s_market_id,
+               CAST(100 + s_suppkey % 900 AS INT) AS s_street_number,
+               CASE CAST(s_suppkey % 5 AS INT) WHEN 0 THEN 'Main'
+                 WHEN 1 THEN 'Oak' WHEN 2 THEN 'Park' WHEN 3 THEN 'Elm'
+                 ELSE 'Maple' END AS s_street_name,
+               CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 'St'
+                 WHEN 1 THEN 'Ave' WHEN 2 THEN 'Blvd' ELSE 'Ct'
+                 END AS s_street_type,
+               CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'Suite 100'
+                 WHEN 1 THEN 'Suite A' ELSE 'Suite 250'
+                 END AS s_suite_number,
+               {_case('s_suppkey * 17 + 6', _CITIES)} AS s_zip
+        FROM {{b}}supplier
     """,
-    "customer": """
+    "customer": f"""
         SELECT c_custkey AS c_customer_sk,
                c_name AS c_customer_id,
-               c_mktsegment AS c_segment
+               {_case('c_custkey * 3 + 1', _FIRST)} AS c_first_name,
+               {_case('c_custkey * 5 + 2', _LAST)} AS c_last_name,
+               {_case('c_custkey * 7 + 3', ['Y', 'N'])}
+                 AS c_preferred_cust_flag,
+               {_case('c_custkey * 13 + 6',
+                      ['Mr.', 'Mrs.', 'Ms.', 'Dr.', 'Miss', 'Sir'])}
+                 AS c_salutation,
+               c_custkey AS c_current_addr_sk,
+               c_custkey AS c_current_cdemo_sk,
+               c_custkey AS c_current_hdemo_sk,
+               CAST(1 + c_custkey % 28 AS INT) AS c_birth_day,
+               CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
+               CAST(1930 + c_custkey % 60 AS INT) AS c_birth_year,
+               {_case('c_custkey * 11 + 5',
+                      ['UNITED STATES', 'CANADA', 'MEXICO', 'FRANCE',
+                       'GERMANY', 'JAPAN'])} AS c_birth_country,
+               c_mktsegment AS c_segment,
+               CAST(19980000 + 100 * (1 + c_custkey % 12)
+                    + 1 + c_custkey % 28 AS BIGINT)
+                 AS c_last_review_date_sk,
+               CAST(19950000 + 100 * (1 + c_custkey % 12)
+                    + 1 + c_custkey % 28 AS BIGINT)
+                 AS c_first_sales_date_sk,
+               CAST(19950000 + 100 * (1 + (c_custkey + 3) % 12)
+                    + 1 + (c_custkey + 7) % 28 AS BIGINT)
+                 AS c_first_shipto_date_sk,
+               c_name AS c_login,
+               c_name || '@example.com' AS c_email_address
+        FROM {{b}}customer
+    """,
+    "customer_address": f"""
+        SELECT c_custkey AS ca_address_sk,
+               c_name AS ca_address_id,
+               {_case('c_custkey', _STATES)} AS ca_state,
+               {_case('c_custkey * 3 + 1', _CITIES)} AS ca_city,
+               {_case('c_custkey * 5 + 2', _COUNTIES)} AS ca_county,
+               {_case('c_custkey * 7 + 3',
+                      ['24128', '76232', '65084', '87816', '83926',
+                       '77556', '20548', '26231', '43848', '15126'])}
+                 AS ca_zip,
+               'United States' AS ca_country,
+               CAST(-5 - c_custkey % 3 AS INT) AS ca_gmt_offset,
+               {_case('c_custkey * 11 + 4',
+                      ['apartment', 'condo', 'single family'])}
+                 AS ca_location_type,
+               CAST(100 + c_custkey % 900 AS INT) AS ca_street_number,
+               CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'St'
+                 WHEN 1 THEN 'Ave' WHEN 2 THEN 'Blvd' ELSE 'Ct'
+                 END AS ca_street_type,
+               CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'Suite 100'
+                 WHEN 1 THEN 'Suite A' ELSE 'Suite 250'
+                 END AS ca_suite_number,
+               {_case('c_custkey * 13 + 5',
+                      ['Main', 'Oak', 'Park', 'Elm', 'Maple'])} || ' ' ||
+               {_case('c_custkey * 17 + 6',
+                      ['St', 'Ave', 'Blvd', 'Ct'])} AS ca_street_name
+        FROM {{b}}customer
+    """,
+    "customer_demographics": f"""
+        SELECT c_custkey AS cd_demo_sk,
+               {_case('c_custkey', ['M', 'F'])} AS cd_gender,
+               {_case('c_custkey * 3 + 1', _MARITAL)} AS cd_marital_status,
+               {_case('c_custkey * 5 + 2', _EDU)} AS cd_education_status,
+               CAST(500 * (1 + c_custkey % 20) AS INT)
+                 AS cd_purchase_estimate,
+               {_case('c_custkey * 7 + 3', _CREDIT)} AS cd_credit_rating,
+               CAST(c_custkey % 7 AS INT) AS cd_dep_count,
+               CAST((c_custkey * 3 + 1) % 7 AS INT) AS cd_dep_employed_count,
+               CAST((c_custkey * 5 + 2) % 7 AS INT) AS cd_dep_college_count
+        FROM {{b}}customer
+    """,
+    "household_demographics": f"""
+        SELECT c_custkey AS hd_demo_sk,
+               CAST(1 + c_custkey % 20 AS INT) AS hd_income_band_sk,
+               {_case('c_custkey * 3 + 1', _BUY_POT)} AS hd_buy_potential,
+               CAST(c_custkey % 10 AS INT) AS hd_dep_count,
+               CAST(c_custkey % 5 AS INT) AS hd_vehicle_count
+        FROM {{b}}customer
+    """,
+    "income_band": """
+        SELECT DISTINCT CAST(1 + c_custkey % 20 AS INT) AS ib_income_band_sk,
+               CAST((c_custkey % 20) * 10000 AS INT) AS ib_lower_bound,
+               CAST((c_custkey % 20) * 10000 + 9999 AS INT) AS ib_upper_bound
         FROM {b}customer
     """,
-    "store_sales": f"""
-        SELECT {_DSK.format(c='l_shipdate')} AS ss_sold_date_sk,
-               l_partkey AS ss_item_sk,
-               l_suppkey AS ss_store_sk,
-               CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                    AS BIGINT) AS ss_sales_price,
-               CAST(round(l_extendedprice * 100) AS BIGINT)
-                 AS ss_ext_sales_price,
-               CAST(l_quantity AS BIGINT) AS ss_quantity
+    "promotion": f"""
+        SELECT CAST(p_partkey AS INT) AS p_promo_sk,
+               'promo_' || {_case('p_partkey', ['a', 'b', 'c', 'd', 'e'])}
+                 AS p_promo_id,
+               {_case('p_partkey * 3 + 1', ['N', 'Y'])} AS p_channel_dmail,
+               {_case('p_partkey * 5 + 2', ['N', 'Y'])} AS p_channel_email,
+               {_case('p_partkey * 7 + 3', ['N', 'Y'])} AS p_channel_tv,
+               {_case('p_partkey * 11 + 4', ['N', 'Y'])} AS p_channel_event,
+               'promo_name' AS p_promo_name,
+               CAST(1000 AS BIGINT) AS p_cost
+        FROM (SELECT DISTINCT 1 + p_partkey % 300 AS p_partkey
+              FROM {{b}}part) __pp
+    """,
+    "warehouse": f"""
+        SELECT DISTINCT CAST(1 + s_suppkey % 5 AS INT) AS w_warehouse_sk,
+               'warehouse_' ||
+               {_case('s_suppkey % 5', ['a', 'b', 'c', 'd', 'e'])}
+                 AS w_warehouse_name,
+               CAST(100000 + (s_suppkey % 5) * 50000 AS INT)
+                 AS w_warehouse_sq_ft,
+               {_case('s_suppkey % 5', _STATES[:5])} AS w_state,
+               {_case('s_suppkey % 5', _COUNTIES[:5])} AS w_county,
+               {_case('s_suppkey % 5', _CITIES[:5])} AS w_city,
+               'United States' AS w_country
+        FROM {{b}}supplier
+    """,
+    "call_center": f"""
+        SELECT DISTINCT CAST(1 + s_suppkey % 4 AS INT) AS cc_call_center_sk,
+               'cc_' || {_case('s_suppkey % 4', ['a', 'b', 'c', 'd'])}
+                 AS cc_call_center_id,
+               {_case('s_suppkey % 4',
+                      ['North Midwest', 'Mid Atlantic', 'Pacific',
+                       'South'])} AS cc_name,
+               {_case('s_suppkey % 4', _COUNTIES[:4])} AS cc_county,
+               {_case('s_suppkey % 4', ['small', 'medium', 'large',
+                                        'medium'])} AS cc_class,
+               {_case('s_suppkey % 4', _FIRST[:4])} || ' ' ||
+               {_case('s_suppkey % 4', _LAST[:4])} AS cc_manager
+        FROM {{b}}supplier
+    """,
+    "web_site": f"""
+        SELECT DISTINCT CAST(1 + s_suppkey % 3 AS INT) AS web_site_sk,
+               'site_' || {_case('s_suppkey % 3', ['a', 'b', 'c'])}
+                 AS web_site_id,
+               {_case('s_suppkey % 3', ['site_0', 'site_1', 'site_2'])}
+                 AS web_name,
+               {_case('s_suppkey % 3', ['pri', 'sec', 'ter'])}
+                 AS web_company_name
+        FROM {{b}}supplier
+    """,
+    "ship_mode": f"""
+        SELECT DISTINCT CAST(1 + s_suppkey % 5 AS INT) AS sm_ship_mode_sk,
+               {_case('s_suppkey % 5', _SM_TYPES)} AS sm_type,
+               {_case('s_suppkey % 5', _SM_CARRIERS)} AS sm_carrier,
+               'code_' || {_case('s_suppkey % 5',
+                                 ['a', 'b', 'c', 'd', 'e'])} AS sm_code
+        FROM {{b}}supplier
+    """,
+    "reason": f"""
+        SELECT DISTINCT CAST(1 + s_suppkey % 5 AS INT) AS r_reason_sk,
+               'reason_' || {_case('s_suppkey % 5',
+                                   ['a', 'b', 'c', 'd', 'e'])}
+                 AS r_reason_id,
+               {_case('s_suppkey % 5', _REASONS)} AS r_reason_desc
+        FROM {{b}}supplier
+    """,
+    "inventory": f"""
+        SELECT {_dsk('l_shipdate')} AS inv_date_sk,
+               l_partkey AS inv_item_sk,
+               CAST(1 + l_suppkey % 5 AS INT) AS inv_warehouse_sk,
+               CAST(l_quantity AS INT) AS inv_quantity_on_hand
         FROM {{b}}lineitem
-        WHERE l_linenumber % 3 = 0
     """,
-    "store_returns": f"""
-        SELECT {_DSK.format(c='l.l_shipdate')} AS sr_returned_date_sk,
-               o.o_custkey AS sr_customer_sk,
-               l.l_suppkey AS sr_store_sk,
-               CAST(round(l.l_extendedprice * l.l_tax * 100) AS BIGINT)
-                 AS sr_fee
-        FROM {{b}}lineitem l
-        JOIN {{b}}orders o ON l.l_orderkey = o.o_orderkey
-        WHERE l.l_returnflag = 'R' AND l.l_linenumber % 3 = 0
-    """,
+    "store_sales": _sales_channel("ss", 0, ""),
+    "catalog_sales": _sales_channel(
+        "cs", 1,
+        """o_custkey AS cs_bill_customer_sk,
+               o_custkey AS cs_bill_cdemo_sk,
+               o_custkey AS cs_bill_hdemo_sk,
+               o_custkey AS cs_bill_addr_sk,
+               o_custkey AS cs_ship_customer_sk,
+               o_custkey AS cs_ship_cdemo_sk,
+               o_custkey AS cs_ship_hdemo_sk,
+               o_custkey AS cs_ship_addr_sk,
+               l_orderkey AS cs_order_number,
+               1 + l_suppkey % 4 AS cs_call_center_sk,
+               1 + l_suppkey % 5 AS cs_ship_mode_sk,
+               1 + l_suppkey % 5 AS cs_warehouse_sk,
+               1 + l_partkey % 100 AS cs_catalog_page_sk,""",
+    ),
+    "web_sales": _sales_channel(
+        "ws", 2,
+        """o_custkey AS ws_bill_customer_sk,
+               o_custkey AS ws_bill_cdemo_sk,
+               o_custkey AS ws_bill_hdemo_sk,
+               o_custkey AS ws_bill_addr_sk,
+               o_custkey AS ws_ship_customer_sk,
+               o_custkey AS ws_ship_cdemo_sk,
+               o_custkey AS ws_ship_hdemo_sk,
+               o_custkey AS ws_ship_addr_sk,
+               l_orderkey AS ws_order_number,
+               1 + l_suppkey % 3 AS ws_web_site_sk,
+               1 + l_partkey % 100 AS ws_web_page_sk,
+               1 + l_suppkey % 5 AS ws_ship_mode_sk,
+               1 + l_suppkey % 5 AS ws_warehouse_sk,""",
+    ),
+    "store_returns": _returns_channel("sr", 0, "l_shipdate"),
+    "catalog_returns": _returns_channel("cr", 1, "l_shipdate"),
+    "web_returns": _returns_channel("wr", 2, "l_shipdate"),
 }
 
 
@@ -100,8 +551,6 @@ def star_tables_in(sql: str) -> list[str]:
     """STAR_VIEW_SQL keys referenced by a translated SQL text, in the
     deterministic dict order (derivations are independent of each other,
     so any order is valid as a CTE prefix)."""
-    import re
-
     found = []
     for name in STAR_VIEW_SQL:
         if re.search(rf"\b{name}\b", sql):
