@@ -167,3 +167,97 @@ def test_codec_registry_gates_and_roundtrips(spark):
             _codec(name)
     with _pytest.raises(ValueError, match="unknown codec"):
         _codec("rot13")
+
+
+# --- round-7 translator extensions ------------------------------------------
+
+
+def test_ref_contexts():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    tq = translate_yql(
+        """
+        $m = (select max(x) as m from t);
+        $keys = (select k from t2);
+        select * from t3 where k in $keys and v > 0.95 * $m;
+        """
+    )
+    assert "IN (SELECT * FROM keys)" in tq.sql
+    assert "0.95 * (SELECT * FROM m)" in tq.sql
+    assert "$" not in tq.sql
+
+
+def test_multi_result_script_scoping():
+    from ytsaurus_spark.yql.dialect import translate_yql_script
+
+    parts = translate_yql_script(
+        "$a = (select 1 as x); select x from $a;"
+        "$b = (select 2 as y); select y from $b;"
+    )
+    assert len(parts) == 2
+    # the first result sees only $a; the second sees both
+    assert parts[0].named == ("a",)
+    assert parts[1].named == ("a", "b")
+
+
+def test_quoted_alias_sanitized():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    tq = translate_yql("select 1 as `30 days`, 2 as `order count`;")
+    assert "q30_days" in tq.sql and "order_count" in tq.sql
+    assert "`" not in tq.sql
+
+
+def test_module_function_rewrites():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    tq = translate_yql(
+        "select Math::Round(a/b,-2) as r, upper_bound\n"
+        "from t where d between CAST('2001-01-01' AS DATE)\n"
+        "and (cast('2001-01-01' as date) + DateTime::IntervalFromDays(30))\n"
+        "and e < cast('P30D' as interval) + f\n"
+        "and g = Date('2000-06-17');"
+    )
+    assert "round(a/b, 2)" in tq.sql
+    assert tq.sql.count("INTERVAL 30 DAY") == 2
+    assert "CAST('2000-06-17' AS DATE)" in tq.sql
+
+
+def test_groupby_as_rewrite_flat_only():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    # flat statement: the named group-by expression moves to the select list
+    tq = translate_yql(
+        "select bla, sum(v) as s from t\n"
+        "group by substring(cast(w as string),1,20) as bla\n"
+        "order by bla;"
+    )
+    assert "substring(cast(w as string),1,20) AS bla" in tq.sql
+    assert " as bla\norder by" not in tq.sql.lower()
+    # non-flat statements (subqueries/unions) pass through untouched
+    nested = (
+        "select * from (select a as b from t group by a) q\n"
+        "union all select a from t2 group by a;"
+    )
+    assert translate_yql(nested).sql.strip() == nested.rstrip(";").strip()
+
+
+def test_semi_only_join_spellings():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    tq = translate_yql(
+        "select * from a left semi join b using (k);"
+    )
+    assert "semi join" in tq.sql and "left semi" not in tq.sql.lower()
+    tq2 = translate_yql("select * from a left only join b on a.k = b.k;")
+    assert "anti join" in tq2.sql
+
+
+def test_returns_alias_renamed_tables_untouched():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    tq = translate_yql(
+        "select sum(sr_return_amt) as returns from store_returns;"
+    )
+    assert "as returns_amt" in tq.sql
+    assert "store_returns" in tq.sql  # table name not mangled

@@ -29,7 +29,10 @@ files): 90 of 101 statements. The 11 exclusions, by reason:
 - engine-specific names for unaliased aggregate outputs (35, 38, 87):
   bare ``count(*)`` columns print differently, and the text is verbatim
   so we can't alias;
-- DECIMAL literal/typing divergence in output columns (77, 83, 90);
+- NULL-ordering divergence under LIMIT (77): the ROLLUP's NULL subtotal
+  keys sort NULLS FIRST on Spark and NULLS LAST on DuckDB, selecting
+  different top-100 sets;
+- DECIMAL literal/typing divergence in output columns (83, 90);
 - DuckDB binder strictness on a three-way USING chain (58).
 
 Multi-result scripts (14, 23, 24, 39) register one entry per statement
