@@ -17,10 +17,10 @@ spellings → portable SQL), and:
 
 Registered set = every statement that passes the STRICT dual-engine
 compare at BOTH sf0.01 and sf0.1 (tools/yql_conformance.py sweeps all 99
-files): 90 of 101 statements. The 11 exclusions, by reason:
+files): 87 of 101 statements. The 14 exclusions, by reason:
 
-- LIMIT-tie nondeterminism (05, 27, 67): ORDER BY keys that are not a
-  total order, so the two engines legitimately pick different rows at
+- LIMIT-tie nondeterminism (05, 22, 27, 67): ORDER BY keys that are not
+  a total order, so the two engines legitimately pick different rows at
   the LIMIT boundary;
 - Spark's documented ROLLUP-over-empty-input divergence (14a, 18, 80):
   ANSI/DuckDB emit the grand-total row over an empty selection, Spark
@@ -29,9 +29,14 @@ files): 90 of 101 statements. The 11 exclusions, by reason:
 - engine-specific names for unaliased aggregate outputs (35, 38, 87):
   bare ``count(*)`` columns print differently, and the text is verbatim
   so we can't alias;
+- position-0 substring divergence (08): ``substring(zip, 0, 5)`` yields
+  5 chars on Spark (0 clamps to 1) but 4 on DuckDB (position 0 sits
+  before the first char), so the zip group keys differ;
 - NULL-ordering divergence under LIMIT (77): the ROLLUP's NULL subtotal
   keys sort NULLS FIRST on Spark and NULLS LAST on DuckDB, selecting
   different top-100 sets;
+- division-by-zero semantics (75): a prior-year amount of 0 raises
+  under Spark's ANSI mode while DuckDB's double division yields inf;
 - DECIMAL literal/typing divergence in output columns (83, 90);
 - DuckDB binder strictness on a three-way USING chain (58).
 
@@ -39,6 +44,14 @@ Multi-result scripts (14, 23, 24, 39) register one entry per statement
 with an a/b suffix. If the reference checkout is absent (standalone use),
 these conformance entries skip registration; the shim itself
 (yql.yql_select) needs no reference files.
+
+Substance note (measured at sf0.1): 51 of the 87 registered statements
+return rows; the 36 empty results are honest — their verbatim predicates
+reference dates beyond the fixture's 1995-2001 range (e.g. q98's
+2002-01-05 window) or conjunctions the synthetic star never satisfies,
+and BOTH engines agree on empty. The derivations deliberately land the
+common literal domains (category names, dollar price bands, bench zip
+lists, months-since-1900 d_month_seq) so the majority select real data.
 """
 
 from __future__ import annotations
@@ -55,13 +68,13 @@ _BENCH_DIR = "/root/reference/yt/benchmarks/run/queries"
 # (see module docstring for the 11 exclusions); 'NN' = single-statement
 # file, 'NNa'/'NNb' = statement within a multi-result script
 _PASSING = (
-    "01", "02", "03", "04", "06", "07", "08", "09", "10", "11", "12",
-    "13", "14b", "15", "16", "17", "19", "20", "21", "22", "23a", "23b",
+    "01", "02", "03", "04", "06", "07", "09", "10", "11", "12",
+    "13", "14b", "15", "16", "17", "19", "20", "21", "23a", "23b",
     "24a", "24b", "25", "26", "28", "29", "30", "31", "32", "33", "34",
     "36", "37", "39a", "39b", "40", "41", "42", "43", "44", "45", "46",
     "47", "48", "49", "50", "51", "52", "53", "54", "55", "56", "57",
     "59", "60", "61", "62", "63", "64", "65", "66", "68", "69", "70",
-    "71", "72", "73", "74", "75", "76", "78", "79", "81", "82", "84",
+    "71", "72", "73", "74", "76", "78", "79", "81", "82", "84",
     "85", "86", "88", "89", "91", "92", "93", "94", "95", "96", "97",
     "98", "99",
 )

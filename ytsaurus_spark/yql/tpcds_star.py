@@ -27,8 +27,12 @@ channel split):
 - calendar: d_days since 1970-01-01 via the era-based civil formula
   (pure integer arithmetic — identical on any engine), d_dow with
   0=Sunday, d_week_seq Monday-aligned, d_month_seq months since 1900 (the convention the bench files' 1176..1217 windows assume — 1998-01 = 1176);
-- money: integer CENTS as BIGINT (the house exactness discipline — sums
-  stay exact on any engine; ratios/averages divide exact integers).
+- money: extended amounts are integer CENTS as BIGINT (the house
+  exactness discipline — sums stay exact on any engine); PER-UNIT
+  price columns (*_sales_price/*_list_price/*_wholesale_cost,
+  i_current_price) are exact integer DOLLARS scaled into the
+  literal bands the bench predicates test (50..200 etc.), so the
+  verbatim filters select real rows.
 """
 
 from __future__ import annotations
@@ -105,6 +109,15 @@ _LAST = ["Smith", "Johnson", "Brown", "Jones", "Miller", "Davis",
 _EDU = ["Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
         "Advanced Degree", "Unknown"]
 _MARITAL = ["M", "S", "D", "W", "U"]
+# the 5 brand digits map onto the most-filtered TPC-DS categories; class
+# and zip domains are unions of the bench files' literal lists so the
+# verbatim predicates select real rows
+_CATEGORIES = ["Women", "Men", "Home", "Books", "Sports"]
+_CLASSES = ["personal", "portable", "reference", "self-help",
+            "accessories", "classical", "fragrances", "pants",
+            "glassware", "fiction", "business", "shirts"]
+_ZIPS = ["47602", "16704", "35863", "28577", "85669", "86197", "88274",
+         "83405", "80348", "83910"]
 _CREDIT = ["Low Risk", "Good", "High Risk", "Unknown"]
 _BUY_POT = [">10000", "5001-10000", "1001-5000", "501-1000", "0-500",
             "Unknown"]
@@ -139,11 +152,12 @@ def _money_cols(p: str) -> str:
                 + {_cents(f"{ext} * 0.25")}) AS {p}_net_paid_inc_ship,
                ({_cents(f"{ext} * (1 - l_discount) * (1 + l_tax)")}
                 + {_cents(f"{ext} * 0.25")}) AS {p}_net_paid_inc_ship_tax,
-               CAST(round(l_extendedprice * (1 - l_discount) * 100
-                          / l_quantity) AS BIGINT) AS {p}_sales_price,
-               CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)
+               CAST(round(l_extendedprice * (1 - l_discount)
+                          / l_quantity / 10) AS BIGINT)
+                 AS {p}_sales_price,
+               CAST(round(l_extendedprice / l_quantity / 10) AS BIGINT)
                  AS {p}_list_price,
-               CAST(round(l_extendedprice * 0.5 * 100 / l_quantity)
+               CAST(round(l_extendedprice * 0.5 / l_quantity / 10)
                     AS BIGINT) AS {p}_wholesale_cost,
                CAST(l_quantity AS INT) AS {p}_quantity
     """.strip()
@@ -295,9 +309,10 @@ STAR_VIEW_SQL: dict[str, str] = {
                p_name AS i_item_desc,
                p_brand AS i_brand,
                CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
-               p_type AS i_class,
+               {_case('p_partkey * 3 + 2', _CLASSES)} AS i_class,
                CAST(1 + p_partkey % 16 AS INT) AS i_class_id,
-               substr(p_brand, 7, 1) AS i_category,
+               {_case("CAST(substr(p_brand, 7, 1) AS INT) - 1",
+                      _CATEGORIES)} AS i_category,
                CAST(substr(p_brand, 7, 1) AS INT) AS i_category_id,
                CAST(1 + p_partkey % 1000 AS INT) AS i_manufact_id,
                CAST(1 + p_partkey % 40 AS INT) AS i_manager_id,
@@ -310,8 +325,10 @@ STAR_VIEW_SQL: dict[str, str] = {
                {_case('p_partkey * 3 + 1', _COLORS)} AS i_color,
                {_case('p_partkey * 5 + 2', _UNITS)} AS i_units,
                {_case('p_partkey * 7 + 3', _SIZES)} AS i_size,
-               {_cents('p_retailprice')} AS i_current_price,
-               {_cents('p_retailprice * 0.6')} AS i_wholesale_cost
+               CAST(round(p_retailprice / 20) AS BIGINT)
+                 AS i_current_price,
+               CAST(round(p_retailprice * 0.6 / 20) AS BIGINT)
+                 AS i_wholesale_cost
         FROM {{b}}part
     """,
     "store": f"""
@@ -344,7 +361,7 @@ STAR_VIEW_SQL: dict[str, str] = {
                CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'Suite 100'
                  WHEN 1 THEN 'Suite A' ELSE 'Suite 250'
                  END AS s_suite_number,
-               {_case('s_suppkey * 17 + 6', _CITIES)} AS s_zip
+               {_case('s_suppkey * 17 + 6', _ZIPS)} AS s_zip
         FROM {{b}}supplier
     """,
     "customer": f"""
@@ -386,10 +403,7 @@ STAR_VIEW_SQL: dict[str, str] = {
                {_case('c_custkey', _STATES)} AS ca_state,
                {_case('c_custkey * 3 + 1', _CITIES)} AS ca_city,
                {_case('c_custkey * 5 + 2', _COUNTIES)} AS ca_county,
-               {_case('c_custkey * 7 + 3',
-                      ['24128', '76232', '65084', '87816', '83926',
-                       '77556', '20548', '26231', '43848', '15126'])}
-                 AS ca_zip,
+               {_case('c_custkey * 7 + 3', _ZIPS)} AS ca_zip,
                'United States' AS ca_country,
                CAST(-5 - c_custkey % 3 AS INT) AS ca_gmt_offset,
                {_case('c_custkey * 11 + 4',
