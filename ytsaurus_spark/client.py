@@ -330,6 +330,29 @@ class YtClient:
             merge_by = list(table_attributes(self._fs(self._split_rich(sources[0])[0])).get("sorted_by") or [])
         self.write_table(dst, run_merge(dfs, mode=mode, merge_by=merge_by))
 
+    def run_remote_copy(
+        self,
+        source_table,
+        destination_table: str,
+        *,
+        source_client: "YtClient",
+        copy_attributes: bool = True,
+    ) -> dict:
+        """Cross-cluster RemoteCopy (yt.wrapper.run_remote_copy,
+        run_operation_commands.py:387): runs on THIS (destination)
+        cluster, pulling chunks verbatim from ``source_client``'s
+        cluster — chunk-parallel, checksummed, atomic commit
+        (sources/remote_copy.py)."""
+        from ytsaurus_spark.sources.remote_copy import run_remote_copy as _rc
+
+        return _rc(
+            self,
+            source_table,
+            destination_table,
+            source_client=source_client,
+            copy_attributes=copy_attributes,
+        )
+
     def run_erase(self, ypath: str, predicate: str) -> None:
         from pyspark.sql import functions as F
 

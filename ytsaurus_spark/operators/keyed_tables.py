@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,7 +40,36 @@ _AGG_FOLDS = {
     # generation-aware in insert_rows — F.first over an unordered groupBy
     # would be nondeterministic.
     "first": None,
+    # "xdelta" folds binary BASE/PATCH states (builtin_function_registry
+    # xdelta aggregate; library/cpp/xdelta3/state/merge.cpp MergeStates) —
+    # resolved generation-aware below via an Arrow-batched pandas fold.
+    "xdelta": None,
 }
+
+_XDELTA_FOLD_UDF = None
+
+
+def _xdelta_fold_udf():
+    """Lazily-built pandas UDF folding a key's generation-ordered xdelta
+    states (functions/xdelta.py merge_states decision table). Arrow moves
+    each key's state array in one batch; the fold is O(total patch bytes)."""
+    global _XDELTA_FOLD_UDF
+    if _XDELTA_FOLD_UDF is None:
+        import pandas as pd
+        from pyspark.sql.types import BinaryType
+
+        from ytsaurus_spark.functions.xdelta import fold_states
+
+        @F.pandas_udf(BinaryType())
+        def _fold(arrs: pd.Series) -> pd.Series:
+            return arrs.map(
+                lambda states: None
+                if states is None
+                else fold_states(bytes(s) for s in states)
+            )
+
+        _XDELTA_FOLD_UDF = _fold
+    return _XDELTA_FOLD_UDF
 
 
 def _first_written(c: str):
@@ -87,6 +118,19 @@ def _fold_expr(c: str, fold):
         return _custom_fold(c, fold).alias(c)
     if fold == "first":
         return _first_written(c).alias(c)
+    if fold == "xdelta":
+        pair = F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.col("__gen").alias("g"),
+                F.col("__sub").alias("s"),
+                F.col(c).alias("v"),
+            ),
+        )
+        ordered = F.transform(
+            F.array_sort(F.collect_list(pair)), lambda s: s.getField("v")
+        )
+        return _xdelta_fold_udf()(ordered).alias(c)
     return _AGG_FOLDS[fold](F.col(c)).alias(c)
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -998,3 +1000,65 @@ def qt_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         "n",
     )
+
+
+# --- xdelta aggregate column (BASE/PATCH binary states) --------------------
+
+@register(
+    "dyn_xdelta_patch_fold",
+    """
+    SELECT doc_id,
+           replace(text || '|r1', 'a', '@') || '|r2' AS final_text
+    FROM documents
+    WHERE doc_id % 17 = 0
+    ORDER BY doc_id
+    """,
+)
+def dyn_xdelta_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xdelta aggregate column end-to-end (state_header.proto BASE/PATCH
+    states, merge.cpp MergeStates): documents get a BASE state, then two
+    PATCH revisions fold on write inside KeyedTable's upsert groupBy; the
+    decoded final state must equal the last revision text, which the
+    oracle recomputes with plain string SQL.
+
+    Scale shape: states build inside Arrow-batched pandas UDFs at scan
+    grain; the fold is the keyed upsert's single shuffle. Patches are
+    O(edit) bytes, so the shuffle moves deltas, not documents."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType
+
+    from ytsaurus_spark.functions import xdelta as X
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter((F.col("doc_id") % 17) == 0)
+        .select("doc_id", "text")
+    )
+    v1 = F.concat(F.col("text"), F.lit("|r1"))
+    v2 = F.concat(F.regexp_replace(v1, "a", "@"), F.lit("|r2"))
+    staged = docs.select("doc_id", F.col("text").alias("v0"), v1.alias("v1"), v2.alias("v2"))
+
+    @F.pandas_udf(BinaryType())
+    def base_state(t: pd.Series) -> pd.Series:
+        return t.map(lambda s: X.make_base(s.encode()))
+
+    @F.pandas_udf(BinaryType())
+    def patch_state(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [X.make_patch(x.encode(), y.encode()) for x, y in zip(a, b)]
+        )
+
+    @F.pandas_udf(StringType())
+    def decode_state(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: X.decode_base(bytes(b)).decode())
+
+    t = KeyedTable(
+        df=staged.select("doc_id", base_state("v0").alias("st")),
+        key_cols=["doc_id"],
+        aggregates={"st": "xdelta"},
+    )
+    t = t.insert_rows(staged.select("doc_id", patch_state("v0", "v1").alias("st")))
+    t = t.insert_rows(staged.select("doc_id", patch_state("v1", "v2").alias("st")))
+    return t.df.select(
+        "doc_id", decode_state("st").alias("final_text")
+    ).orderBy("doc_id")

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -783,4 +785,42 @@ def op_sorted_attr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "min_key",
         "max_key",
+    )
+
+
+# --- cross-cluster RemoteCopy (remote_copy_job.cpp, chunk-verbatim) --------
+
+@register(
+    "op_remote_copy_cross",
+    """
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(min(s_suppkey) AS BIGINT) AS min_supp,
+           CAST(max(s_suppkey) AS BIGINT) AS max_supp
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def op_remote_copy_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CLUSTER RemoteCopy (yt.wrapper.run_remote_copy): two
+    independent cluster roots; the destination cluster pulls the table's
+    chunks byte-verbatim (murmur-checksummed per chunk, mapInPandas
+    chunk-parallel, atomic commit) and the aggregate runs FROM THE COPY
+    — the oracle over the source proves end-to-end fidelity."""
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+
+    src = YtClient(root=tempfile.mkdtemp(prefix="ytspark_rcsrc_"), spark=spark)
+    dst = YtClient(root=tempfile.mkdtemp(prefix="ytspark_rcdst_"), spark=spark)
+    supplier = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    src.write_table("//home/supplier", supplier.repartition(8))
+    dst.run_remote_copy("//home/supplier", "//pulled/supplier", source_client=src)
+    copied = dst.read_table("//pulled/supplier")
+    return copied.groupBy(
+        F.col("s_nationkey").cast("long").alias("s_nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.min("s_suppkey").cast("long").alias("min_supp"),
+        F.max("s_suppkey").cast("long").alias("max_supp"),
     )
