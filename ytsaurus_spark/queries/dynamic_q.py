@@ -1062,3 +1062,70 @@ def dyn_xdelta_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.df.select(
         "doc_id", decode_state("st").alias("final_text")
     ).orderBy("doc_id")
+
+
+# --- chaos replication (replication_card.h, chaos_node) --------------------
+
+@register(
+    "dyn_chaos_failover",
+    """
+    WITH a AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders WHERE o_orderkey % 101 = 0),
+         c AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) + 2 AS v
+               FROM orders WHERE o_orderkey % 107 = 0)
+    SELECT k, v FROM c
+    UNION ALL
+    SELECT k, v FROM a WHERE k NOT IN (SELECT k FROM c)
+    ORDER BY k
+    """,
+)
+def dyn_chaos_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaos replication end-to-end (replication_card.h): two clusters,
+    sync/async queue + data replicas; a write lands after the async
+    queue's last catch-up, the primary cluster fails, the surviving
+    queue promotes (era bump), writes continue, the primary recovers
+    and ERA-FENCES its divergent tail — the oracle's expected state is
+    exactly "initial ∪ post-failover writes, lost-era batch absent",
+    read from the RECOVERED cluster's data replica."""
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.sources.chaos import ASYNC, SYNC, ChaosReplicatedTable
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # tiny upsert batches: one chunk each — per-segment job overhead, not
+    # data volume, dominates this query, and real chaos writes are small
+    batch_a = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("v")
+    ).coalesce(1)
+    batch_b = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        F.col("o_orderkey").alias("k"), (cents + 1).alias("v")
+    ).coalesce(1)
+    batch_c = orders.filter(F.col("o_orderkey") % 107 == 0).select(
+        F.col("o_orderkey").alias("k"), (cents + 2).alias("v")
+    ).coalesce(1)
+
+    base = tempfile.mkdtemp(prefix="ytspark_chaos_")
+    clusters = {
+        "primary": YtClient(root=os.path.join(base, "primary"), spark=spark),
+        "backup": YtClient(root=os.path.join(base, "backup"), spark=spark),
+    }
+    t = ChaosReplicatedTable(
+        spark, os.path.join(base, "card"), key_cols=["k"], clusters=clusters
+    )
+    t.create_table_replica("q_pri", "primary", "//queues/t", "queue", mode=SYNC)
+    t.create_table_replica("q_bak", "backup", "//queues/t", "queue", mode=ASYNC)
+    t.create_table_replica("d_pri", "primary", "//data/t", "data", mode=SYNC)
+    t.create_table_replica("d_bak", "backup", "//data/t", "data", mode=ASYNC)
+
+    t.init(batch_a)
+    t.tick()                 # replicate batch A everywhere
+    t.insert_rows(batch_b)   # lands only in the primary era's queue
+    t.fail_cluster("primary")  # backup queue promotes; batch B is the lost tail
+    t.insert_rows(batch_c)   # new-era write
+    t.recover_cluster("primary")
+    t.tick()                 # primary fences its divergent tail, catches up
+    return t.read("d_pri").orderBy("k")

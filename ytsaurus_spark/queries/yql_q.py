@@ -17,7 +17,7 @@ spellings → portable SQL), and:
 
 Registered set = every statement that passes the STRICT dual-engine
 compare at BOTH sf0.01 and sf0.1 (tools/yql_conformance.py sweeps all 99
-files): 87 of 101 statements. The 14 exclusions, by reason:
+files): 90 of 101 statements. The 11 exclusions, by reason:
 
 - LIMIT-tie nondeterminism (05, 22, 27, 67): ORDER BY keys that are not
   a total order, so the two engines legitimately pick different rows at
@@ -26,9 +26,6 @@ files): 87 of 101 statements. The 14 exclusions, by reason:
   ANSI/DuckDB emit the grand-total row over an empty selection, Spark
   emits nothing (COVERAGE.md Known gaps — opt-in shim exists as
   aggregates.ansi_rollup but the verbatim text can't opt in);
-- engine-specific names for unaliased aggregate outputs (35, 38, 87):
-  bare ``count(*)`` columns print differently, and the text is verbatim
-  so we can't alias;
 - position-0 substring divergence (08): ``substring(zip, 0, 5)`` yields
   5 chars on Spark (0 clamps to 1) but 4 on DuckDB (position 0 sits
   before the first char), so the zip group keys differ;
@@ -45,7 +42,11 @@ with an a/b suffix. If the reference checkout is absent (standalone use),
 these conformance entries skip registration; the shim itself
 (yql.yql_select) needs no reference files.
 
-Substance note (measured at sf0.1): 51 of the 87 registered statements
+(35/38/87 — unaliased aggregate output names printing
+engine-specifically — were closed in round 7 by positional-name
+normalization on BOTH engines; see _POSITIONAL_NAMES below.)
+
+Substance note (measured at sf0.1): 51 of the first 87 registered statements
 return rows; the 36 empty results are honest — their verbatim predicates
 reference dates beyond the fixture's 1995-2001 range (e.g. q98's
 2002-01-05 window) or conjunctions the synthetic star never satisfies,
@@ -77,7 +78,19 @@ _PASSING = (
     "71", "72", "73", "74", "76", "78", "79", "81", "82", "84",
     "85", "86", "88", "89", "91", "92", "93", "94", "95", "96", "97",
     "98", "99",
+    # closed in round 7 via positional-name normalization (below)
+    "35", "38", "87",
 )
+
+# Statements whose VALUES are engine-identical but whose UNALIASED
+# aggregate output columns print engine-specifically (Spark
+# `avg(cd_dep_count)` vs DuckDB `avg(customer_demographics.cd_dep_count)`,
+# `count(*)` vs `count_star()`), which the sorted-by-name compare turns
+# into a false mismatch. Both engines get the SAME positional names
+# (c00..cNN) — presentation-layer normalization only: the verbatim text
+# still runs unmodified on both engines, values and column ORDER are
+# untouched. q35's LIMIT is tie-free (it orders by all six group keys).
+_POSITIONAL_NAMES = {"35": 18, "38": 1, "87": 1}
 
 
 def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
@@ -86,10 +99,14 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
 
     tq = translate_yql_script(text)[part]
     oracle = oracle_with_star(tq.sql)
+    cols = None
+    if qid in _POSITIONAL_NAMES:
+        cols = [f"c{i:02d}" for i in range(_POSITIONAL_NAMES[qid])]
+        oracle = f"SELECT * FROM (\n{oracle}\n) AS t({', '.join(cols)})"
 
     @register(f"yql_q{qid}", oracle)
     def run(spark: SparkSession, sf_dir: str,
-            _text: str = text, _part: int = part) -> DataFrame:
+            _text: str = text, _part: int = part, _cols: "list[str] | None" = cols) -> DataFrame:
         """Verbatim reference bench statement (yt/benchmarks/run/queries)
         through the YQL dialect shim: translate -> cached isolated star
         session -> spark.sql. CROSS JOIN + WHERE equality folds to
@@ -99,7 +116,10 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
         from ytsaurus_spark.yql.dialect import translate_yql_script
 
         parts = translate_yql_script(_text)
-        return _star_session(spark, sf_dir).sql(parts[_part].sql)
+        out = _star_session(spark, sf_dir).sql(parts[_part].sql)
+        if _cols is not None:
+            out = out.toDF(*_cols)
+        return out
 
 
 def _load_all() -> None:
