@@ -253,3 +253,61 @@ def test_filter_attrition_conserves_flow(spark, sf_dir):
     n_pass = flags.filter("passes").count()
     assert out[-1].n_out == n_pass
     assert out[0].n_in == flags.count()
+
+
+def test_dsir_select_matches_bruteforce(spark):
+    """dsir_select vs a pure-Python twin: same md5 buckets, same add-1
+    whole-bit weights, same deterministic top-k."""
+    import hashlib
+
+    docs = [
+        (1, "the cat sat on the mat", True),
+        (2, "a dog ran in the park", True),
+        (3, "the cat sat on a log", False),
+        (4, "quantum flux capacitor array", False),
+        (5, "the dog sat on the mat", False),
+        (6, "unrelated tokens entirely here", False),
+        (7, "cat dog cat dog cat", False),
+    ]
+    B = 16
+
+    def grams(text):
+        t = text.split(" ")
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    from collections import Counter
+
+    tc, rc = Counter(), Counter()
+    per_doc = {}
+    for did, text, is_t in docs:
+        c = Counter(bucket(g) for g in grams(text))
+        per_doc[did] = (c, is_t)
+        (tc if is_t else rc).update(c)
+
+    def flog2(n):
+        return n.bit_length() - 1
+
+    T, R = sum(tc.values()), sum(rc.values())
+    norm = flog2(R + B) - flog2(T + B)
+    expected = {}
+    for did, (c, is_t) in per_doc.items():
+        if is_t:
+            continue
+        expected[did] = sum(
+            n * (flog2(tc[b] + 1) - flog2(rc[b] + 1)) for b, n in c.items()
+        ) + sum(c.values()) * norm
+    want = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t, _ in docs], "doc_id bigint, text string"
+    )
+    got = curation.dsir_select(
+        df,
+        target_pred=F.col("doc_id") <= 2,
+        num_buckets=B,
+        top_k=3,
+    ).collect()
+    assert [(r.doc_id, r.dsir_score) for r in got] == want

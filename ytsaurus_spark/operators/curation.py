@@ -752,3 +752,96 @@ def kfold_split(
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .orderBy(*group)
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred,
+    num_buckets: int = 256,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): pick raw-pool documents whose hashed-n-gram
+    profile looks most like a TARGET corpus.
+
+    Published recipe: featurize every document into hashed unigram +
+    bigram bucket counts; fit bag-of-hashed-ngram models p (target) and
+    q (raw) with add-1 smoothing; weight each raw doc by
+    ``log w(x) = Σ_b c_x[b]·(log p[b] − log q[b])``; resample by weight.
+
+    Exactness discipline (the repo's unigram_surprisal convention): the
+    per-bucket log-ratio is quantized to WHOLE BITS via the digit-length
+    floor-log2 identity — ``wbits[b] = ⌊log2(t[b]+1)⌋ − ⌊log2(r[b]+1)⌋``
+    plus the per-token normalizer ``⌊log2(R+B)⌋ − ⌊log2(T+B)⌋`` — so doc
+    scores are exact BIGINT sums, identical on any engine, and the
+    selection is the deterministic temperature→0 limit of importance
+    resampling (production adds Gumbel noise to the same scores; a fixed
+    noise table would re-make it deterministic).
+
+    Plan shape at 100 TB: ONE explode to (doc, bucket) counts, persisted;
+    two bucket-grain aggregates (map-side combinable, B rows out); the
+    B-row weight table broadcasts; a doc-grain sum and a top-k. No
+    global window, no vocabulary shuffle — buckets bound every
+    intermediate at B regardless of corpus size.
+    """
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    grams = F.concat(
+        t,
+        F.zip_with(
+            F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    feat = docs.select(
+        F.col(id_col),
+        target_pred.alias("__is_t"),
+        F.explode(grams).alias("g"),
+    ).select(
+        id_col,
+        "__is_t",
+        (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("long")
+            % num_buckets
+        ).alias("b"),
+    )
+    cx = (
+        feat.groupBy(id_col, "__is_t", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tb = cx.groupBy("b").agg(
+        F.sum(F.when(F.col("__is_t"), F.col("c")).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("__is_t"), F.col("c")).otherwise(0)).alias("rc"),
+    )
+
+    def flog2(c):
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    tot = tb.agg(
+        flog2(F.sum("rc") + num_buckets).alias("lr"),
+        flog2(F.sum("tc") + num_buckets).alias("lt"),
+    )
+    w = tb.select(
+        "b", (flog2(F.col("tc") + 1) - flog2(F.col("rc") + 1)).alias("wb")
+    )
+    scored = (
+        cx.filter(~F.col("__is_t"))
+        .join(F.broadcast(w), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.col("wb")).cast("long").alias("gram_bits"),
+            F.sum(F.col("c") * (F.col("lr") - F.col("lt")))
+            .cast("long")
+            .alias("norm_bits"),
+        )
+        .select(
+            id_col,
+            (F.col("gram_bits") + F.col("norm_bits")).alias("dsir_score"),
+        )
+    )
+    return scored.orderBy(F.col("dsir_score").desc(), id_col).limit(top_k)

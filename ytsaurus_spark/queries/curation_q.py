@@ -670,3 +670,62 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+# --- DSIR importance resampling (Xie et al. 2023) --------------------------
+
+@register(
+    "curation_dsir_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t, string_split(text, ' ') AS t
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, is_t, unnest(t) AS g FROM toks
+    ), bi AS (
+      SELECT doc_id, is_t, t[i] || ' ' || t[i+1] AS g
+      FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+    ), f AS (
+      SELECT doc_id, is_t,
+             (('0x' || substr(md5(g), 1, 4))::BIGINT % 256) AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), cx AS (
+      SELECT doc_id, is_t, b, count(*) AS c FROM f GROUP BY doc_id, is_t, b
+    ), tb AS (
+      SELECT b,
+             sum(CASE WHEN is_t THEN c ELSE 0 END) AS tc,
+             sum(CASE WHEN NOT is_t THEN c ELSE 0 END) AS rc
+      FROM cx GROUP BY b
+    ), tot AS (
+      SELECT (length(to_base(CAST(sum(rc) + 256 AS BIGINT), 2)) - 1)
+               - (length(to_base(CAST(sum(tc) + 256 AS BIGINT), 2)) - 1)
+               AS norm
+      FROM tb
+    ), w AS (
+      SELECT b, (length(to_base(CAST(tc + 1 AS BIGINT), 2)) - 1)
+                  - (length(to_base(CAST(rc + 1 AS BIGINT), 2)) - 1) AS wb
+      FROM tb
+    )
+    SELECT doc_id,
+           CAST(sum(c * wb) + sum(c) * (SELECT norm FROM tot) AS BIGINT)
+             AS dsir_score
+    FROM cx JOIN w USING (b)
+    WHERE NOT is_t
+    GROUP BY doc_id
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: pick the 100 non-English-pool documents whose
+    hashed unigram+bigram profile is most target-like (target = the
+    corpus's 'en' slice), scores in exact whole-bit arithmetic
+    (operators/curation.dsir_select docstring for the published-method
+    mapping and the 100 TB plan shape)."""
+    cat = load_tables(spark, sf_dir)
+    return curation.dsir_select(
+        cat.read("documents"),
+        target_pred=F.col("lang") == "en",
+        num_buckets=256,
+        top_k=100,
+    )
