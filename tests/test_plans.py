@@ -331,6 +331,10 @@ import pytest as _pytest
 # shapes). Budgets pin the rewrites; a value is the MAX per-table
 # FileScan count in the final adaptive plan.
 SCAN_BUDGETS = {
+    "curation_dsir_select": 1,  # persisted (doc, bucket) counts: one documents scan
+    "dyn_xdelta_patch_fold": 3,  # fixture derives 3 revisions from documents; prod states arrive as data
+    "op_remote_copy_cross": 1,  # returned agg scans only the COPIED table (supplier read feeds the copy)
+    "dyn_chaos_failover": 2,  # d_pri log: init segment + post-failover segment
     "tpcds_q88_time_bands": 1,
     "tpcds_q14_cross_channel": 1,
     "tpcds_q33_manufact_union": 1,
