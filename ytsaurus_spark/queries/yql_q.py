@@ -17,7 +17,7 @@ spellings → portable SQL), and:
 
 Registered set = every statement that passes the STRICT dual-engine
 compare at BOTH sf0.01 and sf0.1 (tools/yql_conformance.py sweeps all 99
-files): 90 of 101 statements. The 11 exclusions, by reason:
+files): 91 of 101 statements. The 10 exclusions, by reason:
 
 - LIMIT-tie nondeterminism (05, 22, 27, 67): ORDER BY keys that are not
   a total order, so the two engines legitimately pick different rows at
@@ -34,8 +34,7 @@ files): 90 of 101 statements. The 11 exclusions, by reason:
   different top-100 sets;
 - division-by-zero semantics (75): a prior-year amount of 0 raises
   under Spark's ANSI mode while DuckDB's double division yields inf;
-- DECIMAL literal/typing divergence in output columns (83, 90);
-- DuckDB binder strictness on a three-way USING chain (58).
+- DECIMAL literal/typing divergence in output columns (83, 90).
 
 Multi-result scripts (14, 23, 24, 39) register one entry per statement
 with an a/b suffix. If the reference checkout is absent (standalone use),
@@ -44,7 +43,9 @@ these conformance entries skip registration; the shim itself
 
 (35/38/87 — unaliased aggregate output names printing
 engine-specifically — were closed in round 7 by positional-name
-normalization on BOTH engines; see _POSITIONAL_NAMES below.)
+normalization on BOTH engines; q58 — DuckDB ORDER-BY binder strictness,
+not an engine-value divergence — by an oracle-side disambiguation. See
+_POSITIONAL_NAMES/_ORACLE_FIXES below.)
 
 Substance note (measured at sf0.1): 51 of the first 87 registered statements
 return rows; the 36 empty results are honest — their verbatim predicates
@@ -80,6 +81,8 @@ _PASSING = (
     "98", "99",
     # closed in round 7 via positional-name normalization (below)
     "35", "38", "87",
+    # closed in round 7 via an oracle-side ORDER BY disambiguation (below)
+    "58",
 )
 
 # Statements whose VALUES are engine-identical but whose UNALIASED
@@ -92,6 +95,17 @@ _PASSING = (
 # untouched. q35's LIMIT is tie-free (it orders by all six group keys).
 _POSITIONAL_NAMES = {"35": 18, "38": 1, "87": 1}
 
+# ORACLE-side-only textual fixes for DuckDB binder strictness where Spark
+# and the SQL standard resolve fine: q58's `ORDER BY item_id` names the
+# single OUTPUT column (aliased from ss_items.item_id), but DuckDB binds
+# ORDER BY in the input scope first and reports ambiguity across the three
+# joined item_id inputs. The replacement names the very column the output
+# aliases — semantics identical, applied ONLY to the DuckDB recomputation
+# (the verbatim text still runs unmodified on Spark).
+_ORACLE_FIXES = {
+    "58": [("order by item_id", "order by ss_items.item_id")],
+}
+
 
 def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
     from ytsaurus_spark.yql import oracle_with_star
@@ -99,6 +113,9 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
 
     tq = translate_yql_script(text)[part]
     oracle = oracle_with_star(tq.sql)
+    for pat, rep in _ORACLE_FIXES.get(qid, []):
+        assert pat in oracle, (qid, pat)
+        oracle = oracle.replace(pat, rep)
     cols = None
     if qid in _POSITIONAL_NAMES:
         cols = [f"c{i:02d}" for i in range(_POSITIONAL_NAMES[qid])]
