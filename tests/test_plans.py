@@ -334,6 +334,7 @@ SCAN_BUDGETS = {
     "curation_dsir_select": 1,  # persisted (doc, bucket) counts: one documents scan
     "dyn_xdelta_patch_fold": 3,  # fixture derives 3 revisions from documents; prod states arrive as data
     "op_remote_copy_cross": 1,  # returned agg scans only the COPIED table (supplier read feeds the copy)
+    "op_erasure_repair_copy": 1,  # returned agg scans only the healed reassembled copy
     "dyn_chaos_failover": 2,  # d_pri log: init segment + post-failover segment
     "tpcds_q88_time_bands": 1,
     "tpcds_q14_cross_channel": 1,

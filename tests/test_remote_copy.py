@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ytsaurus_spark.client import YtClient
-from ytsaurus_spark.sources.remote_copy import RemoteCopyError, run_remote_copy
+from ytsaurus_spark.sources.remote_copy_job import RemoteCopyError, run_remote_copy
 
 
 @pytest.fixture

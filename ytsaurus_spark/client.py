@@ -337,13 +337,14 @@ class YtClient:
         *,
         source_client: "YtClient",
         copy_attributes: bool = True,
+        repair_erasure_chunks: bool = False,
     ) -> dict:
         """Cross-cluster RemoteCopy (yt.wrapper.run_remote_copy,
         run_operation_commands.py:387): runs on THIS (destination)
         cluster, pulling chunks verbatim from ``source_client``'s
         cluster — chunk-parallel, checksummed, atomic commit
-        (sources/remote_copy.py)."""
-        from ytsaurus_spark.sources.remote_copy import run_remote_copy as _rc
+        (sources/remote_copy_job.py)."""
+        from ytsaurus_spark.sources.remote_copy_job import run_remote_copy as _rc
 
         return _rc(
             self,
@@ -351,6 +352,7 @@ class YtClient:
             destination_table,
             source_client=source_client,
             copy_attributes=copy_attributes,
+            repair_erasure_chunks=repair_erasure_chunks,
         )
 
     def run_erase(self, ypath: str, predicate: str) -> None:

@@ -824,3 +824,48 @@ def op_remote_copy_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_suppkey").cast("long").alias("min_supp"),
         F.max("s_suppkey").cast("long").alias("max_supp"),
     )
+
+
+# --- erasure-coded storage + repairing RemoteCopy (library/cpp/erasure) ----
+
+@register(
+    "op_erasure_repair_copy",
+    """
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def op_erasure_repair_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure storage end-to-end (library/cpp/erasure reed_solomon_6_3 +
+    remote_copy_job.cpp repair path): write supplier erasure-coded on
+    cluster A, lose the full loss budget (3 of 9 parts of EVERY chunk),
+    RemoteCopy with in-flight repair to cluster B, aggregate from the
+    HEALED copy — the oracle over the untouched source proves the
+    reconstruction is exact."""
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.sources import erasure as E
+
+    src = YtClient(root=tempfile.mkdtemp(prefix="ytspark_ersrc_"), spark=spark)
+    dst = YtClient(root=tempfile.mkdtemp(prefix="ytspark_erdst_"), spark=spark)
+    supplier = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    tdir = src._fs("//home/supplier_e")
+    os.makedirs(os.path.dirname(tdir), exist_ok=True)
+    E.write_erasure_table(spark, supplier.repartition(4), tdir, "reed_solomon_6_3")
+    E.erase_parts(tdir, [1, 5, 8])  # one data part + two parities, every chunk
+    dst.run_remote_copy(
+        "//home/supplier_e", "//pulled/supplier_e",
+        source_client=src, repair_erasure_chunks=True,
+    )
+    healed = E.read_erasure_table(spark, dst._fs("//pulled/supplier_e"))
+    return healed.groupBy(
+        F.col("s_nationkey").cast("long").alias("s_nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )

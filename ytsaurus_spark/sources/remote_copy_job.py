@@ -74,6 +74,73 @@ def _dyn_files(table_dir: str) -> list[str]:
     return sorted(out)
 
 
+def _remote_copy_erasure(
+    dst_client, src_dir: str, destination_table: str, copy_attributes: bool
+) -> dict:
+    """RemoteCopy of an ERASURE-CODED table with in-flight repair
+    (remote_copy_job.cpp:385-449 repair_erasure_chunks): each chunk job
+    gathers the surviving parts, decodes (repairing erased parts from
+    the codec's survivors), re-encodes the FULL part set and writes it
+    to the destination — the copy heals degraded chunks instead of
+    propagating the damage."""
+    import pandas as pd
+
+    from ytsaurus_spark.sources.erasure import get_codec
+
+    attrs = table_attributes(src_dir)
+    codec_name = attrs["erasure_codec"]
+    chunks = attrs["erasure_chunks"]
+    dst_dir = dst_client._fs(destination_table)
+    staging = dst_dir + ".remote_copy_tmp"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+
+    spark = dst_client.spark
+    manifest = spark.createDataFrame(
+        [(os.path.join(src_dir, c), os.path.join(staging, c)) for c in chunks],
+        "src string, dst string",
+    ).repartition(min(len(chunks), 32))
+
+    def copy_repair(batches):
+        cdc = get_codec(codec_name)
+        for pdf in batches:
+            rows = []
+            for src, dst in zip(pdf["src"], pdf["dst"]):
+                have = {}
+                for i in range(cdc.total):
+                    p = f"{src}.e{i}"
+                    if os.path.exists(p):
+                        with open(p, "rb") as fh:
+                            have[i] = fh.read()
+                full = cdc.repair(have)
+                for i, part in full.items():
+                    with open(f"{dst}.e{i}", "wb") as fh:
+                        fh.write(part)
+                rows.append((src, cdc.total - len(have), len(full)))
+            yield pd.DataFrame(
+                rows, columns=["src", "n_repaired", "n_parts"]
+            )
+
+    stats = manifest.mapInPandas(
+        copy_repair, schema="src string, n_repaired long, n_parts long"
+    ).collect()
+    if len(stats) != len(chunks):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RemoteCopyError(f"copied {len(stats)} of {len(chunks)} chunks")
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+    os.replace(staging, dst_dir)
+    out_attrs = dict(attrs) if copy_attributes else {
+        "erasure_codec": codec_name, "erasure_chunks": chunks
+    }
+    _write_attrs(dst_dir, out_attrs)
+    return {
+        "chunks": len(chunks),
+        "parts_repaired": int(sum(r.n_repaired for r in stats)),
+        "tables": 1,
+    }
+
+
 def run_remote_copy(
     dst_client,
     source_table,
@@ -81,6 +148,7 @@ def run_remote_copy(
     *,
     source_client,
     copy_attributes: bool = True,
+    repair_erasure_chunks: bool = False,
 ) -> dict:
     """Pull ``source_table`` (str or list) from ``source_client``'s
     cluster into ``destination_table`` on ``dst_client``'s cluster.
@@ -102,6 +170,17 @@ def run_remote_copy(
             raise RemoteCopyError(f"rich YPath selectors unsupported here: {t!r}")
 
     src_dirs = [source_client._fs(t) for t in tables]
+    if repair_erasure_chunks:
+        if len(tables) > 1:
+            raise RemoteCopyError("erasure repair copies one table at a time")
+        if not table_attributes(src_dirs[0]).get("erasure_codec"):
+            raise RemoteCopyError(
+                f"{tables[0]} is not erasure-coded; repair_erasure_chunks "
+                "needs an erasure_codec attribute"
+            )
+        return _remote_copy_erasure(
+            dst_client, src_dirs[0], destination_table, copy_attributes
+        )
     dynamic = [_is_dynamic(d) for d in src_dirs]
     if any(dynamic):
         if len(tables) > 1:
