@@ -676,3 +676,78 @@ def test_cusum_monitor_fold_matches_reset_identity():
     assert got == want
     assert list(out2.alarm) == [s > 15 for s in got[3:]]
     assert state.get[1] == len(xs)  # n carried across batches
+
+
+# --- consumer registrations (queue_client.h:56-151) -------------------------
+
+
+def test_consumer_registration_lifecycle(spark, tmp_path):
+    import pytest
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.streaming import consumer_registry as cr
+
+    c = YtClient(root=str(tmp_path / "q"), spark=spark)
+    q = spark.createDataFrame(
+        [(i, f"m{i}") for i in range(10)], "row_index bigint, payload string"
+    )
+    c.write_table("//queues/events", q)
+
+    # pull before registration is refused (queue_client.h:124)
+    with pytest.raises(cr.ConsumerRegistrationError):
+        cr.pull_queue_consumer(c, "//consumers/a", "//queues/events", None, 5)
+
+    cr.register_queue_consumer(c, "//queues/events", "//consumers/a", vital=True)
+    cr.register_queue_consumer(
+        c, "//queues/events", "//consumers/b", vital=False, partitions=[0]
+    )
+    regs = cr.list_queue_consumer_registrations(c, "//queues/events")
+    assert [(r["consumer"], r["vital"]) for r in regs] == [
+        ("//consumers/a", True),
+        ("//consumers/b", False),
+    ]
+    # cluster-wide + by-consumer filters
+    assert cr.list_queue_consumer_registrations(c) == regs
+    assert cr.list_queue_consumer_registrations(
+        c, consumer_path="//consumers/b"
+    )[0]["consumer"] == "//consumers/b"
+
+    # stored-offset pull + CAS advance
+    batch = cr.pull_queue_consumer(c, "//consumers/a", "//queues/events", None, 4)
+    assert [r.row_index for r in batch.orderBy("row_index").collect()] == [0, 1, 2, 3]
+    cr.advance_consumer(c, "//consumers/a", "//queues/events", 0, 0, 4)
+    assert cr.consumer_offset(c, "//consumers/a") == 4
+    with pytest.raises(cr.ConsumerRegistrationError):  # CAS mismatch
+        cr.advance_consumer(c, "//consumers/a", "//queues/events", 0, 0, 6)
+    with pytest.raises(cr.ConsumerRegistrationError):  # backwards
+        cr.advance_consumer(c, "//consumers/a", "//queues/events", 0, 4, 2)
+    nxt = cr.pull_queue_consumer(c, "//consumers/a", "//queues/events", None, 2)
+    assert [r.row_index for r in nxt.orderBy("row_index").collect()] == [4, 5]
+
+    # unregister forbids further pulls
+    cr.unregister_queue_consumer(c, "//queues/events", "//consumers/b")
+    with pytest.raises(cr.ConsumerRegistrationError):
+        cr.pull_queue_consumer(c, "//consumers/b", "//queues/events", None, 1)
+
+
+def test_vital_consumer_gates_trim(spark, tmp_path):
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.streaming import consumer_registry as cr
+
+    c = YtClient(root=str(tmp_path / "q2"), spark=spark)
+    q = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "row_index bigint, v bigint"
+    )
+    c.write_table("//queues/t", q)
+    cr.register_queue_consumer(c, "//queues/t", "//consumers/vital", vital=True)
+    cr.register_queue_consumer(c, "//queues/t", "//consumers/lazy", vital=False)
+    cr.advance_consumer(c, "//consumers/vital", "//queues/t", 0, None, 7)
+    cr.advance_consumer(c, "//consumers/lazy", "//queues/t", 0, None, 3)
+
+    # horizon = the VITAL consumer's offset; the lazy one doesn't gate
+    assert cr.vital_trim_horizon(c, "//queues/t") == 7
+    eff = cr.trim_queue_safe(c, "//queues/t", trim_up_to=15)
+    assert eff == 7  # clamped: vital lag retains data
+    remaining = c.read_table("//queues/t")
+    assert remaining.count() == 13
+    assert remaining.agg(F.min("row_index")).collect()[0][0] == 7

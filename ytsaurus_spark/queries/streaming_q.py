@@ -1095,3 +1095,56 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     rows = spark.table(name).collect()
     return spark.createDataFrame(rows, schema=spark.table(name).schema)
+
+
+# --- consumer registrations + vital-gated trim (queue_client.h:56-151) ------
+
+@register(
+    "stream_consumer_registry",
+    """
+    WITH q AS (
+      SELECT event_id AS row_index, event_type, value
+      FROM events WHERE event_id < 500
+    ),
+    vital_offset AS (SELECT 120 AS o),
+    -- trim_up_to=300 clamps to the vital consumer's offset 120
+    kept AS (SELECT * FROM q WHERE row_index >= (SELECT o FROM vital_offset))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(row_index) AS BIGINT) AS lo,
+           CAST(max(row_index) AS BIGINT) AS hi
+    FROM kept GROUP BY event_type
+    """,
+)
+def stream_consumer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-registration protocol end-to-end (RegisterQueueConsumer /
+    CAS AdvanceConsumer / vital-gated TrimTable): a vital consumer at
+    offset 120 clamps a trim-to-300 request, so the queue retains exactly
+    the rows the oracle predicts."""
+    import os as _os
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.streaming import consumer_registry as cr
+
+    c = YtClient(root=tempfile.mkdtemp(prefix="ytspark_creg_"), spark=spark)
+    q = (
+        spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+        .filter(F.col("event_id") < 500)
+        .select(
+            F.col("event_id").alias("row_index"), "event_type", "value"
+        )
+    )
+    c.write_table("//queues/events", q.coalesce(1))
+    cr.register_queue_consumer(c, "//queues/events", "//consumers/etl", vital=True)
+    cr.register_queue_consumer(c, "//queues/events", "//consumers/adhoc", vital=False)
+    cr.advance_consumer(c, "//consumers/etl", "//queues/events", 0, None, 120)
+    cr.advance_consumer(c, "//consumers/adhoc", "//queues/events", 0, None, 40)
+    effective = cr.trim_queue_safe(c, "//queues/events", trim_up_to=300)
+    assert effective == 120  # vital lag retained
+    kept = c.read_table("//queues/events")
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("row_index").cast("long").alias("lo"),
+        F.max("row_index").cast("long").alias("hi"),
+    )
