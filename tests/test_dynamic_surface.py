@@ -447,3 +447,62 @@ def test_changes_between_randomized_model(spark, tmp_path):
         rep.init(src.read(version=v1))
         rep.apply_changes(src.changes_between(from_version=v1, to_version=v2))
         assert sorted(map(tuple, rep.read().collect())) == state(v2), (v1, v2)
+
+
+def test_indexed_keyed_table_write_through(spark):
+    """IndexedKeyedTable: every mutation advances base + indexes together;
+    unique violations abort BEFORE commit (transform.cpp write path)."""
+    import pytest
+
+    from ytsaurus_spark.operators.keyed_tables import KeyedTable
+    from ytsaurus_spark.operators.secondary_index import (
+        IndexedKeyedTable,
+        UniqueKeyViolationError,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a@x", ["p", "q"]), (2, "b@x", ["q"])],
+        "k bigint, email string, tags array<string>",
+    )
+    t = IndexedKeyedTable(
+        KeyedTable(df=base, key_cols=["k"]),
+        indexes={
+            "by_email": {"kind": "unique", "columns": ["email"]},
+            "by_tag": {"kind": "unfolding", "column": "tags"},
+        },
+    )
+    # index-backed lookups
+    assert [r.k for r in t.lookup_via_index("by_email", F.col("email") == "b@x").collect()] == [2]
+    got = {r.k for r in t.lookup_via_index("by_tag", F.col("__unfolded") == "q").collect()}
+    assert got == {1, 2}
+
+    # upsert maintains: key 1 changes email and tags; key 3 appends
+    t2 = t.insert_rows(
+        spark.createDataFrame(
+            [(1, "a2@x", ["r"]), (3, "c@x", ["p"])],
+            "k bigint, email string, tags array<string>",
+        )
+    )
+    assert {r.email for r in t2.index("by_email").collect()} == {"a2@x", "b@x", "c@x"}
+    assert {r.k for r in t2.lookup_via_index("by_tag", F.col("__unfolded") == "p").collect()} == {3}
+    assert t2.lookup_via_index("by_email", F.col("email") == "a@x").count() == 0
+
+    # unique violation: key 3 trying to take key 2's email aborts; state intact
+    with pytest.raises(UniqueKeyViolationError):
+        t2.insert_rows(
+            spark.createDataFrame(
+                [(3, "b@x", ["z"])], "k bigint, email string, tags array<string>"
+            )
+        )
+    # same-key re-write of its own unique value is fine (no other-key clash)
+    t3 = t2.insert_rows(
+        spark.createDataFrame(
+            [(2, "b@x", ["q", "s"])], "k bigint, email string, tags array<string>"
+        )
+    )
+    assert {r.k for r in t3.lookup_via_index("by_tag", F.col("__unfolded") == "s").collect()} == {2}
+
+    # delete maintains every index
+    t4 = t3.delete_rows(spark.createDataFrame([(1,)], "k bigint"))
+    assert t4.index("by_email").count() == 2
+    assert t4.lookup_via_index("by_tag", F.col("__unfolded") == "r").count() == 0

@@ -1129,3 +1129,44 @@ def dyn_chaos_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.recover_cluster("primary")
     t.tick()                 # primary fences its divergent tail, catches up
     return t.read("d_pri").orderBy("k")
+
+
+# --- write-through secondary index maintenance ------------------------------
+
+@register(
+    "dyn_indexed_write_through",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg
+      FROM customer WHERE c_custkey <= 100
+    ), up AS (
+      SELECT c_custkey AS k, 'SEGX' AS seg
+      FROM customer WHERE c_custkey BETWEEN 50 AND 150
+    ), merged AS (
+      SELECT k, seg FROM up
+      UNION ALL
+      SELECT k, seg FROM base WHERE k NOT IN (SELECT k FROM up)
+    )
+    SELECT k, seg FROM merged WHERE seg = 'SEGX' ORDER BY k
+    """,
+)
+def dyn_indexed_write_through(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index write path (transform.cpp FullSync maintenance):
+    the index advances WITH the upsert — the post-write index lookup
+    finds exactly the rows the oracle's upsert-then-filter predicts,
+    including rows whose indexed value just changed."""
+    from ytsaurus_spark.operators.secondary_index import IndexedKeyedTable
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    base = cust.filter(F.col("c_custkey") <= 100).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    t = IndexedKeyedTable(
+        KeyedTable(df=base, key_cols=["k"]),
+        indexes={"by_seg": {"kind": "full_sync", "columns": ["seg"]}},
+    )
+    up = cust.filter(F.col("c_custkey").between(50, 150)).select(
+        F.col("c_custkey").alias("k"), F.lit("SEGX").alias("seg")
+    )
+    t = t.insert_rows(up)
+    return t.lookup_via_index("by_seg", F.col("seg") == "SEGX").orderBy("k")
