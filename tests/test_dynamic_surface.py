@@ -506,3 +506,33 @@ def test_indexed_keyed_table_write_through(spark):
     t4 = t3.delete_rows(spark.createDataFrame([(1,)], "k bigint"))
     assert t4.index("by_email").count() == 2
     assert t4.lookup_via_index("by_tag", F.col("__unfolded") == "r").count() == 0
+
+
+def test_select_rows_row_limits_and_full_scan_guard(spark):
+    """TSelectRowsOptions parity: input/output row limits raise, the
+    full-scan guard refuses WHERE-less text when disallowed."""
+    import pytest
+
+    from ytsaurus_spark.operators.select_rows import (
+        FullScanError,
+        QueryRowLimitError,
+        select_rows,
+    )
+
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "k bigint, g bigint"
+    ).createOrReplaceTempView("lim_t")
+
+    ok = select_rows(spark, "k FROM [//t/lim_t] WHERE g = 0",
+                     output_row_limit=50, input_row_limit=100)
+    assert ok.count() == 34
+    with pytest.raises(QueryRowLimitError):
+        select_rows(spark, "k FROM [//t/lim_t] WHERE g = 0", output_row_limit=10)
+    with pytest.raises(QueryRowLimitError):
+        select_rows(spark, "k FROM [//t/lim_t] WHERE g = 0", input_row_limit=99)
+    with pytest.raises(FullScanError):
+        select_rows(spark, "k FROM [//t/lim_t]", allow_full_scan=False)
+    # a predicate makes it legal again
+    assert select_rows(
+        spark, "k FROM [//t/lim_t] WHERE k < 5", allow_full_scan=False
+    ).count() == 5

@@ -595,22 +595,68 @@ def translate_ql(
     return sql
 
 
+class QueryRowLimitError(RuntimeError):
+    """SelectRows row-limit breach (TSelectRowsOptions InputRowLimit /
+    OutputRowLimit, client_common.h:166-168): the reference stops the
+    query and reports an incomplete result; we surface it as an error —
+    the strictest of its fail-on-incomplete behaviors."""
+
+
+class FullScanError(RuntimeError):
+    """SelectRows with allow_full_scan=False refused an unfiltered scan
+    (the reference's default safety rail on dynamic tables)."""
+
+
 def select_rows(
     spark: SparkSession,
     query: str,
     table_resolver=None,
     placeholder_values: dict | None = None,
+    input_row_limit: int | None = None,
+    output_row_limit: int | None = None,
+    allow_full_scan: bool = True,
 ) -> DataFrame:
     """Run a QL query string. Tables must be registered as temp views (the
     catalog's register_all does this); ``[//any/path/name]`` resolves to the
-    view ``name`` unless a custom resolver is given."""
+    view ``name`` unless a custom resolver is given.
+
+    Row-limit knobs mirror TSelectRowsOptions (client_common.h:166-168):
+    ``input_row_limit`` bounds rows READ from the source tables,
+    ``output_row_limit`` bounds result rows; a breach raises
+    QueryRowLimitError. ``allow_full_scan=False`` refuses a query with no
+    WHERE clause (the reference's dynamic-table default — here it
+    defaults to True because static-table scans are the common case)."""
+    seen_tables: list[str] = []
+
+    def recording_resolver(path: str) -> str:
+        name = table_resolver(path) if table_resolver else path.rsplit("/", 1)[-1]
+        seen_tables.append(name)
+        return name
+
     sql = translate_ql(
         query,
-        table_resolver,
+        recording_resolver,
         placeholder_values,
         schema_fn=lambda name: spark.table(name).columns,
     )
-    return spark.sql(sql)
+    if not allow_full_scan and " WHERE " not in f" {sql} ".upper():
+        raise FullScanError(
+            "query has no WHERE clause and allow_full_scan is False"
+        )
+    if input_row_limit is not None:
+        scanned = sum(spark.table(t).count() for t in set(seen_tables))
+        if scanned > input_row_limit:
+            raise QueryRowLimitError(
+                f"input row limit exceeded: {scanned} > {input_row_limit}"
+            )
+    out = spark.sql(sql)
+    if output_row_limit is not None:
+        n = out.limit(output_row_limit + 1).count()
+        if n > output_row_limit:
+            raise QueryRowLimitError(
+                f"output row limit exceeded: > {output_row_limit}"
+            )
+    return out
 
 
 def explain_select_rows(
