@@ -261,3 +261,57 @@ def test_returns_alias_renamed_tables_untouched():
     )
     assert "as returns_amt" in tq.sql
     assert "store_returns" in tq.sql  # table name not mangled
+
+
+def test_yql_execute_write_statements(spark, tmp_path):
+    """Full-script execution with writes: INSERT appends, WITH TRUNCATE
+    overwrites, REPLACE overwrites, UPSERT merges into a dynamic table
+    by key (SQLv1 into_table_stmt semantics)."""
+    import pytest
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    c = YtClient(root=str(tmp_path / "yqlw"), spark=spark)
+    c.write_table(
+        "//home/raw/docs",
+        spark.createDataFrame(
+            [(1, "keep"), (2, "drop"), (3, "keep")], "id bigint, label string"
+        ),
+    )
+
+    script = """
+    $clean = (select id, label from `//home/raw/docs` where label = 'keep');
+    INSERT INTO `//home/out/docs`
+    select * from $clean;
+    """
+    assert yql_execute(spark, script, client=c) is None
+    assert c.read_table("//home/out/docs").count() == 2
+    # plain INSERT appends; WITH TRUNCATE resets
+    yql_execute(spark, script, client=c)
+    assert c.read_table("//home/out/docs").count() == 4
+    yql_execute(spark, """
+    INSERT INTO `//home/out/docs` WITH TRUNCATE
+    select id, label from `//home/raw/docs` where id = 1;
+    """, client=c)
+    assert c.read_table("//home/out/docs").count() == 1
+
+    # UPSERT into a dynamic table merges by key
+    c.create("table", "//dyn/kv", attributes={
+        "dynamic": True,
+        "schema": [{"name": "id", "sort_order": "ascending"}, {"name": "label"}],
+    })
+    yql_execute(spark, "UPSERT INTO `//dyn/kv` select id, label from `//home/raw/docs`;", client=c)
+    yql_execute(spark, "UPSERT INTO `//dyn/kv` select id, 'x' as label from `//home/raw/docs` where id = 2;", client=c)
+    got = {(r.id, r.label) for r in c.read_table("//dyn/kv").collect()}
+    assert got == {(1, "keep"), (2, "x"), (3, "keep")}
+    # UPSERT into a static table is refused
+    with pytest.raises(ValueError):
+        yql_execute(spark, "UPSERT INTO `//home/out/docs` select 1 as id;", client=c)
+
+    # script with a final result select returns it
+    out = yql_execute(spark, """
+    $n = (select count(*) as n from `//dyn/kv`);
+    select n from $n;
+    """, client=c)
+    assert out.collect()[0].n == 3

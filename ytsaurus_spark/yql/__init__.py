@@ -55,3 +55,76 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
     if pragmas:
         apply_pragmas(s2, tq.pragmas)
     return s2.sql(tq.sql)
+
+
+def yql_execute(spark, text: str, client=None, sf_dir: str | None = None):
+    """Execute a full YQL SCRIPT, including write statements — the
+    reference's primary batch workflow shape (SQLv1 into_table_stmt):
+
+        $clean = (select ... from `//home/raw/docs` where ...);
+        INSERT INTO `//home/out/docs` WITH TRUNCATE
+        select * from $clean;
+
+    ``INSERT INTO`` appends (``WITH TRUNCATE`` overwrites), ``REPLACE
+    INTO`` overwrites, ``UPSERT INTO`` upserts into a DYNAMIC table by
+    key (the reference's dynamic-table write). Backticked paths resolve
+    through ``client`` (a YtClient); ``sf_dir`` additionally registers
+    the fixture tables. Returns the LAST result-select's DataFrame, or
+    None if the script is writes-only.
+
+    Each statement sees the tables as of the previous statement's commit
+    (views re-register per statement), matching YQL's sequential script
+    semantics."""
+    from ytsaurus_spark.yql.dialect import translate_yql_script
+
+    parts = translate_yql_script(text)
+    s2 = spark.newSession()
+    if sf_dir is not None:
+        from ytsaurus_spark.catalog import load_tables
+
+        load_tables(s2, sf_dir)
+    apply_pragmas(s2, parts[0].pragmas if parts else {})
+
+    # views are session-scoped: re-root the client onto the isolated
+    # execution session so registrations land where the SQL runs
+    if client is not None:
+        from ytsaurus_spark.client import YtClient
+
+        exec_client = YtClient(root=client.root, spark=s2)
+    else:
+        exec_client = None
+
+    def register_client_paths(stmt):
+        if exec_client is None:
+            return
+        for p in stmt.paths:
+            if p == stmt.target:  # the write target is not a read source
+                continue
+            if exec_client.exists(p):
+                name = p.rstrip("/").rsplit("/", 1)[-1]
+                exec_client.read_table(p).createOrReplaceTempView(name)
+
+    last = None
+    for stmt in parts:
+        register_client_paths(stmt)
+        df = s2.sql(stmt.sql)
+        if stmt.kind == "select":
+            last = df
+            continue
+        if client is None:
+            raise ValueError(
+                f"{stmt.kind.upper()} INTO needs a client to write through"
+            )
+        if stmt.kind == "upsert":
+            from ytsaurus_spark.sources.formats import table_attributes
+
+            if not table_attributes(client._fs(stmt.target)).get("dynamic"):
+                raise ValueError(
+                    f"UPSERT INTO targets a dynamic table; {stmt.target} "
+                    "is static (use INSERT/REPLACE)"
+                )
+            exec_client.insert_rows(stmt.target, df)
+        else:
+            exec_client.write_table(stmt.target, df, append=not stmt.truncate)
+        last = None
+    return last

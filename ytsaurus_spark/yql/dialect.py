@@ -35,11 +35,21 @@ from dataclasses import dataclass, field
 
 @dataclass
 class TranslatedQuery:
-    """Result of translate_yql: ANSI SQL + the parsed pragma set."""
+    """Result of translate_yql: ANSI SQL + the parsed pragma set.
+
+    ``kind`` is "select" for result statements, or "insert" / "replace" /
+    "upsert" for write statements (YQL's INSERT INTO `//path`
+    [WITH TRUNCATE] SELECT ..., REPLACE INTO, UPSERT INTO) — then
+    ``target`` holds the cypress path and ``sql`` the SELECT body.
+    ``paths`` lists every backticked cypress path the statement reads."""
 
     sql: str
     pragmas: dict[str, str] = field(default_factory=dict)
     named: tuple[str, ...] = ()
+    kind: str = "select"
+    target: str | None = None
+    truncate: bool = False
+    paths: tuple[str, ...] = ()
 
 
 def strip_comments(text: str) -> str:
@@ -260,6 +270,7 @@ def translate_yql_script(text: str) -> list[TranslatedQuery]:
     pragmas: dict[str, str] = {}
     ctes: list[tuple[str, str]] = []
     finals: list[tuple[str, int]] = []  # (stmt, #ctes visible)
+    script_paths = tuple(_PATH_RE.findall(strip_comments(text)))
     for stmt in split_statements(strip_comments(text)):
         if stmt.lower().startswith("pragma"):
             m = _PRAGMA_RE.match(stmt)
@@ -285,7 +296,7 @@ def translate_yql_script(text: str) -> list[TranslatedQuery]:
             continue
         finals.append((stmt, len(ctes)))
     if not finals:
-        raise ValueError("YQL script has no result SELECT")
+        raise ValueError("YQL script has no result statement")
 
     defined: set[str] = set()
     resolved: list[tuple[str, str]] = []
@@ -299,9 +310,10 @@ def translate_yql_script(text: str) -> list[TranslatedQuery]:
     out = []
     for final, n_visible in finals:
         visible = resolved[:n_visible]
+        kind, target, truncate, body = _split_write_head(final)
         final_t = _rewrite_yqlisms(
             _subst_backticks(
-                _subst_refs(final, {n for n, _ in visible})
+                _subst_refs(body, {n for n, _ in visible})
             )
         )
         out.append(
@@ -309,9 +321,35 @@ def translate_yql_script(text: str) -> list[TranslatedQuery]:
                 sql=assemble_with(visible, final_t),
                 pragmas=pragmas,
                 named=tuple(n for n, _ in visible),
+                kind=kind,
+                target=target,
+                truncate=truncate,
+                paths=script_paths,
             )
         )
     return out
+
+
+_PATH_RE = re.compile(r"`(//[^`]+)`")
+_WRITE_RE = re.compile(
+    r"^\s*(insert|replace|upsert)\s+into\s+(`//[^`]+`|[A-Za-z_][\w.]*)"
+    r"(\s+with\s+truncate)?\s*",
+    re.IGNORECASE,
+)
+
+
+def _split_write_head(stmt: str) -> tuple[str, str | None, bool, str]:
+    """Recognize YQL write statements: ``INSERT INTO `//path`
+    [WITH TRUNCATE] SELECT ...`` (SQLv1 grammar into_table_stmt; UPSERT
+    targets dynamic tables, REPLACE overwrites). Returns
+    (kind, target_path, truncate, remaining SELECT body)."""
+    m = _WRITE_RE.match(stmt)
+    if not m:
+        return "select", None, False, stmt
+    kind = m.group(1).lower()
+    target = m.group(2).strip("`")
+    truncate = bool(m.group(3)) or kind == "replace"
+    return kind, target, truncate, stmt[m.end():]
 
 
 def translate_yql(text: str) -> TranslatedQuery:
