@@ -48,6 +48,10 @@ SHOWCASE = {
     "ts_seasonal_decompose": "Weekly decomposition (round 6): per-day frame persisted; centered 7-row window + phase-mean broadcast both run at day grain — the unpartitioned window sorts days, not corpus rows.",
     "sim_mips_topk": "MIPS top-k (round 6): queries broadcast, candidates never shuffle, sequential-fold dot in the scan projection; per-query top-k window.",
     "analytics_rfm_segmentation": "RFM quartiles (round 6): three histogram+prefix-sum tile maps instead of global ntiles; bounded-cardinality maps broadcast, the cents map joins keyed; customer frame persisted for its four consumers.",
+    "curation_dsir_select": "DSIR (round 7): ONE explode to (doc, bucket) counts (persisted), two B-row bucket aggregates broadcast back; score sum is doc-grain, selection a bounded top-k — no vocabulary shuffle at any corpus size.",
+    "dyn_xdelta_patch_fold": "xdelta fold (round 7): BASE/PATCH states built in Arrow-batched scan-stage UDFs; the fold runs inside the keyed upsert's single shuffle — at scale the exchange carries O(edit)-sized patches, not documents.",
+    "op_erasure_repair_copy": "Erasure repair copy (round 7): the returned plan scans only the HEALED reassembled copy; encode/erase/repair all ran chunk-parallel in mapInPandas over the part manifest, no driver data path.",
+    "dyn_indexed_write_through": "Write-through index (round 7): the post-write index lookup broadcasts the filtered index keys into a semi-join — the primary table never shuffles; maintenance replaced only the affected keys' entries.",
     "graph_kcore": "Bounded k-core peeling (round 6): per round one node-keyed equi-join of the persisted symmetric edge list against the alive set + a count aggregate; the induced subgraph is never materialized.",
     "ts_downsample_lttb": "Parallel fixed-anchor LTTB (round 6): bucket-grain anchor frame (lag/lead window partitioned by series) broadcast onto the persisted rebased points; BIGINT triangle argmax in a per-bucket rank window — no sequential pass.",
     "sim_silhouette": "Centroid silhouette (round 6): one (label, dim) exact-BIGINT centroid aggregate broadcast back; corpus-grain work is a single N*d*L partial-agged aggregate — never point-point pairs.",
