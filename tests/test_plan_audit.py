@@ -14,7 +14,11 @@ the sweep stays test-budget-sized.
 
 from __future__ import annotations
 
-from ytsaurus_spark.plans import ALLOWED_GLOBAL_WINDOWS, plan_audit_findings
+from ytsaurus_spark.plans import (
+    ALLOWED_CARTESIAN,
+    ALLOWED_GLOBAL_WINDOWS,
+    plan_audit_findings,
+)
 from ytsaurus_spark.queries import all_queries
 
 
@@ -24,7 +28,9 @@ def test_registry_plan_audit(spark, sf_dir):
         try:
             df = fn(spark, sf_dir)
             findings = plan_audit_findings(
-                df, allow_global=name in ALLOWED_GLOBAL_WINDOWS
+                df,
+                allow_global=name in ALLOWED_GLOBAL_WINDOWS,
+                allow_cartesian=name in ALLOWED_CARTESIAN,
             )
         except Exception as e:  # noqa: BLE001 - collect, report all at once
             failures.append(f"{name}: ERROR {type(e).__name__}: {e}")

@@ -183,7 +183,8 @@ def test_ref_contexts():
         """
     )
     assert "IN (SELECT * FROM keys)" in tq.sql
-    assert "0.95 * (SELECT * FROM m)" in tq.sql
+    # real literals wrap in CAST(… AS DOUBLE): YQL types them Double
+    assert "CAST(0.95 AS DOUBLE) * (SELECT * FROM m)" in tq.sql
     assert "$" not in tq.sql
 
 
@@ -232,7 +233,8 @@ def test_groupby_as_rewrite_flat_only():
         "group by substring(cast(w as string),1,20) as bla\n"
         "order by bla;"
     )
-    assert "substring(cast(w as string),1,20) AS bla" in tq.sql
+    # ,1, shifts to ,2,: YQL SUBSTRING offsets are 0-based (dialect rule)
+    assert "substring(cast(w as string),2,20) AS bla" in tq.sql
     assert " as bla\norder by" not in tq.sql.lower()
     # non-flat statements (subqueries/unions) pass through untouched
     nested = (
@@ -315,3 +317,79 @@ def test_yql_execute_write_statements(spark, tmp_path):
     select n from $n;
     """, client=c)
     assert out.collect()[0].n == 3
+
+
+# --- round-7b YQL-faithful translation rules ---------------------------------
+
+
+def test_substring_zero_based_shift():
+    from ytsaurus_spark.yql.dialect import _rewrite_substring
+
+    # integer start: +1 literal (YQL offsets are 0-based,
+    # mkql_string_util.cpp:120)
+    assert _rewrite_substring("substring(x, 0, 5)") == "substring(x,1, 5)"
+    assert _rewrite_substring("SUBSTRING(a,2,3)") == "SUBSTRING(a,3,3)"
+    # nested call in the string argument
+    assert (
+        _rewrite_substring("substring(cast(z as string),0,2)")
+        == "substring(cast(z as string),1,2)"
+    )
+    # non-literal start: parenthesized +1
+    assert (
+        _rewrite_substring("substring(x, i, 2)")
+        == "substring(x,(i) + 1, 2)"
+    )
+    # nested substring inside another substring's first arg
+    assert (
+        _rewrite_substring("substring(substring(x,0,9),1,2)")
+        == "substring(substring(x,1,9),2,2)"
+    )
+
+
+def test_real_literal_double_cast():
+    from ytsaurus_spark.yql.dialect import _rewrite_real_literals as rl
+
+    assert rl("x / 3.0 * 100") == "x / CAST(3.0 AS DOUBLE) * 100"
+    # untouched: ints, quoted strings, qualified names, decimal(p,s)
+    assert rl("round(x, 2)") == "round(x, 2)"
+    assert rl("'1.5' || a.b") == "'1.5' || a.b"
+    assert rl("cast(x as decimal(15,4))") == "cast(x as decimal(15,4))"
+
+
+def test_ansi_rollup_union_shape():
+    from ytsaurus_spark.yql.dialect import _ansi_rollup_union
+
+    sql = ("select a, b, sum(v) as total from src where v > 0 "
+           "group by rollup (a, b) order by a, b limit 10")
+    out = _ansi_rollup_union(sql)
+    assert "UNION ALL" in out
+    assert "SELECT NULL, NULL, sum(v)" in out
+    assert "HAVING count(*) = 0" in out
+    assert "GROUP BY ROLLUP(__x)" in out  # the constant engine probe
+    assert out.rstrip().endswith("limit 10")
+    # non-flat shapes pass through untouched
+    for bail in (
+        "select a, grouping(a) from s group by rollup (a)",
+        "select distinct a from s group by rollup (a)",
+        "select a from s group by rollup (a) having a > 1",
+        "select a, b from s group by rollup (a), grouping sets (b)",
+    ):
+        assert _ansi_rollup_union(bail) == bail
+
+
+def test_explicit_null_order():
+    from ytsaurus_spark.yql.dialect import explicit_null_order as eno
+
+    assert (
+        eno("select a from t order by a, b desc limit 5")
+        == "select a from t order by a NULLS FIRST, b desc NULLS LAST\nlimit 5"
+    )
+    # window order-bys (inside parens) are untouched; only the final
+    # top-level ORDER BY is annotated
+    s = "select rank() over (order by x) from t"
+    assert eno(s) == s
+    # already-explicit placement kept
+    assert (
+        eno("select a from t order by a nulls last")
+        == "select a from t order by a nulls last"
+    )

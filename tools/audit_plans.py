@@ -23,6 +23,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ytsaurus_spark.plans import (
+    ALLOWED_CARTESIAN,
     ALLOWED_GLOBAL_WINDOWS,
     plan_audit_findings,
 )
@@ -56,6 +57,11 @@ def main() -> int:
             findings = [f for f in findings if not f.endswith(GLOBAL_WINDOW)]
             if allowed:
                 print(f"allow {name}: {ALLOWED_GLOBAL_WINDOWS[name]}")
+        if name in ALLOWED_CARTESIAN:
+            allowed = [f for f in findings if f.endswith("CartesianProduct")]
+            findings = [f for f in findings if not f.endswith("CartesianProduct")]
+            if allowed:
+                print(f"allow {name}: {ALLOWED_CARTESIAN[name]}")
         if findings:
             print(f"FLAG  {name}: {'; '.join(findings)}")
             bad += 1

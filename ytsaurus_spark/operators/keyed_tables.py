@@ -233,6 +233,18 @@ class KeyedTable:
     def delete_rows(self, keys: DataFrame) -> "KeyedTable":
         return self._advance(self.df.join(keys, self.key_cols, "left_anti"))
 
+    def merge_rows(self, source: DataFrame, **merge_kwargs) -> "KeyedTable":
+        """SQL:2003 MERGE INTO this snapshot (operators/merge.py): ONE
+        full-outer join on the key columns with multi-clause
+        update/delete/insert semantics — the composite the reference
+        expresses as upsert+delete batches and lakehouse formats expose as
+        MERGE INTO. Returns the next snapshot (history advances like any
+        other write)."""
+        from ytsaurus_spark.operators.merge import merge_into
+
+        merge_kwargs.setdefault("on", list(self.key_cols))
+        return self._advance(merge_into(self.df, source, **merge_kwargs))
+
     # -- sharding (tablet management) ---------------------------------------
 
     def pivot_keys(self, num_tablets: int) -> list:

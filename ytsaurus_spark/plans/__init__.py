@@ -1,6 +1,7 @@
 """Plan introspection helpers (pushdown / broadcast / shuffle assertions)."""
 
 from ytsaurus_spark.plans.explain import (  # noqa: F401
+    ALLOWED_CARTESIAN,
     ALLOWED_GLOBAL_WINDOWS,
     broadcast_join_count,
     executed_scan_tables,

@@ -1170,3 +1170,132 @@ def dyn_indexed_write_through(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = t.insert_rows(up)
     return t.lookup_via_index("by_seg", F.col("seg") == "SEGX").orderBy("k")
+
+
+# --- MERGE INTO (SQL:2003 multi-clause merge over keyed snapshots) ----------
+
+@register(
+    "dyn_merge_into",
+    """
+    WITH t AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      FROM customer WHERE c_nationkey <= 12
+    ), s AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             max(o_totalprice) AS best
+      FROM orders GROUP BY o_custkey
+    ), m AS (
+      SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+             s.n_orders, s.best
+      FROM t JOIN s USING (c_custkey)
+    )
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN n_orders >= 12 THEN c_acctbal + best
+                ELSE c_acctbal END AS c_acctbal
+    FROM m WHERE NOT (n_orders < 12 AND best < 50000)
+    UNION ALL
+    SELECT s.c_custkey, 'new' AS c_name, NULL AS c_nationkey,
+           s.best AS c_acctbal
+    FROM s WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.c_custkey = s.c_custkey)
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal
+    FROM t
+    WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.c_custkey = t.c_custkey)
+      AND NOT (t.c_acctbal < 0)
+    """,
+)
+def dyn_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 14.9 MERGE (Delta MERGE INTO analog, operators/merge.py):
+    ONE full-outer join + per-row CASE — update matched actives, delete
+    matched dormants, insert unknown buyers, purge unmatched negatives.
+    First-match-wins across the two matched clauses; the oracle encodes
+    the same precedence with NOT(update-cond) guards. Catalyst extracts
+    the key equality, so the merge is a single SMJ shuffle at any scale
+    (reference upsert/delete primitives:
+    yt/yt/server/node/tablet_node/sorted_dynamic_store.h:203)."""
+    from ytsaurus_spark.operators.merge import delete, insert, merge_into, update
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    target = cust.filter(F.col("c_nationkey") <= 12).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    source = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max("o_totalprice").alias("best"),
+    )
+    return merge_into(
+        target,
+        source,
+        on=["c_custkey"],
+        matched=[
+            update({"c_acctbal": "t.c_acctbal + s.best"},
+                   condition="s.n_orders >= 12"),
+            delete(condition="s.best < 50000"),
+        ],
+        not_matched=[
+            insert({"c_name": F.lit("new"), "c_acctbal": "s.best"}),
+        ],
+        not_matched_by_source=[delete(condition="t.c_acctbal < 0")],
+        check_cardinality=False,  # source is groupBy-keyed: key-unique
+    )
+
+
+@register(
+    "dyn_merge_stats",
+    """
+    WITH t AS (
+      SELECT c_custkey, c_acctbal
+      FROM customer WHERE c_nationkey <= 12
+    ), s AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             max(o_totalprice) AS best
+      FROM orders GROUP BY o_custkey
+    ), j AS (
+      SELECT t.c_custkey AS tk, s.c_custkey AS sk,
+             t.c_acctbal, s.n_orders, s.best
+      FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    )
+    SELECT CASE
+             WHEN tk IS NOT NULL AND sk IS NOT NULL AND n_orders >= 12
+               THEN 'update'
+             WHEN tk IS NOT NULL AND sk IS NOT NULL AND best < 50000
+               THEN 'delete'
+             WHEN tk IS NOT NULL AND sk IS NOT NULL THEN 'keep'
+             WHEN sk IS NOT NULL THEN 'insert'
+             WHEN c_acctbal < 0 THEN 'delete'
+             ELSE 'keep'
+           END AS action,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY 1
+    """,
+)
+def dyn_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_classify dry-run audit (Delta operation-metrics analog):
+    per-action row counts the merge WOULD take, from the same single
+    full-outer join, aggregated instead of projected."""
+    from ytsaurus_spark.operators.merge import delete, insert, merge_classify, update
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    target = cust.filter(F.col("c_nationkey") <= 12).select(
+        "c_custkey", "c_acctbal"
+    )
+    source = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max("o_totalprice").alias("best"),
+    )
+    return merge_classify(
+        target,
+        source,
+        on=["c_custkey"],
+        matched=[
+            update({"c_acctbal": "t.c_acctbal + s.best"},
+                   condition="s.n_orders >= 12"),
+            delete(condition="s.best < 50000"),
+        ],
+        not_matched=[insert({"c_acctbal": "s.best"})],
+        not_matched_by_source=[delete(condition="t.c_acctbal < 0")],
+    )

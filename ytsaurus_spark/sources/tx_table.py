@@ -116,6 +116,16 @@ class TxTable:
     def delete_rows(self, keys: DataFrame) -> int:
         return self._commit(self._keyed().delete_rows(keys).df)
 
+    def merge_rows(self, source: DataFrame, **merge_kwargs) -> int:
+        """SQL:2003 MERGE INTO this table (operators/merge.py): one
+        full-outer join on the key columns, multi-clause update / delete /
+        insert, durably committed as the next version — the Delta
+        ``MERGE INTO`` analog over the parquet-snapshot layout."""
+        from ytsaurus_spark.operators.merge import merge_into
+
+        merge_kwargs.setdefault("on", list(self.key_cols))
+        return self._commit(merge_into(self.read(), source, **merge_kwargs))
+
     def _keyed(self) -> KeyedTable:
         return KeyedTable(
             df=self.read(), key_cols=self.key_cols, aggregates=self.aggregates

@@ -48,6 +48,7 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
         s2 = _star_session(spark, sf_dir)
     else:
         s2 = spark.newSession()
+        s2.conf.set("spark.sql.ansi.enabled", "false")  # YQL total arithmetic
         if sf_dir is not None:
             from ytsaurus_spark.catalog import load_tables
 
@@ -79,6 +80,7 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None):
 
     parts = translate_yql_script(text)
     s2 = spark.newSession()
+    s2.conf.set("spark.sql.ansi.enabled", "false")  # YQL total arithmetic
     if sf_dir is not None:
         from ytsaurus_spark.catalog import load_tables
 

@@ -215,6 +215,134 @@ def _split_top_commas(text: str) -> list[str]:
     return parts
 
 
+def _depth_map(text: str) -> list[int]:
+    """Paren depth at each character position; positions inside quoted
+    strings get -1 (so depth-0 keyword scans never match string
+    contents)."""
+    depth, out = 0, [0] * len(text)
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            for k in range(i, min(j + 1, n)):
+                out[k] = -1
+            i = j + 1
+            continue
+        if c == "(":
+            out[i] = depth
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            out[i] = depth
+        else:
+            out[i] = depth
+        i += 1
+    return out
+
+
+def _top_matches(text: str, pattern: str, depth=None) -> list[re.Match]:
+    """Regex matches sitting at paren depth 0, outside quotes."""
+    if depth is None:
+        depth = _depth_map(text)
+    return [
+        m for m in re.finditer(pattern, text) if depth[m.start()] == 0
+    ]
+
+
+def _split_call_args(text: str, open_idx: int) -> tuple[list[str], int]:
+    """Arguments of a call whose ``(`` sits at ``open_idx``; returns
+    (args, index just past the closing paren)."""
+    depth, buf, args = 0, [], []
+    i, n = open_idx, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            buf.append(text[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+            if depth == 1:
+                i += 1
+                continue
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf))
+                return args, i + 1
+        if c == "," and depth == 1:
+            args.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    raise ValueError("unbalanced parentheses in call")
+
+
+_SUBSTR_CALL = re.compile(r"(?i)\bsubstring\s*\(")
+_INT_LIT = re.compile(r"^\d+$")
+
+
+def _rewrite_substring(text: str) -> str:
+    """YQL ``SUBSTRING(s, start, len)`` is a 0-BASED offset
+    (yql/essentials/minikql/mkql_string_util.cpp:120 — ``SubString(value,
+    offset, size)`` slices ``[offset, offset+size)`` with offset 0 = first
+    byte), while ANSI substring is 1-based. Shift the start argument by
+    +1 so the translated text computes the YQL answer on 1-based engines.
+    Applied uniformly — the bench files mix 0-based and 1-based spellings,
+    and the reference runs BOTH through the same 0-based builtin."""
+    m = _SUBSTR_CALL.search(text)
+    if not m:
+        return text
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    args = [_rewrite_substring(a) for a in args]  # nested calls first
+    if len(args) in (2, 3):
+        start = args[1].strip()
+        args[1] = (
+            str(int(start) + 1) if _INT_LIT.match(start) else f"({start}) + 1"
+        )
+    head = text[: m.start()] + text[m.start() : open_idx + 1]
+    return head + ",".join(args) + ")" + _rewrite_substring(text[end:])
+
+
+_REAL_LIT = re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.])")
+
+
+def _rewrite_real_literals(text: str) -> str:
+    """YQL real literals are DOUBLE (SQLv1: ``3.0`` types as Double; the
+    Decimal type needs an explicit ``Decimal("3.0", p, s)`` constructor),
+    while ANSI engines type ``3.0`` as DECIMAL(2,1) — which silently turns
+    YQL double arithmetic into decimal arithmetic with engine-specific
+    scale/rounding (q83's ``/3.0`` yields DECIMAL(…,6) on Spark, DOUBLE on
+    DuckDB). Wrap each real literal in CAST(… AS DOUBLE) so both engines
+    compute the YQL typing. Quote contents are untouched."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            out.append(text[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        j = i
+        while j < n and text[j] not in ("'", '"'):
+            j += 1
+        out.append(
+            _REAL_LIT.sub(r"CAST(\1 AS DOUBLE)", text[i:j])
+        )
+        i = j
+    return "".join(out)
+
+
 _GROUPBY_CLAUSE = re.compile(
     r"(?is)(\bgroup\s+by\b)(.*?)(\border\s+by\b|\bhaving\b|\blimit\b|$)"
 )
@@ -258,7 +386,174 @@ def _rewrite_groupby_as(text: str) -> str:
 def _rewrite_yqlisms(text: str) -> str:
     for pat, repl in _REWRITES:
         text = pat.sub(repl, text)
+    text = _rewrite_substring(text)
+    text = _rewrite_real_literals(text)
     return _rewrite_groupby_as(text)
+
+
+# --- ANSI empty-rollup conformance ------------------------------------------
+
+_GB_ROLLUP = re.compile(r"(?i)\bgroup\s+by\s+rollup\s*\(")
+_ORDER_BY = re.compile(r"(?i)\border\s+by\b")
+_KEY_ONLY = re.compile(r"(?is)^\s*([\w.]+)\s*(asc|desc)?\s*$")
+_ITEM_AS_ALIAS = re.compile(r"(?is)^(.*\S)\s+as\s+([A-Za-z_]\w*)\s*$")
+_ITEM_BARE_ALIAS = re.compile(r"(?is)^(.*[\w)'])\s+([A-Za-z_]\w*)\s*$")
+_ALIAS_KEYWORDS = frozenset(
+    {"end", "null", "first", "last", "asc", "desc", "and", "or", "not",
+     "then", "else", "when", "case", "from", "distinct", "all", "by"}
+)
+
+
+def _strip_alias(item: str) -> str:
+    """Select-list item without its output alias (explicit AS first, then
+    a bare trailing identifier that is not an SQL keyword); returns the
+    item unchanged when no alias is recognized."""
+    s = item.strip()
+    if re.fullmatch(r"[\w.]+", s):
+        return s  # bare (possibly qualified) column — nothing to strip
+    m = _ITEM_AS_ALIAS.match(s)
+    if m and m.group(1).count("(") == m.group(1).count(")"):
+        return m.group(1).strip()
+    m = _ITEM_BARE_ALIAS.match(s)
+    if (
+        m
+        and m.group(2).lower() not in _ALIAS_KEYWORDS
+        and m.group(1).count("(") == m.group(1).count(")")
+    ):
+        return m.group(1).strip()
+    return s
+
+
+def _ansi_rollup_union(sql: str) -> str:
+    """ANSI GROUP BY ROLLUP over an EMPTY selection emits the grand-total
+    row (SQL:2003 7.9 — the () grouping set aggregates the empty table to
+    one row); Spark emits zero rows (COVERAGE.md Known gaps). Rewrite a
+    flat ``SELECT … FROM src GROUP BY ROLLUP(keys) [ORDER BY … LIMIT n]``
+    statement into
+
+        SELECT * FROM (
+          <original, minus ORDER BY/LIMIT>
+          UNION ALL
+          SELECT NULL-keys, <aggregate exprs> FROM src HAVING count(*) = 0
+        ) __ansi_rollup ORDER BY … LIMIT n
+
+    — the grand-total arm fires ONLY when src is empty (a global
+    aggregate always returns one row; HAVING count(*)=0 keeps it exactly
+    when the rollup produced nothing), so a non-empty input is
+    byte-identical to the untouched statement on every engine. The arm
+    re-reads src: the empty-input conformance row costs one extra scan of
+    the (by construction cheap — it aggregated to nothing) source.
+
+    Conservative: statements that are not the flat shape (top-level
+    UNION/HAVING/DISTINCT/window, multiple rollups, expression ORDER BY
+    keys) pass through unchanged."""
+    depth = _depth_map(sql)
+    gbs = _top_matches(sql, _GB_ROLLUP.pattern, depth)
+    if len(gbs) != 1:
+        return sql
+    gb = gbs[0]
+    sels = _top_matches(sql, r"(?i)\bselect\b", depth)
+    froms = _top_matches(sql, r"(?i)\bfrom\b", depth)
+    if len(sels) != 1 or len(froms) != 1 or sql[: sels[0].start()].strip():
+        return sql
+    if _top_matches(sql, r"(?i)\b(having|union|intersect|except|over)\b", depth):
+        return sql
+    select_list = sql[sels[0].end() : froms[0].start()]
+    if re.match(r"(?is)\s*distinct\b", select_list):
+        return sql
+    if re.search(r"(?i)\bgrouping\s*\(", select_list):
+        return sql  # grouping() has no meaning in the group-less arm
+    src = sql[froms[0].end() : gb.start()]
+
+    open_idx = sql.index("(", gb.end() - 1)
+    keys, rollup_end = _split_call_args(sql, open_idx)
+    key_bases = {k.strip().split(".")[-1].lower() for k in keys}
+
+    orders = _top_matches(sql, _ORDER_BY.pattern, depth)
+    tail_start = orders[0].start() if orders else len(sql)
+    if sql[rollup_end:tail_start].strip():
+        return sql  # e.g. ", GROUPING SETS …" — not the flat shape
+    new_tail = ""
+    if orders:
+        tail = sql[orders[0].end() :]
+        lim = _top_matches(tail, r"(?i)\blimit\b")
+        keys_text = tail[: lim[0].start()] if lim else tail
+        rest = tail[lim[0].start() :] if lim else ""
+        out_keys = []
+        for k in _split_top_commas(keys_text):
+            km = _KEY_ONLY.match(k)
+            if not km:
+                return sql  # expression key — bail, stay verbatim
+            out_keys.append(
+                km.group(1).split(".")[-1]
+                + (f" {km.group(2)}" if km.group(2) else "")
+            )
+        new_tail = "ORDER BY " + ", ".join(out_keys) + ("\n" + rest if rest else "")
+
+    arm2 = []
+    for item in _split_top_commas(select_list):
+        s = item.strip()
+        if not s:
+            return sql
+        expr = _strip_alias(s)
+        base = expr.split(".")[-1].lower() if re.fullmatch(r"[\w.]+", expr) else None
+        arm2.append("NULL" if base in key_bases else expr)
+
+    body = sql[sels[0].start() : tail_start].rstrip()
+    # The probe suppresses the arm on engines whose ROLLUP already emits
+    # the ANSI grand-total row (DuckDB) — it asks THE ENGINE, on a 1-row
+    # synthetic relation (zero table scans, constant-foldable): "does
+    # ROLLUP over an empty selection emit the () row?" 1 on ANSI engines,
+    # 0 on Spark. The arm then fires ONLY when the source is empty AND
+    # the engine's rollup would have produced nothing — so the rewrite's
+    # total overhead is one plain aggregation of src (no second rollup).
+    probe = (
+        "(SELECT count(*) FROM (SELECT count(*) AS __c "
+        "FROM (SELECT 1 AS __x) __e1 WHERE __x < 0 "
+        "GROUP BY ROLLUP(__x)) __e2)"
+    )
+    return (
+        "SELECT * FROM (\n"
+        + body
+        + "\nUNION ALL\nSELECT "
+        + ", ".join(arm2)
+        + "\nFROM "
+        + src.strip()
+        + "\nHAVING count(*) = 0"
+        + f"\n   AND {probe} = 0"
+        + "\n) __ansi_rollup\n"
+        + new_tail
+    )
+
+
+def explicit_null_order(sql: str) -> str:
+    """Make YQL/Spark null ordering explicit on the FINAL top-level ORDER
+    BY: YQL sorts NULL below every value (ASC → nulls first, DESC → nulls
+    last), which is Spark's default; DuckDB defaults to nulls-largest.
+    Appending NULLS FIRST/LAST per key lets the SAME ordering semantics
+    run on engines with the opposite default — used on the ORACLE text
+    only (the Spark side already has YQL's ordering)."""
+    depth = _depth_map(sql)
+    ms = _top_matches(sql, _ORDER_BY.pattern, depth)
+    if not ms:
+        return sql
+    m = ms[-1]
+    tail = sql[m.end() :]
+    lim = _top_matches(tail, r"(?i)\blimit\b")
+    keys_text = tail[: lim[0].start()] if lim else tail
+    rest = tail[lim[0].start() :] if lim else ""
+    out = []
+    for k in _split_top_commas(keys_text):
+        ks = k.strip()
+        if not ks:
+            continue
+        if re.search(r"(?i)\bnulls\s+(first|last)\s*$", ks):
+            out.append(ks)
+        elif re.search(r"(?i)\bdesc\s*$", ks):
+            out.append(ks + " NULLS LAST")
+        else:
+            out.append(ks + " NULLS FIRST")
+    return sql[: m.end()] + " " + ", ".join(out) + ("\n" + rest if rest else "")
 
 
 def translate_yql_script(text: str) -> list[TranslatedQuery]:
@@ -311,9 +606,11 @@ def translate_yql_script(text: str) -> list[TranslatedQuery]:
     for final, n_visible in finals:
         visible = resolved[:n_visible]
         kind, target, truncate, body = _split_write_head(final)
-        final_t = _rewrite_yqlisms(
-            _subst_backticks(
-                _subst_refs(body, {n for n, _ in visible})
+        final_t = _ansi_rollup_union(
+            _rewrite_yqlisms(
+                _subst_backticks(
+                    _subst_refs(body, {n for n, _ in visible})
+                )
             )
         )
         out.append(

@@ -583,7 +583,12 @@ def oracle_with_star(sql: str) -> str:
         (name, STAR_VIEW_SQL[name].format(b="main.").strip())
         for name in star_tables_in(sql)
     ]
-    return assemble_with(ctes, sql)
+    from ytsaurus_spark.yql.dialect import explicit_null_order
+
+    # DuckDB defaults to nulls-largest ordering; YQL (and Spark) sort NULL
+    # below every value. Make the YQL ordering explicit on the oracle text
+    # so LIMIT boundaries agree when NULL keys are in play.
+    return explicit_null_order(assemble_with(ctes, sql))
 
 
 def register_star_views(spark, sf_dir: str):
@@ -594,6 +599,13 @@ def register_star_views(spark, sf_dir: str):
     Returns the isolated session."""
     from ytsaurus_spark.catalog import load_tables
 
+    # YQL arithmetic is total: integral division by a zero divisor yields
+    # NULL, not an error (yql/essentials/minikql/invoke_builtins/
+    # mkql_builtins_div.cpp:34 — ENullMode::AlwaysNull on rv == 0), and
+    # failed casts yield empty optionals. Spark's non-ANSI mode matches
+    # both; DuckDB's /0 is NULL as well, so all three agree. Session-local:
+    # the isolated star session never leaks this into the caller.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     load_tables(spark, sf_dir)  # registers the base fixture views
     frames = {
         name: spark.sql(tmpl.format(b=""))
