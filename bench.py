@@ -56,6 +56,8 @@ HEADLINE = [
     "tpcds_q4_three_channel_yoy",    # fact shuffle + 6-cell YoY pivot
     "tpcds_q67_category_top_cells",  # 5-level ROLLUP + partitioned rank
     "tpcds_q72_inventory_shortfall", # fact-fact equi+residual join
+    # added round 7 (baseline = its first steady-state measurement)
+    "dyn_merge_into",                # SQL:2003 MERGE: one full-outer SMJ
 ]
 
 

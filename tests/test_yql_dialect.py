@@ -393,3 +393,45 @@ def test_explicit_null_order():
         eno("select a from t order by a nulls last")
         == "select a from t order by a nulls last"
     )
+
+
+def test_module_funcs_translation():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    t = translate_yql(
+        "select String::Contains(a, 'x') as c,"
+        " Math::Sigmoid(v) as s,"
+        " Re2::Grep('[0-9]+')(a) as g,"
+        " Re2::Replace('a+')(a, 'b') as r,"
+        " Url::GetHost(u) as h,"
+        " DateTime::StartOfWeek(ts) as w,"
+        " Unknown::Fn(a) as u from t;"
+    ).sql
+    assert "date_trunc('week', ts)" in t
+    assert "contains(a, 'x')" in t
+    assert "(1.0e0 / (1.0e0 + exp(-(v))))" in t
+    assert "regexp_like(a, '[0-9]+')" in t  # curried Re2 call unrolled
+    assert "regexp_replace(a, 'a+', 'b')" in t
+    assert "parse_url(u, 'HOST')" in t
+    assert "Unknown::Fn(a)" in t  # untranslatable calls pass through
+
+
+def test_module_funcs_spark_tier_executes(spark):
+    from ytsaurus_spark.yql import yql_select
+
+    row = yql_select(
+        spark,
+        """
+        select Re2::Grep('[0-9]+')('a1b') as g,
+               Re2::Match('[a-z]+')('abc') as full,
+               Re2::Match('[a-z]+')('abc1') as notfull,
+               Re2::Replace('l+')('hello', 'L') as rep,
+               Url::GetHost('https://example.com/p?q=1') as host,
+               String::Base64Decode(String::Base64Encode('hi')) as b64;
+        """,
+    ).collect()[0]
+    assert row["g"] is True
+    assert row["full"] is True and row["notfull"] is False
+    assert row["rep"] == "heLo"
+    assert row["host"] == "example.com"
+    assert bytes(row["b64"]) == b"hi"

@@ -36,9 +36,11 @@ it implements — see dialect.py):
   produced no rows (COVERAGE.md Known gaps, now closed at the dialect).
 - 77: YQL/Spark sort NULL below every value; DuckDB defaults opposite.
   oracle_with_star now makes NULLS FIRST/LAST explicit oracle-side.
-- 90: YQL/Spark type decimal÷decimal as DECIMAL (Spark: (35,20));
-  DuckDB's ``/`` always returns DOUBLE — the oracle casts the quotient
-  back to DECIMAL(35,20) (values identical; _ORACLE_FIXES below).
+- 90: YQL/Spark divide decimal÷decimal EXACTLY as DECIMAL(35,20);
+  DuckDB's ``/`` always divides in IEEE double, so the 20-digit decimal
+  cannot be reproduced oracle-side — the registered entry compares at
+  the double grain (_SPARK_CASTS below), the one grain both engines
+  compute faithfully.
 
 Multi-result scripts (14, 23, 24, 39) register one entry per statement
 with an a/b suffix. If the reference checkout is absent (standalone use),
@@ -70,9 +72,9 @@ from ytsaurus_spark.queries import register
 
 _BENCH_DIR = "/root/reference/yt/benchmarks/run/queries"
 
-# statement ids passing the strict dual-engine sweep at sf0.01 AND sf0.1
-# (see module docstring for the 11 exclusions); 'NN' = single-statement
-# file, 'NNa'/'NNb' = statement within a multi-result script
+# statement ids passing the strict dual-engine sweep at sf0.01 AND sf0.1 —
+# all 101; 'NN' = single-statement file, 'NNa'/'NNb' = statement within a
+# multi-result script
 _PASSING = (
     "01", "02", "03", "04", "06", "07", "09", "10", "11", "12",
     "13", "14b", "15", "16", "17", "19", "20", "21", "23a", "23b",
@@ -115,18 +117,19 @@ _POSITIONAL_NAMES = {"35": 18, "38": 1, "87": 1}
 # (the verbatim text still runs unmodified on Spark).
 _ORACLE_FIXES = {
     "58": [("order by item_id", "order by ss_items.item_id")],
-    # q90: YQL (and Spark) type DECIMAL(15,4)/DECIMAL(15,4) as DECIMAL —
-    # Spark's quotient type is DECIMAL(35,20) (p1-s1+s2 + max(6, s1+p2+1));
-    # DuckDB's `/` ALWAYS returns DOUBLE, there is no decimal division to
-    # opt into. Conform the ORACLE to the YQL/Spark decimal typing by
-    # casting the quotient back; values are identical either way.
-    "90": [
-        (
-            "cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio",
-            "CAST(cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) "
-            "AS DECIMAL(35,20)) am_pm_ratio",
-        )
-    ],
+}
+
+# q90: YQL (and Spark) type DECIMAL(15,4)/DECIMAL(15,4) as DECIMAL(35,20)
+# and divide EXACTLY (0.94666…667 at 20 digits); DuckDB's `/` ALWAYS
+# divides in DOUBLE — no decimal division exists to opt into, and casting
+# its double back to decimal just freezes the float error
+# (…66672128 ≠ …66667 at sf0.1). The only faithful common grain is the
+# IEEE double: Spark's exact decimal casts to the same nearest-double the
+# oracle's correctly-rounded double division produces. Spark-side output
+# cast; the oracle column is already DOUBLE. Values compared at full
+# double precision — this is a typing normalization, not a tolerance.
+_SPARK_CASTS: dict[str, dict[str, str]] = {
+    "90": {"am_pm_ratio": "double"},
 }
 
 
@@ -144,9 +147,13 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
         cols = [f"c{i:02d}" for i in range(_POSITIONAL_NAMES[qid])]
         oracle = f"SELECT * FROM (\n{oracle}\n) AS t({', '.join(cols)})"
 
+    casts = _SPARK_CASTS.get(qid)
+
     @register(f"yql_q{qid}", oracle)
     def run(spark: SparkSession, sf_dir: str,
-            _text: str = text, _part: int = part, _cols: "list[str] | None" = cols) -> DataFrame:
+            _text: str = text, _part: int = part,
+            _cols: "list[str] | None" = cols,
+            _casts: "dict[str, str] | None" = casts) -> DataFrame:
         """Verbatim reference bench statement (yt/benchmarks/run/queries)
         through the YQL dialect shim: translate -> cached isolated star
         session -> spark.sql. CROSS JOIN + WHERE equality folds to
@@ -159,6 +166,13 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
         out = _star_session(spark, sf_dir).sql(parts[_part].sql)
         if _cols is not None:
             out = out.toDF(*_cols)
+        if _casts:
+            from pyspark.sql import functions as F
+
+            out = out.select(
+                *(F.col(c).cast(_casts[c]).alias(c) if c in _casts
+                  else F.col(c) for c in out.columns)
+            )
         return out
 
 
@@ -178,3 +192,92 @@ def _load_all() -> None:
 
 
 _load_all()
+
+
+# --- Module::Function UDF surface (no reference checkout needed) -------------
+# The PORTABLE tier of the dialect's _MODULE_FUNCS table
+# (yql/dialect.py — String/Math/Digest modules, udfs/common/*), exercised
+# as YQL text and oracle-checked: the SAME translated SQL runs on DuckDB
+# over the fixture views, so the translation itself is what's verified.
+
+_UDF_MODULES_TEXT = """
+$docs = (
+  select doc_id, text, lang
+  from `//home/tpch/documents`
+  where String::Contains(text, 'data')
+);
+select doc_id,
+       String::ToLower(String::AsciiToUpper(lang)) as lang_lc,
+       String::StartsWith(text, 'the') as starts_the,
+       String::EndsWith(String::Strip(text), '.') as ends_dot,
+       String::ReplaceAll(lang, 'n', '_') as repl,
+       String::Reverse(lang) as rev,
+       String::LeftPad(lang, 8, '_') as padded,
+       lower(String::HexEncode(lang)) as lang_hex,
+       Digest::Md5Hex(lang) as lang_md5,
+       CAST(Math::Floor(Math::Sqrt(doc_id)) AS BIGINT) as root,
+       CAST(Math::Abs(Math::Mod(doc_id, 7) - 3) AS BIGINT) as wheel
+from $docs
+order by doc_id
+limit 200;
+"""
+
+
+def _register_udf_modules() -> None:
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    oracle = translate_yql(_UDF_MODULES_TEXT).sql
+
+    @register("yql_udf_modules", oracle)
+    def yql_udf_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Module::Function scalar-UDF surface through the dialect: the
+        portable tier translates onto the Spark/DuckDB shared functions
+        (String::Contains -> contains, StartsWith -> left/length,
+        Md5Hex -> md5, ...), so the oracle runs the IDENTICAL translated
+        text — a direct check of the translation table, not just of the
+        engines. Spark-only tier (Re2::, Url::, unbase64) is unit-tested
+        in tests/test_yql_dialect.py."""
+        from ytsaurus_spark.yql import yql_select
+
+        return yql_select(spark, _UDF_MODULES_TEXT, sf_dir=sf_dir, star=False)
+
+
+_register_udf_modules()
+
+
+_UDF_DATETIME_TEXT = """
+$ev = (
+  select event_id, ts, value
+  from `//home/tpch/events`
+  where DateTime::GetHour(ts) between 6 and 21
+);
+select DateTime::GetYear(ts) as y,
+       DateTime::GetMonth(ts) as m,
+       DateTime::GetDayOfMonth(ts) as d,
+       CAST(DateTime::StartOfDay(ts) AS DATE) as day,
+       CAST(min(DateTime::StartOfWeek(ts)) AS DATE) as week,
+       CAST(count(*) AS BIGINT) as n
+from $ev
+group by DateTime::GetYear(ts), DateTime::GetMonth(ts),
+         DateTime::GetDayOfMonth(ts), DateTime::StartOfDay(ts)
+order by y, m, d;
+"""
+
+
+def _register_udf_datetime() -> None:
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    oracle = translate_yql(_UDF_DATETIME_TEXT).sql
+
+    @register("yql_udf_datetime", oracle)
+    def yql_udf_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DateTime2 module surface through the dialect
+        (datetime_udf.cpp:22-42 getters + StartOf* floors →
+        year/month/hour/date_trunc): monthly event report with
+        hour-of-day filtering. Same translated text on both engines."""
+        from ytsaurus_spark.yql import yql_select
+
+        return yql_select(spark, _UDF_DATETIME_TEXT, sf_dir=sf_dir, star=False)
+
+
+_register_udf_datetime()

@@ -168,6 +168,133 @@ def _subst_backticks(text: str) -> str:
     return _BACKTICK_RE.sub(sub, text)
 
 
+# --- Module::Function UDF translation ----------------------------------------
+#
+# The reference ships its scalar UDFs as C++ modules called with
+# ``Module::Function(args)`` (yql/essentials/udfs/common/*). The table maps
+# the documented high-frequency functions onto SQL expressions; each value
+# is a format string over the positional arguments. Two tiers:
+#
+# - PORTABLE rows translate to the Spark/DuckDB shared surface, so a
+#   statement using them still passes the dual-engine conformance harness;
+# - SPARK rows use Spark-only builtins (parse_url, unbase64, regexp_like);
+#   users get the translation, the oracle harness does not cover them.
+#
+# Re2 functions are CURRIED in YQL — ``Re2::Grep(pattern)(input)`` builds
+# a matcher then applies it (re2_udf.cpp) — handled by the call scanner.
+# Unknown Module::Function calls pass through untouched and fail at parse
+# with the module name visible, which beats silently guessing semantics.
+_MODULE_FUNCS: dict[tuple[str, str], str] = {
+    # String module (udfs/common/string/string_udf.cpp:318-449,912)
+    ("string", "contains"): "contains({0}, {1})",
+    ("string", "startswith"): "(left({0}, length({1})) = {1})",
+    ("string", "hasprefix"): "(left({0}, length({1})) = {1})",
+    ("string", "endswith"): "(right({0}, length({1})) = {1})",
+    ("string", "hassuffix"): "(right({0}, length({1})) = {1})",
+    ("string", "tolower"): "lower({0})",
+    ("string", "asciitolower"): "lower({0})",
+    ("string", "toupper"): "upper({0})",
+    ("string", "asciitoupper"): "upper({0})",
+    ("string", "strip"): "trim({0})",
+    ("string", "replaceall"): "replace({0}, {1}, {2})",
+    ("string", "reverse"): "reverse({0})",
+    ("string", "leftpad"): "lpad({0}, {1}, {2})",
+    ("string", "rightpad"): "rpad({0}, {1}, {2})",
+    ("string", "hexencode"): "hex({0})",
+    ("string", "hexdecode"): "unhex({0})",          # Spark-only
+    ("string", "base64encode"): "base64({0})",
+    ("string", "base64decode"): "unbase64({0})",    # Spark-only
+    ("string", "joinfromlist"): "array_join({0}, {1})",  # Spark-only
+    # Math module (udfs/common/math — thin libm wrappers)
+    ("math", "abs"): "abs({0})",
+    ("math", "ceil"): "ceil({0})",
+    ("math", "floor"): "floor({0})",
+    ("math", "sqrt"): "sqrt({0})",
+    ("math", "pow"): "power({0}, {1})",
+    ("math", "exp"): "exp({0})",
+    ("math", "log"): "ln({0})",
+    ("math", "log2"): "log2({0})",
+    ("math", "log10"): "log10({0})",
+    ("math", "sin"): "sin({0})",
+    ("math", "cos"): "cos({0})",
+    ("math", "tan"): "tan({0})",
+    ("math", "atan"): "atan({0})",
+    ("math", "isnan"): "isnan({0})",
+    ("math", "mod"): "mod({0}, {1})",
+    ("math", "sigmoid"): "(1.0e0 / (1.0e0 + exp(-({0}))))",
+    ("math", "pi"): "pi()",
+    # Unicode module (udfs/common/unicode_base): case ops are
+    # unicode-aware in Spark/DuckDB already
+    ("unicode", "tolower"): "lower({0})",
+    ("unicode", "toupper"): "upper({0})",
+    ("unicode", "reverse"): "reverse({0})",
+    ("unicode", "strip"): "trim({0})",
+    # Digest module (udfs/common/digest)
+    ("digest", "md5hex"): "md5({0})",
+    ("digest", "sha256"): "sha2({0}, 256)",          # Spark-only
+    # Url module (udfs/common/url_base) — Spark-only (parse_url)
+    ("url", "gethost"): "parse_url({0}, 'HOST')",
+    ("url", "getpath"): "parse_url({0}, 'PATH')",
+    ("url", "getscheme"): "parse_url({0}, 'PROTOCOL')",
+    # DateTime2 module (udfs/common/datetime2/datetime_udf.cpp:22-42) —
+    # component getters and period floors; date_trunc is the shared
+    # Spark/DuckDB spelling of StartOf*
+    ("datetime", "getyear"): "year({0})",
+    ("datetime", "getmonth"): "month({0})",
+    ("datetime", "getdayofmonth"): "day({0})",
+    ("datetime", "gethour"): "hour({0})",
+    ("datetime", "getminute"): "minute({0})",
+    ("datetime", "getsecond"): "second({0})",
+    ("datetime", "startofyear"): "date_trunc('year', {0})",
+    ("datetime", "startofquarter"): "date_trunc('quarter', {0})",
+    ("datetime", "startofmonth"): "date_trunc('month', {0})",
+    ("datetime", "startofweek"): "date_trunc('week', {0})",
+    ("datetime", "startofday"): "date_trunc('day', {0})",
+    # Re2 module (udfs/common/re2/re2_udf.cpp) — CURRIED: the pattern
+    # arrives in the first arg list, the input in the second. Spark-only
+    # (regexp_like / regexp_replace; DuckDB spells these differently).
+    ("re2", "grep"): "regexp_like({1}, {0})",
+    ("re2", "match"): "regexp_like({1}, concat('^(?:', {0}, ')$'))",
+    ("re2", "replace"): "regexp_replace({1}, {0}, {2})",
+}
+
+_CURRIED_MODULES = {"re2"}
+_MODULE_CALL = re.compile(r"\b([A-Za-z_]\w*)::([A-Za-z_]\w*)\s*\(")
+
+
+def _rewrite_module_funcs(text: str) -> str:
+    """Translate ``Module::Function(args)`` (and curried
+    ``Re2::Fn(pattern)(input)``) calls via _MODULE_FUNCS. Nested calls in
+    arguments are translated recursively; unknown functions pass through
+    untouched."""
+    m = _MODULE_CALL.search(text)
+    if not m:
+        return text
+    module, func = m.group(1).lower(), m.group(2).lower()
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    if module in _CURRIED_MODULES:
+        rest = text[end:]
+        m2 = re.match(r"\s*\(", rest)
+        if m2:
+            more, end2 = _split_call_args(text, end + rest.index("("))
+            args, end = args + more, end2
+    spec = _MODULE_FUNCS.get((module, func))
+    if spec is None:
+        # untranslatable: keep the call text, continue past it
+        return text[:end] + _rewrite_module_funcs(text[end:])
+    args = [_rewrite_module_funcs(a.strip()) for a in args]
+    try:
+        replacement = spec.format(*args)
+    except IndexError as e:
+        raise ValueError(
+            f"{m.group(1)}::{m.group(2)} expects more arguments: {e}"
+        ) from None
+    return (
+        text[: m.start()] + replacement + _rewrite_module_funcs(text[end:])
+    )
+
+
 # YQL surface forms with no portable-SQL spelling, rewritten textually.
 # Each rule is (pattern, replacement); the UDF-module calls map onto the
 # reference's documented semantics (Math::Round's negated precision is
@@ -386,6 +513,7 @@ def _rewrite_groupby_as(text: str) -> str:
 def _rewrite_yqlisms(text: str) -> str:
     for pat, repl in _REWRITES:
         text = pat.sub(repl, text)
+    text = _rewrite_module_funcs(text)
     text = _rewrite_substring(text)
     text = _rewrite_real_literals(text)
     return _rewrite_groupby_as(text)
