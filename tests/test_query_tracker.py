@@ -109,3 +109,32 @@ def test_list_queries_filters(spark, qt):
     assert qt.get_query(a)["annotations"] == {"owner": "tests"}
     with pytest.raises(QueryNotFoundError):
         qt.get_query("nope")
+
+
+def test_yql_engine_lifecycle(spark, qt, sf_dir):
+    from ytsaurus_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    qid = qt.start_query(
+        "yql",
+        "$n = 2;"
+        "select c_custkey from `//home/tpch/customer`"
+        " order by c_custkey limit $n;",
+    )
+    rec = qt.wait(qid)
+    assert rec["state"] == "completed"
+    rows = qt.read_query_result(qid).collect()
+    assert [r.c_custkey for r in rows] == [0, 1]
+
+
+def test_yql_explain(spark, sf_dir):
+    from ytsaurus_spark.yql import yql_explain
+
+    plan = yql_explain(
+        spark,
+        "$lim = 3; select doc_id from `//x/documents`"
+        " where lang = 'en' order by doc_id limit $lim;",
+        sf_dir=sf_dir,
+    )
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "PushedFilters" in plan  # lang predicate reaches the scan

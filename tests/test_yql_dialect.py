@@ -183,8 +183,8 @@ def test_ref_contexts():
         """
     )
     assert "IN (SELECT * FROM keys)" in tq.sql
-    # real literals wrap in CAST(… AS DOUBLE): YQL types them Double
-    assert "CAST(0.95 AS DOUBLE) * (SELECT * FROM m)" in tq.sql
+    # real literals take scientific form: YQL types them Double
+    assert "0.95e0 * (SELECT * FROM m)" in tq.sql
     assert "$" not in tq.sql
 
 
@@ -349,7 +349,8 @@ def test_substring_zero_based_shift():
 def test_real_literal_double_cast():
     from ytsaurus_spark.yql.dialect import _rewrite_real_literals as rl
 
-    assert rl("x / 3.0 * 100") == "x / CAST(3.0 AS DOUBLE) * 100"
+    assert rl("x / 3.0 * 100") == "x / 3.0e0 * 100"
+    assert rl(rl("x / 3.0")) == "x / 3.0e0"  # idempotent (value inlining)
     # untouched: ints, quoted strings, qualified names, decimal(p,s)
     assert rl("round(x, 2)") == "round(x, 2)"
     assert rl("'1.5' || a.b") == "'1.5' || a.b"
@@ -435,3 +436,72 @@ def test_module_funcs_spark_tier_executes(spark):
     assert row["rep"] == "heLo"
     assert row["host"] == "example.com"
     assert bytes(row["b64"]) == b"hi"
+
+
+def test_value_bindings():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    t = translate_yql(
+        "$lim = 5; $d = cast('2000-06-17' as date); $ids = (1,2,3);"
+        "$b = $lim * 2;"
+        "select x from t where d >= $d and k in $ids and y < $b"
+        " order by x limit $lim;"
+    ).sql
+    assert "limit 5" in t
+    assert "d >= (cast('2000-06-17' as date))" in t
+    assert "IN (1,2,3)" in t  # tuple inlines without double parens
+    assert "y < (5 * 2)" in t  # value-in-value resolution
+    with pytest.raises(ValueError, match="value binding, not a table"):
+        translate_yql("$v = 5; select * from $v;")
+
+
+def test_value_binding_executes(spark, sf_dir):
+    from ytsaurus_spark.yql import yql_select
+
+    rows = yql_select(
+        spark,
+        """
+        $seg = 'BUILDING';
+        $lim = 3;
+        select c_custkey from `//x/customer`
+        where c_mktsegment = $seg
+        order by c_custkey limit $lim;
+        """,
+        sf_dir=sf_dir,
+        star=False,
+    ).collect()
+    assert 0 < len(rows) <= 3
+
+
+def test_declare_parameters(spark, sf_dir):
+    import datetime
+
+    from ytsaurus_spark.yql import yql_select
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    # typed literal formatting, quoting, defaults
+    t = translate_yql(
+        "DECLARE $seg AS String; DECLARE $lim AS Int32 = 10;"
+        "DECLARE $d AS Date;"
+        "select * from t where s = $seg and dt >= $d limit $lim;",
+        params={"seg": "BUILD'ING", "d": datetime.date(2000, 6, 17)},
+    ).sql
+    assert "('BUILD''ING')" in t  # escaped, parenthesized
+    assert "limit 10" in t  # declared default
+    assert "CAST('2000-06-17' AS DATE)" in t
+    # a DECLARE with neither a param nor a default is an error
+    with pytest.raises(ValueError, match=r"\$q is DECLAREd without"):
+        translate_yql("DECLARE $q AS Uint64; select $q;")
+    # Optional<T> accepts None -> NULL
+    assert "(NULL)" in translate_yql(
+        "DECLARE $o AS Optional<Int32>; select $o as o;", params={"o": None}
+    ).sql
+    # end to end: parameterized scan
+    rows = yql_select(
+        spark,
+        "DECLARE $seg AS String; DECLARE $lim AS Int32 = 4;"
+        "select c_custkey from `//x/customer`"
+        " where c_mktsegment = $seg order by c_custkey limit $lim;",
+        sf_dir=sf_dir, star=False, params={"seg": "BUILDING"},
+    ).collect()
+    assert 0 < len(rows) <= 4

@@ -81,6 +81,7 @@ class QueryTracker:
         self._engines: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "sql": lambda spark, q: spark.sql(q),
             "ql": self._run_ql,
+            "yql": self._run_yql,
             "mock": lambda spark, q: spark.range(1).selectExpr(f"{q!r} as echo"),
         }
 
@@ -89,6 +90,18 @@ class QueryTracker:
         from ytsaurus_spark.operators.select_rows import select_rows
 
         return select_rows(spark, q)
+
+    @staticmethod
+    def _run_yql(spark: SparkSession, q: str) -> DataFrame:
+        """YQL engine (the reference Query Tracker's primary engine):
+        translate the script (named/value bindings, DECLARE defaults,
+        backticked paths, Module::Function calls) and run against the
+        tracker session's registered views. Pragmas are recorded in the
+        translation but not applied — a tracked query runs under the
+        tracker's session confs, like the reference's per-stage ACO."""
+        from ytsaurus_spark.yql.dialect import translate_yql
+
+        return spark.sql(translate_yql(q).sql)
 
     # -- record store (atomic manifest, tx_table.py protocol) -----------
 

@@ -33,7 +33,8 @@ def _star_session(spark, sf_dir: str):
 
 
 def yql_select(spark, text: str, sf_dir: str | None = None,
-               star: bool = True, pragmas: bool = True):
+               star: bool = True, pragmas: bool = True,
+               params: dict | None = None):
     """Execute one YQL script and return the result DataFrame.
 
     Runs in an ISOLATED ``spark.newSession()`` (own temp-view namespace +
@@ -43,7 +44,7 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
     ``sf_dir=None`` to run against views the caller already registered.
     Star sessions are cached per (base session, sf_dir).
     """
-    tq = translate_yql(text)
+    tq = translate_yql(text, params=params)
     if sf_dir is not None and star:
         s2 = _star_session(spark, sf_dir)
     else:
@@ -58,7 +59,8 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
     return s2.sql(tq.sql)
 
 
-def yql_execute(spark, text: str, client=None, sf_dir: str | None = None):
+def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
+                params: dict | None = None):
     """Execute a full YQL SCRIPT, including write statements — the
     reference's primary batch workflow shape (SQLv1 into_table_stmt):
 
@@ -78,7 +80,7 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None):
     semantics."""
     from ytsaurus_spark.yql.dialect import translate_yql_script
 
-    parts = translate_yql_script(text)
+    parts = translate_yql_script(text, params=params)
     s2 = spark.newSession()
     s2.conf.set("spark.sql.ansi.enabled", "false")  # YQL total arithmetic
     if sf_dir is not None:
@@ -130,3 +132,17 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None):
             exec_client.write_table(stmt.target, df, append=not stmt.truncate)
         last = None
     return last
+
+
+def yql_explain(spark, text: str, sf_dir: str | None = None,
+                params: dict | None = None) -> str:
+    """ExplainQuery analog for the YQL surface: translate the script and
+    return Spark's FORMATTED physical plan for the (single) result
+    statement — what the reference's query tracker shows as the query
+    plan stage. No execution happens."""
+    df = yql_select(spark, text, sf_dir=sf_dir, params=params)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )

@@ -9,7 +9,15 @@ with three surface features this shim translates:
   referenced as ``$name`` in later statements (the reference uses them
   instead of ANSI ``WITH``; see the NB comments in the bench files).
   Translated to a ``WITH`` chain in definition order (YQL requires
-  definition-before-use, so the order is already topological).
+  definition-before-use, so the order is already topological). VALUE
+  bindings (``$lim = 5;``, ``$d = cast('…' as date);`` — named
+  expressions over expressions rather than subqueries) inline at every
+  ``$ref`` site instead of becoming CTEs.
+- **DECLARE parameters** ``DECLARE $p AS Type [= default];``
+  (SQLv1Antlr4.g.in:343) — bound from the ``params`` dict of
+  ``yql_select/yql_execute`` (or the declared default), formatted as
+  typed SQL literals (format_param), then inlined like value bindings.
+- **Module::Function scalar UDFs** — the _MODULE_FUNCS table below.
 - **Backticked table paths** ```//home/x/y/tablename``` — cypress paths.
   Translated to the last path segment (the registered table/view name);
   ``PRAGMA TablePathPrefix`` supplies the directory in YQL and is recorded
@@ -117,33 +125,67 @@ def _unquote(v: str) -> str:
     return v
 
 
-def _subst_refs(text: str, defined: set[str]) -> str:
-    """Replace ``$name`` references by context (all names become CTEs):
+_SIMPLE_VALUE = re.compile(r"^(\d+(\.\d+)?|'[^']*')$")
 
-    - ``FROM $x`` / ``JOIN $x``  -> table reference ``FROM x``
-    - ``expr IN $x``             -> ``expr IN (SELECT * FROM x)``
-      (YQL lets a named collection follow IN directly)
-    - anywhere else (a scalar-subquery binding used as a VALUE, e.g.
-      ``> 0.95 * $max_store_sales``) -> ``(SELECT * FROM x)``
+
+def _subst_refs(
+    text: str, defined: set[str], values: dict[str, str] | None = None
+) -> str:
+    """Replace ``$name`` references by context:
+
+    - VALUE bindings (``$lim = 5;``, ``$d = cast('…' as date);`` — SQLv1
+      named expressions over expressions, not subqueries) inline their
+      expression text at every ``$ref`` site: bare for simple literals
+      (so ``LIMIT $lim`` stays parseable), parenthesized otherwise.
+      ``FROM $value`` is an error — a value is not a table.
+    - subquery bindings become CTEs:
+      ``FROM $x`` / ``JOIN $x``  -> table reference ``FROM x``;
+      ``expr IN $x``             -> ``expr IN (SELECT * FROM x)``
+      (YQL lets a named collection follow IN directly);
+      anywhere else (a scalar-subquery binding used as a VALUE, e.g.
+      ``> 0.95 * $max_store_sales``) -> ``(SELECT * FROM x)``.
     """
+    values = values or {}
 
     def check(name: str) -> str:
-        if name not in defined:
+        if name not in defined and name not in values:
             raise ValueError(f"undefined named expression ${name}")
         return name
 
+    def value_or(name: str, cte_form: str) -> str:
+        if name in values:
+            v = values[name].strip()
+            if _SIMPLE_VALUE.match(v):
+                return v  # bare literal (LIMIT $lim stays parseable)
+            if v.startswith("(") and v.endswith(")"):
+                depth = _depth_map(v)
+                if all(d >= 1 for d in depth[1:-1] if d >= 0):
+                    return v  # one balanced outer paren pair: inline raw
+            return f"({v})"
+        return cte_form
+
+    def sub_in(m: re.Match) -> str:
+        name = check(m.group(1))
+        return f"IN {value_or(name, f'(SELECT * FROM {name})')}"
+
+    def sub_table(m: re.Match) -> str:
+        name = check(m.group(3))
+        if name in values:
+            raise ValueError(
+                f"${name} is a value binding, not a table — "
+                f"cannot appear after {m.group(1).upper()}"
+            )
+        return f"{m.group(1)}{m.group(2)}{name}"
+
+    text = re.sub(r"(?i)\bin\s+\$([A-Za-z_]\w*)", sub_in, text)
     text = re.sub(
-        r"(?i)\bin\s+\$([A-Za-z_]\w*)",
-        lambda m: f"IN (SELECT * FROM {check(m.group(1))})",
-        text,
-    )
-    text = re.sub(
-        r"(?i)\b(from|join)(\s+)\$([A-Za-z_]\w*)",
-        lambda m: f"{m.group(1)}{m.group(2)}{check(m.group(3))}",
-        text,
+        r"(?i)\b(from|join)(\s+)\$([A-Za-z_]\w*)", sub_table, text
     )
     return _REF_RE.sub(
-        lambda m: f"(SELECT * FROM {check(m.group(1))})", text
+        lambda m: value_or(
+            check(m.group(1)), f"(SELECT * FROM {m.group(1)})"
+        ),
+        text,
     )
 
 
@@ -448,8 +490,11 @@ def _rewrite_real_literals(text: str) -> str:
     while ANSI engines type ``3.0`` as DECIMAL(2,1) — which silently turns
     YQL double arithmetic into decimal arithmetic with engine-specific
     scale/rounding (q83's ``/3.0`` yields DECIMAL(…,6) on Spark, DOUBLE on
-    DuckDB). Wrap each real literal in CAST(… AS DOUBLE) so both engines
-    compute the YQL typing. Quote contents are untouched."""
+    DuckDB). Rewrite each real literal to its scientific form (``3.0`` →
+    ``3.0e0``), which both engines type DOUBLE — and which this rewriter
+    no longer matches, so the rule is idempotent (value bindings are
+    translated once at definition and again when inlined). Quote contents
+    are untouched."""
     out, i, n = [], 0, len(text)
     while i < n:
         c = text[i]
@@ -463,9 +508,7 @@ def _rewrite_real_literals(text: str) -> str:
         j = i
         while j < n and text[j] not in ("'", '"'):
             j += 1
-        out.append(
-            _REAL_LIT.sub(r"CAST(\1 AS DOUBLE)", text[i:j])
-        )
+        out.append(_REAL_LIT.sub(r"\1e0", text[i:j]))
         i = j
     return "".join(out)
 
@@ -684,15 +727,57 @@ def explicit_null_order(sql: str) -> str:
     return sql[: m.end()] + " " + ", ".join(out) + ("\n" + rest if rest else "")
 
 
-def translate_yql_script(text: str) -> list[TranslatedQuery]:
+_DECLARE_RE = re.compile(
+    r"(?is)^declare\s+\$([A-Za-z_]\w*)\s+as\s+(.+?)\s*(?:=\s*(.+))?$"
+)
+
+
+def format_param(value, type_text: str) -> str:
+    """Python value → SQL literal for a DECLAREd parameter
+    (SQLv1Antlr4.g.in:343 ``DECLARE bind_parameter AS type_name``).
+    Optional<T> / trailing ``?`` unwrap; None binds NULL."""
+    t = type_text.strip().rstrip("?").strip()
+    m = re.match(r"(?is)^optional\s*<(.+)>$", t)
+    if m:
+        t = m.group(1).strip()
+    if value is None:
+        return "NULL"
+    tl = t.lower()
+    if tl in ("int8", "int16", "int32", "int64",
+              "uint8", "uint16", "uint32", "uint64"):
+        return str(int(value))
+    if tl in ("float", "double"):
+        return f"CAST({float(value)!r} AS DOUBLE)"
+    if tl == "bool":
+        return "TRUE" if value else "FALSE"
+    if tl in ("string", "utf8"):
+        return "'" + str(value).replace("'", "''") + "'"
+    if tl == "date":
+        v = value.isoformat() if hasattr(value, "isoformat") else str(value)
+        return f"CAST('{v}' AS DATE)"
+    if tl in ("datetime", "timestamp"):
+        v = value.isoformat(sep=" ") if hasattr(value, "isoformat") else str(value)
+        return f"CAST('{v}' AS TIMESTAMP)"
+    dm = re.match(r"(?is)^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+    if dm:
+        return f"CAST('{value}' AS DECIMAL({dm.group(1)},{dm.group(2)}))"
+    raise ValueError(f"unsupported DECLARE type {type_text!r}")
+
+
+def translate_yql_script(
+    text: str, params: dict | None = None
+) -> list[TranslatedQuery]:
     """Translate a YQL script into one TranslatedQuery PER result
     statement. Named expressions accumulate across the script (a binding
     defined before result N is visible to results N, N+1, ...), matching
     YQL's definition-before-use scoping; each result gets the WITH chain
-    of every binding defined so far. Pragmas are script-global."""
+    of every binding defined so far. Pragmas are script-global.
+    ``DECLARE $p AS Type [= default]`` statements bind from ``params``
+    (falling back to the declared default), becoming inline value
+    bindings."""
     pragmas: dict[str, str] = {}
-    ctes: list[tuple[str, str]] = []
-    finals: list[tuple[str, int]] = []  # (stmt, #ctes visible)
+    bindings: list[tuple[str, str, str]] = []  # (name, body, kind)
+    finals: list[tuple[str, int]] = []  # (stmt, #bindings visible)
     script_paths = tuple(_PATH_RE.findall(strip_comments(text)))
     for stmt in split_statements(strip_comments(text)):
         if stmt.lower().startswith("pragma"):
@@ -708,36 +793,72 @@ def translate_yql_script(text: str) -> list[TranslatedQuery]:
                 val = _unquote(m.group(2)) if m.group(2) is not None else "true"
             pragmas[name] = val
             continue
+        if stmt.lower().startswith("declare"):
+            m = _DECLARE_RE.match(stmt)
+            if not m:
+                raise ValueError(f"unparsable declare statement: {stmt!r}")
+            name, type_text, default = m.group(1), m.group(2), m.group(3)
+            if params is not None and name in params:
+                literal = format_param(params[name], type_text)
+            elif default is not None:
+                literal = default.strip()
+            else:
+                raise ValueError(
+                    f"parameter ${name} is DECLAREd without a default — "
+                    f"pass params={{{name!r}: …}}"
+                )
+            bindings.append((name, literal, "value"))
+            continue
         if stmt.startswith("$"):
             m = _NAMED_RE.match(stmt)
             if not m:
                 raise ValueError(f"unparsable named expression: {stmt!r}")
             body = m.group(2).strip()
-            if body.startswith("(") and body.endswith(")"):
-                body = body[1:-1].strip()
-            ctes.append((m.group(1), body))
+            inner = body
+            if inner.startswith("(") and inner.endswith(")"):
+                inner = inner[1:-1].strip()
+            # a subquery body may open with MORE parens — ((sel) union
+            # all (sel)) — so classify on the first real token
+            if re.match(r"(?is)^[\s(]*(select|with)\b", inner):
+                bindings.append((m.group(1), inner, "subquery"))
+            else:
+                # SQLv1 named expression over an EXPRESSION, not a
+                # subquery ($lim = 5; $d = cast('…' as date)): inlined
+                # at every $ref site, never a CTE
+                bindings.append((m.group(1), body, "value"))
             continue
-        finals.append((stmt, len(ctes)))
+        finals.append((stmt, len(bindings)))
     if not finals:
         raise ValueError("YQL script has no result statement")
 
     defined: set[str] = set()
-    resolved: list[tuple[str, str]] = []
-    for name, body in ctes:  # definition order IS dependency order in YQL
-        resolved.append(
-            (name,
-             _rewrite_yqlisms(_subst_backticks(_subst_refs(body, defined))))
+    values: dict[str, str] = {}
+    resolved: list[tuple[str, str]] = []  # CTEs only
+    visible_ctes: list[int] = []  # per binding index: #CTEs resolved so far
+    for name, body, kind in bindings:  # definition order IS dependency order
+        translated = _rewrite_yqlisms(
+            _subst_backticks(_subst_refs(body, defined, values))
         )
-        defined.add(name)
+        if kind == "subquery":
+            resolved.append((name, translated))
+            defined.add(name)
+        else:
+            values[name] = translated
+        visible_ctes.append(len(resolved))
 
     out = []
     for final, n_visible in finals:
-        visible = resolved[:n_visible]
+        visible = resolved[: visible_ctes[n_visible - 1]] if n_visible else []
+        vis_values = {
+            name: values[name]
+            for name, _, k in bindings[:n_visible]
+            if k == "value"
+        }
         kind, target, truncate, body = _split_write_head(final)
         final_t = _ansi_rollup_union(
             _rewrite_yqlisms(
                 _subst_backticks(
-                    _subst_refs(body, {n for n, _ in visible})
+                    _subst_refs(body, {n for n, _ in visible}, vis_values)
                 )
             )
         )
@@ -777,12 +898,12 @@ def _split_write_head(stmt: str) -> tuple[str, str | None, bool, str]:
     return kind, target, truncate, stmt[m.end():]
 
 
-def translate_yql(text: str) -> TranslatedQuery:
+def translate_yql(text: str, params: dict | None = None) -> TranslatedQuery:
     """Translate one YQL script (pragmas + named expressions + a final
     SELECT) into a single ANSI SQL statement plus the pragma dict.
     Raises if the script has more than one result statement — use
     translate_yql_script for multi-result scripts."""
-    parts = translate_yql_script(text)
+    parts = translate_yql_script(text, params=params)
     if len(parts) > 1:
         raise ValueError("multiple result statements in one YQL script")
     return parts[0]
