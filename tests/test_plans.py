@@ -331,6 +331,7 @@ import pytest as _pytest
 # shapes). Budgets pin the rewrites; a value is the MAX per-table
 # FileScan count in the final adaptive plan.
 SCAN_BUDGETS = {
+    "yql_q77": 7,  # verbatim 6-leg channel union (3 sales + 3 returns derivations) + 1 for the ANSI empty-rollup arm; AQE ReusedExchange collapses the rest of the arm's recomputation
     "curation_dsir_select": 1,  # persisted (doc, bucket) counts: one documents scan
     "dyn_xdelta_patch_fold": 3,  # fixture derives 3 revisions from documents; prod states arrive as data
     "op_remote_copy_cross": 1,  # returned agg scans only the COPIED table (supplier read feeds the copy)

@@ -505,3 +505,19 @@ def test_declare_parameters(spark, sf_dir):
         sf_dir=sf_dir, star=False, params={"seg": "BUILDING"},
     ).collect()
     assert 0 < len(rows) <= 4
+
+
+def test_select_without_columns(spark, sf_dir):
+    from ytsaurus_spark.yql import yql_select
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    t = translate_yql("select * without text, n_chars from docs;").sql
+    assert "* EXCEPT (text, n_chars)" in t
+    df = yql_select(
+        spark,
+        "select * without text, n_chars from `//x/documents`"
+        " order by doc_id limit 2;",
+        sf_dir=sf_dir, star=False,
+    )
+    assert df.columns == ["doc_id", "lang", "source"]
+    assert df.count() == 2

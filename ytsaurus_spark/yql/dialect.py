@@ -365,6 +365,12 @@ _REWRITES: list[tuple[re.Pattern, object]] = [
     # join-kind spellings: LEFT SEMI / LEFT ONLY -> the shared subset
     (re.compile(r"\bleft\s+semi\s+join\b", re.I), "semi join"),
     (re.compile(r"\bleft\s+only\s+join\b", re.I), "anti join"),
+    # SELECT * WITHOUT c1, c2 (SQLv1 without_column_list) -> Spark's
+    # * EXCEPT (c1, c2). DuckDB spells this EXCLUDE, so WITHOUT queries
+    # are Spark-exec surface; oracles list columns explicitly.
+    (re.compile(
+        r"(\*\s+)without\s+((?:[\w.]+\s*,\s*)*[\w.]+)(\s+from\b)", re.I),
+     r"\1EXCEPT (\2)\3"),
 ]
 
 
