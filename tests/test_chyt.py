@@ -1,0 +1,108 @@
+"""CHYT dialect shim unit tests (ytsaurus_spark/chyt.py): translation
+forms, PREWHERE folding, concatYtTables* table functions against a
+client tree, and the Spark-only function tier."""
+
+from __future__ import annotations
+
+import pytest
+
+from ytsaurus_spark.chyt import chyt_query, translate_chyt
+
+
+def test_path_refs_and_format_strip():
+    t = translate_chyt(
+        'select key1, sum(value) from "//tmp/dir/t" group by key1 FORMAT JSON'
+    )
+    assert 'from t ' in t + " "
+    assert "FORMAT" not in t and '"' not in t
+
+
+def test_if_combinators_and_uniq():
+    t = translate_chyt(
+        'select countIf(v > 3) as c, sumIf(v, k = 1) as s,'
+        ' uniqExact(u) as n from "//x/t"'
+    )
+    assert "sum(CASE WHEN v > 3 THEN 1 ELSE 0 END)" in t
+    assert "sum(CASE WHEN k = 1 THEN v END)" in t
+    assert "count(DISTINCT u)" in t
+
+
+def test_prewhere_folding():
+    both = translate_chyt('select * from "//x/t" PREWHERE a > 1 WHERE b < 2')
+    assert "WHERE (a > 1) AND" in both and "prewhere" not in both.lower()
+    only = translate_chyt('select * from "//x/t" PREWHERE a > 1 order by k')
+    assert "WHERE (a > 1)" in only and "order by k" in only
+
+
+def test_multiif_and_dateparts():
+    t = translate_chyt(
+        "select multiIf(a > 1, 'x', a > 0, 'y', 'z') as m,"
+        " toYYYYMM(d) as ym, toDate(ts) as dt from t"
+    )
+    assert "CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' ELSE 'z' END" in t
+    assert "year(d) * 100 + month(d)" in t
+    assert "CAST(ts AS DATE)" in t
+
+
+def test_spark_tier_executes(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "k int, arr array<string>"
+    )
+    df.createOrReplaceTempView("chyt_arr")
+    out = spark.sql(
+        translate_chyt("select k, arrayJoin(arr) as e from chyt_arr")
+    )
+    assert out.count() == 3
+    h = spark.sql(
+        translate_chyt("select cityHash64('x') as h, uniq(k) as u from chyt_arr")
+    ).collect()[0]
+    assert isinstance(h.h, int) and h.u == 2
+
+
+def test_concat_yt_tables_range(spark, tmp_path):
+    from ytsaurus_spark.client import YtClient
+
+    client = YtClient(root=str(tmp_path / "yt"), spark=spark)
+    client.create("map_node", "//tmp/dir", recursive=True)
+    for i in range(4):
+        client.write_table(
+            f"//tmp/dir/table_{i}",
+            spark.createDataFrame([(i,)], "i int"),
+        )
+    out = chyt_query(
+        spark,
+        "select * from concatYtTablesRange('//tmp/dir') order by i",
+        client=client,
+    )
+    assert [r.i for r in out.collect()] == [0, 1, 2, 3]
+    ranged = chyt_query(
+        spark,
+        "select * from concatYtTablesRange('//tmp/dir', 'table_1',"
+        " 'table_2') order by i",
+        client=client,
+    )
+    assert [r.i for r in ranged.collect()] == [1, 2]
+    rx = chyt_query(
+        spark,
+        "select * from concatYtTablesRegexp('//tmp/dir', 'table_*')"
+        " order by i",
+        client=client,
+    )
+    assert rx.count() == 4
+    with pytest.raises(ValueError, match="needs a client"):
+        chyt_query(spark, "select * from concatYtTables('//tmp/dir')")
+
+
+def test_query_tracker_chyt_engine(spark, tmp_path, sf_dir):
+    from ytsaurus_spark.catalog import load_tables
+    from ytsaurus_spark.query_tracker import QueryTracker
+
+    load_tables(spark, sf_dir)
+    qt = QueryTracker(spark, str(tmp_path / "qt"))
+    qid = qt.start_query(
+        "chyt",
+        'select countIf(l_discount > 0.05) as n from "//home/tpch/lineitem"',
+    )
+    rec = qt.wait(qid)
+    assert rec["state"] == "completed"
+    assert qt.read_query_result(qid).collect()[0].n > 0

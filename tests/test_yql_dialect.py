@@ -521,3 +521,40 @@ def test_select_without_columns(spark, sf_dir):
     )
     assert df.columns == ["doc_id", "lang", "source"]
     assert df.count() == 2
+
+
+def test_expression_lambdas(spark, sf_dir):
+    from ytsaurus_spark.yql import yql_select
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    # paren body, brace/RETURN body, lambda-calls-lambda, value capture
+    t = translate_yql(
+        "$tax = 0.07;"
+        "$net = ($x) -> { RETURN $x * (1 - $tax); };"
+        "$both = ($a, $b) -> ($net($a) + $net($b));"
+        "select $both(p1, p2) as n from t;"
+    ).sql
+    assert "$" not in t
+    assert "(0.07e0)" in t
+    # expansion is precedence-safe: body wraps before inlining
+    t2 = translate_yql("$inc = ($x) -> ($x + 1); select $inc(y) * 2 as z;").sql
+    assert "((y) + 1) * 2" in t2
+    # arity mismatch is an error, not silent misbinding
+    with pytest.raises(ValueError, match="takes 1 argument"):
+        translate_yql("$f = ($x) -> ($x + 1); select $f(1, 2);")
+    # module functions inside lambda bodies translate after expansion
+    t3 = translate_yql(
+        "$clean = ($s) -> (String::Strip(String::ToLower($s)));"
+        "select $clean(name) as c from t;"
+    ).sql
+    assert "trim(lower((name)))" in t3
+    # end to end over the fixtures
+    rows = yql_select(
+        spark,
+        "$half = ($v) -> ($v / 2.0);"
+        "select doc_id, $half(n_chars) as h from `//x/documents`"
+        " order by doc_id limit 3;",
+        sf_dir=sf_dir, star=False,
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.h is not None for r in rows)

@@ -1,0 +1,203 @@
+"""CHYT (ClickHouse-over-YT) SQL dialect shim: run CHYT-style query text
+on Spark — the third user surface next to QL (operators/select_rows.py)
+and YQL (yql/).
+
+Reference: CHYT executes stock ClickHouse SQL with YT tables as storage
+(yt/chyt/server/storage_distributor.cpp:227-360 fans secondary queries;
+granule_min_max_filter.cpp:24-83 prunes by chunk stats — Parquet
+row-group stats + Catalyst predicate pushdown give the same skipping
+declaratively). Its tests (yt/chyt/tests/server/test_common.py) write
+queries like::
+
+    select key1, key2, sum(value) from "//tmp/t" group by key1, key2
+    select * from concatYtTablesRange('//tmp/dir') order by i
+
+This shim translates the CHYT-specific surface onto Spark SQL:
+
+- **double-quoted cypress paths** ``"//home/x/t"`` as table refs →
+  the registered basename view (YtClient resolution when given);
+- **concatYtTables / concatYtTablesRange / concatYtTablesRegexp** table
+  functions (test_common.py:628-665) → a client-resolved UNION ALL of
+  the member tables (the metadata-only concatenate analog);
+- **PREWHERE** → folded into WHERE (``PREWHERE a WHERE b`` → WHERE
+  ``(a) AND (b)``): PREWHERE is ClickHouse's manual pushdown hint, and
+  Catalyst pushes every conjunct to the scan unconditionally;
+- **ClickHouse function spellings** → portable SQL (countIf/sumIf/avgIf
+  → conditional aggregates, uniqExact → count(distinct), toYYYYMM /
+  toYear / toMonth / toDayOfMonth / toDate date parts, if/multiIf →
+  CASE) or Spark builtins (cityHash64 → xxhash64 — same non-bit-compat
+  note as farm_hash, arrayJoin → explode, uniq → approx_count_distinct);
+- a trailing **FORMAT <X>** clause is stripped (wire-format directive).
+
+Everything else ClickHouse shares with ANSI SQL parses on Spark as-is.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ytsaurus_spark.yql.dialect import _split_call_args
+
+__all__ = ["translate_chyt", "chyt_query"]
+
+
+# CH name (lowercased) -> format template over positional args.
+# "portable" rows translate onto the Spark/DuckDB shared surface (the
+# oracle-checkable tier); "spark" rows use Spark-only builtins.
+_CH_FUNCS: dict[str, str] = {
+    # conditional aggregates (ClickHouse's *If combinators)
+    "countif": "CAST(sum(CASE WHEN {0} THEN 1 ELSE 0 END) AS BIGINT)",
+    "sumif": "sum(CASE WHEN {1} THEN {0} END)",
+    "avgif": "avg(CASE WHEN {1} THEN {0} END)",
+    "minif": "min(CASE WHEN {1} THEN {0} END)",
+    "maxif": "max(CASE WHEN {1} THEN {0} END)",
+    "uniqexact": "count(DISTINCT {0})",
+    # date parts
+    "toyear": "CAST(year({0}) AS INT)",
+    "tomonth": "CAST(month({0}) AS INT)",
+    "todayofmonth": "CAST(day({0}) AS INT)",
+    "tohour": "CAST(hour({0}) AS INT)",
+    "toyyyymm": "CAST(year({0}) * 100 + month({0}) AS INT)",
+    "todate": "CAST({0} AS DATE)",
+    "tostartofmonth": "CAST(date_trunc('month', {0}) AS DATE)",
+    # control flow
+    "if": "CASE WHEN {0} THEN {1} ELSE {2} END",
+    # spark-only tier
+    "cityhash64": "xxhash64({0})",  # stable 64-bit hash; NOT bit-compatible
+    "farmhash64": "xxhash64({0})",
+    "uniq": "approx_count_distinct({0})",
+    "arrayjoin": "explode({0})",
+    "has": "array_contains({0}, {1})",
+}
+
+_CH_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
+_PATH_REF = re.compile(r'"(//[^"\[\]]+)"')
+_CONCAT_FN = re.compile(
+    r"(?i)\bconcatYtTables(Range|Regexp)?\s*\(", re.IGNORECASE
+)
+_FORMAT_TAIL = re.compile(r"(?is)\s+format\s+\w+\s*;?\s*$")
+_PREWHERE = re.compile(r"(?is)\bprewhere\b(.*?)(\bwhere\b|\bgroup\s+by\b|"
+                       r"\border\s+by\b|\blimit\b|\bhaving\b|$)")
+
+
+def _rewrite_ch_funcs(text: str) -> str:
+    """Translate ClickHouse function spellings via _CH_FUNCS; unknown
+    calls pass through (Spark shares most ANSI names)."""
+    m = _CH_CALL.search(text)
+    while m and m.group(1).lower() not in _CH_FUNCS:
+        m = _CH_CALL.search(text, m.end())
+    if not m:
+        return text
+    spec = _CH_FUNCS[m.group(1).lower()]
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    args = [_rewrite_ch_funcs(a.strip()) for a in args]
+    # multiIf(c1, v1, c2, v2, ..., default) -> chained CASE
+    try:
+        replacement = spec.format(*args)
+    except IndexError:
+        raise ValueError(
+            f"{m.group(1)} expects more arguments than {len(args)}"
+        ) from None
+    return text[: m.start()] + replacement + _rewrite_ch_funcs(text[end:])
+
+
+def _rewrite_multiif(text: str) -> str:
+    m = re.search(r"(?i)\bmultiIf\s*\(", text)
+    if not m:
+        return text
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    args = [a.strip() for a in args]
+    if len(args) % 2 == 0 or len(args) < 3:
+        raise ValueError("multiIf needs cond/value pairs plus a default")
+    arms = "".join(
+        f" WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+    )
+    case = f"CASE{arms} ELSE {args[-1]} END"
+    return text[: m.start()] + case + _rewrite_multiif(text[end:])
+
+
+def _fold_prewhere(text: str) -> str:
+    """PREWHERE p [WHERE q] -> WHERE (p) [AND (q)] — ClickHouse evaluates
+    PREWHERE before reading remaining columns; Catalyst pushes every
+    conjunct to the scan, so the fold is semantics-preserving."""
+    m = _PREWHERE.search(text)
+    if not m:
+        return text
+    pred, nxt = m.group(1).strip(), m.group(2)
+    if nxt.lower() == "where":
+        # merge into the following WHERE
+        rest = text[m.end():]
+        return (
+            text[: m.start()] + f"WHERE ({pred}) AND " + _fold_prewhere(rest)
+        )
+    return (
+        text[: m.start()]
+        + f"WHERE ({pred}) "
+        + text[m.end() - len(nxt):]
+    )
+
+
+def translate_chyt(text: str, resolve=None) -> str:
+    """CHYT SQL text → Spark SQL text. ``resolve(path) -> table name``
+    maps double-quoted cypress paths (defaults to the basename, the
+    registered-view convention shared with the YQL shim)."""
+    resolve = resolve or (lambda p: p.rstrip("/").rsplit("/", 1)[-1])
+    text = _FORMAT_TAIL.sub("", text.strip().rstrip(";"))
+    text = _PATH_REF.sub(lambda m: resolve(m.group(1)), text)
+    text = _fold_prewhere(text)
+    text = _rewrite_multiif(text)
+    return _rewrite_ch_funcs(text)
+
+
+def chyt_query(spark, text: str, client=None, sf_dir: str | None = None):
+    """Execute CHYT-style SQL and return the DataFrame. ``client`` (a
+    YtClient) resolves cypress paths and the concatYtTables* table
+    functions against its tree; ``sf_dir`` registers the fixture views
+    in an isolated session (basename resolution, like yql_select)."""
+    s2 = spark.newSession()
+    if sf_dir is not None:
+        from ytsaurus_spark.catalog import load_tables
+
+        load_tables(s2, sf_dir)
+
+    text = text.strip()
+    m = _CONCAT_FN.search(text)
+    if m:
+        if client is None:
+            raise ValueError("concatYtTables* needs a client to resolve")
+        kind = (m.group(1) or "").lower()
+        open_idx = text.index("(", m.end() - 1)
+        args, end = _split_call_args(text, open_idx)
+        args = [a.strip().strip("'\"") for a in args]
+        from ytsaurus_spark.client import YtClient  # noqa: F401 (type)
+
+        exec_client = type(client)(root=client.root, spark=s2)
+        members = sorted(exec_client.list(args[0]))
+        if kind == "range" and len(args) >= 2:
+            lo = args[1]
+            hi = args[2] if len(args) >= 3 else None
+            members = [
+                t for t in members
+                if t >= lo and (hi is None or t <= hi)
+            ]
+        elif kind == "regexp" and len(args) >= 2:
+            pat = re.compile(args[1].replace("*", ".*") + r"$")
+            members = [t for t in members if pat.match(t)]
+        if not members:
+            raise ValueError(f"concatYtTables*: no tables under {args[0]}")
+        union = None
+        for t in members:
+            df = exec_client.read_table(f"{args[0].rstrip('/')}/{t}")
+            union = df if union is None else union.unionByName(df)
+        union.createOrReplaceTempView("__chyt_concat")
+        text = text[: m.start()] + "__chyt_concat" + text[end:]
+    elif client is not None:
+        exec_client = type(client)(root=client.root, spark=s2)
+        for p in _PATH_REF.findall(text):
+            if exec_client.exists(p):
+                exec_client.read_table(p).createOrReplaceTempView(
+                    p.rstrip("/").rsplit("/", 1)[-1]
+                )
+    return s2.sql(translate_chyt(text))

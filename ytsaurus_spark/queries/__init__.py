@@ -88,6 +88,7 @@ def _load() -> None:
     from ytsaurus_spark.queries import (  # noqa: F401
         aggregates,
         analytics_q,
+        chyt_q,
         curation_q,
         dynamic_q,
         formats_q,

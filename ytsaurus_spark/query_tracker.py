@@ -82,6 +82,7 @@ class QueryTracker:
             "sql": lambda spark, q: spark.sql(q),
             "ql": self._run_ql,
             "yql": self._run_yql,
+            "chyt": self._run_chyt,
             "mock": lambda spark, q: spark.range(1).selectExpr(f"{q!r} as echo"),
         }
 
@@ -102,6 +103,15 @@ class QueryTracker:
         from ytsaurus_spark.yql.dialect import translate_yql
 
         return spark.sql(translate_yql(q).sql)
+
+    @staticmethod
+    def _run_chyt(spark: SparkSession, q: str) -> DataFrame:
+        """CHYT engine: ClickHouse-dialect text (double-quoted cypress
+        paths, PREWHERE, *If combinators — ytsaurus_spark/chyt.py)
+        against the tracker session's registered views."""
+        from ytsaurus_spark.chyt import translate_chyt
+
+        return spark.sql(translate_chyt(q))
 
     # -- record store (atomic manifest, tx_table.py protocol) -----------
 

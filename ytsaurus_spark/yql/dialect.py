@@ -17,6 +17,12 @@ with three surface features this shim translates:
   (SQLv1Antlr4.g.in:343) — bound from the ``params`` dict of
   ``yql_select/yql_execute`` (or the declared default), formatted as
   typed SQL literals (format_param), then inlined like value bindings.
+- **Expression lambdas** ``$f = ($x) -> (expr);`` (also the
+  ``-> { RETURN expr; }`` body form) — expanded at each ``$f(args)``
+  call site by precedence-safe positional substitution
+  (_expand_lambdas); bodies may capture value bindings and call other
+  lambdas. Subquery-valued lambdas / ListMap-style higher-order use is
+  out of scope (those need the full type system).
 - **Module::Function scalar UDFs** — the _MODULE_FUNCS table below.
 - **Backticked table paths** ```//home/x/y/tablename``` — cypress paths.
   Translated to the last path segment (the registered table/view name);
@@ -82,7 +88,8 @@ def strip_comments(text: str) -> str:
 
 
 def split_statements(text: str) -> list[str]:
-    """Split on top-level ``;`` (outside quotes and parentheses)."""
+    """Split on top-level ``;`` (outside quotes, parentheses, and lambda
+    ``{ RETURN …; }`` braces)."""
     stmts, buf, depth = [], [], 0
     i, n = 0, len(text)
     while i < n:
@@ -94,9 +101,9 @@ def split_statements(text: str) -> list[str]:
             buf.append(text[i : min(j + 1, n)])
             i = j + 1
             continue
-        if c == "(":
+        if c in "({":
             depth += 1
-        elif c == ")":
+        elif c in ")}":
             depth -= 1
         if c == ";" and depth == 0:
             stmts.append("".join(buf))
@@ -128,6 +135,61 @@ def _unquote(v: str) -> str:
 _SIMPLE_VALUE = re.compile(r"^(\d+(\.\d+)?|'[^']*')$")
 
 
+def _fully_parenthesized(v: str) -> bool:
+    """True when ``v`` is ONE balanced outer paren group — ``(a, b)`` yes,
+    ``(a) + (b)`` no (its interior touches depth 0)."""
+    if not (v.startswith("(") and v.endswith(")")):
+        return False
+    depth = _depth_map(v)
+    return all(d >= 1 for d in depth[1:-1] if d >= 0)
+
+
+_LAMBDA_RE = re.compile(
+    r"(?s)^\(\s*((?:\$\w+\s*,\s*)*\$\w+)?\s*\)\s*->\s*"
+    r"(?:\{\s*return\s+(.+?);?\s*\}|(.+))$",
+    re.IGNORECASE,
+)
+_LAMBDA_CALL = re.compile(r"\$([A-Za-z_]\w*)\s*\(")
+
+
+def _expand_lambdas(
+    text: str, lambdas: dict[str, tuple[list[str], str]], depth: int = 0
+) -> str:
+    """Expand ``$f(args)`` calls of expression lambdas (SQLv1
+    ``($x) -> (expr)`` / ``($x) -> { RETURN expr }`` named expressions)
+    by positional substitution — a hygienic macro: each argument is
+    parenthesized before replacing its ``$param`` occurrences, and the
+    expanded body is parenthesized before inlining. Bodies may call
+    other lambdas (bounded recursion)."""
+    if depth > 8:
+        raise ValueError("lambda expansion too deep (recursive lambda?)")
+    m = _LAMBDA_CALL.search(text)
+    while m and m.group(1) not in lambdas:
+        m = _LAMBDA_CALL.search(text, m.end())
+    if not m:
+        return text
+    params, body = lambdas[m.group(1)]
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    if len(args) != len(params):
+        raise ValueError(
+            f"${m.group(1)} takes {len(params)} argument(s), got {len(args)}"
+        )
+    expanded = body
+    for p, a in zip(params, args):
+        expanded = re.sub(
+            rf"\${re.escape(p)}\b", f"({a.strip()})", expanded
+        )
+    expanded = _expand_lambdas(expanded, lambdas, depth + 1)
+    if not _fully_parenthesized(expanded):
+        expanded = f"({expanded})"
+    return (
+        text[: m.start()]
+        + expanded
+        + _expand_lambdas(text[end:], lambdas, depth)
+    )
+
+
 def _subst_refs(
     text: str, defined: set[str], values: dict[str, str] | None = None
 ) -> str:
@@ -157,10 +219,8 @@ def _subst_refs(
             v = values[name].strip()
             if _SIMPLE_VALUE.match(v):
                 return v  # bare literal (LIMIT $lim stays parseable)
-            if v.startswith("(") and v.endswith(")"):
-                depth = _depth_map(v)
-                if all(d >= 1 for d in depth[1:-1] if d >= 0):
-                    return v  # one balanced outer paren pair: inline raw
+            if _fully_parenthesized(v):
+                return v  # one balanced outer paren pair: inline raw
             return f"({v})"
         return cte_form
 
@@ -820,6 +880,11 @@ def translate_yql_script(
             if not m:
                 raise ValueError(f"unparsable named expression: {stmt!r}")
             body = m.group(2).strip()
+            if _LAMBDA_RE.match(body):
+                # expression lambda ($x) -> (expr): a macro expanded at
+                # each $name(args) call site, never a CTE or value
+                bindings.append((m.group(1), body, "lambda"))
+                continue
             inner = body
             if inner.startswith("(") and inner.endswith(")"):
                 inner = inner[1:-1].strip()
@@ -839,11 +904,20 @@ def translate_yql_script(
 
     defined: set[str] = set()
     values: dict[str, str] = {}
+    lambdas: dict[str, tuple[list[str], str]] = {}
     resolved: list[tuple[str, str]] = []  # CTEs only
     visible_ctes: list[int] = []  # per binding index: #CTEs resolved so far
     for name, body, kind in bindings:  # definition order IS dependency order
+        if kind == "lambda":
+            lm = _LAMBDA_RE.match(body)
+            params = re.findall(r"\$(\w+)", lm.group(1) or "")
+            lambdas[name] = (params, (lm.group(2) or lm.group(3)).strip())
+            visible_ctes.append(len(resolved))
+            continue
         translated = _rewrite_yqlisms(
-            _subst_backticks(_subst_refs(body, defined, values))
+            _subst_backticks(
+                _subst_refs(_expand_lambdas(body, lambdas), defined, values)
+            )
         )
         if kind == "subquery":
             resolved.append((name, translated))
@@ -864,7 +938,11 @@ def translate_yql_script(
         final_t = _ansi_rollup_union(
             _rewrite_yqlisms(
                 _subst_backticks(
-                    _subst_refs(body, {n for n, _ in visible}, vis_values)
+                    _subst_refs(
+                        _expand_lambdas(body, lambdas),
+                        {n for n, _ in visible},
+                        vis_values,
+                    )
                 )
             )
         )
