@@ -106,3 +106,25 @@ def test_query_tracker_chyt_engine(spark, tmp_path, sf_dir):
     rec = qt.wait(qid)
     assert rec["state"] == "completed"
     assert qt.read_query_result(qid).collect()[0].n > 0
+
+
+def test_argmax_and_array_hofs(spark):
+    df = spark.createDataFrame(
+        [(1, 10, [1, 2, 3]), (2, 30, [4]), (3, 20, [5, 6])],
+        "k int, v int, arr array<int>",
+    )
+    df.createOrReplaceTempView("chyt_hof")
+    row = spark.sql(
+        translate_chyt(
+            "select argMax(k, v) as best,"
+            " arrayMap(x -> x * 2, arr) as doubled,"
+            " arrayFilter(x -> x > 1, arr) as big,"
+            " arraySum(arr) as s"
+            " from chyt_hof where k = 1"
+            " group by arr"
+        )
+    ).collect()[0]
+    assert row.best == 1
+    assert row.doubled == [2, 4, 6]
+    assert row.big == [2, 3]
+    assert row.s == 6.0

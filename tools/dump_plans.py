@@ -58,6 +58,9 @@ SHOWCASE = {
     "curation_filter_attrition": "Gate waterfall (round 6): 2*|gates| conditional sums in ONE aggregate over the integer-only rule projection; per-gate pivot on the single aggregate row.",
     "analytics_market_basket": "Association rules (round 6): persisted basket grain; pair candidates from the order-key self-join, support-filtered BEFORE the confidence/lift joins.",
     "agg_quantile_sketch": "Mergeable log2 quantile sketch (round 6): <=64-bin additive histogram in one partial-agged exchange; bracket cut on the broadcast bin frame.",
+    "dyn_merge_into": "SQL:2003 MERGE (round 7): ONE full-outer sort-merge join on the key feeds the per-column CASE projection and delete filter — the whole multi-clause merge is a single exchange pair, the upsert-pattern cost.",
+    "chyt_agg_report": "CHYT dialect (round 7): countIf/sumIf/uniqExact translate to conditional aggregates — map-side combinable, one exchange; the distinct-count leg expands only the distinct pre-aggregation.",
+    "yql_q77": "Verbatim TPC-DS q77 through the YQL dialect (round 7): six channel derivations AQE-reuse-collapsed; the ANSI empty-rollup arm is suppressed by its HAVING count(*)=0 + constant engine probe, costing one reused aggregation.",
     "dedup_containment": "Containment dedup (round 6): rare-shingle inverted-index blocking (freq cap keeps the block join skew-free) + exact intersection verify on candidates only — Jaccard-LSH banding cannot surface these pairs.",
     "sim_hard_negative_mining": "Contrastive pair mining (round 6): one exact-BIGINT-dot scored frame; per-(anchor, same-label?) rank windows; anchors broadcast.",
     "mm_image_tile_stats": "Real decode + tile mosaic (round 6): single Arrow-batched mapInPandas stage, zero shuffles; exact integer tile sums.",

@@ -62,12 +62,35 @@ _CH_FUNCS: dict[str, str] = {
     "tostartofmonth": "CAST(date_trunc('month', {0}) AS DATE)",
     # control flow
     "if": "CASE WHEN {0} THEN {1} ELSE {2} END",
+    # argMax/argMin: value of arg0 at the extremum of arg1 (max_by is
+    # the shared Spark/DuckDB spelling)
+    "argmax": "max_by({0}, {1})",
+    "argmin": "min_by({0}, {1})",
+    # explicit integer casts
+    "touint64": "CAST({0} AS BIGINT)",
+    "toint64": "CAST({0} AS BIGINT)",
+    "touint32": "CAST({0} AS INT)",
+    "toint32": "CAST({0} AS INT)",
+    "tofloat64": "CAST({0} AS DOUBLE)",
+    "tostring": "CAST({0} AS STRING)",
     # spark-only tier
     "cityhash64": "xxhash64({0})",  # stable 64-bit hash; NOT bit-compatible
     "farmhash64": "xxhash64({0})",
     "uniq": "approx_count_distinct({0})",
     "arrayjoin": "explode({0})",
     "has": "array_contains({0}, {1})",
+    "grouparray": "collect_list({0})",
+    "groupuniqarray": "collect_set({0})",
+    "empty": "(length({0}) = 0)",
+    "notempty": "(length({0}) > 0)",
+    # array higher-order functions: ClickHouse puts the lambda FIRST
+    # (arrayMap(x -> x + 1, arr)); Spark's transform/filter take it
+    # SECOND — same `x -> expr` lambda syntax on both sides
+    "arraymap": "transform({1}, {0})",
+    "arrayfilter": "filter({1}, {0})",
+    "arraysum": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    "arraysort": "array_sort({0})",
+    "arraydistinct": "array_distinct({0})",
 }
 
 _CH_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
