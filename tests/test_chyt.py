@@ -128,3 +128,16 @@ def test_argmax_and_array_hofs(spark):
     assert row.doubled == [2, 4, 6]
     assert row.big == [2, 3]
     assert row.s == 6.0
+
+
+def test_sample_clause(spark, sf_dir):
+    t = translate_chyt('select k from "//x/t" SAMPLE 0.5 where k > 1')
+    assert "TABLESAMPLE (50 PERCENT)" in t
+    with pytest.raises(ValueError, match="fraction"):
+        translate_chyt('select k from "//x/t" SAMPLE 1000')
+    out = chyt_query(
+        spark,
+        'select count(*) as n from "//home/tpch/lineitem" SAMPLE 0.1',
+        sf_dir=sf_dir,
+    ).collect()[0]
+    assert out.n >= 0

@@ -5,10 +5,13 @@ small-SF correctness but collapse at cluster scale. This is
 tools/audit_plans.py wired into pytest (VERDICT r6 task 1): a red audit
 now fails the suite instead of waiting for someone to run the tool.
 
-The allowlist (plans.ALLOWED_GLOBAL_WINDOWS) covers ONLY the global-window
-finding for queries whose window input is dim-sized by construction; a
-CartesianProduct flags regardless. Queries that execute work at plan-build
-time (streaming drains, durable-commit pipelines) run sf0.001-sized work —
+Two allowlists, each scoped to ONE finding kind:
+plans.ALLOWED_GLOBAL_WINDOWS for queries whose window input is dim-sized
+by construction, and plans.ALLOWED_CARTESIAN for verbatim reference bench
+text whose cross-join sides are dim-bounded at runtime but invisible to
+pre-AQE size estimation (yql_q77). Engine-authored queries must never
+need the cartesian list. Queries that execute work at plan-build time
+(streaming drains, durable-commit pipelines) run sf0.001-sized work —
 the sweep stays test-budget-sized.
 """
 

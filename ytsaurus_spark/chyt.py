@@ -162,6 +162,25 @@ def _fold_prewhere(text: str) -> str:
     )
 
 
+_SAMPLE = re.compile(r"(?is)\bsample\s+(0?\.\d+|1\.0|[0-9]+)\b")
+
+
+def _rewrite_sample(text: str) -> str:
+    """ClickHouse ``SAMPLE 0.1`` (fraction) / ``SAMPLE n`` (approx row
+    count — unsupported: needs table stats) → Spark ``TABLESAMPLE``."""
+
+    def sub(m: re.Match) -> str:
+        v = m.group(1)
+        if "." in v:
+            return f"TABLESAMPLE ({float(v) * 100:g} PERCENT)"
+        raise ValueError(
+            "SAMPLE <rows> needs table statistics; use a fraction "
+            "(SAMPLE 0.1) — Spark TABLESAMPLE is fraction/percent based"
+        )
+
+    return _SAMPLE.sub(sub, text)
+
+
 def translate_chyt(text: str, resolve=None) -> str:
     """CHYT SQL text → Spark SQL text. ``resolve(path) -> table name``
     maps double-quoted cypress paths (defaults to the basename, the
@@ -170,6 +189,7 @@ def translate_chyt(text: str, resolve=None) -> str:
     text = _FORMAT_TAIL.sub("", text.strip().rstrip(";"))
     text = _PATH_REF.sub(lambda m: resolve(m.group(1)), text)
     text = _fold_prewhere(text)
+    text = _rewrite_sample(text)
     text = _rewrite_multiif(text)
     return _rewrite_ch_funcs(text)
 
