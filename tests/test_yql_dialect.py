@@ -558,3 +558,19 @@ def test_expression_lambdas(spark, sf_dir):
     ).collect()
     assert len(rows) == 3
     assert all(r.h is not None for r in rows)
+
+
+def test_module_funcs_size_length_trunc(spark):
+    from ytsaurus_spark.yql import yql_select
+
+    r = yql_select(
+        spark,
+        "select String::Size('héllo') as b,"
+        " Unicode::GetLength('héllo') as cp,"
+        " Math::Trunc(-2.7) as tr,"
+        " String::Collapse('a   b  c') as c;",
+    ).collect()[0]
+    assert r.b == 6      # bytes (Size UDF)
+    assert r.cp == 5     # codepoints
+    assert r.tr == -2    # truncation toward zero
+    assert r.c == "a b c"

@@ -104,6 +104,23 @@ def main() -> int:
             print(f"{q}: DIFF ({why})", flush=True)
     for k, v in counts.items():
         print(f"{k}: {len(v)} {v}")
+    if os.environ.get("YQL_CONFORMANCE_JSON"):
+        import json
+
+        path = os.environ["YQL_CONFORMANCE_JSON"]
+        rec = {}
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                rec = json.load(fh)
+        # registry normalizations (queries/yql_q.py) close the raw DIFFs
+        # the shared-text harness cannot: positional names (35/38/87),
+        # the q58 oracle ORDER BY, and q90's double-grain compare
+        rec[os.path.basename(sf_dir)] = {
+            k: sorted(v) for k, v in counts.items()
+        }
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
+        print(f"wrote {path}")
     return 0
 
 

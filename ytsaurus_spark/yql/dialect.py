@@ -307,6 +307,9 @@ _MODULE_FUNCS: dict[tuple[str, str], str] = {
     ("string", "base64encode"): "base64({0})",
     ("string", "base64decode"): "unbase64({0})",    # Spark-only
     ("string", "joinfromlist"): "array_join({0}, {1})",  # Spark-only
+    ("string", "size"): "octet_length({0})",  # byte length (Size UDF)
+    ("string", "collapse"): "regexp_replace({0}, '\\\\s+', ' ')",  # Spark-only
+    ("unicode", "getlength"): "length({0})",  # codepoint count
     # Math module (udfs/common/math — thin libm wrappers)
     ("math", "abs"): "abs({0})",
     ("math", "ceil"): "ceil({0})",
@@ -325,6 +328,9 @@ _MODULE_FUNCS: dict[tuple[str, str], str] = {
     ("math", "mod"): "mod({0}, {1})",
     ("math", "sigmoid"): "(1.0e0 / (1.0e0 + exp(-({0}))))",
     ("math", "pi"): "pi()",
+    ("math", "trunc"): "CAST({0} AS BIGINT)",  # toward zero, like CAST
+    ("math", "round_downward"): "floor({0})",
+    ("math", "round_upward"): "ceil({0})",
     # Unicode module (udfs/common/unicode_base): case ops are
     # unicode-aware in Spark/DuckDB already
     ("unicode", "tolower"): "lower({0})",
