@@ -141,3 +141,43 @@ def test_sample_clause(spark, sf_dir):
         sf_dir=sf_dir,
     ).collect()[0]
     assert out.n >= 0
+
+
+def test_chyt_execute_mutations(spark, tmp_path):
+    from ytsaurus_spark.chyt import chyt_execute
+    from ytsaurus_spark.client import YtClient
+
+    client = YtClient(root=str(tmp_path / "yt"), spark=spark)
+    # CREATE TABLE ... ENGINE YtTable() (test_ddl.py shape)
+    chyt_execute(
+        spark,
+        'CREATE TABLE "//tmp/m"(i64 Int64, str String, dbl Float64)'
+        " ENGINE YtTable()",
+        client,
+    )
+    assert client.exists("//tmp/m")
+    # full-row VALUES insert
+    chyt_execute(
+        spark,
+        'insert into "//tmp/m" values (1, \'a\', 0.5), (2, \'b\', 1.5)',
+        client,
+    )
+    assert client.row_count("//tmp/m") == 2
+    # partial-column insert: missing columns go NULL (test_mutations.py)
+    chyt_execute(spark, 'insert into "//tmp/m"(i64) values (3)', client)
+    got = {tuple(r) for r in client.read_table("//tmp/m").collect()}
+    assert (3, None, None) in got and len(got) == 3
+    # INSERT ... SELECT with the <append=%false> overwrite attribute
+    chyt_execute(
+        spark,
+        'insert into "<append=%false>//tmp/m" select * from "//tmp/m"'
+        " where i64 <= 1",
+        client,
+    )
+    assert client.row_count("//tmp/m") == 1
+    # DROP TABLE
+    chyt_execute(spark, 'drop table "//tmp/m"', client)
+    assert not client.exists("//tmp/m")
+    with pytest.raises(ValueError, match="does not exist"):
+        chyt_execute(spark, 'drop table "//tmp/m"', client)
+    chyt_execute(spark, 'drop table if exists "//tmp/m"', client)  # no-op

@@ -244,3 +244,101 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None):
                     p.rstrip("/").rsplit("/", 1)[-1]
                 )
     return s2.sql(translate_chyt(text))
+
+
+# --- write statements (CHYT mutations / DDL) ---------------------------------
+# Reference: yt/chyt/tests/server/test_mutations.py — INSERT INTO
+# "//path" [(cols)] VALUES ... | SELECT ..., with the rich-YPath
+# <append=%false> attribute selecting overwrite; test_ddl.py — CREATE
+# TABLE "//path"(col Type, ...) ENGINE YtTable(); DROP TABLE "//path".
+
+_INSERT_RE = re.compile(
+    r'(?is)^\s*insert\s+into\s+"(<append=%(?:false|true)>)?(//[^"]+)"'
+    r"\s*(\(([^)]*)\))?\s*(values|select)\b(.*)$"
+)
+_CREATE_RE = re.compile(
+    r'(?is)^\s*create\s+table\s+"(//[^"]+)"\s*\(([^)]*)\)'
+    r"\s*engine\s*[= ]?\s*YtTable\s*\(\s*\)\s*$"
+)
+_DROP_RE = re.compile(r'(?is)^\s*drop\s+table\s+(if\s+exists\s+)?"(//[^"]+)"\s*$')
+
+# ClickHouse column type -> Spark SQL type (uint64 keeps the repo's
+# DECIMAL(20,0) discipline; see yt_types.py)
+_CH_TYPES = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int",
+    "int64": "bigint", "uint8": "smallint", "uint16": "int",
+    "uint32": "bigint", "uint64": "decimal(20,0)",
+    "float32": "float", "float64": "double",
+    "string": "string", "bool": "boolean", "boolean": "boolean",
+    "date": "date", "datetime": "timestamp", "timestamp": "timestamp",
+}
+
+
+def chyt_execute(spark, text: str, client, sf_dir: str | None = None):
+    """Execute a CHYT statement including mutations: INSERT INTO (VALUES
+    or SELECT source; ``<append=%false>`` overwrites), CREATE TABLE …
+    ENGINE YtTable(), DROP TABLE. Reads fall through to
+    :func:`chyt_query`. Returns the result DataFrame for reads, None
+    for writes."""
+    stmt = text.strip().rstrip(";")
+
+    m = _CREATE_RE.match(stmt)
+    if m:
+        cols = []
+        for item in m.group(2).split(","):
+            name, ch_type = item.split()[:2]
+            t = _CH_TYPES.get(ch_type.lower())
+            if t is None:
+                raise ValueError(f"unsupported ClickHouse type {ch_type!r}")
+            cols.append(f"{name} {t}")
+        empty = spark.createDataFrame([], ", ".join(cols))
+        client.write_table(m.group(1), empty, append=False)
+        return None
+
+    m = _DROP_RE.match(stmt)
+    if m:
+        if client.exists(m.group(2)):
+            client.remove(m.group(2), recursive=True)
+        elif not m.group(1):
+            raise ValueError(f"DROP TABLE: {m.group(2)} does not exist")
+        return None
+
+    m = _INSERT_RE.match(stmt)
+    if m:
+        append_attr, path, _, cols, kind, rest = m.groups()
+        append = append_attr != "<append=%false>"
+        if kind.lower() == "values":
+            df = spark.sql(f"SELECT * FROM VALUES{rest}")
+        else:
+            df = chyt_query(spark, f"select{rest}", client=client,
+                            sf_dir=sf_dir)
+        if cols:
+            names = [c.strip() for c in cols.split(",")]
+            df = df.toDF(*names)
+            if client.exists(path):
+                # partial-column insert: missing columns go NULL, cast
+                # onto the stored schema
+                from pyspark.sql import functions as F
+
+                target = client.read_table(path)
+                df = df.select(
+                    *(
+                        (F.col(c) if c in names else F.lit(None))
+                        .cast(dict(zip(target.columns,
+                                       [f.dataType for f in target.schema]))[c])
+                        .alias(c)
+                        for c in target.columns
+                    )
+                )
+        elif client.exists(path):
+            target = client.read_table(path)
+            df = df.toDF(*target.columns)
+        if not append:
+            # INSERT <append=%false> may SELECT from the table it
+            # overwrites — cut the lineage so the plan doesn't re-read
+            # files the overwrite is about to delete
+            df = df.localCheckpoint(eager=True)
+        client.write_table(path, df, append=append)
+        return None
+
+    return chyt_query(spark, stmt, client=client, sf_dir=sf_dir)
