@@ -23,15 +23,60 @@ def test_if_combinators_and_uniq():
         ' uniqExact(u) as n from "//x/t"'
     )
     assert "sum(CASE WHEN v > 3 THEN 1 ELSE 0 END)" in t
-    assert "sum(CASE WHEN k = 1 THEN v END)" in t
+    assert "coalesce(sum(CASE WHEN k = 1 THEN v END), 0)" in t
     assert "count(DISTINCT u)" in t
+
+
+def test_if_combinator_empty_match_is_zero(spark):
+    # ClickHouse *If combinators return the type default (0), not NULL,
+    # for groups where no row matches the condition
+    spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "k int, v int") \
+        .createOrReplaceTempView("cht_zero")
+    rows = spark.sql(translate_chyt(
+        "select k, sumIf(v, v > 100) as s, maxIf(v, v > 100) as m "
+        "from cht_zero group by k order by k"
+    )).collect()
+    assert [(r.s, r.m) for r in rows] == [(0, 0), (0, 0)]
+
+
+def test_touint64_keeps_decimal_discipline(spark):
+    t = translate_chyt("select toUInt64(x) as u from t")
+    assert "DECIMAL(20,0)" in t
+    # a value in [2^63, 2^64) — legal ClickHouse uint64 — must survive
+    spark.createDataFrame([("18446744073709551615",)], "x string") \
+        .createOrReplaceTempView("cht_u64")
+    r = spark.sql(translate_chyt("select toUInt64(x) as u from cht_u64")).first()
+    assert str(r.u) == "18446744073709551615"
 
 
 def test_prewhere_folding():
     both = translate_chyt('select * from "//x/t" PREWHERE a > 1 WHERE b < 2')
-    assert "WHERE (a > 1) AND" in both and "prewhere" not in both.lower()
+    assert "WHERE (a > 1) AND (b < 2)" in both and "prewhere" not in both.lower()
     only = translate_chyt('select * from "//x/t" PREWHERE a > 1 order by k')
     assert "WHERE (a > 1)" in only and "order by k" in only
+
+
+def test_prewhere_parenthesizes_or_where(spark):
+    # 'PREWHERE p WHERE a OR b' must mean (p) AND (a OR b), never
+    # (p AND a) OR b — the unparenthesized fold silently widens results
+    t = translate_chyt('select * from "//x/t" PREWHERE p WHERE a OR b limit 3')
+    assert "WHERE (p) AND (a OR b)" in t and "limit 3" in t
+    spark.createDataFrame(
+        [(False, False, True), (True, True, False), (True, False, True)],
+        "p boolean, a boolean, b boolean",
+    ).createOrReplaceTempView("cht_prew")
+    rows = spark.sql(translate_chyt(
+        "select * from cht_prew prewhere p where a or b"
+    )).collect()
+    # row1 fails PREWHERE; under the broken fold (p AND a) OR b it passes
+    assert len(rows) == 2 and all(r.p for r in rows)
+    # a subquery containing WHERE inside the PREWHERE predicate must not
+    # cut the fold short
+    t2 = translate_chyt(
+        'select * from "//x/t" prewhere k in '
+        '(select k from "//x/u" where q = 1) where a or b'
+    )
+    assert "AND (a or b)" in t2
 
 
 def test_multiif_and_dateparts():

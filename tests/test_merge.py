@@ -190,3 +190,39 @@ def test_tx_table_merge_rows(spark, tmp_path):
     assert rows_set(t.read(v)) == {(2, 20.0), (3, 3.0)}
     # durable time travel: the pre-merge version is intact
     assert rows_set(t.read(v - 1)) == {(1, 10.0), (2, 20.0)}
+
+
+def test_null_condition_skips_to_next_clause(spark):
+    # SQL:2003 14.9 GR6: a clause whose condition is not True (including
+    # NULL) is SKIPPED and the NEXT clause considered — a NULL condition
+    # must not poison the rest of the chain via prior & ~NULL = NULL
+    tgt = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, bal double"
+    )
+    # s.flag is NULL for k=1: first clause's condition evaluates NULL
+    src = spark.createDataFrame(
+        [(1, None, 5.0), (2, True, 7.0)],
+        "k bigint, flag boolean, amt double",
+    )
+    out = merge_into(
+        tgt,
+        src,
+        on=["k"],
+        matched=[
+            update({"bal": "t.bal + 100"}, condition="s.flag"),
+            update({"bal": "t.bal + s.amt"}),  # must fire for k=1
+        ],
+    )
+    assert rows_set(out) == {(1, 15.0), (2, 120.0)}
+    # classify agrees: both rows land on an update arm, none keep
+    audit = {
+        r.action: r.n_rows
+        for r in merge_classify(
+            tgt, src, on=["k"],
+            matched=[
+                update({"bal": "t.bal + 100"}, condition="s.flag"),
+                update({"bal": "t.bal + s.amt"}),
+            ],
+        ).collect()
+    }
+    assert audit.get("keep") is None or audit["keep"] == 0

@@ -535,7 +535,9 @@ def test_expression_lambdas(spark, sf_dir):
         "select $both(p1, p2) as n from t;"
     ).sql
     assert "$" not in t
-    assert "(0.07e0)" in t
+    # value bindings inline untranslated and get the real-literal rewrite
+    # exactly once at the use site (0.07 -> 0.07e0, no double shift)
+    assert "0.07e0" in t
     # expansion is precedence-safe: body wraps before inlining
     t2 = translate_yql("$inc = ($x) -> ($x + 1); select $inc(y) * 2 as z;").sql
     assert "((y) + 1) * 2" in t2
@@ -574,3 +576,29 @@ def test_module_funcs_size_length_trunc(spark):
     assert r.cp == 5     # codepoints
     assert r.tr == -2    # truncation toward zero
     assert r.c == "a b c"
+
+
+def test_value_binding_rewrites_exactly_once(spark):
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    # SUBSTRING's 0-based->1-based shift is not idempotent: value-binding
+    # bodies must stay untranslated until inlined, then rewrite ONCE
+    t = translate_yql("$p = SUBSTRING('abcdef', 0, 3); SELECT $p AS s;").sql
+    assert "SUBSTRING('abcdef',1, 3)" in t
+    assert spark.sql(t).first().s == "abc"
+    # chained value-in-value inlining must not compound either
+    t2 = translate_yql(
+        "$a = SUBSTRING('abcdef', 0, 3); $b = $a || 'x'; SELECT $b AS s;"
+    ).sql
+    assert spark.sql(t2).first().s == "abcx"
+
+
+def test_lambda_arg_with_backslashes():
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    # argument text containing backslashes (regex literals) must survive
+    # expansion verbatim — template-based re.sub raises 'bad escape'
+    t = translate_yql(
+        r"$f = ($x) -> ($x || 'z'); SELECT $f('a\d+\g<1>') AS s;"
+    ).sql
+    assert r"'a\d+\g<1>'" in t

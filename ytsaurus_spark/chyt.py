@@ -46,11 +46,15 @@ __all__ = ["translate_chyt", "chyt_query"]
 # oracle-checkable tier); "spark" rows use Spark-only builtins.
 _CH_FUNCS: dict[str, str] = {
     # conditional aggregates (ClickHouse's *If combinators)
+    # ClickHouse *If combinators return the TYPE DEFAULT (0) when no row
+    # matches, not NULL — coalesce matches that. avgIf returns nan on an
+    # empty match set; we keep NULL there (documented divergence: NULL is
+    # the SQL-portable spelling and DuckDB agrees).
     "countif": "CAST(sum(CASE WHEN {0} THEN 1 ELSE 0 END) AS BIGINT)",
-    "sumif": "sum(CASE WHEN {1} THEN {0} END)",
+    "sumif": "coalesce(sum(CASE WHEN {1} THEN {0} END), 0)",
     "avgif": "avg(CASE WHEN {1} THEN {0} END)",
-    "minif": "min(CASE WHEN {1} THEN {0} END)",
-    "maxif": "max(CASE WHEN {1} THEN {0} END)",
+    "minif": "coalesce(min(CASE WHEN {1} THEN {0} END), 0)",
+    "maxif": "coalesce(max(CASE WHEN {1} THEN {0} END), 0)",
     "uniqexact": "count(DISTINCT {0})",
     # date parts
     "toyear": "CAST(year({0}) AS INT)",
@@ -66,8 +70,10 @@ _CH_FUNCS: dict[str, str] = {
     # the shared Spark/DuckDB spelling)
     "argmax": "max_by({0}, {1})",
     "argmin": "min_by({0}, {1})",
-    # explicit integer casts
-    "touint64": "CAST({0} AS BIGINT)",
+    # explicit integer casts — uint64 keeps the repo's DECIMAL(20,0)
+    # discipline (yt_types.py): values in [2^63, 2^64) are legal CH
+    # uint64 and overflow BIGINT
+    "touint64": "CAST({0} AS DECIMAL(20,0))",
     "toint64": "CAST({0} AS BIGINT)",
     "touint32": "CAST({0} AS INT)",
     "toint32": "CAST({0} AS INT)",
@@ -99,8 +105,36 @@ _CONCAT_FN = re.compile(
     r"(?i)\bconcatYtTables(Range|Regexp)?\s*\(", re.IGNORECASE
 )
 _FORMAT_TAIL = re.compile(r"(?is)\s+format\s+\w+\s*;?\s*$")
-_PREWHERE = re.compile(r"(?is)\bprewhere\b(.*?)(\bwhere\b|\bgroup\s+by\b|"
-                       r"\border\s+by\b|\blimit\b|\bhaving\b|$)")
+_CLAUSE_KW = (
+    "where", "group by", "order by", "limit", "having",
+    "union", "settings", "window", "qualify",
+)
+
+
+def _clause_end(s: str, keywords=_CLAUSE_KW) -> int:
+    """Index in ``s`` where the current top-level clause body ends: the
+    next clause keyword at paren-depth 0 outside string literals, else
+    len(s). Depth-aware so subqueries inside the predicate don't cut."""
+    kw = re.compile(
+        "(?is)\\b(" + "|".join(k.replace(" ", "\\s+") for k in keywords) + ")\\b"
+    )
+    depth, i = 0, 0
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":
+            j = i + 1
+            while j < len(s) and s[j] != "'":
+                j += 1
+            i = j
+        elif depth == 0 and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+            if kw.match(s, i):
+                return i
+        i += 1
+    return len(s)
 
 
 def _rewrite_ch_funcs(text: str) -> str:
@@ -142,24 +176,28 @@ def _rewrite_multiif(text: str) -> str:
 
 
 def _fold_prewhere(text: str) -> str:
-    """PREWHERE p [WHERE q] -> WHERE (p) [AND (q)] — ClickHouse evaluates
+    """PREWHERE p [WHERE q] -> WHERE (p) AND (q) — ClickHouse evaluates
     PREWHERE before reading remaining columns; Catalyst pushes every
-    conjunct to the scan, so the fold is semantics-preserving."""
-    m = _PREWHERE.search(text)
+    conjunct to the scan, so the fold is semantics-preserving. BOTH
+    predicates are parenthesized: 'PREWHERE p WHERE a OR b' must become
+    'WHERE (p) AND (a OR b)', not '(p AND a) OR b'."""
+    m = re.search(r"(?i)\bprewhere\b", text)
     if not m:
         return text
-    pred, nxt = m.group(1).strip(), m.group(2)
-    if nxt.lower() == "where":
-        # merge into the following WHERE
-        rest = text[m.end():]
+    rest = text[m.end():]
+    cut = _clause_end(rest)
+    pred, tail = rest[:cut].strip(), rest[cut:]
+    mw = re.match(r"(?is)^where\b", tail)
+    if mw:
+        body = tail[mw.end():]
+        cut2 = _clause_end(body, keywords=_CLAUSE_KW[1:])
+        q = body[:cut2].strip()
         return (
-            text[: m.start()] + f"WHERE ({pred}) AND " + _fold_prewhere(rest)
+            text[: m.start()]
+            + f"WHERE ({pred}) AND ({q}) "
+            + _fold_prewhere(body[cut2:])
         )
-    return (
-        text[: m.start()]
-        + f"WHERE ({pred}) "
-        + text[m.end() - len(nxt):]
-    )
+    return text[: m.start()] + f"WHERE ({pred}) " + _fold_prewhere(tail)
 
 
 _SAMPLE = re.compile(r"(?is)\bsample\s+(0?\.\d+|1\.0|[0-9]+)\b")
@@ -333,12 +371,26 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None):
         elif client.exists(path):
             target = client.read_table(path)
             df = df.toDF(*target.columns)
-        if not append:
+        if not append and client.exists(path):
             # INSERT <append=%false> may SELECT from the table it
-            # overwrites — cut the lineage so the plan doesn't re-read
-            # files the overwrite is about to delete
-            df = df.localCheckpoint(eager=True)
-        client.write_table(path, df, append=append)
+            # overwrites. Stage to a sibling path and atomically swap —
+            # O(disk), unlike localCheckpoint which pins the whole
+            # inserted dataset in executor storage memory (OOM at scale).
+            from ytsaurus_spark.sources.formats import (
+                table_attributes, _write_attrs,
+            )
+
+            staging = f"{path}.__chyt_staging"
+            if client.exists(staging):
+                client.remove(staging, recursive=True, force=True)
+            prior = dict(table_attributes(client._fs(path)))
+            client.write_table(staging, df, append=False)
+            if prior:
+                _write_attrs(client._fs(staging), prior)
+            client.remove(path, recursive=True)
+            client.move(staging, path)
+        else:
+            client.write_table(path, df, append=append)
         return None
 
     return chyt_query(spark, stmt, client=client, sf_dir=sf_dir)

@@ -219,7 +219,10 @@ def merge_into(
         for i, cl in enumerate(clauses):
             cond = F.lit(True) if cl.condition is None else _as_col(cl.condition)
             out.append((base & prior & cond, f"{tag}{i}"))
-            prior = prior & ~cond
+            # SQL:2003 14.9 GR6: a clause whose condition is not True is
+            # SKIPPED and the next clause considered — a NULL condition
+            # must not poison the rest of the chain (~NULL is NULL).
+            prior = prior & ~F.coalesce(cond, F.lit(False))
         return out
 
     arms: list[tuple[Column, str]] = []
@@ -313,7 +316,8 @@ def merge_classify(
         for cl in clauses:
             cond = F.lit(True) if cl.condition is None else _as_col(cl.condition)
             arms.append((base & prior & cond, label(cl)))
-            prior = prior & ~cond
+            # NULL condition = skipped clause, not a poisoned chain (GR6)
+            prior = prior & ~F.coalesce(cond, F.lit(False))
         arms.append((base & prior, fallback))
 
     action = F.lit(None).cast("string")

@@ -177,8 +177,11 @@ def _expand_lambdas(
         )
     expanded = body
     for p, a in zip(params, args):
+        # callable replacement: argument text may contain backslashes
+        # (regex literals) or \g sequences that re.sub templates mangle
+        rep = f"({a.strip()})"
         expanded = re.sub(
-            rf"\${re.escape(p)}\b", f"({a.strip()})", expanded
+            rf"\${re.escape(p)}\b", lambda _m, r=rep: r, expanded
         )
     expanded = _expand_lambdas(expanded, lambdas, depth + 1)
     if not _fully_parenthesized(expanded):
@@ -920,16 +923,19 @@ def translate_yql_script(
             lambdas[name] = (params, (lm.group(2) or lm.group(3)).strip())
             visible_ctes.append(len(resolved))
             continue
-        translated = _rewrite_yqlisms(
-            _subst_backticks(
-                _subst_refs(_expand_lambdas(body, lambdas), defined, values)
-            )
+        pre = _subst_backticks(
+            _subst_refs(_expand_lambdas(body, lambdas), defined, values)
         )
         if kind == "subquery":
-            resolved.append((name, translated))
+            # CTE bodies are emitted verbatim into the final WITH chain,
+            # so they get their single _rewrite_yqlisms pass HERE
+            resolved.append((name, _rewrite_yqlisms(pre)))
             defined.add(name)
         else:
-            values[name] = translated
+            # value bindings are INLINED into later statements that are
+            # themselves rewritten — store untranslated so non-idempotent
+            # rewrites (SUBSTRING 0->1-based shift) apply exactly once
+            values[name] = pre
         visible_ctes.append(len(resolved))
 
     out = []
