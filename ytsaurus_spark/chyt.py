@@ -79,6 +79,30 @@ _CH_FUNCS: dict[str, str] = {
     "toint32": "CAST({0} AS INT)",
     "tofloat64": "CAST({0} AS DOUBLE)",
     "tostring": "CAST({0} AS STRING)",
+    # first-value aggregates: ClickHouse any()/anyLast() pick an arbitrary
+    # value — Spark/DuckDB spell it any_value (Spark's own any() is bool_or)
+    "any": "any_value({0})",
+    "anylast": "any_value({0})",
+    # null predicates (CH function spellings for IS [NOT] NULL)
+    "isnull": "({0} IS NULL)",
+    "isnotnull": "({0} IS NOT NULL)",
+    "assumenotnull": "{0}",
+    "ifnull": "coalesce({0}, {1})",
+    "nullif": "nullif({0}, {1})",
+    # arithmetic spellings
+    "modulo": "({0} % {1})",
+    "intdiv": "CAST(floor({0} / {1}) AS BIGINT)",
+    "plus": "({0} + {1})",
+    "minus": "({0} - {1})",
+    "multiply": "({0} * {1})",
+    "divide": "({0} / {1})",
+    "negate": "(-{0})",
+    # more explicit casts
+    "touint8": "CAST({0} AS SMALLINT)",
+    "touint16": "CAST({0} AS INT)",
+    "toint8": "CAST({0} AS TINYINT)",
+    "toint16": "CAST({0} AS SMALLINT)",
+    "tofloat32": "CAST({0} AS FLOAT)",
     # spark-only tier
     "cityhash64": "xxhash64({0})",  # stable 64-bit hash; NOT bit-compatible
     "farmhash64": "xxhash64({0})",
@@ -97,10 +121,26 @@ _CH_FUNCS: dict[str, str] = {
     "arraysum": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
     "arraysort": "array_sort({0})",
     "arraydistinct": "array_distinct({0})",
+    "arrayelement": "element_at({0}, {1})",  # both 1-based, negative=from end
+    "arrayconcat": "concat({0}, {1})",
+    "arrayslice": "slice({0}, {1}, {2})",
+    "arrayreverse": "reverse({0})",
+    "indexof": "coalesce(array_position({0}, {1}), 0)",
+    "mapkeys": "map_keys({0})",
+    "mapvalues": "map_values({0})",
+    # CH takes the separator FIRST; \Q..\E so the char is literal, not regex
+    "splitbychar": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
+    "startswith": "startswith({0}, {1})",
+    "endswith": "endswith({0}, {1})",
 }
 
 _CH_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
-_PATH_REF = re.compile(r'"(//[^"\[\]]+)"')
+# cypress table refs: "//path" anywhere; `//path` (CH backtick idents);
+# '//path' only directly after FROM/JOIN (elsewhere a string literal).
+# Rich-YPath suffixes ([#1:#5], {cols}) ride along inside the quotes.
+_PATH_REF = re.compile(r'"(//[^"]+)"')
+_PATH_REF_BT = re.compile(r"`(//[^`]+)`")
+_PATH_REF_SQ = re.compile(r"(?i)\b(from|join)\s+'(//[^']+)'")
 _CONCAT_FN = re.compile(
     r"(?i)\bconcatYtTables(Range|Regexp)?\s*\(", re.IGNORECASE
 )
@@ -219,69 +259,704 @@ def _rewrite_sample(text: str) -> str:
     return _SAMPLE.sub(sub, text)
 
 
+# --- YSON / YPath function family (functions/chyt_yson.py UDFs) -------------
+# CHYT spelling -> (registered udf, arg style). Reference spec:
+# test_yson_functions.py (YPath*), test_common.py::test_yson_extract.
+
+_YSON_KEYED = {
+    # name -> registered udf taking (payload, keys-json)
+    "ysonhas": "chyt_yson_has",
+    "ysonlength": "chyt_yson_length",
+    "ysonkey": "chyt_yson_key",
+    "ysontype": "chyt_yson_type",
+    "ysonextractint": "chyt_yson_extract_int",
+    "ysonextractuint": "chyt_yson_extract_uint",
+    "ysonextractfloat": "chyt_yson_extract_float",
+    "ysonextractbool": "chyt_yson_extract_bool",
+    "ysonextractstring": "chyt_yson_extract_string",
+    "ysonextractraw": "chyt_yson_extract_raw",
+    "ysonextractarrayraw": "chyt_yson_extract_array_raw",
+    "ysonextractkeysandvaluesraw": "chyt_yson_extract_kv_raw",
+}
+_YPATH_SCALAR = {
+    "ypathint64": "chyt_ypath_int64",
+    "ypathuint64": "chyt_ypath_uint64",
+    "ypathdouble": "chyt_ypath_double",
+    "ypathboolean": "chyt_ypath_boolean",
+    "ypathstring": "chyt_ypath_string",
+    "ypatharrayint64": "chyt_ypath_array_int64",
+    "ypatharrayuint64": "chyt_ypath_array_uint64",
+    "ypatharraydouble": "chyt_ypath_array_double",
+    "ypatharrayboolean": "chyt_ypath_array_boolean",
+}
+
+# ClickHouse type name -> Spark DDL (for YSONExtract/YPathExtract targets)
+_CH_TO_SPARK_DDL = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "uint8": "smallint", "uint16": "int", "uint32": "bigint",
+    "uint64": "decimal(20,0)", "float32": "float", "float64": "double",
+    "double": "double", "string": "string", "bool": "boolean",
+    "boolean": "boolean", "date": "date", "datetime": "timestamp",
+}
+
+
+def _ch_type_to_ddl(t: str) -> str:
+    t = t.strip().strip("'\"")
+    m = re.match(r"(?is)^array\s*\((.*)\)$", t)
+    if m:
+        return f"array<{_ch_type_to_ddl(m.group(1))}>"
+    m = re.match(r"(?is)^nullable\s*\((.*)\)$", t)
+    if m:
+        return _ch_type_to_ddl(m.group(1))
+    key = t.lower()
+    if key in _CH_TO_SPARK_DDL:
+        return _CH_TO_SPARK_DDL[key]
+    raise ValueError(f"unsupported ClickHouse type {t!r}")
+
+
+def _keys_json_literal(args: list[str]) -> str:
+    """Encode trailing indices_or_keys arguments (must be literals: a
+    quoted string key or an integer index) as a JSON SQL string literal."""
+    import json as _json
+
+    keys: list = []
+    for a in args:
+        a = a.strip()
+        if re.fullmatch(r"-?\d+", a):
+            keys.append(int(a))
+        elif len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+            keys.append(a[1:-1].replace("\\'", "'"))
+        else:
+            raise ValueError(
+                f"YSON accessor index/key must be a literal, got {a!r}"
+            )
+    return "'" + _json.dumps(keys).replace("'", "''") + "'"
+
+
+def _rewrite_yson_funcs(text: str) -> str:
+    """Translate the YPath*/YSON*/ConvertYson family onto the registered
+    chyt_* UDFs (functions/chyt_yson.py)."""
+    m = _CH_CALL.search(text)
+    while m:
+        name = m.group(1).lower()
+        base = name[:-6] if name.endswith("strict") else name
+        if (base in _YSON_KEYED or base in _YPATH_SCALAR
+                or base in ("ysonextract", "ysonextractkeysandvalues",
+                            "ypathraw", "ypathextract", "convertyson")):
+            break
+        m = _CH_CALL.search(text, m.end())
+    if not m:
+        return text
+    name = m.group(1).lower()
+    strict = name.endswith("strict")
+    base = name[:-6] if strict else name
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    args = [_rewrite_yson_funcs(a.strip()) for a in args]
+
+    def _typed(json_expr: str, ddl: str) -> str:
+        # from_json only accepts struct/array/map schemas; scalar targets
+        # cast the JSON scalar text (strings keep their own getter)
+        if ddl.startswith(("array<", "map<", "struct<")):
+            return f"from_json({json_expr}, '{ddl}')"
+        if ddl == "string":
+            raise ValueError(
+                "use the String getter for string-typed extraction"
+            )
+        return f"CAST({json_expr} AS {ddl})"
+
+    if base in _YSON_KEYED:
+        if strict:
+            raise ValueError(f"{m.group(1)}: YSON* accessors have no Strict "
+                             "variants (use YPath*Strict)")
+        rep = f"{_YSON_KEYED[base]}({args[0]}, {_keys_json_literal(args[1:])})"
+    elif base == "ysonextract":
+        ddl = _ch_type_to_ddl(args[-1])
+        rep = _typed(
+            f"chyt_yson_json({args[0]}, {_keys_json_literal(args[1:-1])})",
+            ddl,
+        )
+    elif base == "ysonextractkeysandvalues":
+        ddl = _ch_type_to_ddl(args[-1])
+        udf = ("chyt_yson_extract_kv_string" if ddl == "string"
+               else "chyt_yson_extract_kv_int")
+        rep = f"{udf}({args[0]}, {_keys_json_literal(args[1:-1])})"
+    elif base in _YPATH_SCALAR:
+        sfx = "_strict" if strict else ""
+        rep = f"{_YPATH_SCALAR[base]}{sfx}({args[0]}, {args[1]})"
+    elif base == "ypathraw":
+        fmt = args[2] if len(args) >= 3 else "'binary'"
+        sfx = "_strict" if strict else ""
+        rep = f"chyt_ypath_raw{sfx}({args[0]}, {args[1]}, {fmt})"
+    elif base == "ypathextract":
+        ddl = _ch_type_to_ddl(args[2])
+        sfx = "_strict" if strict else ""
+        rep = _typed(f"chyt_ypath_json{sfx}({args[0]}, {args[1]})", ddl)
+    else:  # convertyson
+        rep = f"chyt_convert_yson({args[0]}, {args[1]})"
+    return text[: m.start()] + rep + _rewrite_yson_funcs(text[end:])
+
+
+# --- GLOBAL JOIN / GLOBAL IN -------------------------------------------------
+# CHYT's GLOBAL modifier (test_join_and_in.py; storage_distributor.cpp)
+# evaluates the right side ONCE on the initiator and ships it to every
+# worker — exactly Spark's broadcast join. Translation: strip GLOBAL and
+# pin a BROADCAST hint on the right-side relation.
+
+_GLOBAL_JOIN = re.compile(
+    r"(?is)\bglobal\s+((?:any\s+|all\s+)?"
+    r"(?:inner\s+|left\s+|right\s+|full\s+|cross\s+)?(?:outer\s+)?join)\s+"
+)
+_GLOBAL_IN = re.compile(r"(?is)\bglobal\s+(not\s+in|in)\b")
+
+
+def _strip_global(text: str) -> str:
+    hints: list[str] = []
+    while True:
+        m = _GLOBAL_JOIN.search(text)
+        if not m:
+            break
+        text = text[: m.start()] + m.group(1) + " " + text[m.end():]
+        # identify the right-side relation name/alias for the hint
+        after = text[m.start() + len(m.group(1)) + 1:]
+        if after.lstrip().startswith("("):
+            # subquery: alias follows the closing paren
+            i = after.index("(")
+            _, close = _split_call_args(after, i)
+            am = re.match(r"\s*(?:as\s+)?([A-Za-z_]\w*)", after[close:],
+                          re.IGNORECASE)
+            if am:
+                hints.append(am.group(1))
+        else:
+            rm = re.match(
+                r"\s*([A-Za-z_]\w*)(?:\s+(?:as\s+)?"
+                r"(?!on\b|using\b|where\b|order\b|group\b|left\b|right\b|"
+                r"inner\b|full\b|cross\b|join\b)([A-Za-z_]\w*))?",
+                after, re.IGNORECASE,
+            )
+            if rm:
+                hints.append(rm.group(2) or rm.group(1))
+    text = _GLOBAL_IN.sub(lambda m: m.group(1), text)
+    if hints:
+        text = re.sub(
+            r"(?is)^(\s*select\b)",
+            lambda m: m.group(1) + " /*+ BROADCAST(" + ", ".join(hints) + ") */",
+            text, count=1,
+        )
+    return text
+
+
+# CHYT virtual columns ($table_index/$table_path/$table_name on table
+# reads, $key/$path on the ytList* table functions) -> plain identifiers;
+# chyt_query materializes them on the registered views.
+_VIRTUAL_COLS = {
+    "$table_index": "__table_index",
+    "$table_path": "__table_path",
+    "$table_name": "__table_name",
+    "$key": "__key",
+    "$path": "__path",
+}
+_VIRTUAL_RE = re.compile(r"\$(table_index|table_path|table_name|key|path)\b")
+
+
+def _rewrite_virtual_cols(text: str) -> str:
+    return _VIRTUAL_RE.sub(lambda m: "__" + m.group(1), text)
+
+
 def translate_chyt(text: str, resolve=None) -> str:
     """CHYT SQL text → Spark SQL text. ``resolve(path) -> table name``
-    maps double-quoted cypress paths (defaults to the basename, the
+    maps quoted cypress paths — double-quoted, backticked, or (directly
+    after FROM/JOIN) single-quoted (defaults to the basename, the
     registered-view convention shared with the YQL shim)."""
     resolve = resolve or (lambda p: p.rstrip("/").rsplit("/", 1)[-1])
     text = _FORMAT_TAIL.sub("", text.strip().rstrip(";"))
     text = _PATH_REF.sub(lambda m: resolve(m.group(1)), text)
+    text = _PATH_REF_BT.sub(lambda m: resolve(m.group(1)), text)
+    text = _PATH_REF_SQ.sub(
+        lambda m: f"{m.group(1)} {resolve(m.group(2))}", text
+    )
+    text = _strip_global(text)
+    text = _rewrite_virtual_cols(text)
     text = _fold_prewhere(text)
     text = _rewrite_sample(text)
     text = _rewrite_multiif(text)
+    text = _rewrite_yson_funcs(text)
     return _rewrite_ch_funcs(text)
+
+
+# --- table functions (table_functions_concat.cpp, storages_yt_nodes.cpp,
+# table_function_yt_tables.cpp, table_function_yt_list_log_tables.cpp) -------
+
+_TABLE_FN = re.compile(
+    r"(?i)\b(concatYtTables(?:Range|Regexp|Like)?|ytTables|ytListNodes|"
+    r"ytListTables|ytNodeAttributes|ytListLogTables|numbers)\s*\("
+)
+
+# the reference's fixed log-dir period layout (storages_yt_nodes.cpp:646)
+_LOG_DIR_SUFFIXES = (
+    ("1d", 86400), ("1h", 3600), ("30min", 1800), ("stream/5min", 300),
+)
+
+
+def _glob_to_regex(pattern: str) -> str:
+    """Poco::Glob subset (TConcatenateTablesLike): * ? [set]."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in "[]":
+            out.append(ch)
+        else:
+            out.append(re.escape(ch))
+    return "".join(out) + r"\Z"
+
+
+def _node_type(client, path: str) -> str:
+    import os
+
+    fs = client._fs(path)
+    from ytsaurus_spark.sources.formats import table_attributes
+
+    attrs = table_attributes(fs)
+    if attrs.get("type") == "file":
+        return "file"
+    entries = os.listdir(fs)
+    if any(
+        e.startswith("_yt_") or e.endswith(".parquet") or e == "_SUCCESS"
+        for e in entries
+    ):
+        return "table"
+    return "map_node"
+
+
+def _node_rows(client, paths: list[str]) -> list[tuple]:
+    """(__key, key, __path, path, type, dynamic, row_count) per node —
+    the ytListNodes/ytListTables/ytNodeAttributes column set."""
+    rows = []
+    for p in paths:
+        if not client.exists(p):
+            raise ValueError(f"ytNodeAttributes: no such node {p}")
+        t = _node_type(client, p)
+        base = p.rstrip("/").rsplit("/", 1)[-1]
+        dyn = None
+        n = None
+        if t == "table":
+            attrs = client.get(p + "/@")
+            dyn = bool(attrs.get("dynamic", False))
+            n = attrs.get("row_count")
+        rows.append((base, base, p, p, t, dyn, n))
+    return rows
+
+
+_NODE_SCHEMA = (
+    "__key string, key string, __path string, path string, "
+    "type string, dynamic boolean, row_count bigint"
+)
+
+
+def _parse_log_instant(s: str) -> float:
+    """ISO-8601-ish instants the log-table convention uses: YYYY-MM-DD
+    with optional [T ]HH:MM[:SS]."""
+    import datetime as _dt
+
+    s = s.strip().replace(" ", "T")
+    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M", "%Y-%m-%d"):
+        try:
+            return _dt.datetime.strptime(s, fmt).timestamp()
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable log-table instant {s!r}")
+
+
+def _log_table_paths(client, log_dir: str, frm: str = "", to: str = "") -> list[str]:
+    """ytListLogTables: collect tables from the fixed period dirs, drop
+    the ones whose interval is covered by a coarser table (scan-line over
+    (start ASC, finish DESC) — storages_yt_nodes.cpp:696-731), clip to
+    the [from, to) overlap window."""
+    lo = _parse_log_instant(frm) if frm else None
+    hi = _parse_log_instant(to) if to else None
+    intervals: list[tuple[float, float, str, str]] = []
+    found_any_dir = False
+    for suffix, period in _LOG_DIR_SUFFIXES:
+        d = f"{log_dir.rstrip('/')}/{suffix}"
+        if not client.exists(d):
+            continue
+        found_any_dir = True
+        for name in client.list(d):
+            p = f"{d}/{name}"
+            if _node_type(client, p) != "table":
+                continue
+            try:
+                start = _parse_log_instant(name)
+            except ValueError:
+                continue
+            finish = start + period
+            if lo is not None and lo >= finish:
+                continue
+            if hi is not None and hi <= start:
+                continue
+            intervals.append((start, -finish, name, p))
+    if not found_any_dir:
+        raise ValueError(
+            f"{log_dir} does not exist or is not a log directory "
+            f"(no {'/'.join(s for s, _ in _LOG_DIR_SUFFIXES)} subdirs)"
+        )
+    intervals.sort()
+    out, last_finish = [], float("-inf")
+    for start, neg_finish, _name, p in intervals:
+        finish = -neg_finish
+        if last_finish < finish:
+            if start < last_finish:
+                raise ValueError(
+                    "intersecting time intervals in log directory"
+                )
+            out.append(p)
+            last_finish = finish
+    return out
+
+
+class _TableFunctionResolver:
+    """Evaluates CHYT table-function calls driver-side (they are Cypress
+    METADATA operations — the data read stays a distributed scan) and
+    registers the results as temp views."""
+
+    def __init__(self, s2, client):
+        self.s2 = s2
+        self.client = client
+        self.n = 0
+        self.union_views: dict[str, list[str]] = {}  # view -> base columns
+
+    def _require_client(self, fn: str):
+        if self.client is None:
+            raise ValueError(f"{fn} needs a client to resolve")
+
+    def _fresh(self) -> str:
+        self.n += 1
+        return f"__chyt_tf{self.n}"
+
+    # -- path-list evaluation ------------------------------------------------
+
+    def paths_of(self, arg: str) -> list[str]:
+        """Evaluate one ytTables() argument into a path list: a quoted
+        path, a nested listing function, or a scalar-column subquery."""
+        arg = arg.strip()
+        m = _TABLE_FN.match(arg)
+        if m:
+            name = m.group(1).lower()
+            args, _ = _split_call_args(arg, arg.index("("))
+            args = [a.strip() for a in args]
+            if name == "ytlisttables":
+                return [
+                    p for _, _, _, p, t, _, _ in self.list_nodes(args)
+                    if t == "table"
+                ]
+            if name == "ytlistnodes":
+                rows = self.list_nodes(args)
+                bad = [p for _, _, _, p, t, _, _ in rows if t != "table"]
+                if bad:
+                    raise ValueError(
+                        f"ytTables: non-table nodes in listing: {bad}"
+                    )
+                return [p for _, _, _, p, _, _, _ in rows]
+            if name == "ytlistlogtables":
+                lits = [a.strip().strip("'\"") for a in args]
+                return _log_table_paths(self.client, lits[0], *lits[1:3])
+            raise ValueError(f"ytTables: unsupported nested function {name}")
+        if arg.startswith("("):
+            # scalar subquery producing a path column
+            inner = arg[1:-1] if arg.endswith(")") else arg[1:]
+            df = chyt_query(self.s2, inner, client=self.client)
+            if len(df.columns) != 1:
+                raise ValueError("ytTables subquery must yield one column")
+            return [r[0] for r in df.collect()]
+        if arg and arg[0] in "'\"":
+            return [arg.strip("'\"")]
+        raise ValueError(f"ytTables: cannot evaluate argument {arg!r}")
+
+    def list_nodes(self, args: list[str]) -> list[tuple]:
+        self._require_client("ytListNodes")
+        d = args[0].strip().strip("'\"")
+        if not self.client.exists(d):
+            raise ValueError(f"ytListNodes: no such directory {d}")
+        paths = [f"{d.rstrip('/')}/{name}" for name in self.client.list(d)]
+        return _node_rows(self.client, paths)
+
+    # -- call dispatch ---------------------------------------------------
+
+    def expand(self, text: str) -> str:
+        """Replace every table-function call in ``text`` with a fresh
+        registered temp-view name."""
+        while True:
+            m = _TABLE_FN.search(text)
+            if not m:
+                return text
+            name = m.group(1).lower()
+            open_idx = text.index("(", m.end() - 1)
+            args, end = _split_call_args(text, open_idx)
+            args = [a.strip() for a in args]
+            view = self._dispatch(name, args, text)
+            text = text[: m.start()] + view + text[end:]
+
+    def _dispatch(self, name: str, args: list[str], text: str) -> str:
+        from pyspark.sql import functions as F
+
+        view = self._fresh()
+        if name == "numbers":
+            self.s2.range(int(args[0])).toDF("number") \
+                .createOrReplaceTempView(view)
+            return view
+        if name in ("ytlistnodes", "ytlisttables", "ytnodeattributes"):
+            self._require_client(name)
+            if name == "ytnodeattributes":
+                if not args or not args[0]:
+                    raise ValueError("ytNodeAttributes needs path arguments")
+                rows = _node_rows(
+                    self.client, [a.strip().strip("'\"") for a in args]
+                )
+            else:
+                rows = self.list_nodes(args)
+                if name == "ytlisttables":
+                    rows = [r for r in rows if r[4] == "table"]
+                rows.sort(key=lambda r: r[0])
+            self.s2.createDataFrame(rows, _NODE_SCHEMA) \
+                .createOrReplaceTempView(view)
+            return view
+        if name in ("yttables", "ytlistlogtables"):
+            self._require_client(name)
+            if name == "ytlistlogtables":
+                lits = [a.strip().strip("'\"") for a in args]
+                paths = _log_table_paths(self.client, lits[0], *lits[1:3])
+                if not paths:
+                    self.s2.createDataFrame([], _NODE_SCHEMA) \
+                        .createOrReplaceTempView(view)
+                    return view
+                rows = _node_rows(self.client, paths)
+                self.s2.createDataFrame(rows, _NODE_SCHEMA) \
+                    .createOrReplaceTempView(view)
+                return view
+            paths = [p for a in args for p in self.paths_of(a)]
+            if not paths:
+                raise ValueError("ytTables needs at least one table")
+            return self._register_union(view, paths, text)
+        # concatYtTables family
+        self._require_client(name)
+        lits = [a.strip().strip("'\"") for a in args]
+        if name == "concatyttables":
+            members = lits
+        else:
+            d = lits[0]
+            names = sorted(self.client.list(d))
+            if name == "concatyttablesrange" and len(lits) >= 2:
+                lo, hi = lits[1], lits[2] if len(lits) >= 3 else None
+                names = [t for t in names
+                         if t >= lo and (hi is None or t <= hi)]
+            elif name == "concatyttablesregexp":
+                # unanchored search (OptimizedRegularExpression::match on
+                # the basename is a partial match)
+                pat = re.compile(lits[1])
+                names = [t for t in names if pat.search(t)]
+            elif name == "concatyttableslike":
+                pat = re.compile(_glob_to_regex(lits[1]))
+                names = [t for t in names if pat.match(t)]
+            names = [
+                t for t in names
+                if _node_type(self.client, f"{d.rstrip('/')}/{t}") == "table"
+            ]
+            members = [f"{d.rstrip('/')}/{t}" for t in names]
+        if not members:
+            raise ValueError(f"{name}: no matching tables")
+        return self._register_union(view, members, text)
+
+    def _register_union(self, view: str, paths: list[str], text: str) -> str:
+        """UNION ALL of member tables; when the query references the
+        $table_* virtual columns, attach per-member literals (Catalyst
+        constant-folds a $table_index filter into member pruning)."""
+        from pyspark.sql import functions as F
+
+        virtuals = bool(re.search(r"\$table_(index|path|name)\b", text))
+        union = None
+        base_cols = None
+        for i, p in enumerate(paths):
+            df = self.client.read_table(p)
+            if base_cols is None:
+                base_cols = df.columns
+            if virtuals:
+                base = p.rstrip("/").rsplit("/", 1)[-1]
+                df = (
+                    df.withColumn("__table_index", F.lit(i).cast("long"))
+                    .withColumn("__table_path", F.lit(p))
+                    .withColumn("__table_name", F.lit(base))
+                )
+            union = df if union is None else union.unionByName(df)
+        union.createOrReplaceTempView(view)
+        if virtuals:
+            self.union_views[view] = base_cols
+        return view
+
+
+# --- toTypeName / DESCRIBE (test_clickhouse_schema.py, test_composite.py) ---
+
+
+def _spark_to_ch(dt, nullable: bool = False) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"Array({_spark_to_ch(dt.elementType)})"
+    if isinstance(dt, T.MapType):
+        return f"Map({_spark_to_ch(dt.keyType)}, {_spark_to_ch(dt.valueType)})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {_spark_to_ch(f.dataType)}" for f in dt.fields
+        )
+        return f"Tuple({inner})"
+    if isinstance(dt, T.DecimalType) and dt.precision == 20 and dt.scale == 0:
+        base = "UInt64"
+    else:
+        base = {
+            "bigint": "Int64", "int": "Int32", "smallint": "Int16",
+            "tinyint": "Int8", "double": "Float64", "float": "Float32",
+            "string": "String", "boolean": "Bool", "date": "Date",
+            "timestamp": "DateTime", "binary": "String",
+        }.get(dt.simpleString(), dt.simpleString())
+    return f"Nullable({base})" if nullable else base
+
+
+_TOTYPENAME = re.compile(r"(?i)\btoTypeName\s*\(")
+
+
+def _resolve_totypename(s2, sql: str) -> str:
+    """``toTypeName(expr)`` in the select list → the ClickHouse type name
+    as a literal, via a lazy schema probe (plan analysis only, no
+    execution)."""
+    calls = []  # (call_start, call_end, arg, span_end_incl_alias)
+    pos = 0
+    while True:
+        m = _TOTYPENAME.search(sql, pos)
+        if not m:
+            break
+        args, end = _split_call_args(sql, sql.index("(", m.end() - 1))
+        if len(args) != 1:
+            raise ValueError("toTypeName takes exactly one argument")
+        am = re.match(r"(?i)\s+as\s+[A-Za-z_]\w*", sql[end:])
+        span_end = end + (am.end() if am else 0)
+        calls.append((m.start(), end, args[0].strip(), span_end))
+        pos = end
+    if not calls:
+        return sql
+    probe = sql
+    for i, (cs, _ce, arg, se) in reversed(list(enumerate(calls))):
+        probe = probe[:cs] + f"({arg}) AS __ttn_{i}" + probe[se:]
+    fields = {f.name: f for f in s2.sql(probe).schema.fields}
+    out = sql
+    for i, (cs, ce, _arg, _se) in reversed(list(enumerate(calls))):
+        f = fields[f"__ttn_{i}"]
+        name = _spark_to_ch(f.dataType, f.nullable)
+        out = out[:cs] + "'" + name.replace("'", "''") + "'" + out[ce:]
+    return out
+
+
+def _star_expand(text: str, base_cols: list[str]) -> str:
+    """Expand a leading ``select *`` to the BASE columns — CHYT virtual
+    columns are excluded from ``*`` (ClickHouse virtual-column rule)."""
+    return re.sub(
+        r"(?is)^(\s*select\s+)\*",
+        lambda m: m.group(1) + ", ".join(base_cols),
+        text, count=1,
+    )
+
+
+def _all_path_refs(text: str) -> list[str]:
+    return (
+        _PATH_REF.findall(text)
+        + _PATH_REF_BT.findall(text)
+        + [m[1] for m in _PATH_REF_SQ.findall(text)]
+    )
+
+
+def _view_name(path: str) -> str:
+    """Basename sanitized into a Spark identifier (rich-YPath suffixes
+    like [#1:#5] become part of the name)."""
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    return re.sub(r"\W", "_", base)
 
 
 def chyt_query(spark, text: str, client=None, sf_dir: str | None = None):
     """Execute CHYT-style SQL and return the DataFrame. ``client`` (a
-    YtClient) resolves cypress paths and the concatYtTables* table
-    functions against its tree; ``sf_dir`` registers the fixture views
-    in an isolated session (basename resolution, like yql_select)."""
-    s2 = spark.newSession()
+    YtClient) resolves cypress paths and the table functions
+    (concatYtTables*/ytTables/ytList*/ytNodeAttributes/ytListLogTables/
+    numbers) against its tree; ``sf_dir`` registers the fixture views in
+    an isolated session (basename resolution, like yql_select). The
+    ``$table_index/$table_path/$table_name`` virtual columns and
+    ``toTypeName``/``DESCRIBE`` introspection are supported. ``DESCRIBE``
+    and the node-listing functions are driver-side metadata ops; data
+    reads stay distributed parquet scans."""
+    s2 = spark.newSession() if not getattr(spark, "_chyt_session", False) else spark
+    s2._chyt_session = True
+    from ytsaurus_spark.functions.chyt_yson import register_yson_functions
+
+    register_yson_functions(s2)
     if sf_dir is not None:
         from ytsaurus_spark.catalog import load_tables
 
         load_tables(s2, sf_dir)
 
-    text = text.strip()
-    m = _CONCAT_FN.search(text)
-    if m:
-        if client is None:
-            raise ValueError("concatYtTables* needs a client to resolve")
-        kind = (m.group(1) or "").lower()
-        open_idx = text.index("(", m.end() - 1)
-        args, end = _split_call_args(text, open_idx)
-        args = [a.strip().strip("'\"") for a in args]
-        from ytsaurus_spark.client import YtClient  # noqa: F401 (type)
+    text = text.strip().rstrip(";")
+    exec_client = (
+        type(client)(root=client.root, spark=s2) if client is not None else None
+    )
 
-        exec_client = type(client)(root=client.root, spark=s2)
-        members = sorted(exec_client.list(args[0]))
-        if kind == "range" and len(args) >= 2:
-            lo = args[1]
-            hi = args[2] if len(args) >= 3 else None
-            members = [
-                t for t in members
-                if t >= lo and (hi is None or t <= hi)
-            ]
-        elif kind == "regexp" and len(args) >= 2:
-            pat = re.compile(args[1].replace("*", ".*") + r"$")
-            members = [t for t in members if pat.match(t)]
-        if not members:
-            raise ValueError(f"concatYtTables*: no tables under {args[0]}")
-        union = None
-        for t in members:
-            df = exec_client.read_table(f"{args[0].rstrip('/')}/{t}")
-            union = df if union is None else union.unionByName(df)
-        union.createOrReplaceTempView("__chyt_concat")
-        text = text[: m.start()] + "__chyt_concat" + text[end:]
-    elif client is not None:
-        exec_client = type(client)(root=client.root, spark=s2)
-        for p in _PATH_REF.findall(text):
-            if exec_client.exists(p):
-                exec_client.read_table(p).createOrReplaceTempView(
-                    p.rstrip("/").rsplit("/", 1)[-1]
+    dm = re.match(r"(?is)^describe\s+(?:table\s+)?(.+)$", text)
+    if dm:
+        target = dm.group(1).strip()
+        tm = _TABLE_FN.match(target)
+        if tm:
+            resolver = _TableFunctionResolver(s2, exec_client)
+            view = resolver.expand(target)
+            df = s2.table(view)
+        else:
+            paths = _all_path_refs(target)
+            if paths and exec_client is not None:
+                df = exec_client.read_table(paths[0])
+            else:
+                df = s2.table(translate_chyt(target))
+        rows = [
+            (f.name, _spark_to_ch(f.dataType, f.nullable))
+            for f in df.schema.fields
+        ]
+        return s2.createDataFrame(rows, "name string, type string")
+
+    resolver = _TableFunctionResolver(s2, exec_client)
+    text = resolver.expand(text)
+    for view, base_cols in resolver.union_views.items():
+        text = _star_expand(text, base_cols)
+
+    wants_virtuals = bool(re.search(r"\$table_(index|path|name)\b", text))
+    if exec_client is not None:
+        from pyspark.sql import functions as F
+
+        seen = set()
+        for p in _all_path_refs(text):
+            if p in seen:
+                continue
+            seen.add(p)
+            plain = p.split("[")[0].split("{")[0]
+            if not exec_client.exists(plain):
+                continue
+            df = exec_client.read_table(p)
+            if wants_virtuals:
+                base = plain.rstrip("/").rsplit("/", 1)[-1]
+                text = _star_expand(text, df.columns)
+                df = (
+                    df.withColumn("__table_index", F.lit(0).cast("long"))
+                    .withColumn("__table_path", F.lit(plain))
+                    .withColumn("__table_name", F.lit(base))
                 )
-    return s2.sql(translate_chyt(text))
+            df.createOrReplaceTempView(_view_name(p))
+    sql = translate_chyt(text, resolve=_view_name)
+    sql = _resolve_totypename(s2, sql)
+    return s2.sql(sql)
 
 
 # --- write statements (CHYT mutations / DDL) ---------------------------------
@@ -297,6 +972,10 @@ _INSERT_RE = re.compile(
 _CREATE_RE = re.compile(
     r'(?is)^\s*create\s+table\s+"(//[^"]+)"\s*\(([^)]*)\)'
     r"\s*engine\s*[= ]?\s*YtTable\s*\(\s*\)\s*$"
+)
+_CREATE_AS_RE = re.compile(
+    r'(?is)^\s*create\s+table\s+["`](//[^"`]+)["`]\s*'
+    r"engine\s*[= ]?\s*YtTable\s*\(\s*\)\s*as\s+(select\b.*)$"
 )
 _DROP_RE = re.compile(r'(?is)^\s*drop\s+table\s+(if\s+exists\s+)?"(//[^"]+)"\s*$')
 
@@ -319,6 +998,14 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None):
     :func:`chyt_query`. Returns the result DataFrame for reads, None
     for writes."""
     stmt = text.strip().rstrip(";")
+
+    m = _CREATE_AS_RE.match(stmt)
+    if m:
+        # CREATE TABLE "//p" ENGINE YtTable() AS SELECT ...
+        # (test_composite.py:64): schema inferred from the query
+        df = chyt_query(spark, m.group(2), client=client, sf_dir=sf_dir)
+        client.write_table(m.group(1), df, append=False)
+        return None
 
     m = _CREATE_RE.match(stmt)
     if m:

@@ -199,3 +199,231 @@ def loads_prefix(data: bytes, pos: int = 0, *, binary_strings: bool = False):
     The streaming entry point used by the Skiff ``yson32`` field decoder.
     """
     return _load(data, pos, binary_strings=binary_strings)
+
+
+# --- text format (yt/yt/core/yson/lexer_detail.h tokenization;
+# yt/go/yson/writer.go text emission) ----------------------------------------
+#
+# Text YSON: maps ``{"k"=v;}``, lists ``[v;v;]``, strings double-quoted with
+# C escapes (bare identifiers allowed on input), int64 ``123``, uint64
+# ``123u``, double ``3.14`` / ``%nan`` / ``%inf``, booleans ``%true`` /
+# ``%false``, entity ``#``, attributes ``<k=v>node`` (parsed and discarded —
+# the value model here is plain Python). The dumper always quotes strings
+# and terminates every item/pair with ``;`` (the reference writer's
+# convention, e.g. ``["foo";"bar";]``).
+
+_BARE_TOKEN_END = set(';=[]{}<>() \t\n\r"')
+_IDENT_OK = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-%."
+)
+
+
+class YsonTextError(ValueError):
+    pass
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i] in " \t\n\r":
+        i += 1
+    return i
+
+
+def _parse_quoted(s: str, i: int) -> tuple[str, int]:
+    # i points at the opening quote
+    out, i = [], i + 1
+    while i < len(s):
+        c = s[i]
+        if c == '"':
+            return "".join(out), i + 1
+        if c == "\\":
+            if i + 1 >= len(s):
+                break
+            nxt = s[i + 1]
+            simple = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\",
+                      "a": "\a", "b": "\b", "f": "\f", "v": "\v", "0": "\0"}
+            if nxt in simple:
+                out.append(simple[nxt])
+                i += 2
+                continue
+            if nxt == "x" and i + 3 < len(s):
+                out.append(chr(int(s[i + 2:i + 4], 16)))
+                i += 4
+                continue
+            out.append(nxt)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    raise YsonTextError("unterminated string literal")
+
+
+def _parse_scalar_token(tok: str):
+    if tok == "%true":
+        return True
+    if tok == "%false":
+        return False
+    if tok in ("%nan", "%inf", "%-inf"):
+        return float(tok[1:].replace("inf", "inf"))
+    if tok.endswith("u") and tok[:-1].isdigit():
+        return int(tok[:-1])
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        # a double must look numeric — bare words fall through to string
+        if any(c.isdigit() for c in tok):
+            return float(tok)
+    except ValueError:
+        pass
+    return tok  # bare-word string
+
+
+def _parse_text(s: str, i: int):
+    i = _skip_ws(s, i)
+    if i >= len(s):
+        raise YsonTextError("unexpected end of YSON text")
+    c = s[i]
+    if c == "<":  # attribute map: parse to matching '>' and discard
+        _, i = _parse_map_body(s, i + 1, closer=">")
+        return _parse_text(s, i)
+    if c == "{":
+        return _parse_map_body(s, i + 1, closer="}")
+    if c == "[":
+        items, i = [], i + 1
+        while True:
+            i = _skip_ws(s, i)
+            if i >= len(s):
+                raise YsonTextError("unterminated list")
+            if s[i] == "]":
+                return items, i + 1
+            v, i = _parse_text(s, i)
+            items.append(v)
+            i = _skip_ws(s, i)
+            if i < len(s) and s[i] == ";":
+                i += 1
+    if c == '"':
+        return _parse_quoted(s, i)
+    if c == "#":
+        return None, i + 1
+    # bare token (number, %bool, bare-word string)
+    j = i
+    while j < len(s) and s[j] not in _BARE_TOKEN_END:
+        if s[j] not in _IDENT_OK and not s[j].isalnum():
+            raise YsonTextError(f"unexpected character {s[j]!r} at {j}")
+        j += 1
+    if j == i:
+        raise YsonTextError(f"unexpected character {c!r} at {i}")
+    return _parse_scalar_token(s[i:j]), j
+
+
+def _parse_map_body(s: str, i: int, closer: str):
+    out = {}
+    while True:
+        i = _skip_ws(s, i)
+        if i >= len(s):
+            raise YsonTextError("unterminated map")
+        if s[i] == closer:
+            return out, i + 1
+        if s[i] == '"':
+            key, i = _parse_quoted(s, i)
+        else:
+            j = i
+            while j < len(s) and s[j] not in _BARE_TOKEN_END:
+                j += 1
+            if j == i:
+                raise YsonTextError(f"bad map key at {i}")
+            key, i = s[i:j], j
+        i = _skip_ws(s, i)
+        if i >= len(s) or s[i] != "=":
+            raise YsonTextError(f"expected '=' after map key {key!r}")
+        v, i = _parse_text(s, i + 1)
+        out[key] = v
+        i = _skip_ws(s, i)
+        if i < len(s) and s[i] == ";":
+            i += 1
+
+
+def loads_text(s: str):
+    """Parse text-format YSON into plain Python values; raises
+    :class:`YsonTextError` on malformed input (incl. trailing junk)."""
+    v, i = _parse_text(s, 0)
+    if _skip_ws(s, i) != len(s):
+        raise YsonTextError(f"trailing characters at {i}")
+    return v
+
+
+_ESCAPES = {"\n": "\\n", "\t": "\\t", "\r": "\\r", '"': '\\"', "\\": "\\\\"}
+
+
+def _quote(s: str) -> str:
+    out = ['"']
+    for ch in s:
+        if ch in _ESCAPES:
+            out.append(_ESCAPES[ch])
+        elif ord(ch) < 0x20:
+            out.append(f"\\x{ord(ch):02x}")
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def _dump_scalar_text(v) -> str:
+    if v is None:
+        return "#"
+    if isinstance(v, bool):
+        return "%true" if v else "%false"
+    if isinstance(v, int):
+        return f"{v}u" if v > _INT64_MAX else str(v)
+    if isinstance(v, float):
+        if v != v:
+            return "%nan"
+        if v in (float("inf"), float("-inf")):
+            return "%inf" if v > 0 else "%-inf"
+        return repr(v)
+    if isinstance(v, bytes):
+        return _quote(v.decode("utf-8", "surrogateescape"))
+    if isinstance(v, str):
+        return _quote(v)
+    raise TypeError(f"cannot dump {type(v).__name__} as YSON")
+
+
+def _dump_text(v, out: list, indent: int | None, level: int) -> None:
+    nl = "\n" + "    " * (level + 1) if indent is not None else ""
+    close_nl = "\n" + "    " * level if indent is not None else ""
+    if isinstance(v, dict):
+        if not v:
+            out.append("{}")
+            return
+        out.append("{")
+        for k, item in v.items():
+            out.append(nl)
+            out.append(_quote(k if isinstance(k, str) else str(k)))
+            out.append(" = " if indent is not None else "=")
+            _dump_text(item, out, indent, level + 1)
+            out.append(";")
+        out.append(close_nl)
+        out.append("}")
+    elif isinstance(v, (list, tuple)):
+        if not v:
+            out.append("[]")
+            return
+        out.append("[")
+        for item in v:
+            out.append(nl)
+            _dump_text(item, out, indent, level + 1)
+            out.append(";")
+        out.append(close_nl)
+        out.append("]")
+    else:
+        out.append(_dump_scalar_text(v))
+
+
+def dumps_text(v, fmt: str = "text") -> str:
+    """Dump plain Python values as text-format YSON. ``fmt`` is ``text``
+    (compact: every item ``;``-terminated, strings always quoted) or
+    ``pretty`` (4-space indented)."""
+    out: list = []
+    _dump_text(v, out, 4 if fmt == "pretty" else None, 0)
+    return "".join(out)
