@@ -100,6 +100,7 @@ def _load() -> None:
         tpcds2_q,
         tpcds_q,
         windows,
+        yql_opt_q,
         yql_q,
     )
 
