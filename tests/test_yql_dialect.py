@@ -602,3 +602,86 @@ def test_lambda_arg_with_backslashes():
         r"$f = ($x) -> ($x || 'z'); SELECT $f('a\d+\g<1>') AS s;"
     ).sql
     assert r"'a\d+\g<1>'" in t
+
+
+# --- round-8: MATCH_RECOGNIZE / GROUP BY HOPPING text forms -------------------
+
+
+def test_hop_translation_and_validation():
+    from ytsaurus_spark.yql.dialect import _iso_to_duration, translate_yql
+
+    assert _iso_to_duration("'PT30M'") == "30 minutes"
+    assert _iso_to_duration("P1DT2H3M4S") == "1 days 2 hours 3 minutes 4 seconds"
+    with pytest.raises(ValueError, match="ISO-8601"):
+        _iso_to_duration("'10 minutes'")
+    t = translate_yql(
+        "select k, HOP_START() as ws from t "
+        "group by k, HOP(ts, 'PT30M', 'PT1H', 'PT10M');"
+    ).sql
+    assert "window(ts, '1 hours', '30 minutes')" in t
+    assert "window.start as ws" in t
+    with pytest.raises(ValueError, match="HOP takes"):
+        translate_yql("select 1 from t group by HOP(ts, 'PT1M');")
+
+
+def test_mr_spec_parser():
+    from ytsaurus_spark.yql.match_recognize_text import parse_mr_spec
+
+    spec = parse_mr_spec("""
+        PARTITION BY a, b
+        ORDER BY ts
+        MEASURES first(V.x) AS fx, count(*) AS n
+        AFTER MATCH SKIP TO LAST V
+        PATTERN (S V+)
+        DEFINE S AS x < 0, V AS x >= 0
+    """)
+    assert spec["partition_by"] == ["a", "b"]
+    assert spec["order_by"] == ["ts"]
+    assert spec["measures"] == [("fx", "first", "x", "V"), ("n", "count", None, None)]
+    assert spec["skip"] == ("to_last", "V")
+    assert spec["pattern"] == "S V+"
+    assert spec["defines"] == [("S", "x < 0"), ("V", "x >= 0")]
+    assert not spec["all_rows"]
+    with pytest.raises(ValueError, match="DEFINE"):
+        parse_mr_spec("PATTERN (A)")
+
+
+def test_match_recognize_text_symbol_scoped(spark):
+    from ytsaurus_spark.yql.match_recognize_text import expand_match_recognize
+
+    s2 = spark.newSession()
+    s2.createDataFrame(
+        [(1, 1, 5.0), (1, 2, -1.0), (1, 3, 7.0), (1, 4, 9.0)],
+        "k bigint, seq bigint, v double",
+    ).createOrReplaceTempView("mr_src")
+    text = expand_match_recognize(s2, """
+        select k, match_no, dip, peak from mr_src MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES min(D.v) AS dip, max(U.v) AS peak
+            PATTERN (D U+)
+            DEFINE D AS v < 0, U AS v >= 0
+        ) order by k, match_no
+    """)
+    assert "MATCH_RECOGNIZE" not in text.upper() or "__yql_mr" in text
+    rows = s2.sql(text).collect()
+    assert [(r.k, r.match_no, r.dip, r.peak) for r in rows] == [(1, 1, -1.0, 9.0)]
+
+
+def test_match_recognize_text_all_rows(spark):
+    from ytsaurus_spark.yql import yql_select
+
+    df = yql_select(spark, """
+        SELECT user_id, event_id, match_no, classifier, row_in_match
+        FROM `//home/x/events` MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            ALL ROWS PER MATCH
+            PATTERN (C P)
+            DEFINE C AS event_type = 'click', P AS event_type = 'purchase'
+        ) ORDER BY user_id, match_no, row_in_match LIMIT 6;
+    """, sf_dir="/root/testdata/sf0.001", star=False)
+    rows = df.collect()
+    assert len(rows) > 0 and len(rows) % 2 == 0
+    # pairs: row 1 is the click, row 2 the purchase
+    assert [r.classifier for r in rows[:2]] == ["C", "P"]
+    assert [r.row_in_match for r in rows[:2]] == [1, 2]

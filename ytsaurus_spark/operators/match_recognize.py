@@ -170,11 +170,14 @@ def match_recognize_measures(
 ) -> DataFrame:
     """MATCH_RECOGNIZE with MEASURES and AFTER MATCH SKIP.
 
-    ``measures`` maps output column → (kind, source column); kinds are
-    first/last/min/max/sum/count/avg (count ignores the source column).
-    Every match emits one row: (partition_by..., match_no, classifier,
-    measures...) — ONE ROW PER MATCH semantics. ``output_schema`` is the
-    DDL string for exactly those columns.
+    ``measures`` maps output column → (kind, source column) or
+    (kind, source column, symbol); kinds are first/last/min/max/sum/
+    count/avg (count ignores the source column). The 3-tuple form scopes
+    the aggregate to the rows matched by that DEFINE symbol within the
+    match — SQL-text ``LAST(A.ts)`` navigation (sql_match_recognize.cpp
+    MEASURES grammar). Every match emits one row: (partition_by...,
+    match_no, classifier, measures...) — ONE ROW PER MATCH semantics.
+    ``output_schema`` is the DDL string for exactly those columns.
 
     Execution: symbols encode JVM-side; rows shuffle once on the partition
     key and sort within partitions by (key, order); a streaming pandas pass
@@ -182,7 +185,12 @@ def match_recognize_measures(
     skip policy, and aggregates each match's row slice vectorized.
     """
     _validate_after_match_skip(after_match_skip)
-    for name, (kind, _src) in measures.items():
+    # normalize 2-tuples to (kind, src, sym=None)
+    measures = {
+        name: (m if len(m) == 3 else (*m, None))
+        for name, m in measures.items()
+    }
+    for name, (kind, _src, _sym) in measures.items():
         if kind not in _MEASURE_KINDS:
             raise ValueError(f"unsupported measure {kind!r} for {name}")
     rx = re.compile(pattern)
@@ -190,7 +198,7 @@ def match_recognize_measures(
         raise ValueError("PATTERN must not match the empty row sequence")
 
     need_cols = sorted(
-        {src for (_k, src) in measures.values() if src is not None}
+        {src for (_k, src, _s) in measures.values() if src is not None}
         - set(partition_by)
         - set(order_by)
     )
@@ -213,18 +221,26 @@ def match_recognize_measures(
                 s = "".join(g["__sym"])
                 for match_no, (lo, hi) in enumerate(_scan_matches(rx, s, skip), 1):
                     sl = g.iloc[lo:hi]
+                    cls = s[lo:hi]
                     rec = dict(zip(partition_by, key))
                     rec["match_no"] = match_no
-                    rec["classifier"] = s[lo:hi]
-                    for name, (kind, src) in mlist:
+                    rec["classifier"] = cls
+                    for name, (kind, src, sym) in mlist:
+                        sel = sl
+                        if sym is not None:
+                            # scope to the rows this DEFINE symbol matched
+                            mask = [c == sym for c in cls]
+                            sel = sl[mask]
                         if kind == "count":
-                            rec[name] = hi - lo
+                            rec[name] = len(sel)
+                        elif len(sel) == 0:
+                            rec[name] = None
                         elif kind == "first":
-                            rec[name] = sl[src].iloc[0]
+                            rec[name] = sel[src].iloc[0]
                         elif kind == "last":
-                            rec[name] = sl[src].iloc[-1]
+                            rec[name] = sel[src].iloc[-1]
                         else:
-                            rec[name] = getattr(sl[src], kind)()
+                            rec[name] = getattr(sel[src], kind)()
                     rows.append(rec)
             cols = [*partition_by, "match_no", "classifier", *measures]
             return pd.DataFrame(rows, columns=cols)

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import re
+
 from ytsaurus_spark.yql.dialect import (  # noqa: F401
     PRAGMA_CONF_MAP,
     TranslatedQuery,
@@ -44,7 +46,6 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
     ``sf_dir=None`` to run against views the caller already registered.
     Star sessions are cached per (base session, sf_dir).
     """
-    tq = translate_yql(text, params=params)
     if sf_dir is not None and star:
         s2 = _star_session(spark, sf_dir)
     else:
@@ -54,6 +55,17 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
             from ytsaurus_spark.catalog import load_tables
 
             load_tables(s2, sf_dir)
+    if re.search(r"(?i)\bmatch_recognize\b", text):
+        # FROM <src> MATCH_RECOGNIZE (...) has no single-SQL form: the
+        # DataFrame operator materializes each item into a temp view
+        # first (yql/match_recognize_text.py), then the statement
+        # translates normally.
+        from ytsaurus_spark.yql.match_recognize_text import (
+            expand_match_recognize,
+        )
+
+        text = expand_match_recognize(s2, text)
+    tq = translate_yql(text, params=params)
     if pragmas:
         apply_pragmas(s2, tq.pragmas)
     return s2.sql(tq.sql)

@@ -632,9 +632,55 @@ def _rewrite_yqlisms(text: str) -> str:
     for pat, repl in _REWRITES:
         text = pat.sub(repl, text)
     text = _rewrite_module_funcs(text)
+    text = _rewrite_hop(text)
     text = _rewrite_substring(text)
     text = _rewrite_real_literals(text)
     return _rewrite_groupby_as(text)
+
+
+# --- GROUP BY HOPPING (SQLv1 hopping_window_specification:
+# ``HOP(time_extractor, hop, interval, delay)``, sql_group_by.cpp:364) -------
+#
+# YQL's hopping window: windows of size ``interval`` advancing by ``hop``
+# (both ISO-8601 interval literals), keyed on the time extractor; ``delay``
+# is the allowed lateness (a Structured Streaming watermark concern — a
+# batch recomputation sees all data, so it only validates here). Spark's
+# ``window(ts, interval, hop)`` table function IS this operator; the
+# ``HOP_START``/``HOP_END`` pseudo-functions become the window struct's
+# bounds.
+
+_HOP_RE = re.compile(r"(?i)\bHOP\s*\(")
+_ISO_DUR = re.compile(
+    r"(?i)^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$"
+)
+
+
+def _iso_to_duration(lit: str) -> str:
+    """'PT10M' -> '10 minutes' (Spark duration string)."""
+    m = _ISO_DUR.match(lit.strip().strip("'\""))
+    if not m or not any(m.groups()):
+        raise ValueError(f"expected ISO-8601 interval, got {lit!r}")
+    parts = []
+    for val, unit in zip(m.groups(), ("days", "hours", "minutes", "seconds")):
+        if val:
+            parts.append(f"{int(val)} {unit}")
+    return " ".join(parts)
+
+
+def _rewrite_hop(text: str) -> str:
+    m = _HOP_RE.search(text)
+    if not m:
+        return text
+    args, end = _split_call_args(text, text.index("(", m.end() - 1))
+    if len(args) != 4:
+        raise ValueError("HOP takes (time_extractor, hop, interval, delay)")
+    te, hop, interval, delay = (a.strip() for a in args)
+    _iso_to_duration(delay)  # validate; lateness is a streaming watermark
+    rep = (f"window({te}, '{_iso_to_duration(interval)}', "
+           f"'{_iso_to_duration(hop)}')")
+    out = text[: m.start()] + rep + _rewrite_hop(text[end:])
+    out = re.sub(r"(?i)\bHOP_START\s*\(\s*\)", "window.start", out)
+    return re.sub(r"(?i)\bHOP_END\s*\(\s*\)", "window.end", out)
 
 
 # --- ANSI empty-rollup conformance ------------------------------------------
