@@ -517,3 +517,32 @@ def test_numbers_and_misc_functions(spark):
     assert r.c == 7 and r.m == 1 and r.d == 3
     assert list(r.parts) == ["a", "b", "c"]
     assert r.idx == 2 and r.last == 3
+
+
+def test_mutations_backtick_and_truncate(spark, client):
+    chyt_execute(
+        spark,
+        "CREATE TABLE `//tmp/bt`(i64 Int64, str String) ENGINE YtTable()",
+        client,
+    )
+    chyt_execute(
+        spark, "insert into `//tmp/bt` values (1, 'a'), (2, 'b')", client
+    )
+    assert client.row_count("//tmp/bt") == 2
+    # overwrite-from-self through the backtick attr form
+    chyt_execute(
+        spark,
+        "insert into `<append=%false>//tmp/bt` select * from `//tmp/bt` "
+        "where i64 = 2",
+        client,
+    )
+    assert client.row_count("//tmp/bt") == 1
+    # TRUNCATE keeps schema, drops rows
+    chyt_execute(spark, "truncate table `//tmp/bt`", client)
+    df = client.read_table("//tmp/bt")
+    assert df.count() == 0 and df.columns == ["i64", "str"]
+    chyt_execute(spark, "truncate table if exists `//tmp/nope`", client)
+    with pytest.raises(ValueError, match="does not exist"):
+        chyt_execute(spark, "truncate table `//tmp/nope`", client)
+    chyt_execute(spark, "drop table `//tmp/bt`", client)
+    assert not client.exists("//tmp/bt")

@@ -966,18 +966,23 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None):
 # TABLE "//path"(col Type, ...) ENGINE YtTable(); DROP TABLE "//path".
 
 _INSERT_RE = re.compile(
-    r'(?is)^\s*insert\s+into\s+"(<append=%(?:false|true)>)?(//[^"]+)"'
+    r'(?is)^\s*insert\s+into\s+["`](<append=%(?:false|true)>)?(//[^"`]+)["`]'
     r"\s*(\(([^)]*)\))?\s*(values|select)\b(.*)$"
 )
 _CREATE_RE = re.compile(
-    r'(?is)^\s*create\s+table\s+"(//[^"]+)"\s*\(([^)]*)\)'
+    r'(?is)^\s*create\s+table\s+["`](//[^"`]+)["`]\s*\(([^)]*)\)'
     r"\s*engine\s*[= ]?\s*YtTable\s*\(\s*\)\s*$"
 )
 _CREATE_AS_RE = re.compile(
     r'(?is)^\s*create\s+table\s+["`](//[^"`]+)["`]\s*'
     r"engine\s*[= ]?\s*YtTable\s*\(\s*\)\s*as\s+(select\b.*)$"
 )
-_DROP_RE = re.compile(r'(?is)^\s*drop\s+table\s+(if\s+exists\s+)?"(//[^"]+)"\s*$')
+_DROP_RE = re.compile(
+    r'(?is)^\s*drop\s+table\s+(if\s+exists\s+)?["`](//[^"`]+)["`]\s*$'
+)
+_TRUNCATE_RE = re.compile(
+    r'(?is)^\s*truncate\s+table\s+(if\s+exists\s+)?["`](//[^"`]+)["`]\s*$'
+)
 
 # ClickHouse column type -> Spark SQL type (uint64 keeps the repo's
 # DECIMAL(20,0) discipline; see yt_types.py)
@@ -1026,6 +1031,18 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None):
             client.remove(m.group(2), recursive=True)
         elif not m.group(1):
             raise ValueError(f"DROP TABLE: {m.group(2)} does not exist")
+        return None
+
+    m = _TRUNCATE_RE.match(stmt)
+    if m:
+        # TRUNCATE keeps the table and its schema, drops the rows
+        # (test_mutations.py::test_truncate)
+        if not client.exists(m.group(2)):
+            if m.group(1):
+                return None
+            raise ValueError(f"TRUNCATE TABLE: {m.group(2)} does not exist")
+        empty = client.read_table(m.group(2)).limit(0)
+        client.write_table(m.group(2), empty, append=False)
         return None
 
     m = _INSERT_RE.match(stmt)
