@@ -685,3 +685,33 @@ def test_match_recognize_text_all_rows(spark):
     # pairs: row 1 is the click, row 2 the purchase
     assert [r.classifier for r in rows[:2]] == ["C", "P"]
     assert [r.row_in_match for r in rows[:2]] == [1, 2]
+
+
+def test_star_calendar_integrity(spark, sf_dir):
+    # every fact date key resolves in date_dim, and d_date_sk is exactly
+    # yyyymmdd(d_date) — guards the shifted-calendar derivation against
+    # inconsistent shifting between facts and the calendar
+    from ytsaurus_spark.yql import _star_session
+
+    s2 = _star_session(spark.newSession(), sf_dir)
+    bad = s2.sql("""
+        select count(*) as n from date_dim
+        where d_date_sk <> year(d_date) * 10000 + month(d_date) * 100
+                           + day(d_date)
+    """).collect()[0].n
+    assert bad == 0
+    for fact, col in (("store_sales", "ss_sold_date_sk"),
+                      ("web_sales", "ws_sold_date_sk"),
+                      ("catalog_sales", "cs_sold_date_sk"),
+                      ("inventory", "inv_date_sk"),
+                      ("store_returns", "sr_returned_date_sk")):
+        n = s2.sql(f"""
+            select count(*) as n from {fact}
+            where {col} not in (select d_date_sk from date_dim)
+        """).collect()[0].n
+        assert n == 0, (fact, col, n)
+    # the shifted span covers the bench files' literal windows
+    lo, hi = s2.sql(
+        "select min(d_date) as lo, max(d_date) as hi from date_dim"
+    ).collect()[0]
+    assert str(lo) <= "1998-01-01" and str(hi) >= "2002-09-05"

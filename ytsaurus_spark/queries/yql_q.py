@@ -53,13 +53,21 @@ normalization on BOTH engines; q58 — DuckDB ORDER-BY binder strictness,
 not an engine-value divergence — by an oracle-side disambiguation. See
 _POSITIONAL_NAMES/_ORACLE_FIXES below.)
 
-Substance note (measured at sf0.1): 51 of the first 87 registered statements
-return rows; the 36 empty results are honest — their verbatim predicates
-reference dates beyond the fixture's 1995-2001 range (e.g. q98's
-2002-01-05 window) or conjunctions the synthetic star never satisfies,
-and BOTH engines agree on empty. The derivations deliberately land the
-common literal domains (category names, dollar price bands, bench zip
-lists, months-since-1900 d_month_seq) so the majority select real data.
+Substance note (measured at sf0.1, round 8): 88 of the 103 registered
+statements return rows (was 51/87 in r7). Round 8 widened the star
+derivations to land the bench files' verbatim literal domains: the
+calendar shifts +2 years (tpcds_star._sdate — every 1998..2003 window
+now has facts), i_current_price spans 1..120 dollars, the full
+ten-category TPC-DS domain with aligned brand words satisfies the
+q53/q63 triples, ship modes carry MSC/GERMA, reasons span 'reason 1..72',
+gmt offsets reach -8, counties/cities include the bench lists, and the
+fact FKs have genuine NULL populations (q44/q76 IS NULL buckets). The
+15 remaining empties are honest sparse conjunctions (cross-channel
+same-customer-same-item alignment in q17/q23b/q25/q29/q54/q64,
+items-per-ticket count bands in q34/q73, demographic triple joins in
+q46/q68/q69/q85, q39's stddev gate) — BOTH engines agree on empty, and
+tests/test_yql_dialect.py::test_star_calendar_integrity pins the
+calendar/fact-key consistency the widening relies on.
 """
 
 from __future__ import annotations

@@ -31,8 +31,12 @@ channel split):
   exactness discipline — sums stay exact on any engine); PER-UNIT
   price columns (*_sales_price/*_list_price/*_wholesale_cost,
   i_current_price) are exact integer DOLLARS scaled into the
-  literal bands the bench predicates test (50..200 etc.), so the
-  verbatim filters select real rows.
+  literal bands the bench predicates test (i_current_price spans
+  1..120 so every 0.99-1.49 / 39-69 / 80-110 band hits), so the
+  verbatim filters select real rows. ``ss_cdemo_sk`` (and siblings) is
+  NULL for ~1/19 of rows — the bench's IS NULL demographic buckets
+  (q44) need a real null population, and nullable fact FKs are the
+  TPC-DS norm.
 """
 
 from __future__ import annotations
@@ -60,12 +64,35 @@ def _days(col: str) -> str:
     return f"({era} * 146097 + {doe} - 719468)"
 
 
-def _dsk(col: str) -> str:
-    """yyyymmdd surrogate date key."""
+def _sdate(col: str) -> str:
+    """The star calendar SHIFTS every fixture date +2 years
+    (1995-01..2001-11 → 1997-01..2003-11): the bench files' verbatim
+    literal windows live in 1998..2003 (d_year up to 2003, d_month_seq
+    1178..1232 = 1998-03..2002-09, date literals to 2002-08-06+30d) and
+    no statement filters a sale year below 1998 — the shift converts
+    dozens of honest-but-empty conformance passes into row-returning
+    proofs while keeping every derivation a pure per-row function.
+    make_date is the dual-engine spelling; Feb-29 sources land on
+    Feb-28 (1996→1998 and 2000→2002 are non-leap)."""
+    d = f"CAST({col} AS DATE)"
+    day = (f"CASE WHEN month({d}) = 2 AND day({d}) = 29 THEN 28 "
+           f"ELSE day({d}) END")
+    return f"make_date(year({d}) + 2, month({d}), {day})"
+
+
+def _dsk_raw(col: str) -> str:
+    """yyyymmdd key of an ALREADY-shifted date expression (date_dim's
+    source dates go through _sdate in its FROM — applying the shift again
+    there would skew d_date_sk +4y against the facts' +2y keys)."""
     d = f"CAST({col} AS DATE)"
     return (
         f"CAST(year({d}) * 10000 + month({d}) * 100 + day({d}) AS BIGINT)"
     )
+
+
+def _dsk(col: str) -> str:
+    """yyyymmdd surrogate date key (over the shifted calendar)."""
+    return _dsk_raw(_sdate(col))
 
 
 def _case(key: str, values: list[str], cast_int: bool = False) -> str:
@@ -82,9 +109,11 @@ def _cents(expr: str) -> str:
 
 # --- categorical domains (the values the bench queries filter on) ----------
 _COLORS = [
-    "almond", "aquamarine", "black", "chocolate", "cornflower", "cyan",
-    "firebrick", "frosted", "lavender", "magenta", "maroon", "papaya",
-    "purple", "rose", "slate", "steel",
+    "almond", "aquamarine", "azure", "black", "blush", "chiffon",
+    "chocolate", "cornflower", "cyan", "firebrick", "frosted",
+    "gainsboro", "hot", "lace", "lavender", "lemon", "magenta", "maroon",
+    "misty", "orchid", "papaya", "purple", "rose", "slate", "snow",
+    "steel",
 ]
 _UNITS = [
     "Box", "Bunch", "Bundle", "Carton", "Case", "Cup", "Dram", "Each",
@@ -95,12 +124,15 @@ _STATES = ["NM", "TX", "CA", "NY", "OH", "GA", "WA", "TN", "SD", "KY"]
 _CITIES = [
     "Midway", "Fairview", "Oak Grove", "Five Points", "Pleasant Hill",
     "Centerville", "Riverside", "Salem", "Union", "Spring Hill",
-    "Greenville", "Franklin",
+    "Greenville", "Franklin", "Edgewood", "Hopewell", "Five Forks",
+    "Antioch",
 ]
 _COUNTIES = [
     "Williamson County", "Walker County", "Ziebach County",
     "Daviess County", "Barrow County", "Franklin Parish",
-    "Luce County", "Richland County",
+    "Luce County", "Richland County", "Fillmore County",
+    "McPherson County", "Bonneville County", "Boone County",
+    "Brown County",
 ]
 _FIRST = ["James", "Mary", "John", "Linda", "Robert", "Susan", "David",
           "Karen"]
@@ -112,7 +144,18 @@ _MARITAL = ["M", "S", "D", "W", "U"]
 # the 5 brand digits map onto the most-filtered TPC-DS categories; class
 # and zip domains are unions of the bench files' literal lists so the
 # verbatim predicates select real rows
-_CATEGORIES = ["Women", "Men", "Home", "Books", "Sports"]
+# the full TPC-DS category domain — the bench files filter all ten
+_CATEGORIES = ["Women", "Men", "Home", "Books", "Sports", "Children",
+               "Electronics", "Music", "Shoes", "Jewelry"]
+# brand word per category residue (TPC-DS composes brand names from
+# category morphemes; the bench's q53/q63 triples — Books×personal×
+# 'scholaramalgamalg #14', Electronics×'exportiunivamalg #9',
+# Women×accessories×'amalgimporto #1', Music×'edu packscholar #1' — must
+# be satisfiable, so the word list ALIGNS with _CATEGORIES index-by-index)
+_BRAND_WORDS = ["amalgimporto", "importoamalg", "exportiexporti",
+                "scholaramalgamalg", "exportiimporto", "exportischolar",
+                "exportiunivamalg", "edu packscholar", "edu packimporto",
+                "amalgamalg"]
 _CLASSES = ["personal", "portable", "reference", "self-help",
             "accessories", "classical", "fragrances", "pants",
             "glassware", "fiction", "business", "shirts"]
@@ -124,9 +167,9 @@ _BUY_POT = [">10000", "5001-10000", "1001-5000", "501-1000", "0-500",
 _DAY_NAMES = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
               "Friday", "Saturday"]
 _SM_TYPES = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "LIBRARY"]
-_SM_CARRIERS = ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL"]
-_REASONS = ["Package was damaged", "Stopped working",
-            "Did not fit", "Wrong size", "Not the product that was ordered"]
+# incl. the bench files' q66 carriers MSC/GERMA
+_SM_CARRIERS = ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL", "MSC",
+                "GERMA"]
 
 
 def _money_cols(p: str) -> str:
@@ -176,8 +219,10 @@ def _sales_channel(prefix: str, residue: int, extra: str) -> str:
                  AS {prefix}_sold_time_sk,
                l_partkey AS {prefix}_item_sk,
                l_suppkey AS {prefix}_store_sk,
-               o_custkey AS {prefix}_customer_sk,
-               o_custkey AS {prefix}_cdemo_sk,
+               CASE WHEN o_custkey % 23 = 7 THEN NULL ELSE o_custkey END
+                 AS {prefix}_customer_sk,
+               CASE WHEN o_custkey % 19 = 0 THEN NULL ELSE o_custkey END
+                 AS {prefix}_cdemo_sk,
                o_custkey AS {prefix}_hdemo_sk,
                o_custkey AS {prefix}_addr_sk,
                1 + l_partkey % 300 AS {prefix}_promo_sk,
@@ -203,7 +248,7 @@ def _returns_channel(prefix: str, residue: int, date_col: str) -> str:
                o_custkey AS {prefix}_refunded_addr_sk,
                l_suppkey AS {prefix}_store_sk,
                1 + l_suppkey % 4 AS {prefix}_call_center_sk,
-               1 + l_partkey % 5 AS {prefix}_reason_sk,
+               1 + l_partkey % 72 AS {prefix}_reason_sk,
                CAST(l_quantity AS INT) AS {prefix}_return_quantity,
                {_cents("l_extendedprice * (1 - l_discount)")}
                  AS {prefix}_return_amt,
@@ -237,7 +282,7 @@ def _returns_channel(prefix: str, residue: int, date_col: str) -> str:
 STAR_VIEW_SQL: dict[str, str] = {
     "date_dim": f"""
         SELECT DISTINCT
-               {_dsk('d')} AS d_date_sk,
+               {_dsk_raw('d')} AS d_date_sk,
                d AS d_date,
                CAST(year(d) AS INT) AS d_year,
                CAST(month(d) AS INT) AS d_moy,
@@ -248,14 +293,14 @@ STAR_VIEW_SQL: dict[str, str] = {
                CAST(({_days('d')} + 4) % 7 AS INT) AS d_dow,
                {_case(f"{_days('d')} + 4", _DAY_NAMES)} AS d_day_name,
                CAST(floor((month(d) - 1) / 3.0) + 1 AS INT) AS d_qoy,
-               {_case('year(d) - 1995',
-                      ['1995', '1996', '1997', '1998', '1999', '2000',
-                       '2001'])} || 'Q' ||
+               {_case('year(d) - 1997',
+                      ['1997', '1998', '1999', '2000', '2001', '2002',
+                       '2003'])} || 'Q' ||
                {_case('CAST(floor((month(d) - 1) / 3.0) AS BIGINT)',
                       ['1', '2', '3', '4'])} AS d_quarter_name
-        FROM (SELECT CAST(l_shipdate AS DATE) AS d FROM {{b}}lineitem
+        FROM (SELECT {_sdate('l_shipdate')} AS d FROM {{b}}lineitem
               UNION
-              SELECT CAST(o_orderdate AS DATE) AS d FROM {{b}}orders)
+              SELECT {_sdate('o_orderdate')} AS d FROM {{b}}orders)
              __dates
     """,
     "time_dim": """
@@ -307,13 +352,13 @@ STAR_VIEW_SQL: dict[str, str] = {
         SELECT p_partkey AS i_item_sk,
                p_name AS i_item_id,
                p_name AS i_item_desc,
-               p_brand AS i_brand,
+               {_case("p_partkey * 7 + 4", _BRAND_WORDS)} || ' #' ||
+                 CAST(1 + p_partkey % 16 AS STRING) AS i_brand,
                CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
-               {_case('p_partkey * 3 + 2', _CLASSES)} AS i_class,
+               {_case('p_partkey * 5 + 2', _CLASSES)} AS i_class,
                CAST(1 + p_partkey % 16 AS INT) AS i_class_id,
-               {_case("CAST(substr(p_brand, 7, 1) AS INT) - 1",
-                      _CATEGORIES)} AS i_category,
-               CAST(substr(p_brand, 7, 1) AS INT) AS i_category_id,
+               {_case("p_partkey * 7 + 4", _CATEGORIES)} AS i_category,
+               CAST(1 + (p_partkey * 7 + 4) % 10 AS INT) AS i_category_id,
                CAST(1 + p_partkey % 1000 AS INT) AS i_manufact_id,
                CAST(1 + p_partkey % 40 AS INT) AS i_manager_id,
                {_case('p_partkey', ['ma', 'mb', 'mc', 'md', 'me'])} ||
@@ -323,11 +368,11 @@ STAR_VIEW_SQL: dict[str, str] = {
                {_case('CAST(floor(p_partkey / 4.0) AS BIGINT)',
                       ['r', 's', 't'])} AS i_product_name,
                {_case('p_partkey * 3 + 1', _COLORS)} AS i_color,
-               {_case('p_partkey * 5 + 2', _UNITS)} AS i_units,
+               {_case('p_partkey * 7 + 2', _UNITS)} AS i_units,
                {_case('p_partkey * 7 + 3', _SIZES)} AS i_size,
-               CAST(round(p_retailprice / 20) AS BIGINT)
+               CAST(1 + p_partkey % 120 AS BIGINT)
                  AS i_current_price,
-               CAST(round(p_retailprice * 0.6 / 20) AS BIGINT)
+               CAST(floor((1 + p_partkey % 120) * 0.6) AS BIGINT)
                  AS i_wholesale_cost
         FROM {{b}}part
     """,
@@ -336,13 +381,13 @@ STAR_VIEW_SQL: dict[str, str] = {
                s_name AS s_store_id,
                s_name AS s_store_name,
                {_case('s_suppkey', _STATES[:8])} AS s_state,
-               {_case('s_suppkey * 3 + 1', _CITIES)} AS s_city,
+               {_case('s_suppkey * 5 + 1', _CITIES)} AS s_city,
                {_case('s_suppkey * 5 + 2', _COUNTIES)} AS s_county,
                'United States' AS s_country,
                CASE CAST(s_suppkey % 2 AS INT) WHEN 0 THEN 'company_a'
                     ELSE 'company_b' END AS s_company_name,
                CAST(s_suppkey % 2 AS INT) AS s_company_id,
-               CAST(-5 - s_suppkey % 3 AS INT) AS s_gmt_offset,
+               CAST(-5 - s_suppkey % 4 AS INT) AS s_gmt_offset,
                CAST(200 + s_suppkey % 100 AS INT) AS s_number_employees,
                CAST(5000000 + (s_suppkey * 7919) % 5000000 AS INT)
                  AS s_floor_space,
@@ -387,10 +432,10 @@ STAR_VIEW_SQL: dict[str, str] = {
                CAST(19980000 + 100 * (1 + c_custkey % 12)
                     + 1 + c_custkey % 28 AS BIGINT)
                  AS c_last_review_date_sk,
-               CAST(19950000 + 100 * (1 + c_custkey % 12)
+               CAST(19970000 + 100 * (1 + c_custkey % 12)
                     + 1 + c_custkey % 28 AS BIGINT)
                  AS c_first_sales_date_sk,
-               CAST(19950000 + 100 * (1 + (c_custkey + 3) % 12)
+               CAST(19970000 + 100 * (1 + (c_custkey + 3) % 12)
                     + 1 + (c_custkey + 7) % 28 AS BIGINT)
                  AS c_first_shipto_date_sk,
                c_name AS c_login,
@@ -401,11 +446,11 @@ STAR_VIEW_SQL: dict[str, str] = {
         SELECT c_custkey AS ca_address_sk,
                c_name AS ca_address_id,
                {_case('c_custkey', _STATES)} AS ca_state,
-               {_case('c_custkey * 3 + 1', _CITIES)} AS ca_city,
+               {_case('c_custkey * 5 + 1', _CITIES)} AS ca_city,
                {_case('c_custkey * 5 + 2', _COUNTIES)} AS ca_county,
                {_case('c_custkey * 7 + 3', _ZIPS)} AS ca_zip,
                'United States' AS ca_country,
-               CAST(-5 - c_custkey % 3 AS INT) AS ca_gmt_offset,
+               CAST(-5 - c_custkey % 4 AS INT) AS ca_gmt_offset,
                {_case('c_custkey * 11 + 4',
                       ['apartment', 'condo', 'single family'])}
                  AS ca_location_type,
@@ -438,7 +483,7 @@ STAR_VIEW_SQL: dict[str, str] = {
     "household_demographics": f"""
         SELECT c_custkey AS hd_demo_sk,
                CAST(1 + c_custkey % 20 AS INT) AS hd_income_band_sk,
-               {_case('c_custkey * 3 + 1', _BUY_POT)} AS hd_buy_potential,
+               {_case('c_custkey * 5 + 1', _BUY_POT)} AS hd_buy_potential,
                CAST(c_custkey % 10 AS INT) AS hd_dep_count,
                CAST(c_custkey % 5 AS INT) AS hd_vehicle_count
         FROM {{b}}customer
@@ -500,26 +545,26 @@ STAR_VIEW_SQL: dict[str, str] = {
         FROM {{b}}supplier
     """,
     "ship_mode": f"""
-        SELECT DISTINCT CAST(1 + s_suppkey % 5 AS INT) AS sm_ship_mode_sk,
-               {_case('s_suppkey % 5', _SM_TYPES)} AS sm_type,
-               {_case('s_suppkey % 5', _SM_CARRIERS)} AS sm_carrier,
-               'code_' || {_case('s_suppkey % 5',
+        SELECT DISTINCT CAST(1 + s_suppkey % 7 AS INT) AS sm_ship_mode_sk,
+               {_case('s_suppkey % 7', _SM_TYPES)} AS sm_type,
+               {_case('s_suppkey % 7', _SM_CARRIERS)} AS sm_carrier,
+               'code_' || {_case('s_suppkey % 7',
                                  ['a', 'b', 'c', 'd', 'e'])} AS sm_code
         FROM {{b}}supplier
     """,
     "reason": f"""
-        SELECT DISTINCT CAST(1 + s_suppkey % 5 AS INT) AS r_reason_sk,
-               'reason_' || {_case('s_suppkey % 5',
-                                   ['a', 'b', 'c', 'd', 'e'])}
+        SELECT DISTINCT CAST(1 + s_suppkey % 72 AS INT) AS r_reason_sk,
+               'reason_' || CAST(1 + s_suppkey % 72 AS STRING)
                  AS r_reason_id,
-               {_case('s_suppkey % 5', _REASONS)} AS r_reason_desc
+               'reason ' || CAST(1 + s_suppkey % 72 AS STRING)
+                 AS r_reason_desc
         FROM {{b}}supplier
     """,
     "inventory": f"""
         SELECT {_dsk('l_shipdate')} AS inv_date_sk,
                l_partkey AS inv_item_sk,
                CAST(1 + l_suppkey % 5 AS INT) AS inv_warehouse_sk,
-               CAST(l_quantity AS INT) AS inv_quantity_on_hand
+               CAST(l_quantity * 10 AS INT) AS inv_quantity_on_hand
         FROM {{b}}lineitem
     """,
     "store_sales": _sales_channel("ss", 0, ""),
@@ -535,7 +580,8 @@ STAR_VIEW_SQL: dict[str, str] = {
                o_custkey AS cs_ship_addr_sk,
                l_orderkey AS cs_order_number,
                1 + l_suppkey % 4 AS cs_call_center_sk,
-               1 + l_suppkey % 5 AS cs_ship_mode_sk,
+               CASE WHEN o_custkey % 23 = 7 THEN NULL
+                    ELSE 1 + l_suppkey % 7 END AS cs_ship_mode_sk,
                1 + l_suppkey % 5 AS cs_warehouse_sk,
                1 + l_partkey % 100 AS cs_catalog_page_sk,""",
     ),
@@ -548,11 +594,12 @@ STAR_VIEW_SQL: dict[str, str] = {
                o_custkey AS ws_ship_customer_sk,
                o_custkey AS ws_ship_cdemo_sk,
                o_custkey AS ws_ship_hdemo_sk,
-               o_custkey AS ws_ship_addr_sk,
+               CASE WHEN o_custkey % 23 = 7 THEN NULL ELSE o_custkey END
+                 AS ws_ship_addr_sk,
                l_orderkey AS ws_order_number,
                1 + l_suppkey % 3 AS ws_web_site_sk,
                1 + l_partkey % 100 AS ws_web_page_sk,
-               1 + l_suppkey % 5 AS ws_ship_mode_sk,
+               1 + l_suppkey % 7 AS ws_ship_mode_sk,
                1 + l_suppkey % 5 AS ws_warehouse_sk,""",
     ),
     "store_returns": _returns_channel("sr", 0, "l_shipdate"),
