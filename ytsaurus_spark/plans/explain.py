@@ -90,6 +90,12 @@ ALLOWED_GLOBAL_WINDOWS = {
     "yql_q44": "verbatim TPC-DS q44: ranks item-grain avg-profit aggregates",
     "yql_q49": "verbatim TPC-DS q49: ranks item-grain return-ratio "
                "aggregates per channel",
+    # the reference's HAND-OPTIMIZED q49 variant (queries_optimized/49.sql,
+    # run verbatim by queries/yql_opt_q.py) keeps the original's
+    # unpartitioned rank() calls over the same item-grain aggregates —
+    # identical bounded-input contract as yql_q49 above
+    "yql_o49": "verbatim optimized TPC-DS q49: same item-grain rank "
+               "inputs as yql_q49",
 }
 
 GLOBAL_WINDOW = "global window(s)"
