@@ -546,3 +546,29 @@ def test_mutations_backtick_and_truncate(spark, client):
         chyt_execute(spark, "truncate table `//tmp/nope`", client)
     chyt_execute(spark, "drop table `//tmp/bt`", client)
     assert not client.exists("//tmp/bt")
+
+
+def test_chyt_reads_dynamic_tables(spark, client):
+    # CHYT reads dynamic tables through the same path layer
+    # (test_dynamic_tables.py): latest-committed row images
+    client.create("table", "//tmp/dyn", attributes={
+        "dynamic": True,
+        "schema": [
+            {"name": "k", "type": "int64", "sort_order": "ascending"},
+            {"name": "v", "type": "string"},
+        ],
+    })
+    client.insert_rows(
+        "//tmp/dyn",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+    )
+    client.insert_rows(
+        "//tmp/dyn",
+        spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string"),
+    )
+    rows = chyt_query(
+        spark,
+        'select k, v, count(*) over () as n from "//tmp/dyn" order by k',
+        client=client,
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a"), (2, "B"), (3, "c")]
