@@ -93,6 +93,9 @@ _PASSING = (
     "71", "72", "73", "74", "76", "78", "79", "81", "82", "84",
     "85", "86", "88", "89", "91", "92", "93", "94", "95", "96", "97",
     "98", "99",
+    # newly passing RAW in round 8 (star domain widening: channel rollup
+    # report selects real rows across all five channel derivations)
+    "05",
     # closed in round 7 via positional-name normalization (below)
     "35", "38", "87",
     # closed in round 7 via an oracle-side ORDER BY disambiguation (below)
