@@ -53,8 +53,10 @@ normalization on BOTH engines; q58 — DuckDB ORDER-BY binder strictness,
 not an engine-value divergence — by an oracle-side disambiguation. See
 _POSITIONAL_NAMES/_ORACLE_FIXES below.)
 
-Substance note (measured at sf0.1, round 8): 88 of the 103 registered
-statements return rows (was 51/87 in r7). Round 8 widened the star
+Substance note (measured at sf0.1, round 8): 89 of the 104 registered
+statements return rows (was 51/87 in r7; q05 newly passes RAW and is
+registered; net_profit moved to a /1000 integer grain so the q13/q48/q85
+band predicates are satisfiable). Round 8 widened the star
 derivations to land the bench files' verbatim literal domains: the
 calendar shifts +2 years (tpcds_star._sdate — every 1998..2003 window
 now has facts), i_current_price spans 1..120 dollars, the full

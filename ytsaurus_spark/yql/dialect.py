@@ -467,6 +467,14 @@ def _depth_map(text: str) -> list[int]:
     i, n = 0, len(text)
     while i < n:
         c = text[i]
+        if c == "-" and text[i:i + 2] == "--":
+            # line comment: contents (incl. stray quotes) are inert
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = -1
+            i = j
+            continue
         if c in ("'", '"'):
             j = i + 1
             while j < n and text[j] != c:

@@ -107,6 +107,16 @@ def _cents(expr: str) -> str:
     return f"CAST(round(({expr}) * 100) AS BIGINT)"
 
 
+def _floor_div(int_expr: str, k: int) -> str:
+    """Engine-stable floor(x/k) for BIGINT x: subtract the positive
+    residue (((x % k) + k) % k — both engines' % is C-style,
+    sign-of-dividend), then divide exactly. Avoids floor(double) edge
+    rounding and the engines' differing DIV-on-negative semantics."""
+    x = f"({int_expr})"
+    res = f"((({x} % {k}) + {k}) % {k})"
+    return f"CAST(({x} - {res}) / {k} AS BIGINT)"
+
+
 # --- categorical domains (the values the bench queries filter on) ----------
 _COLORS = [
     "almond", "aquamarine", "azure", "black", "blush", "chiffon",
@@ -176,7 +186,21 @@ def _money_cols(p: str) -> str:
     """Per-line money columns for a sales channel, all integer cents —
     derived from extendedprice/discount/tax so every relation the bench
     queries test (paid = list - discount, profit = paid - wholesale)
-    holds exactly."""
+    holds exactly.
+
+    EXCEPTION: ``{p}_net_profit`` is an integer at 1/1000-of-cents...
+    i.e. ten-dollar-free grain (exact cents difference floor-divided by
+    1000): the bench band predicates (q13/q48/q85
+    ``net_profit between 50 and 250``, ``0 and 2000``) read magnitudes
+    in the low hundreds, and the fixture per-line profit spans
+    36k..5.25M cents — /1000 lands the whole band family while staying
+    engine-exact under SUM. Floor-divided with pure integer ops
+    (_floor_div) —
+    round()/floor(x/100.0)/DIV all hit engine-specific rounding or sign
+    semantics. NB: derivation SQL must not carry ``--`` comments with
+    apostrophes — the oracle assembler's quote-parity scan
+    (dialect._depth_map) reads them as string openers and silently
+    disables explicit_null_order on the assembled text."""
     ext = "l_extendedprice"
     return f"""
                {_cents(ext)} AS {p}_ext_list_price,
@@ -188,8 +212,9 @@ def _money_cols(p: str) -> str:
                {_cents(f"{ext} * l_discount")} AS {p}_coupon_amt,
                {_cents(f"{ext} * (1 - l_discount) * l_tax")} AS {p}_ext_tax,
                {_cents(f"{ext} * 0.5")} AS {p}_ext_wholesale_cost,
-               ({_cents(f"{ext} * (1 - l_discount)")}
-                - {_cents(f"{ext} * 0.5")}) AS {p}_net_profit,
+               {_floor_div(f"({_cents(f'{ext} * (1 - l_discount)')}"
+                           f" - {_cents(f'{ext} * 0.5')})", 1000)}
+                 AS {p}_net_profit,
                {_cents(f"{ext} * 0.25")} AS {p}_ext_ship_cost,
                ({_cents(f"{ext} * (1 - l_discount)")}
                 + {_cents(f"{ext} * 0.25")}) AS {p}_net_paid_inc_ship,
