@@ -30,13 +30,45 @@ def test_if_combinators_and_uniq():
 def test_if_combinator_empty_match_is_zero(spark):
     # ClickHouse *If combinators return the type default (0), not NULL,
     # for groups where no row matches the condition
+    from ytsaurus_spark.chyt import _spark_analyze, resolve_if_defaults
+
     spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "k int, v int") \
         .createOrReplaceTempView("cht_zero")
-    rows = spark.sql(translate_chyt(
+    rows = spark.sql(resolve_if_defaults(translate_chyt(
         "select k, sumIf(v, v > 100) as s, maxIf(v, v > 100) as m "
         "from cht_zero group by k order by k"
-    )).collect()
+    ), analyze=_spark_analyze(spark))).collect()
     assert [(r.s, r.m) for r in rows] == [(0, 0), (0, 0)]
+
+
+def test_if_combinator_typed_defaults(spark):
+    # ClickHouse's *If default is the ARGUMENT TYPE's default: '' for
+    # String, epoch for Date, 0 for numbers — minIf over a DATE column
+    # must not raise (the numeric-0 coalesce would) and minIf over STRING
+    # must return '', not '0'
+    import datetime
+
+    from ytsaurus_spark.chyt import _spark_analyze, resolve_if_defaults
+
+    def run(text):
+        return spark.sql(resolve_if_defaults(
+            translate_chyt(text), analyze=_spark_analyze(spark)
+        ))
+
+    spark.createDataFrame(
+        [(1, "a", datetime.date(2024, 3, 1)), (2, "b", datetime.date(2024, 4, 1))],
+        "k int, s string, d date",
+    ).createOrReplaceTempView("cht_typed")
+    r = run(
+        "select minIf(s, k > 100) as ms, minIf(d, k > 100) as md, "
+        "maxIf(k, k > 100) as mk from cht_typed"
+    ).first()
+    assert r.ms == "" and r.md == datetime.date(1970, 1, 1) and r.mk == 0
+    # non-empty match sets are unaffected
+    r2 = run(
+        "select minIf(s, k > 1) as ms, minIf(d, k > 1) as md from cht_typed"
+    ).first()
+    assert r2.ms == "b" and r2.md == datetime.date(2024, 4, 1)
 
 
 def test_touint64_keeps_decimal_discipline(spark):
@@ -77,6 +109,30 @@ def test_prewhere_parenthesizes_or_where(spark):
         '(select k from "//x/u" where q = 1) where a or b'
     )
     assert "AND (a or b)" in t2
+
+
+def test_prewhere_inside_subquery():
+    # a PREWHERE in a subquery must not swallow the subquery's closing
+    # paren / alias / the outer WHERE into its predicate
+    t = translate_chyt(
+        'select * from (select * from "//a/t" prewhere a = 1) s where b = 2'
+    )
+    assert "WHERE (a = 1) )" in t.replace("  ", " ") or "WHERE (a = 1))" in t \
+        or "WHERE (a = 1) ) s" in t
+    assert "where b = 2" in t and t.count("(") == t.count(")")
+
+
+def test_intdiv_truncates_toward_zero(spark):
+    # ClickHouse intDiv is C++ integer division: intDiv(-7, 2) = -3
+    t = translate_chyt("select intDiv(a, b) as q from t")
+    assert "DIV" in t
+    r = spark.sql(translate_chyt(
+        "select intDiv(-7, 2) as a, intDiv(7, 2) as b, intDiv(-7, -2) as c, "
+        "intDiv(9007199254740993, 3) as big"
+    )).first()
+    # 9007199254740993 = 3 * 3002399751580331 is exact only if the
+    # division never passes through a double (2^53 + 1)
+    assert (r.a, r.b, r.c, r.big) == (-3, 3, 3, 3002399751580331)
 
 
 def test_multiif_and_dateparts():

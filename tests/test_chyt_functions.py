@@ -272,6 +272,60 @@ def test_global_join_broadcasts(spark, client):
     assert r.hit is True
 
 
+def test_global_join_unaliased_subquery(spark, client):
+    # an unaliased GLOBAL JOIN (subquery) must not hint a phantom
+    # relation named after the next keyword ('on') — the hint is dropped
+    # but the join still runs (and Spark/AQE may still broadcast by size)
+    t1 = spark.createDataFrame([(1, "a"), (2, "b")], "a bigint, b string")
+    t2 = spark.createDataFrame([(1, "x")], "c bigint, d string")
+    client.write_table("//tmp/gu1", t1)
+    client.write_table("//tmp/gu2", t2)
+    from ytsaurus_spark.chyt import _strip_global
+
+    s = _strip_global(
+        "select * from t1 GLOBAL JOIN (select c from t2) ON t1.a = c"
+    )
+    assert "BROADCAST(on)" not in s and "global" not in s.lower()
+    df = chyt_query(
+        spark,
+        'select a, d from "//tmp/gu1" t1 global join '
+        '(select * from "//tmp/gu2") on t1.a = c order by a',
+        client=client,
+    )
+    assert [(r.a, r.d) for r in df.collect()] == [(1, "x")]
+    # aliased subquery still gets the broadcast hint
+    s2 = _strip_global(
+        "select * from t1 GLOBAL JOIN (select c from t2) sub ON t1.a = sub.c"
+    )
+    assert "BROADCAST(sub)" in s2
+
+
+def test_yson_extract_kv_typed(spark, client):
+    # Float64/Bool/UInt64 kv extraction use their own extractors;
+    # unsupported target types raise instead of silently coercing via int
+    df = chyt_query(
+        spark,
+        "select YSONExtractKeysAndValues('{a=1.5;b=2.25;c=x}', 'Float64') as kv",
+        client=client,
+    )
+    assert sorted((t._1, t._2) for t in df.first().kv) == [
+        ("a", 1.5), ("b", 2.25)]
+    df = chyt_query(
+        spark,
+        "select YSONExtractKeysAndValues('{a=%true;b=5}', 'Bool') as kv",
+        client=client,
+    )
+    assert [(t._1, t._2) for t in df.first().kv] == [("a", True)]
+    import pytest
+
+    from ytsaurus_spark.chyt import translate_chyt
+
+    with pytest.raises(ValueError, match="unsupported value type"):
+        translate_chyt(
+            "select YSONExtractKeysAndValues('{a=1}', 'Date') as kv"
+        )
+
+
 # --- virtual columns ---------------------------------------------------------
 
 
@@ -572,3 +626,258 @@ def test_chyt_reads_dynamic_tables(spark, client):
         client=client,
     ).collect()
     assert [(r.k, r.v) for r in rows] == [(1, "a"), (2, "B"), (3, "c")]
+
+
+# --- SQL UDFs (test_sql_udf.py) ----------------------------------------------
+
+
+def test_sql_udf_create_use_drop(spark, client):
+    # test_simple_udf: calling before CREATE fails; after CREATE it works
+    with pytest.raises(Exception):
+        chyt_query(
+            spark,
+            "select number, linear_equation(number, 2, 1) from numbers(3)",
+            client=client,
+        ).collect()
+
+    chyt_execute(
+        spark,
+        "create function linear_equation as (x, k, b) -> k*x + b",
+        client=client,
+    )
+    rows = chyt_execute(
+        spark,
+        "select number, linear_equation(number, 2, 1) as result "
+        "from numbers(2)",
+        client=client,
+    ).collect()
+    assert [(r.number, r.result) for r in rows] == [(0, 1), (1, 3)]
+
+    # test_udf_is_registered_on_each_instance: a SECOND session sees the
+    # persisted function (Cypress-backed, not session state)
+    from ytsaurus_spark.client import YtClient
+
+    c2 = YtClient(root=client.root, spark=spark)
+    rows = chyt_query(
+        spark,
+        "select linear_equation(number, 2, 1) as r from numbers(1)",
+        client=c2,
+    ).collect()
+    assert rows[0].r == 1
+
+    # test_drop_udf: drop of a missing function errors; IF EXISTS doesn't
+    chyt_execute(spark, "drop function linear_equation", client=client)
+    with pytest.raises(ValueError, match="does not exist"):
+        chyt_execute(spark, "drop function linear_equation", client=client)
+    chyt_execute(
+        spark, "drop function if exists linear_equation", client=client
+    )
+    with pytest.raises(Exception):
+        chyt_query(
+            spark,
+            "select linear_equation(number, 2, 1) from numbers(3)",
+            client=client,
+        ).collect()
+
+
+def test_sql_udf_replace_and_bad_names(spark, client):
+    # test_replace_udf: plain re-CREATE errors, OR REPLACE swaps the body
+    chyt_execute(
+        spark,
+        "create function linear_equation as (x, k, b) -> k*x + b",
+        client=client,
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        chyt_execute(
+            spark,
+            "create function linear_equation as (x, k) -> k*x",
+            client=client,
+        )
+    chyt_execute(
+        spark,
+        "create or replace function linear_equation as (x, k) -> k*x",
+        client=client,
+    )
+    r = chyt_query(
+        spark,
+        "select linear_equation(number, 2) as result from numbers(1)",
+        client=client,
+    ).first()
+    assert r.result == 0
+    # test_bad_udf_name: non-identifier names are rejected
+    for bad in ('"@acl"', '"some/path"'):
+        with pytest.raises(ValueError, match="invalid function name"):
+            chyt_execute(
+                spark,
+                f"create function {bad} as (x, k) -> k*x",
+                client=client,
+            )
+    # test_bad_query_in_cypress: a malformed persisted statement surfaces
+    # at CALL time, not at load time
+    client.write_file(
+        "//sys/chyt/clique/user_defined_sql_functions/broken",
+        b"create function broken as (x, k, b) ->",
+    )
+    with pytest.raises(ValueError, match="Failed to parse"):
+        chyt_query(
+            spark, "select broken(1, 2, 3) as r from numbers(1)",
+            client=client,
+        )
+    # unrelated queries are unaffected by the broken definition
+    assert chyt_query(
+        spark,
+        "select linear_equation(number, 3) as r from numbers(1)",
+        client=client,
+    ).first().r == 0
+
+
+def test_sql_udf_inlining_is_textual_and_nested(spark, client):
+    # composed + nested calls inline fully (stay in whole-stage codegen);
+    # arguments with regex-special characters survive the substitution
+    chyt_execute(
+        spark, "create function double_it as (x) -> x + x", client=client
+    )
+    chyt_execute(
+        spark,
+        "create function quad as (x) -> double_it(double_it(x))",
+        client=client,
+    )
+    r = chyt_query(
+        spark,
+        r"select quad(number + 1) as q, "
+        r"double_it(length('a\\b')) as l from numbers(1)",
+        client=client,
+    ).first()
+    assert r.q == 4 and r.l == 6
+
+
+# --- YT-backed dictionaries (test_yt_dictionaries.py) ------------------------
+
+
+def _flat_dict_config(path="//tmp/dict"):
+    # the reference clique config_patch shape, verbatim
+    return {
+        "name": "dict",
+        "layout": {"flat": {}},
+        "structure": {
+            "id": {"name": "key"},
+            "attribute": [
+                {"name": "value_str", "type": "String", "null_value": "n/a"},
+                {"name": "value_i64", "type": "Int64", "null_value": 42},
+            ],
+        },
+        "lifetime": 0,
+        "source": {"yt": {"path": path}},
+    }
+
+
+def test_dict_int_key_flat(spark, client):
+    # test_int_key_flat: misses return the structure's null_value
+    client.write_table(
+        "//tmp/dict",
+        spark.createDataFrame(
+            [(i, "str" + str(i), i * i) for i in (1, 3, 5)],
+            "key bigint, value_str string, value_i64 bigint",
+        ),
+    )
+    rows = chyt_query(
+        spark,
+        "select number, dictGetString('dict', 'value_str', number) as str, "
+        "dictGetInt64('dict', 'value_i64', number) as i64 from numbers(5) "
+        "order by number",
+        client=client,
+        dictionaries=[_flat_dict_config()],
+    ).collect()
+    assert [(r.number, r.str, r.i64) for r in rows] == [
+        (0, "n/a", 42), (1, "str1", 1), (2, "n/a", 42),
+        (3, "str3", 9), (4, "n/a", 42),
+    ]
+
+
+def test_dict_composite_key_hashed(spark, client):
+    # test_composite_key_hashed: tuple(key, subkey) composite lookup
+    client.write_table(
+        "//tmp/dict",
+        spark.createDataFrame(
+            [("a", 1, "a1"), ("a", 2, "a2"), ("b", 1, "b1")],
+            "key string, subkey bigint, value string",
+        ),
+    )
+    client.write_table(
+        "//tmp/queries",
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 1), ("b", 2)],
+            "key string, subkey bigint",
+        ),
+    )
+    config = {
+        "name": "dict",
+        "layout": {"complex_key_hashed": {}},
+        "structure": {
+            "key": {
+                "attribute": [
+                    {"name": "key", "type": "String"},
+                    {"name": "subkey", "type": "Int64"},
+                ]
+            },
+            "attribute": [
+                {"name": "value", "type": "String", "null_value": "n/a"}
+            ],
+        },
+        "lifetime": 0,
+        "source": {"yt": {"path": "//tmp/dict"}},
+    }
+    rows = chyt_query(
+        spark,
+        "select dictGetString('dict', 'value', tuple(key, subkey)) as value "
+        'from "//tmp/queries" order by key, subkey',
+        client=client,
+        dictionaries=[config],
+    ).collect()
+    assert [r.value for r in rows] == ["a1", "a2", "b1", "n/a"]
+
+
+def test_dict_update_has_default_and_errors(spark, client):
+    # test_lifetime's observable core: a rewritten dict table is seen by
+    # the next query (our reads are always current); dictHas;
+    # dictGetOrDefault; undeclared dictionary errors (CHYT-611)
+    client.write_table(
+        "//tmp/dict",
+        spark.createDataFrame([(42, "x")], "key bigint, value string"),
+    )
+    cfg = {
+        "name": "dict",
+        "layout": {"flat": {}},
+        "structure": {
+            "id": {"name": "key"},
+            "attribute": [
+                {"name": "value", "type": "String", "null_value": "n/a"}
+            ],
+        },
+        "lifetime": 1,
+        "source": {"yt": {"path": "//tmp/dict"}},
+    }
+    q = "select dictGetString('dict', 'value', 42) as value"
+    assert chyt_query(spark, q, client=client,
+                      dictionaries=[cfg]).first().value == "x"
+    client.write_table(
+        "//tmp/dict",
+        spark.createDataFrame([(42, "y")], "key bigint, value string"),
+    )
+    assert chyt_query(spark, q, client=client,
+                      dictionaries=[cfg]).first().value == "y"
+    r = chyt_query(
+        spark,
+        "select dictHas('dict', 42) as h42, dictHas('dict', 7) as h7, "
+        "dictGetOrDefault('dict', 'value', 7, 'fallback') as f",
+        client=client,
+        dictionaries=[cfg],
+    ).first()
+    assert (r.h42, r.h7, r.f) == (True, False, "fallback")
+    # test_dict_does_not_exist
+    with pytest.raises(ValueError, match="not declared"):
+        chyt_query(
+            spark,
+            "select dictGetString('this_dict_does_not_exist', 'value', 1)",
+            client=client,
+        )

@@ -38,7 +38,7 @@ import re
 
 from ytsaurus_spark.yql.dialect import _split_call_args
 
-__all__ = ["translate_chyt", "chyt_query"]
+__all__ = ["translate_chyt", "chyt_query", "resolve_if_defaults"]
 
 
 # CH name (lowercased) -> format template over positional args.
@@ -50,11 +50,16 @@ _CH_FUNCS: dict[str, str] = {
     # matches, not NULL — coalesce matches that. avgIf returns nan on an
     # empty match set; we keep NULL there (documented divergence: NULL is
     # the SQL-portable spelling and DuckDB agrees).
+    # min/max take any orderable type, so the default depends on the
+    # argument's type ('' for String, epoch for Date, 0 for numbers) —
+    # the chyt_if_default marker is resolved by a lazy schema probe in
+    # resolve_if_defaults (chyt_query runs it; text-only callers get the
+    # numeric-0 fallback).
     "countif": "CAST(sum(CASE WHEN {0} THEN 1 ELSE 0 END) AS BIGINT)",
     "sumif": "coalesce(sum(CASE WHEN {1} THEN {0} END), 0)",
     "avgif": "avg(CASE WHEN {1} THEN {0} END)",
-    "minif": "coalesce(min(CASE WHEN {1} THEN {0} END), 0)",
-    "maxif": "coalesce(max(CASE WHEN {1} THEN {0} END), 0)",
+    "minif": "chyt_if_default(min(CASE WHEN {1} THEN {0} END))",
+    "maxif": "chyt_if_default(max(CASE WHEN {1} THEN {0} END))",
     "uniqexact": "count(DISTINCT {0})",
     # date parts
     "toyear": "CAST(year({0}) AS INT)",
@@ -91,7 +96,11 @@ _CH_FUNCS: dict[str, str] = {
     "nullif": "nullif({0}, {1})",
     # arithmetic spellings
     "modulo": "({0} % {1})",
-    "intdiv": "CAST(floor({0} / {1}) AS BIGINT)",
+    # ClickHouse intDiv is C++ integer division (truncation toward zero):
+    # intDiv(-7, 2) = -3. Spark's DIV operator has exactly those
+    # semantics and stays integral (no double rounding at |x| >= 2^53).
+    # DuckDB spells the same operator `//` — oracle texts use that.
+    "intdiv": "({0} DIV {1})",
     "plus": "({0} + {1})",
     "minus": "({0} - {1})",
     "multiply": "({0} * {1})",
@@ -164,6 +173,10 @@ def _clause_end(s: str, keywords=_CLAUSE_KW) -> int:
         if c == "(":
             depth += 1
         elif c == ")":
+            if depth == 0:
+                # unmatched ')': the clause started inside a subquery —
+                # its body cannot extend past the subquery's closing paren
+                return i
             depth -= 1
         elif c == "'":
             j = i + 1
@@ -378,8 +391,21 @@ def _rewrite_yson_funcs(text: str) -> str:
         )
     elif base == "ysonextractkeysandvalues":
         ddl = _ch_type_to_ddl(args[-1])
-        udf = ("chyt_yson_extract_kv_string" if ddl == "string"
-               else "chyt_yson_extract_kv_int")
+        udf = {
+            "string": "chyt_yson_extract_kv_string",
+            "tinyint": "chyt_yson_extract_kv_int",
+            "smallint": "chyt_yson_extract_kv_int",
+            "int": "chyt_yson_extract_kv_int",
+            "bigint": "chyt_yson_extract_kv_int",
+            "decimal(20,0)": "chyt_yson_extract_kv_uint",
+            "float": "chyt_yson_extract_kv_float",
+            "double": "chyt_yson_extract_kv_float",
+            "boolean": "chyt_yson_extract_kv_bool",
+        }.get(ddl)
+        if udf is None:
+            raise ValueError(
+                f"YSONExtractKeysAndValues: unsupported value type {args[-1]}"
+            )
         rep = f"{udf}({args[0]}, {_keys_json_literal(args[1:-1])})"
     elif base in _YPATH_SCALAR:
         sfx = "_strict" if strict else ""
@@ -420,13 +446,20 @@ def _strip_global(text: str) -> str:
         # identify the right-side relation name/alias for the hint
         after = text[m.start() + len(m.group(1)) + 1:]
         if after.lstrip().startswith("("):
-            # subquery: alias follows the closing paren
+            # subquery: alias follows the closing paren — but only a real
+            # alias (an unaliased subquery has no relation name to hint:
+            # the bare word after it is ON/USING/..., not an alias)
             i = after.index("(")
             _, close = _split_call_args(after, i)
-            am = re.match(r"\s*(?:as\s+)?([A-Za-z_]\w*)", after[close:],
-                          re.IGNORECASE)
+            am = re.match(
+                r"\s*(?:as\s+([A-Za-z_]\w*)|"
+                r"(?!on\b|using\b|where\b|order\b|group\b|having\b|limit\b|"
+                r"union\b|settings\b|left\b|right\b|inner\b|full\b|cross\b|"
+                r"join\b|global\b)([A-Za-z_]\w*))",
+                after[close:], re.IGNORECASE,
+            )
             if am:
-                hints.append(am.group(1))
+                hints.append(am.group(1) or am.group(2))
         else:
             rm = re.match(
                 r"\s*([A-Za-z_]\w*)(?:\s+(?:as\s+)?"
@@ -444,6 +477,226 @@ def _strip_global(text: str) -> str:
             text, count=1,
         )
     return text
+
+
+# --- SQL UDFs (CREATE FUNCTION) ----------------------------------------------
+# Reference: yt/chyt/tests/server/test_sql_udf.py:25-130 — ClickHouse
+# lambda UDFs (`CREATE FUNCTION f AS (x, k, b) -> k*x + b`) are persisted
+# to Cypress (user_defined_sql_functions/<name> holds the statement text,
+# test_bad_query_in_cypress) so every instance of the clique sees them.
+# Here: the statement text is stored under the client's tree and calls
+# are inlined at translate time (textual beta-reduction, the same move
+# yql/dialect.py:155 uses for YQL lambdas) — an inlined expression stays
+# JVM-side in whole-stage codegen, unlike a Python UDF.
+
+_CREATE_FN_RE = re.compile(
+    r"(?is)^\s*create\s+(?:(or\s+replace)\s+)?function\s+"
+    r"(?:(if\s+not\s+exists)\s+)?"
+    r'([A-Za-z_]\w*|"[^"]*"|`[^`]*`)\s+as\s*'
+    r"\(([^)]*)\)\s*->\s*(.+)$"
+)
+_DROP_FN_RE = re.compile(
+    r'(?is)^\s*drop\s+function\s+(?:(if\s+exists)\s+)?([A-Za-z_]\w*|"[^"]*"|`[^`]*`)\s*$'
+)
+
+# the reference stores UDFs under the clique's strawberry node
+# (//sys/strawberry/chyt/<alias>/user_defined_sql_functions); the client
+# tree analog:
+_UDF_DIR = "//sys/chyt/clique/user_defined_sql_functions"
+
+
+def _fn_name(tok: str) -> str:
+    """Unquote + validate a CREATE/DROP FUNCTION name. The reference
+    rejects names that aren't plain identifiers ('@acl', 'some/path' —
+    test_bad_udf_name) because they become Cypress node names."""
+    if tok[0] in "\"`":
+        tok = tok[1:-1]
+    if not re.fullmatch(r"[A-Za-z_]\w*", tok):
+        raise ValueError(f"invalid function name {tok!r}")
+    return tok
+
+
+def _parse_udf(stmt: str) -> tuple[str, list[str], str]:
+    """CREATE FUNCTION statement text -> (name, params, body_expr)."""
+    m = _CREATE_FN_RE.match(stmt.strip().rstrip(";"))
+    if not m:
+        raise ValueError(
+            f"Failed to parse user defined function statement: {stmt!r}"
+        )
+    name = _fn_name(m.group(3))
+    params = [p.strip() for p in m.group(4).split(",") if p.strip()]
+    if len(set(params)) != len(params) or not all(
+        re.fullmatch(r"[A-Za-z_]\w*", p) for p in params
+    ):
+        raise ValueError(f"invalid parameter list in function {name}")
+    return name, params, m.group(5).strip()
+
+
+def _load_udfs(client) -> dict[str, tuple[list[str], str]]:
+    """Read every persisted UDF statement; parse errors surface on USE
+    (the reference defers to call time — test_bad_query_in_cypress)."""
+    if client is None or not client.exists(_UDF_DIR):
+        return {}
+    out = {}
+    for name in client.list(_UDF_DIR):
+        out[name] = client.read_file(f"{_UDF_DIR}/{name}").decode()
+    return out
+
+
+def _inline_udfs(text: str, udfs: dict[str, str]) -> str:
+    """Beta-reduce user-function calls: f(a, b) -> (body[x:=(a), y:=(b)]).
+    Callable replacement (never str templates) so argument text containing
+    backslashes or '\\g<1>' survives verbatim."""
+    if not udfs:
+        return text
+    for _ in range(16):  # nested/composed calls; depth-capped
+        m = _CH_CALL.search(text)
+        while m and m.group(1) not in udfs:
+            m = _CH_CALL.search(text, m.end())
+        if not m:
+            return text
+        name, params, body = _parse_udf(udfs[m.group(1)])
+        open_idx = text.index("(", m.end() - 1)
+        args, end = _split_call_args(text, open_idx)
+        args = [a.strip() for a in args]
+        if len(args) != len(params):
+            raise ValueError(
+                f"function {name} expects {len(params)} arguments, "
+                f"got {len(args)}"
+            )
+        expr = body
+        for p, a in zip(params, args):
+            expr = re.sub(
+                rf"\b{re.escape(p)}\b", lambda _m, a=a: f"({a})", expr
+            )
+        text = text[: m.start()] + f"({expr})" + text[end:]
+    raise ValueError("user function expansion exceeded depth 16 (cycle?)")
+
+
+# --- YT-backed dictionaries (dictGet) -----------------------------------------
+# Reference: yt/chyt/tests/server/test_yt_dictionaries.py:12-210 — a YT
+# table declared as a ClickHouse external dictionary; dictGet*('name',
+# 'attr', key) looks keys up, returning the structure's null_value on
+# miss. Spark shape: the dict table is a registered view and dictGet
+# becomes a correlated scalar subquery — Catalyst rewrites it to a LEFT
+# OUTER join, and AQE broadcasts the (small) dictionary side: exactly
+# ClickHouse's in-memory hash/flat layout, but declaratively. Config
+# shape = the reference's clique config_patch entries, verbatim.
+
+_DICTGET = re.compile(
+    r"(?i)\bdict(Get|Has|GetOrDefault)"
+    r"(String|Int64|UInt64|Int32|UInt32|Float64|Float32|Date|DateTime)?"
+    r"\s*\("
+)
+
+_CH_GETTER_DDL = {
+    "string": "string", "int64": "bigint", "uint64": "decimal(20,0)",
+    "int32": "int", "uint32": "bigint", "float64": "double",
+    "float32": "float", "date": "date", "datetime": "timestamp",
+}
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def dictionary_specs(dictionaries) -> dict[str, dict]:
+    """Normalize reference-shaped dictionary configs (config_patch
+    ``clickhouse.dictionaries`` entries) into lookup specs."""
+    specs: dict[str, dict] = {}
+    for d in dictionaries or []:
+        st = d["structure"]
+        if "id" in st:
+            keys = [st["id"]["name"]]
+        else:
+            keys = [a["name"] for a in st["key"]["attribute"]]
+        attrs = {
+            a["name"]: (a.get("type", "String"), a.get("null_value"))
+            for a in st.get("attribute", [])
+        }
+        specs[d["name"]] = {
+            "path": d["source"]["yt"]["path"],
+            "keys": keys,
+            "attrs": attrs,
+            "view": "__chyt_dict_" + re.sub(r"\W", "_", d["name"]),
+        }
+    return specs
+
+
+def _key_exprs(key_arg: str, n_keys: int) -> list[str]:
+    """Split a dictGet key argument into per-key-column expressions:
+    tuple(a, b) (the composite-key spelling) or a single expression."""
+    m = re.match(r"(?is)^\s*tuple\s*\(", key_arg)
+    if m:
+        args, end = _split_call_args(key_arg, key_arg.index("(", m.end() - 1))
+        if key_arg[end:].strip():
+            raise ValueError(f"malformed dictionary key {key_arg!r}")
+        exprs = [a.strip() for a in args]
+    else:
+        exprs = [key_arg.strip()]
+    if len(exprs) != n_keys:
+        raise ValueError(
+            f"dictionary key arity mismatch: got {len(exprs)}, "
+            f"dictionary declares {n_keys} key column(s)"
+        )
+    return exprs
+
+
+def _rewrite_dictget(text: str, specs: dict[str, dict]) -> str:
+    """dictGet*/dictHas/dictGetOrDefault -> correlated scalar subqueries
+    over the registered dictionary views."""
+    m = _DICTGET.search(text)
+    if not m:
+        return text
+    kind, suffix = m.group(1).lower(), (m.group(2) or "").lower()
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    args = [_rewrite_dictget(a.strip(), specs) for a in args]
+    dict_name = args[0].strip().strip("'\"")
+    spec = specs.get(dict_name)
+    if spec is None:
+        raise ValueError(f"dictionary {dict_name!r} is not declared")
+    view = spec["view"]
+
+    # the view's columns are registered under reserved __dk_/__da_ names
+    # so an outer column spelled like a dictionary column ('key = (key)')
+    # can't be captured by the subquery's inner scope
+    if kind == "has":
+        exprs = _key_exprs(args[1], len(spec["keys"]))
+        cond = " AND ".join(
+            f"__dk_{i} = ({e})" for i, e in enumerate(exprs)
+        )
+        rep = f"((SELECT count(*) FROM {view} WHERE {cond}) > 0)"
+        return text[: m.start()] + rep + _rewrite_dictget(text[end:], specs)
+
+    attr = args[1].strip().strip("'\"")
+    if attr not in spec["attrs"]:
+        raise ValueError(
+            f"dictionary {dict_name!r} has no attribute {attr!r}"
+        )
+    decl_type, null_value = spec["attrs"][attr]
+    exprs = _key_exprs(args[2], len(spec["keys"]))
+    cond = " AND ".join(f"__dk_{i} = ({e})" for i, e in enumerate(exprs))
+    ddl = _CH_GETTER_DDL.get(suffix or decl_type.lower())
+    if ddl is None:
+        raise ValueError(f"unsupported dictGet type {suffix or decl_type!r}")
+    sub = f"(SELECT CAST(__da_{attr} AS {ddl}) FROM {view} WHERE {cond})"
+    if kind == "getordefault":
+        default = f"({args[3]})"
+    elif null_value is not None:
+        default = f"CAST({_sql_literal(null_value)} AS {ddl})"
+    else:
+        # ClickHouse structure entries default null_value to the type
+        # default ('' / 0 / epoch)
+        default = f"CAST({_TYPE_DEFAULT.get(ddl, '0')} AS {ddl})"
+    rep = f"coalesce({sub}, {default})"
+    return text[: m.start()] + rep + _rewrite_dictget(text[end:], specs)
 
 
 # CHYT virtual columns ($table_index/$table_path/$table_name on table
@@ -857,6 +1110,73 @@ def _resolve_totypename(s2, sql: str) -> str:
     return out
 
 
+_IF_DEFAULT = re.compile(r"\bchyt_if_default\s*\(")
+
+# Spark simple type -> ClickHouse type-default literal (*If combinators
+# return the argument type's DEFAULT on an empty match set:
+# 0 / '' / epoch / false — DataTypeFactory defaults).
+_TYPE_DEFAULT = {
+    "string": "''",
+    "date": "DATE '1970-01-01'",
+    "timestamp": "TIMESTAMP '1970-01-01 00:00:00'",
+    "boolean": "false",
+}
+
+
+def resolve_if_defaults(sql: str, analyze=None) -> str:
+    """Resolve ``chyt_if_default(<agg>)`` markers (emitted for minIf/
+    maxIf) into ``coalesce(<agg>, <typed default>)``. ``analyze(probe_sql)
+    -> {alias: spark_simple_type}`` supplies argument types via a lazy
+    schema probe (plan analysis only, no execution); without it — or if
+    the probe can't parse (marker outside the select list) — numeric 0 is
+    assumed (the common case and the DuckDB-oracle-portable one).
+    Non-defaultable types (arrays, maps, structs, binary) keep NULL
+    (documented divergence, same policy as avgIf)."""
+    calls = []  # (start, end, inner, span_end_incl_alias)
+    pos = 0
+    while True:
+        m = _IF_DEFAULT.search(sql, pos)
+        if not m:
+            break
+        args, end = _split_call_args(sql, sql.index("(", m.end() - 1))
+        am = re.match(r"(?i)\s+as\s+[A-Za-z_]\w*", sql[end:])
+        calls.append((m.start(), end, args[0].strip(),
+                      end + (am.end() if am else 0)))
+        pos = end
+    if not calls:
+        return sql
+    types = {}
+    if analyze is not None:
+        probe = sql
+        for i, (cs, _ce, inner, se) in reversed(list(enumerate(calls))):
+            probe = probe[:cs] + f"({inner}) AS __ifd_{i}" + probe[se:]
+        try:
+            types = analyze(probe)
+        except Exception:
+            types = {}
+    out = sql
+    for i, (cs, ce, inner, _se) in reversed(list(enumerate(calls))):
+        t = types.get(f"__ifd_{i}", "bigint")
+        if t.startswith(("array", "map", "struct")) or t == "binary":
+            out = out[:cs] + f"({inner})" + out[ce:]
+            continue
+        dflt = _TYPE_DEFAULT.get(t, "0")
+        out = out[:cs] + f"coalesce({inner}, CAST({dflt} AS {t}))" + out[ce:]
+    return out
+
+
+def _spark_analyze(s2):
+    """analyze() impl for resolve_if_defaults over a Spark session: lazy
+    plan analysis only — .schema never launches a job."""
+
+    def analyze(probe: str) -> dict[str, str]:
+        return {
+            f.name: f.dataType.simpleString() for f in s2.sql(probe).schema
+        }
+
+    return analyze
+
+
 def _star_expand(text: str, base_cols: list[str]) -> str:
     """Expand a leading ``select *`` to the BASE columns — CHYT virtual
     columns are excluded from ``*`` (ClickHouse virtual-column rule)."""
@@ -882,7 +1202,8 @@ def _view_name(path: str) -> str:
     return re.sub(r"\W", "_", base)
 
 
-def chyt_query(spark, text: str, client=None, sf_dir: str | None = None):
+def chyt_query(spark, text: str, client=None, sf_dir: str | None = None,
+               dictionaries=None):
     """Execute CHYT-style SQL and return the DataFrame. ``client`` (a
     YtClient) resolves cypress paths and the table functions
     (concatYtTables*/ytTables/ytList*/ytNodeAttributes/ytListLogTables/
@@ -891,7 +1212,13 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None):
     ``$table_index/$table_path/$table_name`` virtual columns and
     ``toTypeName``/``DESCRIBE`` introspection are supported. ``DESCRIBE``
     and the node-listing functions are driver-side metadata ops; data
-    reads stay distributed parquet scans."""
+    reads stay distributed parquet scans.
+
+    ``dictionaries`` takes reference-shaped external-dictionary configs
+    (clique config_patch ``clickhouse.dictionaries`` entries,
+    test_yt_dictionaries.py) enabling dictGet*/dictHas/dictGetOrDefault;
+    user functions persisted by ``CREATE FUNCTION`` (chyt_execute) are
+    inlined at call sites."""
     s2 = spark.newSession() if not getattr(spark, "_chyt_session", False) else spark
     s2._chyt_session = True
     from ytsaurus_spark.functions.chyt_yson import register_yson_functions
@@ -906,6 +1233,32 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None):
     exec_client = (
         type(client)(root=client.root, spark=s2) if client is not None else None
     )
+
+    udfs = _load_udfs(exec_client)
+    if udfs:
+        text = _inline_udfs(text, udfs)
+    if dictionaries:
+        from pyspark.sql import functions as F
+
+        specs = dictionary_specs(dictionaries)
+        for spec in specs.values():
+            p = spec["path"]
+            if exec_client is not None and exec_client.exists(p):
+                df = exec_client.read_table(p)
+            else:
+                df = s2.table(_view_name(p))
+            df.select(
+                *(F.col(k).alias(f"__dk_{i}")
+                  for i, k in enumerate(spec["keys"])),
+                *(F.col(a).alias(f"__da_{a}") for a in spec["attrs"]),
+            ).createOrReplaceTempView(spec["view"])
+        text = _rewrite_dictget(text, specs)
+    elif _DICTGET.search(text):
+        m = _DICTGET.search(text)
+        args, _ = _split_call_args(text, text.index("(", m.end() - 1))
+        raise ValueError(
+            f"dictionary {args[0].strip().strip(chr(39))!r} is not declared"
+        )
 
     dm = re.match(r"(?is)^describe\s+(?:table\s+)?(.+)$", text)
     if dm:
@@ -956,6 +1309,7 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None):
             df.createOrReplaceTempView(_view_name(p))
     sql = translate_chyt(text, resolve=_view_name)
     sql = _resolve_totypename(s2, sql)
+    sql = resolve_if_defaults(sql, analyze=_spark_analyze(s2))
     return s2.sql(sql)
 
 
@@ -996,13 +1350,37 @@ _CH_TYPES = {
 }
 
 
-def chyt_execute(spark, text: str, client, sf_dir: str | None = None):
+def chyt_execute(spark, text: str, client, sf_dir: str | None = None,
+                 dictionaries=None):
     """Execute a CHYT statement including mutations: INSERT INTO (VALUES
     or SELECT source; ``<append=%false>`` overwrites), CREATE TABLE …
-    ENGINE YtTable(), DROP TABLE. Reads fall through to
-    :func:`chyt_query`. Returns the result DataFrame for reads, None
-    for writes."""
+    ENGINE YtTable(), DROP TABLE, CREATE [OR REPLACE] FUNCTION / DROP
+    FUNCTION (persisted under the client's tree — test_sql_udf.py).
+    Reads fall through to :func:`chyt_query`. Returns the result
+    DataFrame for reads, None for writes."""
     stmt = text.strip().rstrip(";")
+
+    m = _CREATE_FN_RE.match(stmt)
+    if m:
+        name, _params, _body = _parse_udf(stmt)  # validates name + shape
+        path = f"{_UDF_DIR}/{name}"
+        if client.exists(path):
+            if m.group(2):  # IF NOT EXISTS
+                return None
+            if not m.group(1):  # no OR REPLACE
+                raise ValueError(f"function {name} already exists")
+        client.write_file(path, stmt.encode())
+        return None
+
+    m = _DROP_FN_RE.match(stmt)
+    if m:
+        name = _fn_name(m.group(2))
+        path = f"{_UDF_DIR}/{name}"
+        if client.exists(path):
+            client.remove(path)
+        elif not m.group(1):  # no IF EXISTS
+            raise ValueError(f"function {name} does not exist")
+        return None
 
     m = _CREATE_AS_RE.match(stmt)
     if m:
@@ -1097,4 +1475,5 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None):
             client.write_table(path, df, append=append)
         return None
 
-    return chyt_query(spark, stmt, client=client, sf_dir=sf_dir)
+    return chyt_query(spark, stmt, client=client, sf_dir=sf_dir,
+                      dictionaries=dictionaries)

@@ -404,6 +404,42 @@ def _yson_extract_kv_int(value, keys, default=None):
     return out
 
 
+def _yson_extract_kv_uint(value, keys, default=None):
+    found, node = _walk_keys(value, keys)
+    if not found or not isinstance(node, dict):
+        return None
+    out = []
+    for k, v in node.items():
+        ok, val = _coerce(v, "uint64")
+        if ok:
+            out.append((k, val))
+    return out
+
+
+def _yson_extract_kv_float(value, keys, default=None):
+    found, node = _walk_keys(value, keys)
+    if not found or not isinstance(node, dict):
+        return None
+    out = []
+    for k, v in node.items():
+        ok, val = _coerce(v, "double")
+        if ok:
+            out.append((k, val))
+    return out
+
+
+def _yson_extract_kv_bool(value, keys, default=None):
+    found, node = _walk_keys(value, keys)
+    if not found or not isinstance(node, dict):
+        return None
+    out = []
+    for k, v in node.items():
+        ok, val = _coerce(v, "boolean")
+        if ok:
+            out.append((k, val))
+    return out
+
+
 def _yson_extract_kv_string(value, keys, default=None):
     found, node = _walk_keys(value, keys)
     if not found or not isinstance(node, dict):
@@ -483,5 +519,11 @@ def register_yson_functions(spark) -> None:
         "array<struct<_1:string,_2:bigint>>")
     reg("chyt_yson_extract_kv_string", _yson_fn(_yson_extract_kv_string),
         "array<struct<_1:string,_2:string>>")
+    reg("chyt_yson_extract_kv_uint", _yson_fn(_yson_extract_kv_uint),
+        "array<struct<_1:string,_2:decimal(20,0)>>")
+    reg("chyt_yson_extract_kv_float", _yson_fn(_yson_extract_kv_float),
+        "array<struct<_1:string,_2:double>>")
+    reg("chyt_yson_extract_kv_bool", _yson_fn(_yson_extract_kv_bool),
+        "array<struct<_1:string,_2:boolean>>")
     reg("chyt_yson_json", _yson_fn(_yson_json), "string")
     reg("chyt_convert_yson", _convert_yson, "string")

@@ -46,9 +46,15 @@ order by lang
 
 
 def _make(name: str, text: str, doc: str) -> None:
-    from ytsaurus_spark.chyt import translate_chyt
+    import re
 
-    oracle = translate_chyt(text)
+    from ytsaurus_spark.chyt import resolve_if_defaults, translate_chyt
+
+    # DuckDB-ize the translated text: minIf/maxIf default markers resolve
+    # to the numeric fallback (every registered *If here is numeric), and
+    # Spark's truncating integer division `DIV` is spelled `//` in DuckDB.
+    oracle = resolve_if_defaults(translate_chyt(text))
+    oracle = re.sub(r"\bDIV\b", "//", oracle)
 
     @register(name, oracle)
     def run(spark: SparkSession, sf_dir: str, _text: str = text) -> DataFrame:

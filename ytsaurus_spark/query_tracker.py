@@ -109,9 +109,12 @@ class QueryTracker:
         """CHYT engine: ClickHouse-dialect text (double-quoted cypress
         paths, PREWHERE, *If combinators — ytsaurus_spark/chyt.py)
         against the tracker session's registered views."""
-        from ytsaurus_spark.chyt import translate_chyt
+        from ytsaurus_spark.chyt import (
+            _spark_analyze, resolve_if_defaults, translate_chyt,
+        )
 
-        return spark.sql(translate_chyt(q))
+        sql = resolve_if_defaults(translate_chyt(q), analyze=_spark_analyze(spark))
+        return spark.sql(sql)
 
     # -- record store (atomic manifest, tx_table.py protocol) -----------
 
