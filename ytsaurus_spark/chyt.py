@@ -253,6 +253,59 @@ def _fold_prewhere(text: str) -> str:
     return text[: m.start()] + f"WHERE ({pred}) " + _fold_prewhere(tail)
 
 
+_CAST_CALL = re.compile(r"(?i)\bcast\s*\(")
+_TOP_AS = re.compile(r"(?is)\s+as\s+")
+
+
+def _rewrite_cast_types(text: str) -> str:
+    """ClickHouse type names inside CAST: ``CAST(x as DateTime)`` and the
+    two-argument form ``CAST(x, 'Nullable(Int64)')`` (test_common.py::
+    test_cast, test_join_and_in.py) → Spark DDL types. Unknown type
+    tokens pass through untouched (they're already Spark types)."""
+    m = _CAST_CALL.search(text)
+    if not m:
+        return text
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    rep = None
+    if len(args) == 2:
+        t = args[1].strip()
+        if len(t) >= 2 and t[0] in "'\"" and t[-1] == t[0]:
+            try:
+                ddl = _ch_type_to_ddl(t[1:-1])
+            except ValueError:
+                ddl = None
+            if ddl is not None:
+                rep = f"CAST({_rewrite_cast_types(args[0].strip())} AS {ddl})"
+    elif len(args) == 1:
+        # split the LAST top-level ' as ' (the cast target)
+        body = args[0]
+        split_at = None
+        depth = 0
+        for am in _TOP_AS.finditer(body):
+            d = (body[: am.start()].count("(")
+                 - body[: am.start()].count(")"))
+            if d == 0:
+                split_at = am
+        if split_at is not None:
+            expr, t = body[: split_at.start()], body[split_at.end():]
+            try:
+                ddl = _ch_type_to_ddl(t.strip())
+            except ValueError:
+                ddl = None
+            if ddl is not None:
+                rep = f"CAST({_rewrite_cast_types(expr.strip())} AS {ddl})"
+    if rep is None:
+        inner = _rewrite_cast_types(text[open_idx + 1:end - 1])
+        rep = f"CAST({inner})"
+    return text[: m.start()] + rep + _rewrite_cast_types(text[end:])
+
+
+# ClickHouse allows a bare column list after USING; Spark requires parens
+_USING_BARE = re.compile(
+    r"(?is)\busing\s+(?!\()([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
+)
+
 _SAMPLE = re.compile(r"(?is)\bsample\s+(0?\.\d+|1\.0|[0-9]+)\b")
 
 
@@ -729,10 +782,12 @@ def translate_chyt(text: str, resolve=None) -> str:
         lambda m: f"{m.group(1)} {resolve(m.group(2))}", text
     )
     text = _strip_global(text)
+    text = _USING_BARE.sub(lambda m: "USING (" + m.group(1) + ")", text)
     text = _rewrite_virtual_cols(text)
     text = _fold_prewhere(text)
     text = _rewrite_sample(text)
     text = _rewrite_multiif(text)
+    text = _rewrite_cast_types(text)
     text = _rewrite_yson_funcs(text)
     return _rewrite_ch_funcs(text)
 
@@ -1146,16 +1201,24 @@ def resolve_if_defaults(sql: str, analyze=None) -> str:
     if not calls:
         return sql
     types = {}
+    probed = False
     if analyze is not None:
         probe = sql
         for i, (cs, _ce, inner, se) in reversed(list(enumerate(calls))):
             probe = probe[:cs] + f"({inner}) AS __ifd_{i}" + probe[se:]
         try:
             types = analyze(probe)
+            probed = True
         except Exception:
-            types = {}
+            # marker outside a select-list position (HAVING, inside a
+            # CAST): fall through to NULL passthrough below — a wrong
+            # numeric default could be a type error, NULL never is
+            pass
     out = sql
     for i, (cs, ce, inner, _se) in reversed(list(enumerate(calls))):
+        if analyze is not None and not probed:
+            out = out[:cs] + f"({inner})" + out[ce:]
+            continue
         t = types.get(f"__ifd_{i}", "bigint")
         if t.startswith(("array", "map", "struct")) or t == "binary":
             out = out[:cs] + f"({inner})" + out[ce:]
@@ -1325,12 +1388,26 @@ _INSERT_RE = re.compile(
 )
 _CREATE_RE = re.compile(
     r'(?is)^\s*create\s+table\s+["`](//[^"`]+)["`]\s*\(([^)]*)\)'
-    r"\s*engine\s*[= ]?\s*YtTable\s*\(\s*\)\s*$"
+    r"\s*engine\s*[= ]?\s*YtTable\s*\(\s*\)"
+    r"\s*(?:order\s+by\s+(\([^)]*\)|[A-Za-z_]\w*))?\s*$"
 )
 _CREATE_AS_RE = re.compile(
     r'(?is)^\s*create\s+table\s+["`](//[^"`]+)["`]\s*'
-    r"engine\s*[= ]?\s*YtTable\s*\(\s*\)\s*as\s+(select\b.*)$"
+    r"engine\s*[= ]?\s*YtTable\s*\(\s*\)"
+    r"\s*(?:order\s+by\s+(\([^)]*\)|[A-Za-z_]\w*))?\s*as\s+(select\b.*)$"
 )
+_EXISTS_RE = re.compile(
+    r'(?is)^\s*exists\s+table\s+["`](//[^"`]+)["`]\s*$'
+)
+
+
+def _order_by_cols(tok: str | None) -> list[str]:
+    """CREATE TABLE's ``order by (a, b)`` / ``order by a`` clause → key
+    column list (test_mutations.py::test_create_table_simple: key columns
+    move to the FRONT of the stored schema and become the sort key)."""
+    if not tok:
+        return []
+    return [c.strip() for c in tok.strip("() \t\n").split(",") if c.strip()]
 _DROP_RE = re.compile(
     r'(?is)^\s*drop\s+table\s+(if\s+exists\s+)?["`](//[^"`]+)["`]\s*$'
 )
@@ -1382,12 +1459,32 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None,
             raise ValueError(f"function {name} does not exist")
         return None
 
+    m = _EXISTS_RE.match(stmt)
+    if m:
+        # EXISTS TABLE "//p" -> one row, column `result` (test_common.py::
+        # test_exists_table); a non-table node is an error
+        p = m.group(1)
+        if client.exists(p):
+            if _node_type(client, p) != "table":
+                raise ValueError(f"EXISTS TABLE: {p} is not a table")
+            v = 1
+        else:
+            v = 0
+        return spark.createDataFrame([(v,)], "result int")
+
     m = _CREATE_AS_RE.match(stmt)
     if m:
-        # CREATE TABLE "//p" ENGINE YtTable() AS SELECT ...
-        # (test_composite.py:64): schema inferred from the query
-        df = chyt_query(spark, m.group(2), client=client, sf_dir=sf_dir)
+        # CREATE TABLE "//p" ENGINE YtTable() [ORDER BY k] AS SELECT ...
+        # (test_composite.py:64, test_mutations.py:478): schema inferred
+        # from the query; ORDER BY keys become the table's sort key
+        df = chyt_query(spark, m.group(3), client=client, sf_dir=sf_dir)
+        keys = _order_by_cols(m.group(2))
+        if keys:
+            df = df.select(*keys, *(c for c in df.columns if c not in keys))
+            df = df.sort(*keys)
         client.write_table(m.group(1), df, append=False)
+        if keys:
+            client.set(m.group(1) + "/@sorted_by", keys)
         return None
 
     m = _CREATE_RE.match(stmt)
@@ -1398,9 +1495,25 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None,
             t = _CH_TYPES.get(ch_type.lower())
             if t is None:
                 raise ValueError(f"unsupported ClickHouse type {ch_type!r}")
-            cols.append(f"{name} {t}")
-        empty = spark.createDataFrame([], ", ".join(cols))
+            cols.append((name, t))
+        if client.exists(m.group(1)):
+            raise ValueError(
+                f"CREATE TABLE: {m.group(1)} already exists"
+            )
+        keys = _order_by_cols(m.group(3))
+        unknown = [k for k in keys if k not in {n for n, _ in cols}]
+        if unknown:
+            raise ValueError(f"ORDER BY references unknown columns {unknown}")
+        # key columns move to the front of the stored schema
+        # (test_create_table_simple)
+        cols.sort(key=lambda nt: (nt[0] not in keys,
+                                  keys.index(nt[0]) if nt[0] in keys else 0))
+        empty = spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in cols)
+        )
         client.write_table(m.group(1), empty, append=False)
+        if keys:
+            client.set(m.group(1) + "/@sorted_by", keys)
         return None
 
     m = _DROP_RE.match(stmt)

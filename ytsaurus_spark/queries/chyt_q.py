@@ -235,3 +235,503 @@ def chyt_numbers_fn(spark, sf_dir):
         "from numbers(100)",
         sf_dir=sf_dir,
     )
+
+
+# --- round-9 breadth: SQL UDFs, dictionaries, function-spelling coverage ----
+# Reference query shapes: yt/chyt/tests/server/test_sql_udf.py,
+# test_yt_dictionaries.py, test_common.py, test_composite.py,
+# test_join_and_in.py. Every entry is strict-oracle-checked on DuckDB.
+
+
+@register(
+    "chyt_udf_lambda",
+    """
+    SELECT l_returnflag,
+           CAST(sum(2 * l_quantity + 1) AS BIGINT) AS s
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def chyt_udf_lambda(spark, sf_dir):
+    """CREATE FUNCTION lambda UDF (test_sql_udf.py:25): the persisted
+    `(x, k, b) -> k*x + b` definition is inlined at the call site —
+    the aggregated expression stays a JVM built-in chain (whole-stage
+    codegen), never a Python UDF."""
+    import tempfile
+
+    from ytsaurus_spark.chyt import chyt_execute
+    from ytsaurus_spark.client import YtClient
+
+    client = YtClient(root=tempfile.mkdtemp(prefix="chyt_udf_"), spark=spark)
+    chyt_execute(
+        spark,
+        "create function linear_equation as (x, k, b) -> k*x + b",
+        client=client,
+    )
+    return chyt_execute(
+        spark,
+        'select l_returnflag, '
+        'CAST(sum(linear_equation(l_quantity, 2, 1)) AS BIGINT) as s '
+        'from "//home/tpch/lineitem" group by l_returnflag '
+        "order by l_returnflag",
+        client=client,
+        sf_dir=sf_dir,
+    )
+
+
+_NATION_DICT = {
+    "name": "nations",
+    "layout": {"flat": {}},
+    "structure": {
+        "id": {"name": "n_nationkey"},
+        "attribute": [
+            {"name": "n_name", "type": "String", "null_value": "none"},
+        ],
+    },
+    "lifetime": 0,
+    "source": {"yt": {"path": "//home/tpch/nation"}},
+}
+
+
+@register(
+    "chyt_dictget_flat",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(coalesce(
+               (SELECT n_name FROM nation WHERE n_nationkey = (c_custkey % 30)),
+               'none'))) AS BIGINT) AS name_chars
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def chyt_dictget_flat(spark, sf_dir):
+    """dictGetString over a flat int-keyed YT dictionary
+    (test_yt_dictionaries.py:12): misses (c_custkey % 30 >= 25) return
+    the declared null_value. The correlated scalar subquery is rewritten
+    by Catalyst into a LEFT OUTER equi-join that AQE broadcasts — the
+    Spark analog of ClickHouse's in-memory flat layout."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select c_mktsegment, CAST(count(*) AS BIGINT) as n, "
+        "CAST(sum(length(dictGetString('nations', 'n_name', "
+        "modulo(c_custkey, 30)))) AS BIGINT) as name_chars "
+        'from "//home/tpch/customer" group by c_mktsegment '
+        "order by c_mktsegment",
+        sf_dir=sf_dir,
+        dictionaries=[_NATION_DICT],
+    )
+
+
+@register(
+    "chyt_dictget_composite",
+    """
+    SELECT r_name,
+           CAST(sum(coalesce(
+               (SELECT CAST(n_nationkey AS BIGINT) FROM nation n2
+                WHERE n2.n_regionkey = (nation.n_regionkey)
+                  AND n2.n_name = (nation.n_name)), 0)) AS BIGINT) AS sum_keys
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def chyt_dictget_composite(spark, sf_dir):
+    """Composite-key dictionary (test_yt_dictionaries.py::
+    test_composite_key_hashed): dictGetInt64('d', attr, tuple(k1, k2))
+    splits the tuple into per-key-column equalities."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    cfg = {
+        "name": "natc",
+        "layout": {"complex_key_hashed": {}},
+        "structure": {
+            "key": {
+                "attribute": [
+                    {"name": "n_regionkey", "type": "Int32"},
+                    {"name": "n_name", "type": "String"},
+                ]
+            },
+            "attribute": [
+                {"name": "n_nationkey", "type": "Int64", "null_value": 0},
+            ],
+        },
+        "lifetime": 0,
+        "source": {"yt": {"path": "//home/tpch/nation"}},
+    }
+    return chyt_query(
+        spark,
+        "select r_name, CAST(sum(dictGetInt64('natc', 'n_nationkey', "
+        "tuple(n_regionkey, n_name))) AS BIGINT) as sum_keys "
+        'from "//home/tpch/nation" join "//home/tpch/region" '
+        "on r_regionkey = n_regionkey group by r_name order by r_name",
+        sf_dir=sf_dir,
+        dictionaries=[cfg],
+    )
+
+
+@register(
+    "chyt_dicthas_default",
+    """
+    SELECT CAST(n AS BIGINT) AS number,
+           ((SELECT count(*) FROM region WHERE r_regionkey = n) > 0) AS has_r,
+           coalesce((SELECT r_name FROM region WHERE r_regionkey = n),
+                    'missing') AS nm
+    FROM (SELECT unnest(generate_series(0, 7)) AS n)
+    ORDER BY number
+    """,
+)
+def chyt_dicthas_default(spark, sf_dir):
+    """dictHas + dictGetOrDefault (test_yt_dictionaries.py API family):
+    membership probes and caller-supplied defaults over the numbers()
+    generated relation."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    cfg = {
+        "name": "regions",
+        "layout": {"flat": {}},
+        "structure": {
+            "id": {"name": "r_regionkey"},
+            "attribute": [{"name": "r_name", "type": "String"}],
+        },
+        "lifetime": 0,
+        "source": {"yt": {"path": "//home/tpch/region"}},
+    }
+    return chyt_query(
+        spark,
+        "select number, dictHas('regions', number) as has_r, "
+        "dictGetOrDefault('regions', 'r_name', number, 'missing') as nm "
+        "from numbers(8) order by number",
+        sf_dir=sf_dir,
+        dictionaries=[cfg],
+    )
+
+
+@register(
+    "chyt_multiif_bands",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY band
+    """,
+)
+def chyt_multiif_bands(spark, sf_dir):
+    """multiIf -> chained CASE (test_common.py function spellings)."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select multiIf(o_totalprice < 50000e0, 'low', "
+        "o_totalprice < 150000e0, 'mid', 'high') as band, "
+        "CAST(count(*) AS BIGINT) as n "
+        'from "//home/tpch/orders" group by 1 order by band',
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_array_spellings",
+    """
+    SELECT [1, 2, 3] AS cc, [2, 3] AS sl, [3, 2, 1] AS rv, [1, 2, 3] AS ds,
+           true AS h, true AS e, true AS ne
+    """,
+)
+def chyt_array_spellings(spark, sf_dir):
+    """ClickHouse array function spellings beyond the r8 set:
+    arrayConcat/arraySlice/arrayReverse/arrayDistinct/arraySort, has,
+    empty/notEmpty (test_composite.py shapes)."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(spark, """
+        select arrayConcat(array(1, 2), array(3)) as cc,
+               arraySlice(array(1, 2, 3, 4), 2, 2) as sl,
+               arrayReverse(array(1, 2, 3)) as rv,
+               arraySort(arrayDistinct(array(3, 1, 3, 2))) as ds,
+               has(array(1, 2), 2) as h,
+               empty('') as e,
+               notEmpty('x') as ne
+    """, sf_dir=sf_dir)
+
+
+@register(
+    "chyt_string_fns",
+    """
+    SELECT lang,
+           CAST(sum(CASE WHEN starts_with(text, 'A') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN ends_with(text, '.') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dot
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def chyt_string_fns(spark, sf_dir):
+    """startsWith/endsWith inside *If combinators over the documents
+    corpus — string predicates stay JVM-side codegen."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select lang, "
+        "CAST(countIf(startsWith(text, 'A')) AS BIGINT) as n_a, "
+        "CAST(countIf(endsWith(text, '.')) AS BIGINT) as n_dot "
+        'from "//home/x/documents" group by lang order by lang',
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_group_arrays",
+    """
+    SELECT n_regionkey, list_sort(list(distinct n_name)) AS names
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def chyt_group_arrays(spark, sf_dir):
+    """groupUniqArray -> collect_set (sorted for determinism — CH's
+    groupUniqArray order is unspecified, so reference tests sort too)."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select n_regionkey, arraySort(groupUniqArray(n_name)) as names "
+        'from "//home/tpch/nation" group by n_regionkey order by n_regionkey',
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_date_hour_parts",
+    """
+    SELECT CAST(hour(ts) AS INT) AS h, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY h
+    """,
+)
+def chyt_date_hour_parts(spark, sf_dir):
+    """toHour over the events stream table."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select toHour(ts) as h, CAST(count(*) AS BIGINT) as n "
+        'from "//home/x/events" group by 1 order by h',
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_argminmax",
+    """
+    SELECT o_orderstatus,
+           max_by(o_orderpriority, o_orderkey) AS last_pri,
+           min_by(o_custkey, o_orderkey) AS first_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def chyt_argminmax(spark, sf_dir):
+    """argMax/argMin -> max_by/min_by; deterministic because o_orderkey
+    is unique."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select o_orderstatus, argMax(o_orderpriority, o_orderkey) as last_pri, "
+        "argMin(o_custkey, o_orderkey) as first_cust "
+        'from "//home/tpch/orders" group by o_orderstatus order by o_orderstatus',
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_null_fns",
+    """
+    SELECT o_orderstatus,
+           CAST(count(nullif(o_orderpriority, '1-URGENT')) AS BIGINT)
+               AS n_not_urgent,
+           CAST(sum(CASE WHEN (nullif(o_orderpriority, '1-URGENT') IS NULL)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def chyt_null_fns(spark, sf_dir):
+    """isNull/nullIf spellings (CH null predicates are functions, not
+    operators)."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select o_orderstatus, "
+        "CAST(count(nullIf(o_orderpriority, '1-URGENT')) AS BIGINT) as n_not_urgent, "
+        "CAST(sum(if(isNull(nullIf(o_orderpriority, '1-URGENT')), 1, 0)) AS BIGINT) "
+        'as n_urgent from "//home/tpch/orders" '
+        "group by o_orderstatus order by o_orderstatus",
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_arith_spellings",
+    """
+    SELECT CAST(14 AS BIGINT) AS a, CAST(6 AS DOUBLE) AS b,
+           CAST(-5 AS BIGINT) AS c, CAST(2 AS BIGINT) AS d,
+           CAST(-3 AS BIGINT) AS e
+    """,
+)
+def chyt_arith_spellings(spark, sf_dir):
+    """Functional arithmetic spellings (plus/minus/multiply/divide/
+    negate/modulo/intDiv) — intDiv(-17, 5) = -3 (truncation toward
+    zero, C++ semantics)."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(spark, """
+        select CAST(plus(2, multiply(3, 4)) AS BIGINT) as a,
+               CAST(minus(10, divide(8, 2)) AS DOUBLE) as b,
+               CAST(negate(5) AS BIGINT) as c,
+               CAST(modulo(17, 5) AS BIGINT) as d,
+               CAST(intDiv(-17, 5) AS BIGINT) as e
+    """, sf_dir=sf_dir)
+
+
+@register(
+    "chyt_totypename",
+    """
+    SELECT 'Int64' AS t_i64, 'String' AS t_str, 'UInt64' AS t_u64,
+           'Array(Int32)' AS t_arr
+    """,
+)
+def chyt_totypename(spark, sf_dir):
+    """toTypeName introspection (test_composite.py): resolved by a lazy
+    schema probe — plan analysis only, no execution."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(spark, """
+        select toTypeName(toInt64(1)) as t_i64,
+               toTypeName('x') as t_str,
+               toTypeName(toUInt64(1)) as t_u64,
+               toTypeName(array(1, 2)) as t_arr
+    """, sf_dir=sf_dir)
+
+
+@register(
+    "chyt_describe_table",
+    """
+    SELECT 'r_regionkey' AS name, 'Nullable(Int32)' AS type
+    UNION ALL
+    SELECT 'r_name', 'Nullable(String)'
+    ORDER BY name
+    """,
+)
+def chyt_describe_table(spark, sf_dir):
+    """DESCRIBE "//path" returns (name, ClickHouse type) rows
+    (test_clickhouse_schema.py)."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark, 'describe "//home/tpch/region"', sf_dir=sf_dir
+    ).orderBy("name")
+
+
+@register(
+    "chyt_global_in_subquery",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_nationkey IN
+          (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+)
+def chyt_global_in_subquery(spark, sf_dir):
+    """GLOBAL IN (test_join_and_in.py): evaluated once and shipped —
+    Spark executes IN-subqueries as a broadcast semi-join already, so
+    GLOBAL strips to plain IN."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        'select CAST(count(*) AS BIGINT) as n from "//home/tpch/customer" '
+        "where c_nationkey global in "
+        '(select n_nationkey from "//home/tpch/nation" where n_regionkey = 2)',
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_if_default_typed",
+    """
+    SELECT coalesce(min(CASE WHEN o_totalprice < 0 THEN CAST(o_orderdate AS DATE)
+                        END), DATE '1970-01-01') AS md,
+           coalesce(max(CASE WHEN o_totalprice < 0 THEN o_orderpriority END),
+                    '') AS mp,
+           coalesce(min(CASE WHEN o_totalprice < 0 THEN o_totalprice END),
+                    CAST(0 AS DOUBLE)) AS mt
+    FROM orders
+    """,
+)
+def chyt_if_default_typed(spark, sf_dir):
+    """minIf/maxIf empty-match defaults are the ARGUMENT type's default
+    (ClickHouse *If combinator semantics): epoch for Date, '' for
+    String, 0 for numbers — resolved by a lazy schema probe."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select minIf(toDate(o_orderdate), o_totalprice < 0e0) as md, "
+        "maxIf(o_orderpriority, o_totalprice < 0e0) as mp, "
+        "minIf(o_totalprice, o_totalprice < 0e0) as mt "
+        'from "//home/tpch/orders"',
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_arrayjoin_split",
+    """
+    SELECT part FROM (SELECT unnest(string_split('a,b,c', ',')) AS part)
+    ORDER BY part
+    """,
+)
+def chyt_arrayjoin_split(spark, sf_dir):
+    """arrayJoin(splitByChar(...)) -> explode(split(...)): CH's
+    row-expanding function maps onto Spark's generator expression."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select arrayJoin(splitByChar(',', 'a,b,c')) as part order by part",
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_sample_full",
+    "SELECT CAST(count(*) AS BIGINT) AS n FROM supplier",
+)
+def chyt_sample_full(spark, sf_dir):
+    """SAMPLE 1.0 -> TABLESAMPLE (100 PERCENT): the full-rate edge is
+    the only deterministic sample, and it exercises the clause rewrite
+    end-to-end (fractional rates are covered by unit tests)."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        'select CAST(count(*) AS BIGINT) as n from "//home/tpch/supplier" '
+        "SAMPLE 1.0",
+        sf_dir=sf_dir,
+    )
