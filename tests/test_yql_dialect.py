@@ -667,6 +667,72 @@ def test_match_recognize_text_symbol_scoped(spark):
     assert [(r.k, r.match_no, r.dip, r.peak) for r in rows] == [(1, 1, -1.0, 9.0)]
 
 
+def test_mr_navigation_rewrite():
+    from ytsaurus_spark.yql.match_recognize_text import rewrite_navigation
+
+    cond, needs = rewrite_navigation("value > PREV(R.value)")
+    assert cond == "value > __prev_value" and needs == {"value": 1}
+    cond, needs = rewrite_navigation(
+        "v > prev(v, 2) and v < NEXT(S.v) and t > PREV(t)"
+    )
+    assert cond == "v > __prev_v_2 and v < __next_v and t > __prev_t"
+    assert needs == {"v": 2, "t": 1}
+    # offsets must be positive integer literals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive integer"):
+        rewrite_navigation("v > PREV(v, 0)")
+    with _pytest.raises(ValueError, match="positive integer"):
+        rewrite_navigation("v > NEXT(v, -1)")
+
+
+def test_match_recognize_text_navigation(spark):
+    from ytsaurus_spark.yql.match_recognize_text import expand_match_recognize
+
+    s2 = spark.newSession()
+    # values 1,3,2,4,5,1 -> rising runs: [3], [4,5] (row-pairs where
+    # v > previous v); PATTERN (R+) greedy, skip past last row
+    s2.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 3.0), (1, 3, 2.0), (1, 4, 4.0),
+         (1, 5, 5.0), (1, 6, 1.0)],
+        "k bigint, seq bigint, v double",
+    ).createOrReplaceTempView("mr_nav_src")
+    text = expand_match_recognize(s2, """
+        select k, match_no, n, fs from mr_nav_src MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES count(*) AS n, first(seq) AS fs
+            PATTERN (R+)
+            DEFINE R AS v > PREV(R.v)
+        ) order by k, match_no
+    """)
+    rows = s2.sql(text).collect()
+    assert [(r.match_no, r.n, r.fs) for r in rows] == [(1, 1, 2), (2, 2, 4)]
+    # PREV references an unknown column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        expand_match_recognize(s2, """
+            select k from mr_nav_src MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY seq
+                MEASURES count(*) AS n
+                PATTERN (R+)
+                DEFINE R AS v > PREV(R.nope)
+            )
+        """)
+    # ALL ROWS output keeps source columns only (no __prev_ helpers)
+    text = expand_match_recognize(s2, """
+        select * from mr_nav_src MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            ALL ROWS PER MATCH
+            PATTERN (R)
+            DEFINE R AS v > PREV(R.v, 2)
+        )
+    """)
+    cols = s2.sql(text).columns
+    assert not any(c.startswith("__prev_") or c.startswith("__next_")
+                   for c in cols)
+
+
 def test_match_recognize_text_all_rows(spark):
     from ytsaurus_spark.yql import yql_select
 

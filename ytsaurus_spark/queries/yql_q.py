@@ -406,3 +406,68 @@ def yql_text_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.yql import yql_select
 
     return yql_select(spark, _HOP_TEXT, sf_dir=sf_dir, star=False)
+
+
+_MR_NAV_TEXT = """
+SELECT user_id, match_no, classifier, start_event, n_rows,
+       round(sum_value, 4) as sum_value
+FROM `//home/x/events` MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES first(event_id) AS start_event, count(*) AS n_rows,
+             sum(value) AS sum_value
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (R+)
+    DEFINE R AS value > PREV(R.value)
+);
+"""
+
+
+@register(
+    "yql_text_match_recognize_nav",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER w AS rn,
+             lag(value) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (
+      SELECT * FROM e WHERE pv IS NOT NULL AND value > pv
+    ),
+    i AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                AS island
+      FROM r
+    ),
+    m AS (
+      SELECT user_id, island, min(rn) AS start_rn,
+             min_by(event_id, rn) AS start_event,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             sum(value) AS sum_v
+      FROM i GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_rn)
+                AS BIGINT) AS match_no,
+           repeat('R', CAST(n_rows AS INT)) AS classifier,
+           CAST(start_event AS BIGINT) AS start_event,
+           n_rows,
+           round(sum_v, 4) AS sum_value
+    FROM m
+    """,
+)
+def yql_text_match_recognize_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with PREV navigation in DEFINE, as verbatim YQL
+    text (sql_match_recognize.cpp navigation grammar; the YQL suite's
+    DEFINE clauses routinely use PREV(B.ts)): ``R AS value >
+    PREV(R.value)`` finds maximal strictly-rising runs per user. PREV
+    lowers onto a lag column over the same (partition, order) the match
+    scan shuffles on (operators/match_recognize.py::with_navigation).
+    The oracle reconstructs the runs with gaps-and-islands windows — an
+    independent formulation."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _MR_NAV_TEXT, sf_dir=sf_dir, star=False)

@@ -25,9 +25,13 @@ yql/essentials/tests/sql/suites/match_recognize):
 
 Measure argument ``Sym.col`` scopes the aggregate to that symbol's rows
 within the match; bare ``col`` aggregates over the whole match. DEFINE
-predicates are per-row boolean SQL (PREV/NEXT navigation inside DEFINE is
-the DataFrame API's ``with_navigation`` — not reachable from text yet).
-"""
+predicates are per-row boolean SQL and may navigate with ``PREV(Sym.col
+[, n])`` / ``NEXT(Sym.col [, n])`` (sql_match_recognize.cpp navigation
+functions): per SQL:2016 row-pattern semantics these move over PHYSICAL
+rows in the partition ordering (the symbol qualifier only scopes the
+column), so they lower onto lag/lead columns materialized by
+``operators.match_recognize.with_navigation`` — one window over the same
+(partition, order) the match scan already shuffles on."""
 
 from __future__ import annotations
 
@@ -47,6 +51,36 @@ _MEASURE_RE = re.compile(
     r"(?:(\*)|(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*))\s*\)\s+"
     r"as\s+([A-Za-z_]\w*)\s*$"
 )
+
+
+_NAV_RE = re.compile(
+    r"(?is)\b(prev|next)\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)"
+    r"\s*(?:,\s*(-?\d+)\s*)?\)"
+)
+
+
+def rewrite_navigation(cond: str) -> tuple[str, dict[str, int]]:
+    """Rewrite ``PREV(Sym.col [, n])`` / ``NEXT(...)`` inside a DEFINE
+    predicate to the ``__prev_<col>[_n]`` / ``__next_<col>[_n]`` columns
+    with_navigation materializes. Returns (rewritten condition,
+    {column: max depth}). The offset must be a positive integer literal
+    (the reference grammar takes an unsigned literal; 0/negative would
+    navigate nowhere or backwards through the other function)."""
+    needs: dict[str, int] = {}
+
+    def sub(m: re.Match) -> str:
+        kind, col = m.group(1).lower(), m.group(3)
+        k = int(m.group(4)) if m.group(4) is not None else 1
+        if k <= 0:
+            raise ValueError(
+                f"{m.group(1).upper()} offset must be a positive integer, "
+                f"got {k}"
+            )
+        needs[col] = max(needs.get(col, 0), k)
+        suffix = f"_{k}" if k > 1 else ""
+        return f"__{kind}_{col}{suffix}"
+
+    return _NAV_RE.sub(sub, cond), needs
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -186,6 +220,31 @@ def expand_match_recognize(s2, text: str, resolve=None) -> str:
         if src_ref.startswith("`"):
             src_ref = resolve(src_ref.strip("`"))
         df = s2.table(src_ref)
+        base_cols = df.columns
+
+        # PREV/NEXT navigation in DEFINE -> lag/lead columns
+        nav_needs: dict[str, int] = {}
+        defines = []
+        for s, cond in spec["defines"]:
+            cond, needs = rewrite_navigation(cond)
+            for c, k in needs.items():
+                nav_needs[c] = max(nav_needs.get(c, 0), k)
+            defines.append((s, cond))
+        spec["defines"] = defines
+        if nav_needs:
+            from ytsaurus_spark.operators.match_recognize import (
+                with_navigation,
+            )
+
+            missing = [c for c in nav_needs if c not in base_cols]
+            if missing:
+                raise ValueError(
+                    f"PREV/NEXT references unknown columns {missing}"
+                )
+            df = with_navigation(
+                df, spec["partition_by"], spec["order_by"],
+                sorted(nav_needs), depth=max(nav_needs.values()),
+            )
 
         # single-char symbol mapping for the regex engine
         sym_names = [s for s, _ in spec["defines"]]
@@ -212,7 +271,9 @@ def expand_match_recognize(s2, text: str, resolve=None) -> str:
 
         if spec["all_rows"]:
             types = dict(df.dtypes)
-            keep = [c for c in df.columns if c not in spec["partition_by"]]
+            # navigation helper columns stay internal — ALL ROWS output
+            # carries the SOURCE columns only
+            keep = [c for c in base_cols if c not in spec["partition_by"]]
             ddl = ", ".join(
                 [f"{c} {types[c]}" for c in spec["partition_by"]]
                 + [f"{c} {types[c]}" for c in keep]
