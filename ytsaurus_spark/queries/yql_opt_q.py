@@ -17,6 +17,9 @@ predicate present in the original — it is NOT semantics-preserving (the
 original returns the discount sum for one manufacturer; the variant sums
 over all items). ``yql_o92`` therefore oracles against its OWN text
 (dual-engine check of the variant as written) instead of the original.
+The user-facing writeup (patch-or-exclude guidance for anyone running
+the reference bench with ``--use-hand-optimized``) is in MIGRATION.md
+§"Known issue in the reference's own query set".
 """
 
 from __future__ import annotations
