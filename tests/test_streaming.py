@@ -751,3 +751,72 @@ def test_vital_consumer_gates_trim(spark, tmp_path):
     remaining = c.read_table("//queues/t")
     assert remaining.count() == 13
     assert remaining.agg(F.min("row_index")).collect()[0][0] == 7
+
+
+def test_queue_static_export(spark, tmp_path):
+    """Queue static exports (queue_exporter.cpp; pinned to
+    test_queue_agent.py::test_multicell_export/test_table_name_formatting/
+    test_export_retries semantics)."""
+    import json
+    import os
+
+    import pytest
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.streaming.queue_export import (
+        QueueStaticExporter,
+        format_export_table_name,
+    )
+    from ytsaurus_spark.streaming.queues import DurableQueue
+
+    # name pattern expansion (config.h:76-85 specifiers)
+    assert format_export_table_name("%UNIX_TS-%PERIOD", 900, 300) == "900-300"
+    assert format_export_table_name(
+        "%ISO-period-is-%PERIOD-fmt-%Y.%m.%d", 3600, 3
+    ) == "1970-01-01T01:00:00Z-period-is-3-fmt-1970.01.01"
+
+    q = DurableQueue(spark, str(tmp_path / "q"))
+    s = q.create_session("w")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "seq bigint, v string")
+    s.push_batch(df, seq_col="seq", commit_ts=905)
+    client = YtClient(root=str(tmp_path / "yt"), spark=spark)
+
+    # upper-bound naming: the table named 1200 covers [900, 1200)
+    exp = QueueStaticExporter(
+        q, client, "//exp/up", 300, use_upper_bound_for_table_names=True,
+        export_ttl=600,
+    )
+    created = exp.export_task(now=1500)
+    assert [p.rsplit("/", 1)[-1] for p in created] == ["1200-300"]
+    assert client.read_table(created[0]).count() == 2
+    # TTL landed as an expiration attribute
+    assert client.get(created[0] + "/@expiration_time").startswith("1970-01-01")
+
+    # progress is durable and idempotent
+    assert exp.export_task(now=1500) == []
+    prog = exp.get_export_progress()
+    assert prog["last_export_unix_ts"] == 1200
+    assert prog["tables"]["1200-300"]["rows"] == 2
+
+    # retry discipline: a pre-existing output table raises and progress
+    # does NOT advance past it (config.h:82-84)
+    s.push_batch(
+        spark.createDataFrame([(3, "c")], "seq bigint, v string"),
+        seq_col="seq", commit_ts=1250,
+    )
+    client.write_table(
+        "//exp/up/1500-300",
+        spark.createDataFrame([(99, "x")], "seq bigint, v string"),
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        exp.export_task(now=1800)
+    assert exp.get_export_progress()["last_export_unix_ts"] == 1200
+    # operator removes the conflict -> next pass succeeds
+    client.remove("//exp/up/1500-300", recursive=True)
+    assert [p.rsplit("/", 1)[-1] for p in exp.export_task(now=1800)] == [
+        "1500-300"]
+
+    # a second export of the same queue keeps independent progress
+    exp2 = QueueStaticExporter(q, client, "//exp/low", 300)
+    names = [p.rsplit("/", 1)[-1] for p in exp2.export_task(now=1800)]
+    assert names == ["900-300", "1200-300"]  # lower-bound naming

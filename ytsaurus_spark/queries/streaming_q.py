@@ -1148,3 +1148,81 @@ def stream_consumer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_index").cast("long").alias("lo"),
         F.max("row_index").cast("long").alias("hi"),
     )
+
+
+@register(
+    "stream_queue_export",
+    """
+    WITH src AS (SELECT event_id, user_id, value FROM events
+                 WHERE event_id < 300)
+    SELECT tbl, n_rows, sum_cents FROM (
+      SELECT '900-300' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+      FROM src WHERE event_id < 200
+      UNION ALL
+      SELECT '1200-300', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      FROM src WHERE event_id >= 200
+    ) ORDER BY tbl
+    """,
+)
+def stream_queue_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue static exports (queue agent, yt/yt/server/queue_agent/
+    queue_exporter.cpp; tests test_queue_agent.py::test_multicell_export):
+    flushed queue segments are grouped by the export-period slot holding
+    their commit instant and snapshotted — one static table per populated
+    slot — under the export directory, with idempotent progress.
+
+    Scenario: three producer flushes at commit instants 905/1120 (slot
+    [900,1200)) and 1450 (slot [1200,1500)), period 300 s. The first
+    task at now=1190 exports nothing (no slot has closed); at now=1620
+    both slots export; a THIRD task is a no-op (progress). Default
+    lower-bound naming: tables '900-300' and '1200-300' (%UNIX_TS-
+    %PERIOD). The oracle recomputes both tables' row counts and value
+    sums from the same event slices."""
+    import shutil
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.streaming.queue_export import QueueStaticExporter
+    from ytsaurus_spark.streaming.queues import DurableQueue
+
+    cat = load_tables(spark, sf_dir)
+    ev = cat.read("events").select("event_id", "user_id", "value")
+    qpath = tempfile.mkdtemp(prefix="ytspark_qexp_")
+    try:
+        q = DurableQueue(spark, qpath)
+        s = q.create_session("exporter-feed")
+        s.push_batch(ev.filter(F.col("event_id") < 100),
+                     seq_col="event_id", commit_ts=905)
+        s.push_batch(ev.filter((F.col("event_id") >= 100)
+                               & (F.col("event_id") < 200)),
+                     seq_col="event_id", commit_ts=1120)
+        s.push_batch(ev.filter((F.col("event_id") >= 200)
+                               & (F.col("event_id") < 300)),
+                     seq_col="event_id", commit_ts=1450)
+
+        client = YtClient(root=tempfile.mkdtemp(prefix="ytspark_qexp_c_"),
+                          spark=spark)
+        exp = QueueStaticExporter(q, client, "//exports/q", 300)
+        assert exp.export_task(now=1190) == []  # no slot has closed yet
+        created = exp.export_task(now=1620)
+        assert [p.rsplit("/", 1)[-1] for p in created] == [
+            "900-300", "1200-300"]
+        assert exp.export_task(now=1620) == []  # idempotent re-run
+
+        rows = []
+        for p in created:
+            t = client.read_table(p)
+            agg = t.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("cents"),
+            ).first()
+            rows.append((p.rsplit("/", 1)[-1], agg["n"], agg["cents"]))
+        return spark.createDataFrame(
+            rows, "tbl string, n_rows bigint, sum_cents bigint"
+        ).orderBy("tbl")
+    finally:
+        shutil.rmtree(qpath, ignore_errors=True)

@@ -223,7 +223,8 @@ class ProducerSession:
     epoch: int
     last_seq: int
 
-    def push_batch(self, rows: DataFrame, seq_col: str | None = None) -> int:
+    def push_batch(self, rows: DataFrame, seq_col: str | None = None,
+                   commit_ts: float | None = None) -> int:
         """Append ``rows`` once, even if the same batch is pushed again.
 
         With ``seq_col`` the caller supplies explicit sequence numbers
@@ -232,6 +233,11 @@ class ProducerSession:
         batch's current order. Rows whose sequence number is <= the last
         acknowledged one are dropped (the replay-dedup); a session whose
         epoch was superseded raises ZombieEpochError.
+
+        ``commit_ts`` stamps the segment's commit instant (unix seconds;
+        defaults to the wall clock) — the analog of a chunk's max commit
+        timestamp, which queue static exports group by
+        (queue_exporter.cpp GetMinExportUnixTs).
 
         The batch is one producer flush (BatchOptions, producer_client.h:
         22-28) — bounded, so the seq ordering window below runs over one
@@ -285,7 +291,12 @@ class ProducerSession:
             raise ZombieEpochError(
                 f"session {self.session_id!r} fenced during push"
             )
-        latest["segments"].append({"dir": seg_dir, "lo": lo, "hi": hi})
+        import time as _time
+
+        latest["segments"].append({
+            "dir": seg_dir, "lo": lo, "hi": hi,
+            "ts": float(commit_ts if commit_ts is not None else _time.time()),
+        })
         latest["next_row_index"] = hi + 1
         self.last_seq = int(stats["hi_seq"])
         latest["sessions"][self.session_id] = {
