@@ -1,20 +1,26 @@
-"""Randomized differential testing of the YQL DIALECT machinery — the
-translator-level analog of test_randomized.py: seeded random YQL scripts
-exercising value bindings, DECLARE parameters, expression lambdas,
-portable Module::Function calls, 0-based SUBSTRING, and named-subquery
-refs; the translated SQL runs on BOTH engines and must match exactly.
-What this fuzzes is the TRANSLATION (binding resolution, macro
-expansion, precedence safety), not the engines — any disagreement is a
-dialect bug. Deterministic (seed=7), so failures reproduce."""
+"""Randomized differential testing of the DIALECT machinery (YQL and
+CHYT) — the translator-level analog of test_randomized.py: seeded random
+scripts exercising value bindings, DECLARE parameters, expression
+lambdas, portable Module::Function calls, 0-based SUBSTRING,
+named-subquery refs, PRAGMA prefixes, regex-special substitution
+payloads, and the ClickHouse surface (PREWHERE placements incl. inside
+subqueries, GLOBAL JOIN/IN, *If combinators, multiIf, intDiv, two-arg
+CAST, bare USING); the translated SQL runs on BOTH engines and must
+match exactly. What this fuzzes is the TRANSLATION (binding resolution,
+macro expansion, precedence safety, clause folding), not the engines —
+any disagreement is a dialect bug. Deterministic (seed=7 for YQL,
+seed=11 for CHYT), so failures reproduce. ≥220 scripts per full run."""
 
 from __future__ import annotations
 
 import random
+import re as _re
 
 import duckdb
 import pytest
 
-N_QUERIES = 60
+N_QUERIES = 120
+N_CHYT_QUERIES = 100
 ROWS = 150
 
 
@@ -83,6 +89,32 @@ def _scripts(rng: random.Random):
         "$twice = ($x) -> ($inc($x) * 2);"
         f"select k, $twice(k) as w from ft where $twice(k) > {t * 2}"
         " order by k;",
+        # PRAGMA prefix lines must be recorded, not leak into the SQL
+        f"PRAGMA AnsiInForEmptyOrNullableItemsCollections;"
+        f"PRAGMA yt.Pool = 'fuzz';"
+        f"select k, CAST(count(*) AS BIGINT) as n from ft"
+        f" where k between {m} and {t + m} group by k order by k;",
+        # regex-special replacement payloads through lambda inlining
+        # ($-group syntax must survive substitution verbatim; backslash
+        # payloads are covered by test_lambda_backslash_payload — the
+        # engines themselves disagree on '' literal escaping, so a
+        # backslash here would fuzz the ENGINES, not the translator)
+        "$mark = ($x) -> (String::ReplaceAll(coalesce($x, ''), 'a', "
+        "'[$1&]'));"
+        "select s, $mark(s) as m2 from ft order by s, m2;",
+        # tuple IN + DISTINCT
+        f"select distinct k from ft where (k, coalesce(v, -1)) in"
+        f" ((1, -1), ({t}, -1), (2, 2)) or k = {m} order by k;",
+        # window function with explicit NULLS ordering (engine defaults
+        # differ: Spark nulls-first ASC, DuckDB nulls-last ASC)
+        "select k, v, CAST(row_number() over (partition by k"
+        " order by v asc nulls first, s asc nulls first) AS BIGINT) as rn"
+        f" from ft where k <= {t} order by k, rn;",
+        # LIKE + math module + CASE
+        f"select k, CASE WHEN coalesce(s, '') like '%{lit}%' THEN 1"
+        " ELSE 0 END as hit,"
+        " Math::Abs(coalesce(v, 0)) as av"
+        " from ft order by k, hit, av;",
     ]
 
 
@@ -97,6 +129,97 @@ def test_yql_dialect_differential(harness):
             sql = translate_yql(script).sql
             got = _norm([tuple(r) for r in s2.sql(sql).collect()])
             want = _norm(con.execute(sql).fetchall())
+            if got != want:
+                divergences.append((script, got[:3], want[:3]))
+            n += 1
+    assert not divergences, divergences[:2]
+
+
+def test_lambda_backslash_payload():
+    """Lambda inlining must carry backslash payloads verbatim (the r7
+    ADVICE defect class: str-template re.sub replacement corrupted
+    '\\g<1>'). Translation-layer check — the two engines disagree on
+    single-quoted-literal escaping, so this is not differential."""
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    script = (
+        "$f = ($x) -> (String::ReplaceAll($x, 'a', '" + "\\\\g<1>" + "'));"
+        "select $f(s) as m from ft;"
+    )
+    sql = translate_yql(script).sql
+    assert "\\\\g<1>" in sql
+
+
+def _chyt_scripts(rng: random.Random):
+    a = rng.randint(0, 12)
+    b = rng.randint(-50, 50)
+    lit = rng.choice(["alpha", "Beta", "xx"])
+    yield from [
+        # *If combinators (sumIf coalesces to 0; min/max get the typed
+        # default via the numeric fallback — args here are numeric)
+        f'select k, sumIf(v, v > {b}) as s, countIf(s = \'{lit}\') as c1,'
+        f' minIf(v, k > {a}) as mn, maxIf(coalesce(v, 0), k % 2 = 0) as mx'
+        f' from "//home/f/ft" group by k order by k;',
+        # PREWHERE ... WHERE with OR: must fold as (p) AND (a OR b)
+        f'select k, v from "//home/f/ft" prewhere k > {a}'
+        f' where v < {b} or v is null order by k, v, s;',
+        # PREWHERE inside a subquery + outer WHERE (depth guard)
+        f'select k, v from (select * from "//home/f/ft" prewhere'
+        f' k <= {a + 8}) sub where coalesce(v, 0) >= {b} order by k, v, s;',
+        # GLOBAL JOIN on an aliased subquery -> broadcast hint
+        f'select t1.k as k, d.mv as mv from "//home/f/ft" t1 global join'
+        f' (select k as kk, max(coalesce(v, 0)) as mv from "//home/f/ft"'
+        f' group by k) d on t1.k = d.kk where t1.k <= {a}'
+        " order by k, mv;",
+        # GLOBAL IN + CH cast spelling
+        f'select k from "//home/f/ft" where k global in'
+        f' (select toInt64(k) + {a % 3} from "//home/f/ft" where'
+        f' coalesce(v, 0) > {b}) order by k;',
+        # multiIf / if / ifNull / nullIf
+        f"select k, multiIf(coalesce(v, 0) > {abs(b)}, 'hi', coalesce(v,"
+        f" 0) < {-abs(b)}, 'lo', 'mid') as band,"
+        f" if(k % 2 = 0, 'even', 'odd') as par,"
+        f" ifNull(v, {a}) as vn, nullIf(k, {a}) as kn"
+        f' from "//home/f/ft" order by k, band, vn, kn;',
+        # arithmetic spellings incl. truncating intDiv on negatives
+        f"select k, CAST(intDiv(coalesce(v, {b or 1}), 3) AS BIGINT) as d,"
+        f" CAST(modulo(k + {a}, 5) AS BIGINT) as m,"
+        " CAST(negate(plus(k, multiply(2, k))) AS BIGINT) as np"
+        f' from "//home/f/ft" order by k, d, np;',
+        # two-arg CAST + CH type names in AS-form
+        f"select CAST(k, 'Int64') as k64, CAST(k as Float64) as kf,"
+        f" toString(k) as ks from \"//home/f/ft\" where k >= {a % 6}"
+        " order by k64;",
+        # bare USING list + uniqExact
+        f'select t1.k as k, uniqExact(t2.s) as u from "//home/f/ft" t1'
+        f' join (select k, s from "//home/f/ft" where k <= {a + 4}) t2'
+        " using k group by t1.k order by k;",
+    ]
+
+
+def test_chyt_dialect_differential(harness):
+    """CHYT-shim differential fuzz: the round-7/8 ADVICE defects were all
+    dialect-layer (clause folding, combinator defaults, hint targeting) —
+    this drives those paths with seeded random placements on both
+    engines. The only engine-spelling bridge is Spark's DIV -> DuckDB's
+    // (the same substitution chyt_q.py's oracles use)."""
+    from ytsaurus_spark.chyt import resolve_if_defaults, translate_chyt
+
+    s2, con = harness
+    rng = random.Random(11)
+    n, divergences = 0, []
+    while n < N_CHYT_QUERIES:
+        for script in _chyt_scripts(rng):
+            sql = resolve_if_defaults(translate_chyt(script))
+            duck_sql = _re.sub(r"\bDIV\b", "//", sql)
+            try:
+                got = _norm([tuple(r) for r in s2.sql(sql).collect()])
+                want = _norm(con.execute(duck_sql).fetchall())
+            except Exception as e:
+                divergences.append((script, "ENGINE ERR",
+                                    f"{type(e).__name__}: {e}"[:200]))
+                n += 1
+                continue
             if got != want:
                 divergences.append((script, got[:3], want[:3]))
             n += 1
