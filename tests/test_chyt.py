@@ -282,3 +282,44 @@ def test_chyt_execute_mutations(spark, tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         chyt_execute(spark, 'drop table "//tmp/m"', client)
     chyt_execute(spark, 'drop table if exists "//tmp/m"', client)  # no-op
+
+
+def test_bracket_array_literals(spark):
+    t = translate_chyt("select [1, 2, 3] as a, ['x', 'y'] as s")
+    assert "array(1, 2, 3)" in t and "array('x', 'y')" in t
+    # subscripts are NOT literals
+    t2 = translate_chyt("select m[1] as e from t")
+    assert "m[1]" in t2
+    r = spark.sql(translate_chyt(
+        "select [[1], [2, 3]] as nested, arrayElement([10, 20], -1) as last"
+    )).first()
+    assert r.nested == [[1], [2, 3]] and r.last == 20
+
+
+def test_array_join_clause(spark):
+    # reference test_join_and_in.py:746: join + ARRAY JOIN literal
+    spark.createDataFrame([(1,), (2,)], "a bigint") \
+        .createOrReplaceTempView("cht_aj1")
+    rows = spark.sql(translate_chyt(
+        "select a, b from cht_aj1 array join [3, 4] as b order by a, b"
+    )).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 3), (1, 4), (2, 3), (2, 4)]
+    # parallel arrays zip positionally (test_composite.py:240 shape)
+    rows = spark.sql(translate_chyt(
+        "select s, i from cht_aj1 array join ['a', 'b'] as s, [10, 20] as i "
+        "where a = 1 order by s"
+    )).collect()
+    assert [(r.s, r.i) for r in rows] == [("a", 10), ("b", 20)]
+    # LEFT ARRAY JOIN keeps rows whose array is empty
+    spark.createDataFrame(
+        [(1, [5, 6]), (2, [])], "k bigint, arr array<bigint>"
+    ).createOrReplaceTempView("cht_aj2")
+    rows = spark.sql(translate_chyt(
+        "select k, e from cht_aj2 left array join arr as e order by k, e"
+    )).collect()
+    assert [(r.k, r.e) for r in rows] == [(1, 5), (1, 6), (2, None)]
+    # in-place flattening (no alias) is rejected with guidance
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alias"):
+        translate_chyt("select arr from cht_aj2 array join arr")

@@ -291,10 +291,7 @@ CASES = [
         steps=[(
             'select a, b from "//tmp/t1" as t1 join "//tmp/t2" as t2 '
             "using a array join [3, 4] as b order by a, b",
-            ("unsupported",
-             "ClickHouse's standalone ARRAY JOIN clause ([..] AS x after "
-             "a relation) is not parsed; the arrayJoin() function form "
-             "and YQL's FLATTEN BY cover row expansion"),
+            [[1, 3], [1, 4], [2, 3], [2, 4]],
         )],
     ),
     dict(

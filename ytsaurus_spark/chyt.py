@@ -306,6 +306,103 @@ _USING_BARE = re.compile(
     r"(?is)\busing\s+(?!\()([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
 )
 
+
+def _rewrite_bracket_arrays(text: str) -> str:
+    """ClickHouse bracket array literals ``[1, 2, 3]`` → ``array(1, 2,
+    3)``. A ``[`` directly after an identifier / ``)`` / ``]`` is a
+    SUBSCRIPT and passes through (note: bare subscripts keep Spark's
+    0-based array indexing — use arrayElement for CH's 1-based access)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+            continue
+        # subscripts are ADJACENT to their base (arr[1]); a '[' after
+        # whitespace / an operator / a comma opens an array literal
+        prev = out[-1][-1] if out and out[-1] else ""
+        if c == "[" and not (prev.isalnum() or prev in tuple(")]_'\"")):
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if text[j] == "'":
+                    j += 1
+                    while j < n and text[j] != "'":
+                        j += 1
+                elif text[j] == "[":
+                    depth += 1
+                elif text[j] == "]":
+                    depth -= 1
+                j += 1
+            inner = _rewrite_bracket_arrays(text[i + 1:j - 1])
+            out.append(f"array({inner})")
+            prev = ")"
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# ClickHouse's standalone ARRAY JOIN clause (FROM t [LEFT] ARRAY JOIN
+# arr AS x, arr2 AS y ...): expands one row per array element, parallel
+# arrays zip positionally (test_join_and_in.py:746, test_composite.py:
+# 230). Spark form: LATERAL VIEW [pos]explode[_outer]; extra parallel
+# arrays index by the shared position (single-element explode keeps the
+# whole rewrite inside the FROM clause).
+_ARRAY_JOIN_CLAUSE = re.compile(r"(?is)\b(left\s+)?array\s+join\s+")
+_AJ_KW = ("prewhere",) + _CLAUSE_KW
+
+
+def _rewrite_array_join(text: str) -> str:
+    m = _ARRAY_JOIN_CLAUSE.search(text)
+    if not m:
+        return text
+    left = bool(m.group(1))
+    rest = text[m.end():]
+    cut = _clause_end(rest, keywords=_AJ_KW)
+    body, tail = rest[:cut], rest[cut:]
+    items: list[tuple[str, str]] = []
+    args, _ = _split_call_args("(" + body + ")", 0)
+    for item in args:
+        item = item.strip()
+        split_at = None
+        for am in re.finditer(r"(?is)\s+as\s+", item):
+            d = (item[: am.start()].count("(")
+                 - item[: am.start()].count(")"))
+            if d == 0:
+                split_at = am
+        if split_at is not None:
+            expr = item[: split_at.start()].strip()
+            name = item[split_at.end():].strip()
+        elif re.fullmatch(r"[A-Za-z_]\w*", item):
+            raise ValueError(
+                f"ARRAY JOIN {item}: in-place flattening shadows the "
+                f"source column — alias it (ARRAY JOIN {item} AS x)"
+            )
+        else:
+            raise ValueError(f"ARRAY JOIN item needs an alias: {item!r}")
+        if not re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise ValueError(f"bad ARRAY JOIN alias {name!r}")
+        items.append((expr, name))
+    if not items:
+        raise ValueError("empty ARRAY JOIN clause")
+    if len(items) == 1:
+        fn = "explode_outer" if left else "explode"
+        rep = f"LATERAL VIEW {fn}({items[0][0]}) __aj1 AS {items[0][1]} "
+    else:
+        fn = "posexplode_outer" if left else "posexplode"
+        rep = (f"LATERAL VIEW {fn}({items[0][0]}) __aj1 "
+               f"AS __aj_pos, {items[0][1]} ")
+        for k, (expr, name) in enumerate(items[1:], 2):
+            rep += (f"LATERAL VIEW explode(array(element_at({expr}, "
+                    f"__aj_pos + 1))) __aj{k} AS {name} ")
+    return text[: m.start()] + rep + _rewrite_array_join(tail)
+
 _SAMPLE = re.compile(r"(?is)\bsample\s+(0?\.\d+|1\.0|[0-9]+)\b")
 
 
@@ -783,6 +880,8 @@ def translate_chyt(text: str, resolve=None) -> str:
     )
     text = _strip_global(text)
     text = _USING_BARE.sub(lambda m: "USING (" + m.group(1) + ")", text)
+    text = _rewrite_bracket_arrays(text)
+    text = _rewrite_array_join(text)
     text = _rewrite_virtual_cols(text)
     text = _fold_prewhere(text)
     text = _rewrite_sample(text)
