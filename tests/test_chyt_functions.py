@@ -881,3 +881,23 @@ def test_dict_update_has_default_and_errors(spark, client):
             "select dictGetString('this_dict_does_not_exist', 'value', 1)",
             client=client,
         )
+
+
+def test_show_tables_opaque_hidden(spark, client):
+    from ytsaurus_spark.chyt import chyt_execute
+
+    for p in ("//tmp/root/t1", "//tmp/root/sub/t2"):
+        d = p.rsplit("/", 1)[0]
+        if not client.exists(d):
+            client.create("map_node", d, recursive=True)
+        client.write_table(p, spark.createDataFrame([(1,)], "a bigint"))
+    client.create("map_node", "//tmp/root/hidden")
+    client.write_table(
+        "//tmp/root/hidden/t3", spark.createDataFrame([(1,)], "a bigint")
+    )
+    client.set("//tmp/root/hidden/@opaque", True)
+    rows = chyt_execute(
+        spark, 'show tables from "//tmp/root"', client=client
+    ).collect()
+    # opaque subtrees are hidden (test_common.py:50-53)
+    assert [r.name for r in rows] == ["//tmp/root/sub/t2", "//tmp/root/t1"]

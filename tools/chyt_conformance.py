@@ -143,6 +143,29 @@ CASES = [
         ],
     ),
     dict(
+        id="common/show_tables",
+        ref="yt/chyt/tests/server/test_common.py:37",
+        tables={
+            "//tmp/root1/t11": ("a string", [("x",)]),
+            "//tmp/root1/t12": ("a string", [("x",)]),
+            "//tmp/root1/n1/t3": ("a string", [("x",)]),
+            "//tmp/root1/n1/t4": ("a string", [("x",)]),
+        },
+        steps=[
+            ('show tables from "//tmp/root1"',
+             [["//tmp/root1/n1/t3"], ["//tmp/root1/n1/t4"],
+              ["//tmp/root1/t11"], ["//tmp/root1/t12"]]),
+            # LIKE runs over the FULL path (the shown name): 'root1'
+            # itself contains 't1', so every table under it matches —
+            # the reference test only asserts t11/t12 are present
+            ('show tables from "//tmp/root1" like \'%t1%\'',
+             [["//tmp/root1/n1/t3"], ["//tmp/root1/n1/t4"],
+              ["//tmp/root1/t11"], ["//tmp/root1/t12"]]),
+            ('show tables from "//tmp/root1" like \'%/t1_\'',
+             [["//tmp/root1/t11"], ["//tmp/root1/t12"]]),
+        ],
+    ),
+    dict(
         id="common/yson_extract",
         ref="yt/chyt/tests/server/test_common.py:1310",
         tables={},

@@ -61,14 +61,43 @@ _CH_FUNCS: dict[str, str] = {
     "minif": "chyt_if_default(min(CASE WHEN {1} THEN {0} END))",
     "maxif": "chyt_if_default(max(CASE WHEN {1} THEN {0} END))",
     "uniqexact": "count(DISTINCT {0})",
+    # generic *If combinators beyond the arithmetic five: ClickHouse
+    # attaches -If to ANY aggregate; the CASE-wrap is the portable form
+    # (collect_list/collect_set/any_value/count all skip NULLs, matching
+    # the only-matching-rows semantics)
+    "anyif": "any_value(CASE WHEN {1} THEN {0} END)",
+    "anylastif": "any_value(CASE WHEN {1} THEN {0} END)",
+    "uniqexactif": "count(DISTINCT CASE WHEN {1} THEN {0} END)",
+    "uniqif": "approx_count_distinct(CASE WHEN {1} THEN {0} END)",
+    "grouparrayif": "collect_list(CASE WHEN {1} THEN {0} END)",
+    "groupuniqarrayif": "collect_set(CASE WHEN {1} THEN {0} END)",
+    "argmaxif": ("max_by(CASE WHEN {2} THEN {0} END, "
+                 "CASE WHEN {2} THEN {1} END)"),
+    "argminif": ("min_by(CASE WHEN {2} THEN {0} END, "
+                 "CASE WHEN {2} THEN {1} END)"),
+    "stddevpopif": "stddev_pop(CASE WHEN {1} THEN {0} END)",
+    "stddevsampif": "stddev_samp(CASE WHEN {1} THEN {0} END)",
+    "varpopif": "var_pop(CASE WHEN {1} THEN {0} END)",
+    "varsampif": "var_samp(CASE WHEN {1} THEN {0} END)",
     # date parts
     "toyear": "CAST(year({0}) AS INT)",
     "tomonth": "CAST(month({0}) AS INT)",
     "todayofmonth": "CAST(day({0}) AS INT)",
     "tohour": "CAST(hour({0}) AS INT)",
+    "tominute": "CAST(minute({0}) AS INT)",
+    "tosecond": "CAST(second({0}) AS INT)",
+    "toquarter": "CAST(quarter({0}) AS INT)",
+    # ClickHouse numbers Monday=1..Sunday=7; Spark's dayofweek is
+    # Sunday=1 — shift portably
+    "todayofweek": "CAST((dayofweek({0}) + 5) % 7 + 1 AS INT)",
     "toyyyymm": "CAST(year({0}) * 100 + month({0}) AS INT)",
     "todate": "CAST({0} AS DATE)",
+    "todatetime": "CAST({0} AS TIMESTAMP)",
     "tostartofmonth": "CAST(date_trunc('month', {0}) AS DATE)",
+    "tostartofday": "CAST(date_trunc('day', {0}) AS TIMESTAMP)",
+    "tostartofquarter": "CAST(date_trunc('quarter', {0}) AS DATE)",
+    "tostartofyear": "CAST(date_trunc('year', {0}) AS DATE)",
+    "fromunixtimestamp": "timestamp_seconds({0})",
     # control flow
     "if": "CASE WHEN {0} THEN {1} ELSE {2} END",
     # argMax/argMin: value of arg0 at the extremum of arg1 (max_by is
@@ -113,6 +142,8 @@ _CH_FUNCS: dict[str, str] = {
     "toint16": "CAST({0} AS SMALLINT)",
     "tofloat32": "CAST({0} AS FLOAT)",
     # spark-only tier
+    "tounixtimestamp": "unix_timestamp({0})",
+    "position": "position({1}, {0})",  # CH is (haystack, needle)
     "cityhash64": "xxhash64({0})",  # stable 64-bit hash; NOT bit-compatible
     "farmhash64": "xxhash64({0})",
     "uniq": "approx_count_distinct({0})",
@@ -1498,6 +1529,32 @@ _CREATE_AS_RE = re.compile(
 _EXISTS_RE = re.compile(
     r'(?is)^\s*exists\s+table\s+["`](//[^"`]+)["`]\s*$'
 )
+_SHOW_TABLES_RE = re.compile(
+    r'(?is)^\s*show\s+tables(?:\s+from\s+["`](//[^"`]+)["`])?'
+    r"(?:\s+like\s+'([^']*)')?\s*$"
+)
+
+
+def _walk_tables(client, root: str) -> list[str]:
+    """Recursive table listing under ``root`` — test_common.py::
+    test_show_tables: full paths, depth-first; subtrees marked @opaque
+    are hidden (the reference treats them as externally-managed)."""
+    out: list[str] = []
+    if not client.exists(root):
+        return out
+    for name in client.list(root):
+        p = f"{root.rstrip('/')}/{name}"
+        t = _node_type(client, p)
+        if t == "table":
+            out.append(p)
+        elif t == "map_node":
+            try:
+                if client.get(p + "/@").get("opaque"):
+                    continue
+            except Exception:
+                pass
+            out.extend(_walk_tables(client, p))
+    return out
 
 
 def _order_by_cols(tok: str | None) -> list[str]:
@@ -1557,6 +1614,19 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None,
         elif not m.group(1):  # no IF EXISTS
             raise ValueError(f"function {name} does not exist")
         return None
+
+    m = _SHOW_TABLES_RE.match(stmt)
+    if m:
+        root = m.group(1) or "//"
+        names = sorted(_walk_tables(client, root))
+        if m.group(2) is not None:
+            rx = "".join(
+                ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+                for ch in m.group(2)
+            )
+            pat = re.compile(rx + r"\Z")
+            names = [n for n in names if pat.match(n)]
+        return spark.createDataFrame([(n,) for n in names], "name string")
 
     m = _EXISTS_RE.match(stmt)
     if m:

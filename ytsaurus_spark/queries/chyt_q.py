@@ -735,3 +735,43 @@ def chyt_sample_full(spark, sf_dir):
         "SAMPLE 1.0",
         sf_dir=sf_dir,
     )
+
+
+@register(
+    "chyt_if_combinators_wide",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT CASE WHEN o_totalprice > 150000
+                                    THEN o_custkey END) AS BIGINT) AS u_big,
+           max_by(CASE WHEN o_totalprice > 150000 THEN o_orderpriority END,
+                  CASE WHEN o_totalprice > 150000 THEN o_orderkey END)
+               AS pri_big,
+           CAST(round(coalesce(stddev_pop(CASE WHEN o_totalprice <= 150000
+                                          THEN o_totalprice END), 0))
+                AS BIGINT) AS sd_small
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def chyt_if_combinators_wide(spark, sf_dir):
+    """ClickHouse attaches -If to ANY aggregate (combinator grammar):
+    uniqExactIf / argMaxIf / stddevPopIf translate to CASE-wrapped
+    aggregates — NULLs from non-matching rows are skipped by every Spark
+    aggregate, matching the only-matching-rows semantics. argMaxIf is
+    deterministic here because o_orderkey is unique."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select o_orderstatus, "
+        "CAST(uniqExactIf(o_custkey, o_totalprice > 150000e0) AS BIGINT) "
+        "as u_big, "
+        "argMaxIf(o_orderpriority, o_orderkey, o_totalprice > 150000e0) "
+        "as pri_big, "
+        "CAST(round(coalesce(stddevPopIf(o_totalprice, "
+        "o_totalprice <= 150000e0), 0)) AS BIGINT) as sd_small "
+        'from "//home/tpch/orders" group by o_orderstatus '
+        "order by o_orderstatus",
+        sf_dir=sf_dir,
+    )
