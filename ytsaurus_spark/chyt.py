@@ -961,11 +961,19 @@ def _node_type(client, path: str) -> str:
     if attrs.get("type") == "file":
         return "file"
     entries = os.listdir(fs)
+    # data markers make it a table; a bare _yt_attrs.json does NOT — a
+    # map node with attributes set (e.g. @opaque) also carries one
     if any(
-        e.startswith("_yt_") or e.endswith(".parquet") or e == "_SUCCESS"
+        (e.startswith("_yt_") and e != "_yt_attrs.json")
+        or e.endswith(".parquet") or e == "_SUCCESS"
         for e in entries
     ):
         return "table"
+    if any(k in attrs for k in (
+        "schema", "dynamic", "sorted_by", "key_columns", "optimize_for",
+        "erasure_codec", "row_count",
+    )):
+        return "table"  # created-but-unwritten table node
     return "map_node"
 
 
