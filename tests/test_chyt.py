@@ -323,3 +323,33 @@ def test_array_join_clause(spark):
 
     with _pytest.raises(ValueError, match="alias"):
         translate_chyt("select arr from cht_aj2 array join arr")
+
+
+def test_limit_by_clause(spark):
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5), (2, 15)], "g int, v int"
+    ).createOrReplaceTempView("cht_lb")
+    rows = spark.sql(translate_chyt(
+        "select g, v from cht_lb order by v desc limit 2 by g"
+    )).collect()
+    assert sorted((r.g, r.v) for r in rows) == [(1, 20), (1, 30), (2, 5), (2, 15)]
+    # outer LIMIT applies after the per-group cut
+    rows = spark.sql(translate_chyt(
+        "select g, v from cht_lb order by v desc limit 1 by g limit 1"
+    )).collect()
+    assert [(r.g, r.v) for r in rows] == [(1, 30)]
+    with pytest.raises(ValueError, match="ORDER BY"):
+        translate_chyt("select g, v from cht_lb limit 2 by g")
+
+
+def test_with_totals_clause(spark):
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "g int, v int"
+    ).createOrReplaceTempView("cht_wt")
+    rows = spark.sql(translate_chyt(
+        "select g, sum(v) as s from cht_wt group by g with totals "
+        "order by g nulls last"
+    )).collect()
+    assert [(r.g, r.s) for r in rows] == [(1, 30), (2, 5), (None, 35)]
+    with pytest.raises(ValueError, match="GROUP BY"):
+        translate_chyt("select 1 with totals")

@@ -194,6 +194,15 @@ def _chyt_scripts(rng: random.Random):
         f'select t1.k as k, uniqExact(t2.s) as u from "//home/f/ft" t1'
         f' join (select k, s from "//home/f/ft" where k <= {a + 4}) t2'
         " using k group by t1.k order by k;",
+        # LIMIT n BY group (top-n per group via a window)
+        f'select k, v, s from "//home/f/ft" where v is not null'
+        f" order by v desc, s nulls first, k"
+        f" limit {1 + a % 3} by k limit {10 + a};",
+        # GROUP BY ... WITH TOTALS -> GROUPING SETS ((k), ())
+        f'select k, CAST(count(*) AS BIGINT) as n,'
+        f" CAST(sum(coalesce(v, 0)) AS BIGINT) as sv"
+        f' from "//home/f/ft" where k <= {a + 6}'
+        " group by k with totals order by k nulls last, n;",
     ]
 
 
@@ -211,7 +220,10 @@ def test_chyt_dialect_differential(harness):
     while n < N_CHYT_QUERIES:
         for script in _chyt_scripts(rng):
             sql = resolve_if_defaults(translate_chyt(script))
+            # engine-spelling bridges: Spark DIV = DuckDB //, Spark's
+            # star-EXCEPT = DuckDB's star-EXCLUDE
             duck_sql = _re.sub(r"\bDIV\b", "//", sql)
+            duck_sql = duck_sql.replace("* EXCEPT (", "* EXCLUDE (")
             try:
                 got = _norm([tuple(r) for r in s2.sql(sql).collect()])
                 want = _norm(con.execute(duck_sql).fetchall())

@@ -434,6 +434,72 @@ def _rewrite_array_join(text: str) -> str:
                     f"__aj_pos + 1))) __aj{k} AS {name} ")
     return text[: m.start()] + rep + _rewrite_array_join(tail)
 
+# ClickHouse LIMIT n BY exprs: after ORDER BY, keep the first n rows
+# per distinct BY value; an outer LIMIT then applies to the kept rows.
+_LIMIT_BY = re.compile(r"(?is)\blimit\s+(\d+)\s+by\s+")
+
+
+def _rewrite_limit_by(text: str) -> str:
+    """``ORDER BY o LIMIT n BY e [LIMIT m]`` → a row_number window per e
+    ordered by o, filtered to <= n (Spark's top-n-per-group shape: one
+    window over the partition keys, no global sort)."""
+    m = _LIMIT_BY.search(text)
+    if not m:
+        return text
+    n = m.group(1)
+    head = text[: m.start()]
+    rest = text[m.end():]
+    cut = _clause_end(rest, keywords=("limit", "settings", "union"))
+    exprs = rest[:cut].strip()
+    if exprs.startswith("(") and exprs.endswith(")"):
+        exprs = exprs[1:-1]
+    tail = _rewrite_limit_by(rest[cut:])
+    om = None
+    for omm in re.finditer(r"(?is)\border\s+by\s+", head):
+        d = head[: omm.start()].count("(") - head[: omm.start()].count(")")
+        if d == 0:
+            om = omm
+    if om is None:
+        raise ValueError(
+            "LIMIT BY without ORDER BY selects arbitrary rows per group "
+            "— add an ORDER BY for deterministic results"
+        )
+    order = head[om.end():].strip()
+    base = head[: om.start()].strip()
+    return (
+        f"SELECT * EXCEPT (__lb_rn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {exprs} ORDER BY {order}) AS __lb_rn "
+        f"FROM ({base})) WHERE __lb_rn <= {n} ORDER BY {order} {tail}"
+    )
+
+
+# GROUP BY ... WITH TOTALS: ClickHouse appends a totals row (key columns
+# at their defaults/NULL) computed over all rows. GROUPING SETS ((keys),
+# ()) is the exact relational form — the () set is the totals row.
+_WITH_TOTALS = re.compile(r"(?is)\bwith\s+totals\b")
+
+
+def _rewrite_with_totals(text: str) -> str:
+    m = _WITH_TOTALS.search(text)
+    if not m:
+        return text
+    head = text[: m.start()]
+    gm = None
+    for gmm in re.finditer(r"(?is)\bgroup\s+by\s+", head):
+        d = head[: gmm.start()].count("(") - head[: gmm.start()].count(")")
+        if d == 0:
+            gm = gmm
+    if gm is None:
+        raise ValueError("WITH TOTALS without GROUP BY")
+    keys = head[gm.end():].strip().rstrip(",")
+    rewritten = (
+        head[: gm.start()]
+        + f"GROUP BY GROUPING SETS (({keys}), ())"
+        + text[m.end():]
+    )
+    return _rewrite_with_totals(rewritten)
+
+
 _SAMPLE = re.compile(r"(?is)\bsample\s+(0?\.\d+|1\.0|[0-9]+)\b")
 
 
@@ -913,6 +979,8 @@ def translate_chyt(text: str, resolve=None) -> str:
     text = _USING_BARE.sub(lambda m: "USING (" + m.group(1) + ")", text)
     text = _rewrite_bracket_arrays(text)
     text = _rewrite_array_join(text)
+    text = _rewrite_limit_by(text)
+    text = _rewrite_with_totals(text)
     text = _rewrite_virtual_cols(text)
     text = _fold_prewhere(text)
     text = _rewrite_sample(text)

@@ -775,3 +775,61 @@ def chyt_if_combinators_wide(spark, sf_dir):
         "order by o_orderstatus",
         sf_dir=sf_dir,
     )
+
+
+@register(
+    "chyt_limit_by",
+    """
+    SELECT * EXCLUDE (__lb_rn) FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey)
+                 AS __lb_rn
+      FROM customer
+    ) WHERE __lb_rn <= 2
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+)
+def chyt_limit_by(spark, sf_dir):
+    """ClickHouse LIMIT n BY expr (top-n per group): translated to a
+    row_number window over the BY keys ordered by the query's ORDER BY,
+    filtered to <= n — one shuffle on the partition keys, no global sort
+    before the final top-k. The outer LIMIT applies to the kept rows."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        'select c_nationkey, c_custkey, c_acctbal from "//home/tpch/customer" '
+        "order by c_acctbal desc, c_custkey "
+        "limit 2 by c_nationkey limit 10",
+        sf_dir=sf_dir,
+    )
+
+
+@register(
+    "chyt_with_totals",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS LAST
+    """,
+)
+def chyt_with_totals(spark, sf_dir):
+    """GROUP BY ... WITH TOTALS: ClickHouse's appended all-rows totals
+    row is exactly GROUPING SETS ((keys), ()) — the empty set emits the
+    totals row with NULL keys; both engines agree on the relational
+    form."""
+    from ytsaurus_spark.chyt import chyt_query
+
+    return chyt_query(
+        spark,
+        "select o_orderstatus, CAST(count(*) AS BIGINT) as n, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        'as cents from "//home/tpch/orders" '
+        "group by o_orderstatus with totals "
+        "order by o_orderstatus nulls last",
+        sf_dir=sf_dir,
+    )
