@@ -563,6 +563,44 @@ CASES = [
         )],
     ),
     dict(
+        id="table_functions/yt_list_tables",
+        ref="yt/chyt/tests/server/test_table_functions.py:63",
+        tables={
+            "//tmp/dir/t0": ("a bigint", [(0,), (1,), (2,)]),
+            "//tmp/dir/t1": ("a bigint", [(0,), (1,), (2,)]),
+        },
+        steps=[(
+            "select key from ytListTables('//tmp/dir') order by key",
+            [["t0"], ["t1"]],
+        )],
+    ),
+    dict(
+        id="table_functions/yt_tables",
+        ref="yt/chyt/tests/server/test_table_functions.py:258",
+        tables={
+            "//tmp/dir1/t0": ("a bigint", [(0,)]),
+            "//tmp/dir1/t1": ("a bigint", [(1,)]),
+            "//tmp/dir2/t2": ("a bigint", [(2,)]),
+            "//tmp/dir2/t3": ("a bigint", [(3,)]),
+            "//tmp/log_dir/1d/2021-01-01": ("a bigint", [(0,)]),
+            "//tmp/log_dir/1h/2021-01-01T23:00:00": ("a bigint", [(1,)]),
+            "//tmp/log_dir/1h/2021-01-02T00:00:00": ("a bigint", [(2,)]),
+        },
+        steps=[
+            ("select * from ytTables('//tmp/dir1/t0', '//tmp/dir2/t2') "
+             "order by a", [[0], [2]]),
+            ("select * from ytTables(ytListTables('//tmp/dir1')) "
+             "order by a", [[0], [1]]),
+            ("select * from ytTables((select path from "
+             "ytListNodes('//tmp/dir2') where key = 't2')) order by a",
+             [[2]]),
+            # the 1d table covers 2021-01-01 entirely, so the 23:00 1h
+            # slice is dropped as covered (scan-line dedup)
+            ("select * from ytTables(ytListLogTables('//tmp/log_dir')) "
+             "order by a", [[0], [2]]),
+        ],
+    ),
+    dict(
         id="schema/describe_types",
         ref="yt/chyt/tests/server/test_common.py:1893 (show columns)",
         tables={"//tmp/t": ("a bigint, b string, c double", [(1, "x", 0.5)])},
