@@ -353,3 +353,21 @@ def test_with_totals_clause(spark):
     assert [(r.g, r.s) for r in rows] == [(1, 30), (2, 5), (None, 35)]
     with pytest.raises(ValueError, match="GROUP BY"):
         translate_chyt("select 1 with totals")
+
+
+def test_limit_by_and_totals_in_subquery(spark):
+    # scope-awareness: the clauses inside a subquery rewrite only that
+    # sub-select, not the enclosing statement
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5)], "g int, v int"
+    ).createOrReplaceTempView("cht_scope")
+    rows = spark.sql(translate_chyt(
+        "select sum(v) as s from "
+        "(select g, v from cht_scope order by v desc limit 1 by g) t"
+    )).collect()
+    assert rows[0].s == 35  # 30 (g=1 top) + 5 (g=2 top)
+    rows = spark.sql(translate_chyt(
+        "select count(*) as n from "
+        "(select g, sum(v) as s from cht_scope group by g with totals) t"
+    )).collect()
+    assert rows[0].n == 3  # two groups + the totals row

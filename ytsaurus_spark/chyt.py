@@ -439,10 +439,43 @@ def _rewrite_array_join(text: str) -> str:
 _LIMIT_BY = re.compile(r"(?is)\blimit\s+(\d+)\s+by\s+")
 
 
+def _scope_start(head: str) -> int:
+    """Index just after the innermost unmatched '(' in ``head`` — the
+    start of the sub-select the clause at head's end belongs to (0 when
+    the clause is top-level). String literals are skipped."""
+    stack: list[int] = []
+    i = 0
+    while i < len(head):
+        c = head[i]
+        if c == "'":
+            i += 1
+            while i < len(head) and head[i] != "'":
+                i += 1
+        elif c == "(":
+            stack.append(i + 1)
+        elif c == ")" and stack:
+            stack.pop()
+        i += 1
+    return stack[-1] if stack else 0
+
+
+def _same_scope_last(head: str, pattern: str):
+    """The LAST match of ``pattern`` in ``head`` whose tail (text from
+    match end to head's end) has balanced parens — i.e. a match in the
+    SAME select scope as the clause that follows ``head``."""
+    best = None
+    for m in re.finditer(pattern, head):
+        seg = head[m.end():]
+        if seg.count("(") == seg.count(")"):
+            best = m
+    return best
+
+
 def _rewrite_limit_by(text: str) -> str:
     """``ORDER BY o LIMIT n BY e [LIMIT m]`` → a row_number window per e
     ordered by o, filtered to <= n (Spark's top-n-per-group shape: one
-    window over the partition keys, no global sort)."""
+    window over the partition keys, no global sort). Scope-aware: a
+    LIMIT BY inside a subquery wraps only that sub-select."""
     m = _LIMIT_BY.search(text)
     if not m:
         return text
@@ -453,24 +486,23 @@ def _rewrite_limit_by(text: str) -> str:
     exprs = rest[:cut].strip()
     if exprs.startswith("(") and exprs.endswith(")"):
         exprs = exprs[1:-1]
-    tail = _rewrite_limit_by(rest[cut:])
-    om = None
-    for omm in re.finditer(r"(?is)\border\s+by\s+", head):
-        d = head[: omm.start()].count("(") - head[: omm.start()].count(")")
-        if d == 0:
-            om = omm
+    tail = rest[cut:]
+    s0 = _scope_start(head)
+    scope = head[s0:]
+    om = _same_scope_last(scope, r"(?is)\border\s+by\s+")
     if om is None:
         raise ValueError(
             "LIMIT BY without ORDER BY selects arbitrary rows per group "
             "— add an ORDER BY for deterministic results"
         )
-    order = head[om.end():].strip()
-    base = head[: om.start()].strip()
-    return (
+    order = scope[om.end():].strip()
+    base = scope[: om.start()].strip()
+    wrapped = (
         f"SELECT * EXCEPT (__lb_rn) FROM (SELECT *, row_number() OVER "
         f"(PARTITION BY {exprs} ORDER BY {order}) AS __lb_rn "
-        f"FROM ({base})) WHERE __lb_rn <= {n} ORDER BY {order} {tail}"
+        f"FROM ({base})) WHERE __lb_rn <= {n} ORDER BY {order} "
     )
+    return _rewrite_limit_by(head[:s0] + wrapped + tail)
 
 
 # GROUP BY ... WITH TOTALS: ClickHouse appends a totals row (key columns
@@ -484,16 +516,13 @@ def _rewrite_with_totals(text: str) -> str:
     if not m:
         return text
     head = text[: m.start()]
-    gm = None
-    for gmm in re.finditer(r"(?is)\bgroup\s+by\s+", head):
-        d = head[: gmm.start()].count("(") - head[: gmm.start()].count(")")
-        if d == 0:
-            gm = gmm
+    s0 = _scope_start(head)
+    gm = _same_scope_last(head[s0:], r"(?is)\bgroup\s+by\s+")
     if gm is None:
         raise ValueError("WITH TOTALS without GROUP BY")
-    keys = head[gm.end():].strip().rstrip(",")
+    keys = head[s0 + gm.end():].strip().rstrip(",")
     rewritten = (
-        head[: gm.start()]
+        head[: s0 + gm.start()]
         + f"GROUP BY GROUPING SETS (({keys}), ())"
         + text[m.end():]
     )
