@@ -1824,3 +1824,31 @@ def test_boilerplate_line_stats_multiline(spark):
     # raising the bar excludes it
     out2 = {r.lang: r for r in boilerplate_line_stats(df, min_df=5).collect()}
     assert all(r.boilerplate_instances == 0 for r in out2.values())
+
+
+def test_minhash_incremental_matches_full(spark, sf_dir):
+    """The incremental path over (stored index + new batch) finds exactly
+    the full-corpus pairs that touch a new doc, and the returned updated
+    index equals a from-scratch index of the union."""
+    from ytsaurus_spark.catalog import load_tables
+    from ytsaurus_spark.operators import dedup
+
+    docs = load_tables(spark, sf_dir).read("documents").limit(300).cache()
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    stored = dedup.band_signatures(hist)
+    pairs, updated = dedup.minhash_lsh_incremental(new, stored)
+    full = dedup.minhash_lsh_pairs(docs)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {
+        (r.doc_a, r.doc_b) for r in full.collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == want
+    # the updated index is the from-scratch index of the union
+    scratch = dedup.band_signatures(docs)
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    docs.unpersist()

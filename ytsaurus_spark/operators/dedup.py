@@ -145,6 +145,59 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    stored_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedupe a NEW batch against a stored corpus index (the daily-crawl
+    pattern): signatures are computed for the new documents ONLY, and
+    candidates are band collisions of new-vs-stored plus new-vs-new.
+
+    ``stored_sigs`` is a persisted :func:`band_signatures` table —
+    kilobytes per historical document, so a 100 TB corpus participates
+    through its index scan, never a re-read or re-hash of the text.
+    Returns ``(pairs, updated_sigs)``: normalized distinct
+    (doc_a < doc_b) candidate pairs touching at least one new doc, and
+    the union index to persist for the next batch. One shuffle on
+    (band, band_sig); ``max_bucket`` caps hot buckets as in
+    :func:`minhash_lsh_pairs`."""
+    new_sigs = band_signatures(
+        new_docs, text_col, id_col, num_hashes, band_rows, shingle_k
+    )
+    updated = stored_sigs.unionByName(new_sigs)
+    right = updated
+    if max_bucket is not None:
+        counts = right.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        right = right.join(
+            counts.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band", "band_sig"],
+        )
+    a = new_sigs.select(
+        F.col(id_col).alias("_na"), F.col("band"), F.col("band_sig")
+    )
+    b = right.select(
+        F.col(id_col).alias("_ob"), F.col("band"), F.col("band_sig")
+    )
+    pairs = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("_na") != F.col("_ob"))
+        .select(
+            F.least("_na", "_ob").alias("doc_a"),
+            F.greatest("_na", "_ob").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs, updated
+
+
 def cluster_pairs(
     pairs: DataFrame,
     iterations: int = 3,

@@ -4936,3 +4936,56 @@ def curation_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.boilerplate_line_stats(
         cat.read("documents"), min_df=2, group_col="lang"
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), shx AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+      FROM shx CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), sigs AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                    greatest(a.doc_id, b.doc_id) AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 5 = 0
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH (the daily-crawl dedup pattern): the
+    corpus's persisted band-signature index (operators/dedup.py::
+    band_signatures — kilobytes per historical doc) absorbs a new batch
+    without re-reading or re-hashing history. Scenario: docs with
+    doc_id % 5 == 0 are the new batch, the rest are the stored index;
+    candidates = new-vs-stored + new-vs-new band collisions. The oracle
+    recomputes full-corpus LSH and keeps pairs touching the new set —
+    the incremental path must find exactly those."""
+    cat = load_tables(spark, sf_dir)
+    docs = cat.read("documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    stored = dedup.band_signatures(
+        history, num_hashes=8, band_rows=2, shingle_k=3
+    )
+    pairs, _updated = dedup.minhash_lsh_incremental(
+        new, stored, num_hashes=8, band_rows=2, shingle_k=3
+    )
+    return pairs
