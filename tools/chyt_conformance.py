@@ -563,6 +563,24 @@ CASES = [
         )],
     ),
     dict(
+        id="dynamic/simple_read",
+        ref="yt/chyt/tests/server/test_dynamic_tables.py:49",
+        dyn_tables={"//tmp/dt": (
+            [{"name": "key", "type": "int64", "sort_order": "ascending"},
+             {"name": "value", "type": "string"}],
+            "key bigint, value string",
+            [(i, "foo" + str(i)) for i in range(10)],
+        )},
+        steps=[
+            ("select * from `//tmp/dt` order by key",
+             [[i, "foo" + str(i)] for i in range(10)]),
+            ("select value from `//tmp/dt` where key == 5 order by key",
+             [["foo5"]]),
+            ("select key from `//tmp/dt` where value == 'foo7' order by key",
+             [[7]]),
+        ],
+    ),
+    dict(
         id="table_functions/yt_list_tables",
         ref="yt/chyt/tests/server/test_table_functions.py:63",
         tables={
@@ -664,6 +682,10 @@ def run_case(spark, case) -> dict:
         # given order (the reference's ordered-chunk semantics) so that
         # rich-YPath row ranges ([#2:#9]) index deterministically
         client.write_table(path, spark.createDataFrame(rows, ddl).coalesce(1))
+    for path, (schema, ddl, rows) in case.get("dyn_tables", {}).items():
+        client.create("table", path,
+                      attributes={"dynamic": True, "schema": schema})
+        client.insert_rows(path, spark.createDataFrame(rows, ddl))
     dicts = case.get("dictionaries")
 
     for i, (stmt, expected) in enumerate(case["steps"]):
