@@ -342,6 +342,27 @@ def test_limit_by_clause(spark):
         translate_chyt("select g, v from cht_lb limit 2 by g")
 
 
+def test_limit_by_unselected_columns(spark):
+    """ClickHouse resolves LIMIT BY / ORDER BY against the SOURCE, so the
+    expressions need not appear in the select list — the rewrite injects
+    helper columns and drops them from the output."""
+    spark.createDataFrame(
+        [(1, 10, 100), (2, 1, 200), (3, 20, 100), (4, 2, 200), (5, 30, 100)],
+        "id int, bal int, nk int",
+    ).createOrReplaceTempView("cht_lb_src")
+    df = spark.sql(translate_chyt(
+        "select id from cht_lb_src order by bal desc limit 2 by nk"
+    ))
+    assert df.columns == ["id"]
+    assert sorted(r.id for r in df.collect()) == [2, 3, 4, 5]
+    # DISTINCT / GROUP BY selects keep the selected-columns-only rule
+    with pytest.raises(ValueError, match="select list"):
+        translate_chyt(
+            "select distinct id from cht_lb_src "
+            "order by bal limit 1 by nk"
+        )
+
+
 def test_with_totals_clause(spark):
     spark.createDataFrame(
         [(1, 10), (1, 20), (2, 5)], "g int, v int"

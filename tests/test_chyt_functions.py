@@ -901,3 +901,56 @@ def test_show_tables_opaque_hidden(spark, client):
     ).collect()
     # opaque subtrees are hidden (test_common.py:50-53)
     assert [r.name for r in rows] == ["//tmp/root/sub/t2", "//tmp/root/t1"]
+
+
+def test_show_tables_no_from(spark, client):
+    """Bare SHOW TABLES walks the whole tree from '//' — the '//' root
+    must build '//name' child paths, not '/name'."""
+    client.create("map_node", "//bare", recursive=True)
+    client.write_table("//bare/t1", spark.createDataFrame([(1,)], "a bigint"))
+    rows = chyt_execute(spark, "show tables", client=client).collect()
+    assert "//bare/t1" in [r.name for r in rows]
+    rows = chyt_execute(
+        spark, "show tables like '%bare%'", client=client
+    ).collect()
+    assert [r.name for r in rows] == ["//bare/t1"]
+
+
+def test_sql_udf_simultaneous_substitution(spark, client):
+    """An argument whose text is another parameter's NAME must not be
+    re-substituted: linear_equation(k, 2, 1) with body 'k*x + b' keeps
+    the column k (previously inlined to the literal 2)."""
+    chyt_execute(
+        spark,
+        "create or replace function lin_sim as (x, k, b) -> k*x + b",
+        client=client,
+    )
+    client.write_table(
+        "//tmp/simsub", spark.createDataFrame([(10,)], "k bigint")
+    )
+    rows = chyt_execute(
+        spark, 'select lin_sim(k, 2, 1) as r from "//tmp/simsub"',
+        client=client,
+    ).collect()
+    assert rows[0].r == 21  # 2*10 + 1, NOT 2*2 + 1
+
+
+def test_sql_udf_many_flat_calls(spark, client):
+    """>16 NON-nested calls expand in one pass — the 16 cap measures
+    nesting depth, not call count."""
+    chyt_execute(
+        spark, "create or replace function sq_flat as (x) -> x*x",
+        client=client,
+    )
+    exprs = ", ".join(f"sq_flat({i}) as c{i}" for i in range(20))
+    row = chyt_execute(
+        spark, f"select {exprs} from numbers(1)", client=client
+    ).first()
+    assert [row[f"c{i}"] for i in range(20)] == [i * i for i in range(20)]
+    # genuine cycles still exceed the cap
+    chyt_execute(
+        spark, "create or replace function cyc as (x) -> cyc(x)",
+        client=client,
+    )
+    with pytest.raises(ValueError, match="depth 16"):
+        chyt_execute(spark, "select cyc(1)", client=client)

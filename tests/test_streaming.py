@@ -820,3 +820,55 @@ def test_queue_static_export(spark, tmp_path):
     exp2 = QueueStaticExporter(q, client, "//exp/low", 300)
     names = [p.rsplit("/", 1)[-1] for p in exp2.export_task(now=1800)]
     assert names == ["900-300", "1200-300"]  # lower-bound naming
+
+
+def test_queue_export_orphan_adoption(spark, tmp_path):
+    """A crash between write_table and the progress commit leaves the
+    slot's table on disk with progress unadvanced. The next pass must
+    ADOPT the exporter's own orphan (the 'pending' marker proves
+    ownership) instead of wedging forever; a foreign collision — no
+    pending record — still raises (queue_exporter.cpp retry discipline)."""
+    import pytest
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.streaming.queue_export import QueueStaticExporter
+    from ytsaurus_spark.streaming.queues import DurableQueue
+
+    q = DurableQueue(spark, str(tmp_path / "q"))
+    s = q.create_session("w")
+    s.push_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], "seq bigint, v string"),
+        seq_col="seq", commit_ts=905,
+    )
+    client = YtClient(root=str(tmp_path / "yt"), spark=spark)
+    exp = QueueStaticExporter(q, client, "//exp/orph", 300)
+
+    # simulate the crash: table written (partially, even), pending marker
+    # published, progress NOT advanced
+    client.write_table(
+        "//exp/orph/900-300",
+        spark.createDataFrame([(1, "a")], "seq bigint, v string"),
+    )
+    prog = exp.get_export_progress()
+    prog["pending"] = {"slot_end": 1200, "name": "900-300"}
+    exp._publish(prog)
+
+    created = exp.export_task(now=1500)
+    assert [p.rsplit("/", 1)[-1] for p in created] == ["900-300"]
+    assert client.read_table(created[0]).count() == 2  # full re-export
+    prog = exp.get_export_progress()
+    assert prog["last_export_unix_ts"] == 1200
+    assert "pending" not in prog
+
+    # foreign collision: table exists but no pending marker -> raise
+    s.push_batch(
+        spark.createDataFrame([(3, "c")], "seq bigint, v string"),
+        seq_col="seq", commit_ts=1250,
+    )
+    client.write_table(
+        "//exp/orph/1200-300",
+        spark.createDataFrame([(99, "x")], "seq bigint, v string"),
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        exp.export_task(now=1800)
+    assert exp.get_export_progress()["last_export_unix_ts"] == 1200

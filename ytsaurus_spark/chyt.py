@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import re
 
-from ytsaurus_spark.yql.dialect import _split_call_args
+from ytsaurus_spark.yql.dialect import _split_call_args, _split_top_commas
 
 __all__ = ["translate_chyt", "chyt_query", "resolve_if_defaults"]
 
@@ -471,11 +471,51 @@ def _same_scope_last(head: str, pattern: str):
     return best
 
 
+def _select_list_span(sel: str):
+    """(list_start, from_idx, is_plain) for a SELECT statement: the span
+    of the top-level select list and whether injection is safe (no
+    DISTINCT; no top-level GROUP BY after FROM). None if unparsable."""
+    m = re.match(r"(?is)^\s*select\s+(distinct\s+)?", sel)
+    if not m:
+        return None
+    start, i, depth = m.end(), m.end(), 0
+    from_idx = None
+    plain = not m.group(1)
+    while i < len(sel):
+        c = sel[i]
+        if c == "'":
+            i += 1
+            while i < len(sel) and sel[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "fFgG":
+            prev_ok = i == 0 or not (sel[i - 1].isalnum() or sel[i - 1] == "_")
+            if prev_ok and re.match(r"(?i)from\b", sel[i:i + 5]):
+                if from_idx is None:
+                    from_idx = i
+            elif prev_ok and re.match(r"(?i)group\s+by\b", sel[i:]):
+                plain = False
+        i += 1
+    if from_idx is None:
+        return None
+    return start, from_idx, plain
+
+
 def _rewrite_limit_by(text: str) -> str:
     """``ORDER BY o LIMIT n BY e [LIMIT m]`` → a row_number window per e
     ordered by o, filtered to <= n (Spark's top-n-per-group shape: one
     window over the partition keys, no global sort). Scope-aware: a
-    LIMIT BY inside a subquery wraps only that sub-select."""
+    LIMIT BY inside a subquery wraps only that sub-select.
+
+    ClickHouse resolves LIMIT BY / ORDER BY expressions against the
+    SOURCE relation, so they may be absent from the select list (SELECT
+    c_custkey ... ORDER BY c_acctbal LIMIT 2 BY c_nationkey). When the
+    base select is a plain projection we inject those expressions as
+    ``__lb_c{i}`` helper columns, window over the helpers, and drop them
+    in the outer SELECT — matching CH without widening the result."""
     m = _LIMIT_BY.search(text)
     if not m:
         return text
@@ -497,8 +537,53 @@ def _rewrite_limit_by(text: str) -> str:
         )
     order = scope[om.end():].strip()
     base = scope[: om.start()].strip()
+
+    # Which partition / order expressions are NOT produced by the base
+    # select list? Inject those into the inner projection as aliases.
+    span = _select_list_span(base)
+    part_items = [e.strip() for e in _split_top_commas(exprs)]
+    order_items = [o.strip() for o in _split_top_commas(order)]
+    drop = ["__lb_rn"]
+    if span is not None:
+        lst_start, from_idx, plain = span
+        sel_items = [s.strip() for s in
+                     _split_top_commas(base[lst_start:from_idx])]
+        has_star = any(s == "*" or s.endswith(".*") for s in sel_items)
+        avail = set()
+        for s in sel_items:
+            am = re.search(r"(?is)\s+as\s+([A-Za-z_]\w*)\s*$", s)
+            avail.add(am.group(1) if am else s.split(".")[-1])
+        inject: list[str] = []
+
+        def _resolve(expr: str, keep_dir: bool = False) -> str:
+            dm = (re.match(r"(?is)^(.*?)(\s+(?:asc|desc)"
+                           r"(?:\s+nulls\s+(?:first|last))?)\s*$", expr)
+                  if keep_dir else None)
+            core, suffix = (dm.group(1).strip(), dm.group(2)) if dm \
+                else (expr, "")
+            bare = re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?", core)
+            if has_star or (bare and core.split(".")[-1] in avail):
+                return expr
+            alias = f"__lb_c{len(inject)}"
+            inject.append(f"{core} AS {alias}")
+            drop.append(alias)
+            return alias + suffix
+
+        part_items = [_resolve(e) for e in part_items]
+        order_items = [_resolve(o, keep_dir=True) for o in order_items]
+        if inject and not plain:
+            raise ValueError(
+                "LIMIT BY / ORDER BY expressions must appear in the "
+                "select list when the query uses DISTINCT or GROUP BY"
+            )
+        if inject:
+            base = (base[:from_idx].rstrip() + ", " + ", ".join(inject)
+                    + " " + base[from_idx:])
+    exprs = ", ".join(part_items)
+    order = ", ".join(order_items)
     wrapped = (
-        f"SELECT * EXCEPT (__lb_rn) FROM (SELECT *, row_number() OVER "
+        f"SELECT * EXCEPT ({', '.join(drop)}) FROM (SELECT *, "
+        f"row_number() OVER "
         f"(PARTITION BY {exprs} ORDER BY {order}) AS __lb_rn "
         f"FROM ({base})) WHERE __lb_rn <= {n} ORDER BY {order} "
     )
@@ -821,31 +906,52 @@ def _load_udfs(client) -> dict[str, tuple[list[str], str]]:
 
 def _inline_udfs(text: str, udfs: dict[str, str]) -> str:
     """Beta-reduce user-function calls: f(a, b) -> (body[x:=(a), y:=(b)]).
-    Callable replacement (never str templates) so argument text containing
-    backslashes or '\\g<1>' survives verbatim."""
+
+    Parameters are substituted SIMULTANEOUSLY (one regex alternation over
+    every parameter name, callable replacement) so argument text that
+    happens to contain another parameter's name is never rescanned:
+    linear_equation(k, 2, 1) with body 'k*x + b' must keep the column k.
+    Each outer pass expands every call site present at the start of the
+    pass, so the 16-pass cap measures NESTING depth, not call count — a
+    flat query with hundreds of calls expands in one pass."""
     if not udfs:
         return text
-    for _ in range(16):  # nested/composed calls; depth-capped
-        m = _CH_CALL.search(text)
-        while m and m.group(1) not in udfs:
-            m = _CH_CALL.search(text, m.end())
-        if not m:
+    for _ in range(16):  # passes == nesting depth; cycles exceed the cap
+        expanded = False
+        pos = 0
+        while True:
+            m = _CH_CALL.search(text, pos)
+            while m and m.group(1) not in udfs:
+                m = _CH_CALL.search(text, m.end())
+            if not m:
+                break
+            name, params, body = _parse_udf(udfs[m.group(1)])
+            open_idx = text.index("(", m.end() - 1)
+            args, end = _split_call_args(text, open_idx)
+            args = [a.strip() for a in args]
+            if args == [""]:  # zero-argument call: f()
+                args = []
+            if len(args) != len(params):
+                raise ValueError(
+                    f"function {name} expects {len(params)} arguments, "
+                    f"got {len(args)}"
+                )
+            if params:
+                sub = dict(zip(params, args))
+                alt = re.compile(
+                    r"\b(" + "|".join(re.escape(p) for p in params) + r")\b"
+                )
+                expr = alt.sub(lambda _m: f"({sub[_m.group(1)]})", body)
+            else:
+                expr = body
+            repl = f"({expr})"
+            text = text[: m.start()] + repl + text[end:]
+            # Resume AFTER the expansion: nested calls introduced by the
+            # body wait for the next pass (that's what the cap counts).
+            pos = m.start() + len(repl)
+            expanded = True
+        if not expanded:
             return text
-        name, params, body = _parse_udf(udfs[m.group(1)])
-        open_idx = text.index("(", m.end() - 1)
-        args, end = _split_call_args(text, open_idx)
-        args = [a.strip() for a in args]
-        if len(args) != len(params):
-            raise ValueError(
-                f"function {name} expects {len(params)} arguments, "
-                f"got {len(args)}"
-            )
-        expr = body
-        for p, a in zip(params, args):
-            expr = re.sub(
-                rf"\b{re.escape(p)}\b", lambda _m, a=a: f"({a})", expr
-            )
-        text = text[: m.start()] + f"({expr})" + text[end:]
     raise ValueError("user function expansion exceeded depth 16 (cycle?)")
 
 
@@ -1648,7 +1754,9 @@ def _walk_tables(client, root: str) -> list[str]:
     if not client.exists(root):
         return out
     for name in client.list(root):
-        p = f"{root.rstrip('/')}/{name}"
+        # '//' root must yield '//name', not '/name' (YPath needs the
+        # leading double slash — bare SHOW TABLES walks the whole tree).
+        p = (root if root.endswith("/") else root + "/") + name
         t = _node_type(client, p)
         if t == "table":
             out.append(p)

@@ -147,10 +147,21 @@ class QueueStaticExporter:
                                             self.period)
             dst = f"{self.export_directory}/{name}"
             if self.client.exists(dst):
-                raise ValueError(
-                    f"export table {dst} already exists (will retry on "
-                    f"the next pass)"
-                )
+                # A 'pending' marker published before OUR write means the
+                # existing table is this exporter's own orphan from a pass
+                # that crashed between write_table and progress commit —
+                # adopt it by overwriting (idempotent re-export of the
+                # same slot). Any other collision is a foreign table: the
+                # reference's create-conflict task-part error.
+                pend = progress.get("pending") or {}
+                if not (pend.get("name") == name
+                        and int(pend.get("slot_end", -1)) == slot_end):
+                    raise ValueError(
+                        f"export table {dst} already exists (will retry "
+                        f"on the next pass)"
+                    )
+            progress["pending"] = {"slot_end": slot_end, "name": name}
+            self._publish(progress)
             dirs = [os.path.join(self.queue.path, s["dir"])
                     for s in by_slot[slot_end]]
             df = self.queue.spark.read.parquet(*dirs)
@@ -163,6 +174,7 @@ class QueueStaticExporter:
             created.append(dst)
             # advance progress per committed table, not per task — a
             # failure mid-pass resumes at the first unexported slot
+            progress.pop("pending", None)
             progress["last_export_unix_ts"] = slot_end
             progress["tables"][name] = {
                 "unix_ts": name_ts,
