@@ -392,3 +392,74 @@ def test_limit_by_and_totals_in_subquery(spark):
         "(select g, sum(v) as s from cht_scope group by g with totals) t"
     )).collect()
     assert rows[0].n == 3  # two groups + the totals row
+
+
+def test_boolean_arithmetic_coercion(spark, tmp_path):
+    """ClickHouse treats Bool and IN results as UInt8 in arithmetic
+    (test_common.py:2035, test_join_and_in.py:661): 2 * b and
+    5 + (x IN (...)) must compute, not raise."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.chyt import chyt_query
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    client.write_table(
+        "//tmp/bt", spark.createDataFrame([(False,), (True,)], "b boolean")
+    )
+    rows = chyt_query(
+        spark, "select b, 2 * b as two_b from `//tmp/bt` order by b",
+        client=client,
+    ).collect()
+    assert [(r.b, r.two_b) for r in rows] == [(False, 0), (True, 2)]
+
+    client.write_table(
+        "//tmp/ba", spark.createDataFrame([(0, 0)], "a bigint, b bigint")
+    )
+    rows = chyt_query(
+        spark,
+        'select 5 + (a.a in (select a from "//tmp/ba")) as sum '
+        'from "//tmp/ba" a left join (select 0 as a) b on a.a = b.a',
+        client=client,
+    ).collect()
+    assert rows[0].sum == 6
+    # ordinary arithmetic groups stay untouched
+    rows = chyt_query(
+        spark, 'select (a + 1) * 2 as x from "//tmp/ba"', client=client
+    ).collect()
+    assert rows[0].x == 2
+
+
+def test_join_unqualified_left_bias(spark, tmp_path):
+    """CH resolves an unqualified ambiguous column in an ON-join to the
+    LEFT side (test_join_and_in.py:81 step 3)."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.chyt import chyt_query
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    client.write_table(
+        "//tmp/j1",
+        spark.createDataFrame(
+            [(i, f"foo{i}") for i in (1, 2)], "key bigint, lhs string"
+        ),
+    )
+    client.write_table(
+        "//tmp/j2",
+        spark.createDataFrame(
+            [(i, f"bar{i}") for i in (1, 2)], "key bigint, rhs string"
+        ),
+    )
+    rows = chyt_query(
+        spark,
+        'select key, lhs, rhs from "//tmp/j1" t1 join "//tmp/j2" t2 '
+        "on t1.key = t2.key order by key",
+        client=client,
+    ).collect()
+    assert [(r.key, r.lhs, r.rhs) for r in rows] == [
+        (1, "foo1", "bar1"), (2, "foo2", "bar2")]
+    # a SELECT alias shadowing the column still wins (no rewrite)
+    rows = chyt_query(
+        spark,
+        'select t2.key as key, lhs from "//tmp/j1" t1 join "//tmp/j2" t2 '
+        "on t1.key = t2.key order by key",
+        client=client,
+    ).collect()
+    assert [r.key for r in rows] == [1, 2]

@@ -781,3 +781,167 @@ def test_star_calendar_integrity(spark, sf_dir):
         "select min(d_date) as lo, max(d_date) as hi from date_dim"
     ).collect()[0]
     assert str(lo) <= "1998-01-01" and str(hi) >= "2002-09-05"
+
+
+# --- FLATTEN BY (SQLv1 flatten_source, SQLv1Antlr4.g.in:543-548) -------------
+
+
+def _yql_sql(s2, text):
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    return s2.sql(translate_yql(text).sql)
+
+
+def test_flatten_by_replace_form(spark):
+    """No-alias FLATTEN BY replaces the column with its elements
+    (select.cpp:1295-1306); NULL/empty lists drop the row."""
+    s2 = spark.newSession()
+    s2.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None), (4, [30])],
+        "k int, arr array<int>",
+    ).createOrReplaceTempView("fb_t")
+    rows = _yql_sql(
+        s2, "select k, arr from `//home/fb_t` flatten by arr "
+            "order by k, arr",
+    ).collect()
+    assert [(r.k, r.arr) for r in rows] == [(1, 10), (1, 20), (4, 30)]
+
+
+def test_flatten_by_alias_and_cartesian(spark):
+    s2 = spark.newSession()
+    s2.createDataFrame(
+        [(1, [1, 2], ["a", "b"])],
+        "k int, xs array<int>, ys array<string>",
+    ).createOrReplaceTempView("fb_t2")
+    rows = _yql_sql(
+        s2,
+        "select k, x, y from `//fb_t2` flatten by (xs as x, ys as y) "
+        "order by x, y",
+    ).collect()
+    # multiple items = Cartesian product of elements
+    assert [(r.x, r.y) for r in rows] == [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    # alias form keeps the source column
+    rows = _yql_sql(
+        s2, "select k, xs, x from `//fb_t2` flatten list by xs as x "
+            "order by x",
+    ).collect()
+    assert [(r.xs, r.x) for r in rows] == [([1, 2], 1), ([1, 2], 2)]
+
+
+def test_flatten_optional_and_dict(spark):
+    s2 = spark.newSession()
+    s2.createDataFrame(
+        [(1, 10, {"a": 1}), (2, None, {"b": 2, "c": 3}), (3, 30, None)],
+        "k int, opt int, d map<string,int>",
+    ).createOrReplaceTempView("fb_t3")
+    # OPTIONAL: NULL rows dropped, value unwrapped
+    rows = _yql_sql(
+        s2, "select k, v from `//fb_t3` flatten optional by opt as v "
+            "order by k",
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 10), (3, 30)]
+    # DICT: one row per entry, item is a key/value struct
+    rows = _yql_sql(
+        s2, "select k, kv.key as dk, kv.value as dv from `//fb_t3` "
+            "flatten dict by d as kv order by k, dk",
+    ).collect()
+    assert [(r.k, r.dk, r.dv) for r in rows] == [
+        (1, "a", 1), (2, "b", 2), (2, "c", 3)]
+
+
+def test_flatten_by_in_named_expression(spark):
+    s2 = spark.newSession()
+    s2.createDataFrame(
+        [(1, [5, 6]), (2, [7])], "k int, arr array<int>"
+    ).createOrReplaceTempView("fb_t4")
+    rows = _yql_sql(
+        s2,
+        "$flat = (select k, arr from `//fb_t4` flatten by arr);\n"
+        "select k, sum(arr) as s from $flat group by k order by k",
+    ).collect()
+    assert [(r.k, r.s) for r in rows] == [(1, 11), (2, 7)]
+
+
+def test_unsupported_constructs_fail_loudly():
+    """The verified round-9 mangling repros must RAISE naming the
+    construct, never emit rewritten SQL (VERDICT round 9)."""
+    import pytest
+
+    from ytsaurus_spark.yql.dialect import YqlUnsupportedError, translate_yql
+
+    cases = {
+        "PROCESS `//t` USING $f(TableRow())": "PROCESS",
+        "REDUCE `//t` ON k USING $f(TableRow())": "REDUCE",
+        "select * from RANGE(`//logs`, `2024-01-01`, `2024-01-31`)":
+            "RANGE",
+        "select * from CONCAT(`//a`, `//b`)": "CONCAT",
+        "select * from EACH('//a')": "EACH",
+        "select * from LIKE(`//home`, 'log-%')": "LIKE",
+        "select * from REGEXP(`//home`, 'log-.*')": "REGEXP",
+        "select a from `//t` flatten columns": "FLATTEN COLUMNS",
+        "EVALUATE IF true DO $a()": "EVALUATE",
+        "DEFINE ACTION $a() AS select 1; END DEFINE": "DEFINE ACTION",
+        "DISCARD select 1": "DISCARD",
+    }
+    for text, construct in cases.items():
+        with pytest.raises(YqlUnsupportedError, match=construct):
+            translate_yql(text)
+    # scalar CONCAT over a path-looking string literal is NOT a table fn
+    assert "concat('//home/'" in translate_yql(
+        "select concat('//home/', name) as p from `//t`"
+    ).sql
+
+
+def test_process_reduce_lowering():
+    """PROCESS/REDUCE text statements (SQLv1Antlr4.g.in:379-391) lower
+    to pure Catalyst projections/aggregates; unsupported shapes raise
+    YqlUnsupportedError naming the missing piece."""
+    import pytest
+
+    from ytsaurus_spark.yql.dialect import YqlUnsupportedError, translate_yql
+
+    assert translate_yql("PROCESS `//home/x/events`").sql == \
+        "select * from events"
+    t = translate_yql(
+        "$f = ($row) -> (AsStruct($row.user_id AS uid, "
+        "$row.value * 2 AS v2));\n"
+        "PROCESS `//home/x/events` USING $f(TableRow());"
+    )
+    assert t.sql == "select user_id AS uid, value * 2 AS v2 from events"
+    t = translate_yql(
+        "$f = ($row) -> (OptionalIf($row.value > 0, "
+        "AsStruct($row.user_id AS uid)));\n"
+        "PROCESS `//home/x/events` USING $f(TableRow());"
+    )
+    assert t.sql == "select user_id AS uid from events where value > 0"
+    t = translate_yql(
+        "$r = ($row) -> (AsStruct(SUM($row.value) AS s, COUNT(*) AS n));\n"
+        "REDUCE `//home/x/events` ON user_id USING $r(TableRow());"
+    )
+    assert t.sql == ("select user_id, SUM(value) AS s, COUNT(*) AS n "
+                     "from events group by user_id")
+    for bad, why in [
+        ("PROCESS `//t` USING $f(TableRow())", "not one"),
+        ("PROCESS `//t` USING String::Foo(TableRow())", "module"),
+        ("$f = ($row) -> ($row.a + 1);\n"
+         "PROCESS `//t` USING $f(TableRow());", "AsStruct"),
+        ("$f = ($row) -> (AsStruct($row AS r));\n"
+         "PROCESS `//t` USING $f(TableRow());", "member access"),
+        ("REDUCE `//t` USING $f(TableRow())", "ON key"),
+        ("PROCESS `//a`, `//b` USING $f(TableRow())", "multi-source"),
+    ]:
+        with pytest.raises(YqlUnsupportedError, match=why):
+            translate_yql(bad)
+
+
+def test_flatten_keywords_in_string_literals():
+    """'flatten by' / 'flatten columns' INSIDE string literals must not
+    trigger the rewriter or the unsupported-construct guard."""
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    t = translate_yql(
+        "select 'flatten by arr' as s, 'flatten columns' as c from `//t`"
+    )
+    assert t.sql == ("select 'flatten by arr' as s, "
+                     "'flatten columns' as c from t")

@@ -236,3 +236,54 @@ def test_chyt_dialect_differential(harness):
                 divergences.append((script, got[:3], want[:3]))
             n += 1
     assert not divergences, divergences[:2]
+
+
+def _flatten_cases(rng: random.Random):
+    """(yql_script, duckdb_oracle) pairs: FLATTEN BY lowers to LATERAL
+    VIEW (Spark-only), so the differential pairs each script with a
+    hand-built unnest oracle instead of running identical SQL."""
+    t = rng.randint(0, 10)
+    n = rng.randint(1, 3)
+    yield (
+        "select k, w from (select k, String::SplitToList("
+        "coalesce(s, ''), ' ') as ws from ft) flatten by ws as w"
+        f" where k > {t} order by k, w;",
+        "select k, w from (select k, unnest(string_split("
+        "coalesce(s, ''), ' ')) as w from ft)"
+        f" where k > {t} order by k, w",
+    )
+    # replace form: the flattened column keeps its own name
+    yield (
+        "select ws, CAST(count(*) AS BIGINT) as c from (select k,"
+        " String::SplitToList(coalesce(s, ''), ' ') as ws from ft)"
+        f" flatten by ws where length(ws) >= {n}"
+        " group by ws order by ws;",
+        "select ws, CAST(count(*) AS BIGINT) as c from (select"
+        " unnest(string_split(coalesce(s, ''), ' ')) as ws from ft)"
+        f" where length(ws) >= {n} group by ws order by ws",
+    )
+    # OPTIONAL: unwrap nullable, dropping NULLs
+    yield (
+        "select k, vv from (select k, v from ft) flatten optional by"
+        f" v as vv where vv <= {t} order by k, vv;",
+        f"select k, v as vv from ft where v is not null and v <= {t}"
+        " order by k, vv",
+    )
+
+
+def test_flatten_by_differential(harness):
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    s2, con = harness
+    rng = random.Random(11)
+    divergences = []
+    for _ in range(10):
+        for script, oracle in _flatten_cases(rng):
+            got = _norm(
+                [tuple(r) for r in s2.sql(translate_yql(script).sql)
+                 .collect()]
+            )
+            want = _norm(con.execute(oracle).fetchall())
+            if got != want:
+                divergences.append((script, got[:3], want[:3]))
+    assert not divergences, divergences[:2]

@@ -191,11 +191,8 @@ CASES = [
         ref="yt/chyt/tests/server/test_common.py:2035",
         tables={"//tmp/t": ("b boolean", [(False,), (True,)])},
         steps=[(
-            "select b, 2 * b as two_b from `//tmp/t`",
-            ("unsupported",
-             "ClickHouse implicitly coerces Bool to UInt8 in arithmetic; "
-             "Spark's type system forbids boolean * int (documented "
-             "divergence — use if(b, 1, 0))"),
+            "select b, 2 * b as two_b from `//tmp/t` order by b",
+            [[False, 0], [True, 2]],
         )],
     ),
     dict(
@@ -257,10 +254,7 @@ CASES = [
              [[i, f"foo{i}", f"bar{i}"] for i in (1, 2, 3, 4)]),
             ('select key, lhs, rhs from "//tmp/t1" t1 join "//tmp/t2" t2 '
              "on t1.key = t2.key order by key",
-             ("unsupported",
-              "ClickHouse resolves an unqualified column that exists on "
-              "both sides of an ON-join to the LEFT side; Spark raises "
-              "AMBIGUOUS_REFERENCE — qualify (t1.key) or join USING")),
+             [[i, f"foo{i}", f"bar{i}"] for i in (1, 2, 3, 4)]),
         ],
     ),
     dict(
@@ -298,10 +292,7 @@ CASES = [
         steps=[(
             'select 5 + (a.a in (select a from "//tmp/t")) as sum '
             'from "//tmp/t" a left join (select 0 as a) b on a.a = b.a',
-            ("unsupported",
-             "ClickHouse's IN yields UInt8 usable in arithmetic; Spark "
-             "IN yields BOOLEAN which cannot be added (documented "
-             "divergence — wrap with if(cond, 1, 0))"),
+            [[6]],
         )],
     ),
     dict(

@@ -36,7 +36,11 @@ from __future__ import annotations
 
 import re
 
-from ytsaurus_spark.yql.dialect import _split_call_args, _split_top_commas
+from ytsaurus_spark.yql.dialect import (
+    _depth_map,
+    _split_call_args,
+    _split_top_commas,
+)
 
 __all__ = ["translate_chyt", "chyt_query", "resolve_if_defaults"]
 
@@ -556,11 +560,17 @@ def _rewrite_limit_by(text: str) -> str:
         inject: list[str] = []
 
         def _resolve(expr: str, keep_dir: bool = False) -> str:
-            dm = (re.match(r"(?is)^(.*?)(\s+(?:asc|desc)"
-                           r"(?:\s+nulls\s+(?:first|last))?)\s*$", expr)
-                  if keep_dir else None)
-            core, suffix = (dm.group(1).strip(), dm.group(2)) if dm \
-                else (expr, "")
+            core, suffix = expr, ""
+            if keep_dir:
+                dm = re.search(r"(?is)\s+nulls\s+(?:first|last)\s*$", core)
+                if dm:
+                    suffix, core = core[dm.start():].rstrip(), \
+                        core[: dm.start()]
+                dm = re.search(r"(?is)\s+(?:asc|desc)\s*$", core)
+                if dm:
+                    suffix = core[dm.start():].rstrip() + suffix
+                    core = core[: dm.start()]
+                core = core.strip()
             bare = re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?", core)
             if has_star or (bare and core.split(".")[-1] in avail):
                 return expr
@@ -1506,6 +1516,175 @@ def _resolve_totypename(s2, sql: str) -> str:
     return out
 
 
+# --- ClickHouse Bool/UInt8 arithmetic coercion --------------------------------
+#
+# ClickHouse treats Bool and comparison/IN results as UInt8, so ``2 * b``
+# and ``5 + (a IN (...))`` are legal arithmetic (test_common.py:2035,
+# test_join_and_in.py:661). Spark's type system forbids boolean in
+# arithmetic, so the translation wraps boolean operands in
+# ``if(b, 1, 0)``:
+#   - PARENTHESIZED groups adjacent to an arithmetic operator whose
+#     top level contains a comparison / IN / LIKE (syntactic — no schema
+#     needed);
+#   - bare (possibly alias-qualified) COLUMN references adjacent to an
+#     arithmetic operator whose resolved type is BOOLEAN — resolved via
+#     the session catalog, the same lazy-probe discipline as
+#     chyt_if_default.
+
+_FROM_JOIN_SRC = re.compile(
+    r"(?is)\b(?:from|join)\s+([A-Za-z_]\w*)(?:\s+(?:as\s+)?"
+    r"([A-Za-z_]\w*))?"
+)
+_SRC_ALIAS_KW = frozenset(
+    "on where group order join left right inner full cross using global"
+    " array limit settings union prewhere sample as having with".split()
+)
+_IDENT_REF = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?")
+_BOOL_GROUP_OP = re.compile(
+    r"(?i)(?:\s(?:in|like|not\s+in)\s)|(?:[<>!]=?|==|=|<>)"
+)
+
+
+def _boolean_columns(sql: str, s2) -> set[str]:
+    cols: set[str] = set()
+    from pyspark.sql.types import BooleanType
+
+    for m in _FROM_JOIN_SRC.finditer(sql):
+        name, alias = m.group(1), m.group(2)
+        if alias is not None and alias.lower() in _SRC_ALIAS_KW:
+            alias = None
+        try:
+            schema = s2.table(name).schema
+        except Exception:
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, BooleanType):
+                cols.add(f.name.lower())
+                cols.add(f"{name}.{f.name}".lower())
+                if alias is not None:
+                    cols.add(f"{alias}.{f.name}".lower())
+    return cols
+
+
+def _prev_nonspace(s: str, i: int) -> str:
+    while i > 0 and s[i - 1] in " \t\n":
+        i -= 1
+    return s[i - 1] if i > 0 else ""
+
+
+def _next_nonspace(s: str, i: int) -> str:
+    while i < len(s) and s[i] in " \t\n":
+        i += 1
+    return s[i] if i < len(s) else ""
+
+
+def _arith_adjacent(sql: str, start: int, end: int) -> bool:
+    prev, nxt = _prev_nonspace(sql, start), _next_nonspace(sql, end)
+    # '*' before an operand can't be select-star here (idents filter to
+    # known boolean columns; groups to boolean-op contents)
+    return prev in "+-*/%" or nxt in "+-*/%"
+
+
+def resolve_bool_arithmetic(sql: str, s2) -> str:
+    """Wrap boolean operands of arithmetic operators in ``if(x, 1, 0)``
+    — ClickHouse's implicit Bool→UInt8 coercion, made explicit for
+    Spark."""
+    # 1) parenthesized boolean expressions: (a IN (...)), (x = y), ...
+    changed = True
+    while changed:
+        changed = False
+        depth = _depth_map(sql)
+        for i, d in enumerate(depth):
+            if sql[i] != "(" or d < 0:
+                continue
+            args, end = _split_call_args(sql, i)
+            inner = sql[i + 1: end - 1]
+            if re.match(r"(?is)\s*select\b", inner):
+                continue  # scalar subquery — numeric, not a boolean op
+            if len(args) != 1:
+                continue
+            prev = _prev_nonspace(sql, i)
+            if prev.isalnum() or prev == "_":
+                continue  # function call argument list
+            if not _arith_adjacent(sql, i, end):
+                continue
+            idm = [0 if dd < 0 else dd for dd in _depth_map(inner)]
+            has_bool_op = any(
+                idm[mm.start()] == 0
+                for mm in _BOOL_GROUP_OP.finditer(inner)
+            )
+            if not has_bool_op:
+                continue
+            sql = sql[:i] + f"if({inner.strip()}, 1, 0)" + sql[end:]
+            changed = True
+            break
+    # 2) bare boolean column references (schema-resolved)
+    bool_cols = None
+    pos = 0
+    while True:
+        m = _IDENT_REF.search(sql, pos)
+        if m is None:
+            return sql
+        pos = m.end()
+        if not _arith_adjacent(sql, m.start(), m.end()):
+            continue
+        if _next_nonspace(sql, m.end()) == "(":
+            continue  # function call
+        if bool_cols is None:
+            bool_cols = _boolean_columns(sql, s2)
+            if not bool_cols:
+                return sql
+        if m.group(0).lower() not in bool_cols:
+            continue
+        rep = f"if({m.group(0)}, 1, 0)"
+        sql = sql[: m.start()] + rep + sql[m.end():]
+        pos = m.start() + len(rep)
+
+
+# --- ClickHouse unqualified ON-column left bias --------------------------------
+#
+# ClickHouse resolves an unqualified column that exists on BOTH sides of
+# an ON-join to the LEFT side (test_join_and_in.py:81 sorted_join_simple:
+# ``select key, lhs, rhs from t1 join t2 on t1.key = t2.key``); Spark
+# raises AMBIGUOUS_REFERENCE. The translation qualifies such columns with
+# the left relation. Scope: one top-level two-table ON-join over plain
+# table refs (the CH shape); columns that are also SELECT aliases are
+# left alone (both engines prefer the output alias).
+
+_ON_JOIN_SHAPE = re.compile(
+    r"(?is)\bfrom\s+([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+"
+    r"(?:(?:left|right|inner|full|outer|global|any|all|semi|anti)\s+)*"
+    r"join\s+([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+on\b"
+)
+
+
+def resolve_join_left_bias(sql: str, s2) -> str:
+    if len(re.findall(r"(?i)\bjoin\b", sql)) != 1:
+        return sql
+    m = _ON_JOIN_SHAPE.search(sql)
+    if m is None:
+        return sql
+    lt, la, rt, ra = m.groups()
+    if la is not None and la.lower() in _SRC_ALIAS_KW:
+        la = None
+    if ra is not None and ra.lower() in _SRC_ALIAS_KW:
+        ra = None
+    try:
+        lcols = {f.name.lower() for f in s2.table(lt).schema.fields}
+        rcols = {f.name.lower() for f in s2.table(rt).schema.fields}
+    except Exception:
+        return sql
+    left_q = la or lt
+    for col in sorted(lcols & rcols):
+        if re.search(rf"(?i)\bas\s+{re.escape(col)}\b", sql):
+            continue  # output alias wins on both engines
+        sql = re.sub(
+            rf"(?i)(?<![\w.]){re.escape(col)}(?![\w.])(?!\s*\()",
+            f"{left_q}.{col}", sql,
+        )
+    return sql
+
+
 _IF_DEFAULT = re.compile(r"\bchyt_if_default\s*\(")
 
 # Spark simple type -> ClickHouse type-default literal (*If combinators
@@ -1714,6 +1893,8 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None,
     sql = translate_chyt(text, resolve=_view_name)
     sql = _resolve_totypename(s2, sql)
     sql = resolve_if_defaults(sql, analyze=_spark_analyze(s2))
+    sql = resolve_bool_arithmetic(sql, s2)
+    sql = resolve_join_left_bias(sql, s2)
     return s2.sql(sql)
 
 

@@ -471,3 +471,327 @@ def yql_text_match_recognize_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.yql import yql_select
 
     return yql_select(spark, _MR_NAV_TEXT, sf_dir=sf_dir, star=False)
+
+
+# --- FLATTEN BY (SQLv1 flatten_source, SQLv1Antlr4.g.in:543-548) -------------
+
+_FLATTEN_TEXT = """
+$words = (
+    select doc_id, String::SplitToList(text, ' ') as w
+    from `//home/x/documents`
+);
+select w, cast(count(*) as bigint) as n
+from $words flatten by w
+where length(w) >= 6
+group by w
+order by n desc, w
+limit 20;
+"""
+
+
+@register(
+    "yql_text_flatten",
+    """
+    SELECT w, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) >= 6
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def yql_text_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLATTEN BY in its dominant no-alias form (the flattened column is
+    REPLACED by its elements — select.cpp:1295-1306), as verbatim YQL
+    text. Lowered to LATERAL VIEW explode with the source column renamed
+    out of the way (dialect._rewrite_flatten_by); the word-count plan is
+    scan → generate → partial agg → one exchange → final agg, the same
+    shape as ql_group_agg. At 100 TB the explode multiplies rows
+    scan-side BEFORE the shuffle, so the exchange carries only (word,
+    partial count) pairs."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _FLATTEN_TEXT, sf_dir=sf_dir, star=False)
+
+
+_FLATTEN_LIST_TEXT = """
+select vec_id, cast(count(*) as bigint) as n,
+       round(cast(min(e) as double), 6) as lo,
+       round(cast(max(e) as double), 6) as hi
+from `//home/x/embeddings` flatten list by embedding as e
+group by vec_id
+order by vec_id
+limit 50;
+"""
+
+
+@register(
+    "yql_text_flatten_list",
+    """
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(min(e) AS DOUBLE), 6) AS lo,
+           round(CAST(max(e) AS DOUBLE), 6) AS hi
+    FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+    GROUP BY vec_id ORDER BY vec_id LIMIT 50
+    """,
+)
+def yql_text_flatten_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLATTEN LIST BY ... AS alias (the explicit-mode alias form: the
+    source array column stays visible, elements bind to the alias) over
+    the embeddings table. min/max are order-independent, so the compare
+    is exact even over float32 elements."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _FLATTEN_LIST_TEXT, sf_dir=sf_dir, star=False)
+
+
+_FLATTEN_OPT_TEXT = """
+select lang2, cast(count(*) as bigint) as n
+from (select nullif(lang, 'en') as l from `//home/x/documents`)
+flatten optional by l as lang2
+group by lang2
+order by lang2;
+"""
+
+
+@register(
+    "yql_text_flatten_optional",
+    """
+    SELECT lang AS lang2, CAST(count(*) AS BIGINT) AS n
+    FROM documents WHERE lang <> 'en'
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def yql_text_flatten_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLATTEN OPTIONAL BY: unwrap an optional column, dropping NULL
+    rows (select.cpp:1551 FlattenByOptional). Lowered to explode over a
+    null-filtered single-element array — semantically a WHERE IS NOT
+    NULL the optimizer can see. The oracle states the equivalent filter
+    directly."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _FLATTEN_OPT_TEXT, sf_dir=sf_dir, star=False)
+
+
+# --- table path functions (yql_yt_io_discovery.cpp:101) ----------------------
+
+# one materialized date-partitioned log dir per (process, sf_dir): the
+# canonical RANGE() input layout — //logs/events/YYYY-MM-DD daily tables
+_LOG_DIRS: dict[str, str] = {}
+
+
+def _events_log_root(spark: SparkSession, sf_dir: str) -> str:
+    root = _LOG_DIRS.get(sf_dir)
+    if root is not None:
+        return root
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.client import YtClient
+
+    root = tempfile.mkdtemp(prefix="yql_logs_")
+    client = YtClient(root=root, spark=spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "__d", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # the loop is bounded by CALENDAR DAYS (30), never by data volume —
+    # at 100 TB the same dir has the same table count, each write a
+    # distributed filtered scan
+    days = sorted(r[0] for r in ev.select("__d").distinct().collect())
+    for d in days:
+        client.write_table(
+            f"//logs/events/{d}", ev.where(F.col("__d") == d).drop("__d")
+        )
+    _LOG_DIRS[sf_dir] = root
+    return root
+
+
+_RANGE_TEXT = """
+select event_type, cast(count(*) as bigint) as n,
+       round(sum(value), 4) as s
+from RANGE(`//logs/events`, `2024-01-05`, `2024-01-11`)
+group by event_type
+order by event_type;
+"""
+
+
+@register(
+    "yql_text_range",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS s
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def yql_text_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE(`//dir`, lo, hi) — the standard date-partitioned log read
+    (MrTableRange, yql_yt_io_discovery.cpp:101). Expansion lists the
+    directory (driver-side metadata), keeps ONLY the 7 in-range daily
+    tables of 30, and splices a UNION ALL of their scans — path-level
+    partition pruning: at 100 TB a week's query over a year's log dir
+    plans scans for 7 days, not 365. The oracle states the equivalent
+    date filter over the un-partitioned events table."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    root = _events_log_root(spark, sf_dir)
+    return yql_execute(spark, _RANGE_TEXT,
+                       client=YtClient(root=root, spark=spark))
+
+
+_EACH_TEXT = """
+select event_type, cast(count(*) as bigint) as n
+from EACH('//logs/events/2024-01-01;//logs/events/2024-01-02')
+group by event_type
+order by event_type;
+"""
+
+
+@register(
+    "yql_text_each",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-02'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def yql_text_each(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EACH('path;path') — explicit table-list read (MrTableEach). Same
+    UNION ALL expansion as RANGE with the list given verbatim."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    root = _events_log_root(spark, sf_dir)
+    return yql_execute(spark, _EACH_TEXT,
+                       client=YtClient(root=root, spark=spark))
+
+
+_FLATTEN_COLS_TEXT = """
+select lg, cast(sum(len) as bigint) as total, cast(count(*) as bigint) as n
+from `//structs/docs` flatten columns
+group by lg
+order by lg;
+"""
+
+
+@register(
+    "yql_text_flatten_columns",
+    """
+    SELECT lang AS lg, CAST(sum(n_chars) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def yql_text_flatten_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLATTEN COLUMNS (select.cpp:1652): every top-level struct column
+    lifts to its members. Needs the source schema, so yql_execute
+    expands it pre-translation into Spark's ``struct.*`` projection —
+    a zero-shuffle projection change. The struct table is derived from
+    documents; the oracle computes the same aggregate flat."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    root = tempfile.mkdtemp(prefix="yql_structs_")
+    client = YtClient(root=root, spark=spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    client.write_table(
+        "//structs/docs",
+        docs.select(
+            "doc_id",
+            F.struct(
+                F.col("n_chars").alias("len"), F.col("lang").alias("lg")
+            ).alias("s"),
+        ),
+    )
+    return yql_execute(spark, _FLATTEN_COLS_TEXT, client=client)
+
+
+# --- PROCESS / REDUCE text forms (SQLv1Antlr4.g.in:379-391) -------------------
+
+_PROCESS_TEXT = """
+$f = ($row) -> (OptionalIf($row.event_type = 'purchase',
+    AsStruct($row.event_id AS eid, $row.user_id AS uid,
+             $row.value * 2.0 AS doubled)));
+PROCESS `//home/x/events` USING $f(TableRow());
+"""
+
+
+@register(
+    "yql_text_process",
+    """
+    SELECT event_id AS eid, user_id AS uid, value * 2.0 AS doubled
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def yql_text_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS `//t` USING $f(TableRow()) (process_core,
+    SQLv1Antlr4.g.in:379): the row-stream escape hatch, here with an
+    expression lambda body — OptionalIf(cond, AsStruct(...)) = filter +
+    transform. The dialect lowers it to a plain WHERE + projection that
+    stays inside whole-stage codegen: strictly faster than the
+    reference's per-row UDF pass, with identical semantics. Shapes that
+    genuinely need imperative code raise toward run_map
+    (operators/map_reduce.py)."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _PROCESS_TEXT, sf_dir=sf_dir, star=False)
+
+
+_REDUCE_TEXT = """
+$r = ($row) -> (AsStruct(COUNT(*) AS n,
+    MIN($row.value) AS lo, MAX($row.value) AS hi));
+REDUCE `//home/x/events` ON event_type USING $r(TableRow());
+"""
+
+
+@register(
+    "yql_text_reduce",
+    """
+    SELECT event_type, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def yql_text_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REDUCE `//t` ON key USING $f(TableRow()) (reduce_core,
+    SQLv1Antlr4.g.in:385): the keyed-group stream. The AsStruct
+    aggregate body lowers to GROUP BY — partial+final hash aggregate,
+    one exchange on the reduce key (the same plan shape the reference's
+    reduce operation schedules as sorted ranges). min/max/count are
+    order-independent, so the oracle compare is exact."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _REDUCE_TEXT, sf_dir=sf_dir, star=False)
+
+
+_FLATTEN_DICT_TEXT = """
+select kv.key as lg, cast(sum(kv.value) as bigint) as total,
+       cast(count(*) as bigint) as n
+from (select map(lang, n_chars) as d from `//home/x/documents`)
+flatten dict by d as kv
+group by kv.key
+order by lg;
+"""
+
+
+@register(
+    "yql_text_flatten_dict",
+    """
+    SELECT lang AS lg, CAST(sum(n_chars) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang ORDER BY lg
+    """,
+)
+def yql_text_flatten_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLATTEN DICT BY (select.cpp:1551 FlattenByDict): one row per dict
+    entry, the item a key/value struct (Spark map_entries — YQL spells
+    the pair ``kv.0``/``kv.1``, see MIGRATION.md). Single-entry maps
+    built from documents make the oracle the flat group-by."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _FLATTEN_DICT_TEXT, sf_dir=sf_dir, star=False)

@@ -34,6 +34,18 @@ def _star_session(spark, sf_dir: str):
     return s2
 
 
+def _resolve_source_schema(src: str, s2, client):
+    """Schema of a FLATTEN COLUMNS source token: a backticked cypress
+    path (client-resolved when possible, else the registered basename
+    view) or a bare view name."""
+    if src.startswith("`"):
+        path = src.strip("`")
+        if client is not None and client.exists(path):
+            return client.read_table(path).schema
+        return s2.table(path.rstrip("/").rsplit("/", 1)[-1]).schema
+    return s2.table(src).schema
+
+
 def yql_select(spark, text: str, sf_dir: str | None = None,
                star: bool = True, pragmas: bool = True,
                params: dict | None = None):
@@ -65,6 +77,12 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
         )
 
         text = expand_match_recognize(s2, text)
+    if re.search(r"(?i)\bflatten\s+columns\b", text):
+        from ytsaurus_spark.yql.table_functions import expand_flatten_columns
+
+        text = expand_flatten_columns(
+            text, lambda src: _resolve_source_schema(src, s2, None)
+        )
     tq = translate_yql(text, params=params)
     if pragmas:
         apply_pragmas(s2, tq.pragmas)
@@ -92,14 +110,12 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
     semantics."""
     from ytsaurus_spark.yql.dialect import translate_yql_script
 
-    parts = translate_yql_script(text, params=params)
     s2 = spark.newSession()
     s2.conf.set("spark.sql.ansi.enabled", "false")  # YQL total arithmetic
     if sf_dir is not None:
         from ytsaurus_spark.catalog import load_tables
 
         load_tables(s2, sf_dir)
-    apply_pragmas(s2, parts[0].pragmas if parts else {})
 
     # views are session-scoped: re-root the client onto the isolated
     # execution session so registrations land where the SQL runs
@@ -109,6 +125,24 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
         exec_client = YtClient(root=client.root, spark=s2)
     else:
         exec_client = None
+
+    # context-aware pre-translation expansions: table path functions
+    # (RANGE/CONCAT/EACH/LIKE/REGEXP — yql_yt_io_discovery.cpp:101) and
+    # FLATTEN COLUMNS (needs the source schema)
+    if re.search(r"(?i)\b(range|concat|each|like|regexp|filter)\s*\(\s*[`']//",
+                 text):
+        from ytsaurus_spark.yql.table_functions import expand_table_functions
+
+        text = expand_table_functions(text, exec_client, s2)
+    if re.search(r"(?i)\bflatten\s+columns\b", text):
+        from ytsaurus_spark.yql.table_functions import expand_flatten_columns
+
+        text = expand_flatten_columns(
+            text, lambda src: _resolve_source_schema(src, s2, exec_client)
+        )
+
+    parts = translate_yql_script(text, params=params)
+    apply_pragmas(s2, parts[0].pragmas if parts else {})
 
     def register_client_paths(stmt):
         if exec_client is None:

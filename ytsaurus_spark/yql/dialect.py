@@ -47,6 +47,15 @@ import re
 from dataclasses import dataclass, field
 
 
+class YqlUnsupportedError(ValueError):
+    """A YQL construct the translator RECOGNIZES but does not support.
+
+    Raised before any substitution runs, so the user sees the construct
+    named clearly instead of a baffling downstream Spark parse error over
+    silently-mangled SQL (e.g. RANGE's backticked arguments rewritten to
+    identifiers). Reference surface: SQLv1Antlr4.g.in."""
+
+
 @dataclass
 class TranslatedQuery:
     """Result of translate_yql: ANSI SQL + the parsed pragma set.
@@ -311,6 +320,8 @@ _MODULE_FUNCS: dict[tuple[str, str], str] = {
     ("string", "base64decode"): "unbase64({0})",    # Spark-only
     ("string", "joinfromlist"): "array_join({0}, {1})",  # Spark-only
     ("string", "size"): "octet_length({0})",  # byte length (Size UDF)
+    # SplitToList(s, delim): the YQL tokenizer (string_udf.cpp SplitToList)
+    ("string", "splittolist"): "split({0}, {1})",  # Spark-only (regex delim)
     ("string", "collapse"): "regexp_replace({0}, '\\\\s+', ' ')",  # Spark-only
     ("unicode", "getlength"): "length({0})",  # codepoint count
     # Math module (udfs/common/math — thin libm wrappers)
@@ -637,6 +648,7 @@ def _rewrite_groupby_as(text: str) -> str:
 
 
 def _rewrite_yqlisms(text: str) -> str:
+    text = _rewrite_flatten_by(text)
     for pat, repl in _REWRITES:
         text = pat.sub(repl, text)
     text = _rewrite_module_funcs(text)
@@ -644,6 +656,61 @@ def _rewrite_yqlisms(text: str) -> str:
     text = _rewrite_substring(text)
     text = _rewrite_real_literals(text)
     return _rewrite_groupby_as(text)
+
+
+# --- fail-loudly guard --------------------------------------------------------
+#
+# Constructs the translator RECOGNIZES but cannot lower. Detected on the
+# raw statement text BEFORE any substitution, because letting them fall
+# through mangles them silently — the verified failure mode was
+# RANGE(`//logs`, `2024-01-01`, ...) having its backticked arguments
+# rewritten to identifiers (q2024_01_01) and dying as a baffling Spark
+# "undefined function" error. Reference grammar: SQLv1Antlr4.g.in
+# (process_core/reduce_core:379-391, evaluate/define_action, table path
+# functions yql_yt_io_discovery.cpp:101).
+
+_STMT_UNSUPPORTED = [
+    (re.compile(r"(?is)^\s*evaluate\b"), "EVALUATE IF/FOR statements"),
+    (re.compile(r"(?is)^\s*define\s+action\b"), "DEFINE ACTION blocks"),
+    (re.compile(r"(?is)^\s*do\s"), "DO action-invocation statements"),
+    (re.compile(r"(?is)^\s*discard\b"), "DISCARD statements"),
+]
+# table path functions (RANGE/CONCAT/EACH/LIKE/REGEXP/FILTER over a
+# cypress directory) — expanded by yql_select/yql_execute BEFORE
+# translation when a client/sf context is available; reaching the
+# translator means no expansion context existed
+_TABLE_FN_RE = re.compile(
+    # backticked-path first arg: any of the six directory functions;
+    # quoted-string form only for RANGE/EACH (CONCAT('//x', y) et al.
+    # are legitimate scalar calls over string literals)
+    r"(?i)\b(range|concat|each|like|regexp|filter)\s*\(\s*`//"
+    r"|\b(range|each)\s*\(\s*'//"
+)
+
+
+def _check_unsupported(stmt: str) -> None:
+    """Raise :class:`YqlUnsupportedError` naming any recognized-but-
+    unsupported construct in ``stmt`` (comment-stripped statement text),
+    BEFORE substitution can mangle it."""
+    for pat, what in _STMT_UNSUPPORTED:
+        if pat.match(stmt):
+            raise YqlUnsupportedError(
+                f"YQL {what} are not supported by the SQL translator"
+            )
+    m = _TABLE_FN_RE.search(stmt)
+    if m:
+        fn = (m.group(1) or m.group(2)).upper()
+        raise YqlUnsupportedError(
+            f"YQL table path function {fn}() needs a cypress context — "
+            f"run it through yql_execute (with a client) or yql_select "
+            f"(with sf_dir)"
+        )
+    d = _depth_map(stmt)
+    if any(d[c.start()] >= 0 for c in _FLATTEN_COLUMNS.finditer(stmt)):
+        raise YqlUnsupportedError(
+            "FLATTEN COLUMNS needs the source schema — run it through "
+            "yql_select/yql_execute, which expand it before translation"
+        )
 
 
 # --- GROUP BY HOPPING (SQLv1 hopping_window_specification:
@@ -689,6 +756,294 @@ def _rewrite_hop(text: str) -> str:
     out = text[: m.start()] + rep + _rewrite_hop(text[end:])
     out = re.sub(r"(?i)\bHOP_START\s*\(\s*\)", "window.start", out)
     return re.sub(r"(?i)\bHOP_END\s*\(\s*\)", "window.end", out)
+
+
+# --- FLATTEN BY (SQLv1 flatten_source, SQLv1Antlr4.g.in:543-548) -------------
+#
+# YQL's primary unnest syntax: ``FROM src FLATTEN [LIST|OPTIONAL|DICT] BY
+# col [AS alias] [, ...]`` (lowering reference: sql/v1/select.cpp:
+# 1295-1306,1551,1652). Semantics:
+#   - LIST (default): one output row per list element; NULL/empty lists
+#     drop the row.
+#   - ``col`` without an alias is REPLACED by the element (the dominant
+#     real-YQL form); with ``AS alias`` the source column stays and the
+#     element binds to the alias.
+#   - Multiple items produce the Cartesian product of their elements.
+#   - OPTIONAL: unwrap the optional, dropping NULL rows.
+#   - DICT: one row per entry; the item becomes a struct with key/value.
+# Spark lowering: LATERAL VIEW explode — the engine's ARRAY JOIN shape
+# (chyt._rewrite_array_join is the template). The no-alias replace form
+# wraps the source so the original column is renamed out of the way:
+#   FROM (SELECT * EXCEPT (c), c AS __fb_s0 FROM src)
+#   LATERAL VIEW explode(__fb_s0) __fb0 AS c
+
+_FLATTEN_BY = re.compile(
+    r"(?is)\bflatten\s+(?:(optional|list|dict)\s+)?by\s+"
+)
+_FLATTEN_COLUMNS = re.compile(r"(?is)\bflatten\s+columns\b")
+_FLATTEN_CLAUSE_KW = re.compile(
+    r"(?is)\b(where|group|having|order|limit|union|intersect|except|"
+    r"window|join|left|right|inner|full|cross|flatten|on|as)\b"
+)
+
+
+def _flatten_items_end(rest: str) -> int:
+    """Index in ``rest`` where the FLATTEN BY item list ends: the first
+    depth-0 clause keyword or the unmatched ``)`` closing the enclosing
+    subquery."""
+    depth = _depth_map(rest)
+    neg = next((i for i, d in enumerate(depth) if d < 0), len(rest))
+    for m in _FLATTEN_CLAUSE_KW.finditer(rest):
+        if m.start() < neg and depth[m.start()] == 0:
+            # `AS alias` belongs to an item only right after its expr —
+            # a depth-0 AS following a complete item list still ends it
+            # ONLY for the keywords below; AS handled by item splitting
+            if m.group(1).lower() == "as":
+                continue
+            if m.group(1).lower() == "on":
+                continue
+            return m.start()
+    return neg
+
+
+def _rewrite_flatten_by(text: str) -> str:
+    depth = _depth_map(text)
+    m = None
+    for cand in _FLATTEN_BY.finditer(text):
+        if depth[cand.start()] >= 0:  # outside string literals
+            m = cand
+            break
+    if m is None:
+        return text
+    mode = (m.group(1) or "list").lower()
+    scope_depth = depth[m.start()]
+    # the FROM this flatten attaches to: last same-depth FROM before it
+    fm = None
+    for cand in re.finditer(r"(?is)\bfrom\s+", text[: m.start()]):
+        if depth[cand.start()] == scope_depth:
+            fm = cand
+    if fm is None:
+        raise YqlUnsupportedError(
+            "FLATTEN BY outside a FROM clause is not supported"
+        )
+    source = text[fm.end(): m.start()].strip()
+    if re.search(r"(?is)\b(join|,)\s*$", source) or _top_matches(
+        source, r"(?is)\bjoin\b"
+    ):
+        raise YqlUnsupportedError(
+            "FLATTEN BY on a JOIN source is not supported — flatten in a "
+            "subquery first (FROM (SELECT ... FLATTEN BY ...) JOIN ...)"
+        )
+    rest = text[m.end():]
+    cut = _flatten_items_end(rest)
+    body, tail = rest[:cut].strip(), rest[cut:]
+    if _fully_parenthesized(body):
+        body = body[1:-1]
+    items: list[tuple[str, str | None]] = []
+    for item in _split_top_commas(body):
+        item = item.strip()
+        if not item:
+            raise ValueError("empty FLATTEN BY item")
+        am = None
+        for cand in re.finditer(r"(?is)\s+as\s+", item):
+            if _depth_map(item)[cand.start()] == 0:
+                am = cand
+        if am is not None:
+            items.append((item[: am.start()].strip(),
+                          item[am.end():].strip()))
+        else:
+            items.append((item, None))
+
+    def _explode_arg(expr: str) -> str:
+        if mode == "optional":
+            # unwrap the optional: NULL drops the row, value keeps one
+            return (f"filter(array({expr}), __fb_x -> "
+                    f"__fb_x is not null)")
+        if mode == "dict":
+            return f"map_entries({expr})"
+        return expr
+
+    # no-alias bare columns are REPLACED: rename them out of the source
+    replaced = []
+    for expr, alias in items:
+        if alias is None:
+            if not re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?", expr):
+                raise ValueError(
+                    f"FLATTEN BY expression needs an alias: {expr!r}"
+                )
+            replaced.append(expr)
+    if replaced:
+        cols = ", ".join(replaced)
+        renames = ", ".join(
+            f"{c} AS __fb_s{i}" for i, c in enumerate(replaced)
+        )
+        source = f"(SELECT * EXCEPT ({cols}), {renames} FROM {source})"
+    views, ri = [], 0
+    for k, (expr, alias) in enumerate(items):
+        if alias is None:
+            out_name = expr.split(".")[-1]
+            expr = f"__fb_s{ri}"
+            ri += 1
+        else:
+            out_name = alias
+        views.append(
+            f"LATERAL VIEW explode({_explode_arg(expr)}) __fb{k} "
+            f"AS {out_name}"
+        )
+    rep = source + " " + " ".join(views) + " "
+    return _rewrite_flatten_by(text[: fm.end()] + rep + tail)
+
+
+# --- PROCESS / REDUCE statements (SQLv1Antlr4.g.in:379-391) -------------------
+#
+# The reference's row-level escape hatch: ``PROCESS `//t` USING
+# $f(TableRow())`` streams rows through a UDF; ``REDUCE `//t` ON k USING
+# $f(...)`` streams key groups. The distributed semantics live in
+# run_map/run_reduce (operators/map_reduce.py); the TEXT form supports the
+# declaratively-expressible subset — an expression lambda whose body
+# builds the output row with AsStruct (optionally guarded by OptionalIf
+# for row filtering) — and lowers it to a plain projection / grouped
+# aggregate that stays entirely inside Catalyst (no pandas hop at all,
+# strictly better than the reference's per-row UDF execution). Any other
+# shape raises YqlUnsupportedError naming what is missing.
+
+_TABLEROW_MEMBER = re.compile(
+    r"(?i)\(\s*TableRow\s*\(\s*\)\s*\)\s*\.\s*([A-Za-z_]\w*)"
+    r"|(?i:\bTableRow)\s*\(\s*\)\s*\.\s*([A-Za-z_]\w*)"
+)
+
+
+def _strip_tablerow(expr: str) -> str:
+    """(TableRow()).col / TableRow().col -> col; any other TableRow use
+    (whole-row values) has no SQL lowering."""
+    out = _TABLEROW_MEMBER.sub(lambda m: m.group(1) or m.group(2), expr)
+    if re.search(r"(?i)\btablerow\s*\(", out):
+        raise YqlUnsupportedError(
+            "PROCESS/REDUCE: only TableRow().column member access is "
+            "supported in the SQL lowering — whole-row TableRow() values "
+            "need run_map/run_reduce (operators/map_reduce.py)"
+        )
+    return out
+
+
+def _parse_asstruct(expr: str) -> list[str]:
+    """AsStruct(e1 AS n1, ...) -> its argument list."""
+    expr = expr.strip()
+    while _fully_parenthesized(expr):
+        expr = expr[1:-1].strip()
+    m = re.match(r"(?is)^asstruct\s*\(", expr)
+    if not m:
+        raise YqlUnsupportedError(
+            "PROCESS/REDUCE USING lambda body must build the output row "
+            "with AsStruct(expr AS name, ...) — got a different shape"
+        )
+    args, end = _split_call_args(expr, expr.index("(", m.end() - 1))
+    if expr[end:].strip():
+        raise YqlUnsupportedError(
+            "PROCESS/REDUCE: trailing text after AsStruct(...) body"
+        )
+    return [a.strip() for a in args]
+
+
+def _asstruct_select_items(items: list[str]) -> list[str]:
+    sel = []
+    for it in items:
+        am = None
+        d = _depth_map(it)
+        for cand in re.finditer(r"(?is)\s+as\s+", it):
+            if d[cand.start()] == 0:
+                am = cand
+        if am is None:
+            raise YqlUnsupportedError(
+                f"AsStruct item needs 'expr AS name': {it!r}"
+            )
+        expr = _strip_tablerow(it[: am.start()].strip())
+        sel.append(f"{expr} AS {it[am.end():].strip()}")
+    return sel
+
+
+def _lower_process_reduce(
+    stmt: str, lambdas: dict[str, tuple[list[str], str]]
+) -> str:
+    """Lower a PROCESS/REDUCE statement to SELECT text; pass everything
+    else through unchanged."""
+    pm = re.match(r"(?is)^\s*process\s+", stmt)
+    rm = re.match(r"(?is)^\s*reduce\s+", stmt) if not pm else None
+    if not pm and not rm:
+        return stmt
+    what = "PROCESS" if pm else "REDUCE"
+    rest = stmt[(pm or rm).end():].strip()
+    um = next(iter(_top_matches(rest, r"(?is)\busing\s+")), None)
+
+    keys: list[str] = []
+    if pm:
+        if um is None:
+            # bare PROCESS src: identity pass-through (process_core with
+            # no USING — select.cpp PROCESS w/o udf)
+            src = rest
+            if len(_split_top_commas(src)) != 1:
+                raise YqlUnsupportedError(
+                    "multi-source PROCESS is not supported"
+                )
+            return f"select * from {src.strip()}"
+        src = rest[: um.start()].strip()
+    else:
+        if um is None:
+            raise YqlUnsupportedError("REDUCE requires a USING clause")
+        head = rest[: um.start()]
+        om = next(iter(_top_matches(head, r"(?is)\bon\s+")), None)
+        if om is None:
+            raise YqlUnsupportedError("REDUCE requires ON key columns")
+        src = head[: om.start()].strip()
+        keys = [k.strip() for k in _split_top_commas(head[om.end():])
+                if k.strip()]
+    if len(_split_top_commas(src)) != 1:
+        raise YqlUnsupportedError(
+            f"multi-source {what} is not supported"
+        )
+    call = rest[um.end():].strip()
+    cm = re.match(r"(?is)^\$([A-Za-z_]\w*)\s*\(", call)
+    if cm is not None and cm.group(1) not in lambdas:
+        raise YqlUnsupportedError(
+            f"{what} USING requires a DEFINED expression lambda "
+            f"($f = ($row) -> (AsStruct(...))) — ${cm.group(1)} is not one"
+        )
+    if cm is None:
+        raise YqlUnsupportedError(
+            f"{what} USING supports expression lambdas only — module "
+            f"UDF streams need run_map/run_reduce "
+            f"(operators/map_reduce.py)"
+        )
+    expanded = _expand_lambdas(call, lambdas).strip()
+    while _fully_parenthesized(expanded):
+        expanded = expanded[1:-1].strip()
+    where = None
+    ofm = re.match(r"(?is)^optionalif\s*\(", expanded)
+    if ofm:
+        if rm:
+            raise YqlUnsupportedError(
+                "OptionalIf in REDUCE has no SQL lowering (use HAVING "
+                "via a SELECT ... GROUP BY statement)"
+            )
+        args, end = _split_call_args(
+            expanded, expanded.index("(", ofm.end() - 1)
+        )
+        if expanded[end:].strip() or len(args) != 2:
+            raise YqlUnsupportedError(
+                "PROCESS: OptionalIf body must be "
+                "OptionalIf(condition, AsStruct(...))"
+            )
+        where = _strip_tablerow(args[0].strip())
+        expanded = args[1].strip()
+    sel = _asstruct_select_items(_parse_asstruct(expanded))
+    if rm:
+        klist = ", ".join(keys)
+        return (f"select {klist}, {', '.join(sel)} from {src} "
+                f"group by {klist}")
+    sql = f"select {', '.join(sel)} from {src}"
+    if where:
+        sql += f" where {where}"
+    return sql
 
 
 # --- ANSI empty-rollup conformance ------------------------------------------
@@ -909,6 +1264,7 @@ def translate_yql_script(
     finals: list[tuple[str, int]] = []  # (stmt, #bindings visible)
     script_paths = tuple(_PATH_RE.findall(strip_comments(text)))
     for stmt in split_statements(strip_comments(text)):
+        _check_unsupported(stmt)
         if stmt.lower().startswith("pragma"):
             m = _PRAGMA_RE.match(stmt)
             if not m:
@@ -1000,6 +1356,7 @@ def translate_yql_script(
             for name, _, k in bindings[:n_visible]
             if k == "value"
         }
+        final = _lower_process_reduce(final, lambdas)
         kind, target, truncate, body = _split_write_head(final)
         final_t = _ansi_rollup_union(
             _rewrite_yqlisms(
