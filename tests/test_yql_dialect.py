@@ -882,7 +882,6 @@ def test_unsupported_constructs_fail_loudly():
         "select a from `//t` flatten columns": "FLATTEN COLUMNS",
         "EVALUATE IF true DO $a()": "EVALUATE",
         "DEFINE ACTION $a() AS select 1; END DEFINE": "DEFINE ACTION",
-        "DISCARD select 1": "DISCARD",
     }
     for text, construct in cases.items():
         with pytest.raises(YqlUnsupportedError, match=construct):
@@ -945,3 +944,31 @@ def test_flatten_keywords_in_string_literals():
     )
     assert t.sql == ("select 'flatten by arr' as s, "
                      "'flatten columns' as c from t")
+
+
+def test_discard_and_assume_order_by(spark, tmp_path):
+    """DISCARD computes without producing a result table; ASSUME ORDER BY
+    lowers to a real sort (a strict superset of YQL's sortedness
+    promise)."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    t = translate_yql("DISCARD select count(*) as n from `//t`")
+    assert t.kind == "discard" and t.sql == "select count(*) as n from t"
+    t = translate_yql("select k from `//t` assume order by k")
+    assert t.sql == "select k from t order by k"
+    # a script whose only statements are discards returns None
+    client = YtClient(root=str(tmp_path), spark=spark)
+    client.write_table("//home/dt", spark.createDataFrame([(1,)], "k int"))
+    assert yql_execute(
+        spark, "DISCARD select k from `//home/dt`;", client=client
+    ) is None
+    # ...and a discard followed by a select returns the select
+    df = yql_execute(
+        spark,
+        "DISCARD select k from `//home/dt`;\n"
+        "select k + 1 as k2 from `//home/dt`;",
+        client=client,
+    )
+    assert df.first().k2 == 2

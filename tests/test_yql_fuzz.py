@@ -115,6 +115,15 @@ def _scripts(rng: random.Random):
         " ELSE 0 END as hit,"
         " Math::Abs(coalesce(v, 0)) as av"
         " from ft order by k, hit, av;",
+        # PROCESS with OptionalIf filter lowers to WHERE + projection —
+        # the output SQL is plain dual-engine text
+        "$p = ($row) -> (OptionalIf($row.k > " + str(m) + ","
+        " AsStruct($row.k AS k, coalesce($row.v, 0) * 2 AS v2)));"
+        "PROCESS ft USING $p(TableRow());",
+        # REDUCE with an aggregate AsStruct body lowers to GROUP BY
+        "$r = ($row) -> (AsStruct(CAST(count(*) AS BIGINT) AS n,"
+        " min($row.v) AS lo, max($row.v) AS hi));"
+        "REDUCE ft ON k USING $r(TableRow());",
     ]
 
 

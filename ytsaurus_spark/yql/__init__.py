@@ -161,6 +161,10 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
         if stmt.kind == "select":
             last = df
             continue
+        if stmt.kind == "discard":
+            # DISCARD SELECT: compute (validation/side effects), drop rows
+            df.collect()
+            continue
         if client is None:
             raise ValueError(
                 f"{stmt.kind.upper()} INTO needs a client to write through"

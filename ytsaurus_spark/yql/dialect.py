@@ -451,6 +451,12 @@ _REWRITES: list[tuple[re.Pattern, object]] = [
     (re.compile(
         r"(\*\s+)without\s+((?:[\w.]+\s*,\s*)*[\w.]+)(\s+from\b)", re.I),
      r"\1EXCEPT (\2)\3"),
+    # ASSUME ORDER BY (SQLv1 ext_order_by_clause): YQL trusts the data is
+    # already sorted and marks the output sorted without sorting. The
+    # portable lowering SORTS — a strict superset of the promise (always
+    # correct; Catalyst elides the sort when the child ordering already
+    # satisfies it). See MIGRATION.md.
+    (re.compile(r"\bassume\s+order\s+by\b", re.I), "order by"),
 ]
 
 
@@ -673,7 +679,6 @@ _STMT_UNSUPPORTED = [
     (re.compile(r"(?is)^\s*evaluate\b"), "EVALUATE IF/FOR statements"),
     (re.compile(r"(?is)^\s*define\s+action\b"), "DEFINE ACTION blocks"),
     (re.compile(r"(?is)^\s*do\s"), "DO action-invocation statements"),
-    (re.compile(r"(?is)^\s*discard\b"), "DISCARD statements"),
 ]
 # table path functions (RANGE/CONCAT/EACH/LIKE/REGEXP/FILTER over a
 # cypress directory) — expanded by yql_select/yql_execute BEFORE
@@ -1358,6 +1363,12 @@ def translate_yql_script(
         }
         final = _lower_process_reduce(final, lambdas)
         kind, target, truncate, body = _split_write_head(final)
+        dm = re.match(r"(?is)^\s*discard\s+", body)
+        if dm:
+            # DISCARD SELECT ... (SQLv1): compute for validation/side
+            # effects, produce no result table — yql_execute runs it and
+            # drops the rows
+            kind, body = "discard", body[dm.end():]
         final_t = _ansi_rollup_union(
             _rewrite_yqlisms(
                 _subst_backticks(
