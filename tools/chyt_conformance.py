@@ -258,6 +258,93 @@ CASES = [
         ],
     ),
     dict(
+        id="common/trivial_count",
+        ref="yt/chyt/tests/server/test_common.py:1779",
+        tables={
+            "//tmp/st1": ("a bigint", [(1,), (2,)]),
+            "//tmp/st2": ("a bigint", [(1,)]),
+        },
+        steps=[
+            ('select count() as cnt from "//tmp/st1"', [[2]]),
+            ("select count() as cnt from "
+             "concatYtTables('//tmp/st1', '//tmp/st2')", [[3]]),
+        ],
+    ),
+    dict(
+        id="join/complex_join_key",
+        ref="yt/chyt/tests/server/test_join_and_in.py:429",
+        # positive steps only: the reference's raises-steps assert CHYT's
+        # DISTRIBUTED sorted-join key-prefix constraints, which this
+        # engine does not need (Spark shuffles/broadcasts any join shape)
+        tables={
+            "//tmp/t1": ("key bigint, subkey bigint, subkey2 bigint, "
+                         "lvalue string",
+                         [(0, 0, 0, "value0"), (5, 5, 5, "value5")]),
+            "//tmp/t2": ("key bigint, subkey bigint, subkey2 bigint, "
+                         "rvalue string",
+                         [(0, 0, 0, "value0"), (5, 5, 5, "value5")]),
+        },
+        steps=[
+            ('select key from "//tmp/t1" join "//tmp/t2" '
+             "using key, subkey2 order by key", [[0], [5]]),
+            ('select key from "//tmp/t1" a join "//tmp/t2" b '
+             "on a.key=b.key and a.subkey=b.subkey2 order by key",
+             [[0], [5]]),
+            ('select key from "//tmp/t1" a join "//tmp/t2" b '
+             "on a.lvalue=b.rvalue and a.key=b.key order by key",
+             [[0], [5]]),
+            ('select key from "//tmp/t1" a join "//tmp/t2" b on '
+             "a.key = b.key and abs(a.subkey * 10 + 25) = "
+             "abs(b.subkey * 20 - 25) order by key", [[0], [5]]),
+            ('select key from "//tmp/t1" a full join '
+             '(select * from "//tmp/t2") b on '
+             "a.key = (intDiv(b.subkey, 5) * 5) order by key",
+             [[0], [5]]),
+        ],
+    ),
+    dict(
+        id="join/right_or_full_join_simple",
+        ref="yt/chyt/tests/server/test_join_and_in.py:131",
+        tables={
+            "//tmp/t1": ("key bigint, lhs string",
+                         [(k, f"foo{k}") for k in (0, 1, 3, 7, 8)]),
+            "//tmp/t2": ("key bigint, rhs string",
+                         [(0, "bar0"), (0, "bar0"), (2, "bar2"),
+                          (4, "bar4"), (9, "bar9")]),
+        },
+        steps=[
+            ('select key, lhs, rhs from "//tmp/t1" t1 global right join '
+             '"//tmp/t2" t2 using key order by key, rhs',
+             [[0, "foo0", "bar0"], [0, "foo0", "bar0"],
+              [2, None, "bar2"], [4, None, "bar4"], [9, None, "bar9"]]),
+            ('select key, lhs, rhs from "//tmp/t1" t1 global full join '
+             '"//tmp/t2" t2 using key order by key, rhs',
+             [[0, "foo0", "bar0"], [0, "foo0", "bar0"],
+              [1, "foo1", None], [2, None, "bar2"], [3, "foo3", None],
+              [4, None, "bar4"], [7, "foo7", None], [8, "foo8", None],
+              [9, None, "bar9"]]),
+        ],
+    ),
+    dict(
+        id="join/where_in_and_join",
+        ref="yt/chyt/tests/server/test_join_and_in.py:622",
+        tables={"//tmp/t": ("a bigint, b bigint", [(0, 0)])},
+        steps=[(
+            'select count(*) as count from "//tmp/t" a '
+            "left join (select 0 as a) b on a.a = b.a " + f,
+            [[n]],
+        ) for f, n in [
+            ("where not a.a = 0 or a.a in "
+             "(select CAST(0, 'Nullable(Int64)'))", 1),
+            ("where a.a not in (select CAST(0, 'Nullable(Int64)'))", 0),
+            ("where (5 + (a.a in "
+             "(select CAST(0, 'Nullable(Int64)')))) = 6", 1),
+            ("prewhere a.a in (select CAST(0, 'Nullable(Int64)'))", 1),
+            ('where (a.a, a.b) in "//tmp/t"', 1),
+            ("where a.a global in (select CAST(0, 'Nullable(Int64)'))", 1),
+        ]],
+    ),
+    dict(
         id="join/cross_join",
         ref="yt/chyt/tests/server/test_join_and_in.py:320",
         tables={

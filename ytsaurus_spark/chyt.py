@@ -1115,6 +1115,15 @@ def translate_chyt(text: str, resolve=None) -> str:
     registered-view convention shared with the YQL shim)."""
     resolve = resolve or (lambda p: p.rstrip("/").rsplit("/", 1)[-1])
     text = _FORMAT_TAIL.sub("", text.strip().rstrip(";"))
+    # ClickHouse count() (zero-arg row count) -> count(*)
+    text = re.sub(r"(?i)\bcount\s*\(\s*\)", "count(*)", text)
+    # ClickHouse allows a TABLE as the right operand of IN:
+    # ``(a, b) IN "//tmp/t"`` (test_join_and_in.py:641) — lower to the
+    # subquery form before generic path substitution
+    text = re.sub(
+        r'(?i)\b(in\s+)("//[^"]+"|`//[^`]+`)',
+        lambda m: f"{m.group(1)}(select * from {m.group(2)})", text,
+    )
     text = _PATH_REF.sub(lambda m: resolve(m.group(1)), text)
     text = _PATH_REF_BT.sub(lambda m: resolve(m.group(1)), text)
     text = _PATH_REF_SQ.sub(
@@ -1651,30 +1660,76 @@ def resolve_bool_arithmetic(sql: str, s2) -> str:
 # table refs (the CH shape); columns that are also SELECT aliases are
 # left alone (both engines prefer the output alias).
 
-_ON_JOIN_SHAPE = re.compile(
-    r"(?is)\bfrom\s+([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+"
-    r"(?:(?:left|right|inner|full|outer|global|any|all|semi|anti)\s+)*"
-    r"join\s+([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+on\b"
+_JOIN_KIND_KW = frozenset(
+    "left right inner full outer global any all semi anti".split()
 )
 
 
-def resolve_join_left_bias(sql: str, s2) -> str:
-    if len(re.findall(r"(?i)\bjoin\b", sql)) != 1:
-        return sql
-    m = _ON_JOIN_SHAPE.search(sql)
-    if m is None:
-        return sql
-    lt, la, rt, ra = m.groups()
-    if la is not None and la.lower() in _SRC_ALIAS_KW:
-        la = None
-    if ra is not None and ra.lower() in _SRC_ALIAS_KW:
-        ra = None
+def _parse_join_source(txt: str, s2):
+    """Parse ``<table|(subquery)> [AS] alias`` from source text. Returns
+    (qualifier, column-name set) or None. The qualifier is the alias if
+    present, else the table name; a bare subquery has no qualifier."""
+    txt = txt.strip()
+    if txt.startswith("("):
+        try:
+            _args, end = _split_call_args(txt, 0)
+        except ValueError:
+            return None
+        src, rest = txt[:end], txt[end:].strip()
+    else:
+        m = re.match(r"[A-Za-z_][\w.]*", txt)
+        if m is None:
+            return None
+        src, rest = m.group(0), txt[m.end():].strip()
+    am = re.match(r"(?is)(?:as\s+)?([A-Za-z_]\w*)\s*$", rest) if rest \
+        else None
+    alias = am.group(1) if am else None
+    if rest and am is None:
+        return None  # trailing text we don't understand
+    if alias is not None and alias.lower() in _SRC_ALIAS_KW:
+        alias = None
     try:
-        lcols = {f.name.lower() for f in s2.table(lt).schema.fields}
-        rcols = {f.name.lower() for f in s2.table(rt).schema.fields}
+        if src.startswith("("):
+            schema = s2.sql(f"select * from {src} __lb_probe limit 0").schema
+        else:
+            schema = s2.table(src).schema
     except Exception:
+        return None
+    qual = alias or (None if src.startswith("(") else src)
+    return qual, {f.name.lower() for f in schema.fields}
+
+
+def resolve_join_left_bias(sql: str, s2) -> str:
+    depth = _depth_map(sql)
+    joins = [m for m in re.finditer(r"(?i)\bjoin\b", sql)
+             if depth[m.start()] == 0]
+    if len(joins) != 1:
         return sql
-    left_q = la or lt
+    jm = joins[0]
+    fms = [m for m in re.finditer(r"(?is)\bfrom\s+", sql[: jm.start()])
+           if depth[m.start()] == 0]
+    if not fms:
+        return sql
+    left_txt = sql[fms[-1].end(): jm.start()].strip()
+    # strip trailing join-kind keywords (LEFT/GLOBAL/FULL/...)
+    while True:
+        km = re.search(r"(?is)\s+([A-Za-z]+)\s*$", " " + left_txt)
+        if km and km.group(1).lower() in _JOIN_KIND_KW:
+            left_txt = left_txt[: len(left_txt) - len(km.group(0)) + 1]
+            left_txt = left_txt.rstrip()
+        else:
+            break
+    right_rest = sql[jm.end():]
+    om = next((m for m in re.finditer(r"(?is)\bon\b", right_rest)
+               if _depth_map(right_rest)[m.start()] == 0), None)
+    if om is None:
+        return sql  # USING joins dedup the column themselves
+    left = _parse_join_source(left_txt, s2)
+    right = _parse_join_source(right_rest[: om.start()], s2)
+    if left is None or right is None or left[0] is None:
+        return sql
+    left_q, lcols = left
+    _rq, rcols = right
     for col in sorted(lcols & rcols):
         if re.search(rf"(?i)\bas\s+{re.escape(col)}\b", sql):
             continue  # output alias wins on both engines
