@@ -458,3 +458,29 @@ def test_scan_budget(spark, sf_dir, name):
     scans = executed_scan_tables(all_queries()[name](spark, sf_dir))
     worst = max(scans.values(), default=0)
     assert worst <= SCAN_BUDGETS[name], (name, scans)
+
+
+def test_flatten_by_plan_one_exchange(spark, sf_dir):
+    """FLATTEN BY word count: explode multiplies rows SCAN-SIDE, the
+    exchange carries only (word, partial count) pairs — partial+final
+    hash agg, one shuffle (the ql_group_agg shape)."""
+    from ytsaurus_spark.plans.explain import shuffle_count
+    from ytsaurus_spark.queries.yql_q import yql_text_flatten
+
+    df = yql_text_flatten(spark, sf_dir)
+    # one exchange for the groupBy; the top-k ORDER BY+LIMIT adds a
+    # single-partition exchange at most
+    assert shuffle_count(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan  # the explode runs before any exchange
+
+
+def test_range_plans_only_matching_scans(spark, sf_dir):
+    """RANGE(`//dir`, lo, hi) prunes at the PATH level: a 7-day window
+    over a 30-day log dir plans scans for 7 tables, not 30."""
+    from ytsaurus_spark.plans.explain import executed_scan_tables
+    from ytsaurus_spark.queries.yql_q import yql_text_range
+
+    df = yql_text_range(spark, sf_dir)
+    scans = executed_scan_tables(df)
+    assert sum(scans.values()) == 7, scans
