@@ -463,3 +463,32 @@ def test_join_unqualified_left_bias(spark, tmp_path):
         client=client,
     ).collect()
     assert [r.key for r in rows] == [1, 2]
+
+
+def test_tuple_positional_access(spark, tmp_path):
+    """CH spells struct-member access by 1-based position — a.1
+    (test_composite.py:101); resolved to the field name via the
+    session catalog."""
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.chyt import chyt_query
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    client.write_table(
+        "//tmp/ts",
+        spark.range(1).select(
+            F.struct(F.lit("foo").alias("s"),
+                     F.lit(42).cast("long").alias("i")).alias("a")
+        ),
+    )
+    r = chyt_query(
+        spark, "select a.1 as s, a.2 as i from `//tmp/ts`", client=client
+    ).first()
+    assert (r.s, r.i) == ("foo", 42)
+    # out-of-range positions and non-struct idents pass through untouched
+    r = chyt_query(
+        spark, "select a.s as s, round(1.5, 1) as x from `//tmp/ts`",
+        client=client,
+    ).first()
+    assert (r.s, float(r.x)) == ("foo", 1.5)

@@ -258,6 +258,65 @@ CASES = [
         ],
     ),
     dict(
+        id="composite/dict",
+        ref="yt/chyt/tests/server/test_composite.py:20",
+        tables={"//tmp/t": ("a map<string,string>",
+                            [({},), ({"k1": "v1", "k2": "v2"},)])},
+        steps=[
+            ("select toTypeName(a) as ta from `//tmp/t` limit 1",
+             [["Map(String, String)"]]),
+            ("select mapKeys(a) as keys from `//tmp/t`",
+             [[[]], [["k1", "k2"]]]),
+            ("select mapValues(a) as vals from `//tmp/t`",
+             [[[]], [["v1", "v2"]]]),
+            ("select a['k1'] as k1 from `//tmp/t` "
+             "where isNotNull(a['k1'])", [["v1"]]),
+        ],
+    ),
+    dict(
+        id="composite/struct",
+        ref="yt/chyt/tests/server/test_composite.py:70",
+        tables={"//tmp/t": ("a struct<s:string,i:bigint>",
+                            [(("foo", 42),)])},
+        steps=[
+            ("select toTypeName(a) as ta from `//tmp/t`",
+             [["Tuple(s String, i Int64)"]]),
+            # CH spells member access by 1-based POSITION (a.1)
+            ("select a.1 as s, a.2 as i from `//tmp/t`", [["foo", 42]]),
+            ("select a.s as s, a.i as i from `//tmp/t`", [["foo", 42]]),
+        ],
+    ),
+    dict(
+        id="prewhere/actions",
+        ref="yt/chyt/tests/server/test_prewhere.py:48",
+        tables={
+            "//tmp/t1": ("value1 bigint, value2 bigint, value3 bigint",
+                         [(i, i, i) for i in range(4)]),
+            "//tmp/t2": ("key bigint, value string",
+                         [(0, "aaa"), (1, "bbb"), (2, "bbb"), (3, "ddd")]),
+        },
+        steps=[
+            ('select count() as c from "//tmp/t1"', [[4]]),
+            ('select count() as c from "//tmp/t1" prewhere (value1 < 3)',
+             [[3]]),
+            ('select count(*) as c from "//tmp/t1" prewhere (value1 < 3)',
+             [[3]]),
+            ('select count(value1) as c from "//tmp/t1" '
+             "prewhere (value1 < 3)", [[3]]),
+            ('select any(0) as c from "//tmp/t1" prewhere (value1 < 3)',
+             [[0]]),
+            ('select count(*) as c from "//tmp/t1" where value1 != 1 '
+             "and value2 != 2 and (value1 != 2 or value2 != 3)", [[2]]),
+            ('select count(*) as c from "//tmp/t1" '
+             "where (value1 != 1 and value2 != 2) and 1=1", [[2]]),
+            ('select count(value3) as c from "//tmp/t1" '
+             "where value1 != 1 and value2 != 2 and true", [[2]]),
+            ('select value from "//tmp/t2" prewhere key in '
+             "(select key from \"//tmp/t2\" where value = 'bbb') "
+             "order by value", [["bbb"], ["bbb"]]),
+        ],
+    ),
+    dict(
         id="common/trivial_count",
         ref="yt/chyt/tests/server/test_common.py:1779",
         tables={
@@ -722,6 +781,8 @@ def _normalize(v):
         return v.isoformat()
     if isinstance(v, list):
         return [_normalize(x) for x in v]
+    if isinstance(v, dict):
+        return tuple(sorted((k, _normalize(x)) for k, x in v.items()))
     return v
 
 

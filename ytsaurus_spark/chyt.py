@@ -1740,6 +1740,42 @@ def resolve_join_left_bias(sql: str, s2) -> str:
     return sql
 
 
+# --- ClickHouse positional tuple access ---------------------------------------
+#
+# CH spells struct-member access by 1-based POSITION: ``a.1``
+# (test_composite.py:101 — YT structs surface as named Tuples). Spark
+# only has named access, so the position resolves to the field name via
+# the session catalog — same lazy-probe discipline as the other
+# resolvers.
+
+_TUPLE_POS = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*(\d+)\b")
+
+
+def resolve_tuple_positional(sql: str, s2) -> str:
+    if not _TUPLE_POS.search(sql):
+        return sql
+    from pyspark.sql.types import StructType
+
+    fields: dict[str, list[str]] = {}
+    for m in _FROM_JOIN_SRC.finditer(sql):
+        try:
+            schema = s2.table(m.group(1)).schema
+        except Exception:
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, StructType):
+                fields[f.name.lower()] = [x.name for x in f.dataType.fields]
+
+    def sub(m: re.Match) -> str:
+        members = fields.get(m.group(1).lower())
+        idx = int(m.group(2))
+        if members is None or not (1 <= idx <= len(members)):
+            return m.group(0)
+        return f"{m.group(1)}.{members[idx - 1]}"
+
+    return _TUPLE_POS.sub(sub, sql) if fields else sql
+
+
 _IF_DEFAULT = re.compile(r"\bchyt_if_default\s*\(")
 
 # Spark simple type -> ClickHouse type-default literal (*If combinators
@@ -1950,6 +1986,7 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None,
     sql = resolve_if_defaults(sql, analyze=_spark_analyze(s2))
     sql = resolve_bool_arithmetic(sql, s2)
     sql = resolve_join_left_bias(sql, s2)
+    sql = resolve_tuple_positional(sql, s2)
     return s2.sql(sql)
 
 
