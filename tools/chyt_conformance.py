@@ -258,6 +258,30 @@ CASES = [
         ],
     ),
     dict(
+        id="composite/decimal",
+        ref="yt/chyt/tests/server/test_composite.py:115",
+        # the 32/64/128 widths (Spark's DECIMAL ceiling is precision 38;
+        # Decimal256 has no lowering and raises at parse)
+        tables={"//tmp/t": ("d32 decimal(9,2), d64 decimal(15,5), "
+                            "d128 decimal(30,10)",
+                            [(Decimal("1.1"), Decimal("1234.1234"),
+                              Decimal("123456789.123456789"))])},
+        steps=[
+            ('select * from "//tmp/t"',
+             [[Decimal("1.10"), Decimal("1234.12340"),
+               Decimal("123456789.1234567890")]]),
+            ("select toTypeName(d32) as t1, toTypeName(d64) as t2, "
+             'toTypeName(d128) as t3 from "//tmp/t"',
+             [["Nullable(Decimal(9, 2))", "Nullable(Decimal(15, 5))",
+               "Nullable(Decimal(30, 10))"]]),
+            ("select toDecimal32(10.5, 5) as a, toDecimal64(100.005, 10) "
+             "as b, CAST(0.000005, 'Decimal(35, 15)') as c, "
+             "toDecimal128(15.43, 2) as d",
+             [[Decimal("10.5"), Decimal("100.005"), Decimal("0.000005"),
+               Decimal("15.43")]]),
+        ],
+    ),
+    dict(
         id="composite/dict",
         ref="yt/chyt/tests/server/test_composite.py:20",
         tables={"//tmp/t": ("a map<string,string>",

@@ -67,6 +67,8 @@ SHOWCASE = {
     "ql_recursive_cte": "WITH RECURSIVE (round 6): Spark 4 native recursion over per-customer successor chains — the UnionLoop iterates to the deepest chain; both engines run the identical recursive text.",
     "ql_lateral_join": "LATERAL correlated aggregate (round 6): Catalyst decorrelates to one keyed aggregate + join; the COUNT-over-empty-groups rewrite reads the outer side twice (budget pinned at 2 with the reason).",
     "analytics_price_volume_waterfall": "Price/volume waterfall (round 6): one fact shuffle to (brand, year), dims broadcast; effects are single double-division chains over exact ten-thousandth sums.",
+    "yql_text_flatten": "FLATTEN BY (round 10): explode runs inside the scan stage (Generate before any exchange); the shuffle carries (word, partial count) pairs only — unnest multiplies rows scan-side, never across the wire.",
+    "yql_text_range": "RANGE() table function (round 10): path-level pruning — 7 of 30 daily tables planned (one FileScan each, UNION ALL), the other 23 never enter the plan; at a year-scale log dir the same query plans 7 scans, not 365.",
     "curation_boilerplate_lines": "Frequent-line filter (round 6): persisted line stream feeds the distinct-df count and the removal scan; the hot-line set broadcasts back.",
 }
 

@@ -116,6 +116,10 @@ _CH_FUNCS: dict[str, str] = {
     "touint32": "CAST({0} AS INT)",
     "toint32": "CAST({0} AS INT)",
     "tofloat64": "CAST({0} AS DOUBLE)",
+    # toDecimalN(x, scale): CH fixes precision by width (9/18/38)
+    "todecimal32": "CAST({0} AS DECIMAL(9, {1}))",
+    "todecimal64": "CAST({0} AS DECIMAL(18, {1}))",
+    "todecimal128": "CAST({0} AS DECIMAL(38, {1}))",
     "tostring": "CAST({0} AS STRING)",
     # first-value aggregates: ClickHouse any()/anyLast() pick an arbitrary
     # value — Spark/DuckDB spell it any_value (Spark's own any() is bool_or)
@@ -692,6 +696,15 @@ def _ch_type_to_ddl(t: str) -> str:
     m = re.match(r"(?is)^nullable\s*\((.*)\)$", t)
     if m:
         return _ch_type_to_ddl(m.group(1))
+    # Decimal(p, s) and the sized spellings Decimal32/64/128(s)
+    # (Spark's ceiling is precision 38 — Decimal256 has no lowering)
+    m = re.match(r"(?is)^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+    if m and int(m.group(1)) <= 38:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    m = re.match(r"(?is)^decimal(32|64|128)\s*\(\s*(\d+)\s*\)$", t)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return f"decimal({prec},{m.group(2)})"
     key = t.lower()
     if key in _CH_TO_SPARK_DDL:
         return _CH_TO_SPARK_DDL[key]
@@ -1481,6 +1494,8 @@ def _spark_to_ch(dt, nullable: bool = False) -> str:
         return f"Tuple({inner})"
     if isinstance(dt, T.DecimalType) and dt.precision == 20 and dt.scale == 0:
         base = "UInt64"
+    elif isinstance(dt, T.DecimalType):
+        base = f"Decimal({dt.precision}, {dt.scale})"
     else:
         base = {
             "bigint": "Int64", "int": "Int32", "smallint": "Int16",
