@@ -972,3 +972,26 @@ def test_discard_and_assume_order_by(spark, tmp_path):
         client=client,
     )
     assert df.first().k2 == 2
+
+
+def test_compact_hints_and_tablesample_and_some():
+    """COMPACT is a pure execution hint in YQL (grammar :509/:1061/:99) —
+    Catalyst's partial-agg decision is cost-based, so it drops out;
+    TABLESAMPLE BERNOULLI/SYSTEM map to Spark's PERCENT form; SOME() is
+    the arbitrary-value aggregate."""
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    assert translate_yql(
+        "select k, count(*) as n from `//t` group compact by k"
+    ).sql == "select k, count(*) as n from t group by k"
+    assert translate_yql(
+        "select row_number() over (partition compact by k order by v) "
+        "as rn from `//t`"
+    ).sql == ("select row_number() over (partition by k order by v) "
+              "as rn from t")
+    assert translate_yql(
+        "select some(v) as s from `//t` where k in compact (1, 2)"
+    ).sql == "select any_value(v) as s from t where k in (1, 2)"
+    assert "TABLESAMPLE (30 PERCENT)" in translate_yql(
+        "select count(*) as n from `//t` tablesample bernoulli(30)"
+    ).sql

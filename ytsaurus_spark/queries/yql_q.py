@@ -795,3 +795,29 @@ def yql_text_flatten_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.yql import yql_select
 
     return yql_select(spark, _FLATTEN_DICT_TEXT, sf_dir=sf_dir, star=False)
+
+
+_COMPACT_TEXT = """
+select lang, cast(count(*) as bigint) as n, some(n_chars) >= 0 as has
+from `//home/x/documents`
+group compact by lang
+order by lang;
+"""
+
+
+@register(
+    "yql_text_group_compact",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n, TRUE AS has
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def yql_text_group_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP COMPACT BY + SOME() (SQLv1 group_by_clause:509): COMPACT is
+    the reference's skip-the-combiner execution hint for high-cardinality
+    keys — Catalyst decides partial aggregation by cost, so the hint
+    drops out of the lowering; SOME() is the arbitrary-value aggregate
+    (made deterministic here by a predicate over it)."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _COMPACT_TEXT, sf_dir=sf_dir, star=False)

@@ -457,6 +457,22 @@ _REWRITES: list[tuple[re.Pattern, object]] = [
     # correct; Catalyst elides the sort when the child ordering already
     # satisfies it). See MIGRATION.md.
     (re.compile(r"\bassume\s+order\s+by\b", re.I), "order by"),
+    # GROUP/PARTITION COMPACT BY (SQLv1 group_by_clause:509,
+    # window_partition_clause:1061): COMPACT is a pure execution hint
+    # (skip the map-side combiner for high-cardinality keys); Catalyst's
+    # partial-agg decision is cost-based, so the hint drops out
+    (re.compile(r"\b(group|partition)\s+compact\s+by\b", re.I),
+     r"\1 by"),
+    # IN COMPACT (in_expr:99): force-hash-table hint, same story
+    (re.compile(r"\bin\s+compact\b", re.I), "in"),
+    # TABLESAMPLE BERNOULLI(x) / SYSTEM(x) (SQLv1 sample_clause) —
+    # Spark's row- and split-level sampling spellings
+    (re.compile(r"\btablesample\s+bernoulli\s*\(\s*([\d.]+)\s*\)", re.I),
+     r"TABLESAMPLE (\1 PERCENT)"),
+    (re.compile(r"\btablesample\s+system\s*\(\s*([\d.]+)\s*\)", re.I),
+     r"TABLESAMPLE (\1 PERCENT)"),
+    # SOME(x) — YQL's arbitrary-value aggregate (aggregation.md)
+    (re.compile(r"\bsome\s*\(", re.I), "any_value("),
 ]
 
 
