@@ -124,6 +124,12 @@ def _scripts(rng: random.Random):
         "$r = ($row) -> (AsStruct(CAST(count(*) AS BIGINT) AS n,"
         " min($row.v) AS lo, max($row.v) AS hi));"
         "REDUCE ft ON k USING $r(TableRow());",
+        # COMPACT hints drop out; SOME() -> any_value (deterministic
+        # via a predicate over it)
+        f"select k, CAST(count(*) AS BIGINT) as n,"
+        " some(coalesce(v, 0)) >= -100 as has"
+        f" from ft where k in compact ({m}, {t}, 1)"
+        " group compact by k order by k;",
     ]
 
 
