@@ -258,6 +258,25 @@ CASES = [
         ],
     ),
     dict(
+        id="schema/common_schema_unsorted",
+        ref="yt/chyt/tests/server/test_clickhouse_schema.py:60",
+        # default missing_column_mode = read_as_null: disjoint member
+        # columns widen by name, absent columns read NULL
+        tables={
+            "//tmp/t1": ("a bigint, b string, c double",
+                         [(42, "x", 3.14)]),
+            "//tmp/t2": ("a bigint, d double", [(17, 2.71)]),
+        },
+        steps=[
+            ('select * from concatYtTables("//tmp/t1", "//tmp/t2") '
+             "order by a",
+             [[17, None, None, 2.71], [42, "x", 3.14, None]]),
+            ('describe concatYtTables("//tmp/t1", "//tmp/t2")',
+             [["a", "Nullable(Int64)"], ["b", "Nullable(String)"],
+              ["c", "Nullable(Float64)"], ["d", "Nullable(Float64)"]]),
+        ],
+    ),
+    dict(
         id="composite/decimal",
         ref="yt/chyt/tests/server/test_composite.py:115",
         # the 32/64/128 widths (Spark's DECIMAL ceiling is precision 38;

@@ -1470,7 +1470,12 @@ class _TableFunctionResolver:
                     .withColumn("__table_path", F.lit(p))
                     .withColumn("__table_name", F.lit(base))
                 )
-            union = df if union is None else union.unionByName(df)
+            # missing_column_mode = read_as_null (the reference default,
+            # test_clickhouse_schema.py:60): members with disjoint
+            # columns widen by name, absent columns read NULL
+            union = df if union is None else union.unionByName(
+                df, allowMissingColumns=True
+            )
         union.createOrReplaceTempView(view)
         if virtuals:
             self.union_views[view] = base_cols
