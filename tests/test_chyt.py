@@ -465,6 +465,73 @@ def test_join_unqualified_left_bias(spark, tmp_path):
     assert [r.key for r in rows] == [1, 2]
 
 
+def test_join_left_bias_subquery_and_literals(spark, tmp_path):
+    """Left-bias qualification must not reach inside the right join
+    source (a subquery resolves its own scope) nor inside string
+    literals that happen to contain the shared column name."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.chyt import chyt_query
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    client.write_table(
+        "//tmp/lb1",
+        spark.createDataFrame(
+            [(i, f"foo{i}") for i in (1, 2)], "key bigint, lhs string"
+        ),
+    )
+    client.write_table(
+        "//tmp/lb2",
+        spark.createDataFrame(
+            [(i, f"bar{i}") for i in (1, 2)], "key bigint, rhs string"
+        ),
+    )
+    rows = chyt_query(
+        spark,
+        'select key, lhs, rhs from "//tmp/lb1" t1 '
+        'join (select key, rhs from "//tmp/lb2") r on t1.key = r.key '
+        "where lhs <> 'key value' order by key",
+        client=client,
+    ).collect()
+    assert [(r.key, r.lhs, r.rhs) for r in rows] == [
+        (1, "foo1", "bar1"), (2, "foo2", "bar2")]
+    # literal containing the shared name survives verbatim
+    rows = chyt_query(
+        spark,
+        "select 'key value' as lit, key from \"//tmp/lb1\" t1 "
+        'join "//tmp/lb2" t2 on t1.key = t2.key order by key',
+        client=client,
+    ).collect()
+    assert rows[0].lit == "key value"
+    # aggregates over the shared column still qualify (inside parens)
+    rows = chyt_query(
+        spark,
+        'select sum(key) as s from "//tmp/lb1" t1 '
+        'join "//tmp/lb2" t2 on t1.key = t2.key',
+        client=client,
+    ).collect()
+    assert rows[0].s == 3
+
+
+def test_bool_arithmetic_skips_string_literals(spark, tmp_path):
+    """A boolean column name inside a string literal adjacent to an
+    arithmetic char must not be rewritten to if(...)."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.chyt import chyt_query
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    client.write_table(
+        "//tmp/bflag",
+        spark.createDataFrame([(False,), (True,)], "flag boolean"),
+    )
+    rows = chyt_query(
+        spark,
+        "select 'a + flag' as lit, 2 * flag as x "
+        'from "//tmp/bflag" order by flag',
+        client=client,
+    ).collect()
+    assert [(r.lit, r.x) for r in rows] == [("a + flag", 0), ("a + flag", 2)]
+
+
 def test_tuple_positional_access(spark, tmp_path):
     """CH spells struct-member access by 1-based position — a.1
     (test_composite.py:101); resolved to the field name via the

@@ -843,14 +843,18 @@ def test_queue_export_orphan_adoption(spark, tmp_path):
     client = YtClient(root=str(tmp_path / "yt"), spark=spark)
     exp = QueueStaticExporter(q, client, "//exp/orph", 300)
 
-    # simulate the crash: table written (partially, even), pending marker
-    # published, progress NOT advanced
+    # simulate the crash: table created+written (partially, even) with
+    # the pass token stamped, pending marker published, progress NOT
+    # advanced
+    client.create("table", "//exp/orph/900-300",
+                  attributes={"queue_export_token": "tok-905"})
     client.write_table(
         "//exp/orph/900-300",
         spark.createDataFrame([(1, "a")], "seq bigint, v string"),
     )
     prog = exp.get_export_progress()
-    prog["pending"] = {"slot_end": 1200, "name": "900-300"}
+    prog["pending"] = {"slot_end": 1200, "name": "900-300",
+                       "token": "tok-905"}
     exp._publish(prog)
 
     created = exp.export_task(now=1500)
@@ -872,3 +876,15 @@ def test_queue_export_orphan_adoption(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         exp.export_task(now=1800)
     assert exp.get_export_progress()["last_export_unix_ts"] == 1200
+
+    # foreign-after-crash: pending marker matches the slot, but the
+    # table was created by SOMEONE ELSE (no token attribute) while we
+    # were down — must raise, never overwrite the foreign table
+    prog = exp.get_export_progress()
+    prog["pending"] = {"slot_end": 1500, "name": "1200-300",
+                       "token": "tok-ours"}
+    exp._publish(prog)
+    with pytest.raises(ValueError, match="already exists"):
+        exp.export_task(now=1800)
+    rows = client.read_table("//exp/orph/1200-300").collect()
+    assert [(r.seq, r.v) for r in rows] == [(99, "x")]

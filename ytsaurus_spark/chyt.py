@@ -1650,11 +1650,16 @@ def resolve_bool_arithmetic(sql: str, s2) -> str:
     # 2) bare boolean column references (schema-resolved)
     bool_cols = None
     pos = 0
+    depth = None  # lazily (re)computed; -1 marks quoted/comment spans
     while True:
         m = _IDENT_REF.search(sql, pos)
         if m is None:
             return sql
         pos = m.end()
+        if depth is None:
+            depth = _depth_map(sql)
+        if depth[m.start()] == -1:
+            continue  # inside a string literal / comment
         if not _arith_adjacent(sql, m.start(), m.end()):
             continue
         if _next_nonspace(sql, m.end()) == "(":
@@ -1668,6 +1673,7 @@ def resolve_bool_arithmetic(sql: str, s2) -> str:
         rep = f"if({m.group(0)}, 1, 0)"
         sql = sql[: m.start()] + rep + sql[m.end():]
         pos = m.start() + len(rep)
+        depth = None  # sql changed — positions shifted
 
 
 # --- ClickHouse unqualified ON-column left bias --------------------------------
@@ -1750,13 +1756,57 @@ def resolve_join_left_bias(sql: str, s2) -> str:
         return sql
     left_q, lcols = left
     _rq, rcols = right
+
+    def _excluded_spans(s: str, dm) -> list:
+        """Spans a rewrite must never touch: the two join-source texts
+        (a subquery source's internal references resolve in its own
+        scope) and every ``(select ...)`` group anywhere in the
+        statement.  Quoted/comment spans are already -1 in the depth
+        map and are skipped separately."""
+        jm2 = next(m for m in re.finditer(r"(?i)\bjoin\b", s)
+                   if dm[m.start()] == 0)
+        fm2 = [m for m in re.finditer(r"(?is)\bfrom\s+", s[: jm2.start()])
+               if dm[m.start()] == 0][-1]
+        rr2 = s[jm2.end():]
+        om2 = next(m for m in re.finditer(r"(?is)\bon\b", rr2)
+                   if _depth_map(rr2)[m.start()] == 0)
+        spans = [(fm2.end(), jm2.start()),
+                 (jm2.end(), jm2.end() + om2.start())]
+        for sm in re.finditer(r"(?is)\(\s*select\b", s):
+            if dm[sm.start()] < 0:
+                continue
+            try:
+                _a, end = _split_call_args(s, sm.start())
+            except ValueError:
+                continue
+            spans.append((sm.start(), end))
+        return spans
+
+    spans = _excluded_spans(sql, depth)
     for col in sorted(lcols & rcols):
-        if re.search(rf"(?i)\bas\s+{re.escape(col)}\b", sql):
-            continue  # output alias wins on both engines
-        sql = re.sub(
-            rf"(?i)(?<![\w.]){re.escape(col)}(?![\w.])(?!\s*\()",
-            f"{left_q}.{col}", sql,
+        alias_hit = any(
+            depth[am.start()] >= 0
+            for am in re.finditer(rf"(?i)\bas\s+{re.escape(col)}\b", sql)
         )
+        if alias_hit:
+            continue  # output alias wins on both engines
+        pat = re.compile(
+            rf"(?i)(?<![\w.]){re.escape(col)}(?![\w.])(?!\s*\()"
+        )
+        out, last = [], 0
+        for m in pat.finditer(sql):
+            s = m.start()
+            if depth[s] < 0:  # string literal / comment
+                continue
+            if any(a <= s < b for a, b in spans):
+                continue
+            out.append(sql[last:s])
+            out.append(f"{left_q}.{col}")
+            last = m.end()
+        if last:
+            sql = "".join(out) + sql[last:]
+            depth = _depth_map(sql)
+            spans = _excluded_spans(sql, depth)
     return sql
 
 

@@ -36,6 +36,7 @@ import datetime
 import json
 import os
 import tempfile
+import uuid
 
 from ytsaurus_spark.streaming.queues import DurableQueue
 
@@ -147,21 +148,43 @@ class QueueStaticExporter:
                                             self.period)
             dst = f"{self.export_directory}/{name}"
             if self.client.exists(dst):
-                # A 'pending' marker published before OUR write means the
-                # existing table is this exporter's own orphan from a pass
-                # that crashed between write_table and progress commit —
-                # adopt it by overwriting (idempotent re-export of the
-                # same slot). Any other collision is a foreign table: the
+                # Adopt (overwrite) ONLY a table this exporter created
+                # itself: the 'pending' marker must match AND the table
+                # must carry the pass-unique token our create stamped
+                # into its attributes. A matching marker alone is not
+                # proof of ownership — if we crashed between publishing
+                # 'pending' and creating the table, a foreign process
+                # may have created the same name; that is the
                 # reference's create-conflict task-part error.
                 pend = progress.get("pending") or {}
+                try:
+                    own_tok = self.client.get(
+                        dst + "/@queue_export_token")
+                except Exception:
+                    own_tok = None
                 if not (pend.get("name") == name
-                        and int(pend.get("slot_end", -1)) == slot_end):
+                        and int(pend.get("slot_end", -1)) == slot_end
+                        and pend.get("token")
+                        and own_tok == pend.get("token")):
                     raise ValueError(
                         f"export table {dst} already exists (will retry "
                         f"on the next pass)"
                     )
-            progress["pending"] = {"slot_end": slot_end, "name": name}
-            self._publish(progress)
+                progress["pending"] = pend  # keep the owning token
+                self._publish(progress)
+            else:
+                token = uuid.uuid4().hex
+                progress["pending"] = {
+                    "slot_end": slot_end, "name": name, "token": token,
+                }
+                self._publish(progress)
+                # create-with-token BEFORE the write: raises on a foreign
+                # same-name race, and a crash after this point leaves a
+                # token-stamped orphan the next pass can prove is ours
+                self.client.create(
+                    "table", dst,
+                    attributes={"queue_export_token": token},
+                )
             dirs = [os.path.join(self.queue.path, s["dir"])
                     for s in by_slot[slot_end]]
             df = self.queue.spark.read.parquet(*dirs)

@@ -48,7 +48,7 @@ def _resolve_source_schema(src: str, s2, client):
 
 def yql_select(spark, text: str, sf_dir: str | None = None,
                star: bool = True, pragmas: bool = True,
-               params: dict | None = None):
+               params: dict | None = None, client=None):
     """Execute one YQL script and return the result DataFrame.
 
     Runs in an ISOLATED ``spark.newSession()`` (own temp-view namespace +
@@ -56,7 +56,9 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
     into the caller's session. ``sf_dir`` registers the fixture tables
     (and, with ``star``, the derived TPC-DS views) first; pass
     ``sf_dir=None`` to run against views the caller already registered.
-    Star sessions are cached per (base session, sf_dir).
+    ``client`` (a YtClient) resolves backticked cypress paths for the
+    RANGE/CONCAT/EACH/LIKE/REGEXP table functions. Star sessions are
+    cached per (base session, sf_dir).
     """
     if sf_dir is not None and star:
         s2 = _star_session(spark, sf_dir)
@@ -67,6 +69,17 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
             from ytsaurus_spark.catalog import load_tables
 
             load_tables(s2, sf_dir)
+    if client is not None:
+        from ytsaurus_spark.client import YtClient
+
+        exec_client = YtClient(root=client.root, spark=s2)
+    else:
+        exec_client = None
+    if re.search(r"(?i)\b(range|concat|each|like|regexp|filter)\s*\(\s*[`']//",
+                 text):
+        from ytsaurus_spark.yql.table_functions import expand_table_functions
+
+        text = expand_table_functions(text, exec_client, s2)
     if re.search(r"(?i)\bmatch_recognize\b", text):
         # FROM <src> MATCH_RECOGNIZE (...) has no single-SQL form: the
         # DataFrame operator materializes each item into a temp view

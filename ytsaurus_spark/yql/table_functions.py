@@ -34,6 +34,7 @@ import re
 
 from ytsaurus_spark.yql.dialect import (
     YqlUnsupportedError,
+    _depth_map,
     _split_call_args,
 )
 
@@ -46,7 +47,8 @@ _TABLE_FN = re.compile(
     r"(?i)\b(range|concat|each|like|regexp|filter)\s*\(\s*`//"
     r"|\b(range|each)\s*\(\s*'//"
 )
-_VIRTUALS = re.compile(r"(?i)\btable(path|name|record)\s*\(\s*\)")
+_VIRTUALS = re.compile(r"(?i)\btable(path|name)\s*\(\s*\)")
+_TABLE_RECORD = re.compile(r"(?i)\btablerecord\s*\(\s*\)")
 
 
 def _unq(tok: str) -> str:
@@ -103,11 +105,29 @@ def _select_tables(fn: str, args: list[str], client) -> list[str]:
     return [f"{d}/{n}" for n in names]
 
 
+def _stmt_span(text: str, pos: int) -> tuple[int, int]:
+    """(start, end) of the ';'-separated statement containing ``pos`` —
+    semicolons inside parens/quotes don't split."""
+    dm = _depth_map(text)
+    bounds = [i for i, c in enumerate(text) if c == ";" and dm[i] == 0]
+    start = 0
+    end = len(text)
+    for b in bounds:
+        if b < pos:
+            start = b + 1
+        else:
+            end = b
+            break
+    return start, end
+
+
 def expand_table_functions(text: str, client, spark) -> str:
     """Expand every RANGE/CONCAT/EACH/LIKE/REGEXP table function call in
     ``text`` into a parenthesized UNION ALL over temp views registered
     from ``client``. ``TablePath()``/``TableName()`` become per-branch
-    literals. Idempotent on text without table functions."""
+    literals — decided PER STATEMENT, so one TablePath() use never widens
+    expansions in other statements of the script. Idempotent on text
+    without table functions."""
     out = text
     counter = 0
     while True:
@@ -120,14 +140,22 @@ def expand_table_functions(text: str, client, spark) -> str:
         if client is None:
             raise YqlUnsupportedError(
                 f"YQL table path function {fn.upper()}() needs a "
-                f"cypress context — pass a client to yql_execute"
+                f"cypress context — pass a client to yql_execute "
+                f"or yql_select"
             )
         paths = _select_tables(fn, [a.strip() for a in args], client)
         if not paths:
             raise ValueError(
                 f"{fn.upper()}: no tables match in {_unq(args[0])}"
             )
-        wants_virtuals = bool(_VIRTUALS.search(out))
+        ss, se = _stmt_span(out, m.start())
+        stmt = out[ss:se]
+        if _TABLE_RECORD.search(stmt):
+            raise YqlUnsupportedError(
+                "TableRecord() is not supported — select the columns "
+                "explicitly (TablePath()/TableName() are available)"
+            )
+        wants_virtuals = bool(_VIRTUALS.search(stmt))
         branches = []
         for p in paths:
             view = f"__yql_tf{counter}"
@@ -144,10 +172,13 @@ def expand_table_functions(text: str, client, spark) -> str:
         rep = "(" + " UNION ALL ".join(branches) + ")"
         out = out[: m.start()] + rep + out[end:]
         if wants_virtuals:
-            out = re.sub(r"(?i)\btablepath\s*\(\s*\)",
-                         "_yql_table_path", out)
-            out = re.sub(r"(?i)\btablename\s*\(\s*\)",
-                         "_yql_table_name", out)
+            ss, se = _stmt_span(out, m.start())
+            stmt = out[ss:se]
+            stmt = re.sub(r"(?i)\btablepath\s*\(\s*\)",
+                          "_yql_table_path", stmt)
+            stmt = re.sub(r"(?i)\btablename\s*\(\s*\)",
+                          "_yql_table_name", stmt)
+            out = out[:ss] + stmt + out[se:]
 
 
 _FLATTEN_COLS = re.compile(
