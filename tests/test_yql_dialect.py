@@ -880,8 +880,10 @@ def test_unsupported_constructs_fail_loudly():
         "select * from LIKE(`//home`, 'log-%')": "LIKE",
         "select * from REGEXP(`//home`, 'log-.*')": "REGEXP",
         "select a from `//t` flatten columns": "FLATTEN COLUMNS",
-        "EVALUATE IF true DO $a()": "EVALUATE",
-        "DEFINE ACTION $a() AS select 1; END DEFINE": "DEFINE ACTION",
+        # non-literal condition: EVALUATE needs compile-time values
+        "EVALUATE IF $cond DO $a()": "EVALUATE",
+        # DO of an action never DEFINEd in the script
+        "DO $nope()": "DO",
     }
     for text, construct in cases.items():
         with pytest.raises(YqlUnsupportedError, match=construct):
@@ -995,3 +997,126 @@ def test_compact_hints_and_tablesample_and_some():
     assert "TABLESAMPLE (30 PERCENT)" in translate_yql(
         "select count(*) as n from `//t` tablesample bernoulli(30)"
     ).sql
+
+
+def test_define_subquery(spark, sf_dir):
+    """DEFINE SUBQUERY (SQLv1Antlr4.g.in define_action_or_subquery_stmt)
+    — a parameterized subquery template instantiated at each call."""
+    from ytsaurus_spark.yql import yql_select
+
+    rows = yql_select(
+        spark,
+        "DEFINE SUBQUERY $big($src, $lim) AS\n"
+        "  select o_custkey, o_totalprice from $src\n"
+        "  where o_totalprice > $lim;\n"
+        "END DEFINE;\n"
+        "select count(*) as n from $big(orders, 400000.0);",
+        sf_dir=sf_dir, star=False,
+    ).collect()
+    from_sql = spark.sql(
+        "select count(*) as n from parquet.`{}/orders.parquet` "
+        "where o_totalprice > 400000.0".format(sf_dir)
+    ).first().n
+    assert rows[0].n == from_sql
+
+    # two invocations of one template must not collide (hygienic
+    # internal bindings), and templates compose with named expressions
+    rows = yql_select(
+        spark,
+        "DEFINE SUBQUERY $top($src, $k) AS\n"
+        "  $lim = $k;\n"
+        "  select o_orderkey from $src order by o_totalprice desc "
+        "limit $lim;\n"
+        "END DEFINE;\n"
+        "select (select count(*) from $top(orders, 3)) + "
+        "(select count(*) from $top(orders, 5)) as n;",
+        sf_dir=sf_dir, star=False,
+    ).collect()
+    assert rows[0].n == 8
+
+
+def test_define_action_do(spark, tmp_path, sf_dir):
+    """DEFINE ACTION + DO: the instantiated statements splice in place
+    of the DO (sql_query.cpp do_stmt)."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    df = yql_execute(
+        spark,
+        "DEFINE ACTION $snap($region) AS\n"
+        "  INSERT INTO `//out/by_region` \n"
+        "  select n_name, n_regionkey from nation "
+        "  where n_regionkey = $region;\n"
+        "END DEFINE;\n"
+        "DO $snap(0);\n"
+        "DO $snap(1);\n"
+        "select count(*) as n from `//out/by_region`;",
+        client=client, sf_dir=sf_dir,
+    )
+    expect = spark.sql(
+        "select count(*) as n from parquet.`{}/nation.parquet` "
+        "where n_regionkey in (0, 1)".format(sf_dir)
+    ).first().n
+    assert df.first().n == expect
+
+
+def test_evaluate_for_unroll(spark, tmp_path, sf_dir):
+    """EVALUATE FOR unrolls a compile-time list into repeated DO
+    invocations; the empty list takes the ELSE branch."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    df = yql_execute(
+        spark,
+        "DEFINE ACTION $snap($region) AS\n"
+        "  INSERT INTO `//out/regions` \n"
+        "  select n_name from nation where n_regionkey = $region;\n"
+        "END DEFINE;\n"
+        "EVALUATE FOR $r IN AsList(0, 1, 2) DO $snap($r);\n"
+        "select count(*) as n from `//out/regions`;",
+        client=client, sf_dir=sf_dir,
+    )
+    expect = spark.sql(
+        "select count(*) as n from parquet.`{}/nation.parquet` "
+        "where n_regionkey in (0, 1, 2)".format(sf_dir)
+    ).first().n
+    assert df.first().n == expect
+
+    # ListFromRange + ELSE on the empty list
+    df = yql_execute(
+        spark,
+        "DEFINE ACTION $mark($v) AS\n"
+        "  INSERT INTO `//out/marks` select $v as v;\n"
+        "END DEFINE;\n"
+        "EVALUATE FOR $i IN ListFromRange(0, 3) DO $mark($i);\n"
+        "EVALUATE FOR $i IN AsList() DO $mark(99) "
+        "ELSE DO $mark(-1);\n"
+        "select v from `//out/marks` order by v;",
+        client=client, sf_dir=sf_dir,
+    )
+    assert [r.v for r in df.collect()] == [-1, 0, 1, 2]
+
+
+def test_evaluate_if_literal(spark, sf_dir):
+    """EVALUATE IF over a literal condition takes exactly one branch."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        client = YtClient(root=td, spark=spark)
+        df = yql_execute(
+            spark,
+            "DEFINE ACTION $w($v) AS\n"
+            "  INSERT INTO `//out/t` select $v as v;\n"
+            "END DEFINE;\n"
+            "EVALUATE IF true DO $w(1) ELSE DO $w(2);\n"
+            "EVALUATE IF false DO $w(3) ELSE DO $w(4);\n"
+            "EVALUATE IF false DO $w(5);\n"
+            "DO EMPTY_ACTION();\n"
+            "select v from `//out/t` order by v;",
+            client=client, sf_dir=sf_dir,
+        )
+        assert [r.v for r in df.collect()] == [1, 4]

@@ -130,6 +130,21 @@ def _scripts(rng: random.Random):
         " some(coalesce(v, 0)) >= -100 as has"
         f" from ft where k in compact ({m}, {t}, 1)"
         " group compact by k order by k;",
+        # DEFINE SUBQUERY instantiated twice with different args —
+        # hygienic internal bindings, lowered to two distinct CTEs
+        "DEFINE SUBQUERY $big($src, $cut) AS"
+        " $th = $cut;"
+        " select k, coalesce(v, 0) as v0 from $src where k > $th;"
+        "END DEFINE;"
+        f"select (select CAST(count(*) AS BIGINT) from $big(ft, {m})) -"
+        f" (select CAST(count(*) AS BIGINT) from $big(ft, {t}))"
+        " as delta;",
+        # DEFINE SUBQUERY in FROM with a GROUP BY over the template
+        "DEFINE SUBQUERY $grp($src) AS"
+        " select k, CAST(sum(coalesce(v, 0)) AS BIGINT) as sv"
+        " from $src group by k;"
+        "END DEFINE;"
+        f"select k, sv from $grp(ft) where sv > {-t} order by k;",
     ]
 
 

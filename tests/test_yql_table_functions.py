@@ -161,3 +161,49 @@ def test_scalar_concat_not_table_fn(spark, log_client):
         client=log_client,
     )
     assert df.first().p == "//x/9"
+
+
+def test_table_record_raises(spark, log_client):
+    """TableRecord() has no Spark lowering — it must raise a clear
+    YqlUnsupportedError, not silently inject virtual columns it never
+    substitutes."""
+    with pytest.raises(YqlUnsupportedError, match="TableRecord"):
+        yql_execute(
+            spark,
+            "select TableRecord() from RANGE(`//logs/app`)",
+            client=log_client,
+        )
+
+
+def test_virtuals_scoped_per_statement(spark, log_client):
+    """TablePath() in ONE statement must not widen the expansion of a
+    table function in ANOTHER statement of the same script (SELECT *
+    there would otherwise grow _yql_table_path/_yql_table_name)."""
+    # statement 1 uses TablePath(); statement 2 is a plain SELECT *
+    df = yql_execute(
+        spark,
+        "insert into `//out/withpath` with truncate "
+        "select v, TableName() as tn from RANGE(`//logs/app`, "
+        "`2024-01-01`, `2024-01-02`);\n"
+        "select * from CONCAT(`//other/b`) order by v",
+        client=log_client,
+    )
+    assert df.columns == ["v"]  # no virtual-column widening
+    assert [r.v for r in df.collect()] == [9]
+    out = log_client.read_table("//out/withpath")
+    assert sorted(out.columns) == ["tn", "v"]
+    assert {r.tn for r in out.collect()} == {"2024-01-01", "2024-01-02"}
+
+
+def test_yql_select_expands_table_functions(spark, log_client):
+    """yql_select accepts a client and expands table path functions —
+    the path the translator's error message points users at."""
+    from ytsaurus_spark.yql import yql_select
+
+    df = yql_select(
+        spark,
+        "select sum(v) as s from RANGE(`//logs/app`, `2024-01-01`, "
+        "`2024-01-31`)",
+        client=log_client, star=False,
+    )
+    assert df.first().s == 10

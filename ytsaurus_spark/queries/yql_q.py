@@ -821,3 +821,110 @@ def yql_text_group_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.yql import yql_select
 
     return yql_select(spark, _COMPACT_TEXT, sf_dir=sf_dir, star=False)
+
+
+# --- DEFINE SUBQUERY / ACTION / EVALUATE (SQLv1Antlr4.g.in:393-410) -----------
+
+_DEFINE_SQ_TEXT = """
+DEFINE SUBQUERY $by_type($src, $min_v) AS
+  select event_type, user_id, value from $src where value > $min_v;
+END DEFINE;
+select event_type, cast(count(*) as bigint) as n,
+       sum(CAST(round(value * 100) AS BIGINT)) as cents
+from $by_type(events, 10.0)
+group by event_type
+order by event_type;
+"""
+
+
+@register(
+    "yql_text_define_subquery",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events WHERE value > 10.0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def yql_text_define_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFINE SUBQUERY — YQL's parameterized subquery template
+    (SQLv1Antlr4.g.in define_action_or_subquery_stmt; sql_query.cpp
+    kAltSqlStmtCoreDefineActionOrSubqueryStmt). The dialect instantiates
+    the template at the call site as a hygienic text macro, binding the
+    body to a fresh named expression, so it lowers to the same CTE the
+    hand-inlined query would — Catalyst sees one plan, no extra
+    materialization."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _DEFINE_SQ_TEXT, sf_dir=sf_dir, star=False)
+
+
+_DEFINE_ACTION_TEXT = """
+DEFINE ACTION $snap($r) AS
+  INSERT INTO `//out/nation_sizes`
+  select cast($r as bigint) as region, cast(count(*) as bigint) as n
+  from nation where n_regionkey = $r;
+END DEFINE;
+DO $snap(0);
+DO $snap(1);
+select region, n from `//out/nation_sizes` order by region;
+"""
+
+
+@register(
+    "yql_text_define_action",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation WHERE n_regionkey IN (0, 1)
+    GROUP BY n_regionkey ORDER BY region
+    """,
+)
+def yql_text_define_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFINE ACTION + DO (do_stmt): each DO splices the instantiated
+    statements into the script — here two INSERT-appending snapshots,
+    then a read-back. Writes go through a throwaway YtClient root; the
+    oracle states the equivalent one-pass aggregate."""
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    client = YtClient(root=tempfile.mkdtemp(prefix="yql_act_"), spark=spark)
+    return yql_execute(spark, _DEFINE_ACTION_TEXT, client=client,
+                       sf_dir=sf_dir)
+
+
+_EVAL_FOR_TEXT = """
+DEFINE ACTION $snap($r) AS
+  INSERT INTO `//out/region_sizes`
+  select cast($r as bigint) as region, cast(count(*) as bigint) as n
+  from nation where n_regionkey = $r;
+END DEFINE;
+EVALUATE FOR $r IN AsList(0, 1, 2) DO $snap($r);
+select region, n from `//out/region_sizes` order by region;
+"""
+
+
+@register(
+    "yql_text_evaluate_for",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation WHERE n_regionkey IN (0, 1, 2)
+    GROUP BY n_regionkey ORDER BY region
+    """,
+)
+def yql_text_evaluate_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVALUATE FOR (evaluate_for_stmt): unrolls a compile-time list
+    into repeated action invocations — the reference's way to script a
+    bounded family of writes. The unroll count is the LIST length (a
+    calendar/config constant), never data volume, so the lowering holds
+    at any scale."""
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    client = YtClient(root=tempfile.mkdtemp(prefix="yql_eval_"), spark=spark)
+    return yql_execute(spark, _EVAL_FOR_TEXT, client=client, sf_dir=sf_dir)

@@ -680,6 +680,277 @@ def _rewrite_yqlisms(text: str) -> str:
     return _rewrite_groupby_as(text)
 
 
+# --- DEFINE SUBQUERY / DEFINE ACTION / DO / EVALUATE --------------------------
+#
+# SQLv1 grammar: define_action_or_subquery_stmt / do_stmt / evaluate_for
+# (SQLv1Antlr4.g.in:393-410; semantics in sql/v1/sql_query.cpp,
+# TSqlQuery::Statement kAltSqlStmtCoreDefineActionOrSubqueryStmt). These
+# are TEXT-LEVEL templates in YQL — a subquery/action body with
+# positional $parameters, instantiated at each invocation site before
+# any planning. The translation mirrors that: pure hygienic macro
+# expansion BEFORE statement splitting, lowering to the named-expression
+# machinery the translator already has:
+#
+#   DEFINE SUBQUERY $s($a) AS ... END DEFINE;  +  FROM $s(x)
+#     -> body's leading statements hoisted before the caller, its final
+#        SELECT bound to a fresh $__sqN named expression (a CTE), the
+#        call replaced by $__sqN
+#   DEFINE ACTION $a($x) AS stmts END DEFINE;  +  DO $a(v);
+#     -> the instantiated statements spliced in place of the DO
+#   EVALUATE FOR $i IN AsList(...) DO $a($i) [ELSE DO $b()];
+#     -> unrolled over the literal list (ListFromRange over int literals
+#        also evaluates); empty list takes the ELSE branch
+#   EVALUATE IF <true|false-literal> DO $a() [ELSE DO $b()];
+#     -> the taken branch spliced in (non-literal conditions raise)
+#
+# Internal $bindings of an instantiated body are renamed with a
+# per-instantiation suffix so two invocations never collide in the WITH
+# chain.
+
+_DEFINE_HEAD = re.compile(
+    r"(?is)\bdefine\s+(subquery|action)\s+\$(\w+)\s*\(([^)]*)\)\s*as\b"
+)
+_END_DEFINE = re.compile(r"(?is)\bend\s+define\s*")
+_DO_CALL = re.compile(r"(?is)\bdo\s+\$(\w+)\s*\(")
+_DO_EMPTY = re.compile(r"(?is)\bdo\s+empty_action\s*\(\s*\)\s*;?")
+_EVAL_FOR = re.compile(r"(?is)\bevaluate\s+for\s+\$(\w+)\s+in\b")
+_EVAL_IF = re.compile(r"(?is)\bevaluate\s+if\s+(true|false)\s*\bdo\b")
+
+
+def _extract_defines(text: str):
+    """Strip every DEFINE ... END DEFINE block out of ``text``; return
+    (remaining text, {name: (kind, params, body)})."""
+    defs: dict[str, tuple[str, list[str], str]] = {}
+    out, pos = [], 0
+    while True:
+        m = _DEFINE_HEAD.search(text, pos)
+        if m is None:
+            break
+        e = _END_DEFINE.search(text, m.end())
+        if e is None:
+            raise ValueError(
+                f"DEFINE {m.group(1).upper()} ${m.group(2)} has no "
+                f"END DEFINE"
+            )
+        body = text[m.end(): e.start()].strip().rstrip(";").strip()
+        params = re.findall(r"\$(\w*)", m.group(3))
+        params = [p for p in params if p]
+        defs[m.group(2)] = (m.group(1).lower(), params, body)
+        out.append(text[pos: m.start()])
+        # swallow one trailing ';' after END DEFINE
+        tail = e.end()
+        while tail < len(text) and text[tail] in " \t\n":
+            tail += 1
+        pos = tail + 1 if tail < len(text) and text[tail] == ";" else tail
+    out.append(text[pos:])
+    return "".join(out), defs
+
+
+def _instantiate(defs, name: str, args: list[str], uid: int) -> str:
+    """Body of ``$name`` with positional params substituted and internal
+    $bindings uniquified."""
+    kind, params, body = defs[name]
+    if len(args) != len(params):
+        raise ValueError(
+            f"${name} takes {len(params)} argument(s), got {len(args)}"
+        )
+    for p, a in zip(params, args):
+        body = re.sub(rf"\${re.escape(p)}\b",
+                      lambda _m, r=a.strip(): r, body)
+    internal = {
+        mm.group(1)
+        for s in split_statements(body)
+        for mm in [re.match(r"^\$(\w+)\s*=", s)]
+        if mm
+    }
+    for n in sorted(internal):
+        body = re.sub(rf"\${n}\b", f"${n}__i{uid}", body)
+    return body
+
+
+def _parse_eval_list(expr: str) -> list[str]:
+    """Literal list forms EVALUATE FOR can unroll: AsList(...) items,
+    ListFromRange(a, b[, step]) over int literals, [] / AsList()."""
+    expr = expr.strip()
+    m = re.match(r"(?is)^aslist\s*\(", expr)
+    if m:
+        args, end = _split_call_args(expr, expr.index("(", m.end() - 1))
+        if expr[end:].strip():
+            raise YqlUnsupportedError(
+                "EVALUATE FOR list must be a bare AsList(...) literal"
+            )
+        return [a.strip() for a in args if a.strip()]
+    m = re.match(r"(?is)^listfromrange\s*\(", expr)
+    if m:
+        args, end = _split_call_args(expr, expr.index("(", m.end() - 1))
+        if expr[end:].strip() or not (2 <= len(args) <= 3):
+            raise YqlUnsupportedError(
+                "EVALUATE FOR supports ListFromRange(start, end[, step]) "
+                "over integer literals"
+            )
+        try:
+            lo, hi = int(args[0]), int(args[1])
+            step = int(args[2]) if len(args) == 3 else 1
+        except ValueError:
+            raise YqlUnsupportedError(
+                "EVALUATE FOR needs integer literals in ListFromRange"
+            ) from None
+        return [str(v) for v in range(lo, hi, step)]
+    raise YqlUnsupportedError(
+        "EVALUATE FOR iterates a compile-time list — use AsList(...) or "
+        "ListFromRange(int, int) literals"
+    )
+
+
+def _parse_do_tail(text: str, pos: int, defs) -> tuple[str, list[str], int]:
+    """Parse ``$name(args)`` at ``pos`` (after a DO keyword); returns
+    (name, args, end)."""
+    m = re.match(r"(?s)\s*\$(\w+)\s*\(", text[pos:])
+    if m is None:
+        raise YqlUnsupportedError(
+            "DO expects an action invocation: DO $action(args)"
+        )
+    name = m.group(1)
+    if name not in defs or defs[name][0] != "action":
+        raise YqlUnsupportedError(
+            f"DO ${name}(...): no DEFINE ACTION ${name} in this script"
+        )
+    open_idx = text.index("(", pos + m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    return name, [a for a in (x.strip() for x in args) if a], end
+
+
+def _expand_defines(text: str) -> str:
+    """Expand DEFINE SUBQUERY/ACTION templates, DO invocations, and
+    EVALUATE IF/FOR unrolling. Input is comment-stripped script text;
+    output contains only plain statements. No-op without DEFINE/DO/
+    EVALUATE."""
+    if not re.search(r"(?is)\b(define\s+(subquery|action)|do\s|evaluate\s)",
+                     text):
+        return text
+    text, defs = _extract_defines(text)
+    uid = 0
+    for _ in range(64):  # nested actions: bounded expansion
+        changed = False
+        text = _DO_EMPTY.sub("", text)
+
+        m = _EVAL_IF.search(text)
+        if m:
+            taken = m.group(1).lower() == "true"
+            name, args, end = _parse_do_tail(text, m.end(), defs)
+            then_body = _instantiate(defs, name, args, uid)
+            uid += 1
+            else_body = ""
+            em = re.match(r"(?is)\s*else\s+do\b", text[end:])
+            if em:
+                ename, eargs, eend = _parse_do_tail(
+                    text, end + em.end(), defs)
+                else_body = _instantiate(defs, ename, eargs, uid)
+                uid += 1
+                end = eend
+            repl = then_body if taken else else_body
+            text = text[: m.start()] + repl + text[end:]
+            changed = True
+            continue
+
+        m = _EVAL_FOR.search(text)
+        if m:
+            var = m.group(1)
+            rest = text[m.end():]
+            dm = next((x for x in re.finditer(r"(?is)\bdo\b", rest)
+                       if _depth_map(rest)[x.start()] == 0), None)
+            if dm is None:
+                raise YqlUnsupportedError("EVALUATE FOR without DO")
+            items = _parse_eval_list(rest[: dm.start()])
+            call_pos = m.end() + dm.end()
+            cm = re.match(r"(?s)\s*\$(\w+)\s*\(", text[call_pos:])
+            if cm is None:
+                raise YqlUnsupportedError(
+                    "EVALUATE FOR expects DO $action(args)"
+                )
+            open_idx = text.index("(", call_pos + cm.end() - 1)
+            raw_args, end = _split_call_args(text, open_idx)
+            name = cm.group(1)
+            if name not in defs or defs[name][0] != "action":
+                raise YqlUnsupportedError(
+                    f"EVALUATE FOR DO ${name}(...): no DEFINE ACTION "
+                    f"${name} in this script"
+                )
+            else_body = ""
+            em = re.match(r"(?is)\s*else\s+do\b", text[end:])
+            if em:
+                ename, eargs, eend = _parse_do_tail(text, end + em.end(),
+                                                    defs)
+                else_body = _instantiate(defs, ename, eargs, uid)
+                uid += 1
+                end = eend
+            bodies = []
+            for item in items:
+                inst_args = [
+                    re.sub(rf"\${var}\b", lambda _m, r=item.strip(): r, a)
+                    for a in (x.strip() for x in raw_args) if a
+                ]
+                bodies.append(_instantiate(defs, name, inst_args, uid))
+                uid += 1
+            repl = ";\n".join(bodies) if bodies else else_body
+            text = text[: m.start()] + repl + text[end:]
+            changed = True
+            continue
+
+        m = next((x for x in _DO_CALL.finditer(text)
+                  if x.group(1) in defs), None)
+        if m:
+            name, args, end = _parse_do_tail(text, m.start() + 2, defs)
+            body = _instantiate(defs, name, args, uid)
+            uid += 1
+            text = text[: m.start()] + body + text[end:]
+            changed = True
+            continue
+
+        # subquery invocations: $name(args) where $name is a DEFINEd
+        # subquery — hoist its body before the enclosing statement
+        sq = next(
+            (x for x in re.finditer(r"\$(\w+)\s*\(", text)
+             if x.group(1) in defs and defs[x.group(1)][0] == "subquery"),
+            None,
+        )
+        if sq:
+            open_idx = text.index("(", sq.end() - 1)
+            args, end = _split_call_args(text, open_idx)
+            body = _instantiate(
+                defs, sq.group(1),
+                [a for a in (x.strip() for x in args) if a], uid)
+            alias = f"__sq{uid}"
+            uid += 1
+            stmts = split_statements(body)
+            if not stmts or not re.match(
+                r"(?is)^[\s(]*(select|with)\b", stmts[-1]
+            ):
+                raise YqlUnsupportedError(
+                    f"DEFINE SUBQUERY ${sq.group(1)} must end in a SELECT"
+                )
+            # enclosing statement start: last top-level ';' before the call
+            dm2 = _depth_map(text)
+            stmt_start = 0
+            for i in range(sq.start() - 1, -1, -1):
+                if text[i] == ";" and dm2[i] == 0:
+                    stmt_start = i + 1
+                    break
+            hoisted = "".join(f"{s};\n" for s in stmts[:-1])
+            hoisted += f"${alias} = ({stmts[-1]});\n"
+            text = (text[:stmt_start] + hoisted
+                    + text[stmt_start: sq.start()]
+                    + f"${alias}" + text[end:])
+            changed = True
+            continue
+
+        if not changed:
+            break
+    else:
+        raise ValueError("DEFINE expansion did not converge (recursion?)")
+    return text
+
+
 # --- fail-loudly guard --------------------------------------------------------
 #
 # Constructs the translator RECOGNIZES but cannot lower. Detected on the
@@ -692,9 +963,11 @@ def _rewrite_yqlisms(text: str) -> str:
 # functions yql_yt_io_discovery.cpp:101).
 
 _STMT_UNSUPPORTED = [
-    (re.compile(r"(?is)^\s*evaluate\b"), "EVALUATE IF/FOR statements"),
+    (re.compile(r"(?is)^\s*evaluate\b"),
+     "EVALUATE statements with a non-literal condition/list"),
     (re.compile(r"(?is)^\s*define\s+action\b"), "DEFINE ACTION blocks"),
-    (re.compile(r"(?is)^\s*do\s"), "DO action-invocation statements"),
+    (re.compile(r"(?is)^\s*do\s"),
+     "DO invocations of an action not DEFINEd in this script"),
 ]
 # table path functions (RANGE/CONCAT/EACH/LIKE/REGEXP/FILTER over a
 # cypress directory) — expanded by yql_select/yql_execute BEFORE
@@ -723,8 +996,7 @@ def _check_unsupported(stmt: str) -> None:
         fn = (m.group(1) or m.group(2)).upper()
         raise YqlUnsupportedError(
             f"YQL table path function {fn}() needs a cypress context — "
-            f"run it through yql_execute (with a client) or yql_select "
-            f"(with sf_dir)"
+            f"run it through yql_execute or yql_select, passing a client"
         )
     d = _depth_map(stmt)
     if any(d[c.start()] >= 0 for c in _FLATTEN_COLUMNS.finditer(stmt)):
@@ -1283,8 +1555,9 @@ def translate_yql_script(
     pragmas: dict[str, str] = {}
     bindings: list[tuple[str, str, str]] = []  # (name, body, kind)
     finals: list[tuple[str, int]] = []  # (stmt, #bindings visible)
-    script_paths = tuple(_PATH_RE.findall(strip_comments(text)))
-    for stmt in split_statements(strip_comments(text)):
+    stripped = _expand_defines(strip_comments(text))
+    script_paths = tuple(_PATH_RE.findall(stripped))
+    for stmt in split_statements(stripped):
         _check_unsupported(stmt)
         if stmt.lower().startswith("pragma"):
             m = _PRAGMA_RE.match(stmt)
