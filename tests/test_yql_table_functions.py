@@ -207,3 +207,31 @@ def test_yql_select_expands_table_functions(spark, log_client):
         client=log_client, star=False,
     )
     assert df.first().s == 10
+
+
+def test_filter_table_function(spark, log_client):
+    """FILTER(`//dir`, lambda) — the lambda evaluates over table NAMES
+    (yql_yt_io_discovery.cpp MrTableFilter shape): inline form, $binding
+    form, and module functions in the body."""
+    df = yql_execute(
+        spark,
+        "select sum(v) as s from FILTER(`//logs/app`, "
+        "($n) -> (String::HasPrefix($n, '2024-01')));",
+        client=log_client,
+    )
+    assert df.first().s == 10  # 2024-02-01 excluded by name
+
+    df = yql_execute(
+        spark,
+        "$jan = ($name) -> (String::Contains($name, '-01-'));\n"
+        "select count(*) as n from FILTER(`//logs/app`, $jan);",
+        client=log_client,
+    )
+    assert df.first().n == 4
+
+    with pytest.raises(YqlUnsupportedError, match="one argument"):
+        yql_execute(
+            spark,
+            "select * from FILTER(`//logs/app`, ($a, $b) -> (true));",
+            client=log_client,
+        )

@@ -928,3 +928,35 @@ def yql_text_evaluate_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     client = YtClient(root=tempfile.mkdtemp(prefix="yql_eval_"), spark=spark)
     return yql_execute(spark, _EVAL_FOR_TEXT, client=client, sf_dir=sf_dir)
+
+
+_FILTER_TEXT = """
+$week1 = ($name) -> (String::HasPrefix($name, '2024-01-0'));
+select event_type, cast(count(*) as bigint) as n
+from FILTER(`//logs/events`, $week1)
+group by event_type
+order by event_type;
+"""
+
+
+@register(
+    "yql_text_filter",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-09'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def yql_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER(`//dir`, $lambda) — the last of the six table path
+    functions (MrTableFilter): the lambda evaluates over the member
+    TABLE NAMES in one driver-side vectorized pass (names are metadata —
+    a year of daily tables is 365 rows), then only the surviving tables
+    get scan branches. Same path-level pruning discipline as RANGE."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    root = _events_log_root(spark, sf_dir)
+    return yql_execute(spark, _FILTER_TEXT,
+                       client=YtClient(root=root, spark=spark))

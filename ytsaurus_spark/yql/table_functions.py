@@ -58,7 +58,67 @@ def _unq(tok: str) -> str:
     return tok
 
 
-def _select_tables(fn: str, args: list[str], client) -> list[str]:
+def _script_lambdas(text: str) -> dict:
+    """Lambda named-expression bindings (``$f = ($x) -> (...)``) in the
+    script — FILTER() callables resolve through these."""
+    from ytsaurus_spark.yql.dialect import _LAMBDA_RE, split_statements
+
+    out: dict[str, tuple[list[str], str]] = {}
+    for stmt in split_statements(text):
+        m = re.match(r"(?s)^\$(\w+)\s*=\s*(.+)$", stmt)
+        if m is None:
+            continue
+        lm = _LAMBDA_RE.match(m.group(2).strip())
+        if lm is None:
+            continue
+        params = re.findall(r"\$(\w+)", lm.group(1) or "")
+        out[m.group(1)] = (params, (lm.group(2) or lm.group(3)).strip())
+    return out
+
+
+def _filter_names(names: list[str], fn_text: str, lambdas: dict,
+                  spark) -> list[str]:
+    """Evaluate a FILTER() lambda over the directory's table NAMES —
+    one driver-side vectorized pass (the name list is a metadata-sized
+    input: a year of daily tables is 365 rows, never data volume)."""
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.yql.dialect import (
+        _LAMBDA_RE,
+        _expand_lambdas,
+        _rewrite_module_funcs,
+    )
+
+    fn_text = fn_text.strip()
+    rm = re.match(r"^\$(\w+)$", fn_text)
+    if rm is not None:
+        if rm.group(1) not in lambdas:
+            raise YqlUnsupportedError(
+                f"FILTER(): ${rm.group(1)} is not a lambda named "
+                f"expression in this script"
+            )
+        params, body = lambdas[rm.group(1)]
+    else:
+        lm = _LAMBDA_RE.match(fn_text)
+        if lm is None:
+            raise YqlUnsupportedError(
+                "FILTER() takes a one-argument lambda over table names — "
+                "($name) -> (...) inline or a $lambda binding"
+            )
+        params = re.findall(r"\$(\w+)", lm.group(1) or "")
+        body = (lm.group(2) or lm.group(3)).strip()
+    if len(params) != 1:
+        raise YqlUnsupportedError(
+            "FILTER() lambda takes exactly one argument (the table name)"
+        )
+    expr = re.sub(rf"\${re.escape(params[0])}\b", "__tf_name", body)
+    expr = _rewrite_module_funcs(_expand_lambdas(expr, lambdas))
+    df = spark.createDataFrame([(n,) for n in names], "__tf_name string")
+    return sorted(r[0] for r in df.where(F.expr(expr)).collect())
+
+
+def _select_tables(fn: str, args: list[str], client,
+                   lambdas: dict | None = None, spark=None) -> list[str]:
     """Resolve a table function call to the member-table paths it reads.
     Driver-side metadata only (client.list); selection happens here, at
     the path level, before any scan exists."""
@@ -97,11 +157,12 @@ def _select_tables(fn: str, args: list[str], client) -> list[str]:
     elif fn == "regexp":
         rx = re.compile(_unq(args[1]))
         names = [n for n in names if rx.search(n)]
-    else:  # filter — needs a lambda over names; out of scope
-        raise YqlUnsupportedError(
-            "FILTER() table function takes a lambda over table names — "
-            "list the directory yourself and use EACH()"
-        )
+    else:  # filter — a YQL lambda evaluated over the NAME list
+        if len(args) < 2:
+            raise YqlUnsupportedError(
+                "FILTER() takes (directory, lambda-over-table-names)"
+            )
+        names = _filter_names(names, args[1], lambdas or {}, spark)
     return [f"{d}/{n}" for n in names]
 
 
@@ -130,6 +191,7 @@ def expand_table_functions(text: str, client, spark) -> str:
     without table functions."""
     out = text
     counter = 0
+    lambdas = _script_lambdas(text)
     while True:
         m = _TABLE_FN.search(out)
         if m is None:
@@ -143,7 +205,8 @@ def expand_table_functions(text: str, client, spark) -> str:
                 f"cypress context — pass a client to yql_execute "
                 f"or yql_select"
             )
-        paths = _select_tables(fn, [a.strip() for a in args], client)
+        paths = _select_tables(fn, [a.strip() for a in args], client,
+                               lambdas=lambdas, spark=spark)
         if not paths:
             raise ValueError(
                 f"{fn.upper()}: no tables match in {_unq(args[0])}"
