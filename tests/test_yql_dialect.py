@@ -1120,3 +1120,83 @@ def test_evaluate_if_literal(spark, sf_dir):
             client=client, sf_dir=sf_dir,
         )
         assert [r.v for r in df.collect()] == [1, 4]
+
+
+def test_yql_core_builtins(spark):
+    """YQL core builtins (docs/en/builtins): list/dict constructors and
+    combinators, optionals, MIN_OF/MAX_OF, FIND/RFIND, ??, positional
+    tuple access, YQL cast-type names — all lowered onto Spark
+    collection builtins (JVM-side, codegen-friendly)."""
+    from ytsaurus_spark.yql import yql_select
+
+    s2 = spark
+    def one(expr, **kw):
+        df = yql_select(s2, f"select {expr} as r;", star=False, **kw)
+        return df.first().r
+
+    assert one("ListLength(AsList(1,2,3))") == 3
+    assert one("ListSum(AsList(1,2,3))") == 6
+    assert one("ListAvg(AsList(1.0, 3.0))") == 2.0
+    assert one("ListMin(AsList(3,1,2))") == 1
+    assert one("ListMax(AsList(3,1,2))") == 3
+    assert one("ListHas(AsList(1,2), 2)") is True
+    assert one("ListSort(AsList(3,1,2))") == [1, 2, 3]
+    assert one("ListSortDesc(AsList(3,1,2))") == [3, 2, 1]
+    assert one("ListUniq(AsList(1,1,2))") == [1, 2]
+    assert one("ListConcat(AsList('a','b'), '-')") == "a-b"
+    assert one("ListExtend(AsList(1), AsList(2))") == [1, 2]
+    assert one("ListHead(AsList(5,6))") == 5
+    assert one("ListLast(AsList(5,6))") == 6
+    assert one("ListTake(AsList(1,2,3), 2)") == [1, 2]
+    assert one("ListSkip(AsList(1,2,3), 1)") == [2, 3]
+    assert one("ListIndexOf(AsList('a','b'), 'b')") == 1
+    assert one("ListIndexOf(AsList('a','b'), 'z')") is None
+    assert one("ListMap(AsList(1,2), ($x) -> ($x * 10))") == [10, 20]
+    assert one("ListFilter(AsList(1,2,3), ($x) -> ($x > 1))") == [2, 3]
+    assert one("ListFromRange(0, 3)") == [0, 1, 2]
+    assert one("ListZip(AsList(1,2), AsList('a','b'))[1].1") == "b"
+    assert one("ListEnumerate(AsList('a'))[0].0") == 0
+    # dicts
+    assert one("DictKeys(AsDict(AsTuple('a', 1)))") == ["a"]
+    assert one("DictPayloads(AsDict(AsTuple('a', 1)))") == [1]
+    assert one("DictContains(AsDict(AsTuple('a', 1)), 'a')") is True
+    assert one("DictLookup(AsDict(AsTuple('a', 1)), 'a')") == 1
+    # optionals + scalars
+    assert one("Just(7)") == 7
+    assert one("Unwrap(Just(7))") == 7
+    assert one("Nothing(7) ?? -1") == -1
+    assert one("MIN_OF(3, 1, 2)") == 1
+    assert one("MAX_OF(3, 1, 2)") == 3
+    assert one("FIND('abcb', 'b')") == 1
+    assert one("FIND('abcb', 'b', 2)") == 3
+    assert one("FIND('abc', 'z')") is None
+    assert one("RFIND('abcb', 'b')") == 3
+    assert one("NULL ?? 'x' ?? 'y'") == "x"
+    assert one("AsTuple(9, 'a').0") == 9
+    assert one("CAST(300 AS Uint8)") == 300  # widened, not wrapped
+    assert one("CAST('5' AS Int64)") == 5
+    assert one("BITCAST(7 AS Uint32)") == 7
+    # module extensions
+    assert one("DateTime::ToSeconds(DateTime::FromSeconds(1700000000))") \
+        == 1700000000
+    assert one("DateTime::Format('%Y/%m')(CAST('2024-03-05' AS DATE))") \
+        == "2024/03"
+    assert one("DateTime::ToDays(CAST('1970-01-11' AS DATE))") == 10
+    assert one("Url::Decode('a%20b')") == "a b"
+    assert one("Url::GetDomain('https://x.a.b.c/d', 2)") == "b.c"
+    assert one("Digest::CityHash('q') = xxhash64('q')") is True
+    assert one("Pire::Grep('a.c')('xabcx')") is True
+
+
+def test_yql_ensure_raises(spark):
+    from ytsaurus_spark.yql import yql_select
+
+    assert yql_select(
+        spark, "select Ensure(5, 5 > 0, 'bad') as r;", star=False
+    ).first().r == 5
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="neg"):
+        yql_select(
+            spark, "select Ensure(-5, -5 > 0, 'neg value') as r;",
+            star=False,
+        ).collect()

@@ -145,6 +145,15 @@ def _scripts(rng: random.Random):
         " from $src group by k;"
         "END DEFINE;"
         f"select k, sv from $grp(ft) where sv > {-t} order by k;",
+        # portable core builtins: ?? (coalesce), MIN_OF/MAX_OF
+        # (least/greatest), FIND (0-based instr), YQL cast-type names
+        f"select k, v ?? {-m} as v0, MIN_OF(k, v ?? {t}) as mn,"
+        f" MAX_OF(k, {m}) as mx, FIND(s ?? '', '{lit}') as f,"
+        " CAST(k AS Int64) as k64, CAST(k AS Uint16) as ku"
+        " from ft order by k, v0, f;",
+        # ?? chains and ?? inside expressions
+        f"select k, (v ?? k ?? 0) + {m} as c,"
+        " coalesce(v, 0) - (v ?? 0) as z from ft order by k, c;",
     ]
 
 

@@ -960,3 +960,37 @@ def yql_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _events_log_root(spark, sf_dir)
     return yql_execute(spark, _FILTER_TEXT,
                        client=YtClient(root=root, spark=spark))
+
+
+_BUILTINS_TEXT = """
+select event_type,
+       cast(count(*) as bigint) as n,
+       cast(sum(MIN_OF(CAST(value AS Int64), 50)) as bigint) as capped,
+       cast(sum(FIND(event_type, 'e') ?? -1) as bigint) as epos
+from events
+group by event_type
+order by event_type;
+"""
+
+
+@register(
+    "yql_text_builtins",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(least(CAST(trunc(value) AS BIGINT), 50)) AS BIGINT)
+               AS capped,
+           CAST(sum(coalesce(nullif(instr(event_type, 'e'), 0) - 1, -1))
+               AS BIGINT) AS epos
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def yql_text_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YQL core builtins in query position — ``??`` (coalesce operator),
+    ``MIN_OF`` (least), 0-based ``FIND``, and YQL cast-type names
+    (Int64), all rewritten to engine-portable SQL that stays inside
+    whole-stage codegen. The oracle states the portable spellings
+    directly."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _BUILTINS_TEXT, sf_dir=sf_dir, star=False)

@@ -378,9 +378,84 @@ _MODULE_FUNCS: dict[tuple[str, str], str] = {
     ("re2", "grep"): "regexp_like({1}, {0})",
     ("re2", "match"): "regexp_like({1}, concat('^(?:', {0}, ')$'))",
     ("re2", "replace"): "regexp_replace({1}, {0}, {2})",
+    # DateTime2 epoch converters (datetime_udf.cpp ToSeconds/FromSeconds
+    # family) — Spark spellings
+    ("datetime", "toseconds"): "unix_timestamp({0})",
+    ("datetime", "fromseconds"): "timestamp_seconds({0})",
+    ("datetime", "frommilliseconds"): "timestamp_millis({0})",
+    ("datetime", "todays"): "datediff({0}, DATE '1970-01-01')",
+    ("datetime", "fromdays"): "date_add(DATE '1970-01-01', {0})",
+    # Split/Make pairs: Split decomposes into a resource our lowering
+    # keeps opaque (identity), Make* re-assembles = a cast
+    ("datetime", "split"): "({0})",
+    ("datetime", "makedate"): "CAST({0} AS DATE)",
+    ("datetime", "makedatetime"): "CAST({0} AS TIMESTAMP)",
+    ("datetime", "maketimestamp"): "CAST({0} AS TIMESTAMP)",
+    ("datetime", "getdayofweek"): "weekday({0}) + 1",  # Mon=1 (ISO)
+    ("datetime", "getdayofyear"): "dayofyear({0})",
+    ("datetime", "getweekofyear"): "weekofyear({0})",
+    # Digest module: CityHash/FarmHash land on the engine's 64-bit hash
+    # (xxhash64) — same discipline as QL's farm_hash (COVERAGE.md);
+    # Crc32c is Spark's crc32 (polynomial differs from the reference's
+    # castagnoli — documented divergence, the shape/type match)
+    ("digest", "cityhash"): "xxhash64({0})",
+    ("digest", "farmhashfingerprint"): "xxhash64({0})",
+    ("digest", "crc32c"): "crc32({0})",
+    ("digest", "murmurhash"): "xxhash64({0})",
+    # Url module extras (url_base) — Spark-only
+    ("url", "decode"): "url_decode({0})",
+    ("url", "encode"): "url_encode({0})",
+    ("url", "getport"): "CAST(parse_url({0}, 'HOST') AS STRING)",
+    ("url", "getdomain"):
+        "array_join(slice(split(parse_url({0}, 'HOST'), '\\\\.'), "
+        "greatest(size(split(parse_url({0}, 'HOST'), '\\\\.')) - {1} + 1,"
+        " 1), {1}), '.')",
+    ("url", "cutwww"): "regexp_replace({0}, '^www\\\\.', '')",
+    # Yson module (yson2) — the engine's Any columns travel as JSON
+    # text (functions/ql.py Any getters), so Parse is identity and
+    # ConvertTo* are casts/JSON getters over that representation
+    ("yson", "parse"): "({0})",
+    ("yson", "parsejson"): "({0})",
+    ("yson", "converttostring"):
+        "coalesce(get_json_object({0}, '$'), CAST({0} AS STRING))",
+    ("yson", "converttoint64"): "CAST({0} AS BIGINT)",
+    ("yson", "converttodouble"): "CAST({0} AS DOUBLE)",
+    ("yson", "converttobool"): "CAST({0} AS BOOLEAN)",
+    # Pire/Hyperscan (regex acceleration modules) — semantics are grep
+    ("pire", "grep"): "regexp_like({1}, {0})",
+    ("pire", "match"): "regexp_like({1}, concat('^(?:', {0}, ')$'))",
+    ("hyperscan", "grep"): "regexp_like({1}, {0})",
+    ("hyperscan", "match"): "regexp_like({1}, concat('^(?:', {0}, ')$'))",
 }
 
-_CURRIED_MODULES = {"re2"}
+_STRPTIME_TO_SPARK = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%y": "yy", "%j": "DDD", "%b": "MMM", "%B": "MMMM",
+    "%a": "EEE", "%A": "EEEE", "%%": "%",
+}
+
+
+def _strptime_pattern(lit: str) -> str:
+    """'%Y-%m-%d' (DateTime::Format, strptime codes) -> 'yyyy-MM-dd'."""
+    q = lit.strip()
+    quote = q[0] if q[:1] in "'\"" else ""
+    if quote:
+        q = q[1:-1]
+    out = re.sub("%.", lambda m: _STRPTIME_TO_SPARK.get(m.group(0),
+                                                        m.group(0)), q)
+    return f"'{out}'"
+
+
+# DateTime::Format(fmt)(ts) / Parse(fmt)(s) are CURRIED like Re2
+_MODULE_FUNCS[("datetime", "format")] = (
+    lambda a: f"date_format({a[1]}, {_strptime_pattern(a[0])})"
+)
+_MODULE_FUNCS[("datetime", "parse")] = (
+    lambda a: f"to_timestamp({a[1]}, {_strptime_pattern(a[0])})"
+)
+
+_CURRIED_MODULES = {"re2", "pire", "hyperscan"}
+_CURRIED_FUNCS = {("datetime", "format"), ("datetime", "parse")}
 _MODULE_CALL = re.compile(r"\b([A-Za-z_]\w*)::([A-Za-z_]\w*)\s*\(")
 
 
@@ -395,7 +470,7 @@ def _rewrite_module_funcs(text: str) -> str:
     module, func = m.group(1).lower(), m.group(2).lower()
     open_idx = text.index("(", m.end() - 1)
     args, end = _split_call_args(text, open_idx)
-    if module in _CURRIED_MODULES:
+    if module in _CURRIED_MODULES or (module, func) in _CURRIED_FUNCS:
         rest = text[end:]
         m2 = re.match(r"\s*\(", rest)
         if m2:
@@ -407,7 +482,7 @@ def _rewrite_module_funcs(text: str) -> str:
         return text[:end] + _rewrite_module_funcs(text[end:])
     args = [_rewrite_module_funcs(a.strip()) for a in args]
     try:
-        replacement = spec.format(*args)
+        replacement = spec(args) if callable(spec) else spec.format(*args)
     except IndexError as e:
         raise ValueError(
             f"{m.group(1)}::{m.group(2)} expects more arguments: {e}"
@@ -415,6 +490,272 @@ def _rewrite_module_funcs(text: str) -> str:
     return (
         text[: m.start()] + replacement + _rewrite_module_funcs(text[end:])
     )
+
+
+# --- YQL core builtins (bare names, no Module:: prefix) -----------------------
+#
+# The SQLv1 builtin surface (yql/essentials/docs/en/builtins: list/dict
+# constructors and combinators, optional handling, MIN_OF/MAX_OF, FIND,
+# CurrentUtc*). Lowered onto Spark's collection/lambda builtins — the
+# array functions execute inside whole-stage codegen, so ListMap/
+# ListFilter over a 100-TB column never leave the JVM. Names not in this
+# table pass through untouched (they fail loudly at parse with the name
+# visible).
+
+
+def _yql_lambda_to_spark(txt: str) -> str:
+    """'($x) -> ($x + 1)' (YQL lambda literal) -> '__x -> (__x + 1)'
+    (Spark higher-order-function lambda). Already-converted Spark
+    lambdas (from the pre-substitution inline pass) pass through."""
+    txt = txt.strip()
+    if re.match(r"^(?:__\w+|\(\s*__\w+(?:\s*,\s*__\w+)*\s*\))\s*->", txt):
+        return txt
+    lm = _LAMBDA_RE.match(txt)
+    if lm is None:
+        raise YqlUnsupportedError(
+            f"expected a lambda literal argument, got {txt[:50]!r}"
+        )
+    params = re.findall(r"\$(\w+)", lm.group(1) or "")
+    body = (lm.group(2) or lm.group(3)).strip()
+    names = ["__x", "__y", "__z"][: len(params)]
+    if len(params) > 3:
+        raise YqlUnsupportedError("lambda arity > 3 in a list combinator")
+    for p, n in zip(params, names):
+        body = re.sub(rf"\${re.escape(p)}\b", n, body)
+    head = names[0] if len(names) == 1 else "(" + ", ".join(names) + ")"
+    return f"{head} -> ({body})"
+
+
+_INLINE_LAMBDA = re.compile(
+    r"\(\s*((?:\$\w+\s*,\s*)*\$\w+)\s*\)\s*->\s*"
+)
+
+
+def _convert_inline_lambdas(text: str) -> str:
+    """Convert INLINE lambda literals (higher-order-function arguments:
+    ``ListMap(l, ($x) -> ($x + 1))``) to Spark lambda syntax BEFORE
+    ``$ref`` substitution runs — the lambda's own parameters are not
+    named-expression references. Named lambda BINDINGS never reach this
+    pass (they're collected as statements)."""
+    m = _INLINE_LAMBDA.search(text)
+    if m is None:
+        return text
+    params = re.findall(r"\$(\w+)", m.group(1))
+    i = m.end()
+    if i < len(text) and text[i] == "(":
+        _a, end = _split_call_args(text, i)
+        body = text[i + 1: end - 1]
+    elif i < len(text) and text[i] == "{":
+        depth, j = 0, i
+        while j < len(text):
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        bm = re.match(r"(?is)\s*return\s+(.+?);?\s*$", text[i + 1: j])
+        if bm is None:
+            raise YqlUnsupportedError(
+                "inline lambda brace body must be { RETURN expr; }"
+            )
+        body, end = bm.group(1), j + 1
+    else:
+        # unparenthesized body — leave for the named-lambda machinery
+        return text[: m.end()] + _convert_inline_lambdas(text[m.end():])
+    names = ["__x", "__y", "__z"][: len(params)]
+    if len(params) > 3:
+        raise YqlUnsupportedError("lambda arity > 3 in a list combinator")
+    for p, n in zip(params, names):
+        body = re.sub(rf"\${re.escape(p)}\b", n, body)
+    body = _convert_inline_lambdas(body)
+    head = names[0] if len(names) == 1 else "(" + ", ".join(names) + ")"
+    return (text[: m.start()] + f"{head} -> ({body})"
+            + _convert_inline_lambdas(text[end:]))
+
+
+def _find_spec(a: list[str]) -> str:
+    # YQL FIND is 0-based, NULL when absent (string_udf.cpp Find)
+    if len(a) >= 3:
+        return f"(nullif(locate({a[1]}, {a[0]}, {a[2]} + 1), 0) - 1)"
+    return f"(nullif(instr({a[0]}, {a[1]}), 0) - 1)"
+
+
+_BUILTIN_FUNCS: dict[str, object] = {
+    # constructors
+    "aslist": lambda a: "array(" + ", ".join(a) + ")",
+    "astuple": lambda a: "named_struct(" + ", ".join(
+        f"'_{i}', {x}" for i, x in enumerate(a)) + ")",
+    "asdict": lambda a: "map_from_entries(array(" + ", ".join(a) + "))",
+    "asset": lambda a: "array_distinct(array(" + ", ".join(a) + "))",
+    # dicts
+    "dictkeys": "map_keys({0})",
+    "dictpayloads": "map_values({0})",
+    "dictcontains": "map_contains_key({0}, {1})",
+    "dictlookup": "element_at({0}, {1})",
+    "dictlength": "size({0})",
+    # lists
+    "listlength": "size({0})",
+    "listhas": "array_contains({0}, {1})",
+    "listsort": "array_sort({0})",
+    "listsortasc": "array_sort({0})",
+    "listsortdesc": "sort_array({0}, false)",
+    "listreverse": "reverse({0})",
+    "listuniq": "array_distinct({0})",
+    "listconcat": "array_join({0}, {1})",
+    "listextend": lambda a: "concat(" + ", ".join(a) + ")",
+    "listmin": "array_min({0})",
+    "listmax": "array_max({0})",
+    "listsum": "aggregate({0}, 0L, (__a, __x) -> __a + __x)",
+    "listavg": "(aggregate({0}, CAST(0 AS DOUBLE), (__a, __x) -> "
+               "__a + __x) / size({0}))",
+    "listhead": "element_at({0}, 1)",
+    "listlast": "element_at({0}, -1)",
+    "listskip": "slice({0}, {1} + 1, greatest(size({0}) - ({1}), 0))",
+    "listtake": "slice({0}, 1, {1})",
+    "listindexof": "(nullif(array_position({0}, {1}), 0) - 1)",
+    "listmap": lambda a:
+        f"transform({a[0]}, {_yql_lambda_to_spark(a[1])})",
+    "listfilter": lambda a:
+        f"filter({a[0]}, {_yql_lambda_to_spark(a[1])})",
+    "listenumerate": "transform({0}, (__x, __i) -> "
+                     "named_struct('_0', CAST(__i AS BIGINT), '_1', __x))",
+    "listzip": "zip_with({0}, {1}, (__x, __y) -> "
+               "named_struct('_0', __x, '_1', __y))",
+    "listfromrange": lambda a: (
+        f"sequence({a[0]}, ({a[1]}) - 1)" if len(a) == 2
+        else f"sequence({a[0]}, ({a[1]}) - 1, {a[2]})"),
+    # optionals: Spark columns are nullable already — Just/Unwrap are
+    # representation changes with no Spark analog (Unwrap's throw-on-NULL
+    # is relaxed to pass-through; Ensure keeps the loud path)
+    "just": "({0})",
+    "unwrap": lambda a: f"({a[0]})",
+    "nothing": lambda a: "NULL",
+    "ensure": "if({1}, {0}, raise_error(CAST({2} AS STRING)))",
+    "likely": "({0})",
+    # scalars
+    "min_of": lambda a: "least(" + ", ".join(a) + ")",
+    "max_of": lambda a: "greatest(" + ", ".join(a) + ")",
+    "find": _find_spec,
+    "rfind": "(length({0}) - nullif(instr(reverse({0}), reverse({1})), 0)"
+             " - length({1}) + 1)",
+    "byteat": "ascii(substring({0}, {1} + 1, 1))",
+    "currentutcdate": lambda a: "current_date()",
+    "currentutcdatetime": lambda a: "current_timestamp()",
+    "currentutctimestamp": lambda a: "current_timestamp()",
+    # YQL Random*(dependency args) — per-row doubles; Spark's rand()
+    "random": lambda a: "rand()",
+    "randomnumber": lambda a:
+        "CAST(rand() * 9223372036854775807 AS BIGINT)",
+}
+
+_BUILTIN_CALL = re.compile(r"(?<![\w.:$])([A-Za-z_]\w+)\s*\(")
+
+
+def _rewrite_builtin_funcs(text: str) -> str:
+    m = _BUILTIN_CALL.search(text)
+    while m is not None and m.group(1).lower() not in _BUILTIN_FUNCS:
+        m = _BUILTIN_CALL.search(text, m.end())
+    if m is None:
+        return text
+    open_idx = text.index("(", m.end() - 1)
+    args, end = _split_call_args(text, open_idx)
+    args = [_rewrite_builtin_funcs(a.strip()) for a in args if a.strip()]
+    spec = _BUILTIN_FUNCS[m.group(1).lower()]
+    try:
+        rep = spec(args) if callable(spec) else spec.format(*args)
+    except IndexError as e:
+        raise ValueError(
+            f"{m.group(1)} expects more arguments: {e}"
+        ) from None
+    return text[: m.start()] + rep + _rewrite_builtin_funcs(text[end:])
+
+
+def _rewrite_nullcoalesce(text: str) -> str:
+    """YQL's ``a ?? b`` -> ``coalesce(a, b)``. Operands are the nearest
+    simple terms (identifier/call/literal/paren group) — the operator's
+    tight binding; chains left-fold through iteration."""
+    while True:
+        dm = _depth_map(text)
+        pos = -1
+        i = 0
+        while True:
+            i = text.find("??", i)
+            if i < 0:
+                break
+            if dm[i] != -1:
+                pos = i
+                break
+            i += 2
+        if pos < 0:
+            return text
+        # left operand: scan back over one term
+        j = pos
+        while j > 0 and text[j - 1] in " \t\n":
+            j -= 1
+        if j > 0 and text[j - 1] == ")":
+            depth, k = 0, j - 1
+            while k >= 0:
+                if text[k] == ")":
+                    depth += 1
+                elif text[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            start = k
+            while start > 0 and (text[start - 1].isalnum()
+                                 or text[start - 1] in "_:."):
+                start -= 1
+        elif j > 0 and text[j - 1] == "'":
+            start = text.rindex("'", 0, j - 1)
+        else:
+            start = j
+            while start > 0 and (text[start - 1].isalnum()
+                                 or text[start - 1] in "_.$"):
+                start -= 1
+        left = text[start:j].strip()
+        # right operand: one term forward
+        r = pos + 2
+        while r < len(text) and text[r] in " \t\n":
+            r += 1
+        if r < len(text) and text[r] == "(":
+            _a, rend = _split_call_args(text, r)
+        elif r < len(text) and text[r] == "'":
+            rend = text.index("'", r + 1) + 1
+        elif r < len(text) and text[r] == "-":
+            rend = r + 1
+            while rend < len(text) and (text[rend].isalnum()
+                                        or text[rend] in "_.$"):
+                rend += 1
+        else:
+            rend = r
+            while rend < len(text) and (text[rend].isalnum()
+                                        or text[rend] in "_.$"):
+                rend += 1
+            if rend < len(text) and rend > r:
+                m2 = re.match(r"\s*\(", text[rend:])
+                if m2:  # identifier followed by a call-argument list
+                    _a, rend = _split_call_args(
+                        text, rend + m2.end() - 1)
+        right = text[r:rend].strip()
+        if not left or not right:
+            raise ValueError(f"cannot parse ?? operands near: "
+                             f"{text[max(0, pos - 30): pos + 30]!r}")
+        text = (text[:start] + f"coalesce({left}, {right})"
+                + text[rend:])
+
+
+# YQL type names inside CAST(... AS <t>) — engine-portable spellings.
+# Unsigned types land on the next-wider signed type (Uint64 -> BIGINT is
+# the documented boundary divergence, yt_types.py).
+_YQL_CAST_TYPES = {
+    "uint8": "SMALLINT", "uint16": "INT", "uint32": "BIGINT",
+    "uint64": "BIGINT", "int8": "TINYINT", "int16": "SMALLINT",
+    "int32": "INT", "int64": "BIGINT", "utf8": "STRING",
+    "bool": "BOOLEAN", "yson": "STRING", "json": "STRING",
+}
 
 
 # YQL surface forms with no portable-SQL spelling, rewritten textually.
@@ -473,6 +814,20 @@ _REWRITES: list[tuple[re.Pattern, object]] = [
      r"TABLESAMPLE (\1 PERCENT)"),
     # SOME(x) — YQL's arbitrary-value aggregate (aggregation.md)
     (re.compile(r"\bsome\s*\(", re.I), "any_value("),
+    # BITCAST(x AS T): reinterpreting cast — lowered to CAST (the
+    # in-range values agree; out-of-range wraps are a documented
+    # divergence, same boundary as Uint64)
+    (re.compile(r"\bbitcast\s*\(", re.I), "CAST("),
+    # YQL type names in CAST targets (with optional trailing '?')
+    (re.compile(
+        r"(?i)\b(as\s+)(uint8|uint16|uint32|uint64|int8|int16|int32|"
+        r"int64|utf8|bool|yson|json)\b\s*\??"),
+     lambda m: m.group(1) + _YQL_CAST_TYPES[m.group(2).lower()]),
+    # tuple member access is positional in YQL — t.0 / t.1
+    # (AsTuple lowers to named_struct with _0.._n fields)
+    (re.compile(r"\b([A-Za-z_]\w*)\.(\d+)\b"), r"\1._\2"),
+    (re.compile(r"\)\.(\d+)\b"), r")._\1"),  # AsTuple(...).0
+    (re.compile(r"\]\.(\d+)\b"), r"]._\1"),  # list_of_tuples[i].0
 ]
 
 
@@ -674,6 +1029,8 @@ def _rewrite_yqlisms(text: str) -> str:
     for pat, repl in _REWRITES:
         text = pat.sub(repl, text)
     text = _rewrite_module_funcs(text)
+    text = _rewrite_builtin_funcs(text)
+    text = _rewrite_nullcoalesce(text)
     text = _rewrite_hop(text)
     text = _rewrite_substring(text)
     text = _rewrite_real_literals(text)
@@ -1153,7 +1510,13 @@ def _rewrite_flatten_by(text: str) -> str:
             return (f"filter(array({expr}), __fb_x -> "
                     f"__fb_x is not null)")
         if mode == "dict":
-            return f"map_entries({expr})"
+            # entries carry BOTH namings: Spark-idiomatic key/value and
+            # YQL's positional tuple fields (kv.0/kv.1 -> kv._0/kv._1
+            # via the tuple-access rewrite); unused fields prune out
+            return (f"transform(map_entries({expr}), __fb_e -> "
+                    f"named_struct('key', __fb_e.key, "
+                    f"'value', __fb_e.value, '_0', __fb_e.key, "
+                    f"'_1', __fb_e.value))")
         return expr
 
     # no-alias bare columns are REPLACED: rename them out of the source
@@ -1628,7 +1991,10 @@ def translate_yql_script(
             visible_ctes.append(len(resolved))
             continue
         pre = _subst_backticks(
-            _subst_refs(_expand_lambdas(body, lambdas), defined, values)
+            _subst_refs(
+                _convert_inline_lambdas(_expand_lambdas(body, lambdas)),
+                defined, values,
+            )
         )
         if kind == "subquery":
             # CTE bodies are emitted verbatim into the final WITH chain,
@@ -1662,7 +2028,9 @@ def translate_yql_script(
             _rewrite_yqlisms(
                 _subst_backticks(
                     _subst_refs(
-                        _expand_lambdas(body, lambdas),
+                        _convert_inline_lambdas(
+                            _expand_lambdas(body, lambdas)
+                        ),
                         {n for n, _ in visible},
                         vis_values,
                     )
