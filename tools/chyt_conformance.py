@@ -1,7 +1,8 @@
 """CHYT conformance sweep: run query sequences harvested VERBATIM from
 the reference's CHYT server test-suite (yt/chyt/tests/server/
 test_common.py, test_join_and_in.py, test_mutations.py, test_prewhere.py,
-test_sql_udf.py, test_yt_dictionaries.py, test_table_functions.py)
+test_sql_udf.py, test_yt_dictionaries.py, test_table_functions.py,
+test_yson_functions.py)
 through chyt_execute and compare against the EXPECTED VALUES pinned in
 those tests — the same artifact treatment YQL_CONFORMANCE.json gives the
 YQL surface, but reference-pinned instead of DuckDB-checked (the CHYT
@@ -808,6 +809,111 @@ CASES = [
              ["c", "Nullable(Float64)"]],
         )],
     ),
+    # --- test_yson_functions.py: the YPath* family over Any columns ---------
+    dict(
+        id="yson/ypath_strict_vs_nonstrict",
+        ref="yt/chyt/tests/server/test_yson_functions.py:86,110",
+        tables={"//tmp/t": (
+            "i bigint, v string",
+            [(0, "{i64=-42;subnode={i64=123}}"),
+             (1, "{i64=xyz}"),       # wrong type
+             (3, "{}"),              # key missing
+             (4, "{i64=57}")],
+        )},
+        steps=[
+            ("select YPathInt64Strict(v, '/i64') from \"//tmp/t\" "
+             "where i = 0", [[-42]]),
+            ("select YPathInt64Strict(v, '/i64') from \"//tmp/t\" "
+             "where i = 1", E),
+            ("select YPathInt64Strict(v, '/i64') from \"//tmp/t\" "
+             "where i = 3", E),
+            ("select YPathUInt64Strict(v, '/i64') from \"//tmp/t\" "
+             "where i = 4", [[57]]),
+            ("select YPathUInt64Strict(v, '/subnode/i64') from "
+             "\"//tmp/t\" where i = 0", [[123]]),
+            # non-strict: NULL on mismatch/missing
+            ("select YPathInt64(v, '/i64') as r from \"//tmp/t\" "
+             "order by i", [[-42], [None], [None], [57]]),
+        ],
+    ),
+    dict(
+        id="yson/ypath_all_types",
+        ref="yt/chyt/tests/server/test_yson_functions.py:123,148",
+        tables={"//tmp/t": (
+            "i bigint, v string",
+            [(0, "{i64=-42;ui64=23u;bool=%true;dbl=3.14;str=xyz;"
+                 "arr_i64=[-1;0;1];arr_ui64=[1u;1u;2u;3u;5u];"
+                 "arr_dbl=[-1.1;2.71];arr_bool=[%false;%true;%false]}"),
+             (3, "{}")],
+        )},
+        steps=[
+            ("select YPathInt64Strict(v, '/i64') as i64, "
+             "YPathUInt64Strict(v, '/ui64') as ui64, "
+             "YPathDoubleStrict(v, '/dbl') as dbl, "
+             "YPathBooleanStrict(v, '/bool') as bool, "
+             "YPathStringStrict(v, '/str') as str, "
+             "YPathArrayInt64Strict(v, '/arr_i64') as arr_i64, "
+             "YPathArrayUInt64Strict(v, '/arr_ui64') as arr_ui64, "
+             "YPathArrayDoubleStrict(v, '/arr_dbl') as arr_dbl, "
+             "YPathArrayBooleanStrict(v, '/arr_bool') as arr_bool "
+             "from \"//tmp/t\" where i = 0",
+             [[-42, 23, 3.14, True, "xyz", [-1, 0, 1], [1, 1, 2, 3, 5],
+               [-1.1, 2.71], [False, True, False]]]),
+            # non-strict over the empty map: NULL scalars, EMPTY arrays
+            ("select YPathInt64(v, '/i64') as i64, "
+             "YPathUInt64(v, '/ui64') as ui64, "
+             "YPathDouble(v, '/dbl') as dbl, "
+             "YPathBoolean(v, '/bool') as bool, "
+             "YPathString(v, '/str') as str, "
+             "YPathArrayInt64(v, '/arr_i64') as arr_i64, "
+             "YPathArrayUInt64(v, '/arr_ui64') as arr_ui64, "
+             "YPathArrayDouble(v, '/arr_dbl') as arr_dbl, "
+             "YPathArrayBoolean(v, '/arr_bool') as arr_bool "
+             "from \"//tmp/t\" where i = 3",
+             [[None, None, None, None, None, [], [], [], []]]),
+        ],
+    ),
+    dict(
+        id="yson/ypath_const_and_nulls",
+        ref="yt/chyt/tests/server/test_yson_functions.py:173,182,188",
+        tables={"//tmp/t": (
+            "i bigint, v string, key string",
+            [(0, "{arr_i64=[-1;0;1]}", "/arr_i64/0"),
+             (1, "{i64=xyz}", "/i64"),
+             (5, None, "/unknown"),
+             (6, "{x=10}", "/x/y/z")],
+        )},
+        steps=[
+            ("select YPathString('{a=[1;2;{b=xyz}]}', '/a/2/b') as str",
+             [["xyz"]]),
+            ("select YPathArrayInt64Strict('[[6];[7];[8]]', '')", E),
+            ("select YPathArrayInt64('[[6];[7];[8]]', '') as value",
+             [[[]]]),
+            ("select YPathString(NULL, NULL) as a, "
+             "YPathString(NULL, '/x') as b, YPathString('{a=1}', NULL) "
+             "as c", [[None, None, None]]),
+            # per-row path argument (the key COLUMN addresses each row)
+            ("select YPathInt64(v, key) as r from \"//tmp/t\" order by i",
+             [[-1], [None], [None], [None]]),
+        ],
+    ),
+    dict(
+        id="yson/ypath_extract_typed",
+        ref="yt/chyt/tests/server/test_yson_functions.py:234,249",
+        tables={"//tmp/s1": (
+            "a string", [("{a=[[1;2;3];[4;5];[6;7;8;9]]}",)],
+        )},
+        steps=[
+            ("select YPathExtract(a, '/a/1/1', 'UInt64') as i "
+             "from \"//tmp/s1\"", [[5]]),
+            ("select YPathExtract(a, '/a/2', 'Array(UInt64)') as i "
+             "from \"//tmp/s1\"", [[[6, 7, 8, 9]]]),
+            ("select YPathExtract(a, '/a', 'Array(Array(UInt64))') as i "
+             "from \"//tmp/s1\"", [[[[1, 2, 3], [4, 5], [6, 7, 8, 9]]]]),
+            ("select YPathRaw('[foo; bar]', '', 'text') as a",
+             [['["foo";"bar";]']]),
+        ],
+    ),
 ]
 
 
@@ -932,6 +1038,7 @@ def main() -> int:
                 "test_common.py", "test_join_and_in.py", "test_mutations.py",
                 "test_prewhere.py", "test_sql_udf.py",
                 "test_yt_dictionaries.py", "test_table_functions.py",
+                "test_yson_functions.py",
             ],
             "n_cases": len(results),
             "counts": counts,
