@@ -1200,3 +1200,46 @@ def test_yql_ensure_raises(spark):
             spark, "select Ensure(-5, -5 > 0, 'neg value') as r;",
             star=False,
         ).collect()
+
+
+def test_union_all_by_name(spark):
+    """YQL UNION ALL matches branch columns BY NAME (select.cpp:2833
+    UnionAll vs UnionAllPositional): swapped orders re-align, missing
+    columns widen to NULL; PRAGMA PositionalUnionAll restores ANSI
+    positional behavior; already-aligned branches pass through."""
+    from ytsaurus_spark.yql import yql_select
+
+    rows = yql_select(
+        spark,
+        "select 1 as a, 'x' as b "
+        "union all select 'y' as b, 2 as a order by a;",
+        star=False,
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y")]
+
+    # missing column -> NULL widening
+    rows = yql_select(
+        spark,
+        "select 1 as a, 'x' as b union all select 2 as a order by a;",
+        star=False,
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, None)]
+
+    # positional pragma restores ANSI semantics
+    rows = yql_select(
+        spark,
+        "pragma PositionalUnionAll;"
+        "select 1 as a, 2 as b union all select 3 as b, 4 as a;",
+        star=False, pragmas=False,
+    ).collect()
+    assert sorted((r.a, r.b) for r in rows) == [(1, 2), (3, 4)]
+
+    # three branches, first-occurrence column order, in a CTE
+    rows = yql_select(
+        spark,
+        "$u = (select 1 as a union all select 'z' as c "
+        "union all select 2 as a);"
+        "select count(*) as n, count(c) as nc from $u;",
+        star=False,
+    ).collect()
+    assert (rows[0].n, rows[0].nc) == (3, 1)

@@ -1735,6 +1735,85 @@ def _strip_alias(item: str) -> str:
     return s
 
 
+# --- UNION ALL by name (select.cpp:2833-2852) ---------------------------------
+#
+# YQL's default UNION ALL matches branch columns BY NAME (UnionAll vs
+# UnionAllPositional; PRAGMA PositionalUnionAll opts into the ANSI
+# positional form). Spark/ANSI are positional, so branches whose select
+# lists expose DIFFERENT names or orders are re-projected onto the
+# first-occurrence union of the names, missing columns as NULL — the
+# reference's widening semantics. Branches whose names already align are
+# left untouched (positional == by-name there); select lists the
+# translator cannot name statically (*, expressions without aliases)
+# also pass through positionally — a conservative, never-mangle scope.
+
+
+def _select_item_names(stmt: str) -> list[str] | None:
+    m = re.match(r"(?is)\s*select\s+(distinct\s+)?", stmt)
+    if m is None:
+        return None
+    rest = stmt[m.end():]
+    dm = _depth_map(rest)
+    fm = next((x for x in re.finditer(r"(?is)\bfrom\b", rest)
+               if dm[x.start()] == 0), None)
+    items_txt = rest[: fm.start()] if fm else rest
+    names: list[str] = []
+    for item in _split_top_commas(items_txt):
+        item = item.strip()
+        if not item or item == "*" or item.endswith(".*"):
+            return None
+        am = _ITEM_AS_ALIAS.match(item)
+        if am:
+            names.append(am.group(2))
+            continue
+        if re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", item):
+            names.append(item.rsplit(".", 1)[-1])
+            continue
+        return None
+    return names
+
+
+def _rewrite_union_by_name(sql: str) -> str:
+    dm = _depth_map(sql)
+    cuts = [m for m in re.finditer(r"(?is)\bunion\s+all\b", sql)
+            if dm[m.start()] == 0]
+    if not cuts:
+        return sql
+    parts, last = [], 0
+    for m in cuts:
+        parts.append(sql[last: m.start()])
+        last = m.end()
+    parts.append(sql[last:])
+    # a trailing top-level ORDER BY / LIMIT binds to the whole union —
+    # keep it outside the branch wrap
+    tail = ""
+    last_part = parts[-1]
+    ldm = _depth_map(last_part)
+    tm = next((x for x in re.finditer(r"(?is)\b(order\s+by|limit)\b",
+                                      last_part)
+               if ldm[x.start()] == 0), None)
+    if tm is not None:
+        tail = " " + last_part[tm.start():].strip()
+        parts[-1] = last_part[: tm.start()]
+    names = [_select_item_names(p) for p in parts]
+    if any(n is None for n in names):
+        return sql
+    if all(n == names[0] for n in names[1:]):
+        return sql  # aligned: positional == by-name
+    canon: list[str] = []
+    for n in names:
+        for c in n:
+            if c not in canon:
+                canon.append(c)
+    out = []
+    for i, (p, n) in enumerate(zip(parts, names)):
+        proj = ", ".join(
+            c if c in n else f"NULL AS {c}" for c in canon
+        )
+        out.append(f"SELECT {proj} FROM ({p.strip()}) __ubn{i}")
+    return " UNION ALL ".join(out) + tail
+
+
 def _ansi_rollup_union(sql: str) -> str:
     """ANSI GROUP BY ROLLUP over an EMPTY selection emits the grand-total
     row (SQL:2003 7.9 — the () grouping set aggregates the empty table to
@@ -1978,6 +2057,9 @@ def translate_yql_script(
     if not finals:
         raise ValueError("YQL script has no result statement")
 
+    positional_union = any(
+        k.lower() == "positionalunionall" for k in pragmas
+    )
     defined: set[str] = set()
     values: dict[str, str] = {}
     lambdas: dict[str, tuple[list[str], str]] = {}
@@ -1999,7 +2081,10 @@ def translate_yql_script(
         if kind == "subquery":
             # CTE bodies are emitted verbatim into the final WITH chain,
             # so they get their single _rewrite_yqlisms pass HERE
-            resolved.append((name, _rewrite_yqlisms(pre)))
+            body_t = _rewrite_yqlisms(pre)
+            if not positional_union:
+                body_t = _rewrite_union_by_name(body_t)
+            resolved.append((name, body_t))
             defined.add(name)
         else:
             # value bindings are INLINED into later statements that are
@@ -2037,6 +2122,8 @@ def translate_yql_script(
                 )
             )
         )
+        if not positional_union:
+            final_t = _rewrite_union_by_name(final_t)
         out.append(
             TranslatedQuery(
                 sql=assemble_with(visible, final_t),
@@ -2122,6 +2209,11 @@ PRAGMA_CONF_MAP: dict[str, tuple[str | None, object]] = {
     "ansiinforemptyornullableitemscollections": (
         None, "Spark IN over empty/nullable collections is already ANSI"),
     "ansioptionalas": (None, "Spark column aliases never require AS"),
+    "positionalunionall": (
+        None, "handled at translation: disables the by-name UNION ALL "
+              "branch alignment (sql_query.cpp:3170)"),
+    "orderedcolumns": (
+        None, "Spark result column order always follows the select list"),
     "ansirankfornullablekeys": (None, "Spark RANK treats NULL keys ANSI"),
     "compactgroupby": (None, "Catalyst prunes non-aggregated columns"),
     "emitunionmerge": (None, "UNION ALL is already a merge in Spark"),
