@@ -1243,3 +1243,40 @@ def test_union_all_by_name(spark):
         star=False,
     ).collect()
     assert (rows[0].n, rows[0].nc) == (3, 1)
+
+
+def test_yql_script_statements(spark, tmp_path, sf_dir):
+    """COMMIT (accepted write barrier), DROP TABLE [IF EXISTS], and
+    INSERT INTO t (column list) — SQLv1 script statements."""
+    import pytest as _pytest
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    df = yql_execute(
+        spark,
+        "INSERT INTO `//out/t` select 1 as a, 'x' as b;\n"
+        "COMMIT;\n"
+        "INSERT INTO `//out/t` (b, a) select 'y' as b2, 2 as a2;\n"
+        "select a, b from `//out/t` order by a;",
+        client=client,
+    )
+    assert [(r.a, r.b) for r in df.collect()] == [(1, "x"), (2, "y")]
+
+    # column list narrower than the target: missing columns -> NULL
+    df = yql_execute(
+        spark,
+        "INSERT INTO `//out/t` (a) select 3 as v;\n"
+        "select a, b from `//out/t` order by a;",
+        client=client,
+    )
+    assert [(r.a, r.b) for r in df.collect()] == [
+        (1, "x"), (2, "y"), (3, None)]
+
+    # DROP TABLE: strict raises on a missing table, IF EXISTS does not
+    yql_execute(spark, "DROP TABLE `//out/t`;", client=client)
+    assert not client.exists("//out/t")
+    with _pytest.raises(ValueError, match="no such table"):
+        yql_execute(spark, "DROP TABLE `//out/t`;", client=client)
+    yql_execute(spark, "DROP TABLE IF EXISTS `//out/t`;", client=client)

@@ -169,6 +169,15 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
 
     last = None
     for stmt in parts:
+        if stmt.kind == "drop":
+            if client is None:
+                raise ValueError("DROP TABLE needs a client")
+            if exec_client.exists(stmt.target):
+                exec_client.remove(stmt.target, recursive=True)
+            elif stmt.truncate:  # strict form (no IF EXISTS)
+                raise ValueError(f"DROP TABLE: no such table {stmt.target}")
+            last = None
+            continue
         register_client_paths(stmt)
         df = s2.sql(stmt.sql)
         if stmt.kind == "select":
@@ -182,6 +191,25 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
             raise ValueError(
                 f"{stmt.kind.upper()} INTO needs a client to write through"
             )
+        if stmt.columns:
+            # INSERT INTO t (cols): the select maps positionally onto
+            # the named columns; the target's other columns become NULL
+            if len(df.columns) != len(stmt.columns):
+                raise ValueError(
+                    f"INSERT column list names {len(stmt.columns)} "
+                    f"column(s), the select produces {len(df.columns)}"
+                )
+            df = df.toDF(*stmt.columns)
+            if exec_client.exists(stmt.target):
+                from pyspark.sql import functions as F
+
+                tgt = exec_client.read_table(stmt.target).schema
+                have = {c.lower() for c in stmt.columns}
+                df = df.select(*(
+                    df[f.name] if f.name.lower() in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in tgt.fields
+                ))
         if stmt.kind == "upsert":
             from ytsaurus_spark.sources.formats import table_attributes
 

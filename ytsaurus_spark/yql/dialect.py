@@ -73,6 +73,7 @@ class TranslatedQuery:
     target: str | None = None
     truncate: bool = False
     paths: tuple[str, ...] = ()
+    columns: tuple[str, ...] | None = None  # INSERT INTO t (cols)
 
 
 def strip_comments(text: str) -> str:
@@ -2030,6 +2031,15 @@ def translate_yql_script(
                 )
             bindings.append((name, literal, "value"))
             continue
+        if re.match(r"(?is)^\s*commit\s*$", stmt):
+            # explicit write barrier: yql_execute already runs statements
+            # sequentially with per-statement view refresh, so the
+            # barrier is implicit — the statement is an accepted no-op
+            continue
+        dm0 = _DROP_RE.match(stmt)
+        if dm0:
+            finals.append((stmt, len(bindings)))
+            continue
         if stmt.startswith("$"):
             m = _NAMED_RE.match(stmt)
             if not m:
@@ -2095,6 +2105,19 @@ def translate_yql_script(
 
     out = []
     for final, n_visible in finals:
+        dm0 = _DROP_RE.match(final)
+        if dm0:
+            out.append(
+                TranslatedQuery(
+                    sql="select 1 as dropped",  # never executed
+                    pragmas=pragmas,
+                    kind="drop",
+                    target=dm0.group(2).strip("`"),
+                    truncate=not bool(dm0.group(1)),  # False = IF EXISTS
+                    paths=script_paths,
+                )
+            )
+            continue
         visible = resolved[: visible_ctes[n_visible - 1]] if n_visible else []
         vis_values = {
             name: values[name]
@@ -2102,7 +2125,7 @@ def translate_yql_script(
             if k == "value"
         }
         final = _lower_process_reduce(final, lambdas)
-        kind, target, truncate, body = _split_write_head(final)
+        kind, target, truncate, columns, body = _split_write_head(final)
         dm = re.match(r"(?is)^\s*discard\s+", body)
         if dm:
             # DISCARD SELECT ... (SQLv1): compute for validation/side
@@ -2133,6 +2156,7 @@ def translate_yql_script(
                 target=target,
                 truncate=truncate,
                 paths=script_paths,
+                columns=columns,
             )
         )
     return out
@@ -2141,7 +2165,12 @@ def translate_yql_script(
 _PATH_RE = re.compile(r"`(//[^`]+)`")
 _WRITE_RE = re.compile(
     r"^\s*(insert|replace|upsert)\s+into\s+(`//[^`]+`|[A-Za-z_][\w.]*)"
-    r"(\s+with\s+truncate)?\s*",
+    r"(\s+with\s+truncate)?\s*(\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\))?\s*"
+    r"(?=select|with|\()",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    r"^\s*drop\s+table\s+(if\s+exists\s+)?(`//[^`]+`|[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
 )
 
@@ -2153,11 +2182,16 @@ def _split_write_head(stmt: str) -> tuple[str, str | None, bool, str]:
     (kind, target_path, truncate, remaining SELECT body)."""
     m = _WRITE_RE.match(stmt)
     if not m:
-        return "select", None, False, stmt
+        return "select", None, False, None, stmt
     kind = m.group(1).lower()
     target = m.group(2).strip("`")
     truncate = bool(m.group(3)) or kind == "replace"
-    return kind, target, truncate, stmt[m.end():]
+    columns = None
+    if m.group(4):
+        columns = tuple(
+            c.strip() for c in m.group(4).strip()[1:-1].split(",")
+        )
+    return kind, target, truncate, columns, stmt[m.end():]
 
 
 def translate_yql(text: str, params: dict | None = None) -> TranslatedQuery:
