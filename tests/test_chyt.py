@@ -559,3 +559,58 @@ def test_tuple_positional_access(spark, tmp_path):
         client=client,
     ).first()
     assert (r.s, float(r.x)) == ("foo", 1.5)
+
+
+def test_dynamic_timestamp_read(spark, tmp_path):
+    """<timestamp=N>//path rich-YPath prefix — CHYT's MVCC read of a
+    dynamic table as of a timestamp (test_dynamic_tables.py:344)."""
+    import time
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.chyt import chyt_query
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    client.create("table", "//tmp/dtts", attributes={
+        "dynamic": True,
+        "schema": [{"name": "key", "type": "int64",
+                    "sort_order": "ascending"},
+                   {"name": "value", "type": "string"}],
+    })
+    client.insert_rows(
+        "//tmp/dtts",
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "key bigint, value string"),
+    )
+    ts = time.time()
+    time.sleep(0.01)
+    client.insert_rows(
+        "//tmp/dtts",
+        spark.createDataFrame([(2, "B2"), (3, "c")],
+                              "key bigint, value string"),
+    )
+    rows = chyt_query(
+        spark, f'select * from `<timestamp={ts}>//tmp/dtts` order by key',
+        client=client,
+    ).collect()
+    assert [(r.key, r.value) for r in rows] == [(1, "a"), (2, "b")]
+    rows = chyt_query(
+        spark, 'select * from `//tmp/dtts` order by key', client=client,
+    ).collect()
+    assert [(r.key, r.value) for r in rows] == [
+        (1, "a"), (2, "B2"), (3, "c")]
+
+
+def test_append_attribute_prefix(spark, tmp_path):
+    """<append=%true>//path — the reference's standard append spelling
+    for write_table."""
+    from ytsaurus_spark.client import YtClient
+
+    client = YtClient(root=str(tmp_path), spark=spark)
+    client.write_table(
+        "//tmp/ap", spark.createDataFrame([(1,)], "a bigint"))
+    client.write_table(
+        "<append=%true>//tmp/ap", spark.createDataFrame([(2,)], "a bigint"))
+    assert client.read_table("//tmp/ap").count() == 2
+    client.write_table(
+        "<append=%false>//tmp/ap", spark.createDataFrame([(9,)], "a bigint"))
+    assert [r.a for r in client.read_table("//tmp/ap").collect()] == [9]

@@ -186,9 +186,12 @@ _CH_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
 # cypress table refs: "//path" anywhere; `//path` (CH backtick idents);
 # '//path' only directly after FROM/JOIN (elsewhere a string literal).
 # Rich-YPath suffixes ([#1:#5], {cols}) ride along inside the quotes.
-_PATH_REF = re.compile(r'"(//[^"]+)"')
-_PATH_REF_BT = re.compile(r"`(//[^`]+)`")
-_PATH_REF_SQ = re.compile(r"(?i)\b(from|join)\s+'(//[^']+)'")
+# paths may carry a rich-YPath ATTRIBUTE PREFIX (<timestamp=N>//path,
+# test_dynamic_tables.py:344) — kept with the ref; client.read_table
+# parses it
+_PATH_REF = re.compile(r'"((?:<[^<>"]*>)?//[^"]+)"')
+_PATH_REF_BT = re.compile(r"`((?:<[^<>`]*>)?//[^`]+)`")
+_PATH_REF_SQ = re.compile(r"(?i)\b(from|join)\s+'((?:<[^<>']*>)?//[^']+)'")
 _CONCAT_FN = re.compile(
     r"(?i)\bconcatYtTables(Range|Regexp)?\s*\(", re.IGNORECASE
 )
@@ -2038,7 +2041,7 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None,
             if p in seen:
                 continue
             seen.add(p)
-            plain = p.split("[")[0].split("{")[0]
+            plain = re.sub(r"^<[^>]*>", "", p).split("[")[0].split("{")[0]
             if not exec_client.exists(plain):
                 continue
             df = exec_client.read_table(p)

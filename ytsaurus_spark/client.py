@@ -59,6 +59,36 @@ class YtClient:
         return os.path.join(self.root, rel)
 
     @staticmethod
+    def _split_attrs(ypath: str) -> tuple[dict, str]:
+        """Parse a rich-YPath ATTRIBUTE PREFIX: ``<k=v;k2=v2>//path`` ->
+        ({k: v}, '//path'). Scalar values decode (%true/%false, ints,
+        floats); absent prefix returns ({}, ypath) unchanged."""
+        if not ypath.startswith("<"):
+            return {}, ypath
+        end = ypath.index(">")
+        attrs: dict = {}
+        for part in ypath[1:end].split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            k, _, v = part.partition("=")
+            v = v.strip()
+            if v == "%true":
+                val: object = True
+            elif v == "%false":
+                val = False
+            else:
+                try:
+                    val = int(v)
+                except ValueError:
+                    try:
+                        val = float(v)
+                    except ValueError:
+                        val = v.strip('"')
+            attrs[k.strip()] = val
+        return attrs, ypath[end + 1:]
+
+    @staticmethod
     def _split_rich(ypath: str) -> tuple[str, str]:
         """Split '//a/b{cols}[range]' into (plain path, rich suffix)."""
         for i, ch in enumerate(ypath):
@@ -102,6 +132,7 @@ class YtClient:
         _write_attrs(p, attrs)
 
     def exists(self, ypath: str) -> bool:
+        _, ypath = self._split_attrs(ypath)
         path, _ = self._split_rich(ypath)
         return os.path.exists(self._fs(path))
 
@@ -165,9 +196,11 @@ class YtClient:
     # -- static tables -----------------------------------------------------
 
     def write_table(self, ypath: str, df: DataFrame, append: bool | None = None) -> None:
+        prefix, ypath = self._split_attrs(ypath)
         path, rich = self._split_rich(ypath)
         if append is None:
-            append = "append=%true" in rich or "append=true" in rich
+            append = (bool(prefix.get("append"))
+                      or "append=%true" in rich or "append=true" in rich)
         p = self._fs(path)
         prior = dict(table_attributes(p)) if os.path.exists(p) else {}
         _write_fmt(df, p, mode="append" if append else "overwrite")
@@ -206,10 +239,17 @@ class YtClient:
     def read_table(self, ypath: str) -> DataFrame:
         from ytsaurus_spark.catalog import RichPath
 
+        prefix, ypath = self._split_attrs(ypath)
         path, rich = self._split_rich(ypath)
         p = self._fs(path)
         if table_attributes(p).get("dynamic"):
-            df = self._dyn(path).read()
+            # <timestamp=N> attribute: MVCC read as of the timestamp
+            # (the reference's timestamped read, test_dynamic_tables.py:
+            # 344; client_dynamic_tables_impl.cpp:1599)
+            ts = prefix.get("timestamp")
+            df = self._dyn(path).read(
+                timestamp=float(ts) if ts is not None else None
+            )
         else:
             df = _read_fmt(self.spark, p)
         if rich and "append" not in rich:
