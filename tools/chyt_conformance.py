@@ -809,6 +809,42 @@ CASES = [
              ["c", "Nullable(Float64)"]],
         )],
     ),
+    dict(
+        id="dynamic/prewhere",
+        ref="yt/chyt/tests/server/test_dynamic_tables.py:86",
+        dyn_tables={"//tmp/dt": (
+            [{"name": "key", "type": "int64", "sort_order": "ascending"},
+             {"name": "value", "type": "string"}],
+            "key bigint, value string",
+            [(i, "foo" + str(i)) for i in range(10)],
+        )},
+        steps=[(
+            "select value from `//tmp/dt` prewhere key == 5 order by key",
+            [["foo5"]],
+        )],
+    ),
+    dict(
+        id="dynamic/concat_with_static",
+        ref="yt/chyt/tests/server/test_dynamic_tables.py:189",
+        dyn_tables={"//tmp/dt": (
+            [{"name": "key", "type": "int64", "sort_order": "ascending"},
+             {"name": "value", "type": "string"}],
+            "key bigint, value string",
+            [(i, "foo" + str(i)) for i in range(3)],
+        )},
+        tables={"//tmp/st": ("key bigint, value string",
+                             [(i, "foo" + str(i)) for i in range(3)])},
+        steps=[
+            ("select * from concatYtTables(`//tmp/dt`) order by key",
+             [[i, "foo" + str(i)] for i in range(3)]),
+            ("select * from concatYtTables(`//tmp/dt`, `//tmp/st`) "
+             "order by key, value",
+             sorted([[i, "foo" + str(i)] for i in range(3)] * 2)),
+            ("select * from concatYtTables(`//tmp/st`, `//tmp/dt`) "
+             "order by key, value",
+             sorted([[i, "foo" + str(i)] for i in range(3)] * 2)),
+        ],
+    ),
     # --- test_yson_functions.py: the YPath* family over Any columns ---------
     dict(
         id="yson/ypath_strict_vs_nonstrict",
@@ -1038,7 +1074,7 @@ def main() -> int:
                 "test_common.py", "test_join_and_in.py", "test_mutations.py",
                 "test_prewhere.py", "test_sql_udf.py",
                 "test_yt_dictionaries.py", "test_table_functions.py",
-                "test_yson_functions.py",
+                "test_yson_functions.py", "test_dynamic_tables.py",
             ],
             "n_cases": len(results),
             "counts": counts,

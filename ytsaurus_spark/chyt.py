@@ -1345,7 +1345,7 @@ class _TableFunctionResolver:
                     )
                 return [p for _, _, _, p, _, _, _ in rows]
             if name == "ytlistlogtables":
-                lits = [a.strip().strip("'\"") for a in args]
+                lits = [a.strip().strip("'\"`") for a in args]
                 return _log_table_paths(self.client, lits[0], *lits[1:3])
             raise ValueError(f"ytTables: unsupported nested function {name}")
         if arg.startswith("("):
@@ -1410,7 +1410,7 @@ class _TableFunctionResolver:
         if name in ("yttables", "ytlistlogtables"):
             self._require_client(name)
             if name == "ytlistlogtables":
-                lits = [a.strip().strip("'\"") for a in args]
+                lits = [a.strip().strip("'\"`") for a in args]
                 paths = _log_table_paths(self.client, lits[0], *lits[1:3])
                 if not paths:
                     self.s2.createDataFrame([], _NODE_SCHEMA) \
@@ -1426,7 +1426,7 @@ class _TableFunctionResolver:
             return self._register_union(view, paths, text)
         # concatYtTables family
         self._require_client(name)
-        lits = [a.strip().strip("'\"") for a in args]
+        lits = [a.strip().strip("'\"`") for a in args]
         if name == "concatyttables":
             members = lits
         else:
