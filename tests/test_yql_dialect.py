@@ -1280,3 +1280,36 @@ def test_yql_script_statements(spark, tmp_path, sf_dir):
     with _pytest.raises(ValueError, match="no such table"):
         yql_execute(spark, "DROP TABLE `//out/t`;", client=client)
     yql_execute(spark, "DROP TABLE IF EXISTS `//out/t`;", client=client)
+
+
+def test_yql_anonymous_tables(spark, sf_dir):
+    """@name anonymous tables (SQLv1 '@' table refs): script-lifetime
+    temp tables — INSERT INTO @tmp stages rows, later statements read
+    them; WITH TRUNCATE resets; no client needed."""
+    from ytsaurus_spark.yql import yql_execute
+
+    df = yql_execute(
+        spark,
+        "INSERT INTO @stage select n_name, n_regionkey from nation "
+        "where n_regionkey = 0;\n"
+        "INSERT INTO @stage select n_name, n_regionkey from nation "
+        "where n_regionkey = 1;\n"
+        "select n_regionkey, count(*) as n from @stage "
+        "group by n_regionkey order by n_regionkey;",
+        sf_dir=sf_dir,
+    )
+    rows = df.collect()
+    assert [r.n_regionkey for r in rows] == [0, 1]
+    assert all(r.n == 5 for r in rows)
+
+    # WITH TRUNCATE resets the staged rows; '@' inside a string literal
+    # is untouched
+    df = yql_execute(
+        spark,
+        "INSERT INTO @t select 1 as a;\n"
+        "INSERT INTO @t WITH TRUNCATE select 2 as a;\n"
+        "select a, 'x@t' as lit from @t;",
+        sf_dir=sf_dir,
+    )
+    rows = df.collect()
+    assert [(r.a, r.lit) for r in rows] == [(2, "x@t")]

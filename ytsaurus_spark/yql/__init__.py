@@ -187,6 +187,22 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
             # DISCARD SELECT: compute (validation/side effects), drop rows
             df.collect()
             continue
+        if stmt.target and stmt.target.startswith("@"):
+            # anonymous (script-lifetime) table: a session temp view
+            view = "__anon_" + stmt.target[1:]
+            if stmt.kind == "upsert":
+                raise ValueError("UPSERT INTO an anonymous table — "
+                                 "anonymous tables are not dynamic")
+            if stmt.columns:
+                df = df.toDF(*stmt.columns)
+            try:
+                prior = None if stmt.truncate else s2.table(view)
+            except Exception:
+                prior = None
+            (df if prior is None else prior.unionByName(df)) \
+                .createOrReplaceTempView(view)
+            last = None
+            continue
         if client is None:
             raise ValueError(
                 f"{stmt.kind.upper()} INTO needs a client to write through"

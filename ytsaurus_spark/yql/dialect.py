@@ -1025,7 +1025,27 @@ def _rewrite_groupby_as(text: str) -> str:
     )
 
 
+def _rewrite_anon_tables(text: str) -> str:
+    """YQL anonymous tables (``INSERT INTO @tmp`` / ``FROM @tmp`` —
+    SQLv1 an_id_as_compat '@' table refs): script-lifetime temp tables.
+    ``@name`` becomes the session temp view ``__anon_name``; quoted
+    spans are never touched."""
+    if "@" not in text:
+        return text
+    dm = _depth_map(text)
+    out, last = [], 0
+    for m in re.finditer(r"(?<![\w.'\"])@(\w+)\b", text):
+        if dm[m.start()] == -1:
+            continue
+        out.append(text[last: m.start()])
+        out.append(f"__anon_{m.group(1)}")
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _rewrite_yqlisms(text: str) -> str:
+    text = _rewrite_anon_tables(text)
     text = _rewrite_flatten_by(text)
     for pat, repl in _REWRITES:
         text = pat.sub(repl, text)
@@ -2164,7 +2184,8 @@ def translate_yql_script(
 
 _PATH_RE = re.compile(r"`(//[^`]+)`")
 _WRITE_RE = re.compile(
-    r"^\s*(insert|replace|upsert)\s+into\s+(`//[^`]+`|[A-Za-z_][\w.]*)"
+    r"^\s*(insert|replace|upsert)\s+into\s+"
+    r"(`//[^`]+`|@\w+|[A-Za-z_][\w.]*)"
     r"(\s+with\s+truncate)?\s*(\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\))?\s*"
     r"(?=select|with|\()",
     re.IGNORECASE,
