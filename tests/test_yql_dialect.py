@@ -1313,3 +1313,114 @@ def test_yql_anonymous_tables(spark, sf_dir):
     )
     rows = df.collect()
     assert [(r.a, r.lit) for r in rows] == [(2, "x@t")]
+
+
+def test_yql_container_literals(spark, sf_dir):
+    """SQLv1 container literals (SQLv1Antlr4.g.in:138-146): list
+    ``[...]`` -> array, dict ``{k: v}`` -> map, set ``{a, b}`` ->
+    IN-list / membership map, struct ``<|n: e|>`` -> named_struct,
+    bare tuples -> the AsTuple _0.._n convention."""
+    from ytsaurus_spark.yql import yql_select
+
+    def one(sql):
+        return yql_select(spark, sql, sf_dir=sf_dir).collect()[0][0]
+
+    assert one("SELECT [1,2,3][1] AS v") == 2
+    assert one("SELECT {'a': 1, 'b': 2}['b'] AS v") == 2
+    assert one("SELECT <|a: 1, b: 'x'|>.b AS v") == "x"
+    assert one("SELECT (1, 'x').1 AS v") == "x"
+    assert one("SELECT (1, 2) < (1, 3) AS v") is True
+    assert one("SELECT DictContains({1, 2, 3}, 2) AS v") is True
+    assert one("SELECT {'k': [1,2]}['k'][0] AS v") == 1
+    assert one("SELECT ListMap([1,2,3], ($x) -> ($x * 2))[2] AS v") == 6
+    # set literal after IN collapses to a plain IN-list
+    assert one(
+        "SELECT count(*) AS c FROM region WHERE r_regionkey IN {0, 1}"
+    ) == 2
+    # native tuple-IN stays native (never struct-ified)
+    assert one(
+        "SELECT count(*) AS c FROM nation "
+        "WHERE (n_regionkey, n_nationkey) IN ((0, 0), (1, 1))"
+    ) == 2
+    # subscripts stay subscripts; VALUES / GROUPING SETS lists untouched
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    t = translate_yql("SELECT a.arr[0] FROM t AS a").sql
+    assert "a.arr[0]" in t
+    t = translate_yql(
+        "SELECT k, g, count(*) AS n FROM t "
+        "GROUP BY GROUPING SETS ((k, g), (k), ())").sql
+    assert "GROUPING SETS ((k, g), (k), ())" in t
+
+
+def test_yql_into_result(spark, sf_dir):
+    """select_kind: ... (INTO RESULT pure_column_or_named)?
+    (SQLv1Antlr4.g.in:379) — the label is recorded, the query result is
+    unchanged."""
+    from ytsaurus_spark.yql import yql_select
+    from ytsaurus_spark.yql.dialect import translate_yql
+
+    tq = translate_yql("SELECT 1 AS one INTO RESULT `named_out`")
+    assert tq.result_label == "named_out"
+    assert "into result" not in tq.sql.lower()
+    rows = yql_select(
+        spark,
+        "SELECT r_name AS n FROM region ORDER BY n LIMIT 1 "
+        "INTO RESULT my_first",
+        sf_dir=sf_dir,
+    ).collect()
+    assert rows[0].n == "AFRICA"
+
+
+def test_yql_update_delete(spark, tmp_path):
+    """SQLv1 update_stmt / delete_stmt (SQLv1Antlr4.g.in:968-969) route
+    through the dynamic-table write path; static targets and RETURNING
+    raise."""
+    import pytest as _pytest
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+    from ytsaurus_spark.yql.dialect import YqlUnsupportedError
+
+    c = YtClient(root=str(tmp_path), spark=spark)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, name string, v long",
+    )
+    c.create("table", "//dyn/t", attributes={
+        "dynamic": True,
+        "schema": [{"name": "k", "sort_order": "ascending"},
+                   {"name": "name"}, {"name": "v"}],
+    })
+    c.insert_rows("//dyn/t", df)
+
+    yql_execute(spark, "UPDATE `//dyn/t` SET v = v + 100 WHERE k >= 2",
+                client=c)
+    got = sorted((r.k, r.v) for r in c.read_table("//dyn/t").collect())
+    assert got == [(1, 10), (2, 120), (3, 130)]
+
+    yql_execute(spark, "DELETE FROM `//dyn/t` WHERE k = 1", client=c)
+    got = sorted((r.k, r.v) for r in c.read_table("//dyn/t").collect())
+    assert got == [(2, 120), (3, 130)]
+
+    # BATCH prefix is accepted (YDB's transaction-splitting hint)
+    yql_execute(spark, "BATCH DELETE FROM `//dyn/t` WHERE k = 99",
+                client=c)
+
+    # INSERT ... VALUES row lists
+    yql_execute(
+        spark,
+        "INSERT INTO `//stat/s` (k, v) VALUES (1, 'x'), (2, 'y')",
+        client=c,
+    )
+    got = sorted((r.k, r.v) for r in c.read_table("//stat/s").collect())
+    assert got == [(1, "x"), (2, "y")]
+
+    # static target refuses key-addressed DML
+    with _pytest.raises(ValueError, match="dynamic"):
+        yql_execute(spark, "UPDATE `//stat/s` SET v = 'z'", client=c)
+    # RETURNING raises a clear unsupported error
+    with _pytest.raises(YqlUnsupportedError, match="RETURNING"):
+        yql_execute(spark,
+                    "DELETE FROM `//dyn/t` WHERE k = 2 RETURNING k",
+                    client=c)

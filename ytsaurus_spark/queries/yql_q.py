@@ -77,6 +77,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ytsaurus_spark.queries import register
 
@@ -994,3 +995,101 @@ def yql_text_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.yql import yql_select
 
     return yql_select(spark, _BUILTINS_TEXT, sf_dir=sf_dir, star=False)
+
+
+# --- container literals (SQLv1Antlr4.g.in:138-146) ---------------------------
+
+_CONTAINERS_TEXT = """
+$pri = {'1-URGENT': 1, '2-HIGH': 2, '3-MEDIUM': 3,
+        '4-NOT SPECIFIED': 4, '5-LOW': 5};
+select $pri[o_orderpriority] as pri_rank,
+       cast(count(*) as bigint) as n,
+       <|lo: min(o_totalprice), hi: max(o_totalprice)|>.hi as max_price,
+       (min(o_totalprice), max(o_totalprice)).0 as min_price
+from `//home/x/orders`
+where o_orderstatus in {'F', 'O'}
+group by $pri[o_orderpriority]
+order by pri_rank;
+"""
+
+
+@register(
+    "yql_text_containers",
+    """
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+             WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+             WHEN '5-LOW' THEN 5 END AS pri_rank,
+           CAST(count(*) AS BIGINT) AS n,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY 1 ORDER BY pri_rank
+    """,
+)
+def yql_text_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YQL container literals in verbatim text (SQLv1Antlr4.g.in:138-146:
+    list_literal / dict_literal / struct_literal, plus bare tuple
+    literals and ``IN {set}``): a dict literal decodes the priority
+    dimension (lowered to a Spark ``map(...)`` lookup — JVM-side, no
+    UDF), a struct literal carries the agg pair, a tuple literal is read
+    back positionally (``.0`` → the AsTuple ``_0`` field convention),
+    and the set literal after IN collapses to a plain IN-list. All
+    lowering happens at translation; the physical plan is the same
+    scan → partial agg → exchange → final agg as ql_group_agg."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _CONTAINERS_TEXT, sf_dir=sf_dir, star=False)
+
+
+# --- UPDATE / DELETE statements (SQLv1Antlr4.g.in:968-969) -------------------
+
+
+@register(
+    "yql_text_dml",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey <= 500 AND c_custkey % 7 <> 0
+    ORDER BY c_custkey
+    """,
+)
+def yql_text_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLv1 update_stmt / delete_stmt (SQLv1Antlr4.g.in:968-969) against
+    a dynamic table: UPDATE rewrites the matching row images through the
+    upsert path (old values visible to the SET expressions), DELETE
+    feeds matched keys to delete_rows. Both route through the
+    LogTxTable MVCC write path — a new version per statement, never an
+    in-place rewrite, which is what makes the read-while-write safe on
+    a real cluster."""
+    import tempfile
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.yql import yql_execute
+
+    client = YtClient(root=tempfile.mkdtemp(prefix="yql_dml_"), spark=spark)
+    cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", "c_acctbal")
+    )
+    client.create("table", "//dml/cust", attributes={
+        "dynamic": True,
+        "schema": [{"name": "c_custkey", "sort_order": "ascending"},
+                   {"name": "c_acctbal"}],
+    })
+    client.insert_rows("//dml/cust", cust)
+    yql_execute(
+        spark,
+        "UPDATE `//dml/cust` SET c_acctbal = c_acctbal + 100.0 "
+        "WHERE c_acctbal < 0;",
+        client=client,
+    )
+    yql_execute(
+        spark,
+        "DELETE FROM `//dml/cust` WHERE c_custkey % 7 = 0;",
+        client=client,
+    )
+    return client.read_table("//dml/cust").orderBy("c_custkey")

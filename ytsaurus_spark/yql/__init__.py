@@ -161,7 +161,9 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
         if exec_client is None:
             return
         for p in stmt.paths:
-            if p == stmt.target:  # the write target is not a read source
+            if p == stmt.target and stmt.kind not in ("update", "delete"):
+                # the write target is not a read source — except for
+                # UPDATE/DELETE, whose select body reads the target
                 continue
             if exec_client.exists(p):
                 name = p.rstrip("/").rsplit("/", 1)[-1]
@@ -186,6 +188,28 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
         if stmt.kind == "discard":
             # DISCARD SELECT: compute (validation/side effects), drop rows
             df.collect()
+            continue
+        if stmt.kind in ("update", "delete"):
+            # SQLv1 delete_stmt/update_stmt (SQLv1Antlr4.g.in:968-969):
+            # key-addressed DML on a DYNAMIC table. The translated select
+            # produced the affected row images; route them through the
+            # dynamic-table write path (delete_rows / upsert).
+            from ytsaurus_spark.sources.formats import table_attributes
+
+            if client is None:
+                raise ValueError(
+                    f"{stmt.kind.upper()} needs a client to write through")
+            attrs = table_attributes(client._fs(stmt.target))
+            if not attrs.get("dynamic"):
+                raise ValueError(
+                    f"{stmt.kind.upper()} targets a dynamic table; "
+                    f"{stmt.target} is static")
+            if stmt.kind == "delete":
+                exec_client.delete_rows(
+                    stmt.target, df.select(*attrs["key_columns"]))
+            else:
+                exec_client.insert_rows(stmt.target, df)
+            last = None
             continue
         if stmt.target and stmt.target.startswith("@"):
             # anonymous (script-lifetime) table: a session temp view

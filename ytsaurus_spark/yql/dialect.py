@@ -74,6 +74,7 @@ class TranslatedQuery:
     truncate: bool = False
     paths: tuple[str, ...] = ()
     columns: tuple[str, ...] | None = None  # INSERT INTO t (cols)
+    result_label: str | None = None  # SELECT ... INTO RESULT `name`
 
 
 def strip_comments(text: str) -> str:
@@ -833,19 +834,233 @@ _REWRITES: list[tuple[re.Pattern, object]] = [
 
 
 def _split_top_commas(text: str) -> list[str]:
+    """Split on commas at nesting depth 0 — parens, brackets, braces,
+    struct literals ``<| |>`` and quoted strings all shield their
+    contents."""
     parts, buf, depth = [], [], 0
-    for c in text:
-        if c == "(":
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            buf.append(text[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if c == "<" and text[i : i + 2] == "<|":
             depth += 1
-        elif c == ")":
+            buf.append("<|")
+            i += 2
+            continue
+        if c == "|" and text[i : i + 2] == "|>":
+            depth -= 1
+            buf.append("|>")
+            i += 2
+            continue
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
             depth -= 1
         if c == "," and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
             buf.append(c)
+        i += 1
     parts.append("".join(buf))
     return parts
+
+
+# --- container literals (SQLv1Antlr4.g.in:138-146: list_literal
+# ``[...]``, dict_literal ``{k: v, ...}`` / set ``{a, b}``,
+# struct_literal ``<|name: expr, ...|>``) and bare tuple literals
+# ``(e1, e2)`` (lowered the same way AsTuple is: named_struct with
+# positional _0.._n fields, so the existing ``.N`` access rewrites
+# apply). A ``[`` adjacent to an identifier / ``)`` / ``]`` is a
+# SUBSCRIPT, not a literal. A parenthesized comma group is a tuple
+# literal only in expression position: groups owned by clause keywords
+# (IN-lists, GROUP BY/GROUPING SETS keys, OVER/WINDOW specs, USING and
+# VALUES lists, ``* EXCEPT``...), call argument parens, subqueries, the
+# left side of a tuple-IN, and Spark lambda parameter lists ``(x, y) ->``
+# all pass through untouched.
+
+_INERT_PAREN_KW = frozenset((
+    "in", "by", "sets", "cube", "rollup", "over", "as", "using",
+    "values", "on", "key", "with", "except", "replace", "without",
+    "any", "all", "exists", "hopping",
+))
+# keywords that may precede an expression paren — `SELECT (1, x)` is a
+# tuple literal, `foo(1, x)` is a call
+_EXPR_KW = frozenset((
+    "select", "where", "when", "then", "else", "and", "or", "not",
+    "case", "having", "distinct", "limit", "offset", "return",
+    "between", "escape", "union", "intersect", "prewhere", "qualify",
+    "by", "set", "from",
+))
+
+
+def _rewrite_container_literals(text: str, tuples: bool = True) -> str:
+    out: list[str] = []
+    i, n = 0, len(text)
+    chain_inert = False  # just closed an inert group; a `, (` continues it
+
+    def _tail() -> str:
+        return "".join(out[-8:])
+
+    def _prev_char() -> str:
+        t = _tail().rstrip()
+        return t[-1] if t else ""
+
+    def _prev_word() -> str:
+        m = re.search(r"([A-Za-z_]\w*)\s*$", _tail())
+        return m.group(1).lower() if m else ""
+
+    def _match_close(start: int, op: str, cl: str) -> int:
+        """Index just past the matching closer for the opener at start
+        (string-aware; handles the 2-char <| |> pair)."""
+        w = len(op)
+        depth, j = 1, start + w
+        while j < n and depth:
+            c = text[j]
+            if c in ("'", '"'):
+                k = j + 1
+                while k < n and text[k] != c:
+                    k += 2 if text[k] == "\\" else 1
+                j = k + 1
+                continue
+            if text[j : j + w] == op and (w > 1 or c == op):
+                depth += 1
+                j += w
+                continue
+            if text[j : j + w] == cl and (w > 1 or c == cl):
+                depth -= 1
+                j += w
+                continue
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced {op!r} in YQL expression")
+        return j
+
+    while i < n:
+        c = text[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if (c != "`" and text[j] == "\\") else 1
+            out.append(text[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if text[i : i + 2] == "<|":
+            j = _match_close(i, "<|", "|>")
+            inner = text[i + 2 : j - 2]
+            parts = []
+            for entry in _split_top_commas(inner):
+                if not entry.strip():
+                    continue
+                dm = _depth_map(entry)
+                cpos = next((k for k, ch in enumerate(entry)
+                             if ch == ":" and dm[k] == 0), -1)
+                if cpos < 0:
+                    raise YqlUnsupportedError(
+                        f"struct literal entry without a name: {entry!r}")
+                name = entry[:cpos].strip().strip("'\"")
+                val = _rewrite_container_literals(entry[cpos + 1:], True)
+                parts.append(f"'{name}', {val.strip()}")
+            out.append("named_struct(" + ", ".join(parts) + ")"
+                       if parts else "struct()")
+            i = j
+            chain_inert = False
+            continue
+        if c == "[":
+            j = _match_close(i, "[", "]")
+            inner = _rewrite_container_literals(text[i + 1 : j - 1], tuples)
+            # subscripts are ADJACENT to their base (arr[0]); '[' after
+            # whitespace / an operator / a comma opens a list literal
+            adj = out[-1][-1] if out and out[-1] else ""
+            if adj and (adj.isalnum() or adj in ")]_'\"`"):
+                out.append(f"[{inner}]")  # subscript
+            else:
+                out.append(f"array({inner})")
+            i = j
+            chain_inert = False
+            continue
+        if c == "{":
+            j = _match_close(i, "{", "}")
+            inner = text[i + 1 : j - 1]
+            entries = [e for e in _split_top_commas(inner) if e.strip()]
+            keyed = []
+            for entry in entries:
+                dm = _depth_map(entry)
+                cpos = next((k for k, ch in enumerate(entry)
+                             if ch == ":" and dm[k] == 0), -1)
+                keyed.append(cpos)
+            if entries and all(p >= 0 for p in keyed):
+                # dict literal {k: v, ...} -> map(k1, v1, ...)
+                parts = []
+                for entry, cpos in zip(entries, keyed):
+                    k = _rewrite_container_literals(entry[:cpos], True)
+                    v = _rewrite_container_literals(entry[cpos + 1:], True)
+                    parts.append(f"{k.strip()}, {v.strip()}")
+                out.append("map(" + ", ".join(parts) + ")")
+            elif entries and all(p < 0 for p in keyed):
+                # set literal {a, b, c} (Dict<K,Void>): membership is its
+                # one use — `x IN {…}` becomes a plain IN-list, elsewhere
+                # a map keyed on the members (DictContains/DictKeys work)
+                vals = [_rewrite_container_literals(e, True).strip()
+                        for e in entries]
+                if _prev_word() == "in":
+                    out.append("(" + ", ".join(vals) + ")")
+                else:
+                    out.append("map(" + ", ".join(
+                        f"{v}, true" for v in vals) + ")")
+            elif not entries:
+                out.append("map()")
+            else:
+                raise YqlUnsupportedError(
+                    "dict literal mixes keyed and bare entries")
+            i = j
+            chain_inert = False
+            continue
+        if c == "(":
+            pw, pc = _prev_word(), _prev_char()
+            inert = pw in _INERT_PAREN_KW or chain_inert
+            # a paren after an identifier is a call — unless the
+            # "identifier" is an expression keyword (SELECT/WHEN/AND...)
+            is_call = (not inert) and bool(pc) and (
+                (pc.isalnum() or pc in ")]_`") and pw not in _EXPR_KW)
+            j = _match_close(i, "(", ")")
+            body = text[i + 1 : j - 1]
+            is_subquery = bool(
+                re.match(r"(?is)^[\s(]*(select|with)\b", body))
+            # subqueries open a fresh expression scope; inert groups
+            # (IN-lists, VALUES/USING/OVER/GROUPING SETS bodies) keep
+            # their comma lists verbatim
+            inner = _rewrite_container_literals(
+                body, True if (is_call or is_subquery) else
+                (tuples and not inert))
+            convert = False
+            if tuples and not is_call and not inert and not is_subquery:
+                if (not re.match(r"(?is)^\s*values\b", inner)
+                        and not re.match(r"\s*->", text[j:])
+                        and not re.match(r"(?is)\s*((not\s+)?in|values)\b",
+                                         text[j:])):
+                    parts = _split_top_commas(inner)
+                    if len(parts) > 1:
+                        convert = True
+                        out.append("named_struct(" + ", ".join(
+                            f"'_{k}', {p.strip()}"
+                            for k, p in enumerate(parts)) + ")")
+            if not convert:
+                out.append(f"({inner})")
+            chain_inert = inert  # VALUES (...), (...) / SETS ((a),(b))
+            i = j
+            continue
+        out.append(c)
+        if not c.isspace():
+            chain_inert = chain_inert and c == ","
+        i = i + 1
+    return "".join(out)
 
 
 def _depth_map(text: str) -> list[int]:
@@ -895,8 +1110,10 @@ def _top_matches(text: str, pattern: str, depth=None) -> list[re.Match]:
 
 def _split_call_args(text: str, open_idx: int) -> tuple[list[str], int]:
     """Arguments of a call whose ``(`` sits at ``open_idx``; returns
-    (args, index just past the closing paren)."""
-    depth, buf, args = 0, [], []
+    (args, index just past the closing paren). Container literals —
+    ``[...]`` lists, ``{...}`` dicts, ``<|...|>`` structs — shield
+    their commas (SQLv1Antlr4.g.in:138-146)."""
+    depth, bracket, buf, args = 0, 0, [], []
     i, n = open_idx, len(text)
     while i < n:
         c = text[i]
@@ -907,6 +1124,20 @@ def _split_call_args(text: str, open_idx: int) -> tuple[list[str], int]:
             buf.append(text[i : min(j + 1, n)])
             i = j + 1
             continue
+        if c == "<" and text[i : i + 2] == "<|":
+            bracket += 1
+            buf.append("<|")
+            i += 2
+            continue
+        if c == "|" and text[i : i + 2] == "|>":
+            bracket -= 1
+            buf.append("|>")
+            i += 2
+            continue
+        if c in "[{":
+            bracket += 1
+        elif c in "]}":
+            bracket -= 1
         if c == "(":
             depth += 1
             if depth == 1:
@@ -917,7 +1148,7 @@ def _split_call_args(text: str, open_idx: int) -> tuple[list[str], int]:
             if depth == 0:
                 args.append("".join(buf))
                 return args, i + 1
-        if c == "," and depth == 1:
+        if c == "," and depth == 1 and bracket == 0:
             args.append("".join(buf))
             buf = []
         else:
@@ -1047,6 +1278,7 @@ def _rewrite_anon_tables(text: str) -> str:
 def _rewrite_yqlisms(text: str) -> str:
     text = _rewrite_anon_tables(text)
     text = _rewrite_flatten_by(text)
+    text = _rewrite_container_literals(text)
     for pat, repl in _REWRITES:
         text = pat.sub(repl, text)
     text = _rewrite_module_funcs(text)
@@ -2145,7 +2377,53 @@ def translate_yql_script(
             if k == "value"
         }
         final = _lower_process_reduce(final, lambdas)
-        kind, target, truncate, columns, body = _split_write_head(final)
+        kind = target = None
+        if re.match(r"(?is)^\s*(batch\s+)?(delete|update)\b", final):
+            if re.search(r"(?is)\breturning\b", final):
+                raise YqlUnsupportedError(
+                    "RETURNING on UPDATE/DELETE is not supported")
+            md = _DELETE_STMT_RE.match(final)
+            mu = _UPDATE_STMT_RE.match(final) if md is None else None
+            if md:
+                # DELETE FROM t [WHERE p] -> the rows to delete; the
+                # executor feeds their keys to delete_rows
+                kind, raw_target = "delete", md.group(1)
+                pred = (md.group(2) or "").strip()
+                final = f"select * from {raw_target}" + (
+                    f" where {pred}" if pred else "")
+            elif mu:
+                # UPDATE t SET c1 = e1, ... [WHERE p] -> the updated row
+                # images (old values visible to the SET expressions); the
+                # executor upserts them by key
+                kind, raw_target = "update", mu.group(1)
+                sets = []
+                for item in _split_top_commas(mu.group(2)):
+                    sm = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*=(.*)$", item)
+                    if not sm:
+                        raise YqlUnsupportedError(
+                            f"UPDATE SET expects col = expr, got {item!r}")
+                    sets.append((sm.group(1), sm.group(2).strip()))
+                pred = (mu.group(3) or "").strip()
+                cols = ", ".join(c for c, _ in sets)
+                items = ", ".join(f"({e}) AS {c}" for c, e in sets)
+                final = (f"select * except ({cols}), {items} "
+                         f"from {raw_target}"
+                         + (f" where {pred}" if pred else ""))
+            else:
+                raise YqlUnsupportedError(
+                    "unparsable UPDATE/DELETE statement (the ON "
+                    "into_values_source form is not supported)")
+            target = raw_target.strip("`")
+            truncate, columns, body = False, None, final
+        else:
+            kind, target, truncate, columns, body = _split_write_head(final)
+        result_label = None
+        mr = _INTO_RESULT_RE.search(body)
+        if mr and _depth_map(body)[mr.start()] == 0:
+            # select_kind: (...) (INTO RESULT pure_column_or_named)?
+            # (SQLv1Antlr4.g.in:379) — names the result for the client UI
+            result_label = mr.group(1).strip("`").lstrip("$")
+            body = body[: mr.start()]
         dm = re.match(r"(?is)^\s*discard\s+", body)
         if dm:
             # DISCARD SELECT ... (SQLv1): compute for validation/side
@@ -2177,6 +2455,7 @@ def translate_yql_script(
                 truncate=truncate,
                 paths=script_paths,
                 columns=columns,
+                result_label=result_label,
             )
         )
     return out
@@ -2187,8 +2466,23 @@ _WRITE_RE = re.compile(
     r"^\s*(insert|replace|upsert)\s+into\s+"
     r"(`//[^`]+`|@\w+|[A-Za-z_][\w.]*)"
     r"(\s+with\s+truncate)?\s*(\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\))?\s*"
-    r"(?=select|with|\()",
+    r"(?=select|with|values|\()",
     re.IGNORECASE,
+)
+# SQLv1 grammar delete_stmt / update_stmt (SQLv1Antlr4.g.in:968-969):
+# ``[BATCH] DELETE FROM t [WHERE p]`` / ``[BATCH] UPDATE t SET c = e,
+# ... [WHERE p]``. Both target DYNAMIC tables (the reference's key-value
+# surface); the ``ON into_values_source`` and RETURNING forms raise.
+_DELETE_STMT_RE = re.compile(
+    r"(?is)^\s*(?:batch\s+)?delete\s+from\s+"
+    r"(`//[^`]+`|[A-Za-z_][\w.]*)\s*(?:\bwhere\b(.*))?$"
+)
+_UPDATE_STMT_RE = re.compile(
+    r"(?is)^\s*(?:batch\s+)?update\s+(`//[^`]+`|[A-Za-z_][\w.]*)\s+"
+    r"set\s+(.*?)(?:\bwhere\b(.*))?$"
+)
+_INTO_RESULT_RE = re.compile(
+    r"(?is)\binto\s+result\s+(`[^`]+`|\$?\w+)\s*$"
 )
 _DROP_RE = re.compile(
     r"^\s*drop\s+table\s+(if\s+exists\s+)?(`//[^`]+`|[A-Za-z_][\w.]*)\s*$",
