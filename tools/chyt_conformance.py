@@ -950,6 +950,195 @@ CASES = [
              [['["foo";"bar";]']]),
         ],
     ),
+    dict(
+        id="ddl/drop_nonexistent_table",
+        ref="yt/chyt/tests/server/test_ddl.py:13",
+        tables={},
+        steps=[
+            ('exists "//tmp/t"', [[0]]),
+            ('drop table "//tmp/t"', E),
+        ],
+    ),
+    dict(
+        id="ddl/rename_table",
+        ref="yt/chyt/tests/server/test_ddl.py:34,49",
+        tables={
+            "//tmp/t": ("a string", [("2012-12-12 20:00:00",)]),
+            "//tmp/s": ("a string", []),
+        },
+        steps=[
+            # target exists -> error, target untouched
+            ('rename table "//tmp/t" to "//tmp/s"', E),
+            ('select * from "//tmp/s"', []),
+            # source missing -> error
+            ('rename table "//tmp/tt" to "//tmp/ss"', E),
+            # the happy path moves the node
+            ('rename table "//tmp/t" to "//tmp/tt"', None),
+            ('exists "//tmp/t"', [[0]]),
+            ('select * from "//tmp/tt"', [["2012-12-12 20:00:00"]]),
+        ],
+    ),
+    dict(
+        id="ddl/exchange_tables",
+        ref="yt/chyt/tests/server/test_ddl.py:59,69",
+        tables={
+            "//tmp/t": ("a string", [("2012-12-12 20:00:00",)]),
+            "//tmp/s": ("a string", [("string",)]),
+        },
+        steps=[
+            ('exchange tables "//tmp/t" and "//tmp/nope"', E),
+            ('exchange tables "//tmp/t" and "//tmp/s"', None),
+            ('select * from "//tmp/t"', [["string"]]),
+            ('select * from "//tmp/s"', [["2012-12-12 20:00:00"]]),
+        ],
+    ),
+    dict(
+        id="ddl/truncate_error",
+        ref="yt/chyt/tests/server/test_ddl.py:80",
+        tables={},
+        dyn_tables={"//tmp/t1": (
+            [{"name": "k", "sort_order": "ascending"}, {"name": "v"}],
+            "k bigint, v string", [(1, "a")],
+        )},
+        steps=[
+            ('truncate table "//tmp/t"', E),
+            ('truncate table "//tmp/t1"', E),
+        ],
+    ),
+    dict(
+        id="ddl/create_table_unsupported_engine",
+        ref="yt/chyt/tests/server/test_ddl.py:106",
+        tables={},
+        steps=[
+            ('create table "//tmp/t_unsupported" (a String) engine Memory',
+             E),
+        ],
+    ),
+    dict(
+        id="columnar/integer",
+        ref="yt/chyt/tests/server/test_columnar_read.py:41",
+        tables={
+            "//tmp/t1": ("x bigint", [(i,) for i in range(10)]),
+            "//tmp/t2": ("x bigint",
+                         [(i if i % 3 == 0 else None,) for i in range(10)]),
+        },
+        steps=[
+            ('select * from "//tmp/t1"', [[i] for i in range(10)]),
+            ('select * from "//tmp/t2"',
+             [[i if i % 3 == 0 else None] for i in range(10)]),
+        ],
+    ),
+    dict(
+        id="columnar/boolean",
+        ref="yt/chyt/tests/server/test_columnar_read.py:66",
+        tables={"//tmp/t": (
+            "x boolean",
+            [(True,), (None,), (False,), (None,), (True,), (True,),
+             (None,), (False,)],
+        )},
+        steps=[
+            ('select * from "//tmp/t"',
+             [[1], [None], [0], [None], [1], [1], [None], [0]]),
+        ],
+    ),
+    dict(
+        id="columnar/floating_point",
+        ref="yt/chyt/tests/server/test_columnar_read.py:74",
+        tables={"//tmp/t": (
+            "x double", [(1.0,), (2.0,), (None,), (3.14,), (2.7,), (None,)],
+        )},
+        steps=[
+            ('select * from "//tmp/t"',
+             [[1.0], [2.0], [None], [3.14], [2.7], [None]]),
+        ],
+    ),
+    dict(
+        id="columnar/string",
+        ref="yt/chyt/tests/server/test_columnar_read.py:82",
+        tables={"//tmp/t": (
+            "x string",
+            [("\x00" * 10,), ("some\x00nulls\x00inside",), ("",),
+             ("hello",), (None,), ("world",)],
+        )},
+        steps=[
+            ('select * from "//tmp/t"',
+             [["\x00" * 10], ["some\x00nulls\x00inside"], [""],
+              ["hello"], [None], ["world"]]),
+        ],
+    ),
+    dict(
+        id="columnar/nonuniform_nullability",
+        ref="yt/chyt/tests/server/test_columnar_read.py:251",
+        tables={
+            "//tmp/t1": ("x string", [("hello",)]),
+            "//tmp/t2": ("x string", [(None,), ("world",)]),
+        },
+        steps=[
+            # ClickHouse ASC ordering puts NULLs LAST
+            ("select * from concatYtTables(\"//tmp/t1\", \"//tmp/t2\") "
+             "order by x",
+             [["hello"], ["world"], [None]]),
+        ],
+    ),
+    dict(
+        id="columnar/integral_upcast",
+        ref="yt/chyt/tests/server/test_columnar_read.py:282",
+        tables={
+            "//tmp/t1": ("x int", [(1,)]),
+            "//tmp/t2": ("x bigint", [(1099511627776,)]),
+        },
+        steps=[
+            ("select * from concatYtTables(\"//tmp/t1\", \"//tmp/t2\") "
+             "order by x",
+             [[1], [1099511627776]]),
+        ],
+    ),
+    dict(
+        id="schema/nulls_in_primary_key",
+        ref="yt/chyt/tests/server/test_clickhouse_schema.py:348",
+        tables={
+            "//tmp/t1": ("a bigint", [(None,), (-1,), (42,)]),
+        },
+        steps=[
+            ('select a from "//tmp/t1" order by a nulls first',
+             [[None], [-1], [42]]),
+            ('select a from "//tmp/t1" where isNull(a)', [[None]]),
+            ('select a from "//tmp/t1" where isNotNull(a)', [[-1], [42]]),
+            ("select a from concatYtTables('//tmp/t1') "
+             "order by a nulls first", [[None], [-1], [42]]),
+        ],
+    ),
+    dict(
+        id="schema/float_and_double",
+        ref="yt/chyt/tests/server/test_clickhouse_schema.py:373",
+        tables={
+            "//tmp/t1": ("a float", [(1.0,)]),
+            "//tmp/t2": ("a double", [(2.0,)]),
+        },
+        steps=[
+            # float + double widen to Nullable(Float64) across the concat
+            ("select toTypeName(a) as t from "
+             "concatYtTables(\"//tmp/t1\", \"//tmp/t2\") limit 1",
+             [["Nullable(Float64)"]]),
+            ("select a from concatYtTables('//tmp/t1', '//tmp/t2') "
+             "order by a", [[1.0], [2.0]]),
+        ],
+    ),
+    dict(
+        id="input_fetching/chunk_filter",
+        ref="yt/chyt/tests/server/test_input_fetching.py:31",
+        tables={"//tmp/t": ("i bigint", [(i,) for i in range(10)])},
+        steps=[
+            ('select * from "//tmp/t" where i >= 3 order by i',
+             [[i] for i in range(3, 10)]),
+            ('select * from "//tmp/t" prewhere i < 2 order by i',
+             [[0], [1]]),
+            ('select * from "//tmp/t" where 5 <= i and i <= 8 order by i',
+             [[5], [6], [7], [8]]),
+            ('select * from "//tmp/t" prewhere i in (-1, 2, 8, 8, 15) '
+             "order by i", [[2], [8]]),
+        ],
+    ),
 ]
 
 

@@ -2084,7 +2084,8 @@ _CREATE_AS_RE = re.compile(
     r"\s*(?:order\s+by\s+(\([^)]*\)|[A-Za-z_]\w*))?\s*as\s+(select\b.*)$"
 )
 _EXISTS_RE = re.compile(
-    r'(?is)^\s*exists\s+table\s+["`](//[^"`]+)["`]\s*$'
+    # EXISTS [TABLE] "//path" — test_ddl.py uses the bare form
+    r'(?is)^\s*exists\s+(?:table\s+)?["`](//[^"`]+)["`]\s*$'
 )
 _SHOW_TABLES_RE = re.compile(
     r'(?is)^\s*show\s+tables(?:\s+from\s+["`](//[^"`]+)["`])?'
@@ -2128,6 +2129,16 @@ _DROP_RE = re.compile(
 )
 _TRUNCATE_RE = re.compile(
     r'(?is)^\s*truncate\s+table\s+(if\s+exists\s+)?["`](//[^"`]+)["`]\s*$'
+)
+# RENAME TABLE "//a" TO "//b" / EXCHANGE TABLES "//a" AND "//b"
+# (test_ddl.py::test_rename_table / test_exchange_tables)
+_RENAME_RE = re.compile(
+    r'(?is)^\s*rename\s+table\s+["`](//[^"`]+)["`]\s+to\s+'
+    r'["`](//[^"`]+)["`]\s*$'
+)
+_EXCHANGE_RE = re.compile(
+    r'(?is)^\s*exchange\s+tables\s+["`](//[^"`]+)["`]\s+and\s+'
+    r'["`](//[^"`]+)["`]\s*$'
 )
 
 # ClickHouse column type -> Spark SQL type (uint64 keeps the repo's
@@ -2255,13 +2266,46 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None,
     m = _TRUNCATE_RE.match(stmt)
     if m:
         # TRUNCATE keeps the table and its schema, drops the rows
-        # (test_mutations.py::test_truncate)
+        # (test_mutations.py::test_truncate); dynamic tables refuse
+        # (test_ddl.py::test_truncate_error — CH DDL never mutates a
+        # mounted dynamic table)
         if not client.exists(m.group(2)):
             if m.group(1):
                 return None
             raise ValueError(f"TRUNCATE TABLE: {m.group(2)} does not exist")
+        from ytsaurus_spark.sources.formats import table_attributes
+
+        if table_attributes(client._fs(m.group(2))).get("dynamic"):
+            raise ValueError(
+                f"TRUNCATE TABLE: {m.group(2)} is a dynamic table")
         empty = client.read_table(m.group(2)).limit(0)
         client.write_table(m.group(2), empty, append=False)
+        return None
+
+    m = _RENAME_RE.match(stmt)
+    if m:
+        # RENAME TABLE src TO dst (test_ddl.py::test_rename_table):
+        # src must exist, dst must NOT — CH's RENAME never clobbers
+        if not client.exists(m.group(1)):
+            raise ValueError(f"RENAME TABLE: {m.group(1)} does not exist")
+        if client.exists(m.group(2)):
+            raise ValueError(f"RENAME TABLE: {m.group(2)} already exists")
+        client.move(m.group(1), m.group(2))
+        return None
+
+    m = _EXCHANGE_RE.match(stmt)
+    if m:
+        # EXCHANGE TABLES a AND b (test_ddl.py::test_exchange_tables):
+        # both must exist; the swap is atomic in the reference (Cypress
+        # transaction), staged through a temp name here
+        a, b = m.group(1), m.group(2)
+        for p in (a, b):
+            if not client.exists(p):
+                raise ValueError(f"EXCHANGE TABLES: {p} does not exist")
+        tmp = a + ".__exchange_tmp"
+        client.move(a, tmp)
+        client.move(b, a)
+        client.move(tmp, b)
         return None
 
     m = _INSERT_RE.match(stmt)
