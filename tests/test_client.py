@@ -142,3 +142,42 @@ def test_file_nodes(client, spark):
     client.write_table("//files/t", spark.range(3).toDF("x"))
     with pytest.raises(YPathError):
         client.read_file("//files/t")
+
+
+def test_ordered_dynamic_table(spark, tmp_path):
+    """Ordered (keyless) dynamic tables are append logs: insert order is
+    the read order via a persisted $row_index, and rich-YPath
+    ``<ranges=[{lower_limit={tablet_index=0; row_index=N}; ...}]>``
+    prefixes bound reads by row index (reference:
+    test_dynamic_tables.py:96 simple_ordered_table; single-tablet
+    model — tablet_index > 0 addresses past the end)."""
+    from ytsaurus_spark.client import YtClient
+
+    c = YtClient(root=str(tmp_path), spark=spark)
+    c.create("table", "//q/dt", attributes={
+        "dynamic": True, "schema": [{"name": "data", "type": "string"}],
+    })
+    data = [(f"foo{i}",) for i in range(10)]
+    for lo, hi in [(0, 2), (2, 5), (5, 10)]:
+        c.insert_rows(
+            "//q/dt", spark.createDataFrame(data[lo:hi], "data string"))
+
+    got = [r.data for r in c.read_table("//q/dt").collect()]
+    assert got == [f"foo{i}" for i in range(10)]  # insertion order
+
+    rng = ("<ranges=[{lower_limit={tablet_index=0; row_index=3};"
+           "upper_limit={tablet_index=0; row_index=8}}]>//q/dt")
+    got = [r.data for r in c.read_table(rng).collect()]
+    assert got == [f"foo{i}" for i in range(3, 8)]
+
+    # a lower bound on tablet 1 is past the single tablet's data
+    rng2 = ("<ranges=[{lower_limit={tablet_index=1; row_index=0};"
+            "upper_limit={tablet_index=1; row_index=5}}]>//q/dt")
+    assert c.read_table(rng2).count() == 0
+
+    # empty ordered table reads as empty with the declared schema
+    c.create("table", "//q/empty", attributes={
+        "dynamic": True, "schema": [{"name": "x", "type": "int64"}],
+    })
+    df = c.read_table("//q/empty")
+    assert df.count() == 0 and df.columns == ["x"]

@@ -1139,6 +1139,99 @@ CASES = [
              "order by i", [[2], [8]]),
         ],
     ),
+    dict(
+        id="dynamic/ordered_simple",
+        ref="yt/chyt/tests/server/test_dynamic_tables.py:96",
+        tables={},
+        dyn_tables={"//tmp/dt": (
+            [{"name": "data", "type": "string"}],
+            "data string", [(f"foo{i}",) for i in range(10)],
+        )},
+        steps=[
+            ("select * from `//tmp/dt` order by data",
+             [[f"foo{i}"] for i in range(10)]),
+            ("select * from `//tmp/dt` where data == 'foo7'", [["foo7"]]),
+            ("select * from `<ranges=[{lower_limit={tablet_index=0; "
+             "row_index=3};upper_limit={tablet_index=0; row_index=8}}]>"
+             "//tmp/dt` order by data",
+             [[f"foo{i}"] for i in range(3, 8)]),
+        ],
+    ),
+    dict(
+        id="dynamic/ordered_partial_select",
+        ref="yt/chyt/tests/server/test_dynamic_tables.py:149",
+        tables={},
+        dyn_tables={"//tmp/dt": (
+            [{"name": "data1", "type": "string"},
+             {"name": "data2", "type": "string"},
+             {"name": "data3", "type": "string"}],
+            "data1 string, data2 string, data3 string",
+            [(f"foo{i}", f"foo2-{i}", f"foo3-{i}") for i in range(10)],
+        )},
+        steps=[
+            ("select `data1`, `data3` from `//tmp/dt` order by data1",
+             [[f"foo{i}", f"foo3-{i}"] for i in range(10)]),
+        ],
+    ),
+    dict(
+        id="dynamic/ordered_concat",
+        ref="yt/chyt/tests/server/test_dynamic_tables.py:189",
+        tables={"//tmp/st": ("data string",
+                             [(f"foo{i}",) for i in range(10)])},
+        dyn_tables={"//tmp/dt": (
+            [{"name": "data", "type": "string"}],
+            "data string", [(f"foo{i}",) for i in range(10)],
+        )},
+        steps=[
+            ("select * from concatYtTables(`//tmp/dt`) order by data",
+             [[f"foo{i}"] for i in range(10)]),
+            ("select * from concatYtTables(`//tmp/dt`, `//tmp/dt`) "
+             "order by data",
+             sorted([[f"foo{i}"] for i in range(10)] * 2)),
+            ("select * from concatYtTables(`//tmp/dt`, `//tmp/st`) "
+             "order by data",
+             sorted([[f"foo{i}"] for i in range(10)] * 2)),
+            ("select * from concatYtTables(`//tmp/st`, `//tmp/dt`) "
+             "order by data",
+             sorted([[f"foo{i}"] for i in range(10)] * 2)),
+        ],
+    ),
+    dict(
+        id="dynamic/ordered_insert",
+        ref="yt/chyt/tests/server/test_dynamic_tables.py:233",
+        tables={},
+        dyn_tables={"//tmp/dt": (
+            [{"name": "data", "type": "string"}],
+            "data string", [],
+        )},
+        steps=[
+            ("insert into `//tmp/dt` select 'abcd' as data", None),
+            ("select data from `//tmp/dt`", [["abcd"]]),
+        ],
+    ),
+    dict(
+        id="dynamic/write_to_dynamic_table",
+        ref="yt/chyt/tests/server/test_dynamic_tables.py:451",
+        tables={},
+        dyn_tables={"//tmp/t": (
+            [{"name": "key", "sort_order": "ascending"},
+             {"name": "value"}],
+            "key bigint, value string", [(100, "seed")],
+        )},
+        steps=[
+            ("insert into `//tmp/t` select number as key, "
+             "toString(number) as value from numbers(10)", None),
+            ("select * from `//tmp/t` order by key",
+             [[i, str(i)] for i in range(10)] + [[100, "seed"]]),
+            # re-insert upserts by key, not duplicates
+            ("insert into `//tmp/t` select number as key, "
+             "toString(number + 1) as value from numbers(10)", None),
+            ("select * from `//tmp/t` order by key",
+             [[i, str(i + 1)] for i in range(10)] + [[100, "seed"]]),
+            ("insert into `<append=%false>//tmp/t` select number as key, "
+             "toString(number) as value from numbers(10)", E),
+        ],
+    ),
 ]
 
 

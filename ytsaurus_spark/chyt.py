@@ -2338,6 +2338,19 @@ def chyt_execute(spark, text: str, client, sf_dir: str | None = None,
         elif client.exists(path):
             target = client.read_table(path)
             df = df.toDF(*target.columns)
+        if client.exists(path):
+            from ytsaurus_spark.sources.formats import table_attributes
+
+            if table_attributes(client._fs(path)).get("dynamic"):
+                # dynamic targets take the dynamic write path: sorted
+                # tables upsert by key, ordered tables append
+                # (test_dynamic_tables.py::test_write_to_dynamic_table);
+                # <append=%false> is refused like the reference
+                if not append:
+                    raise ValueError(
+                        "Overriding dynamic tables is not supported")
+                client.insert_rows(path, df)
+                return None
         if not append and client.exists(path):
             # INSERT <append=%false> may SELECT from the table it
             # overwrites. Stage to a sibling path and atomically swap —

@@ -27,6 +27,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ytsaurus_spark.sources.formats import (
     read_table as _read_fmt,
@@ -65,14 +66,42 @@ class YtClient:
         floats); absent prefix returns ({}, ypath) unchanged."""
         if not ypath.startswith("<"):
             return {}, ypath
-        end = ypath.index(">")
+        # the prefix is YSON-ish: values may nest maps/lists
+        # (<ranges=[{lower_limit={row_index=3}}]>), so both the closing
+        # '>' and the ';' separators are found depth-aware
+        depth, end = 0, -1
+        for i, ch in enumerate(ypath):
+            if ch in "{[":
+                depth += 1
+            elif ch in "}]":
+                depth -= 1
+            elif ch == ">" and depth == 0 and i > 0:
+                end = i
+                break
+        if end < 0:
+            raise YPathError(f"unterminated attribute prefix: {ypath!r}")
+        parts, buf, depth = [], [], 0
+        for ch in ypath[1:end]:
+            if ch in "{[":
+                depth += 1
+            elif ch in "}]":
+                depth -= 1
+            if ch == ";" and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
         attrs: dict = {}
-        for part in ypath[1:end].split(";"):
+        for part in parts:
             part = part.strip()
             if not part:
                 continue
             k, _, v = part.partition("=")
             v = v.strip()
+            if v.startswith(("[", "{")):
+                attrs[k.strip()] = v  # structured value kept raw
+                continue
             if v == "%true":
                 val: object = True
             elif v == "%false":
@@ -87,6 +116,34 @@ class YtClient:
                         val = v.strip('"')
             attrs[k.strip()] = val
         return attrs, ypath[end + 1:]
+
+    @staticmethod
+    def _parse_ranges(raw: str) -> list[tuple[int | None, int | None]]:
+        """``<ranges=[{lower_limit={tablet_index=0; row_index=3};
+        upper_limit={tablet_index=0; row_index=8}}]>`` -> [(3, 8)].
+        Single-tablet model: a limit addressing tablet_index > 0 is past
+        the end of the data. Returns [lower, upper) row-index pairs."""
+        import re as _re
+
+        out: list[tuple[int | None, int | None]] = []
+        for block in _re.finditer(r"\{\s*(lower_limit.*?)\}\s*\}", raw):
+            body = block.group(0)
+            bounds: dict[str, int | None] = {"lower": None, "upper": None}
+            for which in ("lower", "upper"):
+                m = _re.search(which + r"_limit\s*=\s*\{([^}]*)\}", body)
+                if not m:
+                    continue
+                inner = m.group(1)
+                t = _re.search(r"tablet_index\s*=\s*(\d+)", inner)
+                r = _re.search(r"row_index\s*=\s*(\d+)", inner)
+                idx = int(r.group(1)) if r else None
+                if t and int(t.group(1)) > 0:
+                    # beyond the single tablet: lower -> empty range,
+                    # upper -> unbounded
+                    idx = (1 << 62) if which == "lower" else None
+                bounds[which] = idx
+            out.append((bounds["lower"], bounds["upper"]))
+        return out
 
     @staticmethod
     def _split_rich(ypath: str) -> tuple[str, str]:
@@ -120,9 +177,17 @@ class YtClient:
         if attrs.get("dynamic"):
             schema = attrs.get("schema") or []
             keys = [c["name"] for c in schema if c.get("sort_order")]
-            if not keys:
-                raise YPathError("dynamic table needs sorted key columns")
             os.makedirs(p, exist_ok=True)
+            if not keys:
+                # no sorted key columns -> ORDERED dynamic table (an
+                # append log / queue; reference: sorted_dynamic_store vs
+                # ordered_dynamic_store, test_dynamic_tables.py:96).
+                # Rows get a persisted $row_index; reads come back in
+                # insertion order.
+                _write_attrs(p, {"dynamic": True, "ordered": True,
+                                 "key_columns": [], "row_count": 0,
+                                 "schema": schema})
+                return
             _write_attrs(p, {"dynamic": True, "key_columns": keys,
                              "schema": schema})
             return
@@ -242,7 +307,41 @@ class YtClient:
         prefix, ypath = self._split_attrs(ypath)
         path, rich = self._split_rich(ypath)
         p = self._fs(path)
-        if table_attributes(p).get("dynamic"):
+        attrs = table_attributes(p)
+        if attrs.get("ordered"):
+            # ordered dynamic table: rows come back in insertion order
+            # (the persisted $row_index); <ranges=...> prefix limits by
+            # row index, pushed down to the parquet scan's min/max
+            if int(attrs.get("row_count", 0)) == 0:
+                from pyspark.sql import types as T
+
+                from ytsaurus_spark.yt_types import yt_type_to_spark
+
+                fields = [
+                    T.StructField(c["name"],
+                                  yt_type_to_spark(c.get("type", "string")))
+                    for c in attrs.get("schema", [])
+                ] + [T.StructField("_yt_row_index", T.LongType())]
+                df = self.spark.createDataFrame([], T.StructType(fields))
+            else:
+                df = _read_fmt(self.spark, p)
+            if "ranges" in prefix:
+                pairs = self._parse_ranges(str(prefix["ranges"]))
+                if pairs:
+                    conds = []
+                    for lo, hi in pairs:
+                        c = F.lit(True)
+                        if lo is not None:
+                            c = c & (F.col("_yt_row_index") >= lo)
+                        if hi is not None:
+                            c = c & (F.col("_yt_row_index") < hi)
+                        conds.append(c)
+                    acc = conds[0]
+                    for c in conds[1:]:
+                        acc = acc | c
+                    df = df.filter(acc)
+            df = df.orderBy("_yt_row_index").drop("_yt_row_index")
+        elif attrs.get("dynamic"):
             # <timestamp=N> attribute: MVCC read as of the timestamp
             # (the reference's timestamped read, test_dynamic_tables.py:
             # 344; client_dynamic_tables_impl.cpp:1599)
@@ -252,6 +351,24 @@ class YtClient:
             )
         else:
             df = _read_fmt(self.spark, p)
+            if "ranges" in prefix:
+                from ytsaurus_spark.catalog import _with_global_row_index
+
+                pairs = self._parse_ranges(str(prefix["ranges"]))
+                if pairs:
+                    df = _with_global_row_index(df)
+                    conds = []
+                    for lo, hi in pairs:
+                        c = F.lit(True)
+                        if lo is not None:
+                            c = c & (F.col("__row_index") >= lo)
+                        if hi is not None:
+                            c = c & (F.col("__row_index") < hi)
+                        conds.append(c)
+                    acc = conds[0]
+                    for c in conds[1:]:
+                        acc = acc | c
+                    df = df.filter(acc).drop("__row_index")
         if rich and "append" not in rich:
             rp = RichPath.parse("t" + rich)
             if rp.columns:
@@ -287,6 +404,25 @@ class YtClient:
         return self._dyn_cache[p]
 
     def insert_rows(self, ypath: str, rows: DataFrame, update: bool = False) -> None:
+        p = self._fs(ypath)
+        attrs = table_attributes(p)
+        if attrs.get("ordered"):
+            # ordered dynamic table: append-only; each row gets the next
+            # $row_index (persisted so read order survives file layout)
+            from ytsaurus_spark.catalog import _with_global_row_index
+            from ytsaurus_spark.sources.formats import _write_attrs
+
+            base = int(attrs.get("row_count", 0))
+            indexed = _with_global_row_index(rows, "_yt_row_index")
+            indexed = indexed.withColumn(
+                "_yt_row_index", F.col("_yt_row_index") + F.lit(base)
+            )
+            n = rows.count()
+            self.write_table(ypath, indexed, append=True)
+            new_attrs = dict(table_attributes(p))
+            new_attrs["row_count"] = base + n
+            _write_attrs(p, new_attrs)
+            return
         t = self._dyn(ypath)
         if t.current_version() < 0:
             t.init(rows)
