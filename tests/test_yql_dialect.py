@@ -1424,3 +1424,87 @@ def test_yql_update_delete(spark, tmp_path):
         yql_execute(spark,
                     "DELETE FROM `//dyn/t` WHERE k = 2 RETURNING k",
                     client=c)
+
+
+def test_yql_literal_suffixes(spark, sf_dir):
+    """YQL lexer literal forms: integer suffixes (123u Uint32, 123ul
+    Uint64, 123l Int64, t/ut/s/us widths), 0x hex literals, string
+    suffixes ('…'u Utf8), the Datetime()/Interval() constructors, and a
+    named lambda passed BY REFERENCE to a list combinator."""
+    from ytsaurus_spark.yql import yql_select
+
+    def one(sql):
+        return yql_select(spark, sql, sf_dir=sf_dir).collect()[0]
+
+    r = one("SELECT 123u AS a, 45ul AS b, 7l AS c, 5t AS d, 8us AS e")
+    assert tuple(r) == (123, 45, 7, 5, 8)
+    r = one("SELECT 0xFF AS h, 0xffUL AS h2")
+    assert tuple(r) == (255, 255)
+    assert one("SELECT 'abc'u AS s").s == "abc"
+    # suffix-looking text inside string literals is untouched
+    assert one("SELECT '123u 0xFF' AS s").s == "123u 0xFF"
+    import datetime as _dt
+
+    r = one("SELECT Datetime('2024-01-15T10:30:00Z') AS d")
+    assert r.d == _dt.datetime(2024, 1, 15, 10, 30)
+    r = one("SELECT Date('2024-01-15') + Interval('P1DT2H') AS d")
+    assert r.d == _dt.datetime(2024, 1, 16, 2, 0)
+    r = one("$pred = ($x) -> ($x > 1); "
+            "SELECT ListFilter([1,2,3], $pred) AS l")
+    assert r.l == [2, 3]
+
+
+def test_yql_list_dict_set_builtins(spark, sf_dir):
+    """List combinators, dict/set algebra, and ToString lower to Spark
+    higher-order functions; ListZip truncates while ListZipAll pads
+    (the reference's two zip flavors)."""
+    from ytsaurus_spark.yql import yql_select
+
+    def one(sql):
+        return yql_select(spark, sql, sf_dir=sf_dir).collect()[0][0]
+
+    assert one("SELECT ListFlatMap([1,2], ($x) -> ([$x, $x*10])) AS l") \
+        == [1, 10, 2, 20]
+    assert one("SELECT ListFlatten([[1,2],[3]]) AS l") == [1, 2, 3]
+    assert one("SELECT ListFold([1,2,3], 100, "
+               "($x, $acc) -> ($acc - $x)) AS s") == 94
+    assert one("SELECT ListLength(ListZip([1,2,3], ['a'])) AS n") == 1
+    assert one("SELECT ListLength(ListZipAll([1,2,3], ['a'])) AS n") == 3
+    assert one("SELECT ListTopSort([5,1,4], 2) AS l") == [1, 4]
+    assert one("SELECT DictItems({'a': 1})[0].1 AS v") == 1
+    assert one("SELECT ToDict([('a', 1), ('b', 2)])['b'] AS v") == 2
+    assert one("SELECT SetIncludes({1,2,3}, {2,3}) AS ok") is True
+    assert sorted(one(
+        "SELECT DictKeys(SetIntersection({1,2,3}, {2,3,4})) AS k")) \
+        == [2, 3]
+    assert sorted(one(
+        "SELECT DictKeys(SetDifference({1,2,3}, {2})) AS k")) == [1, 3]
+    assert one("SELECT SetIsDisjoint({1,2}, {3,4}) AS ok") is True
+    assert one("SELECT ToString(42) AS s") == "42"
+
+
+def test_yql_aggregate_spellings(spark, sf_dir):
+    """YQL aggregate-function text spellings lower to Spark aggregates:
+    AGGREGATE_LIST[_DISTINCT] (with the optional limit), SUM_IF/AVG_IF,
+    CountDistinctEstimate, and TOP/BOTTOM[_BY] (n largest/smallest)."""
+    from ytsaurus_spark.yql import yql_select
+
+    def one(sql):
+        return yql_select(spark, sql, sf_dir=sf_dir).collect()[0][0]
+
+    assert one("SELECT ListLength(AGGREGATE_LIST(n_name)) AS n "
+               "FROM nation") == 25
+    assert one("SELECT ListLength(AGGREGATE_LIST(n_name, 5)) AS n "
+               "FROM nation") == 5
+    assert one("SELECT ListLength(AGGREGATE_LIST_DISTINCT(n_regionkey)) "
+               "AS n FROM nation") == 5
+    assert one("SELECT SUM_IF(n_nationkey, n_regionkey = 0) AS s "
+               "FROM nation") == 50
+    assert one("SELECT CountDistinctEstimate(n_regionkey) AS c "
+               "FROM nation") == 5
+    assert one("SELECT TOP(n_nationkey, 3) AS t FROM nation") \
+        == [24, 23, 22]
+    assert one("SELECT BOTTOM(n_nationkey, 3) AS b FROM nation") \
+        == [0, 1, 2]
+    assert one("SELECT TOP_BY(n_name, n_nationkey, 2) AS t FROM nation") \
+        == ["NATION_24", "NATION_23"]

@@ -154,6 +154,11 @@ def _scripts(rng: random.Random):
         # ?? chains and ?? inside expressions
         f"select k, (v ?? k ?? 0) + {m} as c,"
         " coalesce(v, 0) - (v ?? 0) as z from ft order by k, c;",
+        # integer-literal suffixes (123u/123ul/123l/0x hex) and string
+        # suffixes ('…'u) drop to portable bare literals
+        f"select k, k + {t}u as ku, k * {m}ul as kul, 0x10 + k as hx,"
+        f" 'tag'u as tag, {t}l - k as kl from ft"
+        f" where k <= 0xFF order by k;",
     ]
 
 

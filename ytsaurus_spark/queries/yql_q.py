@@ -1093,3 +1093,41 @@ def yql_text_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         client=client,
     )
     return client.read_table("//dml/cust").orderBy("c_custkey")
+
+
+# --- list/dict/set builtin family (builtin docs: ListFold/ListFlatMap/
+# SetIncludes et al.; lowered to Spark higher-order functions) ---------------
+
+_LIST_BUILTINS_TEXT = """
+$m = 3;
+select event_type,
+       cast(count(*) as bigint) as n,
+       ListFold(ListFromRange(1, $m + 1), 0,
+                ($x, $acc) -> ($x + $acc)) as tri,
+       ListLength(ListNotNull([1, NULL, 2])) as nn,
+       ListLength(ListZip([1,2,3], ['a'])) as zt,
+       SetIncludes({1, 2, 3}, {2}) as inc
+from events
+group by event_type
+order by event_type;
+"""
+
+
+@register(
+    "yql_text_list_builtins",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           6 AS tri, 2 AS nn, 1 AS zt, true AS inc
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def yql_text_list_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YQL list/set builtin family in verbatim text: ListFold (Spark
+    aggregate() with the (item, state) -> (acc, item) parameter swap),
+    ListNotNull (filter), ListZip (truncating zip_with), SetIncludes
+    over set literals (maps keyed on members). All lower to JVM-side
+    higher-order functions — no Python in the plan; the oracle pins the
+    constant folds so any lowering drift diverges loudly."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _LIST_BUILTINS_TEXT, sf_dir=sf_dir, star=False)

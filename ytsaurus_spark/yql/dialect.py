@@ -204,6 +204,23 @@ def _expand_lambdas(
     )
 
 
+def _inline_lambda_refs(
+    text: str, lambdas: dict[str, tuple[list[str], str]]
+) -> str:
+    """Replace a BARE ``$name`` reference to a named lambda (not a call
+    — ``ListFilter(l, $pred)``) with the lambda literal, so the inline
+    conversion pass can lower it like any ``($x) -> (...)`` argument."""
+    def rep(m: re.Match) -> str:
+        params, body = lambdas[m.group(1)]
+        args = ", ".join(f"${p}" for p in params)
+        return f"({args}) -> ({body})"
+
+    names = "|".join(re.escape(n) for n in lambdas)
+    if not names:
+        return text
+    return re.sub(rf"\$({names})\b(?!\s*\()", rep, text)
+
+
 def _subst_refs(
     text: str, defined: set[str], values: dict[str, str] | None = None
 ) -> str:
@@ -577,6 +594,32 @@ def _convert_inline_lambdas(text: str) -> str:
             + _convert_inline_lambdas(text[end:]))
 
 
+def _interval_literal(arg: str) -> str:
+    """``Interval('P1DT2H3M4S')`` -> a Spark day-time interval. YQL
+    intervals are microsecond counts; ISO-8601 duration literals are the
+    only constructor form (sql_expression.cpp BuildLiteralTypedCall)."""
+    lit = arg.strip().strip("'\"")
+    m = _ISO_DUR.match(lit)
+    if not m:
+        raise YqlUnsupportedError(
+            f"Interval() expects an ISO-8601 duration literal, got {arg!r}")
+    d, h, mi, s = (int(g or 0) for g in m.groups())
+    total = ((d * 24 + h) * 60 + mi) * 60 + s
+    return f"INTERVAL '{total}' SECOND"
+
+
+def _fold_lambda(txt: str) -> str:
+    """ListFold's update lambda is ``($item, $state) -> ...``; Spark's
+    aggregate() merge is ``(acc, item) -> ...`` — convert and swap the
+    parameter positions."""
+    s = _yql_lambda_to_spark(txt)
+    m = re.match(r"(?s)^\(\s*(__\w+)\s*,\s*(__\w+)\s*\)\s*->\s*(.*)$", s)
+    if not m:
+        raise YqlUnsupportedError(
+            f"ListFold expects a 2-argument lambda, got {txt[:40]!r}")
+    return f"({m.group(2)}, {m.group(1)}) -> {m.group(3)}"
+
+
 def _find_spec(a: list[str]) -> str:
     # YQL FIND is 0-based, NULL when absent (string_udf.cpp Find)
     if len(a) >= 3:
@@ -597,6 +640,28 @@ _BUILTIN_FUNCS: dict[str, object] = {
     "dictcontains": "map_contains_key({0}, {1})",
     "dictlookup": "element_at({0}, {1})",
     "dictlength": "size({0})",
+    "dictitems": "transform(map_entries({0}), __e -> "
+                 "named_struct('_0', __e.key, '_1', __e.value))",
+    "todict": "map_from_entries(transform({0}, __t -> "
+              "struct(__t._0, __t._1)))",
+    "toset": "map_from_entries(transform(array_distinct({0}), "
+             "__x -> struct(__x, true)))",
+    # set algebra over the Dict<K,Void>-as-map convention ({a, b} set
+    # literals lower to maps keyed on the members)
+    "setincludes": "forall(map_keys({1}), __k -> "
+                   "map_contains_key({0}, __k))",
+    "setintersection": "map_filter({0}, (__k, __v) -> "
+                       "map_contains_key({1}, __k))",
+    "setdifference": "map_filter({0}, (__k, __v) -> "
+                     "NOT map_contains_key({1}, __k))",
+    "setunion": "map_concat({0}, map_filter({1}, (__k, __v) -> "
+                "NOT map_contains_key({0}, __k)))",
+    "setsymmetricdifference":
+        "map_concat(map_filter({0}, (__k, __v) -> "
+        "NOT map_contains_key({1}, __k)), "
+        "map_filter({1}, (__k, __v) -> NOT map_contains_key({0}, __k)))",
+    "setisdisjoint": "NOT exists(map_keys({0}), __k -> "
+                     "map_contains_key({1}, __k))",
     # lists
     "listlength": "size({0})",
     "listhas": "array_contains({0}, {1})",
@@ -621,10 +686,28 @@ _BUILTIN_FUNCS: dict[str, object] = {
         f"transform({a[0]}, {_yql_lambda_to_spark(a[1])})",
     "listfilter": lambda a:
         f"filter({a[0]}, {_yql_lambda_to_spark(a[1])})",
+    "listflatmap": lambda a:
+        f"flatten(transform({a[0]}, {_yql_lambda_to_spark(a[1])}))",
+    "listflatten": "flatten({0})",
+    "listany": "exists({0}, __x -> __x)",
+    "listall": "forall({0}, __x -> __x)",
+    "listnotnull": "filter({0}, __x -> __x is not null)",
+    "listfold": lambda a:
+        f"aggregate({a[0]}, {a[1]}, {_fold_lambda(a[2])})",
+    "listtop": lambda a: f"slice(array_sort({a[0]}), 1, {a[1]})",
+    "listtopsort": lambda a: f"slice(array_sort({a[0]}), 1, {a[1]})",
+    "listtopdesc": lambda a: f"slice(sort_array({a[0]}, false), 1, {a[1]})",
+    "listtopsortdesc": lambda a:
+        f"slice(sort_array({a[0]}, false), 1, {a[1]})",
+    # ListZip TRUNCATES to the shorter list; ListZipAll pads with NULLs
+    # (Spark's zip_with is the padding form)
+    "listzipall": "zip_with({0}, {1}, (__x, __y) -> "
+                  "named_struct('_0', __x, '_1', __y))",
     "listenumerate": "transform({0}, (__x, __i) -> "
                      "named_struct('_0', CAST(__i AS BIGINT), '_1', __x))",
-    "listzip": "zip_with({0}, {1}, (__x, __y) -> "
-               "named_struct('_0', __x, '_1', __y))",
+    "listzip": "slice(zip_with({0}, {1}, (__x, __y) -> "
+               "named_struct('_0', __x, '_1', __y)), 1, "
+               "least(size({0}), size({1})))",
     "listfromrange": lambda a: (
         f"sequence({a[0]}, ({a[1]}) - 1)" if len(a) == 2
         else f"sequence({a[0]}, ({a[1]}) - 1, {a[2]})"),
@@ -646,6 +729,34 @@ _BUILTIN_FUNCS: dict[str, object] = {
     "currentutcdate": lambda a: "current_date()",
     "currentutcdatetime": lambda a: "current_timestamp()",
     "currentutctimestamp": lambda a: "current_timestamp()",
+    # simple-type constructors over ISO-8601 literals (sql_expression.cpp
+    # BuildLiteralTypedCall; Date() maps to Spark's own date())
+    "datetime": "to_timestamp(replace(replace({0}, 'T', ' '), 'Z', ''))",
+    "timestamp": "to_timestamp(replace(replace({0}, 'T', ' '), 'Z', ''))",
+    "interval": lambda a: _interval_literal(a[0]),
+    "tostring": "cast({0} as string)",
+    # aggregate-function spellings (aggregate_function docs; the
+    # DataFrame-level family lives in queries/aggregates.py)
+    "aggregate_list": lambda a: (
+        f"collect_list({a[0]})" if len(a) == 1
+        else f"slice(collect_list({a[0]}), 1, {a[1]})"),
+    "aggregate_list_distinct": lambda a: (
+        f"collect_set({a[0]})" if len(a) == 1
+        else f"slice(collect_set({a[0]}), 1, {a[1]})"),
+    "sum_if": "sum(CASE WHEN {1} THEN {0} END)",
+    "avg_if": "avg(CASE WHEN {1} THEN {0} END)",
+    "countdistinctestimate": "approx_count_distinct({0})",
+    "hll": "approx_count_distinct({0})",
+    # TOP/BOTTOM keep the n LARGEST / SMALLEST values (aggregate docs);
+    # *_BY order by a separate key
+    "top": "slice(sort_array(collect_list({0}), false), 1, {1})",
+    "bottom": "slice(sort_array(collect_list({0})), 1, {1})",
+    "top_by": "slice(transform(sort_array(collect_list("
+              "named_struct('k', {1}, 'v', {0})), false), "
+              "__t -> __t.v), 1, {2})",
+    "bottom_by": "slice(transform(sort_array(collect_list("
+                 "named_struct('k', {1}, 'v', {0}))), "
+                 "__t -> __t.v), 1, {2})",
     # YQL Random*(dependency args) — per-row doubles; Spark's rand()
     "random": lambda a: "rand()",
     "randomnumber": lambda a:
@@ -950,6 +1061,13 @@ def _rewrite_container_literals(text: str, tuples: bool = True) -> str:
                 j += 2 if (c != "`" and text[j] == "\\") else 1
             out.append(text[i : min(j + 1, n)])
             i = j + 1
+            # YQL string-literal suffixes ('…'u Utf8, 'y' Yson, 'j'
+            # Json, 'v' — lexer STRING_VALUE): the value is the same
+            # bytes for Spark, drop the marker
+            if (c != "`" and i < n and text[i] in "uyjv"
+                    and (i + 1 == n or not (text[i + 1].isalnum()
+                                            or text[i + 1] == "_"))):
+                i += 1
             continue
         if text[i : i + 2] == "<|":
             j = _match_close(i, "<|", "|>")
@@ -1275,9 +1393,33 @@ def _rewrite_anon_tables(text: str) -> str:
     return "".join(out)
 
 
+# YQL integer-literal suffixes (lexer: 123u Uint32, 123ul Uint64, 123l
+# Int64, 123t/ut Int8/Uint8, 123s/us Int16/Uint16) and 0x hex literals —
+# Spark reads the bare digits; width comes from context
+_INT_SUFFIX = re.compile(
+    r"\b(?:0x([0-9A-Fa-f]+)|(\d+))((?i:u[lst]?|[lst]|us))?\b"
+)
+
+
+def _rewrite_int_literals(text: str) -> str:
+    d = _depth_map(text)
+    out, last = [], 0
+    for m in _INT_SUFFIX.finditer(text):
+        if d[m.start()] < 0:  # inside a string literal
+            continue
+        if not (m.group(1) or m.group(3)):
+            continue  # plain decimal, nothing to do
+        out.append(text[last:m.start()])
+        out.append(str(int(m.group(1), 16)) if m.group(1) else m.group(2))
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _rewrite_yqlisms(text: str) -> str:
     text = _rewrite_anon_tables(text)
     text = _rewrite_flatten_by(text)
+    text = _rewrite_int_literals(text)
     text = _rewrite_container_literals(text)
     for pat, repl in _REWRITES:
         text = pat.sub(repl, text)
@@ -2336,7 +2478,9 @@ def translate_yql_script(
             continue
         pre = _subst_backticks(
             _subst_refs(
-                _convert_inline_lambdas(_expand_lambdas(body, lambdas)),
+                _convert_inline_lambdas(
+                    _inline_lambda_refs(
+                        _expand_lambdas(body, lambdas), lambdas)),
                 defined, values,
             )
         )
@@ -2435,7 +2579,8 @@ def translate_yql_script(
                 _subst_backticks(
                     _subst_refs(
                         _convert_inline_lambdas(
-                            _expand_lambdas(body, lambdas)
+                            _inline_lambda_refs(
+                                _expand_lambdas(body, lambdas), lambdas)
                         ),
                         {n for n, _ in visible},
                         vis_values,
