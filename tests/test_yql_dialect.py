@@ -1508,3 +1508,36 @@ def test_yql_aggregate_spellings(spark, sf_dir):
         == [0, 1, 2]
     assert one("SELECT TOP_BY(n_name, n_nationkey, 2) AS t FROM nation") \
         == ["NATION_24", "NATION_23"]
+
+
+def test_yql_session_window_text(spark, sf_dir):
+    """SessionWindow(ts, gap) in GROUP BY and in a WINDOW clause
+    partition, with SessionStart() in both contexts (sql_group_by.cpp
+    session windows). The lowering wraps the FROM in a session-id
+    subquery; WHERE stays inside the wrap so sessions form on filtered
+    rows."""
+    from ytsaurus_spark.yql import yql_select
+
+    rows = yql_select(spark, """
+        select user_id, SessionStart() as ss,
+               cast(count(*) as bigint) as n
+        from events where user_id <= 2
+        group by user_id, SessionWindow(ts, Interval('PT4H'))
+        order by user_id, ss;
+    """, sf_dir=sf_dir).collect()
+    assert rows, "no sessions formed"
+    # sessions are disjoint per user and starts are ordered
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.ss)
+    for starts in per_user.values():
+        assert starts == sorted(starts)
+
+    w = yql_select(spark, """
+        select user_id, ts, SessionStart() over w as ss
+        from events where user_id = 1
+        window w as (partition by user_id,
+                     SessionWindow(ts, Interval('PT4H')))
+        order by ts;
+    """, sf_dir=sf_dir).collect()
+    assert w and all(r.ss <= r.ts for r in w)

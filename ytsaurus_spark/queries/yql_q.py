@@ -1131,3 +1131,48 @@ def yql_text_list_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.yql import yql_select
 
     return yql_select(spark, _LIST_BUILTINS_TEXT, sf_dir=sf_dir, star=False)
+
+
+# --- SessionWindow / SessionStart text forms (sql_group_by.cpp) --------------
+
+_SESSION_TEXT = """
+select user_id, SessionStart() as ss, cast(count(*) as bigint) as n
+from `//home/x/events`
+where user_id <= 40
+group by user_id, SessionWindow(ts, Interval('PT2H'))
+order by user_id, ss
+limit 200;
+"""
+
+
+@register(
+    "yql_text_session_window",
+    """
+    WITH b AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events WHERE user_id <= 40
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 2 HOUR
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM b
+    )
+    SELECT user_id, min(ts) AS ss, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id, sess ORDER BY user_id, ss LIMIT 200
+    """,
+)
+def yql_text_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY user_id, SessionWindow(ts, gap)`` + ``SessionStart()``
+    in verbatim YQL text (sql_group_by.cpp SessionWindow). Lowered to
+    the two-pass session assignment the engine-level operator uses
+    (queries/windows.py win_sessionize): a gap-break cumulative sum in a
+    wrapped FROM subquery becomes the session id; SessionStart() is
+    min(ts) under the group. ONE exchange on user_id serves both the
+    window pass and the aggregation — the session id never reshuffles."""
+    from ytsaurus_spark.yql import yql_select
+
+    return yql_select(spark, _SESSION_TEXT, sf_dir=sf_dir, star=False)

@@ -1429,7 +1429,113 @@ def _rewrite_yqlisms(text: str) -> str:
     text = _rewrite_hop(text)
     text = _rewrite_substring(text)
     text = _rewrite_real_literals(text)
-    return _rewrite_groupby_as(text)
+    return _rewrite_session_window(_rewrite_groupby_as(text))
+
+
+# --- SessionWindow / SessionStart text forms ---------------------------------
+#
+# YQL's session windows (SQLv1 window_specification / group-by session:
+# ``GROUP BY user_id, SessionWindow(ts, gap)`` or ``WINDOW w AS
+# (PARTITION BY user_id, SessionWindow(ts, gap))``; sql_group_by.cpp
+# SessionWindow handling). Lowering = the classic two-pass session
+# assignment the engine-level operator (queries/windows.py
+# win_sessionize) uses: a gap-break cumulative sum over (keys, ts)
+# becomes a __yql_session id computed in a wrapped FROM subquery; the
+# SessionWindow item then groups/partitions on that id, and
+# SessionStart() is min(ts) — the aggregate form under GROUP BY, the
+# windowed form under an OVER clause. One extra window pass before the
+# aggregation — the same single-exchange shape as the DataFrame
+# operator.
+
+_SESSION_WINDOW_RE = re.compile(r"(?i)\bSessionWindow\s*\(")
+_CLAUSE_BOUNDARY = re.compile(
+    r"(?i)\b(where|group|having|window|order|limit|union|intersect|"
+    r"except|rows|range)\b"
+)
+
+
+def _rewrite_session_window(text: str) -> str:
+    m = _SESSION_WINDOW_RE.search(text)
+    if not m:
+        return text
+    depth = _depth_map(text)
+    if depth[m.start()] < 0:
+        return text
+    args, call_end = _split_call_args(text, text.index("(", m.end() - 1))
+    if len(args) != 2:
+        raise YqlUnsupportedError(
+            "SessionWindow expects (time_expr, gap)")
+    ts, gap = (a.strip() for a in args)
+    if _SESSION_WINDOW_RE.search(text, call_end):
+        raise YqlUnsupportedError(
+            "multiple SessionWindow calls in one statement")
+    d0 = depth[m.start()]
+
+    # the owning BY-list: nearest GROUP BY / PARTITION BY before the call
+    # whose span still covers it
+    by = None
+    for bm in re.finditer(r"(?i)\b(group|partition)\s+by\b", text[: m.start()]):
+        if depth[bm.start()] in (d0, d0 - 1):
+            by = bm
+    if by is None:
+        raise YqlUnsupportedError(
+            "SessionWindow outside a GROUP BY / PARTITION BY list")
+    kind = by.group(1).lower()
+    # keys run from the BY to the next clause boundary at the list's depth
+    list_depth = depth[by.start()]
+    end_of_list = len(text)
+    for cm in _CLAUSE_BOUNDARY.finditer(text, by.end()):
+        if depth[cm.start()] == list_depth:
+            end_of_list = cm.start()
+            break
+    stmt_depth = list_depth - 1 if kind == "partition" else list_depth
+    if kind == "partition":
+        # inside a parenthesized window spec: the spec's ')' also ends it
+        j = call_end
+        while j < len(text) and not (
+                text[j] == ")" and depth[j] == stmt_depth):
+            j += 1
+        end_of_list = min(end_of_list, j)
+    items = _split_top_commas(text[by.end():end_of_list])
+    keys = [i.strip() for i in items
+            if i.strip() and not _SESSION_WINDOW_RE.search(i)]
+
+    # session-id assignment, computed over the (wrapped) FROM source
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    lag = f"lag({ts}) OVER ({part}ORDER BY {ts})"
+    sess = (f"SUM(CASE WHEN {lag} IS NULL OR {ts} - {lag} > {gap} "
+            f"THEN 1 ELSE 0 END) OVER ({part}ORDER BY {ts} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+
+    # wrap FROM <src> [WHERE p] into a subquery carrying __yql_session
+    fm = None
+    for cand in re.finditer(r"(?i)\bfrom\b", text):
+        if depth[cand.start()] == stmt_depth and cand.start() < m.start():
+            fm = cand
+    if fm is None:
+        raise YqlUnsupportedError("SessionWindow: no FROM clause found")
+    src_end = len(text)
+    for cm in re.finditer(
+            r"(?i)\b(group|having|window|order|limit)\b", text[fm.end():]):
+        p = fm.end() + cm.start()
+        if depth[p] == stmt_depth:
+            src_end = p
+            break
+    src = text[fm.end():src_end].strip()  # includes any WHERE
+    wrapped = (f" FROM (SELECT *, {sess} AS __yql_session "
+               f"FROM {src}) __yql_sessions ")
+
+    out = text[: fm.start()] + wrapped + text[src_end:]
+    # the replacement shifted positions — redo token substitutions on the
+    # new text: SessionWindow(...) item -> __yql_session, SessionStart()
+    # -> min(ts) (aggregate under GROUP BY, windowed under OVER w)
+    out = re.sub(r"(?is)\bSessionWindow\s*\([^()]*(?:\([^()]*\)[^()]*)*\)",
+                 "__yql_session", out)
+    if kind == "group":
+        out = re.sub(r"(?i)\bSessionStart\s*\(\s*\)", f"min({ts})", out)
+    else:
+        out = re.sub(r"(?i)\bSessionStart\s*\(\s*\)", f"min({ts})", out)
+    return out
 
 
 # --- DEFINE SUBQUERY / DEFINE ACTION / DO / EVALUATE --------------------------
