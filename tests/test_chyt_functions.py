@@ -954,3 +954,42 @@ def test_sql_udf_many_flat_calls(spark, client):
     )
     with pytest.raises(ValueError, match="depth 16"):
         chyt_execute(spark, "select cyc(1)", client=client)
+
+
+def test_ch_function_breadth_round11(spark, client):
+    """Round-11 CH spellings: arrayReverseSort, range/arrayEnumerate
+    (empty-safe), arrayStringConcat, replaceAll/One/RegexpAll,
+    today/yesterday, bit ops, lagInFrame/leadInFrame, parametric
+    quantile(p)(x) / quantileExact / topK(k)(x), median,
+    formatDateTime."""
+    from ytsaurus_spark.chyt import chyt_execute
+
+    client.create("map_node", "//tmp", ignore_existing=True)
+    client.write_table("//tmp/fb", spark.createDataFrame(
+        [(1, 1.5), (2, -2.0), (3, 0.5), (2, 9.0)],
+        "k bigint, v double").coalesce(1))
+
+    def one(sql):
+        rows = chyt_execute(spark, sql, client=client).collect()
+        return rows[0][0] if rows else None
+
+    assert one("select arrayReverseSort([1,3,2]) as a") == [3, 2, 1]
+    assert one("select range(3) as r") == [0, 1, 2]
+    assert one("select range(0) as r") == []
+    assert one("select range(2, 5) as r") == [2, 3, 4]
+    assert one("select arrayEnumerate([7,8]) as e") == [1, 2]
+    assert one("select arrayEnumerate(array()) as e") == []
+    assert one("select arrayStringConcat(['a','b'], '-') as s") == "a-b"
+    assert one("select arrayStringConcat(['a','b']) as s") == "ab"
+    assert one("select replaceOne('aaa', 'a', 'b') as r") == "baa"
+    assert one("select replaceRegexpAll('a1b2', '[0-9]', '') as r") == "ab"
+    assert one("select bitAnd(6, 3) as a") == 2
+    assert one("select bitShiftLeft(1, 4) as l") == 16
+    assert one("select median(k) as m from `//tmp/fb`") == 2.0
+    assert one("select quantile(0.5)(k) as q from `//tmp/fb`") == 2.0
+    assert one("select quantileExact(0.25)(k) as q from `//tmp/fb`") == 1.75
+    assert one("select topK(2)(k) as t from `//tmp/fb`") == [2, 1]
+    assert one("select formatDateTime(toDate('2024-03-05'), '%Y-%m') as f") \
+        == "2024-03"
+    assert one("select k - lagInFrame(k) over (order by k, v) as d "
+               "from `//tmp/fb` order by k, v limit 2") is None

@@ -180,6 +180,37 @@ _CH_FUNCS: dict[str, str] = {
     "splitbychar": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
     "startswith": "startswith({0}, {1})",
     "endswith": "endswith({0}, {1})",
+    "arrayreversesort": "sort_array({0}, false)",
+    # CH range()/arrayEnumerate() exclude the end; Spark sequence is
+    # inclusive AND descends when start > stop — guard the empty case
+    "range": lambda a: (
+        f"if(({a[0]}) <= 0, array(), sequence(0, ({a[0]}) - 1))"
+        if len(a) == 1 else
+        f"if(({a[1]}) <= ({a[0]}), array(), sequence({a[0]}, ({a[1]}) - 1"
+        + (f", {a[2]}" if len(a) > 2 else "") + "))"),
+    "arrayenumerate": "if(size({0}) = 0, array(), sequence(1, size({0})))",
+    "arraystringconcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"),
+    "replaceall": "replace({0}, {1}, {2})",
+    "replaceone": "CASE WHEN instr({0}, {1}) > 0 THEN "
+                  "concat(substring({0}, 1, instr({0}, {1}) - 1), {2}, "
+                  "substring({0}, instr({0}, {1}) + length({1}))) "
+                  "ELSE {0} END",
+    "replaceregexpall": "regexp_replace({0}, {1}, {2})",
+    "today": lambda a: "current_date()",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "siphash64": "xxhash64({0})",  # stable; NOT bit-compatible with CH
+    "bitand": "({0} & {1})",
+    "bitor": "({0} | {1})",
+    "bitxor": "({0} ^ {1})",
+    "bitnot": "(~{0})",
+    "bitshiftleft": "shiftleft({0}, {1})",
+    "bitshiftright": "shiftright({0}, {1})",
+    "laginframe": lambda a: "lag(" + ", ".join(a) + ")",
+    "leadinframe": lambda a: "lead(" + ", ".join(a) + ")",
+    "median": "percentile({0}, 0.5)",
+    "formatdatetime": lambda a: _format_datetime(a),
+    "tupleelement": lambda a: f"{a[0]}.{a[1]}",  # -> positional resolver
 }
 
 _CH_CALL = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
@@ -246,7 +277,7 @@ def _rewrite_ch_funcs(text: str) -> str:
     args = [_rewrite_ch_funcs(a.strip()) for a in args]
     # multiIf(c1, v1, c2, v2, ..., default) -> chained CASE
     try:
-        replacement = spec.format(*args)
+        replacement = spec(args) if callable(spec) else spec.format(*args)
     except IndexError:
         raise ValueError(
             f"{m.group(1)} expects more arguments than {len(args)}"
@@ -1155,9 +1186,52 @@ def translate_chyt(text: str, resolve=None) -> str:
     text = _fold_prewhere(text)
     text = _rewrite_sample(text)
     text = _rewrite_multiif(text)
+    text = _rewrite_parametric_aggs(text)
     text = _rewrite_cast_types(text)
     text = _rewrite_yson_funcs(text)
     return _rewrite_ch_funcs(text)
+
+
+def _format_datetime(a: list[str]) -> str:
+    """CH formatDateTime(d, '%Y-%m') — the %-codes match strptime, reuse
+    the YQL dialect's converter."""
+    from ytsaurus_spark.yql.dialect import _strptime_pattern
+
+    return f"date_format({a[0]}, {_strptime_pattern(a[1])})"
+
+
+# ClickHouse PARAMETRIC aggregates: name(params)(args) — quantile(0.5)(x),
+# topK(3)(x). quantile* lower to percentile (exact; CH's reservoir
+# approximation converges to it); topK lowers to an exact
+# count-sort-slice over the grouped values (CH topK is approximate,
+# exact at test scales).
+_PARAMETRIC_RE = re.compile(
+    r"(?i)\b(quantile|quantileexact|quantiletdigest|median|topk)\s*\("
+)
+
+
+def _rewrite_parametric_aggs(text: str) -> str:
+    m = _PARAMETRIC_RE.search(text)
+    if not m:
+        return text
+    params, mid = _split_call_args(text, text.index("(", m.end() - 1))
+    rest = text[mid:]
+    if not rest.lstrip().startswith("("):
+        # plain call (median(x)) — leave for _CH_FUNCS
+        return text[:mid] + _rewrite_parametric_aggs(rest)
+    args, end2 = _split_call_args(text, mid + (len(rest) - len(rest.lstrip())))
+    name = m.group(1).lower()
+    x = args[0].strip()
+    if name == "topk":
+        k = params[0].strip()
+        rep = (f"slice(transform(array_sort(transform("
+               f"array_distinct(collect_list({x})), __v -> named_struct("
+               f"'c', -size(filter(collect_list({x}), __y -> __y <=> __v)),"
+               f" 'v', __v))), __t -> __t.v), 1, {k})")
+    else:
+        p = params[0].strip() if params and params[0].strip() else "0.5"
+        rep = f"percentile({x}, {p})"
+    return text[: m.start()] + rep + _rewrite_parametric_aggs(text[end2:])
 
 
 # --- table functions (table_functions_concat.cpp, storages_yt_nodes.cpp,

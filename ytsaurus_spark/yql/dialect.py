@@ -1017,7 +1017,7 @@ def _rewrite_container_literals(text: str, tuples: bool = True) -> str:
     chain_inert = False  # just closed an inert group; a `, (` continues it
 
     def _tail() -> str:
-        return "".join(out[-8:])
+        return "".join(out[-64:])
 
     def _prev_char() -> str:
         t = _tail().rstrip()
@@ -1159,7 +1159,11 @@ def _rewrite_container_literals(text: str, tuples: bool = True) -> str:
                 (tuples and not inert))
             convert = False
             if tuples and not is_call and not inert and not is_subquery:
-                if (not re.match(r"(?is)^\s*values\b", inner)
+                # a group OPENING with a clause keyword is a window spec
+                # / grouping construct, never a tuple literal — belt and
+                # suspenders for multi-line `OVER\n (PARTITION BY …)`
+                if (not re.match(r"(?is)^\s*(values|partition\s+by|"
+                                 r"order\s+by|rows\b|range\b)", inner)
                         and not re.match(r"\s*->", text[j:])
                         and not re.match(r"(?is)\s*((not\s+)?in|values)\b",
                                          text[j:])):
