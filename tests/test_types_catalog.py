@@ -342,3 +342,38 @@ def test_alter_table_evolution_rules(spark, tmp_path):
         alter_table(cat, "t", required_s)
     # failed alter leaves the stored schema untouched
     assert get_table_schema(cat, "t").columns[2].required is False
+
+
+def test_rich_path_full_range_surface(spark, tmp_path):
+    """The reference's full ypath range surface
+    (test_input_fetching.py:1592 ypath_simple / 1615 ypath_complex):
+    exact row ``[#24]``, exact key-prefix ``[(0,"def")]``, composite
+    tuple bounds with prefix semantics, one-sided bounds, and MULTIPLE
+    ranges unioned in one suffix."""
+    from ytsaurus_spark.client import YtClient
+
+    c = YtClient(root=str(tmp_path), spark=spark)
+    rows = [(ki, ks, f"{ki}{ks}") for ki in range(9)
+            for ks in ("abc", "def", "ghi")]
+    c.create("table", "//tmp/t", attributes={
+        "key_columns": ["ki", "ks"], "sorted_by": ["ki", "ks"]})
+    c.write_table("//tmp/t", spark.createDataFrame(
+        rows, "ki bigint, ks string, v string").coalesce(1))
+
+    def q(rich):
+        return sorted(tuple(r) for r in c.read_table(rich).collect())
+
+    assert q("//tmp/t[#3:#6]") == rows[3:6]
+    assert q("//tmp/t[#24]") == [rows[24]]
+    assert q('//tmp/t[(1,"def"):(2,"ghi")]') == rows[4:8]
+    assert q("//tmp/t[(1):(2)]") == rows[3:6]
+    assert q('//tmp/t[(0,"def")]') == [rows[1]]
+    assert q("//tmp/t[(1)]") == rows[3:6]
+    assert q("//tmp/t[#3:#6, #24:]") == rows[3:6] + rows[24:]
+    assert q("//tmp/t[:(1)]") == rows[0:3]
+    assert q('//tmp/t[(8,"ghi"):]') == [rows[26]]
+    assert q("//tmp/t[]") == rows
+    # column selection composes with ranges (ranges see the key columns
+    # even when the selection drops them)
+    got = sorted(r.v for r in c.read_table("//tmp/t{v}[(1):(2)]").collect())
+    assert got == ["1abc", "1def", "1ghi"]

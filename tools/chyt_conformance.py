@@ -1232,6 +1232,28 @@ CASES = [
              "toString(number) as value from numbers(10)", E),
         ],
     ),
+    dict(
+        id="input_fetching/ypath_ranges",
+        ref="yt/chyt/tests/server/test_input_fetching.py:1592,1615",
+        tables={"//tmp/t": (
+            "ki bigint, ks string, v string",
+            [(ki, ks, f"{ki}{ks}") for ki in range(9)
+             for ks in ("abc", "def", "ghi")],
+            {"key_columns": ["ki", "ks"], "sorted_by": ["ki", "ks"]},
+        )},
+        steps=[
+            ("select v from `//tmp/t[#3:#6]` order by v",
+             [["1abc"], ["1def"], ["1ghi"]]),
+            ("select v from `//tmp/t[#24]`", [["8abc"]]),
+            ("select v from `//tmp/t[(1,\"def\"):(2,\"ghi\")]` "
+             "order by v",
+             [["1def"], ["1ghi"], ["2abc"], ["2def"]]),
+            ("select v from `//tmp/t[(1):(2)]` order by v",
+             [["1abc"], ["1def"], ["1ghi"]]),
+            ("select v from `//tmp/t[(0,\"def\")]`", [["0def"]]),
+            ("select count(*) from `//tmp/t[#3:#6, #24:]`", [[6]]),
+        ],
+    ),
 ]
 
 
@@ -1274,7 +1296,9 @@ def run_case(spark, case) -> dict:
         root=tempfile.mkdtemp(prefix="chyt_conf_"), spark=spark
     )
     client.create("map_node", "//tmp")
-    for path, (ddl, rows) in case.get("tables", {}).items():
+    for path, spec in case.get("tables", {}).items():
+        ddl, rows = spec[0], spec[1]
+        extra_attrs = spec[2] if len(spec) > 2 else None
         parent = path.rsplit("/", 1)[0]
         if parent and not client.exists(parent):
             client.create("map_node", parent, recursive=True)
@@ -1288,6 +1312,14 @@ def run_case(spark, case) -> dict:
         # given order (the reference's ordered-chunk semantics) so that
         # rich-YPath row ranges ([#2:#9]) index deterministically
         client.write_table(path, spark.createDataFrame(rows, ddl).coalesce(1))
+        if extra_attrs:
+            from ytsaurus_spark.sources.formats import (
+                _write_attrs, table_attributes,
+            )
+
+            merged = dict(table_attributes(client._fs(path)))
+            merged.update(extra_attrs)
+            _write_attrs(client._fs(path), merged)
     for path, (schema, ddl, rows) in case.get("dyn_tables", {}).items():
         client.create("table", path,
                       attributes={"dynamic": True, "schema": schema})

@@ -49,17 +49,26 @@ DEFAULT_KEYS: dict[str, list[str]] = {
 
 @dataclass
 class RichPath:
-    """Parsed rich path, mirroring the reference's ypath read modifiers:
+    """Parsed rich path, mirroring the reference's ypath read modifiers
+    (yt/python/yt/wrapper/ypath.py:268-283; ypath parsing in
+    yt/yt/core/ypath tokenizer):
 
-    - ``path{col1,col2}``     — column selection
-    - ``path[#10:#20]``       — row-index range (``#`` prefix)
-    - ``path[10:500]``        — KEY range on the primary key column:
-                                 inclusive lower, exclusive upper (YT key
-                                 range semantics); quoted for strings.
+    - ``path{col1,col2}``       — column selection
+    - ``path[#10:#20]``         — row-index range (``#`` prefix)
+    - ``path[10:500]``          — KEY range on the primary key:
+                                   inclusive lower, exclusive upper
+    - ``path[(1,"def"):(2)]``   — composite (tuple) key bounds with YT's
+                                   prefix semantics
+    - ``path[#24]`` / ``path[(0,"def")]`` — EXACT row / key-prefix
+    - ``path[a:b, c:d]``        — multiple ranges (row union)
     """
 
     path: str
     columns: list[str] | None = None
+    # each range: {"lo_row","hi_row","lo_key","hi_key","exact_key"} —
+    # key bounds are tuples (scalars wrap to 1-tuples)
+    ranges: list[dict] = None  # type: ignore[assignment]
+    # legacy single-range views (first range), kept for simple callers
     lower_row: int | None = None
     upper_row: int | None = None
     lower_key: object | None = None
@@ -68,11 +77,11 @@ class RichPath:
     _RE = re.compile(
         r"^(?P<path>[^{\[]+)"
         r"(?:\{(?P<cols>[^}]*)\})?"
-        r"(?:\[(?P<lo>[^:\]]*):(?P<hi>[^:\]]*)\])?$"
+        r"(?:\[(?P<ranges>.*)\])?$"
     )
 
     @staticmethod
-    def _key_bound(s: str):
+    def _scalar(s: str):
         s = s.strip()
         if not s:
             return None
@@ -84,6 +93,70 @@ class RichPath:
             return float(s)
 
     @classmethod
+    def _key_bound(cls, s: str):
+        """A key bound: scalar, or ``(a, b, ...)`` tuple; ``()`` / empty
+        -> None (unbounded). Returns a tuple or None."""
+        s = s.strip()
+        if not s:
+            return None
+        if s.startswith("(") and s.endswith(")"):
+            inner = s[1:-1].strip()
+            if not inner:
+                return None
+            parts = cls._split_range_commas(inner)
+            return tuple(cls._scalar(p) for p in parts)
+        v = cls._scalar(s)
+        return None if v is None else (v,)
+
+    @staticmethod
+    def _split_range_commas(s: str) -> list[str]:
+        parts, buf, depth = [], [], 0
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c in ("'", '"'):
+                j = i + 1
+                while j < n and s[j] != c:
+                    j += 1
+                buf.append(s[i : j + 1])
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if c == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(c)
+            i += 1
+        parts.append("".join(buf))
+        return parts
+
+    @staticmethod
+    def _split_colon(s: str) -> list[str]:
+        """Split a range on its top-level ``:`` (colons inside quotes or
+        parens don't count)."""
+        depth, i, n = 0, 0, len(s)
+        while i < n:
+            c = s[i]
+            if c in ("'", '"'):
+                j = i + 1
+                while j < n and s[j] != c:
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == ":" and depth == 0:
+                return [s[:i], s[i + 1:]]
+            i += 1
+        return [s]
+
+    @classmethod
     def parse(cls, rich: str) -> "RichPath":
         m = cls._RE.match(rich.strip())
         if not m:
@@ -92,18 +165,117 @@ class RichPath:
         out = cls(
             path=m.group("path").strip(),
             columns=[c.strip() for c in cols.split(",") if c.strip()] if cols else None,
+            ranges=[],
         )
-        lo, hi = m.group("lo"), m.group("hi")
-        if lo is None and hi is None:
+        spec = m.group("ranges")
+        if spec is None or not spec.strip():
+            if spec is not None:
+                # "[]" — empty range list reads nothing? YT treats [] as
+                # no ranges -> full read; keep full read
+                pass
             return out
-        lo, hi = (lo or "").strip(), (hi or "").strip()
-        if lo.startswith("#") or hi.startswith("#"):
-            out.lower_row = int(lo[1:]) if lo.lstrip("#") else None
-            out.upper_row = int(hi[1:]) if hi.lstrip("#") else None
-        elif lo or hi:
-            out.lower_key = cls._key_bound(lo)
-            out.upper_key = cls._key_bound(hi)
+        for part in cls._split_range_commas(spec):
+            part = part.strip()
+            if not part:
+                continue
+            halves = cls._split_colon(part)
+            r = {"lo_row": None, "hi_row": None, "lo_key": None,
+                 "hi_key": None, "exact_key": None}
+            if len(halves) == 1:
+                # EXACT selector
+                b = halves[0].strip()
+                if b.startswith("#"):
+                    r["lo_row"] = int(b[1:])
+                    r["hi_row"] = int(b[1:]) + 1
+                else:
+                    k = cls._key_bound(b)
+                    if k is None:
+                        raise ValueError(
+                            f"empty exact range in rich path: {rich!r}")
+                    r["exact_key"] = k
+            else:
+                lo, hi = (h.strip() for h in halves)
+                if lo.startswith("#"):
+                    r["lo_row"] = int(lo[1:]) if lo[1:] else None
+                elif lo:
+                    r["lo_key"] = cls._key_bound(lo)
+                if hi.startswith("#"):
+                    r["hi_row"] = int(hi[1:]) if hi[1:] else None
+                elif hi:
+                    r["hi_key"] = cls._key_bound(hi)
+            out.ranges.append(r)
+        if len(out.ranges) == 1:
+            r = out.ranges[0]
+            out.lower_row, out.upper_row = r["lo_row"], r["hi_row"]
+            lk, hk = r["lo_key"], r["hi_key"]
+            out.lower_key = lk[0] if lk and len(lk) == 1 else lk
+            out.upper_key = hk[0] if hk and len(hk) == 1 else hk
         return out
+
+
+def _key_range_cond(key_cols: list[str], r: dict):
+    """Spark predicate for one parsed range's KEY bounds (YT semantics:
+    inclusive lower, exclusive upper, lexicographic over the key prefix
+    the bound names)."""
+    conds = []
+    if r["exact_key"] is not None:
+        k = r["exact_key"]
+        c = F.lit(True)
+        for col, v in zip(key_cols, k):
+            c = c & (F.col(col) == F.lit(v))
+        return c
+    if r["lo_key"] is not None:
+        b = r["lo_key"]
+        n = len(b)
+        c = F.col(key_cols[n - 1]) >= F.lit(b[n - 1])
+        for i in reversed(range(n - 1)):
+            c = (F.col(key_cols[i]) > F.lit(b[i])) | (
+                (F.col(key_cols[i]) == F.lit(b[i])) & c)
+        conds.append(c)
+    if r["hi_key"] is not None:
+        b = r["hi_key"]
+        n = len(b)
+        c = F.col(key_cols[n - 1]) < F.lit(b[n - 1])
+        for i in reversed(range(n - 1)):
+            c = (F.col(key_cols[i]) < F.lit(b[i])) | (
+                (F.col(key_cols[i]) == F.lit(b[i])) & c)
+        conds.append(c)
+    acc = conds[0]
+    for c in conds[1:]:
+        acc = acc & c
+    return acc
+
+
+def apply_ranges(df: DataFrame, rp: RichPath, key_cols: list[str]) -> DataFrame:
+    """Filter ``df`` to the union of ``rp.ranges``. Row-index bounds use
+    ONE global-index pass shared by every range; key bounds become
+    min/max-prunable scan predicates (the reference's InferRanges,
+    executor.cpp:260-300)."""
+    if not rp.ranges:
+        return df
+    need_rows = any(r["lo_row"] is not None or r["hi_row"] is not None
+                    for r in rp.ranges)
+    if need_rows:
+        df = _with_global_row_index(df)
+    conds = []
+    for r in rp.ranges:
+        c = F.lit(True)
+        if r["lo_row"] is not None:
+            c = c & (F.col("__row_index") >= r["lo_row"])
+        if r["hi_row"] is not None:
+            c = c & (F.col("__row_index") < r["hi_row"])
+        if (r["exact_key"] is not None or r["lo_key"] is not None
+                or r["hi_key"] is not None):
+            if not key_cols:
+                raise ValueError(
+                    f"key range on an unsorted table: {rp.path}")
+            c = c & _key_range_cond(key_cols, r)
+        conds.append(c)
+    acc = conds[0]
+    for c in conds[1:]:
+        acc = acc | c
+    df = df.filter(acc)
+    return df.drop("__row_index") if need_rows else df
 
 
 def _with_global_row_index(df: DataFrame, col: str = "__row_index") -> DataFrame:
@@ -161,29 +333,13 @@ class Catalog:
         rp = RichPath.parse(name_or_rich)
         df = self.spark.read.parquet(self.table_path(rp.path))
         df = self._fix_nanos(rp.path, df)
-        if rp.lower_row is not None or rp.upper_row is not None:
-            # Row-index addressing on a static table: a TRUE global index.
-            # YT's table row index = sum of preceding chunks' row counts +
-            # in-chunk index (chunk_meta row counts); here the per-partition
-            # row counts play the chunk role: one count-only pre-pass (column
-            # pruned, no shuffle of the data itself), broadcast the offsets,
-            # add the in-partition id. monotonically_increasing_id alone is
-            # NOT usable — its values jump by 2^33 per partition.
-            df = _with_global_row_index(df)
-            if rp.lower_row is not None:
-                df = df.filter(F.col("__row_index") >= rp.lower_row)
-            if rp.upper_row is not None:
-                df = df.filter(F.col("__row_index") < rp.upper_row)
-            df = df.drop("__row_index")
-        if rp.lower_key is not None or rp.upper_key is not None:
-            # key range on the primary key: pushes to the parquet scan as a
-            # min/max-prunable predicate — the reference's key-range read
-            # (InferRanges, executor.cpp:260-300) via Catalyst pushdown.
-            key = (self.key_columns(rp.path) or [df.columns[0]])[0]
-            if rp.lower_key is not None:
-                df = df.filter(F.col(key) >= rp.lower_key)
-            if rp.upper_key is not None:
-                df = df.filter(F.col(key) < rp.upper_key)
+        # Row-index addressing on a static table uses a TRUE global index
+        # (one count-only pre-pass, broadcast offsets — see
+        # _with_global_row_index); key ranges push to the parquet scan as
+        # min/max-prunable predicates — the reference's key-range read
+        # (InferRanges, executor.cpp:260-300) via Catalyst pushdown.
+        df = apply_ranges(
+            df, rp, self.key_columns(rp.path) or [df.columns[0]])
         if rp.columns:
             df = df.select(*rp.columns)
         return df

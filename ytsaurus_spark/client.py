@@ -370,18 +370,14 @@ class YtClient:
                         acc = acc | c
                     df = df.filter(acc).drop("__row_index")
         if rich and "append" not in rich:
+            from ytsaurus_spark.catalog import apply_ranges
+
             rp = RichPath.parse("t" + rich)
+            key_cols = list(attrs.get("key_columns")
+                            or attrs.get("sorted_by") or [])
+            df = apply_ranges(df, rp, key_cols)
             if rp.columns:
                 df = df.select(*rp.columns)
-            if rp.lower_row is not None or rp.upper_row is not None:
-                from ytsaurus_spark.catalog import _with_global_row_index
-
-                df = _with_global_row_index(df)
-                if rp.lower_row is not None:
-                    df = df.filter(f"__row_index >= {rp.lower_row}")
-                if rp.upper_row is not None:
-                    df = df.filter(f"__row_index < {rp.upper_row}")
-                df = df.drop("__row_index")
         return df
 
     def row_count(self, ypath: str) -> int:
