@@ -256,14 +256,16 @@ def test_chyt_dialect_differential(harness):
     this drives those paths with seeded random placements on both
     engines. The only engine-spelling bridge is Spark's DIV -> DuckDB's
     // (the same substitution chyt_q.py's oracles use)."""
-    from ytsaurus_spark.chyt import resolve_if_defaults, translate_chyt
+    from ytsaurus_spark.chyt import (
+        resolve_if_defaults, resolve_length, translate_chyt,
+    )
 
     s2, con = harness
     rng = random.Random(11)
     n, divergences = 0, []
     while n < N_CHYT_QUERIES:
         for script in _chyt_scripts(rng):
-            sql = resolve_if_defaults(translate_chyt(script))
+            sql = resolve_length(resolve_if_defaults(translate_chyt(script)))
             # engine-spelling bridges: Spark DIV = DuckDB //, Spark's
             # star-EXCEPT = DuckDB's star-EXCLUDE
             duck_sql = _re.sub(r"\bDIV\b", "//", sql)

@@ -106,8 +106,13 @@ _CH_FUNCS: dict[str, str] = {
     "if": "CASE WHEN {0} THEN {1} ELSE {2} END",
     # argMax/argMin: value of arg0 at the extremum of arg1 (max_by is
     # the shared Spark/DuckDB spelling)
-    "argmax": "max_by({0}, {1})",
-    "argmin": "min_by({0}, {1})",
+    # CH argMax/argMin skip rows where EITHER column is NULL ("both
+    # arg and max skip Nulls during processing"); Spark's max_by keeps
+    # a NULL arg if its key wins — mask both sides
+    "argmax": "max_by(CASE WHEN {0} IS NOT NULL THEN {0} END, "
+              "CASE WHEN {0} IS NOT NULL THEN {1} END)",
+    "argmin": "min_by(CASE WHEN {0} IS NOT NULL THEN {0} END, "
+              "CASE WHEN {0} IS NOT NULL THEN {1} END)",
     # explicit integer casts — uint64 keeps the repo's DECIMAL(20,0)
     # discipline (yt_types.py): values in [2^63, 2^64) are legal CH
     # uint64 and overflow BIGINT
@@ -159,8 +164,9 @@ _CH_FUNCS: dict[str, str] = {
     "has": "array_contains({0}, {1})",
     "grouparray": "collect_list({0})",
     "groupuniqarray": "collect_set({0})",
-    "empty": "(length({0}) = 0)",
-    "notempty": "(length({0}) > 0)",
+    "empty": "(chyt_length({0}) = 0)",
+    "notempty": "(chyt_length({0}) > 0)",
+    "length": "chyt_length({0})",
     # array higher-order functions: ClickHouse puts the lambda FIRST
     # (arrayMap(x -> x + 1, arr)); Spark's transform/filter take it
     # SECOND — same `x -> expr` lambda syntax on both sides
@@ -1923,6 +1929,51 @@ def resolve_tuple_positional(sql: str, s2) -> str:
     return _TUPLE_POS.sub(sub, sql) if fields else sql
 
 
+_LENGTH_MARK = re.compile(r"\bchyt_length\s*\(")
+
+
+def resolve_length(sql: str, analyze=None) -> str:
+    """CH ``length()`` works on strings AND arrays/maps; Spark splits
+    that into length()/size(). The translator emits a ``chyt_length``
+    marker; candidate rewrites are plan-ANALYZED (never executed) until
+    one type-checks — bounded at 2^4 combinations, string-``length`` as
+    the no-probe fallback."""
+    calls = []
+    pos = 0
+    while True:
+        m = _LENGTH_MARK.search(sql, pos)
+        if not m:
+            break
+        args, end = _split_call_args(sql, sql.index("(", m.end() - 1))
+        calls.append((m.start(), end, args[0].strip()))
+        pos = end
+    if not calls:
+        return sql
+
+    def build(fns: list[str]) -> str:
+        out, last = [], 0
+        for (cs, ce, inner), fn in zip(calls, fns):
+            out.append(sql[last:cs])
+            out.append(f"{fn}({inner})")
+            last = ce
+        out.append(sql[last:])
+        return "".join(out)
+
+    k = len(calls)
+    if analyze is None or k > 6:
+        return build(["length"] * k)
+    import itertools
+
+    for combo in itertools.product(("length", "size"), repeat=k):
+        cand = build(list(combo))
+        try:
+            analyze(cand)
+            return cand
+        except Exception:
+            continue
+    return build(["length"] * k)
+
+
 _IF_DEFAULT = re.compile(r"\bchyt_if_default\s*\(")
 
 # Spark simple type -> ClickHouse type-default literal (*If combinators
@@ -2134,6 +2185,7 @@ def chyt_query(spark, text: str, client=None, sf_dir: str | None = None,
     sql = resolve_bool_arithmetic(sql, s2)
     sql = resolve_join_left_bias(sql, s2)
     sql = resolve_tuple_positional(sql, s2)
+    sql = resolve_length(sql, analyze=_spark_analyze(s2))
     return s2.sql(sql)
 
 

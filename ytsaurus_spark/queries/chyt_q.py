@@ -48,12 +48,14 @@ order by lang
 def _make(name: str, text: str, doc: str) -> None:
     import re
 
-    from ytsaurus_spark.chyt import resolve_if_defaults, translate_chyt
+    from ytsaurus_spark.chyt import (
+        resolve_if_defaults, resolve_length, translate_chyt,
+    )
 
     # DuckDB-ize the translated text: minIf/maxIf default markers resolve
     # to the numeric fallback (every registered *If here is numeric), and
     # Spark's truncating integer division `DIV` is spelled `//` in DuckDB.
-    oracle = resolve_if_defaults(translate_chyt(text))
+    oracle = resolve_length(resolve_if_defaults(translate_chyt(text)))
     oracle = re.sub(r"\bDIV\b", "//", oracle)
 
     @register(name, oracle)

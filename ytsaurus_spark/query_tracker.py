@@ -110,10 +110,12 @@ class QueryTracker:
         paths, PREWHERE, *If combinators — ytsaurus_spark/chyt.py)
         against the tracker session's registered views."""
         from ytsaurus_spark.chyt import (
-            _spark_analyze, resolve_if_defaults, translate_chyt,
+            _spark_analyze, resolve_if_defaults, resolve_length,
+            translate_chyt,
         )
 
         sql = resolve_if_defaults(translate_chyt(q), analyze=_spark_analyze(spark))
+        sql = resolve_length(sql, analyze=_spark_analyze(spark))
         return spark.sql(sql)
 
     # -- record store (atomic manifest, tx_table.py protocol) -----------
