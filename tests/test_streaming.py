@@ -888,3 +888,42 @@ def test_queue_export_orphan_adoption(spark, tmp_path):
         exp.export_task(now=1800)
     rows = client.read_table("//exp/orph/1200-300").collect()
     assert [(r.seq, r.v) for r in rows] == [(99, "x")]
+
+
+def test_ordered_table_queue_pull(spark, tmp_path):
+    """PullQueue over a client-backed ORDERED dynamic table
+    (queue_client.h:115-127): the persisted $row_index is the offset,
+    pulls come back with the $tablet_index/$row_index system columns,
+    and the registered-consumer loop (pull -> advance -> pull) tails
+    the queue."""
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.streaming.consumer_registry import (
+        advance_consumer,
+        consumer_offset,
+        pull_queue_consumer,
+        register_queue_consumer,
+    )
+
+    c = YtClient(root=str(tmp_path), spark=spark)
+    c.create("table", "//q/log", attributes={
+        "dynamic": True, "schema": [{"name": "msg", "type": "string"}]})
+    c.insert_rows("//q/log", spark.createDataFrame(
+        [(f"m{i}",) for i in range(10)], "msg string"))
+
+    got = [(r["msg"], r["$tablet_index"], r["$row_index"])
+           for r in c.pull_queue("//q/log", 3, 4).collect()]
+    assert got == [(f"m{i}", 0, i) for i in range(3, 7)]
+    # partition 1 is past the single tablet
+    assert c.pull_queue("//q/log", 0, 5, partition_index=1).count() == 0
+
+    c.create("table", "//q/consumer", attributes={
+        "treat_as_queue_consumer": True,
+        "schema": [{"name": "queue", "sort_order": "ascending"},
+                   {"name": "offset"}]})
+    register_queue_consumer(c, "//q/log", "//q/consumer", vital=True)
+    rows = pull_queue_consumer(c, "//q/consumer", "//q/log", None, 3)
+    assert [r["msg"] for r in rows.collect()] == ["m0", "m1", "m2"]
+    advance_consumer(c, "//q/consumer", "//q/log", 0, 0, 3)
+    assert consumer_offset(c, "//q/consumer") == 3
+    rows = pull_queue_consumer(c, "//q/consumer", "//q/log", None, 3)
+    assert [r["msg"] for r in rows.collect()] == ["m3", "m4", "m5"]

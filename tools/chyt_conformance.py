@@ -1254,6 +1254,25 @@ CASES = [
             ("select count(*) from `//tmp/t[#3:#6, #24:]`", [[6]]),
         ],
     ),
+    dict(
+        id="composite/low_cardinality",
+        ref="yt/chyt/tests/server/test_composite.py:230",
+        tables={},
+        steps=[
+            ('create table "//tmp/t0" engine YtTable() as '
+             "select toLowCardinality(str) as lc_str, "
+             "toLowCardinality(nullable_str) as lc_nullable_str, "
+             "toLowCardinality(int) as lc_int "
+             "from system.one "
+             "array join ['a', 'bc', 'a', 'cde'] as str, "
+             "[Null, 'ab', 'b', 'ab'] as nullable_str, "
+             "[1, 2, 3, 1] as int", None),
+            ('select lc_str, lc_nullable_str, lc_int from "//tmp/t0" '
+             "order by lc_str, lc_int",
+             [["a", None, 1], ["a", "b", 3], ["bc", "ab", 2],
+              ["cde", "ab", 1]]),
+        ],
+    ),
 ]
 
 

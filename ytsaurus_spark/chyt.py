@@ -215,6 +215,9 @@ _CH_FUNCS: dict[str, str] = {
     "laginframe": lambda a: "lag(" + ", ".join(a) + ")",
     "leadinframe": lambda a: "lead(" + ", ".join(a) + ")",
     "median": "percentile({0}, 0.5)",
+    # LowCardinality is a storage encoding; the value is unchanged
+    # (test_composite.py::test_low_cardinality)
+    "tolowcardinality": "{0}",
     "formatdatetime": lambda a: _format_datetime(a),
     "tupleelement": lambda a: f"{a[0]}.{a[1]}",  # -> positional resolver
 }
@@ -1170,6 +1173,10 @@ def translate_chyt(text: str, resolve=None) -> str:
     text = _FORMAT_TAIL.sub("", text.strip().rstrip(";"))
     # ClickHouse count() (zero-arg row count) -> count(*)
     text = re.sub(r"(?i)\bcount\s*\(\s*\)", "count(*)", text)
+    # system.one: CH's one-row dual table (column dummy UInt8 = 0)
+    text = re.sub(
+        r"(?i)\bsystem\.one\b",
+        "(select cast(0 as smallint) as dummy) __system_one", text)
     # ClickHouse allows a TABLE as the right operand of IN:
     # ``(a, b) IN "//tmp/t"`` (test_join_and_in.py:641) — lower to the
     # subquery form before generic path substitution

@@ -428,6 +428,41 @@ class YtClient:
     def delete_rows(self, ypath: str, keys: DataFrame) -> None:
         self._dyn(ypath).delete_rows(keys)
 
+    def pull_queue(self, ypath: str, offset: int, max_rows: int,
+                   partition_index: int = 0) -> DataFrame:
+        """PullQueue over an ORDERED dynamic table
+        (queue_client.h:115-127): rows with ``$row_index`` in
+        [offset, offset + max_rows), returned WITH the reference's
+        system columns ``$tablet_index``/``$row_index``. Single-tablet
+        model: partition_index > 0 is past the data. The row-index
+        filter sits on the PERSISTED index column, so it prunes at the
+        parquet scan (a tablet-bounded read, not a table scan)."""
+        p = self._fs(ypath)
+        attrs = table_attributes(p)
+        if not attrs.get("ordered"):
+            raise YPathError(f"{ypath} is not an ordered (queue) table")
+        if partition_index != 0 or int(attrs.get("row_count", 0)) == 0:
+            from pyspark.sql import types as T
+
+            from ytsaurus_spark.yt_types import yt_type_to_spark
+
+            fields = [
+                T.StructField(c["name"],
+                              yt_type_to_spark(c.get("type", "string")))
+                for c in attrs.get("schema", [])
+            ] + [T.StructField("$tablet_index", T.LongType()),
+                 T.StructField("$row_index", T.LongType())]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        df = _read_fmt(self.spark, p)
+        df = df.filter(
+            (F.col("_yt_row_index") >= offset)
+            & (F.col("_yt_row_index") < offset + int(max_rows))
+        ).orderBy("_yt_row_index")
+        return (
+            df.withColumn("$tablet_index", F.lit(0).cast("long"))
+            .withColumnRenamed("_yt_row_index", "$row_index")
+        )
+
     def lookup_rows(self, ypath: str, keys: DataFrame, timestamp=None) -> DataFrame:
         return self._dyn(ypath).lookup_rows(keys, timestamp=timestamp)
 

@@ -172,6 +172,11 @@ def pull_queue_consumer(
         )
     if offset is None:
         offset = consumer_offset(client, consumer_path, partition_index)
+    if _attrs(client, queue_path).get("ordered"):
+        # client-backed ORDERED dynamic table: the persisted $row_index
+        # IS the queue offset — pull through the tablet-bounded read
+        return client.pull_queue(
+            queue_path, offset, max_rows, partition_index)
     queue = client.read_table(queue_path)
     return pull_queue(
         queue,
