@@ -1541,3 +1541,34 @@ def test_yql_session_window_text(spark, sf_dir):
         order by ts;
     """, sf_dir=sf_dir).collect()
     assert w and all(r.ss <= r.ts for r in w)
+
+
+def test_yql_module_function_breadth_r11(spark, sf_dir):
+    """Round-11 module closures: Url::GetCGIParam, the Ip string-form
+    family, Re2::Capture (positional + named groups, RE2 (?P<n>) ->
+    Java (?<n>)), String::CollapseSpaces / LevensteinDistance,
+    Digest::Crc64 (xxhash64 stand-in), and the SQL/JSON api
+    (JSON_VALUE/JSON_QUERY/JSON_EXISTS over lax paths)."""
+    from ytsaurus_spark.yql import yql_select
+
+    def one(sql):
+        return yql_select(spark, sql, sf_dir=sf_dir).collect()[0]
+
+    assert one("SELECT Url::GetCGIParam('https://x.y/p?a=1&b=2', 'b') "
+               "AS v").v == "2"
+    r = one("SELECT Ip::ToString(Ip::FromString('1.2.3.4')) AS s, "
+            "Ip::IsIPv4(Ip::FromString('1.2.3.4')) AS v4, "
+            "Ip::IsIPv6(Ip::FromString('::1')) AS v6")
+    assert tuple(r) == ("1.2.3.4", True, True)
+    assert one("SELECT Re2::Capture('(\\\\d+)')('ab123cd')._1 AS n").n \
+        == "123"
+    r = one("SELECT Re2::Capture('(?P<num>[0-9]+)x(.)')('a42xZ').num "
+            "AS n, Re2::Capture('(?P<num>[0-9]+)x(.)')('a42xZ')._2 AS c")
+    assert tuple(r) == ("42", "Z")
+    assert one("SELECT String::CollapseSpaces('a   b') AS s").s == "a b"
+    assert one("SELECT String::LevensteinDistance('kitten', 'sitting') "
+               "AS d").d == 3
+    assert one("SELECT JSON_VALUE(CAST('{\"a\": 5}' AS Json), '$.a') "
+               "AS v").v == "5"
+    assert one("SELECT JSON_EXISTS(CAST('{\"a\": 5}' AS Json), '$.b') "
+               "AS e").e is False

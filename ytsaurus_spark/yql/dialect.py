@@ -338,6 +338,23 @@ _MODULE_FUNCS: dict[tuple[str, str], str] = {
     ("string", "base64encode"): "base64({0})",
     ("string", "base64decode"): "unbase64({0})",    # Spark-only
     ("string", "joinfromlist"): "array_join({0}, {1})",  # Spark-only
+    ("string", "collapse"): "regexp_replace(trim({0}), '\\\\s+', ' ')",
+    ("string", "collapsespaces"): "regexp_replace({0}, '\\\\s+', ' ')",
+    ("string", "levensteindistance"): "levenshtein({0}, {1})",
+    ("string", "levenshteindistance"): "levenshtein({0}, {1})",
+    # Url module (url_udf.cpp GetCGIParam)
+    ("url", "getcgiparam"): "parse_url({0}, 'QUERY', {1})",
+    # Ip module (ip_udf.cpp): addresses stay in their string form — the
+    # binary representation is a wire detail the relational layer never
+    # needs
+    ("ip", "fromstring"): "({0})",
+    ("ip", "tostring"): "({0})",
+    ("ip", "isipv4"): "({0} rlike '^([0-9]{{1,3}}\\\\.){{3}}[0-9]{{1,3}}$')",
+    ("ip", "isipv6"): "({0} rlike '^[0-9a-fA-F:]+:[0-9a-fA-F:]*$')",
+    # Digest (digest_udf.cpp): Crc64 has no JVM twin — xxhash64 is the
+    # repo's stable-64-bit stand-in (same policy as farm_hash)
+    ("digest", "crc64"): "xxhash64({0})",
+    ("digest", "crc32c"): "crc32({0})",
     ("string", "size"): "octet_length({0})",  # byte length (Size UDF)
     # SplitToList(s, delim): the YQL tokenizer (string_udf.cpp SplitToList)
     ("string", "splittolist"): "split({0}, {1})",  # Spark-only (regex delim)
@@ -397,6 +414,7 @@ _MODULE_FUNCS: dict[tuple[str, str], str] = {
     ("re2", "grep"): "regexp_like({1}, {0})",
     ("re2", "match"): "regexp_like({1}, concat('^(?:', {0}, ')$'))",
     ("re2", "replace"): "regexp_replace({1}, {0}, {2})",
+    ("re2", "capture"): lambda a: _re2_capture(a),
     # DateTime2 epoch converters (datetime_udf.cpp ToSeconds/FromSeconds
     # family) — Spark spellings
     ("datetime", "toseconds"): "unix_timestamp({0})",
@@ -474,6 +492,44 @@ _MODULE_FUNCS[("datetime", "parse")] = (
 )
 
 _CURRIED_MODULES = {"re2", "pire", "hyperscan"}
+def _re2_capture(a: list[str]) -> str:
+    """``Re2::Capture(pattern)(input)`` -> a struct of the capture
+    groups (re2_udf.cpp Capture): ``_0`` is the whole match, positional
+    groups become ``_1.._n``, ``(?P<name>...)`` groups keep their name.
+    Needs a LITERAL pattern — the group list is part of the result
+    type."""
+    pat, inp = a[0].strip(), a[1]
+    if not (pat.startswith(("'", '"')) and pat.endswith(pat[0])):
+        raise YqlUnsupportedError(
+            "Re2::Capture needs a literal pattern (the capture-group "
+            "struct is part of the result type)")
+    body = pat[1:-1]
+    names: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            m = re.match(r"\(\?P<(\w+)>", body[i:])
+            if m:
+                names.append(m.group(1))
+                i += m.end()
+                continue
+            if body[i : i + 2] == "(?":  # non-capturing / lookaround
+                i += 2
+                continue
+            names.append(f"_{len([x for x in names]) + 1}")
+        i += 1
+    # RE2 spells named groups (?P<n>...); Java regex wants (?<n>...)
+    jpat = pat[0] + body.replace("(?P<", "(?<") + pat[0]
+    fields = [f"'_0', regexp_extract({inp}, {jpat}, 0)"]
+    for gi, nm in enumerate(names, start=1):
+        fields.append(f"'{nm}', regexp_extract({inp}, {jpat}, {gi})")
+    return "named_struct(" + ", ".join(fields) + ")"
+
+
 _CURRIED_FUNCS = {("datetime", "format"), ("datetime", "parse")}
 _MODULE_CALL = re.compile(r"\b([A-Za-z_]\w*)::([A-Za-z_]\w*)\s*\(")
 
@@ -735,6 +791,11 @@ _BUILTIN_FUNCS: dict[str, object] = {
     "timestamp": "to_timestamp(replace(replace({0}, 'T', ' '), 'Z', ''))",
     "interval": lambda a: _interval_literal(a[0]),
     "tostring": "cast({0} as string)",
+    # SQL/JSON api (SQLv1 json_api): the basic 2-arg forms over JSON
+    # text — get_json_object implements the lax-mode path language
+    "json_value": "get_json_object({0}, {1})",
+    "json_query": "get_json_object({0}, {1})",
+    "json_exists": "(get_json_object({0}, {1}) IS NOT NULL)",
     # aggregate-function spellings (aggregate_function docs; the
     # DataFrame-level family lives in queries/aggregates.py)
     "aggregate_list": lambda a: (
