@@ -174,3 +174,39 @@ def test_recursive_cte_chain_invariants(spark, sf_dir):
     for r in rows:
         assert r.n_customers == sum(1 for n in per_cust if n >= r.depth)
     assert max(r.depth for r in rows) == max(per_cust)
+
+
+def test_ql_transform_tuple_in_const_group(spark, tmp_path):
+    """Round-11 QL text closures: the TRANSFORM expression
+    (ast.cpp:321 TTransformExpression) in scalar and tuple forms,
+    tuple-IN lowered to coercion-friendly per-column equalities, and
+    GROUP BY <integer literal> meaning the CONSTANT (QL has no
+    positional group-by)."""
+    from ytsaurus_spark.client import YtClient
+
+    c = YtClient(root=str(tmp_path), spark=spark)
+    c.create("table", "//dyn/t", attributes={"dynamic": True, "schema": [
+        {"name": "k", "sort_order": "ascending"},
+        {"name": "s"}, {"name": "v"}]})
+    c.insert_rows("//dyn/t", spark.createDataFrame(
+        [(1, "ab", 10.5), (2, "cd", -3.0), (3, None, 7.0)],
+        "k long, s string, v double"))
+
+    def q(text):
+        return [tuple(r) for r in c.select_rows(text).collect()]
+
+    assert q("transform(k, (1, 2), ('one', 'two'), 'other') AS t "
+             "FROM [//dyn/t] ORDER BY k LIMIT 3") \
+        == [("one",), ("two",), ("other",)]
+    assert q("transform(k, (1,), ('one',)) AS t FROM [//dyn/t] "
+             "ORDER BY k LIMIT 2") == [("one",), (None,)]
+    assert q("transform((k, s), ((1, 'ab'), (2, 'cd')), (10, 20)) AS t "
+             "FROM [//dyn/t] ORDER BY k LIMIT 3") \
+        == [(10,), (20,), (None,)]
+    # bigint column vs int literal coerces per column
+    assert q("k FROM [//dyn/t] WHERE (k, s) IN ((1, 'ab'), (9, 'xx'))") \
+        == [(1,)]
+    assert q("k FROM [//dyn/t] WHERE (k, s) NOT IN ((1, 'ab')) "
+             "AND s IS NOT NULL ORDER BY k LIMIT 5") == [(2,)]
+    # GROUP BY 1 = one global group, not column ordinal
+    assert q("sum(v) AS sv FROM [//dyn/t] GROUP BY 1") == [(14.5,)]

@@ -592,7 +592,120 @@ def translate_ql(
     sql = _render(tokens)
     if not re.match(r"^\s*select\b", sql, re.IGNORECASE):
         sql = "SELECT " + sql
+    sql = _rewrite_transform_expr(sql)
+    sql = _lower_tuple_in(sql)
+    sql = _deordinal_group_by(sql)
     return sql
+
+
+# --- QL TRANSFORM expression (ast.cpp:321 TTransformExpression,
+# expr_builder_v1.cpp:1282): ``TRANSFORM(expr, (from...), (to...)
+# [, default])`` — value remapping; tuple keys compare componentwise ----------
+
+
+def _rewrite_transform_expr(sql: str) -> str:
+    from ytsaurus_spark.yql.dialect import _split_call_args
+
+    m = re.search(r"(?i)(?<![\w.])transform\s*\(", sql)
+    if not m:
+        return sql
+    args, end = _split_call_args(sql, sql.index("(", m.end() - 1))
+    if len(args) not in (3, 4):
+        raise QLSyntaxError("TRANSFORM expects (expr, (from), (to)[, default])")
+    expr, frm, to = (a.strip() for a in args[:3])
+    default = args[3].strip() if len(args) == 4 else None
+
+    def tuple_items(s: str) -> list[str]:
+        s = s.strip()
+        if not (s.startswith("(") and s.endswith(")")):
+            raise QLSyntaxError("TRANSFORM from/to lists must be tuples")
+        inner_args, _ = _split_call_args(s, s.index("("))
+        return [a.strip() for a in inner_args if a.strip()]
+
+    keys, vals = tuple_items(frm), tuple_items(to)
+    if len(keys) != len(vals):
+        raise QLSyntaxError("TRANSFORM from/to lists differ in length")
+    lhs = [e.strip() for e in tuple_items(expr)] \
+        if expr.startswith("(") and "," in expr else [expr]
+    arms = []
+    for k, v in zip(keys, vals):
+        ks = [e.strip() for e in tuple_items(k)] if len(lhs) > 1 else [k]
+        cond = " AND ".join(f"({c}) = ({x})" for c, x in zip(lhs, ks))
+        arms.append(f"WHEN {cond} THEN {v}")
+    else_part = f" ELSE {default}" if default is not None else ""
+    rep = "CASE " + " ".join(arms) + else_part + " END"
+    return sql[: m.start()] + rep + _rewrite_transform_expr(sql[end:])
+
+
+def _lower_tuple_in(sql: str) -> str:
+    """``(a, b) IN ((1, 'x'), ...)`` → OR-of-AND equalities. Spark's
+    native struct-IN refuses mixed literal widths (bigint column vs int
+    literal inside a struct never coerces); per-column equality gets the
+    normal coercion rules AND lets Catalyst extract key ranges."""
+    from ytsaurus_spark.yql.dialect import _split_call_args
+
+    out, pos = sql, 0
+    while True:
+        m = re.compile(r"\)\s+(not\s+)?in\s*\(", re.IGNORECASE).search(
+            out, pos)
+        if not m:
+            return out
+        # find the lhs group ending at the ')' that starts the match
+        depth, i = 0, m.start()
+        while i >= 0:
+            if out[i] == ")":
+                depth += 1
+            elif out[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        lhs_inner, _ = _split_call_args(out, i)
+        # a call's arg list (f(a,b) IN ...) stays native — but a keyword
+        # before the group (WHERE/AND/...) means an expression tuple
+        prev = out[:i].rstrip()
+        wm = re.search(r"([A-Za-z_]\w*)$", prev)
+        is_call = bool(wm) and wm.group(1).lower() not in (
+            "where", "and", "or", "not", "on", "when", "then", "else",
+            "having", "select", "by",
+        )
+        if len(lhs_inner) < 2 or is_call:
+            pos = m.end()
+            continue
+        rhs_open = out.index("(", m.end() - 1)
+        rhs_items, rhs_end = _split_call_args(out, rhs_open)
+        cols = [c.strip() for c in lhs_inner]
+        ors = []
+        for item in rhs_items:
+            item = item.strip()
+            if not (item.startswith("(") and item.endswith(")")):
+                raise QLSyntaxError("tuple IN list items must be tuples")
+            vals, _ = _split_call_args(item, item.index("("))
+            if len(vals) != len(cols):
+                raise QLSyntaxError("tuple IN arity mismatch")
+            ors.append("(" + " AND ".join(
+                f"({c}) = ({v.strip()})" for c, v in zip(cols, vals)) + ")")
+        pred = "(" + " OR ".join(ors) + ")"
+        if m.group(1):
+            pred = f"(NOT {pred})"
+        out = out[:i] + pred + out[rhs_end:]
+        pos = i + len(pred)
+
+
+def _deordinal_group_by(sql: str) -> str:
+    """QL has no positional GROUP BY — ``GROUP BY 1`` groups by the
+    CONSTANT 1 (one global group). Spark reads a bare integer literal
+    as an ordinal; casting it keeps the constant semantics."""
+    def fix(m: re.Match) -> str:
+        items = [i.strip() for i in m.group(1).split(",")]
+        fixed = [f"CAST({i} AS BIGINT)" if re.fullmatch(r"\d+", i) else i
+                 for i in items]
+        return "GROUP BY " + ", ".join(fixed)
+
+    return re.sub(
+        r"(?is)\bGROUP BY\s+((?:\d+\s*,\s*)*\d+)(?=\s*(?:$|having|order|"
+        r"limit|offset|with))",
+        fix, sql)
 
 
 class QueryRowLimitError(RuntimeError):
