@@ -1273,6 +1273,22 @@ CASES = [
               ["cde", "ab", 1]]),
         ],
     ),
+    dict(
+        id="common/unescaped_yson",
+        ref="yt/chyt/tests/server/test_common.py:1028",
+        tables={"//tmp/table": (
+            "i string, fmt string",
+            [('["test";"АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ\\nабвгдежзийклмнопрстуфхцчшщъыьэюя\\n";]', "unescaped_text"),
+             ('{"key"="\\\\знач\\rение\\""}', "unescaped_pretty"),
+             (None, "unescaped_text")],
+        )},
+        steps=[
+            ('select ConvertYson(i, fmt) as a from "//tmp/table"',
+             [['["test";"АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ\\nабвгдежзийклмнопрстуфхцчшщъыьэюя\\n";]'],
+              ['{\n    "key" = "\\\\знач\\rение\\"";\n}'],
+              [None]]),
+        ],
+    ),
 ]
 
 

@@ -69,6 +69,8 @@ SHOWCASE = {
     "analytics_price_volume_waterfall": "Price/volume waterfall (round 6): one fact shuffle to (brand, year), dims broadcast; effects are single double-division chains over exact ten-thousandth sums.",
     "yql_text_flatten": "FLATTEN BY (round 10): explode runs inside the scan stage (Generate before any exchange); the shuffle carries (word, partial count) pairs only — unnest multiplies rows scan-side, never across the wire.",
     "yql_text_range": "RANGE() table function (round 10): path-level pruning — 7 of 30 daily tables planned (one FileScan each, UNION ALL), the other 23 never enter the plan; at a year-scale log dir the same query plans 7 scans, not 365.",
+    "yql_text_session_window": "SessionWindow text form (round 11): gap-break window + session aggregation share ONE exchange on user_id — the session id is computed and consumed inside the same partitioning, never reshuffled.",
+    "yql_text_containers": "Container literals (round 11): map/named_struct constructors fold to constants inside whole-stage codegen; the dict-decode GROUP BY plans identically to ql_group_agg (scan -> partial agg -> one exchange -> final agg).",
     "curation_boilerplate_lines": "Frequent-line filter (round 6): persisted line stream feeds the distinct-df count and the removal scan; the hot-line set broadcasts back.",
 }
 

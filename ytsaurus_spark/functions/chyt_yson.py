@@ -69,9 +69,11 @@ def parse_any(v):
 def _dump_fmt(value, fmt: str) -> str:
     if fmt == "binary":
         return dumps(value).decode("latin-1")
-    if fmt in ("text", "pretty"):
+    if fmt in ("text", "pretty", "unescaped_text", "unescaped_pretty"):
         return dumps_text(value, fmt)
-    raise ValueError(f"unknown YSON format {fmt!r} (binary/text/pretty)")
+    raise ValueError(
+        f"unknown YSON format {fmt!r} "
+        "(binary/text/pretty/unescaped_text/unescaped_pretty)")
 
 
 # --- YPath walking (udf path syntax: '/key/1/sub'; '' = whole value) --------

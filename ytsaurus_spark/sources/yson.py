@@ -229,12 +229,14 @@ def _skip_ws(s: str, i: int) -> int:
 
 
 def _parse_quoted(s: str, i: int) -> tuple[str, int]:
-    # i points at the opening quote
-    out, i = [], i + 1
+    # i points at the opening quote. Escapes address BYTES (the
+    # reference's strings are byte sequences): accumulate as UTF-8
+    # bytes so "\xd0\x90" reassembles into 'А'.
+    out, i = bytearray(), i + 1
     while i < len(s):
         c = s[i]
         if c == '"':
-            return "".join(out), i + 1
+            return out.decode("utf-8", "surrogateescape"), i + 1
         if c == "\\":
             if i + 1 >= len(s):
                 break
@@ -242,17 +244,17 @@ def _parse_quoted(s: str, i: int) -> tuple[str, int]:
             simple = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\",
                       "a": "\a", "b": "\b", "f": "\f", "v": "\v", "0": "\0"}
             if nxt in simple:
-                out.append(simple[nxt])
+                out.extend(simple[nxt].encode())
                 i += 2
                 continue
             if nxt == "x" and i + 3 < len(s):
-                out.append(chr(int(s[i + 2:i + 4], 16)))
+                out.append(int(s[i + 2:i + 4], 16))
                 i += 4
                 continue
-            out.append(nxt)
+            out.extend(nxt.encode("utf-8"))
             i += 2
             continue
-        out.append(c)
+        out.extend(c.encode("utf-8"))
         i += 1
     raise YsonTextError("unterminated string literal")
 
@@ -369,7 +371,27 @@ def _quote(s: str) -> str:
     return "".join(out)
 
 
-def _dump_scalar_text(v) -> str:
+def _quote_escaped(s: str) -> str:
+    """Standard (non-``unescaped``) text quoting: non-ASCII characters
+    escape per UTF-8 BYTE (``\\xd0\\x90`` for А) — the reference's
+    default text writer; the ``unescaped_*`` formats keep them verbatim
+    (test_common.py::test_unescaped_yson)."""
+    out = ['"']
+    for ch in s:
+        if ch in _ESCAPES:
+            out.append(_ESCAPES[ch])
+        elif ord(ch) < 0x20:
+            out.append(f"\\x{ord(ch):02x}")
+        elif ord(ch) > 0x7E:
+            out.extend(f"\\x{b:02x}" for b in ch.encode("utf-8"))
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def _dump_scalar_text(v, quote=None) -> str:
+    quote = quote or _quote
     if v is None:
         return "#"
     if isinstance(v, bool):
@@ -383,13 +405,15 @@ def _dump_scalar_text(v) -> str:
             return "%inf" if v > 0 else "%-inf"
         return repr(v)
     if isinstance(v, bytes):
-        return _quote(v.decode("utf-8", "surrogateescape"))
+        return quote(v.decode("utf-8", "surrogateescape"))
     if isinstance(v, str):
-        return _quote(v)
+        return quote(v)
     raise TypeError(f"cannot dump {type(v).__name__} as YSON")
 
 
-def _dump_text(v, out: list, indent: int | None, level: int) -> None:
+def _dump_text(v, out: list, indent: int | None, level: int,
+               quote=None) -> None:
+    quote = quote or _quote
     nl = "\n" + "    " * (level + 1) if indent is not None else ""
     close_nl = "\n" + "    " * level if indent is not None else ""
     if isinstance(v, dict):
@@ -399,9 +423,9 @@ def _dump_text(v, out: list, indent: int | None, level: int) -> None:
         out.append("{")
         for k, item in v.items():
             out.append(nl)
-            out.append(_quote(k if isinstance(k, str) else str(k)))
+            out.append(quote(k if isinstance(k, str) else str(k)))
             out.append(" = " if indent is not None else "=")
-            _dump_text(item, out, indent, level + 1)
+            _dump_text(item, out, indent, level + 1, quote)
             out.append(";")
         out.append(close_nl)
         out.append("}")
@@ -412,18 +436,23 @@ def _dump_text(v, out: list, indent: int | None, level: int) -> None:
         out.append("[")
         for item in v:
             out.append(nl)
-            _dump_text(item, out, indent, level + 1)
+            _dump_text(item, out, indent, level + 1, quote)
             out.append(";")
         out.append(close_nl)
         out.append("]")
     else:
-        out.append(_dump_scalar_text(v))
+        out.append(_dump_scalar_text(v, quote))
 
 
 def dumps_text(v, fmt: str = "text") -> str:
     """Dump plain Python values as text-format YSON. ``fmt`` is ``text``
-    (compact: every item ``;``-terminated, strings always quoted) or
-    ``pretty`` (4-space indented)."""
+    (compact: every item ``;``-terminated, strings always quoted),
+    ``pretty`` (4-space indented), or their ``unescaped_*`` variants —
+    non-ASCII characters stay verbatim instead of escaping per UTF-8
+    byte (test_common.py::test_unescaped_yson)."""
+    unescaped = fmt.startswith("unescaped_")
+    base = fmt.removeprefix("unescaped_")
     out: list = []
-    _dump_text(v, out, 4 if fmt == "pretty" else None, 0)
+    _dump_text(v, out, 4 if base == "pretty" else None, 0,
+               _quote if unescaped else _quote_escaped)
     return "".join(out)
