@@ -700,11 +700,11 @@ def _deordinal_group_by(sql: str) -> str:
         items = [i.strip() for i in m.group(1).split(",")]
         fixed = [f"CAST({i} AS BIGINT)" if re.fullmatch(r"\d+", i) else i
                  for i in items]
-        return "GROUP BY " + ", ".join(fixed)
+        return "GROUP BY " + ", ".join(fixed) + m.group(2)
 
     return re.sub(
-        r"(?is)\bGROUP BY\s+((?:\d+\s*,\s*)*\d+)(?=\s*(?:$|having|order|"
-        r"limit|offset|with))",
+        r"(?is)\bGROUP BY\s+([^()]*?)(\s*(?:$|\bhaving\b|\border\b|"
+        r"\blimit\b|\boffset\b|\bwith\b))",
         fix, sql)
 
 
