@@ -1572,3 +1572,62 @@ def test_yql_module_function_breadth_r11(spark, sf_dir):
                "AS v").v == "5"
     assert one("SELECT JSON_EXISTS(CAST('{\"a\": 5}' AS Json), '$.b') "
                "AS e").e is False
+
+
+def test_yql_ddl_and_insert_modes(spark, tmp_path):
+    """CREATE TABLE (SQLv1Antlr4.g.in:646 — PRIMARY KEY -> sorted
+    dynamic, plain columns -> static), ALTER TABLE ADD/DROP COLUMN
+    (:697, static tables; added columns read NULL), INSERT OR
+    ABORT/REVERT/IGNORE modifiers (:578 — IGNORE keeps stored rows for
+    existing keys), and WITH SCHEMA / INFER_SCHEMA table hints
+    stripping (:956)."""
+    import pytest as _pytest
+
+    from ytsaurus_spark.client import YtClient
+    from ytsaurus_spark.sources.formats import table_attributes
+    from ytsaurus_spark.yql import yql_execute
+
+    c = YtClient(root=str(tmp_path), spark=spark)
+
+    yql_execute(spark,
+                "CREATE TABLE `//kv/t` (k Int64, v Utf8, PRIMARY KEY (k))",
+                client=c)
+    a = table_attributes(c._fs("//kv/t"))
+    assert a.get("dynamic") and a.get("key_columns") == ["k"]
+    assert [x["name"] for x in a["schema"]] == ["k", "v"]
+
+    yql_execute(spark, "UPSERT INTO `//kv/t` SELECT 1 AS k, "
+                "CAST('old' AS Utf8) AS v", client=c)
+    yql_execute(spark, "INSERT OR IGNORE INTO `//kv/t` SELECT k, v FROM "
+                "(SELECT 1 AS k, CAST('new' AS Utf8) AS v "
+                "UNION ALL SELECT 2, CAST('two' AS Utf8))", client=c)
+    rows = sorted((r.k, r.v) for r in c.read_table("//kv/t").collect())
+    assert rows == [(1, "old"), (2, "two")]
+
+    yql_execute(spark, "CREATE TABLE `//st/s` (a Int64, b String)",
+                client=c)
+    yql_execute(spark, "INSERT INTO `//st/s` SELECT 1 AS a, 'x' AS b",
+                client=c)
+    yql_execute(spark, "ALTER TABLE `//st/s` ADD COLUMN extra Double",
+                client=c)
+    df = c.read_table("//st/s")
+    assert df.columns == ["a", "b", "extra"]
+    assert df.collect()[0].extra is None
+    yql_execute(spark, "ALTER TABLE `//st/s` DROP COLUMN b", client=c)
+    assert c.read_table("//st/s").columns == ["a", "extra"]
+
+    yql_execute(spark, "CREATE TABLE IF NOT EXISTS `//st/s` (a Int64)",
+                client=c)
+    with _pytest.raises(ValueError, match="already exists"):
+        yql_execute(spark, "CREATE TABLE `//st/s` (a Int64)", client=c)
+
+    yql_execute(spark, "INSERT OR ABORT INTO `//st/p` SELECT 7 AS x",
+                client=c)
+    assert [r.x for r in c.read_table("//st/p").collect()] == [7]
+
+    from ytsaurus_spark.yql import yql_select
+
+    r = yql_select(spark, "SELECT count(*) AS c FROM region "
+                   "WITH INFER_SCHEMA",
+                   sf_dir="/root/testdata/sf0.001").collect()
+    assert r[0].c == 5

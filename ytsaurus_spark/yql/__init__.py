@@ -8,6 +8,7 @@ import re
 from ytsaurus_spark.yql.dialect import (  # noqa: F401
     PRAGMA_CONF_MAP,
     TranslatedQuery,
+    YqlUnsupportedError,
     apply_pragmas,
     pragma_confs,
     translate_yql,
@@ -102,6 +103,20 @@ def yql_select(spark, text: str, sf_dir: str | None = None,
     return s2.sql(tq.sql)
 
 
+def _dyn_keys(client, ypath: str) -> list[str]:
+    """Key columns of a dynamic table at ``ypath`` ([] if absent or not
+    dynamic/keyed)."""
+    if client is None:
+        return []
+    from ytsaurus_spark.sources.formats import table_attributes
+
+    try:
+        return list(table_attributes(client._fs(ypath)).get(
+            "key_columns") or [])
+    except Exception:
+        return []
+
+
 def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
                 params: dict | None = None):
     """Execute a full YQL SCRIPT, including write statements — the
@@ -171,6 +186,73 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
 
     last = None
     for stmt in parts:
+        if stmt.kind == "create_table":
+            # create_table_stmt (SQLv1Antlr4.g.in:646): PRIMARY KEY ->
+            # sorted DYNAMIC table, plain columns -> static schema
+            if client is None:
+                raise ValueError("CREATE TABLE needs a client")
+            if exec_client.exists(stmt.target):
+                if stmt.truncate:  # strict form (no IF NOT EXISTS)
+                    raise ValueError(
+                        f"CREATE TABLE: {stmt.target} already exists")
+                last = None
+                continue
+            schema = [dict(c) for c in stmt.create_schema]
+            dynamic = any(c.get("sort_order") for c in schema)
+            exec_client.create("table", stmt.target, attributes={
+                "schema": schema, **({"dynamic": True} if dynamic else {}),
+            })
+            last = None
+            continue
+        if stmt.kind == "alter_table":
+            # alter_table_stmt (SQLv1Antlr4.g.in:697): ADD/DROP COLUMN.
+            # Static tables rewrite in place (added columns read NULL);
+            # dynamic tables keep their MVCC layout — alter through the
+            # dynamic write path instead.
+            if client is None:
+                raise ValueError("ALTER TABLE needs a client")
+            from pyspark.sql import functions as F
+
+            from ytsaurus_spark.sources.formats import (
+                _write_attrs, table_attributes,
+            )
+            from ytsaurus_spark.yt_types import yt_type_to_spark
+
+            p = client._fs(stmt.target)
+            attrs = dict(table_attributes(p))
+            if attrs.get("dynamic"):
+                raise YqlUnsupportedError(
+                    "ALTER TABLE on a dynamic table is not supported — "
+                    "write through UPSERT with the widened row shape")
+            df = exec_client.read_table(stmt.target)
+            schema = list(attrs.get("schema") or [])
+            for op, name, typ in stmt.alter_actions:
+                if op == "add":
+                    if name in df.columns:
+                        raise ValueError(
+                            f"ALTER TABLE: column {name} already exists")
+                    df = df.withColumn(
+                        name, F.lit(None).cast(yt_type_to_spark(typ)))
+                    schema.append({"name": name, "type": typ})
+                else:
+                    if name not in df.columns:
+                        raise ValueError(
+                            f"ALTER TABLE: no such column {name}")
+                    df = df.drop(name)
+                    schema = [c for c in schema if c.get("name") != name]
+            # the rewrite reads the table it replaces: stage + swap
+            staging = stmt.target + ".__alter_staging"
+            if exec_client.exists(staging):
+                exec_client.remove(staging, recursive=True)
+            exec_client.write_table(staging, df, append=False)
+            exec_client.remove(stmt.target, recursive=True)
+            exec_client.move(staging, stmt.target)
+            new_attrs = dict(table_attributes(p))
+            if schema:
+                new_attrs["schema"] = schema
+            _write_attrs(p, new_attrs)
+            last = None
+            continue
         if stmt.kind == "drop":
             if client is None:
                 raise ValueError("DROP TABLE needs a client")
@@ -259,7 +341,17 @@ def yql_execute(spark, text: str, client=None, sf_dir: str | None = None,
                     "is static (use INSERT/REPLACE)"
                 )
             exec_client.insert_rows(stmt.target, df)
+        elif stmt.insert_mode == "ignore" and _dyn_keys(client, stmt.target):
+            # INSERT OR IGNORE (into_table_stmt:578): keys already
+            # present keep their stored row — only NEW keys land
+            keys = _dyn_keys(client, stmt.target)
+            current = exec_client.read_table(stmt.target).select(*keys)
+            exec_client.insert_rows(
+                stmt.target, df.join(current, list(keys), "left_anti"))
         else:
+            # OR ABORT / OR REVERT add transactional failure modes the
+            # sequential executor already has (a failed statement stops
+            # the script); the write itself is a plain append
             exec_client.write_table(stmt.target, df, append=not stmt.truncate)
         last = None
     return last

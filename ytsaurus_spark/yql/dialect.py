@@ -75,6 +75,9 @@ class TranslatedQuery:
     paths: tuple[str, ...] = ()
     columns: tuple[str, ...] | None = None  # INSERT INTO t (cols)
     result_label: str | None = None  # SELECT ... INTO RESULT `name`
+    insert_mode: str | None = None  # INSERT OR ABORT / REVERT / IGNORE
+    create_schema: tuple = ()       # CREATE TABLE column specs
+    alter_actions: tuple = ()       # ALTER TABLE actions
 
 
 def strip_comments(text: str) -> str:
@@ -2693,6 +2696,85 @@ def translate_yql_script(
         }
         final = _lower_process_reduce(final, lambdas)
         kind = target = None
+        insert_mode = None
+        create_schema: tuple = ()
+        alter_actions: tuple = ()
+        cm = _CREATE_TABLE_RE.match(final)
+        am = _ALTER_TABLE_RE.match(final) if cm is None else None
+        if cm:
+            # CREATE TABLE t (col Type, ..., PRIMARY KEY (k, ...))
+            schema: list[dict] = []
+            pk: list[str] = []
+            for entry in _split_top_commas(cm.group(3)):
+                entry = entry.strip()
+                if not entry:
+                    continue
+                pkm = re.match(r"(?is)^primary\s+key\s*\(([^)]*)\)$", entry)
+                if pkm:
+                    pk = [c.strip().strip("`")
+                          for c in pkm.group(1).split(",") if c.strip()]
+                    continue
+                em = re.match(r"(?s)^(`[^`]+`|\w+)\s+(\w+)\s*\??$", entry)
+                if not em:
+                    raise YqlUnsupportedError(
+                        f"CREATE TABLE entry not supported: {entry!r} "
+                        "(FAMILY/INDEX/CHANGEFEED have no YT analog here)")
+                tl = em.group(2).lower()
+                if tl not in _YQL_COL_TYPES:
+                    raise YqlUnsupportedError(
+                        f"CREATE TABLE column type {em.group(2)!r}")
+                schema.append({"name": em.group(1).strip("`"),
+                               "type": _YQL_COL_TYPES[tl]})
+            for col in schema:
+                if col["name"] in pk:
+                    col["sort_order"] = "ascending"
+            # PRIMARY KEY columns must lead, in key order
+            schema.sort(key=lambda c: (pk.index(c["name"])
+                                       if c["name"] in pk else len(pk)))
+            out.append(TranslatedQuery(
+                sql="select 1 as created",  # never executed
+                pragmas=pragmas, kind="create_table",
+                target=cm.group(2).strip("`"),
+                truncate=not bool(cm.group(1)),  # False = IF NOT EXISTS
+                paths=script_paths,
+                create_schema=tuple(
+                    tuple(sorted(c.items())) for c in schema),
+            ))
+            continue
+        if am:
+            actions = []
+            for act in _split_top_commas(am.group(2)):
+                act = act.strip().rstrip(";").strip()
+                ad = re.match(
+                    r"(?is)^add\s+(?:column\s+)?(`[^`]+`|\w+)\s+(\w+)\s*\??$",
+                    act)
+                dd = re.match(
+                    r"(?is)^drop\s+(?:column\s+)?(`[^`]+`|\w+)$", act)
+                if ad:
+                    tl = ad.group(2).lower()
+                    if tl not in _YQL_COL_TYPES:
+                        raise YqlUnsupportedError(
+                            f"ALTER TABLE column type {ad.group(2)!r}")
+                    actions.append(("add", ad.group(1).strip("`"),
+                                    _YQL_COL_TYPES[tl]))
+                elif dd:
+                    actions.append(("drop", dd.group(1).strip("`"), None))
+                else:
+                    raise YqlUnsupportedError(
+                        f"ALTER TABLE action not supported: {act!r}")
+            out.append(TranslatedQuery(
+                sql="select 1 as altered",  # never executed
+                pragmas=pragmas, kind="alter_table",
+                target=am.group(1).strip("`"),
+                paths=script_paths,
+                alter_actions=tuple(actions),
+            ))
+            continue
+        # table hints (SQLv1Antlr4.g.in:956): schema assertions have no
+        # work to do here — every source already carries its schema
+        final = re.sub(
+            r"(?is)\s+with\s+(infer_schema\b|schema\s+struct<[^>]*>|"
+            r"\(\s*infer_schema\s*\))", "", final)
         if re.match(r"(?is)^\s*(batch\s+)?(delete|update)\b", final):
             if re.search(r"(?is)\breturning\b", final):
                 raise YqlUnsupportedError(
@@ -2731,7 +2813,8 @@ def translate_yql_script(
             target = raw_target.strip("`")
             truncate, columns, body = False, None, final
         else:
-            kind, target, truncate, columns, body = _split_write_head(final)
+            (kind, target, truncate, columns, insert_mode,
+             body) = _split_write_head(final)
         result_label = None
         mr = _INTO_RESULT_RE.search(body)
         if mr and _depth_map(body)[mr.start()] == 0:
@@ -2772,6 +2855,7 @@ def translate_yql_script(
                 paths=script_paths,
                 columns=columns,
                 result_label=result_label,
+                insert_mode=insert_mode,
             )
         )
     return out
@@ -2779,12 +2863,34 @@ def translate_yql_script(
 
 _PATH_RE = re.compile(r"`(//[^`]+)`")
 _WRITE_RE = re.compile(
-    r"^\s*(insert|replace|upsert)\s+into\s+"
+    # into_table_stmt (SQLv1Antlr4.g.in:578): INSERT [OR ABORT|REVERT|
+    # IGNORE] / UPSERT / REPLACE INTO
+    r"^\s*(insert(?:\s+or\s+(abort|revert|ignore))?|replace|upsert)"
+    r"\s+into\s+"
     r"(`//[^`]+`|@\w+|[A-Za-z_][\w.]*)"
     r"(\s+with\s+truncate)?\s*(\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\))?\s*"
     r"(?=select|with|values|\()",
     re.IGNORECASE,
 )
+# create_table_stmt (SQLv1Antlr4.g.in:646) — the plain-TABLE form with
+# column specs and an optional PRIMARY KEY entry; alter_table_stmt
+# (:697) — ADD/DROP COLUMN actions
+_CREATE_TABLE_RE = re.compile(
+    r"(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?table\s+"
+    r"(if\s+not\s+exists\s+)?(`//[^`]+`|[A-Za-z_][\w.]*)\s*\((.*)\)\s*$"
+)
+_ALTER_TABLE_RE = re.compile(
+    r"(?is)^\s*alter\s+table\s+(`//[^`]+`|[A-Za-z_][\w.]*)\s+(.*)$"
+)
+# YQL column types in CREATE TABLE specs -> YT schema type names
+_YQL_COL_TYPES = {
+    "int8": "int8", "int16": "int16", "int32": "int32", "int64": "int64",
+    "uint8": "uint8", "uint16": "uint16", "uint32": "uint32",
+    "uint64": "uint64", "float": "float", "double": "double",
+    "string": "string", "utf8": "utf8", "bool": "boolean",
+    "date": "date", "datetime": "datetime", "timestamp": "timestamp",
+    "json": "string", "yson": "any",
+}
 # SQLv1 grammar delete_stmt / update_stmt (SQLv1Antlr4.g.in:968-969):
 # ``[BATCH] DELETE FROM t [WHERE p]`` / ``[BATCH] UPDATE t SET c = e,
 # ... [WHERE p]``. Both target DYNAMIC tables (the reference's key-value
@@ -2813,16 +2919,17 @@ def _split_write_head(stmt: str) -> tuple[str, str | None, bool, str]:
     (kind, target_path, truncate, remaining SELECT body)."""
     m = _WRITE_RE.match(stmt)
     if not m:
-        return "select", None, False, None, stmt
-    kind = m.group(1).lower()
-    target = m.group(2).strip("`")
-    truncate = bool(m.group(3)) or kind == "replace"
+        return "select", None, False, None, None, stmt
+    kind = m.group(1).split()[0].lower()
+    mode = m.group(2).lower() if m.group(2) else None
+    target = m.group(3).strip("`")
+    truncate = bool(m.group(4)) or kind == "replace"
     columns = None
-    if m.group(4):
+    if m.group(5):
         columns = tuple(
-            c.strip() for c in m.group(4).strip()[1:-1].split(",")
+            c.strip() for c in m.group(5).strip()[1:-1].split(",")
         )
-    return kind, target, truncate, columns, stmt[m.end():]
+    return kind, target, truncate, columns, mode, stmt[m.end():]
 
 
 def translate_yql(text: str, params: dict | None = None) -> TranslatedQuery:
