@@ -150,6 +150,8 @@ def shingle_set(docs: DataFrame, k: int, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Distinct word k-gram shingles per document (short docs fall back to
     the whole text as a single shingle). One scan, no Python."""
+    from ytsaurus_spark.operators import spread_scan
+
     t = F.split(F.col(text_col), " ")
     shingles = F.when(
         F.size(t) >= k,
@@ -158,8 +160,8 @@ def shingle_set(docs: DataFrame, k: int, id_col: str = "doc_id",
             lambda i: F.array_join(F.slice(t, i + 1, k), " "),
         ),
     ).otherwise(F.array(F.array_join(t, " ")))
-    return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("s"))
+    return spread_scan(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("s")
     )
 
 

@@ -61,17 +61,39 @@ def minhash_signatures(
     min IS the minhash — no hex→int conversion needed, and the same formula
     runs verbatim in any engine with md5().
 
-    Wide (one agg column per seed) instead of exploding (shingle × seed)
-    rows: the shingle stream is scanned once and never multiplied by
-    num_hashes — at 100 TB that factor is the difference between one
-    shuffle of N shingles and one of 8N."""
-    sh = _shingles(docs, text_col, id_col, shingle_k)
-    return sh.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+    Computed entirely in the scan stage: a document's shingles are one
+    array-valued expression, so ``array_min(transform(shingles, md5 ...))``
+    IS the per-seed minhash — no explode, no aggregation, no exchange.
+    (The former explode + groupBy(doc) formulation forced a SortAggregate —
+    min-over-string buffers are not hash-aggregable — i.e. a sort of the
+    full shingle stream plus a doc-keyed shuffle; r11 measurement showed
+    that pipeline dominating every minhash consumer.) ``array_distinct``
+    first: min over a set equals min over the multiset, and duplicate
+    shingles would pay ``num_hashes`` md5s each for nothing."""
+    from ytsaurus_spark.operators import spread_scan
+
+    toks = F.split(F.col(text_col), " ")
+    parts = "concat(" + ", ' ', ".join(f"t[i+{j}]" for j in range(shingle_k)) + ")"
+    shingles = (
+        f"CASE WHEN size(t) >= {shingle_k} THEN "
+        f"array_distinct(transform(sequence(0, size(t)-{shingle_k}), i -> {parts})) "
+        f"ELSE array(array_join(t, ' ')) END"
     )
+    base = spread_scan(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), toks.alias("t")
+    ).select(id_col, F.expr(shingles).alias("__sh"))
+    def _seed_min(i: int):
+        # running-min fold (least ignores the null seed accumulator):
+        # equal to min over the md5 set, without materializing a hash
+        # array per seed the way transform + array_min would
+        pre = f"{i}|"
+        return F.aggregate(
+            F.col("__sh"),
+            F.lit(None).cast("string"),
+            lambda acc, s: F.least(acc, F.md5(F.concat(F.lit(pre), s))),
+        ).alias(f"mh{i}")
+
+    return base.select(id_col, *[_seed_min(i) for i in range(num_hashes)])
 
 
 def band_signatures(
@@ -125,24 +147,36 @@ def minhash_lsh_pairs(
     sigs = band_signatures(
         docs, text_col, id_col, num_hashes, band_rows, shingle_k
     )
+    # ONE shuffle on (band, band_sig) collecting each bucket's members,
+    # then in-bucket pair expansion — replaces the former self-join, which
+    # evaluated the whole minhash pipeline twice (once per join side; no
+    # exchange reuse across a broadcast) and shuffled it twice. Bucket
+    # sizes are bounded by construction (hash-distributed sigs; and
+    # ``max_bucket`` caps adversarial skew BEFORE any pair is emitted, so
+    # a hot bucket costs its member list, never its pair explosion).
+    # null band_sig (null/empty text ⇒ null minhash) never matches under
+    # join-on-key semantics; drop it before grouping to keep that contract.
+    grouped = (
+        sigs.filter(F.col("band_sig").isNotNull())
+        .groupBy("band", "band_sig")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+    )
     if max_bucket is not None:
-        counts = sigs.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
-        sigs = sigs.join(
-            counts.filter(F.col("_bn") <= max_bucket).drop("_bn"),
-            ["band", "band_sig"],
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
+    pairs = (
+        grouped.filter(F.size("_ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, x -> "
+                    "transform(filter(_ids, y -> y > x), "
+                    "z -> named_struct('doc_a', x, 'doc_b', z))))"
+                )
+            ).alias("_p")
         )
-    a = sigs.select(
-        F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_sig")
+        .select("_p.doc_a", "_p.doc_b")
     )
-    b = sigs.select(
-        F.col(id_col).alias("doc_b"), F.col("band"), F.col("band_sig")
-    )
-    return (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return pairs.distinct()
 
 
 def minhash_lsh_incremental(
@@ -250,18 +284,32 @@ def simhash(
     Bit b of a token = parity of the (b+1)-th md5 hex char — engine-portable
     and uniform. Output: (doc_id, simhash) bit string; near-dups share
     fingerprints at small Hamming distance (exact match used downstream)."""
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    toks = toks.withColumn("h", F.md5("tok"))
-    sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ]
+    from ytsaurus_spark.operators import spread_scan
+
+    # Scan-stage formulation: a doc's token hashes are one array expression,
+    # so each bit's ±1 vote folds per row (integer addition — order-free,
+    # identical to the former explode + groupBy) with no exchange at all.
+    hs = F.transform(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
+        lambda t: F.md5(t),
     )
+    base = (
+        spread_scan(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), hs.alias("__hs"))
+        # all-empty/null texts produced no (doc, tok) rows in the exploded
+        # form, so they had no fingerprint; keep that contract
+        .filter(F.size("__hs") > 0)
+    )
+
+    def _bit_vote(b: int):
+        return F.aggregate(
+            F.col("__hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.ascii(F.substring(h, b + 1, 1)) % 2 == 1, 1).otherwise(-1),
+        ).alias(f"b{b}")
+
+    sums = base.select(id_col, *[_bit_vote(b) for b in range(bits)])
     fingerprint = F.concat(
         *[F.when(F.col(f"b{b}") >= 0, "1").otherwise("0") for b in range(bits)]
     )
@@ -341,22 +389,32 @@ def embedding_near_dup_pairs(
 
     Returns (a_id, b_id, cosine) with cosine rounded to 4 decimals.
     """
-    from ytsaurus_spark.operators.similarity import _dot, lsh_bucket
+    from ytsaurus_spark.operators.similarity import _bucket_expr, _dot
 
-    buckets = lsh_bucket(emb, num_planes, dim, id_col, vec_col)
-    withb = emb.join(buckets, id_col)
+    # bucket + self-norm as scan-stage projections: no id-self-join to
+    # attach buckets, and each vector folds its own norm once instead of
+    # per candidate pair (bit-identical: sqrt(aa*bb) over the same two
+    # fold results). The bucket equi-join stays the scale shape —
+    # candidates bounded by bucket population, never all-pairs.
+    from ytsaurus_spark.operators import spread_scan
+
+    withb = spread_scan(emb).withColumn(
+        "bucket", F.expr(_bucket_expr(num_planes, dim, vec_col))
+    ).withColumn("_nn", F.expr(_dot(vec_col, vec_col)))
     a = withb.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), "bucket"
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), "bucket",
+        F.col("_nn").alias("_aa"),
     )
     b = withb.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), "bucket"
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), "bucket",
+        F.col("_nn").alias("_bb"),
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
             "cosine",
-            F.expr(f"{_dot('av', 'bv')} / sqrt({_dot('av', 'av')} * {_dot('bv', 'bv')})"),
+            F.expr(f"{_dot('av', 'bv')} / sqrt(_aa * _bb)"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
@@ -392,26 +450,32 @@ def semantic_dedup(
         emb, k=k, iterations=iterations,
         id_col=id_col, vec_col=vec_col, centroid_stride=centroid_stride,
     )
+    from ytsaurus_spark.operators import spread_scan
+
     withc = (
-        emb.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        spread_scan(
+            emb.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+            )
         )
         .join(assign, id_col)
     )
-    a = withc.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"), "cell")
-    b = withc.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "cell")
+    withn = withc.withColumn("_nn", F.expr(_dot("v", "v")))
+    a = withn.select(
+        F.col(id_col).alias("a_id"), F.col("v").alias("av"), "cell",
+        F.col("_nn").alias("_aa"),
+    )
+    b = withn.select(
+        F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "cell",
+        F.col("_nn").alias("_bb"),
+    )
     drops = (
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
             "cos",
-            F.round(
-                F.expr(
-                    f"{_dot('av', 'bv')} / "
-                    f"sqrt({_dot('av', 'av')} * {_dot('bv', 'bv')})"
-                ),
-                4,
-            ),
+            # self-norms pre-folded per vector (bit-identical; 3 folds → 1)
+            F.round(F.expr(f"{_dot('av', 'bv')} / sqrt(_aa * _bb)"), 4),
         )
         .filter(F.col("cos") >= threshold)
         .select(F.col("b_id").alias(id_col))

@@ -171,8 +171,16 @@ def run_reduce_batched(
         if sort_by[: len(reduce_by)] != reduce_by:
             raise ValueError("sort_by must have reduce_by as prefix")
     sort_cols = sort_by or reduce_by
-    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    arranged = df.repartition(int(parts), *reduce_by).sortWithinPartitions(*sort_cols)
+    # keyed repartition WITHOUT a pinned count unless the caller asks:
+    # REPARTITION_BY_NUM disables AQE coalescing, so a fixed 32 would be a
+    # local-core-count constant baked into the plan. Keyless form starts at
+    # spark.sql.shuffle.partitions and lets AQE size the reduce stage by
+    # bytes — the scale-adaptive behavior on any cluster.
+    if num_partitions:
+        arranged = df.repartition(int(num_partitions), *reduce_by)
+    else:
+        arranged = df.repartition(*reduce_by)
+    arranged = arranged.sortWithinPartitions(*sort_cols)
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ytsaurus_spark.operators import spread_scan
+
 # Deterministic pseudo-random hyperplane coefficient for (plane h, dim d):
 # integer formula, identical in any engine. Values in [-3, 3].
 _COEF = "(((({h} + 1) * ({d} + 3)) % 7) - 3)"
@@ -42,21 +44,27 @@ def cosine_topk(
     """Exact top-k cosine neighbors of each query vector.
 
     ``queries`` (small) is broadcast; candidates never shuffle. Returns
-    (q_id, c_id, cosine, rank) with rank 1..k, ties broken by c_id."""
+    (q_id, c_id, cosine, rank) with rank 1..k, ties broken by c_id.
+
+    Each side's self dot product is computed ONCE per vector before the
+    pair join (the pair grid would otherwise re-fold it per pair — at Q
+    queries that is Q× redundant work on every candidate). ``sqrt(qq*cc)``
+    over the pre-folded values is bit-identical to folding inside the
+    pair row."""
     from pyspark.sql import Window as W
 
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
-    )
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("_qq", F.expr(_dot("qv", "qv")))
+    c = spread_scan(
+        emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("_cc", F.expr(_dot("cv", "cv")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
-            F.expr(
-                f"{_dot('qv', 'cv')} / sqrt({_dot('qv', 'qv')} * {_dot('cv', 'cv')})"
-            ),
+            F.expr(f"{_dot('qv', 'cv')} / sqrt(_qq * _cc)"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -72,6 +80,18 @@ def cosine_topk(
     )
 
 
+def _bucket_expr(num_planes: int, dim: int, vec_col: str) -> str:
+    """SQL expression for the random-hyperplane LSH bucket of ``vec_col``."""
+    bits = []
+    for h in range(num_planes):
+        dot = (
+            f"aggregate(sequence(0, {dim - 1}), 0D, (acc, d) -> "
+            f"acc + CAST({vec_col}[d] AS DOUBLE) * CAST({_COEF.format(h=h, d='d')} AS DOUBLE))"
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
 def lsh_bucket(
     emb: DataFrame,
     num_planes: int = 8,
@@ -83,15 +103,9 @@ def lsh_bucket(
 
     Hyperplane coefficients come from the deterministic integer formula, so
     bucketing is reproducible everywhere. Output: (vec_id, bucket)."""
-    bits = []
-    for h in range(num_planes):
-        dot = (
-            f"aggregate(sequence(0, {dim - 1}), 0D, (acc, d) -> "
-            f"acc + CAST({vec_col}[d] AS DOUBLE) * CAST({_COEF.format(h=h, d='d')} AS DOUBLE))"
-        )
-        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
-    bucket = "concat(" + ", ".join(bits) + ")"
-    return emb.select(F.col(id_col), F.expr(bucket).alias("bucket"))
+    return emb.select(
+        F.col(id_col), F.expr(_bucket_expr(num_planes, dim, vec_col)).alias("bucket")
+    )
 
 
 def ann_topk_lsh(
@@ -109,24 +123,26 @@ def ann_topk_lsh(
     Recall < 1 by construction; raise planes/probes for tighter recall."""
     from pyspark.sql import Window as W
 
-    buckets = lsh_bucket(emb, num_planes, dim, id_col, vec_col)
-    with_b = emb.join(buckets, id_col)
+    # bucket + self-norm attach as scan-stage projections (the former
+    # emb ⋈ lsh_bucket(emb) id-self-join re-derived the same rows through
+    # a join for nothing); per-pair work is then ONE fold, not three.
+    with_b = spread_scan(emb).withColumn(
+        "bucket", F.expr(_bucket_expr(num_planes, dim, vec_col))
+    )
     q = with_b.join(queries.select(id_col), id_col, "left_semi").select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
         F.col("bucket"),
-    )
+    ).withColumn("_qq", F.expr(_dot("qv", "qv")))
     c = with_b.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "bucket"
-    )
+    ).withColumn("_cc", F.expr(_dot("cv", "cv")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
-            F.expr(
-                f"{_dot('qv', 'cv')} / sqrt({_dot('qv', 'qv')} * {_dot('cv', 'cv')})"
-            ),
+            F.expr(f"{_dot('qv', 'cv')} / sqrt(_qq * _cc)"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -320,7 +336,7 @@ def ivf_topk(
         emb, num_cells, id_col, vec_col, centroid_stride, total_rows,
         refine_iterations=refine_iterations,
     )
-    with_cell = emb.join(assignments, id_col)
+    with_cell = spread_scan(emb).join(assignments, id_col)
     if nprobe <= 1:
         q = with_cell.join(queries.select(id_col), id_col, "left_semi").select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "cell"
@@ -347,15 +363,15 @@ def ivf_topk(
         )
     c = with_cell.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "cell"
-    )
+    ).withColumn("_cc", F.expr(_dot("cv", "cv")))
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q.withColumn("_qq", F.expr(_dot("qv", "qv")))), "cell")
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
-            F.expr(
-                f"{_dot('qv', 'cv')} / sqrt({_dot('qv', 'qv')} * {_dot('cv', 'cv')})"
-            ),
+            # self-norms pre-folded per vector (bit-identical to folding
+            # them inside the pair row; 3 HOF folds per pair → 1)
+            F.expr(f"{_dot('qv', 'cv')} / sqrt(_qq * _cc)"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -450,8 +466,9 @@ def ann_topk_lsh_multiprobe(
     on isotropic random vectors at sf0.01 (see SCALE.md)."""
     from pyspark.sql import Window as W
 
-    buckets = lsh_bucket(emb, num_planes, dim, id_col, vec_col)
-    with_b = emb.join(buckets, id_col)
+    with_b = spread_scan(emb).withColumn(
+        "bucket", F.expr(_bucket_expr(num_planes, dim, vec_col))
+    )
     flips = ", ".join(
         f"concat(substr(bucket, 1, {i}), "
         f"CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END, "
@@ -468,16 +485,15 @@ def ann_topk_lsh_multiprobe(
     )
     c = with_b.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "bucket"
-    )
+    ).withColumn("_cc", F.expr(_dot("cv", "cv")))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q.withColumn("_qq", F.expr(_dot("qv", "qv")))), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
         .dropDuplicates(["q_id", "c_id"])
         .withColumn(
             "cosine",
-            F.expr(
-                f"{_dot('qv', 'cv')} / sqrt({_dot('qv', 'qv')} * {_dot('cv', 'cv')})"
-            ),
+            # self-norms pre-folded per vector (bit-identical; 3 folds → 1)
+            F.expr(f"{_dot('qv', 'cv')} / sqrt(_qq * _cc)"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -743,16 +759,19 @@ def range_search(
     stage with a codegen'd HOF dot product; no window, no shuffle of the
     candidate side. The threshold compares the UNROUNDED cosine — both
     engines fold the arrays in the same order, so the cut is exact."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_qq", F.expr(_dot("qv", "qv")))
+    c = emb.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_cc", F.expr(_dot("cv", "cv")))
     return (
         c.join(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
-            F.expr(
-                f"{_dot('qv', 'cv')} / sqrt({_dot('qv', 'qv')} * {_dot('cv', 'cv')})"
-            ),
+            # self-norms pre-folded per vector (bit-identical; 3 folds → 1)
+            F.expr(f"{_dot('qv', 'cv')} / sqrt(_qq * _cc)"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"))

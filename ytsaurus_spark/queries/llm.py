@@ -499,7 +499,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dedup.minhash_lsh_pairs(canon_docs, num_hashes=8, band_rows=2, shingle_k=3)
     near_dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = canon_docs.join(near_dup_ids, "doc_id", "left_anti")
+    # near-dup ids are pair-bounded (tiny vs the corpus): broadcast the
+    # anti-join so the canon side never shuffles (was a SortMergeJoin —
+    # an Exchange+Sort of every surviving document)
+    survivors = canon_docs.join(F.broadcast(near_dup_ids), "doc_id", "left_anti")
     t = F.split(F.col("text"), " ")
     return (
         survivors.filter(

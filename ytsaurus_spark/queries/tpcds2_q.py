@@ -505,15 +505,23 @@ def tpcds_q4_three_channel_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         li.join(cat.read("orders"), li.l_orderkey == F.col("o_orderkey"))
         .filter(F.year("l_shipdate").isin(1996, 1997))
-        .groupBy(
+        .select(
             "o_custkey",
             _channel_col().alias("channel"),
             F.year("l_shipdate").cast("int").alias("d_year"),
+            _amt().alias("amt"),
         )
-        .agg(F.round(F.sum(_amt()) * 10000, 0).cast("long").alias("s_tt"))
     )
-    cell = lambda ch, y: F.sum(  # noqa: E731
-        F.when((F.col("channel") == ch) & (F.col("d_year") == y), F.col("s_tt"))
+    # ONE customer-keyed aggregation: each (channel, year) cell's sum is a
+    # conditional aggregate — same per-cell row set as the former
+    # (cust, channel, year) pre-aggregate, so the rounded 1e-4 fixed-point
+    # value is identical, without the second Exchange the pivot step cost.
+    cell = lambda ch, y: F.round(  # noqa: E731
+        F.sum(
+            F.when((F.col("channel") == ch) & (F.col("d_year") == y), F.col("amt"))
+        )
+        * 10000,
+        0,
     ).cast("long")
     six = per.groupBy("o_custkey").agg(
         cell("store", 1996).alias("s1"), cell("store", 1997).alias("s2"),
@@ -1072,10 +1080,15 @@ def tpcds_q67_category_top_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     default NULL ordering differs — coalesce removes NULLs from the sort
     keys entirely). The window partitions on category, never global, and
     its input is the ROLLUP aggregate, not the fact."""
+    from ytsaurus_spark.operators import spread_scan
+
     cat = load_tables(spark, sf_dir)
     li, part = cat.read("lineitem"), cat.read("part")
     agg = (
-        li.filter(F.col("l_linenumber") % 3 == 0)
+        # spread a single-split scan before the 6-way ROLLUP Expand — the
+        # broadcast join preserves the input partitioning, so without this
+        # the expanded partial aggregation runs one-core on small inputs
+        spread_scan(li.filter(F.col("l_linenumber") % 3 == 0))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.substring("p_brand", 7, 1).alias("category"),

@@ -358,7 +358,7 @@ class LogTxTable:
             if plain_missing:
                 current = self.read().select(*self.key_cols, *plain_missing)
                 rows = rows.join(current, self.key_cols, "left")
-            base_types = dict(self.read().dtypes)
+            base_types = self._base_types()
             for c in missing:
                 if c in self.aggregates:
                     rows = rows.withColumn(c, F.lit(None).cast(base_types[c]))
@@ -373,7 +373,7 @@ class LogTxTable:
 
     def _delete_delta(self, keys: DataFrame) -> DataFrame:
         schema_cols = self._schema_cols()
-        base_types = dict(self.read().dtypes)
+        base_types = self._base_types()
         delta = keys.select(*self.key_cols)
         for c in schema_cols:
             if c not in self.key_cols:
@@ -479,8 +479,19 @@ class LogTxTable:
             )
         return visible[base_idxs[-1]:]
 
+    def _seg_raw(self, v: int) -> DataFrame:
+        """Parquet relation for segment ``v``, memoized: committed segments
+        are immutable, and re-resolving the same directory is a driver
+        round trip per read that multiplies across the merge chain."""
+        cache = self.__dict__.setdefault("_seg_cache", {})
+        df = cache.get(v)
+        if df is None:
+            df = self.spark.read.parquet(os.path.join(self.path, f"s{v}"))
+            cache[v] = df
+        return df
+
     def _seg_df(self, s: dict) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.path, f"s{s['v']}"))
+        df = self._seg_raw(s["v"])
         if s["kind"] == "base":
             df = df.withColumn("__op", F.lit("u"))
         if "__sub" not in df.columns:  # bases + pre-sub-commit deltas
@@ -499,8 +510,7 @@ class LogTxTable:
         """Zero-row frame with the full log schema (for reads whose every
         segment was pruned). Schema comes from the seed segment's footer —
         the one piece of metadata a reader always holds."""
-        v0 = self._segments()[0]["v"]
-        df = self.spark.read.parquet(os.path.join(self.path, f"s{v0}"))
+        df = self._seg_raw(self._segments()[0]["v"])
         if "__sub" not in df.columns:
             df = df.withColumn("__sub", F.lit(0).cast("long"))
         return (
@@ -566,8 +576,12 @@ class LogTxTable:
         version = self._resolve_version(version, timestamp)
         chain = self._chain(version)
         k0 = self.key_cols[0]
-        b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
-        chain = [s for s in chain if self._overlaps(s, b["lo"], b["hi"])]
+        # The key-bounds pre-pass is a Spark job; only worth it when there
+        # are prunable segments beyond the mandatory merge set (short
+        # chains read every segment anyway, so the job would be pure cost).
+        if len(chain) > 4 and any(s.get("range") is not None for s in chain):
+            b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+            chain = [s for s in chain if self._overlaps(s, b["lo"], b["hi"])]
         keyset = F.broadcast(keys.select(*self.key_cols))
         parts = [
             self._seg_df(s).join(keyset, self.key_cols, "left_semi")
@@ -599,14 +613,17 @@ class LogTxTable:
         if not segs:
             raise FileNotFoundError(f"no committed version in {self.path}")
         k0 = self.key_cols[0]
-        b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+        writes = [s for s in segs if s["kind"] != "base" or s["v"] == 0]
+        # deltas + the seed only: compaction bases are derived states, not
+        # writes. Bounds pre-pass only when it can actually prune (see
+        # lookup_rows) — it is a Spark job.
+        if len(writes) > 4 and any(s.get("range") is not None for s in writes):
+            b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+            writes = [s for s in writes if self._overlaps(s, b["lo"], b["hi"])]
         keyset = F.broadcast(keys.select(*self.key_cols))
         parts = [
             self._seg_df(s).join(keyset, self.key_cols, "left_semi")
-            for s in segs
-            if (s["kind"] != "base" or s["v"] == 0)  # deltas + the seed only:
-            # compaction bases are derived states, not writes
-            and self._overlaps(s, b["lo"], b["hi"])
+            for s in writes
         ]
         if not parts:
             parts = [self._empty_log_df()]
@@ -772,6 +789,14 @@ class LogTxTable:
         return live.groupBy(*self.key_cols).agg(*aggs).select(*cols)
 
     def _schema_cols(self) -> list[str]:
-        v0 = self._segments()[0]["v"]
-        first = self.spark.read.parquet(os.path.join(self.path, f"s{v0}"))
+        first = self._seg_raw(self._segments()[0]["v"])
         return [c for c in first.columns if c not in ("__op", "__gen", "__sub")]
+
+    def _base_types(self) -> dict[str, str]:
+        """Column → dtype from the SEED segment's footer — the log schema
+        is fixed at init, so this avoids analyzing a full merged-read plan
+        just to learn types (formerly ``dict(self.read().dtypes)``)."""
+        first = self._seg_raw(self._segments()[0]["v"])
+        return {
+            c: t for c, t in first.dtypes if c not in ("__op", "__gen", "__sub")
+        }
