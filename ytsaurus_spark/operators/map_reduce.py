@@ -175,7 +175,10 @@ def run_reduce_batched(
     # REPARTITION_BY_NUM disables AQE coalescing, so a fixed 32 would be a
     # local-core-count constant baked into the plan. Keyless form starts at
     # spark.sql.shuffle.partitions and lets AQE size the reduce stage by
-    # bytes — the scale-adaptive behavior on any cluster.
+    # bytes — the scale-adaptive behavior on any cluster. (Measured both
+    # ways at sf0.1: pinning the width to 32 cores was ~1.5x SLOWER than
+    # AQE's byte-coalesced 3 partitions — per-task Python/Arrow overhead
+    # outweighs core width until partitions carry real data.)
     if num_partitions:
         arranged = df.repartition(int(num_partitions), *reduce_by)
     else:

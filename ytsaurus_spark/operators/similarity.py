@@ -174,19 +174,16 @@ def _lloyd_refine(
     data. ``vecs`` must be (id, v) with v array<double>."""
     from pyspark.sql import Window as W
 
-    d2 = (
-        f"round(aggregate(zip_with(v, {cent_col}, (x, y) -> (x - y) * (x - y)), "
-        f"0D, (acc, d) -> acc + d), {dist_round})"
-    )
-    w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell"))
     for _ in range(iterations):
-        assign = (
-            vecs.join(F.broadcast(centroids))
-            .withColumn("d2", F.expr(d2))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "cell")
-        )
+        # scan-stage argmin fold over the broadcast centroid array — same
+        # rounded-d2/cell-tiebreak selection as the former per-vector
+        # window, without the vec × cells explode + exchange + sort
+        assign = _with_cell(
+            vecs,
+            centroids.select("cell", F.col(cent_col).alias("centv")),
+            "v",
+            round_digits=dist_round,
+        ).select(id_col, "cell")
         flat = vecs.join(assign, id_col).select(
             "cell", F.posexplode("v").alias("i", "e")
         )
@@ -273,6 +270,48 @@ def ivf_assign(
     return assignments, centroids
 
 
+def _cell_argmin_expr(round_digits: int | None) -> str:
+    """Nearest-cell expression over a collected ``__cents`` array column:
+    per-row fold argmin (d2 asc, cell-id tiebreak) — identical selection to
+    a row_number()-over-(d2, cell) window, without exploding vec × cells
+    rows through an exchange + sort. ``round_digits`` mirrors the
+    refined/k-means paths' distance rounding (engine determinism)."""
+    d2 = (
+        "aggregate(zip_with(__v, __c.centv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0D, (acc, d) -> acc + d)"
+    )
+    if round_digits is not None:
+        d2 = f"round({d2}, {round_digits})"
+    pairs = f"transform(__cents, __c -> named_struct('cell', __c.cell, 'd2', {d2}))"
+    return (
+        f"aggregate({pairs}, CAST(NULL AS struct<cell:int,d2:double>), "
+        "(acc, p) -> CASE WHEN acc IS NULL OR p.d2 < acc.d2 "
+        "OR (p.d2 = acc.d2 AND p.cell < acc.cell) THEN p ELSE acc END).cell"
+    )
+
+
+def _with_cell(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """``vecs`` + a ``cell`` column (nearest centroid), computed in the
+    scan stage against the broadcast collected centroid array."""
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cell").cast("int").alias("cell"), F.col("centv"))
+        ).alias("__cents")
+    )
+    return (
+        vecs.withColumn("__v", F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cell", F.expr(_cell_argmin_expr(round_digits)))
+        .drop("__cents", "__v")
+    )
+
+
 def ivf_assign_to(
     vecs: DataFrame,
     centroids: DataFrame,
@@ -288,25 +327,15 @@ def ivf_assign_to(
     centroids broadcast; appending the assignments to the corpus's
     (vec_id, cell) table keeps ivf_topk serving the grown index.
     Deterministic: squared-L2 argmin with cell-id tiebreak, same formula
-    at build and ingest time."""
-    from pyspark.sql import Window as W
-
-    if dist_expr is None:
-        dist_expr = (
-            "aggregate(zip_with(v, centv, (x, y) -> "
-            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-            "0D, (acc, d) -> acc + d)"
-        )
-    scored = vecs.select(F.col(id_col), F.col(vec_col).alias("v")).join(
-        F.broadcast(centroids)
-    )
-    w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell"))
-    return (
-        scored.withColumn("d2", F.expr(dist_expr))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cell")
-    )
+    at build and ingest time. (``dist_expr`` is honored only for its
+    rounding mode — the argmin itself now folds over the broadcast
+    centroid array in the scan stage instead of windowing an exploded
+    vec × cells grid.)"""
+    rounded = dist_expr is not None and dist_expr.lstrip().startswith("round(")
+    return _with_cell(
+        vecs.select(F.col(id_col), F.col(vec_col)), centroids, vec_col,
+        6 if rounded else None,
+    ).select(id_col, "cell")
 
 
 def ivf_topk(
@@ -332,11 +361,17 @@ def ivf_topk(
     index-build time instead of query candidates."""
     from pyspark.sql import Window as W
 
-    assignments, centroids = ivf_assign(
+    _assignments, centroids = ivf_assign(
         emb, num_cells, id_col, vec_col, centroid_stride, total_rows,
         refine_iterations=refine_iterations,
     )
-    with_cell = spread_scan(emb).join(assignments, id_col)
+    # attach the cell as a scan-stage fold against the broadcast centroid
+    # array — the former emb ⋈ assignments id-self-join re-derived the same
+    # rows through a join (and the assignment itself through a window)
+    with_cell = _with_cell(
+        spread_scan(emb), centroids, vec_col,
+        round_digits=6 if refine_iterations > 0 else None,
+    )
     if nprobe <= 1:
         q = with_cell.join(queries.select(id_col), id_col, "left_semi").select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "cell"
@@ -418,20 +453,16 @@ def kmeans_iterations(
         (F.col(id_col) / centroid_stride).cast("int").alias("cell"),
         F.col("v").alias("cv"),
     )
-    d2 = (
-        "round(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
-        f"0D, (acc, d) -> acc + d), {dist_round})"
-    )
-    w = W.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell"))
     assign = None
     for _ in range(iterations):
-        assign = (
-            vecs.join(F.broadcast(centroids))
-            .withColumn("d2", F.expr(d2))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "cell")
-        )
+        # scan-stage argmin fold (see _cell_argmin_expr): same rounded-d2 /
+        # cell-tiebreak selection as the former window, no N×k explode
+        assign = _with_cell(
+            vecs,
+            centroids.select("cell", F.col("cv").alias("centv")),
+            "v",
+            round_digits=dist_round,
+        ).select(id_col, "cell")
         # recompute centroids: element-wise mean per cell (posexplode keyed
         # on (cell, dim) — the scalable wide-vector shape)
         flat = vecs.join(assign, id_col).select(
