@@ -336,6 +336,46 @@ def test_log_tx_table_row_level_mvcc(spark, tmp):
     assert [(r.k, r["__gen"], r["__op"]) for r in hist2.collect()] == [(2, 2, "d"), (2, 0, "u")]
 
 
+def test_log_tx_table_commit_many_matches_sequential(spark, tmp):
+    """commit_many stages its segment writes concurrently but must be
+    indistinguishable from the same commits made sequentially: same
+    versions, same resolved state, same history, and publish-time commit
+    stamps monotone with version order."""
+    import os
+    import time
+
+    from ytsaurus_spark.sources.tx_table import LogTxTable
+
+    seed = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k bigint, s string")
+    ups = spark.createDataFrame([(1, "a2"), (4, "d")], "k bigint, s string")
+    dels = spark.createDataFrame([(2,)], "k bigint")
+
+    seq = LogTxTable(spark, os.path.join(tmp, "cm_seq"), key_cols=["k"])
+    seq.init(seed)
+    seq.insert_rows(ups)
+    seq.delete_rows(dels)
+
+    par = LogTxTable(spark, os.path.join(tmp, "cm_par"), key_cols=["k"])
+    par.init(seed)
+    t1 = time.time()
+    assert par.commit_many([("u", ups), ("d", dels)]) == [1, 2]
+
+    assert rows_set(par.read()) == rows_set(seq.read())
+    assert rows_set(par.read(version=1)) == rows_set(seq.read(version=1))
+    keys = spark.createDataFrame([(1,), (2,)], "k bigint")
+    assert [
+        (r.k, r["__gen"], r["__op"]) for r in par.versioned_lookup(keys).collect()
+    ] == [(1, 1, "u"), (1, 0, "u"), (2, 2, "d"), (2, 0, "u")]
+    # commit stamps are publish-time: monotone with version order and
+    # after the pre-batch wall clock, so a timestamp read at t1 sees only
+    # the init state even though both segments were staged concurrently
+    segs = par._segments()
+    assert segs[0]["ts"] <= t1 <= segs[1]["ts"] <= segs[2]["ts"]
+    assert rows_set(par.read(timestamp=t1)) == rows_set(seed)
+    with pytest.raises(ValueError):
+        par.commit_many([("x", ups)])
+
+
 def test_log_tx_table_subcommit_ordering(spark, tmp):
     import os
 

@@ -251,8 +251,12 @@ def cluster_pairs(
     edges = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     )
-    # undirected: both directions + self-loop keeps isolated improvement
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # undirected: both directions + self-loop keeps isolated improvement.
+    # Persist the invariant edge list: every round reads it, and without
+    # the cut each round's lazy plan re-embeds the pair-mining pipeline.
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -267,6 +271,10 @@ def cluster_pairs(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # label frame is node-scale; checkpointing it truncates the
+            # lineage that otherwise DOUBLES per round (labels appears
+            # twice in each round's plan), values unchanged
+            .localCheckpoint()
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -591,8 +599,11 @@ def winnow_fingerprints(
              ELSE array(array_min(__hs)) END
         """
     )
+    from ytsaurus_spark.operators import spread_scan
+
     return (
-        docs.select(
+        spread_scan(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.expr(
                 f"""

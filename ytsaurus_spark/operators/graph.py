@@ -91,6 +91,14 @@ def pagerank(
                     * (F.coalesce(F.col("recv"), F.lit(0.0)) + F.col("dm") / F.col("n"))
                 ).alias("rank"),
             )
+            # truncate the lineage each pass: the chained plan otherwise
+            # deepens multiplicatively (each pass embeds the previous one
+            # plus two broadcast subtrees), and consumers re-plan — and
+            # with no cache, re-run — the whole chain per materialization.
+            # The rank frame is node-scale (graph-aggregate size), so the
+            # materialization is cheap; values are unchanged (guide §3.3 /
+            # §5: checkpoint to cut very large plans).
+            .localCheckpoint()
         )
     return ranks
 

@@ -443,8 +443,10 @@ def kmeans_iterations(
     """
     from pyspark.sql import Window as W
 
-    vecs = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    vecs = spread_scan(
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
     )
     centroids = vecs.filter(
         (F.col(id_col) % centroid_stride == 0)
@@ -478,6 +480,9 @@ def kmeans_iterations(
                 ).alias("cv")
             )
         )
+    # NOT checkpointed: measured at bench scale, an eager cut here made
+    # SemDeDup ~1.7x slower — the bounded 2-3 step chain re-derives
+    # cheaply and the lazy form lets consumers share exchange reuse
     return assign
 
 

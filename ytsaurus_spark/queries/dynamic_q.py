@@ -356,13 +356,25 @@ def dyn_mvcc_timestamped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = LogTxTable(spark, path, key_cols=["c_custkey"])
         t.init(cust)
         t1 = time.time()
-        t.insert_rows(
-            cust.filter(F.col("c_custkey") <= 15).withColumn(
-                "c_acctbal", F.col("c_acctbal") + 100
-            )
-        )
-        t.delete_rows(
-            cust.filter(F.col("c_custkey").between(30, 40)).select("c_custkey")
+        # same two commits (upsert v1, tombstone v2) as sequential
+        # insert_rows + delete_rows, but the two tiny segment writes run
+        # as overlapping Spark jobs (guide §2.6); publish order and the
+        # publish-time commit stamps keep every read facet identical
+        t.commit_many(
+            [
+                (
+                    "u",
+                    cust.filter(F.col("c_custkey") <= 15).withColumn(
+                        "c_acctbal", F.col("c_acctbal") + 100
+                    ),
+                ),
+                (
+                    "d",
+                    cust.filter(F.col("c_custkey").between(30, 40)).select(
+                        "c_custkey"
+                    ),
+                ),
+            ]
         )
         old = t.read(timestamp=t1).select(
             "c_custkey", F.round("c_acctbal", 2).alias("bal_t1")

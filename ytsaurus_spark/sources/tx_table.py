@@ -388,6 +388,48 @@ class LogTxTable:
         """Tombstone commit: appends only the keys, O(deleted keys)."""
         return self._write_segment(self._delete_delta(keys), "delta")
 
+    def commit_many(self, ops: list[tuple[str, DataFrame]]) -> list[int]:
+        """Several upsert/delete commits in one call, with the segment
+        parquet writes running CONCURRENTLY: each delta is a tiny
+        O(changes) Spark job whose fixed scheduling latency otherwise
+        serializes, and the jobs are independent (every delta is a pure
+        function of its argument frame, like the sequential path's), so
+        overlapping them fills the idle cluster. Commit ORDER is exactly
+        the sequential one: versions are assigned up front, manifest
+        entries are published in list order, and each entry's wall-clock
+        timestamp is stamped at PUBLISH time — so commit timestamps stay
+        monotone with version order and a timestamp read can never see a
+        later commit of the batch without every earlier one.
+
+        ``ops``: ("u", rows) full-column upserts / ("d", keys) deletes —
+        the same deltas ``insert_rows``/``delete_rows`` would write
+        (partial-column ``update=True`` upserts are excluded: their
+        fill-in read depends on the prior commit's state). Returns the
+        committed versions, in order.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        v0 = self.current_version() + 1
+        deltas = []
+        for op, df in ops:
+            if op == "u":
+                deltas.append(self._insert_delta(df))
+            elif op == "d":
+                deltas.append(self._delete_delta(df))
+            else:
+                raise ValueError(f"unknown op {op!r} (expected 'u' or 'd')")
+        with ThreadPoolExecutor(max_workers=max(1, len(deltas))) as pool:
+            entries = list(
+                pool.map(
+                    lambda iv: self._stage_segment(iv[1], "delta", v0 + iv[0]),
+                    enumerate(deltas),
+                )
+            )
+        for e in entries:
+            e["ts"] = time.time()  # commit time = publish time
+            self._publish(e)
+        return [e["v"] for e in entries]
+
     def compact(self, retention_timestamp: float | None = None) -> int:
         """Fold the log into a new base segment (store compaction). Later
         reads touch one segment; historical versions remain readable
@@ -576,10 +618,14 @@ class LogTxTable:
         version = self._resolve_version(version, timestamp)
         chain = self._chain(version)
         k0 = self.key_cols[0]
-        # The key-bounds pre-pass is a Spark job; only worth it when there
-        # are prunable segments beyond the mandatory merge set (short
-        # chains read every segment anyway, so the job would be pure cost).
-        if len(chain) > 4 and any(s.get("range") is not None for s in chain):
+        # The key-bounds pre-pass costs one tiny Spark job, but segment
+        # pruning is a CONTRACT, not just an optimization: a segment whose
+        # manifest range cannot contain any requested key is never opened
+        # (test_log_tx_table_segment_range_pruning proves it file-level) —
+        # a chain-length threshold here once skipped the pre-pass on short
+        # chains and broke that guarantee, so it runs whenever anything is
+        # potentially prunable (more than one segment with a usable range).
+        if len(chain) > 1 and any(s.get("range") is not None for s in chain):
             b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
             chain = [s for s in chain if self._overlaps(s, b["lo"], b["hi"])]
         keyset = F.broadcast(keys.select(*self.key_cols))
@@ -615,9 +661,11 @@ class LogTxTable:
         k0 = self.key_cols[0]
         writes = [s for s in segs if s["kind"] != "base" or s["v"] == 0]
         # deltas + the seed only: compaction bases are derived states, not
-        # writes. Bounds pre-pass only when it can actually prune (see
-        # lookup_rows) — it is a Spark job.
-        if len(writes) > 4 and any(s.get("range") is not None for s in writes):
+        # writes. Same pruning CONTRACT as lookup_rows: a segment whose
+        # manifest range cannot contain any requested key is never opened,
+        # so the bounds pre-pass runs whenever anything is potentially
+        # prunable (more than one segment with a usable range).
+        if len(writes) > 1 and any(s.get("range") is not None for s in writes):
             b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
             writes = [s for s in writes if self._overlaps(s, b["lo"], b["hi"])]
         keyset = F.broadcast(keys.select(*self.key_cols))
