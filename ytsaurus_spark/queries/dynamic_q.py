@@ -15,7 +15,7 @@ from ytsaurus_spark.catalog import load_tables
 from ytsaurus_spark.operators.keyed_tables import KeyedTable
 from ytsaurus_spark.operators.secondary_index import build_index, query_with_index
 from ytsaurus_spark.operators.select_rows import select_rows
-from ytsaurus_spark.queries import register
+from ytsaurus_spark.queries import local_result, register
 
 
 # --- QL string surface (SelectRows) ----------------------------------------
@@ -396,7 +396,7 @@ def dyn_mvcc_timestamped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey")
         )
         rows = result.collect()
-        return spark.createDataFrame(rows, schema=result.schema)
+        return local_result(spark, rows, result.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ytsaurus_spark.catalog import load_tables
-from ytsaurus_spark.queries import register
+from ytsaurus_spark.queries import local_result, register
 from ytsaurus_spark.streaming.queues import QueueConsumer, pull_and_advance
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -225,7 +225,7 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     # Materialize before the memory sink table goes away.
     rows = spark.table(name).collect()
-    return spark.createDataFrame(rows, schema=spark.table(name).schema)
+    return local_result(spark, rows, spark.table(name).schema)
 
 
 # --- incremental processing: queue pulls folded into a keyed table ---------
@@ -329,7 +329,7 @@ def stream_queue_to_logtable(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize before the log dir is removed; the merged state is
         # one row per user — tiny relative to the log it folds.
         rows = result.collect()
-        return spark.createDataFrame(rows, schema=result.schema)
+        return local_result(spark, rows, result.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -390,7 +390,7 @@ def stream_producer_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = result.collect()
-        return spark.createDataFrame(rows, schema=result.schema)
+        return local_result(spark, rows, result.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -464,7 +464,7 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id")
         )
         rows = result.collect()
-    return spark.createDataFrame(rows, schema=result.schema)
+    return local_result(spark, rows, result.schema)
 
 
 @register(
@@ -626,7 +626,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     rows = spark.table(name).collect()
-    return spark.createDataFrame(rows, schema=spark.table(name).schema)
+    return local_result(spark, rows, spark.table(name).schema)
 
 
 # --- composite: stream-stream join folded into a keyed table ---------------
@@ -843,7 +843,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     rows = spark.table(name).filter(F.col("user_id") != -1).collect()
-    out = spark.createDataFrame(rows, schema=spark.table(name).schema)
+    out = local_result(spark, rows, spark.table(name).schema)
     shutil.rmtree(stage, ignore_errors=True)
     return out.filter(F.col("user_id") != -1)
 
@@ -1094,7 +1094,7 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     rows = spark.table(name).collect()
-    return spark.createDataFrame(rows, schema=spark.table(name).schema)
+    return local_result(spark, rows, spark.table(name).schema)
 
 
 # --- consumer registrations + vital-gated trim (queue_client.h:56-151) ------

@@ -19,7 +19,7 @@ from ytsaurus_spark.operators.multimodal import (
     image_tile_stats,
     synthesize_png,
 )
-from ytsaurus_spark.queries import register
+from ytsaurus_spark.queries import local_result, register
 
 
 # --- math functions --------------------------------------------------------
@@ -1442,7 +1442,7 @@ def qt_async_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert rec["state"] == "completed", rec
         result = qt.read_query_result(qid)
         rows = result.collect()
-        return spark.createDataFrame(rows, schema=result.schema)
+        return local_result(spark, rows, result.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
