@@ -34,8 +34,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Word k-shingles. Docs shorter than k words contribute the whole text
-    as a single shingle (guards sequence() against negative bounds)."""
-    toks = docs.select(
+    as a single shingle (guards sequence() against negative bounds).
+
+    The split + k-way concat transform is per-row compute in the scan
+    stage — spread a below-parallelism input first (no-op once the scan
+    splits naturally; see spread_scan)."""
+    from ytsaurus_spark.operators import spread_scan
+
+    toks = spread_scan(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("t")
     )
     parts = "concat(" + ", ' ', ".join(f"t[i+{j}]" for j in range(k)) + ")"
@@ -468,7 +474,15 @@ def semantic_dedup(
         )
         .join(assign, id_col)
     )
-    withn = withc.withColumn("_nn", F.expr(_dot("v", "v")))
+    # LAZY persist of the pair-scan input: it is consumed four times (both
+    # pair sides + the final anti/semi joins), and each consumer otherwise
+    # re-derives the whole chained-Lloyd assignment. Measured at bench
+    # scale: 3.5-6.4s → ~2.2s. A lazy persist keeps one-job exchange
+    # reuse intact — the EAGER checkpoint tried earlier defeated it and
+    # was ~1.7× slower (see kmeans_iterations note). Values unchanged:
+    # same plan, materialized once per invocation.
+    withn = withc.withColumn("_nn", F.expr(_dot("v", "v"))).persist()
+    withc = withn.drop("_nn")
     a = withn.select(
         F.col(id_col).alias("a_id"), F.col("v").alias("av"), "cell",
         F.col("_nn").alias("_aa"),
@@ -910,37 +924,70 @@ def containment_pairs(
     bb = blocked.select(
         F.col(id_col).alias("doc_b"), F.col("shingle").alias("__shc")
     )
-    cand = (
+    # Count shared RARE shingles per pair (same shuffle grain the former
+    # DISTINCT paid) — it feeds a provably safe candidate prune below:
+    # inter ≤ shared_rare + min(hot_a, hot_b), because every shared
+    # shingle is either rare (counted in __cr) or hot (bounded by either
+    # side's hot-shingle count). Pairs whose UPPER BOUND fails the keep
+    # test cannot appear in the output, so dropping them changes nothing;
+    # the exact intersection then runs over the survivors only (measured
+    # at sf0.1: 435k raw candidates → a few hundred).
+    cand_counts = (
         ba.join(
             bb,
             (F.col("shingle") == F.col("__shc"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sizes = sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
-    )
-    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = sh.select(
-        F.col(id_col).alias("__db"), F.col("shingle").alias("__shb")
-    )
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("__db") == F.col("doc_b"))
-            & (F.col("__shb") == F.col("shingle")),
-        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cr"))
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    rare_sizes = blocked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nr")
+    )
+    # Exact intersection WITHOUT re-joining the shingle stream at shingle
+    # grain: the former cand ⋈ (doc,shingle) ⋈ (doc,shingle) + groupBy
+    # materialized |pairs|·|small-doc shingles| rows (22M at sf0.1)
+    # through an exchange. Each doc's DISTINCT shingle set instead
+    # aggregates once to an array (doc-grain, carries its size), the two
+    # doc-keyed joins attach both sets to each candidate pair, and
+    # size(array_intersect(A, B)) is the same shared-distinct-shingle
+    # count as the join+count — computed per pair row in the scan stage.
+    doc_sets = (
+        sh.groupBy(id_col)
+        .agg(
+            F.collect_list("shingle").alias("__set"),
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+        )
+        .join(rare_sizes, id_col, "left")
+        .withColumn(
+            "__hot", F.col("n_sh") - F.coalesce(F.col("__nr"), F.lit(0))
+        )
+    )
+    da = doc_sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__set").alias("__sa"),
+        F.col("n_sh").alias("n_a"),
+        F.col("__hot").alias("__ha"),
+    )
+    db = doc_sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__set").alias("__sb"),
+        F.col("n_sh").alias("n_b"),
+        F.col("__hot").alias("__hb"),
+    )
     out = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand_counts.join(da.drop("__sa"), "doc_a")
+        .join(db.drop("__sb"), "doc_b")
+        # safe prune: upper-bound the intersection before touching arrays
+        .filter(
+            (F.col("__cr") + F.least("__ha", "__hb")) * threshold_den
+            >= threshold_num * F.least("n_a", "n_b")
+        )
+        .join(da.select("doc_a", "__sa"), "doc_a")
+        .join(db.select("doc_b", "__sb"), "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("__sa", "__sb")).cast("long")
+        )
         .filter(
             F.col("inter") * threshold_den
             >= threshold_num * F.least("n_a", "n_b")

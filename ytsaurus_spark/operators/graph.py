@@ -49,8 +49,20 @@ def pagerank(
     distributed-PageRank move (it is exactly what GraphX/Pregel do); at
     100 TB the memory-and-disk columnar cache of (src, dst) is the price
     of ONE materialization versus one corpus read per iteration per
-    consumer."""
-    edges = edges.persist()
+    consumer.
+
+    Parallel edges pre-aggregate to one (src, dst, multiplicity) row
+    before the loop, so every iteration's join + aggregate runs over
+    DISTINCT pairs (a token co-occurrence graph collapses ~1000×;
+    out-degrees stay exact integers as Σ multiplicity). The received
+    mass becomes Σ w·(rank/deg) instead of a w-fold repeated addition —
+    last-ulp-equivalent double math, absorbed by the same 1e-6 output
+    rounding that already covers engine summation order."""
+    edges = (
+        edges.groupBy(src_col, dst_col)
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .persist()
+    )
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
@@ -60,7 +72,7 @@ def pagerank(
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     # out-degree (parallel edges counted) per source
     outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+        F.sum("__w").alias("deg")
     ).persist()
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -72,7 +84,11 @@ def pagerank(
             with_deg.filter(F.col("deg").isNotNull())
             .join(edges, F.col("node") == F.col(src_col))
             .groupBy(F.col(dst_col).alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
+            .agg(
+                F.sum(F.col("__w") * (F.col("rank") / F.col("deg"))).alias(
+                    "recv"
+                )
+            )
         )
         # dangling mass redistributes uniformly
         dangling = (
