@@ -1008,7 +1008,7 @@ def _pc1_centered(emb, quant, id_col, vec_col):
     """Quantize + n-scale-center the embedding elements: persisted
     (vid, i, y) with y = n·round(x·quant) − Σround(x·quant), exact
     BIGINT (shared by power_iteration_pc1 and pc1_project_by_label)."""
-    el = emb.select(
+    el = spread_scan(emb.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col)).alias("i", "xv"),
     ).select(
@@ -1028,7 +1028,19 @@ def _pc1_centered(emb, quant, id_col, vec_col):
 def _pc1_iterates(y, iterations: int, scale: int):
     """Fixed-point power iteration over the centered codes ``y``:
     returns the list of per-pass iterate frames [(j, v1), (j, v2), ...]
-    (exact-integer covariance + half-up renormalization each pass)."""
+    (exact-integer covariance + half-up renormalization each pass).
+
+    The covariance aggregate stays distributed (the one corpus-scale
+    pass); everything after it operates on a dim²-BOUNDED integer frame
+    (4096 longs at dim=64 — a model property, independent of corpus
+    size), so the renormalize + iterate recurrence runs on the COLLECTED
+    covariance with the identical truncating-division integer formulas
+    (Python ``//`` == Spark ``div`` on the non-negative operands each
+    CASE branch guarantees; all values are in-contract BIGINT range, see
+    power_iteration_pc1). The former per-pass broadcast/aggregate chain
+    cost ~15 driver-coordinated mini-jobs per query for dim-sized data —
+    the same aggregate-scale carve-out as BPE's vocab-sized merge loop."""
+    spark = y.sparkSession
     yj = y.select(
         F.col("vid").alias("vid2"), F.col("i").alias("j"), F.col("y").alias("yj")
     )
@@ -1037,45 +1049,34 @@ def _pc1_iterates(y, iterations: int, scale: int):
         .groupBy("i", "j")
         .agg(F.sum(F.col("y") * F.col("yj")).cast("long").alias("cv"))
     )
-    maxc = cov.agg(F.max(F.abs(F.col("cv"))).cast("long").alias("mc"))
-    cf = (
-        cov.crossJoin(F.broadcast(maxc))
-        .select(
-            "i",
-            "j",
-            F.expr(
-                f"CAST(CASE WHEN mc = 0 THEN 0 "
-                f"WHEN cv >= 0 THEN (cv * {scale} + mc div 2) div mc "
-                f"ELSE -((-cv * {scale} + mc div 2) div mc) END AS BIGINT)"
-            ).alias("cq"),
-        )
-        .persist()  # reused by every iteration
-    )
-    # v0 = all ones; each pass: w = C'·v, then renormalize to `scale`
-    v = None  # DataFrame (j, v) or None for the implicit all-ones start
+    rows = cov.collect()  # dim² rows, bounded by dimensionality
+    mc = max((abs(r.cv) for r in rows), default=0)
+
+    def _renorm(x: int, m: int) -> int:
+        if m == 0:
+            return 0
+        if x >= 0:
+            return (x * scale + m // 2) // m
+        return -((-x * scale + m // 2) // m)
+
+    cq = {(r.i, r.j): _renorm(r.cv, mc) for r in rows}
+    dims = sorted({i for (i, _) in cq} | {j for (_, j) in cq})
+    v = {j: 1 for j in dims}  # deterministic all-ones start
     iterates = []
     for it in range(1, iterations + 1):
-        if v is None:
-            w = cf.groupBy("i").agg(F.sum("cq").cast("long").alias("w"))
-        else:
-            w = (
-                cf.join(F.broadcast(v), "j")
-                .groupBy("i")
-                .agg(F.sum(F.col("cq") * F.col("v")).cast("long").alias("w"))
-            )
-        mx = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("mw"))
-        v = (
-            w.crossJoin(F.broadcast(mx))
-            .select(
-                F.col("i").alias("j"),
-                F.expr(
-                    f"CAST(CASE WHEN mw = 0 THEN 0 "
-                    f"WHEN w >= 0 THEN (w * {scale} + mw div 2) div mw "
-                    f"ELSE -((-w * {scale} + mw div 2) div mw) END AS BIGINT)"
-                ).alias("v"),
+        w = {i: 0 for i in dims}
+        for (i, j), c in cq.items():
+            w[i] += c * v[j]
+        mw = max((abs(x) for x in w.values()), default=0)
+        v = {i: _renorm(x, mw) for i, x in w.items()}
+        iterates.append(
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                    [(j, v[j]) for j in dims], 1
+                ),
+                schema=f"j long, v{it} long",
             )
         )
-        iterates.append(v.select(F.col("j"), F.col("v").alias(f"v{it}")))
     return iterates
 
 

@@ -684,5 +684,13 @@ def register_star_views(spark, sf_dir: str):
         for name, tmpl in STAR_VIEW_SQL.items()
     }
     for name, df in frames.items():
-        df.createOrReplaceTempView(name)
+        # LAZY persist: the star views are deterministic fixture
+        # DERIVATIONS (inputs, not results) and the star session is
+        # already cached per (context, sf_dir) — without the persist
+        # every reference re-runs the fact derivation (a 600k-row join
+        # plus a wall of date arithmetic; q14a alone references the
+        # three sales facts ~3× each, ~20 s per query at sf0.1).
+        # Process-scoped only: a fresh driver run recomputes from
+        # parquet, same as the memoized Catalog.
+        df.persist().createOrReplaceTempView(name)
     return spark
