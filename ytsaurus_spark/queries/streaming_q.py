@@ -21,6 +21,58 @@ _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_width(spark: SparkSession, *paths: str):
+    """Stateful-stream shuffle width derived from input bytes (guide §2.2).
+
+    A stateful streaming query instantiates ``spark.sql.shuffle.partitions``
+    state stores per stateful operator per micro-batch (×4 for a
+    stream-stream join: two sides × two maps), and every instance pays a
+    fixed open/commit cost regardless of how many state rows it holds —
+    measured ~50-400 ms summed per instance on the interval joins. AQE
+    coalesces BATCH exchanges by size but cannot touch stateful streaming
+    exchanges (the partition count is pinned into the checkpoint at query
+    start), so this derives the width the same way AQE would: one
+    partition per ``maxPartitionBytes`` of stream input, never above the
+    session's configured width. At 100 TB the byte-derived count exceeds
+    any configured width, so this is a no-op (exactly like spread_scan's
+    converse decision); locally a KB-scale stream stops paying for dozens
+    of idle state stores per micro-batch. Keyed-state results are
+    partitioning-independent (hash-partitioned state, per-key logic), so
+    outputs are identical at any width — every wrapped query stays
+    oracle-checked. The width respects (never exceeds) whatever core
+    count the bench was launched with.
+    """
+    import os
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        total = 0
+        for p in paths:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            elif os.path.exists(p):
+                total += os.path.getsize(p)
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .rstrip("b")
+        )
+        width = max(1, -(-total // max_split))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(width, int(old)))
+        )
+    except Exception:
+        pass
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
@@ -211,7 +263,9 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_width(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -428,24 +482,30 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ytsaurus_spark.operators.match_recognize import match_recognize_stream
 
     load_tables(spark, sf_dir)
-    src = _events_stream(spark, sf_dir)
-    matches = match_recognize_stream(
-        src,
-        partition_by=["user_id"],
-        order_col="event_id",
-        symbols=[
-            ("v", F.col("value") <= 50),
-            ("a", (F.col("value") > 50) & (F.col("value") <= 200)),
-            ("b", F.col("value") > 200),
-        ],
-        pattern="va+b",
-    )
     name = "stream_match_recognize_out"
     try:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    with tempfile.TemporaryDirectory() as ckpt:
+    # width context opens BEFORE the stream builds: key_buckets derives
+    # from the shuffle width at build time, so the per-group Python round
+    # trips shrink with the state width (both byte-derived, both capped
+    # at the configured width)
+    with tempfile.TemporaryDirectory() as ckpt, _state_width(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ):
+        src = _events_stream(spark, sf_dir)
+        matches = match_recognize_stream(
+            src,
+            partition_by=["user_id"],
+            order_col="event_id",
+            symbols=[
+                ("v", F.col("value") <= 50),
+                ("a", (F.col("value") > 50) & (F.col("value") <= 200)),
+                ("b", F.col("value") > 200),
+            ],
+            pattern="va+b",
+        )
         q = (
             matches.writeStream.outputMode("append")
             .format("memory")
@@ -522,7 +582,9 @@ def stream_time_order_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_width(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             out.writeStream.outputMode("append")
             .format("memory")
@@ -613,7 +675,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_width(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -710,7 +774,9 @@ def pipeline_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         if agg.take(1):
             table.insert_rows(agg)
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_width(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             joined.writeStream.outputMode("append")
             .foreachBatch(fold_batch)
@@ -830,7 +896,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_width(spark, stage):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -931,6 +997,7 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the batch reset identity (cumulative sum minus its clamped
     running minimum) — exact integers on both sides, so the streamed
     fold must match row-for-row."""
+    import os
     import tempfile
 
     from pyspark.sql import types as T
@@ -964,7 +1031,9 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_width(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             out.writeStream.outputMode("append")
             .format("memory")
@@ -1057,6 +1126,7 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per window is ≤64 bins. A quantile read at any time is the
     bracket cut over the window's bins (agg_quantile_sketch's
     selection)."""
+    import os
     import tempfile
 
     load_tables(spark, sf_dir)
@@ -1081,7 +1151,9 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _state_width(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
