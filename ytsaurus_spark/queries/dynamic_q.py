@@ -711,9 +711,18 @@ def dyn_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").cast("long").alias("c_custkey"),
             (F.col("id") * 1.5).alias("c_acctbal"),
         )
-        t.insert_rows(bump.unionByName(rewrite_same).unionByName(fresh))
-        t.delete_rows(
-            cust.filter(F.col("c_custkey").between(21, 25)).select("c_custkey")
+        # same two commits as sequential insert_rows + delete_rows;
+        # commit_many overlaps the tiny segment writes (guide §2.6)
+        t.commit_many(
+            [
+                ("u", bump.unionByName(rewrite_same).unionByName(fresh)),
+                (
+                    "d",
+                    cust.filter(F.col("c_custkey").between(21, 25)).select(
+                        "c_custkey"
+                    ),
+                ),
+            ]
         )
         return (
             t.changes_between(from_version=v0)
@@ -791,8 +800,15 @@ def pipeline_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         replica = LogTxTable(
             spark, os.path.join(root, "replica"), key_cols=["c_custkey"]
         )
-        v0 = source.init(cust)
-        replica.init(cust)
+        # the two seed commits land on INDEPENDENT tables: overlap the
+        # tiny write jobs (guide §2.6) — each table's manifest is its own
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_src = pool.submit(source.init, cust)
+            f_rep = pool.submit(replica.init, cust)
+            v0 = f_src.result()
+            f_rep.result()
         bump = cust.filter(F.col("c_custkey") <= 10).withColumn(
             "c_acctbal", F.col("c_acctbal") + 100
         )
@@ -801,9 +817,19 @@ def pipeline_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").cast("long").alias("c_custkey"),
             (F.col("id") * 1.5).alias("c_acctbal"),
         )
-        source.insert_rows(bump.unionByName(rewrite_same).unionByName(fresh))
-        source.delete_rows(
-            cust.filter(F.col("c_custkey").between(21, 25)).select("c_custkey")
+        # same two commits (upsert then tombstone) as sequential
+        # insert_rows + delete_rows — commit_many overlaps the segment
+        # writes, publish order and versions are identical
+        source.commit_many(
+            [
+                ("u", bump.unionByName(rewrite_same).unionByName(fresh)),
+                (
+                    "d",
+                    cust.filter(F.col("c_custkey").between(21, 25)).select(
+                        "c_custkey"
+                    ),
+                ),
+            ]
         )
         queue = DurableQueue(spark, os.path.join(root, "queue"))
         appended = publish_changes(source, queue, "repl", from_version=v0)

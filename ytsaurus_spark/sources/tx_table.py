@@ -604,6 +604,7 @@ class LogTxTable:
         version: int | None = None,
         timestamp: float | None = None,
         with_timestamps: bool = False,
+        key_bounds: tuple | None = None,
     ) -> DataFrame:
         """Point lookups, optionally at a historical version/timestamp
         (the reference's timestamped LookupRows contract,
@@ -614,7 +615,13 @@ class LogTxTable:
         IO at all for them (one tiny min/max job on the key set buys it);
         (2) the key semi-join applies to every surviving segment BEFORE
         the merge, so footer min/max pruning bounds IO within them — the
-        reference's per-store key lookup."""
+        reference's per-store key lookup.
+
+        ``key_bounds=(lo, hi)``: caller-supplied min/max of the first key
+        column over ``keys`` — skips the bounds job when the caller
+        already knows them (changes_between looks up the SAME key set at
+        two versions and computes the bounds once); pruning behavior is
+        identical."""
         version = self._resolve_version(version, timestamp)
         chain = self._chain(version)
         k0 = self.key_cols[0]
@@ -626,8 +633,13 @@ class LogTxTable:
         # chains and broke that guarantee, so it runs whenever anything is
         # potentially prunable (more than one segment with a usable range).
         if len(chain) > 1 and any(s.get("range") is not None for s in chain):
-            b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
-            chain = [s for s in chain if self._overlaps(s, b["lo"], b["hi"])]
+            if key_bounds is None:
+                b = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+                key_bounds = (b["lo"], b["hi"])
+            chain = [
+                s for s in chain
+                if self._overlaps(s, key_bounds[0], key_bounds[1])
+            ]
         keyset = F.broadcast(keys.select(*self.key_cols))
         parts = [
             self._seg_df(s).join(keyset, self.key_cols, "left_semi")
@@ -728,9 +740,15 @@ class LogTxTable:
                 u = parts[0]
                 for p_ in parts[1:]:
                     u = u.unionByName(p_)
-                touched = u.select(*self.key_cols).distinct()
-            new_state = self.lookup_rows(touched, version=v2)
-            old_state = self.lookup_rows(touched, version=v1)
+                # O(changes)-sized by contract; materialize once — the two
+                # lookups below (and every downstream consumer of the
+                # diff) otherwise re-derive the distinct-union per action
+                touched = u.select(*self.key_cols).distinct().localCheckpoint()
+            k0 = self.key_cols[0]
+            b = touched.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+            bounds = (b["lo"], b["hi"])
+            new_state = self.lookup_rows(touched, version=v2, key_bounds=bounds)
+            old_state = self.lookup_rows(touched, version=v1, key_bounds=bounds)
         newer = new_state.select(
             *self.key_cols,
             F.lit(True).alias("__in_new"),
@@ -786,20 +804,33 @@ class LogTxTable:
         val_cols = [
             c[len("new_"):] for c in changes.columns if c.startswith("new_")
         ]
+        # One localCheckpoint pins the (possibly lazily-built) diff before
+        # the first commit mutates this table's manifest; both splits then
+        # derive from the materialized rows (formerly two checkpoints +
+        # two count jobs, each re-running the diff plan).
+        changes = changes.localCheckpoint()
         upserts = changes.filter(F.col("change").isin("insert", "update")).select(
             *self.key_cols,
             *[F.col(f"new_{c}").alias(c) for c in val_cols],
         )
         all_keys = changes.select(*self.key_cols)
-        # localCheckpoint pins both splits of the (possibly lazily-built)
-        # diff before the first commit mutates this table's manifest.
-        upserts, all_keys = upserts.localCheckpoint(), all_keys.localCheckpoint()
-        v = None
-        if all_keys.count():
-            v = self.delete_rows(all_keys)
-        if upserts.count():
-            v = self.insert_rows(upserts)
-        return v
+        counts = changes.agg(
+            F.count("*").alias("n_all"),
+            F.count(
+                F.when(F.col("change").isin("insert", "update"), 1)
+            ).alias("n_up"),
+        ).first()
+        # Same commits in the same order as the sequential path (tombstone
+        # version first, image version second) — commit_many overlaps the
+        # two tiny segment writes (guide §2.6) without reordering publishes.
+        ops: list[tuple[str, DataFrame]] = []
+        if int(counts["n_all"]):
+            ops.append(("d", all_keys))
+        if int(counts["n_up"]):
+            ops.append(("u", upserts))
+        if not ops:
+            return None
+        return self.commit_many(ops)[-1]
 
     # -- merge-on-read resolution ------------------------------------------
 

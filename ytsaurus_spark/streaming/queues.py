@@ -259,23 +259,38 @@ class ProducerSession:
                 seq_col,
                 F.row_number().over(w).cast("long") + self.last_seq,
             )
+            stats = rows.agg(
+                F.count("*").alias("n"), F.max(seq_col).alias("hi_seq")
+            ).first()
         else:
+            # One aggregate job answers all three pre-write questions
+            # (batch size, duplicate check, fresh count/high-water) —
+            # formerly count() + distinct().count() + a fresh agg, each
+            # of which re-executed the caller's (possibly expensive,
+            # lazily-built) batch plan end to end. NULL sequence numbers
+            # count as one distinct value, exactly like the old
+            # distinct().count(); fresh excludes them, exactly like the
+            # old `seq > last_seq` filter.
             rows = rows.withColumn(seq_col, F.col(seq_col).cast("long"))
-            n_all = rows.count()
-            n_distinct = rows.select(seq_col).distinct().count()
-            if n_distinct != n_all:
+            is_fresh = F.col(seq_col) > self.last_seq
+            st = rows.agg(
+                F.count("*").alias("n_all"),
+                F.count_distinct(F.col(seq_col)).alias("n_distinct"),
+                F.max(F.col(seq_col).isNull().cast("int")).alias("has_null"),
+                F.count(F.when(is_fresh, 1)).alias("n"),
+                F.max(F.when(is_fresh, F.col(seq_col))).alias("hi_seq"),
+            ).first()
+            if int(st["n_distinct"]) + int(st["has_null"] or 0) != int(st["n_all"]):
                 raise InvalidRowSequenceNumbersError(
                     "duplicate sequence numbers within one push batch"
                 )
+            stats = st
         fresh = rows.filter(F.col(seq_col) > self.last_seq)
         idx = W.orderBy(seq_col)
         fresh = fresh.withColumn(
             "$row_index",
             F.row_number().over(idx).cast("long") + state["next_row_index"] - 1,
         )
-        stats = fresh.agg(
-            F.count("*").alias("n"), F.max(seq_col).alias("hi_seq")
-        ).first()
         n = int(stats["n"])
         if n == 0:
             return 0
@@ -363,5 +378,9 @@ def publish_changes(
         "$sequence_number",
         (F.lit(int(v2) * (1 << 32)) + F.row_number().over(w)).cast("long"),
     )
+    # O(changes) rows by the one-flush contract; materialize once so the
+    # session's pre-write aggregate and the segment write don't each
+    # re-derive the diff (two resolved lookups + a full-outer join).
+    records = records.localCheckpoint()
     session = queue.create_session(session_id)
     return session.push_batch(records, seq_col="$sequence_number")
