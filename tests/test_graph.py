@@ -328,3 +328,48 @@ def test_clustering_coefficient_known_graphs(spark):
     df2 = spark.createDataFrame(path, "src bigint, dst bigint")
     r2 = clustering_coefficient(df2).collect()[0]
     assert (r2.n_triangles, r2.coeff) == (0, 0.0)
+
+
+def test_symmetrized_cache_partitioning_feeds_round_join_in_place(spark):
+    """The loop-invariant adjacency persists PRE-PARTITIONED on the
+    per-round join key (r11 optimization): a round's equi-join on ``u``
+    must consume the cached symmetric edge list IN PLACE — no Exchange
+    between the join and the InMemoryTableScan. Broadcast is disabled so
+    the tiny fixture exercises the shuffle-join path the shape matters
+    for."""
+    from pyspark.sql import functions as F
+
+    from ytsaurus_spark.operators.graph import _symmetrize
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")], ["src", "dst"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sym = _symmetrize(edges, "src", "dst")
+        sym.count()  # materialize the cache
+        labels = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")],
+            ["node", "comp"],
+        )
+        j = sym.join(labels, sym.u == labels.node).select("v", "comp")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # Everything before the first InMemoryRelation marker is the
+        # query-side plan (the cache-BUILD plan, which legitimately
+        # contains the one-off REPARTITION_BY_COL exchange, comes after).
+        query_side = plan.split("InMemoryRelation", 1)[0]
+        sym_exchanges = [
+            line
+            for line in query_side.splitlines()
+            if "Exchange hashpartitioning(u#" in line
+        ]
+        assert not sym_exchanges, (
+            "cached symmetric edge list was re-exchanged for the round "
+            f"join:\n{plan}"
+        )
+        assert "InMemoryTableScan" in query_side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        sym.unpersist()

@@ -207,9 +207,13 @@ def minhash_lsh_incremental(
     the union index to persist for the next batch. One shuffle on
     (band, band_sig); ``max_bucket`` caps hot buckets as in
     :func:`minhash_lsh_pairs`."""
+    # LAZY persist: the new batch's band rows feed BOTH join sides (the
+    # probe side directly, the build side via the union with the stored
+    # index) plus the returned union — one signature computation, not
+    # two-or-three evaluations of the minhash scan pipeline.
     new_sigs = band_signatures(
         new_docs, text_col, id_col, num_hashes, band_rows, shingle_k
-    )
+    ).persist()
     updated = stored_sigs.unionByName(new_sigs)
     right = updated
     if max_bucket is not None:
@@ -260,9 +264,16 @@ def cluster_pairs(
     # undirected: both directions + self-loop keeps isolated improvement.
     # Persist the invariant edge list: every round reads it, and without
     # the cut each round's lazy plan re-embeds the pair-mining pipeline.
+    # pre-partitioned on v, the key every propagation round joins on, so
+    # the edge-scale exchange happens once at build instead of per round
+    # (guide §2.4; same move as operators/graph._symmetrize). Width is
+    # byte-derived: an unpinned repartition(col) would fix the cache at
+    # the session shuffle width where AQE cannot coalesce it.
+    from ytsaurus_spark.operators import keyed_cache_width
+
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).repartition(keyed_cache_width(pairs), F.col("v")).persist()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -704,9 +715,15 @@ def incremental_minhash_dedup(
     uniformly distributed, so the join never skews); the corpus text is
     never re-read, and the index grows by bands-per-doc rows per
     survivor (constant kilobytes per document)."""
+    # LAZY persist: the batch's band rows are consumed FOUR times below
+    # (index semi-join, both sides of the in-batch self-join, and the
+    # new-index semi-join) — without it one consumer job evaluates the
+    # whole minhash scan pipeline (shingling + 8 md5 folds per doc) once
+    # per reference. Same lifetime discipline as the module's other
+    # persists: MEMORY_AND_DISK, LRU-evicted, optimization-only.
     sigs = band_signatures(
         new_docs, text_col, id_col, num_hashes, band_rows, shingle_k
-    )
+    ).persist()
     # duplicates of history: any band collides with the index
     dup_hist = (
         sigs.join(

@@ -58,9 +58,26 @@ def pagerank(
     mass becomes Σ w·(rank/deg) instead of a w-fold repeated addition —
     last-ulp-equivalent double math, absorbed by the same 1e-6 output
     rounding that already covers engine summation order."""
+    # The invariant edge list persists PRE-PARTITIONED on src — the key
+    # every iteration's ranks⋈edges equi-join requires — so the
+    # edge-scale exchange happens once at build instead of once per pass
+    # (guide §2.4: operations keyed the same way share one exchange; the
+    # cached REPARTITION_BY_COL partitioning satisfies the join's
+    # ClusteredDistribution, verified in the executed plan). The
+    # multiplicity groupBy's own hash(src, dst) cache would NOT satisfy a
+    # join on src alone. The width is byte-derived (keyed_cache_width):
+    # an unpinned repartition(col) fixes the cache at the session shuffle
+    # width where AQE cannot coalesce it, and every iteration inherits
+    # that width. ``nodes`` needs no repartition: distinct() on node
+    # already leaves the cache hash(node)-partitioned, which the
+    # per-pass nodes⋈contrib join reuses as-is.
+    from ytsaurus_spark.operators import keyed_cache_width
+
+    width = keyed_cache_width(edges)
     edges = (
         edges.groupBy(src_col, dst_col)
         .agg(F.count(F.lit(1)).alias("__w"))
+        .repartition(width, F.col(src_col))
         .persist()
     )
     nodes = (
@@ -124,6 +141,9 @@ def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     (explode of both directions rather than a union of two reads —
     halves the source scans), deduplicated and persisted for reuse
     across propagation rounds."""
+    from ytsaurus_spark.operators import keyed_cache_width
+
+    width = keyed_cache_width(edges)
     return (
         edges.select(
             F.explode(
@@ -135,6 +155,11 @@ def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
         )
         .select("e.u", "e.v")
         .distinct()
+        # persist pre-partitioned on u — the key every propagation round
+        # joins on — so the edge-scale exchange happens once at build, not
+        # once per round (guide §2.4); width byte-derived so the cache
+        # stays as narrow as AQE would have made a plain persist
+        .repartition(width, F.col("u"))
         .persist()
     )
 
@@ -342,6 +367,8 @@ def sssp_weighted(
     oracle unroll the identical recurrence. Treats edges as undirected
     (symmetrized in one explode pass, weight carried both ways); the
     static adjacency persists across rounds like pagerank's edge list."""
+    from ytsaurus_spark.operators import keyed_cache_width
+
     sym = (
         edges.select(
             F.explode(
@@ -360,6 +387,9 @@ def sssp_weighted(
             ).alias("e")
         )
         .select("e.u", "e.v", "e.w")
+        # pre-partition on u like _symmetrize: every relaxation round
+        # joins on u, so the edge-scale exchange happens once at build
+        .repartition(keyed_cache_width(edges), F.col("u"))
         .persist()
     )
     return _min_plus_rounds(sym, sources, rounds, F.col("dist") + F.col("w"))
