@@ -259,9 +259,14 @@ def bpe_learn_merges(
             ).alias("s"),
             "freq",
         )
-    return docs.sparkSession.createDataFrame(
-        merges,
-        "step int, left_sym string, right_sym string, merged string, cnt bigint",
+    # vocab-sized local rows: slice by SIZE (one slice per 64k rows, like
+    # queries.local_result) — a bare createDataFrame parallelizes into
+    # defaultParallelism Python-backed slices and every downstream action
+    # pays that many task launches for a table of a few hundred merges
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(merges, max(1, -(-len(merges) // 65536))),
+        schema="step int, left_sym string, right_sym string, merged string, cnt bigint",
     )
 
 

@@ -477,8 +477,8 @@ def dyn_subcommit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, key_cols=["user_id"], aggregates={"n_events": "sum"}
     )
     t.init(
-        spark.createDataFrame(
-            [],
+        local_result(
+            spark, [],
             "user_id bigint, last_value double, last_type string, n_events bigint",
         )
     )

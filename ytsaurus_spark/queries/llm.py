@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ytsaurus_spark.catalog import load_tables
 from ytsaurus_spark.operators import dedup, similarity, text, timeseries
-from ytsaurus_spark.queries import register
+from ytsaurus_spark.queries import local_result, register
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -2768,11 +2768,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf, per-term integer micro-unit contributions summed exactly, so
     the ranking is engine-exact end to end. Query terms, df, and the
     one-row corpus stats broadcast into the (doc, token) tf stream."""
-    queries = spark.createDataFrame(
+    queries = local_result(
+        spark,
         [("q1", "table scan fast"),
          ("q2", "join merge sort"),
          ("q3", "stream window agg group")],
-        ["q_id", "q_text"],
+        "q_id string, q_text string",
     )
     cat = load_tables(spark, sf_dir)
     return text.bm25_topk(cat.read("documents"), queries, k=5)

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ytsaurus_spark.catalog import load_tables
-from ytsaurus_spark.queries import register
+from ytsaurus_spark.queries import local_result, register
 
 
 # --- scan + filter + project (ScanOpHelper cg_routines.cpp:217,
@@ -690,7 +690,7 @@ def ql_array_join_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ql_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
-    labels = spark.createDataFrame([("lo",), ("hi",)], "label string")
+    labels = local_result(spark, [("lo",), ("hi",)], "label string")
     return (
         cat.read("region")
         .crossJoin(labels)

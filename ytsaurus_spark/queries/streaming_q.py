@@ -597,8 +597,8 @@ def stream_time_order_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     rows = spark.table(name).collect()
-    return spark.createDataFrame(
-        rows, "user_id bigint, ts_us bigint, event_id bigint, emit_seq bigint"
+    return local_result(
+        spark, rows, "user_id bigint, ts_us bigint, event_id bigint, emit_seq bigint"
     )
 
 
@@ -761,8 +761,8 @@ def pipeline_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregates={"n_attributed": "sum", "total_tt": "sum"},
     )
     table.init(
-        spark.createDataFrame(
-            [], "user_id bigint, n_attributed bigint, total_tt bigint"
+        local_result(
+            spark, [], "user_id bigint, n_attributed bigint, total_tt bigint"
         )
     )
 
@@ -832,20 +832,24 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src_file, os.path.join(stage, "events.parquet"))
     max_ts = spark.read.parquet(src_file).agg(F.max("ts")).collect()[0][0]
     # one sentinel per SIDE: each must survive its branch's event_type
-    # filter, or the watermark node never sees it and never advances
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts, -1, "click", 0.0, "{}"), (-2, max_ts, -1, "purchase", 0.0, "{}")],
+    # filter, or the watermark node never sees it and never advances.
+    # Built as a ONE-slice local frame (local_result): a plain
+    # createDataFrame parallelizes 2 rows into defaultParallelism
+    # Python-backed slices, and the former coalesce(1) then fetched all
+    # of them SEQUENTIALLY in one task — ~32 Python-worker round trips,
+    # measured 6-7 s for a 2-row write (guide §2.2: partition count from
+    # data size, not cluster width; the wall-clock shift moves into
+    # Python, the identical +12 h wall-clock add).
+    import datetime as _dt
+
+    far_ts = max_ts + _dt.timedelta(hours=12)
+    sentinel = local_result(
+        spark,
+        [(-1, far_ts, -1, "click", 0.0, "{}"), (-2, far_ts, -1, "purchase", 0.0, "{}")],
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
-    ).select(
-        F.col("event_id"),
-        (F.col("ts") + F.expr("interval 12 hours")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
     )
     sent_dir = os.path.join(stage, "zz_sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    sentinel.write.mode("overwrite").parquet(sent_dir)
     for i, f in enumerate(sorted(os.listdir(sent_dir))):
         if f.endswith(".parquet"):
             shutil.copy(os.path.join(sent_dir, f), os.path.join(stage, "zz_sentinel.parquet"))
@@ -1046,8 +1050,9 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
         rows = spark.table(name).collect()
-    return spark.createDataFrame(
-        rows, "event_type string, event_id bigint, cents bigint, s bigint, alarm boolean"
+    return local_result(
+        spark, rows,
+        "event_type string, event_id bigint, cents bigint, s bigint, alarm boolean",
     )
 
 
@@ -1293,8 +1298,8 @@ def stream_queue_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("cents"),
             ).first()
             rows.append((p.rsplit("/", 1)[-1], agg["n"], agg["cents"]))
-        return spark.createDataFrame(
-            rows, "tbl string, n_rows bigint, sum_cents bigint"
+        return local_result(
+            spark, rows, "tbl string, n_rows bigint, sum_cents bigint"
         ).orderBy("tbl")
     finally:
         shutil.rmtree(qpath, ignore_errors=True)
