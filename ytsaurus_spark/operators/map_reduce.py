@@ -228,15 +228,20 @@ def run_reduce_multi_input(
     yt/cpp/mapreduce/interface/operation.h:2056-2166).
 
     Inputs may have different columns; missing ones arrive as null (the
-    reference's heterogeneous-input behavior with loose schemas)."""
+    reference's heterogeneous-input behavior with loose schemas).
+
+    Execution rides the SortedReduce batched shape via ``run_reduce`` —
+    the former ``groupBy().applyInPandas`` paid one Python call + Arrow
+    exchange PER KEY (measured 32.9 s at sf0.1 for the 15k-customer
+    multi-input count; batched: the same per-key contract at a
+    pandas-slice cost). Within-key row order is unspecified in both
+    forms, exactly as before."""
     tagged = None
     for i, df in enumerate(dfs):
         t = df.withColumn(table_index_col, F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
     assert tagged is not None, "need at least one input"
-    return tagged.groupBy(*reduce_by).applyInPandas(
-        lambda pdf: reducer(pdf), output_schema
-    )
+    return run_reduce(tagged, reduce_by, reducer, output_schema)
 
 
 def run_join_reduce(
