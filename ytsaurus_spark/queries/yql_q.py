@@ -146,6 +146,13 @@ _SPARK_CASTS: dict[str, dict[str, str]] = {
     "90": {"am_pm_ratio": "double"},
 }
 
+# Statements that run on the UNCACHED star session (same view definitions,
+# no persist): q72's plan over whole-view InMemoryRelations degenerates —
+# a broadcast-side build burning ~300 CPU-seconds (55-65 s wall warm at
+# sf0.1) versus 21-24 s steady when the views re-derive from parquet and
+# keep pushdown + scan-level stats. Values identical; physical plan only.
+_UNCACHED_STAR = {"72"}
+
 
 def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
     from ytsaurus_spark.yql import oracle_with_star
@@ -167,7 +174,8 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
     def run(spark: SparkSession, sf_dir: str,
             _text: str = text, _part: int = part,
             _cols: "list[str] | None" = cols,
-            _casts: "dict[str, str] | None" = casts) -> DataFrame:
+            _casts: "dict[str, str] | None" = casts,
+            _cached: bool = qid not in _UNCACHED_STAR) -> DataFrame:
         """Verbatim reference bench statement (yt/benchmarks/run/queries)
         through the YQL dialect shim: translate -> cached isolated star
         session -> spark.sql. CROSS JOIN + WHERE equality folds to
@@ -177,7 +185,7 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
         from ytsaurus_spark.yql.dialect import translate_yql_script
 
         parts = translate_yql_script(_text)
-        out = _star_session(spark, sf_dir).sql(parts[_part].sql)
+        out = _star_session(spark, sf_dir, cached=_cached).sql(parts[_part].sql)
         if _cols is not None:
             out = out.toDF(*_cols)
         if _casts:

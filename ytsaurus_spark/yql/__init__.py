@@ -23,14 +23,21 @@ from ytsaurus_spark.yql.tpcds_star import (  # noqa: F401
 # isolated star sessions, one per (base session, sf_dir): the star views
 # are read-only derivations, so yql queries in one process share the
 # isolated session instead of rebuilding 24 temp views per call
-_STAR_SESSIONS: dict[tuple[int, str], object] = {}
+_STAR_SESSIONS: dict[tuple[int, str, bool], object] = {}
 
 
-def _star_session(spark, sf_dir: str):
-    key = (id(spark.sparkContext), sf_dir)
+def _star_session(spark, sf_dir: str, cached: bool = True):
+    """``cached=False`` returns a parallel memoized session whose star
+    views are NOT persisted: every reference re-derives from parquet, so
+    predicate pushdown and scan-level size estimates stay alive. Most
+    statements are far faster on the cached views; a statement whose
+    physical plan collapses over whole-view InMemoryRelations (q72's
+    non-equi date triangle: 55-65 s warm cached vs 21-24 s uncached at
+    sf0.1, identical results) opts out via this flag."""
+    key = (id(spark.sparkContext), sf_dir, cached)
     s2 = _STAR_SESSIONS.get(key)
     if s2 is None:
-        s2 = register_star_views(spark.newSession(), sf_dir)
+        s2 = register_star_views(spark.newSession(), sf_dir, persist=cached)
         _STAR_SESSIONS[key] = s2
     return s2
 

@@ -663,12 +663,20 @@ def oracle_with_star(sql: str) -> str:
     return explicit_null_order(assemble_with(ctes, sql))
 
 
-def register_star_views(spark, sf_dir: str):
+def register_star_views(spark, sf_dir: str, persist: bool = True):
     """Register the TPC-DS star views in an ISOLATED session (the caller
     passes ``spark.newSession()``) over the base fixture views. All star
     frames are built BEFORE any is registered, so the TPC-DS ``customer``
     dim can shadow the TPC-H ``customer`` view without a resolution cycle.
-    Returns the isolated session."""
+    Returns the isolated session.
+
+    ``persist=False`` registers the same view definitions UNCACHED: every
+    reference re-derives from parquet, which keeps predicate pushdown and
+    scan-level stats alive — the planner sees filtered scan sizes instead
+    of whole-view InMemoryRelation sizes. Most statements are faster on
+    the cached views (q02/q83: 20 s → 0.5 s); a statement whose join
+    order depends on filter selectivity (q72's non-equi date triangle)
+    plans catastrophically over the caches and uses this variant."""
     from ytsaurus_spark.catalog import load_tables
 
     # YQL arithmetic is total: integral division by a zero divisor yields
@@ -692,5 +700,7 @@ def register_star_views(spark, sf_dir: str):
         # three sales facts ~3× each, ~20 s per query at sf0.1).
         # Process-scoped only: a fresh driver run recomputes from
         # parquet, same as the memoized Catalog.
-        df.persist().createOrReplaceTempView(name)
+        if persist:
+            df = df.persist()
+        df.createOrReplaceTempView(name)
     return spark
