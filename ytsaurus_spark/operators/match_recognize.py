@@ -307,12 +307,30 @@ def match_recognize_rows(
             frames = []
             for _key, g in pdf.groupby(partition_by, sort=False):
                 s = "".join(g["__sym"])
+                # one gather per GROUP, not per match: collect every
+                # match's row indices/annotations first, then a single
+                # iloc + three column assigns (the former per-match
+                # slice+copy+concat allocated one frame per match —
+                # tens of thousands of tiny frames per batch). Row
+                # order is identical: matches in scan order, rows in
+                # match order; duplicate indices (overlapping skip
+                # policies) gather once per appearance as before.
+                idx: list[int] = []
+                mnos: list[int] = []
+                rims: list[int] = []
+                cls: list[str] = []
                 for match_no, (lo, hi) in enumerate(_scan_matches(rx, s, skip), 1):
-                    sl = g.iloc[lo:hi][out_keep].copy()
-                    sl["match_no"] = match_no
-                    sl["classifier"] = list(s[lo:hi])
-                    sl["row_in_match"] = range(1, hi - lo + 1)
-                    frames.append(sl)
+                    idx.extend(range(lo, hi))
+                    mnos.extend([match_no] * (hi - lo))
+                    rims.extend(range(1, hi - lo + 1))
+                    cls.extend(s[lo:hi])
+                if not idx:
+                    continue
+                sl = g.iloc[idx][out_keep].copy()
+                sl["match_no"] = mnos
+                sl["classifier"] = cls
+                sl["row_in_match"] = rims
+                frames.append(sl)
             cols = [*out_keep, "match_no", "classifier", "row_in_match"]
             if not frames:
                 return pd.DataFrame(columns=cols)

@@ -301,11 +301,19 @@ def lm_score(
             )
         ).alias("bg"),
     )
-    joint = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    prefix = bg.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
-        F.count(F.lit(1)).alias("c_pre")
+    # ONE training scan: the bigram-count table is alphabet²-sized (KBs),
+    # so prefix counts and alphabet size derive from it exactly —
+    # c_pre = Σ c_bg per first char (occurrence count by prefix), and
+    # vsize = |distinct second chars| (distinct over the support set ==
+    # distinct over the multiset). The former three independent
+    # aggregates each re-scanned and re-exploded the corpus; with the
+    # lazy persist the corpus is scanned exactly twice (train + score),
+    # the documented scale posture.
+    joint = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg")).persist()
+    prefix = joint.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c_bg").alias("c_pre")
     )
-    alphabet = bg.select(
+    alphabet = joint.select(
         F.countDistinct(F.substring("bg", 2, 1)).alias("vsize")
     )
     scored = (
