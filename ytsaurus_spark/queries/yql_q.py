@@ -153,6 +153,19 @@ _SPARK_CASTS: dict[str, dict[str, str]] = {
 # keep pushdown + scan-level stats. Values identical; physical plan only.
 _UNCACHED_STAR = {"72"}
 
+# Statements whose physical plan is hundreds of TINY dim-bounded
+# broadcast/exchange stages (q14a: 298 stages for ~1 s of parallel
+# compute): AQE materializes every exchange as its own sequential job,
+# so wall time is stage-scheduling overhead, and the AQE planner never
+# reuses the repeated CTE subtrees (0 ReusedExchange). These route to
+# the wide-plan star session (AQE off while the star input is below one
+# scan split per core — byte-derived, a no-op at scale), where the
+# one-shot planner pipelines independent stages and dedupes identical
+# exchanges (q14a 9.7 → 6.3 s, 32 ReusedExchange; q14b 5.3 → 3.2 s).
+# Values identical — physical plan only; membership is measured (other
+# star statements are FASTER under AQE's coalescing and stay put).
+_WIDE_PLAN_STAR = {"14a", "14b"}
+
 
 def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
     from ytsaurus_spark.yql import oracle_with_star
@@ -175,7 +188,8 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
             _text: str = text, _part: int = part,
             _cols: "list[str] | None" = cols,
             _casts: "dict[str, str] | None" = casts,
-            _cached: bool = qid not in _UNCACHED_STAR) -> DataFrame:
+            _cached: bool = qid not in _UNCACHED_STAR,
+            _wide: bool = qid in _WIDE_PLAN_STAR) -> DataFrame:
         """Verbatim reference bench statement (yt/benchmarks/run/queries)
         through the YQL dialect shim: translate -> cached isolated star
         session -> spark.sql. CROSS JOIN + WHERE equality folds to
@@ -185,7 +199,9 @@ def _register_statement(qid: str, text: str, part: int, n_parts: int) -> None:
         from ytsaurus_spark.yql.dialect import translate_yql_script
 
         parts = translate_yql_script(_text)
-        out = _star_session(spark, sf_dir, cached=_cached).sql(parts[_part].sql)
+        out = _star_session(
+            spark, sf_dir, cached=_cached, wide_plan=_wide
+        ).sql(parts[_part].sql)
         if _cols is not None:
             out = out.toDF(*_cols)
         if _casts:

@@ -23,21 +23,61 @@ from ytsaurus_spark.yql.tpcds_star import (  # noqa: F401
 # isolated star sessions, one per (base session, sf_dir): the star views
 # are read-only derivations, so yql queries in one process share the
 # isolated session instead of rebuilding 24 temp views per call
-_STAR_SESSIONS: dict[tuple[int, str, bool], object] = {}
+_STAR_SESSIONS: dict[tuple[int, str, bool, bool], object] = {}
 
 
-def _star_session(spark, sf_dir: str, cached: bool = True):
+def _small_star_input(spark, sf_dir: str) -> bool:
+    """True when the star fixture is below one scan split per core —
+    the regime where AQE's per-exchange stage materialization is pure
+    fixed cost (nothing to coalesce: every shuffle is already under one
+    advisory partition). Byte-derived, never a constant: at production
+    scale this is False and the wide-plan routing below is a no-op."""
+    import os
+
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .rstrip("b")
+        )
+        return total < max_split * spark.sparkContext.defaultParallelism
+    except Exception:
+        return False
+
+
+def _star_session(spark, sf_dir: str, cached: bool = True,
+                  wide_plan: bool = False):
     """``cached=False`` returns a parallel memoized session whose star
     views are NOT persisted: every reference re-derives from parquet, so
     predicate pushdown and scan-level size estimates stay alive. Most
     statements are far faster on the cached views; a statement whose
     physical plan collapses over whole-view InMemoryRelations (q72's
     non-equi date triangle: 55-65 s warm cached vs 21-24 s uncached at
-    sf0.1, identical results) opts out via this flag."""
-    key = (id(spark.sparkContext), sf_dir, cached)
+    sf0.1, identical results) opts out via this flag.
+
+    ``wide_plan=True`` routes a statement whose physical plan is
+    hundreds of tiny dim-bounded exchange/broadcast stages (q14a: 298
+    stages, 32.8 s summed executorRunTime ≈ 1 s of parallel compute,
+    11 s wall — the wall is AQE materializing each exchange as its own
+    sequential job) to a session with AQE disabled, where the one-shot
+    planner both pipelines independent stages and REUSES identical
+    exchange subtrees (q14a: 0 → 32 ReusedExchange, 9.7 → 6.3 s; q14b
+    5.3 → 3.2 s). Only honored while the star input is below one scan
+    split per core (``_small_star_input``): at scale AQE's coalescing
+    pays for its stage barriers, so the flag degrades to the plain
+    cached session. Physical-plan-only in both directions — values are
+    oracle-identical."""
+    wide_plan = wide_plan and cached and _small_star_input(spark, sf_dir)
+    key = (id(spark.sparkContext), sf_dir, cached, wide_plan)
     s2 = _STAR_SESSIONS.get(key)
     if s2 is None:
         s2 = register_star_views(spark.newSession(), sf_dir, persist=cached)
+        if wide_plan:
+            s2.conf.set("spark.sql.adaptive.enabled", "false")
         _STAR_SESSIONS[key] = s2
     return s2
 
