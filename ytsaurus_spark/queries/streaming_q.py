@@ -75,6 +75,9 @@ def _state_width(spark: SparkSession, *paths: str):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+_EVENTS_RAW_SCHEMA: dict = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """readStream over the events fixture with the raw on-disk schema
     (older fixture generations stored ts as int64 nanos — readStream
@@ -82,10 +85,18 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     file source wants a directory, so the sf dir is streamed with a glob
     for this one table. Single definition: every live-streaming query
     reads events through here so a fixture ts-encoding change lands in
-    ONE place."""
+    ONE place. The raw-schema probe (a file listing + footer read,
+    ~0.13 s) is memoized per (context, sf_dir) — the same immutable-
+    fixture contract as the memoized Catalog."""
     import os
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    key = (id(spark.sparkContext), sf_dir)
+    raw_schema = _EVENTS_RAW_SCHEMA.get(key)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+        _EVENTS_RAW_SCHEMA[key] = raw_schema
     src = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
