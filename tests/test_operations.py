@@ -285,3 +285,59 @@ def test_operation_tracker_lifecycle(spark, sf_dir):
     assert tr.list_operations(state="failed")[0]["error"].startswith("ValueError")
     done = tr.get_operation(ops[0]["id"])
     assert done["operation_type"] == "sort" and done["finish_time"] is not None
+
+
+def test_python_stage_width_floor_and_byte_term(spark, sf_dir):
+    """python_stage_width floors a per-key Python reduce stage at cluster
+    parallelism (AQE's byte coalescing would otherwise run the whole
+    per-key pass on one core) and switches to the byte-derived count
+    once the input is large enough to split naturally."""
+    import os
+
+    from ytsaurus_spark.catalog import load_tables
+    from ytsaurus_spark.operators import python_stage_width
+
+    cat = load_tables(spark, sf_dir)
+    orders = cat.read("orders")
+    floor = spark.sparkContext.defaultParallelism
+    # a fixture-sized input is below one split per core -> the floor binds
+    assert python_stage_width(orders) == floor
+    # shrink the split size so the byte term exceeds the floor: the
+    # derivation must follow the bytes, proving it is not a constant
+    f = [p for p in orders.inputFiles() if p.startswith("file:")][0]
+    size = os.path.getsize(f[len("file:"):])
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(1, size // (floor * 2))),
+        )
+        assert python_stage_width(orders) >= floor * 2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_multi_input_reduce_rides_wide_python_stage(spark, sf_dir):
+    """The multi-input reduce's keyed shuffle is pinned at
+    python_stage_width (per-key Python cost, not bytes): the executed
+    plan's mapInPandas stage must carry at least cluster-parallelism
+    partitions instead of AQE's byte-coalesced one."""
+    import pandas as pd
+
+    from ytsaurus_spark.catalog import load_tables
+
+    cat = load_tables(spark, sf_dir)
+    cust = cat.read("customer").selectExpr("c_custkey AS k")
+    orders = cat.read("orders").selectExpr("o_custkey AS k")
+
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "n": [len(pdf)]})
+
+    out = mr.run_reduce_multi_input(
+        [cust, orders], ["k"], reducer, "k bigint, n bigint"
+    )
+    out.count()
+    assert (
+        out.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )

@@ -81,3 +81,42 @@ def keyed_cache_width(df: DataFrame) -> int:
         return max(1, min(width, -(-total // max_split)))
     except Exception:
         return width
+
+
+def python_stage_width(df: DataFrame) -> int:
+    """Partition count for a keyed shuffle FEEDING A PER-KEY PYTHON
+    REDUCER: cluster parallelism as the floor, byte-derived above it.
+
+    AQE coalesces post-shuffle partitions by BYTES, which misprices an
+    opaque per-key Python stage: the stage's cost driver is user-code
+    invocations per key (~0.4 ms each), not bytes, so a few MB of keys
+    coalesce to ONE task and the whole per-key pass runs on one core
+    (measured: the 15k-key multi-input reduce at sf0.1 was 6.1 s AQE-
+    coalesced vs 0.9 s at cluster width — the 5.5 s of per-key pandas
+    work is embarrassingly parallel). The floor is the cluster's
+    parallelism (never a constant); the byte term ceil(lineage input
+    bytes / maxPartitionBytes) takes over at scale, where the floor is
+    irrelevant and per-task sort memory bounds partition size. Use ONLY
+    where the reducer is per-key-cost dominated — a cheap reducer over
+    few heavy keys is faster on AQE's byte-coalesced width (measured on
+    the single-input sorted reduce: pinning width was ~1.5x slower)."""
+    import os
+
+    spark = df.sparkSession
+    floor = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files:
+            return floor
+        total = 0
+        for f in files:
+            if not f.startswith("file:"):
+                return floor
+            total += os.path.getsize(f[len("file:"):])
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .rstrip("b")
+        )
+        return max(floor, -(-total // max_split))
+    except Exception:
+        return floor

@@ -118,6 +118,7 @@ def run_reduce(
     output_schema: Any,
     *,
     sort_by: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Reduce with the key guarantee: the reducer sees ALL rows for a given
     ``reduce_by`` key in one call (operation.h:2132 — Do() per key range).
@@ -148,7 +149,8 @@ def run_reduce(
         )
 
     return run_reduce_batched(
-        df, reduce_by, batch_apply, output_schema, sort_by=sort_by
+        df, reduce_by, batch_apply, output_schema, sort_by=sort_by,
+        num_partitions=num_partitions,
     )
 
 
@@ -235,13 +237,22 @@ def run_reduce_multi_input(
     exchange PER KEY (measured 32.9 s at sf0.1 for the 15k-customer
     multi-input count; batched: the same per-key contract at a
     pandas-slice cost). Within-key row order is unspecified in both
-    forms, exactly as before."""
+    forms, exactly as before.
+
+    Shuffle width is ``python_stage_width`` (cluster-parallelism floor,
+    byte-derived above it): the stage's cost is per-KEY user Python that
+    AQE's byte coalescing misprices — the 15k-key count at sf0.1 was
+    6.1 s on AQE's one coalesced partition vs 0.9 s at cluster width,
+    and the per-key work is embarrassingly parallel across keys."""
+    from ytsaurus_spark.operators import python_stage_width
+
     tagged = None
     for i, df in enumerate(dfs):
         t = df.withColumn(table_index_col, F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
     assert tagged is not None, "need at least one input"
-    return run_reduce(tagged, reduce_by, reducer, output_schema)
+    return run_reduce(tagged, reduce_by, reducer, output_schema,
+                      num_partitions=python_stage_width(tagged))
 
 
 def run_join_reduce(
@@ -257,10 +268,20 @@ def run_join_reduce(
     """JoinReduce: merge-join primary with foreign tables on ``join_by``
     (a prefix of the primary key), then reduce (operation.h:1051-1054 —
     key guarantee off by default). Foreign tables are the small side in the
-    reference's design, so broadcast is the scale-correct default."""
+    reference's design, so broadcast is the scale-correct default.
+
+    Shuffle width is ``python_stage_width`` (cluster-parallelism floor,
+    byte-derived above it): JoinReduce keys at the primary table's key
+    prefix — many small keys by construction — so the stage cost is
+    per-key user Python that AQE's byte coalescing misprices (measured:
+    the 15k-customer reduce was 2.0 s on AQE's one coalesced partition
+    vs 0.9 s at cluster width)."""
+    from ytsaurus_spark.operators import python_stage_width
+
     f = F.broadcast(foreign) if broadcast_foreign else foreign
     joined = primary.join(f, on=join_by, how="left")
-    return run_reduce(joined, reduce_by or join_by, reducer, output_schema)
+    return run_reduce(joined, reduce_by or join_by, reducer, output_schema,
+                      num_partitions=python_stage_width(joined))
 
 
 def run_sort(df: DataFrame, sort_by: list[str], num_partitions: int | None = None) -> DataFrame:
