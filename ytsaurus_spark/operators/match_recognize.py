@@ -202,10 +202,17 @@ def match_recognize_measures(
         - set(partition_by)
         - set(order_by)
     )
+    from ytsaurus_spark.operators import python_stage_width
+
     sym = encode_symbols(df, symbols).alias("__sym")
+    # width floor (python_stage_width): the emit pass is per-KEY Python
+    # (regex scan + measure aggregation per match), which AQE's byte
+    # coalescing misprices — a few MB of rows collapse to one partition
+    # and the whole pass runs on one core (same finding as the reduce
+    # family's wave-17 fix; byte term takes over at scale)
     arranged = (
         df.select(*partition_by, *order_by, *need_cols, sym)
-        .repartition(*partition_by)
+        .repartition(python_stage_width(df), *partition_by)
         .sortWithinPartitions(*partition_by, *order_by)
     )
     skip = after_match_skip
@@ -290,11 +297,14 @@ def match_recognize_rows(
     rx = re.compile(pattern)
     if rx.search("") is not None:
         raise ValueError("PATTERN must not match the empty row sequence")
+    from ytsaurus_spark.operators import python_stage_width
+
     sym = encode_symbols(df, symbols).alias("__sym")
     need = [c for c in keep_cols if c not in partition_by]
+    # same per-key-Python width floor as the measures form (wave 17)
     arranged = (
         df.select(*partition_by, *order_by, *[c for c in need if c not in order_by], sym)
-        .repartition(*partition_by)
+        .repartition(python_stage_width(df), *partition_by)
         .sortWithinPartitions(*partition_by, *order_by)
     )
     skip = after_match_skip
