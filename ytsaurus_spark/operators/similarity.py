@@ -34,6 +34,356 @@ def _dot(a: str, b: str) -> str:
     )
 
 
+# --- Arrow-vectorized pair kernels (guide §4.2) ------------------------------
+#
+# The per-pair dot/cosine above is a higher-order-function fold evaluated
+# INTERPRETED per element (zip_with/aggregate lambdas do not enter
+# whole-stage codegen), and the pair grid then carries every scored row
+# through the rank window's shuffle. The kernel below moves pair scoring
+# into ONE mapInArrow stage: candidates stream through as Arrow batches,
+# the query side (small/broadcastable by these operators' contract — the
+# fold path already collected it into a broadcast relation) rides the task
+# closure, and the numpy accumulation is FOLD-ORDER-IDENTICAL to the SQL
+# expression — vectorized across rows, sequential over dims, one IEEE
+# multiply and one add per element in the same order — so every score is
+# bit-identical to the fold (differential-tested in
+# tests/test_fold_equivalence.py and strict-oracle-checked).
+#
+# Top-k consumers additionally emit only the BATCH-LOCAL top-k per query,
+# under exactly the rank window's ordering (score desc with Spark's
+# NaN-first / NULL-last semantics, candidate id asc on ties): the top-k of
+# a union is the top-k of the per-batch top-k, so the window input shrinks
+# from |q|x|candidates| rows to k rows per query per batch (§2.3 — shuffle
+# decisions, not payloads). Exotic inputs the vectorized path cannot
+# reproduce exactly (ragged/null query vectors, non-primitive id types,
+# oversized query sets) fall back to the original fold plan, which remains
+# the semantic reference.
+
+_ARROW_QUERY_CAP = 65536  # closure-shipped queries; beyond this, fold path
+
+_SAFE_ID_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "string"
+)
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _query_matrix(vecs):
+    """(m, dim) float64 matrix from collected query vectors, or None when
+    the set is ragged / null-bearing (fold fallback keeps exact
+    semantics)."""
+    np = _np()
+    if any(v is None for v in vecs):
+        return None
+    dims = {len(v) for v in vecs}
+    if len(dims) > 1:
+        return None
+    dim = dims.pop() if dims else 0
+    if any(e is None for v in vecs for e in v):
+        return None
+    out = np.empty((len(vecs), dim), dtype=np.float64)
+    for i, v in enumerate(vecs):
+        out[i, :] = v
+    return out
+
+
+def _self_dots(M):
+    """Per-row self dot, fold-order-identical to ``_dot(v, v)``."""
+    np = _np()
+    out = np.zeros(M.shape[0], dtype=np.float64)
+    for d in range(M.shape[1]):
+        out += M[:, d] * M[:, d]
+    return out
+
+
+def _plane_coefs(num_planes: int, dim: int):
+    """(planes, dim) float64 matrix of the deterministic _COEF values."""
+    np = _np()
+    return np.array(
+        [
+            [float((((h + 1) * (d + 3)) % 7) - 3) for d in range(dim)]
+            for h in range(num_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _bucket_strings(M, coefs):
+    """LSH bucket per row of ``M`` — the numpy twin of ``_bucket_expr``:
+    per plane, a sequential fold over dims of v[d]*coef, sign bit '1' iff
+    the fold is >= 0 (NaN compares false, like the SQL CASE)."""
+    np = _np()
+    n = M.shape[0]
+    planes, dim = coefs.shape
+    bits = np.empty((n, planes), dtype="U1")
+    for h in range(planes):
+        acc = np.zeros(n, dtype=np.float64)
+        row = coefs[h]
+        for d in range(dim):
+            acc += M[:, d] * row[d]
+        bits[:, h] = np.where(acc >= 0, "1", "0")
+    return np.array(["".join(r) for r in bits], dtype=object)
+
+
+def _cell_argmin(M, cents):
+    """Nearest-cell ids per row of ``M`` against the (cells asc) centroid
+    matrix — the numpy twin of ``_cell_argmin_expr`` with no rounding:
+    d2 folds sequentially over dims ((x-y)*(x-y) then add, same IEEE op
+    order), argmin ties break to the smaller cell (np.argmin keeps the
+    first index; columns are cell-ascending)."""
+    np = _np()
+    cell_ids, C = cents
+    n = M.shape[0]
+    D2 = np.empty((n, len(cell_ids)), dtype=np.float64)
+    for j in range(len(cell_ids)):
+        acc = np.zeros(n, dtype=np.float64)
+        cv = C[j]
+        for d in range(M.shape[1]):
+            diff = M[:, d] - cv[d]
+            acc += diff * diff
+        D2[:, j] = acc
+    return np.asarray(cell_ids)[np.argmin(D2, axis=1)]
+
+
+def _decode_list_col(col, np):
+    """(values_np, offsets, lens, row_null, elem_null) for a pyarrow
+    ListArray — offsets absolute into the child values array."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offs[1:] - offs[:-1]
+    row_null = (
+        ~np.asarray(col.is_valid()) if col.null_count else
+        np.zeros(len(lens), dtype=bool)
+    )
+    vals = col.values
+    elem_null = (
+        ~np.asarray(vals.is_valid()) if vals.null_count else None
+    )
+    values = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+    return values, offs, lens, row_null, elem_null
+
+
+def _rows_matrix(values, offs, lens, row_null, elem_null, dim, np):
+    """(good_mask, C) — C holds the good rows' elements gathered to
+    (n, dim); bad rows (null entry, length != dim, null element) keep
+    zeros and are masked out by ``good_mask``."""
+    n = len(lens)
+    good = (lens == dim) & ~row_null
+    C = np.zeros((n, dim), dtype=np.float64)
+    if dim == 0 or not good.any():
+        return good, C
+    if good.all() and elem_null is None and offs[-1] - offs[0] == n * dim:
+        return good, values[offs[0]: offs[0] + n * dim].reshape(n, dim)
+    idx = offs[:-1][good][:, None] + np.arange(dim)[None, :]
+    if elem_null is not None:
+        bad = elem_null[idx].any(axis=1)
+        if bad.any():
+            g2 = good.copy()
+            g2[np.flatnonzero(good)[bad]] = False
+            good = g2
+            idx = offs[:-1][good][:, None] + np.arange(dim)[None, :]
+    C[good] = values[idx]
+    return good, C
+
+
+def _arrow_pair_scores(
+    cand: DataFrame,
+    q_rows: list,
+    *,
+    mode: str = "cosine",
+    k: int | None = None,
+    threshold: float | None = None,
+    planes: int | None = None,
+    plane_dim: int | None = None,
+    centroids: list | None = None,
+    q_cells: list | None = None,
+) -> "DataFrame | None":
+    """(q_id, c_id, score) pairs via one mapInArrow stage, or None when
+    the vectorized path cannot reproduce the fold exactly.
+
+    ``cand`` must be exactly (c_id, cv). ``q_rows`` = collected (q_id, qv)
+    rows. Grouping: ``planes``/``plane_dim`` pairs only within equal LSH
+    buckets (computed in-kernel for both sides); ``centroids`` (list of
+    (cell, centv), unrounded-argmin IVF) pairs only within equal cells,
+    with query cells from ``q_cells`` (parallel list of per-query cell
+    lists). ``k``: batch-local top-k per query under the rank window's
+    exact ordering; ``threshold``: keep score >= threshold (NULL/NaN
+    drop, like the SQL filter)."""
+    np = _np()
+    from pyspark.sql import types as T
+
+    id_dt = cand.schema[0].dataType
+    if id_dt.simpleString() not in _SAFE_ID_TYPES:
+        return None
+    if len(q_rows) > _ARROW_QUERY_CAP:
+        return None
+    Q = _query_matrix([r[1] for r in q_rows])
+    if Q is None:
+        return None
+    q_ids = [r[0] for r in q_rows]
+    m, dim = Q.shape
+    qq = _self_dots(Q) if mode == "cosine" else None
+
+    # query-side groups: list of (group_key, [query slots]) — None = all
+    if planes is not None:
+        coefs = _plane_coefs(planes, plane_dim)
+        if dim < plane_dim:
+            return None  # out-of-range plane dots go NULL in SQL; fold path
+        qbuckets = _bucket_strings(Q, coefs)
+        groups: dict = {}
+        for j, b in enumerate(qbuckets):
+            groups.setdefault(b, []).append(j)
+    elif centroids is not None:
+        cells = sorted(int(c) for c, _ in centroids)
+        cmat = {int(c): np.asarray(v, dtype=np.float64) for c, v in centroids}
+        if any(len(v) != dim for v in cmat.values()) or any(
+            e is None for _, v in centroids for e in v
+        ):
+            return None
+        cents = (cells, [cmat[c] for c in cells])
+        groups = {}
+        for j, qc in enumerate(q_cells):
+            for cell in qc:
+                groups.setdefault(int(cell), []).append(j)
+    else:
+        coefs = cents = None
+        groups = {None: list(range(m))}
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", id_dt),
+            T.StructField("c_id", id_dt),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    chunk_rows = max(1, (1 << 22) // max(1, m))
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or not groups:
+                continue
+            ids_pa = batch.column(0)
+            try:
+                ids = ids_pa.to_numpy(zero_copy_only=False)
+            except Exception:
+                ids = np.asarray(ids_pa.to_pylist(), dtype=object)
+            values, offs, lens, row_null, elem_null = _decode_list_col(
+                batch.column(1), np
+            )
+            good, C = _rows_matrix(
+                values, offs, lens, row_null, elem_null, dim, np
+            )
+            if centroids is not None:
+                # bucket rows by nearest cell; rows the fold cannot score
+                # deterministically (wrong length/null) keep the smallest
+                # cell (they pair to NULL scores either way)
+                cand_grp = np.full(n, cents[0][0] if cents[0] else -1)
+                if good.any():
+                    cand_grp[good] = _cell_argmin(C[good], cents)
+            elif planes is not None:
+                # bucket over the first plane_dim dims; rows shorter than
+                # plane_dim (or null-bearing there) fold to all-'0' bits
+                bgood = (lens >= plane_dim) & ~row_null
+                if elem_null is not None and bgood.any():
+                    bidx = offs[:-1][bgood][:, None] + np.arange(plane_dim)[None, :]
+                    bbad = elem_null[bidx].any(axis=1)
+                    t = bgood.copy()
+                    t[np.flatnonzero(bgood)[bbad]] = False
+                    bgood = t
+                cand_grp = np.full(n, "0" * planes, dtype=object)
+                if bgood.any():
+                    bidx = offs[:-1][bgood][:, None] + np.arange(plane_dim)[None, :]
+                    cand_grp[bgood] = _bucket_strings(values[bidx], coefs)
+            else:
+                cand_grp = None
+            if mode == "cosine":
+                cc = np.zeros(n, dtype=np.float64)
+                if good.any():
+                    cc[good] = _self_dots(C[good])
+            out_rows: list = []
+            out_qids: list = []
+            out_scores: list = []
+            out_null: list = []
+            for gkey, slots in groups.items():
+                if cand_grp is None:
+                    rows_g = np.arange(n)
+                else:
+                    rows_g = np.flatnonzero(cand_grp == gkey)
+                if rows_g.size == 0:
+                    continue
+                for lo in range(0, rows_g.size, chunk_rows):
+                    rows_c = rows_g[lo: lo + chunk_rows]
+                    nc = rows_c.size
+                    Cc = C[rows_c]
+                    goodc = good[rows_c]
+                    acc = np.zeros((nc, len(slots)), dtype=np.float64)
+                    for si, j in enumerate(slots):
+                        a = np.zeros(nc, dtype=np.float64)
+                        qv = Q[j]
+                        for d in range(dim):
+                            a += Cc[:, d] * qv[d]
+                        acc[:, si] = a
+                    if mode == "cosine":
+                        den = np.sqrt(
+                            cc[rows_c][:, None] * qq[np.asarray(slots)][None, :]
+                        )
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            score = acc / den
+                        isnull = ~goodc[:, None] | (den == 0)
+                    else:
+                        score = acc
+                        isnull = ~goodc[:, None] & np.ones(
+                            (nc, len(slots)), dtype=bool
+                        )
+                    key = np.where(np.isnan(score), np.inf, score)
+                    key = np.where(isnull, -np.inf, key)
+                    ids_c = ids[rows_c]
+                    for si, j in enumerate(slots):
+                        sel = ids_c != q_ids[j]
+                        if threshold is not None:
+                            sel &= ~isnull[:, si] & (score[:, si] >= threshold)
+                            keep = np.flatnonzero(sel)
+                        elif k is not None:
+                            kcol = np.where(sel, key[:, si], -np.inf)
+                            order = np.lexsort((ids_c, -kcol))
+                            keep = [
+                                i for i in order[: k + 1] if sel[i]
+                            ][:k]
+                        else:
+                            keep = np.flatnonzero(sel)
+                        for i in keep:
+                            out_rows.append(int(rows_c[i]))
+                            out_qids.append(q_ids[j])
+                            out_scores.append(float(score[i, si]))
+                            out_null.append(bool(isnull[i, si]))
+            if not out_rows:
+                continue
+            c_arr = ids_pa.take(pa.array(out_rows, type=pa.int64()))
+            q_arr = pa.array(out_qids, type=ids_pa.type)
+            s_np = np.asarray(out_scores, dtype=np.float64)
+            s_arr = pa.array(
+                np.where(out_null, np.nan, s_np),
+                type=pa.float64(),
+                mask=np.asarray(out_null, dtype=bool),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [q_arr, c_arr, s_arr], names=["q_id", "c_id", "score"]
+            )
+
+    return cand.mapInArrow(fn, schema)
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -46,27 +396,33 @@ def cosine_topk(
     ``queries`` (small) is broadcast; candidates never shuffle. Returns
     (q_id, c_id, cosine, rank) with rank 1..k, ties broken by c_id.
 
-    Each side's self dot product is computed ONCE per vector before the
-    pair join (the pair grid would otherwise re-fold it per pair — at Q
-    queries that is Q× redundant work on every candidate). ``sqrt(qq*cc)``
-    over the pre-folded values is bit-identical to folding inside the
-    pair row."""
+    The pair scoring runs as an Arrow kernel (``_arrow_pair_scores``):
+    candidates stream through mapInArrow, the collected query set rides
+    the closure (the fold path collected it into a broadcast relation
+    anyway), scores come from the fold-order-identical numpy loop, and
+    only each batch's local top-k per query reaches the rank window.
+    Exotic query shapes fall back to the HOF-fold broadcast-join plan,
+    which remains the semantic reference."""
     from pyspark.sql import Window as W
 
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
-    ).withColumn("_qq", F.expr(_dot("qv", "qv")))
-    c = spread_scan(
-        emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
-    ).withColumn("_cc", F.expr(_dot("cv", "cv")))
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn(
-            "cosine",
-            F.expr(f"{_dot('qv', 'cv')} / sqrt(_qq * _cc)"),
-        )
     )
+    cand = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    scored = _arrow_pair_scores(cand, q.collect(), mode="cosine", k=k)
+    if scored is not None:
+        scored = scored.withColumnRenamed("score", "cosine")
+    else:
+        qn = q.withColumn("_qq", F.expr(_dot("qv", "qv")))
+        c = spread_scan(cand).withColumn("_cc", F.expr(_dot("cv", "cv")))
+        scored = (
+            c.join(F.broadcast(qn))
+            .filter(F.col("q_id") != F.col("c_id"))
+            .withColumn(
+                "cosine",
+                F.expr(f"{_dot('qv', 'cv')} / sqrt(_qq * _cc)"),
+            )
+        )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -120,9 +476,39 @@ def ann_topk_lsh(
     """Approximate top-k: candidates limited to the query's LSH bucket.
 
     The equi-join on bucket replaces the full cross join — the scale path.
-    Recall < 1 by construction; raise planes/probes for tighter recall."""
+    Recall < 1 by construction; raise planes/probes for tighter recall.
+
+    Pair scoring AND the bucket sign-bit folds run as one Arrow kernel
+    (``_arrow_pair_scores`` with ``planes``): both were interpreted HOF
+    folds, and the kernel pairs each candidate batch only against the
+    collected queries sharing its bucket, emitting the batch-local top-k.
+    Exotic query shapes fall back to the fold plan below."""
     from pyspark.sql import Window as W
 
+    q_rows = (
+        emb.join(queries.select(id_col), id_col, "left_semi")
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    cand = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    scored = _arrow_pair_scores(
+        cand, q_rows, mode="cosine", k=k, planes=num_planes, plane_dim=dim
+    )
+    if scored is not None:
+        w = W.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("c_id")
+        )
+        return (
+            scored.withColumnRenamed("score", "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "q_id",
+                "c_id",
+                F.round("cosine", 4).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        )
     # bucket + self-norm attach as scan-stage projections (the former
     # emb ⋈ lsh_bucket(emb) id-self-join re-derived the same rows through
     # a join for nothing); per-pair work is then ONE fold, not three.
@@ -365,6 +751,73 @@ def ivf_topk(
         emb, num_cells, id_col, vec_col, centroid_stride, total_rows,
         refine_iterations=refine_iterations,
     )
+    if refine_iterations == 0:
+        # Arrow kernel path: centroids and queries are collected (both
+        # bounded — cells by num_cells, queries by the broadcast
+        # contract), the candidate cell argmin AND the pair cosine run as
+        # the fold-order-identical numpy loops inside one mapInArrow
+        # stage, and only batch-local top-k rows reach the rank window.
+        # The refined path keeps the JVM plan: its distances round with
+        # Spark's HALF_UP round(), which numpy does not reproduce.
+        cent_rows = [
+            (r[0], list(r[1])) for r in centroids.select("cell", "centv").collect()
+        ]
+        q_rows = [
+            (r[0], r[1])
+            for r in emb.join(queries.select(id_col), id_col, "left_semi")
+            .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+            .collect()
+        ]
+        Qm = _query_matrix([r[1] for r in q_rows])
+        cents_ok = cent_rows and not any(
+            v is None or any(e is None for e in v) for _, v in cent_rows
+        )
+        if Qm is not None and cents_ok and (
+            not cent_rows or all(len(v) == Qm.shape[1] for _, v in cent_rows)
+        ):
+            np = _np()
+            cells_sorted = sorted(int(c) for c, _ in cent_rows)
+            cmat = {int(c): np.asarray(v, dtype=np.float64) for c, v in cent_rows}
+            D2 = np.empty((len(q_rows), len(cells_sorted)), dtype=np.float64)
+            for j, cell in enumerate(cells_sorted):
+                cv = cmat[cell]
+                acc = np.zeros(len(q_rows), dtype=np.float64)
+                for d in range(Qm.shape[1]):
+                    diff = Qm[:, d] - cv[d]
+                    acc += diff * diff
+                D2[:, j] = acc
+            q_cells = [
+                [
+                    cells_sorted[j]
+                    for j in sorted(
+                        range(len(cells_sorted)),
+                        key=lambda j: (D2[i, j], cells_sorted[j]),
+                    )[: max(1, nprobe)]
+                ]
+                for i in range(len(q_rows))
+            ]
+            cand = emb.select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
+            )
+            scored = _arrow_pair_scores(
+                cand, q_rows, mode="cosine", k=k,
+                centroids=cent_rows, q_cells=q_cells,
+            )
+            if scored is not None:
+                w = W.partitionBy("q_id").orderBy(
+                    F.col("cosine").desc(), F.col("c_id")
+                )
+                return (
+                    scored.withColumnRenamed("score", "cosine")
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .select(
+                        "q_id",
+                        "c_id",
+                        F.round("cosine", 4).alias("cosine"),
+                        F.col("rank").cast("int").alias("rank"),
+                    )
+                )
     # attach the cell as a scan-stage fold against the broadcast centroid
     # array — the former emb ⋈ assignments id-self-join re-derived the same
     # rows through a join (and the assignment itself through a window)
@@ -794,15 +1247,24 @@ def range_search(
     fixed k). Queries broadcast, candidates stream through the scan
     stage with a codegen'd HOF dot product; no window, no shuffle of the
     candidate side. The threshold compares the UNROUNDED cosine — both
-    engines fold the arrays in the same order, so the cut is exact."""
+    engines fold the arrays in the same order, so the cut is exact (the
+    Arrow kernel applies the identical >= comparison to the identical
+    fold value inside the batch, so only passing pairs are emitted)."""
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
-    ).withColumn("_qq", F.expr(_dot("qv", "qv")))
-    c = emb.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")
-    ).withColumn("_cc", F.expr(_dot("cv", "cv")))
+    )
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    scored = _arrow_pair_scores(
+        c, q.collect(), mode="cosine", threshold=threshold
+    )
+    if scored is not None:
+        return scored.select(
+            "q_id", "c_id", F.round("score", 4).alias("cosine")
+        )
+    qn = q.withColumn("_qq", F.expr(_dot("qv", "qv")))
+    cn = c.withColumn("_cc", F.expr(_dot("cv", "cv")))
     return (
-        c.join(F.broadcast(q))
+        cn.join(F.broadcast(qn))
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
@@ -940,11 +1402,15 @@ def mips_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
     )
     c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("dot", F.expr(_dot("qv", "cv")))
-    )
+    scored = _arrow_pair_scores(c, q.collect(), mode="dot", k=k)
+    if scored is not None:
+        scored = scored.withColumnRenamed("score", "dot")
+    else:
+        scored = (
+            c.join(F.broadcast(q))
+            .filter(F.col("q_id") != F.col("c_id"))
+            .withColumn("dot", F.expr(_dot("qv", "cv")))
+        )
     w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
