@@ -6,6 +6,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def conf_bytes(spark, key: str, default: int) -> int:
+    """Byte-valued Spark conf with k/m/g/t suffix support.
+
+    ``spark.sql.files.maxPartitionBytes`` may be set as a plain number,
+    ``...b``, or a unit-suffixed string like ``128m``; the former
+    ``int(conf.rstrip('b'))`` copies silently fell back to their defaults
+    on suffixed values (and ``_small_star_input`` returned False), so the
+    width/spread heuristics quietly ignored the operator's real split
+    size. One shared parser, used by every byte-derived decision."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    try:
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        mult = 1
+        if raw and raw[-1] in "kmgtp":
+            mult = {
+                "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                "t": 1 << 40, "p": 1 << 50,
+            }[raw[-1]]
+            raw = raw[:-1]
+        val = int(float(raw) * mult) if "." in raw else int(raw) * mult
+        return val if val > 0 else default
+    except Exception:
+        return default
+
+
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Total bytes of ``df``'s file-backed inputs, or None when the
+    lineage has no files or any source is non-local (remote storage plans
+    its own splits; byte-deriving from it needs a real listing, not a
+    stat call)."""
+    import os
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        total += os.path.getsize(f[len("file:"):])
+    return total
+
+
 def spread_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition to cluster parallelism IFF the upstream scan
     cannot provide it.
@@ -19,22 +63,14 @@ def spread_scan(df: DataFrame) -> DataFrame:
     naturally (the 100 TB case: partitions ≥ cores), this is a no-op —
     the decision derives from input size, never a constant.
     """
-    import os
-
     spark = df.sparkSession
     try:
         target = spark.sparkContext.defaultParallelism
-        files = df.inputFiles()
-        if not files:
-            return df
-        total = 0
-        for f in files:
-            if not f.startswith("file:"):
-                return df  # non-local source: trust its split planning
-            total += os.path.getsize(f[len("file:"):])
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .rstrip("b")
+        total = _local_input_bytes(df)
+        if total is None:
+            return df  # non-local/unknown source: trust its split planning
+        max_split = conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 134217728
         )
         splits = max(1, -(-total // max_split))  # Spark's own split count bound
         if splits < target:
@@ -59,33 +95,26 @@ def keyed_cache_width(df: DataFrame) -> int:
     the clamp binds and the width IS the cluster width; locally it tracks
     the data. The lineage-bytes proxy undercounts frames that expand
     their source (exploded co-occurrence); the clamp keeps that error
-    bounded by the session width.
-    """
-    import os
-
+    bounded by the session width. Non-local/unknown sources keep the
+    session width (their true size is not stat()-able here)."""
     spark = df.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     try:
-        files = df.inputFiles()
-        if not files:
-            return width
-        total = 0
-        for f in files:
-            if not f.startswith("file:"):
-                return width  # non-local source: keep the session width
-            total += os.path.getsize(f[len("file:"):])
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .rstrip("b")
+        total = _local_input_bytes(df)
+        if total is None:
+            return width  # non-local source: keep the session width
+        max_split = conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 134217728
         )
         return max(1, min(width, -(-total // max_split)))
     except Exception:
         return width
 
 
-def python_stage_width(df: DataFrame) -> int:
+def python_stage_width(df: DataFrame) -> int | None:
     """Partition count for a keyed shuffle FEEDING A PER-KEY PYTHON
-    REDUCER: cluster parallelism as the floor, byte-derived above it.
+    REDUCER: cluster parallelism as the floor, byte-derived above it —
+    or ``None`` (caller must NOT pin) when the input size is unknowable.
 
     AQE coalesces post-shuffle partitions by BYTES, which misprices an
     opaque per-key Python stage: the stage's cost driver is user-code
@@ -96,27 +125,24 @@ def python_stage_width(df: DataFrame) -> int:
     work is embarrassingly parallel). The floor is the cluster's
     parallelism (never a constant); the byte term ceil(lineage input
     bytes / maxPartitionBytes) takes over at scale, where the floor is
-    irrelevant and per-task sort memory bounds partition size. Use ONLY
-    where the reducer is per-key-cost dominated — a cheap reducer over
-    few heavy keys is faster on AQE's byte-coalesced width (measured on
-    the single-input sorted reduce: pinning width was ~1.5x slower)."""
-    import os
-
+    irrelevant and per-task sort memory bounds partition size. For a
+    NON-LOCAL or file-less source the bytes are unknowable here, and a
+    bare cluster-parallelism pin would hold total_bytes/cores per
+    partition at scale (blowing per-task sort memory) — return None and
+    let the caller fall back to the unpinned keyed repartition, exactly
+    as spread_scan defers to remote split planning. Use ONLY where the
+    reducer is per-key-cost dominated — a cheap reducer over few heavy
+    keys is faster on AQE's byte-coalesced width (measured on the
+    single-input sorted reduce: pinning width was ~1.5x slower)."""
     spark = df.sparkSession
     floor = spark.sparkContext.defaultParallelism
     try:
-        files = df.inputFiles()
-        if not files:
-            return floor
-        total = 0
-        for f in files:
-            if not f.startswith("file:"):
-                return floor
-            total += os.path.getsize(f[len("file:"):])
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .rstrip("b")
+        total = _local_input_bytes(df)
+        if total is None:
+            return None
+        max_split = conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 134217728
         )
         return max(floor, -(-total // max_split))
     except Exception:
-        return floor
+        return None

@@ -209,12 +209,16 @@ def match_recognize_measures(
     # (regex scan + measure aggregation per match), which AQE's byte
     # coalescing misprices — a few MB of rows collapse to one partition
     # and the whole pass runs on one core (same finding as the reduce
-    # family's wave-17 fix; byte term takes over at scale)
+    # family's wave-17 fix; byte term takes over at scale). None (input
+    # size unknowable — non-local source) means do NOT pin: the unpinned
+    # keyed repartition keeps AQE sizing instead of holding
+    # total_bytes/cores per partition at scale.
+    width = python_stage_width(df)
+    arranged = df.select(*partition_by, *order_by, *need_cols, sym)
     arranged = (
-        df.select(*partition_by, *order_by, *need_cols, sym)
-        .repartition(python_stage_width(df), *partition_by)
-        .sortWithinPartitions(*partition_by, *order_by)
-    )
+        arranged.repartition(width, *partition_by) if width is not None
+        else arranged.repartition(*partition_by)
+    ).sortWithinPartitions(*partition_by, *order_by)
     skip = after_match_skip
     mlist = list(measures.items())
 
@@ -301,12 +305,16 @@ def match_recognize_rows(
 
     sym = encode_symbols(df, symbols).alias("__sym")
     need = [c for c in keep_cols if c not in partition_by]
-    # same per-key-Python width floor as the measures form (wave 17)
-    arranged = (
-        df.select(*partition_by, *order_by, *[c for c in need if c not in order_by], sym)
-        .repartition(python_stage_width(df), *partition_by)
-        .sortWithinPartitions(*partition_by, *order_by)
+    # same per-key-Python width floor as the measures form (wave 17);
+    # None (non-local source, size unknowable) = do not pin
+    width = python_stage_width(df)
+    arranged = df.select(
+        *partition_by, *order_by, *[c for c in need if c not in order_by], sym
     )
+    arranged = (
+        arranged.repartition(width, *partition_by) if width is not None
+        else arranged.repartition(*partition_by)
+    ).sortWithinPartitions(*partition_by, *order_by)
     skip = after_match_skip
     out_keep = [*partition_by, *[c for c in keep_cols if c not in partition_by]]
 

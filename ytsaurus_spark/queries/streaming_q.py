@@ -48,6 +48,8 @@ def _state_width(spark: SparkSession, *paths: str):
     """
     import os
 
+    from ytsaurus_spark.operators import conf_bytes
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         total = 0
@@ -59,9 +61,8 @@ def _state_width(spark: SparkSession, *paths: str):
                     )
             elif os.path.exists(p):
                 total += os.path.getsize(p)
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .rstrip("b")
+        max_split = conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 134217728
         )
         width = max(1, -(-total // max_split))
         spark.conf.set(
@@ -87,10 +88,13 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     reads events through here so a fixture ts-encoding change lands in
     ONE place. The raw-schema probe (a file listing + footer read,
     ~0.13 s) is memoized per (context, sf_dir) — the same immutable-
-    fixture contract as the memoized Catalog."""
+    fixture contract as the memoized Catalog. Keyed by (applicationId,
+    startTime, sf_dir): an ``id()`` key could be reused by CPython after
+    a stopped context is garbage-collected and serve a stale schema."""
     import os
 
-    key = (id(spark.sparkContext), sf_dir)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir)
     raw_schema = _EVENTS_RAW_SCHEMA.get(key)
     if raw_schema is None:
         raw_schema = spark.read.parquet(

@@ -34,15 +34,16 @@ def _small_star_input(spark, sf_dir: str) -> bool:
     scale this is False and the wide-plan routing below is a no-op."""
     import os
 
+    from ytsaurus_spark.operators import conf_bytes
+
     try:
         total = sum(
             os.path.getsize(os.path.join(sf_dir, f))
             for f in os.listdir(sf_dir)
             if f.endswith(".parquet")
         )
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .rstrip("b")
+        max_split = conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 134217728
         )
         return total < max_split * spark.sparkContext.defaultParallelism
     except Exception:
